@@ -1,0 +1,78 @@
+"""Cube build — the reference's 7-table star join (O20-O22).
+
+warehouse.py:256-284 rebuilds `cube_table` as TRUNCATE + one
+INSERT…SELECT with 7 inner joins, planned by MySQL.  Spark-first:
+chained DataFrame joins; every dimension side is broadcast (dims are
+tiny vs the fact), so the whole cube is a pipeline of broadcast-hash
+joins over the fact scan — zero shuffles.  `write.mode("overwrite")`
+replaces TRUNCATE+INSERT atomically via the job-commit protocol (O24).
+
+Quirk resolutions baked in (SURVEY.md §2.3): the year join goes
+through dimdate.year_id (B5, not the buggy ddy.id = ddm.id of
+warehouse.py:282); the projection emits the *declared* column order
+(B7); measures are real (B6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_cube(
+    fact: DataFrame,
+    dim_product: DataFrame,
+    dim_subcategory: DataFrame,
+    dim_client: DataFrame,
+    dim_date: DataFrame,
+    dim_month: DataFrame,
+    dim_year: DataFrame,
+    dim_country: DataFrame,
+) -> DataFrame:
+    """16-column denormalized cube (warehouse.py:256-274 select list)."""
+    dp = dim_product.alias("dp")
+    dps = dim_subcategory.alias("dps")
+    dc = dim_client.alias("dc")
+    dd = dim_date.alias("dd")
+    ddm = dim_month.alias("ddm")
+    ddy = dim_year.alias("ddy")
+    dco = dim_country.alias("dco")
+    f = fact.alias("f")
+    return (
+        f.join(F.broadcast(dp), F.col("f.product_id") == F.col("dp.product_id"), "inner")
+        .join(F.broadcast(dps), F.col("dp.category_id") == F.col("dps.subcategory_id"), "inner")
+        .join(F.broadcast(dc), F.col("f.client_id") == F.col("dc.client_id"), "inner")
+        .join(F.broadcast(dd), F.col("f.date_id") == F.col("dd.date_id"), "inner")
+        .join(F.broadcast(ddm), F.col("dd.month_id") == F.col("ddm.month_id"), "inner")
+        # B5 fix: year joined through dimdate.year_id, not month.id
+        .join(F.broadcast(ddy), F.col("dd.year_id") == F.col("ddy.year_id"), "inner")
+        .join(F.broadcast(dco), F.col("f.country_id") == F.col("dco.country_id"), "inner")
+        .select(
+            F.col("f.id").alias("fact_id"),
+            F.col("f.product_id").alias("product_id"),
+            F.col("dps.subcategory").alias("category"),
+            F.col("dp.product_name").alias("product_name"),
+            F.col("dp.family").alias("family"),
+            F.col("dp.code").alias("code"),
+            F.col("f.client_id").alias("client_id"),
+            F.col("dc.company_name").alias("company_name"),
+            F.col("dc.company_type").alias("company_type"),
+            F.col("dco.country_name").alias("country_name"),
+            F.col("dd.date").alias("date"),
+            F.col("dd.day").alias("day"),
+            F.col("ddm.month").alias("month"),
+            F.col("ddy.year").alias("year"),
+            F.col("f.quantity").alias("quantity"),
+            F.col("f.price").alias("price"),
+        )
+    )
+
+
+def write_cube(cube: DataFrame, path: str) -> None:
+    """Truncate-and-rebuild sink (O22) — atomic overwrite."""
+    cube.write.mode("overwrite").parquet(path)
+
+
+def register_cube_view(cube: DataFrame, name: str = "cube_view") -> None:
+    """The reference's commented-out VIEW design (O23, warehouse.py:213-246)."""
+    cube.createOrReplaceTempView(name)

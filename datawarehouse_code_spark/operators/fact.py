@@ -1,0 +1,59 @@
+"""Fact-table build — the reference's transportfact, with real measures.
+
+The reference inserts fact rows one at a time with NULL measures
+(warehouse.py:203-210, quirks B2/B6).  Intended semantics (SURVEY.md
+§7.1): fact rows come from the purchases stand-in (lineitem ⋈ orders),
+measures are real (quantity ≙ l_quantity, price ≙ l_extendedprice),
+and the table is range-partitioned by year (warehouse.py:188-200, O17)
+→ `partitionBy("year")` on write, giving partition pruning for
+year-ranged queries.
+
+Scale notes:
+- lineitem ⋈ orders is big-big → shuffle hash/sort-merge on
+  l_orderkey; at 100 TB, bucket both sides by orderkey to make it
+  co-located (see pipeline.write_bucketed).
+- customer is dimension-sized → broadcast.
+- The fact id is a deterministic hash of the natural key
+  (orderkey, linenumber), not AUTO_INCREMENT (O19) — no global
+  sequence bottleneck, idempotent re-loads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datawarehouse_code_spark.functions.scalars import date_key, surrogate_hash_key
+
+
+def build_fact(lineitem: DataFrame, orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """transportfact stand-in: (id, product_id, client_id, date_id,
+    country_id, quantity, price, year) — warehouse.py:172-187 schema,
+    O15 FK projection with B6 resolved (real measures)."""
+    ord_proj = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_date("o_orderdate").alias("order_date"),
+    )
+    cust_proj = customer.select("c_custkey", "c_nationkey")
+    return (
+        lineitem.join(ord_proj, lineitem["l_orderkey"] == ord_proj["o_orderkey"], "inner")
+        .join(F.broadcast(cust_proj), F.col("o_custkey") == cust_proj["c_custkey"], "inner")
+        .select(
+            surrogate_hash_key(F.col("l_orderkey"), F.col("l_linenumber")).alias("id"),
+            F.col("l_partkey").alias("product_id"),
+            F.col("o_custkey").alias("client_id"),
+            date_key(F.col("order_date")).alias("date_id"),
+            F.col("c_nationkey").alias("country_id"),
+            F.col("l_quantity").alias("quantity"),
+            F.col("l_extendedprice").alias("price"),
+            F.year("order_date").cast("int").alias("year"),
+        )
+    )
+
+
+def write_fact(fact: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Partitioned fact write (O17): year range-partitioning ≙
+    `partitionBy("year")`; Spark partition pruning replaces MySQL
+    partition elimination."""
+    fact.write.mode(mode).partitionBy("year").parquet(path)

@@ -1,0 +1,286 @@
+"""Reference-surface queries (SURVEY.md §2.1, Phase 1).
+
+Each entry re-expresses one operator family of the reference
+(warehouse.py) as a declarative Spark plan, with a DuckDB oracle twin.
+The fixture role-mapping is FIXTURES.md's: customer→dimclient,
+part→dimproduct, nation→dimcountry, region→subregion,
+orders→purchases, lineitem⋈orders→transportfact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datawarehouse_code_spark.operators.dimensions import insert_if_not_exists
+from datawarehouse_code_spark.pipeline import build_warehouse
+from datawarehouse_code_spark.plans.base import Query
+from datawarehouse_code_spark.sources.catalog import read_table
+
+# ---------------------------------------------------------------- dims
+
+
+def _dim_client(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_warehouse(spark, sf_dir).dim_client
+
+
+_DIM_CLIENT_SQL = """
+SELECT c_custkey AS client_id,
+       c_name AS company_name,
+       CASE c_mktsegment
+            WHEN 'MACHINERY'  THEN 'mechanic_company'
+            WHEN 'AUTOMOBILE' THEN 'electric_company'
+            WHEN 'BUILDING'   THEN 'industry'
+       END AS company_type,
+       CAST(CASE c_mktsegment
+            WHEN 'MACHINERY'  THEN 1
+            WHEN 'AUTOMOBILE' THEN 2
+            WHEN 'BUILDING'   THEN 3
+       END AS INTEGER) AS industry_id,
+       c_nationkey AS country_id,
+       c_acctbal AS acctbal
+FROM customer
+"""
+
+
+def _dim_product_subcategory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_warehouse(spark, sf_dir).dim_product_subcategory
+
+
+_DIM_SUB_SQL = """
+SELECT CAST(row_number() OVER (ORDER BY subcategory) AS INTEGER) AS subcategory_id,
+       subcategory
+FROM (SELECT DISTINCT p_type AS subcategory FROM part)
+"""
+
+
+def _dim_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_warehouse(spark, sf_dir).dim_product
+
+
+_DIM_PRODUCT_SQL = """
+WITH sub AS (
+  SELECT CAST(row_number() OVER (ORDER BY subcategory) AS INTEGER) AS subcategory_id,
+         subcategory
+  FROM (SELECT DISTINCT p_type AS subcategory FROM part)
+)
+SELECT p_partkey AS product_id,
+       p_brand AS code,
+       p_name AS product_name,
+       p_type AS family,
+       subcategory_id AS category_id,
+       p_retailprice AS retail_price
+FROM part JOIN sub ON part.p_type = sub.subcategory
+"""
+
+
+def _dim_country(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_warehouse(spark, sf_dir).dim_country
+
+
+_DIM_COUNTRY_SQL = """
+SELECT n_nationkey AS country_id, n_name AS country_name, n_regionkey AS region_id
+FROM nation
+"""
+
+
+def _dim_country_subregion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_warehouse(spark, sf_dir).dim_country_subregion
+
+
+_DIM_SUBREGION_SQL = """
+SELECT r_regionkey AS subregion_id, r_name AS subregion, n_nationkey AS country_id
+FROM nation JOIN region ON nation.n_regionkey = region.r_regionkey
+"""
+
+
+def _dim_date_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_warehouse(spark, sf_dir).dim_date_year
+
+
+_DIM_YEAR_SQL = """
+SELECT CAST(row_number() OVER (ORDER BY year) AS INTEGER) AS year_id, year
+FROM (SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS year FROM orders)
+"""
+
+
+def _dim_date_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_warehouse(spark, sf_dir).dim_date_month
+
+
+_DIM_MONTH_SQL = """
+SELECT CAST(m AS INTEGER) AS month_id, CAST(m AS INTEGER) AS month
+FROM generate_series(1, 12) t(m)
+"""
+
+
+def _dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_warehouse(spark, sf_dir).dim_date
+
+
+_DIM_DATE_SQL = """
+WITH years AS (
+  SELECT CAST(row_number() OVER (ORDER BY year) AS INTEGER) AS year_id, year
+  FROM (SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS year FROM orders)
+), dates AS (
+  SELECT DISTINCT CAST(o_orderdate AS DATE) AS date FROM orders
+)
+SELECT CAST(year(date) * 10000 + month(date) * 100 + day(date) AS INTEGER) AS date_id,
+       CAST(day(date) AS INTEGER) AS day,
+       CAST(month(date) AS INTEGER) AS month_id,
+       years.year_id AS year_id,
+       years.year AS year,
+       date,
+       CAST((quarter(date) - 1) * 3 + 1 AS INTEGER) AS three_months
+FROM dates JOIN years ON CAST(year(dates.date) AS INTEGER) = years.year
+"""
+
+# ---------------------------------------------------------------- fact & cube
+
+
+def _fact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # surrogate `id` (xxhash64) excluded: hash functions differ across
+    # engines by design; id determinism is covered by unit tests instead.
+    return build_warehouse(spark, sf_dir).fact.drop("id")
+
+
+_FACT_SQL = """
+SELECT l_partkey AS product_id,
+       o_custkey AS client_id,
+       CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100 + day(o_orderdate)
+            AS INTEGER) AS date_id,
+       c_nationkey AS country_id,
+       l_quantity AS quantity,
+       l_extendedprice AS price,
+       CAST(year(o_orderdate) AS INTEGER) AS year
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def _cube_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_warehouse(spark, sf_dir).cube.drop("fact_id")
+
+
+_CUBE_SQL = """
+WITH sub AS (
+  SELECT CAST(row_number() OVER (ORDER BY subcategory) AS INTEGER) AS subcategory_id,
+         subcategory
+  FROM (SELECT DISTINCT p_type AS subcategory FROM part)
+)
+SELECT l_partkey AS product_id,
+       sub.subcategory AS category,
+       p_name AS product_name,
+       p_type AS family,
+       p_brand AS code,
+       o_custkey AS client_id,
+       c_name AS company_name,
+       CASE c_mktsegment
+            WHEN 'MACHINERY'  THEN 'mechanic_company'
+            WHEN 'AUTOMOBILE' THEN 'electric_company'
+            WHEN 'BUILDING'   THEN 'industry'
+       END AS company_type,
+       n_name AS country_name,
+       CAST(o_orderdate AS DATE) AS date,
+       CAST(day(o_orderdate) AS INTEGER) AS day,
+       CAST(month(o_orderdate) AS INTEGER) AS month,
+       CAST(year(o_orderdate) AS INTEGER) AS year,
+       l_quantity AS quantity,
+       l_extendedprice AS price
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN part     ON l_partkey = p_partkey
+JOIN sub      ON p_type = sub.subcategory
+"""
+
+# ------------------------------------------------- load-pattern operators
+
+
+def _insert_if_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: incoming orders anti-joined against the 'already loaded' set
+    (orders that already have lineitems) — the rows the reference's
+    per-row existence check would insert (warehouse.py:78-94).
+    Non-empty at every fixture sf, so the oracle hash is a real check."""
+    orders = read_table(spark, "orders", sf_dir)
+    lineitem = read_table(spark, "lineitem", sf_dir)
+    existing = lineitem.select(F.col("l_orderkey").alias("o_orderkey"))
+    return insert_if_not_exists(orders, existing, ["o_orderkey"]).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+_ANTI_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+"""
+
+
+def _union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: bag union across homogeneous-projected tables."""
+    customer = read_table(spark, "customer", sf_dir)
+    supplier = read_table(spark, "supplier", sf_dir)
+    c = customer.select(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("kind"),
+    )
+    s = supplier.select(
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("kind"),
+    )
+    return c.unionByName(s)
+
+
+_UNION_SQL = """
+SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind FROM customer
+UNION ALL
+SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS kind FROM supplier
+"""
+
+
+def _dedup_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O14: composite-natural-key dedup — one row per (day, month, year)
+    of o_orderdate, keeping the smallest orderkey as a witness."""
+    orders = read_table(spark, "orders", sf_dir)
+    return (
+        orders.select(
+            F.dayofmonth("o_orderdate").cast("int").alias("day"),
+            F.month("o_orderdate").cast("int").alias("month_id"),
+            F.year("o_orderdate").cast("int").alias("year"),
+            F.col("o_orderkey"),
+        )
+        .groupBy("day", "month_id", "year")
+        .agg(F.min("o_orderkey").alias("witness_orderkey"))
+    )
+
+
+_DEDUP_SQL = """
+SELECT CAST(day(o_orderdate) AS INTEGER) AS day,
+       CAST(month(o_orderdate) AS INTEGER) AS month_id,
+       CAST(year(o_orderdate) AS INTEGER) AS year,
+       min(o_orderkey) AS witness_orderkey
+FROM orders
+GROUP BY 1, 2, 3
+"""
+
+
+REFERENCE_QUERIES: list[Query] = [
+    Query("dim_client", _dim_client, _DIM_CLIENT_SQL, "O5/O7: CASE mapping dim"),
+    Query("dim_product_subcategory", _dim_product_subcategory, _DIM_SUB_SQL, "O8 lookup-or-create"),
+    Query("dim_product", _dim_product, _DIM_PRODUCT_SQL, "O8 snowflake dim"),
+    Query("dim_country", _dim_country, _DIM_COUNTRY_SQL, "O1/O21 projection"),
+    Query("dim_country_subregion", _dim_country_subregion, _DIM_SUBREGION_SQL, "bridge dim"),
+    Query("dim_date_year", _dim_date_year, _DIM_YEAR_SQL, "O9 lookup-or-create"),
+    Query("dim_date_month", _dim_date_month, _DIM_MONTH_SQL, "B4: static month dim"),
+    Query("dim_date", _dim_date, _DIM_DATE_SQL, "O10-O14 date derivations"),
+    Query("fact_build", _fact_build, _FACT_SQL, "O15/O16 fact projection, real measures (B6)"),
+    Query("cube_table", _cube_table, _CUBE_SQL, "O20-O22 star join cube"),
+    Query("insert_if_not_exists", _insert_if_not_exists, _ANTI_SQL, "O5 anti-join load"),
+    Query("union_all_tables", _union_all, _UNION_SQL, "O3 bag union"),
+    Query("dedup_composite_key", _dedup_composite_key, _DEDUP_SQL, "O14 composite dedup"),
+]

@@ -1,0 +1,41 @@
+"""SparkSession factory.
+
+The reference opens raw MySQL connections per phase
+(warehouse.py:26,46,248); our equivalent of "the engine handle" is a
+single configured SparkSession. Config choices are scale-motivated:
+
+- AQE on: runtime join-strategy selection, partition coalescing and
+  skew-join splitting replace the reference's reliance on the MySQL
+  optimizer (warehouse.py:256-284 delegates all planning to MySQL).
+- shuffle.partitions sized to local cores; on a real cluster AQE
+  coalesces from a higher initial number.
+- UTC session timezone so timestamp semantics match the DuckDB oracle
+  (DuckDB timestamps are UTC-naive).
+- Arrow enabled for the Pandas-UDF slow path (multimodal operators).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "datawarehouse_code_spark", cpus: str | None = None) -> SparkSession:
+    """Build (or fetch) the configured SparkSession."""
+    master = f"local[{cpus or DEFAULT_CPUS}]"
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus or DEFAULT_CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,113 @@
+"""Table catalog: name → DataFrame.
+
+Replaces the reference's full-table scan source + conditional routing
+(O1/O2, warehouse.py:25-43: ``SELECT * FROM …`` + ``fetchall()`` into
+driver memory, with an if/else on table name routing reads across two
+MySQL databases).  Here routing is a dict of table → path, reads are
+lazy Spark scans (no driver materialization ever), and Catalyst does
+column pruning / filter pushdown into the parquet scan for free.
+
+Also covers the multi-table bag-union entry point (O3,
+warehouse.py:30-38: ``data_list.extend``) as `read_union`.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datawarehouse_code_spark.sources.schemas import SCHEMAS
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    """Routing: table name → storage path (the O2 dict-catalog)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
+    return f"{sf_dir}/{name}.parquet"
+
+
+def read_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Lazy parquet scan with schema verification (fail fast on drift).
+
+    The declared schema (schemas.SCHEMAS) is authoritative; a column
+    mismatch raises instead of silently mis-binding the way the
+    reference's positional `row[8]` access would (warehouse.py:140).
+    """
+    df = spark.read.parquet(table_path(sf_dir or DEFAULT_SF_DIR, name))
+    want = SCHEMAS[name]
+    got = {f.name for f in df.schema.fields}
+    missing = [f.name for f in want.fields if f.name not in got]
+    if missing:
+        raise ValueError(f"table {name!r} missing declared columns {missing}; found {sorted(got)}")
+    # project to the declared column order (stable downstream positional use)
+    return df.select(*[f.name for f in want.fields])
+
+
+def read_union(spark: SparkSession, names: list[str], sf_dir: str | None = None) -> DataFrame:
+    """Bag union of same-schema tables (O3) — `unionByName`, not positional."""
+    dfs = [read_table(spark, n, sf_dir) for n in names]
+    return functools.reduce(lambda a, b: a.unionByName(b), dfs)
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Expose every catalog table as a temp view for the SQL API (O23)."""
+    for name in TABLES:
+        read_table(spark, name, sf_dir).createOrReplaceTempView(name)
+
+
+def read_csv(spark: SparkSession, path: str, table: str) -> DataFrame:
+    """CSV connector with the declared schema (no inferSchema in engine paths)."""
+    return spark.read.schema(SCHEMAS[table]).option("header", "true").csv(path)
+
+
+def read_json(spark: SparkSession, path: str, table: str) -> DataFrame:
+    """JSON-lines connector with the declared schema."""
+    return spark.read.schema(SCHEMAS[table]).json(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    dbtable: str,
+    partition_column: str | None = None,
+    num_partitions: int = 32,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """JDBC source — parity with the reference's MySQL reads (warehouse.py:25-43).
+
+    Unlike the reference's single-threaded ``fetchall()``, reads are
+    split into `num_partitions` parallel range scans when a numeric
+    `partition_column` is given — the difference between a driver
+    bottleneck and a distributed scan at 100 TB.  Untested in this
+    container (no JDBC driver jar); kept for API parity.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", dbtable)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound if lower_bound is not None else 0))
+            .option("upperBound", str(upper_bound if upper_bound is not None else 1 << 31))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
