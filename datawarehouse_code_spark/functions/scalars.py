@@ -36,8 +36,21 @@ def surrogate_hash_key(*cols: Column) -> Column:
 
     xxhash64 is deterministic, parallel and join-stable — the scale-safe
     replacement for AUTO_INCREMENT/LAST_INSERT_ID (warehouse.py:110,151).
+    64-bit birthday bound is ~4.3×10⁹ keys: use only for bounded-domain
+    dimensions; fact-scale keys take :func:`surrogate_hash_key128`.
     """
     return F.xxhash64(*cols)
+
+
+def surrogate_hash_key128(*cols: Column) -> Column:
+    """Stable 128-bit surrogate key (hex string) from a natural key.
+
+    md5 over the '|'-joined key columns: deterministic, parallel,
+    join-stable, and collision-safe at 100 TB row counts (128-bit
+    birthday bound ≈ 1.8×10¹⁹ ≫ ~6×10¹¹ lineitem rows), where a
+    64-bit surrogate would already collide (~4.3×10⁹).
+    """
+    return F.md5(F.concat_ws("|", *[c.cast("string") for c in cols]))
 
 
 def dot_product(a: Column, b: Column) -> Column:

@@ -2,10 +2,16 @@
 
 warehouse.py:256-284 rebuilds `cube_table` as TRUNCATE + one
 INSERT…SELECT with 7 inner joins, planned by MySQL.  Spark-first:
-chained DataFrame joins; every dimension side is broadcast (dims are
-tiny vs the fact), so the whole cube is a pipeline of broadcast-hash
-joins over the fact scan — zero shuffles.  `write.mode("overwrite")`
-replaces TRUNCATE+INSERT atomically via the job-commit protocol (O24).
+chained DataFrame joins.  Broadcast hints are applied ONLY to dims
+whose cardinality is bounded by the domain, not by data size
+(subcategory ≈ |p_type| ~150, date ≈ calendar days, month = 12,
+year ≈ |years|, country ≈ |nations|): hints override AQE's size
+check, so putting one on a table that scales with sf (dim_product,
+dim_client) would OOM at 100 TB.  Those two joins are left to AQE,
+which still picks BroadcastHashJoin at small sf and degrades to
+shuffle join when the side outgrows the threshold.
+`write.mode("overwrite")` replaces TRUNCATE+INSERT atomically via
+the job-commit protocol (O24).
 
 Quirk resolutions baked in (SURVEY.md §2.3): the year join goes
 through dimdate.year_id (B5, not the buggy ddy.id = ddm.id of
@@ -39,9 +45,10 @@ def build_cube(
     dco = dim_country.alias("dco")
     f = fact.alias("f")
     return (
-        f.join(F.broadcast(dp), F.col("f.product_id") == F.col("dp.product_id"), "inner")
+        # dp/dc scale with data size → no hint; AQE chooses the strategy
+        f.join(dp, F.col("f.product_id") == F.col("dp.product_id"), "inner")
         .join(F.broadcast(dps), F.col("dp.category_id") == F.col("dps.subcategory_id"), "inner")
-        .join(F.broadcast(dc), F.col("f.client_id") == F.col("dc.client_id"), "inner")
+        .join(dc, F.col("f.client_id") == F.col("dc.client_id"), "inner")
         .join(F.broadcast(dd), F.col("f.date_id") == F.col("dd.date_id"), "inner")
         .join(F.broadcast(ddm), F.col("dd.month_id") == F.col("ddm.month_id"), "inner")
         # B5 fix: year joined through dimdate.year_id, not month.id

@@ -12,10 +12,17 @@ Scale notes:
 - lineitem ⋈ orders is big-big → shuffle hash/sort-merge on
   l_orderkey; at 100 TB, bucket both sides by orderkey to make it
   co-located (see pipeline.write_bucketed).
-- customer is dimension-sized → broadcast.
-- The fact id is a deterministic hash of the natural key
-  (orderkey, linenumber), not AUTO_INCREMENT (O19) — no global
-  sequence bottleneck, idempotent re-loads.
+- customer SCALES with data size (it is a "dimension" only
+  relative to the fact), so it carries NO broadcast hint: a hint
+  overrides AQE's size check and would OOM executors at 100 TB.
+  AQE picks broadcast-hash at small sf on its own and falls back
+  to shuffle join when the relation outgrows the threshold.
+- The fact id is a deterministic 128-bit hash of the full business
+  identity tuple, not AUTO_INCREMENT (O19) — no global sequence
+  bottleneck, idempotent re-loads, and no birthday-bound collisions
+  at 100 TB row counts (64-bit collides at ~4×10⁹ rows).  The
+  fixture's (l_orderkey, l_linenumber) alone is NOT unique, so the
+  key spans all six identity columns.
 """
 
 from __future__ import annotations
@@ -23,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datawarehouse_code_spark.functions.scalars import date_key, surrogate_hash_key
+from datawarehouse_code_spark.functions.scalars import date_key, surrogate_hash_key128
 
 
 def build_fact(lineitem: DataFrame, orders: DataFrame, customer: DataFrame) -> DataFrame:
@@ -38,9 +45,16 @@ def build_fact(lineitem: DataFrame, orders: DataFrame, customer: DataFrame) -> D
     cust_proj = customer.select("c_custkey", "c_nationkey")
     return (
         lineitem.join(ord_proj, lineitem["l_orderkey"] == ord_proj["o_orderkey"], "inner")
-        .join(F.broadcast(cust_proj), F.col("o_custkey") == cust_proj["c_custkey"], "inner")
+        .join(cust_proj, F.col("o_custkey") == cust_proj["c_custkey"], "inner")
         .select(
-            surrogate_hash_key(F.col("l_orderkey"), F.col("l_linenumber")).alias("id"),
+            surrogate_hash_key128(
+                F.col("l_orderkey"),
+                F.col("l_linenumber"),
+                F.col("l_partkey"),
+                F.col("l_suppkey"),
+                F.col("l_quantity"),
+                F.col("l_extendedprice"),
+            ).alias("id"),
             F.col("l_partkey").alias("product_id"),
             F.col("o_custkey").alias("client_id"),
             date_key(F.col("order_date")).alias("date_id"),

@@ -139,13 +139,15 @@ FROM dates JOIN years ON CAST(year(dates.date) AS INTEGER) = years.year
 
 
 def _fact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # surrogate `id` (xxhash64) excluded: hash functions differ across
-    # engines by design; id determinism is covered by unit tests instead.
-    return build_warehouse(spark, sf_dir).fact.drop("id")
+    # surrogate `id` is md5('|'-joined natural key) — reproducible in
+    # DuckDB, so the oracle now checks it too (tests/test_operators.py
+    # additionally covers determinism + uniqueness).
+    return build_warehouse(spark, sf_dir).fact
 
 
 _FACT_SQL = """
-SELECT l_partkey AS product_id,
+SELECT md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR) || '|' || CAST(l_quantity AS VARCHAR) || '|' || CAST(l_extendedprice AS VARCHAR)) AS id,
+       l_partkey AS product_id,
        o_custkey AS client_id,
        CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100 + day(o_orderdate)
             AS INTEGER) AS date_id,
@@ -160,7 +162,7 @@ JOIN customer ON o_custkey = c_custkey
 
 
 def _cube_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return build_warehouse(spark, sf_dir).cube.drop("fact_id")
+    return build_warehouse(spark, sf_dir).cube
 
 
 _CUBE_SQL = """
@@ -169,7 +171,8 @@ WITH sub AS (
          subcategory
   FROM (SELECT DISTINCT p_type AS subcategory FROM part)
 )
-SELECT l_partkey AS product_id,
+SELECT md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR) || '|' || CAST(l_quantity AS VARCHAR) || '|' || CAST(l_extendedprice AS VARCHAR)) AS fact_id,
+       l_partkey AS product_id,
        sub.subcategory AS category,
        p_name AS product_name,
        p_type AS family,

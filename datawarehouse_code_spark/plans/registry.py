@@ -15,26 +15,22 @@ from datawarehouse_code_spark.plans.reference_queries import REFERENCE_QUERIES
 
 _GROUPS: list[list[Query]] = [REFERENCE_QUERIES]
 
-try:  # widened per-phase; import-gated so a broken module never kills the gate
-    from datawarehouse_code_spark.plans.warehouse_queries import WAREHOUSE_QUERIES
+# Gate each phase module on ITS OWN absence only: a typo'd import or
+# broken transitive dependency inside the module must fail loudly, not
+# silently drop a whole phase from the correctness gate.
+def _load_group(module: str, attr: str) -> None:
+    try:
+        mod = __import__(module, fromlist=[attr])
+    except ModuleNotFoundError as e:
+        if e.name != module:
+            raise
+        return
+    _GROUPS.append(getattr(mod, attr))
 
-    _GROUPS.append(WAREHOUSE_QUERIES)
-except ImportError:
-    pass
 
-try:
-    from datawarehouse_code_spark.plans.llm_queries import LLM_QUERIES
-
-    _GROUPS.append(LLM_QUERIES)
-except ImportError:
-    pass
-
-try:
-    from datawarehouse_code_spark.plans.streaming_queries import STREAMING_QUERIES
-
-    _GROUPS.append(STREAMING_QUERIES)
-except ImportError:
-    pass
+_load_group("datawarehouse_code_spark.plans.warehouse_queries", "WAREHOUSE_QUERIES")
+_load_group("datawarehouse_code_spark.plans.llm_queries", "LLM_QUERIES")
+_load_group("datawarehouse_code_spark.plans.streaming_queries", "STREAMING_QUERIES")
 
 QUERIES: dict[str, Query] = make_registry(*_GROUPS)
 

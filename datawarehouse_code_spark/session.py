@@ -38,4 +38,10 @@ def get_spark(app_name: str = "datawarehouse_code_spark", cpus: str | None = Non
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # getOrCreate silently ignores configs when a session already exists;
+    # the UTC timezone is load-bearing for oracle parity, so enforce it
+    # (it is a runtime-settable conf) rather than trusting the builder.
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

@@ -52,10 +52,19 @@ def read_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     """
     df = spark.read.parquet(table_path(sf_dir or DEFAULT_SF_DIR, name))
     want = SCHEMAS[name]
-    got = {f.name for f in df.schema.fields}
+    got = {f.name: f.dataType for f in df.schema.fields}
     missing = [f.name for f in want.fields if f.name not in got]
     if missing:
-        raise ValueError(f"table {name!r} missing declared columns {missing}; found {sorted(got)}")
+        raise ValueError(
+            f"table {name!r} missing declared columns {missing}; found {sorted(got)}"
+        )
+    drifted = [
+        (f.name, str(got[f.name]), str(f.dataType))
+        for f in want.fields
+        if got[f.name] != f.dataType
+    ]
+    if drifted:
+        raise ValueError(f"table {name!r} type drift (column, found, declared): {drifted}")
     # project to the declared column order (stable downstream positional use)
     return df.select(*[f.name for f in want.fields])
 

@@ -57,7 +57,7 @@ ORDERS = T.StructType([
     _f("o_custkey", T.LongType()),
     _f("o_orderstatus", T.StringType()),
     _f("o_totalprice", T.DoubleType()),
-    _f("o_orderdate", T.TimestampType()),
+    _f("o_orderdate", T.TimestampNTZType()),
     _f("o_orderpriority", T.StringType()),
 ])
 
@@ -72,12 +72,12 @@ LINEITEM = T.StructType([
     _f("l_tax", T.DoubleType()),
     _f("l_returnflag", T.StringType()),
     _f("l_linestatus", T.StringType()),
-    _f("l_shipdate", T.TimestampType()),
+    _f("l_shipdate", T.TimestampNTZType()),
 ])
 
 EVENTS = T.StructType([
     _f("event_id", T.LongType()),
-    _f("ts", T.TimestampType()),
+    _f("ts", T.TimestampNTZType()),
     _f("user_id", T.LongType()),
     _f("event_type", T.StringType()),
     _f("value", T.DoubleType()),
