@@ -1,0 +1,87 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the registry's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+
+    {"metric": "registry_wall_sec", "value": <total>, "unit": "sec",
+     "queries": {"<name>": <sec>, ...}, "sf": <sf>}
+
+Each query is forced to full execution with the `noop` sink (every
+row is computed and serialized, nothing is collected to the driver —
+the honest analogue of writing the result at scale).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datawarehouse_code_spark.plans.registry import QUERIES
+from datawarehouse_code_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the expensive/representative plans. Anything listed
+# here but not (yet) registered is skipped, so bench.py never breaks
+# when a phase module is mid-build.
+HEADLINE = [
+    "fact_build",
+    "cube_table",
+    "dim_date",
+    "insert_if_not_exists",
+    "agg_revenue_year_country",
+    "agg_lineitem_stats",
+    "agg_rollup_year_type",
+    "window_topk_products",
+    "window_monthly_growth",
+    "events_tumbling_10min",
+    "events_session_window",
+    "dedup_exact",
+    "dedup_near_jaccard",
+    "dedup_minhash_lsh",
+    "similarity_topk_bruteforce",
+    "similarity_topk_lsh",
+    "text_tfidf_top_terms",
+]
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in QUERIES] or list(QUERIES)
+    # Warm the JVM/codegen paths once so per-query times measure the
+    # plan, not first-run classloading.
+    QUERIES[names[0]].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        QUERIES[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "registry_wall_sec",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_val,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
