@@ -1,0 +1,591 @@
+"""Warehouse query surface (SURVEY.md §2.2, Phase 2).
+
+The reference builds a cube and never queries it
+(/root/reference/warehouse.py:256-284 materializes; its measures at
+warehouse.py:179-180 have no consumer).  These are the queries the
+cube exists for: aggregates, rollup/cube/grouping sets, windows,
+top-k, filters, set ops, JSON/string scalars, outer/semi/theta joins.
+
+Scale notes baked into each plan:
+- group-bys are partial-aggregated map-side by Catalyst (no naive
+  shuffles of raw rows for sum/count/avg);
+- filters sit directly on the scan so they push into parquet
+  (PushedFilters) and prune columns;
+- window ranks always partition (no global single-partition windows
+  over unbounded data);
+- float aggregates are rounded on BOTH engine sides so ulp-order
+  noise can't flip the driver's value hash (plans/base.py doctrine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datawarehouse_code_spark.pipeline import build_warehouse
+from datawarehouse_code_spark.plans.base import Query
+from datawarehouse_code_spark.sources.catalog import read_table
+
+# The cube re-derived as a DuckDB CTE, for oracles that query it.
+_CUBE_CTE = """
+WITH sub AS (
+  SELECT CAST(row_number() OVER (ORDER BY subcategory) AS INTEGER) AS subcategory_id,
+         subcategory
+  FROM (SELECT DISTINCT p_type AS subcategory FROM part)
+), cube_t AS (
+  SELECT sub.subcategory AS category,
+         CASE c_mktsegment
+              WHEN 'MACHINERY'  THEN 'mechanic_company'
+              WHEN 'AUTOMOBILE' THEN 'electric_company'
+              WHEN 'BUILDING'   THEN 'industry'
+         END AS company_type,
+         n_name AS country_name,
+         l_partkey AS product_id,
+         CAST(month(o_orderdate) AS INTEGER) AS month,
+         CAST(year(o_orderdate) AS INTEGER) AS year,
+         l_quantity AS quantity,
+         l_extendedprice AS price
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN part     ON l_partkey = p_partkey
+  JOIN sub      ON p_type = sub.subcategory
+)
+"""
+
+# ------------------------------------------------------------ aggregates
+
+
+def _agg_revenue_year_country(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship aggregate (entry()'s query, oracle-checked)."""
+    cube = build_warehouse(spark, sf_dir).cube
+    return cube.groupBy("year", "country_name").agg(
+        F.round(F.sum(F.col("quantity") * F.col("price")), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_AGG_REVENUE_SQL = _CUBE_CTE + """
+SELECT year, country_name,
+       round(sum(quantity * price), 2) AS revenue,
+       count(*) AS n_rows
+FROM cube_t
+GROUP BY year, country_name
+"""
+
+
+def _agg_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped scan-heavy aggregate: sum/avg/count with an
+    arithmetic measure, filter pushed to the parquet scan."""
+    li = read_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_AGG_LINEITEM_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """countDistinct per group (expand + two-phase agg in Spark)."""
+    orders = read_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy(F.year("o_orderdate").cast("int").alias("year"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
+        )
+    )
+
+
+_AGG_COUNTD_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_totalprice
+FROM orders
+GROUP BY 1
+"""
+
+# ----------------------------------------------- rollup / cube / grouping sets
+
+
+def _agg_rollup_year_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cube = build_warehouse(spark, sf_dir).cube
+    return (
+        cube.rollup("year", "company_type")
+        .agg(
+            F.round(F.sum(F.col("quantity") * F.col("price")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+_AGG_ROLLUP_SQL = _CUBE_CTE + """
+SELECT year, company_type,
+       round(sum(quantity * price), 2) AS revenue,
+       count(*) AS n_rows,
+       CAST(GROUPING(year, company_type) AS INTEGER) AS gid
+FROM cube_t
+GROUP BY ROLLUP (year, company_type)
+"""
+
+
+def _agg_cube_type_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cube = build_warehouse(spark, sf_dir).cube
+    return (
+        cube.cube("company_type", "category")
+        .agg(
+            F.round(F.sum("quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+_AGG_CUBE_SQL = _CUBE_CTE + """
+SELECT company_type, category,
+       round(sum(quantity), 2) AS sum_qty,
+       count(*) AS n_rows,
+       CAST(GROUPING(company_type, category) AS INTEGER) AS gid
+FROM cube_t
+GROUP BY CUBE (company_type, category)
+"""
+
+
+def _agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: by year, by country, and grand total."""
+    cube = build_warehouse(spark, sf_dir).cube
+    cube.createOrReplaceTempView("_gs_cube")
+    return spark.sql(
+        """
+        SELECT year, country_name,
+               round(sum(quantity * price), 2) AS revenue,
+               CAST(grouping_id() AS INT) AS gid
+        FROM _gs_cube
+        GROUP BY GROUPING SETS ((year), (country_name), ())
+        """
+    )
+
+
+_AGG_GSETS_SQL = _CUBE_CTE + """
+SELECT year, country_name,
+       round(sum(quantity * price), 2) AS revenue,
+       CAST(GROUPING(year, country_name) AS INTEGER) AS gid
+FROM cube_t
+GROUP BY GROUPING SETS ((year), (country_name), ())
+"""
+
+# ------------------------------------------------------------ windows / top-k
+
+
+def _monthly_revenue(cube: DataFrame) -> DataFrame:
+    return cube.groupBy("country_name", "year", "month").agg(
+        F.round(F.sum(F.col("quantity") * F.col("price")), 2).alias("revenue")
+    )
+
+
+_MONTHLY_CTE = _CUBE_CTE + """, monthly AS (
+  SELECT country_name, year, month,
+         round(sum(quantity * price), 2) AS revenue
+  FROM cube_t
+  GROUP BY country_name, year, month
+)
+"""
+
+
+def _window_topk_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 products by revenue per country: partitioned rank, never a
+    global single-partition window (the 100 TB-safe top-k shape)."""
+    cube = build_warehouse(spark, sf_dir).cube
+    rev = cube.groupBy("country_name", "product_id").agg(
+        F.round(F.sum(F.col("quantity") * F.col("price")), 2).alias("revenue")
+    )
+    w = Window.partitionBy("country_name").orderBy(
+        F.col("revenue").desc(), F.col("product_id").asc()
+    )
+    return (
+        rev.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+_WINDOW_TOPK_SQL = _CUBE_CTE + """, rev AS (
+  SELECT country_name, product_id,
+         round(sum(quantity * price), 2) AS revenue
+  FROM cube_t GROUP BY country_name, product_id
+)
+SELECT country_name, product_id, revenue, rk
+FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY country_name ORDER BY revenue DESC, product_id ASC
+  ) AS INTEGER) AS rk
+  FROM rev
+)
+WHERE rk <= 3
+"""
+
+
+def _window_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): month-over-month revenue delta per country."""
+    cube = build_warehouse(spark, sf_dir).cube
+    monthly = _monthly_revenue(cube)
+    w = Window.partitionBy("country_name").orderBy("year", "month")
+    return monthly.select(
+        "country_name",
+        "year",
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias("growth"),
+    )
+
+
+_WINDOW_GROWTH_SQL = _MONTHLY_CTE + """
+SELECT country_name, year, month, revenue,
+       round(revenue - lag(revenue) OVER (
+           PARTITION BY country_name ORDER BY year, month), 2) AS growth
+FROM monthly
+"""
+
+
+def _window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame aggregate: 3-month moving average per country.
+
+    The average is computed over exact integer cents (moving sum of
+    bigint, floor-divided by count), not avg() over doubles: engines
+    disagree on the last cent when a double mean lands on a .005
+    boundary (Spark rounds the exact binary value HALF_UP, DuckDB
+    multiplies-then-nearbyints), and the driver's value hash has no
+    tolerance.  floor() has no such boundary.
+    """
+    cube = build_warehouse(spark, sf_dir).cube
+    monthly = _monthly_revenue(cube).withColumn(
+        "cents", F.round(F.col("revenue") * 100, 0).cast("bigint")
+    )
+    w = (
+        Window.partitionBy("country_name")
+        .orderBy("year", "month")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return monthly.select(
+        "country_name",
+        "year",
+        "month",
+        "revenue",
+        (
+            F.floor(F.sum("cents").over(w) / F.count(F.lit(1)).over(w)) / F.lit(100.0)
+        ).alias("mavg_3m"),
+    )
+
+
+_WINDOW_MAVG_SQL = _MONTHLY_CTE + """
+SELECT country_name, year, month, revenue,
+       floor(sum(CAST(round(revenue * 100, 0) AS BIGINT)) OVER w
+             / count(*) OVER w) / 100.0 AS mavg_3m
+FROM monthly
+WINDOW w AS (PARTITION BY country_name ORDER BY year, month
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+# --------------------------------------------------- filters / sorts / top-k
+
+
+def _filter_orders_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETWEEN + IN + LIKE + comparison, all pushed to the parquet scan."""
+    orders = read_table(spark, "orders", sf_dir)
+    return orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & F.col("o_orderstatus").isin("O", "F")
+        & (F.col("o_totalprice") > 150000.0)
+        & F.col("o_orderpriority").like("1-%")
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+
+_FILTER_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND o_orderstatus IN ('O', 'F')
+  AND o_totalprice > 150000.0
+  AND o_orderpriority LIKE '1-%'
+"""
+
+
+def _topk_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy + limit compiles to TakeOrderedAndProject
+    (per-partition top-k + driver merge of k rows — no global sort)."""
+    orders = read_table(spark, "orders", sf_dir)
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+_TOPK_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+# ------------------------------------------------------------ set operations
+
+
+def _set_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): customers ordering in both 1995 and 1996."""
+    orders = read_table(spark, "orders", sf_dir)
+    y = F.year("o_orderdate")
+    a = orders.filter(y == 1995).select("o_custkey")
+    b = orders.filter(y == 1996).select("o_custkey")
+    return a.intersect(b)
+
+
+_SET_INTERSECT_SQL = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+"""
+
+
+def _set_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): 1995 customers who did not order in 1996."""
+    orders = read_table(spark, "orders", sf_dir)
+    y = F.year("o_orderdate")
+    a = orders.filter(y == 1995).select("o_custkey")
+    b = orders.filter(y == 1996).select("o_custkey")
+    return a.subtract(b)  # EXCEPT DISTINCT semantics, matching SQL EXCEPT
+
+
+_SET_EXCEPT_SQL = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+"""
+
+# ------------------------------------------------------- JSON / string scalars
+
+
+def _json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json over events.props (typed extraction, not string hacks),
+    aggregated per event_type."""
+    events = read_table(spark, "events", sf_dir)
+    k = F.from_json("props", "k INT")["k"]
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+_JSON_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
+def _string_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface: upper/substring/concat/regexp/length."""
+    customer = read_table(spark, "customer", sf_dir)
+    return customer.select(
+        "c_custkey",
+        F.upper(F.col("c_mktsegment")).alias("segment_upper"),
+        F.substring(F.col("c_name"), 1, 8).alias("name_prefix"),
+        F.concat_ws("/", F.col("c_name"), F.col("c_mktsegment")).alias("name_seg"),
+        F.regexp_extract(F.col("c_name"), r"([0-9]+)$", 1).alias("name_num"),
+        F.length(F.col("c_name")).cast("int").alias("name_len"),
+    )
+
+
+_STRING_SQL = """
+SELECT c_custkey,
+       upper(c_mktsegment) AS segment_upper,
+       substring(c_name, 1, 8) AS name_prefix,
+       c_name || '/' || c_mktsegment AS name_seg,
+       coalesce(regexp_extract(c_name, '([0-9]+)$', 1), '') AS name_num,
+       CAST(length(c_name) AS INTEGER) AS name_len
+FROM customer
+"""
+
+# --------------------------------------------------------------- join surface
+
+
+def _join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER: every order with its lineitem count (0 if none —
+    aggregate-then-join so the outer side never inflates)."""
+    orders = read_table(spark, "orders", sf_dir)
+    li = read_table(spark, "lineitem", sf_dir)
+    per_order = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )
+    return orders.join(per_order, "o_orderkey", "left").select(
+        "o_orderkey",
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("n_items"),
+        F.coalesce(F.col("qty"), F.lit(0.0)).alias("total_qty"),
+    )
+
+
+_JOIN_LEFT_SQL = """
+SELECT o_orderkey,
+       coalesce(cnt, 0) AS n_items,
+       coalesce(qty, 0.0) AS total_qty
+FROM orders
+LEFT JOIN (
+  SELECT l_orderkey, count(*) AS cnt, round(sum(l_quantity), 2) AS qty
+  FROM lineitem GROUP BY l_orderkey
+) li ON o_orderkey = li.l_orderkey
+"""
+
+
+def _join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER: customer vs supplier presence per nation."""
+    customer = read_table(spark, "customer", sf_dir)
+    supplier = read_table(spark, "supplier", sf_dir)
+    c = customer.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    s = supplier.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return c.join(s, "nationkey", "full").select(
+        "nationkey",
+        F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+    )
+
+
+_JOIN_FULL_SQL = """
+SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+       coalesce(n_cust, 0) AS n_cust,
+       coalesce(n_supp, 0) AS n_supp
+FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust FROM customer GROUP BY 1) c
+FULL JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) s
+USING (nationkey)
+"""
+
+
+def _join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI: customers who have at least one order (EXISTS)."""
+    customer = read_table(spark, "customer", sf_dir)
+    orders = read_table(spark, "orders", sf_dir)
+    return customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+_JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def _theta_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (non-equi range) join: parts bucketed into literal price
+    bands.  The band table is tiny → broadcast nested-loop, which is
+    exactly right; a big-big range join would instead be binned to an
+    equi-join on the bucket id."""
+    part = read_table(spark, "part", sf_dir)
+    bands = spark.createDataFrame(
+        [(1, 0.0, 500.0), (2, 500.0, 1000.0), (3, 1000.0, 1500.0), (4, 1500.0, 1e9)],
+        "band_id INT, lo DOUBLE, hi DOUBLE",
+    )
+    joined = part.join(
+        F.broadcast(bands),
+        (part["p_retailprice"] >= bands["lo"]) & (part["p_retailprice"] < bands["hi"]),
+        "inner",
+    )
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+    )
+
+
+_THETA_SQL = """
+SELECT band_id, count(*) AS n_parts, round(avg(p_retailprice), 2) AS avg_price
+FROM part
+JOIN (VALUES (1, 0.0, 500.0), (2, 500.0, 1000.0),
+             (3, 1000.0, 1500.0), (4, 1500.0, 1e9)) AS bands(band_id, lo, hi)
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band_id
+"""
+
+
+WAREHOUSE_QUERIES: list[Query] = [
+    Query("agg_revenue_year_country", _agg_revenue_year_country, _AGG_REVENUE_SQL,
+          "§2.2 aggregates: the cube's flagship GROUP BY"),
+    Query("agg_lineitem_stats", _agg_lineitem_stats, _AGG_LINEITEM_SQL,
+          "§2.2 aggregates: TPC-H Q1 shape, pushed filter"),
+    Query("agg_count_distinct", _agg_count_distinct, _AGG_COUNTD_SQL,
+          "§2.2 aggregates: countDistinct"),
+    Query("agg_rollup_year_type", _agg_rollup_year_type, _AGG_ROLLUP_SQL,
+          "§2.2 rollup + grouping_id"),
+    Query("agg_cube_type_category", _agg_cube_type_category, _AGG_CUBE_SQL,
+          "§2.2 cube()"),
+    Query("agg_grouping_sets", _agg_grouping_sets, _AGG_GSETS_SQL,
+          "§2.2 GROUPING SETS"),
+    Query("window_topk_products", _window_topk_products, _WINDOW_TOPK_SQL,
+          "§2.2 window rank top-k per group"),
+    Query("window_monthly_growth", _window_monthly_growth, _WINDOW_GROWTH_SQL,
+          "§2.2 window lag"),
+    Query("window_moving_avg", _window_moving_avg, _WINDOW_MAVG_SQL,
+          "§2.2 window sliding frame"),
+    Query("filter_orders_predicates", _filter_orders_predicates, _FILTER_SQL,
+          "§2.2 filters: BETWEEN/IN/LIKE/compare"),
+    Query("topk_orders_global", _topk_orders_global, _TOPK_SQL,
+          "§2.2 global sort + limit (TakeOrdered)"),
+    Query("set_intersect_customers", _set_intersect_customers, _SET_INTERSECT_SQL,
+          "§2.2 INTERSECT"),
+    Query("set_except_customers", _set_except_customers, _SET_EXCEPT_SQL,
+          "§2.2 EXCEPT"),
+    Query("json_extract_events", _json_extract_events, _JSON_SQL,
+          "§2.2 JSON scalars: from_json over events.props"),
+    Query("string_scalars", _string_scalars, _STRING_SQL,
+          "§2.2 string scalars"),
+    Query("join_left_outer", _join_left_outer, _JOIN_LEFT_SQL,
+          "§2.2 outer join"),
+    Query("join_full_outer", _join_full_outer, _JOIN_FULL_SQL,
+          "§2.2 full outer join"),
+    Query("join_semi", _join_semi, _JOIN_SEMI_SQL,
+          "§2.2 semi join (EXISTS)"),
+    Query("theta_band_join", _theta_band_join, _THETA_SQL,
+          "§2.2 theta/range join"),
+]

@@ -50,7 +50,11 @@ def read_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     mismatch raises instead of silently mis-binding the way the
     reference's positional `row[8]` access would (warehouse.py:140).
     """
-    df = spark.read.parquet(table_path(sf_dir or DEFAULT_SF_DIR, name))
+    path = table_path(sf_dir or DEFAULT_SF_DIR, name)
+    if name == "events":
+        df = _read_events(spark, path)
+    else:
+        df = spark.read.parquet(path)
     want = SCHEMAS[name]
     got = {f.name: f.dataType for f in df.schema.fields}
     missing = [f.name for f in want.fields if f.name not in got]
@@ -67,6 +71,24 @@ def read_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         raise ValueError(f"table {name!r} type drift (column, found, declared): {drifted}")
     # project to the declared column order (stable downstream positional use)
     return df.select(*[f.name for f in want.fields])
+
+
+def _read_events(spark: SparkSession, path: str) -> DataFrame:
+    """events.ts is stored as parquet TIMESTAMP(NANOS), which Spark's
+    reader rejects outright (PARQUET_TYPE_ILLEGAL).  Read it as raw
+    nanos (`nanosAsLong`) and floor to microseconds JVM-side — the
+    same truncation DuckDB applies — yielding a timestamp_ntz column.
+    Stays fully vectorized; no driver round-trip.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    return df
 
 
 def read_union(spark: SparkSession, names: list[str], sf_dir: str | None = None) -> DataFrame:
