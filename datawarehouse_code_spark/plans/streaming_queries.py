@@ -1,0 +1,142 @@
+"""Time-window aggregations over `events` (SURVEY.md §2.2 streaming row).
+
+Batch-first per BASELINE.json ("Spark SQL + batch ETL"): `F.window` /
+`F.session_window` share semantics with Structured Streaming, so the
+same plans run under `readStream` unchanged — the thin streaming layer
+lives in `datawarehouse_code_spark.streaming.jobs` and is tested for
+batch/stream result equality.
+
+Scale notes: tumbling/sliding windows are plain hash aggregates on
+(window, keys) — partial-aggregated map-side, no different from any
+groupBy at 100 TB.  Session windows are a merge-buffer aggregation in
+Spark; the DuckDB oracle uses the classic gaps-and-islands rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datawarehouse_code_spark.plans.base import Query
+from datawarehouse_code_spark.sources.catalog import read_table
+
+
+def _events_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute windows per event_type."""
+    events = read_table(spark, "events", sf_dir)
+    return (
+        events.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+       time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS window_end,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def _events_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 10-minute length, 5-minute slide (each event
+    lands in exactly two windows)."""
+    events = read_table(spark, "events", sf_dir)
+    return (
+        events.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SLIDING_SQL = """
+WITH assigned AS (
+  SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                 time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'
+                ]) AS window_start,
+         value
+  FROM events
+)
+SELECT window_start,
+       window_start + INTERVAL '10 minutes' AS window_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM assigned
+GROUP BY 1, 2
+"""
+
+
+def _events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user: 30-minute inactivity gap.  Spark's
+    session end = last event + gap; the oracle reproduces that with
+    the gaps-and-islands rewrite (lag + cumulative sum)."""
+    events = read_table(spark, "events", sf_dir)
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '30 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+STREAMING_QUERIES: list[Query] = [
+    Query("events_tumbling_10min", _events_tumbling_10min, _TUMBLING_SQL,
+          "§2.2 streaming: tumbling window"),
+    Query("events_sliding_10m_5m", _events_sliding_10m_5m, _SLIDING_SQL,
+          "§2.2 streaming: sliding window"),
+    Query("events_session_window", _events_session_window, _SESSION_SQL,
+          "§2.2 streaming: session window (30 min gap)"),
+]

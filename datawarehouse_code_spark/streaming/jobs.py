@@ -1,0 +1,97 @@
+"""Structured Streaming layer over the batch time-window plans.
+
+The batch queries in `plans/streaming_queries.py` use `F.window` /
+`F.session_window`, whose semantics are identical under
+`readStream` — this module is the thin wrapper that proves it: the
+same aggregation expressions run over a file stream with a watermark,
+and `tests/test_streaming.py` asserts stream output == batch output.
+
+Scale/productionisation notes (100 TB stream):
+- `withWatermark` bounds state: windows older than the watermark are
+  evicted, so state size is O(active windows × keys), not O(history).
+- `availableNow` trigger = incremental batch draining (the pattern
+  for backfill + catch-up); a production deployment swaps the source
+  for Kafka and the sink for a Delta/parquet table with checkpoints.
+- Aggregations here are shuffle-partitioned by (window, key) exactly
+  like the batch plan — no custom state management needed; custom
+  stateful ops beyond windows would use applyInPandasWithState.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datawarehouse_code_spark.sources.schemas import EVENTS
+
+# The stream reads raw parquet, so it sees the stored nanos-as-long ts
+# (see sources.catalog._read_events) and applies the same conversion.
+_RAW_EVENTS = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " \
+              "value DOUBLE, props STRING"
+
+
+def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream of events with the catalog's ts conversion.
+
+    Watermarks only accept TIMESTAMP (with timezone), so the stream
+    carries `ts` as TimestampType; with the session pinned to UTC its
+    wall clock is identical to the batch path's timestamp_ntz, and the
+    window bounds are cast back to ntz after aggregation.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(_RAW_EVENTS).parquet(source_dir)
+    df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.select([f.name for f in EVENTS.fields])
+
+
+def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming tumbling-window aggregate (same expressions as the
+    batch `events_tumbling_10min` plan)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming session-window aggregate (30-minute gap)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_memory(result: DataFrame, table_name: str) -> None:
+    """Drain the stream into an in-memory sink with the availableNow
+    trigger (processes all available input, then stops) in complete
+    output mode, blocking until done."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
