@@ -1,0 +1,145 @@
+"""Embedding similarity search: brute-force cosine top-k and a
+random-hyperplane LSH-bucketed variant.
+
+The vector math is pure Spark SQL array expressions (`zip_with` +
+`aggregate`) — JVM-side, no UDFs.  Embeddings are cast float→double
+up front: float32 arithmetic orders differently across engines and
+would poison oracle comparison, and double accumulation is what a
+production scorer wants anyway.
+
+Scale shapes:
+- Brute force is a broadcast of the (small) query set against the
+  candidate corpus: cost O(|Q|·N·d), embarrassingly parallel, the
+  right baseline and the exact-answer oracle for ANN evaluation.
+- The LSH variant buckets vectors by the sign pattern of `n_planes`
+  random-hyperplane projections (deterministic hash-derived planes,
+  no stored model), then searches only within a bucket:
+  cost O(|Q|·E[bucket]·d).  Recall is tuned by plane count and by
+  multi-table union (`n_tables`); production adds multi-probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double_array(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def _ranked_topk(pairs: DataFrame, k: int) -> DataFrame:
+    """Rank candidates per query on the floor-6 cosine (floor avoids
+    engine-specific round-half behavior; ties break on candidate id)."""
+    sim_f6 = (F.floor(cosine(F.col("qv"), F.col("cv")) * 1e6) / 1e6).alias("sim_f6")
+    scored = pairs.select("query_id", "candidate_id", sim_f6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_f6").desc(), F.col("candidate_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame, max_query_id: int = 100, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k for every query vector (vec_id < max_query_id)
+    against the full corpus (self excluded)."""
+    vecs = embeddings.select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    q = vecs.filter(F.col("vec_id") < max_query_id).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = vecs.select(F.col("vec_id").alias("candidate_id"), F.col("v").alias("cv"))
+    pairs = F.broadcast(q).crossJoin(c).filter(
+        F.col("query_id") != F.col("candidate_id")
+    )
+    return _ranked_topk(pairs, k)
+
+
+def lsh_signature(v: Column, n_planes: int, dim: int, table: int = 0) -> Column:
+    """Sign pattern of `n_planes` hyperplane projections, packed into
+    one integer bucket id.  Plane components are ±1 derived from
+    xxhash64(table, plane, dim) — deterministic, nothing stored."""
+    def plane_dot(p: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, d: x
+                * F.when(
+                    F.xxhash64(F.lit(table), p, d).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
+                ).otherwise(F.lit(-1.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        )
+
+    pow2 = F.array(*[F.lit(1 << i) for i in range(n_planes)])
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda p: F.when(plane_dot(p) > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bits,
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            lambda b, i: b.cast("long") * F.element_at(pow2, i + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, val: acc + val,
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    max_query_id: int = 100,
+    k: int = 5,
+    n_planes: int = 6,
+    n_tables: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates share an LSH bucket in at
+    least one hash table; exact cosine re-ranks within the union."""
+    vecs = embeddings.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    tables = []
+    for t in range(n_tables):
+        tables.append(
+            vecs.select(
+                "vec_id", "v", F.lit(t).alias("tbl"),
+                lsh_signature(F.col("v"), n_planes, dim, t).alias("sig"),
+            )
+        )
+    bucketed = tables[0]
+    for t in tables[1:]:
+        bucketed = bucketed.unionByName(t)
+    q = bucketed.filter(F.col("vec_id") < max_query_id).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "tbl", "sig"
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("candidate_id"), F.col("v").alias("cv"), "tbl", "sig"
+    )
+    pairs = (
+        q.join(c, ["tbl", "sig"])
+        .filter(F.col("query_id") != F.col("candidate_id"))
+        .select("query_id", "qv", "candidate_id", "cv")
+        .dropDuplicates(["query_id", "candidate_id"])
+    )
+    return _ranked_topk(pairs, k)

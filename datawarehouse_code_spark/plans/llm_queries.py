@@ -1,0 +1,341 @@
+"""LLM-data-pipeline queries (BASELINE.json north star, Phase 3).
+
+Deduplication (exact, n-gram Jaccard, MinHash-LSH, SimHash),
+similarity search over embeddings (brute-force cosine top-k and an
+LSH-bucketed variant), and text analysis (token stats, language
+rollup, marker-based language ID, tf-idf top terms) — all over the
+`documents` / `embeddings` fixtures.
+
+Oracle policy: everything except the two LSH variants and SimHash is
+SQL-expressible and hash-checked against DuckDB.  LSH output depends
+on xxhash64 (Spark-only) and has recall < 1 by design, so those get
+the driver's rows-only check — the exact-Jaccard and brute-force
+queries serve as their ground truth.
+
+Cross-engine determinism doctrine (see plans/base.py): ratios are
+floor-scaled (floor has no .5 boundary, unlike round, where Spark
+HALF-UPs the exact binary value and DuckDB multiplies-then-rounds);
+tf-idf uses a rational idf (N+1)/(df+1) instead of ln() because libm
+log is not guaranteed bit-identical across engines; embeddings are
+cast float→double before any arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datawarehouse_code_spark.operators.similarity import brute_force_topk, lsh_topk
+from datawarehouse_code_spark.operators.text import (
+    content_fingerprint,
+    exact_dedup,
+    near_dup_pairs_exact,
+    near_dup_pairs_lsh,
+    normalized_text,
+    shingles,
+    simhash64,
+    words,
+)
+from datawarehouse_code_spark.plans.base import Query
+from datawarehouse_code_spark.sources.catalog import read_table
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_WORDS_SQL = f"string_split({_NORM_SQL}, ' ')"
+# distinct 3-word shingles of the normalized text (DuckDB list comprehension)
+_SHINGLES_SQL = (
+    "list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] "
+    "for i in range(1, len(ws) - 1)])"
+)
+
+# ------------------------------------------------------------- deduplication
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(read_table(spark, "documents", sf_dir))
+
+
+_DEDUP_EXACT_SQL = f"""
+SELECT md5({_NORM_SQL}) AS content_hash,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def _dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return near_dup_pairs_exact(read_table(spark, "documents", sf_dir))
+
+
+_DEDUP_JACCARD_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+), sh_arr AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM w WHERE len(ws) >= 3
+), sh AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh_arr WHERE len(sh) > 0
+), pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, a.n_sh AS n1, b.n_sh AS n2,
+         count(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT d1, d2, shared, n1, n2,
+       floor(shared * 1.0 / (n1 + n2 - shared) * 10000) / 10000 AS jaccard_f4
+FROM pairs
+WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.5
+"""
+
+
+def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check: bucket keys are xxhash64 (Spark-only) and LSH
+    # recall < 1 by design; dedup_near_jaccard is the exact twin.
+    return near_dup_pairs_lsh(read_table(spark, "documents", sf_dir))
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: xxhash64-based fingerprint (no DuckDB twin).
+    docs = read_table(spark, "documents", sf_dir).repartition("doc_id")
+    return docs.select("doc_id", simhash64(words(F.col("text"))).alias("simhash"))
+
+
+def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min-md5-shingle fingerprint — md5 is cross-engine, so unlike
+    the xxhash64 operators this one IS hash-checked."""
+    docs = read_table(spark, "documents", sf_dir)
+    sh = shingles(words(F.col("text")))
+    return docs.select("doc_id", content_fingerprint(sh).alias("fingerprint")).filter(
+        F.col("fingerprint").isNotNull()
+    )
+
+
+_FINGERPRINT_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+), sh_arr AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM w WHERE len(ws) >= 3
+)
+SELECT doc_id,
+       list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS fingerprint
+FROM sh_arr
+WHERE len(sh) > 0
+"""
+
+# ------------------------------------------------------------- text analysis
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+_ES_MARKERS = ("el", "la", "de", "y", "que", "los")
+
+
+def _text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality features per document: whitespace
+    words, BPE-ish regex tokens, stopword hits, average word length."""
+    docs = read_table(spark, "documents", sf_dir)
+    ws = words(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    len_sum = F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w))
+    n_words = F.size(ws)
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        n_words.alias("n_words"),
+        F.regexp_count(F.lower(F.col("text")), F.lit("[a-z0-9]+")).cast("int").alias(
+            "n_tokens"
+        ),
+        F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w))).alias("stop_hits"),
+        (F.floor(len_sum / n_words * 10000) / 10000).alias("avg_word_len_f4"),
+    )
+
+
+_TOKEN_STATS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, n_chars, text, {_WORDS_SQL} AS ws FROM documents
+)
+SELECT doc_id, n_chars,
+       len(ws) AS n_words,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_tokens,
+       len(list_filter(ws, x -> x IN {_STOPWORDS})) AS stop_hits,
+       floor(list_sum(list_transform(ws, x -> len(x))) * 1.0 / len(ws) * 10000) / 10000
+           AS avg_word_len_f4
+FROM w
+"""
+
+
+def _lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, "documents", sf_dir)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("sum_chars"),
+        (F.floor(F.sum("n_chars") / F.count(F.lit(1)) * 100) / 100).alias("avg_chars_f2"),
+    )
+
+
+_LANG_ROLLUP_SQL = """
+SELECT lang,
+       count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources,
+       sum(n_chars) AS sum_chars,
+       floor(sum(n_chars) * 1.0 / count(*) * 100) / 100 AS avg_chars_f2
+FROM documents
+GROUP BY lang
+"""
+
+
+def _langid_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID heuristic (n-gram-profile stand-in):
+    vote counts per language marker set, argmax with 'und' fallback."""
+    docs = read_table(spark, "documents", sf_dir)
+    ws = words(F.col("text"))
+    en_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    es_arr = F.array(*[F.lit(s) for s in _ES_MARKERS])
+    hits_en = F.size(F.filter(ws, lambda w: F.array_contains(en_arr, w)))
+    hits_es = F.size(F.filter(ws, lambda w: F.array_contains(es_arr, w)))
+    predicted = (
+        F.when(hits_es > hits_en, F.lit("es"))
+        .when(hits_en > 0, F.lit("en"))
+        .otherwise(F.lit("und"))
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        hits_en.alias("hits_en"),
+        hits_es.alias("hits_es"),
+        predicted.alias("predicted"),
+        (predicted == F.col("lang")).alias("agree"),
+    )
+
+
+_LANGID_SQL = f"""
+WITH w AS (
+  SELECT doc_id, lang, {_WORDS_SQL} AS ws FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         len(list_filter(ws, x -> x IN {_STOPWORDS})) AS hits_en,
+         len(list_filter(ws, x -> x IN {_ES_MARKERS})) AS hits_es
+  FROM w
+)
+SELECT doc_id, lang, hits_en, hits_es,
+       CASE WHEN hits_es > hits_en THEN 'es'
+            WHEN hits_en > 0 THEN 'en'
+            ELSE 'und' END AS predicted,
+       (CASE WHEN hits_es > hits_en THEN 'es'
+             WHEN hits_en > 0 THEN 'en'
+             ELSE 'und' END) = lang AS agree
+FROM scored
+"""
+
+
+def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by tf-idf with a rational idf
+    (N+1)/(df+1) — ln-free so both engines produce identical doubles."""
+    docs = read_table(spark, "documents", sf_dir)
+    terms = docs.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score_f4",
+            F.floor(
+                F.col("tf") * (F.col("n_total") + 1.0) / (F.col("df") + 1.0) * 10000
+            )
+            / 10000,
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_f4").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score_f4", "rk")
+    )
+
+
+_TFIDF_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+), terms AS (
+  SELECT doc_id, unnest(ws) AS term FROM w
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms WHERE term <> '' GROUP BY 1, 2
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM terms WHERE term <> '' GROUP BY 1
+), n AS (SELECT count(*) AS n_total FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         floor(tf.tf * (n.n_total + 1.0) / (df.df + 1.0) * 10000) / 10000 AS score_f4
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, score_f4,
+       CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY score_f4 DESC, term ASC) AS rk
+  FROM scored
+)
+WHERE rk <= 3
+"""
+
+# --------------------------------------------------------- similarity search
+
+
+def _similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return brute_force_topk(read_table(spark, "embeddings", sf_dir))
+
+
+_SIM_BRUTE_SQL = """
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+         list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+         / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(c.v, x -> x * x)))) AS sim
+  FROM vecs q JOIN vecs c ON q.vec_id < 100 AND q.vec_id <> c.vec_id
+)
+SELECT query_id, candidate_id,
+       floor(sim * 1e6) / 1e6 AS sim_f6,
+       CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY floor(sim * 1e6) / 1e6 DESC, candidate_id ASC) AS rk
+  FROM pairs
+)
+WHERE rk <= 5
+"""
+
+
+def _similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: bucket membership depends on xxhash64-derived planes.
+    return lsh_topk(read_table(spark, "embeddings", sf_dir))
+
+
+LLM_QUERIES: list[Query] = [
+    Query("dedup_exact", _dedup_exact, _DEDUP_EXACT_SQL,
+          "north-star: exact content-hash dedup"),
+    Query("dedup_near_jaccard", _dedup_near_jaccard, _DEDUP_JACCARD_SQL,
+          "north-star: n-gram Jaccard near-dup (inverted-index join)"),
+    Query("dedup_minhash_lsh", _dedup_minhash_lsh, None,
+          "north-star: banded MinHash-LSH near-dup (rows-only; exact twin = dedup_near_jaccard)"),
+    Query("dedup_simhash", _dedup_simhash, None,
+          "north-star: SimHash fingerprint (rows-only, xxhash64-based)"),
+    Query("doc_fingerprint", _doc_fingerprint, _FINGERPRINT_SQL,
+          "north-star: min-md5-shingle document fingerprint"),
+    Query("text_token_stats", _text_token_stats, _TOKEN_STATS_SQL,
+          "north-star: token counting + quality features"),
+    Query("lang_rollup", _lang_rollup, _LANG_ROLLUP_SQL,
+          "north-star: language rollup"),
+    Query("langid_markers", _langid_markers, _LANGID_SQL,
+          "north-star: marker-based language ID"),
+    Query("text_tfidf_top_terms", _tfidf_top_terms, _TFIDF_SQL,
+          "north-star: tf-idf top terms per doc"),
+    Query("similarity_topk_bruteforce", _similarity_topk_bruteforce, _SIM_BRUTE_SQL,
+          "north-star: exact cosine top-k"),
+    Query("similarity_topk_lsh", _similarity_topk_lsh, None,
+          "north-star: LSH-bucketed cosine top-k (rows-only; exact twin = bruteforce)"),
+]

@@ -1,0 +1,57 @@
+"""Tests for the rows-only (non-SQL-expressible) LLM operators: the
+LSH variants must run, be deterministic, and track their exact twins
+(precision 1.0 by construction; recall bounded below)."""
+
+from __future__ import annotations
+
+from datawarehouse_code_spark.plans.llm_queries import (
+    _dedup_minhash_lsh,
+    _dedup_near_jaccard,
+    _dedup_simhash,
+    _similarity_topk_bruteforce,
+    _similarity_topk_lsh,
+)
+from tests.conftest import SF_DIR
+
+
+def test_minhash_lsh_subset_of_exact(spark):
+    """Every LSH-verified pair is a true near-dup (precision 1.0), and
+    banded LSH with b=32, r=4 finds most of them at j >= 0.5."""
+    exact = {(r["d1"], r["d2"]) for r in _dedup_near_jaccard(spark, SF_DIR).collect()}
+    lsh = {(r["d1"], r["d2"]) for r in _dedup_minhash_lsh(spark, SF_DIR).collect()}
+    assert lsh <= exact
+    assert len(exact) > 0
+    # S-curve at j=0.5 gives ~87% detection; the planted dups are mostly
+    # far above threshold, so recall should be comfortably over half.
+    assert len(lsh) >= len(exact) * 0.5
+
+
+def test_minhash_lsh_deterministic(spark):
+    a = sorted(map(tuple, _dedup_minhash_lsh(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, _dedup_minhash_lsh(spark, SF_DIR).collect()))
+    assert a == b
+
+
+def test_simhash_shape(spark):
+    rows = _dedup_simhash(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    assert all(r["simhash"] is not None for r in rows)
+
+
+def test_similarity_lsh_subset_of_bruteforce_pairs(spark):
+    """LSH top-k only scores pairs that share a bucket, and sims are
+    exact cosines — so any (query, candidate, sim) it emits must match
+    the brute-force sim for that pair."""
+    brute = {
+        (r["query_id"], r["candidate_id"]): r["sim_f6"]
+        for r in _similarity_topk_bruteforce(spark, SF_DIR).collect()
+    }
+    lsh_rows = _similarity_topk_lsh(spark, SF_DIR).collect()
+    assert len(lsh_rows) > 0
+    # every LSH hit that brute force also ranked must agree on the sim
+    overlap = [
+        r for r in lsh_rows if (r["query_id"], r["candidate_id"]) in brute
+    ]
+    assert len(overlap) > 0
+    for r in overlap:
+        assert abs(r["sim_f6"] - brute[(r["query_id"], r["candidate_id"])]) < 1e-9
