@@ -315,6 +315,36 @@ def _similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(read_table(spark, "embeddings", sf_dir))
 
 
+# ------------------------------------------------------- multimodal plumbing
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary media (deterministic
+    byte-level fake decode — see operators/multimodal.py); the oracle
+    recomputes the same features from the text bytes, verifying the
+    whole Arrow round-trip."""
+    from datawarehouse_code_spark.operators.multimodal import (
+        extract_features,
+        media_from_documents,
+    )
+
+    docs = read_table(spark, "documents", sf_dir).repartition("doc_id")
+    return extract_features(media_from_documents(docs))
+
+
+_MULTIMODAL_SQL = """
+SELECT doc_id AS media_id,
+       'image/fake' AS media_type,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+       CAST((7 * octet_length(encode(text))) % 480 AS INTEGER) AS height,
+       CAST(list_sum(list_transform(
+            range(1, least(octet_length(encode(text)), 64) + 1),
+            i -> ascii(substr(text, i, 1)))) AS BIGINT) AS checksum
+FROM documents
+"""
+
+
 LLM_QUERIES: list[Query] = [
     Query("dedup_exact", _dedup_exact, _DEDUP_EXACT_SQL,
           "north-star: exact content-hash dedup"),
@@ -338,4 +368,6 @@ LLM_QUERIES: list[Query] = [
           "north-star: exact cosine top-k"),
     Query("similarity_topk_lsh", _similarity_topk_lsh, None,
           "north-star: LSH-bucketed cosine top-k (rows-only; exact twin = bruteforce)"),
+    Query("multimodal_features", _multimodal_features, _MULTIMODAL_SQL,
+          "north-star: binary media feature extraction via mapInPandas"),
 ]
