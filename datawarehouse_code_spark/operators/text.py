@@ -22,6 +22,7 @@ Design notes per operator:
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
@@ -30,6 +31,47 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 _MAX_LONG = (1 << 63) - 1
+_WS_RE = re.compile(r"\s+")
+
+
+def _hash64(s: str) -> int:
+    """64-bit signed hash of a string (md5 prefix) — the Python twin of
+    the shingle identity used across the dedup operators."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little", signed=True)
+
+
+def _py_words(text: str) -> list[str]:
+    """Python twin of words(): lowercase, collapse whitespace, split."""
+    return _WS_RE.sub(" ", text.lower()).strip().split(" ")
+
+
+def shingle_hashes_udf(k: int = 3):
+    """Distinct k-word shingle hashes per document, Arrow-batched.
+
+    The expression-based shingles() is semantically identical but
+    interpreted per element (~50µs/shingle); at 260k shingles per
+    0.1 sf that is seconds per evaluation, and self-joins evaluate it
+    twice.  This UDF is the hot-path twin: same normalization, same
+    shingle set, hashed to int64 so downstream joins shuffle 8-byte
+    keys instead of strings.
+    """
+
+    @pandas_udf("array<bigint>")
+    def _sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            ws = _py_words(t)
+            if len(ws) < k:
+                out.append(np.array([], dtype=np.int64))
+                continue
+            sh = {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+            out.append(np.fromiter((_hash64(s) for s in sh), dtype=np.int64, count=len(sh)))
+        return pd.Series(out)
+
+    return _sh
 
 
 def normalized_text(c: Column) -> Column:
@@ -39,8 +81,31 @@ def normalized_text(c: Column) -> Column:
 
 
 def words(c: Column) -> Column:
-    """Whitespace tokens of the normalized text."""
+    """Whitespace tokens of the normalized text.
+
+    IMPORTANT: materialize this as its own projection (see
+    `shingled_docs`) before using it inside array lambdas — an inlined
+    words() expression re-runs the regexp+split once per lambda
+    element evaluation (observed: ~50× redundant work per document).
+    """
     return F.split(normalized_text(c), " ")
+
+
+def shingled_docs(documents: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, sh) with the words array materialized as an attribute
+    between projection steps, so the split runs once per doc and the
+    shingle lambda only slices.  Repartitions first so per-doc work
+    spreads beyond the parquet scan's splits."""
+    w = documents.repartition("doc_id").select(
+        "doc_id", words(F.col(text_col)).alias("ws")
+    )
+    # Filter on the word count, NOT on size(sh): a size(sh)>0 predicate
+    # gets pushed below the projections with the whole shingle
+    # expression re-inlined into the scan (observed 8× slowdown).
+    # size(ws) >= k is equivalent (k words always yield ≥1 shingle).
+    return w.filter(F.size(F.col("ws")) >= k).select(
+        "doc_id", shingles(F.col("ws"), k).alias("sh")
+    )
 
 
 def shingles(words_col: Column, k: int = 3) -> Column:
@@ -83,9 +148,10 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 128) -> Column:
 
 
 def minhash_signature_udf(num_hashes: int = 128):
-    """Vectorized MinHash signature: md5-derived 64-bit base hash per
-    shingle, then `num_hashes` universal-hash permutations
-    (a_i * h + b_i over uint64) minimized with one numpy matrix op.
+    """Vectorized MinHash signature over shingle HASHES (the
+    shingle_hashes_udf output): `num_hashes` universal-hash
+    permutations (a_i * h + b_i over uint64) minimized with one numpy
+    matrix op per document.
 
     This is the deliberate Pandas-UDF exception to the no-UDF rule:
     the equivalent Spark SQL expression (see minhash_signature) is
@@ -98,20 +164,13 @@ def minhash_signature_udf(num_hashes: int = 128):
     b = rng.randint(0, 1 << 31, size=num_hashes).astype(np.uint64)
 
     @pandas_udf("array<bigint>")
-    def _sig(shingle_lists: pd.Series) -> pd.Series:
+    def _sig(shingle_hash_lists: pd.Series) -> pd.Series:
         out = []
-        for sh in shingle_lists:
+        for sh in shingle_hash_lists:
             if sh is None or len(sh) == 0:
                 out.append(None)
                 continue
-            base = np.fromiter(
-                (
-                    int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
-                    for s in sh
-                ),
-                dtype=np.uint64,
-                count=len(sh),
-            )
+            base = np.asarray(sh, dtype=np.int64).view(np.uint64)
             perms = a[:, None] * base[None, :] + b[:, None]  # uint64 wraparound
             out.append(perms.min(axis=1).astype(np.int64))
         return pd.Series(out)
@@ -137,21 +196,29 @@ def band_hashes(signature_attr: Column, bands: int, rows_per_band: int) -> Colum
     )
 
 
-def simhash64(words_col: Column, n_bits: int = 60) -> Column:
+def word_hashes(words_col: Column) -> Column:
+    """xxhash64 per word — materialize this as an attribute before
+    passing it to simhash64 (its per-bit lambda would otherwise
+    re-hash every word n_bits times)."""
+    return F.transform(words_col, lambda w: F.xxhash64(w))
+
+
+def simhash64(word_hashes_col: Column, n_bits: int = 60) -> Column:
     """SimHash fingerprint over word hashes: bit i is the sign of the
     sum of ±1 votes from each word's hash bit i.  60 bits so the
     packed value stays inside a signed bigint.
 
-    (Shift amounts must be literals in PySpark, so bit extraction uses
-    bit_get and packing uses a literal powers-of-two array.)
+    `word_hashes_col` must be a materialized attribute (see
+    word_hashes); shift amounts must be literals in PySpark, so bit
+    extraction uses bit_get and packing a literal powers-of-two array.
     """
-    word_hashes = F.transform(words_col, lambda w: F.xxhash64(w))
     pow2 = F.array(*[F.lit(1 << i) for i in range(n_bits)])
+    bits_seq = F.sequence(F.lit(0), F.lit(n_bits - 1))
     bits = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bits - 1)),
+        bits_seq,
         lambda i: F.when(
             F.aggregate(
-                word_hashes,
+                word_hashes_col,
                 F.lit(0),
                 lambda acc, h: acc
                 + F.when(F.bit_get(h, i) == 1, F.lit(1)).otherwise(F.lit(-1)),
@@ -178,6 +245,30 @@ def content_fingerprint(shingle_col: Column) -> Column:
     return F.array_min(F.transform(shingle_col, lambda s: F.md5(s)))
 
 
+def content_fingerprint_udf(k: int = 3):
+    """Arrow-batched twin of content_fingerprint straight from text:
+    min md5 hex over the distinct k-shingles.  Same output as the
+    expression path, ~50× faster (expression shingling is interpreted
+    per element)."""
+
+    @pandas_udf("string")
+    def _fp(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            ws = _py_words(t)
+            if len(ws) < k:
+                out.append(None)
+                continue
+            sh = {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+            out.append(min(hashlib.md5(s.encode("utf-8")).hexdigest() for s in sh))
+        return pd.Series(out)
+
+    return _fp
+
+
 def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact (normalized) content dedup: one row per distinct content
     hash with the smallest doc_id as canonical and the copy count.
@@ -195,14 +286,22 @@ def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingle_table(documents: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
-    """(doc_id, shingle) exploded inverted-index input, plus per-doc
-    shingle counts."""
-    with_sh = (
-        documents.repartition("doc_id")  # parallelize shingling beyond the scan's splits
-        .select("doc_id", shingles(words(F.col(text_col)), k).alias("sh"))
+def shingle_hash_docs(documents: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, sh: array<bigint>) — hot-path shingle sets via the
+    Arrow UDF, repartitioned so the per-doc work spreads beyond the
+    parquet scan's splits."""
+    fn = shingle_hashes_udf(k)
+    return (
+        documents.repartition("doc_id")
+        .select("doc_id", fn(F.col(text_col)).alias("sh"))
         .filter(F.size("sh") > 0)
     )
+
+
+def shingle_table(documents: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_sh, s) exploded inverted-index input: one row per
+    (document, shingle-hash), plus the per-doc shingle count."""
+    with_sh = shingle_hash_docs(documents, k, text_col)
     return with_sh.select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
 
 
@@ -217,6 +316,9 @@ def near_dup_pairs_exact(documents: DataFrame, k: int = 3, threshold: float = 0.
     frequency cap, or switching to the banded-LSH variant
     (`near_dup_pairs_lsh`) whose cost is bucket-bounded.
     """
+    # Join key is the 64-bit hash of the shingle, not the string:
+    # smaller shuffle, cheaper compares (collision odds over a shingle
+    # universe are ~|S|²/2⁶⁵ — immaterial).
     sh = shingle_table(documents, k)
     a = sh.alias("a")
     b = sh.alias("b")
@@ -260,11 +362,7 @@ def near_dup_pairs_lsh(
     (b=32, r=4 → ~87% at j=0.5, >99.9% at j=0.7).
     """
     rows_per_band = num_hashes // bands
-    docs = (
-        documents.repartition("doc_id")  # spread the signature work
-        .select("doc_id", shingles(words(F.col("text")), k).alias("sh"))
-        .filter(F.size("sh") > 0)
-    )
+    docs = shingle_hash_docs(documents, k)
     sig_fn = minhash_signature_udf(num_hashes)
     sigs = docs.withColumn("sig", sig_fn("sh"))
     buckets = sigs.select(

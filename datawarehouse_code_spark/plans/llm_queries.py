@@ -27,13 +27,12 @@ from pyspark.sql import functions as F
 
 from datawarehouse_code_spark.operators.similarity import brute_force_topk, lsh_topk
 from datawarehouse_code_spark.operators.text import (
-    content_fingerprint,
+    content_fingerprint_udf,
     exact_dedup,
     near_dup_pairs_exact,
     near_dup_pairs_lsh,
-    normalized_text,
-    shingles,
     simhash64,
+    word_hashes,
     words,
 )
 from datawarehouse_code_spark.plans.base import Query
@@ -95,16 +94,20 @@ def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: xxhash64-based fingerprint (no DuckDB twin).
+    # Three projection steps so words and word-hashes are attributes,
+    # not expressions re-inlined into the 60 per-bit lambdas.
     docs = read_table(spark, "documents", sf_dir).repartition("doc_id")
-    return docs.select("doc_id", simhash64(words(F.col("text"))).alias("simhash"))
+    w = docs.select("doc_id", words(F.col("text")).alias("ws"))
+    wh = w.select("doc_id", word_hashes(F.col("ws")).alias("wh"))
+    return wh.select("doc_id", simhash64(F.col("wh")).alias("simhash"))
 
 
 def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min-md5-shingle fingerprint — md5 is cross-engine, so unlike
     the xxhash64 operators this one IS hash-checked."""
-    docs = read_table(spark, "documents", sf_dir)
-    sh = shingles(words(F.col("text")))
-    return docs.select("doc_id", content_fingerprint(sh).alias("fingerprint")).filter(
+    fp = content_fingerprint_udf()
+    docs = read_table(spark, "documents", sf_dir).repartition("doc_id")
+    return docs.select("doc_id", fp(F.col("text")).alias("fingerprint")).filter(
         F.col("fingerprint").isNotNull()
     )
 

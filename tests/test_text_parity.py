@@ -1,0 +1,80 @@
+"""Parity between the expression-based text operators (the semantics
+reference, zero-Python) and their Arrow-UDF hot-path twins: same
+shingle sets, same fingerprints, valid MinHash signatures."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from datawarehouse_code_spark.operators.text import (
+    content_fingerprint,
+    content_fingerprint_udf,
+    minhash_signature,
+    shingle_hash_docs,
+    shingled_docs,
+    shingles,
+    words,
+)
+from datawarehouse_code_spark.sources.catalog import read_table
+from tests.conftest import SF_DIR
+
+
+def _hash64(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little", signed=True)
+
+
+def _sample(spark, n=40):
+    return read_table(spark, "documents", SF_DIR).limit(n)
+
+
+def test_udf_shingle_hashes_match_expression_shingles(spark):
+    docs = _sample(spark)
+    expr_sh = {
+        r["doc_id"]: {_hash64(s) for s in r["sh"]}
+        for r in shingled_docs(docs).collect()
+    }
+    udf_sh = {r["doc_id"]: set(r["sh"]) for r in shingle_hash_docs(docs).collect()}
+    assert expr_sh == udf_sh
+
+
+def test_udf_fingerprint_matches_expression(spark):
+    docs = _sample(spark)
+    expr_fp = {
+        r["doc_id"]: r["fp"]
+        for r in shingled_docs(docs)
+        .select("doc_id", content_fingerprint(F.col("sh")).alias("fp"))
+        .collect()
+    }
+    fp_udf = content_fingerprint_udf()
+    udf_fp = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select("doc_id", fp_udf(F.col("text")).alias("fp"))
+        .filter(F.col("fp").isNotNull())
+        .collect()
+    }
+    assert expr_fp == udf_fp
+
+
+def test_expression_minhash_signature_shape(spark):
+    """The pure-SQL MinHash reference: right length, deterministic."""
+    docs = _sample(spark, 10)
+    sd = shingled_docs(docs)
+    sigs = sd.select(
+        "doc_id", minhash_signature(F.col("sh"), 16).alias("sig")
+    ).collect()
+    assert all(len(r["sig"]) == 16 for r in sigs)
+    again = sd.select(
+        "doc_id", minhash_signature(F.col("sh"), 16).alias("sig")
+    ).collect()
+    assert sorted(map(repr, sigs)) == sorted(map(repr, again))
+
+
+def test_shingles_short_doc_empty(spark):
+    """sequence(1,0) regression: < k words must yield [] not garbage."""
+    df = spark.createDataFrame([(1, "one two"), (2, "a b c d")], "id INT, t STRING")
+    rows = {r["id"]: r["sh"] for r in
+            df.select("id", shingles(words(F.col("t"))).alias("sh")).collect()}
+    assert rows[1] == []
+    assert rows[2] == ["a b c", "b c d"]
