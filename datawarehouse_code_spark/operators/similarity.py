@@ -44,9 +44,18 @@ def cosine(a: Column, b: Column) -> Column:
 
 def _ranked_topk(pairs: DataFrame, k: int) -> DataFrame:
     """Rank candidates per query on the floor-6 cosine (floor avoids
-    engine-specific round-half behavior; ties break on candidate id)."""
-    sim_f6 = (F.floor(cosine(F.col("qv"), F.col("cv")) * 1e6) / 1e6).alias("sim_f6")
-    scored = pairs.select("query_id", "candidate_id", sim_f6)
+    engine-specific round-half behavior; ties break on candidate id).
+
+    Expects `inv_q`/`inv_c` (reciprocal norms) beside the vectors:
+    norms are computed once per VECTOR on the join inputs, not per
+    pair — a projection pushed through the join is a Catalyst collapse
+    barrier, unlike a same-side withColumn, which gets re-inlined into
+    the per-element lambda (64× recompute).
+    """
+    sim = (dot(F.col("qv"), F.col("cv")) * F.col("inv_q")) * F.col("inv_c")
+    scored = pairs.select(
+        "query_id", "candidate_id", (F.floor(sim * 1e6) / 1e6).alias("sim_f6")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_f6").desc(), F.col("candidate_id").asc()
     )
@@ -56,18 +65,26 @@ def _ranked_topk(pairs: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _with_inv_norm(vecs: DataFrame) -> DataFrame:
+    return vecs.withColumn("inv", F.lit(1.0) / l2_norm(F.col("v")))
+
+
 def brute_force_topk(
     embeddings: DataFrame, max_query_id: int = 100, k: int = 5
 ) -> DataFrame:
     """Exact cosine top-k for every query vector (vec_id < max_query_id)
     against the full corpus (self excluded)."""
-    vecs = embeddings.select(
-        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    vecs = _with_inv_norm(
+        embeddings.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
     )
     q = vecs.filter(F.col("vec_id") < max_query_id).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("inv").alias("inv_q"),
     )
-    c = vecs.select(F.col("vec_id").alias("candidate_id"), F.col("v").alias("cv"))
+    c = vecs.select(
+        F.col("vec_id").alias("candidate_id"), F.col("v").alias("cv"),
+        F.col("inv").alias("inv_c"),
+    )
     pairs = F.broadcast(q).crossJoin(c).filter(
         F.col("query_id") != F.col("candidate_id")
     )
@@ -118,12 +135,14 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share an LSH bucket in at
     least one hash table; exact cosine re-ranks within the union."""
-    vecs = embeddings.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    vecs = _with_inv_norm(
+        embeddings.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    )
     tables = []
     for t in range(n_tables):
         tables.append(
             vecs.select(
-                "vec_id", "v", F.lit(t).alias("tbl"),
+                "vec_id", "v", "inv", F.lit(t).alias("tbl"),
                 lsh_signature(F.col("v"), n_planes, dim, t).alias("sig"),
             )
         )
@@ -131,15 +150,17 @@ def lsh_topk(
     for t in tables[1:]:
         bucketed = bucketed.unionByName(t)
     q = bucketed.filter(F.col("vec_id") < max_query_id).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "tbl", "sig"
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("inv").alias("inv_q"), "tbl", "sig",
     )
     c = bucketed.select(
-        F.col("vec_id").alias("candidate_id"), F.col("v").alias("cv"), "tbl", "sig"
+        F.col("vec_id").alias("candidate_id"), F.col("v").alias("cv"),
+        F.col("inv").alias("inv_c"), "tbl", "sig",
     )
     pairs = (
         q.join(c, ["tbl", "sig"])
         .filter(F.col("query_id") != F.col("candidate_id"))
-        .select("query_id", "qv", "candidate_id", "cv")
+        .select("query_id", "qv", "inv_q", "candidate_id", "cv", "inv_c")
         .dropDuplicates(["query_id", "candidate_id"])
     )
     return _ranked_topk(pairs, k)

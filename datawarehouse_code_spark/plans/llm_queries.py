@@ -292,12 +292,14 @@ def _similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIM_BRUTE_SQL = """
 WITH vecs AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         1.0 / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
+             AS inv
+  FROM embeddings
 ), pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
-         list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
-         / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
-            * sqrt(list_sum(list_transform(c.v, x -> x * x)))) AS sim
+         (list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+          * q.inv) * c.inv AS sim
   FROM vecs q JOIN vecs c ON q.vec_id < 100 AND q.vec_id <> c.vec_id
 )
 SELECT query_id, candidate_id,
