@@ -158,3 +158,26 @@ def insert_if_not_exists(incoming: DataFrame, existing: DataFrame, key: list[str
     delta, giving the idempotency guaranteed by O25's skip-logging.
     """
     return incoming.join(existing.select(*key).distinct(), key, "left_anti")
+
+
+def insert_if_not_exists_report(
+    incoming: DataFrame, existing: DataFrame, key: list[str]
+) -> tuple[DataFrame, dict[str, int]]:
+    """O25: the load delta plus an AGGREGATE skip report.
+
+    The reference logs one warning per skipped row
+    (warehouse.py:94,116,126,136,169,210) — per-row logging is a
+    driver bottleneck at scale, so this reports totals instead:
+    {"incoming", "inserted", "skipped"}.
+    """
+    import logging
+
+    delta = insert_if_not_exists(incoming, existing, key)
+    n_in = incoming.count()
+    n_new = delta.count()
+    report = {"incoming": n_in, "inserted": n_new, "skipped": n_in - n_new}
+    logging.getLogger(__name__).info(
+        "load on key %s: inserted %d, skipped %d duplicates of %d incoming",
+        key, n_new, report["skipped"], n_in,
+    )
+    return delta, report

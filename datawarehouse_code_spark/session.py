@@ -37,6 +37,12 @@ def get_spark(app_name: str = "datawarehouse_code_spark", cpus: str | None = Non
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # saveAsTable targets (bucketed writes) go to a scratch dir,
+        # never the repo cwd
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
+        )
     )
     spark = builder.getOrCreate()
     # getOrCreate silently ignores configs when a session already exists;
