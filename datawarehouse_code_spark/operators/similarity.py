@@ -164,3 +164,50 @@ def lsh_topk(
         .dropDuplicates(["query_id", "candidate_id"])
     )
     return _ranked_topk(pairs, k)
+
+
+def embedding_near_dup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH candidate generation
+    over the WHOLE corpus (both sides), exact-cosine verification at
+    `threshold`.  cos ≥ 0.95 means bit-agreement ≈ 0.9 per plane, so
+    8 planes × 4 tables gives ~90% recall with bucket-bounded cost —
+    never all-pairs."""
+    vecs = _with_inv_norm(
+        embeddings.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    )
+    parts = []
+    for t in range(n_tables):
+        parts.append(
+            vecs.select(
+                "vec_id", "v", "inv", F.lit(t).alias("tbl"),
+                lsh_signature(F.col("v"), n_planes, dim, t).alias("sig"),
+            )
+        )
+    bucketed = parts[0]
+    for p in parts[1:]:
+        bucketed = bucketed.unionByName(p)
+    a = bucketed.select(
+        F.col("vec_id").alias("v1"), F.col("v").alias("qv"),
+        F.col("inv").alias("inv_q"), "tbl", "sig",
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("v2"), F.col("v").alias("cv"),
+        F.col("inv").alias("inv_c"), "tbl", "sig",
+    )
+    pairs = (
+        a.join(b, ["tbl", "sig"])
+        .filter(F.col("v1") < F.col("v2"))
+        .dropDuplicates(["v1", "v2"])
+    )
+    sim = (dot(F.col("qv"), F.col("cv")) * F.col("inv_q")) * F.col("inv_c")
+    return (
+        pairs.withColumn("sim_f6", F.floor(sim * 1e6) / 1e6)
+        .filter(F.col("sim_f6") >= threshold)
+        .select("v1", "v2", "sim_f6")
+    )

@@ -25,7 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from datawarehouse_code_spark.operators.similarity import brute_force_topk, lsh_topk
+from datawarehouse_code_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_lsh,
+    lsh_topk,
+)
 from datawarehouse_code_spark.operators.text import (
     content_fingerprint_udf,
     exact_dedup,
@@ -320,6 +324,23 @@ def _similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(read_table(spark, "embeddings", sf_dir))
 
 
+def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: LSH recall < 1 by design; the unit test checks the
+    # output against exact all-pairs cosine on a bounded sample.
+    return embedding_near_dup_lsh(read_table(spark, "embeddings", sf_dir))
+
+
+def _approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct (the 100 TB countDistinct): rows-only —
+    HLL sketches are engine-specific, so DuckDB can't reproduce the
+    estimate; agg_count_distinct is the exact hash-checked twin."""
+    events = read_table(spark, "events", sf_dir)
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 # ------------------------------------------------------- multimodal plumbing
 
 
@@ -375,4 +396,8 @@ LLM_QUERIES: list[Query] = [
           "north-star: LSH-bucketed cosine top-k (rows-only; exact twin = bruteforce)"),
     Query("multimodal_features", _multimodal_features, _MULTIMODAL_SQL,
           "north-star: binary media feature extraction via mapInPandas"),
+    Query("embedding_near_dup", _embedding_near_dup, None,
+          "north-star: embedding-cosine near-dup via LSH + exact verify (rows-only)"),
+    Query("approx_distinct_events", _approx_distinct_events, None,
+          "§2.2 aggregates: HLL approx_count_distinct (rows-only; exact twin = agg_count_distinct)"),
 ]

@@ -38,6 +38,38 @@ def test_simhash_shape(spark):
     assert all(r["simhash"] is not None for r in rows)
 
 
+def test_embedding_near_dup_precision_and_recall(spark):
+    """Every emitted pair truly has cosine >= 0.95 (checked against
+    exact all-pairs on the fixture), and most true pairs are found."""
+    from datawarehouse_code_spark.operators.similarity import (
+        as_double_array,
+        cosine,
+        embedding_near_dup_lsh,
+    )
+    from datawarehouse_code_spark.sources.catalog import read_table
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, "embeddings", SF_DIR)
+    got = {(r["v1"], r["v2"]): r["sim_f6"]
+           for r in embedding_near_dup_lsh(emb).collect()}
+
+    vecs = emb.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    a = vecs.select(F.col("vec_id").alias("v1"), F.col("v").alias("va"))
+    b = vecs.select(F.col("vec_id").alias("v2"), F.col("v").alias("vb"))
+    exact_rows = (
+        a.crossJoin(b)
+        .filter(F.col("v1") < F.col("v2"))
+        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= 0.95)
+        .select("v1", "v2")
+        .collect()
+    )
+    exact = {(r["v1"], r["v2"]) for r in exact_rows}
+    assert set(got) <= exact          # precision 1.0
+    if exact:
+        assert len(got) >= 0.5 * len(exact)  # recall from 8 planes x 4 tables
+
+
 def test_similarity_lsh_subset_of_bruteforce_pairs(spark):
     """LSH top-k only scores pairs that share a bucket, and sims are
     exact cosines — so any (query, candidate, sim) it emits must match
