@@ -43,9 +43,13 @@ HEADLINE = [
     "dedup_exact",
     "dedup_near_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
     "similarity_topk_bruteforce",
     "similarity_topk_lsh",
+    "embedding_near_dup",
     "text_tfidf_top_terms",
+    "text_token_stats",
+    "multimodal_features",
 ]
 
 

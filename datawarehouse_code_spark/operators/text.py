@@ -238,6 +238,83 @@ def simhash64(word_hashes_col: Column, n_bits: int = 60) -> Column:
     )
 
 
+def simhash_udf(n_bits: int = 60):
+    """Arrow-batched SimHash: word hashes via the md5 base hash, bit
+    votes as one numpy matrix op per document.  Hot-path twin of the
+    expression-based simhash64 (same algorithm, different base hash;
+    the expression variant remains the zero-Python reference)."""
+    shifts = np.arange(n_bits, dtype=np.uint64)
+
+    @pandas_udf("bigint")
+    def _sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            ws = _py_words(t)
+            if not ws:
+                out.append(0)
+                continue
+            h = np.fromiter((_hash64(w) for w in ws), dtype=np.int64, count=len(ws)).view(
+                np.uint64
+            )
+            votes = (((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1)
+            bits = (votes.sum(axis=0) > 0).astype(np.uint64)
+            out.append(int((bits << shifts).sum()))
+        return pd.Series(out, dtype="int64")
+
+    return _sh
+
+
+def simhash_near_dup_pairs(
+    documents: DataFrame, max_hamming: int = 3, n_bits: int = 60, n_bands: int = 4
+) -> DataFrame:
+    """SimHash near-dup pairs: candidates agree on at least one of
+    `n_bands` contiguous 15-bit bands (pigeonhole: hamming ≤ 3 over 60
+    bits guarantees ≥1 identical band of 4), verified with the exact
+    bit_count(xor) distance.  Bucket-bounded, never all-pairs."""
+    band_bits = n_bits // n_bands
+    mask = (1 << band_bits) - 1
+    sh_fn = simhash_udf(n_bits)
+    fp = documents.repartition("doc_id").select(
+        "doc_id", sh_fn(F.col("text")).alias("simhash")
+    )
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_idx"),
+                        F.shiftright("simhash", j * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.band_idx"), F.col("b.band_val"))
+    a = bands.select(
+        F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"),
+        "band_idx", "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"),
+        "band_idx", "band_val",
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .dropDuplicates(["d1", "d2"])
+        .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("d1", "d2", "hamming")
+
+
 def content_fingerprint(shingle_col: Column) -> Column:
     """Deterministic document fingerprint: lexicographic min of the
     md5 hex of each shingle (a 1-permutation MinHash; md5 so DuckDB

@@ -36,6 +36,7 @@ from datawarehouse_code_spark.operators.text import (
     near_dup_pairs_exact,
     near_dup_pairs_lsh,
     simhash64,
+    simhash_near_dup_pairs,
     word_hashes,
     words,
 )
@@ -97,13 +98,20 @@ def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: xxhash64-based fingerprint (no DuckDB twin).
-    # Three projection steps so words and word-hashes are attributes,
-    # not expressions re-inlined into the 60 per-bit lambdas.
+    # rows-only: hash-based fingerprint (no DuckDB twin).  Arrow-UDF
+    # hot path; the expression simhash64 is the zero-Python reference
+    # (exercised in tests/test_llm_operators.py).
+    from datawarehouse_code_spark.operators.text import simhash_udf
+
+    sh_fn = simhash_udf()
     docs = read_table(spark, "documents", sf_dir).repartition("doc_id")
-    w = docs.select("doc_id", words(F.col("text")).alias("ws"))
-    wh = w.select("doc_id", word_hashes(F.col("ws")).alias("wh"))
-    return wh.select("doc_id", simhash64(F.col("wh")).alias("simhash"))
+    return docs.select("doc_id", sh_fn(F.col("text")).alias("simhash"))
+
+
+def _dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: xxhash64-based; pigeonhole banding guarantees recall
+    # 1.0 within hamming <= 3 (see operators/text.py), tested directly.
+    return simhash_near_dup_pairs(read_table(spark, "documents", sf_dir))
 
 
 def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -380,6 +388,8 @@ LLM_QUERIES: list[Query] = [
           "north-star: banded MinHash-LSH near-dup (rows-only; exact twin = dedup_near_jaccard)"),
     Query("dedup_simhash", _dedup_simhash, None,
           "north-star: SimHash fingerprint (rows-only, xxhash64-based)"),
+    Query("dedup_simhash_pairs", _dedup_simhash_pairs, None,
+          "north-star: SimHash hamming<=3 near-dup pairs via 15-bit bands (rows-only)"),
     Query("doc_fingerprint", _doc_fingerprint, _FINGERPRINT_SQL,
           "north-star: min-md5-shingle document fingerprint"),
     Query("text_token_stats", _text_token_stats, _TOKEN_STATS_SQL,

@@ -32,10 +32,55 @@ def test_minhash_lsh_deterministic(spark):
     assert a == b
 
 
+def test_simhash_pairs_exact_within_bound(spark):
+    """Pigeonhole banding (4 bands of 15 bits) has recall 1.0 for
+    hamming <= 3: the banded join must find EXACTLY the pairs an
+    all-pairs hamming scan finds."""
+    from itertools import combinations
+
+    from datawarehouse_code_spark.operators.text import simhash_near_dup_pairs
+    from datawarehouse_code_spark.sources.catalog import read_table
+
+    docs = read_table(spark, "documents", SF_DIR)
+    got = {(r["d1"], r["d2"]): r["hamming"]
+           for r in simhash_near_dup_pairs(docs).collect()}
+
+    fingerprints = {r["doc_id"]: r["simhash"]
+                    for r in _dedup_simhash(spark, SF_DIR).collect()}
+    want = {}
+    for (i, hi), (j, hj) in combinations(sorted(fingerprints.items()), 2):
+        d = bin(hi ^ hj).count("1")
+        if d <= 3:
+            want[(i, j)] = d
+    assert got == want
+    assert len(want) > 0
+
+
 def test_simhash_shape(spark):
     rows = _dedup_simhash(spark, SF_DIR).collect()
     assert len(rows) > 0
     assert all(r["simhash"] is not None for r in rows)
+
+
+def test_simhash_expression_reference(spark):
+    """The zero-Python expression SimHash: deterministic, in-range,
+    and discriminating on a sample (the UDF twin uses a different base
+    hash, so parity is algorithmic, not bitwise)."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.text import simhash64, word_hashes, words
+    from datawarehouse_code_spark.sources.catalog import read_table
+
+    docs = read_table(spark, "documents", SF_DIR).limit(20)
+    w = docs.select("doc_id", words(F.col("text")).alias("ws"))
+    wh = w.select("doc_id", word_hashes(F.col("ws")).alias("wh"))
+    out = wh.select("doc_id", simhash64(F.col("wh")).alias("sh"))
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, out.collect()))
+    assert a == b
+    values = [v for _, v in a]
+    assert all(0 <= v < (1 << 60) for v in values)
+    assert len(set(values)) > 1
 
 
 def test_embedding_near_dup_precision_and_recall(spark):

@@ -49,6 +49,19 @@ def test_run_pipeline_materializes_and_reads_back(spark, tmp_path):
     assert fact_back.select(*fact_mem.columns).exceptAll(fact_mem).count() == 0
 
 
+def test_write_fact_append_mode(spark, tmp_path):
+    """O6: the append sink actually appends — a second append doubles
+    the rows and both partitions' files coexist."""
+    from datawarehouse_code_spark.operators.fact import write_fact
+
+    out = str(tmp_path / "fact_append")
+    fact = build_warehouse(spark, SF_DIR).fact
+    n = fact.count()
+    write_fact(fact, out, mode="append")
+    write_fact(fact, out, mode="append")
+    assert spark.read.parquet(out).count() == 2 * n
+
+
 def test_run_pipeline_overwrite_idempotent(spark, tmp_path):
     """Running the pipeline twice over the same output is a no-op
     change: deterministic surrogate keys + overwrite semantics."""
