@@ -382,33 +382,56 @@ def shingle_table(documents: DataFrame, k: int = 3, text_col: str = "text") -> D
     return with_sh.select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
 
 
-def near_dup_pairs_exact(documents: DataFrame, k: int = 3, threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via an inverted-index join.
+def near_dup_pairs_exact(
+    documents: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    hot_shingle_cap: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted index.
 
-    Shape: explode shingles → self-equi-join on the shingle → count
-    shared per pair → Jaccard from |A|,|B|,|A∩B|.  This is NOT
-    all-pairs: only documents sharing a shingle ever meet.  At 100 TB
-    the residual hazard is hot shingles (stop-phrases) inflating the
-    join; production mitigation is dropping shingles above a document
-    frequency cap, or switching to the banded-LSH variant
-    (`near_dup_pairs_lsh`) whose cost is bucket-bounded.
+    Shape: explode shingle hashes → group by shingle → expand each
+    posting list into its in-bucket pairs → count shared per pair →
+    Jaccard from |A|,|B|,|A∩B|.  This is NOT all-pairs: only documents
+    sharing a shingle ever meet, and the shingle UDF is evaluated ONCE
+    (a lineage self-join would recompute it per side).
+
+    `hot_shingle_cap` is the 100 TB guard: a shingle appearing in more
+    than `cap` documents (a boilerplate stop-phrase) contributes
+    O(cap²) pairs; dropping such postings bounds the expansion at the
+    cost of slightly under-counting `shared` for pairs glued only by
+    boilerplate.  Default None = exact (matches the SQL oracle).
     """
-    # Join key is the 64-bit hash of the shingle, not the string:
-    # smaller shuffle, cheaper compares (collision odds over a shingle
-    # universe are ~|S|²/2⁶⁵ — immaterial).
     sh = shingle_table(documents, k)
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            F.col("a.n_sh").alias("n1"),
-            F.col("b.n_sh").alias("n2"),
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
+    postings = sh.groupBy("s").agg(
+        F.collect_list(F.struct("doc_id", "n_sh")).alias("ds")
+    ).filter(F.size("ds") >= 2)
+    if hot_shingle_cap is not None:
+        postings = postings.filter(F.size("ds") <= hot_shingle_cap)
+    # in-bucket pair expansion: all (i < j) combinations of the posting
+    # list, each ordered by doc_id (collect_list order is arbitrary)
+    expanded = postings.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ds"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                        lambda y: F.when(
+                            x["doc_id"] < y["doc_id"],
+                            F.struct(x.alias("p1"), y.alias("p2")),
+                        ).otherwise(F.struct(y.alias("p1"), x.alias("p2"))),
+                    ),
+                )
+            )
+        ).alias("p")
     )
+    pairs = expanded.groupBy(
+        F.col("p.p1.doc_id").alias("d1"),
+        F.col("p.p2.doc_id").alias("d2"),
+        F.col("p.p1.n_sh").alias("n1"),
+        F.col("p.p2.n_sh").alias("n2"),
+    ).agg(F.count(F.lit(1)).alias("shared"))
     jac = F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
     return (
         pairs.filter(jac >= threshold)

@@ -219,6 +219,31 @@ _MONTHLY_CTE = _CUBE_CTE + """, monthly AS (
 """
 
 
+def _agg_pivot_company_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: revenue by year, one column per company_type.  Explicit
+    value list — at scale an unlisted pivot forces an extra distinct
+    pass over the data to discover the columns."""
+    cube = build_warehouse(spark, sf_dir).cube
+    return (
+        cube.groupBy("year")
+        .pivot("company_type", ["electric_company", "mechanic_company", "industry"])
+        .agg(F.round(F.sum(F.col("quantity") * F.col("price")), 2))
+    )
+
+
+_AGG_PIVOT_SQL = _CUBE_CTE + """
+SELECT year,
+       round(sum(CASE WHEN company_type = 'electric_company'
+                      THEN quantity * price END), 2) AS electric_company,
+       round(sum(CASE WHEN company_type = 'mechanic_company'
+                      THEN quantity * price END), 2) AS mechanic_company,
+       round(sum(CASE WHEN company_type = 'industry'
+                      THEN quantity * price END), 2) AS industry
+FROM cube_t
+GROUP BY year
+"""
+
+
 def _window_topk_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 products by revenue per country: partitioned rank, never a
     global single-partition window (the 100 TB-safe top-k shape)."""
@@ -562,6 +587,8 @@ WAREHOUSE_QUERIES: list[Query] = [
           "§2.2 cube()"),
     Query("agg_grouping_sets", _agg_grouping_sets, _AGG_GSETS_SQL,
           "§2.2 GROUPING SETS"),
+    Query("agg_pivot_company_type", _agg_pivot_company_type, _AGG_PIVOT_SQL,
+          "§2.2 pivot (explicit value list)"),
     Query("window_topk_products", _window_topk_products, _WINDOW_TOPK_SQL,
           "§2.2 window rank top-k per group"),
     Query("window_monthly_growth", _window_monthly_growth, _WINDOW_GROWTH_SQL,
