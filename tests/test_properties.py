@@ -1,0 +1,90 @@
+"""Property-based tests (SURVEY.md §5.2): date derivations, surrogate
+keys, and load-partitioning invariants under hypothesis-generated
+inputs, plus the golden end-to-end cube snapshot."""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from datawarehouse_code_spark.pipeline import build_warehouse
+from tests.conftest import SF_DIR
+
+_DATES = st.dates(datetime.date(1990, 1, 1), datetime.date(2035, 12, 31))
+
+
+@given(st.lists(_DATES, min_size=1, max_size=40, unique=True))
+@settings(max_examples=12, deadline=None)
+def test_quarter_and_date_key_properties(dates):
+    """quarter_start_month ∈ {1,4,7,10} and consistent with the month;
+    date_key is injective and ordered like the dates themselves."""
+    import tests.conftest as c
+
+    spark = _spark_handle(c)
+    from datawarehouse_code_spark.functions.scalars import date_key, quarter_start_month
+
+    df = spark.createDataFrame([(d,) for d in dates], "d DATE").select(
+        "d",
+        quarter_start_month(F.col("d")).alias("q"),
+        date_key(F.col("d")).alias("k"),
+    )
+    rows = df.collect()
+    for r in rows:
+        assert r["q"] == ((r["d"].month - 1) // 3) * 3 + 1
+    keys = [r["k"] for r in sorted(rows, key=lambda r: r["d"])]
+    assert keys == sorted(keys)
+    assert len(set(keys)) == len(keys)
+
+
+_spark_ref = {}
+
+
+def _spark_handle(_c):
+    if "s" not in _spark_ref:
+        from datawarehouse_code_spark.session import get_spark
+
+        _spark_ref["s"] = get_spark("tests", cpus="8")
+    return _spark_ref["s"]
+
+
+def test_union_of_year_partitions_equals_whole(spark):
+    """Partitioned-load invariant: the union of per-year slices of the
+    fact equals the whole fact (no row lost or duplicated by the
+    partitioning)."""
+    fact = build_warehouse(spark, SF_DIR).fact
+    years = [r["year"] for r in fact.select("year").distinct().collect()]
+    parts = None
+    for y in years:
+        sl = fact.filter(F.col("year") == y)
+        parts = sl if parts is None else parts.unionByName(sl)
+    assert parts.count() == fact.count()
+    assert parts.exceptAll(fact).count() == 0
+    assert fact.exceptAll(parts).count() == 0
+
+
+GOLDEN_CUBE_SHA256 = "af9225207580cf42369342fa801cfb113b66f82f1aeb084a8f846f24a5bf3330"
+
+
+def test_golden_cube_snapshot(spark):
+    """Golden end-to-end check (SURVEY §5.2): the sf0.001 cube hashes
+    to a pinned value — any semantics drift in dims/fact/cube breaks
+    this immediately.  Regenerate the constant ONLY for an intended
+    semantics change (print the new hash from this test's failure)."""
+    cube = build_warehouse(spark, SF_DIR).cube
+    lines = []
+    for r in cube.collect():
+        vals = []
+        for c in sorted(cube.columns):
+            v = r[c]
+            if isinstance(v, float):
+                v = "%.6f" % v
+            elif isinstance(v, datetime.date):
+                v = v.isoformat()
+            vals.append(str(v))
+        lines.append("|".join(vals))
+    h = hashlib.sha256("\n".join(sorted(lines)).encode()).hexdigest()
+    assert h == GOLDEN_CUBE_SHA256, f"cube snapshot drifted: {h}"

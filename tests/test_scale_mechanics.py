@@ -54,6 +54,26 @@ def test_register_views_sql_surface(spark):
     assert spark.sql("SELECT count(*) AS n FROM documents").collect()[0]["n"] > 0
 
 
+def test_salted_join_equals_plain_join(spark):
+    """Salting must not change join semantics: on a deliberately
+    skewed dataset (90% of rows share one key) the salted inner join
+    returns exactly the plain join's rows."""
+    from datawarehouse_code_spark.operators.joins import salted_join
+
+    skewed = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(0, 2000, 2).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("attr")
+    )
+    plain = skewed.join(dim, ["k"]).select("k", "payload", "attr")
+    salted = salted_join(skewed, dim, ["k"]).select("k", "payload", "attr")
+    assert salted.count() == plain.count() > 0
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
 def test_insert_report_counts(spark):
     orders = read_table(spark, "orders", SF_DIR)
     existing = orders.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey")
