@@ -62,11 +62,16 @@ def main() -> None:
     # plan, not first-run classloading.
     QUERIES[names[0]].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
+    # min of two runs per query: the first run pays one-time codegen /
+    # Arrow worker startup, the second measures the plan itself.
     times: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        QUERIES[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

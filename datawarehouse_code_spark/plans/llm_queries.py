@@ -295,6 +295,95 @@ FROM (
 WHERE rk <= 3
 """
 
+def _lang_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles per language: the value at sorted index
+    floor(q·(n-1)) — integer-exact end-to-end.  (Interpolated
+    percentiles land on exact-integer reals where engine ulp
+    differences flip floor/round; discrete quantiles have no such
+    boundary, and the index definition is written out identically on
+    both sides.)"""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    ranked = docs.select(
+        "lang",
+        "n_chars",
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+
+    def pick(q: float, name: str):
+        idx = F.floor(F.lit(q) * (F.col("n") - 1)).cast("long")
+        return F.max(F.when(F.col("rn") == idx, F.col("n_chars"))).alias(name)
+
+    return ranked.groupBy("lang").agg(
+        pick(0.25, "p25"), pick(0.5, "p50"), pick(0.9, "p90"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+_LANG_PCTL_SQL = """
+WITH ranked AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars) - 1 AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang,
+       max(CASE WHEN rn = CAST(floor(0.25 * (n - 1)) AS BIGINT) THEN n_chars END) AS p25,
+       max(CASE WHEN rn = CAST(floor(0.5  * (n - 1)) AS BIGINT) THEN n_chars END) AS p50,
+       max(CASE WHEN rn = CAST(floor(0.9  * (n - 1)) AS BIGINT) THEN n_chars END) AS p90,
+       count(*) AS n_docs
+FROM ranked
+GROUP BY lang
+"""
+
+
+def _lang_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same per-language stats via groupBy().applyInPandas — the
+    grouped-map escape hatch for group-level logic Spark expressions
+    can't state (here numpy percentiles, interpolation='linear' ==
+    quantile_cont, so the DuckDB oracle still verifies it)."""
+    import numpy as np
+    import pandas as pd
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = np.sort(pdf["n_chars"].to_numpy(dtype=np.int64))
+        n = len(x)
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                # discrete median: value at floor(0.5*(n-1)) — integer-exact
+                "p50": [int(x[int(np.floor(0.5 * (n - 1)))])],
+                "mean_x100": [int(np.floor(x.sum() / n * 100))],
+                "n_docs": [n],
+            }
+        )
+
+    docs = read_table(spark, "documents", sf_dir)
+    return docs.groupBy("lang").applyInPandas(
+        stats, "lang STRING, p50 BIGINT, mean_x100 BIGINT, n_docs BIGINT"
+    )
+
+
+_LANG_STATS_PANDAS_SQL = """
+WITH ranked AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars) - 1 AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang,
+       max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT)
+                THEN CAST(n_chars AS BIGINT) END) AS p50,
+       CAST(floor(sum(n_chars) * 1.0 / count(*) * 100) AS BIGINT) AS mean_x100,
+       count(*) AS n_docs
+FROM ranked
+GROUP BY lang
+"""
+
+
 # --------------------------------------------------------- similarity search
 
 
@@ -396,6 +485,10 @@ LLM_QUERIES: list[Query] = [
           "north-star: token counting + quality features"),
     Query("lang_rollup", _lang_rollup, _LANG_ROLLUP_SQL,
           "north-star: language rollup"),
+    Query("lang_percentiles", _lang_percentiles, _LANG_PCTL_SQL,
+          "§2.2 aggregates: exact interpolated percentiles"),
+    Query("lang_stats_pandas", _lang_stats_pandas, _LANG_STATS_PANDAS_SQL,
+          "north-star: grouped-map applyInPandas stats (numpy percentile)"),
     Query("langid_markers", _langid_markers, _LANGID_SQL,
           "north-star: marker-based language ID"),
     Query("text_tfidf_top_terms", _tfidf_top_terms, _TFIDF_SQL,
