@@ -471,16 +471,28 @@ def near_dup_pairs_lsh(
             "band_idx", "band_hash"
         ),
     )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    # posting-list pair expansion instead of a bucket self-join: the
+    # signature UDF is evaluated once, not once per join side
+    postings = buckets.groupBy("band_idx", "band_hash").agg(
+        F.collect_list("doc_id").alias("ds")
+    ).filter(F.size("ds") >= 2)
     candidates = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        postings.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ds"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                            lambda y: F.struct(
+                                F.least(x, y).alias("d1"), F.greatest(x, y).alias("d2")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .select(F.col("p.d1"), F.col("p.d2"))
         .distinct()
     )
     s1 = docs.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))

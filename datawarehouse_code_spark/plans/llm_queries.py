@@ -35,9 +35,7 @@ from datawarehouse_code_spark.operators.text import (
     exact_dedup,
     near_dup_pairs_exact,
     near_dup_pairs_lsh,
-    simhash64,
     simhash_near_dup_pairs,
-    word_hashes,
     words,
 )
 from datawarehouse_code_spark.plans.base import Query
