@@ -166,6 +166,62 @@ def lsh_topk(
     return _ranked_topk(pairs, k)
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    max_query_id: int = 100,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probes: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: the centroid-bucketed scale path beside LSH.
+
+    Coarse quantizer: the first `n_centroids` vectors serve as
+    centroids (deterministic; production swaps in k-means centroids —
+    the partitioning mechanics are identical).  Every vector is
+    assigned to its nearest centroid (one broadcast join against the
+    tiny centroid set); a query probes its `n_probes` nearest
+    centroids and scores only those buckets.  Cost per query:
+    O(n_probes · N/n_centroids · d) instead of O(N · d).
+    """
+    vecs = _with_inv_norm(
+        embeddings.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    )
+    cents = vecs.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"),
+        F.col("inv").alias("inv_c"),
+    )
+
+    def nearest(df: DataFrame, id_col: str, probes: int) -> DataFrame:
+        sim = (dot(F.col("v"), F.col("cv")) * F.col("inv")) * F.col("inv_c")
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            id_col, "v", "inv", "cent_id", sim.alias("csim")
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("csim").desc(), F.col("cent_id").asc()
+        )
+        return (
+            scored.withColumn("crk", F.row_number().over(w))
+            .filter(F.col("crk") <= probes)
+            .drop("csim", "crk")
+        )
+
+    assigned = nearest(vecs, "vec_id", 1).select(
+        F.col("vec_id").alias("candidate_id"), F.col("v").alias("cv"),
+        F.col("inv").alias("inv_c"), "cent_id",
+    )
+    probed = nearest(vecs.filter(F.col("vec_id") < max_query_id), "vec_id", n_probes).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("inv").alias("inv_q"), "cent_id",
+    )
+    pairs = (
+        probed.join(assigned, "cent_id")
+        .filter(F.col("query_id") != F.col("candidate_id"))
+        .select("query_id", "qv", "inv_q", "candidate_id", "cv", "inv_c")
+        .dropDuplicates(["query_id", "candidate_id"])
+    )
+    return _ranked_topk(pairs, k)
+
+
 def embedding_near_dup_lsh(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from datawarehouse_code_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_dup_lsh,
+    ivf_topk,
     lsh_topk,
 )
 from datawarehouse_code_spark.operators.text import (
@@ -419,6 +420,12 @@ def _similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(read_table(spark, "embeddings", sf_dir))
 
 
+def _similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: bucket membership is data-dependent (nearest centroid);
+    # the unit test checks sims against the brute-force exact twin.
+    return ivf_topk(read_table(spark, "embeddings", sf_dir))
+
+
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: LSH recall < 1 by design; the unit test checks the
     # output against exact all-pairs cosine on a bounded sample.
@@ -497,6 +504,8 @@ LLM_QUERIES: list[Query] = [
           "north-star: LSH-bucketed cosine top-k (rows-only; exact twin = bruteforce)"),
     Query("multimodal_features", _multimodal_features, _MULTIMODAL_SQL,
           "north-star: binary media feature extraction via mapInPandas"),
+    Query("similarity_topk_ivf", _similarity_topk_ivf, None,
+          "north-star: IVF centroid-bucketed ANN (rows-only; exact twin = bruteforce)"),
     Query("embedding_near_dup", _embedding_near_dup, None,
           "north-star: embedding-cosine near-dup via LSH + exact verify (rows-only)"),
     Query("approx_distinct_events", _approx_distinct_events, None,

@@ -113,6 +113,11 @@ def read_json(spark: SparkSession, path: str, table: str) -> DataFrame:
     return spark.read.schema(SCHEMAS[table]).json(path)
 
 
+def read_orc(spark: SparkSession, path: str, table: str) -> DataFrame:
+    """ORC connector with the declared schema."""
+    return spark.read.schema(SCHEMAS[table]).orc(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -115,6 +115,24 @@ def test_embedding_near_dup_precision_and_recall(spark):
         assert len(got) >= 0.5 * len(exact)  # recall from 8 planes x 4 tables
 
 
+def test_similarity_ivf_sims_match_bruteforce(spark):
+    """IVF only scores pairs inside probed buckets with exact cosines,
+    so any (query, candidate) it shares with brute force must agree on
+    the sim; and most queries should have non-empty results."""
+    from datawarehouse_code_spark.plans.llm_queries import _similarity_topk_ivf
+
+    brute = {
+        (r["query_id"], r["candidate_id"]): r["sim_f6"]
+        for r in _similarity_topk_bruteforce(spark, SF_DIR).collect()
+    }
+    ivf_rows = _similarity_topk_ivf(spark, SF_DIR).collect()
+    assert len(ivf_rows) > 50
+    overlap = [r for r in ivf_rows if (r["query_id"], r["candidate_id"]) in brute]
+    assert len(overlap) > 0
+    for r in overlap:
+        assert abs(r["sim_f6"] - brute[(r["query_id"], r["candidate_id"])]) < 1e-9
+
+
 def test_similarity_lsh_subset_of_bruteforce_pairs(spark):
     """LSH top-k only scores pairs that share a bucket, and sims are
     exact cosines — so any (query, candidate, sim) it emits must match

@@ -9,7 +9,12 @@ from pyspark.sql import functions as F
 
 from datawarehouse_code_spark.operators.dimensions import insert_if_not_exists
 from datawarehouse_code_spark.operators.fact import build_fact
-from datawarehouse_code_spark.sources.catalog import read_csv, read_json, read_table
+from datawarehouse_code_spark.sources.catalog import (
+    read_csv,
+    read_json,
+    read_orc,
+    read_table,
+)
 from tests.conftest import SF_DIR
 
 
@@ -58,3 +63,7 @@ def test_csv_json_connector_round_trip(spark, tmp_path):
     rows = sorted(nation.collect())
     assert sorted(back_csv.collect()) == rows
     assert sorted(back_json.collect()) == rows
+
+    orc_path = str(tmp_path / "nation_orc")
+    nation.write.mode("overwrite").orc(orc_path)
+    assert sorted(read_orc(spark, orc_path, "nation").collect()) == rows
