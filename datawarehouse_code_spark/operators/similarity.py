@@ -23,23 +23,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from datawarehouse_code_spark.functions.scalars import (
+    cosine_similarity as cosine,
+)
+from datawarehouse_code_spark.functions.scalars import (
+    dot_product as dot,
+)
+from datawarehouse_code_spark.functions.scalars import (
+    l2_norm,
+)
+
+__all__ = [
+    "as_double_array", "dot", "l2_norm", "cosine",
+    "brute_force_topk", "lsh_topk", "ivf_topk", "embedding_near_dup_lsh",
+    "lsh_signature",
+]
+
 
 def as_double_array(c: Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
-
-
-def dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-    )
-
-
-def l2_norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
-
-
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
 def _ranked_topk(pairs: DataFrame, k: int) -> DataFrame:
