@@ -415,6 +415,38 @@ EXCEPT
 SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
 """
 
+
+def _set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiplicity-aware): every purchase of a part minus
+    one occurrence per returned line of that part."""
+    li = read_table(spark, "lineitem", sf_dir)
+    bought = li.select("l_partkey")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    return bought.exceptAll(returned)
+
+
+_SET_EXCEPT_ALL_SQL = """
+SELECT l_partkey FROM lineitem
+EXCEPT ALL
+SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+"""
+
+
+def _set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL: partkeys common to 'A' and 'N' return-status
+    bags, keeping min-multiplicity duplicates."""
+    li = read_table(spark, "lineitem", sf_dir)
+    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    n = li.filter(F.col("l_returnflag") == "N").select("l_partkey")
+    return a.intersectAll(n)
+
+
+_SET_INTERSECT_ALL_SQL = """
+SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+INTERSECT ALL
+SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+"""
+
 # ------------------------------------------------------- JSON / string scalars
 
 
@@ -603,6 +635,10 @@ WAREHOUSE_QUERIES: list[Query] = [
           "§2.2 INTERSECT"),
     Query("set_except_customers", _set_except_customers, _SET_EXCEPT_SQL,
           "§2.2 EXCEPT"),
+    Query("set_except_all_parts", _set_except_all, _SET_EXCEPT_ALL_SQL,
+          "§2.2 EXCEPT ALL (bag semantics)"),
+    Query("set_intersect_all_parts", _set_intersect_all, _SET_INTERSECT_ALL_SQL,
+          "§2.2 INTERSECT ALL (bag semantics)"),
     Query("json_extract_events", _json_extract_events, _JSON_SQL,
           "§2.2 JSON scalars: from_json over events.props"),
     Query("string_scalars", _string_scalars, _STRING_SQL,
