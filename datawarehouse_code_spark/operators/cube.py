@@ -80,6 +80,36 @@ def write_cube(cube: DataFrame, path: str) -> None:
     cube.write.mode("overwrite").parquet(path)
 
 
+def incremental_cube(
+    existing_cube: DataFrame,
+    fact_delta: DataFrame,
+    dim_product: DataFrame,
+    dim_subcategory: DataFrame,
+    dim_client: DataFrame,
+    dim_date: DataFrame,
+    dim_month: DataFrame,
+    dim_year: DataFrame,
+    dim_country: DataFrame,
+) -> DataFrame:
+    """Incremental cube maintenance — the 100 TB evolution of the
+    reference's TRUNCATE + rebuild (warehouse.py:254-284): only NEW
+    fact rows (anti-joined on the deterministic fact_id) are joined
+    with the dims and appended.  Because the cube is a join (not an
+    aggregate), increment = append; the md5 surrogate makes the
+    operation idempotent under re-delivered deltas.
+    """
+    from pyspark.sql import functions as F
+
+    new_rows = fact_delta.join(
+        existing_cube.select(F.col("fact_id").alias("id")), "id", "left_anti"
+    )
+    delta_cube = build_cube(
+        new_rows, dim_product, dim_subcategory, dim_client,
+        dim_date, dim_month, dim_year, dim_country,
+    )
+    return existing_cube.unionByName(delta_cube)
+
+
 def register_cube_view(cube: DataFrame, name: str = "cube_view") -> None:
     """The reference's commented-out VIEW design (O23, warehouse.py:213-246)."""
     cube.createOrReplaceTempView(name)

@@ -219,6 +219,34 @@ _MONTHLY_CTE = _CUBE_CTE + """, monthly AS (
 """
 
 
+def _agg_quarter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter rollup through the date dimension's three_months column
+    (the reference's O11/O12 derivation, finally consumed by a query)."""
+    wh = build_warehouse(spark, sf_dir)
+    fact = wh.fact
+    dd = wh.dim_date
+    return (
+        fact.join(F.broadcast(dd.select("date_id", "three_months")), "date_id")
+        .groupBy("year", "three_months")
+        .agg(
+            F.round(F.sum(F.col("quantity") * F.col("price")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_AGG_QUARTER_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+       CAST((quarter(o_orderdate) - 1) * 3 + 1 AS INTEGER) AS three_months,
+       round(sum(l_quantity * l_extendedprice), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+"""
+
+
 def _agg_pivot_company_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: revenue by year, one column per company_type.  Explicit
     value list — at scale an unlisted pivot forces an extra distinct
@@ -619,6 +647,8 @@ WAREHOUSE_QUERIES: list[Query] = [
           "§2.2 cube()"),
     Query("agg_grouping_sets", _agg_grouping_sets, _AGG_GSETS_SQL,
           "§2.2 GROUPING SETS"),
+    Query("agg_quarter_revenue", _agg_quarter_revenue, _AGG_QUARTER_SQL,
+          "§2.2 aggregates through the quarter derivation (O11/O12)"),
     Query("agg_pivot_company_type", _agg_pivot_company_type, _AGG_PIVOT_SQL,
           "§2.2 pivot (explicit value list)"),
     Query("window_topk_products", _window_topk_products, _WINDOW_TOPK_SQL,

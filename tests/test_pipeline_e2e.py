@@ -49,6 +49,31 @@ def test_run_pipeline_materializes_and_reads_back(spark, tmp_path):
     assert fact_back.select(*fact_mem.columns).exceptAll(fact_mem).count() == 0
 
 
+def test_incremental_cube_equals_full_rebuild(spark):
+    """Incremental maintenance: starting from a cube built on a fact
+    prefix, feeding the FULL fact as the delta (overlapping rows must
+    be skipped via the deterministic fact_id) yields exactly the full
+    rebuild."""
+    from datawarehouse_code_spark.operators.cube import build_cube, incremental_cube
+
+    wh = build_warehouse(spark, SF_DIR)
+    dims = (
+        wh.dim_product, wh.dim_product_subcategory, wh.dim_client,
+        wh.dim_date, wh.dim_date_month, wh.dim_date_year, wh.dim_country,
+    )
+    old_fact = wh.fact.filter(F.col("year") <= 1995)
+    old_cube = build_cube(old_fact, *dims)
+    assert 0 < old_cube.count() < wh.cube.count()
+
+    inc = incremental_cube(old_cube, wh.fact, *dims)
+    assert inc.count() == wh.cube.count()
+    assert inc.exceptAll(wh.cube).count() == 0
+    assert wh.cube.exceptAll(inc).count() == 0
+    # idempotent: a second delivery of the same delta changes nothing
+    again = incremental_cube(inc, wh.fact, *dims)
+    assert again.count() == inc.count()
+
+
 def test_write_fact_append_mode(spark, tmp_path):
     """O6: the append sink actually appends — a second append doubles
     the rows and both partitions' files coexist."""
