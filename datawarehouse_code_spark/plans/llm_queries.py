@@ -294,6 +294,51 @@ FROM (
 WHERE rk <= 3
 """
 
+def _text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for training pipelines: overlapping word
+    windows (size 50, stride 40) as one explode over a JVM expression
+    — each chunk row carries its ordinal, start offset, and text.
+    Scale shape: a narrow generator, output rows ≈ n_words/stride per
+    doc, no UDF, no shuffle."""
+    chunk_size, stride = 50, 40
+    docs = read_table(spark, "documents", sf_dir).repartition("doc_id")
+    w = docs.select("doc_id", words(F.col("text")).alias("ws"))
+    chunks = w.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws"), F.lit(stride)),
+                lambda s: F.struct(
+                    s.cast("int").alias("chunk_start"),
+                    F.concat_ws(" ", F.slice(F.col("ws"), s, chunk_size)).alias(
+                        "chunk_text"
+                    ),
+                ),
+            )
+        ).alias("chunk_idx", "c"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("c.chunk_start").alias("chunk_start"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.size(F.split("c.chunk_text", " ")).alias("n_chunk_words"),
+    )
+
+
+_TEXT_CHUNK_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+)
+SELECT doc_id,
+       CAST((s - 1) / 40 AS INTEGER) AS chunk_idx,
+       CAST(s AS INTEGER) AS chunk_start,
+       array_to_string(ws[s : s + 49], ' ') AS chunk_text,
+       CAST(len(ws[s : s + 49]) AS INTEGER) AS n_chunk_words
+FROM w, unnest(range(1, len(ws) + 1, 40)) AS t(s)
+"""
+
+
 def _lang_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete percentiles per language: the value at sorted index
     floor(q·(n-1)) — integer-exact end-to-end.  (Interpolated
@@ -498,6 +543,8 @@ LLM_QUERIES: list[Query] = [
           "north-star: marker-based language ID"),
     Query("text_tfidf_top_terms", _tfidf_top_terms, _TFIDF_SQL,
           "north-star: tf-idf top terms per doc"),
+    Query("text_chunking", _text_chunking, _TEXT_CHUNK_SQL,
+          "north-star: overlapping word-window chunking for training data"),
     Query("similarity_topk_bruteforce", _similarity_topk_bruteforce, _SIM_BRUTE_SQL,
           "north-star: exact cosine top-k"),
     Query("similarity_topk_lsh", _similarity_topk_lsh, None,
