@@ -107,6 +107,14 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", sh_fn(F.col("text")).alias("simhash"))
 
 
+def _dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: MLlib MinHashLSH (stock-library twin of
+    # dedup_minhash_lsh; approx join + hashed features).
+    from datawarehouse_code_spark.operators.text_ml import near_dup_pairs_mllib
+
+    return near_dup_pairs_mllib(read_table(spark, "documents", sf_dir))
+
+
 def _dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: xxhash64-based; pigeonhole banding guarantees recall
     # 1.0 within hamming <= 3 (see operators/text.py), tested directly.
@@ -525,6 +533,8 @@ LLM_QUERIES: list[Query] = [
           "north-star: n-gram Jaccard near-dup (inverted-index join)"),
     Query("dedup_minhash_lsh", _dedup_minhash_lsh, None,
           "north-star: banded MinHash-LSH near-dup (rows-only; exact twin = dedup_near_jaccard)"),
+    Query("dedup_minhash_mllib", _dedup_minhash_mllib, None,
+          "north-star: pyspark.ml MinHashLSH near-dup (rows-only; exact twin = dedup_near_jaccard)"),
     Query("dedup_simhash", _dedup_simhash, None,
           "north-star: SimHash fingerprint (rows-only, xxhash64-based)"),
     Query("dedup_simhash_pairs", _dedup_simhash_pairs, None,

@@ -26,6 +26,20 @@ def test_minhash_lsh_subset_of_exact(spark):
     assert len(lsh) >= len(exact) * 0.5
 
 
+def test_minhash_mllib_agrees_with_exact(spark):
+    """The MLlib MinHashLSH variant: every pair it reports at j>=0.5
+    is a true near-dup (modulo feature-hash collisions, which 2^18
+    features make vanishingly rare on this corpus), and it finds a
+    healthy share of the exact pairs."""
+    from datawarehouse_code_spark.plans.llm_queries import _dedup_minhash_mllib
+
+    exact = {(r["d1"], r["d2"]) for r in _dedup_near_jaccard(spark, SF_DIR).collect()}
+    ml = {(r["d1"], r["d2"]) for r in _dedup_minhash_mllib(spark, SF_DIR).collect()}
+    assert len(ml) > 0
+    assert ml <= exact
+    assert len(ml) >= 0.5 * len(exact)
+
+
 def test_minhash_lsh_deterministic(spark):
     a = sorted(map(tuple, _dedup_minhash_lsh(spark, SF_DIR).collect()))
     b = sorted(map(tuple, _dedup_minhash_lsh(spark, SF_DIR).collect()))
