@@ -42,7 +42,11 @@ def test_bucketed_join_eliminates_shuffle(spark):
 
 
 def test_register_views_sql_surface(spark):
-    """O23: every catalog table is queryable through spark.sql."""
+    """O23: every catalog table is queryable through spark.sql, and the
+    cube view (the reference's commented-out VIEW design) works too."""
+    from datawarehouse_code_spark.operators.cube import register_cube_view
+    from datawarehouse_code_spark.pipeline import build_warehouse
+
     register_views(spark, SF_DIR)
     row = spark.sql(
         """
@@ -52,6 +56,31 @@ def test_register_views_sql_surface(spark):
     ).collect()[0]
     assert row["n"] > 0
     assert spark.sql("SELECT count(*) AS n FROM documents").collect()[0]["n"] > 0
+
+    register_cube_view(build_warehouse(spark, SF_DIR).cube)
+    agg = spark.sql(
+        "SELECT count(DISTINCT country_name) AS n FROM cube_view"
+    ).collect()[0]
+    assert agg["n"] > 0
+
+
+def test_read_jdbc_builder_reaches_load(spark):
+    """JDBC connector parity: no driver jar ships in this container, so
+    the reader must at least assemble its options and fail at load time
+    (not before) with a driver/connection error."""
+    import pytest
+
+    from datawarehouse_code_spark.sources.catalog import read_jdbc
+
+    with pytest.raises(Exception):
+        read_jdbc(
+            spark,
+            "jdbc:mysql://localhost:1/nope",
+            "transportation.companies",
+            partition_column="id",
+            num_partitions=4,
+            upper_bound=1000,
+        )
 
 
 def test_salted_join_equals_plain_join(spark):
