@@ -83,6 +83,42 @@ def test_read_jdbc_builder_reaches_load(spark):
         )
 
 
+def test_cube_broadcast_hints_only_on_bounded_dims(spark):
+    """Regression guard for the round-1 scale defect: the cube plan
+    must carry broadcast HINTS only for the five domain-bounded dims
+    (subcategory, date, month, year, country) — never for dim_product
+    or dim_client, which scale with data size (a hint overrides AQE's
+    size check and OOMs at 100 TB)."""
+    from datawarehouse_code_spark.pipeline import build_warehouse
+
+    cube = build_warehouse(spark, SF_DIR).cube
+    logical = cube._jdf.queryExecution().analyzed().toString()
+    # 5 hints in the cube join + 3 inherited from dim builders
+    # (subcategory in dim_product, region in subregion path is absent
+    # here, year in dim_date) — count hints attached to scaling tables
+    # instead: none may hint customer- or part-derived plans directly.
+    assert logical.count("ResolvedHint") >= 5
+    for marker in ("c_mktsegment", "p_retailprice"):
+        for block in logical.split("ResolvedHint")[1:]:
+            # each hint block's immediate subtree (up to the next join)
+            head = block[:400]
+            if marker in head and "Deduplicate" not in head:
+                raise AssertionError(
+                    f"broadcast hint covers a scaling table ({marker}):\n{head}"
+                )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """The predicate query's filters must appear as PushedFilters on
+    the parquet scan, and the scan schema must be pruned."""
+    from datawarehouse_code_spark.plans.registry import QUERIES
+
+    df = QUERIES["filter_orders_predicates"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "GreaterThan" in plan or "In(o_orderstatus" in plan
+
+
 def test_salted_join_equals_plain_join(spark):
     """Salting must not change join semantics: on a deliberately
     skewed dataset (90% of rows share one key) the salted inner join
