@@ -107,6 +107,47 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", sh_fn(F.col("text")).alias("simhash"))
 
 
+def _corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-cleaning selection, oracle-checked: keep the canonical
+    doc per exact-content group, drop any doc that is the larger side
+    of an exact-Jaccard near-dup pair.  (write_clean_corpus swaps the
+    exact pair source for the LSH variant at scale — same policy.)"""
+    docs = read_table(spark, "documents", sf_dir)
+    canonical = exact_dedup(docs).select(F.col("canonical_doc_id").alias("doc_id"))
+    survivors = docs.join(canonical, "doc_id", "left_semi")
+    dropped = near_dup_pairs_exact(docs).select(F.col("d2").alias("doc_id")).distinct()
+    return survivors.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_CORPUS_SQL = f"""
+WITH canon AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5({_NORM_SQL})
+), w AS (
+  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+), sh_arr AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM w WHERE len(ws) >= 3
+), sh AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh_arr WHERE len(sh) > 0
+), pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, a.n_sh AS n1, b.n_sh AS n2,
+         count(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+), dropped AS (
+  SELECT DISTINCT d2 AS doc_id FROM pairs
+  WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.5
+)
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM canon)
+  AND doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
 def _dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: MLlib MinHashLSH (stock-library twin of
     # dedup_minhash_lsh; approx join + hashed features).
@@ -533,6 +574,8 @@ LLM_QUERIES: list[Query] = [
           "north-star: n-gram Jaccard near-dup (inverted-index join)"),
     Query("dedup_minhash_lsh", _dedup_minhash_lsh, None,
           "north-star: banded MinHash-LSH near-dup (rows-only; exact twin = dedup_near_jaccard)"),
+    Query("corpus_survivors", _corpus_survivors, _CORPUS_SQL,
+          "north-star: end-to-end corpus-cleaning selection (exact + near-dup policy)"),
     Query("dedup_minhash_mllib", _dedup_minhash_mllib, None,
           "north-star: pyspark.ml MinHashLSH near-dup (rows-only; exact twin = dedup_near_jaccard)"),
     Query("dedup_simhash", _dedup_simhash, None,
