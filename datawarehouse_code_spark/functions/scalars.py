@@ -45,12 +45,23 @@ def surrogate_hash_key(*cols: Column) -> Column:
 def surrogate_hash_key128(*cols: Column) -> Column:
     """Stable 128-bit surrogate key (hex string) from a natural key.
 
-    md5 over the '|'-joined key columns: deterministic, parallel,
-    join-stable, and collision-safe at 100 TB row counts (128-bit
-    birthday bound ≈ 1.8×10¹⁹ ≫ ~6×10¹¹ lineitem rows), where a
-    64-bit surrogate would already collide (~4.3×10⁹).
+    md5 over an INJECTIVE encoding of the key columns: each value is
+    length-prefixed (``len:value``) and NULL becomes the literal ``N``
+    (distinguishable — real encodings always start with a digit), so
+    neither concat_ws's NULL-skipping nor delimiter characters inside
+    values can make two distinct keys collide.  Deterministic,
+    parallel, join-stable, and collision-safe at 100 TB row counts
+    (128-bit birthday bound ≈ 1.8×10¹⁹ ≫ ~6×10¹¹ lineitem rows),
+    where a 64-bit surrogate would already collide (~4.3×10⁹).
     """
-    return F.md5(F.concat_ws("|", *[c.cast("string") for c in cols]))
+    parts = [
+        F.coalesce(
+            F.concat(F.length(c.cast("string")).cast("string"), F.lit(":"), c.cast("string")),
+            F.lit("N"),
+        )
+        for c in cols
+    ]
+    return F.md5(F.concat_ws("|", *parts))
 
 
 def dot_product(a: Column, b: Column) -> Column:

@@ -22,20 +22,37 @@ Policy:
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datawarehouse_code_spark.operators.text import exact_dedup, near_dup_pairs_lsh
 
+# a pair source maps (documents, threshold) -> DataFrame[d1, d2, ...]
+PairSource = Callable[[DataFrame, float], DataFrame]
 
-def clean_corpus(documents: DataFrame, near_dup_threshold: float = 0.5) -> DataFrame:
-    """The surviving documents after exact + near-dup removal."""
+
+def clean_corpus(
+    documents: DataFrame,
+    near_dup_threshold: float = 0.5,
+    pair_source: PairSource | None = None,
+) -> DataFrame:
+    """The surviving documents after exact + near-dup removal.
+
+    `pair_source` selects the near-dup detector: the default is the
+    banded-LSH scale path; the oracle-checked registry query passes
+    the exact inverted-index variant.  The selection POLICY lives only
+    here, so both paths stay in lockstep.
+    """
+    if pair_source is None:
+        pair_source = lambda docs, t: near_dup_pairs_lsh(docs, threshold=t)  # noqa: E731
     canonical = exact_dedup(documents).select(
         F.col("canonical_doc_id").alias("doc_id")
     )
     exact_survivors = documents.join(canonical, "doc_id", "left_semi")
     dropped_near = (
-        near_dup_pairs_lsh(documents, threshold=near_dup_threshold)
+        pair_source(documents, near_dup_threshold)
         .select(F.col("d2").alias("doc_id"))
         .distinct()
     )

@@ -100,7 +100,9 @@ def incremental_cube(
     """
     from pyspark.sql import functions as F
 
-    new_rows = fact_delta.join(
+    # dedup WITHIN the delta too: a batch containing the same fact row
+    # twice (double-ingested file) must not append it twice
+    new_rows = fact_delta.dropDuplicates(["id"]).join(
         existing_cube.select(F.col("fact_id").alias("id")), "id", "left_anti"
     )
     delta_cube = build_cube(

@@ -168,16 +168,25 @@ def insert_if_not_exists_report(
     The reference logs one warning per skipped row
     (warehouse.py:94,116,126,136,169,210) — per-row logging is a
     driver bottleneck at scale, so this reports totals instead:
-    {"incoming", "inserted", "skipped"}.
+    {"incoming", "inserted", "skipped"} — computed in ONE aggregation
+    pass over a left join (two separate counts would scan `incoming`
+    twice).
     """
     import logging
 
+    from pyspark.sql import functions as F
+
     delta = insert_if_not_exists(incoming, existing, key)
-    n_in = incoming.count()
-    n_new = delta.count()
-    report = {"incoming": n_in, "inserted": n_new, "skipped": n_in - n_new}
+    marked = incoming.join(
+        existing.select(*key).distinct().withColumn("_hit", F.lit(1)), key, "left"
+    )
+    row = marked.agg(
+        F.count(F.lit(1)).alias("n_in"), F.count("_hit").alias("n_skip")
+    ).collect()[0]
+    n_in, n_skip = row["n_in"], row["n_skip"]
+    report = {"incoming": n_in, "inserted": n_in - n_skip, "skipped": n_skip}
     logging.getLogger(__name__).info(
         "load on key %s: inserted %d, skipped %d duplicates of %d incoming",
-        key, n_new, report["skipped"], n_in,
+        key, report["inserted"], report["skipped"], n_in,
     )
     return delta, report

@@ -29,11 +29,18 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the skewed side salted across `n_salts` buckets.
 
-    The salt is a pure function of the full skewed row (xxhash64), so
-    the operation stays deterministic and idempotent — no rand(), no
-    re-shuffle lottery between runs.
+    The salt comes from monotonically_increasing_id, NOT a hash of the
+    row: the canonical skew case is millions of IDENTICAL rows for one
+    hot key, and a content hash would send them all to the same salt
+    bucket (zero spread while still paying the replication).  The salt
+    assignment varies with partition layout between runs, but any
+    assignment is semantically correct — the joined result set is
+    identical either way.
     """
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
+    for df in (skewed, other):
+        if "_salt" in df.columns:
+            raise ValueError("salted_join: input already has a _salt column")
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     salted = skewed.withColumn("_salt", salt.cast("int"))
     replicated = other.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

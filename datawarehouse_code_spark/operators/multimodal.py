@@ -69,26 +69,41 @@ def extract_features(media: DataFrame) -> DataFrame:
     """Per-media feature extraction via mapInPandas.
 
     With a real codec this is where decode_image would run; the
-    deterministic fake derives features purely from the bytes so the
+    deterministic fake derives features purely from the payload so the
     DuckDB oracle can verify the plumbing end-to-end:
       n_bytes   — payload size
       width     — n_bytes mod 640   (fake "decoded" dimension)
       height    — (7 * n_bytes) mod 480
-      checksum  — sum of the first 64 bytes
+      checksum  — sum of the code points of the first 64 CHARACTERS
+                  (character-based, matching the SQL oracle's
+                  ascii(substr(...)) on any UTF-8 input, not just ASCII)
+    NULL payloads yield NULL features (the oracle's arithmetic over
+    NULL does the same) instead of crashing the Python worker.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            content = pdf["content"]
-            n_bytes = content.map(len)
+            n_bytes, width, height, checksum = [], [], [], []
+            for b in pdf["content"]:
+                if b is None:
+                    n_bytes.append(None)
+                    width.append(None)
+                    height.append(None)
+                    checksum.append(None)
+                    continue
+                n = len(b)
+                n_bytes.append(n)
+                width.append(n % 640)
+                height.append((7 * n) % 480)
+                checksum.append(sum(ord(c) for c in bytes(b).decode("utf-8")[:64]))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": n_bytes.astype("int32"),
-                    "width": (n_bytes % 640).astype("int32"),
-                    "height": ((7 * n_bytes) % 480).astype("int32"),
-                    "checksum": content.map(lambda b: int(sum(b[:64]))).astype("int64"),
+                    "n_bytes": pd.array(n_bytes, dtype="Int32"),
+                    "width": pd.array(width, dtype="Int32"),
+                    "height": pd.array(height, dtype="Int32"),
+                    "checksum": pd.array(checksum, dtype="Int64"),
                 }
             )
 
@@ -104,6 +119,8 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
         for pdf in it:
             out_ids, out_idx, out_bytes, out_len = [], [], [], []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue  # no payload, no frames
                 size = len(content)
                 step = max(size // n_frames, 1)
                 for i in range(n_frames):

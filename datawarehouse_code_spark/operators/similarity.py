@@ -127,6 +127,24 @@ def lsh_signature(v: Column, n_planes: int, dim: int, table: int = 0) -> Column:
     )
 
 
+def _lsh_bucketed(vecs: DataFrame, n_planes: int, n_tables: int, dim: int) -> DataFrame:
+    """Vectors tagged with (tbl, sig) for each of `n_tables` hash
+    tables — the shared bucketing step of lsh_topk and
+    embedding_near_dup_lsh."""
+    tables = []
+    for t in range(n_tables):
+        tables.append(
+            vecs.select(
+                "vec_id", "v", "inv", F.lit(t).alias("tbl"),
+                lsh_signature(F.col("v"), n_planes, dim, t).alias("sig"),
+            )
+        )
+    bucketed = tables[0]
+    for t in tables[1:]:
+        bucketed = bucketed.unionByName(t)
+    return bucketed
+
+
 def lsh_topk(
     embeddings: DataFrame,
     max_query_id: int = 100,
@@ -140,17 +158,7 @@ def lsh_topk(
     vecs = _with_inv_norm(
         embeddings.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
     )
-    tables = []
-    for t in range(n_tables):
-        tables.append(
-            vecs.select(
-                "vec_id", "v", "inv", F.lit(t).alias("tbl"),
-                lsh_signature(F.col("v"), n_planes, dim, t).alias("sig"),
-            )
-        )
-    bucketed = tables[0]
-    for t in tables[1:]:
-        bucketed = bucketed.unionByName(t)
+    bucketed = _lsh_bucketed(vecs, n_planes, n_tables, dim)
     q = bucketed.filter(F.col("vec_id") < max_query_id).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
         F.col("inv").alias("inv_q"), "tbl", "sig",
@@ -239,17 +247,7 @@ def embedding_near_dup_lsh(
     vecs = _with_inv_norm(
         embeddings.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
     )
-    parts = []
-    for t in range(n_tables):
-        parts.append(
-            vecs.select(
-                "vec_id", "v", "inv", F.lit(t).alias("tbl"),
-                lsh_signature(F.col("v"), n_planes, dim, t).alias("sig"),
-            )
-        )
-    bucketed = parts[0]
-    for p in parts[1:]:
-        bucketed = bucketed.unionByName(p)
+    bucketed = _lsh_bucketed(vecs, n_planes, n_tables, dim)
     a = bucketed.select(
         F.col("vec_id").alias("v1"), F.col("v").alias("qv"),
         F.col("inv").alias("inv_q"), "tbl", "sig",

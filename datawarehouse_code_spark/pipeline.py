@@ -48,7 +48,7 @@ class Warehouse:
     cube: DataFrame
 
 
-_WAREHOUSE_CACHE: dict[tuple[int, str], Warehouse] = {}
+_WAREHOUSE_CACHE: dict[tuple[str, str], Warehouse] = {}
 
 
 def build_warehouse(spark: SparkSession, sf_dir: str) -> Warehouse:
@@ -57,9 +57,12 @@ def build_warehouse(spark: SparkSession, sf_dir: str) -> Warehouse:
     Memoized per (session, sf_dir): the Warehouse is a bundle of
     immutable lazy plans, so re-building it for every registry query
     would only repeat schema verification and parquet-footer reads
-    13× per run (VERDICT r1 "What's wrong" #4).
+    13× per run (VERDICT r1 "What's wrong" #4).  Keyed on the Spark
+    applicationId, not id(spark): CPython reuses freed object ids, so
+    an id-keyed cache could hand a new session plans bound to a
+    stopped SparkContext.
     """
-    cache_key = (id(spark), sf_dir)
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
     cached = _WAREHOUSE_CACHE.get(cache_key)
     if cached is not None:
         return cached

@@ -110,15 +110,16 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-cleaning selection, oracle-checked: keep the canonical
     doc per exact-content group, drop any doc that is the larger side
-    of an exact-Jaccard near-dup pair.  (write_clean_corpus swaps the
-    exact pair source for the LSH variant at scale — same policy.)"""
+    of an exact-Jaccard near-dup pair.  Delegates to clean_corpus with
+    the exact pair source (the LSH source is the scale path used by
+    write_clean_corpus — same policy, one implementation)."""
+    from datawarehouse_code_spark.operators.corpus import clean_corpus
+
     docs = read_table(spark, "documents", sf_dir)
-    canonical = exact_dedup(docs).select(F.col("canonical_doc_id").alias("doc_id"))
-    survivors = docs.join(canonical, "doc_id", "left_semi")
-    dropped = near_dup_pairs_exact(docs).select(F.col("d2").alias("doc_id")).distinct()
-    return survivors.join(dropped, "doc_id", "left_anti").select(
-        "doc_id", "lang", "source", "n_chars"
+    survivors = clean_corpus(
+        docs, pair_source=lambda d, t: near_dup_pairs_exact(d, threshold=t)
     )
+    return survivors.select("doc_id", "lang", "source", "n_chars")
 
 
 _CORPUS_SQL = f"""
@@ -561,7 +562,7 @@ SELECT doc_id AS media_id,
        CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
        CAST((7 * octet_length(encode(text))) % 480 AS INTEGER) AS height,
        CAST(list_sum(list_transform(
-            range(1, least(octet_length(encode(text)), 64) + 1),
+            range(1, least(length(text), 64) + 1),
             i -> ascii(substr(text, i, 1)))) AS BIGINT) AS checksum
 FROM documents
 """

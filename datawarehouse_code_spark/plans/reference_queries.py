@@ -146,7 +146,7 @@ def _fact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FACT_SQL = """
-SELECT md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR) || '|' || CAST(l_quantity AS VARCHAR) || '|' || CAST(l_extendedprice AS VARCHAR)) AS id,
+SELECT md5(CAST(length(CAST(l_orderkey AS VARCHAR)) AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR) || '|' || CAST(length(CAST(l_linenumber AS VARCHAR)) AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR) || '|' || CAST(length(CAST(l_partkey AS VARCHAR)) AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR) || '|' || CAST(length(CAST(l_suppkey AS VARCHAR)) AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR) || '|' || CAST(length(CAST(l_quantity AS VARCHAR)) AS VARCHAR) || ':' || CAST(l_quantity AS VARCHAR) || '|' || CAST(length(CAST(l_extendedprice AS VARCHAR)) AS VARCHAR) || ':' || CAST(l_extendedprice AS VARCHAR)) AS id,
        l_partkey AS product_id,
        o_custkey AS client_id,
        CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100 + day(o_orderdate)
@@ -171,7 +171,7 @@ WITH sub AS (
          subcategory
   FROM (SELECT DISTINCT p_type AS subcategory FROM part)
 )
-SELECT md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR) || '|' || CAST(l_quantity AS VARCHAR) || '|' || CAST(l_extendedprice AS VARCHAR)) AS fact_id,
+SELECT md5(CAST(length(CAST(l_orderkey AS VARCHAR)) AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR) || '|' || CAST(length(CAST(l_linenumber AS VARCHAR)) AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR) || '|' || CAST(length(CAST(l_partkey AS VARCHAR)) AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR) || '|' || CAST(length(CAST(l_suppkey AS VARCHAR)) AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR) || '|' || CAST(length(CAST(l_quantity AS VARCHAR)) AS VARCHAR) || ':' || CAST(l_quantity AS VARCHAR) || '|' || CAST(length(CAST(l_extendedprice AS VARCHAR)) AS VARCHAR) || ':' || CAST(l_extendedprice AS VARCHAR)) AS fact_id,
        l_partkey AS product_id,
        sub.subcategory AS category,
        p_name AS product_name,

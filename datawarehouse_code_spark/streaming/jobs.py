@@ -38,6 +38,9 @@ def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     wall clock is identical to the batch path's timestamp_ntz, and the
     window bounds are cast back to ntz after aggregation.
     """
+    # Deliberately session-persistent here (unlike the batch reader's
+    # scoped set): a stream re-resolves files every micro-batch, so the
+    # conf must outlive this call for the query's whole lifetime.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.readStream.schema(_RAW_EVENTS).parquet(source_dir)
     df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

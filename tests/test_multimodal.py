@@ -42,7 +42,7 @@ def test_extract_features_matches_bytes(spark):
         assert f["n_bytes"] == len(b)
         assert f["width"] == len(b) % 640
         assert f["height"] == (7 * len(b)) % 480
-        assert f["checksum"] == sum(b[:64])
+        assert f["checksum"] == sum(ord(c) for c in text[:64])
 
 
 def test_sample_frames_one_to_many(spark):

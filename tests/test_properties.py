@@ -66,7 +66,9 @@ def test_union_of_year_partitions_equals_whole(spark):
     assert fact.exceptAll(parts).count() == 0
 
 
-GOLDEN_CUBE_SHA256 = "af9225207580cf42369342fa801cfb113b66f82f1aeb084a8f846f24a5bf3330"
+# regenerated 2026-08-13: surrogate key encoding became injective
+# (length-prefixed, NULL-sentinel), changing every fact_id
+GOLDEN_CUBE_SHA256 = "4cdd5a9cf024798c0bd6001fb8f35c577b3295d297cbae0ccc081303875ce186"
 
 
 def test_golden_cube_snapshot(spark):
