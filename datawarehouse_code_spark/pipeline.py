@@ -121,6 +121,74 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> Warehouse:
     return wh
 
 
+# natural key per warehouse table, for incremental (anti-join) loads
+_DIM_KEYS: dict[str, list[str]] = {
+    "dim_client": ["client_id"],
+    "dim_product": ["product_id"],
+    "dim_product_subcategory": ["subcategory_id"],
+    "dim_country": ["country_id"],
+    "dim_country_subregion": ["subregion_id", "country_id"],
+    "dim_date": ["date_id"],
+    "dim_date_month": ["month_id"],
+    "dim_date_year": ["year_id"],
+}
+
+
+def run_pipeline_incremental(
+    spark: SparkSession, wh: Warehouse, out_dir: str
+) -> dict[str, dict[str, int]]:
+    """Incremental warehouse load against an already-materialized
+    out_dir — the pipeline-level composition of the reference's
+    insert-if-not-exists loop (O5) with aggregate skip reports (O25):
+
+    - each dim: append only rows whose natural key is absent;
+    - fact: append only rows whose 128-bit id is absent (partitioned
+      append preserves year pruning);
+    - cube: append the delta rows via incremental_cube semantics.
+
+    Re-running against an up-to-date out_dir inserts nothing — the
+    idempotency the reference gets from its per-row existence checks,
+    at table-at-once cost.  Returns per-table skip reports.
+    """
+    from datawarehouse_code_spark.operators.cube import incremental_cube
+    from datawarehouse_code_spark.operators.dimensions import (
+        insert_if_not_exists_report,
+    )
+
+    reports: dict[str, dict[str, int]] = {}
+    for name, key in _DIM_KEYS.items():
+        existing = spark.read.parquet(f"{out_dir}/{name}")
+        delta, rep = insert_if_not_exists_report(getattr(wh, name), existing, key)
+        delta.write.mode("append").parquet(f"{out_dir}/{name}")
+        reports[name] = rep
+
+    existing_fact = spark.read.parquet(f"{out_dir}/fact")
+    fact_delta, rep = insert_if_not_exists_report(wh.fact, existing_fact, ["id"])
+    # append through write_fact so the delta lands year-partitioned
+    write_fact(fact_delta.select(*wh.fact.columns), f"{out_dir}/fact", mode="append")
+    reports["fact"] = rep
+
+    existing_cube = spark.read.parquet(f"{out_dir}/cube")
+    merged_cube = incremental_cube(
+        existing_cube,
+        wh.fact,
+        wh.dim_product,
+        wh.dim_product_subcategory,
+        wh.dim_client,
+        wh.dim_date,
+        wh.dim_date_month,
+        wh.dim_date_year,
+        wh.dim_country,
+    )
+    cube_delta = merged_cube.join(
+        existing_cube.select("fact_id"), "fact_id", "left_anti"
+    )
+    n_cube_new = cube_delta.count()
+    cube_delta.write.mode("append").parquet(f"{out_dir}/cube")
+    reports["cube"] = {"inserted": n_cube_new}
+    return reports
+
+
 def write_bucketed(df: DataFrame, table: str, n_buckets: int, *keys: str) -> None:
     """Bucketed write for shuffle-free co-located joins at scale
     (big-big joins like lineitem ⋈ orders at 100 TB).  Requires a

@@ -49,6 +49,44 @@ def test_run_pipeline_materializes_and_reads_back(spark, tmp_path):
     assert fact_back.select(*fact_mem.columns).exceptAll(fact_mem).count() == 0
 
 
+def test_run_pipeline_incremental_noop_then_catchup(spark, tmp_path):
+    """Pipeline-level O5/O25: against an up-to-date warehouse the
+    incremental load inserts nothing; against a warehouse built from a
+    fact prefix it appends exactly the missing rows, converging to the
+    full rebuild."""
+    from datawarehouse_code_spark.operators.cube import build_cube
+    from datawarehouse_code_spark.operators.fact import write_fact
+    from datawarehouse_code_spark.pipeline import run_pipeline_incremental
+
+    out = str(tmp_path / "wh_inc")
+    wh = run_pipeline(spark, SF_DIR, out)
+
+    # 1) idempotent no-op against the fresh materialization
+    reports = run_pipeline_incremental(spark, wh, out)
+    assert all(r["inserted"] == 0 for r in reports.values())
+    assert spark.read.parquet(f"{out}/fact").count() == wh.fact.count()
+
+    # 2) rebuild out_dir with a fact/cube PREFIX, then catch up
+    old_fact = wh.fact.filter(F.col("year") <= 1995)
+    write_fact(old_fact, f"{out}/fact")
+    old_cube = build_cube(
+        old_fact, wh.dim_product, wh.dim_product_subcategory, wh.dim_client,
+        wh.dim_date, wh.dim_date_month, wh.dim_date_year, wh.dim_country,
+    )
+    old_cube.write.mode("overwrite").parquet(f"{out}/cube")
+
+    reports = run_pipeline_incremental(spark, wh, out)
+    missing = wh.fact.count() - old_fact.count()
+    assert reports["fact"]["inserted"] == missing > 0
+    assert reports["cube"]["inserted"] == wh.cube.count() - old_cube.count()
+
+    fact_back = spark.read.parquet(f"{out}/fact")
+    assert fact_back.count() == wh.fact.count()
+    cube_back = spark.read.parquet(f"{out}/cube")
+    assert cube_back.count() == wh.cube.count()
+    assert cube_back.select(*wh.cube.columns).exceptAll(wh.cube).count() == 0
+
+
 def test_incremental_cube_equals_full_rebuild(spark):
     """Incremental maintenance: starting from a cube built on a fact
     prefix, feeding the FULL fact as the delta (overlapping rows must
