@@ -239,7 +239,7 @@ _LANG_ROLLUP_SQL = """
 SELECT lang,
        count(*) AS n_docs,
        count(DISTINCT source) AS n_sources,
-       sum(n_chars) AS sum_chars,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        floor(sum(n_chars) * 1.0 / count(*) * 100) / 100 AS avg_chars_f2
 FROM documents
 GROUP BY lang
@@ -577,10 +577,14 @@ LLM_QUERIES: list[Query] = [
           "north-star: banded MinHash-LSH near-dup (rows-only; exact twin = dedup_near_jaccard)"),
     Query("corpus_survivors", _corpus_survivors, _CORPUS_SQL,
           "north-star: end-to-end corpus-cleaning selection (exact + near-dup policy)"),
-    Query("dedup_minhash_mllib", _dedup_minhash_mllib, None,
-          "north-star: pyspark.ml MinHashLSH near-dup (rows-only; exact twin = dedup_near_jaccard)"),
-    Query("dedup_simhash", _dedup_simhash, None,
-          "north-star: SimHash fingerprint (rows-only, xxhash64-based)"),
+    # NOTE: `dedup_minhash_mllib` and `dedup_simhash` (the raw fingerprint
+    # projection) are deliberately NOT registered: both are rows-only
+    # variants fully covered by pytest (tests/test_llm_operators.py) and
+    # subsumed for driver purposes by `dedup_near_jaccard` (oracle-exact)
+    # and `dedup_simhash_pairs` respectively.  Keeping the registry lean
+    # ensures every oracle-backed query lands inside the driver's
+    # correctness window (CORRECTNESS_r02 recorded only the first 50
+    # entries of a 60-entry registry).
     Query("dedup_simhash_pairs", _dedup_simhash_pairs, None,
           "north-star: SimHash hamming<=3 near-dup pairs via 15-bit bands (rows-only)"),
     Query("doc_fingerprint", _doc_fingerprint, _FINGERPRINT_SQL,
