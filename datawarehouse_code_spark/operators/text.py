@@ -26,7 +26,7 @@ import re
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -382,6 +382,33 @@ def shingle_table(documents: DataFrame, k: int = 3, text_col: str = "text") -> D
     return with_sh.select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
 
 
+def filter_posting_keys(
+    df: DataFrame, keys: list[str], cap: int | None
+) -> DataFrame:
+    """Keep only rows whose key occurs in >= 2 documents and — when
+    `cap` is set — at most `cap`, evaluated BEFORE any posting array
+    exists.
+
+    This is the 100 TB guard for every inverted-index operator here:
+    filtering `size(collect_list(...)) <= cap` AFTER the aggregation
+    still materializes the full posting array for a hot key first — a
+    boilerplate shingle present in 10⁷ documents becomes one
+    10⁷-element array in a single aggregation buffer (executor OOM),
+    regardless of what the filter later discards.  A window count over
+    the same key shuffles once, spills per-key groups to disk instead
+    of holding an array, and leaves the data hash-partitioned by the
+    key, so the downstream groupBy introduces NO second shuffle.  The
+    >= 2 side of the filter also drops singleton keys (the vast
+    majority) before any array is built.
+    """
+    w = Window.partitionBy(*keys)
+    low = F.col("_kdf") >= 2
+    cond = low if cap is None else low & (F.col("_kdf") <= cap)
+    return (
+        df.withColumn("_kdf", F.count(F.lit(1)).over(w)).filter(cond).drop("_kdf")
+    )
+
+
 def near_dup_pairs_exact(
     documents: DataFrame,
     k: int = 3,
@@ -390,24 +417,26 @@ def near_dup_pairs_exact(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted index.
 
-    Shape: explode shingle hashes → group by shingle → expand each
-    posting list into its in-bucket pairs → count shared per pair →
-    Jaccard from |A|,|B|,|A∩B|.  This is NOT all-pairs: only documents
-    sharing a shingle ever meet, and the shingle UDF is evaluated ONCE
-    (a lineage self-join would recompute it per side).
+    Shape: explode shingle hashes → drop singleton/hot shingles via a
+    pre-aggregation window count (see filter_posting_keys) → group by
+    shingle → expand each posting list into its in-bucket pairs →
+    count shared per pair → Jaccard from |A|,|B|,|A∩B|.  This is NOT
+    all-pairs: only documents sharing a shingle ever meet, and the
+    shingle UDF is evaluated ONCE (a lineage self-join would recompute
+    it per side).
 
     `hot_shingle_cap` is the 100 TB guard: a shingle appearing in more
     than `cap` documents (a boilerplate stop-phrase) contributes
-    O(cap²) pairs; dropping such postings bounds the expansion at the
-    cost of slightly under-counting `shared` for pairs glued only by
-    boilerplate.  Default None = exact (matches the SQL oracle).
+    O(cap²) pairs; dropping such postings — before any posting array
+    is materialized — bounds the expansion at the cost of slightly
+    under-counting `shared` for pairs glued only by boilerplate.
+    Default None = exact pair semantics (matches the SQL oracle); the
+    scale entry point (clean_corpus) passes a cap by default.
     """
-    sh = shingle_table(documents, k)
+    sh = filter_posting_keys(shingle_table(documents, k), ["s"], hot_shingle_cap)
     postings = sh.groupBy("s").agg(
         F.collect_list(F.struct("doc_id", "n_sh")).alias("ds")
-    ).filter(F.size("ds") >= 2)
-    if hot_shingle_cap is not None:
-        postings = postings.filter(F.size("ds") <= hot_shingle_cap)
+    )
     # in-bucket pair expansion: all (i < j) combinations of the posting
     # list, each ordered by doc_id (collect_list order is arbitrary)
     expanded = postings.select(
@@ -452,6 +481,7 @@ def near_dup_pairs_lsh(
     num_hashes: int = 128,
     bands: int = 32,
     threshold: float = 0.5,
+    hot_bucket_cap: int | None = 5000,
 ) -> DataFrame:
     """Banded MinHash-LSH near-dup pairs, verified with exact Jaccard.
 
@@ -460,6 +490,14 @@ def near_dup_pairs_lsh(
     Candidates are then verified against the true shingle sets, so
     precision is exact; recall follows the (b, r) S-curve
     (b=32, r=4 → ~87% at j=0.5, >99.9% at j=0.7).
+
+    `hot_bucket_cap` (default ON — this is a scale entry point) drops
+    band buckets larger than the cap before any posting array exists
+    (see filter_posting_keys); a degenerate bucket (e.g. the
+    all-empty-band hash of boilerplate-heavy corpora) would otherwise
+    contribute O(|bucket|²) candidate pairs AND one |bucket|-element
+    aggregation array.  Documents in a dropped bucket still meet in
+    any of their other `bands - 1` buckets.
     """
     rows_per_band = num_hashes // bands
     docs = shingle_hash_docs(documents, k)
@@ -473,9 +511,10 @@ def near_dup_pairs_lsh(
     )
     # posting-list pair expansion instead of a bucket self-join: the
     # signature UDF is evaluated once, not once per join side
+    buckets = filter_posting_keys(buckets, ["band_idx", "band_hash"], hot_bucket_cap)
     postings = buckets.groupBy("band_idx", "band_hash").agg(
         F.collect_list("doc_id").alias("ds")
-    ).filter(F.size("ds") >= 2)
+    )
     candidates = (
         postings.select(
             F.explode(

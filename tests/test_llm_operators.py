@@ -164,3 +164,49 @@ def test_similarity_lsh_subset_of_bruteforce_pairs(spark):
     assert len(overlap) > 0
     for r in overlap:
         assert abs(r["sim_f6"] - brute[(r["query_id"], r["candidate_id"])]) < 1e-9
+
+
+def test_hot_shingle_cap_bounds_postings_pre_aggregation(spark):
+    """A shingle shared by every doc must be dropped BEFORE any posting
+    array exists: with the cap, pairs glued only by the boilerplate
+    vanish, the genuine near-dup pair survives, and no surviving
+    posting list exceeds the cap."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.text import (
+        filter_posting_keys,
+        near_dup_pairs_exact,
+        shingle_table,
+    )
+
+    boiler = "shared boilerplate footer text appended to every document"
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta " + boiler),
+        (2, "alpha beta gamma delta epsilon zeta eta theta " + boiler),
+    ] + [
+        # docs 3..12 share ONLY the boilerplate with each other
+        (i, f"unique{i}a unique{i}b unique{i}c unique{i}d unique{i}e " + boiler)
+        for i in range(3, 13)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    uncapped = {
+        (r["d1"], r["d2"])
+        for r in near_dup_pairs_exact(docs, threshold=0.01).collect()
+    }
+    capped = {
+        (r["d1"], r["d2"])
+        for r in near_dup_pairs_exact(
+            docs, threshold=0.01, hot_shingle_cap=5
+        ).collect()
+    }
+    # boilerplate-only pairs exist without the cap ...
+    assert (3, 4) in uncapped
+    # ... and are gone with it, while the genuine near-dup pair stays
+    assert capped == {(1, 2)}
+
+    # the surviving inverted index is bounded: no shingle's posting
+    # count exceeds the cap (and singletons are gone too)
+    sh = filter_posting_keys(shingle_table(docs), ["s"], 5)
+    sizes = [r["n"] for r in sh.groupBy("s").agg(F.count("*").alias("n")).collect()]
+    assert sizes and all(2 <= n <= 5 for n in sizes)
