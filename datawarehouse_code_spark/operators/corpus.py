@@ -5,17 +5,13 @@ a canonical-document selection and a partitioned clean-corpus write.
 Policy:
 1. exact duplicates (normalized content hash) collapse to the
    smallest doc_id;
-2. near-duplicate PAIRS (MinHash-LSH verified at Jaccard ≥ threshold)
-   collapse via a union-find-free rule that needs no iteration: a doc
-   is dropped iff it appears as the LARGER id in any near-dup pair.
-   (Keep-smallest transitivity: in any near-dup cluster exactly the
-   minimum id survives under this rule if the cluster's pair graph
-   contains each doc paired with a smaller doc — LSH pair sets are
-   verified pairs, so every non-minimum member was detected against
-   at least one smaller member or survives conservatively.  At 100 TB
-   a full connected-components pass (GraphFrames / iterative
-   smallest-neighbor propagation) replaces this single-step rule; the
-   write path is identical.)
+2. near-duplicate PAIRS (verified at Jaccard >= threshold) are
+   clustered into connected components by iterative smallest-label
+   propagation (see near_dup_components); within each component only
+   the minimum doc_id survives.  This handles transitive chains
+   A~B~C where A and C are not directly paired — a single-step
+   "drop the larger side of any pair" rule would let a doc survive
+   whenever all of its detected partners have larger ids.
 3. the surviving corpus is written partitioned by `lang` — the
    partition key analytics and per-language sampling use downstream.
 """
@@ -33,6 +29,61 @@ from datawarehouse_code_spark.operators.text import exact_dedup, near_dup_pairs_
 PairSource = Callable[[DataFrame, float], DataFrame]
 
 
+def near_dup_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """(doc_id, rep): every document in the pair graph mapped to the
+    minimum doc_id of its connected component.
+
+    Iterative smallest-label propagation: each node starts labeled
+    with itself; every round a node's label becomes the min of its own
+    and its neighbors' labels; stop when no label changes.  Rounds
+    needed = graph diameter — near-dup clusters are shallow (a hub
+    duplicate links its variants), so this converges in a handful of
+    rounds; `max_iters` is a runaway guard for pathological chains.
+
+    Scale notes: each round is one equi-join + one groupBy on doc_id —
+    no all-pairs step, no driver-side graph.  `localCheckpoint`
+    truncates the lineage every round (the naive loop builds an
+    exponentially growing plan and re-executes the pair source each
+    round); on a real cluster prefer `spark.sparkContext
+    .setCheckpointDir` + `.checkpoint()` for executor-loss resilience
+    (localCheckpoint stores partitions on executors only).  At extreme
+    component sizes the large-star/small-star algorithm (Kiveris et
+    al.) converges in O(log n) rounds with the same per-round shape;
+    propagation is the simpler fit for shallow dedup clusters.
+    """
+    edges = pairs.select("d1", "d2").localCheckpoint()
+    sym = edges.union(
+        edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("d1").alias("doc_id"))
+        .distinct()
+        .withColumn("rep", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_reps = sym.join(
+            labels.select(F.col("doc_id").alias("d2"), "rep"), "d2"
+        ).select(F.col("d1").alias("doc_id"), "rep")
+        new_labels = (
+            labels.unionByName(nbr_reps)
+            .groupBy("doc_id")
+            .agg(F.min("rep").alias("rep"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("doc_id", F.col("rep").alias("old_rep")), "doc_id"
+            )
+            .filter(F.col("rep") != F.col("old_rep"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def clean_corpus(
     documents: DataFrame,
     near_dup_threshold: float = 0.5,
@@ -41,9 +92,11 @@ def clean_corpus(
     """The surviving documents after exact + near-dup removal.
 
     `pair_source` selects the near-dup detector: the default is the
-    banded-LSH scale path; the oracle-checked registry query passes
-    the exact inverted-index variant.  The selection POLICY lives only
-    here, so both paths stay in lockstep.
+    banded-LSH scale path (hot-bucket cap on by default); the
+    oracle-checked registry query passes the exact inverted-index
+    variant.  The selection POLICY — connected-component clustering,
+    keep the component minimum — lives only here, so both paths stay
+    in lockstep.
     """
     if pair_source is None:
         pair_source = lambda docs, t: near_dup_pairs_lsh(docs, threshold=t)  # noqa: E731
@@ -51,11 +104,8 @@ def clean_corpus(
         F.col("canonical_doc_id").alias("doc_id")
     )
     exact_survivors = documents.join(canonical, "doc_id", "left_semi")
-    dropped_near = (
-        pair_source(documents, near_dup_threshold)
-        .select(F.col("d2").alias("doc_id"))
-        .distinct()
-    )
+    components = near_dup_components(pair_source(documents, near_dup_threshold))
+    dropped_near = components.filter(F.col("rep") != F.col("doc_id")).select("doc_id")
     return exact_survivors.join(dropped_near, "doc_id", "left_anti")
 
 
@@ -65,9 +115,22 @@ def write_clean_corpus(
 ) -> dict[str, int]:
     """Materialize the cleaned corpus partitioned by lang; returns
     aggregate counts (input, surviving, dropped) — the O25-style
-    report at corpus level."""
-    survivors = clean_corpus(documents, near_dup_threshold)
-    survivors.write.mode("overwrite").partitionBy("lang").parquet(out_path)
-    n_in = documents.count()
-    n_out = spark.read.parquet(out_path).count()
+    report at corpus level.
+
+    One pass over the survivor lineage: the input is persisted (its
+    lineage is read by the exact-dedup branch, the survivor semi-join
+    AND the pair source), survivors are persisted, counted once, and
+    written from cache.  Neither the input nor the written output is
+    re-scanned for the report — the input count reads the cache the
+    cleaning pass already populated.
+    """
+    docs = documents.persist()
+    survivors = clean_corpus(docs, near_dup_threshold).persist()
+    try:
+        n_out = survivors.count()
+        survivors.write.mode("overwrite").partitionBy("lang").parquet(out_path)
+        n_in = docs.count()
+    finally:
+        survivors.unpersist()
+        docs.unpersist()
     return {"input": n_in, "surviving": n_out, "dropped": n_in - n_out}

@@ -109,10 +109,13 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-cleaning selection, oracle-checked: keep the canonical
-    doc per exact-content group, drop any doc that is the larger side
-    of an exact-Jaccard near-dup pair.  Delegates to clean_corpus with
-    the exact pair source (the LSH source is the scale path used by
-    write_clean_corpus — same policy, one implementation)."""
+    doc per exact-content group, then cluster exact-Jaccard near-dup
+    pairs into connected components and keep only each component's
+    minimum doc_id.  Delegates to clean_corpus with the exact pair
+    source (the LSH source is the scale path used by
+    write_clean_corpus — same policy, one implementation).  The oracle
+    mirrors the component rule with a recursive CTE (min over the
+    transitive closure of the symmetric pair graph)."""
     from datawarehouse_code_spark.operators.corpus import clean_corpus
 
     docs = read_table(spark, "documents", sf_dir)
@@ -123,7 +126,7 @@ def _corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CORPUS_SQL = f"""
-WITH canon AS (
+WITH RECURSIVE canon AS (
   SELECT min(doc_id) AS doc_id
   FROM documents
   GROUP BY md5({_NORM_SQL})
@@ -138,9 +141,17 @@ WITH canon AS (
          count(*) AS shared
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2, 3, 4
-), dropped AS (
-  SELECT DISTINCT d2 AS doc_id FROM pairs
+), edges AS (
+  SELECT d1, d2 FROM pairs
   WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.5
+), sym AS (
+  SELECT d1, d2 FROM edges UNION ALL SELECT d2 AS d1, d1 AS d2 FROM edges
+), reach(doc_id, r) AS (
+  SELECT d1, d1 FROM sym
+  UNION
+  SELECT s.d1, reach.r FROM sym s JOIN reach ON reach.doc_id = s.d2
+), dropped AS (
+  SELECT doc_id FROM reach GROUP BY doc_id HAVING min(r) <> doc_id
 )
 SELECT doc_id, lang, source, n_chars
 FROM documents

@@ -49,3 +49,52 @@ def test_write_clean_corpus_partitioned(spark, tmp_path):
     assert len(lang_dirs) >= 2
     back = spark.read.parquet(out)
     assert back.count() == report["surviving"]
+
+
+def test_near_dup_components_transitive_chain(spark):
+    """A~B~C with A and C NOT directly paired must collapse to {A},
+    even when the middle doc has the largest id — the case where the
+    old single-step 'drop the larger pair side' rule kept C alive."""
+    from datawarehouse_code_spark.operators.corpus import (
+        clean_corpus,
+        near_dup_components,
+    )
+
+    # ids chosen so doc 2 ("C") is only ever the SMALLER side of its
+    # one pair (2, 5): a non-iterative rule would never drop it.
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    c = "kappa lam mu nu xi omicron pi rho"
+    b = a + " " + c  # shares a run of shingles with both A and C
+    rows = [
+        (1, a, "en", "s", len(a)),
+        (5, b, "en", "s", len(b)),
+        (2, c, "en", "s", len(c)),
+        (9, "totally unrelated words here only once", "en", "s", 38),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id int, text string, lang string, source string, n_chars int"
+    )
+
+    from datawarehouse_code_spark.operators.text import near_dup_pairs_exact
+
+    pair_source = lambda d, t: near_dup_pairs_exact(d, threshold=t)  # noqa: E731
+    pairs = pair_source(docs, 0.3)
+    got_pairs = {(r["d1"], r["d2"]) for r in pairs.collect()}
+    assert got_pairs == {(1, 5), (2, 5)}  # the chain, no (1, 2) edge
+
+    comp = {r["doc_id"]: r["rep"] for r in near_dup_components(pairs).collect()}
+    assert comp == {1: 1, 5: 1, 2: 1}
+
+    survivors = clean_corpus(docs, near_dup_threshold=0.3, pair_source=pair_source)
+    assert {r["doc_id"] for r in survivors.select("doc_id").collect()} == {1, 9}
+
+
+def test_near_dup_components_empty_and_disjoint(spark):
+    from datawarehouse_code_spark.operators.corpus import near_dup_components
+
+    empty = spark.createDataFrame([], "d1 int, d2 int")
+    assert near_dup_components(empty).count() == 0
+
+    two = spark.createDataFrame([(1, 2), (7, 9)], "d1 int, d2 int")
+    comp = {r["doc_id"]: r["rep"] for r in near_dup_components(two).collect()}
+    assert comp == {1: 1, 2: 1, 7: 7, 9: 7}
