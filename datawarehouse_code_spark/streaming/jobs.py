@@ -30,21 +30,55 @@ _RAW_EVENTS = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " 
               "value DOUBLE, props STRING"
 
 
-def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+# pre-stream value of _NANOS_CONF per session, so stream termination can
+# restore it (single in-flight events stream per session, as before)
+_PRIOR_NANOS_CONF: dict[int, str | None] = {}
+
+
+def read_events_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream of events with the catalog's ts conversion.
 
     Watermarks only accept TIMESTAMP (with timezone), so the stream
     carries `ts` as TimestampType; with the session pinned to UTC its
     wall clock is identical to the batch path's timestamp_ntz, and the
     window bounds are cast back to ntz after aggregation.
+
+    `max_files_per_trigger` caps files per micro-batch (rate limiting;
+    also what the watermark tests use to force multi-batch runs —
+    availableNow honors it).
     """
-    # Deliberately session-persistent here (unlike the batch reader's
-    # scoped set): a stream re-resolves files every micro-batch, so the
-    # conf must outlive this call for the query's whole lifetime.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(_RAW_EVENTS).parquet(source_dir)
+    # Session-persistent for the stream's lifetime (unlike the batch
+    # reader's scoped set): a stream re-resolves files every
+    # micro-batch, so the conf must outlive this call.  CAUTION: while
+    # a stream is live, a batch read of a nanos column in the same
+    # session silently yields bigint instead of failing loudly; the
+    # batch reader contains the blast radius by verifying every read
+    # against SCHEMAS.  restore_nanos_conf (called by run_to_memory on
+    # termination) puts the prior value back.
+    _PRIOR_NANOS_CONF.setdefault(id(spark), spark.conf.get(_NANOS_CONF, None))
+    spark.conf.set(_NANOS_CONF, "true")
+    reader = spark.readStream.schema(_RAW_EVENTS)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(source_dir)
     df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df.select([f.name for f in EVENTS.fields])
+
+
+def restore_nanos_conf(spark: SparkSession) -> None:
+    """Restore the pre-stream nanosAsLong conf (no-op if no events
+    stream was opened on this session)."""
+    sentinel = object()
+    prior = _PRIOR_NANOS_CONF.pop(id(spark), sentinel)
+    if prior is sentinel:
+        return
+    if prior is None:
+        spark.conf.unset(_NANOS_CONF)
+    else:
+        spark.conf.set(_NANOS_CONF, prior)
 
 
 def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -86,15 +120,23 @@ def session_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataF
     )
 
 
-def run_to_memory(result: DataFrame, table_name: str) -> None:
+def run_to_memory(
+    result: DataFrame, table_name: str, output_mode: str = "complete"
+) -> None:
     """Drain the stream into an in-memory sink with the availableNow
-    trigger (processes all available input, then stops) in complete
-    output mode, blocking until done."""
+    trigger (processes all available input, then stops), blocking
+    until done.  `append` output mode emits each window exactly once,
+    when the watermark passes its end — the mode the late-data tests
+    exercise.  Restores the nanosAsLong conf on termination so later
+    batch reads of nanos columns fail loudly again."""
     q = (
         result.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        restore_nanos_conf(result.sparkSession)

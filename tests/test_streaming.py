@@ -45,3 +45,69 @@ def test_session_stream_equals_batch(spark, tmp_path):
     want = sorted(_events_session_window(spark, SF_DIR).collect())
     assert got == want
     assert len(got) > 0
+
+
+def test_watermark_drops_late_and_updates_stragglers(spark, tmp_path):
+    """Out-of-order input through the append-mode tumbling stream:
+    a row later than the watermark is dropped, an out-of-order row
+    still inside the watermark updates its (open) window, and each
+    closed window is emitted exactly once."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "wm"
+    d.mkdir()
+
+    def write(name, rows, mtime):
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            # raw files store ts as int64 nanos (the fixture layout)
+            "ts": pa.array(
+                [int(pd.Timestamp(r[1]).value) for r in rows], pa.int64()
+            ),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array(["click"] * len(rows)),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        })
+        p = str(d / name)
+        pq.write_table(tbl, p)
+        os.utime(p, (mtime, mtime))  # file order == micro-batch order
+
+    # batch 1: two rows in [10:00,10:10) + one at 13:00 that pushes the
+    # watermark (1 h delay) to 12:00 once the batch completes
+    write("f1.parquet", [(1, "2024-01-01T10:01"), (2, "2024-01-01T10:04"),
+                         (3, "2024-01-01T13:00")], 1_700_000_000)
+    # batch 2: event 5 is out-of-order (arrives after the 13:00 event)
+    # but its window [12:00,12:10) is still open at watermark 12:00, so
+    # it must be counted; eviction at this batch's end emits the closed
+    # [10:00,10:10) window
+    write("f2.parquet", [(5, "2024-01-01T12:05")], 1_700_000_010)
+    # batch 3: event 4 is LATE — its window was already evicted (end
+    # 10:10 < watermark 12:00), so the row must be dropped, NOT start a
+    # fresh [10:00,10:10) group; event 6 advances the watermark to
+    # 14:00, closing the 12:xx and 13:xx windows in the final
+    # no-data flush batch
+    write("f3.parquet", [(4, "2024-01-01T10:03"), (6, "2024-01-01T15:00")],
+          1_700_000_020)
+
+    events = read_events_stream(spark, str(d), max_files_per_trigger=1)
+    run_to_memory(tumbling_counts_stream(events), "t_wm", output_mode="append")
+
+    rows = spark.table("t_wm").collect()
+    got = {str(r["window_start"]): r["n_events"] for r in rows}
+    # exactly one row per closed window: if the late event had NOT been
+    # dropped it would re-open [10:00,10:10) and emit a second row for
+    # it (n_events=1) at the final eviction
+    assert len(rows) == len(got)
+    assert got["2024-01-01 10:00:00"] == 2
+    # straggler event 5 counted in its still-open window
+    assert got["2024-01-01 12:00:00"] == 1
+    assert got["2024-01-01 13:00:00"] == 1
+    # the final window never closes (no later data), so it is not emitted
+    assert "2024-01-01 15:00:00" not in got
+    # stream termination restored the nanos conf (batch reads fail loudly)
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) in (None, "false")
