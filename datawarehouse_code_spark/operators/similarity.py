@@ -36,7 +36,7 @@ from datawarehouse_code_spark.functions.scalars import (
 __all__ = [
     "as_double_array", "dot", "l2_norm", "cosine",
     "brute_force_topk", "lsh_topk", "ivf_topk", "embedding_near_dup_lsh",
-    "lsh_signature",
+    "lsh_signature", "kmeans_centroids",
 ]
 
 
@@ -176,18 +176,50 @@ def lsh_topk(
     return _ranked_topk(pairs, k)
 
 
+def kmeans_centroids(
+    vecs: DataFrame,
+    n_centroids: int,
+    seed: int = 42,
+    fit_sample_fraction: float | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """K-means coarse quantizer for IVF: fit `pyspark.ml` KMeans
+    (deterministic seed) on the corpus — or on a sample of it — and
+    return the centroid set as a tiny (cent_id, cv, inv_c) DataFrame.
+
+    The fit is the only training step in the engine: k-means|| init +
+    Lloyd iterations, all distributed.  At 100 TB fit on a sample
+    (`fit_sample_fraction` ~ 1e-4 still gives millions of points —
+    far more than k-means needs for stable centroids); assignment of
+    the full corpus stays a broadcast join against the k centroids, so
+    the expensive path is untouched by how the centroids were learned.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fit_df = vecs.select(array_to_vector(F.col("v")).alias("features"))
+    if fit_sample_fraction is not None:
+        fit_df = fit_df.sample(False, fit_sample_fraction, seed)
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(fit_df)
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cents = vecs.sparkSession.createDataFrame(rows, "cent_id int, cv array<double>")
+    return cents.withColumn("inv_c", F.lit(1.0) / l2_norm(F.col("cv")))
+
+
 def ivf_topk(
     embeddings: DataFrame,
     max_query_id: int = 100,
     k: int = 5,
     n_centroids: int = 16,
     n_probes: int = 2,
+    fit_sample_fraction: float | None = None,
 ) -> DataFrame:
     """IVF-style ANN: the centroid-bucketed scale path beside LSH.
 
-    Coarse quantizer: the first `n_centroids` vectors serve as
-    centroids (deterministic; production swaps in k-means centroids —
-    the partitioning mechanics are identical).  Every vector is
+    Coarse quantizer: k-means centroids (see kmeans_centroids;
+    deterministic seed, optionally sample-fit).  Every vector is
     assigned to its nearest centroid (one broadcast join against the
     tiny centroid set); a query probes its `n_probes` nearest
     centroids and scores only those buckets.  Cost per query:
@@ -196,10 +228,7 @@ def ivf_topk(
     vecs = _with_inv_norm(
         embeddings.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
     )
-    cents = vecs.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"),
-        F.col("inv").alias("inv_c"),
-    )
+    cents = kmeans_centroids(vecs, n_centroids, fit_sample_fraction=fit_sample_fraction)
 
     def nearest(df: DataFrame, id_col: str, probes: int) -> DataFrame:
         sim = (dot(F.col("v"), F.col("cv")) * F.col("inv")) * F.col("inv_c")
