@@ -25,6 +25,35 @@ from datawarehouse_code_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Frozen comparison row: the round-2 driver measurement (BENCH_r02.json,
+# sf0.1, local[32], min of 2). Later rounds report ratios against THESE
+# numbers — not against a same-round re-measurement — so the 2× gate
+# stays honest. Do not update without recording the old row in
+# BASELINE.md history.
+FROZEN_BASELINE_SF01 = {
+    "fact_build": 1.778,
+    "cube_table": 3.173,
+    "dim_date": 0.203,
+    "insert_if_not_exists": 0.608,
+    "agg_revenue_year_country": 0.976,
+    "agg_lineitem_stats": 0.355,
+    "agg_rollup_year_type": 1.036,
+    "window_topk_products": 1.475,
+    "window_monthly_growth": 1.227,
+    "events_tumbling_10min": 0.286,
+    "events_session_window": 0.43,
+    "dedup_exact": 0.237,
+    "dedup_near_jaccard": 3.35,
+    "dedup_minhash_lsh": 3.269,
+    "dedup_simhash_pairs": 2.092,
+    "similarity_topk_bruteforce": 1.87,
+    "similarity_topk_lsh": 1.614,
+    "embedding_near_dup": 2.308,
+    "text_tfidf_top_terms": 1.022,
+    "text_token_stats": 0.597,
+    "multimodal_features": 0.43,
+}
+
 # Headline set: the expensive/representative plans. Anything listed
 # here but not (yet) registered is skipped, so bench.py never breaks
 # when a phase module is mid-build.
@@ -78,18 +107,28 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "registry_wall_sec",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf_val,
-            }
-        ),
-        flush=True,
-    )
+    payload: dict = {
+        "metric": "registry_wall_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+    }
+    if sf_val == 0.1:
+        # ratios vs the FROZEN round-2 row (sf0.1 only — the frozen
+        # numbers were measured at that scale factor)
+        ratios = {
+            n: round(times[n] / FROZEN_BASELINE_SF01[n], 2)
+            for n in times
+            if n in FROZEN_BASELINE_SF01
+        }
+        frozen_total = sum(FROZEN_BASELINE_SF01[n] for n in ratios)
+        payload["baseline_ratio"] = {
+            "frozen": "BENCH_r02.json (sf0.1, local[32])",
+            "total": round(sum(times[n] for n in ratios) / frozen_total, 3),
+            "queries": ratios,
+        }
+    print(json.dumps(payload), flush=True)
 
 
 if __name__ == "__main__":
