@@ -46,3 +46,75 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return salted.join(replicated, [*key, "_salt"], how).drop("_salt")
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    payload_cols: list[str],
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of join (backward): for each left row, attach the payload of
+    the single most recent right row with the same keys and
+    right.ts <= left.ts, as `asof_<payload>` columns (NULL when no
+    prior right row exists — left-outer semantics).
+
+    Spark has no native as-of join; the scale-correct shape is NOT a
+    range join (O(|L|·|R|) per key for a theta condition Catalyst
+    can't hash) but a tagged union + one window pass: both inputs
+    shuffle ONCE on the keys, sort by (ts, side), and each left row
+    picks up the running `last(payload)` of right rows — O((|L|+|R|)
+    log) per key, no pair explosion, AQE-splittable like any window.
+    Ties (right.ts == left.ts) match — "at or before"; among equal-ts
+    right rows `right_tiebreak` (required for determinism if such
+    ties can occur) picks the one sorting last.
+    """
+    from pyspark.sql import Window
+
+    overlap = set(payload_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(f"asof_join_backward: payload collides with left: {overlap}")
+    left_only = [c for c in left.columns if c not in keys and c != ts_col]
+    tagged_left = left.select(
+        *keys, ts_col, *left_only,
+        *[F.lit(None).alias(p) for p in payload_cols],
+        F.lit(None).cast("long").alias("_tb"),
+        F.lit(1).alias("_is_left"),
+    )
+    tb = (
+        F.col(right_tiebreak).cast("long")
+        if right_tiebreak is not None
+        else F.lit(0).cast("long")
+    )
+    tagged_right = right.select(
+        *keys, ts_col,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_only],
+        *payload_cols,
+        tb.alias("_tb"),
+        F.lit(0).alias("_is_left"),
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc(), F.col("_is_left").asc(), F.col("_tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # carry the whole right row as ONE struct: a struct is non-null for
+    # every right row, so a legitimately-NULL payload value on the
+    # latest right row is carried as-is instead of last(ignorenulls)
+    # falling back to an older row's value
+    carried = unioned.select(
+        "*",
+        F.last(
+            F.when(F.col("_is_left") == 0, F.struct(*payload_cols)),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("_asof"),
+    )
+    return carried.filter(F.col("_is_left") == 1).select(
+        *keys, ts_col, *left_only,
+        *[F.col(f"_asof.{p}").alias(f"asof_{p}") for p in payload_cols],
+    )

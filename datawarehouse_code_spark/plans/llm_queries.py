@@ -301,6 +301,59 @@ FROM scored
 """
 
 
+def _docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic quality scoring: word count, stopword
+    ratio, mean word length, and symbol ratio per document, plus the
+    pass/fail verdict a pre-training filter would act on.  All ratios
+    floor-scaled (cross-engine doctrine); the verdict compares the
+    FLOORED values so both engines branch on identical numbers.  At
+    100 TB this is a stateless narrow projection — no shuffle at all;
+    the filter composes with clean_corpus ahead of dedup."""
+    docs = read_table(spark, "documents", sf_dir)
+    ws = words(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_words = F.size(ws)
+    len_sum = F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w))
+    stop_hits = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w)))
+    lt = F.lower(F.col("text"))
+    sym_chars = F.length(F.regexp_replace(lt, r"[a-z0-9\s]", ""))
+    scored = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (F.floor(stop_hits / n_words * 10000) / 10000).alias("stop_ratio_f4"),
+        (F.floor(len_sum / n_words * 10000) / 10000).alias("avg_word_len_f4"),
+        (F.floor(sym_chars / F.length(lt) * 10000) / 10000).alias("symbol_ratio_f4"),
+    )
+    passes = (
+        (F.col("n_words") >= 20)
+        & (F.col("stop_ratio_f4") >= 0.04)
+        & (F.col("avg_word_len_f4") <= 4.8)
+        & (F.col("symbol_ratio_f4") <= 0.1)
+    )
+    return scored.withColumn("passes", passes)
+
+
+_QUALITY_SQL = f"""
+WITH w AS (
+  SELECT doc_id, text, {_WORDS_SQL} AS ws FROM documents
+), m AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         floor(len(list_filter(ws, x -> x IN {_STOPWORDS})) * 1.0
+               / len(ws) * 10000) / 10000 AS stop_ratio_f4,
+         floor(list_sum(list_transform(ws, x -> len(x))) * 1.0
+               / len(ws) * 10000) / 10000 AS avg_word_len_f4,
+         floor(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) * 1.0
+               / length(lower(text)) * 10000) / 10000 AS symbol_ratio_f4
+  FROM w
+)
+SELECT doc_id, n_words, stop_ratio_f4, avg_word_len_f4, symbol_ratio_f4,
+       (n_words >= 20 AND stop_ratio_f4 >= 0.04
+        AND avg_word_len_f4 <= 4.8 AND symbol_ratio_f4 <= 0.1) AS passes
+FROM m
+"""
+
+
 def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 terms per document by tf-idf with a rational idf
     (N+1)/(df+1) — ln-free so both engines produce identical doubles."""
@@ -535,7 +588,21 @@ def _similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: LSH recall < 1 by design; the unit test checks the
     # output against exact all-pairs cosine on a bounded sample.
-    return embedding_near_dup_lsh(read_table(spark, "embeddings", sf_dir))
+    #
+    # The fixture embeddings are near-uniform random (max pairwise
+    # cosine ~0.6 even at sf0.1), so the raw corpus contains ZERO
+    # near-dups at any sane threshold and the query would pass its
+    # rows-only check trivially with 0 rows.  To keep the check
+    # meaningful, plant deterministic duplicates: every vec_id
+    # divisible by 50 gets an exact copy at id+1_000_000 (cosine 1.0).
+    # The LSH detector must find each planted pair (identical vectors
+    # share every bucket — recall 1.0 for exact copies), so the row
+    # count is a known, stable function of the corpus size.
+    emb = read_table(spark, "embeddings", sf_dir)
+    copies = emb.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    return embedding_near_dup_lsh(emb.unionByName(copies))
 
 
 def _approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -610,6 +677,8 @@ LLM_QUERIES: list[Query] = [
           "north-star: grouped-map applyInPandas stats (numpy percentile)"),
     Query("langid_markers", _langid_markers, _LANGID_SQL,
           "north-star: marker-based language ID"),
+    Query("docs_quality_filter", _docs_quality_filter, _QUALITY_SQL,
+          "north-star: Gopher-style heuristic quality filter"),
     Query("text_tfidf_top_terms", _tfidf_top_terms, _TFIDF_SQL,
           "north-star: tf-idf top terms per doc"),
     Query("text_chunking", _text_chunking, _TEXT_CHUNK_SQL,

@@ -40,6 +40,10 @@ _UNORDERED: dict[str, Query] = make_registry(*_GROUPS)
 # every rows-only one, and queries that missed a driver row last round go
 # first so no oracle-backed query stays unchecked two rounds running.
 _FRONT = (
+    # round-3 additions first: they have never had a driver row
+    "asof_join_events",
+    "docs_quality_filter",
+    # then the queries that missed their row in round 2
     "text_chunking",
     "similarity_topk_bruteforce",
     "multimodal_features",

@@ -634,6 +634,65 @@ GROUP BY band_id
 """
 
 
+def _asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/joins.py asof_join_backward): each click
+    event picks up the most recent view event of the same user at or
+    before its timestamp.  The union+window plan shuffles both sides
+    once on user_id — no per-key pair explosion, unlike a range join."""
+    from datawarehouse_code_spark.operators.joins import asof_join_backward
+
+    events = read_table(spark, "events", sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts",
+        F.col("event_id").alias("view_event_id"),
+        F.col("value").alias("view_value"),
+    )
+    return asof_join_backward(
+        clicks, views,
+        keys=["user_id"], ts_col="ts",
+        payload_cols=["view_event_id", "view_value"],
+        right_tiebreak="view_event_id",
+    )
+
+
+_ASOF_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT user_id, ts, event_id AS view_event_id, value AS view_value
+  FROM events WHERE event_type = 'view'
+), tagged AS (
+  SELECT user_id, ts, event_id,
+         CAST(NULL AS BIGINT) AS view_event_id,
+         CAST(NULL AS DOUBLE) AS view_value, 1 AS is_left
+  FROM clicks
+  UNION ALL
+  SELECT user_id, ts, CAST(NULL AS BIGINT), view_event_id, view_value, 0
+  FROM views
+), carried AS (
+  SELECT *,
+         last_value(
+           CASE WHEN is_left = 0
+                THEN struct_pack(e := view_event_id, v := view_value) END
+           IGNORE NULLS
+         ) OVER (
+           PARTITION BY user_id
+           ORDER BY ts, is_left, coalesce(view_event_id, 0)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS prior_view
+  FROM tagged
+)
+SELECT user_id, ts, event_id,
+       prior_view.e AS asof_view_event_id,
+       prior_view.v AS asof_view_value
+FROM carried
+WHERE is_left = 1
+"""
+
+
 WAREHOUSE_QUERIES: list[Query] = [
     Query("agg_revenue_year_country", _agg_revenue_year_country, _AGG_REVENUE_SQL,
           "§2.2 aggregates: the cube's flagship GROUP BY"),
@@ -681,4 +740,6 @@ WAREHOUSE_QUERIES: list[Query] = [
           "§2.2 semi join (EXISTS)"),
     Query("theta_band_join", _theta_band_join, _THETA_SQL,
           "§2.2 theta/range join"),
+    Query("asof_join_events", _asof_join_events, _ASOF_SQL,
+          "§2.2 as-of join (backward): union+window, no range-join explosion"),
 ]

@@ -67,3 +67,30 @@ def test_csv_json_connector_round_trip(spark, tmp_path):
     orc_path = str(tmp_path / "nation_orc")
     nation.write.mode("overwrite").orc(orc_path)
     assert sorted(read_orc(spark, orc_path, "nation").collect()) == rows
+
+
+def test_asof_join_backward_semantics(spark):
+    """As-of join edge semantics: equal-ts right rows match ('at or
+    before'), the LATEST right row wins even when its payload value is
+    NULL (struct carry — no fallback to an older non-null payload),
+    and left rows with no prior right row get NULLs."""
+    from datawarehouse_code_spark.operators.joins import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (2, 5, 102)],
+        "k int, ts int, lid int",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 7, 1.5), (1, 15, 8, None), (2, 6, 9, 2.5)],
+        "k int, ts int, rid int, val double",
+    )
+    got = {
+        r["lid"]: (r["asof_rid"], r["asof_val"])
+        for r in asof_join_backward(
+            left, right, keys=["k"], ts_col="ts",
+            payload_cols=["rid", "val"], right_tiebreak="rid",
+        ).collect()
+    }
+    assert got[100] == (7, 1.5)      # equal ts matches
+    assert got[101] == (8, None)     # latest row wins, NULL payload kept
+    assert got[102] == (None, None)  # right row is later -> no match
