@@ -101,6 +101,24 @@ def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> Data
     )
 
 
+def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming ingest dedup — the streaming twin of exact_dedup for
+    an at-least-once source (Kafka redeliveries, file re-drops): emit
+    each event_id once, suppressing re-arrivals within the watermark.
+
+    `dropDuplicatesWithinWatermark` keys state by event_id and evicts
+    a key once the watermark passes its first-seen event time + delay,
+    so state is O(keys per watermark window), not O(history) — the
+    property that makes streaming dedup viable at 100 TB/day.  The
+    documented consequence: a duplicate arriving AFTER its key was
+    evicted is re-emitted (dedup is exactly-once only within the
+    watermark; downstream exact_dedup remains the batch backstop).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def session_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming session-window aggregate (30-minute gap)."""
     return (

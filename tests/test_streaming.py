@@ -111,3 +111,63 @@ def test_watermark_drops_late_and_updates_stragglers(spark, tmp_path):
     assert "2024-01-01 15:00:00" not in got
     # stream termination restored the nanos conf (batch reads fail loudly)
     assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) in (None, "false")
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a duplicate event_id arriving
+    within the watermark is suppressed; after its key is evicted
+    (watermark passed), the same id is emitted again — exactly-once
+    within the watermark, at-least-once across evictions."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datawarehouse_code_spark.streaming.jobs import dedup_events_stream
+
+    d = tmp_path / "dedup_stream"
+    d.mkdir()
+
+    def write(name, rows, mtime):
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [int(pd.Timestamp(r[1]).value) for r in rows], pa.int64()
+            ),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array(["click"] * len(rows)),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        })
+        p = str(d / name)
+        pq.write_table(tbl, p)
+        os.utime(p, (mtime, mtime))
+
+    write("f1.parquet", [(1, "2024-01-01T10:00"), (2, "2024-01-01T10:05")],
+          1_700_000_000)
+    # id=1 again, within the watermark -> suppressed; id=3 is new
+    write("f2.parquet", [(1, "2024-01-01T10:01"), (3, "2024-01-01T10:07")],
+          1_700_000_010)
+    # advances the watermark (1 h delay) to 13:00 after this batch
+    write("f3.parquet", [(4, "2024-01-01T14:00")], 1_700_000_020)
+    # spacer batch: state eviction runs at END of a batch, so ids
+    # 1,2,3 (expiry 11:xx < watermark 13:00) are removed at this
+    # batch's end, not during the batch that advanced the watermark
+    write("f4.parquet", [(5, "2024-01-01T14:01")], 1_700_000_030)
+    # id=1 after eviction -> emitted again
+    write("f5.parquet", [(1, "2024-01-01T14:05")], 1_700_000_040)
+
+    events = read_events_stream(spark, str(d), max_files_per_trigger=1)
+    run_to_memory(dedup_events_stream(events), "t_dedup", output_mode="append")
+
+    rows = spark.table("t_dedup").collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["event_id"], []).append(str(r["ts"]))
+    assert sorted(by_id[1]) == ["2024-01-01 10:00:00", "2024-01-01 14:05:00"]
+    assert by_id[2] == ["2024-01-01 10:05:00"]
+    assert by_id[3] == ["2024-01-01 10:07:00"]
+    assert by_id[4] == ["2024-01-01 14:00:00"]
+    assert by_id[5] == ["2024-01-01 14:01:00"]
+    assert len(rows) == 6
