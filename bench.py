@@ -79,6 +79,12 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "text_token_stats",
     "multimodal_features",
+    # round-3 additions (not in the frozen r2 row; ratios appear once a
+    # later round freezes them)
+    "asof_join_events",
+    "docs_quality_filter",
+    "docs_stratified_sample",
+    "corpus_survivors",
 ]
 
 

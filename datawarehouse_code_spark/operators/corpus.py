@@ -109,6 +109,40 @@ def clean_corpus(
     return exact_survivors.join(dropped_near, "doc_id", "left_anti")
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic stratified sampling — the corpus-rebalancing
+    primitive (downsample over-represented languages/sources before
+    training).  Each row's keep/drop decision is a pure function of
+    its integer key: u = ((key mod 2³¹) · 2654435761 mod 2³²) / 2³²
+    (Knuth multiplicative hash), kept iff u < rate(stratum).
+
+    Why not df.sample()/sampleBy(): their Bernoulli draw depends on
+    partition layout, so results change under repartitioning and can't
+    be reproduced by another engine.  The hash rule is stable across
+    runs, partitionings, AND engines (plain integer arithmetic — the
+    DuckDB oracle replays it exactly), and it composes: re-sampling
+    with a higher rate yields a superset (u is fixed per key).
+    Stateless narrow projection — no shuffle at any scale.
+    """
+    u = (
+        F.pmod(
+            F.pmod(F.col(key_col), F.lit(2**31)) * F.lit(2654435761),
+            F.lit(2**32),
+        )
+        / F.lit(float(2**32))
+    )
+    rate = F.lit(float(default_rate))
+    for stratum, r in rates.items():
+        rate = F.when(F.col(strata_col) == stratum, F.lit(float(r))).otherwise(rate)
+    return df.filter(u < rate)
+
+
 def write_clean_corpus(
     spark: SparkSession, documents: DataFrame, out_path: str,
     near_dup_threshold: float = 0.5,

@@ -160,6 +160,28 @@ WHERE doc_id IN (SELECT doc_id FROM canon)
 """
 
 
+def _docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing: keep half the English documents (the
+    over-represented stratum on this fixture) and all others, decided
+    by the deterministic per-key hash rule in stratified_hash_sample —
+    reproducible across runs, partitionings, and engines."""
+    from datawarehouse_code_spark.operators.corpus import stratified_hash_sample
+
+    docs = read_table(spark, "documents", sf_dir)
+    sampled = stratified_hash_sample(
+        docs, key_col="doc_id", strata_col="lang", rates={"en": 0.5}
+    )
+    return sampled.select("doc_id", "lang", "source", "n_chars")
+
+
+_STRATIFIED_SQL = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296
+      < (CASE WHEN lang = 'en' THEN 0.5 ELSE 1.0 END) * 4294967296
+"""
+
+
 def _dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: MLlib MinHashLSH (stock-library twin of
     # dedup_minhash_lsh; approx join + hashed features).
@@ -679,6 +701,8 @@ LLM_QUERIES: list[Query] = [
           "north-star: marker-based language ID"),
     Query("docs_quality_filter", _docs_quality_filter, _QUALITY_SQL,
           "north-star: Gopher-style heuristic quality filter"),
+    Query("docs_stratified_sample", _docs_stratified_sample, _STRATIFIED_SQL,
+          "north-star: deterministic stratified hash-sampling (corpus rebalance)"),
     Query("text_tfidf_top_terms", _tfidf_top_terms, _TFIDF_SQL,
           "north-star: tf-idf top terms per doc"),
     Query("text_chunking", _text_chunking, _TEXT_CHUNK_SQL,

@@ -43,6 +43,7 @@ _FRONT = (
     # round-3 additions first: they have never had a driver row
     "asof_join_events",
     "docs_quality_filter",
+    "docs_stratified_sample",
     # then the queries that missed their row in round 2
     "text_chunking",
     "similarity_topk_bruteforce",

@@ -98,3 +98,35 @@ def test_near_dup_components_empty_and_disjoint(spark):
     two = spark.createDataFrame([(1, 2), (7, 9)], "d1 int, d2 int")
     comp = {r["doc_id"]: r["rep"] for r in near_dup_components(two).collect()}
     assert comp == {1: 1, 2: 1, 7: 7, 9: 7}
+
+
+def test_stratified_hash_sample_deterministic_and_composable(spark):
+    """The hash-sampling rule is a pure function of the key: the same
+    input yields the same sample under any partitioning; a higher rate
+    yields a superset; the realized rate tracks the target; non-listed
+    strata keep the default rate (1.0 keeps everything)."""
+    from datawarehouse_code_spark.operators.corpus import stratified_hash_sample
+
+    docs = read_table(spark, "documents", SF_DIR)
+    half = stratified_hash_sample(docs, "doc_id", "lang", {"en": 0.5})
+    ids1 = {r["doc_id"] for r in half.select("doc_id").collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in stratified_hash_sample(
+            docs.repartition(17), "doc_id", "lang", {"en": 0.5}
+        ).select("doc_id").collect()
+    }
+    assert ids1 == ids2  # partitioning-independent
+
+    n_en = docs.filter(F.col("lang") == "en").count()
+    n_en_kept = half.filter(F.col("lang") == "en").count()
+    assert 0.35 * n_en <= n_en_kept <= 0.65 * n_en  # realized ~ target
+    # non-listed strata untouched
+    assert (
+        half.filter(F.col("lang") != "en").count()
+        == docs.filter(F.col("lang") != "en").count()
+    )
+
+    wider = stratified_hash_sample(docs, "doc_id", "lang", {"en": 0.8})
+    ids_wide = {r["doc_id"] for r in wider.select("doc_id").collect()}
+    assert ids1 <= ids_wide  # raising the rate only adds rows

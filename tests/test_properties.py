@@ -90,3 +90,68 @@ def test_golden_cube_snapshot(spark):
         lines.append("|".join(vals))
     h = hashlib.sha256("\n".join(sorted(lines)).encode()).hexdigest()
     assert h == GOLDEN_CUBE_SHA256, f"cube snapshot drifted: {h}"
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 10**6)),
+        min_size=1, max_size=30,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 10**6)),
+        min_size=0, max_size=30,
+    ),
+)
+@settings(max_examples=15, deadline=None)
+def test_asof_join_matches_pandas_merge_asof(left_rows, right_rows):
+    """asof_join_backward agrees with pandas merge_asof (backward,
+    exact matches allowed) on arbitrary key/ts data.  Right (key, ts)
+    pairs are deduplicated so the match is unambiguous (our tiebreak
+    and pandas' input-order rule would otherwise pick different rows
+    legitimately)."""
+    import pandas as pd
+
+    import tests.conftest as c
+    from datawarehouse_code_spark.operators.joins import asof_join_backward
+
+    spark = _spark_handle(c)
+    seen = set()
+    right_uniq = []
+    for k, ts, rid in right_rows:
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            right_uniq.append((k, ts, rid))
+    left = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts, _) in enumerate(left_rows)],
+        "k int, ts int, lid int",
+    )
+    right = spark.createDataFrame(right_uniq or [(99, 0, 0)], "k int, ts int, rid int")
+    if not right_uniq:
+        right = right.filter("k < 0")  # truly empty, schema kept
+    got = {
+        r["lid"]: r["asof_rid"]
+        for r in asof_join_backward(
+            left, right, keys=["k"], ts_col="ts", payload_cols=["rid"],
+            right_tiebreak="rid",
+        ).collect()
+    }
+
+    lpdf = pd.DataFrame(
+        [(k, ts, i) for i, (k, ts, _) in enumerate(left_rows)],
+        columns=["k", "ts", "lid"],
+    ).sort_values("ts", kind="stable")
+    rpdf = pd.DataFrame(right_uniq, columns=["k", "ts", "rid"]).sort_values(
+        "ts", kind="stable"
+    )
+    if rpdf.empty:
+        want = {int(lid): None for lid in lpdf["lid"]}
+    else:
+        merged = pd.merge_asof(
+            lpdf, rpdf, on="ts", by="k", direction="backward",
+            allow_exact_matches=True,
+        )
+        want = {
+            int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+            for r in merged.itertuples()
+        }
+    assert got == want
