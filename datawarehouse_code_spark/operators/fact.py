@@ -69,5 +69,14 @@ def build_fact(lineitem: DataFrame, orders: DataFrame, customer: DataFrame) -> D
 def write_fact(fact: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Partitioned fact write (O17): year range-partitioning ≙
     `partitionBy("year")`; Spark partition pruning replaces MySQL
-    partition elimination."""
-    fact.write.mode(mode).partitionBy("year").parquet(path)
+    partition elimination.
+
+    Rows are additionally sorted by `date_id` WITHIN each task
+    partition before writing: parquet row-group min/max stats on a
+    sorted column turn date-ranged scans into row-group skips — the
+    cheap stand-in for the reference's secondary date index (O18) that
+    costs one in-memory sort per task, no extra shuffle (verified:
+    same exchange count with and without)."""
+    fact.sortWithinPartitions("year", "date_id").write.mode(mode).partitionBy(
+        "year"
+    ).parquet(path)

@@ -268,12 +268,23 @@ def simhash_udf(n_bits: int = 60):
 
 
 def simhash_near_dup_pairs(
-    documents: DataFrame, max_hamming: int = 3, n_bits: int = 60, n_bands: int = 4
+    documents: DataFrame,
+    max_hamming: int = 3,
+    n_bits: int = 60,
+    n_bands: int = 4,
+    hot_band_cap: int | None = 5000,
 ) -> DataFrame:
     """SimHash near-dup pairs: candidates agree on at least one of
     `n_bands` contiguous 15-bit bands (pigeonhole: hamming ≤ 3 over 60
     bits guarantees ≥1 identical band of 4), verified with the exact
-    bit_count(xor) distance.  Bucket-bounded, never all-pairs."""
+    bit_count(xor) distance.  Bucket-bounded, never all-pairs.
+
+    `hot_band_cap` (default on): a degenerate band value shared by a
+    huge doc population — canonically simhash 0 from empty/whitespace
+    docs, which agree on EVERY band — would make the self-join emit
+    O(|bucket|²) rows; filter_posting_keys drops such band buckets
+    (and singleton buckets, which can't pair) before the join.  Docs
+    in a dropped bucket still meet in their other bands."""
     band_bits = n_bits // n_bands
     mask = (1 << band_bits) - 1
     sh_fn = simhash_udf(n_bits)
@@ -297,6 +308,7 @@ def simhash_near_dup_pairs(
             )
         ).alias("b"),
     ).select("doc_id", "simhash", F.col("b.band_idx"), F.col("b.band_val"))
+    bands = filter_posting_keys(bands, ["band_idx", "band_val"], hot_band_cap)
     a = bands.select(
         F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"),
         "band_idx", "band_val",
