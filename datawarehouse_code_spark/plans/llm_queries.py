@@ -160,6 +160,38 @@ WHERE doc_id IN (SELECT doc_id FROM canon)
 """
 
 
+def _vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction: the top-500 corpus terms by document
+    frequency (ties broken lexicographically), with df and total
+    term frequency — the vocab-building step ahead of tokenizer
+    training.  Scale shape: explode(distinct words) → two-phase
+    count agg → TakeOrderedAndProject (per-partition top-k, k-row
+    driver merge; no global sort of the full vocabulary)."""
+    docs = read_table(spark, "documents", sf_dir)
+    per_doc = docs.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("term")
+    )
+    stats = per_doc.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("tf"),
+    )
+    return stats.orderBy(F.col("df").desc(), F.col("term").asc()).limit(500)
+
+
+_VOCAB_SQL = f"""
+WITH per_doc AS (
+  SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents
+)
+SELECT term,
+       count(DISTINCT doc_id) AS df,
+       count(*) AS tf
+FROM per_doc
+GROUP BY term
+ORDER BY df DESC, term ASC
+LIMIT 500
+"""
+
+
 def _docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus rebalancing: keep half the English documents (the
     over-represented stratum on this fixture) and all others, decided
@@ -703,6 +735,8 @@ LLM_QUERIES: list[Query] = [
           "north-star: Gopher-style heuristic quality filter"),
     Query("docs_stratified_sample", _docs_stratified_sample, _STRATIFIED_SQL,
           "north-star: deterministic stratified hash-sampling (corpus rebalance)"),
+    Query("vocab_top_terms", _vocab_top_terms, _VOCAB_SQL,
+          "north-star: vocabulary induction (top terms by document frequency)"),
     Query("text_tfidf_top_terms", _tfidf_top_terms, _TFIDF_SQL,
           "north-star: tf-idf top terms per doc"),
     Query("text_chunking", _text_chunking, _TEXT_CHUNK_SQL,

@@ -44,6 +44,7 @@ _FRONT = (
     "asof_join_events",
     "docs_quality_filter",
     "docs_stratified_sample",
+    "vocab_top_terms",
     # then the queries that missed their row in round 2
     "text_chunking",
     "similarity_topk_bruteforce",

@@ -186,3 +186,26 @@ def test_fact_write_sorted_row_groups_for_skipping(spark, tmp_path):
         checked_files += 1
         checked_groups += len(ranges)
     assert checked_files > 0 and checked_groups >= checked_files
+
+
+def test_asof_join_single_shuffle_no_join_node(spark):
+    """The as-of join must compile to ONE exchange + window sort and
+    ZERO join operators — the union+window shape; a range-join rewrite
+    (BroadcastNestedLoop / cartesian) would be a scale regression."""
+    from datawarehouse_code_spark.plans.registry import QUERIES
+
+    df = QUERIES["asof_join_events"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_topk_compiles_to_take_ordered(spark):
+    """Vocabulary top-k must be TakeOrderedAndProject (per-partition
+    top-k + k-row merge), not a global Sort of the whole vocabulary."""
+    from datawarehouse_code_spark.plans.registry import QUERIES
+
+    df = QUERIES["vocab_top_terms"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
