@@ -77,17 +77,20 @@ def asof_join_backward(
     if overlap:
         raise ValueError(f"asof_join_backward: payload collides with left: {overlap}")
     left_only = [c for c in left.columns if c not in keys and c != ts_col]
+    # the tiebreak keeps its OWN type (a cast to long would silently
+    # null out string tiebreaks and break determinism)
+    tb_type = (
+        right.schema[right_tiebreak].dataType.simpleString()
+        if right_tiebreak is not None
+        else "int"
+    )
     tagged_left = left.select(
         *keys, ts_col, *left_only,
         *[F.lit(None).alias(p) for p in payload_cols],
-        F.lit(None).cast("long").alias("_tb"),
+        F.lit(None).cast(tb_type).alias("_tb"),
         F.lit(1).alias("_is_left"),
     )
-    tb = (
-        F.col(right_tiebreak).cast("long")
-        if right_tiebreak is not None
-        else F.lit(0).cast("long")
-    )
+    tb = F.col(right_tiebreak) if right_tiebreak is not None else F.lit(0)
     tagged_right = right.select(
         *keys, ts_col,
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_only],
