@@ -700,6 +700,45 @@ FROM documents
 """
 
 
+def _multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1→N frame-sampling stage (mapInPandas row explosion)
+    re-aggregated per media item.  The sampler cuts each payload into
+    4 evenly-spaced step-sized byte slices (step = max(size//4, 1)),
+    so the per-media frame count and lengths have a closed form the
+    oracle recomputes from octet_length alone — hash-checking the
+    whole explode-and-reaggregate Arrow round-trip."""
+    from datawarehouse_code_spark.operators.multimodal import (
+        media_from_documents,
+        sample_frames,
+    )
+
+    docs = read_table(spark, "documents", sf_dir).repartition("doc_id")
+    frames = sample_frames(media_from_documents(docs))
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("frame_len").alias("sum_frame_len"),
+        F.min("frame_len").alias("min_frame_len"),
+        F.max("frame_len").alias("max_frame_len"),
+    )
+
+
+_FRAME_STATS_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) AS sz FROM documents
+)
+SELECT media_id,
+       CAST(CASE WHEN sz >= 4 THEN 4 ELSE sz END AS BIGINT) AS n_frames,
+       CAST(CASE WHEN sz >= 4 THEN 4 * (sz // 4) ELSE sz END AS BIGINT)
+           AS sum_frame_len,
+       CAST(CASE WHEN sz >= 4 THEN sz // 4 ELSE 1 END AS INTEGER)
+           AS min_frame_len,
+       CAST(CASE WHEN sz >= 4 THEN sz // 4 ELSE 1 END AS INTEGER)
+           AS max_frame_len
+FROM m
+WHERE sz > 0
+"""
+
+
 LLM_QUERIES: list[Query] = [
     Query("dedup_exact", _dedup_exact, _DEDUP_EXACT_SQL,
           "north-star: exact content-hash dedup"),
@@ -747,6 +786,8 @@ LLM_QUERIES: list[Query] = [
           "north-star: LSH-bucketed cosine top-k (rows-only; exact twin = bruteforce)"),
     Query("multimodal_features", _multimodal_features, _MULTIMODAL_SQL,
           "north-star: binary media feature extraction via mapInPandas"),
+    Query("multimodal_frame_stats", _multimodal_frame_stats, _FRAME_STATS_SQL,
+          "north-star: 1-to-N frame sampling (mapInPandas explosion) re-aggregated"),
     Query("similarity_topk_ivf", _similarity_topk_ivf, None,
           "north-star: IVF centroid-bucketed ANN (rows-only; exact twin = bruteforce)"),
     Query("embedding_near_dup", _embedding_near_dup, None,

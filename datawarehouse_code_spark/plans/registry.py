@@ -45,6 +45,7 @@ _FRONT = (
     "docs_quality_filter",
     "docs_stratified_sample",
     "vocab_top_terms",
+    "multimodal_frame_stats",
     # then the queries that missed their row in round 2
     "text_chunking",
     "similarity_topk_bruteforce",
