@@ -61,6 +61,7 @@ def near_dup_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .withColumn("rep", F.col("doc_id"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iters):
         nbr_reps = sym.join(
             labels.select(F.col("doc_id").alias("d2"), "rep"), "d2"
@@ -81,6 +82,15 @@ def near_dup_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # returning mid-propagation labels would silently keep
+        # duplicates (and diverge from the transitive-closure oracle);
+        # a >max_iters diameter is pathological enough to fail loudly.
+        raise RuntimeError(
+            f"near_dup_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); raise max_iters or use "
+            "large-star/small-star for extreme-diameter pair graphs"
+        )
     return labels
 
 
@@ -156,9 +166,15 @@ def write_clean_corpus(
     AND the pair source), survivors are persisted, counted once, and
     written from cache.  Neither the input nor the written output is
     re-scanned for the report — the input count reads the cache the
-    cleaning pass already populated.
+    cleaning pass already populated.  An input the CALLER already
+    persisted is left exactly as given (not re-persisted, and not
+    evicted on exit — unpersisting a borrowed cache would silently
+    force the caller's next action to recompute its lineage).
     """
-    docs = documents.persist()
+    from pyspark import StorageLevel
+
+    caller_cached = documents.storageLevel != StorageLevel.NONE
+    docs = documents if caller_cached else documents.persist()
     survivors = clean_corpus(docs, near_dup_threshold).persist()
     try:
         n_out = survivors.count()
@@ -166,5 +182,6 @@ def write_clean_corpus(
         n_in = docs.count()
     finally:
         survivors.unpersist()
-        docs.unpersist()
+        if not caller_cached:
+            docs.unpersist()
     return {"input": n_in, "surviving": n_out, "dropped": n_in - n_out}

@@ -70,6 +70,12 @@ def asof_join_backward(
     Ties (right.ts == left.ts) match — "at or before"; among equal-ts
     right rows `right_tiebreak` (required for determinism if such
     ties can occur) picks the one sorting last.
+
+    NULL timestamps: right rows with NULL ts are ignored (an unknown
+    time can't be "before" anything), and left rows with NULL ts get
+    NULL payloads — pinned explicitly (asc_nulls_first + the right-ts
+    filter) because engines disagree on default NULL ordering (Spark
+    ASC = NULLS FIRST, DuckDB = NULLS LAST).
     """
     from pyspark.sql import Window
 
@@ -91,7 +97,7 @@ def asof_join_backward(
         F.lit(1).alias("_is_left"),
     )
     tb = F.col(right_tiebreak) if right_tiebreak is not None else F.lit(0)
-    tagged_right = right.select(
+    tagged_right = right.filter(F.col(ts_col).isNotNull()).select(
         *keys, ts_col,
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_only],
         *payload_cols,
@@ -101,7 +107,11 @@ def asof_join_backward(
     unioned = tagged_left.unionByName(tagged_right)
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(ts_col).asc(), F.col("_is_left").asc(), F.col("_tb").asc())
+        .orderBy(
+            F.col(ts_col).asc_nulls_first(),
+            F.col("_is_left").asc(),
+            F.col("_tb").asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # carry the whole right row as ONE struct: a struct is non-null for

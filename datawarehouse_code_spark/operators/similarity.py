@@ -193,11 +193,21 @@ def kmeans_centroids(
     far more than k-means needs for stable centroids); assignment of
     the full corpus stays a broadcast join against the k centroids, so
     the expensive path is untouched by how the centroids were learned.
+
+    Determinism caveat: with a fixed seed, k-means|| init (and
+    Bernoulli sampling) draw per-partition RNG streams, so the result
+    is deterministic only for a fixed partition LAYOUT.  The fit input
+    is range-partitioned by vec_id here to pin the layout for a given
+    dataset; a different cluster size or upstream repartition still
+    changes centroids (acceptable: IVF is rows-only/approximate, and
+    downstream sims are exact regardless of bucketing).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    fit_df = vecs.select(array_to_vector(F.col("v")).alias("features"))
+    fit_df = vecs.repartitionByRange(16, F.col("vec_id")).select(
+        array_to_vector(F.col("v")).alias("features")
+    )
     if fit_sample_fraction is not None:
         fit_df = fit_df.sample(False, fit_sample_fraction, seed)
     model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(fit_df)
@@ -205,7 +215,12 @@ def kmeans_centroids(
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
     cents = vecs.sparkSession.createDataFrame(rows, "cent_id int, cv array<double>")
-    return cents.withColumn("inv_c", F.lit(1.0) / l2_norm(F.col("cv")))
+    # a zero-norm centroid (possible only from an all-zero cluster)
+    # scores 0 against everything instead of dividing by zero
+    norm = l2_norm(F.col("cv"))
+    return cents.withColumn(
+        "inv_c", F.when(norm > 0, F.lit(1.0) / norm).otherwise(F.lit(0.0))
+    )
 
 
 def ivf_topk(

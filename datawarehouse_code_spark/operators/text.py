@@ -272,19 +272,24 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     n_bits: int = 60,
     n_bands: int = 4,
-    hot_band_cap: int | None = 5000,
+    hot_band_cap: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: candidates agree on at least one of
     `n_bands` contiguous 15-bit bands (pigeonhole: hamming ≤ 3 over 60
     bits guarantees ≥1 identical band of 4), verified with the exact
     bit_count(xor) distance.  Bucket-bounded, never all-pairs.
+    Singleton band buckets (which cannot pair) are dropped before the
+    self-join either way.
 
-    `hot_band_cap` (default on): a degenerate band value shared by a
-    huge doc population — canonically simhash 0 from empty/whitespace
-    docs, which agree on EVERY band — would make the self-join emit
-    O(|bucket|²) rows; filter_posting_keys drops such band buckets
-    (and singleton buckets, which can't pair) before the join.  Docs
-    in a dropped bucket still meet in their other bands."""
+    `hot_band_cap` is OFF by default, unlike the MinHash-LSH cap: the
+    pigeonhole guarantee promises only ONE agreeing band per
+    hamming≤3 pair, so dropping a hot bucket can lose a pair outright
+    (there is no "other band" fallback — and a >cap population of
+    IDENTICAL fingerprints is hot in all four bands at once).  Set a
+    cap only when boilerplate-heavy fingerprints are known to be
+    handled upstream (run exact dedup first — it removes the
+    identical-document mass that creates degenerate buckets) and
+    bounded join volume matters more than guaranteed recall."""
     band_bits = n_bits // n_bands
     mask = (1 << band_bits) - 1
     sh_fn = simhash_udf(n_bits)
@@ -356,6 +361,45 @@ def content_fingerprint_udf(k: int = 3):
         return pd.Series(out)
 
     return _fp
+
+
+QUALITY_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def quality_scores(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style heuristic quality scoring: word count, stopword
+    ratio, mean word length, and symbol ratio per document, plus the
+    pass/fail verdict a pre-training filter would act on.  All ratios
+    floor-scaled (cross-engine doctrine); the verdict compares the
+    FLOORED values so both engines branch on identical numbers.
+    Empty text yields a NULL symbol ratio (and a non-true verdict) on
+    both engines instead of dividing by zero.  At 100 TB this is a
+    stateless narrow projection — no shuffle at all; it composes with
+    clean_corpus ahead of dedup."""
+    ws = words(F.col(text_col))
+    stop_arr = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
+    n_words = F.size(ws)
+    len_sum = F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w))
+    stop_hits = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w)))
+    lt = F.lower(F.col(text_col))
+    sym_chars = F.length(F.regexp_replace(lt, r"[a-z0-9\s]", ""))
+    symbol_ratio = F.when(
+        F.length(lt) > 0, F.floor(sym_chars / F.length(lt) * 10000) / 10000
+    )
+    scored = documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (F.floor(stop_hits / n_words * 10000) / 10000).alias("stop_ratio_f4"),
+        (F.floor(len_sum / n_words * 10000) / 10000).alias("avg_word_len_f4"),
+        symbol_ratio.alias("symbol_ratio_f4"),
+    )
+    passes = (
+        (F.col("n_words") >= 20)
+        & (F.col("stop_ratio_f4") >= 0.04)
+        & (F.col("avg_word_len_f4") <= 4.8)
+        & (F.col("symbol_ratio_f4") <= 0.1)
+    )
+    return scored.withColumn("passes", passes)
 
 
 def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:

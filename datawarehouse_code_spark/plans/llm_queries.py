@@ -206,10 +206,13 @@ def _docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.select("doc_id", "lang", "source", "n_chars")
 
 
+# The double-mod makes the key term non-negative for negative ids too
+# (DuckDB's % is sign-preserving; Spark-side pmod is non-negative).
 _STRATIFIED_SQL = """
 SELECT doc_id, lang, source, n_chars
 FROM documents
-WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296
+WHERE (((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761)
+      % 4294967296
       < (CASE WHEN lang = 'en' THEN 0.5 ELSE 1.0 END) * 4294967296
 """
 
@@ -356,35 +359,11 @@ FROM scored
 
 
 def _docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style heuristic quality scoring: word count, stopword
-    ratio, mean word length, and symbol ratio per document, plus the
-    pass/fail verdict a pre-training filter would act on.  All ratios
-    floor-scaled (cross-engine doctrine); the verdict compares the
-    FLOORED values so both engines branch on identical numbers.  At
-    100 TB this is a stateless narrow projection — no shuffle at all;
-    the filter composes with clean_corpus ahead of dedup."""
-    docs = read_table(spark, "documents", sf_dir)
-    ws = words(F.col("text"))
-    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    n_words = F.size(ws)
-    len_sum = F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w))
-    stop_hits = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w)))
-    lt = F.lower(F.col("text"))
-    sym_chars = F.length(F.regexp_replace(lt, r"[a-z0-9\s]", ""))
-    scored = docs.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        (F.floor(stop_hits / n_words * 10000) / 10000).alias("stop_ratio_f4"),
-        (F.floor(len_sum / n_words * 10000) / 10000).alias("avg_word_len_f4"),
-        (F.floor(sym_chars / F.length(lt) * 10000) / 10000).alias("symbol_ratio_f4"),
-    )
-    passes = (
-        (F.col("n_words") >= 20)
-        & (F.col("stop_ratio_f4") >= 0.04)
-        & (F.col("avg_word_len_f4") <= 4.8)
-        & (F.col("symbol_ratio_f4") <= 0.1)
-    )
-    return scored.withColumn("passes", passes)
+    """Gopher-style heuristic quality scoring (see
+    operators.text.quality_scores) over the documents fixture."""
+    from datawarehouse_code_spark.operators.text import quality_scores
+
+    return quality_scores(read_table(spark, "documents", sf_dir))
 
 
 _QUALITY_SQL = f"""
@@ -397,8 +376,10 @@ WITH w AS (
                / len(ws) * 10000) / 10000 AS stop_ratio_f4,
          floor(list_sum(list_transform(ws, x -> len(x))) * 1.0
                / len(ws) * 10000) / 10000 AS avg_word_len_f4,
-         floor(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) * 1.0
-               / length(lower(text)) * 10000) / 10000 AS symbol_ratio_f4
+         CASE WHEN length(lower(text)) > 0 THEN
+           floor(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) * 1.0
+                 / length(lower(text)) * 10000) / 10000
+         END AS symbol_ratio_f4
   FROM w
 )
 SELECT doc_id, n_words, stop_ratio_f4, avg_word_len_f4, symbol_ratio_f4,

@@ -59,6 +59,12 @@ _FRONT = (
 # park at the tail of the oracle-backed block if the window truncates.
 _BACK = ("dim_date_year", "dim_date_month")
 
+# A renamed or mistyped entry would silently fall back to default
+# ordering and void the carefully-arranged prefix — fail at import.
+_unknown = (set(_FRONT) | set(_BACK)) - set(_UNORDERED)
+if _unknown:
+    raise AssertionError(f"registry ordering references unknown queries: {_unknown}")
+
 
 def _order_key(item: tuple[int, str, Query]) -> tuple[int, int]:
     idx, name, q = item

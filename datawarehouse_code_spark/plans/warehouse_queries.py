@@ -663,7 +663,7 @@ WITH clicks AS (
   SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
 ), views AS (
   SELECT user_id, ts, event_id AS view_event_id, value AS view_value
-  FROM events WHERE event_type = 'view'
+  FROM events WHERE event_type = 'view' AND ts IS NOT NULL
 ), tagged AS (
   SELECT user_id, ts, event_id,
          CAST(NULL AS BIGINT) AS view_event_id,
@@ -680,7 +680,7 @@ WITH clicks AS (
            IGNORE NULLS
          ) OVER (
            PARTITION BY user_id
-           ORDER BY ts, is_left, coalesce(view_event_id, 0)
+           ORDER BY ts NULLS FIRST, is_left, coalesce(view_event_id, 0)
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
          ) AS prior_view
   FROM tagged

@@ -145,8 +145,17 @@ def run_to_memory(
     trigger (processes all available input, then stops), blocking
     until done.  `append` output mode emits each window exactly once,
     when the watermark passes its end — the mode the late-data tests
-    exercise.  Restores the nanosAsLong conf on termination so later
-    batch reads of nanos columns fail loudly again."""
+    exercise.
+
+    Restores the nanosAsLong conf on termination so later batch reads
+    of nanos columns fail loudly again — but ONLY once no other
+    streaming query is still active on the session (yanking the conf
+    under a live stream would break its next micro-batch's file
+    resolution).  Starting a SECOND query from the same
+    read_events_stream DataFrame after a drain restored the conf
+    fails loudly at parquet resolution; call read_events_stream again
+    (it re-sets the conf) for each drain."""
+    spark = result.sparkSession
     q = (
         result.writeStream.format("memory")
         .queryName(table_name)
@@ -157,4 +166,5 @@ def run_to_memory(
     try:
         q.awaitTermination()
     finally:
-        restore_nanos_conf(result.sparkSession)
+        if not spark.streams.active:
+            restore_nanos_conf(spark)

@@ -130,3 +130,30 @@ def test_stratified_hash_sample_deterministic_and_composable(spark):
     wider = stratified_hash_sample(docs, "doc_id", "lang", {"en": 0.8})
     ids_wide = {r["doc_id"] for r in wider.select("doc_id").collect()}
     assert ids1 <= ids_wide  # raising the rate only adds rows
+
+
+def test_near_dup_components_raises_on_non_convergence(spark):
+    import pytest
+
+    from datawarehouse_code_spark.operators.corpus import near_dup_components
+
+    chain = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "d1 int, d2 int")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_components(chain, max_iters=1)
+    # enough rounds -> converges fine
+    comp = {r["doc_id"]: r["rep"] for r in near_dup_components(chain).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_quality_scores_empty_text_null_ratio(spark):
+    from datawarehouse_code_spark.operators.text import quality_scores
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "the quick brown fox of the age and the end is near "
+                      "the lazy dog in a fog of war and the tin is full")],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    assert rows[1]["symbol_ratio_f4"] is None
+    assert rows[1]["passes"] is not True
+    assert rows[2]["symbol_ratio_f4"] == 0.0

@@ -94,3 +94,24 @@ def test_asof_join_backward_semantics(spark):
     assert got[100] == (7, 1.5)      # equal ts matches
     assert got[101] == (8, None)     # latest row wins, NULL payload kept
     assert got[102] == (None, None)  # right row is later -> no match
+
+
+def test_asof_join_null_timestamps(spark):
+    """NULL-ts right rows are ignored; NULL-ts left rows get NULL
+    payloads (pinned NULLS FIRST ordering on both engines)."""
+    from datawarehouse_code_spark.operators.joins import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, None, 101)], "k int, ts int, lid int"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 7), (1, None, 8)], "k int, ts int, rid int"
+    )
+    got = {
+        r["lid"]: r["asof_rid"]
+        for r in asof_join_backward(
+            left, right, keys=["k"], ts_col="ts", payload_cols=["rid"],
+            right_tiebreak="rid",
+        ).collect()
+    }
+    assert got == {100: 7, 101: None}
