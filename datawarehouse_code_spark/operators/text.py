@@ -402,6 +402,43 @@ def quality_scores(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return scored.withColumn("passes", passes)
 
 
+def contamination_check(
+    train: DataFrame,
+    holdout: DataFrame,
+    k: int = 3,
+    flag_ratio: float = 0.2,
+) -> DataFrame:
+    """Benchmark decontamination: for every training document, the
+    number and share of its distinct k-gram shingles that appear
+    anywhere in the holdout corpus, plus the flag a decontamination
+    pass would act on (ratio >= `flag_ratio`).
+
+    Scale shape: the holdout (a benchmark/eval set) is tiny relative
+    to a 100 TB training corpus, so its distinct shingle-hash set is
+    BROADCAST and the check is one narrow pass over the exploded train
+    shingles — no shuffle of the train side at all beyond the per-doc
+    re-aggregation.  Asymmetric by design: unlike near-dup detection,
+    a single holdout shingle in a train doc counts, whatever the rest
+    of the doc looks like.
+    """
+    t = shingle_table(train, k)
+    h_sh = shingle_table(holdout, k).select("s").distinct()
+    marked = t.join(
+        F.broadcast(h_sh.withColumn("_hit", F.lit(1))), "s", "left"
+    )
+    per_doc = marked.groupBy("doc_id", "n_sh").agg(
+        F.count("_hit").alias("shared")  # count() skips the NULL misses
+    )
+    ratio = F.col("shared") / F.col("n_sh")
+    return per_doc.select(
+        "doc_id",
+        "n_sh",
+        "shared",
+        (F.floor(ratio * 10000) / 10000).alias("contaminated_f4"),
+        (F.floor(ratio * 10000) / 10000 >= flag_ratio).alias("flagged"),
+    )
+
+
 def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact (normalized) content dedup: one row per distinct content
     hash with the smallest doc_id as canonical and the copy count.

@@ -192,6 +192,43 @@ LIMIT 500
 """
 
 
+def _contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination sweep: treat source 'src0' as the held-out
+    benchmark and every other source as training data; report each
+    train doc's shingle overlap with the holdout (see
+    operators.text.contamination_check)."""
+    from datawarehouse_code_spark.operators.text import contamination_check
+
+    docs = read_table(spark, "documents", sf_dir)
+    return contamination_check(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+    )
+
+
+_CONTAMINATION_SQL = f"""
+WITH w AS (
+  SELECT doc_id, source, {_WORDS_SQL} AS ws FROM documents
+), sh_arr AS (
+  SELECT doc_id, source, {_SHINGLES_SQL} AS sh FROM w WHERE len(ws) >= 3
+), sh AS (
+  SELECT doc_id, source, len(sh) AS n_sh, unnest(sh) AS s
+  FROM sh_arr WHERE len(sh) > 0
+), hold AS (
+  SELECT DISTINCT s FROM sh WHERE source = 'src0'
+), per_doc AS (
+  SELECT t.doc_id, t.n_sh, count(h.s) AS shared
+  FROM (SELECT * FROM sh WHERE source <> 'src0') t
+  LEFT JOIN hold h ON t.s = h.s
+  GROUP BY 1, 2
+)
+SELECT doc_id, n_sh, CAST(shared AS BIGINT) AS shared,
+       floor(shared * 1.0 / n_sh * 10000) / 10000 AS contaminated_f4,
+       floor(shared * 1.0 / n_sh * 10000) / 10000 >= 0.2 AS flagged
+FROM per_doc
+"""
+
+
 def _docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus rebalancing: keep half the English documents (the
     over-represented stratum on this fixture) and all others, decided
@@ -755,6 +792,8 @@ LLM_QUERIES: list[Query] = [
           "north-star: Gopher-style heuristic quality filter"),
     Query("docs_stratified_sample", _docs_stratified_sample, _STRATIFIED_SQL,
           "north-star: deterministic stratified hash-sampling (corpus rebalance)"),
+    Query("contamination_check", _contamination_check, _CONTAMINATION_SQL,
+          "north-star: benchmark decontamination (broadcast holdout shingle set)"),
     Query("vocab_top_terms", _vocab_top_terms, _VOCAB_SQL,
           "north-star: vocabulary induction (top terms by document frequency)"),
     Query("text_tfidf_top_terms", _tfidf_top_terms, _TFIDF_SQL,

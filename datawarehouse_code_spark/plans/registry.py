@@ -46,6 +46,7 @@ _FRONT = (
     "docs_stratified_sample",
     "vocab_top_terms",
     "multimodal_frame_stats",
+    "contamination_check",
     # then the queries that missed their row in round 2
     "text_chunking",
     "similarity_topk_bruteforce",
