@@ -85,6 +85,9 @@ HEADLINE = [
     "docs_quality_filter",
     "docs_stratified_sample",
     "corpus_survivors",
+    "vocab_top_terms",
+    "multimodal_frame_stats",
+    "contamination_check",
 ]
 
 

@@ -209,3 +209,15 @@ def test_vocab_topk_compiles_to_take_ordered(spark):
     df = QUERIES["vocab_top_terms"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_contamination_check_broadcasts_holdout(spark):
+    """The decontamination sweep must broadcast the holdout shingle
+    set — a shuffle join of the train side on shingle hash would be
+    the 100 TB regression this shape exists to avoid."""
+    from datawarehouse_code_spark.plans.registry import QUERIES
+
+    df = QUERIES["contamination_check"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
