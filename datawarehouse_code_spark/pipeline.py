@@ -194,3 +194,35 @@ def write_bucketed(df: DataFrame, table: str, n_buckets: int, *keys: str) -> Non
     (big-big joins like lineitem ⋈ orders at 100 TB).  Requires a
     warehouse-backed catalog (`saveAsTable`)."""
     df.write.mode("overwrite").bucketBy(n_buckets, *keys).sortBy(*keys).saveAsTable(table)
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_file_mb: int = 256
+) -> dict[str, int]:
+    """Small-file compaction — the maintenance job every long-lived
+    100 TB table needs: streaming appends and fine-grained partitions
+    accumulate kilobyte files whose per-file open/footer cost comes to
+    dominate scans.  Rewrites `path` with file count sized from the
+    actual on-disk bytes (coalesce to ceil(bytes / target) files).
+
+    The rewrite stages into a sibling directory and only then
+    replaces the original: overwriting a dataset from its own live
+    scan would truncate the input mid-read.  Returns before/after
+    file counts.  (Partitioned layouts: run per partition directory —
+    compacting across partition boundaries would drop the partition
+    column values encoded in the paths.)
+    """
+    import math
+    import shutil
+    from pathlib import Path
+
+    p = Path(path)
+    files_before = [f for f in p.rglob("*.parquet") if f.is_file()]
+    total_bytes = sum(f.stat().st_size for f in files_before)
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    staged = str(p.with_name(p.name + "._compacting"))
+    spark.read.parquet(path).coalesce(n_files).write.mode("overwrite").parquet(staged)
+    shutil.rmtree(path)
+    Path(staged).rename(path)
+    files_after = len([f for f in Path(path).rglob("*.parquet") if f.is_file()])
+    return {"files_before": len(files_before), "files_after": files_after}

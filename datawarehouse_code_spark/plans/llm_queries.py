@@ -1,10 +1,14 @@
 """LLM-data-pipeline queries (BASELINE.json north star, Phase 3).
 
-Deduplication (exact, n-gram Jaccard, MinHash-LSH, SimHash),
-similarity search over embeddings (brute-force cosine top-k and an
-LSH-bucketed variant), and text analysis (token stats, language
-rollup, marker-based language ID, tf-idf top terms) — all over the
-`documents` / `embeddings` fixtures.
+Deduplication (exact, n-gram Jaccard, MinHash-LSH, SimHash, and
+connected-component corpus cleaning), similarity search over
+embeddings (brute-force cosine top-k, LSH-bucketed and IVF/k-means
+variants, embedding near-dup), text analysis (token stats, language
+rollup, marker-based language ID, tf-idf top terms, Gopher-style
+quality filtering, vocabulary induction), corpus operations
+(deterministic stratified hash-sampling, benchmark decontamination),
+and multimodal plumbing (byte-feature extraction, 1→N frame
+sampling) — all over the `documents` / `embeddings` fixtures.
 
 Oracle policy: everything except the two LSH variants and SimHash is
 SQL-expressible and hash-checked against DuckDB.  LSH output depends

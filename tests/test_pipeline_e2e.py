@@ -134,3 +134,23 @@ def test_run_pipeline_overwrite_idempotent(spark, tmp_path):
     run_pipeline(spark, SF_DIR, out)
     second = spark.read.parquet(f"{out}/cube").collect()
     assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    """Small-file compaction: many tiny files collapse to the byte-
+    sized target count, rows and values survive, input is never read
+    and overwritten in the same job (staged rename)."""
+    from datawarehouse_code_spark.pipeline import compact_parquet
+    from datawarehouse_code_spark.sources.catalog import read_table
+    from tests.conftest import SF_DIR
+
+    out = str(tmp_path / "frag")
+    nation = read_table(spark, "nation", SF_DIR)
+    nation.repartition(20).write.parquet(out)  # 20 tiny files
+    before = sorted(map(tuple, nation.collect()))
+
+    report = compact_parquet(spark, out, target_file_mb=256)
+    assert report["files_before"] >= 20
+    assert report["files_after"] == 1  # tiny table -> one file
+    after = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert after == before
