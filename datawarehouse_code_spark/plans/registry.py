@@ -41,6 +41,7 @@ _UNORDERED: dict[str, Query] = make_registry(*_GROUPS)
 # first so no oracle-backed query stays unchecked two rounds running.
 _FRONT = (
     # round-3 additions first: they have never had a driver row
+    "events_sessionize",
     "asof_join_events",
     "docs_quality_filter",
     "docs_stratified_sample",

@@ -132,6 +132,54 @@ GROUP BY user_id, session_id
 """
 
 
+def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit per-event session labels (gaps-and-islands), rolled up
+    per (user, session): exposes the session ordinal `session_seq`
+    that `session_window` hides, plus argmin/argmax aggregates
+    (`min_by`/`max_by`) — first and last event_type of each session."""
+    from datawarehouse_code_spark.operators.sessions import sessionize
+
+    events = read_table(spark, "events", sf_dir)
+    labelled = sessionize(
+        events, ["user_id"], "ts", gap="30 minutes", tiebreak="event_id"
+    )
+    return labelled.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min_by("event_type", "event_id").alias("first_event_type"),
+        F.max_by("event_type", "event_id").alias("last_event_type"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+_SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
+  FROM marked
+)
+SELECT user_id, session_seq,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       min_by(event_type, event_id) AS first_event_type,
+       max_by(event_type, event_id) AS last_event_type,
+       round(sum(value), 2) AS sum_value
+FROM numbered
+GROUP BY 1, 2
+"""
+
+
 STREAMING_QUERIES: list[Query] = [
     Query("events_tumbling_10min", _events_tumbling_10min, _TUMBLING_SQL,
           "§2.2 streaming: tumbling window"),
@@ -139,4 +187,6 @@ STREAMING_QUERIES: list[Query] = [
           "§2.2 streaming: sliding window"),
     Query("events_session_window", _events_session_window, _SESSION_SQL,
           "§2.2 streaming: session window (30 min gap)"),
+    Query("events_sessionize", _events_sessionize, _SESSIONIZE_SQL,
+          "§2.2 streaming: explicit sessionization + min_by/max_by"),
 ]
