@@ -131,3 +131,56 @@ def asof_join_backward(
         *keys, ts_col, *left_only,
         *[F.col(f"_asof.{p}").alias(f"asof_{p}") for p in payload_cols],
     )
+
+
+def interval_bucket_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_date: str,
+    start_date: str,
+    end_date: str,
+    bucket_days: int = 30,
+) -> DataFrame:
+    """Point-in-interval (range) join as an EQUI-join: each point row
+    matches every interval row with start <= point <= end (inner
+    semantics; inverted intervals match nothing).
+
+    A raw `BETWEEN` theta-join has no equi-key, so Catalyst compiles
+    it to BroadcastNestedLoopJoin — O(|points|·|intervals|) pair
+    evaluations, a scale-killer the moment the interval side outgrows
+    a broadcast.  The scale shape bins time into fixed buckets of
+    `bucket_days`: a point lands in exactly ONE bucket, an interval is
+    replicated to each bucket it overlaps (⌈len/width⌉+1 ≈ 2 rows for
+    intervals shorter than the width), and the join becomes a hash
+    equi-join on the bucket id with the BETWEEN kept as a residual
+    filter.  Each qualifying pair meets in exactly one bucket (the
+    point's), so no dedup is needed.  Cost: one shuffle on bucket id,
+    candidate pairs = points per bucket × intervals overlapping that
+    bucket — local to the time axis instead of global.
+
+    Pick `bucket_days` >= the typical interval length (replication
+    factor stays ~2); longer stragglers still work, they just
+    replicate more.  Both join inputs must have disjoint column names.
+    """
+    overlap = set(points.columns) & set(intervals.columns)
+    if overlap:
+        raise ValueError(f"interval_bucket_join: overlapping columns {overlap}")
+    if bucket_days < 1:
+        raise ValueError("interval_bucket_join: bucket_days must be >= 1")
+    epoch = F.to_date(F.lit("1970-01-01"))
+
+    def _bucket(col: str):
+        return F.floor(F.datediff(F.col(col), epoch) / bucket_days)
+
+    pb = points.withColumn("_bucket", _bucket(point_date))
+    ib = (
+        intervals.filter(F.col(end_date) >= F.col(start_date))
+        .withColumn(
+            "_bucket", F.explode(F.sequence(_bucket(start_date), _bucket(end_date)))
+        )
+    )
+    return (
+        pb.join(ib, "_bucket")
+        .where(F.col(point_date).between(F.col(start_date), F.col(end_date)))
+        .drop("_bucket")
+    )

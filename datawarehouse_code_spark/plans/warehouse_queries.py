@@ -634,6 +634,52 @@ GROUP BY band_id
 """
 
 
+def _interval_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big range join, binned (operators/joins.py
+    interval_bucket_join): shipments falling inside promotion windows
+    derived from every 97th order (window length = orderkey % 30
+    days).  The BETWEEN predicate alone would compile to a nested-loop
+    over |lineitem|×|windows|; binning both sides to 30-day buckets
+    makes it a hash equi-join with the BETWEEN as residual — the shape
+    that survives when neither side fits a broadcast."""
+    from datawarehouse_code_spark.operators.joins import interval_bucket_join
+
+    orders = read_table(spark, "orders", sf_dir)
+    intervals = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("interval_id"),
+        F.to_date("o_orderdate").alias("win_start"),
+        F.date_add(
+            F.to_date("o_orderdate"), (F.col("o_orderkey") % 30).cast("int")
+        ).alias("win_end"),
+    )
+    points = read_table(spark, "lineitem", sf_dir).select(
+        F.to_date("l_shipdate").alias("ship_date"), "l_quantity"
+    )
+    joined = interval_bucket_join(
+        points, intervals, "ship_date", "win_start", "win_end", bucket_days=30
+    )
+    return joined.groupBy("interval_id", "win_start", "win_end").agg(
+        F.count(F.lit(1)).alias("n_shipments"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+_INTERVAL_JOIN_SQL = """
+WITH iv AS (
+  SELECT o_orderkey AS interval_id,
+         CAST(o_orderdate AS DATE) AS win_start,
+         CAST(o_orderdate AS DATE) + CAST(o_orderkey % 30 AS INTEGER) AS win_end
+  FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT interval_id, win_start, win_end,
+       count(*) AS n_shipments,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem JOIN iv
+  ON CAST(l_shipdate AS DATE) BETWEEN win_start AND win_end
+GROUP BY 1, 2, 3
+"""
+
+
 def _asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/joins.py asof_join_backward): each click
     event picks up the most recent view event of the same user at or
@@ -740,6 +786,8 @@ WAREHOUSE_QUERIES: list[Query] = [
           "§2.2 semi join (EXISTS)"),
     Query("theta_band_join", _theta_band_join, _THETA_SQL,
           "§2.2 theta/range join"),
+    Query("interval_join_shipments", _interval_join_shipments, _INTERVAL_JOIN_SQL,
+          "§2.2 big-big range join binned to a bucket equi-join"),
     Query("asof_join_events", _asof_join_events, _ASOF_SQL,
           "§2.2 as-of join (backward): union+window, no range-join explosion"),
 ]
