@@ -1,0 +1,124 @@
+"""Slowly-changing-dimension (type 2) merge.
+
+The reference manages dimensions as insert-if-not-exists only
+(warehouse.py:78-94): a changed attribute is silently skipped, so the
+warehouse forgets history.  The classic completion of that load
+pattern is SCD type 2 — close the superseded row, open a new one —
+which the reference's MySQL would express as a multi-statement
+UPDATE+INSERT transaction per changed key.  Spark-first it is one
+join + three branch projections + a union, all set-based:
+
+  changed  = current ⋈ snapshot where any tracked column differs
+  closed   = changed current rows with valid_to := load_date
+  opened   = changed-or-new snapshot rows with valid_from := load_date
+  carried  = everything else, untouched
+
+Scale shape: ONE shuffle (the key equi-join between the current slice
+and the snapshot); history rows are carried through without touching
+the join; the three output branches are projections of the two join
+sides, so the whole merge is a single stage after the join.  No
+windows, no driver materialization.  On a Delta/Iceberg table the
+same plan lands as MERGE WHEN MATCHED/WHEN NOT MATCHED; on plain
+parquet the result df overwrites the dimension atomically via the
+job-commit protocol (same guarantee as O22/O24).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCD2_COLS = ("valid_from", "valid_to", "is_current")
+
+
+def scd2_init(snapshot: DataFrame, load_date: str) -> DataFrame:
+    """Bootstrap an SCD2 dimension from a first snapshot: every row
+    opens at `load_date` and is current."""
+    return snapshot.select(
+        "*",
+        F.to_date(F.lit(load_date)).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+
+
+def scd2_merge(
+    dim: DataFrame,
+    snapshot: DataFrame,
+    key: list[str],
+    tracked: list[str],
+    load_date: str,
+) -> DataFrame:
+    """Merge a full `snapshot` (natural key + tracked attributes) into
+    an SCD2 `dim` (same columns + valid_from/valid_to/is_current).
+
+    - new key        → open (valid_from=load_date, current)
+    - tracked change → close the current row at load_date + open a new one
+    - unchanged      → carried through untouched
+    - key absent from snapshot → carried through (no implicit deletes;
+      deletions are a policy decision, not a default)
+
+    NULL-safe change detection: a tracked column going NULL→value or
+    value→NULL counts as a change (struct equality is null-safe).
+    """
+    missing = [c for c in SCD2_COLS if c not in dim.columns]
+    if missing:
+        raise ValueError(f"scd2_merge: dim lacks SCD2 columns {missing}")
+    want = set(dim.columns) - set(SCD2_COLS)
+    if set(snapshot.columns) != want:
+        raise ValueError(
+            f"scd2_merge: snapshot columns {sorted(snapshot.columns)} != dim "
+            f"business columns {sorted(want)}"
+        )
+    if set(key) | set(tracked) != want:
+        raise ValueError(
+            "scd2_merge: key+tracked must cover every business column "
+            f"(missing {sorted(want - set(key) - set(tracked))})"
+        )
+
+    ld = F.to_date(F.lit(load_date))
+    history = dim.filter(~F.col("is_current"))
+    current = dim.filter(F.col("is_current"))
+
+    snap = snapshot.select(
+        *key, F.struct(*[F.col(c).alias(c) for c in tracked]).alias("_new")
+    )
+    cur = current.withColumn(
+        "_old", F.struct(*[F.col(c).alias(c) for c in tracked])
+    )
+    # ONE key equi-join, executed once: filtering the join output per
+    # branch and unioning would re-run the join subtree once per branch
+    # (4 physical joins for 1 logical one — plan-audited in
+    # tests/test_scale_mechanics.py).  Instead each joined row explodes
+    # into its 1-2 output rows in the same pass.
+    joined = cur.join(snap, key, "full_outer")
+    dim_cols = dim.columns
+
+    def _row(overrides: dict) -> F.Column:
+        return F.struct(
+            *[overrides.get(c, F.col(c)).alias(c) for c in dim_cols]
+        )
+
+    carried = _row({})  # current-side columns as-is (key cols coalesced)
+    closed = _row({"valid_to": ld, "is_current": F.lit(False)})
+    opened = _row(
+        {
+            **{c: F.col("_new")[c] for c in tracked},
+            "valid_from": ld,
+            "valid_to": F.lit(None).cast("date"),
+            "is_current": F.lit(True),
+        }
+    )
+    changed = (
+        F.col("_old").isNotNull()
+        & F.col("_new").isNotNull()
+        & ~F.col("_old").eqNullSafe(F.col("_new"))
+    )
+    merged = joined.select(
+        F.explode(
+            F.when(changed, F.array(closed, opened))
+            .when(F.col("_old").isNotNull(), F.array(carried))  # same or snap-absent
+            .otherwise(F.array(opened))  # new key
+        ).alias("_r")
+    ).select("_r.*")
+    return history.unionByName(merged)

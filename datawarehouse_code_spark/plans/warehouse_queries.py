@@ -680,6 +680,56 @@ GROUP BY 1, 2, 3
 """
 
 
+def _dim_client_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension merge (operators/scd.py): an initial
+    client dimension loaded 2023-01-01 (six-sevenths of customers)
+    receives a full snapshot at 2024-06-01 where every 10th account
+    balance moved — changed keys close+reopen, new keys open,
+    unchanged rows carry through.  One key equi-join, no windows."""
+    from datawarehouse_code_spark.operators.scd import scd2_init, scd2_merge
+
+    base = read_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("client_id"),
+        F.col("c_name").alias("company_name"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    dim = scd2_init(base.filter(F.col("client_id") % 7 != 0), "2023-01-01")
+    snap = base.withColumn(
+        "acctbal",
+        F.when(F.col("client_id") % 10 == 0, F.col("acctbal") + 100).otherwise(
+            F.col("acctbal")
+        ),
+    )
+    return scd2_merge(dim, snap, ["client_id"], ["company_name", "acctbal"], "2024-06-01")
+
+
+_SCD2_SQL = """
+WITH init AS (
+  SELECT c_custkey AS client_id, c_name AS company_name, c_acctbal AS acctbal
+  FROM customer WHERE c_custkey % 7 <> 0
+), snap AS (
+  SELECT c_custkey AS client_id, c_name AS company_name,
+         CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS acctbal
+  FROM customer
+)
+SELECT i.client_id, i.company_name, i.acctbal,
+       DATE '2023-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+       TRUE AS is_current
+FROM init i JOIN snap s USING (client_id)
+WHERE s.acctbal = i.acctbal AND s.company_name = i.company_name
+UNION ALL
+SELECT i.client_id, i.company_name, i.acctbal,
+       DATE '2023-01-01', DATE '2024-06-01', FALSE
+FROM init i JOIN snap s USING (client_id)
+WHERE s.acctbal <> i.acctbal OR s.company_name <> i.company_name
+UNION ALL
+SELECT s.client_id, s.company_name, s.acctbal,
+       DATE '2024-06-01', CAST(NULL AS DATE), TRUE
+FROM snap s LEFT JOIN init i USING (client_id)
+WHERE i.client_id IS NULL OR s.acctbal <> i.acctbal OR s.company_name <> i.company_name
+"""
+
+
 def _asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/joins.py asof_join_backward): each click
     event picks up the most recent view event of the same user at or
@@ -788,6 +838,8 @@ WAREHOUSE_QUERIES: list[Query] = [
           "§2.2 theta/range join"),
     Query("interval_join_shipments", _interval_join_shipments, _INTERVAL_JOIN_SQL,
           "§2.2 big-big range join binned to a bucket equi-join"),
+    Query("dim_client_scd2", _dim_client_scd2, _SCD2_SQL,
+          "§2.2 SCD type-2 dimension merge (close/open/carry in one join)"),
     Query("asof_join_events", _asof_join_events, _ASOF_SQL,
           "§2.2 as-of join (backward): union+window, no range-join explosion"),
 ]

@@ -115,3 +115,63 @@ def test_asof_join_null_timestamps(spark):
         ).collect()
     }
     assert got == {100: 7, 101: None}
+
+
+def _scd_rows(df):
+    return {
+        (r.k, r.v, str(r.valid_from), str(r.valid_to), r.is_current)
+        for r in df.collect()
+    }
+
+
+def test_scd2_double_merge_builds_history(spark):
+    """Two consecutive snapshots: a key that changes twice keeps both
+    closed rows, re-changes track the latest open row, absent keys
+    carry through, NULL→value counts as a change."""
+    from datawarehouse_code_spark.operators.scd import scd2_init, scd2_merge
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "k int, v string"
+    )
+    dim = scd2_init(base, "2023-01-01")
+
+    snap1 = spark.createDataFrame(
+        [(1, "a2"), (2, "b"), (3, "c"), (4, "d")], "k int, v string"
+    )
+    dim1 = scd2_merge(dim, snap1, ["k"], ["v"], "2023-06-01")
+    assert _scd_rows(dim1) == {
+        (1, "a", "2023-01-01", "2023-06-01", False),
+        (1, "a2", "2023-06-01", "None", True),
+        (2, None, "2023-01-01", "2023-06-01", False),  # NULL→value = change
+        (2, "b", "2023-06-01", "None", True),
+        (3, "c", "2023-01-01", "None", True),          # unchanged
+        (4, "d", "2023-06-01", "None", True),          # new key
+    }
+
+    snap2 = spark.createDataFrame([(1, "a3"), (3, "c")], "k int, v string")
+    dim2 = scd2_merge(dim1, snap2, ["k"], ["v"], "2024-01-01")
+    assert _scd_rows(dim2) == {
+        (1, "a", "2023-01-01", "2023-06-01", False),   # history preserved
+        (1, "a2", "2023-06-01", "2024-01-01", False),
+        (1, "a3", "2024-01-01", "None", True),
+        (2, None, "2023-01-01", "2023-06-01", False),
+        (2, "b", "2023-06-01", "None", True),          # absent ≠ delete
+        (3, "c", "2023-01-01", "None", True),
+        (4, "d", "2023-06-01", "None", True),
+    }
+    # exactly one current row per live key
+    cur = dim2.filter(F.col("is_current")).groupBy("k").count()
+    assert cur.filter(F.col("count") > 1).count() == 0
+
+
+def test_scd2_merge_idempotent(spark):
+    """Re-merging the identical snapshot is a no-op (same guarantee the
+    reference's skip-logging gives insert-if-not-exists)."""
+    from datawarehouse_code_spark.operators.scd import scd2_init, scd2_merge
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    dim = scd2_init(base, "2023-01-01")
+    once = scd2_merge(dim, base, ["k"], ["v"], "2024-01-01")
+    twice = scd2_merge(once, base, ["k"], ["v"], "2024-01-01")
+    assert _scd_rows(once) == _scd_rows(dim)
+    assert _scd_rows(twice) == _scd_rows(dim)

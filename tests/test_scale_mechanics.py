@@ -221,3 +221,20 @@ def test_contamination_check_broadcasts_holdout(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_scd2_merge_is_single_join(spark):
+    """scd2_merge must execute exactly ONE join: the naive
+    filter-per-branch + union shape re-runs the join subtree once per
+    branch (4 physical joins), which quadruples the dominant cost at
+    scale.  The explode-based merge keeps it to one."""
+    import re
+
+    from datawarehouse_code_spark.plans.registry import QUERIES
+
+    df = QUERIES["dim_client_scd2"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_joins = len(re.findall(r"Join", plan))
+    assert n_joins == 1, f"expected 1 physical join, found {n_joins}"
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
