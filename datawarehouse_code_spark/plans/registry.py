@@ -42,6 +42,7 @@ _UNORDERED: dict[str, Query] = make_registry(*_GROUPS)
 _FRONT = (
     # round-3 additions first: they have never had a driver row
     "events_sessionize",
+    "events_click_attribution",
     "dim_client_scd2",
     "interval_join_shipments",
     "asof_join_events",

@@ -180,7 +180,61 @@ GROUP BY 1, 2
 """
 
 
+def _events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click attribution: per click, the same user's views in the 10
+    minutes before it.  The batch twin of the stream-stream join
+    (streaming/jobs.py click_attribution_stream) plus its rollup.
+
+    Scale shape: equi-join on user_id with the time bound as a
+    residual predicate — a hash join partitioned by user, never a
+    nested loop (the equi key does the heavy lifting; the BETWEEN
+    only filters matched pairs)."""
+    events = read_table(spark, "events", sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("view_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    joined = clicks.join(
+        views,
+        (F.col("user_id") == F.col("view_user"))
+        & F.col("view_ts").between(
+            F.col("click_ts") - F.expr("INTERVAL 10 minutes"), F.col("click_ts")
+        ),
+        "left",
+    )
+    return joined.groupBy("click_id", "user_id", "click_ts").agg(
+        F.count("view_ts").alias("n_views"),
+        F.round(F.coalesce(F.sum("view_value"), F.lit(0.0)), 2).alias("sum_view_value"),
+    )
+
+
+_CLICK_ATTR_SQL = """
+WITH clicks AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT user_id AS view_user, ts AS view_ts, value AS view_value
+  FROM events WHERE event_type = 'view'
+)
+SELECT click_id, user_id, click_ts,
+       count(view_ts) AS n_views,
+       round(coalesce(sum(view_value), 0), 2) AS sum_view_value
+FROM clicks LEFT JOIN views
+  ON view_user = user_id
+ AND view_ts BETWEEN click_ts - INTERVAL '10 minutes' AND click_ts
+GROUP BY 1, 2, 3
+"""
+
+
 STREAMING_QUERIES: list[Query] = [
+    Query("events_click_attribution", _events_click_attribution, _CLICK_ATTR_SQL,
+          "§2.2 streaming: stream-stream join batch twin (click attribution)"),
     Query("events_tumbling_10min", _events_tumbling_10min, _TUMBLING_SQL,
           "§2.2 streaming: tumbling window"),
     Query("events_sliding_10m_5m", _events_sliding_10m_5m, _SLIDING_SQL,

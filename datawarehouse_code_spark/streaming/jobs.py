@@ -138,6 +138,52 @@ def session_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataF
     )
 
 
+def click_attribution_stream(
+    events: DataFrame, lookback: str = "10 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: each click matched to the same user's
+    views in the `lookback` window before it (click attribution).
+
+    Two branches of the same source stream self-join; both carry a
+    watermark and the join condition bounds view_ts relative to
+    click_ts, so Spark can size the state store and EVICT: a buffered
+    view is dropped once the click-side watermark passes
+    view_ts + lookback (no unbounded buffering — the property that
+    makes stream-stream joins viable at scale).  State is partitioned
+    by user_id (the equi key); output is append-mode by construction.
+
+    The batch twin is `events_click_attribution`
+    (plans/streaming_queries.py) minus its final aggregate; equality
+    is tested in tests/test_streaming.py.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("view_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("value").alias("view_value"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    return clicks.join(
+        views,
+        F.expr(
+            "user_id = view_user AND "
+            f"view_ts BETWEEN click_ts - INTERVAL {lookback} AND click_ts"
+        ),
+        "inner",
+    ).select("click_id", "user_id", "click_ts", "view_ts", "view_value")
+
+
 def run_to_memory(
     result: DataFrame, table_name: str, output_mode: str = "complete"
 ) -> None:

@@ -171,3 +171,46 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert by_id[4] == ["2024-01-01 14:00:00"]
     assert by_id[5] == ["2024-01-01 14:01:00"]
     assert len(rows) == 6
+
+
+def test_click_attribution_stream_equals_batch(spark, tmp_path):
+    """Stream-stream self-join (clicks × views within 10 minutes):
+    the joined pairs drained from the stream must equal the batch
+    twin's pre-aggregate join (inner matches only — append mode
+    emits pairs, not the left-join zero rows)."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.sources.catalog import read_table
+    from datawarehouse_code_spark.streaming.jobs import click_attribution_stream
+
+    events = read_events_stream(spark, _stream_dir(tmp_path))
+    run_to_memory(
+        click_attribution_stream(events), "t_click_attr", output_mode="append"
+    )
+    got = sorted(
+        (r.click_id, r.user_id, str(r.click_ts), str(r.view_ts), r.view_value)
+        for r in spark.table("t_click_attr").collect()
+    )
+
+    batch = read_table(spark, "events", SF_DIR)
+    clicks = batch.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    views = batch.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("view_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    want = sorted(
+        (r.click_id, r.user_id, str(r.click_ts), str(r.view_ts), r.view_value)
+        for r in clicks.join(
+            views,
+            (F.col("user_id") == F.col("view_user"))
+            & F.col("view_ts").between(
+                F.col("click_ts") - F.expr("INTERVAL 10 minutes"), F.col("click_ts")
+            ),
+            "inner",
+        ).collect()
+    )
+    assert got == want
+    assert len(got) > 0
