@@ -1,0 +1,102 @@
+"""Data-quality audit: constraint checks as one long-format report.
+
+The reference's only quality mechanism is skip-on-duplicate-key with a
+per-row warning (warehouse.py:94,116,126,136,169,210) — MySQL's PK/FK
+constraints do the real enforcement, invisibly to the program.  A
+parquet lakehouse has no enforcing storage layer, so the engine must
+*audit*: count violations declaratively and let the pipeline gate on
+the report.
+
+Report schema (long format, so adding checks never changes it):
+  check_kind STRING — 'null' | 'unique' | 'fk' | 'range'
+  target STRING  — column or relationship audited
+  n_bad BIGINT   — violating rows
+  n_rows BIGINT  — rows scanned for that check
+
+Scale shapes:
+- `null`/`range` checks for a whole table compile to ONE aggregation
+  pass (a single agg with per-column conditional counts, unpivoted) —
+  never one job per column.
+- `unique` is count(*) - count(distinct key): a partial-aggregated
+  pass, no self-join.
+- `fk` is a left-anti join child→parent on the key — the same shape
+  as insert-if-not-exists (operators/dimensions.py), shuffle-
+  partitioned on the key; NULL FKs are not violations (SQL semantics).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_REPORT_COLS = ("check_kind", "target", "n_bad", "n_rows")
+
+
+def _report(kind: str, target: str, n_bad: Column, n_rows: Column) -> list[Column]:
+    return [
+        F.lit(kind).alias("check_kind"),
+        F.lit(target).alias("target"),
+        n_bad.cast("bigint").alias("n_bad"),
+        n_rows.cast("bigint").alias("n_rows"),
+    ]
+
+
+def null_counts(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Null count per column — ONE aggregation over the table, then a
+    1-row unpivot (never a scan per column)."""
+    agg = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.count_if(F.col(c).isNull()).alias(c) for c in cols],
+    )
+    return agg.unpivot(["_n"], cols, "target", "n_bad").select(
+        F.lit("null").alias("check_kind"),
+        "target",
+        F.col("n_bad").cast("bigint"),
+        F.col("_n").cast("bigint").alias("n_rows"),
+    )
+
+
+def unique_violations(df: DataFrame, key: list[str]) -> DataFrame:
+    """Rows in excess of one per key value: count(*) - count(distinct)."""
+    return df.agg(
+        *_report(
+            "unique",
+            ",".join(key),
+            F.count(F.lit(1)) - F.countDistinct(*key),
+            F.count(F.lit(1)),
+        )
+    )
+
+
+def fk_violations(
+    child: DataFrame, fk: str, parent: DataFrame, pk: str, target: str
+) -> DataFrame:
+    """Non-NULL child FKs with no parent: anti-join, counted."""
+    bad = child.where(F.col(fk).isNotNull()).join(
+        parent.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti"
+    )
+    n_rows = child.agg(F.count(F.lit(1)).alias("n")).select("n")
+    return bad.agg(F.count(F.lit(1)).alias("b")).crossJoin(n_rows).select(
+        *_report("fk", target, F.col("b"), F.col("n"))
+    )
+
+
+def range_violations(df: DataFrame, target: str, predicate: Column) -> DataFrame:
+    """Rows where `predicate` (the VALID condition) is false or NULL."""
+    return df.agg(
+        *_report(
+            "range",
+            target,
+            F.count(F.lit(1)) - F.count_if(predicate),
+            F.count(F.lit(1)),
+        )
+    )
+
+
+def dq_audit(checks: list[DataFrame]) -> DataFrame:
+    """Union the per-check reports into one audit table."""
+    if not checks:
+        raise ValueError("dq_audit: no checks given")
+    return reduce(lambda a, b: a.unionByName(b), checks).select(*_REPORT_COLS)

@@ -44,6 +44,7 @@ _FRONT = (
     "events_sessionize",
     "events_click_attribution",
     "dim_client_scd2",
+    "dq_audit_orders",
     "interval_join_shipments",
     "asof_join_events",
     "docs_quality_filter",

@@ -680,6 +680,90 @@ GROUP BY 1, 2, 3
 """
 
 
+def _dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit (operators/quality.py): null profile of
+    orders in ONE aggregation pass, key uniqueness, real FK integrity
+    (orders→customer, lineitem→orders), a simulated stale-dim FK check
+    (customer restricted to even keys — nonzero violations by
+    construction, exercising the violation path), and a range check."""
+    from datawarehouse_code_spark.operators.quality import (
+        dq_audit,
+        fk_violations,
+        null_counts,
+        range_violations,
+        unique_violations,
+    )
+
+    orders = read_table(spark, "orders", sf_dir)
+    customer = read_table(spark, "customer", sf_dir)
+    lineitem = read_table(spark, "lineitem", sf_dir)
+    return dq_audit([
+        null_counts(orders, ["o_custkey", "o_totalprice", "o_orderdate"]),
+        unique_violations(orders, ["o_orderkey"]),
+        fk_violations(orders, "o_custkey", customer, "c_custkey",
+                      "orders.o_custkey->customer.c_custkey"),
+        fk_violations(orders, "o_custkey",
+                      customer.filter(F.col("c_custkey") % 2 == 0), "c_custkey",
+                      "orders.o_custkey->customer_even.c_custkey"),
+        fk_violations(lineitem, "l_orderkey", orders, "o_orderkey",
+                      "lineitem.l_orderkey->orders.o_orderkey"),
+        range_violations(orders, "o_totalprice>0", F.col("o_totalprice") > 0),
+    ])
+
+
+_DQ_AUDIT_SQL = """
+SELECT 'null' AS check_kind, 'o_custkey' AS target,
+       CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT) AS n_bad,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM orders
+UNION ALL
+SELECT 'null', 'o_totalprice',
+       CAST(count(*) FILTER (o_totalprice IS NULL) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'null', 'o_orderdate',
+       CAST(count(*) FILTER (o_orderdate IS NULL) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'unique', 'o_orderkey',
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'fk', 'orders.o_custkey->customer.c_custkey',
+       CAST((SELECT count(*) FROM orders o
+             WHERE o.o_custkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'fk', 'orders.o_custkey->customer_even.c_custkey',
+       CAST((SELECT count(*) FROM orders o
+             WHERE o.o_custkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey % 2 = 0
+                                 AND c.c_custkey = o.o_custkey)) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'fk', 'lineitem.l_orderkey->orders.o_orderkey',
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE l.l_orderkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'range', 'o_totalprice>0',
+       CAST(count(*) - count(*) FILTER (o_totalprice > 0) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM orders
+"""
+
+
 def _dim_client_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 dimension merge (operators/scd.py): an initial
     client dimension loaded 2023-01-01 (six-sevenths of customers)
@@ -838,6 +922,8 @@ WAREHOUSE_QUERIES: list[Query] = [
           "§2.2 theta/range join"),
     Query("interval_join_shipments", _interval_join_shipments, _INTERVAL_JOIN_SQL,
           "§2.2 big-big range join binned to a bucket equi-join"),
+    Query("dq_audit_orders", _dq_audit_orders, _DQ_AUDIT_SQL,
+          "§2.2 data-quality audit (null/unique/FK/range, one report)"),
     Query("dim_client_scd2", _dim_client_scd2, _SCD2_SQL,
           "§2.2 SCD type-2 dimension merge (close/open/carry in one join)"),
     Query("asof_join_events", _asof_join_events, _ASOF_SQL,

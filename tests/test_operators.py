@@ -175,3 +175,35 @@ def test_scd2_merge_idempotent(spark):
     twice = scd2_merge(once, base, ["k"], ["v"], "2024-01-01")
     assert _scd_rows(once) == _scd_rows(dim)
     assert _scd_rows(twice) == _scd_rows(dim)
+
+
+def test_dq_audit_counts_violations(spark):
+    """quality.py on data with real defects: nulls, duplicate keys,
+    orphaned FKs (NULL FK is NOT a violation), range breaches."""
+    from datawarehouse_code_spark.operators.quality import (
+        dq_audit,
+        fk_violations,
+        null_counts,
+        range_violations,
+        unique_violations,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, -1.0), (3, 99, None), (3, None, 2.0)],
+        "id int, fk int, v double",
+    )
+    parent = spark.createDataFrame([(10,)], "pk int")
+    report = {
+        (r.check_kind, r.target): (r.n_bad, r.n_rows)
+        for r in dq_audit([
+            null_counts(child, ["fk", "v"]),
+            unique_violations(child, ["id"]),
+            fk_violations(child, "fk", parent, "pk", "child.fk->parent.pk"),
+            range_violations(child, "v>0", F.col("v") > 0),
+        ]).collect()
+    }
+    assert report[("null", "fk")] == (1, 4)
+    assert report[("null", "v")] == (1, 4)
+    assert report[("unique", "id")] == (1, 4)          # id=3 twice
+    assert report[("fk", "child.fk->parent.pk")] == (1, 4)  # fk=99; NULL exempt
+    assert report[("range", "v>0")] == (2, 4)          # -1.0 and NULL both fail
