@@ -140,17 +140,65 @@ def stratified_hash_sample(
     with a higher rate yields a superset (u is fixed per key).
     Stateless narrow projection — no shuffle at any scale.
     """
-    u = (
+    rate = F.lit(float(default_rate))
+    for stratum, r in rates.items():
+        rate = F.when(F.col(strata_col) == stratum, F.lit(float(r))).otherwise(rate)
+    return df.filter(knuth_u(key_col) < rate)
+
+
+def knuth_u(key_col: str) -> F.Column:
+    """Uniform-ish u ∈ [0,1) as a pure function of an integer key:
+    ((key mod 2³¹) · 2654435761 mod 2³²) / 2³² — the deterministic
+    sampling coin shared by stratified_hash_sample / mixture_resample
+    and replayed exactly by the DuckDB oracles."""
+    return (
         F.pmod(
             F.pmod(F.col(key_col), F.lit(2**31)) * F.lit(2654435761),
             F.lit(2**32),
         )
         / F.lit(float(2**32))
     )
-    rate = F.lit(float(default_rate))
-    for stratum, r in rates.items():
-        rate = F.when(F.col(strata_col) == stratum, F.lit(float(r))).otherwise(rate)
-    return df.filter(u < rate)
+
+
+def mixture_resample(
+    df: DataFrame, key_col: str, strata_col: str, target: dict[str, float]
+) -> DataFrame:
+    """Resample the corpus to a TARGET mixture over `strata_col`
+    (domain/language reweighting before training) by downsampling
+    only — no stratum is upsampled, so every kept row is distinct.
+
+    The output size is the largest T with T·p(s) ≤ n(s) for every
+    target stratum s (the binding stratum survives whole); stratum s
+    keeps rate(s) = T·p(s)/n(s) of its rows, decided by the same
+    deterministic per-key hash as stratified_hash_sample.  Strata
+    absent from `target` are dropped (weight 0).
+
+    Fully declarative — the observed counts, the bottleneck T, and
+    the per-stratum rates are computed as a tiny aggregate +
+    crossJoin + broadcast join; no driver-side collect.  Cost at any
+    scale: one count aggregation pass + one filtered scan.
+    """
+    if not target:
+        raise ValueError("mixture_resample: empty target mixture")
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(k, float(v)) for k, v in target.items()], f"{strata_col} string, _p double"
+    )
+    observed = (
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .join(F.broadcast(tgt), strata_col, "inner")
+    )
+    bottleneck = observed.agg(F.min(F.col("_n") / F.col("_p")).alias("_t"))
+    rates = observed.crossJoin(F.broadcast(bottleneck)).select(
+        strata_col,
+        F.least(F.col("_t") * F.col("_p") / F.col("_n"), F.lit(1.0)).alias("_rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col, "inner")
+        .filter(knuth_u(key_col) < F.col("_rate"))
+        .drop("_rate")
+    )
 
 
 def write_clean_corpus(

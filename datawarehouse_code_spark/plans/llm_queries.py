@@ -247,6 +247,45 @@ def _docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.select("doc_id", "lang", "source", "n_chars")
 
 
+def _docs_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling (operators/corpus.py
+    mixture_resample): rebalance the corpus to a 50/25/25 en/de/fr
+    training mixture by downsampling only — fr is the bottleneck
+    stratum (kept whole), en/de downsample to match, zh/es drop out.
+    The keep decision replays the deterministic per-key hash, so the
+    oracle reproduces the exact row set."""
+    from datawarehouse_code_spark.operators.corpus import mixture_resample
+
+    docs = read_table(spark, "documents", sf_dir)
+    sampled = mixture_resample(
+        docs, key_col="doc_id", strata_col="lang",
+        target={"en": 0.5, "de": 0.25, "fr": 0.25},
+    )
+    return sampled.select("doc_id", "lang", "source", "n_chars")
+
+
+_MIXTURE_SQL = """
+WITH tgt AS (
+  SELECT * FROM (VALUES
+    ('en', CAST(0.5 AS DOUBLE)),
+    ('de', CAST(0.25 AS DOUBLE)),
+    ('fr', CAST(0.25 AS DOUBLE))) AS t(lang, p)
+), counts AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY 1
+), obs AS (
+  SELECT c.lang, c.n, t.p FROM counts c JOIN tgt t USING (lang)
+), bt AS (
+  SELECT min(n / p) AS t FROM obs
+), rates AS (
+  SELECT lang, LEAST(bt.t * p / n, 1.0) AS rate FROM obs, bt
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN rates r USING (lang)
+WHERE ((((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761)
+       % 4294967296) / 4294967296.0 < r.rate
+"""
+
+
 # The double-mod makes the key term non-negative for negative ids too
 # (DuckDB's % is sign-preserving; Spark-side pmod is non-negative).
 _STRATIFIED_SQL = """
@@ -794,6 +833,8 @@ LLM_QUERIES: list[Query] = [
           "north-star: marker-based language ID"),
     Query("docs_quality_filter", _docs_quality_filter, _QUALITY_SQL,
           "north-star: Gopher-style heuristic quality filter"),
+    Query("docs_mixture_resample", _docs_mixture_resample, _MIXTURE_SQL,
+          "north-star: resample corpus to a target domain mixture"),
     Query("docs_stratified_sample", _docs_stratified_sample, _STRATIFIED_SQL,
           "north-star: deterministic stratified hash-sampling (corpus rebalance)"),
     Query("contamination_check", _contamination_check, _CONTAMINATION_SQL,

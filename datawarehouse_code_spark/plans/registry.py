@@ -49,6 +49,7 @@ _FRONT = (
     "asof_join_events",
     "docs_quality_filter",
     "docs_stratified_sample",
+    "docs_mixture_resample",
     "vocab_top_terms",
     "multimodal_frame_stats",
     "contamination_check",

@@ -157,3 +157,34 @@ def test_quality_scores_empty_text_null_ratio(spark):
     assert rows[1]["symbol_ratio_f4"] is None
     assert rows[1]["passes"] is not True
     assert rows[2]["symbol_ratio_f4"] == 0.0
+
+
+def test_mixture_resample_hits_target_proportions(spark):
+    """mixture_resample: bottleneck stratum survives whole, output
+    proportions approximate the target, non-target strata drop, and
+    the decision is a deterministic subset of the input."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.corpus import mixture_resample
+
+    docs = read_table(spark, "documents", SF_DIR)
+    target = {"en": 0.5, "de": 0.25, "fr": 0.25}
+    out = mixture_resample(docs, "doc_id", "lang", target)
+
+    by_lang = {r.lang: r.n for r in
+               out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    in_by_lang = {r.lang: r.n for r in
+                  docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(by_lang) == set(target)                     # zh/es dropped
+    t = min(in_by_lang[s] / p for s, p in target.items())
+    bottleneck = min(target, key=lambda s: in_by_lang[s] / target[s])
+    assert by_lang[bottleneck] == in_by_lang[bottleneck]   # kept whole
+    total = sum(by_lang.values())
+    for s, p in target.items():
+        # hash sampling is uniform, not exact-count: allow a loose band
+        assert abs(by_lang[s] / total - p) < 0.08, (s, by_lang, t)
+
+    # deterministic + pure subset
+    again = mixture_resample(docs, "doc_id", "lang", target)
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+    assert out.join(docs, "doc_id", "left_anti").count() == 0
