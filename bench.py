@@ -26,10 +26,11 @@ from datawarehouse_code_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Frozen comparison row: the round-2 driver measurement (BENCH_r02.json,
-# sf0.1, local[32], min of 2). Later rounds report ratios against THESE
-# numbers — not against a same-round re-measurement — so the 2× gate
-# stays honest. Do not update without recording the old row in
-# BASELINE.md history.
+# sf0.1, local[32], min of 2), extended in round 4 with the round-3
+# driver numbers (BENCH_r03.json) for the seven queries added in round
+# 3. Later rounds report ratios against THESE numbers — not against a
+# same-round re-measurement — so the 2× gate stays honest. Do not
+# update without recording the old row in BASELINE.md history.
 FROZEN_BASELINE_SF01 = {
     "fact_build": 1.778,
     "cube_table": 3.173,
@@ -52,6 +53,14 @@ FROZEN_BASELINE_SF01 = {
     "text_tfidf_top_terms": 1.022,
     "text_token_stats": 0.597,
     "multimodal_features": 0.43,
+    # frozen round 4 from the r3 driver run (BENCH_r03.json, sf0.1)
+    "asof_join_events": 0.85,
+    "docs_quality_filter": 0.908,
+    "docs_stratified_sample": 0.212,
+    "corpus_survivors": 7.343,
+    "vocab_top_terms": 1.585,
+    "multimodal_frame_stats": 1.69,
+    "contamination_check": 3.339,
 }
 
 # Headline set: the expensive/representative plans. Anything listed
@@ -133,7 +142,7 @@ def main() -> None:
         }
         frozen_total = sum(FROZEN_BASELINE_SF01[n] for n in ratios)
         payload["baseline_ratio"] = {
-            "frozen": "BENCH_r02.json (sf0.1, local[32])",
+            "frozen": "BENCH_r02.json + BENCH_r03.json r3-new rows (sf0.1, local[32])",
             "total": round(sum(times[n] for n in ratios) / frozen_total, 3),
             "queries": ratios,
         }
