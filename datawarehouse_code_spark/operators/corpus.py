@@ -174,12 +174,24 @@ def mixture_resample(
     absent from `target` are dropped (weight 0).
 
     Fully declarative — the observed counts, the bottleneck T, and
-    the per-stratum rates are computed as a tiny aggregate +
-    crossJoin + broadcast join; no driver-side collect.  Cost at any
-    scale: one count aggregation pass + one filtered scan.
+    the per-stratum rates are computed as a tiny aggregate + a
+    single-partition window over it + broadcast join; no driver-side
+    collect.  Cost at any scale: ONE count aggregation pass + one
+    filtered scan — the bottleneck min is a window over the
+    already-aggregated per-stratum rows (≤ len(target) of them, a
+    bounded domain), not a second aggregate over a duplicated
+    subtree.
     """
     if not target:
         raise ValueError("mixture_resample: empty target mixture")
+    bad = {k: v for k, v in target.items() if not v > 0}
+    if bad:
+        # a zero/negative weight divides by zero downstream — and the
+        # engines disagree on n/0 (Spark NULL, DuckDB inf), so failing
+        # loudly beats a silent cross-engine divergence
+        raise ValueError(f"mixture_resample: non-positive target weights {bad}")
+    from pyspark.sql import Window
+
     spark = df.sparkSession
     tgt = spark.createDataFrame(
         [(k, float(v)) for k, v in target.items()], f"{strata_col} string, _p double"
@@ -189,8 +201,11 @@ def mixture_resample(
         .agg(F.count(F.lit(1)).alias("_n"))
         .join(F.broadcast(tgt), strata_col, "inner")
     )
-    bottleneck = observed.agg(F.min(F.col("_n") / F.col("_p")).alias("_t"))
-    rates = observed.crossJoin(F.broadcast(bottleneck)).select(
+    # single-partition window is safe here: the frame holds one row per
+    # TARGET stratum (bounded by the target dict, not the data)
+    rates = observed.withColumn(
+        "_t", F.min(F.col("_n") / F.col("_p")).over(Window.partitionBy())
+    ).select(
         strata_col,
         F.least(F.col("_t") * F.col("_p") / F.col("_n"), F.lit(1.0)).alias("_rate"),
     )

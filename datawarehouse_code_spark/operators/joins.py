@@ -32,10 +32,26 @@ def salted_join(
     The salt comes from monotonically_increasing_id, NOT a hash of the
     row: the canonical skew case is millions of IDENTICAL rows for one
     hot key, and a content hash would send them all to the same salt
-    bucket (zero spread while still paying the replication).  The salt
-    assignment varies with partition layout between runs, but any
-    assignment is semantically correct — the joined result set is
-    identical either way.
+    bucket (zero spread while still paying the replication).  No
+    layout-independent salt can spread identical rows — they carry no
+    distinguishing information — so some layout dependence is
+    inherent to row-level salting.
+
+    Determinism caveat (task retries / speculative execution): the
+    salt is a pure function of (partition index, row offset), so a
+    retried or speculative task attempt recomputes IDENTICAL salts as
+    long as the skewed input enumerates rows in a stable order per
+    partition — true for file scans and any deterministic narrow
+    lineage.  If `skewed` sits downstream of a round-robin
+    repartition, an unordered shuffle read, or another
+    nondeterministic operator, a lost-executor stage retry can replay
+    rows in a different order and re-salt them differently — the
+    classic repartition-retry hazard (SPARK-23207), which Spark guards
+    by recomputing all consumer stages.  For such inputs, checkpoint
+    or persist-with-replication the skewed side first (or sort it)
+    before salting.  Across *separate runs* the assignment may differ
+    with cluster layout; any assignment yields the identical joined
+    result set.
     """
     for df in (skewed, other):
         if "_salt" in df.columns:
@@ -165,6 +181,10 @@ def interval_bucket_join(
     overlap = set(points.columns) & set(intervals.columns)
     if overlap:
         raise ValueError(f"interval_bucket_join: overlapping columns {overlap}")
+    if "_bucket" in points.columns or "_bucket" in intervals.columns:
+        # withColumn would silently overwrite a caller's _bucket and the
+        # name-based join/drop below would corrupt the result
+        raise ValueError("interval_bucket_join: inputs must not have a _bucket column")
     if bucket_days < 1:
         raise ValueError("interval_bucket_join: bucket_days must be >= 1")
     epoch = F.to_date(F.lit("1970-01-01"))

@@ -59,7 +59,17 @@ def null_counts(df: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def unique_violations(df: DataFrame, key: list[str]) -> DataFrame:
-    """Rows in excess of one per key value: count(*) - count(distinct)."""
+    """Rows in excess of one per key value: count(*) - count(distinct).
+
+    NULL-key behavior (documented, SQL-consistent): countDistinct
+    skips rows where ANY key column is NULL, so every NULL-keyed row
+    counts toward n_bad even if it is the only one — the check treats
+    a NULL key as a violation in itself, conflated with duplicates in
+    one number.  For a key that legitimately allows NULLs, pair this
+    with `null_counts` on the key columns to attribute the two causes
+    separately; for a primary-key audit the conflation is what you
+    want (a PK must be non-NULL *and* unique).
+    """
     return df.agg(
         *_report(
             "unique",

@@ -180,11 +180,18 @@ def run_pipeline_incremental(
         wh.dim_date_year,
         wh.dim_country,
     )
+    # persist before count: the delta's lineage is the full incremental
+    # cube join — without the cache it would execute twice (once for
+    # the report count, once for the write), the write_clean_corpus
+    # lesson applied at pipeline level.
     cube_delta = merged_cube.join(
         existing_cube.select("fact_id"), "fact_id", "left_anti"
-    )
-    n_cube_new = cube_delta.count()
-    cube_delta.write.mode("append").parquet(f"{out_dir}/cube")
+    ).persist()
+    try:
+        n_cube_new = cube_delta.count()
+        cube_delta.write.mode("append").parquet(f"{out_dir}/cube")
+    finally:
+        cube_delta.unpersist()
     reports["cube"] = {"inserted": n_cube_new}
     return reports
 

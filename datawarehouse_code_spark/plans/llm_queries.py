@@ -479,8 +479,12 @@ def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = terms.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.count(F.lit(1)).alias("n_total"))
+    # no broadcast hint on df_: the document-frequency table scales
+    # with the corpus vocabulary (10⁹ docs → 10⁸+ terms), so a forced
+    # broadcast OOMs at scale — AQE picks broadcast when it actually
+    # fits (the cube-hint rule: hint only domain-bounded sides)
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score_f4",

@@ -799,8 +799,13 @@ WITH init AS (
 SELECT i.client_id, i.company_name, i.acctbal,
        DATE '2023-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
        TRUE AS is_current
-FROM init i JOIN snap s USING (client_id)
-WHERE s.acctbal = i.acctbal AND s.company_name = i.company_name
+FROM init i LEFT JOIN snap s USING (client_id)
+-- carried = unchanged OR absent from the snapshot (scd2_merge does no
+-- implicit deletes, so the oracle must not drop snap-missing keys —
+-- a LEFT JOIN keeps them even though this fixture's snapshot happens
+-- to cover every init key)
+WHERE s.client_id IS NULL
+   OR (s.acctbal = i.acctbal AND s.company_name = i.company_name)
 UNION ALL
 SELECT i.client_id, i.company_name, i.acctbal,
        DATE '2023-01-01', DATE '2024-06-01', FALSE
