@@ -133,7 +133,7 @@ def main() -> None:
         "sf": sf_val,
     }
     if sf_val == 0.1:
-        # ratios vs the FROZEN round-2 row (sf0.1 only — the frozen
+        # ratios vs the FROZEN r2+r3 rows (sf0.1 only — the frozen
         # numbers were measured at that scale factor)
         ratios = {
             n: round(times[n] / FROZEN_BASELINE_SF01[n], 2)

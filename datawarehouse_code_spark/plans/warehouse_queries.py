@@ -804,18 +804,26 @@ FROM init i LEFT JOIN snap s USING (client_id)
 -- implicit deletes, so the oracle must not drop snap-missing keys —
 -- a LEFT JOIN keeps them even though this fixture's snapshot happens
 -- to cover every init key)
+-- NULL-safe comparisons throughout: scd2_merge compares tracked
+-- columns with eqNullSafe (struct equality), so a NULL tracked value
+-- on both sides is "unchanged" — plain =/<> would evaluate to NULL
+-- and silently drop the row from every branch
 WHERE s.client_id IS NULL
-   OR (s.acctbal = i.acctbal AND s.company_name = i.company_name)
+   OR (s.acctbal IS NOT DISTINCT FROM i.acctbal
+       AND s.company_name IS NOT DISTINCT FROM i.company_name)
 UNION ALL
 SELECT i.client_id, i.company_name, i.acctbal,
        DATE '2023-01-01', DATE '2024-06-01', FALSE
 FROM init i JOIN snap s USING (client_id)
-WHERE s.acctbal <> i.acctbal OR s.company_name <> i.company_name
+WHERE s.acctbal IS DISTINCT FROM i.acctbal
+   OR s.company_name IS DISTINCT FROM i.company_name
 UNION ALL
 SELECT s.client_id, s.company_name, s.acctbal,
        DATE '2024-06-01', CAST(NULL AS DATE), TRUE
 FROM snap s LEFT JOIN init i USING (client_id)
-WHERE i.client_id IS NULL OR s.acctbal <> i.acctbal OR s.company_name <> i.company_name
+WHERE i.client_id IS NULL
+   OR s.acctbal IS DISTINCT FROM i.acctbal
+   OR s.company_name IS DISTINCT FROM i.company_name
 """
 
 
