@@ -20,8 +20,11 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from datawarehouse_code_spark.functions.scalars import (
     cosine_similarity as cosine,
@@ -36,7 +39,8 @@ from datawarehouse_code_spark.functions.scalars import (
 __all__ = [
     "as_double_array", "dot", "l2_norm", "cosine",
     "brute_force_topk", "lsh_topk", "ivf_topk", "embedding_near_dup_lsh",
-    "lsh_signature", "kmeans_centroids",
+    "lsh_signature", "lsh_signatures_udf", "plane_matrices",
+    "kmeans_centroids",
 ]
 
 
@@ -127,22 +131,89 @@ def lsh_signature(v: Column, n_planes: int, dim: int, table: int = 0) -> Column:
     )
 
 
+def plane_matrices(
+    spark: SparkSession, n_planes: int, dim: int, n_tables: int
+) -> np.ndarray:
+    """±1 hyperplane components for all tables, shape (n_tables,
+    n_planes, dim), evaluated JVM-side with the SAME xxhash64
+    expressions `lsh_signature` uses — bit-for-bit the same planes,
+    nothing stored, one trivial one-row job at plan-build time."""
+    def comp(t: int, p: int, d: int) -> Column:
+        return (
+            F.when(
+                F.xxhash64(F.lit(t), F.lit(p), F.lit(d)).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0))
+        )
+
+    row = spark.range(1).select(
+        F.array(*[
+            F.array(*[
+                F.array(*[comp(t, p, d) for d in range(dim)])
+                for p in range(n_planes)
+            ])
+            for t in range(n_tables)
+        ]).alias("m")
+    ).head()[0]
+    return np.asarray(row, dtype=np.float64)
+
+
+def lsh_signatures_udf(planes: np.ndarray):
+    """All-tables LSH signatures in one Arrow batch: for a vector v,
+    returns [sig_table0, ..., sig_table(T-1)] as array<bigint>.
+
+    This is the measured Pandas-UDF exception to the no-UDF rule (the
+    MinHash precedent, operators/text.py minhash_signature_udf): the
+    expression twin `lsh_signature` evaluates n_planes × dim (~512 at
+    defaults) interpreted higher-order-function lambdas PER VECTOR,
+    while here each batch is a handful of numpy ops.  Exact parity
+    with the expression twin is preserved — the planes come from the
+    same xxhash64 evaluation (plane_matrices) and the per-plane dot
+    replicates the expression's left-fold accumulation order via
+    cumsum, so even float rounding matches (pinned by
+    test_lsh_signature_udf_parity).
+    """
+    n_tables, n_planes, _dim = planes.shape
+    pow2 = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("array<bigint>")
+    def _sigs(vec_lists: pd.Series) -> pd.Series:
+        vals = [None if v is None else np.asarray(v, dtype=np.float64)
+                for v in vec_lists]
+        live = [i for i, v in enumerate(vals) if v is not None]
+        out: list = [None] * len(vals)
+        if live:
+            V = np.vstack([vals[i] for i in live])  # (B, dim)
+            sigs = np.empty((V.shape[0], n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                bits = np.empty((V.shape[0], n_planes), dtype=np.int64)
+                for p in range(n_planes):
+                    # cumsum = strict left-to-right accumulation, the
+                    # exact fold order of the expression twin
+                    dots = np.cumsum(V * planes[t, p], axis=1)[:, -1]
+                    bits[:, p] = dots > 0
+                sigs[:, t] = bits @ pow2
+            for j, i in enumerate(live):
+                out[i] = sigs[j]
+        return pd.Series(out)
+
+    return _sigs
+
+
 def _lsh_bucketed(vecs: DataFrame, n_planes: int, n_tables: int, dim: int) -> DataFrame:
     """Vectors tagged with (tbl, sig) for each of `n_tables` hash
     tables — the shared bucketing step of lsh_topk and
-    embedding_near_dup_lsh."""
-    tables = []
-    for t in range(n_tables):
-        tables.append(
-            vecs.select(
-                "vec_id", "v", "inv", F.lit(t).alias("tbl"),
-                lsh_signature(F.col("v"), n_planes, dim, t).alias("sig"),
-            )
-        )
-    bucketed = tables[0]
-    for t in tables[1:]:
-        bucketed = bucketed.unionByName(t)
-    return bucketed
+    embedding_near_dup_lsh.  One narrow projection computes every
+    table's signature (lsh_signatures_udf), then posexplode fans each
+    vector out to its n_tables bucket rows — one scan of the corpus,
+    not one per table."""
+    planes = plane_matrices(vecs.sparkSession, n_planes, dim, n_tables)
+    sigs = lsh_signatures_udf(planes)
+    return vecs.select(
+        "vec_id", "v", "inv", sigs(F.col("v")).alias("sigs")
+    ).select(
+        "vec_id", "v", "inv", F.posexplode("sigs").alias("tbl", "sig")
+    )
 
 
 def lsh_topk(

@@ -4,6 +4,8 @@ LSH variants must run, be deterministic, and track their exact twins
 
 from __future__ import annotations
 
+import numpy as np
+
 from datawarehouse_code_spark.plans.llm_queries import (
     _dedup_minhash_lsh,
     _dedup_near_jaccard,
@@ -127,6 +129,40 @@ def test_embedding_near_dup_precision_and_recall(spark):
     assert set(got) <= exact          # precision 1.0
     if exact:
         assert len(got) >= 0.5 * len(exact)  # recall from 8 planes x 4 tables
+
+
+def test_lsh_signature_udf_parity(spark):
+    """The vectorized all-tables signature UDF must reproduce the
+    expression twin `lsh_signature` bit-for-bit: same xxhash64-derived
+    planes (plane_matrices) and same left-fold accumulation order
+    (cumsum), so every (table, vector) bucket id is identical."""
+    from datawarehouse_code_spark.operators.similarity import (
+        as_double_array,
+        lsh_signature,
+        lsh_signatures_udf,
+        plane_matrices,
+    )
+    from datawarehouse_code_spark.sources.catalog import read_table
+    from pyspark.sql import functions as F
+
+    n_planes, n_tables, dim = 8, 4, 64
+    vecs = read_table(spark, "embeddings", SF_DIR).select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    planes = plane_matrices(spark, n_planes, dim, n_tables)
+    assert planes.shape == (n_tables, n_planes, dim)
+    assert set(np.unique(planes)) == {-1.0, 1.0}
+
+    sigs = lsh_signatures_udf(planes)
+    both = vecs.select(
+        "vec_id",
+        sigs(F.col("v")).alias("vec_sigs"),
+        F.array(*[
+            lsh_signature(F.col("v"), n_planes, dim, t) for t in range(n_tables)
+        ]).alias("expr_sigs"),
+    )
+    mismatches = both.filter(F.col("vec_sigs") != F.col("expr_sigs")).count()
+    assert mismatches == 0
 
 
 def test_similarity_ivf_sims_match_bruteforce(spark):
