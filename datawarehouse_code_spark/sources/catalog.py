@@ -74,11 +74,13 @@ def read_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
 
 
 def _read_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.ts is stored as parquet TIMESTAMP(NANOS), which Spark's
-    reader rejects outright (PARQUET_TYPE_ILLEGAL).  Read it as raw
-    nanos (`nanosAsLong`) and floor to microseconds JVM-side — the
-    same truncation DuckDB applies — yielding a timestamp_ntz column.
-    Stays fully vectorized; no driver round-trip.
+    """events.ts arrives in one of two layouts: a typed parquet
+    timestamp (read directly), or TIMESTAMP(NANOS), which Spark's
+    reader rejects outright (PARQUET_TYPE_ILLEGAL).  For the latter,
+    read it as raw nanos (`nanosAsLong`) and floor to microseconds
+    JVM-side — the same truncation DuckDB applies — yielding a
+    timestamp_ntz column.  Stays fully vectorized; no driver
+    round-trip.
     """
     from pyspark.sql import functions as F
 

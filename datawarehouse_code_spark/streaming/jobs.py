@@ -19,21 +19,50 @@ Scale/productionisation notes (100 TB stream):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datawarehouse_code_spark.sources.schemas import EVENTS
 
-# The stream reads raw parquet, so it sees the stored nanos-as-long ts
-# (see sources.catalog._read_events) and applies the same conversion.
-_RAW_EVENTS = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " \
-              "value DOUBLE, props STRING"
+# Raw event files come in two ts layouts (the fixture switched between
+# rounds, and a real landing zone mixes producers): int64/TIMESTAMP(NANOS)
+# nanos — which Spark can only read as long — or a typed parquet
+# timestamp.  The footer of the first file decides which schema the
+# stream declares (see _events_ts_layout).
+_RAW_EVENTS_NANOS = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " \
+                    "value DOUBLE, props STRING"
+_RAW_EVENTS_TYPED = "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, " \
+                    "event_type STRING, value DOUBLE, props STRING"
 
 
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 # pre-stream value of _NANOS_CONF per session, so stream termination can
 # restore it (single in-flight events stream per session, as before)
 _PRIOR_NANOS_CONF: dict[int, str | None] = {}
+
+
+def _events_ts_layout(source_dir: str) -> str:
+    """'nanos' if the files store ts as raw int64 / TIMESTAMP(NANOS)
+    (both only readable as long), 'typed' for a normal parquet
+    timestamp.  Probes ONE footer with pyarrow — metadata only, no
+    data read, no Spark job; at scale the landing zone's layout is a
+    contract, so a single-file probe is representative."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        glob.glob(os.path.join(source_dir, "**", "*.parquet"), recursive=True)
+    )
+    if not files:
+        return "typed"  # fixture layout; empty dirs resolve on first file
+    t = pq.ParquetFile(files[0]).schema_arrow.field("ts").type
+    if pa.types.is_integer(t) or (pa.types.is_timestamp(t) and t.unit == "ns"):
+        return "nanos"
+    return "typed"
 
 
 def read_events_stream(
@@ -50,17 +79,27 @@ def read_events_stream(
     also what the watermark tests use to force multi-batch runs —
     availableNow honors it).
     """
-    # Session-persistent for the stream's lifetime (unlike the batch
-    # reader's scoped set): a stream re-resolves files every
-    # micro-batch, so the conf must outlive this call.  CAUTION: while
-    # a stream is live, a batch read of a nanos column in the same
-    # session silently yields bigint instead of failing loudly; the
-    # batch reader contains the blast radius by verifying every read
-    # against SCHEMAS.  restore_nanos_conf (called by run_to_memory on
-    # termination) puts the prior value back.
+    if _events_ts_layout(source_dir) == "typed":
+        # Typed parquet timestamps: declare ts as NTZ and cast to the
+        # watermark-able TIMESTAMP (UTC session → identical wall clock).
+        reader = spark.readStream.schema(_RAW_EVENTS_TYPED)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        raw = reader.parquet(source_dir)
+        df = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df.select([f.name for f in EVENTS.fields])
+    # Nanos layout needs the legacy conf, session-persistent for the
+    # stream's lifetime (unlike the batch reader's scoped set): a
+    # stream re-resolves files every micro-batch, so the conf must
+    # outlive this call.  CAUTION: while a stream is live, a batch
+    # read of a nanos column in the same session silently yields
+    # bigint instead of failing loudly; the batch reader contains the
+    # blast radius by verifying every read against SCHEMAS.
+    # restore_nanos_conf (called by run_to_memory on termination) puts
+    # the prior value back.
     _PRIOR_NANOS_CONF.setdefault(id(spark), spark.conf.get(_NANOS_CONF, None))
     spark.conf.set(_NANOS_CONF, "true")
-    reader = spark.readStream.schema(_RAW_EVENTS)
+    reader = spark.readStream.schema(_RAW_EVENTS_NANOS)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(source_dir)

@@ -64,7 +64,8 @@ def test_watermark_drops_late_and_updates_stragglers(spark, tmp_path):
     def write(name, rows, mtime):
         tbl = pa.table({
             "event_id": pa.array([r[0] for r in rows], pa.int64()),
-            # raw files store ts as int64 nanos (the fixture layout)
+            # raw int64-nanos ts: exercises the legacy nanos ingest
+            # path (the fixture itself now stores typed timestamps)
             "ts": pa.array(
                 [int(pd.Timestamp(r[1]).value) for r in rows], pa.int64()
             ),
