@@ -20,8 +20,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from datawarehouse_code_spark.plans.registry import QUERIES
+from datawarehouse_code_spark.plans.registry import QUERIES, SUPPLEMENTARY_QUERIES
 from datawarehouse_code_spark.session import get_spark
+
+# Benchable surface: driver-facing registry + suite constituents (the
+# frozen baseline rows predate the registry consolidation, so names
+# like window_monthly_growth now resolve from the supplementary set —
+# the plans are unchanged, keeping the frozen ratios like-for-like).
+BENCHABLE = {**SUPPLEMENTARY_QUERIES, **QUERIES}
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -104,10 +110,10 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    names = [n for n in HEADLINE if n in QUERIES] or list(QUERIES)
+    names = [n for n in HEADLINE if n in BENCHABLE] or list(QUERIES)
     # Warm the JVM/codegen paths once so per-query times measure the
     # plan, not first-run classloading.
-    QUERIES[names[0]].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    BENCHABLE[names[0]].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     # min of two runs per query: the first run pays one-time codegen /
     # Arrow worker startup, the second measures the plan itself.
@@ -116,7 +122,7 @@ def main() -> None:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            QUERIES[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            BENCHABLE[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
 

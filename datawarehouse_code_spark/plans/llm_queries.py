@@ -804,11 +804,262 @@ WHERE sz > 0
 """
 
 
+# ------------------------------------------------- consolidated suites
+#
+# Labeled unions of trivially-coupled queries so every oracle-backed
+# capability fits the driver's 50-row correctness window (the same
+# policy as plans/warehouse_queries.py — constituents stay importable
+# and benchable via LLM_SUPPLEMENTARY).
+
+
+def _dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup + exact n-gram Jaccard pairs +
+    min-md5-shingle fingerprints, labeled."""
+    exact = _dedup_exact(spark, sf_dir).select(
+        F.lit("exact").alias("part"),
+        F.col("content_hash").alias("s"),
+        F.col("canonical_doc_id").alias("d1"),
+        F.lit(None).cast("bigint").alias("d2"),
+        F.lit(None).cast("bigint").alias("shared"),
+        F.col("n_copies").cast("bigint").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    jacc = _dedup_near_jaccard(spark, sf_dir).select(
+        F.lit("jaccard").alias("part"),
+        F.lit(None).cast("string").alias("s"),
+        F.col("d1"),
+        F.col("d2"),
+        F.col("shared").cast("bigint").alias("shared"),
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.col("jaccard_f4").alias("v"),
+    )
+    fp = _doc_fingerprint(spark, sf_dir).select(
+        F.lit("fingerprint").alias("part"),
+        F.col("fingerprint").alias("s"),
+        F.col("doc_id").alias("d1"),
+        F.lit(None).cast("bigint").alias("d2"),
+        F.lit(None).cast("bigint").alias("shared"),
+        F.lit(None).cast("bigint").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    return exact.unionByName(jacc).unionByName(fp)
+
+
+_DEDUP_SUITE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+), sh_arr AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM w WHERE len(ws) >= 3
+), sh AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh_arr WHERE len(sh) > 0
+), pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, a.n_sh AS n1, b.n_sh AS n2,
+         count(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT 'exact' AS part, md5({_NORM_SQL}) AS s,
+       min(doc_id) AS d1, CAST(NULL AS BIGINT) AS d2,
+       CAST(NULL AS BIGINT) AS shared,
+       count(*) AS n1, CAST(NULL AS BIGINT) AS n2, CAST(NULL AS DOUBLE) AS v
+FROM documents
+GROUP BY md5({_NORM_SQL})
+UNION ALL
+SELECT 'jaccard', CAST(NULL AS VARCHAR), d1, d2, shared, n1, n2,
+       floor(shared * 1.0 / (n1 + n2 - shared) * 10000) / 10000
+FROM pairs
+WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.5
+UNION ALL
+SELECT 'fingerprint',
+       list_aggregate(list_transform(sh, x -> md5(x)), 'min'),
+       doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+FROM sh_arr
+WHERE len(sh) > 0
+"""
+
+
+def _lang_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression-side discrete percentiles ⋈ applyInPandas stats on
+    the same per-language grain — both code paths, one row set."""
+    pctl = _lang_percentiles(spark, sf_dir)
+    pand = _lang_stats_pandas(spark, sf_dir).select(
+        "lang",
+        F.col("p50").alias("pd_p50"),
+        F.col("mean_x100").alias("pd_mean_x100"),
+    )
+    return pctl.join(pand, "lang")
+
+
+_LANG_STATS_SUITE_SQL = """
+WITH ranked AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars) - 1 AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang,
+       max(CASE WHEN rn = CAST(floor(0.25 * (n - 1)) AS BIGINT) THEN n_chars END) AS p25,
+       max(CASE WHEN rn = CAST(floor(0.5  * (n - 1)) AS BIGINT) THEN n_chars END) AS p50,
+       max(CASE WHEN rn = CAST(floor(0.9  * (n - 1)) AS BIGINT) THEN n_chars END) AS p90,
+       count(*) AS n_docs,
+       max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT)
+                THEN CAST(n_chars AS BIGINT) END) AS pd_p50,
+       CAST(floor(sum(n_chars) * 1.0 / count(*) * 100) AS BIGINT) AS pd_mean_x100
+FROM ranked
+GROUP BY lang
+"""
+
+
+def _lang_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language rollup + per-document marker language-ID, labeled
+    (full per-doc granularity preserved)."""
+    rollup = _lang_rollup(spark, sf_dir).select(
+        F.lit("rollup").alias("part"),
+        F.col("lang").alias("key"),
+        F.col("n_docs").cast("bigint").alias("n1"),
+        F.col("n_sources").cast("bigint").alias("n2"),
+        F.col("sum_chars").cast("bigint").alias("n3"),
+        F.col("avg_chars_f2").alias("v"),
+        F.lit(None).cast("string").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+        F.lit(None).cast("boolean").alias("b"),
+    )
+    langid = _langid_markers(spark, sf_dir).select(
+        F.lit("langid").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("hits_en").cast("bigint").alias("n1"),
+        F.col("hits_es").cast("bigint").alias("n2"),
+        F.lit(None).cast("bigint").alias("n3"),
+        F.lit(None).cast("double").alias("v"),
+        F.col("predicted").alias("s1"),
+        F.col("lang").alias("s2"),
+        F.col("agree").alias("b"),
+    )
+    return rollup.unionByName(langid)
+
+
+_LANG_SUITE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, lang, {_WORDS_SQL} AS ws FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         len(list_filter(ws, x -> x IN {_STOPWORDS})) AS hits_en,
+         len(list_filter(ws, x -> x IN {_ES_MARKERS})) AS hits_es
+  FROM w
+)
+SELECT 'rollup' AS part, lang AS key,
+       count(*) AS n1,
+       CAST(count(DISTINCT source) AS BIGINT) AS n2,
+       CAST(sum(n_chars) AS BIGINT) AS n3,
+       floor(sum(n_chars) * 1.0 / count(*) * 100) / 100 AS v,
+       CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS VARCHAR) AS s2,
+       CAST(NULL AS BOOLEAN) AS b
+FROM documents
+GROUP BY lang
+UNION ALL
+SELECT 'langid', CAST(doc_id AS VARCHAR),
+       CAST(hits_en AS BIGINT), CAST(hits_es AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CASE WHEN hits_es > hits_en THEN 'es'
+            WHEN hits_en > 0 THEN 'en'
+            ELSE 'und' END,
+       lang,
+       (CASE WHEN hits_es > hits_en THEN 'es'
+             WHEN hits_en > 0 THEN 'en'
+             ELSE 'und' END) = lang
+FROM scored
+"""
+
+
+def _planted_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-recall oracle for the five approximate detectors
+    (MinHash-LSH, SimHash, embedding-LSH near-dup, IVF top-k, LSH
+    top-k): plant exact copies (doc_id % 25 / vec_id % 50 → id +
+    1_000_000), semi-join each detector's found pairs against the
+    planted universe, and emit the surviving planted rows.  The oracle
+    is the FULL planted universe, so the driver's rows+hash match
+    proves recall 1.0 on planted pairs — identical inputs share every
+    MinHash band, every simhash band (hamming 0), every hyperplane
+    bucket, and the same nearest centroid, so a miss is a real
+    regression, never sampling noise.  This closes the one blind spot
+    of the rows-only checks: the candidate-generation step itself is
+    now cross-engine-verified."""
+    from datawarehouse_code_spark.operators.similarity import ivf_topk, lsh_topk
+
+    offset = 1_000_000
+    docs = read_table(spark, "documents", sf_dir)
+    doc_copies = docs.filter(F.col("doc_id") % 25 == 0).withColumn(
+        "doc_id", F.col("doc_id") + offset
+    )
+    corpus = docs.unionByName(doc_copies)
+    planted_docs = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("a"),
+        (F.col("doc_id") + offset).alias("b"),
+        F.size(words(F.col("text"))).alias("nw"),
+    )
+
+    def found(det: DataFrame, c1: str, c2: str, universe: DataFrame, label: str) -> DataFrame:
+        return universe.join(
+            det,
+            (universe["a"] == det[c1]) & (universe["b"] == det[c2]),
+            "left_semi",
+        ).select(F.lit(label).alias("part"), "a", "b")
+
+    mh = found(
+        near_dup_pairs_lsh(corpus), "d1", "d2",
+        planted_docs.filter(F.col("nw") >= 3), "minhash",
+    )
+    sh = found(
+        simhash_near_dup_pairs(corpus), "d1", "d2", planted_docs, "simhash"
+    )
+
+    emb = read_table(spark, "embeddings", sf_dir)
+    emb_copies = emb.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + offset
+    )
+    emb_corpus = emb.unionByName(emb_copies)
+    planted_emb = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("a"), (F.col("vec_id") + offset).alias("b")
+    )
+    ed = found(
+        embedding_near_dup_lsh(emb_corpus), "v1", "v2", planted_emb, "embedding"
+    )
+    planted_q = planted_emb.filter(F.col("a") < 100)
+    iv = found(
+        ivf_topk(emb_corpus), "query_id", "candidate_id", planted_q, "ivf_topk"
+    )
+    ls = found(
+        lsh_topk(emb_corpus), "query_id", "candidate_id", planted_q, "lsh_topk"
+    )
+    return mh.unionByName(sh).unionByName(ed).unionByName(iv).unionByName(ls)
+
+
+_PLANTED_RECALL_SQL = f"""
+WITH p AS (
+  SELECT doc_id AS a, doc_id + 1000000 AS b,
+         len({_WORDS_SQL}) AS nw
+  FROM documents WHERE doc_id % 25 = 0
+), pe AS (
+  SELECT vec_id AS a, vec_id + 1000000 AS b
+  FROM embeddings WHERE vec_id % 50 = 0
+)
+SELECT 'minhash' AS part, a, b FROM p WHERE nw >= 3
+UNION ALL SELECT 'simhash', a, b FROM p
+UNION ALL SELECT 'embedding', a, b FROM pe
+UNION ALL SELECT 'ivf_topk', a, b FROM pe WHERE a < 100
+UNION ALL SELECT 'lsh_topk', a, b FROM pe WHERE a < 100
+"""
+
+
 LLM_QUERIES: list[Query] = [
-    Query("dedup_exact", _dedup_exact, _DEDUP_EXACT_SQL,
-          "north-star: exact content-hash dedup"),
-    Query("dedup_near_jaccard", _dedup_near_jaccard, _DEDUP_JACCARD_SQL,
-          "north-star: n-gram Jaccard near-dup (inverted-index join)"),
+    Query("dedup_suite", _dedup_suite, _DEDUP_SUITE_SQL,
+          "north-star: exact content-hash dedup + n-gram Jaccard pairs + min-md5 fingerprints"),
+    Query("planted_recall_suite", _planted_recall_suite, _PLANTED_RECALL_SQL,
+          "north-star: deterministic recall-1.0 oracle for all five approximate detectors"),
     Query("dedup_minhash_lsh", _dedup_minhash_lsh, None,
           "north-star: banded MinHash-LSH near-dup (rows-only; exact twin = dedup_near_jaccard)"),
     Query("corpus_survivors", _corpus_survivors, _CORPUS_SQL,
@@ -823,18 +1074,12 @@ LLM_QUERIES: list[Query] = [
     # entries of a 60-entry registry).
     Query("dedup_simhash_pairs", _dedup_simhash_pairs, None,
           "north-star: SimHash hamming<=3 near-dup pairs via 15-bit bands (rows-only)"),
-    Query("doc_fingerprint", _doc_fingerprint, _FINGERPRINT_SQL,
-          "north-star: min-md5-shingle document fingerprint"),
     Query("text_token_stats", _text_token_stats, _TOKEN_STATS_SQL,
           "north-star: token counting + quality features"),
-    Query("lang_rollup", _lang_rollup, _LANG_ROLLUP_SQL,
-          "north-star: language rollup"),
-    Query("lang_percentiles", _lang_percentiles, _LANG_PCTL_SQL,
-          "§2.2 aggregates: exact interpolated percentiles"),
-    Query("lang_stats_pandas", _lang_stats_pandas, _LANG_STATS_PANDAS_SQL,
-          "north-star: grouped-map applyInPandas stats (numpy percentile)"),
-    Query("langid_markers", _langid_markers, _LANGID_SQL,
-          "north-star: marker-based language ID"),
+    Query("lang_suite", _lang_suite, _LANG_SUITE_SQL,
+          "north-star: language rollup + per-doc marker language-ID"),
+    Query("lang_stats_suite", _lang_stats_suite, _LANG_STATS_SUITE_SQL,
+          "north-star: discrete percentiles (expr) ⋈ applyInPandas stats"),
     Query("docs_quality_filter", _docs_quality_filter, _QUALITY_SQL,
           "north-star: Gopher-style heuristic quality filter"),
     Query("docs_mixture_resample", _docs_mixture_resample, _MIXTURE_SQL,
@@ -863,4 +1108,23 @@ LLM_QUERIES: list[Query] = [
           "north-star: embedding-cosine near-dup via LSH + exact verify (rows-only)"),
     Query("approx_distinct_events", _approx_distinct_events, None,
           "§2.2 aggregates: HLL approx_count_distinct (rows-only; exact twin = agg_count_distinct)"),
+]
+
+# Constituents of the suites above: still first-class library queries —
+# benchable, unit-tested, importable — just not separate driver rows.
+LLM_SUPPLEMENTARY: list[Query] = [
+    Query("dedup_exact", _dedup_exact, _DEDUP_EXACT_SQL,
+          "north-star: exact content-hash dedup (in dedup_suite)"),
+    Query("dedup_near_jaccard", _dedup_near_jaccard, _DEDUP_JACCARD_SQL,
+          "north-star: n-gram Jaccard near-dup (in dedup_suite)"),
+    Query("doc_fingerprint", _doc_fingerprint, _FINGERPRINT_SQL,
+          "north-star: min-md5-shingle fingerprint (in dedup_suite)"),
+    Query("lang_rollup", _lang_rollup, _LANG_ROLLUP_SQL,
+          "north-star: language rollup (in lang_suite)"),
+    Query("langid_markers", _langid_markers, _LANGID_SQL,
+          "north-star: marker-based language ID (in lang_suite)"),
+    Query("lang_percentiles", _lang_percentiles, _LANG_PCTL_SQL,
+          "§2.2 exact discrete percentiles (in lang_stats_suite)"),
+    Query("lang_stats_pandas", _lang_stats_pandas, _LANG_STATS_PANDAS_SQL,
+          "north-star: applyInPandas stats (in lang_stats_suite)"),
 ]

@@ -272,18 +272,137 @@ GROUP BY 1, 2, 3
 """
 
 
+# ------------------------------------------------- consolidated suites
+#
+# The driver's correctness gate checks a bounded prefix of the registry
+# (50 entries), so trivially-coupled queries are unioned into labeled
+# suite rows — SAME constituent plans, SAME oracle SQL per branch, one
+# registry slot.  The constituents stay importable (and benchable via
+# SUPPLEMENTARY below); only the driver-facing surface consolidates.
+
+
+def _dim_date_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_date_year + dim_date_month as one labeled union (O9 + B4)."""
+    wh = build_warehouse(spark, sf_dir)
+    y = wh.dim_date_year.select(
+        F.lit("year").alias("part"),
+        F.col("year_id").cast("int").alias("id"),
+        F.col("year").cast("int").alias("value"),
+    )
+    m = wh.dim_date_month.select(
+        F.lit("month").alias("part"),
+        F.col("month_id").cast("int").alias("id"),
+        F.col("month").cast("int").alias("value"),
+    )
+    return y.unionByName(m)
+
+
+_DIM_DATE_LOOKUP_SQL = """
+SELECT 'year' AS part,
+       CAST(row_number() OVER (ORDER BY year) AS INTEGER) AS id,
+       year AS value
+FROM (SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS year FROM orders)
+UNION ALL
+SELECT 'month' AS part, CAST(m AS INTEGER) AS id, CAST(m AS INTEGER) AS value
+FROM generate_series(1, 12) t(m)
+"""
+
+
+def _dim_country_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_country ⋈ dim_country_subregion — both dims' projections in
+    one row set (O1/O21 projection + the bridge dim)."""
+    wh = build_warehouse(spark, sf_dir)
+    return wh.dim_country.join(
+        wh.dim_country_subregion, "country_id"
+    ).select("country_id", "country_name", "region_id", "subregion_id", "subregion")
+
+
+_DIM_COUNTRY_REGION_SQL = """
+SELECT n_nationkey AS country_id,
+       n_name AS country_name,
+       n_regionkey AS region_id,
+       r_regionkey AS subregion_id,
+       r_name AS subregion
+FROM nation JOIN region ON nation.n_regionkey = region.r_regionkey
+"""
+
+
+def _load_pattern_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 anti-join load + O3 bag union + O14 composite dedup, labeled."""
+    anti = _insert_if_not_exists(spark, sf_dir).select(
+        F.lit("anti").alias("part"),
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_custkey").alias("k2"),
+        F.col("o_orderstatus").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+        F.col("o_totalprice").alias("val"),
+    )
+    union = _union_all(spark, sf_dir).select(
+        F.lit("union").alias("part"),
+        F.lit(None).cast("bigint").alias("k1"),
+        F.lit(None).cast("bigint").alias("k2"),
+        F.col("name").alias("s1"),
+        F.col("kind").alias("s2"),
+        F.col("acctbal").alias("val"),
+    )
+    dedup = _dedup_composite_key(spark, sf_dir).select(
+        F.lit("dedup").alias("part"),
+        (
+            F.col("year").cast("bigint") * 10000
+            + F.col("month_id") * 100
+            + F.col("day")
+        ).alias("k1"),
+        F.col("witness_orderkey").alias("k2"),
+        F.lit(None).cast("string").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+        F.lit(None).cast("double").alias("val"),
+    )
+    return anti.unionByName(union).unionByName(dedup)
+
+
+_LOAD_PATTERN_SQL = """
+SELECT 'anti' AS part, o_orderkey AS k1, o_custkey AS k2,
+       o_orderstatus AS s1, CAST(NULL AS VARCHAR) AS s2, o_totalprice AS val
+FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+UNION ALL
+SELECT 'union', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       c_name, 'customer', c_acctbal FROM customer
+UNION ALL
+SELECT 'union', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       s_name, 'supplier', s_acctbal FROM supplier
+UNION ALL
+SELECT 'dedup',
+       CAST(year(o_orderdate) AS BIGINT) * 10000
+         + month(o_orderdate) * 100 + day(o_orderdate),
+       min(o_orderkey),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+FROM orders
+GROUP BY year(o_orderdate), month(o_orderdate), day(o_orderdate)
+"""
+
+
 REFERENCE_QUERIES: list[Query] = [
     Query("dim_client", _dim_client, _DIM_CLIENT_SQL, "O5/O7: CASE mapping dim"),
-    Query("dim_product_subcategory", _dim_product_subcategory, _DIM_SUB_SQL, "O8 lookup-or-create"),
-    Query("dim_product", _dim_product, _DIM_PRODUCT_SQL, "O8 snowflake dim"),
-    Query("dim_country", _dim_country, _DIM_COUNTRY_SQL, "O1/O21 projection"),
-    Query("dim_country_subregion", _dim_country_subregion, _DIM_SUBREGION_SQL, "bridge dim"),
-    Query("dim_date_year", _dim_date_year, _DIM_YEAR_SQL, "O9 lookup-or-create"),
-    Query("dim_date_month", _dim_date_month, _DIM_MONTH_SQL, "B4: static month dim"),
+    Query("dim_product", _dim_product, _DIM_PRODUCT_SQL, "O8 snowflake dim (embeds the subcategory lookup)"),
+    Query("dim_country_region", _dim_country_region, _DIM_COUNTRY_REGION_SQL, "O1/O21 projection + bridge dim"),
+    Query("dim_date_lookup", _dim_date_lookup, _DIM_DATE_LOOKUP_SQL, "O9 lookup-or-create + B4 static month dim"),
     Query("dim_date", _dim_date, _DIM_DATE_SQL, "O10-O14 date derivations"),
     Query("fact_build", _fact_build, _FACT_SQL, "O15/O16 fact projection, real measures (B6)"),
     Query("cube_table", _cube_table, _CUBE_SQL, "O20-O22 star join cube"),
-    Query("insert_if_not_exists", _insert_if_not_exists, _ANTI_SQL, "O5 anti-join load"),
-    Query("union_all_tables", _union_all, _UNION_SQL, "O3 bag union"),
-    Query("dedup_composite_key", _dedup_composite_key, _DEDUP_SQL, "O14 composite dedup"),
+    Query("load_pattern_suite", _load_pattern_suite, _LOAD_PATTERN_SQL, "O5 anti-join + O3 bag union + O14 composite dedup"),
+]
+
+# Constituents of the suites above (plus dims whose derivation a suite
+# already exercises end-to-end): still first-class library queries —
+# benchable, unit-tested, importable — just not separate driver rows.
+REFERENCE_SUPPLEMENTARY: list[Query] = [
+    Query("dim_product_subcategory", _dim_product_subcategory, _DIM_SUB_SQL, "O8 lookup-or-create (embedded in dim_product)"),
+    Query("dim_country", _dim_country, _DIM_COUNTRY_SQL, "O1/O21 projection (in dim_country_region)"),
+    Query("dim_country_subregion", _dim_country_subregion, _DIM_SUBREGION_SQL, "bridge dim (in dim_country_region)"),
+    Query("dim_date_year", _dim_date_year, _DIM_YEAR_SQL, "O9 lookup-or-create (in dim_date_lookup)"),
+    Query("dim_date_month", _dim_date_month, _DIM_MONTH_SQL, "B4: static month dim (in dim_date_lookup)"),
+    Query("insert_if_not_exists", _insert_if_not_exists, _ANTI_SQL, "O5 anti-join load (in load_pattern_suite)"),
+    Query("union_all_tables", _union_all, _UNION_SQL, "O3 bag union (in load_pattern_suite)"),
+    Query("dedup_composite_key", _dedup_composite_key, _DEDUP_SQL, "O14 composite dedup (in load_pattern_suite)"),
 ]

@@ -886,6 +886,343 @@ WHERE is_left = 1
 """
 
 
+# ------------------------------------------------- consolidated suites
+#
+# The driver's correctness gate checks a bounded prefix of the registry
+# (50 entries), so trivially-coupled queries are unioned into labeled
+# suite rows: the SAME constituent plans re-projected onto a shared
+# schema, with the oracle SQL unioned branch-for-branch.  Constituents
+# stay importable and benchable (WAREHOUSE_SUPPLEMENTARY); Spark's
+# ReuseExchange de-duplicates the identical cube subplans inside a
+# suite, so a suite costs about as much as its priciest branch.
+
+
+def _agg_grouping_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rollup + cube + GROUPING SETS over the warehouse cube, labeled."""
+    rollup = _agg_rollup_year_type(spark, sf_dir).select(
+        F.lit("rollup").alias("part"),
+        F.col("year").cast("string").alias("key1"),
+        F.col("company_type").alias("key2"),
+        F.col("revenue").alias("measure"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("gid"),
+    )
+    cub = _agg_cube_type_category(spark, sf_dir).select(
+        F.lit("cube").alias("part"),
+        F.col("company_type").alias("key1"),
+        F.col("category").alias("key2"),
+        F.col("sum_qty").alias("measure"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("gid"),
+    )
+    gsets = _agg_grouping_sets(spark, sf_dir).select(
+        F.lit("gsets").alias("part"),
+        F.col("year").cast("string").alias("key1"),
+        F.col("country_name").alias("key2"),
+        F.col("revenue").alias("measure"),
+        F.lit(None).cast("bigint").alias("n_rows"),
+        F.col("gid"),
+    )
+    return rollup.unionByName(cub).unionByName(gsets)
+
+
+_AGG_GROUPING_SUITE_SQL = _CUBE_CTE + """
+SELECT 'rollup' AS part, CAST(year AS VARCHAR) AS key1, company_type AS key2,
+       round(sum(quantity * price), 2) AS measure,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(GROUPING(year, company_type) AS INTEGER) AS gid
+FROM cube_t GROUP BY ROLLUP (year, company_type)
+UNION ALL
+SELECT 'cube', company_type, category,
+       round(sum(quantity), 2), CAST(count(*) AS BIGINT),
+       CAST(GROUPING(company_type, category) AS INTEGER)
+FROM cube_t GROUP BY CUBE (company_type, category)
+UNION ALL
+SELECT 'gsets', CAST(year AS VARCHAR), country_name,
+       round(sum(quantity * price), 2), CAST(NULL AS BIGINT),
+       CAST(GROUPING(year, country_name) AS INTEGER)
+FROM cube_t GROUP BY GROUPING SETS ((year), (country_name), ())
+"""
+
+
+def _window_growth_mavg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag growth + 3-month moving average in ONE window pass (same
+    partition/order spec → a single sort-based WindowExec covers both
+    frames)."""
+    cube = build_warehouse(spark, sf_dir).cube
+    monthly = _monthly_revenue(cube).withColumn(
+        "cents", F.round(F.col("revenue") * 100, 0).cast("bigint")
+    )
+    wlag = Window.partitionBy("country_name").orderBy("year", "month")
+    wframe = wlag.rowsBetween(-2, Window.currentRow)
+    return monthly.select(
+        "country_name",
+        "year",
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - F.lag("revenue").over(wlag), 2).alias("growth"),
+        (
+            F.floor(F.sum("cents").over(wframe) / F.count(F.lit(1)).over(wframe))
+            / F.lit(100.0)
+        ).alias("mavg_3m"),
+    )
+
+
+_WINDOW_GROWTH_MAVG_SQL = _MONTHLY_CTE + """
+SELECT country_name, year, month, revenue,
+       round(revenue - lag(revenue) OVER wl, 2) AS growth,
+       floor(sum(CAST(round(revenue * 100, 0) AS BIGINT)) OVER wf
+             / count(*) OVER wf) / 100.0 AS mavg_3m
+FROM monthly
+WINDOW wl AS (PARTITION BY country_name ORDER BY year, month),
+       wf AS (PARTITION BY country_name ORDER BY year, month
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def _set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT + EXCEPT (distinct set semantics), labeled."""
+    i = _set_intersect_customers(spark, sf_dir).select(
+        F.lit("intersect").alias("op"), "o_custkey"
+    )
+    e = _set_except_customers(spark, sf_dir).select(
+        F.lit("except").alias("op"), "o_custkey"
+    )
+    return i.unionByName(e)
+
+
+_SET_OPS_CUSTOMERS_SQL = """
+SELECT 'intersect' AS op, o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+)
+UNION ALL
+SELECT 'except', o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+)
+"""
+
+
+def _set_ops_all_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL + INTERSECT ALL (bag semantics), labeled."""
+    e = _set_except_all(spark, sf_dir).select(
+        F.lit("except_all").alias("op"), "l_partkey"
+    )
+    i = _set_intersect_all(spark, sf_dir).select(
+        F.lit("intersect_all").alias("op"), "l_partkey"
+    )
+    return e.unionByName(i)
+
+
+_SET_OPS_ALL_PARTS_SQL = """
+SELECT 'except_all' AS op, l_partkey FROM (
+  SELECT l_partkey FROM lineitem
+  EXCEPT ALL
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+)
+UNION ALL
+SELECT 'intersect_all', l_partkey FROM (
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+  INTERSECT ALL
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+)
+"""
+
+
+def _join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER + LEFT SEMI + theta band join, labeled."""
+    full = _join_full_outer(spark, sf_dir).select(
+        F.lit("full_outer").alias("part"),
+        F.col("nationkey").cast("bigint").alias("key"),
+        F.lit(None).cast("string").alias("name"),
+        F.col("n_cust").cast("bigint").alias("n1"),
+        F.col("n_supp").cast("double").alias("n2"),
+    )
+    semi = _join_semi(spark, sf_dir).select(
+        F.lit("semi").alias("part"),
+        F.col("c_custkey").cast("bigint").alias("key"),
+        F.col("c_name").alias("name"),
+        F.lit(None).cast("bigint").alias("n1"),
+        F.lit(None).cast("double").alias("n2"),
+    )
+    theta = _theta_band_join(spark, sf_dir).select(
+        F.lit("theta_band").alias("part"),
+        F.col("band_id").cast("bigint").alias("key"),
+        F.lit(None).cast("string").alias("name"),
+        F.col("n_parts").cast("bigint").alias("n1"),
+        F.col("avg_price").alias("n2"),
+    )
+    return full.unionByName(semi).unionByName(theta)
+
+
+_JOIN_SUITE_SQL = """
+SELECT 'full_outer' AS part,
+       CAST(coalesce(c.nationkey, s.nationkey) AS BIGINT) AS key,
+       CAST(NULL AS VARCHAR) AS name,
+       CAST(coalesce(n_cust, 0) AS BIGINT) AS n1,
+       CAST(coalesce(n_supp, 0) AS DOUBLE) AS n2
+FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust FROM customer GROUP BY 1) c
+FULL JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) s
+USING (nationkey)
+UNION ALL
+SELECT 'semi', c_custkey, c_name, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT 'theta_band', band_id, CAST(NULL AS VARCHAR),
+       CAST(count(*) AS BIGINT), round(avg(p_retailprice), 2)
+FROM part
+JOIN (VALUES (1, 0.0, 500.0), (2, 500.0, 1000.0),
+             (3, 1000.0, 1500.0), (4, 1500.0, 1e9)) AS bands(band_id, lo, hi)
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band_id
+"""
+
+
+def _filter_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pushed-predicate filter + global top-k (TakeOrdered), labeled."""
+    f = _filter_orders_predicates(spark, sf_dir).select(
+        F.lit("filter").alias("part"),
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority",
+    )
+    t = _topk_orders_global(spark, sf_dir).select(
+        F.lit("topk").alias("part"),
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.lit(None).cast("string").alias("o_orderpriority"),
+    )
+    return f.unionByName(t)
+
+
+_FILTER_TOPK_SQL = """
+SELECT 'filter' AS part, o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND o_orderstatus IN ('O', 'F')
+  AND o_totalprice > 150000.0
+  AND o_orderpriority LIKE '1-%'
+UNION ALL
+SELECT 'topk', o_orderkey, o_custkey, o_totalprice, CAST(NULL AS VARCHAR)
+FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice
+  FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey ASC
+  LIMIT 100
+)
+"""
+
+
+def _scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction aggregate + string-function surface, labeled."""
+    j = _json_extract_events(spark, sf_dir).select(
+        F.lit("json").alias("part"),
+        F.col("event_type").alias("key"),
+        F.lit(None).cast("string").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+        F.lit(None).cast("string").alias("s3"),
+        F.lit(None).cast("string").alias("s4"),
+        F.col("n_events").cast("double").alias("d1"),
+        F.col("avg_k").alias("d2"),
+        F.col("max_k").cast("double").alias("d3"),
+        F.col("sum_value").alias("d4"),
+    )
+    s = _string_scalars(spark, sf_dir).select(
+        F.lit("string").alias("part"),
+        F.col("c_custkey").cast("string").alias("key"),
+        F.col("segment_upper").alias("s1"),
+        F.col("name_prefix").alias("s2"),
+        F.col("name_seg").alias("s3"),
+        F.col("name_num").alias("s4"),
+        F.col("name_len").cast("double").alias("d1"),
+        F.lit(None).cast("double").alias("d2"),
+        F.lit(None).cast("double").alias("d3"),
+        F.lit(None).cast("double").alias("d4"),
+    )
+    return j.unionByName(s)
+
+
+_SCALAR_SUITE_SQL = """
+SELECT 'json' AS part, event_type AS key,
+       CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS VARCHAR) AS s2,
+       CAST(NULL AS VARCHAR) AS s3, CAST(NULL AS VARCHAR) AS s4,
+       CAST(count(*) AS DOUBLE) AS d1,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS d2,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE) AS d3,
+       round(sum(value), 2) AS d4
+FROM events
+GROUP BY event_type
+UNION ALL
+SELECT 'string', CAST(c_custkey AS VARCHAR),
+       upper(c_mktsegment),
+       substring(c_name, 1, 8),
+       c_name || '/' || c_mktsegment,
+       coalesce(regexp_extract(c_name, '([0-9]+)$', 1), ''),
+       CAST(length(c_name) AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM customer
+"""
+
+
+def _agg_quarter_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter rollup (O11/O12) + pivot-then-unpivot, labeled.  The
+    pivot branch runs the real .pivot() plan and unpivots with stack()
+    so both engines compare the identical cell set (incl. NULL cells
+    for absent year×company combinations)."""
+    q = _agg_quarter_revenue(spark, sf_dir).select(
+        F.lit("quarter").alias("part"),
+        "year",
+        F.col("three_months").cast("int").alias("key"),
+        F.lit(None).cast("string").alias("company"),
+        F.col("revenue"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+    )
+    p = _agg_pivot_company_type(spark, sf_dir).selectExpr(
+        "'pivot' AS part",
+        "year",
+        "CAST(NULL AS INT) AS key",
+        "stack(3, 'electric_company', electric_company, "
+        "'mechanic_company', mechanic_company, "
+        "'industry', industry) AS (company, revenue)",
+    ).withColumn("n_rows", F.lit(None).cast("bigint"))
+    return q.unionByName(p)
+
+
+_AGG_QUARTER_PIVOT_SQL = _CUBE_CTE + """, piv AS (
+  SELECT year,
+         round(sum(CASE WHEN company_type = 'electric_company'
+                        THEN quantity * price END), 2) AS electric_company,
+         round(sum(CASE WHEN company_type = 'mechanic_company'
+                        THEN quantity * price END), 2) AS mechanic_company,
+         round(sum(CASE WHEN company_type = 'industry'
+                        THEN quantity * price END), 2) AS industry
+  FROM cube_t
+  GROUP BY year
+)
+SELECT 'quarter' AS part,
+       CAST(year(o_orderdate) AS INTEGER) AS year,
+       CAST((quarter(o_orderdate) - 1) * 3 + 1 AS INTEGER) AS key,
+       CAST(NULL AS VARCHAR) AS company,
+       round(sum(l_quantity * l_extendedprice), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY 2, 3
+UNION ALL
+SELECT 'pivot', year, CAST(NULL AS INT), 'electric_company',
+       electric_company, CAST(NULL AS BIGINT) FROM piv
+UNION ALL
+SELECT 'pivot', year, CAST(NULL AS INT), 'mechanic_company',
+       mechanic_company, CAST(NULL AS BIGINT) FROM piv
+UNION ALL
+SELECT 'pivot', year, CAST(NULL AS INT), 'industry',
+       industry, CAST(NULL AS BIGINT) FROM piv
+"""
+
+
 WAREHOUSE_QUERIES: list[Query] = [
     Query("agg_revenue_year_country", _agg_revenue_year_country, _AGG_REVENUE_SQL,
           "§2.2 aggregates: the cube's flagship GROUP BY"),
@@ -893,46 +1230,26 @@ WAREHOUSE_QUERIES: list[Query] = [
           "§2.2 aggregates: TPC-H Q1 shape, pushed filter"),
     Query("agg_count_distinct", _agg_count_distinct, _AGG_COUNTD_SQL,
           "§2.2 aggregates: countDistinct"),
-    Query("agg_rollup_year_type", _agg_rollup_year_type, _AGG_ROLLUP_SQL,
-          "§2.2 rollup + grouping_id"),
-    Query("agg_cube_type_category", _agg_cube_type_category, _AGG_CUBE_SQL,
-          "§2.2 cube()"),
-    Query("agg_grouping_sets", _agg_grouping_sets, _AGG_GSETS_SQL,
-          "§2.2 GROUPING SETS"),
-    Query("agg_quarter_revenue", _agg_quarter_revenue, _AGG_QUARTER_SQL,
-          "§2.2 aggregates through the quarter derivation (O11/O12)"),
-    Query("agg_pivot_company_type", _agg_pivot_company_type, _AGG_PIVOT_SQL,
-          "§2.2 pivot (explicit value list)"),
+    Query("agg_grouping_suite", _agg_grouping_suite, _AGG_GROUPING_SUITE_SQL,
+          "§2.2 rollup + cube() + GROUPING SETS + grouping_id"),
+    Query("agg_quarter_pivot", _agg_quarter_pivot, _AGG_QUARTER_PIVOT_SQL,
+          "§2.2 quarter derivation (O11/O12) + pivot (explicit value list)"),
     Query("window_topk_products", _window_topk_products, _WINDOW_TOPK_SQL,
           "§2.2 window rank top-k per group"),
-    Query("window_monthly_growth", _window_monthly_growth, _WINDOW_GROWTH_SQL,
-          "§2.2 window lag"),
-    Query("window_moving_avg", _window_moving_avg, _WINDOW_MAVG_SQL,
-          "§2.2 window sliding frame"),
-    Query("filter_orders_predicates", _filter_orders_predicates, _FILTER_SQL,
-          "§2.2 filters: BETWEEN/IN/LIKE/compare"),
-    Query("topk_orders_global", _topk_orders_global, _TOPK_SQL,
-          "§2.2 global sort + limit (TakeOrdered)"),
-    Query("set_intersect_customers", _set_intersect_customers, _SET_INTERSECT_SQL,
-          "§2.2 INTERSECT"),
-    Query("set_except_customers", _set_except_customers, _SET_EXCEPT_SQL,
-          "§2.2 EXCEPT"),
-    Query("set_except_all_parts", _set_except_all, _SET_EXCEPT_ALL_SQL,
-          "§2.2 EXCEPT ALL (bag semantics)"),
-    Query("set_intersect_all_parts", _set_intersect_all, _SET_INTERSECT_ALL_SQL,
-          "§2.2 INTERSECT ALL (bag semantics)"),
-    Query("json_extract_events", _json_extract_events, _JSON_SQL,
-          "§2.2 JSON scalars: from_json over events.props"),
-    Query("string_scalars", _string_scalars, _STRING_SQL,
-          "§2.2 string scalars"),
+    Query("window_growth_mavg", _window_growth_mavg, _WINDOW_GROWTH_MAVG_SQL,
+          "§2.2 window lag + sliding frame (one window pass)"),
+    Query("filter_topk_orders", _filter_topk_orders, _FILTER_TOPK_SQL,
+          "§2.2 filters BETWEEN/IN/LIKE + global sort-limit (TakeOrdered)"),
+    Query("set_ops_customers", _set_ops_customers, _SET_OPS_CUSTOMERS_SQL,
+          "§2.2 INTERSECT + EXCEPT (set semantics)"),
+    Query("set_ops_all_parts", _set_ops_all_parts, _SET_OPS_ALL_PARTS_SQL,
+          "§2.2 EXCEPT ALL + INTERSECT ALL (bag semantics)"),
+    Query("scalar_suite", _scalar_suite, _SCALAR_SUITE_SQL,
+          "§2.2 JSON scalars (from_json) + string scalar surface"),
     Query("join_left_outer", _join_left_outer, _JOIN_LEFT_SQL,
           "§2.2 outer join"),
-    Query("join_full_outer", _join_full_outer, _JOIN_FULL_SQL,
-          "§2.2 full outer join"),
-    Query("join_semi", _join_semi, _JOIN_SEMI_SQL,
-          "§2.2 semi join (EXISTS)"),
-    Query("theta_band_join", _theta_band_join, _THETA_SQL,
-          "§2.2 theta/range join"),
+    Query("join_suite", _join_suite, _JOIN_SUITE_SQL,
+          "§2.2 full outer + semi (EXISTS) + theta/range join"),
     Query("interval_join_shipments", _interval_join_shipments, _INTERVAL_JOIN_SQL,
           "§2.2 big-big range join binned to a bucket equi-join"),
     Query("dq_audit_orders", _dq_audit_orders, _DQ_AUDIT_SQL,
@@ -941,4 +1258,45 @@ WAREHOUSE_QUERIES: list[Query] = [
           "§2.2 SCD type-2 dimension merge (close/open/carry in one join)"),
     Query("asof_join_events", _asof_join_events, _ASOF_SQL,
           "§2.2 as-of join (backward): union+window, no range-join explosion"),
+]
+
+# Constituents of the suites above: still first-class library queries —
+# benchable, unit-tested, importable — just not separate driver rows.
+WAREHOUSE_SUPPLEMENTARY: list[Query] = [
+    Query("agg_rollup_year_type", _agg_rollup_year_type, _AGG_ROLLUP_SQL,
+          "§2.2 rollup + grouping_id (in agg_grouping_suite)"),
+    Query("agg_cube_type_category", _agg_cube_type_category, _AGG_CUBE_SQL,
+          "§2.2 cube() (in agg_grouping_suite)"),
+    Query("agg_grouping_sets", _agg_grouping_sets, _AGG_GSETS_SQL,
+          "§2.2 GROUPING SETS (in agg_grouping_suite)"),
+    Query("agg_quarter_revenue", _agg_quarter_revenue, _AGG_QUARTER_SQL,
+          "§2.2 quarter derivation (in agg_quarter_pivot)"),
+    Query("agg_pivot_company_type", _agg_pivot_company_type, _AGG_PIVOT_SQL,
+          "§2.2 pivot (in agg_quarter_pivot)"),
+    Query("window_monthly_growth", _window_monthly_growth, _WINDOW_GROWTH_SQL,
+          "§2.2 window lag (in window_growth_mavg)"),
+    Query("window_moving_avg", _window_moving_avg, _WINDOW_MAVG_SQL,
+          "§2.2 window sliding frame (in window_growth_mavg)"),
+    Query("filter_orders_predicates", _filter_orders_predicates, _FILTER_SQL,
+          "§2.2 filters (in filter_topk_orders)"),
+    Query("topk_orders_global", _topk_orders_global, _TOPK_SQL,
+          "§2.2 global sort + limit (in filter_topk_orders)"),
+    Query("set_intersect_customers", _set_intersect_customers, _SET_INTERSECT_SQL,
+          "§2.2 INTERSECT (in set_ops_customers)"),
+    Query("set_except_customers", _set_except_customers, _SET_EXCEPT_SQL,
+          "§2.2 EXCEPT (in set_ops_customers)"),
+    Query("set_except_all_parts", _set_except_all, _SET_EXCEPT_ALL_SQL,
+          "§2.2 EXCEPT ALL (in set_ops_all_parts)"),
+    Query("set_intersect_all_parts", _set_intersect_all, _SET_INTERSECT_ALL_SQL,
+          "§2.2 INTERSECT ALL (in set_ops_all_parts)"),
+    Query("json_extract_events", _json_extract_events, _JSON_SQL,
+          "§2.2 JSON scalars (in scalar_suite)"),
+    Query("string_scalars", _string_scalars, _STRING_SQL,
+          "§2.2 string scalars (in scalar_suite)"),
+    Query("join_full_outer", _join_full_outer, _JOIN_FULL_SQL,
+          "§2.2 full outer join (in join_suite)"),
+    Query("join_semi", _join_semi, _JOIN_SEMI_SQL,
+          "§2.2 semi join (in join_suite)"),
+    Query("theta_band_join", _theta_band_join, _THETA_SQL,
+          "§2.2 theta/range join (in join_suite)"),
 ]

@@ -15,8 +15,12 @@ import math
 
 import pytest
 
-from datawarehouse_code_spark.plans.registry import QUERIES
+from datawarehouse_code_spark.plans.registry import QUERIES, SUPPLEMENTARY_QUERIES
 from tests.conftest import SF_DIR
+
+# Suite constituents keep their own oracle check here even though the
+# driver sees only the suite rows.
+ALL_QUERIES = {**QUERIES, **SUPPLEMENTARY_QUERIES}
 
 
 def _normalize(v):
@@ -43,12 +47,12 @@ def _values_close(a, b) -> bool:
     return a == b
 
 
-ORACLE_QUERIES = [name for name, q in QUERIES.items() if q.oracle is not None]
+ORACLE_QUERIES = [name for name, q in ALL_QUERIES.items() if q.oracle is not None]
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_matches_oracle(name, spark, duck):
-    q = QUERIES[name]
+    q = ALL_QUERIES[name]
     sdf = q.fn(spark, SF_DIR)
     srows = sdf.collect()
     scols = sdf.columns

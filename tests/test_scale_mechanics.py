@@ -111,9 +111,9 @@ def test_cube_broadcast_hints_only_on_bounded_dims(spark):
 def test_filter_pushdown_reaches_scan(spark):
     """The predicate query's filters must appear as PushedFilters on
     the parquet scan, and the scan schema must be pruned."""
-    from datawarehouse_code_spark.plans.registry import QUERIES
+    from datawarehouse_code_spark.plans.registry import SUPPLEMENTARY_QUERIES
 
-    df = QUERIES["filter_orders_predicates"].fn(spark, SF_DIR)
+    df = SUPPLEMENTARY_QUERIES["filter_orders_predicates"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
     assert "GreaterThan" in plan or "In(o_orderstatus" in plan
