@@ -135,27 +135,39 @@ def plane_matrices(
     spark: SparkSession, n_planes: int, dim: int, n_tables: int
 ) -> np.ndarray:
     """±1 hyperplane components for all tables, shape (n_tables,
-    n_planes, dim), evaluated JVM-side with the SAME xxhash64
-    expressions `lsh_signature` uses — bit-for-bit the same planes,
-    nothing stored, one trivial one-row job at plan-build time."""
-    def comp(t: int, p: int, d: int) -> Column:
-        return (
-            F.when(
-                F.xxhash64(F.lit(t), F.lit(p), F.lit(d)).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0))
-        )
+    n_planes, dim), evaluated JVM-side with the SAME xxhash64 call
+    `lsh_signature` makes — bit-for-bit the same planes, nothing
+    stored.
 
-    row = spark.range(1).select(
-        F.array(*[
-            F.array(*[
-                F.array(*[comp(t, p, d) for d in range(dim)])
-                for p in range(n_planes)
-            ])
-            for t in range(n_tables)
-        ]).alias("m")
-    ).head()[0]
-    return np.asarray(row, dtype=np.float64)
+    Shape matters: ONE xxhash64 expression over n_tables·n_planes·dim
+    ROWS (spark.range), not one expression per component — a nested
+    per-component literal tree (the first implementation) put ~2048
+    `when(xxhash64(...))` nodes into a single projection, and Janino
+    codegen of that method cost ~25-30 s PER QUERY, dwarfing the
+    signature work the UDF saves.  This form is one trivial job
+    (<0.5 s) regardless of the plane count.
+
+    The int casts are load-bearing for parity: `lsh_signature` hashes
+    IntegerType literals, and Spark's xxhash64 hashes int and bigint
+    differently.
+    """
+    k = n_planes * dim
+    rows = (
+        spark.range(n_tables * k)
+        .select(
+            "id",
+            F.xxhash64(
+                F.expr(f"CAST(id div {k} AS INT)"),
+                F.expr(f"CAST((id div {dim}) % {n_planes} AS INT)"),
+                F.expr(f"CAST(id % {dim} AS INT)"),
+            ).bitwiseAND(F.lit(1)).alias("bit"),
+        )
+        .collect()
+    )
+    bits = np.empty(n_tables * k, dtype=np.int64)
+    for r in rows:
+        bits[r["id"]] = r["bit"]
+    return np.where(bits == 1, 1.0, -1.0).reshape(n_tables, n_planes, dim)
 
 
 def lsh_signatures_udf(planes: np.ndarray):
