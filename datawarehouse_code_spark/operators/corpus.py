@@ -248,3 +248,57 @@ def write_clean_corpus(
         if not caller_cached:
             docs.unpersist()
     return {"input": n_in, "surviving": n_out, "dropped": n_in - n_out}
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    shard_col: str,
+    order_col: str,
+    tokens_col: str,
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing — the layout step that
+    turns a cleaned corpus into fixed-length training sequences: the
+    documents of each shard are laid end-to-end in `order_col` order
+    and cut every `budget` tokens, so a document may straddle a
+    sequence boundary (the standard GPT-style pre-training packing,
+    zero padding waste, as opposed to greedy bin-packing).
+
+    Output: one row per input doc with its global token offset within
+    the shard and the first/last sequence it lands in.
+
+    Scale shape: the running offset is ONE window cumsum partitioned
+    by `shard_col` (a real pipeline packs per shard/file exactly so
+    this window never becomes a global single-partition sort); docs
+    with a non-positive token count are rejected loudly rather than
+    silently emitted as zero-width spans.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    off = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    guard = F.when(
+        F.col(tokens_col) <= 0,
+        F.raise_error(
+            F.concat(
+                F.lit("pack_sequences: non-positive token count for "),
+                F.col(order_col).cast("string"),
+            )
+        ).cast("bigint"),
+    ).otherwise(off)
+    return docs.select(
+        shard_col,
+        order_col,
+        F.col(tokens_col).cast("bigint").alias("n_tokens"),
+        guard.cast("bigint").alias("token_offset"),
+    ).select(
+        "*",
+        (F.col("token_offset") / budget).cast("bigint").alias("seq_first"),
+        (
+            (F.col("token_offset") + F.col("n_tokens") - 1) / budget
+        ).cast("bigint").alias("seq_last"),
+    )

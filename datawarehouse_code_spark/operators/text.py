@@ -642,3 +642,113 @@ def near_dup_pairs_lsh(
     return verified.select(
         "d1", "d2", (F.floor(F.col("jaccard") * 10000) / 10000).alias("jaccard_f4")
     )
+
+
+# PII patterns: a Java-regex/RE2-shared subset (no lookarounds, no
+# backrefs) so the DuckDB oracle applies the IDENTICAL expressions.
+# Dict order is the redaction order and is part of the contract.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    "phone": (r"\b\d{3}[- ]\d{3,4}[- ]\d{4}\b", "[PHONE]"),
+}
+
+
+def redact_pii(
+    documents: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, tuple[str, str]] = PII_PATTERNS,
+) -> DataFrame:
+    """PII redaction for training corpora: count each pattern on the
+    ORIGINAL text, then rewrite the text with every pattern replaced
+    by its token, in dict order (replacement tokens contain no
+    pattern-matchable characters, so ordering never cascades).
+
+    Scale shape: a stateless narrow projection — regexp_count /
+    regexp_replace stay inside whole-stage codegen, no shuffle, no
+    Python.  Composes ahead of dedup/quality in clean_corpus-style
+    pipelines (redact first: redaction changes content hashes).
+    """
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        for name, (pat, _) in patterns.items()
+    ]
+    redacted = F.col(text_col)
+    for _, (pat, token) in patterns.items():
+        redacted = F.regexp_replace(redacted, pat, token)
+    return documents.select(
+        "doc_id", *counts, redacted.alias("redacted_text")
+    )
+
+
+def repetition_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style repetition signals per document: distinct-word
+    ratio, most-frequent-word share, and duplicate word-2-gram
+    fraction — the filters that catch degenerate generated/boilerplate
+    text that length and stopword checks miss.
+
+    Scale shape: the 2-gram signal is a pure array expression (narrow,
+    no shuffle); the word-frequency signals use explode → two-phase
+    count aggregation (the tf shape) — one shuffle on (doc_id, term),
+    partial-aggregated map-side, then a per-doc rollup that reuses the
+    same hash partitioning.
+    """
+    ws = words(F.col(text_col))
+    n = F.size(ws)
+    grams2 = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    narrow = documents.select(
+        "doc_id",
+        F.size(grams2).alias("n_2grams"),
+        F.size(F.array_distinct(grams2)).alias("n_distinct_2grams"),
+    )
+    terms = documents.select(
+        "doc_id", F.explode(ws).alias("term")
+    ).filter(F.col("term") != "")
+    freq = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.max("cnt").alias("top_word_count"),
+        )
+    )
+    joined = freq.join(narrow, "doc_id")
+    dup2 = F.when(
+        F.col("n_2grams") > 0,
+        F.floor(
+            (F.col("n_2grams") - F.col("n_distinct_2grams"))
+            / F.col("n_2grams") * 10000
+        ) / 10000,
+    )
+    return joined.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        (F.floor(F.col("top_word_count") / F.col("n_words") * 10000) / 10000).alias(
+            "top_word_frac_f4"
+        ),
+        F.col("n_2grams").cast("bigint").alias("n_2grams"),
+        dup2.alias("dup_2gram_frac_f4"),
+    )
+
+
+def collapse_repeats(words_col: Column) -> Column:
+    """Drop consecutive duplicate tokens ('a a a the the' → 'a the'):
+    the cheap normalization pass ahead of token counting.  Pure array
+    expression; element i survives when it differs from element i-1
+    (filter's lambda index is 0-based, element_at is 1-based, so
+    element_at(ws, i) IS the predecessor)."""
+    return F.filter(
+        words_col,
+        lambda x, i: (i == 0) | (x != F.element_at(words_col, i)),
+    )

@@ -1055,11 +1055,177 @@ UNION ALL SELECT 'lsh_topk', a, b FROM pe WHERE a < 100
 """
 
 
+def _text_cleaning_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction + repetition signals + consecutive-duplicate
+    collapse (operators/text.py), labeled.  The fixture text carries
+    no PII, so the pii branch first appends a deterministic synthetic
+    contact line (pure function of doc_id, replayed identically by the
+    oracle) — the redaction logic gets real matches to count and
+    rewrite instead of passing vacuously."""
+    from datawarehouse_code_spark.operators.text import (
+        collapse_repeats,
+        redact_pii,
+        repetition_stats,
+    )
+
+    docs = read_table(spark, "documents", sf_dir)
+    with_pii = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(" or 555-867-5309"),
+        ),
+    )
+    pii = redact_pii(with_pii).select(
+        F.lit("pii").alias("part"),
+        "doc_id",
+        F.col("n_email").alias("n1"),
+        F.col("n_ip").alias("n2"),
+        F.col("n_phone").alias("n3"),
+        F.lit(None).cast("double").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+        F.expr("right(redacted_text, 40)").alias("s"),
+    )
+    rep = repetition_stats(docs).select(
+        F.lit("repetition").alias("part"),
+        "doc_id",
+        F.col("n_words").alias("n1"),
+        F.col("n_distinct_words").alias("n2"),
+        F.col("n_2grams").alias("n3"),
+        F.col("top_word_frac_f4").alias("v1"),
+        F.col("dup_2gram_frac_f4").alias("v2"),
+        F.lit(None).cast("string").alias("s"),
+    )
+    ws = words(F.col("text"))
+    collapsed = collapse_repeats(ws)
+    col = docs.select(
+        F.lit("collapse").alias("part"),
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n1"),
+        F.size(collapsed).cast("bigint").alias("n2"),
+        F.lit(None).cast("bigint").alias("n3"),
+        F.lit(None).cast("double").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+        F.concat_ws(" ", F.slice(collapsed, 1, 5)).alias("s"),
+    )
+    return pii.unionByName(rep).unionByName(col)
+
+
+_CLEANING_SQL = f"""
+WITH pii_src AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST(doc_id % 100 AS VARCHAR)
+              || ' or 555-867-5309' AS t
+  FROM documents
+), w AS (
+  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+), terms AS (
+  SELECT doc_id, unnest(ws) AS term FROM w
+), freq AS (
+  SELECT doc_id, term, count(*) AS cnt FROM terms WHERE term <> '' GROUP BY 1, 2
+), perdoc AS (
+  SELECT doc_id, sum(cnt) AS n_words, count(*) AS n_distinct, max(cnt) AS top_cnt
+  FROM freq GROUP BY doc_id
+), g2 AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 2
+              THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+              ELSE [] END AS grams
+  FROM w
+)
+SELECT 'pii' AS part, doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n1,
+       CAST(len(regexp_extract_all(t, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS BIGINT) AS n2,
+       CAST(len(regexp_extract_all(t, '\\b\\d{{3}}[- ]\\d{{3,4}}[- ]\\d{{4}}\\b')) AS BIGINT) AS n3,
+       CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2,
+       right(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '[IP]', 'g'),
+           '\\b\\d{{3}}[- ]\\d{{3,4}}[- ]\\d{{4}}\\b', '[PHONE]', 'g'),
+         40) AS s
+FROM pii_src
+UNION ALL
+SELECT 'repetition', p.doc_id,
+       CAST(p.n_words AS BIGINT), CAST(p.n_distinct AS BIGINT),
+       CAST(len(g.grams) AS BIGINT),
+       floor(p.top_cnt * 1.0 / p.n_words * 10000) / 10000,
+       CASE WHEN len(g.grams) > 0 THEN
+         floor((len(g.grams) - len(list_distinct(g.grams))) * 1.0
+               / len(g.grams) * 10000) / 10000 END,
+       CAST(NULL AS VARCHAR)
+FROM perdoc p JOIN g2 g ON p.doc_id = g.doc_id
+UNION ALL
+SELECT 'collapse', doc_id,
+       CAST(len(ws) AS BIGINT),
+       CAST(len([ws[i] for i in range(1, len(ws) + 1)
+                 if i = 1 or ws[i] <> ws[i-1]]) AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       array_to_string(([ws[i] for i in range(1, len(ws) + 1)
+                         if i = 1 or ws[i] <> ws[i-1]])[1:5], ' ')
+FROM w
+"""
+
+
+def _tokens_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence packing (operators/corpus.py
+    pack_sequences): documents laid end-to-end per source shard, cut
+    every 512 tokens; each doc reports its shard offset and the
+    sequences it spans."""
+    from datawarehouse_code_spark.operators.corpus import pack_sequences
+
+    docs = read_table(spark, "documents", sf_dir)
+    with_tokens = docs.select(
+        "source",
+        "doc_id",
+        F.regexp_count(F.lower(F.col("text")), F.lit("[a-z0-9]+"))
+        .cast("bigint")
+        .alias("n_tok"),
+    )
+    return pack_sequences(
+        with_tokens, budget=512, shard_col="source",
+        order_col="doc_id", tokens_col="n_tok",
+    )
+
+
+_TOKENS_PACKED_SQL = """
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT source, doc_id, n_tokens,
+         COALESCE(CAST(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS BIGINT), 0) AS token_offset
+  FROM t
+)
+SELECT source, doc_id, n_tokens, token_offset,
+       token_offset // 512 AS seq_first,
+       (token_offset + n_tokens - 1) // 512 AS seq_last
+FROM o
+"""
+
+
 LLM_QUERIES: list[Query] = [
     Query("dedup_suite", _dedup_suite, _DEDUP_SUITE_SQL,
           "north-star: exact content-hash dedup + n-gram Jaccard pairs + min-md5 fingerprints"),
     Query("planted_recall_suite", _planted_recall_suite, _PLANTED_RECALL_SQL,
           "north-star: deterministic recall-1.0 oracle for all five approximate detectors"),
+    Query("text_cleaning_suite", _text_cleaning_suite, _CLEANING_SQL,
+          "north-star: PII redaction + repetition signals + duplicate-token collapse"),
+    Query("tokens_packed", _tokens_packed, _TOKENS_PACKED_SQL,
+          "north-star: concat-and-chunk sequence packing (per-shard token offsets)"),
     Query("dedup_minhash_lsh", _dedup_minhash_lsh, None,
           "north-star: banded MinHash-LSH near-dup (rows-only; exact twin = dedup_near_jaccard)"),
     Query("corpus_survivors", _corpus_survivors, _CORPUS_SQL,

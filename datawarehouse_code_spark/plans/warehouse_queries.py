@@ -1223,9 +1223,55 @@ SELECT 'pivot', year, CAST(NULL AS INT), 'industry',
 """
 
 
+def _cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC application (operators/cdc.py cdc_latest): a synthetic
+    change log over orders — full insert load, an update wave touching
+    every 10th key, a delete wave touching every 97th — collapsed to
+    latest-wins current state in one window pass."""
+    from datawarehouse_code_spark.operators.cdc import cdc_latest
+
+    orders = read_table(spark, "orders", sf_dir)
+    base = orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.lit("I").alias("op"), F.lit(1).cast("int").alias("seq"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+        F.lit("U").alias("op"), F.lit(2).cast("int").alias("seq"),
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.lit("D").alias("op"), F.lit(3).cast("int").alias("seq"),
+    )
+    log = base.unionByName(updates).unionByName(deletes)
+    return cdc_latest(log, ["o_orderkey"], "seq")
+
+
+_CDC_SQL = """
+WITH log AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, 'I' AS op, CAST(1 AS INTEGER) AS seq
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice + 1.0, 'U', CAST(2 AS INTEGER)
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice, 'D', CAST(3 AS INTEGER)
+  FROM orders WHERE o_orderkey % 97 = 0
+), latest AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+  FROM log
+)
+SELECT o_orderkey, o_custkey, o_totalprice, seq
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
 WAREHOUSE_QUERIES: list[Query] = [
     Query("agg_revenue_year_country", _agg_revenue_year_country, _AGG_REVENUE_SQL,
           "§2.2 aggregates: the cube's flagship GROUP BY"),
+    Query("cdc_upsert_latest", _cdc_upsert_latest, _CDC_SQL,
+          "§2.2 CDC change-log application: latest-wins upsert + deletes, one window pass"),
     Query("agg_lineitem_stats", _agg_lineitem_stats, _AGG_LINEITEM_SQL,
           "§2.2 aggregates: TPC-H Q1 shape, pushed filter"),
     Query("agg_count_distinct", _agg_count_distinct, _AGG_COUNTD_SQL,

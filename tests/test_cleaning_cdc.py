@@ -1,0 +1,112 @@
+"""Unit tests for the round-5 operators: PII redaction, repetition
+signals, duplicate-token collapse, CDC latest-wins, sequence packing.
+(The registry suites built on these are oracle-checked in
+test_oracle_differential.py; here we pin the edge semantics the
+oracle rows can't isolate.)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouse_code_spark.operators.cdc import cdc_latest
+from datawarehouse_code_spark.operators.corpus import pack_sequences
+from datawarehouse_code_spark.operators.text import (
+    collapse_repeats,
+    redact_pii,
+    repetition_stats,
+    words,
+)
+
+
+def test_redact_pii_counts_and_rewrites(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c.d@e.org ip 10.0.0.1 phone 555-867-5309"),
+            (2, "nothing sensitive here"),
+            (3, ""),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert (got[1].n_email, got[1].n_ip, got[1].n_phone) == (2, 1, 1)
+    assert got[1].redacted_text == "mail [EMAIL] and [EMAIL] ip [IP] phone [PHONE]"
+    assert (got[2].n_email, got[2].n_ip, got[2].n_phone) == (0, 0, 0)
+    assert got[2].redacted_text == "nothing sensitive here"
+    assert got[3].redacted_text == ""
+
+
+def test_repetition_stats_flags_degenerate_text(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all words here are unique")],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert got[1].n_words == 4 and got[1].n_distinct_words == 1
+    assert got[1].top_word_frac_f4 == 1.0
+    # 3 2-grams, all "spam spam" -> 2 duplicates of 3
+    assert got[1].n_2grams == 3 and got[1].dup_2gram_frac_f4 == 0.6666
+    assert got[2].top_word_frac_f4 == 0.2 and got[2].dup_2gram_frac_f4 == 0.0
+
+
+def test_collapse_repeats(spark):
+    df = spark.createDataFrame([(1, "a a a the the end a")], "doc_id BIGINT, text STRING")
+    out = df.select(
+        F.concat_ws(" ", collapse_repeats(words(F.col("text")))).alias("c")
+    ).head()
+    assert out.c == "a the end a"
+
+
+def test_cdc_latest_applies_updates_and_deletes(spark):
+    log = spark.createDataFrame(
+        [
+            (1, 10.0, "I", 1),
+            (1, 11.0, "U", 2),
+            (2, 20.0, "I", 1),
+            (2, 20.0, "D", 2),
+            (3, 30.0, "I", 1),
+        ],
+        "id BIGINT, val DOUBLE, op STRING, seq INT",
+    )
+    got = {(r.id, r.val) for r in cdc_latest(log, ["id"], "seq").collect()}
+    assert got == {(1, 11.0), (3, 30.0)}
+
+
+def test_cdc_latest_rejects_tied_survivor(spark):
+    log = spark.createDataFrame(
+        [(1, 10.0, "I", 1), (1, 11.0, "U", 1)],
+        "id BIGINT, val DOUBLE, op STRING, seq INT",
+    )
+    with pytest.raises(Exception, match="duplicate sequence"):
+        cdc_latest(log, ["id"], "seq").collect()
+
+
+def test_cdc_latest_ignores_ties_below_survivor(spark):
+    log = spark.createDataFrame(
+        [(1, 10.0, "I", 1), (1, 10.5, "U", 1), (1, 11.0, "U", 2)],
+        "id BIGINT, val DOUBLE, op STRING, seq INT",
+    )
+    got = [(r.id, r.val) for r in cdc_latest(log, ["id"], "seq").collect()]
+    assert got == [(1, 11.0)]
+
+
+def test_pack_sequences_offsets_and_straddle(spark):
+    df = spark.createDataFrame(
+        [("s", 1, 300), ("s", 2, 300), ("s", 3, 100), ("t", 9, 50)],
+        "src STRING, doc_id BIGINT, n INT",
+    )
+    got = {
+        r.doc_id: (r.token_offset, r.seq_first, r.seq_last)
+        for r in pack_sequences(df, 512, "src", "doc_id", "n").collect()
+    }
+    assert got[1] == (0, 0, 0)
+    assert got[2] == (300, 0, 1)  # straddles the 512 boundary
+    assert got[3] == (600, 1, 1)
+    assert got[9] == (0, 0, 0)  # independent shard
+
+
+def test_pack_sequences_rejects_nonpositive_tokens(spark):
+    df = spark.createDataFrame([("s", 1, 0)], "src STRING, doc_id BIGINT, n INT")
+    with pytest.raises(Exception, match="non-positive token count"):
+        pack_sequences(df, 512, "src", "doc_id", "n").collect()
