@@ -103,6 +103,12 @@ HEADLINE = [
     "vocab_top_terms",
     "multimodal_frame_stats",
     "contamination_check",
+    # round-5 additions (no frozen row yet; ratios appear once a later
+    # round freezes them)
+    "text_cleaning_suite",
+    "tokens_packed",
+    "cdc_upsert_latest",
+    "planted_recall_suite",
 ]
 
 

@@ -1102,17 +1102,24 @@ def _text_cleaning_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dup_2gram_frac_f4").alias("v2"),
         F.lit(None).cast("string").alias("s"),
     )
-    ws = words(F.col("text"))
-    collapsed = collapse_repeats(ws)
-    col = docs.select(
-        F.lit("collapse").alias("part"),
-        "doc_id",
-        F.size(ws).cast("bigint").alias("n1"),
-        F.size(collapsed).cast("bigint").alias("n2"),
-        F.lit(None).cast("bigint").alias("n3"),
-        F.lit(None).cast("double").alias("v1"),
-        F.lit(None).cast("double").alias("v2"),
-        F.concat_ws(" ", F.slice(collapsed, 1, 5)).alias("s"),
+    # ws then collapsed are materialized as attributes step-by-step:
+    # collapse_repeats reads its input once per element and the suite
+    # reads the collapsed array twice — inline expressions here would
+    # re-run the normalize+split pipeline per element (the band_hashes
+    # rule, see repetition_stats)
+    col = (
+        docs.select("doc_id", words(F.col("text")).alias("ws"))
+        .select("doc_id", "ws", collapse_repeats(F.col("ws")).alias("cws"))
+        .select(
+            F.lit("collapse").alias("part"),
+            "doc_id",
+            F.size("ws").cast("bigint").alias("n1"),
+            F.size("cws").cast("bigint").alias("n2"),
+            F.lit(None).cast("bigint").alias("n3"),
+            F.lit(None).cast("double").alias("v1"),
+            F.lit(None).cast("double").alias("v2"),
+            F.concat_ws(" ", F.slice(F.col("cws"), 1, 5)).alias("s"),
+        )
     )
     return pii.unionByName(rep).unionByName(col)
 
