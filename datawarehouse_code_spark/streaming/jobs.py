@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datawarehouse_code_spark.sources.schemas import EVENTS
@@ -221,6 +221,58 @@ def click_attribution_stream(
         ),
         "inner",
     ).select("click_id", "user_id", "click_ts", "view_ts", "view_value")
+
+
+def run_upsert_to_table(
+    events: DataFrame,
+    target_path: str,
+    key: list[str],
+    seq_col: str = "ts",
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Drain the stream into a keyed table via foreachBatch +
+    sources/acid.upsert — the production sink shape for CDC-style
+    streams: each micro-batch collapses to its latest row per key
+    (row_number over `seq_col` desc), then lands as one keyed upsert
+    (Delta MERGE when the jar exists, staged parquet overwrite here).
+    The first batch creates the table.
+
+    Cross-batch ordering comes from the stream itself (a later batch's
+    upsert overwrites an earlier batch's row for the same key);
+    within-batch ties on (key, seq_col) are resolved arbitrarily by
+    row_number — feed a totally-ordered seq (log offset / LSN) when
+    that matters, as cdc_latest requires.
+
+    The table-exists probe is a driver-side filesystem check — fine
+    for local/posix paths; an object-store deployment would consult
+    the table catalog instead.  Blocks until the availableNow drain
+    finishes; restores the nanos conf like run_to_memory.
+    """
+    from datawarehouse_code_spark.sources.acid import upsert
+
+    spark = events.sparkSession
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        w = Window.partitionBy(*key).orderBy(F.col(seq_col).desc())
+        latest = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if os.path.exists(target_path):
+            upsert(batch.sparkSession, target_path, latest, key)
+        else:
+            latest.write.parquet(target_path)
+
+    writer = events.writeStream.foreachBatch(_apply).trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    try:
+        q.awaitTermination()
+    finally:
+        if not spark.streams.active:
+            restore_nanos_conf(spark)
 
 
 def run_to_memory(

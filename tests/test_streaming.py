@@ -215,3 +215,54 @@ def test_click_attribution_stream_equals_batch(spark, tmp_path):
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_upsert_to_table(spark, tmp_path):
+    """foreachBatch + acid.upsert sink: three forced micro-batches with
+    overlapping event_ids land as one keyed table — the latest batch's
+    row wins per key, within-batch duplicates collapse by ts first."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datawarehouse_code_spark.streaming.jobs import run_upsert_to_table
+
+    d = tmp_path / "upsert_src"
+    d.mkdir()
+
+    def write(name, rows, mtime):
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [int(pd.Timestamp(r[1]).value) for r in rows], pa.int64()
+            ),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array(["click"] * len(rows)),
+            "value": pa.array([float(r[2]) for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        })
+        p = str(d / name)
+        pq.write_table(tbl, p)
+        os.utime(p, (mtime, mtime))
+
+    # batch 1 creates the table; id=1 appears twice (ts collapse -> 10.5)
+    write("f1.parquet", [(1, "2024-01-01T10:00", 10.0),
+                         (1, "2024-01-01T10:01", 10.5),
+                         (2, "2024-01-01T10:02", 20.0)], 1_700_000_000)
+    # batch 2 updates id=2, inserts id=3
+    write("f2.parquet", [(2, "2024-01-01T11:00", 21.0),
+                         (3, "2024-01-01T11:01", 30.0)], 1_700_000_010)
+    # batch 3 updates id=1 again
+    write("f3.parquet", [(1, "2024-01-01T12:00", 11.0)], 1_700_000_020)
+
+    events = read_events_stream(spark, str(d), max_files_per_trigger=1)
+    target = str(tmp_path / "upsert_table")
+    run_upsert_to_table(
+        events, target, ["event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    got = {(r.event_id, r.value) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, 11.0), (2, 21.0), (3, 30.0)}
