@@ -689,9 +689,12 @@ def repetition_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
 
     Scale shape: the 2-gram signal is a pure array expression (narrow,
     no shuffle); the word-frequency signals use explode → two-phase
-    count aggregation (the tf shape) — one shuffle on (doc_id, term),
-    partial-aggregated map-side, then a per-doc rollup that reuses the
-    same hash partitioning.
+    count aggregation.  The ONE shuffle moves whole documents
+    (repartition by doc_id BEFORE the explode): HashPartitioning on
+    doc_id satisfies the clustering of groupBy(doc_id, term) AND of
+    the per-doc rollup, so neither aggregation adds an exchange —
+    and the bytes shuffled are compact doc rows, not n_words exploded
+    term rows (plan-audited in tests/test_scale_mechanics.py).
 
     The word array is materialized as an ATTRIBUTE before any lambda
     references it (the band_hashes rule): the 2-gram transform reads
@@ -716,9 +719,17 @@ def repetition_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(grams2).alias("n_2grams"),
         F.size(F.array_distinct(grams2)).alias("n_distinct_2grams"),
     )
-    terms = w.select(
-        "doc_id", F.explode(ws).alias("term")
-    ).filter(F.col("term") != "")
+    # repartition WHOLE DOCS by doc_id before the explode: the shuffle
+    # moves one compact row per doc instead of n_words term rows, and
+    # HashPartitioning(doc_id) satisfies the clustering of BOTH
+    # aggregations below (doc_id ⊆ (doc_id, term)), so neither adds an
+    # exchange.  The narrow branch stays shuffle-free (its 3-int rows
+    # broadcast or exchange cheaply at the join).
+    terms = (
+        documents.repartition("doc_id")
+        .select("doc_id", F.explode(words(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+    )
     freq = (
         terms.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -238,3 +238,31 @@ def test_scd2_merge_is_single_join(spark):
     assert n_joins == 1, f"expected 1 physical join, found {n_joins}"
     assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_repetition_stats_single_doc_shuffle(spark):
+    """repetition_stats' only hash shuffle must be the pre-explode
+    whole-doc repartition: HashPartitioning(doc_id) satisfies both the
+    (doc_id, term) count and the per-doc rollup, so no aggregation may
+    introduce another exchange over the exploded term rows."""
+    import re
+
+    from datawarehouse_code_spark.operators.text import repetition_stats
+    from datawarehouse_code_spark.sources.catalog import read_table
+
+    df = repetition_stats(read_table(spark, "documents", SF_DIR))
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("REPARTITION_BY_COL") == 1
+    # at most one more exchange (the tiny narrow branch when AQE does
+    # not broadcast it); never a second shuffle of term rows
+    assert len(re.findall(r"Exchange hashpartitioning", final)) <= 2
+    # everything ABOVE the explode (both aggregations and the final
+    # rollup) must sit in the same stage: no exchange between the
+    # aggregate chain's top and the Generate node
+    agg_chain = final.split("Generate explode", 1)[0]
+    agg_chain = agg_chain.rsplit("BroadcastHashJoin", 1)[-1]
+    assert "Exchange" not in agg_chain, (
+        "aggregation above the explode re-shuffled term rows:\n" + final
+    )
