@@ -302,3 +302,87 @@ def pack_sequences(
             (F.col("token_offset") + F.col("n_tokens") - 1) / budget
         ).cast("bigint").alias("seq_last"),
     )
+
+
+def prepare_training_corpus(
+    documents: DataFrame,
+    out_dir: str,
+    budget: int = 2048,
+    near_dup_threshold: float = 0.5,
+    shard_col: str = "source",
+) -> dict[str, int]:
+    """The full pre-training data pipeline as one entry point:
+
+      PII redaction → quality filter → exact + near dedup
+      (clean_corpus, LSH scale path) → token counts →
+      concat-and-chunk packing (pack_sequences)
+
+    Writes `<out_dir>/documents` (cleaned, redacted docs partitioned
+    by lang) and `<out_dir>/packed` (the per-doc sequence manifest),
+    and returns per-stage counts.
+
+    Ordering rationale: redact FIRST (redaction changes content
+    hashes, so deduping before it would keep near-identical docs that
+    differ only in their PII); filter before dedup (cheap narrow
+    predicate shrinks the expensive inverted-index stages); pack LAST
+    over survivors only.
+
+    Cost shape: the stage counts are read from persisted frames the
+    next stage scans anyway — persist → count → reuse (the
+    write_clean_corpus rule), so no stage lineage executes twice.
+    """
+    from datawarehouse_code_spark.operators.text import (
+        quality_filter,
+        redact_pii,
+    )
+
+    n_input = documents.count()
+    redacted = redact_pii(documents, keep_cols=True)
+    swapped = (
+        redacted.withColumn("text", F.col("redacted_text"))
+        .withColumn("n_chars", F.length("text"))
+        .drop("redacted_text", "n_email", "n_ip", "n_phone")
+    )
+    filtered = quality_filter(swapped).persist()
+    try:
+        n_filtered = filtered.count()
+        survivors = clean_corpus(
+            filtered, near_dup_threshold=near_dup_threshold
+        ).persist()
+        try:
+            n_survivors = survivors.count()
+            survivors.write.mode("overwrite").partitionBy("lang").parquet(
+                f"{out_dir}/documents"
+            )
+            with_tokens = survivors.select(
+                shard_col,
+                "doc_id",
+                F.regexp_count(F.lower(F.col("text")), F.lit("[a-z0-9]+"))
+                .cast("bigint")
+                .alias("n_tok"),
+            )
+            packed = pack_sequences(
+                with_tokens, budget, shard_col, "doc_id", "n_tok"
+            ).persist()
+            try:
+                # sequence ids are per shard, so the total is the sum
+                # of each shard's (max seq_last + 1)
+                n_seqs = (
+                    packed.groupBy(shard_col)
+                    .agg(F.max("seq_last").alias("m"))
+                    .agg(F.sum(F.col("m") + 1))
+                    .head()[0]
+                )
+                packed.write.mode("overwrite").parquet(f"{out_dir}/packed")
+            finally:
+                packed.unpersist()
+        finally:
+            survivors.unpersist()
+    finally:
+        filtered.unpersist()
+    return {
+        "input": n_input,
+        "quality_kept": n_filtered,
+        "dedup_kept": n_survivors,
+        "sequences": int(n_seqs) if n_seqs is not None else 0,
+    }

@@ -366,6 +366,36 @@ def content_fingerprint_udf(k: int = 3):
 QUALITY_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 
 
+def _quality_metric_cols(text_col: str) -> dict[str, Column]:
+    """The four Gopher-style metrics as named Columns — the single
+    source of truth shared by quality_scores (projection form) and
+    quality_filter (predicate form)."""
+    ws = words(F.col(text_col))
+    stop_arr = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
+    n_words = F.size(ws)
+    len_sum = F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w))
+    stop_hits = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w)))
+    lt = F.lower(F.col(text_col))
+    sym_chars = F.length(F.regexp_replace(lt, r"[a-z0-9\s]", ""))
+    return {
+        "n_words": n_words,
+        "stop_ratio_f4": F.floor(stop_hits / n_words * 10000) / 10000,
+        "avg_word_len_f4": F.floor(len_sum / n_words * 10000) / 10000,
+        "symbol_ratio_f4": F.when(
+            F.length(lt) > 0, F.floor(sym_chars / F.length(lt) * 10000) / 10000
+        ),
+    }
+
+
+def _quality_passes(m: dict[str, Column]) -> Column:
+    return (
+        (m["n_words"] >= 20)
+        & (m["stop_ratio_f4"] >= 0.04)
+        & (m["avg_word_len_f4"] <= 4.8)
+        & (m["symbol_ratio_f4"] <= 0.1)
+    )
+
+
 def quality_scores(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style heuristic quality scoring: word count, stopword
     ratio, mean word length, and symbol ratio per document, plus the
@@ -376,30 +406,20 @@ def quality_scores(documents: DataFrame, text_col: str = "text") -> DataFrame:
     both engines instead of dividing by zero.  At 100 TB this is a
     stateless narrow projection — no shuffle at all; it composes with
     clean_corpus ahead of dedup."""
-    ws = words(F.col(text_col))
-    stop_arr = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
-    n_words = F.size(ws)
-    len_sum = F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w))
-    stop_hits = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w)))
-    lt = F.lower(F.col(text_col))
-    sym_chars = F.length(F.regexp_replace(lt, r"[a-z0-9\s]", ""))
-    symbol_ratio = F.when(
-        F.length(lt) > 0, F.floor(sym_chars / F.length(lt) * 10000) / 10000
-    )
+    m = _quality_metric_cols(text_col)
     scored = documents.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        (F.floor(stop_hits / n_words * 10000) / 10000).alias("stop_ratio_f4"),
-        (F.floor(len_sum / n_words * 10000) / 10000).alias("avg_word_len_f4"),
-        symbol_ratio.alias("symbol_ratio_f4"),
+        "doc_id", *[c.alias(name) for name, c in m.items()]
     )
-    passes = (
-        (F.col("n_words") >= 20)
-        & (F.col("stop_ratio_f4") >= 0.04)
-        & (F.col("avg_word_len_f4") <= 4.8)
-        & (F.col("symbol_ratio_f4") <= 0.1)
-    )
-    return scored.withColumn("passes", passes)
+    named = {name: F.col(name) for name in m}
+    return scored.withColumn("passes", _quality_passes(named))
+
+
+def quality_filter(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """The rows of `documents` that pass the Gopher-style verdict,
+    schema unchanged — the metrics evaluated inline as a narrow
+    predicate (no join back against the metrics projection, which
+    would turn a stateless filter into a shuffle)."""
+    return documents.filter(_quality_passes(_quality_metric_cols(text_col)))
 
 
 def contamination_check(
@@ -658,11 +678,16 @@ def redact_pii(
     documents: DataFrame,
     text_col: str = "text",
     patterns: dict[str, tuple[str, str]] = PII_PATTERNS,
+    keep_cols: bool = False,
 ) -> DataFrame:
     """PII redaction for training corpora: count each pattern on the
     ORIGINAL text, then rewrite the text with every pattern replaced
     by its token, in dict order (replacement tokens contain no
     pattern-matchable characters, so ordering never cascades).
+
+    `keep_cols=True` carries every input column through beside the
+    counts and `redacted_text` — the pipeline-composition form
+    (prepare_training_corpus swaps the text in place).
 
     Scale shape: a stateless narrow projection — regexp_count /
     regexp_replace stay inside whole-stage codegen, no shuffle, no
@@ -676,8 +701,9 @@ def redact_pii(
     redacted = F.col(text_col)
     for _, (pat, token) in patterns.items():
         redacted = F.regexp_replace(redacted, pat, token)
+    head = ["*"] if keep_cols else ["doc_id"]
     return documents.select(
-        "doc_id", *counts, redacted.alias("redacted_text")
+        *head, *counts, redacted.alias("redacted_text")
     )
 
 

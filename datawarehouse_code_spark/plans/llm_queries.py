@@ -471,7 +471,15 @@ FROM m
 
 def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 terms per document by tf-idf with a rational idf
-    (N+1)/(df+1) — ln-free so both engines produce identical doubles."""
+    (N+1)/(df+1) — ln-free so both engines produce identical doubles.
+
+    (Measured non-improvement: pre-repartitioning whole docs by doc_id
+    — the repetition_stats shuffle shape — removes one exchange here
+    but is SLOWER (0.98 → 1.27 s at sf0.1): tf-idf re-keys by term and
+    then by doc_id regardless, so the trick only trades the first
+    exploded-term shuffle for a doc shuffle plus an extra stage
+    barrier.  It pays off only when the whole downstream stays keyed
+    by doc_id.)"""
     docs = read_table(spark, "documents", sf_dir)
     terms = docs.select(
         "doc_id", F.explode(words(F.col("text"))).alias("term")

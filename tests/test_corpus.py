@@ -188,3 +188,50 @@ def test_mixture_resample_hits_target_proportions(spark):
     again = mixture_resample(docs, "doc_id", "lang", target)
     assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
     assert out.join(docs, "doc_id", "left_anti").count() == 0
+
+
+def test_prepare_training_corpus_end_to_end(spark, tmp_path):
+    """The one-call pipeline: redact -> quality-filter -> dedup ->
+    pack; stage counts must be consistent, outputs readable, and the
+    packed manifest must cover every surviving doc exactly once."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.corpus import prepare_training_corpus
+    from datawarehouse_code_spark.sources.catalog import read_table
+    from tests.conftest import SF_DIR
+
+    docs = read_table(spark, "documents", SF_DIR)
+    # plant one exact duplicate (to exercise dedup) and one PII doc
+    dup = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    pii = docs.limit(1).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" reach me at spam@example.com")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    out = str(tmp_path / "corpus")
+    report = prepare_training_corpus(
+        docs.unionByName(dup).unionByName(pii), out, budget=256
+    )
+
+    assert report["input"] == docs.count() + 2
+    assert 0 < report["quality_kept"] <= report["input"]
+    # the planted exact duplicate must be gone
+    assert report["dedup_kept"] < report["quality_kept"]
+    assert report["sequences"] > 0
+
+    cleaned = spark.read.parquet(f"{out}/documents")
+    assert cleaned.count() == report["dedup_kept"]
+    # redaction happened before the write
+    pii_rows = cleaned.filter(F.col("doc_id") == 2_000_000 + docs.head().doc_id)
+    for r in pii_rows.collect():
+        assert "spam@example.com" not in r.text and "[EMAIL]" in r.text
+
+    packed = spark.read.parquet(f"{out}/packed")
+    assert packed.count() == report["dedup_kept"]
+    # offsets are dense per shard: sum of tokens == max offset + last len
+    per_shard = packed.groupBy("source").agg(
+        F.sum("n_tokens").alias("s"),
+        F.max(F.col("token_offset") + F.col("n_tokens")).alias("end"),
+    )
+    bad = per_shard.filter(F.col("s") != F.col("end")).count()
+    assert bad == 0
