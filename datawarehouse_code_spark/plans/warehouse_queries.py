@@ -946,9 +946,11 @@ FROM cube_t GROUP BY GROUPING SETS ((year), (country_name), ())
 
 
 def _window_growth_mavg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag growth + 3-month moving average in ONE window pass (same
-    partition/order spec → a single sort-based WindowExec covers both
-    frames)."""
+    """lag growth + 3-month moving average + rank-family functions
+    (ntile, percent_rank, cume_dist, first_value) in ONE window pass —
+    same partition/order spec, so a single sort covers every frame.
+    percent_rank/cume_dist stay unrounded: they are the same integer
+    division evaluated by both engines, bit-identical."""
     cube = build_warehouse(spark, sf_dir).cube
     monthly = _monthly_revenue(cube).withColumn(
         "cents", F.round(F.col("revenue") * 100, 0).cast("bigint")
@@ -965,6 +967,10 @@ def _window_growth_mavg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.sum("cents").over(wframe) / F.count(F.lit(1)).over(wframe))
             / F.lit(100.0)
         ).alias("mavg_3m"),
+        F.ntile(4).over(wlag).cast("int").alias("quartile"),
+        F.percent_rank().over(wlag).alias("pct_rank"),
+        F.cume_dist().over(wlag).alias("cume"),
+        F.first_value(F.col("revenue")).over(wlag).alias("first_rev"),
     )
 
 
@@ -972,7 +978,11 @@ _WINDOW_GROWTH_MAVG_SQL = _MONTHLY_CTE + """
 SELECT country_name, year, month, revenue,
        round(revenue - lag(revenue) OVER wl, 2) AS growth,
        floor(sum(CAST(round(revenue * 100, 0) AS BIGINT)) OVER wf
-             / count(*) OVER wf) / 100.0 AS mavg_3m
+             / count(*) OVER wf) / 100.0 AS mavg_3m,
+       CAST(ntile(4) OVER wl AS INTEGER) AS quartile,
+       percent_rank() OVER wl AS pct_rank,
+       cume_dist() OVER wl AS cume,
+       first_value(revenue) OVER wl AS first_rev
 FROM monthly
 WINDOW wl AS (PARTITION BY country_name ORDER BY year, month),
        wf AS (PARTITION BY country_name ORDER BY year, month
