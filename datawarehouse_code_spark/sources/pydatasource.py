@@ -20,7 +20,12 @@ from __future__ import annotations
 
 import datetime as _dt
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 _EVENT_TYPES = ("click", "view", "purchase", "error")
 _BASE = _dt.datetime(2024, 1, 1)
@@ -62,9 +67,46 @@ class SyntheticEventsReader(DataSourceReader):
             )
 
 
+class SyntheticEventsStreamReader(DataSourceStreamReader):
+    """Micro-batch half of the source: offsets are plain row counts —
+    each trigger admits up to `rows_per_batch` new rows until `rows`
+    is exhausted, then the offset stops advancing (a drained bounded
+    stream).  Replayability falls out of determinism: re-reading any
+    (start, end) offset range regenerates identical rows, which is
+    exactly the contract checkpoint recovery needs from a source."""
+
+    def __init__(self, options: dict):
+        self.inner = SyntheticEventsReader(options)
+        self.rows_per_batch = int(options.get("rows_per_batch", self.inner.rows))
+        self._current = 0
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def latestOffset(self) -> dict:
+        self._current = min(self._current + self.rows_per_batch, self.inner.rows)
+        return {"row": self._current}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["row"], end["row"]
+        n = max(1, self.inner.n_parts)
+        step = max(1, -(-(hi - lo) // n))
+        return [
+            _Range(a, min(a + step, hi)) for a in range(lo, hi, step)
+        ]
+
+    def read(self, partition: _Range):
+        return self.inner.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class SyntheticEventsDataSource(DataSource):
     """spark.read.format("synthetic_events")
-    .option("rows", N).option("partitions", P).load()"""
+    .option("rows", N).option("partitions", P).load() — or
+    spark.readStream.format("synthetic_events")
+    .option("rows_per_batch", B) for the micro-batch form."""
 
     @classmethod
     def name(cls) -> str:
@@ -78,6 +120,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticEventsReader:
         return SyntheticEventsReader(self.options)
+
+    def streamReader(self, schema) -> SyntheticEventsStreamReader:
+        return SyntheticEventsStreamReader(self.options)
 
 
 def register(spark) -> None:

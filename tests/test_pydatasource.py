@@ -49,3 +49,51 @@ def test_composes_with_window_aggregation(spark):
     ).agg(F.count(F.lit(1)).alias("n"))
     rows = agg.collect()
     assert sum(r.n for r in rows) == 5000
+
+
+def test_stream_reader_drains_and_matches_batch(spark):
+    """The micro-batch half: a full availableNow drain through the
+    memory sink must produce exactly the batch read's rows (the
+    determinism contract checkpoint recovery relies on)."""
+    df = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", 1000)
+        .option("partitions", 4)
+        .load()
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName("t_synth")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.table("t_synth").collect()))
+    want = sorted(map(tuple, _read(spark, 1000, 4).collect()))
+    assert got == want
+
+
+def test_stream_reader_offset_progression():
+    """Offset bookkeeping without Spark: latestOffset admits
+    rows_per_batch per call, caps at rows, and partitions() splits
+    exactly the admitted range."""
+    from datawarehouse_code_spark.sources.pydatasource import (
+        SyntheticEventsStreamReader,
+    )
+
+    r = SyntheticEventsStreamReader(
+        {"rows": 250, "rows_per_batch": 100, "partitions": 3}
+    )
+    assert r.initialOffset() == {"row": 0}
+    assert r.latestOffset() == {"row": 100}
+    assert r.latestOffset() == {"row": 200}
+    assert r.latestOffset() == {"row": 250}
+    assert r.latestOffset() == {"row": 250}  # drained: stops advancing
+    parts = r.partitions({"row": 100}, {"row": 200})
+    covered = sorted((p.start, p.end) for p in parts)
+    assert covered[0][0] == 100 and covered[-1][1] == 200
+    total = sum(e - s for s, e in covered)
+    assert total == 100
+    ids = [row[0] for p in parts for row in r.read(p)]
+    assert sorted(ids) == list(range(100, 200))
