@@ -17,6 +17,7 @@ import functools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from datawarehouse_code_spark.sources.schemas import SCHEMAS
 
@@ -125,6 +126,39 @@ def read_csv(spark: SparkSession, path: str, table: str) -> DataFrame:
 def read_json(spark: SparkSession, path: str, table: str) -> DataFrame:
     """JSON-lines connector with the declared schema."""
     return spark.read.schema(SCHEMAS[table]).json(path)
+
+
+def read_json_audited(
+    spark: SparkSession, path: str, table: str
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines read with corrupt-record quarantine: returns
+    (good, bad) where malformed lines land in `bad` with their raw
+    text instead of silently becoming all-NULL rows (PERMISSIVE) or
+    killing the job (FAILFAST).  The ingest shape a real landing zone
+    needs — load what parses, audit what doesn't, lose nothing.
+
+    The source frame is cached before splitting: Spark disallows
+    querying ONLY the corrupt-record column of a raw JSON scan
+    (SPARK-26243), and without the cache the two branches would also
+    re-parse every file twice.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [*SCHEMAS[table].fields, T.StructField("_corrupt_record", T.StringType())]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()
+    )
+    good = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, bad
 
 
 def read_orc(spark: SparkSession, path: str, table: str) -> DataFrame:

@@ -266,3 +266,22 @@ def test_repetition_stats_single_doc_shuffle(spark):
     assert "Exchange" not in agg_chain, (
         "aggregation above the explode re-shuffled term rows:\n" + final
     )
+
+
+def test_read_json_audited_quarantines_corrupt_lines(spark, tmp_path):
+    """Malformed JSON lines must land in the quarantine frame with
+    their raw text; well-formed lines parse into the declared schema;
+    nothing is silently dropped."""
+    from datawarehouse_code_spark.sources.catalog import read_json_audited
+
+    p = tmp_path / "nation.jsonl"
+    p.write_text(
+        '{"n_nationkey": 1, "n_name": "A", "n_regionkey": 0}\n'
+        '{"n_nationkey": broken!!\n'
+        '{"n_nationkey": 2, "n_name": "B", "n_regionkey": 1}\n'
+    )
+    good, bad = read_json_audited(spark, str(p), "nation")
+    assert {r.n_nationkey for r in good.collect()} == {1, 2}
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1 and "broken" in bad_rows[0].raw_line
+    assert "_corrupt_record" not in good.columns
