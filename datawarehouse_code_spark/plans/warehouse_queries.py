@@ -1277,11 +1277,86 @@ FROM latest WHERE rn = 1 AND op <> 'D'
 """
 
 
+def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank (operators/graph.py) over the
+    symmetrized supplier↔customer trade graph (edges = distinct
+    (l_suppkey, o_custkey) pairs; node ids disambiguated as 2·supp /
+    2·cust+1).  3 iterations, exact integer mass — the second graph
+    primitive beside connected components, oracle-checked because
+    integer arithmetic is engine-independent."""
+    from datawarehouse_code_spark.operators.graph import pagerank_fixed
+
+    li = read_table(spark, "lineitem", sf_dir)
+    orders = read_table(spark, "orders", sf_dir)
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("l_suppkey") * 2).alias("s"),
+            (F.col("o_custkey") * 2 + 1).alias("c"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionByName(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    return pagerank_fixed(edges, iters=3)
+
+
+_PAGERANK_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT s AS src, c AS dst FROM pairs
+  UNION ALL
+  SELECT c AS src, s AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), outdeg AS (
+  SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+), params AS (
+  SELECT CAST(1000000000000 // count(*) AS BIGINT) AS base FROM nodes
+), r0 AS (
+  SELECT node, (SELECT base FROM params) AS mass FROM nodes
+), it1 AS (
+  SELECT n.node,
+         (15 * (SELECT base FROM params)
+          + 85 * coalesce(sum(r.mass // d.outdeg), 0)) // 100 AS mass
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN r0 r ON r.node = e.src
+  LEFT JOIN outdeg d ON d.src = e.src
+  GROUP BY n.node
+), it2 AS (
+  SELECT n.node,
+         (15 * (SELECT base FROM params)
+          + 85 * coalesce(sum(r.mass // d.outdeg), 0)) // 100 AS mass
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN it1 r ON r.node = e.src
+  LEFT JOIN outdeg d ON d.src = e.src
+  GROUP BY n.node
+), it3 AS (
+  SELECT n.node,
+         (15 * (SELECT base FROM params)
+          + 85 * coalesce(sum(r.mass // d.outdeg), 0)) // 100 AS mass
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN it2 r ON r.node = e.src
+  LEFT JOIN outdeg d ON d.src = e.src
+  GROUP BY n.node
+)
+SELECT node, mass FROM it3
+"""
+
+
 WAREHOUSE_QUERIES: list[Query] = [
     Query("agg_revenue_year_country", _agg_revenue_year_country, _AGG_REVENUE_SQL,
           "§2.2 aggregates: the cube's flagship GROUP BY"),
     Query("cdc_upsert_latest", _cdc_upsert_latest, _CDC_SQL,
           "§2.2 CDC change-log application: latest-wins upsert + deletes, one window pass"),
+    Query("graph_pagerank", _graph_pagerank, _PAGERANK_SQL,
+          "§2.2 iterative graph: integer fixed-point PageRank (beside corpus connected components)"),
     Query("agg_lineitem_stats", _agg_lineitem_stats, _AGG_LINEITEM_SQL,
           "§2.2 aggregates: TPC-H Q1 shape, pushed filter"),
     Query("agg_count_distinct", _agg_count_distinct, _AGG_COUNTD_SQL,

@@ -110,3 +110,26 @@ def test_pack_sequences_rejects_nonpositive_tokens(spark):
     df = spark.createDataFrame([("s", 1, 0)], "src STRING, doc_id BIGINT, n INT")
     with pytest.raises(Exception, match="non-positive token count"):
         pack_sequences(df, 512, "src", "doc_id", "n").collect()
+
+
+def test_pagerank_star_ranks_center_highest(spark):
+    from datawarehouse_code_spark.operators.graph import TOTAL_MASS, pagerank_fixed
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 0), (2, 0)], "src BIGINT, dst BIGINT"
+    )
+    got = {r.node: r.mass for r in pagerank_fixed(edges, iters=3).collect()}
+    assert got[1] == got[2]  # symmetric leaves tie exactly
+    assert got[0] > got[1]  # the hub outranks the leaves
+    # integer mass is conserved up to div truncation
+    assert 0 < sum(got.values()) <= TOTAL_MASS
+
+
+def test_pagerank_rejects_dangling_nodes(spark):
+    import pytest
+
+    from datawarehouse_code_spark.operators.graph import pagerank_fixed
+
+    edges = spark.createDataFrame([(1, 2)], "src BIGINT, dst BIGINT")  # 2 has no out
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank_fixed(edges, iters=1)
