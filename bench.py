@@ -109,6 +109,7 @@ HEADLINE = [
     "tokens_packed",
     "cdc_upsert_latest",
     "planted_recall_suite",
+    "graph_pagerank",
 ]
 
 
