@@ -46,11 +46,19 @@ def pagerank_fixed(
 
     Returns (node, mass) — higher mass = higher rank; mass values are
     exactly reproducible on any engine (integer arithmetic only).
+
+    The edge list (and nodes/outdeg derived from it) is eagerly
+    localCheckpoint-ed up front: every iteration joins against all
+    three, and without the cut each round's plan would re-derive the
+    whole upstream edge lineage (at scale typically a large join +
+    distinct) once per iteration.
     """
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     srcs = edges.select("src").distinct()
     dangling = nodes.join(
@@ -62,7 +70,11 @@ def pagerank_fixed(
             "symmetrize or self-loop the edge list first"
         )
 
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    outdeg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
     n_nodes = nodes.count()
     base = TOTAL_MASS // n_nodes
 
