@@ -1350,6 +1350,49 @@ SELECT node, mass FROM it3
 """
 
 
+def _subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subqueries through the SQL surface: customers whose
+    balance exceeds their NATION's average (correlated scalar
+    subquery) and who have no 1998 order (correlated NOT EXISTS).
+    Catalyst decorrelates both into joins — the executed plan has no
+    per-row subquery execution (that rewrite IS the 100 TB story: a
+    naive correlated evaluation is O(rows × subquery)).  The same
+    text runs on DuckDB unchanged except the year() spelling."""
+    from datawarehouse_code_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+        FROM customer c
+        WHERE c.c_acctbal > (
+                SELECT avg(c2.c_acctbal) FROM customer c2
+                WHERE c2.c_nationkey = c.c_nationkey
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND year(o.o_orderdate) = 1998
+              )
+        """
+    )
+
+
+_SUBQUERY_SQL = """
+SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+FROM customer c
+WHERE c.c_acctbal > (
+        SELECT avg(c2.c_acctbal) FROM customer c2
+        WHERE c2.c_nationkey = c.c_nationkey
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND year(o.o_orderdate) = 1998
+      )
+"""
+
+
 WAREHOUSE_QUERIES: list[Query] = [
     Query("agg_revenue_year_country", _agg_revenue_year_country, _AGG_REVENUE_SQL,
           "§2.2 aggregates: the cube's flagship GROUP BY"),
@@ -1357,6 +1400,8 @@ WAREHOUSE_QUERIES: list[Query] = [
           "§2.2 CDC change-log application: latest-wins upsert + deletes, one window pass"),
     Query("graph_pagerank", _graph_pagerank, _PAGERANK_SQL,
           "§2.2 iterative graph: integer fixed-point PageRank (beside corpus connected components)"),
+    Query("subquery_above_avg", _subquery_above_avg, _SUBQUERY_SQL,
+          "§2.2 correlated scalar subquery + NOT EXISTS (Catalyst decorrelation)"),
     Query("agg_lineitem_stats", _agg_lineitem_stats, _AGG_LINEITEM_SQL,
           "§2.2 aggregates: TPC-H Q1 shape, pushed filter"),
     Query("agg_count_distinct", _agg_count_distinct, _AGG_COUNTD_SQL,
