@@ -43,18 +43,26 @@ def cdc_latest(
         "_nseq", F.count(F.lit(1)).over(wdup)
     )
     latest = ranked.filter(F.col("_rn") == 1)
-    # The guard lives INSIDE the filter condition (a dropped helper
+    # The guards live INSIDE the filter condition (a dropped helper
     # column would be pruned by Catalyst and never evaluated).  Ties
     # below the survivor rank are harmless and deliberately ignored;
     # a tie AT the survivor would make row_number's pick arbitrary,
-    # so it fails loudly instead.
-    keep = F.when(
-        F.col("_nseq") > 1,
-        F.raise_error(
+    # so it fails loudly — and so does a NULL op on the survivor
+    # (`op != 'D'` would evaluate to NULL and silently drop the key,
+    # indistinguishable from a legitimate delete).
+    def _raise(msg: str) -> F.Column:
+        return F.raise_error(
             F.concat(
-                F.lit("cdc_latest: duplicate sequence value for key "),
+                F.lit(msg),
                 F.concat_ws("/", *[F.col(k).cast("string") for k in key]),
             )
-        ).cast("boolean"),
-    ).otherwise(F.col(op_col) != delete_op)
+        ).cast("boolean")
+
+    keep = (
+        F.when(F.col("_nseq") > 1,
+               _raise("cdc_latest: duplicate sequence value for key "))
+        .when(F.col(op_col).isNull(),
+              _raise("cdc_latest: NULL operation on surviving change for key "))
+        .otherwise(F.col(op_col) != delete_op)
+    )
     return latest.filter(keep).drop("_rn", "_nseq", op_col)

@@ -290,6 +290,11 @@ def pack_sequences(
             )
         ).cast("bigint"),
     ).otherwise(off)
+    budget = int(budget)
+    # `div` (true integer division), never double `/` + cast: the
+    # double quotient can round UP across an integer boundary near
+    # 2^53/budget and disagree with the oracle's `//` (the graph.py
+    # exactness rule)
     return docs.select(
         shard_col,
         order_col,
@@ -297,10 +302,8 @@ def pack_sequences(
         guard.cast("bigint").alias("token_offset"),
     ).select(
         "*",
-        (F.col("token_offset") / budget).cast("bigint").alias("seq_first"),
-        (
-            (F.col("token_offset") + F.col("n_tokens") - 1) / budget
-        ).cast("bigint").alias("seq_last"),
+        F.expr(f"token_offset div {budget}").alias("seq_first"),
+        F.expr(f"(token_offset + n_tokens - 1) div {budget}").alias("seq_last"),
     )
 
 
@@ -331,13 +334,21 @@ def prepare_training_corpus(
     next stage scans anyway — persist → count → reuse (the
     write_clean_corpus rule), so no stage lineage executes twice.
     """
+    from pyspark import StorageLevel
+
     from datawarehouse_code_spark.operators.text import (
         quality_filter,
         redact_pii,
     )
 
-    n_input = documents.count()
-    redacted = redact_pii(documents, keep_cols=True)
+    # persist the input around its count — counting unpersisted and
+    # then re-reading it for the redact stage would scan the largest
+    # frame in the pipeline twice (the write_clean_corpus
+    # borrowed-cache rule: respect a caller's existing persist)
+    caller_cached = documents.storageLevel != StorageLevel.NONE
+    docs_in = documents if caller_cached else documents.persist()
+    n_input = docs_in.count()
+    redacted = redact_pii(docs_in, keep_cols=True)
     swapped = (
         redacted.withColumn("text", F.col("redacted_text"))
         .withColumn("n_chars", F.length("text"))
@@ -380,6 +391,8 @@ def prepare_training_corpus(
             survivors.unpersist()
     finally:
         filtered.unpersist()
+        if not caller_cached:
+            docs_in.unpersist()
     return {
         "input": n_input,
         "quality_kept": n_filtered,

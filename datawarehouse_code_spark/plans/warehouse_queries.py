@@ -1350,47 +1350,43 @@ SELECT node, mass FROM it3
 """
 
 
-def _subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated subqueries through the SQL surface: customers whose
-    balance exceeds their NATION's average (correlated scalar
-    subquery) and who have no 1998 order (correlated NOT EXISTS).
-    Catalyst decorrelates both into joins — the executed plan has no
-    per-row subquery execution (that rewrite IS the 100 TB story: a
-    naive correlated evaluation is O(rows × subquery)).  The same
-    text runs on DuckDB unchanged except the year() spelling."""
-    from datawarehouse_code_spark.sources.catalog import register_views
-
-    register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
-        FROM customer c
-        WHERE c.c_acctbal > (
-                SELECT avg(c2.c_acctbal) FROM customer c2
-                WHERE c2.c_nationkey = c.c_nationkey
-              )
-          AND NOT EXISTS (
-                SELECT 1 FROM orders o
-                WHERE o.o_custkey = c.c_custkey
-                  AND year(o.o_orderdate) = 1998
-              )
-        """
-    )
-
-
-_SUBQUERY_SQL = """
+# The above-average comparison in exact integer cents: `bal > avg`
+# becomes `bal_cents · n > sum_cents` — a raw double avg() threshold
+# is summation-order-dependent (engine ulp drift can flip a boundary
+# row), the exactness doctrine every oracle here follows.  Two
+# correlated scalar subqueries + a correlated NOT EXISTS, all
+# decorrelated by Catalyst into joins (plan-verified: no per-row
+# subquery execution — the property that keeps the shape viable at
+# scale).
+_SUBQUERY_TEXT = """
 SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
 FROM customer c
-WHERE c.c_acctbal > (
-        SELECT avg(c2.c_acctbal) FROM customer c2
-        WHERE c2.c_nationkey = c.c_nationkey
-      )
+WHERE CAST(round(c.c_acctbal * 100, 0) AS BIGINT)
+      * (SELECT count(*) FROM customer c2
+         WHERE c2.c_nationkey = c.c_nationkey)
+      > (SELECT sum(CAST(round(c3.c_acctbal * 100, 0) AS BIGINT))
+         FROM customer c3
+         WHERE c3.c_nationkey = c.c_nationkey)
   AND NOT EXISTS (
         SELECT 1 FROM orders o
         WHERE o.o_custkey = c.c_custkey
           AND year(o.o_orderdate) = 1998
       )
 """
+
+
+def _subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subqueries through the SQL surface: customers whose
+    balance exceeds their NATION's average (in exact integer cents —
+    see _SUBQUERY_TEXT) and who have no 1998 order (correlated NOT
+    EXISTS).  The same text runs on DuckDB unchanged."""
+    from datawarehouse_code_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SUBQUERY_TEXT)
+
+
+_SUBQUERY_SQL = _SUBQUERY_TEXT
 
 
 WAREHOUSE_QUERIES: list[Query] = [

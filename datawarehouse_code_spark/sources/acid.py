@@ -42,13 +42,28 @@ def delta_available(spark: SparkSession) -> bool:
 def _staged_overwrite(spark: SparkSession, df: DataFrame, path: str) -> None:
     """Write `df` beside `path`, then swap directories — never
     overwrites a dataset from its own live scan (the compact_parquet
-    rule, pipeline.py)."""
+    rule, pipeline.py).
+
+    Crash ordering: the OLD table is renamed aside (atomic) before the
+    staged result is renamed in (atomic), and only then deleted — data
+    is never destroyed before its replacement is in place.  A crash
+    between the two renames leaves the path momentarily absent but
+    BOTH copies on disk (`._old` and `._staging`), so recovery is a
+    single rename; a crash during the staged write leaves the old
+    table untouched and live.
+    """
     p = Path(path)
-    staged = str(p.with_name(p.name + "._staging"))
-    df.write.mode("overwrite").parquet(staged)
-    if p.exists():
-        shutil.rmtree(path)
-    Path(staged).rename(path)
+    staged = p.with_name(p.name + "._staging")
+    old = p.with_name(p.name + "._old")
+    df.write.mode("overwrite").parquet(str(staged))
+    if old.exists():
+        shutil.rmtree(old)
+    had_old = p.exists()
+    if had_old:
+        p.rename(old)
+    staged.rename(p)
+    if had_old:
+        shutil.rmtree(old)
 
 
 def upsert(
@@ -59,10 +74,12 @@ def upsert(
     target against the update keys, union, staged overwrite.  Returns
     which path ran ('delta' | 'parquet').
 
-    The parquet fallback reads the target BEFORE the staged write and
-    the swap is a directory rename, so a crash leaves either the old
-    or the new table — never a mix — but concurrent readers can see
-    the rename mid-listing; Delta's log gives snapshot isolation.
+    The parquet fallback reads the target BEFORE the staged write;
+    the swap renames the old table aside before renaming the new one
+    in (see _staged_overwrite), so a crash never destroys data — at
+    worst the path is briefly absent with both copies recoverable on
+    disk.  Concurrent readers can still see the swap mid-listing;
+    Delta's log gives snapshot isolation.
     """
     if delta_available(spark):
         from delta.tables import DeltaTable

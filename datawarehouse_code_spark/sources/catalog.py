@@ -13,6 +13,7 @@ warehouse.py:30-38: ``data_list.extend``) as `read_union`.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
 
@@ -128,19 +129,22 @@ def read_json(spark: SparkSession, path: str, table: str) -> DataFrame:
     return spark.read.schema(SCHEMAS[table]).json(path)
 
 
-def read_json_audited(
-    spark: SparkSession, path: str, table: str
-) -> tuple[DataFrame, DataFrame]:
-    """JSON-lines read with corrupt-record quarantine: returns
-    (good, bad) where malformed lines land in `bad` with their raw
-    text instead of silently becoming all-NULL rows (PERMISSIVE) or
-    killing the job (FAILFAST).  The ingest shape a real landing zone
-    needs — load what parses, audit what doesn't, lose nothing.
+@contextlib.contextmanager
+def read_json_audited(spark: SparkSession, path: str, table: str):
+    """JSON-lines read with corrupt-record quarantine, as a context
+    manager yielding (good, bad): malformed lines land in `bad` with
+    their raw text instead of silently becoming all-NULL rows
+    (PERMISSIVE) or killing the job (FAILFAST).  The ingest shape a
+    real landing zone needs — load what parses, audit what doesn't,
+    lose nothing.
 
     The source frame is cached before splitting: Spark disallows
     querying ONLY the corrupt-record column of a raw JSON scan
     (SPARK-26243), and without the cache the two branches would also
-    re-parse every file twice.
+    re-parse every file twice.  The context-manager shape exists so
+    that cache is RELEASED on exit — a plain function returning the
+    two frames would pin every audited file in executor memory for
+    the session with no handle to unpersist.
     """
     from pyspark.sql import types as T
 
@@ -154,11 +158,14 @@ def read_json_audited(
         .json(path)
         .cache()
     )
-    good = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
-    bad = raw.filter(F.col("_corrupt_record").isNotNull()).select(
-        F.col("_corrupt_record").alias("raw_line")
-    )
-    return good, bad
+    try:
+        good = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+        bad = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+            F.col("_corrupt_record").alias("raw_line")
+        )
+        yield good, bad
+    finally:
+        raw.unpersist()
 
 
 def read_orc(spark: SparkSession, path: str, table: str) -> DataFrame:

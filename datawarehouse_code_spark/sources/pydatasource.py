@@ -23,8 +23,8 @@ import datetime as _dt
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
-    DataSourceStreamReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 _EVENT_TYPES = ("click", "view", "purchase", "error")
@@ -67,36 +67,42 @@ class SyntheticEventsReader(DataSourceReader):
             )
 
 
-class SyntheticEventsStreamReader(DataSourceStreamReader):
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
     """Micro-batch half of the source: offsets are plain row counts —
     each trigger admits up to `rows_per_batch` new rows until `rows`
-    is exhausted, then the offset stops advancing (a drained bounded
-    stream).  Replayability falls out of determinism: re-reading any
-    (start, end) offset range regenerates identical rows, which is
-    exactly the contract checkpoint recovery needs from a source."""
+    is exhausted, after which reads return empty batches (a drained
+    bounded stream).
+
+    This is the SIMPLE stream-reader variant deliberately: it holds NO
+    process-local progress state — `read(start)` derives everything
+    from the offset Spark passes in, so a checkpoint restart (which
+    rebuilds the reader in a fresh process) resumes exactly where the
+    committed offset says.  The first implementation tracked progress
+    in an instance counter and would regress offsets after restart,
+    re-emitting already-committed rows.  `readBetweenOffsets` replays
+    any committed range bit-identically (determinism is the replay
+    contract).  Simple readers run on the driver — right for a
+    bounded demo/test source; the batch reader remains the
+    partitioned parallel path.
+    """
 
     def __init__(self, options: dict):
         self.inner = SyntheticEventsReader(options)
         self.rows_per_batch = int(options.get("rows_per_batch", self.inner.rows))
-        self._current = 0
 
     def initialOffset(self) -> dict:
         return {"row": 0}
 
-    def latestOffset(self) -> dict:
-        self._current = min(self._current + self.rows_per_batch, self.inner.rows)
-        return {"row": self._current}
+    def read(self, start: dict):
+        # a LIST, not the generator: the simple-reader architecture
+        # prefetches on the driver and ships the batch to executors by
+        # pickle, and generators don't pickle
+        lo = start["row"]
+        hi = min(lo + self.rows_per_batch, self.inner.rows)
+        return list(self.inner.read(_Range(lo, hi))), {"row": hi}
 
-    def partitions(self, start: dict, end: dict):
-        lo, hi = start["row"], end["row"]
-        n = max(1, self.inner.n_parts)
-        step = max(1, -(-(hi - lo) // n))
-        return [
-            _Range(a, min(a + step, hi)) for a in range(lo, hi, step)
-        ]
-
-    def read(self, partition: _Range):
-        return self.inner.read(partition)
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return list(self.inner.read(_Range(start["row"], end["row"])))
 
     def commit(self, end: dict) -> None:
         pass
@@ -121,7 +127,7 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema) -> SyntheticEventsReader:
         return SyntheticEventsReader(self.options)
 
-    def streamReader(self, schema) -> SyntheticEventsStreamReader:
+    def simpleStreamReader(self, schema) -> SyntheticEventsStreamReader:
         return SyntheticEventsStreamReader(self.options)
 
 

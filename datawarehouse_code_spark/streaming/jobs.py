@@ -58,7 +58,14 @@ def _events_ts_layout(source_dir: str) -> str:
         glob.glob(os.path.join(source_dir, "**", "*.parquet"), recursive=True)
     )
     if not files:
-        return "typed"  # fixture layout; empty dirs resolve on first file
+        # the schema is FIXED at stream creation and the probe never
+        # re-runs, so guessing here would silently mis-read whichever
+        # layout the producer later writes — fail loudly instead
+        raise ValueError(
+            f"read_events_stream: no parquet files in {source_dir!r} to "
+            "probe the ts layout from; start the stream after the first "
+            "file lands (the declared schema cannot be revised later)"
+        )
     t = pq.ParquetFile(files[0]).schema_arrow.field("ts").type
     if pa.types.is_integer(t) or (pa.types.is_timestamp(t) and t.unit == "ns"):
         return "nanos"
@@ -248,7 +255,7 @@ def run_upsert_to_table(
     the table catalog instead.  Blocks until the availableNow drain
     finishes; restores the nanos conf like run_to_memory.
     """
-    from datawarehouse_code_spark.sources.acid import upsert
+    from datawarehouse_code_spark.sources.acid import _staged_overwrite, upsert
 
     spark = events.sparkSession
 
@@ -262,7 +269,13 @@ def run_upsert_to_table(
         if os.path.exists(target_path):
             upsert(batch.sparkSession, target_path, latest, key)
         else:
-            latest.write.parquet(target_path)
+            # staged create: a direct write.parquet(target) that dies
+            # mid-job leaves a partial directory which the checkpoint
+            # REPLAY of this batch would then treat as an existing
+            # table and merge into — silently losing this batch's
+            # unlanded rows.  The staged rename makes table existence
+            # equivalent to table completeness.
+            _staged_overwrite(batch.sparkSession, latest, target_path)
 
     writer = events.writeStream.foreachBatch(_apply).trigger(availableNow=True)
     if checkpoint_dir is not None:

@@ -20,14 +20,16 @@ def _base(spark):
 
 
 def test_upsert_parquet_fallback(spark, tmp_path):
+    # skip BEFORE calling: on a Delta-enabled session upsert() would
+    # take the Delta branch against a plain parquet dir and error
+    if delta_available(spark):
+        pytest.skip("Delta present; fallback branch not taken")
     path = str(tmp_path / "t")
     _base(spark).write.parquet(path)
     updates = spark.createDataFrame(
         [(2, "b", 25.0), (4, "d", 40.0)], "id BIGINT, name STRING, bal DOUBLE"
     )
     ran = upsert(spark, path, updates, ["id"])
-    if delta_available(spark):
-        pytest.skip("Delta present; fallback branch not taken")
     assert ran == "parquet"
     got = {
         (r.id, r.name, r.bal) for r in spark.read.parquet(path).collect()
@@ -38,6 +40,8 @@ def test_upsert_parquet_fallback(spark, tmp_path):
 
 
 def test_scd2_apply_parquet_fallback(spark, tmp_path):
+    if delta_available(spark):
+        pytest.skip("Delta present; fallback branch not taken")
     path = str(tmp_path / "dim")
     scd2_init(_base(spark), "2023-01-01").write.parquet(path)
     snap = spark.createDataFrame(
@@ -45,8 +49,6 @@ def test_scd2_apply_parquet_fallback(spark, tmp_path):
         "id BIGINT, name STRING, bal DOUBLE",
     )
     ran = scd2_apply(spark, path, snap, ["id"], ["name", "bal"], "2024-06-01")
-    if delta_available(spark):
-        pytest.skip("Delta present; fallback branch not taken")
     assert ran == "parquet"
     dim = spark.read.parquet(path)
     cur = {(r.id, r.bal) for r in dim.filter("is_current").collect()}

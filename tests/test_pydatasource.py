@@ -55,6 +55,7 @@ def test_stream_reader_drains_and_matches_batch(spark):
     """The micro-batch half: a full availableNow drain through the
     memory sink must produce exactly the batch read's rows (the
     determinism contract checkpoint recovery relies on)."""
+    register(spark)
     df = (
         spark.readStream.format("synthetic_events")
         .option("rows", 1000)
@@ -75,25 +76,34 @@ def test_stream_reader_drains_and_matches_batch(spark):
 
 
 def test_stream_reader_offset_progression():
-    """Offset bookkeeping without Spark: latestOffset admits
-    rows_per_batch per call, caps at rows, and partitions() splits
-    exactly the admitted range."""
+    """Offset bookkeeping without Spark: read(start) admits
+    rows_per_batch per call from the PASSED offset (no process-local
+    state), caps at rows, and a rebuilt reader — the checkpoint
+    restart — resumes from any committed offset without regression or
+    re-emission.  readBetweenOffsets replays a range identically."""
     from datawarehouse_code_spark.sources.pydatasource import (
         SyntheticEventsStreamReader,
     )
 
-    r = SyntheticEventsStreamReader(
-        {"rows": 250, "rows_per_batch": 100, "partitions": 3}
-    )
+    opts = {"rows": 250, "rows_per_batch": 100, "partitions": 3}
+    r = SyntheticEventsStreamReader(opts)
     assert r.initialOffset() == {"row": 0}
-    assert r.latestOffset() == {"row": 100}
-    assert r.latestOffset() == {"row": 200}
-    assert r.latestOffset() == {"row": 250}
-    assert r.latestOffset() == {"row": 250}  # drained: stops advancing
-    parts = r.partitions({"row": 100}, {"row": 200})
-    covered = sorted((p.start, p.end) for p in parts)
-    assert covered[0][0] == 100 and covered[-1][1] == 200
-    total = sum(e - s for s, e in covered)
-    assert total == 100
-    ids = [row[0] for p in parts for row in r.read(p)]
-    assert sorted(ids) == list(range(100, 200))
+    it, end = r.read({"row": 0})
+    assert end == {"row": 100} and len(list(it)) == 100
+    it, end = r.read(end)
+    assert end == {"row": 200}
+    it, end = r.read(end)
+    assert end == {"row": 250} and len(list(it)) == 50
+    it, end = r.read(end)
+    assert end == {"row": 250} and list(it) == []  # drained
+
+    # restart: a FRESH reader picks up from the committed offset
+    r2 = SyntheticEventsStreamReader(opts)
+    it, end = r2.read({"row": 200})
+    ids = [row[0] for row in it]
+    assert end == {"row": 250} and ids == list(range(200, 250))
+
+    # replay of a committed range is bit-identical
+    a = list(r.readBetweenOffsets({"row": 100}, {"row": 200}))
+    b = list(r2.readBetweenOffsets({"row": 100}, {"row": 200}))
+    assert a == b and len(a) == 100

@@ -280,8 +280,8 @@ def test_read_json_audited_quarantines_corrupt_lines(spark, tmp_path):
         '{"n_nationkey": broken!!\n'
         '{"n_nationkey": 2, "n_name": "B", "n_regionkey": 1}\n'
     )
-    good, bad = read_json_audited(spark, str(p), "nation")
-    assert {r.n_nationkey for r in good.collect()} == {1, 2}
-    bad_rows = bad.collect()
-    assert len(bad_rows) == 1 and "broken" in bad_rows[0].raw_line
-    assert "_corrupt_record" not in good.columns
+    with read_json_audited(spark, str(p), "nation") as (good, bad):
+        assert {r.n_nationkey for r in good.collect()} == {1, 2}
+        bad_rows = bad.collect()
+        assert len(bad_rows) == 1 and "broken" in bad_rows[0].raw_line
+        assert "_corrupt_record" not in good.columns
