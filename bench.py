@@ -110,6 +110,7 @@ HEADLINE = [
     "cdc_upsert_latest",
     "planted_recall_suite",
     "graph_pagerank",
+    "subquery_above_avg",
 ]
 
 
