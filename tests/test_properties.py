@@ -155,3 +155,99 @@ def test_asof_join_matches_pandas_merge_asof(left_rows, right_rows):
             for r in merged.itertuples()
         }
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(1, 400)),
+        min_size=1, max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_pack_sequences_properties(docs):
+    """Concat-and-chunk invariants for arbitrary shard/token inputs:
+    per-shard offsets are dense (each doc starts where the previous
+    ended), seq bounds bracket the doc's span, and every boundary
+    crossing is reflected in seq_last - seq_first."""
+    import tests.conftest as c
+
+    from datawarehouse_code_spark.operators.corpus import pack_sequences
+
+    spark = _spark_handle(c)
+    budget = 97
+    rows = [(f"s{shard}", i, tok) for i, (shard, tok) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "src string, doc_id long, n int")
+    got = {
+        r.doc_id: r for r in pack_sequences(df, budget, "src", "doc_id", "n").collect()
+    }
+    by_shard: dict = {}
+    for shard, i, tok in sorted(rows, key=lambda t: t[1]):
+        off = by_shard.get(shard, 0)
+        r = got[i]
+        assert r.token_offset == off
+        assert r.seq_first == off // budget
+        assert r.seq_last == (off + tok - 1) // budget
+        assert r.seq_first <= r.seq_last
+        by_shard[shard] = off + tok
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 6), st.integers(0, 20), st.sampled_from("IUD")),
+        min_size=1, max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_cdc_latest_matches_python_replay(changes):
+    """cdc_latest == a literal Python replay of the log: keep the
+    max-seq change per key, drop keys whose survivor is a delete.
+    Duplicate (key, seq) survivors are regenerated away (the operator
+    raises on them — covered in test_cleaning_cdc)."""
+    import tests.conftest as c
+
+    from datawarehouse_code_spark.operators.cdc import cdc_latest
+
+    spark = _spark_handle(c)
+    # dedupe (key, seq) pairs so the tie guard doesn't fire
+    seen = set()
+    rows = []
+    for i, (k, seq, op) in enumerate(changes):
+        if (k, seq) in seen:
+            continue
+        seen.add((k, seq))
+        rows.append((k, float(i), op, seq))
+    df = spark.createDataFrame(rows, "k long, payload double, op string, seq int")
+    got = {(r.k, r.payload, r.seq) for r in cdc_latest(df, ["k"], "seq").collect()}
+
+    best: dict = {}
+    for k, payload, op, seq in rows:
+        if k not in best or seq > best[k][2]:
+            best[k] = (payload, op, seq)
+    want = {
+        (k, payload, seq)
+        for k, (payload, op, seq) in best.items()
+        if op != "D"
+    }
+    assert got == want
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=25, deadline=None)
+def test_redact_pii_leaves_no_matches(text):
+    """After redaction, no PII pattern matches the rewritten text, and
+    the pre-redaction counts equal Python re counts of the original."""
+    import re as _re
+
+    import tests.conftest as c
+
+    from datawarehouse_code_spark.operators.text import PII_PATTERNS, redact_pii
+
+    spark = _spark_handle(c)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = redact_pii(df).collect()[0]
+    # re.ASCII pins Python's \d/\b to the ASCII semantics Java regex
+    # and RE2 use (unicode digits would otherwise diverge)
+    for name, (pat, _tok) in PII_PATTERNS.items():
+        assert getattr(r, f"n_{name}") == len(_re.findall(pat, text, flags=_re.ASCII))
+    for _name, (pat, _tok) in PII_PATTERNS.items():
+        assert not _re.search(pat, r.redacted_text, flags=_re.ASCII), (pat, r.redacted_text)
