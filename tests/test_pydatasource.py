@@ -107,3 +107,26 @@ def test_stream_reader_offset_progression():
     a = list(r.readBetweenOffsets({"row": 100}, {"row": 200}))
     b = list(r2.readBetweenOffsets({"row": 100}, {"row": 200}))
     assert a == b and len(a) == 100
+
+
+def test_stream_source_feeds_upsert_sink(spark, tmp_path):
+    """Cross-component composition: the custom stream source drains
+    through the foreachBatch → ACID upsert sink into a keyed table
+    equal to the batch read (unique event_ids ⇒ pure insert path)."""
+    from datawarehouse_code_spark.streaming.jobs import run_upsert_to_table
+
+    register(spark)
+    events = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", 500)
+        .option("partitions", 4)
+        .load()
+    )
+    target = str(tmp_path / "events_table")
+    run_upsert_to_table(
+        events, target, ["event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = sorted(map(tuple, spark.read.parquet(target).collect()))
+    want = sorted(map(tuple, _read(spark, 500, 4).collect()))
+    assert got == want
