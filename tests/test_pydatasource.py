@@ -112,21 +112,33 @@ def test_stream_reader_offset_progression():
 def test_stream_source_feeds_upsert_sink(spark, tmp_path):
     """Cross-component composition: the custom stream source drains
     through the foreachBatch → ACID upsert sink into a keyed table
-    equal to the batch read (unique event_ids ⇒ pure insert path)."""
+    equal to the batch read (unique event_ids ⇒ pure insert path).
+
+    An availableNow drain of a SIMPLE stream reader processes one
+    prefetched batch per run, so the 500 rows are pulled through FIVE
+    successive runs sharing one checkpoint: run 1 exercises the
+    staged-create branch, runs 2-5 exercise acid.upsert against the
+    existing table, and every restart resumes from the committed
+    offset (the regression the offset-state rewrite fixed)."""
     from datawarehouse_code_spark.streaming.jobs import run_upsert_to_table
 
     register(spark)
-    events = (
-        spark.readStream.format("synthetic_events")
-        .option("rows", 500)
-        .option("partitions", 4)
-        .load()
-    )
     target = str(tmp_path / "events_table")
-    run_upsert_to_table(
-        events, target, ["event_id"],
-        checkpoint_dir=str(tmp_path / "ckpt"),
-    )
+    counts = []
+    for _ in range(5):
+        events = (
+            spark.readStream.format("synthetic_events")
+            .option("rows", 500)
+            .option("rows_per_batch", 100)
+            .option("partitions", 4)
+            .load()
+        )
+        run_upsert_to_table(
+            events, target, ["event_id"],
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        counts.append(spark.read.parquet(target).count())
+    assert counts == [100, 200, 300, 400, 500]
     got = sorted(map(tuple, spark.read.parquet(target).collect()))
     want = sorted(map(tuple, _read(spark, 500, 4).collect()))
     assert got == want
