@@ -897,6 +897,60 @@ WHERE is_left = 1
 # suite, so a suite costs about as much as its priciest branch.
 
 
+def _agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped lineitem stats + per-year countDistinct over
+    orders, labeled (frees a registry slot; constituents stay
+    benchable as usual)."""
+    li = _agg_lineitem_stats(spark, sf_dir).select(
+        F.lit("lineitem").alias("part"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        F.col("sum_qty").alias("d1"),
+        F.col("sum_base_price").alias("d2"),
+        F.col("sum_disc_price").alias("d3"),
+        F.col("avg_qty").alias("d4"),
+        F.col("avg_disc").alias("d5"),
+        F.col("count_order").cast("bigint").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+    )
+    cd = _agg_count_distinct(spark, sf_dir).select(
+        F.lit("count_distinct").alias("part"),
+        F.col("year").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("sum_totalprice").alias("d1"),
+        F.lit(None).cast("double").alias("d2"),
+        F.lit(None).cast("double").alias("d3"),
+        F.lit(None).cast("double").alias("d4"),
+        F.lit(None).cast("double").alias("d5"),
+        F.col("n_orders").cast("bigint").alias("n1"),
+        F.col("n_customers").cast("bigint").alias("n2"),
+    )
+    return li.unionByName(cd)
+
+
+_AGG_STATS_SUITE_SQL = """
+SELECT 'lineitem' AS part, l_returnflag AS k1, l_linestatus AS k2,
+       round(sum(l_quantity), 2) AS d1,
+       round(sum(l_extendedprice), 2) AS d2,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS d3,
+       round(avg(l_quantity), 4) AS d4,
+       round(avg(l_discount), 4) AS d5,
+       count(*) AS n1, CAST(NULL AS BIGINT) AS n2
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+UNION ALL
+SELECT 'count_distinct', CAST(CAST(year(o_orderdate) AS INTEGER) AS VARCHAR),
+       CAST(NULL AS VARCHAR),
+       round(sum(o_totalprice), 2),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       count(*), count(DISTINCT o_custkey)
+FROM orders
+GROUP BY year(o_orderdate)
+"""
+
+
 def _agg_grouping_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rollup + cube + GROUPING SETS over the warehouse cube, labeled."""
     rollup = _agg_rollup_year_type(spark, sf_dir).select(
@@ -1398,10 +1452,8 @@ WAREHOUSE_QUERIES: list[Query] = [
           "§2.2 iterative graph: integer fixed-point PageRank (beside corpus connected components)"),
     Query("subquery_above_avg", _subquery_above_avg, _SUBQUERY_SQL,
           "§2.2 correlated scalar subquery + NOT EXISTS (Catalyst decorrelation)"),
-    Query("agg_lineitem_stats", _agg_lineitem_stats, _AGG_LINEITEM_SQL,
-          "§2.2 aggregates: TPC-H Q1 shape, pushed filter"),
-    Query("agg_count_distinct", _agg_count_distinct, _AGG_COUNTD_SQL,
-          "§2.2 aggregates: countDistinct"),
+    Query("agg_stats_suite", _agg_stats_suite, _AGG_STATS_SUITE_SQL,
+          "§2.2 aggregates: TPC-H Q1 shape (pushed filter) + countDistinct"),
     Query("agg_grouping_suite", _agg_grouping_suite, _AGG_GROUPING_SUITE_SQL,
           "§2.2 rollup + cube() + GROUPING SETS + grouping_id"),
     Query("agg_quarter_pivot", _agg_quarter_pivot, _AGG_QUARTER_PIVOT_SQL,
@@ -1435,6 +1487,10 @@ WAREHOUSE_QUERIES: list[Query] = [
 # Constituents of the suites above: still first-class library queries —
 # benchable, unit-tested, importable — just not separate driver rows.
 WAREHOUSE_SUPPLEMENTARY: list[Query] = [
+    Query("agg_lineitem_stats", _agg_lineitem_stats, _AGG_LINEITEM_SQL,
+          "§2.2 aggregates: TPC-H Q1 shape (in agg_stats_suite)"),
+    Query("agg_count_distinct", _agg_count_distinct, _AGG_COUNTD_SQL,
+          "§2.2 aggregates: countDistinct (in agg_stats_suite)"),
     Query("agg_rollup_year_type", _agg_rollup_year_type, _AGG_ROLLUP_SQL,
           "§2.2 rollup + grouping_id (in agg_grouping_suite)"),
     Query("agg_cube_type_category", _agg_cube_type_category, _AGG_CUBE_SQL,
