@@ -67,6 +67,13 @@ FROZEN_BASELINE_SF01 = {
     "vocab_top_terms": 1.585,
     "multimodal_frame_stats": 1.69,
     "contamination_check": 3.339,
+    # frozen round 6 from the r5 driver run (BENCH_r05.json, sf0.1)
+    "text_cleaning_suite": 1.151,
+    "tokens_packed": 0.217,
+    "cdc_upsert_latest": 0.432,
+    "planted_recall_suite": 5.55,
+    "graph_pagerank": 3.178,
+    "subquery_above_avg": 0.68,
 }
 
 # Headline set: the expensive/representative plans. Anything listed
@@ -103,8 +110,7 @@ HEADLINE = [
     "vocab_top_terms",
     "multimodal_frame_stats",
     "contamination_check",
-    # round-5 additions (no frozen row yet; ratios appear once a later
-    # round freezes them)
+    # round-5 additions (frozen round 6 from BENCH_r05.json)
     "text_cleaning_suite",
     "tokens_packed",
     "cdc_upsert_latest",
@@ -156,7 +162,7 @@ def main() -> None:
         }
         frozen_total = sum(FROZEN_BASELINE_SF01[n] for n in ratios)
         payload["baseline_ratio"] = {
-            "frozen": "BENCH_r02.json + BENCH_r03.json r3-new rows (sf0.1, local[32])",
+            "frozen": "BENCH_r02 + BENCH_r03 r3-new + BENCH_r05 r5-new rows (sf0.1, local[32])",
             "total": round(sum(times[n] for n in ratios) / frozen_total, 3),
             "queries": ratios,
         }

@@ -1374,8 +1374,8 @@ WITH pairs AS (
   SELECT node, (SELECT base FROM params) AS mass FROM nodes
 ), it1 AS (
   SELECT n.node,
-         (15 * (SELECT base FROM params)
-          + 85 * coalesce(sum(r.mass // d.outdeg), 0)) // 100 AS mass
+         CAST((15 * (SELECT base FROM params)
+          + 85 * coalesce(sum(r.mass // d.outdeg), 0)) // 100 AS BIGINT) AS mass
   FROM nodes n
   LEFT JOIN edges e ON e.dst = n.node
   LEFT JOIN r0 r ON r.node = e.src
@@ -1383,8 +1383,8 @@ WITH pairs AS (
   GROUP BY n.node
 ), it2 AS (
   SELECT n.node,
-         (15 * (SELECT base FROM params)
-          + 85 * coalesce(sum(r.mass // d.outdeg), 0)) // 100 AS mass
+         CAST((15 * (SELECT base FROM params)
+          + 85 * coalesce(sum(r.mass // d.outdeg), 0)) // 100 AS BIGINT) AS mass
   FROM nodes n
   LEFT JOIN edges e ON e.dst = n.node
   LEFT JOIN it1 r ON r.node = e.src
@@ -1392,8 +1392,8 @@ WITH pairs AS (
   GROUP BY n.node
 ), it3 AS (
   SELECT n.node,
-         (15 * (SELECT base FROM params)
-          + 85 * coalesce(sum(r.mass // d.outdeg), 0)) // 100 AS mass
+         CAST((15 * (SELECT base FROM params)
+          + 85 * coalesce(sum(r.mass // d.outdeg), 0)) // 100 AS BIGINT) AS mass
   FROM nodes n
   LEFT JOIN edges e ON e.dst = n.node
   LEFT JOIN it2 r ON r.node = e.src
