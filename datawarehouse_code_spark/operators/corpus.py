@@ -281,11 +281,15 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
     )
     off = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    # NULL must be guarded explicitly: `col <= 0` is NULL for NULL
+    # input, which would fall through to the otherwise-branch and emit
+    # NULL offsets (the doc silently skipped by the window sum)
+    # instead of raising.
     guard = F.when(
-        F.col(tokens_col) <= 0,
+        F.col(tokens_col).isNull() | (F.col(tokens_col) <= 0),
         F.raise_error(
             F.concat(
-                F.lit("pack_sequences: non-positive token count for "),
+                F.lit("pack_sequences: non-positive or NULL token count for "),
                 F.col(order_col).cast("string"),
             )
         ).cast("bigint"),

@@ -18,9 +18,6 @@ table, different write amplification and isolation.
 
 from __future__ import annotations
 
-import shutil
-from pathlib import Path
-
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -39,6 +36,80 @@ def delta_available(spark: SparkSession) -> bool:
     return True
 
 
+def _fs_for(spark: SparkSession, path: str):
+    """(Hadoop FileSystem, Hadoop Path) for `path` — resolves plain
+    posix paths, `file:` URIs, and any filesystem the session's Hadoop
+    conf knows (HDFS, object stores).  All swap/probe operations below
+    go through this API so the adapter's behavior is uniform across
+    schemes; note directory rename is atomic on posix/HDFS but NOT on
+    S3-style object stores (there it degrades to copy+delete — the
+    crash-ordering guarantee weakens to 'recoverable', not 'atomic')."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _sibling(spark: SparkSession, hpath, suffix: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(
+        hpath.getParent(), hpath.getName() + suffix
+    )
+
+
+def recover_interrupted_swap(spark: SparkSession, path: str) -> str | None:
+    """Repair a `_staged_overwrite` that crashed mid-swap, restoring
+    the invariant 'the target path holds one complete table'.
+
+    Crash states and their repair (returns the action taken):
+    - target live, stale `._old` beside it → crash AFTER the staged
+      rename landed; the leftover old copy is redundant → delete it
+      (``cleaned_stale_old``).
+    - target absent, staged copy complete (its `_SUCCESS` marker
+      exists) → crash between the two renames → finish the swap:
+      rename staged in, drop `._old` (``rolled_forward``).
+    - target absent, staged copy incomplete, `._old` present → the
+      old table is the only complete copy → rename it back
+      (``rolled_back``).
+    - anything else (fresh path, or a partial `._staging` beside a
+      live target from a crashed write) → nothing to do; the next
+      staged write overwrites the partial staging (None).
+
+    Callers MUST run this before probing table existence: after a
+    mid-swap crash the target is briefly absent while both copies
+    exist, and treating that as 'no table' would re-create the table
+    from one batch and destroy the rest (the exact silent-loss window
+    this closes).
+    """
+    fs, p = _fs_for(spark, path)
+    staged = _sibling(spark, p, "._staging")
+    old = _sibling(spark, p, "._old")
+    if fs.exists(p):
+        if fs.exists(old):
+            fs.delete(old, True)
+            return "cleaned_stale_old"
+        return None
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    if fs.exists(jvm_path(staged, "_SUCCESS")):
+        fs.rename(staged, p)
+        if fs.exists(old):
+            fs.delete(old, True)
+        return "rolled_forward"
+    if fs.exists(old):
+        fs.rename(old, p)
+        return "rolled_back"
+    return None
+
+
+def table_exists(spark: SparkSession, path: str) -> bool:
+    """Does `path` hold a (complete) table?  Hadoop-FS-based so it is
+    correct for `file:` URIs and remote filesystems, not just posix
+    paths; runs swap recovery first so a mid-swap crash state reads as
+    'exists' (via rollback/roll-forward), never as 'absent'."""
+    recover_interrupted_swap(spark, path)
+    fs, p = _fs_for(spark, path)
+    return bool(fs.exists(p))
+
+
 def _staged_overwrite(spark: SparkSession, df: DataFrame, path: str) -> None:
     """Write `df` beside `path`, then swap directories — never
     overwrites a dataset from its own live scan (the compact_parquet
@@ -48,22 +119,24 @@ def _staged_overwrite(spark: SparkSession, df: DataFrame, path: str) -> None:
     staged result is renamed in (atomic), and only then deleted — data
     is never destroyed before its replacement is in place.  A crash
     between the two renames leaves the path momentarily absent but
-    BOTH copies on disk (`._old` and `._staging`), so recovery is a
-    single rename; a crash during the staged write leaves the old
-    table untouched and live.
+    BOTH copies on disk (`._old` and `._staging`);
+    `recover_interrupted_swap` (run here on entry, and by
+    `table_exists`) completes or rolls back the swap.  A crash during
+    the staged write leaves the old table untouched and live.
     """
-    p = Path(path)
-    staged = p.with_name(p.name + "._staging")
-    old = p.with_name(p.name + "._old")
-    df.write.mode("overwrite").parquet(str(staged))
-    if old.exists():
-        shutil.rmtree(old)
-    had_old = p.exists()
+    recover_interrupted_swap(spark, path)
+    fs, p = _fs_for(spark, path)
+    staged = _sibling(spark, p, "._staging")
+    old = _sibling(spark, p, "._old")
+    df.write.mode("overwrite").parquet(staged.toString())
+    if fs.exists(old):
+        fs.delete(old, True)
+    had_old = fs.exists(p)
     if had_old:
-        p.rename(old)
-    staged.rename(p)
+        fs.rename(p, old)
+    fs.rename(staged, p)
     if had_old:
-        shutil.rmtree(old)
+        fs.delete(old, True)
 
 
 def upsert(
@@ -94,6 +167,7 @@ def upsert(
             .execute()
         )
         return "delta"
+    recover_interrupted_swap(spark, target_path)
     current = spark.read.parquet(target_path)
     merged = current.join(updates, key, "left_anti").unionByName(updates)
     _staged_overwrite(spark, merged, target_path)
@@ -150,6 +224,7 @@ def scd2_apply(
             .execute()
         )
         return "delta"
+    recover_interrupted_swap(spark, target_path)
     dim = spark.read.parquet(target_path)
     merged = scd2_merge(dim, snapshot, key, tracked, load_date)
     _staged_overwrite(spark, merged, target_path)

@@ -43,12 +43,17 @@ _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 _PRIOR_NANOS_CONF: dict[int, str | None] = {}
 
 
-def _events_ts_layout(source_dir: str) -> str:
+def _events_ts_layout(source_dir: str, probe_cap: int = 64) -> str:
     """'nanos' if the files store ts as raw int64 / TIMESTAMP(NANOS)
     (both only readable as long), 'typed' for a normal parquet
-    timestamp.  Probes ONE footer with pyarrow — metadata only, no
-    data read, no Spark job; at scale the landing zone's layout is a
-    contract, so a single-file probe is representative."""
+    timestamp.  Probes footers with pyarrow — metadata only, no data
+    read, no Spark job.  A single-layout landing zone is a CONTRACT
+    this stream relies on (the declared schema is fixed at creation
+    and never revised), so the probe samples up to `probe_cap` footers
+    spread across the sorted listing and raises a mixed-layout error
+    up front — without this, a later file in the other layout would
+    fail every subsequent micro-batch with a parquet type error far
+    removed from the cause."""
     import glob
 
     import pyarrow as pa
@@ -66,10 +71,31 @@ def _events_ts_layout(source_dir: str) -> str:
             "probe the ts layout from; start the stream after the first "
             "file lands (the declared schema cannot be revised later)"
         )
-    t = pq.ParquetFile(files[0]).schema_arrow.field("ts").type
-    if pa.types.is_integer(t) or (pa.types.is_timestamp(t) and t.unit == "ns"):
-        return "nanos"
-    return "typed"
+    if len(files) > probe_cap:
+        # evenly-spread sample, always including first and last
+        step = (len(files) - 1) / (probe_cap - 1)
+        sample = [files[round(i * step)] for i in range(probe_cap)]
+    else:
+        sample = files
+
+    def _layout(path: str) -> str:
+        t = pq.ParquetFile(path).schema_arrow.field("ts").type
+        if pa.types.is_integer(t) or (pa.types.is_timestamp(t) and t.unit == "ns"):
+            return "nanos"
+        return "typed"
+
+    layouts = {f: _layout(f) for f in sample}
+    distinct = set(layouts.values())
+    if len(distinct) > 1:
+        by = {lay: [f for f, l in layouts.items() if l == lay][:3] for lay in distinct}
+        raise ValueError(
+            f"read_events_stream: mixed ts layouts in {source_dir!r}: {by}. "
+            "A file-source stream declares ONE schema at creation; "
+            "normalize the producers (or split the landing zone per "
+            "layout) before starting the stream — a mixed zone would "
+            "fail every micro-batch containing the other layout."
+        )
+    return distinct.pop()
 
 
 def read_events_stream(
@@ -250,12 +276,19 @@ def run_upsert_to_table(
     row_number — feed a totally-ordered seq (log offset / LSN) when
     that matters, as cdc_latest requires.
 
-    The table-exists probe is a driver-side filesystem check — fine
-    for local/posix paths; an object-store deployment would consult
-    the table catalog instead.  Blocks until the availableNow drain
-    finishes; restores the nanos conf like run_to_memory.
+    The table-exists probe is `acid.table_exists` — a Hadoop-FS check
+    (correct for `file:` URIs and remote filesystems, not just posix
+    paths) that first repairs any swap a previous run's crash left
+    half-done, so a mid-swap crash state reads as 'exists' rather
+    than triggering a table re-create that would drop every earlier
+    batch's rows.  Blocks until the availableNow drain finishes;
+    restores the nanos conf like run_to_memory.
     """
-    from datawarehouse_code_spark.sources.acid import _staged_overwrite, upsert
+    from datawarehouse_code_spark.sources.acid import (
+        _staged_overwrite,
+        table_exists,
+        upsert,
+    )
 
     spark = events.sparkSession
 
@@ -266,7 +299,7 @@ def run_upsert_to_table(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        if os.path.exists(target_path):
+        if table_exists(batch.sparkSession, target_path):
             upsert(batch.sparkSession, target_path, latest, key)
         else:
             # staged create: a direct write.parquet(target) that dies

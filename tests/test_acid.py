@@ -74,3 +74,113 @@ def test_upsert_delta_merge(spark, tmp_path):
         for r in spark.read.format("delta").load(path).collect()
     }
     assert got == {(1, 10.0), (2, 25.0), (3, 30.0), (4, 40.0)}
+
+
+# --- staged-swap crash recovery (recover_interrupted_swap) ----------
+#
+# Crash states are SIMULATED with plain file ops: a mid-swap crash of
+# _staged_overwrite leaves target absent with `._old` (complete old
+# table) and `._staging` (complete new table, has _SUCCESS) on disk; a
+# crash during the staged write leaves `._staging` partial (no
+# _SUCCESS).  recover_interrupted_swap must restore "target holds one
+# complete table" and table_exists must never read a recoverable state
+# as 'absent' (the silent-loss window: an exists-probe miss would
+# re-create the table from one batch).
+
+import shutil
+from pathlib import Path
+
+from datawarehouse_code_spark.sources.acid import (
+    recover_interrupted_swap,
+    table_exists,
+)
+
+
+def _ids(spark, path):
+    return {r.id for r in spark.read.parquet(str(path)).collect()}
+
+
+def test_recover_rolls_forward_midswap(spark, tmp_path):
+    """Target absent, old + complete staging present -> finish the
+    swap: the STAGED (new) table wins, leftovers removed."""
+    target = tmp_path / "t"
+    _base(spark).write.parquet(str(target))
+    new = spark.createDataFrame([(9, "z", 9.0)], "id BIGINT, name STRING, bal DOUBLE")
+    new.write.parquet(str(tmp_path / "t._staging"))
+    assert (tmp_path / "t._staging" / "_SUCCESS").exists()
+    target.rename(tmp_path / "t._old")  # crash between the two renames
+
+    assert recover_interrupted_swap(spark, str(target)) == "rolled_forward"
+    assert _ids(spark, target) == {9}
+    assert not (tmp_path / "t._old").exists()
+    assert not (tmp_path / "t._staging").exists()
+
+
+def test_recover_rolls_back_partial_staging(spark, tmp_path):
+    """Target absent, old present, staging INCOMPLETE (no _SUCCESS) ->
+    the old table is the only complete copy: roll it back."""
+    target = tmp_path / "t"
+    _base(spark).write.parquet(str(target))
+    (tmp_path / "t._staging").mkdir()
+    (tmp_path / "t._staging" / "part-00000.parquet").write_bytes(b"partial")
+    target.rename(tmp_path / "t._old")
+
+    assert recover_interrupted_swap(spark, str(target)) == "rolled_back"
+    assert _ids(spark, target) == {1, 2, 3}
+    assert not (tmp_path / "t._old").exists()
+
+
+def test_recover_cleans_stale_old(spark, tmp_path):
+    """Target live + `._old` leftover (crash after the staged rename
+    landed, before the delete) -> the leftover goes, target stays."""
+    target = tmp_path / "t"
+    _base(spark).write.parquet(str(target))
+    shutil.copytree(target, tmp_path / "t._old")
+
+    assert recover_interrupted_swap(spark, str(target)) == "cleaned_stale_old"
+    assert _ids(spark, target) == {1, 2, 3}
+    assert not (tmp_path / "t._old").exists()
+
+
+def test_recover_noop_on_fresh_and_live_paths(spark, tmp_path):
+    assert recover_interrupted_swap(spark, str(tmp_path / "nope")) is None
+    target = tmp_path / "t"
+    _base(spark).write.parquet(str(target))
+    assert recover_interrupted_swap(spark, str(target)) is None
+    assert _ids(spark, target) == {1, 2, 3}
+
+
+def test_table_exists_reads_midswap_as_exists(spark, tmp_path):
+    """The probe repairs the crash state first, so an upsert after a
+    mid-swap crash MERGES with the recovered table instead of
+    re-creating it from one batch (the data-loss scenario)."""
+    if delta_available(spark):
+        pytest.skip("Delta present; fallback branch not taken")
+    target = tmp_path / "t"
+    _base(spark).write.parquet(str(target))
+    # complete staged copy of the same table, then the first rename
+    spark.read.parquet(str(target)).write.parquet(str(tmp_path / "t._staging"))
+    target.rename(tmp_path / "t._old")
+
+    assert table_exists(spark, str(target))  # recovered, not 'absent'
+    updates = spark.createDataFrame([(4, "d", 40.0)], "id BIGINT, name STRING, bal DOUBLE")
+    assert upsert(spark, str(target), updates, ["id"]) == "parquet"
+    assert _ids(spark, target) == {1, 2, 3, 4}  # nothing lost
+
+
+def test_upsert_with_file_uri_target(spark, tmp_path):
+    """The Hadoop-FS swap works against a `file:` URI, which the old
+    pathlib/os.path implementation could not handle."""
+    if delta_available(spark):
+        pytest.skip("Delta present; fallback branch not taken")
+    uri = f"file:{tmp_path}/t"
+    _base(spark).write.parquet(uri)
+    updates = spark.createDataFrame(
+        [(2, "b", 25.0), (4, "d", 40.0)], "id BIGINT, name STRING, bal DOUBLE"
+    )
+    assert table_exists(spark, uri)
+    assert upsert(spark, uri, updates, ["id"]) == "parquet"
+    got = {(r.id, r.bal) for r in spark.read.parquet(uri).collect()}
+    assert got == {(1, 10.0), (2, 25.0), (3, 30.0), (4, 40.0)}
+    assert not (tmp_path / "t._staging").exists()
+    assert not (tmp_path / "t._old").exists()

@@ -108,8 +108,13 @@ def test_pack_sequences_offsets_and_straddle(spark):
 
 def test_pack_sequences_rejects_nonpositive_tokens(spark):
     df = spark.createDataFrame([("s", 1, 0)], "src STRING, doc_id BIGINT, n INT")
-    with pytest.raises(Exception, match="non-positive token count"):
+    with pytest.raises(Exception, match="non-positive or NULL token count"):
         pack_sequences(df, 512, "src", "doc_id", "n").collect()
+    # NULL counts raise too — `n <= 0` alone is NULL for NULL input and
+    # would silently fall through to NULL offsets (the ADVICE hole)
+    nul = spark.createDataFrame([("s", 1, None)], "src STRING, doc_id BIGINT, n INT")
+    with pytest.raises(Exception, match="non-positive or NULL token count"):
+        pack_sequences(nul, 512, "src", "doc_id", "n").collect()
 
 
 def test_pagerank_star_ranks_center_highest(spark):

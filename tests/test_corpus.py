@@ -201,12 +201,30 @@ def test_prepare_training_corpus_end_to_end(spark, tmp_path):
     from tests.conftest import SF_DIR
 
     docs = read_table(spark, "documents", SF_DIR)
-    # plant one exact duplicate (to exercise dedup) and one PII doc
-    dup = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 1_000_000)
-    pii = docs.limit(1).select(
+    # plant one exact duplicate (to exercise dedup) and one PII doc —
+    # off ONE FIXED row (min doc_id): bare limit(1) is not
+    # deterministic across separate actions, so planting from three
+    # independent limit(1)/head() calls could pick different rows and
+    # flake the assertions below
+    base_id = docs.agg(F.min("doc_id")).collect()[0][0]
+    base = docs.filter(F.col("doc_id") == base_id)
+    dup = base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    # The PII doc gets its OWN unique text (passing the Gopher-style
+    # quality gate: >=20 short words, stopwords, few symbols) — a
+    # base-text-plus-email variant would be a near-duplicate of its
+    # source and the dedup stage would (correctly) drop it, leaving
+    # the redaction assertion below vacuous.
+    pii_text = (
+        "the quick brown fox jumps over a lazy dog while the old "
+        "miller grinds wheat in a stone mill near the river and the "
+        "children play in the warm sand all day long before dusk "
+        "settles gently on the quiet valley reach me at spam@example.com"
+    )
+    pii = base.select(
         (F.col("doc_id") + 2_000_000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" reach me at spam@example.com")).alias("text"),
-        "lang", "source", "n_chars",
+        F.lit(pii_text).alias("text"),
+        "lang", "source",
+        F.length(F.lit(pii_text)).alias("n_chars"),
     )
     out = str(tmp_path / "corpus")
     report = prepare_training_corpus(
@@ -222,8 +240,9 @@ def test_prepare_training_corpus_end_to_end(spark, tmp_path):
     cleaned = spark.read.parquet(f"{out}/documents")
     assert cleaned.count() == report["dedup_kept"]
     # redaction happened before the write
-    pii_rows = cleaned.filter(F.col("doc_id") == 2_000_000 + docs.head().doc_id)
-    for r in pii_rows.collect():
+    pii_rows = cleaned.filter(F.col("doc_id") == 2_000_000 + base_id).collect()
+    assert pii_rows, "planted PII doc was dropped entirely"
+    for r in pii_rows:
         assert "spam@example.com" not in r.text and "[EMAIL]" in r.text
 
     packed = spark.read.parquet(f"{out}/packed")

@@ -142,3 +142,30 @@ def test_stream_source_feeds_upsert_sink(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(target).collect()))
     want = sorted(map(tuple, _read(spark, 500, 4).collect()))
     assert got == want
+
+
+def test_upsert_sink_with_file_uri_target(spark, tmp_path):
+    """run_upsert_to_table against a `file:` URI target: the
+    Hadoop-FS existence probe + staged swap must work where the old
+    os.path.exists probe saw 'absent' every run (and so re-created
+    the table per batch).  Two drains: staged-create, then upsert."""
+    from datawarehouse_code_spark.streaming.jobs import run_upsert_to_table
+
+    register(spark)
+    target = f"file:{tmp_path}/events_table"
+    for want in (100, 200):
+        events = (
+            spark.readStream.format("synthetic_events")
+            .option("rows", 200)
+            .option("rows_per_batch", 100)
+            .option("partitions", 4)
+            .load()
+        )
+        run_upsert_to_table(
+            events, target, ["event_id"],
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        assert spark.read.parquet(target).count() == want
+    got = sorted(map(tuple, spark.read.parquet(target).collect()))
+    want_rows = sorted(map(tuple, _read(spark, 200, 4).collect()))
+    assert got == want_rows

@@ -266,3 +266,28 @@ def test_stream_upsert_to_table(spark, tmp_path):
 
     got = {(r.event_id, r.value) for r in spark.read.parquet(target).collect()}
     assert got == {(1, 11.0), (2, 21.0), (3, 30.0)}
+
+
+def test_ts_layout_probe_rejects_mixed_zone(tmp_path):
+    """A landing zone mixing int64-nanos and typed-timestamp files
+    must fail AT STREAM CREATION with a clear error — not on some
+    later micro-batch with a parquet type error far from the cause."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from datawarehouse_code_spark.streaming.jobs import _events_ts_layout
+
+    nanos = pa.table({"ts": pa.array([1, 2], pa.int64())})
+    typed = pa.table({"ts": pa.array([1, 2], pa.timestamp("us"))})
+    pq.write_table(nanos, tmp_path / "a.parquet")
+    pq.write_table(typed, tmp_path / "b.parquet")
+    with _pytest.raises(ValueError, match="mixed ts layouts"):
+        _events_ts_layout(str(tmp_path))
+
+    # homogeneous zones still resolve, through the sampling path too
+    (tmp_path / "b.parquet").unlink()
+    for i in range(5):
+        pq.write_table(nanos, tmp_path / f"n{i}.parquet")
+    assert _events_ts_layout(str(tmp_path)) == "nanos"
+    assert _events_ts_layout(str(tmp_path), probe_cap=3) == "nanos"
