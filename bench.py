@@ -113,6 +113,9 @@ HEADLINE = [
     # round-5 additions (frozen round 6 from BENCH_r05.json)
     "text_cleaning_suite",
     "tokens_packed",
+    # round-6 additions (no frozen row yet; ratios appear once a later
+    # round freezes them)
+    "tokens_packed_suite",
     "cdc_upsert_latest",
     "planted_recall_suite",
     "graph_pagerank",

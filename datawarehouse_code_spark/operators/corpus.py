@@ -29,32 +29,125 @@ from datawarehouse_code_spark.operators.text import exact_dedup, near_dup_pairs_
 PairSource = Callable[[DataFrame, float], DataFrame]
 
 
-def near_dup_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def _two_phase_components(sym: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """(doc_id, rep) by the alternating large-star/small-star fixpoint
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") — converges in O(log² n) rounds REGARDLESS of graph
+    diameter, unlike label propagation whose round count is the
+    diameter.  The fallback path for long-chain components.
+
+    Per round (same join+agg shape as propagation, AQE-splittable):
+      large-star: every node u emits (v, m(u)) for each strictly
+        larger neighbor v, where m(u) = min(neighbors(u) ∪ {u}) —
+        hangs big vertices directly under the local minimum;
+      small-star: with edges oriented u > v, every node u re-hangs
+        its smaller neighbors (and itself) under m(u).
+    At the fixpoint the edge set IS the answer: a star per component,
+    every member pointing at the component minimum.
+
+    `max_rounds` (default 50 ≈ log²(2^7)·… far above any real corpus)
+    is a pure runaway guard; hitting it on a connected input would
+    take a graph beyond 2^(sqrt(50)) nodes of pure chain.
+    """
+    edges = (
+        sym.filter(F.col("d1") != F.col("d2"))
+        .select(
+            F.greatest("d1", "d2").alias("u"), F.least("d1", "d2").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        # --- large-star ---
+        s = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = (
+            s.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        large = (
+            s.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # --- small-star (edges strictly oriented u > v by construction) ---
+        m2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        joined = large.join(m2, "u")
+        small = (
+            joined.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m2.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        unchanged = (
+            small.count() == edges.count()
+            and small.join(edges, ["u", "v"], "left_anti").limit(1).count() == 0
+        )
+        edges = small
+        if unchanged:
+            # fixpoint: edges are stars rooted at each component min
+            members = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("rep"))
+            roots = edges.select(F.col("v").alias("doc_id")).distinct().withColumn(
+                "rep", F.col("doc_id")
+            )
+            # a node may transiently appear under two roots only before
+            # the fixpoint; at it, min() is a no-op safety net
+            return (
+                members.unionByName(roots)
+                .groupBy("doc_id")
+                .agg(F.min("rep").alias("rep"))
+            )
+    raise RuntimeError(
+        f"_two_phase_components did not converge in {max_rounds} rounds — "
+        "not expected for any physical graph; raise max_rounds"
+    )
+
+
+def near_dup_components(
+    pairs: DataFrame, max_iters: int = 20, algorithm: str = "propagation"
+) -> DataFrame:
     """(doc_id, rep): every document in the pair graph mapped to the
     minimum doc_id of its connected component.
 
-    Iterative smallest-label propagation: each node starts labeled
-    with itself; every round a node's label becomes the min of its own
-    and its neighbors' labels; stop when no label changes.  Rounds
-    needed = graph diameter — near-dup clusters are shallow (a hub
-    duplicate links its variants), so this converges in a handful of
-    rounds; `max_iters` is a runaway guard for pathological chains.
+    `algorithm='propagation'` (default): iterative smallest-label
+    propagation — each node starts labeled with itself; every round a
+    node's label becomes the min of its own and its neighbors' labels;
+    stop when no label changes.  Rounds needed = graph diameter —
+    near-dup clusters are shallow (a hub duplicate links its
+    variants), so this converges in a handful of rounds.  If it has
+    NOT converged after `max_iters` rounds (a pathological long-chain
+    component), it hands the edge set to the large-star/small-star
+    fixpoint (`_two_phase_components`, O(log² n) rounds regardless of
+    diameter) instead of failing — mid-propagation labels are never
+    returned (they would silently keep duplicates and diverge from
+    the transitive-closure oracle).
 
-    Scale notes: each round is one equi-join + one groupBy on doc_id —
-    no all-pairs step, no driver-side graph.  `localCheckpoint`
-    truncates the lineage every round (the naive loop builds an
-    exponentially growing plan and re-executes the pair source each
-    round); on a real cluster prefer `spark.sparkContext
-    .setCheckpointDir` + `.checkpoint()` for executor-loss resilience
-    (localCheckpoint stores partitions on executors only).  At extreme
-    component sizes the large-star/small-star algorithm (Kiveris et
-    al.) converges in O(log n) rounds with the same per-round shape;
-    propagation is the simpler fit for shallow dedup clusters.
+    `algorithm='two_phase'`: skip propagation and run
+    large-star/small-star directly — for callers that know their pair
+    graph is deep.
+
+    Scale notes: each round of either algorithm is join + groupBy on
+    doc_id — no all-pairs step, no driver-side graph.
+    `localCheckpoint` truncates the lineage every round (the naive
+    loop builds an exponentially growing plan and re-executes the
+    pair source each round); on a real cluster prefer
+    `spark.sparkContext.setCheckpointDir` + `.checkpoint()` for
+    executor-loss resilience (localCheckpoint stores partitions on
+    executors only).
     """
     edges = pairs.select("d1", "d2").localCheckpoint()
     sym = edges.union(
         edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).localCheckpoint()
+    if algorithm == "two_phase":
+        return _two_phase_components(sym)
+    if algorithm != "propagation":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     labels = (
         sym.select(F.col("d1").alias("doc_id"))
         .distinct()
@@ -83,14 +176,10 @@ def near_dup_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         if changed == 0:
             break
     if changed != 0:
-        # returning mid-propagation labels would silently keep
-        # duplicates (and diverge from the transitive-closure oracle);
-        # a >max_iters diameter is pathological enough to fail loudly.
-        raise RuntimeError(
-            f"near_dup_components did not converge in {max_iters} rounds "
-            f"({changed} labels still changing); raise max_iters or use "
-            "large-star/small-star for extreme-diameter pair graphs"
-        )
+        # long-diameter component: finish with the diameter-independent
+        # fixpoint rather than raising (propagation's partial labels are
+        # discarded — two-phase restarts from the edge set)
+        return _two_phase_components(sym)
     return labels
 
 
@@ -308,6 +397,54 @@ def pack_sequences(
         "*",
         F.expr(f"token_offset div {budget}").alias("seq_first"),
         F.expr(f"(token_offset + n_tokens - 1) div {budget}").alias("seq_last"),
+    )
+
+
+def explode_sequence_spans(
+    packed: DataFrame,
+    budget: int,
+    shard_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Materialize the seq_id→token-span mapping a training loader
+    actually consumes from a `pack_sequences` manifest: one row per
+    (document, sequence) pair — a doc straddling a sequence boundary
+    emits one span per sequence it touches.
+
+    Output per row: `seq_id` (per shard), `token_start`/`token_len`
+    (the half-open token slice WITHIN the document that lands in this
+    sequence) and `pos_in_seq` (where that slice starts inside the
+    fixed-length sequence).  Invariants (property-tested): per doc,
+    spans tile [0, n_tokens) contiguously; per (shard, seq_id), spans
+    tile [0, budget) contiguously except the shard's final partial
+    sequence.
+
+    Scale shape: a stateless narrow generator over the manifest —
+    explode(sequence(seq_first, seq_last)) plus integer arithmetic,
+    no shuffle, no Python.  Fan-out is bounded: a doc emits
+    ceil(n_tokens/budget)+1 rows at most.  Callers composing this
+    with the manifest (as the registry suite does) should persist the
+    manifest to avoid re-running its window cumsum per branch.
+    """
+    b = int(budget)
+    span = packed.select(
+        shard_col,
+        order_col,
+        "n_tokens",
+        "token_offset",
+        F.explode(F.sequence(F.col("seq_first"), F.col("seq_last"))).alias("seq_id"),
+    )
+    start_g = F.greatest(F.col("token_offset"), F.col("seq_id") * b)
+    end_g = F.least(
+        F.col("token_offset") + F.col("n_tokens"), (F.col("seq_id") + 1) * b
+    )
+    return span.select(
+        shard_col,
+        order_col,
+        "seq_id",
+        (start_g - F.col("token_offset")).cast("bigint").alias("token_start"),
+        (end_g - start_g).cast("bigint").alias("token_len"),
+        (start_g - F.col("seq_id") * b).cast("bigint").alias("pos_in_seq"),
     )
 
 

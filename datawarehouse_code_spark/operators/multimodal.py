@@ -7,13 +7,15 @@ Doctrine for image/audio/video at 100 TB:
 - decode / feature-extraction / frame-sampling run as `mapInPandas`
   stages: Arrow batches in, Arrow batches out, one Python worker per
   partition — a narrow map, so it scales like any projection;
-- the actual codec libraries (Pillow / torchaudio / ffmpeg) are NOT
-  in this container, so `decode_image` is a stub raising
-  NotImplementedError, and the shipped feature extractor computes
-  DETERMINISTIC byte-level features instead.  Everything around the
-  decode — schemas, batch iteration, one-to-many frame explosion,
-  partitioning — is real and tested; swapping the fake for a codec
-  is a one-function change.
+- `decode_image` has a REAL executable branch: binary PNM (PPM "P6"
+  RGB / PGM "P5" grayscale) decodes in pure Python — header parse,
+  comment handling, channel de-interleave — with `decoded_image_stats`
+  running it inside the mapInPandas path, oracle-verified over
+  synthetic PPM payloads.  Compressed codecs (PNG/JPEG/audio/video)
+  need the codec libraries (Pillow / torchaudio / ffmpeg) that are
+  NOT in this container, so only THAT branch raises
+  NotImplementedError; swapping it for a codec is a one-function
+  change.
 
 The fixture has no binary table, so `media_from_documents` derives
 one by UTF-8-encoding `documents.text` — deterministic, and (for
@@ -40,16 +42,69 @@ FEATURE_SCHEMA = (
     "checksum BIGINT"
 )
 FRAME_SCHEMA = "media_id BIGINT, frame_idx INT, frame_bytes BINARY, frame_len INT"
+DECODED_STATS_SCHEMA = (
+    "media_id BIGINT, width INT, height INT, "
+    "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT"
+)
 
 
-def decode_image(data: bytes):
-    """Decode an encoded image to pixels.  STUB: requires Pillow,
-    which is not installed here — the surrounding plumbing is what
-    this module ships and tests."""
+def _decode_pnm(data: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-Python binary-PNM decode: P6 (RGB, 3 channels) or P5
+    (grayscale, 1 channel) → (width, height, n_channels, pixel_bytes)
+    with pixels interleaved per the format.  Handles the full header
+    grammar — arbitrary whitespace between tokens and `#` comments
+    through end-of-line — and fails loudly on truncated payloads or
+    a >8-bit maxval (16-bit PNM is out of scope)."""
+    magic = bytes(data[:2])
+    if magic not in (b"P6", b"P5"):
+        raise ValueError(f"not a binary PNM payload (magic {magic!r})")
+    channels = 3 if magic == b"P6" else 1
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        while pos < len(data):
+            c = data[pos : pos + 1]
+            if c == b"#":
+                while pos < len(data) and data[pos : pos + 1] != b"\n":
+                    pos += 1
+            elif c.isspace():
+                pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PNM header")
+        vals.append(int(data[start:pos]))
+    width, height, maxval = vals
+    if not 0 < maxval < 256:
+        raise ValueError(f"unsupported PNM maxval {maxval} (8-bit only)")
+    pos += 1  # exactly one whitespace byte separates maxval from pixels
+    n = width * height * channels
+    pixels = bytes(data[pos : pos + n])
+    if len(pixels) != n:
+        raise ValueError(
+            f"PNM payload truncated: want {n} pixel bytes, have {len(pixels)}"
+        )
+    return width, height, channels, pixels
+
+
+def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode an encoded image to (width, height, n_channels,
+    interleaved_pixel_bytes).
+
+    Uncompressed binary PNM (PPM/PGM) decodes in pure Python — the
+    real executable branch this container exercises end-to-end
+    (decoded_image_stats).  Compressed codecs require Pillow, which
+    is not installed here; that branch alone stays NotImplementedError
+    until a codec library exists."""
+    if bytes(data[:2]) in (b"P6", b"P5"):
+        return _decode_pnm(data)
     if not HAVE_PIL:
         raise NotImplementedError(
-            "image decode requires Pillow; install it and replace the "
-            "deterministic fake in extract_features"
+            "compressed image decode requires Pillow (binary PNM "
+            "decodes natively); install Pillow for PNG/JPEG payloads"
         )
     raise NotImplementedError("wire Image.open(BytesIO(data)) here when Pillow exists")
 
@@ -108,6 +163,50 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def decoded_image_stats(media: DataFrame) -> DataFrame:
+    """Per-media stats computed from REAL decoded pixels — the stage
+    that proves the decode path executes inside the Arrow plumbing
+    (not just the byte-level fake): decode_image each payload, then
+    integer per-channel sums (grayscale payloads report the single
+    channel as r=g=b).  Integer sums, never float means — exact on
+    every engine, so the DuckDB oracle can hash-verify the decode.
+
+    Scale shape: same as extract_features — a narrow Arrow-batched
+    map, no shuffle; pixels never leave the worker, only the
+    fixed-width stats row does.  NULL payloads yield no row (a real
+    decode pipeline routes them to a quarantine instead)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ws, hs, srs, sgs, sbs = [], [], [], [], [], []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                w, h, ch, px = decode_image(bytes(content))
+                if ch == 3:
+                    sr, sg, sb = sum(px[0::3]), sum(px[1::3]), sum(px[2::3])
+                else:
+                    sr = sg = sb = sum(px)
+                ids.append(media_id)
+                ws.append(w)
+                hs.append(h)
+                srs.append(sr)
+                sgs.append(sg)
+                sbs.append(sb)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "sum_r": pd.Series(srs, dtype="int64"),
+                    "sum_g": pd.Series(sgs, dtype="int64"),
+                    "sum_b": pd.Series(sbs, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, DECODED_STATS_SCHEMA)
 
 
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:

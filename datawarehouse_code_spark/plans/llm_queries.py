@@ -774,41 +774,100 @@ FROM documents
 
 
 def _multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 1→N frame-sampling stage (mapInPandas row explosion)
-    re-aggregated per media item.  The sampler cuts each payload into
-    4 evenly-spaced step-sized byte slices (step = max(size//4, 1)),
-    so the per-media frame count and lengths have a closed form the
-    oracle recomputes from octet_length alone — hash-checking the
-    whole explode-and-reaggregate Arrow round-trip."""
+    """Frame sampling + REAL image decode as one labeled suite.
+
+    part='frames': the 1→N frame-sampling stage (mapInPandas row
+    explosion) re-aggregated per media item.  The sampler cuts each
+    payload into 4 evenly-spaced step-sized byte slices (step =
+    max(size//4, 1)), so the per-media frame count and lengths have a
+    closed form the oracle recomputes from octet_length alone —
+    hash-checking the whole explode-and-reaggregate Arrow round-trip.
+      n1=n_frames, n2=sum_frame_len, n3=min_frame_len, n4=max_frame_len, n5=NULL
+
+    part='ppm': synthetic binary-PPM payloads built JVM-side from
+    doc_id alone (header 'P6\\n{w} {h}\\n255\\n' + w·h repeats of a
+    3-byte per-channel constant pixel, every byte < 128 so UTF-8
+    encode is byte-exact), decoded by the PURE-PYTHON P6 decoder
+    inside mapInPandas (operators/multimodal.decoded_image_stats).
+    The oracle recomputes width/height/channel-sums from doc_id's
+    closed form — a wrong header parse, a channel de-interleave slip,
+    or a generation bug all hash-fail.
+      n1=width, n2=height, n3=sum_r, n4=sum_g, n5=sum_b
+    """
     from datawarehouse_code_spark.operators.multimodal import (
+        decoded_image_stats,
         media_from_documents,
         sample_frames,
     )
 
     docs = read_table(spark, "documents", sf_dir).repartition("doc_id")
     frames = sample_frames(media_from_documents(docs))
-    return frames.groupBy("media_id").agg(
+    f = frames.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_frames"),
         F.sum("frame_len").alias("sum_frame_len"),
         F.min("frame_len").alias("min_frame_len"),
         F.max("frame_len").alias("max_frame_len"),
+    ).select(
+        F.lit("frames").alias("part"), "media_id",
+        F.col("n_frames").cast("bigint").alias("n1"),
+        F.col("sum_frame_len").cast("bigint").alias("n2"),
+        F.col("min_frame_len").cast("bigint").alias("n3"),
+        F.col("max_frame_len").cast("bigint").alias("n4"),
+        F.lit(None).cast("bigint").alias("n5"),
     )
+    ppm_payloads = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image/x-portable-pixmap").alias("media_type"),
+        F.encode(
+            F.concat(
+                F.lit("P6\n"),
+                (F.col("doc_id") % 5 + 4).cast("string"),
+                F.lit(" "),
+                (F.col("doc_id") % 4 + 3).cast("string"),
+                F.lit("\n255\n"),
+                F.expr(
+                    "repeat(concat(char(doc_id % 107), char(doc_id * 3 % 109), "
+                    "char(doc_id * 7 % 113)), "
+                    "int((doc_id % 5 + 4) * (doc_id % 4 + 3)))"
+                ),
+            ),
+            "utf-8",
+        ).alias("content"),
+    )
+    p = decoded_image_stats(ppm_payloads).select(
+        F.lit("ppm").alias("part"), "media_id",
+        F.col("width").cast("bigint").alias("n1"),
+        F.col("height").cast("bigint").alias("n2"),
+        F.col("sum_r").alias("n3"),
+        F.col("sum_g").alias("n4"),
+        F.col("sum_b").alias("n5"),
+    )
+    return f.unionByName(p)
 
 
 _FRAME_STATS_SQL = """
 WITH m AS (
   SELECT doc_id AS media_id, octet_length(encode(text)) AS sz FROM documents
+), dims AS (
+  SELECT doc_id AS media_id,
+         doc_id % 5 + 4 AS w, doc_id % 4 + 3 AS h,
+         doc_id % 107 AS r, doc_id * 3 % 109 AS g, doc_id * 7 % 113 AS b
+  FROM documents
 )
-SELECT media_id,
-       CAST(CASE WHEN sz >= 4 THEN 4 ELSE sz END AS BIGINT) AS n_frames,
-       CAST(CASE WHEN sz >= 4 THEN 4 * (sz // 4) ELSE sz END AS BIGINT)
-           AS sum_frame_len,
-       CAST(CASE WHEN sz >= 4 THEN sz // 4 ELSE 1 END AS INTEGER)
-           AS min_frame_len,
-       CAST(CASE WHEN sz >= 4 THEN sz // 4 ELSE 1 END AS INTEGER)
-           AS max_frame_len
+SELECT 'frames' AS part, media_id,
+       CAST(CASE WHEN sz >= 4 THEN 4 ELSE sz END AS BIGINT) AS n1,
+       CAST(CASE WHEN sz >= 4 THEN 4 * (sz // 4) ELSE sz END AS BIGINT) AS n2,
+       CAST(CASE WHEN sz >= 4 THEN sz // 4 ELSE 1 END AS BIGINT) AS n3,
+       CAST(CASE WHEN sz >= 4 THEN sz // 4 ELSE 1 END AS BIGINT) AS n4,
+       CAST(NULL AS BIGINT) AS n5
 FROM m
 WHERE sz > 0
+UNION ALL
+SELECT 'ppm', media_id,
+       CAST(w AS BIGINT), CAST(h AS BIGINT),
+       CAST(w * h * r AS BIGINT), CAST(w * h * g AS BIGINT),
+       CAST(w * h * b AS BIGINT)
+FROM dims
 """
 
 
@@ -1191,11 +1250,14 @@ FROM w
 """
 
 
-def _tokens_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concatenate-and-chunk sequence packing (operators/corpus.py
-    pack_sequences): documents laid end-to-end per source shard, cut
-    every 512 tokens; each doc reports its shard offset and the
-    sequences it spans."""
+def _tokens_packed_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence packing, manifest surface only
+    (operators/corpus.py pack_sequences): documents laid end-to-end
+    per source shard, cut every 512 tokens; each doc reports its shard
+    offset and the sequences it spans.  Kept under the original
+    `tokens_packed` name as a SUPPLEMENTARY query so its frozen bench
+    row stays like-for-like; the driver row is `tokens_packed_suite`
+    (manifest + loader-ready spans)."""
     from datawarehouse_code_spark.operators.corpus import pack_sequences
 
     docs = read_table(spark, "documents", sf_dir)
@@ -1212,7 +1274,7 @@ def _tokens_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TOKENS_PACKED_SQL = """
+_TOKENS_MANIFEST_SQL = """
 WITH t AS (
   SELECT source, doc_id,
          CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
@@ -1232,6 +1294,102 @@ FROM o
 """
 
 
+def _tokens_packed_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence packing, BOTH surfaces as one
+    labeled suite: the per-doc manifest (pack_sequences — shard
+    offset + first/last sequence) and the materialized seq_id→span
+    rows a training loader consumes (explode_sequence_spans — a doc
+    straddling a boundary emits one span per sequence).  Shared
+    numeric columns n1..n4 per the suite convention:
+
+      part='manifest': n1=n_tokens, n2=token_offset, n3=seq_first, n4=seq_last
+      part='span':     n1=seq_id,   n2=token_start,  n3=token_len,  n4=pos_in_seq
+
+    Fused single pass: both parts are emitted from ONE explode over
+    the manifest (an array of [manifest struct, span structs...] per
+    doc) — a two-branch union would run the window cumsum twice or
+    need a checkpoint barrier; this form runs the window once and
+    stays a narrow generator after it (the library operator
+    `explode_sequence_spans` keeps the standalone span surface)."""
+    from datawarehouse_code_spark.operators.corpus import pack_sequences
+
+    docs = read_table(spark, "documents", sf_dir)
+    with_tokens = docs.select(
+        "source",
+        "doc_id",
+        F.regexp_count(F.lower(F.col("text")), F.lit("[a-z0-9]+"))
+        .cast("bigint")
+        .alias("n_tok"),
+    )
+    manifest = pack_sequences(
+        with_tokens, budget=512, shard_col="source",
+        order_col="doc_id", tokens_col="n_tok",
+    )
+    b = 512
+    off, ntk = F.col("token_offset"), F.col("n_tokens")
+
+    def _span(s):
+        start_g = F.greatest(off, s * b)
+        end_g = F.least(off + ntk, (s + 1) * b)
+        return F.struct(
+            F.lit("span").alias("part"),
+            s.alias("n1"),
+            (start_g - off).alias("n2"),
+            (end_g - start_g).alias("n3"),
+            (start_g - s * b).alias("n4"),
+        )
+
+    manifest_struct = F.struct(
+        F.lit("manifest").alias("part"),
+        ntk.alias("n1"),
+        off.alias("n2"),
+        F.col("seq_first").alias("n3"),
+        F.col("seq_last").alias("n4"),
+    )
+    rows = F.concat(
+        F.array(manifest_struct),
+        F.transform(F.sequence(F.col("seq_first"), F.col("seq_last")), _span),
+    )
+    return manifest.select(
+        "source", "doc_id", F.explode(rows).alias("e")
+    ).select("e.part", "source", "doc_id", "e.n1", "e.n2", "e.n3", "e.n4")
+
+
+_TOKENS_PACKED_SQL = """
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT source, doc_id, n_tokens,
+         COALESCE(CAST(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS BIGINT), 0) AS token_offset
+  FROM t
+), m AS (
+  SELECT source, doc_id, n_tokens, token_offset,
+         token_offset // 512 AS seq_first,
+         (token_offset + n_tokens - 1) // 512 AS seq_last
+  FROM o
+), spans AS (
+  SELECT source, doc_id,
+         CAST(u.s AS BIGINT) AS seq_id,
+         CAST(greatest(token_offset, u.s * 512) - token_offset AS BIGINT) AS token_start,
+         CAST(least(token_offset + n_tokens, (u.s + 1) * 512)
+              - greatest(token_offset, u.s * 512) AS BIGINT) AS token_len,
+         CAST(greatest(token_offset, u.s * 512) - u.s * 512 AS BIGINT) AS pos_in_seq
+  FROM m, unnest(generate_series(seq_first, seq_last)) AS u(s)
+)
+SELECT 'manifest' AS part, source, doc_id,
+       n_tokens AS n1, token_offset AS n2, seq_first AS n3, seq_last AS n4
+FROM m
+UNION ALL
+SELECT 'span', source, doc_id, seq_id, token_start, token_len, pos_in_seq
+FROM spans
+"""
+
+
 LLM_QUERIES: list[Query] = [
     Query("dedup_suite", _dedup_suite, _DEDUP_SUITE_SQL,
           "north-star: exact content-hash dedup + n-gram Jaccard pairs + min-md5 fingerprints"),
@@ -1239,8 +1397,8 @@ LLM_QUERIES: list[Query] = [
           "north-star: deterministic recall-1.0 oracle for all five approximate detectors"),
     Query("text_cleaning_suite", _text_cleaning_suite, _CLEANING_SQL,
           "north-star: PII redaction + repetition signals + duplicate-token collapse"),
-    Query("tokens_packed", _tokens_packed, _TOKENS_PACKED_SQL,
-          "north-star: concat-and-chunk sequence packing (per-shard token offsets)"),
+    Query("tokens_packed_suite", _tokens_packed_suite, _TOKENS_PACKED_SQL,
+          "north-star: concat-and-chunk packing (manifest + loader-ready seq spans)"),
     Query("dedup_minhash_lsh", _dedup_minhash_lsh, None,
           "north-star: banded MinHash-LSH near-dup (rows-only; exact twin = dedup_near_jaccard)"),
     Query("corpus_survivors", _corpus_survivors, _CORPUS_SQL,
@@ -1282,7 +1440,7 @@ LLM_QUERIES: list[Query] = [
     Query("multimodal_features", _multimodal_features, _MULTIMODAL_SQL,
           "north-star: binary media feature extraction via mapInPandas"),
     Query("multimodal_frame_stats", _multimodal_frame_stats, _FRAME_STATS_SQL,
-          "north-star: 1-to-N frame sampling (mapInPandas explosion) re-aggregated"),
+          "north-star: frame sampling + real pure-Python PPM decode (mapInPandas)"),
     Query("similarity_topk_ivf", _similarity_topk_ivf, None,
           "north-star: IVF centroid-bucketed ANN (rows-only; exact twin = bruteforce)"),
     Query("embedding_near_dup", _embedding_near_dup, None,
@@ -1308,4 +1466,7 @@ LLM_SUPPLEMENTARY: list[Query] = [
           "§2.2 exact discrete percentiles (in lang_stats_suite)"),
     Query("lang_stats_pandas", _lang_stats_pandas, _LANG_STATS_PANDAS_SQL,
           "north-star: applyInPandas stats (in lang_stats_suite)"),
+    Query("tokens_packed", _tokens_packed_manifest, _TOKENS_MANIFEST_SQL,
+          "north-star: packing manifest only (in tokens_packed_suite; "
+          "keeps its frozen bench row like-for-like)"),
 ]

@@ -1353,7 +1353,10 @@ def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionByName(
         pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
     )
-    return pagerank_fixed(edges, iters=3)
+    # the unionByName above symmetrizes the edge list, so every node
+    # provably has an out-edge — skip the dangling precondition scan
+    # (two jobs over the full edge list saved per run)
+    return pagerank_fixed(edges, iters=3, check_dangling=False)
 
 
 _PAGERANK_SQL = """

@@ -138,3 +138,94 @@ def test_pagerank_rejects_dangling_nodes(spark):
     edges = spark.createDataFrame([(1, 2)], "src BIGINT, dst BIGINT")  # 2 has no out
     with pytest.raises(ValueError, match="dangling"):
         pagerank_fixed(edges, iters=1)
+
+
+def test_pagerank_check_dangling_opt_out(spark):
+    """check_dangling=False must (a) skip the precondition scan yet
+    produce identical masses on a valid graph, (b) NOT raise on a
+    dangling graph (the caller claimed the precondition) — the guard
+    stays default-on."""
+    from datawarehouse_code_spark.operators.graph import pagerank_fixed
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 0), (2, 0)], "src BIGINT, dst BIGINT"
+    )
+    checked = {r.node: r.mass for r in pagerank_fixed(edges, iters=3).collect()}
+    unchecked = {
+        r.node: r.mass
+        for r in pagerank_fixed(edges, iters=3, check_dangling=False).collect()
+    }
+    assert checked == unchecked
+
+    dangling = spark.createDataFrame([(1, 2)], "src BIGINT, dst BIGINT")
+    # opt-out: runs without raising (mass leaks -- caller's claim)
+    pagerank_fixed(dangling, iters=1, check_dangling=False).collect()
+
+
+def test_explode_sequence_spans_straddle(spark):
+    """A doc straddling the budget boundary emits one span per
+    sequence; slices are half-open within the doc and positioned
+    correctly inside each sequence."""
+    from datawarehouse_code_spark.operators.corpus import (
+        explode_sequence_spans,
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [("s", 1, 300), ("s", 2, 300), ("s", 3, 100), ("t", 9, 50)],
+        "src STRING, doc_id BIGINT, n INT",
+    )
+    packed = pack_sequences(df, 512, "src", "doc_id", "n")
+    got = {
+        (r.doc_id, r.seq_id): (r.token_start, r.token_len, r.pos_in_seq)
+        for r in explode_sequence_spans(packed, 512, "src", "doc_id").collect()
+    }
+    assert got == {
+        (1, 0): (0, 300, 0),      # doc 1 entirely in seq 0 at pos 0
+        (2, 0): (0, 212, 300),    # doc 2: first 212 tokens fill seq 0
+        (2, 1): (212, 88, 0),     # ...remaining 88 open seq 1
+        (3, 1): (0, 100, 88),     # doc 3 follows within seq 1
+        (9, 0): (0, 50, 0),       # shard t independent
+    }
+
+
+def test_explode_sequence_spans_tiling_invariants(spark):
+    """Per doc: spans tile [0, n_tokens). Per (shard, seq): spans tile
+    [0, budget) — except each shard's final partial sequence."""
+    from datawarehouse_code_spark.operators.corpus import (
+        explode_sequence_spans,
+        pack_sequences,
+    )
+    from datawarehouse_code_spark.sources.catalog import read_table
+    from tests.conftest import SF_DIR
+
+    docs = read_table(spark, "documents", SF_DIR)
+    with_tokens = docs.select(
+        "source", "doc_id",
+        F.regexp_count(F.lower(F.col("text")), F.lit("[a-z0-9]+"))
+        .cast("bigint").alias("n_tok"),
+    )
+    packed = pack_sequences(with_tokens, 512, "source", "doc_id", "n_tok")
+    spans = explode_sequence_spans(packed, 512, "source", "doc_id").cache()
+
+    # doc tiling: token_len sums to n_tokens, min start 0, max end n
+    per_doc = spans.groupBy("source", "doc_id").agg(
+        F.sum("token_len").alias("len_sum"),
+        F.min("token_start").alias("s0"),
+        F.max(F.col("token_start") + F.col("token_len")).alias("end"),
+    ).join(packed, ["source", "doc_id"])
+    assert per_doc.filter(
+        (F.col("len_sum") != F.col("n_tokens"))
+        | (F.col("s0") != 0)
+        | (F.col("end") != F.col("n_tokens"))
+    ).count() == 0
+
+    # sequence tiling: every seq except each shard's last is exactly full
+    per_seq = spans.groupBy("source", "seq_id").agg(
+        F.sum("token_len").alias("fill"),
+        F.min("pos_in_seq").alias("p0"),
+    )
+    last = per_seq.groupBy("source").agg(F.max("seq_id").alias("seq_id"))
+    full = per_seq.join(last, ["source", "seq_id"], "left_anti")
+    assert full.filter((F.col("fill") != 512) | (F.col("p0") != 0)).count() == 0
+    spans.unpersist()

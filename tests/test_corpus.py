@@ -132,17 +132,65 @@ def test_stratified_hash_sample_deterministic_and_composable(spark):
     assert ids1 <= ids_wide  # raising the rate only adds rows
 
 
-def test_near_dup_components_raises_on_non_convergence(spark):
-    import pytest
-
+def test_near_dup_components_falls_back_past_max_iters(spark):
+    """Propagation that has NOT converged by max_iters hands off to
+    the large-star/small-star fixpoint instead of raising — and never
+    returns mid-propagation labels."""
     from datawarehouse_code_spark.operators.corpus import near_dup_components
 
     chain = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "d1 int, d2 int")
-    with pytest.raises(RuntimeError, match="did not converge"):
-        near_dup_components(chain, max_iters=1)
-    # enough rounds -> converges fine
+    comp = {
+        r["doc_id"]: r["rep"]
+        for r in near_dup_components(chain, max_iters=1).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1}
+    # enough rounds -> converges via propagation alone, same answer
     comp = {r["doc_id"]: r["rep"] for r in near_dup_components(chain).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_two_phase_components_long_chain_past_diameter(spark):
+    """A planted diameter-31 chain (> the default max_iters=20) plus a
+    disjoint triangle: the default call path must cluster BOTH
+    correctly via the fallback; the direct two_phase path agrees."""
+    from datawarehouse_code_spark.operators.corpus import near_dup_components
+
+    chain = [(i, i + 1) for i in range(31)]  # 0-1-...-31, diameter 31
+    tri = [(100, 101), (101, 102), (100, 102)]
+    pairs = spark.createDataFrame(chain + tri, "d1 int, d2 int")
+
+    want = {i: 0 for i in range(32)} | {100: 100, 101: 100, 102: 100}
+    via_fallback = {
+        r["doc_id"]: r["rep"] for r in near_dup_components(pairs).collect()
+    }
+    assert via_fallback == want
+    direct = {
+        r["doc_id"]: r["rep"]
+        for r in near_dup_components(pairs, algorithm="two_phase").collect()
+    }
+    assert direct == want
+
+
+def test_two_phase_agrees_with_propagation_on_real_pairs(spark):
+    """Cross-algorithm differential on the actual near-dup pair graph
+    of the test corpus: two independent CC implementations must
+    produce identical component labelings."""
+    from datawarehouse_code_spark.operators.corpus import near_dup_components
+    from datawarehouse_code_spark.operators.text import near_dup_pairs_exact
+    from datawarehouse_code_spark.sources.catalog import read_table
+    from tests.conftest import SF_DIR
+
+    docs = read_table(spark, "documents", SF_DIR)
+    pairs = near_dup_pairs_exact(docs, threshold=0.5).localCheckpoint()
+    a = {
+        (r["doc_id"], r["rep"])
+        for r in near_dup_components(pairs).collect()
+    }
+    b = {
+        (r["doc_id"], r["rep"])
+        for r in near_dup_components(pairs, algorithm="two_phase").collect()
+    }
+    assert a == b and len(a) > 0
 
 
 def test_quality_scores_empty_text_null_ratio(spark):

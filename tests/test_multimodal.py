@@ -65,3 +65,65 @@ def test_decode_stub_contract():
     if not HAVE_PIL:
         with pytest.raises(NotImplementedError):
             decode_image(b"\x89PNG...")
+
+
+# --- pure-Python PNM decode (the real decode branch) ----------------
+
+
+def test_decode_ppm_p6_with_comments_and_whitespace():
+    from datawarehouse_code_spark.operators.multimodal import decode_image
+
+    px = bytes([10, 20, 30, 40, 50, 60])  # 2x1 RGB
+    data = b"P6\n# a comment\n 2 # trailing\n1\n# another\n255\n" + px
+    w, h, ch, pixels = decode_image(data)
+    assert (w, h, ch) == (2, 1, 3)
+    assert pixels == px
+    # channel de-interleave the caller does
+    assert (sum(pixels[0::3]), sum(pixels[1::3]), sum(pixels[2::3])) == (50, 70, 90)
+
+
+def test_decode_pgm_p5_grayscale():
+    from datawarehouse_code_spark.operators.multimodal import decode_image
+
+    data = b"P5 3 2 255 " + bytes([1, 2, 3, 4, 5, 6])
+    w, h, ch, pixels = decode_image(data)
+    assert (w, h, ch) == (3, 2, 1)
+    assert sum(pixels) == 21
+
+
+def test_decode_pnm_failures():
+    import pytest
+
+    from datawarehouse_code_spark.operators.multimodal import decode_image
+
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(b"P6\n2 2\n255\n\x00\x01")  # too few pixel bytes
+    with pytest.raises(ValueError, match="maxval"):
+        decode_image(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+    with pytest.raises(ValueError, match="truncated PNM header"):
+        decode_image(b"P6\n2")
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_image(b"\x89PNG\r\n\x1a\n....")  # compressed needs a codec
+
+
+def test_decoded_image_stats_roundtrip(spark):
+    """Generate PPMs in Python, decode through the mapInPandas stage,
+    check exact per-channel sums (incl. a NULL payload dropping out)."""
+    from datawarehouse_code_spark.operators.multimodal import decoded_image_stats
+
+    def ppm(w, h, r, g, b):
+        return f"P6\n{w} {h}\n255\n".encode() + bytes([r, g, b]) * (w * h)
+
+    rows = [
+        (1, "image/x-portable-pixmap", ppm(4, 3, 9, 18, 27)),
+        (2, "image/x-portable-pixmap", ppm(2, 2, 0, 255, 1)),
+        (3, "image/x-portable-pixmap", None),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id BIGINT, media_type STRING, content BINARY"
+    )
+    got = {r.media_id: r for r in decoded_image_stats(media).collect()}
+    assert set(got) == {1, 2}
+    assert (got[1].width, got[1].height) == (4, 3)
+    assert (got[1].sum_r, got[1].sum_g, got[1].sum_b) == (108, 216, 324)
+    assert (got[2].sum_r, got[2].sum_g, got[2].sum_b) == (0, 1020, 4)
