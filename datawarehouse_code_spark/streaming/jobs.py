@@ -321,6 +321,93 @@ def run_upsert_to_table(
             restore_nanos_conf(spark)
 
 
+def run_corpus_ingest(
+    docs: DataFrame,
+    target_path: str,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Streaming increment of `prepare_training_corpus`'s stateless +
+    key-local stages: per micro-batch of arriving documents,
+
+      PII-redact → quality-filter → exact-dedup (within the batch AND
+      against the persisted corpus) → doc_id-keyed upsert into
+      `target_path`
+
+    composing the same operators the batch pipeline runs
+    (operators/text.redact_pii / quality_filter / the exact_dedup
+    content hash) and the same ACID sink as run_upsert_to_table.
+    Near-dup detection and sequence packing stay BATCH jobs over the
+    resulting table — they need corpus-global state (the LSH index /
+    the pack order), not per-key state.
+
+    Dedup contract: within a batch the smallest doc_id per content
+    hash survives (exact_dedup's rule); across batches the
+    FIRST-ARRIVED hash wins and later copies under different doc_ids
+    are dropped.  When documents arrive in doc_id order the table
+    equals the batch pipeline's redact→filter→exact-dedup output
+    exactly (integration-tested); under out-of-order arrival the
+    survivor per hash may differ by id — same corpus content either
+    way.  Checkpoint replays are no-ops: a replayed doc matches its
+    own table row (hash AND doc_id), passes the guard, and the keyed
+    upsert rewrites it identically.
+
+    Scale shape per batch: narrow redact/filter projections, one
+    window over the batch's hashes (batch-sized, not corpus-sized),
+    one equi-join against the table's (content_hash, doc_id)
+    projection — column-pruned scan, no corpus-wide shuffle — and one
+    keyed upsert (Delta MERGE when available; staged parquet here).
+    """
+    from datawarehouse_code_spark.operators.text import (
+        normalized_text,
+        quality_filter,
+        redact_pii,
+    )
+    from datawarehouse_code_spark.sources.acid import (
+        _staged_overwrite,
+        table_exists,
+        upsert,
+    )
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        sp = batch.sparkSession
+        redacted = redact_pii(batch, keep_cols=True)
+        swapped = (
+            redacted.withColumn("text", F.col("redacted_text"))
+            .withColumn("n_chars", F.length("text"))
+            .drop("redacted_text", "n_email", "n_ip", "n_phone")
+        )
+        hashed = quality_filter(swapped).withColumn(
+            "content_hash", F.md5(normalized_text(F.col("text")))
+        )
+        w = Window.partitionBy("content_hash").orderBy("doc_id")
+        first = (
+            hashed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if table_exists(sp, target_path):
+            existing = sp.read.parquet(target_path).select(
+                "content_hash", F.col("doc_id").alias("_existing_id")
+            )
+            survivors = (
+                first.join(existing, "content_hash", "left")
+                .filter(
+                    F.col("_existing_id").isNull()
+                    | (F.col("_existing_id") == F.col("doc_id"))
+                )
+                .drop("_existing_id")
+            )
+            upsert(sp, target_path, survivors, ["doc_id"])
+        else:
+            # staged create, same reasoning as run_upsert_to_table
+            _staged_overwrite(sp, first, target_path)
+
+    writer = docs.writeStream.foreachBatch(_apply).trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    writer.start().awaitTermination()
+
+
 def run_to_memory(
     result: DataFrame, table_name: str, output_mode: str = "complete"
 ) -> None:

@@ -291,3 +291,118 @@ def test_ts_layout_probe_rejects_mixed_zone(tmp_path):
         pq.write_table(nanos, tmp_path / f"n{i}.parquet")
     assert _events_ts_layout(str(tmp_path)) == "nanos"
     assert _events_ts_layout(str(tmp_path), probe_cap=3) == "nanos"
+
+
+def test_corpus_ingest_stream_equals_batch(spark, tmp_path):
+    """run_corpus_ingest drained over multiple micro-batches (in
+    doc_id order) must produce exactly the batch pipeline's
+    redact -> quality-filter -> exact-dedup output on the same input:
+    a cross-batch exact duplicate is dropped, a PII doc lands
+    redacted, a junk doc fails the quality gate, and a checkpoint
+    replay changes nothing."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.text import (
+        exact_dedup,
+        normalized_text,
+        quality_filter,
+        redact_pii,
+    )
+    from datawarehouse_code_spark.sources.catalog import read_table
+    from datawarehouse_code_spark.streaming.jobs import run_corpus_ingest
+    from tests.conftest import SF_DIR
+
+    docs = read_table(spark, "documents", SF_DIR).orderBy("doc_id").cache()
+    first_text = docs.filter(F.col("doc_id") == docs.agg(F.min("doc_id")).collect()[0][0]) \
+        .select("text", "lang", "source").collect()[0]
+    pii_text = (
+        "the quick brown fox jumps over a lazy dog while the old miller "
+        "grinds wheat in a stone mill near the river and the children play "
+        "in the warm sand all day long write to ingest@example.com today"
+    )
+    planted = spark.createDataFrame(
+        [
+            # cross-batch exact duplicate of the first doc (later id)
+            (900001, first_text.text, first_text.lang, first_text.source,
+             len(first_text.text)),
+            # unique PII doc (passes quality, must land redacted)
+            (900002, pii_text, "en", "web", len(pii_text)),
+            # junk doc: fails the quality gate (too few words)
+            (900003, "!!! ???", "en", "web", 7),
+        ],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+
+    # land three files in doc_id order with strictly increasing mtimes
+    # (the file stream source orders batches by modification time)
+    land = tmp_path / "landing"
+    land.mkdir()
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    cut1, cut2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    parts = [
+        docs.filter(F.col("doc_id") <= cut1),
+        docs.filter((F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2)),
+        docs.filter(F.col("doc_id") > cut2).unionByName(planted),
+    ]
+    now = time.time() - 600
+    for i, p in enumerate(parts):
+        f = land / f"batch-{i}.parquet"
+        p.toPandas().to_parquet(f, index=False)
+        os.utime(f, (now + 60 * i, now + 60 * i))
+
+    target = str(tmp_path / "corpus_table")
+    stream = (
+        spark.readStream.schema(
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    run_corpus_ingest(stream, target, checkpoint_dir=str(tmp_path / "ckpt"))
+
+    # batch reference over the identical input, via the BATCH operators
+    all_docs = docs.unionByName(planted)
+    redacted = redact_pii(all_docs, keep_cols=True)
+    swapped = (
+        redacted.withColumn("text", F.col("redacted_text"))
+        .withColumn("n_chars", F.length("text"))
+        .drop("redacted_text", "n_email", "n_ip", "n_phone")
+    )
+    filtered = quality_filter(swapped)
+    keep = exact_dedup(filtered).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    ref = filtered.join(keep, "doc_id", "left_semi").withColumn(
+        "content_hash", F.md5(normalized_text(F.col("text")))
+    )
+
+    got = {
+        (r.doc_id, r.text, r.content_hash)
+        for r in spark.read.parquet(target).collect()
+    }
+    want = {(r.doc_id, r.text, r.content_hash) for r in ref.collect()}
+    assert got == want and len(got) > 0
+    assert not any(d == 900001 for d, _, _ in got)   # duplicate dropped
+    assert not any(d == 900003 for d, _, _ in got)   # junk filtered
+    pii_rows = [t for d, t, _ in got if d == 900002]
+    assert pii_rows and "[EMAIL]" in pii_rows[0]     # redacted before landing
+    assert "ingest@example.com" not in pii_rows[0]
+
+    # checkpoint replay: re-running the drained stream is a no-op
+    stream2 = (
+        spark.readStream.schema(
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    run_corpus_ingest(stream2, target, checkpoint_dir=str(tmp_path / "ckpt"))
+    again = {
+        (r.doc_id, r.text, r.content_hash)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert again == want
+    docs.unpersist()
