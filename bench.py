@@ -116,6 +116,7 @@ HEADLINE = [
     # round-6 additions (no frozen row yet; ratios appear once a later
     # round freezes them)
     "tokens_packed_suite",
+    "incremental_near_dup",
     "cdc_upsert_latest",
     "planted_recall_suite",
     "graph_pagerank",

@@ -664,6 +664,121 @@ def near_dup_pairs_lsh(
     )
 
 
+def build_lsh_index(
+    documents: DataFrame,
+    k: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    hot_bucket_cap: int | None = 5000,
+) -> DataFrame:
+    """The persisted MinHash-LSH bucket index of a corpus:
+    (doc_id, band_idx, band_hash) — three fixed-width values per
+    (doc, band), computed ONCE per corpus build and stored beside it.
+    Increments (`near_dup_pairs_incremental`) equi-join against this
+    table; they never re-shingle or re-sign the corpus.
+
+    Shingle sets are deliberately NOT stored (32 copies of each doc's
+    shingle array would dominate the index); exact verification
+    re-derives shingles for the MATCHED corpus docs only — a narrow
+    recompute over the candidate subset, tiny relative to the corpus.
+
+    `hot_bucket_cap` drops degenerate buckets AT BUILD TIME (window
+    count per key, no posting array — the filter_posting_keys
+    rationale): a boilerplate bucket holding 10⁷ docs would otherwise
+    hand every future increment |bucket| candidates per matching new
+    doc.  Unlike the batch detector's filter, SINGLETON buckets are
+    kept — a future new doc must be able to meet a so-far-unique
+    corpus doc.  Parameters (k, num_hashes, bands) are part of the
+    index contract: increments must pass the same values.
+    """
+    rows_per_band = num_hashes // bands
+    docs = shingle_hash_docs(documents, k)
+    sig_fn = minhash_signature_udf(num_hashes)
+    sigs = docs.withColumn("sig", sig_fn("sh"))
+    buckets = sigs.select(
+        "doc_id",
+        F.posexplode(band_hashes(F.col("sig"), bands, rows_per_band)).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    if hot_bucket_cap is not None:
+        w = Window.partitionBy("band_idx", "band_hash")
+        buckets = (
+            buckets.withColumn("_kdf", F.count(F.lit(1)).over(w))
+            .filter(F.col("_kdf") <= hot_bucket_cap)
+            .drop("_kdf")
+        )
+    return buckets
+
+
+def near_dup_pairs_incremental(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    index: DataFrame,
+    k: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs between an increment and a PERSISTED corpus:
+    (d_new, d_corpus, jaccard_f4) for every new doc whose exact
+    Jaccard with a corpus doc meets `threshold`, with candidates from
+    the stored LSH index (`build_lsh_index`) — the nightly-increment
+    shape: cost scales with |increment|, not |corpus|.
+
+    Flow: shingle+sign the NEW docs only → equi-join their band
+    buckets against the index → exact-verify candidates against true
+    shingle sets, where the corpus side re-shingles ONLY the matched
+    docs (semi-join pushdown into the corpus scan).  Recall follows
+    the same (b, r) S-curve as the batch detector; precision is exact.
+
+    New-vs-new duplicates WITHIN the increment are out of scope by
+    contract — run the batch detector (`near_dup_pairs_lsh`) over the
+    increment for that; composing both is what a full nightly sweep
+    does.  (k, num_hashes, bands) must match the index build.
+    """
+    rows_per_band = num_hashes // bands
+    nd = shingle_hash_docs(new_docs, k)
+    sig_fn = minhash_signature_udf(num_hashes)
+    sigs = nd.withColumn("sig", sig_fn("sh"))
+    new_buckets = sigs.select(
+        F.col("doc_id").alias("d_new"),
+        F.posexplode(band_hashes(F.col("sig"), bands, rows_per_band)).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    candidates = (
+        new_buckets.join(index, ["band_idx", "band_hash"])
+        .select("d_new", F.col("doc_id").alias("d_corpus"))
+        .filter(F.col("d_new") != F.col("d_corpus"))
+        .distinct()
+    )
+    corpus_matched = corpus_docs.join(
+        candidates.select(F.col("d_corpus").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    )
+    cs = shingle_hash_docs(corpus_matched, k).select(
+        F.col("doc_id").alias("d_corpus"), F.col("sh").alias("sh_c")
+    )
+    ns = nd.select(F.col("doc_id").alias("d_new"), F.col("sh").alias("sh_n"))
+    verified = (
+        candidates.join(ns, "d_new")
+        .join(cs, "d_corpus")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_n", "sh_c"))
+            / F.size(F.array_union("sh_n", "sh_c")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select(
+        "d_new",
+        "d_corpus",
+        (F.floor(F.col("jaccard") * 10000) / 10000).alias("jaccard_f4"),
+    )
+
+
 # PII patterns: a Java-regex/RE2-shared subset (no lookarounds, no
 # backrefs) so the DuckDB oracle applies the IDENTICAL expressions.
 # Dict order is the redaction order and is part of the contract.

@@ -94,6 +94,43 @@ WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.5
 """
 
 
+def _incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup (operators/text.py
+    near_dup_pairs_incremental): an increment of planted exact copies
+    (doc_id % 25 == 0 → +2e6) detected against the corpus through the
+    PERSISTED LSH bucket index (build_lsh_index) — cost scales with
+    the increment, never the corpus.  Output restricted to the
+    planted identity pairs (the planted_recall_suite doctrine):
+    identical docs agree on every band, so recall on them is
+    deterministic 1.0 and the row is hash-checkable — a dropped
+    planted pair (broken index join, band mismatch between build and
+    increment, verify bug) fails the oracle."""
+    from datawarehouse_code_spark.operators.text import (
+        build_lsh_index,
+        near_dup_pairs_incremental,
+    )
+
+    docs = read_table(spark, "documents", sf_dir)
+    new = docs.filter(F.col("doc_id") % 25 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 2_000_000
+    )
+    index = build_lsh_index(docs)
+    pairs = near_dup_pairs_incremental(new, docs, index)
+    return pairs.filter(F.col("d_corpus") == F.col("d_new") - 2_000_000)
+
+
+_INCREMENTAL_NEAR_DUP_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents WHERE doc_id % 25 = 0
+), sh_arr AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM w WHERE len(ws) >= 3
+)
+SELECT doc_id + 2000000 AS d_new, doc_id AS d_corpus,
+       CAST(1.0 AS DOUBLE) AS jaccard_f4
+FROM sh_arr WHERE len(sh) > 0
+"""
+
+
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only check: bucket keys are xxhash64 (Spark-only) and LSH
     # recall < 1 by design; dedup_near_jaccard is the exact twin.
@@ -1469,4 +1506,7 @@ LLM_SUPPLEMENTARY: list[Query] = [
     Query("tokens_packed", _tokens_packed_manifest, _TOKENS_MANIFEST_SQL,
           "north-star: packing manifest only (in tokens_packed_suite; "
           "keeps its frozen bench row like-for-like)"),
+    Query("incremental_near_dup", _incremental_near_dup, _INCREMENTAL_NEAR_DUP_SQL,
+          "north-star: increment-vs-corpus near-dup through the persisted "
+          "LSH index (planted-recall oracle)"),
 ]

@@ -274,3 +274,65 @@ def test_similarity_ivf_recall_vs_bruteforce(spark):
         ivf[r["query_id"]].add(r["candidate_id"])
     recall = sum(len(ivf[q] & cs) / len(cs) for q, cs in brute.items()) / len(brute)
     assert recall >= 0.8
+
+
+def test_incremental_near_dup_subset_and_noise(spark):
+    """Incremental pairs (a) find every planted exact copy against the
+    persisted index, (b) are a SUBSET of the exact cross-pairs at the
+    same threshold (precision exact), (c) give a unique-text noise doc
+    zero pairs, all without touching corpus signatures again."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.text import (
+        build_lsh_index,
+        near_dup_pairs_exact,
+        near_dup_pairs_incremental,
+    )
+    from datawarehouse_code_spark.sources.catalog import read_table
+    from tests.conftest import SF_DIR
+
+    corpus = read_table(spark, "documents", SF_DIR).cache()
+    planted = corpus.filter(F.col("doc_id") % 25 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 2_000_000
+    )
+    noise = spark.createDataFrame(
+        [(3_000_000,
+          "zymurgy quixotic fjord waltz vexing blackguard sphinx nymph "
+          "jackdaws love my big quartz of unique ramblings never seen",
+          "en", "web", 120)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    new = planted.unionByName(noise)
+
+    index = build_lsh_index(corpus).localCheckpoint()
+    got = near_dup_pairs_incremental(new, corpus, index).cache()
+
+    # (a) every shingle-bearing planted copy is found at jaccard 1.0
+    planted_found = {
+        (r.d_new, r.d_corpus)
+        for r in got.filter(F.col("d_corpus") == F.col("d_new") - 2_000_000).collect()
+    }
+    expected_ids = {
+        r.doc_id
+        for r in planted.select("doc_id").collect()
+    }
+    # docs too short to shingle (<3 words) legitimately emit nothing
+    from datawarehouse_code_spark.operators.text import shingle_hash_docs
+    shingled = {r.doc_id for r in shingle_hash_docs(planted).select("doc_id").collect()}
+    assert {p[0] for p in planted_found} == expected_ids & shingled
+    assert all(d_c == d_n - 2_000_000 for d_n, d_c in planted_found)
+
+    # (b) subset of exact cross pairs on the union
+    exact = near_dup_pairs_exact(new.unionByName(corpus), threshold=0.5)
+    exact_cross = {
+        (max(r.d1, r.d2), min(r.d1, r.d2))
+        for r in exact.collect()
+        if (r.d1 >= 2_000_000) != (r.d2 >= 2_000_000)
+    }
+    got_pairs = {(r.d_new, r.d_corpus) for r in got.collect()}
+    assert got_pairs <= exact_cross
+
+    # (c) the noise doc matched nothing
+    assert not any(d_n == 3_000_000 for d_n, _ in got_pairs)
+    got.unpersist()
+    corpus.unpersist()
