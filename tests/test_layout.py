@@ -1,0 +1,92 @@
+"""Z-order layout (operators/layout.py): Morton interleave algebra,
+write round-trip, and the property that justifies the operator —
+parquet footer min/max stats prune files for predicates on the
+NON-LEADING clustered column, where a single-column sort cannot.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from datawarehouse_code_spark.operators.layout import morton_interleave, zorder_write
+from datawarehouse_code_spark.sources.catalog import read_table
+from tests.conftest import SF_DIR
+
+
+def test_morton_interleave_known_bits(spark):
+    # x=0b10, y=0b01, 2 bits: z = y1 x1 y0 x0 = 0 1 1 0 = 6
+    df = spark.createDataFrame([(2, 1)], "x INT, y INT")
+    z = df.select(
+        morton_interleave([F.col("x"), F.col("y")], bits=2).alias("z")
+    ).head().z
+    assert z == 6
+    # interleave is monotone per-dimension: raising one coordinate
+    # never lowers z when the other is fixed
+    df2 = spark.createDataFrame([(x, y) for x in range(4) for y in range(4)],
+                                "x INT, y INT")
+    rows = df2.select("x", "y",
+                      morton_interleave([F.col("x"), F.col("y")], 2).alias("z")
+                      ).collect()
+    zmap = {(r.x, r.y): r.z for r in rows}
+    assert len(set(zmap.values())) == 16  # bijective on the grid
+    for x in range(4):
+        for y in range(3):
+            assert zmap[(x, y)] < zmap[(x, y + 1)]
+    for y in range(4):
+        for x in range(3):
+            assert zmap[(x, y)] < zmap[(x + 1, y)]
+
+
+def _overlapping_files(path, col, lo, hi):
+    """Files whose parquet footer [min, max] for `col` intersects
+    [lo, hi] — what any stats-based reader must scan."""
+    import glob
+
+    n_total, n_overlap = 0, 0
+    for f in glob.glob(f"{path}/*.parquet"):
+        pf = pq.ParquetFile(f)
+        idx = pf.schema_arrow.get_field_index(col)
+        mn = min(pf.metadata.row_group(g).column(idx).statistics.min
+                 for g in range(pf.metadata.num_row_groups))
+        mx = max(pf.metadata.row_group(g).column(idx).statistics.max
+                 for g in range(pf.metadata.num_row_groups))
+        n_total += 1
+        if mx >= lo and mn <= hi:
+            n_overlap += 1
+    return n_total, n_overlap
+
+
+def test_zorder_write_roundtrip_and_prunes_second_column(spark, tmp_path):
+    li = read_table(spark, "lineitem", SF_DIR).select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    n = li.count()
+    zpath = str(tmp_path / "zorder")
+    naive = str(tmp_path / "naive")
+    n_files = 8
+    zorder_write(li, zpath, ["l_orderkey", "l_suppkey"], n_files=n_files)
+    # naive comparison layout: same file count, sorted by the LEADING
+    # column only (the classic single-key clustered table)
+    (
+        li.repartitionByRange(n_files, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite").parquet(naive)
+    )
+
+    # round-trip: physical layout only, content unchanged
+    back = spark.read.parquet(zpath)
+    assert back.count() == n
+    a = li.agg(F.sum("l_quantity"), F.sum("l_orderkey"), F.sum("l_suppkey")).collect()
+    b = back.agg(F.sum("l_quantity"), F.sum("l_orderkey"), F.sum("l_suppkey")).collect()
+    assert a == b
+
+    # pruning on the SECOND clustered column: a narrow l_suppkey band
+    lo, hi = 1, 5
+    zt, zo = _overlapping_files(zpath, "l_suppkey", lo, hi)
+    nt, no = _overlapping_files(naive, "l_suppkey", lo, hi)
+    assert zt == nt == n_files
+    # the orderkey-sorted layout spreads every suppkey across every
+    # file (no skipping); z-order must let stats skip some files
+    assert no == n_files
+    assert zo < no, f"z-order pruned nothing: {zo}/{zt} vs naive {no}/{nt}"
