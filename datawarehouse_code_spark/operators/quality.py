@@ -110,3 +110,39 @@ def dq_audit(checks: list[DataFrame]) -> DataFrame:
     if not checks:
         raise ValueError("dq_audit: no checks given")
     return reduce(lambda a, b: a.unionByName(b), checks).select(*_REPORT_COLS)
+
+
+def skew_report(
+    df: DataFrame, keys: list[str], top_n: int = 20
+) -> DataFrame:
+    """The heavy-hitter diagnosis every shuffle-debugging session
+    starts with: the `top_n` heaviest key groups with row counts and
+    corpus share — the keys that make a join/groupBy partition
+    straggle and that salting / AQE skew-join would target
+    (operators/joins.py salted_join).
+
+    Output: keys..., n_rows, share_f4 (floor-scaled: cross-engine
+    doctrine), ordered heaviest-first with the key tuple as
+    deterministic tie-break.
+
+    Scale shape: one partial-aggregated groupBy on the keys, the
+    total re-aggregated from the GROUP COUNTS (rollup-sized input —
+    never a second scan of the table) and broadcast back; the top-n
+    compiles to TakeOrderedAndProject, never a global sort.  NULL
+    keys group normally — a hot NULL is the single most common skew
+    culprit.
+    """
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("_total"))
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            *keys,
+            "n_rows",
+            (F.floor(F.col("n_rows") / F.col("_total") * 10000) / 10000).alias(
+                "share_f4"
+            ),
+        )
+        .orderBy(F.col("n_rows").desc(), *[F.col(k).asc_nulls_last() for k in keys])
+        .limit(top_n)
+    )

@@ -1,0 +1,103 @@
+"""Materialized-rollup maintenance: incremental merge of additive
+aggregates — the aggregate-table counterpart of `incremental_cube`.
+
+The reference's only refresh strategy is TRUNCATE + full rebuild
+(warehouse.py:254-284, O22).  For an aggregate table at 100 TB that
+means re-scanning the entire fact history to absorb a day of new
+rows.  The standard warehouse evolution is partial-aggregate merge:
+aggregate ONLY the delta, then combine per group with the stored
+rollup — valid exactly for ADDITIVE measures (sum, count; avg is
+derived as sum/count at read time, never stored).  Cost scales with
+|delta| + |rollup|, never |fact history|.
+
+Delta contract (documented loudly, enforced nowhere — the feed owns
+it): each fact row reaches the rollup EXACTLY ONCE across all deltas.
+Re-delivering a delta double-counts; this module's idempotence story
+is the caller's exactly-once feed (a streaming checkpoint, a
+partition manifest), matching every production incremental-agg
+system.  A re-deliverable-delta design needs per-row dedup state the
+size of the fact table — that is `incremental_cube`'s anti-join on
+fact_id, only affordable because the cube is a JOIN, not an
+aggregate.
+
+Scale shape: `aggregate_delta` is one partial-agg shuffle over the
+delta; `merge_rollup` is a full-outer equi-join on the group keys —
+both sides rollup-sized (bounded by the group-key cardinality, not
+data size).  The staged parquet rewrite touches the whole rollup
+table (small); under Delta the same merge is expressible as MERGE
+with update-set `t.m = t.m + s.m`, touching matched files only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def aggregate_delta(
+    delta: DataFrame, keys: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """Partial aggregate of a fact delta: per group, sum of each
+    measure plus `n_rows` (the count measure every derived average
+    needs).  The output schema IS the rollup-table schema."""
+    return delta.groupBy(*keys).agg(
+        *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def merge_rollup(
+    existing: DataFrame, delta_agg: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Combine a stored rollup with a delta partial-aggregate: full
+    outer join on the group keys, measure-wise `coalesce(a,0) +
+    coalesce(b,0)` — groups new to the delta appear, untouched groups
+    carry through, shared groups add.  Associative and commutative,
+    so any delta arrival order yields the rebuild-equivalent table
+    (oracle-checked by the `rollup_merge` registry row)."""
+    measures = [c for c in existing.columns if c not in keys]
+    if measures != [c for c in delta_agg.columns if c not in keys]:
+        raise ValueError(
+            f"rollup schemas disagree: {existing.columns} vs {delta_agg.columns}"
+        )
+    e = existing.alias("e")
+    d = delta_agg.alias("d")
+    cond = [F.col(f"e.{k}").eqNullSafe(F.col(f"d.{k}")) for k in keys]
+    joined = e.join(d, cond, "full_outer")
+    key_cols = [
+        F.coalesce(F.col(f"e.{k}"), F.col(f"d.{k}")).alias(k) for k in keys
+    ]
+    measure_cols = [
+        (
+            F.coalesce(F.col(f"e.{m}"), F.lit(0))
+            + F.coalesce(F.col(f"d.{m}"), F.lit(0))
+        ).alias(m)
+        for m in measures
+    ]
+    return joined.select(*key_cols, *measure_cols)
+
+
+def refresh_rollup_incremental(
+    spark: SparkSession,
+    rollup_path: str,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+) -> None:
+    """Absorb a fact delta into the stored rollup at `rollup_path`:
+    aggregate the delta, merge with the stored table (creating it on
+    first call), staged-overwrite (crash-recoverable swap,
+    sources/acid.py).  See the module docstring for the exactly-once
+    delta contract."""
+    from datawarehouse_code_spark.sources.acid import (
+        _staged_overwrite,
+        table_exists,
+    )
+
+    delta_agg = aggregate_delta(delta, keys, sum_cols)
+    if table_exists(spark, rollup_path):
+        existing = spark.read.parquet(rollup_path)
+        merged = merge_rollup(existing, delta_agg, keys)
+    else:
+        merged = delta_agg
+    _staged_overwrite(spark, merged, rollup_path)

@@ -1489,7 +1489,76 @@ WAREHOUSE_QUERIES: list[Query] = [
 
 # Constituents of the suites above: still first-class library queries —
 # benchable, unit-tested, importable — just not separate driver rows.
+def _rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance (operators/rollup.py): the
+    orders history split into a stored partial (o_orderkey % 3 != 0)
+    and a delta (% 3 == 0), each partially aggregated and then
+    MERGED — the result must equal the one-shot rebuild, which is
+    exactly what the DuckDB oracle computes (full GROUP BY over all
+    orders).  Measures in exact integer cents (the graph.py
+    exactness doctrine: double sums are summation-order-dependent)."""
+    from datawarehouse_code_spark.operators.rollup import (
+        aggregate_delta,
+        merge_rollup,
+    )
+
+    orders = read_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.year("o_orderdate").alias("yr"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("price_cents"),
+    )
+    keys = ["o_orderstatus", "yr"]
+    hist = aggregate_delta(
+        orders.filter(F.col("o_orderkey") % 3 != 0), keys, ["price_cents"]
+    )
+    delta = aggregate_delta(
+        orders.filter(F.col("o_orderkey") % 3 == 0), keys, ["price_cents"]
+    )
+    return merge_rollup(hist, delta, keys)
+
+
+_ROLLUP_MERGE_SQL = """
+SELECT o_orderstatus, year(o_orderdate) AS yr,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS sum_price_cents,
+       count(*) AS n_rows
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+def _skew_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter diagnosis (operators/quality.py skew_report): the
+    20 heaviest l_suppkey groups of lineitem with floor-scaled corpus
+    share — deterministic tie-break (count desc, key asc) so both
+    engines cut the same top-20."""
+    from datawarehouse_code_spark.operators.quality import skew_report
+
+    return skew_report(read_table(spark, "lineitem", sf_dir), ["l_suppkey"], 20)
+
+
+_SKEW_SQL = """
+WITH c AS (
+  SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1
+), t AS (
+  SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM c
+)
+SELECT l_suppkey, n_rows,
+       floor(n_rows * 1.0 / total * 10000) / 10000 AS share_f4
+FROM c, t
+ORDER BY n_rows DESC, l_suppkey ASC
+LIMIT 20
+"""
+
+
 WAREHOUSE_SUPPLEMENTARY: list[Query] = [
+    Query("rollup_merge", _rollup_merge, _ROLLUP_MERGE_SQL,
+          "§2.2 aggregates: incremental partial-aggregate merge ≡ rebuild "
+          "(operators/rollup.py)"),
+    Query("skew_suppliers", _skew_suppliers, _SKEW_SQL,
+          "scale diagnostics: top-N heavy-hitter keys with share "
+          "(operators/quality.py skew_report)"),
     Query("agg_lineitem_stats", _agg_lineitem_stats, _AGG_LINEITEM_SQL,
           "§2.2 aggregates: TPC-H Q1 shape (in agg_stats_suite)"),
     Query("agg_count_distinct", _agg_count_distinct, _AGG_COUNTD_SQL,

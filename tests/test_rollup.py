@@ -1,0 +1,83 @@
+"""Incremental rollup maintenance (operators/rollup.py): multi-delta
+refresh must equal the one-shot rebuild; merge algebra is associative
+and create-on-first-call works.  (The merge ≡ rebuild equality is
+also oracle-checked by the rollup_merge registry row.)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouse_code_spark.operators.rollup import (
+    aggregate_delta,
+    merge_rollup,
+    refresh_rollup_incremental,
+)
+from datawarehouse_code_spark.sources.catalog import read_table
+from tests.conftest import SF_DIR
+
+
+def _orders(spark):
+    return read_table(spark, "orders", SF_DIR).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.year("o_orderdate").alias("yr"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("price_cents"),
+    )
+
+
+def test_refresh_three_deltas_equals_rebuild(spark, tmp_path):
+    orders = _orders(spark).cache()
+    path = str(tmp_path / "rollup")
+    keys, sums = ["o_orderstatus", "yr"], ["price_cents"]
+    for i in range(3):  # first call creates, later calls merge
+        refresh_rollup_incremental(
+            spark, path, orders.filter(F.col("o_orderkey") % 3 == i), keys, sums
+        )
+    got = {
+        (r.o_orderstatus, r.yr): (r.sum_price_cents, r.n_rows)
+        for r in spark.read.parquet(path).collect()
+    }
+    want = {
+        (r.o_orderstatus, r.yr): (r.sum_price_cents, r.n_rows)
+        for r in aggregate_delta(orders, keys, sums).collect()
+    }
+    assert got == want and len(got) > 0
+    orders.unpersist()
+
+
+def test_merge_rollup_new_carried_and_shared_groups(spark):
+    a = spark.createDataFrame(
+        [("A", 10, 2), ("B", 5, 1)], "k STRING, sum_v BIGINT, n_rows BIGINT"
+    )
+    b = spark.createDataFrame(
+        [("B", 7, 3), ("C", 1, 1)], "k STRING, sum_v BIGINT, n_rows BIGINT"
+    )
+    got = {r.k: (r.sum_v, r.n_rows) for r in merge_rollup(a, b, ["k"]).collect()}
+    assert got == {"A": (10, 2), "B": (12, 4), "C": (1, 1)}
+    # NULL group keys merge too (eqNullSafe join)
+    an = spark.createDataFrame([(None, 1, 1)], "k STRING, sum_v BIGINT, n_rows BIGINT")
+    bn = spark.createDataFrame([(None, 2, 1)], "k STRING, sum_v BIGINT, n_rows BIGINT")
+    gotn = {r.k: r.sum_v for r in merge_rollup(an, bn, ["k"]).collect()}
+    assert gotn == {None: 3}
+
+
+def test_merge_rollup_rejects_schema_mismatch(spark):
+    a = spark.createDataFrame([("A", 1)], "k STRING, sum_v BIGINT")
+    b = spark.createDataFrame([("A", 1)], "k STRING, sum_other BIGINT")
+    with pytest.raises(ValueError, match="schemas disagree"):
+        merge_rollup(a, b, ["k"])
+
+
+def test_skew_report_orders_and_null_key(spark):
+    """Heavy-hitter report: ordered heaviest-first, floor-scaled
+    share, NULL keys grouped (the classic hot-NULL skew culprit)."""
+    from datawarehouse_code_spark.operators.quality import skew_report
+
+    rows = [("a",)] * 6 + [("b",)] * 3 + [(None,)] * 10 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k STRING")
+    got = skew_report(df, ["k"], top_n=3).collect()
+    assert [(r.k, r.n_rows) for r in got] == [(None, 10), ("a", 6), ("b", 3)]
+    assert got[0].share_f4 == 0.5
+    assert got[1].share_f4 == 0.3
