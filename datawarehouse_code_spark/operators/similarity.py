@@ -293,7 +293,16 @@ def kmeans_centroids(
     )
     if fit_sample_fraction is not None:
         fit_df = fit_df.sample(False, fit_sample_fraction, seed)
-    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(fit_df)
+    # Cache strictly for the fit's lifetime: k-means|| init + every
+    # Lloyd round is a separate job over fit_df, and Spark ML no
+    # longer persists the input itself — without this each round
+    # re-reads the source and redoes the array conversion.  fit() is
+    # eager, so unpersisting right after it is safe.
+    fit_df = fit_df.persist()
+    try:
+        model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(fit_df)
+    finally:
+        fit_df.unpersist()
     rows = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
@@ -313,6 +322,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probes: int = 2,
     fit_sample_fraction: float | None = None,
+    fit_max_iter: int = 8,
 ) -> DataFrame:
     """IVF-style ANN: the centroid-bucketed scale path beside LSH.
 
@@ -322,11 +332,23 @@ def ivf_topk(
     tiny centroid set); a query probes its `n_probes` nearest
     centroids and scores only those buckets.  Cost per query:
     O(n_probes · N/n_centroids · d) instead of O(N · d).
+
+    `fit_max_iter` defaults to 8, not KMeans' 20: a coarse quantizer
+    needs stable bucket boundaries, not a converged objective —
+    centroid movement after the first few Lloyd rounds shifts only
+    boundary vectors between adjacent buckets, which `n_probes` > 1
+    already covers.  Every extra round is a full pass over the fit
+    set, so at 100 TB (even sample-fit) the iteration cap is the fit's
+    dominant cost knob.  Recall measured unchanged at 8 vs 20 on the
+    fixture (test_similarity_ivf_recall_vs_bruteforce).
     """
     vecs = _with_inv_norm(
         embeddings.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
     )
-    cents = kmeans_centroids(vecs, n_centroids, fit_sample_fraction=fit_sample_fraction)
+    cents = kmeans_centroids(
+        vecs, n_centroids,
+        fit_sample_fraction=fit_sample_fraction, max_iter=fit_max_iter,
+    )
 
     def nearest(df: DataFrame, id_col: str, probes: int) -> DataFrame:
         sim = (dot(F.col("v"), F.col("cv")) * F.col("inv")) * F.col("inv_c")
