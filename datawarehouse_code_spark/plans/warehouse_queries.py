@@ -1487,6 +1487,9 @@ WAREHOUSE_QUERIES: list[Query] = [
           "§2.2 as-of join (backward): union+window, no range-join explosion"),
 ]
 
+# Appended below (function defined after the list): the round-6
+# maintenance suite takes the registry's 50th and last oracle slot.
+
 # Constituents of the suites above: still first-class library queries —
 # benchable, unit-tested, importable — just not separate driver rows.
 def _rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1550,6 +1553,90 @@ FROM c, t
 ORDER BY n_rows DESC, l_suppkey ASC
 LIMIT 20
 """
+
+
+def _maintenance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three round-6 maintenance/scale operators as one labeled
+    driver row (the registry's 50-row window had exactly one oracle
+    slot left): incremental rollup merge ≡ rebuild
+    (operators/rollup.py), heavy-hitter skew report
+    (operators/quality.py), and incremental near-dup against the
+    persisted LSH index (operators/text.py).  Constituents stay
+    independently benchable/testable via WAREHOUSE_SUPPLEMENTARY /
+    LLM_SUPPLEMENTARY; this row is what puts all three under the
+    driver's cross-engine hash gate every round.
+
+    Shared schema: part, k1 (string key), n1/n2/n3 (exact integers),
+    f1 (floor-scaled fraction):
+      part='rollup': k1=o_orderstatus, n1=yr, n2=sum_price_cents, n3=n_rows
+      part='skew':   n1=l_suppkey, n2=n_rows, f1=share_f4
+      part='incdup': n1=d_new, n2=d_corpus, f1=jaccard_f4
+    """
+    # Deferred import: llm_queries is heavier (operator imports) and
+    # only this suite needs it here; no cycle (llm_queries never
+    # imports this module).
+    from datawarehouse_code_spark.plans.llm_queries import _incremental_near_dup
+
+    nb = F.lit(None).cast("bigint")
+    nd = F.lit(None).cast("double")
+    rollup = _rollup_merge(spark, sf_dir).select(
+        F.lit("rollup").alias("part"),
+        F.col("o_orderstatus").alias("k1"),
+        F.col("yr").cast("bigint").alias("n1"),
+        F.col("sum_price_cents").cast("bigint").alias("n2"),
+        F.col("n_rows").cast("bigint").alias("n3"),
+        nd.alias("f1"),
+    )
+    skew = _skew_suppliers(spark, sf_dir).select(
+        F.lit("skew").alias("part"),
+        F.lit(None).cast("string").alias("k1"),
+        F.col("l_suppkey").cast("bigint").alias("n1"),
+        F.col("n_rows").cast("bigint").alias("n2"),
+        nb.alias("n3"),
+        F.col("share_f4").cast("double").alias("f1"),
+    )
+    incdup = _incremental_near_dup(spark, sf_dir).select(
+        F.lit("incdup").alias("part"),
+        F.lit(None).cast("string").alias("k1"),
+        F.col("d_new").cast("bigint").alias("n1"),
+        F.col("d_corpus").cast("bigint").alias("n2"),
+        nb.alias("n3"),
+        F.col("jaccard_f4").cast("double").alias("f1"),
+    )
+    return rollup.unionByName(skew).unionByName(incdup)
+
+
+def _maintenance_suite_sql() -> str:
+    """Built lazily-by-name at module bottom (after _SKEW_SQL exists);
+    pulls the incdup branch's SQL from llm_queries, branch-for-branch
+    with the Spark union above."""
+    from datawarehouse_code_spark.plans.llm_queries import (
+        _INCREMENTAL_NEAR_DUP_SQL,
+    )
+
+    return f"""
+SELECT 'rollup' AS part, o_orderstatus AS k1,
+       CAST(yr AS BIGINT) AS n1, sum_price_cents AS n2, n_rows AS n3,
+       CAST(NULL AS DOUBLE) AS f1
+FROM ({_ROLLUP_MERGE_SQL}) r
+UNION ALL
+SELECT 'skew', CAST(NULL AS VARCHAR), CAST(l_suppkey AS BIGINT),
+       n_rows, CAST(NULL AS BIGINT), share_f4
+FROM ({_SKEW_SQL}) s
+UNION ALL
+SELECT 'incdup', CAST(NULL AS VARCHAR), d_new, d_corpus,
+       CAST(NULL AS BIGINT), jaccard_f4
+FROM ({_INCREMENTAL_NEAR_DUP_SQL}) i
+"""
+
+
+_MAINTENANCE_SUITE_SQL = _maintenance_suite_sql()
+
+WAREHOUSE_QUERIES.append(
+    Query("maintenance_suite", _maintenance_suite, _MAINTENANCE_SUITE_SQL,
+          "round-6 maintenance/scale ops: rollup merge ≡ rebuild + "
+          "skew report + incremental near-dup vs persisted LSH index")
+)
 
 
 WAREHOUSE_SUPPLEMENTARY: list[Query] = [
