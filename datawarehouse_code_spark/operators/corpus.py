@@ -249,6 +249,84 @@ def knuth_u(key_col: str) -> F.Column:
     )
 
 
+def assign_splits_leakage_safe(
+    docs: DataFrame,
+    pairs: DataFrame,
+    splits: tuple[tuple[str, float], ...] = (
+        ("train", 0.9), ("val", 0.05), ("test", 0.05),
+    ),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every document in a
+    near-duplicate connected component lands in the SAME split, so a
+    paraphrase of a training doc can never leak into val/test (the
+    standard eval-contamination failure a per-doc random split
+    guarantees at corpus scale — with millions of near-dup pairs,
+    some WILL straddle any independent per-doc draw).
+
+    Mechanics: cluster the pair graph (near_dup_components — min-id
+    representative), give every doc a group_id (its component rep;
+    singletons are their own group), and draw the split from the
+    deterministic Knuth coin on group_id (knuth_u) against the
+    cumulative split weights.  The coin is a pure function of
+    group_id, so the assignment is reproducible across runs,
+    partitionings, and engines (the DuckDB oracle replays it), and
+    STABLE under corpus growth: adding documents never moves an
+    existing group to a different split (only weight changes do).
+
+    Scale shape: the component table covers only docs that appear in
+    a pair (≪ corpus), so the assignment join broadcasts; everything
+    after it is a stateless narrow projection.  The cost is the CC
+    fixpoint itself, shared with corpus cleaning.
+
+    Returns `docs` plus (group_id, split).
+    """
+    comps = near_dup_components(pairs).select(
+        F.col("doc_id").alias(id_col), "rep"
+    )
+    grouped = (
+        docs.join(comps, id_col, "left")
+        .withColumn("group_id", F.coalesce(F.col("rep"), F.col(id_col)))
+        .drop("rep")
+    )
+    # Integer-space comparison: the Knuth hash k ∈ [0, 2³²) is compared
+    # against integer bounds (split_hash_bounds), never against float
+    # fractions — a float bound like 0.9+0.05 differs between Python
+    # accumulation and a SQL literal in the last ulp, and a boundary
+    # group could flip splits between engines.  Integers can't drift.
+    khash = F.pmod(
+        F.pmod(F.col("group_id"), F.lit(2**31)) * F.lit(2654435761),
+        F.lit(2**32),
+    )
+    bounds = split_hash_bounds(splits)
+    split_expr = F.lit(bounds[-1][0])
+    for name, bound in reversed(bounds[:-1]):
+        split_expr = F.when(khash < F.lit(bound), F.lit(name)).otherwise(split_expr)
+    return grouped.withColumn("split", split_expr)
+
+
+def split_hash_bounds(
+    splits: tuple[tuple[str, float], ...],
+) -> list[tuple[str, int]]:
+    """Cumulative split weights as EXACT integer bounds on the 2³²
+    Knuth-hash space: [(name, upper_bound_exclusive), ...], last bound
+    always 2³².  Shared by assign_splits_leakage_safe and the DuckDB
+    oracle generator so both engines compare the hash against the
+    same integers (floats would disagree in the last ulp)."""
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    total = sum(w for _, w in splits)
+    if total <= 0 or any(w < 0 for _, w in splits):
+        raise ValueError(f"split weights must be >= 0 with a positive sum: {splits}")
+    out: list[tuple[str, int]] = []
+    cum = 0.0
+    for name, w in splits[:-1]:
+        cum += w / total
+        out.append((name, min(int(cum * 2**32), 2**32)))
+    out.append((splits[-1][0], 2**32))
+    return out
+
+
 def mixture_resample(
     df: DataFrame, key_col: str, strata_col: str, target: dict[str, float]
 ) -> DataFrame:

@@ -201,6 +201,80 @@ WHERE doc_id IN (SELECT doc_id FROM canon)
 """
 
 
+def _corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split
+    (operators/corpus.py assign_splits_leakage_safe): exact-Jaccard
+    near-dup pairs → connected components → whole component assigned
+    to one split by the deterministic Knuth coin on the component
+    representative.  The oracle replays the transitive closure
+    (recursive CTE, as in corpus_survivors) and the identical integer
+    hash arithmetic — a component split across splits, a wrong rep,
+    or a drifting coin all hash-fail."""
+    from datawarehouse_code_spark.operators.corpus import (
+        assign_splits_leakage_safe,
+    )
+
+    docs = read_table(spark, "documents", sf_dir)
+    pairs = near_dup_pairs_exact(docs, threshold=0.5)
+    out = assign_splits_leakage_safe(docs, pairs)
+    return out.select("doc_id", "group_id", "split")
+
+
+_SPLIT_LEAKAGE_SQL = f"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+), sh_arr AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM w WHERE len(ws) >= 3
+), sh AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh_arr WHERE len(sh) > 0
+), pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, a.n_sh AS n1, b.n_sh AS n2,
+         count(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+), edges AS (
+  SELECT d1, d2 FROM pairs
+  WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.5
+), sym AS (
+  SELECT d1, d2 FROM edges UNION ALL SELECT d2 AS d1, d1 AS d2 FROM edges
+), reach(doc_id, r) AS (
+  SELECT d1, d1 FROM sym
+  UNION
+  SELECT s.d1, reach.r FROM sym s JOIN reach ON reach.doc_id = s.d2
+), rep AS (
+  SELECT doc_id, min(r) AS rep FROM reach GROUP BY doc_id
+), g AS (
+  SELECT d.doc_id, COALESCE(rep.rep, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN rep ON rep.doc_id = d.doc_id
+), coin AS (
+  SELECT doc_id, group_id,
+         (((group_id % 2147483648 + 2147483648) % 2147483648)
+          * 2654435761) % 4294967296 AS khash
+  FROM g
+)
+SELECT doc_id, group_id, {{split_case}} AS split
+FROM coin
+"""
+
+
+def _split_case_sql() -> str:
+    """CASE expression over the integer Knuth hash, generated from the
+    SAME split_hash_bounds integers the Spark operator compares
+    against — both engines branch on identical integer bounds."""
+    from datawarehouse_code_spark.operators.corpus import split_hash_bounds
+
+    bounds = split_hash_bounds((("train", 0.9), ("val", 0.05), ("test", 0.05)))
+    whens = " ".join(
+        f"WHEN khash < {b} THEN '{name}'" for name, b in bounds[:-1]
+    )
+    return f"CASE {whens} ELSE '{bounds[-1][0]}' END"
+
+
+_SPLIT_LEAKAGE_SQL = _SPLIT_LEAKAGE_SQL.replace(
+    "{split_case}", _split_case_sql()
+)
+
+
 def _vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary induction: the top-500 corpus terms by document
     frequency (ties broken lexicographically), with df and total
@@ -1440,6 +1514,9 @@ LLM_QUERIES: list[Query] = [
           "north-star: banded MinHash-LSH near-dup (rows-only; exact twin = dedup_near_jaccard)"),
     Query("corpus_survivors", _corpus_survivors, _CORPUS_SQL,
           "north-star: end-to-end corpus-cleaning selection (exact + near-dup policy)"),
+    Query("corpus_split_leakage", _corpus_split_leakage, _SPLIT_LEAKAGE_SQL,
+          "north-star: leakage-safe train/val/test split (whole near-dup "
+          "component per split, integer-exact coin)"),
     # NOTE: `dedup_minhash_mllib` and `dedup_simhash` (the raw fingerprint
     # projection) are deliberately NOT registered: both are rows-only
     # variants fully covered by pytest (tests/test_llm_operators.py) and

@@ -1096,6 +1096,31 @@ SELECT 'intersect_all', l_partkey FROM (
 """
 
 
+def _set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four set operations as one labeled driver row (frees a
+    50-row-window slot for round-6 surface): INTERSECT/EXCEPT
+    (distinct set semantics, customer keys) + EXCEPT ALL/INTERSECT ALL
+    (bag semantics, part keys).  Constituent rows stay in
+    WAREHOUSE_SUPPLEMENTARY under their original names."""
+    return (
+        _set_ops_customers(spark, sf_dir)
+        .select("op", F.col("o_custkey").cast("bigint").alias("key"))
+        .unionByName(
+            _set_ops_all_parts(spark, sf_dir)
+            .select("op", F.col("l_partkey").cast("bigint").alias("key"))
+        )
+    )
+
+
+_SET_OPS_SUITE_SQL = f"""
+SELECT op, CAST(o_custkey AS BIGINT) AS key
+FROM ({_SET_OPS_CUSTOMERS_SQL}) c
+UNION ALL
+SELECT op, CAST(l_partkey AS BIGINT) AS key
+FROM ({_SET_OPS_ALL_PARTS_SQL}) p
+"""
+
+
 def _join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER + LEFT SEMI + theta band join, labeled."""
     full = _join_full_outer(spark, sf_dir).select(
@@ -1467,10 +1492,9 @@ WAREHOUSE_QUERIES: list[Query] = [
           "§2.2 window lag + sliding frame (one window pass)"),
     Query("filter_topk_orders", _filter_topk_orders, _FILTER_TOPK_SQL,
           "§2.2 filters BETWEEN/IN/LIKE + global sort-limit (TakeOrdered)"),
-    Query("set_ops_customers", _set_ops_customers, _SET_OPS_CUSTOMERS_SQL,
-          "§2.2 INTERSECT + EXCEPT (set semantics)"),
-    Query("set_ops_all_parts", _set_ops_all_parts, _SET_OPS_ALL_PARTS_SQL,
-          "§2.2 EXCEPT ALL + INTERSECT ALL (bag semantics)"),
+    Query("set_ops_suite", _set_ops_suite, _SET_OPS_SUITE_SQL,
+          "§2.2 set + bag semantics: INTERSECT/EXCEPT + EXCEPT ALL/"
+          "INTERSECT ALL, labeled"),
     Query("scalar_suite", _scalar_suite, _SCALAR_SUITE_SQL,
           "§2.2 JSON scalars (from_json) + string scalar surface"),
     Query("join_left_outer", _join_left_outer, _JOIN_LEFT_SQL,
@@ -1646,6 +1670,10 @@ WAREHOUSE_SUPPLEMENTARY: list[Query] = [
     Query("skew_suppliers", _skew_suppliers, _SKEW_SQL,
           "scale diagnostics: top-N heavy-hitter keys with share "
           "(operators/quality.py skew_report)"),
+    Query("set_ops_customers", _set_ops_customers, _SET_OPS_CUSTOMERS_SQL,
+          "§2.2 INTERSECT + EXCEPT (in set_ops_suite)"),
+    Query("set_ops_all_parts", _set_ops_all_parts, _SET_OPS_ALL_PARTS_SQL,
+          "§2.2 EXCEPT ALL + INTERSECT ALL (in set_ops_suite)"),
     Query("agg_lineitem_stats", _agg_lineitem_stats, _AGG_LINEITEM_SQL,
           "§2.2 aggregates: TPC-H Q1 shape (in agg_stats_suite)"),
     Query("agg_count_distinct", _agg_count_distinct, _AGG_COUNTD_SQL,

@@ -302,3 +302,55 @@ def test_prepare_training_corpus_end_to_end(spark, tmp_path):
     )
     bad = per_shard.filter(F.col("s") != F.col("end")).count()
     assert bad == 0
+
+
+def test_assign_splits_leakage_safe_invariants(spark):
+    """(a) every near-dup pair lands in ONE split (the whole point);
+    (b) docs outside any pair are their own group; (c) the assignment
+    is a pure function of group_id — repartitioning the input changes
+    nothing; (d) bad weights fail loudly."""
+    import pytest
+
+    from datawarehouse_code_spark.operators.corpus import (
+        assign_splits_leakage_safe,
+        split_hash_bounds,
+    )
+
+    docs = read_table(spark, "documents", SF_DIR)
+    pairs = near_dup_pairs_exact(docs, threshold=0.5)
+    out = assign_splits_leakage_safe(docs, pairs)
+    rows = {r["doc_id"]: (r["group_id"], r["split"]) for r in out.collect()}
+
+    pair_rows = pairs.collect()
+    assert pair_rows, "fixture must contain near-dup pairs"
+    for p in pair_rows:
+        assert rows[p["d1"]][1] == rows[p["d2"]][1], "pair straddles splits"
+        assert rows[p["d1"]][0] == rows[p["d2"]][0], "pair straddles groups"
+
+    paired = {p["d1"] for p in pair_rows} | {p["d2"] for p in pair_rows}
+    for doc_id, (group_id, _) in rows.items():
+        if doc_id not in paired:
+            assert group_id == doc_id
+
+    # all three splits non-empty at this fixture size, and train biggest
+    from collections import Counter
+
+    by_split = Counter(split for _, split in rows.values())
+    assert set(by_split) == {"train", "val", "test"}
+    assert by_split["train"] > by_split["val"]
+    assert by_split["train"] > by_split["test"]
+
+    again = {
+        r["doc_id"]: (r["group_id"], r["split"])
+        for r in assign_splits_leakage_safe(
+            docs.repartition(7), pairs.repartition(5)
+        ).collect()
+    }
+    assert again == rows
+
+    with pytest.raises(ValueError):
+        split_hash_bounds(())
+    with pytest.raises(ValueError):
+        split_hash_bounds((("a", -0.1), ("b", 1.1)))
+    with pytest.raises(ValueError):
+        split_hash_bounds((("a", 0.0), ("b", 0.0)))
