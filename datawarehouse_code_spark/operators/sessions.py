@@ -61,3 +61,91 @@ def sessionize(
     ).otherwise(F.lit(0))
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn("session_seq", F.sum(is_new).over(cum))
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Strict-order funnel: for each step i, how many users performed
+    steps[0..i] in timestamp order (each step STRICTLY after the
+    previous — same-timestamp progress does not count, so engines
+    agree on ties), plus the exact integer sum over those users of
+    the microsecond lag from their funnel entry to the step
+    (`sum_lag_us` — all-integer, so the oracle checks WHICH event
+    completed each step, not just how many users got there).
+
+    Single-pass shape, no per-step join cascade: filter to step events
+    (pushed to the scan), ONE shuffle to group per user, sort each
+    user's (ts, step_idx) list, and fold it with F.aggregate — a
+    JVM-side lambda, no Python.  The fold records each step's
+    EARLIEST valid completion time; greedy-earliest is optimal for
+    strict-order funnels (taking an earlier occurrence never blocks a
+    later step), so the result equals the iterated-min construction
+    the DuckDB oracle uses.  Per-user state is the bounded list of
+    step-typed events only — skew-safe for any realistic per-user
+    cardinality; the rollup after the explode groups on ≤ k step
+    ordinals.
+
+    Steps with zero completers emit no row (GROUP BY semantics in
+    both engines).
+
+    No time-horizon parameter by design: with a "complete within T of
+    the first step" bound, greedy-earliest is no longer optimal (a
+    later funnel entry can succeed where the earliest entry's window
+    expired), so a horizon needs per-entry re-scans — a different
+    operator, not a flag on this one.
+    """
+    if len(steps) < 2:
+        raise ValueError(f"a funnel needs >= 2 steps, got {steps!r}")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps!r}")
+    idx_expr = F.lit(None).cast("int")
+    for i, s in enumerate(reversed(steps)):
+        idx_expr = F.when(
+            F.col(type_col) == s, F.lit(len(steps) - i)
+        ).otherwise(idx_expr)
+    per_user = (
+        events.filter(F.col(type_col).isin(steps))
+        .select(
+            F.col(user_col).alias("u"),
+            F.struct(F.col(ts_col).alias("ts"), idx_expr.alias("idx")).alias("e"),
+        )
+        .groupBy("u")
+        .agg(F.array_sort(F.collect_list("e")).alias("seq"))
+    )
+    # acc = timestamps of the steps completed so far (size = stage)
+    reached = F.aggregate(
+        "seq",
+        F.expr("CAST(array() AS ARRAY<TIMESTAMP>)"),
+        lambda acc, x: F.when(
+            (x["idx"] == F.size(acc) + 1)
+            & ((F.size(acc) == 0) | (x["ts"] > F.element_at(acc, -1))),
+            F.concat(acc, F.array(x["ts"])),
+        ).otherwise(acc),
+    )
+    exploded = (
+        per_user.select(reached.alias("r"))
+        .filter(F.size("r") > 0)
+        .select(
+            F.unix_micros(F.element_at("r", 1)).alias("t0"),
+            F.posexplode("r").alias("pos", "t"),
+        )
+    )
+    names = F.array(*[F.lit(s) for s in steps])
+    return (
+        exploded.groupBy((F.col("pos") + 1).alias("step"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.unix_micros("t") - F.col("t0")).alias("sum_lag_us"),
+        )
+        .select(
+            "step",
+            F.element_at(names, F.col("step").cast("int")).alias("step_name"),
+            "n_users",
+            "sum_lag_us",
+        )
+    )

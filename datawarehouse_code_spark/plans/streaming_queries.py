@@ -271,15 +271,104 @@ GROUP BY 1, 2
 """
 
 
+def _events_session_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both session surfaces as one labeled driver row (frees a
+    50-row-window slot for round-6 surface): part='window' is the
+    native session_window aggregation (session end = last event +
+    gap), part='label' the explicit gaps-and-islands sessionize with
+    session ordinals and first/last event types.  Constituents stay
+    in STREAMING_SUPPLEMENTARY under their original names."""
+    ns = F.lit(None).cast("string")
+    w = _events_session_window(spark, sf_dir).select(
+        F.lit("window").alias("part"), "user_id",
+        F.lit(None).cast("bigint").alias("session_seq"),
+        "session_start", "session_end", "n_events", "sum_value",
+        ns.alias("first_event_type"), ns.alias("last_event_type"),
+    )
+    s = _events_sessionize(spark, sf_dir).select(
+        F.lit("label").alias("part"), "user_id",
+        F.col("session_seq").cast("bigint").alias("session_seq"),
+        "session_start", "session_end", "n_events", "sum_value",
+        "first_event_type", "last_event_type",
+    )
+    return w.unionByName(s)
+
+
+_SESSION_SUITE_SQL = f"""
+SELECT 'window' AS part, user_id, CAST(NULL AS BIGINT) AS session_seq,
+       session_start, session_end, n_events, sum_value,
+       CAST(NULL AS VARCHAR) AS first_event_type,
+       CAST(NULL AS VARCHAR) AS last_event_type
+FROM ({_SESSION_SQL}) w
+UNION ALL
+SELECT 'label', user_id, session_seq, session_start, session_end,
+       n_events, sum_value, first_event_type, last_event_type
+FROM ({_SESSIONIZE_SQL}) s
+"""
+
+
+def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel view → click → signup →
+    purchase over the first week of events
+    (operators/sessions.py funnel_counts): per step, the users who
+    performed every prior step in strict timestamp order, plus the
+    exact integer sum of microsecond lags from funnel entry — the
+    oracle's iterated-min CTE cascade must agree on WHICH event
+    completed each step, not just the counts.  The week cutoff keeps
+    the funnel discriminative (completion declines per step) instead
+    of saturated."""
+    from datawarehouse_code_spark.operators.sessions import funnel_counts
+
+    events = read_table(spark, "events", sf_dir).filter(
+        F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp")
+    )
+    return funnel_counts(events, ["view", "click", "signup", "purchase"])
+
+
+_FUNNEL_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, ts FROM events
+  WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+), s1 AS (
+  SELECT user_id, min(ts) AS t FROM e WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'signup' AND e.ts > s2.t GROUP BY 1
+), s4 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM e JOIN s3 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1
+)
+SELECT 1 AS step, 'view' AS step_name, count(*) AS n_users,
+       CAST(0 AS BIGINT) AS sum_lag_us
+FROM s1 GROUP BY 1, 2
+UNION ALL
+SELECT 2, 'click', count(*),
+       CAST(sum(epoch_us(s2.t) - epoch_us(s1.t)) AS BIGINT)
+FROM s2 JOIN s1 USING (user_id) GROUP BY 1, 2
+UNION ALL
+SELECT 3, 'signup', count(*),
+       CAST(sum(epoch_us(s3.t) - epoch_us(s1.t)) AS BIGINT)
+FROM s3 JOIN s1 USING (user_id) GROUP BY 1, 2
+UNION ALL
+SELECT 4, 'purchase', count(*),
+       CAST(sum(epoch_us(s4.t) - epoch_us(s1.t)) AS BIGINT)
+FROM s4 JOIN s1 USING (user_id) GROUP BY 1, 2
+"""
+
+
 STREAMING_QUERIES: list[Query] = [
     Query("events_click_attribution", _events_click_attribution, _CLICK_ATTR_SQL,
           "§2.2 streaming: stream-stream join batch twin (click attribution)"),
     Query("events_time_windows", _events_time_windows, _TIME_WINDOWS_SQL,
           "§2.2 streaming: tumbling + sliding windows"),
-    Query("events_session_window", _events_session_window, _SESSION_SQL,
-          "§2.2 streaming: session window (30 min gap)"),
-    Query("events_sessionize", _events_sessionize, _SESSIONIZE_SQL,
-          "§2.2 streaming: explicit sessionization + min_by/max_by"),
+    Query("events_session_suite", _events_session_suite, _SESSION_SUITE_SQL,
+          "§2.2 streaming: session window + explicit sessionization, labeled"),
+    Query("events_funnel", _events_funnel, _FUNNEL_SQL,
+          "§2.2 analytics: strict-order funnel (single-pass fold, "
+          "integer-exact step lags)"),
 ]
 
 # Suite constituents (benchable, not separate driver rows).
@@ -288,4 +377,8 @@ STREAMING_SUPPLEMENTARY: list[Query] = [
           "§2.2 streaming: tumbling window (in events_time_windows)"),
     Query("events_sliding_10m_5m", _events_sliding_10m_5m, _SLIDING_SQL,
           "§2.2 streaming: sliding window (in events_time_windows)"),
+    Query("events_session_window", _events_session_window, _SESSION_SQL,
+          "§2.2 streaming: session window (in events_session_suite)"),
+    Query("events_sessionize", _events_sessionize, _SESSIONIZE_SQL,
+          "§2.2 streaming: explicit sessionization (in events_session_suite)"),
 ]

@@ -77,3 +77,57 @@ def test_sessionize_single_exchange_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, f"expected 1 exchange, got {n_exchanges}:\n{plan}"
+
+
+def test_funnel_strict_order_and_ties(spark):
+    """Crafted users: (1) completes in order; (2) has the steps out of
+    order — no progress past step 1; (3) step-2 event at the SAME
+    timestamp as step 1 — strict ordering refuses it; (4) repeats
+    step 1 then converts late — the lag is measured from the FIRST
+    step-1 event (greedy-earliest)."""
+    from datawarehouse_code_spark.operators.sessions import funnel_counts
+
+    t = "2024-01-01 00:00:{:02d}"
+    rows = [
+        (1, t.format(1), "a"), (1, t.format(2), "b"),
+        (2, t.format(1), "b"), (2, t.format(2), "a"),
+        (3, t.format(5), "a"), (3, t.format(5), "b"),
+        (4, t.format(10), "a"), (4, t.format(20), "a"), (4, t.format(30), "b"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string, event_type string")
+    df = df.withColumn("ts", df["ts"].cast("timestamp"))
+    out = {
+        r["step"]: (r["n_users"], r["sum_lag_us"])
+        for r in funnel_counts(df, ["a", "b"]).collect()
+    }
+    # users 1,2,3,4 all performed 'a'; only 1 and 4 converted
+    assert out[1] == (4, 0)
+    # user 1: 1s lag; user 4: 20s from FIRST 'a' (t=10) to 'b' (t=30)
+    assert out[2] == (2, 1_000_000 + 20_000_000)
+
+
+def test_funnel_unordered_input_and_empty_steps(spark):
+    """The fold sorts each user's events itself (shuffled input is
+    fine), and a step nobody reaches emits no row."""
+    import pytest
+
+    from datawarehouse_code_spark.operators.sessions import funnel_counts
+
+    rows = [
+        (1, "2024-01-01 00:00:03", "c"),
+        (1, "2024-01-01 00:00:01", "a"),
+        (1, "2024-01-01 00:00:02", "b"),
+        (2, "2024-01-01 00:00:09", "a"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string, event_type string")
+    df = df.withColumn("ts", df["ts"].cast("timestamp")).repartition(3)
+    out = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(df, ["a", "b", "c", "d"]).collect()
+    }
+    assert out == {1: 2, 2: 1, 3: 1}  # no step-4 row at all
+
+    with pytest.raises(ValueError):
+        funnel_counts(df, ["a"])
+    with pytest.raises(ValueError):
+        funnel_counts(df, ["a", "a"])
