@@ -77,6 +77,73 @@ def merge_rollup(
     return joined.select(*key_cols, *measure_cols)
 
 
+def retract_delta(
+    deleted: DataFrame, keys: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """Partial aggregate of DELETED fact rows with every measure
+    negated — the retraction half of incremental maintenance (user
+    deletion / right-to-be-forgotten propagated into aggregate
+    tables without a fact-history rescan).  Feed the result through
+    the same `merge_rollup` as an ordinary delta: addition with
+    negated partials IS retraction, so one merge path serves both
+    directions.  The exactly-once contract applies symmetrically:
+    each deleted row is retracted exactly once."""
+    agg = aggregate_delta(deleted, keys, sum_cols)
+    measures = [c for c in agg.columns if c not in keys]
+    return agg.select(
+        *keys, *[(-F.col(m)).alias(m) for m in measures]
+    )
+
+
+def compact_rollup(rollup: DataFrame, strict: bool = True) -> DataFrame:
+    """Drop groups whose `n_rows` reached 0 after retraction (the
+    group's last fact row was deleted — a rebuild would not contain
+    it, so neither may the maintained table).
+
+    `strict` (default): a NEGATIVE n_rows anywhere means more rows
+    were retracted than ever inserted — a broken exactly-once feed —
+    and silently dropping it would hide corruption in every other
+    group too; fail loudly instead (one cheap agg over the
+    rollup-sized table).  Pass strict=False only in forensic
+    contexts that want to LOOK at the corrupt state."""
+    if strict:
+        bad = rollup.filter(F.col("n_rows") < 0).limit(1).count()
+        if bad:
+            raise ValueError(
+                "rollup has groups with negative n_rows: more rows were "
+                "retracted than inserted — the exactly-once delta contract "
+                "was violated; rebuild the rollup from the fact history"
+            )
+    return rollup.filter(F.col("n_rows") > 0)
+
+
+def propagate_deletes(
+    spark: SparkSession,
+    rollup_path: str,
+    deleted: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+) -> None:
+    """Absorb fact-row deletions into the stored rollup at
+    `rollup_path`: negate-aggregate the deleted rows, merge, drop
+    emptied groups, staged-overwrite (crash-recoverable swap).  The
+    aggregate-table leg of a GDPR delete — pair with the fact table's
+    own delete and the index rebuild; cost |deleted| + |rollup|,
+    never |history|."""
+    from datawarehouse_code_spark.sources.acid import (
+        _staged_overwrite,
+        table_exists,
+    )
+
+    if not table_exists(spark, rollup_path):
+        raise ValueError(f"no rollup at {rollup_path} to retract from")
+    existing = spark.read.parquet(rollup_path)
+    merged = merge_rollup(
+        existing, retract_delta(deleted, keys, sum_cols), keys
+    )
+    _staged_overwrite(spark, compact_rollup(merged), rollup_path)
+
+
 def refresh_rollup_incremental(
     spark: SparkSession,
     rollup_path: str,

@@ -1555,6 +1555,47 @@ GROUP BY 1, 2
 """
 
 
+def _rollup_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete propagation into the maintained rollup
+    (operators/rollup.py retract_delta + compact_rollup): build the
+    full orders rollup, then retract every order of the customers
+    being deleted (o_custkey % 7 == 0) as a negated partial through
+    the SAME merge path.  The oracle rebuilds from the surviving rows
+    only — merge-then-retract must be indistinguishable from never
+    having loaded the deleted rows, including groups that vanish
+    entirely."""
+    from datawarehouse_code_spark.operators.rollup import (
+        aggregate_delta,
+        compact_rollup,
+        merge_rollup,
+        retract_delta,
+    )
+
+    orders = read_table(spark, "orders", sf_dir).select(
+        "o_custkey",
+        "o_orderstatus",
+        F.year("o_orderdate").alias("yr"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("price_cents"),
+    )
+    keys = ["o_orderstatus", "yr"]
+    full = aggregate_delta(orders, keys, ["price_cents"])
+    gone = retract_delta(
+        orders.filter(F.col("o_custkey") % 7 == 0), keys, ["price_cents"]
+    )
+    return compact_rollup(merge_rollup(full, gone, keys))
+
+
+_ROLLUP_RETRACT_SQL = """
+SELECT o_orderstatus, year(o_orderdate) AS yr,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS sum_price_cents,
+       count(*) AS n_rows
+FROM orders
+WHERE o_custkey % 7 <> 0
+GROUP BY 1, 2
+"""
+
+
 def _skew_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter diagnosis (operators/quality.py skew_report): the
     20 heaviest l_suppkey groups of lineitem with floor-scaled corpus
@@ -1592,9 +1633,11 @@ def _maintenance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shared schema: part, k1 (string key), n1/n2/n3 (exact integers),
     f1 (floor-scaled fraction):
-      part='rollup': k1=o_orderstatus, n1=yr, n2=sum_price_cents, n3=n_rows
-      part='skew':   n1=l_suppkey, n2=n_rows, f1=share_f4
-      part='incdup': n1=d_new, n2=d_corpus, f1=jaccard_f4
+      part='rollup':  k1=o_orderstatus, n1=yr, n2=sum_price_cents, n3=n_rows
+      part='retract': same shape, after delete propagation (must equal
+                      a rebuild over the surviving rows)
+      part='skew':    n1=l_suppkey, n2=n_rows, f1=share_f4
+      part='incdup':  n1=d_new, n2=d_corpus, f1=jaccard_f4
     """
     # Deferred import: llm_queries is heavier (operator imports) and
     # only this suite needs it here; no cycle (llm_queries never
@@ -1619,6 +1662,14 @@ def _maintenance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb.alias("n3"),
         F.col("share_f4").cast("double").alias("f1"),
     )
+    retract = _rollup_retract(spark, sf_dir).select(
+        F.lit("retract").alias("part"),
+        F.col("o_orderstatus").alias("k1"),
+        F.col("yr").cast("bigint").alias("n1"),
+        F.col("sum_price_cents").cast("bigint").alias("n2"),
+        F.col("n_rows").cast("bigint").alias("n3"),
+        nd.alias("f1"),
+    )
     incdup = _incremental_near_dup(spark, sf_dir).select(
         F.lit("incdup").alias("part"),
         F.lit(None).cast("string").alias("k1"),
@@ -1627,7 +1678,7 @@ def _maintenance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb.alias("n3"),
         F.col("jaccard_f4").cast("double").alias("f1"),
     )
-    return rollup.unionByName(skew).unionByName(incdup)
+    return rollup.unionByName(retract).unionByName(skew).unionByName(incdup)
 
 
 def _maintenance_suite_sql() -> str:
@@ -1643,6 +1694,10 @@ SELECT 'rollup' AS part, o_orderstatus AS k1,
        CAST(yr AS BIGINT) AS n1, sum_price_cents AS n2, n_rows AS n3,
        CAST(NULL AS DOUBLE) AS f1
 FROM ({_ROLLUP_MERGE_SQL}) r
+UNION ALL
+SELECT 'retract', o_orderstatus, CAST(yr AS BIGINT), sum_price_cents,
+       n_rows, CAST(NULL AS DOUBLE)
+FROM ({_ROLLUP_RETRACT_SQL}) rt
 UNION ALL
 SELECT 'skew', CAST(NULL AS VARCHAR), CAST(l_suppkey AS BIGINT),
        n_rows, CAST(NULL AS BIGINT), share_f4
@@ -1670,6 +1725,9 @@ WAREHOUSE_SUPPLEMENTARY: list[Query] = [
     Query("skew_suppliers", _skew_suppliers, _SKEW_SQL,
           "scale diagnostics: top-N heavy-hitter keys with share "
           "(operators/quality.py skew_report)"),
+    Query("rollup_retract", _rollup_retract, _ROLLUP_RETRACT_SQL,
+          "delete propagation: retraction merge ≡ rebuild over survivors "
+          "(in maintenance_suite)"),
     Query("set_ops_customers", _set_ops_customers, _SET_OPS_CUSTOMERS_SQL,
           "§2.2 INTERSECT + EXCEPT (in set_ops_suite)"),
     Query("set_ops_all_parts", _set_ops_all_parts, _SET_OPS_ALL_PARTS_SQL,

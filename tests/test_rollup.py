@@ -81,3 +81,71 @@ def test_skew_report_orders_and_null_key(spark):
     assert [(r.k, r.n_rows) for r in got] == [(None, 10), ("a", 6), ("b", 3)]
     assert got[0].share_f4 == 0.5
     assert got[1].share_f4 == 0.3
+
+
+def test_retract_then_compact_equals_rebuild(spark, tmp_path):
+    """Load all orders, propagate deletion of every third order via
+    the stored-table path, and compare against a rebuild over the
+    survivors — including groups the deletion empties entirely."""
+    from datawarehouse_code_spark.operators.rollup import propagate_deletes
+
+    orders = read_table(spark, "orders", SF_DIR).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.year("o_orderdate").alias("yr"),
+        (F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    keys = ["o_orderstatus", "yr"]
+    path = str(tmp_path / "rollup")
+    refresh_rollup_incremental(spark, path, orders, keys, ["cents"])
+    deleted = orders.filter(F.col("o_orderkey") % 3 == 0)
+    propagate_deletes(spark, path, deleted, keys, ["cents"])
+
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(path).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in aggregate_delta(
+            orders.filter(F.col("o_orderkey") % 3 != 0), keys, ["cents"]
+        ).collect()
+    )
+    assert got == want
+
+
+def test_compact_rollup_drops_empty_and_raises_on_negative(spark):
+    from datawarehouse_code_spark.operators.rollup import (
+        compact_rollup,
+        merge_rollup,
+        retract_delta,
+    )
+
+    rows = spark.createDataFrame(
+        [("a", 10, 2), ("b", 5, 1)], "k string, sum_v long, n_rows long"
+    )
+    # retract ALL of b -> its group disappears
+    gone = retract_delta(
+        spark.createDataFrame([("b", 5)], "k string, v long"), ["k"], ["v"]
+    )
+    out = compact_rollup(merge_rollup(rows, gone, ["k"])).collect()
+    assert [(r["k"], r["sum_v"], r["n_rows"]) for r in out] == [("a", 10, 2)]
+
+    # over-retraction (b twice) -> loud failure
+    twice = merge_rollup(merge_rollup(rows, gone, ["k"]), gone, ["k"])
+    with pytest.raises(ValueError, match="exactly-once"):
+        compact_rollup(twice).collect()
+    # forensic mode still shows the corrupt group
+    assert (
+        compact_rollup(twice, strict=False).filter(F.col("k") == "b").count()
+        == 0
+    )
+
+
+def test_propagate_deletes_requires_existing_rollup(spark, tmp_path):
+    from datawarehouse_code_spark.operators.rollup import propagate_deletes
+
+    orders = read_table(spark, "orders", SF_DIR).limit(10)
+    with pytest.raises(ValueError, match="no rollup"):
+        propagate_deletes(
+            spark, str(tmp_path / "missing"), orders, ["o_orderstatus"], []
+        )
