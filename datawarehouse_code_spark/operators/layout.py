@@ -114,3 +114,93 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def collect_file_stats(
+    spark: "SparkSession", path: str, cols: list[str]
+) -> DataFrame:
+    """Per-file (min, max, n_nulls, n_rows) for each of `cols` — the
+    standalone-parquet equivalent of the stats Delta/Iceberg keep in
+    table metadata, enabling QUERY-TIME file pruning without opening
+    any footer (prune_files) and layout audits (how well did
+    zorder_write cluster?).
+
+    Built distributedly: scan pruned to `cols` + the `_metadata`
+    hidden column, one groupBy on file_path.  One pass over the table
+    at BUILD time (amortized across every pruned read after it, the
+    same trade every table format makes); the manifest itself is
+    one row per file — negligible at any scale.
+
+    Schema: file_path, n_rows, then per column c: mn_{c}, mx_{c},
+    nulls_{c}.
+    """
+    if not cols:
+        raise ValueError("collect_file_stats needs at least one column")
+    df = spark.read.parquet(path).select(
+        F.col("_metadata.file_path").alias("file_path"), *cols
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"mn_{c}"),
+            F.max(c).alias(f"mx_{c}"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"nulls_{c}"),
+        ]
+    return df.groupBy("file_path").agg(*aggs)
+
+
+def prune_files(
+    manifest: DataFrame, predicates: dict[str, tuple[object, object]]
+) -> list[str]:
+    """File paths that MIGHT contain rows satisfying every [lo, hi]
+    interval predicate (inclusive; None = unbounded on that side) —
+    a file survives unless some column's [mn, mx] is disjoint from
+    its interval.  All-NULL columns (mn/mx NULL) survive pruning:
+    NULL comparisons are unknowable from stats, the row-level filter
+    decides.
+
+    The collect here is the file LIST (manifest-sized, one string per
+    file), not data — the same driver-side step every table format's
+    scan planner performs.
+    """
+    keep = manifest
+    for c, (lo, hi) in predicates.items():
+        if f"mn_{c}" not in manifest.columns:
+            raise ValueError(f"manifest has no stats for column {c!r}")
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(f"mx_{c}") >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(f"mn_{c}") <= F.lit(hi))
+        # NULL stats (all-NULL file) -> cond NULL -> keep the file
+        keep = keep.filter(cond | F.col(f"mn_{c}").isNull())
+    return [r["file_path"] for r in keep.select("file_path").collect()]
+
+
+def read_pruned(
+    spark: "SparkSession",
+    path: str,
+    manifest: DataFrame,
+    predicates: dict[str, tuple[object, object]],
+) -> DataFrame:
+    """Read only the files the manifest can't rule out, then apply
+    the interval predicates as ordinary row-level filters (file stats
+    are coarse — a surviving file still holds non-matching rows).
+    Returns an empty, correctly-typed frame when nothing survives.
+
+    Semantics contract: equals the full-scan filter exactly (pytest
+    asserts it); the win is I/O — with a Z-ordered layout a narrow
+    band on ANY clustered column keeps a small fraction of files,
+    BEFORE parquet footer/row-group pruning sees a byte.
+    """
+    files = prune_files(manifest, predicates)
+    full = spark.read.parquet(path)
+    cond = F.lit(True)
+    for c, (lo, hi) in predicates.items():
+        if lo is not None:
+            cond = cond & (F.col(c) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(c) <= F.lit(hi))
+    if not files:
+        return full.filter(F.lit(False))
+    return spark.read.schema(full.schema).parquet(*files).filter(cond)

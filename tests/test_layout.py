@@ -90,3 +90,56 @@ def test_zorder_write_roundtrip_and_prunes_second_column(spark, tmp_path):
     # file (no skipping); z-order must let stats skip some files
     assert no == n_files
     assert zo < no, f"z-order pruned nothing: {zo}/{zt} vs naive {no}/{nt}"
+
+
+def test_manifest_pruned_read_equals_full_scan(spark, tmp_path):
+    """The query-time half of data skipping: collect_file_stats +
+    read_pruned must (a) return EXACTLY the full-scan filter result,
+    (b) actually skip files on a narrow second-column band over the
+    Z-ordered layout, (c) agree with the parquet footers on which
+    files can be skipped."""
+    from datawarehouse_code_spark.operators.layout import (
+        collect_file_stats,
+        prune_files,
+        read_pruned,
+    )
+
+    li = read_table(spark, "lineitem", SF_DIR).select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    zpath = str(tmp_path / "zorder")
+    zorder_write(li, zpath, ["l_orderkey", "l_suppkey"], n_files=8)
+    manifest = collect_file_stats(spark, zpath, ["l_orderkey", "l_suppkey"])
+    assert manifest.count() == 8
+
+    lo, hi = 1, 5
+    preds = {"l_suppkey": (lo, hi)}
+    kept = prune_files(manifest, preds)
+    _, footer_overlap = _overlapping_files(zpath, "l_suppkey", lo, hi)
+    assert len(kept) == footer_overlap  # manifest == footer truth
+    assert 0 < len(kept) < 8
+
+    got = sorted(tuple(r) for r in read_pruned(spark, zpath, manifest, preds).collect())
+    want = sorted(
+        tuple(r)
+        for r in spark.read.parquet(zpath)
+        .filter(F.col("l_suppkey").between(lo, hi))
+        .collect()
+    )
+    assert got == want and got
+
+    # two-column band + open-ended interval compose
+    preds2 = {"l_suppkey": (lo, hi), "l_orderkey": (None, 500)}
+    got2 = sorted(tuple(r) for r in read_pruned(spark, zpath, manifest, preds2).collect())
+    want2 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(zpath)
+        .filter(F.col("l_suppkey").between(lo, hi) & (F.col("l_orderkey") <= 500))
+        .collect()
+    )
+    assert got2 == want2
+
+    # empty survivor set -> empty, correctly-typed frame
+    none = read_pruned(spark, zpath, manifest, {"l_suppkey": (10**9, None)})
+    assert none.count() == 0
+    assert none.schema == spark.read.parquet(zpath).schema
