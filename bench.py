@@ -121,6 +121,9 @@ HEADLINE = [
     "planted_recall_suite",
     "graph_pagerank",
     "subquery_above_avg",
+    "maintenance_suite",
+    "corpus_split_leakage",
+    "events_funnel",
 ]
 
 
