@@ -124,6 +124,7 @@ HEADLINE = [
     "maintenance_suite",
     "corpus_split_leakage",
     "events_funnel",
+    "events_cohort_retention",
 ]
 
 

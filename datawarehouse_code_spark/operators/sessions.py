@@ -149,3 +149,54 @@ def funnel_counts(
             "sum_lag_us",
         )
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention — the second product-analytics staple beside
+    funnel_counts: users are cohorted by the truncated `period`
+    ("week" = Monday-start, or "day") in which they FIRST appeared;
+    for each (cohort_week, week_offset), how many of them were
+    active that period, with the cohort size alongside (all exact
+    integers — consumers derive the retention fraction, so no float
+    crosses the engine boundary).  Column names keep the week_*
+    spelling for a stable schema across periods.
+
+    Scale shape: first-seen is one groupBy on user; weekly activity
+    is one distinct over (user, week) — both shuffles hash on
+    user_col, so the activity⋈first-seen join arrives co-partitioned
+    (no third shuffle of the big side).  The final rollup groups on
+    (cohort, offset): thousands of rows at most, with the cohort-size
+    join on the cohort key broadcast.  Nothing here grows with raw
+    event count except the two user-keyed passes.
+    """
+    divisors = {"week": 7, "day": 1}
+    if period not in divisors:
+        raise ValueError(f"period must be one of {sorted(divisors)}: {period!r}")
+    firsts = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.date_trunc(period, F.min(ts_col)).alias("cohort_week")
+    )
+    activity = events.select(
+        F.col(user_col).alias("u"),
+        F.date_trunc(period, F.col(ts_col)).alias("week"),
+    ).distinct()
+    per_cell = (
+        activity.join(firsts, "u")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / divisors[period])
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    return per_cell.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week", "week_offset", "n_users", "n_cohort"
+    )

@@ -359,6 +359,45 @@ FROM s4 JOIN s1 USING (user_id) GROUP BY 1, 2
 """
 
 
+def _events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchase-cohort retention (operators/sessions.py
+    cohort_retention): users cohorted by their first purchase DAY,
+    counted as retained on each later day they purchased again.
+    Day granularity over the sparser purchase stream keeps the table
+    discriminative (per-cell counts vary and decay) instead of the
+    saturated all-events weekly view.  All-integer output — the
+    consumer derives the retention fraction."""
+    from datawarehouse_code_spark.operators.sessions import cohort_retention
+
+    purchases = read_table(spark, "events", sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    return cohort_retention(purchases, period="day")
+
+
+_COHORT_SQL = """
+WITH p AS (
+  -- CAST: DuckDB date_trunc('day') yields DATE, Spark's a TIMESTAMP
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events
+  WHERE event_type = 'purchase'
+), firsts AS (
+  SELECT user_id, min(d) AS cohort_week FROM p GROUP BY 1
+), activity AS (
+  SELECT DISTINCT user_id, d AS week FROM p
+), per_cell AS (
+  SELECT cohort_week,
+         CAST(date_diff('day', cohort_week, week) AS INT) AS week_offset,
+         count(*) AS n_users
+  FROM activity JOIN firsts USING (user_id)
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT cohort_week, count(*) AS n_cohort FROM firsts GROUP BY 1
+)
+SELECT cohort_week, week_offset, n_users, n_cohort
+FROM per_cell JOIN sizes USING (cohort_week)
+"""
+
+
 STREAMING_QUERIES: list[Query] = [
     Query("events_click_attribution", _events_click_attribution, _CLICK_ATTR_SQL,
           "§2.2 streaming: stream-stream join batch twin (click attribution)"),
@@ -369,6 +408,9 @@ STREAMING_QUERIES: list[Query] = [
     Query("events_funnel", _events_funnel, _FUNNEL_SQL,
           "§2.2 analytics: strict-order funnel (single-pass fold, "
           "integer-exact step lags)"),
+    Query("events_cohort_retention", _events_cohort_retention, _COHORT_SQL,
+          "§2.2 analytics: daily purchase-cohort retention "
+          "(co-partitioned user passes, all-integer cells)"),
 ]
 
 # Suite constituents (benchable, not separate driver rows).

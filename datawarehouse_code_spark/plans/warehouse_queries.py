@@ -1144,7 +1144,14 @@ def _join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_parts").cast("bigint").alias("n1"),
         F.col("avg_price").alias("n2"),
     )
-    return full.unionByName(semi).unionByName(theta)
+    left = _join_left_outer(spark, sf_dir).select(
+        F.lit("left_outer").alias("part"),
+        F.col("o_orderkey").cast("bigint").alias("key"),
+        F.lit(None).cast("string").alias("name"),
+        F.col("n_items").cast("bigint").alias("n1"),
+        F.col("total_qty").cast("double").alias("n2"),
+    )
+    return full.unionByName(semi).unionByName(theta).unionByName(left)
 
 
 _JOIN_SUITE_SQL = """
@@ -1168,6 +1175,19 @@ JOIN (VALUES (1, 0.0, 500.0), (2, 500.0, 1000.0),
              (3, 1000.0, 1500.0), (4, 1500.0, 1e9)) AS bands(band_id, lo, hi)
   ON p_retailprice >= lo AND p_retailprice < hi
 GROUP BY band_id
+UNION ALL
+SELECT 'left_outer', o_orderkey, CAST(NULL AS VARCHAR),
+       CAST(n_items AS BIGINT), CAST(total_qty AS DOUBLE)
+FROM (
+SELECT o_orderkey,
+       coalesce(cnt, 0) AS n_items,
+       coalesce(qty, 0.0) AS total_qty
+FROM orders
+LEFT JOIN (
+  SELECT l_orderkey, count(*) AS cnt, round(sum(l_quantity), 2) AS qty
+  FROM lineitem GROUP BY l_orderkey
+) li ON o_orderkey = li.l_orderkey
+) lo
 """
 
 
@@ -1497,10 +1517,8 @@ WAREHOUSE_QUERIES: list[Query] = [
           "INTERSECT ALL, labeled"),
     Query("scalar_suite", _scalar_suite, _SCALAR_SUITE_SQL,
           "§2.2 JSON scalars (from_json) + string scalar surface"),
-    Query("join_left_outer", _join_left_outer, _JOIN_LEFT_SQL,
-          "§2.2 outer join"),
     Query("join_suite", _join_suite, _JOIN_SUITE_SQL,
-          "§2.2 full outer + semi (EXISTS) + theta/range join"),
+          "§2.2 left/full outer + semi (EXISTS) + theta/range join"),
     Query("interval_join_shipments", _interval_join_shipments, _INTERVAL_JOIN_SQL,
           "§2.2 big-big range join binned to a bucket equi-join"),
     Query("dq_audit_orders", _dq_audit_orders, _DQ_AUDIT_SQL,
@@ -1725,6 +1743,8 @@ WAREHOUSE_SUPPLEMENTARY: list[Query] = [
     Query("skew_suppliers", _skew_suppliers, _SKEW_SQL,
           "scale diagnostics: top-N heavy-hitter keys with share "
           "(operators/quality.py skew_report)"),
+    Query("join_left_outer", _join_left_outer, _JOIN_LEFT_SQL,
+          "§2.2 outer join (in join_suite)"),
     Query("rollup_retract", _rollup_retract, _ROLLUP_RETRACT_SQL,
           "delete propagation: retraction merge ≡ rebuild over survivors "
           "(in maintenance_suite)"),

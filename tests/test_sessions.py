@@ -131,3 +131,34 @@ def test_funnel_unordered_input_and_empty_steps(spark):
         funnel_counts(df, ["a"])
     with pytest.raises(ValueError):
         funnel_counts(df, ["a", "a"])
+
+
+def test_cohort_retention_crafted(spark):
+    """Two cohorts with known activity: cell counts, cohort sizes,
+    week-granularity truncation, and the invalid-period guard."""
+    import pytest
+
+    from datawarehouse_code_spark.operators.sessions import cohort_retention
+
+    rows = [
+        # user 1 first seen Mon Jan 1 week, active again 2 weeks later
+        (1, "2024-01-03 10:00:00"), (1, "2024-01-17 09:00:00"),
+        # user 2 same cohort, only the first week (two events, one cell)
+        (2, "2024-01-05 10:00:00"), (2, "2024-01-06 11:00:00"),
+        # user 3 next-week cohort
+        (3, "2024-01-10 10:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = {
+        (str(r["cohort_week"]), r["week_offset"]): (r["n_users"], r["n_cohort"])
+        for r in cohort_retention(df).collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", 0): (2, 2),
+        ("2024-01-01 00:00:00", 2): (1, 2),
+        ("2024-01-08 00:00:00", 0): (1, 1),
+    }
+    with pytest.raises(ValueError, match="period"):
+        cohort_retention(df, period="fortnight")
