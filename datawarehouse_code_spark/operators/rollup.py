@@ -30,7 +30,7 @@ with update-set `t.m = t.m + s.m`, touching matched files only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -168,3 +168,72 @@ def refresh_rollup_incremental(
     else:
         merged = delta_agg
     _staged_overwrite(spark, merged, rollup_path)
+
+
+def histogram_delta(
+    delta: DataFrame, keys: list[str], value_col: str, bin_width: int
+) -> DataFrame:
+    """Fixed-width histogram partial aggregate: per group and bin
+    (floor(value / bin_width)), the row count — the MERGEABLE state
+    that brings percentiles into incremental rollup maintenance.
+    True percentiles are not additive (merging two medians is
+    meaningless), but bin counts are: merge histograms with the same
+    `merge_rollup` as any additive rollup (keys + ['bin']), then read
+    percentiles off the merged counts at bin granularity.  The error
+    is bounded by bin_width BY CONSTRUCTION and both engines replay
+    the same binning exactly — honest, deterministic approximation
+    instead of an engine-specific sketch.  NULL values land in bin
+    NULL (kept: they carry the null count; percentile extraction
+    skips them)."""
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive: {bin_width}")
+    return delta.groupBy(
+        *keys, F.floor(F.col(value_col) / F.lit(bin_width)).alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def percentile_from_histogram(
+    hist: DataFrame, keys: list[str], bin_width: int, ps_bp: list[int]
+) -> DataFrame:
+    """Percentiles at bin granularity from a (merged) histogram: for
+    each group and each requested percentile (in BASIS POINTS — 5000
+    = median — so the target rank ceil(bp·n/10000) is computed in
+    pure integer arithmetic; a float 0.9·n ending in .000000001 would
+    ceil to the wrong rank and disagree across engines), return the
+    lower bound of the bin holding the target-ranked row.
+
+    One pass: cumulative sum + total over the per-group bins (window
+    over rollup-sized state, never raw rows), then min bin whose
+    cumulative count reaches each target.  Output: keys, p_bp,
+    bin_lo (= bin · bin_width), n (non-NULL row count)."""
+    for bp in ps_bp:
+        if not 0 < bp <= 10000:
+            raise ValueError(f"percentile basis points must be in (0, 10000]: {bp}")
+    w = Window.partitionBy(*keys).orderBy("bin")
+    wt = Window.partitionBy(*keys)
+    c = (
+        hist.filter(F.col("bin").isNotNull())
+        .withColumn("cum", F.sum("n_rows").over(w))
+        .withColumn("total", F.sum("n_rows").over(wt))
+    )
+    picks = []
+    for bp in ps_bp:
+        target = F.floor(
+            (F.lit(bp) * F.col("total") + F.lit(9999)) / F.lit(10000)
+        )
+        picks.append(
+            F.min(F.when(F.col("cum") >= target, F.col("bin"))).alias(f"b{bp}")
+        )
+    agg = c.groupBy(*keys).agg(*picks, F.max("total").alias("n"))
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(bp).alias("p_bp"),
+                (F.col(f"b{bp}") * F.lit(bin_width)).alias("bin_lo"),
+            )
+            for bp in ps_bp
+        ]
+    )
+    return agg.select(*keys, F.explode(rows).alias("r"), "n").select(
+        *keys, "r.p_bp", "r.bin_lo", "n"
+    )

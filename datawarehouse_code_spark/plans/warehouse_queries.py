@@ -1614,6 +1614,65 @@ GROUP BY 1, 2
 """
 
 
+def _rollup_hist_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-percentile maintenance (operators/rollup.py
+    histogram_delta + merge_rollup + percentile_from_histogram): the
+    orders history split into two histogram partials, MERGED, then
+    p50/p90/p99 of o_totalprice (cents, 10000-cent bins) read off the
+    merged counts.  The oracle computes the same bin-granularity
+    percentiles directly from all rows — merge-then-extract must be
+    indistinguishable from one-shot extraction, with the target rank
+    in pure integer arithmetic on both sides."""
+    from datawarehouse_code_spark.operators.rollup import (
+        histogram_delta,
+        merge_rollup,
+        percentile_from_histogram,
+    )
+
+    orders = read_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    width = 1_000_000
+    h1 = histogram_delta(
+        orders.filter(F.col("o_orderkey") % 3 != 0), ["o_orderstatus"], "cents", width
+    )
+    h2 = histogram_delta(
+        orders.filter(F.col("o_orderkey") % 3 == 0), ["o_orderstatus"], "cents", width
+    )
+    merged = merge_rollup(h1, h2, ["o_orderstatus", "bin"])
+    return percentile_from_histogram(
+        merged, ["o_orderstatus"], width, [5000, 9000, 9900]
+    )
+
+
+_ROLLUP_HIST_SQL = """
+WITH b AS (
+  SELECT o_orderstatus,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+), hist AS (
+  SELECT o_orderstatus, cents // 1000000 AS bin, count(*) AS n_rows
+  FROM b GROUP BY 1, 2
+), c AS (
+  SELECT o_orderstatus, bin, n_rows,
+         sum(n_rows) OVER (PARTITION BY o_orderstatus ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n_rows) OVER (PARTITION BY o_orderstatus) AS total
+  FROM hist
+), p AS (
+  SELECT unnest([5000, 9000, 9900]) AS p_bp
+)
+SELECT o_orderstatus, p_bp,
+       CAST(min(CASE WHEN cum >= (p_bp * total + 9999) // 10000
+                     THEN bin END) * 1000000 AS BIGINT) AS bin_lo,
+       CAST(max(total) AS BIGINT) AS n
+FROM c CROSS JOIN p
+GROUP BY 1, 2
+"""
+
+
 def _skew_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter diagnosis (operators/quality.py skew_report): the
     20 heaviest l_suppkey groups of lineitem with floor-scaled corpus
@@ -1654,6 +1713,8 @@ def _maintenance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       part='rollup':  k1=o_orderstatus, n1=yr, n2=sum_price_cents, n3=n_rows
       part='retract': same shape, after delete propagation (must equal
                       a rebuild over the surviving rows)
+      part='hist':    k1=o_orderstatus, n1=p_bp, n2=bin_lo, n3=n
+                      (merged-histogram percentiles ≡ one-shot)
       part='skew':    n1=l_suppkey, n2=n_rows, f1=share_f4
       part='incdup':  n1=d_new, n2=d_corpus, f1=jaccard_f4
     """
@@ -1680,6 +1741,14 @@ def _maintenance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb.alias("n3"),
         F.col("share_f4").cast("double").alias("f1"),
     )
+    hist = _rollup_hist_percentiles(spark, sf_dir).select(
+        F.lit("hist").alias("part"),
+        F.col("o_orderstatus").alias("k1"),
+        F.col("p_bp").cast("bigint").alias("n1"),
+        F.col("bin_lo").cast("bigint").alias("n2"),
+        F.col("n").cast("bigint").alias("n3"),
+        F.lit(None).cast("double").alias("f1"),
+    )
     retract = _rollup_retract(spark, sf_dir).select(
         F.lit("retract").alias("part"),
         F.col("o_orderstatus").alias("k1"),
@@ -1696,7 +1765,12 @@ def _maintenance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb.alias("n3"),
         F.col("jaccard_f4").cast("double").alias("f1"),
     )
-    return rollup.unionByName(retract).unionByName(skew).unionByName(incdup)
+    return (
+        rollup.unionByName(retract)
+        .unionByName(hist)
+        .unionByName(skew)
+        .unionByName(incdup)
+    )
 
 
 def _maintenance_suite_sql() -> str:
@@ -1716,6 +1790,10 @@ UNION ALL
 SELECT 'retract', o_orderstatus, CAST(yr AS BIGINT), sum_price_cents,
        n_rows, CAST(NULL AS DOUBLE)
 FROM ({_ROLLUP_RETRACT_SQL}) rt
+UNION ALL
+SELECT 'hist', o_orderstatus, CAST(p_bp AS BIGINT), bin_lo, n,
+       CAST(NULL AS DOUBLE)
+FROM ({_ROLLUP_HIST_SQL}) h
 UNION ALL
 SELECT 'skew', CAST(NULL AS VARCHAR), CAST(l_suppkey AS BIGINT),
        n_rows, CAST(NULL AS BIGINT), share_f4
@@ -1748,6 +1826,9 @@ WAREHOUSE_SUPPLEMENTARY: list[Query] = [
     Query("rollup_retract", _rollup_retract, _ROLLUP_RETRACT_SQL,
           "delete propagation: retraction merge ≡ rebuild over survivors "
           "(in maintenance_suite)"),
+    Query("rollup_hist_percentiles", _rollup_hist_percentiles, _ROLLUP_HIST_SQL,
+          "mergeable-percentile maintenance: merged histogram ≡ one-shot "
+          "bin percentiles (in maintenance_suite)"),
     Query("set_ops_customers", _set_ops_customers, _SET_OPS_CUSTOMERS_SQL,
           "§2.2 INTERSECT + EXCEPT (in set_ops_suite)"),
     Query("set_ops_all_parts", _set_ops_all_parts, _SET_OPS_ALL_PARTS_SQL,

@@ -149,3 +149,79 @@ def test_propagate_deletes_requires_existing_rollup(spark, tmp_path):
         propagate_deletes(
             spark, str(tmp_path / "missing"), orders, ["o_orderstatus"], []
         )
+
+
+def test_histogram_percentiles_merge_equals_oneshot_and_brackets_truth(spark):
+    """Histogram split-merge must be invisible to the percentile
+    reader, the NULL bin must carry only NULL values and be skipped,
+    and every bin-granularity percentile must bracket the exact one:
+    bin_lo <= true_pct < bin_lo + width."""
+    from datawarehouse_code_spark.operators.rollup import (
+        histogram_delta,
+        merge_rollup,
+        percentile_from_histogram,
+    )
+
+    width = 1_000_000
+    orders = read_table(spark, "orders", SF_DIR).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    keys = ["o_orderstatus"]
+    one = histogram_delta(orders, keys, "cents", width)
+    h1 = histogram_delta(
+        orders.filter(F.col("o_orderkey") % 2 == 0), keys, "cents", width
+    )
+    h2 = histogram_delta(
+        orders.filter(F.col("o_orderkey") % 2 == 1), keys, "cents", width
+    )
+    merged = merge_rollup(h1, h2, keys + ["bin"])
+    ps = [5000, 9000, 9900]
+    a = sorted(tuple(r) for r in percentile_from_histogram(one, keys, width, ps).collect())
+    b = sorted(tuple(r) for r in percentile_from_histogram(merged, keys, width, ps).collect())
+    assert a == b and a
+
+    # bracket the exact discrete percentile per group
+    exact = {
+        (r["o_orderstatus"], bp): r[f"p{bp}"]
+        for r in orders.groupBy("o_orderstatus")
+        .agg(*[
+            F.expr(
+                f"percentile_disc({bp / 10000.0}) WITHIN GROUP (ORDER BY cents)"
+            ).alias(f"p{bp}")
+            for bp in ps
+        ])
+        .collect()
+        for bp in ps
+    }
+    for status, bp, bin_lo, _n in a:
+        t = exact[(status, bp)]
+        assert bin_lo <= t < bin_lo + width, (status, bp, bin_lo, t)
+
+
+def test_histogram_null_bin_and_validation(spark):
+    import pytest
+
+    from datawarehouse_code_spark.operators.rollup import (
+        histogram_delta,
+        percentile_from_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 15), ("a", None), ("a", 25)],
+        "k string, v int",
+    )
+    h = histogram_delta(df, ["k"], "v", 10)
+    assert {(r["bin"], r["n_rows"]) for r in h.collect()} == {
+        (0, 1), (1, 1), (2, 1), (None, 1),
+    }
+    # NULLs excluded from both the ranks and the total
+    out = percentile_from_histogram(h, ["k"], 10, [5000, 10000]).collect()
+    got = {(r["p_bp"]): (r["bin_lo"], r["n"]) for r in out}
+    assert got == {5000: (10, 3), 10000: (20, 3)}
+
+    with pytest.raises(ValueError, match="bin_width"):
+        histogram_delta(df, ["k"], "v", 0)
+    with pytest.raises(ValueError, match="basis points"):
+        percentile_from_histogram(h, ["k"], 10, [0])
