@@ -618,3 +618,38 @@ def prepare_training_corpus(
         "dedup_kept": n_survivors,
         "sequences": int(n_seqs) if n_seqs is not None else 0,
     }
+
+
+def deterministic_group_sample(
+    df: DataFrame, group_cols: list[str], key_col: str, k: int
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, selected by the
+    smallest Knuth coin on the row key (ties broken by the key
+    itself) — the eval-set / inspection-sample builder.  Unlike
+    sampleBy, the selection is a pure function of the data: stable
+    across runs, partitionings, and engines (the DuckDB twin replays
+    the same integer hash), and REPRODUCIBLE months later from the
+    same corpus snapshot.
+
+    Scale shape: one window (rank within group by the hash) — a
+    shuffle on group_cols.  A pathologically hot group makes that
+    partition the straggler, the inherent cost of exact per-group
+    k; for approximate needs at extreme skew, pre-filter with
+    `knuth_u(key) < p` to cap group size first (composable: the coin
+    is the same, so the pre-filter keeps exactly the rows the full
+    rank would have ranked first... within the kept fraction)."""
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    khash = F.pmod(
+        F.pmod(F.col(key_col), F.lit(2**31)) * F.lit(2654435761), F.lit(2**32)
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        khash.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -237,3 +237,54 @@ def percentile_from_histogram(
     return agg.select(*keys, F.explode(rows).alias("r"), "n").select(
         *keys, "r.p_bp", "r.bin_lo", "n"
     )
+
+
+def distinct_sketch_delta(
+    delta: DataFrame, keys: list[str], value_col: str, lgk: int = 12
+) -> DataFrame:
+    """HLL sketch partial aggregate: per group, the Apache
+    DataSketches HLL state over `value_col` — the mergeable answer to
+    DISTINCT counts in incremental rollups (exact distinct is the
+    third non-additive measure after percentiles and avg, and unlike
+    them it has no exact mergeable form smaller than the value set
+    itself).  Sketch insertion is set-semantics: the state depends
+    only on the VALUE SET, not row order or partitioning, so
+    merge-then-estimate equals one-shot-estimate EXACTLY (pinned by
+    test), and re-delivering the same values is harmless — distinct
+    sketches are the one rollup measure exempt from the exactly-once
+    delta contract.
+
+    `lgk` fixes the register count (2^lgk); all partials to be merged
+    must share it.  Native JVM aggregate (hll_sketch_agg), one
+    partial-agg shuffle, ~KB state per group at any data size."""
+    return delta.groupBy(*keys).agg(
+        F.hll_sketch_agg(value_col, F.lit(lgk)).alias("distinct_sketch")
+    )
+
+
+def merge_distinct_rollup(
+    parts: list[DataFrame], keys: list[str]
+) -> DataFrame:
+    """Merge HLL partials from any number of deltas: stack and
+    re-aggregate with hll_union_agg (union of HLL states is
+    associative/commutative, so arrival order is irrelevant).  Merge
+    cost is rollup-sized — group count × sketch bytes — never data-
+    sized."""
+    if not parts:
+        raise ValueError("merge_distinct_rollup needs at least one partial")
+    stacked = parts[0]
+    for p in parts[1:]:
+        stacked = stacked.unionByName(p)
+    return stacked.groupBy(*keys).agg(
+        F.hll_union_agg("distinct_sketch").alias("distinct_sketch")
+    )
+
+
+def distinct_estimate(rollup: DataFrame, keys: list[str]) -> DataFrame:
+    """Read distinct-count estimates off a sketch rollup:
+    (keys..., n_distinct_est).  Relative error ~1.04/sqrt(2^lgk)
+    (~1.6% at the default lgk=12) — the standard HLL bound."""
+    return rollup.select(
+        *keys,
+        F.hll_sketch_estimate("distinct_sketch").alias("n_distinct_est"),
+    )

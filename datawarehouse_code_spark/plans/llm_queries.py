@@ -1565,7 +1565,40 @@ LLM_QUERIES: list[Query] = [
 
 # Constituents of the suites above: still first-class library queries —
 # benchable, unit-tested, importable — just not separate driver rows.
+def _docs_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group sample (operators/corpus.py
+    deterministic_group_sample): exactly 3 docs per language, chosen
+    by the smallest Knuth coin on doc_id — the reproducible eval-set
+    builder.  The oracle replays the identical integer hash and
+    tie-break, so both engines pick the same documents."""
+    from datawarehouse_code_spark.operators.corpus import (
+        deterministic_group_sample,
+    )
+
+    docs = read_table(spark, "documents", sf_dir)
+    return deterministic_group_sample(docs, ["lang"], "doc_id", 3).select(
+        "doc_id", "lang", "source"
+    )
+
+
+_GROUP_SAMPLE_SQL = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (((doc_id % 2147483648 + 2147483648) % 2147483648)
+                     * 2654435761) % 4294967296 ASC,
+                    doc_id ASC
+         ) AS rk
+  FROM documents
+) t WHERE rk <= 3
+"""
+
+
 LLM_SUPPLEMENTARY: list[Query] = [
+    Query("docs_group_sample", _docs_group_sample, _GROUP_SAMPLE_SQL,
+          "north-star: deterministic per-group sample (reproducible "
+          "eval sets; in supplementary, differential-tested)"),
     Query("dedup_exact", _dedup_exact, _DEDUP_EXACT_SQL,
           "north-star: exact content-hash dedup (in dedup_suite)"),
     Query("dedup_near_jaccard", _dedup_near_jaccard, _DEDUP_JACCARD_SQL,

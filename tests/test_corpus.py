@@ -354,3 +354,39 @@ def test_assign_splits_leakage_safe_invariants(spark):
         split_hash_bounds((("a", -0.1), ("b", 1.1)))
     with pytest.raises(ValueError):
         split_hash_bounds((("a", 0.0), ("b", 0.0)))
+
+
+def test_deterministic_group_sample_properties(spark):
+    """Exactly min(k, |group|) rows per group; repartition-stable;
+    and MONOTONE in k (the k=2 sample is a prefix of the k=5 sample —
+    the fixed hash order makes samples composable); k guard."""
+    import pytest
+
+    from datawarehouse_code_spark.operators.corpus import (
+        deterministic_group_sample,
+    )
+
+    docs = read_table(spark, "documents", SF_DIR)
+    sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    k5 = deterministic_group_sample(docs, ["lang"], "doc_id", 5)
+    got = {r["lang"]: r["n"] for r in k5.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got == {lang: min(5, n) for lang, n in sizes.items()}
+
+    ids5 = {r["doc_id"] for r in k5.select("doc_id").collect()}
+    again = {
+        r["doc_id"]
+        for r in deterministic_group_sample(
+            docs.repartition(7), ["lang"], "doc_id", 5
+        ).select("doc_id").collect()
+    }
+    assert again == ids5
+
+    ids2 = {
+        r["doc_id"]
+        for r in deterministic_group_sample(docs, ["lang"], "doc_id", 2)
+        .select("doc_id").collect()
+    }
+    assert ids2 < ids5
+
+    with pytest.raises(ValueError, match="k must be positive"):
+        deterministic_group_sample(docs, ["lang"], "doc_id", 0)

@@ -225,3 +225,45 @@ def test_histogram_null_bin_and_validation(spark):
         histogram_delta(df, ["k"], "v", 0)
     with pytest.raises(ValueError, match="basis points"):
         percentile_from_histogram(h, ["k"], 10, [0])
+
+
+def test_distinct_sketch_merge_equals_oneshot_and_close_to_exact(spark):
+    """HLL state depends only on the value set, so merging per-day
+    partials must estimate EXACTLY what the one-shot sketch does;
+    and the estimate stays within the standard HLL bound of exact
+    countDistinct (lgk=12 -> ~1.6%; assert 5%)."""
+    from datawarehouse_code_spark.operators.rollup import (
+        distinct_estimate,
+        distinct_sketch_delta,
+        merge_distinct_rollup,
+    )
+
+    ev = read_table(spark, "events", SF_DIR)
+    parts = [
+        distinct_sketch_delta(
+            ev.filter(F.dayofmonth("ts").between(lo, hi)),
+            ["event_type"], "event_id",
+        )
+        for lo, hi in [(1, 10), (11, 20), (21, 31)]
+    ]
+    merged = distinct_estimate(
+        merge_distinct_rollup(parts, ["event_type"]), ["event_type"]
+    )
+    oneshot = distinct_estimate(
+        distinct_sketch_delta(ev, ["event_type"], "event_id"), ["event_type"]
+    )
+    a = sorted(tuple(r) for r in merged.collect())
+    assert a == sorted(tuple(r) for r in oneshot.collect())
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("event_id").alias("n"))
+        .collect()
+    }
+    assert exact and all(v > 100 for v in exact.values())
+    for etype, est in a:
+        assert abs(est - exact[etype]) / exact[etype] < 0.05
+
+    with pytest.raises(ValueError, match="at least one"):
+        merge_distinct_rollup([], ["event_type"])
