@@ -68,3 +68,72 @@ def test_running_totals_accumulate_across_batches(spark, tmp_path):
 
     seen = Counter(r["user_id"] for r in spark.table("t_running").collect())
     assert any(c >= 2 for c in seen.values())
+
+
+def test_funnel_progress_stream_equals_batch_fold(spark, tmp_path):
+    """Streamed funnel stages (two ordered micro-batches, per-user
+    in-order across them) must equal the batch greedy fold over all
+    events; intra-batch disorder must not matter; and stages only
+    ever advance across updates."""
+    from datawarehouse_code_spark.streaming.stateful import (
+        funnel_progress_stream,
+    )
+
+    steps = ["view", "click", "signup", "purchase"]
+    events = read_table(spark, "events", SF_DIR)
+    cut = events.selectExpr("timestamp '2024-01-15 00:00:00' AS c").head()["c"]
+    # time-split halves: per-user in-order ACROSS batches by
+    # construction; shuffled within each file (ordering contract says
+    # intra-batch disorder is fine)
+    src = str(tmp_path / "events_time_split")
+    (events.filter(F.col("ts") < F.lit(cut)).orderBy(F.rand(7)).coalesce(1)
+     .write.mode("overwrite").parquet(src))
+    (events.filter(F.col("ts") >= F.lit(cut)).orderBy(F.rand(8)).coalesce(1)
+     .write.mode("append").parquet(src))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        funnel_progress_stream(stream, steps)
+        .writeStream.format("memory")
+        .queryName("t_funnel")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    updates = spark.table("t_funnel").collect()
+    got = {}
+    for r in updates:
+        prev = got.get(r["user_id"], 0)
+        assert r["stage"] >= prev, "stage regressed across updates"
+        got[r["user_id"]] = max(prev, r["stage"])
+
+    # batch truth: greedy fold in plain Python over all events
+    idx_of = {s: i + 1 for i, s in enumerate(steps)}
+    rows = events.filter(F.col("event_type").isin(steps)).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_type",
+    ).collect()
+    per_user: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(
+            (r["us"], idx_of[r["event_type"]])
+        )
+    want = {}
+    for uid, evs in per_user.items():
+        stage, last = 0, -1
+        for us, idx in sorted(evs):
+            if idx == stage + 1 and (stage == 0 or us > last):
+                stage, last = idx, us
+        if stage > 0:
+            want[uid] = stage
+    assert got == want and got
