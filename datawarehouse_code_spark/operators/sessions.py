@@ -112,7 +112,13 @@ def funnel_counts(
         events.filter(F.col(type_col).isin(steps))
         .select(
             F.col(user_col).alias("u"),
-            F.struct(F.col(ts_col).alias("ts"), idx_expr.alias("idx")).alias("e"),
+            # cast at entry: TIMESTAMP_NTZ sources read the same wall
+            # clock under the UTC session, and the fold's accumulator
+            # is typed ARRAY<TIMESTAMP>
+            F.struct(
+                F.col(ts_col).cast("timestamp").alias("ts"),
+                idx_expr.alias("idx"),
+            ).alias("e"),
         )
         .groupBy("u")
         .agg(F.array_sort(F.collect_list("e")).alias("seq"))
@@ -170,9 +176,13 @@ def cohort_retention(
     is one distinct over (user, week) — both shuffles hash on
     user_col, so the activity⋈first-seen join arrives co-partitioned
     (no third shuffle of the big side).  The final rollup groups on
-    (cohort, offset): thousands of rows at most, with the cohort-size
-    join on the cohort key broadcast.  Nothing here grows with raw
-    event count except the two user-keyed passes.
+    (cohort, offset): thousands of rows at most.  The cohort size
+    needs NO extra pass over events: every user is by definition
+    active in their first period, so n_cohort IS the offset-0 cell's
+    count — read off the rollup with a window (a re-aggregation of
+    `firsts` would re-scan the source; Spark reuses exchanges, not
+    arbitrary subplans).  Nothing here grows with raw event count
+    except the two user-keyed passes.
     """
     divisors = {"week": 7, "day": 1}
     if period not in divisors:
@@ -194,9 +204,10 @@ def cohort_retention(
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
-    sizes = firsts.groupBy("cohort_week").agg(
-        F.count(F.lit(1)).alias("n_cohort")
-    )
-    return per_cell.join(F.broadcast(sizes), "cohort_week").select(
-        "cohort_week", "week_offset", "n_users", "n_cohort"
+    w = Window.partitionBy("cohort_week")
+    n_cohort = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_users"))
+    ).over(w)
+    return per_cell.select(
+        "cohort_week", "week_offset", "n_users", n_cohort.alias("n_cohort")
     )
