@@ -108,8 +108,12 @@ def funnel_counts(
         idx_expr = F.when(
             F.col(type_col) == s, F.lit(len(steps) - i)
         ).otherwise(idx_expr)
+    # NULL-ts rows are excluded up front: inside the fold a NULL
+    # timestamp would satisfy the stage-0 branch (no prior-time
+    # comparison), consume the funnel entry with t=NULL, and then
+    # block every later comparison as NULL — a silent dead funnel.
     per_user = (
-        events.filter(F.col(type_col).isin(steps))
+        events.filter(F.col(type_col).isin(steps) & F.col(ts_col).isNotNull())
         .select(
             F.col(user_col).alias("u"),
             # cast at entry: TIMESTAMP_NTZ sources read the same wall
@@ -187,6 +191,8 @@ def cohort_retention(
     divisors = {"week": 7, "day": 1}
     if period not in divisors:
         raise ValueError(f"period must be one of {sorted(divisors)}: {period!r}")
+    # NULL-ts rows would form a NULL cohort/period cell; drop them
+    events = events.filter(F.col(ts_col).isNotNull())
     firsts = events.groupBy(F.col(user_col).alias("u")).agg(
         F.date_trunc(period, F.min(ts_col)).alias("cohort_week")
     )

@@ -202,3 +202,45 @@ def read_jdbc(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def read_evolving(
+    spark: SparkSession, path: str, expected: str | None = None
+) -> DataFrame:
+    """Read a long-lived parquet table whose schema grew over time:
+    `mergeSchema=true` unions every file's footer schema, so files
+    written BEFORE a column existed surface it as NULL instead of
+    failing or silently dropping it (the default read takes one
+    file's schema — which columns you see would depend on which
+    footer Spark sampled).
+
+    `expected` (optional DDL string) pins the contract: after the
+    merge, missing columns are added as typed NULLs and the frame is
+    projected to exactly the expected columns in order — so a reader
+    compiled against the current schema works over any historical
+    mix, and a column the table NEVER had still appears (all-NULL)
+    rather than breaking the consumer.
+
+    What this deliberately does NOT do: type changes.  Parquet footer
+    merging cannot widen int32→int64 or int→double across files —
+    Spark raises on conflicting types, and that failure SHOULD be
+    loud (a silent cast corrupts old data); evolve types by rewriting
+    history, not at read time.
+
+    Scale note: schema merging reads footers, not data — Spark
+    samples (spark.sql.files.maxPartitionBytes-bounded) footers in a
+    distributed job; cost is per-FILE metadata, worth it only on
+    evolving tables, which is why it is opt-in here and off in plain
+    read_table.
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if expected is None:
+        return df
+    from pyspark.sql.types import StructType
+
+    want = StructType.fromDDL(expected)
+    have = {f.name for f in df.schema.fields}
+    for f in want.fields:
+        if f.name not in have:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return df.select(*[f.name for f in want.fields])

@@ -124,8 +124,9 @@ def funnel_progress_stream(
     from pyspark.sql import functions as F
 
     # the cast accepts TIMESTAMP_NTZ sources too (parquet NTZ + UTC
-    # session reads the same wall clock)
-    return events.select(
+    # session reads the same wall clock); NULL-ts rows are dropped —
+    # a NaN would silently float-ify the int64 micros column in pandas
+    return events.filter(F.col("ts").isNotNull()).select(
         "user_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
         "event_type",

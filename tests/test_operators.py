@@ -207,3 +207,38 @@ def test_dq_audit_counts_violations(spark):
     assert report[("unique", "id")] == (1, 4)          # id=3 twice
     assert report[("fk", "child.fk->parent.pk")] == (1, 4)  # fk=99; NULL exempt
     assert report[("range", "v>0")] == (2, 4)          # -1.0 and NULL both fail
+
+
+def test_read_evolving_null_fills_old_files(spark, tmp_path):
+    """Files written before a column existed must surface it as NULL
+    under read_evolving (the default read takes one footer's schema
+    and the visible columns become sampling-dependent); the expected
+    contract adds never-present columns as typed NULLs and pins
+    column order; conflicting types still fail loudly."""
+    import pytest
+
+    from datawarehouse_code_spark.sources.catalog import read_evolving
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").coalesce(1) \
+        .write.mode("overwrite").parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    df = read_evolving(spark, path)
+    assert set(df.columns) == {"id", "name", "score"}
+    got = {r["id"]: r["score"] for r in df.collect()}
+    assert got == {1: None, 2: 9.5}
+
+    pinned = read_evolving(
+        spark, path, "id long, name string, score double, flag boolean"
+    )
+    assert pinned.columns == ["id", "name", "score", "flag"]
+    assert {r["flag"] for r in pinned.collect()} == {None}
+
+    # conflicting types across files fail loudly, not silently cast
+    spark.createDataFrame([("x", "c")], "id string, name string").coalesce(1) \
+        .write.mode("append").parquet(path)
+    with pytest.raises(Exception, match="(?i)merge|incompatible|failed"):
+        read_evolving(spark, path).collect()
