@@ -1,0 +1,84 @@
+"""Physical-plan regression harness: pin the plan INVARIANTS the scale
+story depends on, so a silent plan regression (a join degrading to
+cartesian, an operator re-scanning its source, a filter no longer
+reaching parquet) fails a test instead of only drifting a bench ratio.
+
+Bounds are deliberately loose upper bounds — they catch order-of-
+magnitude regressions (the 6-scan cohort_retention caught by hand in
+round 6 is the motivating case), not cosmetic plan churn.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from datawarehouse_code_spark.plans.registry import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def _scans(plan: str) -> int:
+    # unique node ids: formatted explain lists each node in the tree
+    # AND the details section (and AQE repeats subtrees)
+    return len(set(re.findall(r"\((\d+)\) Scan parquet", plan)))
+
+
+# name -> (max parquet scans, max shuffle exchanges); measured at
+# round 6 (fact_build 3/0, cube_table 11/9, events_funnel 1/2,
+# cohort 2/4, split_leakage 1/2, cdc 3/1, subquery 4/2, ...) with a
+# small headroom — the bound should trip on a doubling, not churn.
+PLAN_BOUNDS = {
+    "fact_build": (4, 1),
+    "cube_table": (13, 11),
+    "agg_revenue_year_country": (13, 12),
+    "window_topk_products": (13, 13),
+    "filter_topk_orders": (3, 1),
+    "asof_join_events": (3, 2),
+    "events_funnel": (2, 3),
+    "events_cohort_retention": (3, 5),
+    "corpus_split_leakage": (2, 3),
+    "cdc_upsert_latest": (4, 2),
+    "subquery_above_avg": (5, 3),
+}
+
+
+@pytest.mark.parametrize("name", sorted(PLAN_BOUNDS))
+def test_plan_bounds(spark, name):
+    plan = _plan(spark, name)
+    max_scans, max_exchanges = PLAN_BOUNDS[name]
+    scans = _scans(plan)
+    # plain Exchange nodes are shuffles; broadcasts print BroadcastExchange
+    shuffles = len(set(re.findall(r"\((\d+)\) Exchange", plan)))
+    assert scans <= max_scans, f"{name}: {scans} parquet scans (bound {max_scans})"
+    assert shuffles <= max_exchanges, (
+        f"{name}: {shuffles} shuffle exchanges (bound {max_exchanges})"
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(n for n in QUERIES if n not in {"dedup_minhash_lsh"}),
+)
+def test_no_cartesian_products(spark, name):
+    """No registered query may compile to CartesianProduct or
+    BroadcastNestedLoopJoin on a non-broadcast-bounded side — the
+    plans that detonate at scale."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
+
+
+def test_filter_queries_push_predicates(spark):
+    """The filter suite's predicates must reach the parquet scan."""
+    plan = _plan(spark, "filter_topk_orders")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("GreaterThan" in p or "In(" in p for p in pushed), plan[:2000]
