@@ -66,3 +66,69 @@ def cdc_latest(
         .otherwise(F.col(op_col) != delete_op)
     )
     return latest.filter(keep).drop("_rn", "_nseq", op_col)
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot diff — the GENERATING side of CDC (cdc_latest is the
+    applying side): classify every key as insert ('I', in new only),
+    delete ('D', in old only), or update ('U', present in both with
+    any compared column differing, NULL-safely).  Unchanged keys are
+    dropped.  Diff two commits of a versioned table
+    (sources/versioned.read_version) to get the change feed a
+    downstream consumer replays — or regression-check a rebuilt
+    warehouse against the previous build.
+
+    Output: op, keys..., compared columns (the NEW side's values;
+    deletes carry the old values — the only ones that exist).
+    Completeness contract (pinned by test): applying the diff to
+    `old` — drop 'D' keys, upsert 'I'/'U' rows — reconstructs `new`
+    exactly.
+
+    Scale shape: ONE null-safe full-outer shuffle join on the keys;
+    the unchanged majority is filtered before any downstream work.
+    Both sides pay one scan — at 100 TB run it on key-partitioned or
+    bucketed tables so the join co-locates.
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in keys]
+    missing = [c for c in compare_cols if c not in old.columns]
+    if missing:
+        raise ValueError(f"compare_cols absent from old side: {missing}")
+    # presence markers, not key-NULL probes: a row whose KEY is NULL
+    # is still a row (eqNullSafe matches NULL keys), and testing
+    # o.key IS NOT NULL would misclassify it as absent
+    o = old.select(*keys, *compare_cols, F.lit(True).alias("_in_o")).alias("o")
+    n = new.select(*keys, *compare_cols, F.lit(True).alias("_in_n")).alias("n")
+    cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys]
+    joined = o.join(n, cond, "full_outer")
+    in_old = F.col("o._in_o").isNotNull()
+    in_new = F.col("n._in_n").isNotNull()
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    op = (
+        F.when(~in_old, F.lit("I"))
+        .when(~in_new, F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    # side selection by PRESENCE, not coalesce: an update that sets a
+    # column to NULL must emit NULL — coalesce(new, old) would
+    # resurrect the old value (and a NULL new key would do the same)
+    key_cols = [
+        F.when(in_new, F.col(f"n.{k}")).otherwise(F.col(f"o.{k}")).alias(k)
+        for k in keys
+    ]
+    val_cols = [
+        F.when(in_new, F.col(f"n.{c}")).otherwise(F.col(f"o.{c}")).alias(c)
+        for c in compare_cols
+    ]
+    return (
+        joined.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select("op", *key_cols, *val_cols)
+    )  # marker cols dropped by the select

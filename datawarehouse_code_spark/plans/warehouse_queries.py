@@ -1673,6 +1673,67 @@ GROUP BY 1, 2
 """
 
 
+def _orders_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/cdc.py table_diff) over deterministic
+    variants of orders: keys %7==0 deleted, surviving %5==0 keys
+    price-bumped, +10M keys inserted.  The oracle classifies through
+    the same null-safe full-outer construction; completeness (diff
+    applied to old == new) is pinned by pytest."""
+    from datawarehouse_code_spark.operators.cdc import table_diff
+
+    old = read_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    kept = old.filter(F.col("o_orderkey") % 7 != 0)
+    new = kept.withColumn(
+        "cents",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("cents") + 1).otherwise(
+            F.col("cents")
+        ),
+    ).unionByName(
+        old.filter(F.col("o_orderkey") % 11 == 0).select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            "o_orderstatus",
+            "cents",
+        )
+    )
+    return table_diff(old, new, ["o_orderkey"])
+
+
+_TABLE_DIFF_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+), n AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 5 = 0 THEN cents + 1 ELSE cents END AS cents
+  FROM o WHERE o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_orderstatus, cents
+  FROM o WHERE o_orderkey % 11 = 0
+), j AS (
+  SELECT o.o_orderkey AS ok, n.o_orderkey AS nk,
+         o.o_orderstatus AS os, n.o_orderstatus AS ns,
+         o.cents AS oc, n.cents AS nc,
+         o.o_orderkey IS NOT NULL AS in_o,
+         n.o_orderkey IS NOT NULL AS in_n
+  FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey
+)
+SELECT CASE WHEN NOT in_o THEN 'I'
+            WHEN NOT in_n THEN 'D'
+            ELSE 'U' END AS op,
+       CASE WHEN in_n THEN nk ELSE ok END AS o_orderkey,
+       CASE WHEN in_n THEN ns ELSE os END AS o_orderstatus,
+       CASE WHEN in_n THEN nc ELSE oc END AS cents
+FROM j
+WHERE NOT in_o OR NOT in_n
+   OR os IS DISTINCT FROM ns OR oc IS DISTINCT FROM nc
+"""
+
+
 def _skew_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter diagnosis (operators/quality.py skew_report): the
     20 heaviest l_suppkey groups of lineitem with floor-scaled corpus
@@ -1823,6 +1884,9 @@ WAREHOUSE_SUPPLEMENTARY: list[Query] = [
           "(operators/quality.py skew_report)"),
     Query("join_left_outer", _join_left_outer, _JOIN_LEFT_SQL,
           "§2.2 outer join (in join_suite)"),
+    Query("orders_table_diff", _orders_table_diff, _TABLE_DIFF_SQL,
+          "snapshot diff: CDC feed generation I/U/D (supplementary, "
+          "differential-tested; completeness pinned by pytest)"),
     Query("rollup_retract", _rollup_retract, _ROLLUP_RETRACT_SQL,
           "delete propagation: retraction merge ≡ rebuild over survivors "
           "(in maintenance_suite)"),

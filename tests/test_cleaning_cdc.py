@@ -229,3 +229,74 @@ def test_explode_sequence_spans_tiling_invariants(spark):
     full = per_seq.join(last, ["source", "seq_id"], "left_anti")
     assert full.filter((F.col("fill") != 512) | (F.col("p0") != 0)).count() == 0
     spans.unpersist()
+
+
+def test_table_diff_classifies_and_roundtrips(spark):
+    """Diff two deterministic variants of orders: %7==0 keys deleted,
+    %5==0 (surviving) keys price-bumped, +10M keys inserted.  The
+    diff must classify exactly, and applying it to `old` (drop D,
+    upsert I/U) must reconstruct `new` — the completeness contract."""
+    from datawarehouse_code_spark.operators.cdc import table_diff
+    from datawarehouse_code_spark.sources.catalog import read_table
+    from tests.conftest import SF_DIR
+
+    old = read_table(spark, "orders", SF_DIR).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    kept = old.filter(F.col("o_orderkey") % 7 != 0)
+    new = kept.withColumn(
+        "cents",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("cents") + 1).otherwise(
+            F.col("cents")
+        ),
+    ).unionByName(
+        old.limit(50).select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            "o_orderstatus",
+            "cents",
+        )
+    )
+    diff = table_diff(old, new, ["o_orderkey"]).cache()
+    ops = {r["op"] for r in diff.select("op").distinct().collect()}
+    assert ops == {"I", "D", "U"}
+    # every D is a %7 key, every U a surviving %5 key, every I a +10M key
+    assert diff.filter((F.col("op") == "D") & (F.col("o_orderkey") % 7 != 0)).count() == 0
+    assert diff.filter(
+        (F.col("op") == "U")
+        & ((F.col("o_orderkey") % 5 != 0) | (F.col("o_orderkey") % 7 == 0))
+    ).count() == 0
+    assert diff.filter((F.col("op") == "I") & (F.col("o_orderkey") < 10_000_000)).count() == 0
+
+    # completeness: old - D + upsert(I/U) == new
+    upserts = diff.filter(F.col("op") != "D").drop("op")
+    untouched = old.join(diff.select("o_orderkey"), "o_orderkey", "left_anti")
+    rebuilt = untouched.unionByName(upserts)
+    assert rebuilt.count() == new.count()
+    assert rebuilt.exceptAll(new).count() == 0
+    diff.unpersist()
+
+
+def test_table_diff_null_keys_and_values(spark):
+    """NULL keys match null-safely (a NULL-keyed row present on both
+    sides with equal values is UNCHANGED, not insert+delete), and a
+    NULL<->value flip in a compared column is an update."""
+    from datawarehouse_code_spark.operators.cdc import table_diff
+
+    old = spark.createDataFrame(
+        [(None, 1), (2, None), (3, 3)], "k int, v int"
+    )
+    new = spark.createDataFrame(
+        [(None, 1), (2, 22), (3, None)], "k int, v int"
+    )
+    got = {
+        (r["op"], r["k"]): r["v"]
+        for r in table_diff(old, new, ["k"]).collect()
+    }
+    assert got == {("U", 2): 22, ("U", 3): None}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="absent from old"):
+        table_diff(old, new.withColumn("extra", F.lit(1)), ["k"])
