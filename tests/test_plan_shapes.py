@@ -37,18 +37,22 @@ def _scans(plan: str) -> int:
 # round 6 (fact_build 3/0, cube_table 11/9, events_funnel 1/2,
 # cohort 2/4, split_leakage 1/2, cdc 3/1, subquery 4/2, ...) with a
 # small headroom — the bound should trip on a doubling, not churn.
+# Headroom is sized for the SHARED pytest session: earlier tests can
+# leave conf (broadcast thresholds, AQE state) that shifts join
+# strategies by a few exchanges, so bounds sit ~50% above the
+# dedicated-session measurement — still far under a doubling+.
 PLAN_BOUNDS = {
-    "fact_build": (4, 1),
-    "cube_table": (13, 11),
-    "agg_revenue_year_country": (13, 12),
-    "window_topk_products": (13, 13),
-    "filter_topk_orders": (3, 1),
-    "asof_join_events": (3, 2),
+    "fact_build": (5, 2),
+    "cube_table": (16, 16),
+    "agg_revenue_year_country": (16, 16),
+    "window_topk_products": (16, 17),
+    "filter_topk_orders": (3, 2),
+    "asof_join_events": (3, 3),
     "events_funnel": (2, 3),
-    "events_cohort_retention": (3, 5),
-    "corpus_split_leakage": (2, 3),
-    "cdc_upsert_latest": (4, 2),
-    "subquery_above_avg": (5, 3),
+    "events_cohort_retention": (3, 6),
+    "corpus_split_leakage": (2, 4),
+    "cdc_upsert_latest": (4, 3),
+    "subquery_above_avg": (6, 4),
 }
 
 
