@@ -438,3 +438,99 @@ def run_to_memory(
     finally:
         if not spark.streams.active:
             restore_nanos_conf(spark)
+
+
+def apply_rollup_batch(
+    batch: DataFrame,
+    batch_id: int,
+    rollup_path: str,
+    keys: list[str],
+    sum_cols: list[str],
+    keep_versions: int = 2,
+) -> bool:
+    """Apply ONE micro-batch of fact rows to a versioned rollup,
+    idempotently under foreachBatch replays — the missing piece of
+    rollup maintenance's exactly-once contract (operators/rollup.py
+    documents that re-delivering a delta double-counts; a crashed
+    foreachBatch RE-RUNS its batch with the same id, which is exactly
+    that).
+
+    Protocol: the applied batch id rides IN the rollup version as a
+    constant `_last_batch` column, so it commits atomically with the
+    data (versioned.write_version's _SUCCESS marker) — there is no
+    separate marker file to desync from the table.  Replays skip
+    because their id <= the committed id (streaming batch ids are
+    monotone; a failed batch re-runs with the SAME id).  A crash
+    before the version commit leaves no visible change at all.
+
+    Returns True if the batch was applied, False if skipped (replay
+    or empty batch — an empty batch is skipped so its id need not be
+    recorded: re-applying nothing is harmless).  Old versions are
+    vacuumed to `keep_versions`.
+    """
+    from datawarehouse_code_spark.operators.rollup import (
+        aggregate_delta,
+        merge_rollup,
+    )
+    from datawarehouse_code_spark.sources.versioned import (
+        list_versions,
+        read_version,
+        vacuum_versions,
+        write_version,
+    )
+
+    if batch.isEmpty():
+        return False
+    spark = batch.sparkSession
+    delta = aggregate_delta(batch, keys, sum_cols)
+    if list_versions(spark, rollup_path):
+        current = read_version(spark, rollup_path)
+        last = current.select("_last_batch").limit(1).collect()
+        if last and last[0][0] is not None and batch_id <= last[0][0]:
+            return False
+        merged = merge_rollup(current.drop("_last_batch"), delta, keys)
+    else:
+        merged = delta
+    write_version(
+        spark,
+        merged.withColumn("_last_batch", F.lit(batch_id).cast("bigint")),
+        rollup_path,
+    )
+    vacuum_versions(spark, rollup_path, keep=keep_versions)
+    return True
+
+
+def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
+    """The consumer view of a maintained rollup: latest committed
+    version without the bookkeeping column."""
+    from datawarehouse_code_spark.sources.versioned import read_version
+
+    return read_version(spark, rollup_path).drop("_last_batch")
+
+
+def run_rollup_maintenance(
+    facts: DataFrame,
+    rollup_path: str,
+    keys: list[str],
+    sum_cols: list[str],
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Drain a fact stream into a maintained rollup: foreachBatch →
+    apply_rollup_batch (replay-idempotent, see there).  With a
+    checkpoint dir the stream resumes where it stopped AND a replayed
+    batch cannot double-count — together, end-to-end exactly-once
+    aggregate maintenance over plain parquet."""
+    spark = facts.sparkSession
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        apply_rollup_batch(batch, batch_id, rollup_path, keys, sum_cols)
+
+    writer = facts.writeStream.foreachBatch(_apply).trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    try:
+        q.awaitTermination()
+    finally:
+        if not spark.streams.active:
+            restore_nanos_conf(spark)

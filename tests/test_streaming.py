@@ -406,3 +406,65 @@ def test_corpus_ingest_stream_equals_batch(spark, tmp_path):
     }
     assert again == want
     docs.unpersist()
+
+
+def test_rollup_maintenance_replay_idempotent(spark, tmp_path):
+    """apply_rollup_batch: two batches accumulate; replaying the last
+    batch (same id, as a crashed foreachBatch would) changes nothing;
+    a stale id is skipped; the final table equals the one-shot
+    aggregate.  Then the stream wrapper over two files lands the same
+    table."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.rollup import aggregate_delta
+    from datawarehouse_code_spark.sources.catalog import read_table
+    from datawarehouse_code_spark.streaming.jobs import (
+        apply_rollup_batch,
+        read_rollup,
+        run_rollup_maintenance,
+    )
+
+    orders = read_table(spark, "orders", SF_DIR).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    keys, sums = ["o_orderstatus"], ["cents"]
+    b0 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    b1 = orders.filter(F.col("o_orderkey") % 2 == 1)
+    path = str(tmp_path / "rollup")
+
+    assert apply_rollup_batch(b0, 0, path, keys, sums) is True
+    assert apply_rollup_batch(b1, 1, path, keys, sums) is True
+    after = sorted(tuple(r) for r in read_rollup(spark, path).collect())
+
+    # crashed-foreachBatch replay: same id -> skipped, table unchanged
+    assert apply_rollup_batch(b1, 1, path, keys, sums) is False
+    assert apply_rollup_batch(b0, 0, path, keys, sums) is False
+    assert sorted(tuple(r) for r in read_rollup(spark, path).collect()) == after
+
+    want = sorted(
+        tuple(r) for r in aggregate_delta(orders, keys, sums).collect()
+    )
+    assert after == want
+
+    # empty batch: skipped without claiming an id
+    assert apply_rollup_batch(orders.limit(0), 2, path, keys, sums) is False
+
+    # the stream wrapper ends at the same table
+    src = str(tmp_path / "orders_split")
+    b0.coalesce(1).write.mode("overwrite").parquet(src)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    spath = str(tmp_path / "rollup_stream")
+    run_rollup_maintenance(
+        stream, spath, keys, sums,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert sorted(tuple(r) for r in read_rollup(spark, spath).collect()) == want
