@@ -132,3 +132,24 @@ def table_diff(
         .filter(F.col("op").isNotNull())
         .select("op", *key_cols, *val_cols)
     )  # marker cols dropped by the select
+
+
+def apply_diff(
+    target: DataFrame, diff: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Apply an I/U/D feed (table_diff's output shape: op + keys +
+    values) to a table: drop every diffed key from the target, then
+    add back the insert/update rows — one null-safe anti-join + a
+    union, the closing half of the diff→feed→apply loop
+    (table_diff(old, new) applied to old IS new; pinned by test).
+
+    Deletes need no special case: a 'D' key is dropped by the
+    anti-join and not re-added.  Scale shape: one shuffle join on the
+    keys against the (small) diff — broadcastable when the diff is a
+    normal increment."""
+    d = diff.alias("d")
+    t = target.alias("t")
+    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"d.{k}")) for k in keys]
+    untouched = t.join(d.select(*keys), cond, "left_anti")
+    upserts = diff.filter(F.col("op") != "D").drop("op")
+    return untouched.unionByName(upserts)

@@ -22,10 +22,14 @@ lacks:
              state is ever observable
 
 This is the 20-line core of what Iceberg/Delta snapshot logs provide;
-what it deliberately lacks: multi-writer commit arbitration (two
-concurrent writers can race for the same N — the loser's rename fails
-loudly on posix/HDFS; object stores need a real log), row-level
-MERGE (see acid.py), and schema-evolution metadata (see
+what it deliberately lacks: ANY multi-writer arbitration — the
+contract is ONE writer per table (a single maintenance job), which is
+how every function here is used.  Two concurrent writers can claim
+the same N, and write_version's debris-clearing (which exists so a
+crashed writer's retry can land) would delete the other's in-progress
+dir.  Concurrent writers need a real table format's commit log; this
+module will not pretend otherwise.  Also absent: row-level MERGE
+(see acid.py) and schema-evolution metadata (see
 catalog.read_evolving).
 
 Scale: version resolution is one directory listing; vacuum deletes

@@ -269,10 +269,10 @@ def test_table_diff_classifies_and_roundtrips(spark):
     ).count() == 0
     assert diff.filter((F.col("op") == "I") & (F.col("o_orderkey") < 10_000_000)).count() == 0
 
-    # completeness: old - D + upsert(I/U) == new
-    upserts = diff.filter(F.col("op") != "D").drop("op")
-    untouched = old.join(diff.select("o_orderkey"), "o_orderkey", "left_anti")
-    rebuilt = untouched.unionByName(upserts)
+    # completeness: apply_diff(old, diff) == new (the operator pair)
+    from datawarehouse_code_spark.operators.cdc import apply_diff
+
+    rebuilt = apply_diff(old, diff, ["o_orderkey"])
     assert rebuilt.count() == new.count()
     assert rebuilt.exceptAll(new).count() == 0
     diff.unpersist()
@@ -295,6 +295,15 @@ def test_table_diff_null_keys_and_values(spark):
         for r in table_diff(old, new, ["k"]).collect()
     }
     assert got == {("U", 2): 22, ("U", 3): None}
+
+    # NULL-keyed roundtrip through apply_diff too
+    from datawarehouse_code_spark.operators.cdc import apply_diff
+
+    rebuilt = apply_diff(old, table_diff(old, new, ["k"]), ["k"])
+    key_fn = lambda t: (repr(t[0]), repr(t[1]))  # None-safe sort
+    assert sorted(
+        ((r["k"], r["v"]) for r in rebuilt.collect()), key=key_fn
+    ) == sorted(((r["k"], r["v"]) for r in new.collect()), key=key_fn)
 
     import pytest
 
