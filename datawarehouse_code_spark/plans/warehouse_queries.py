@@ -1673,6 +1673,52 @@ GROUP BY 1, 2
 """
 
 
+def _supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.py triangle_counts,
+    degree-ordered node-iterator) over the supplier co-occurrence
+    graph: suppliers are connected when they ship lineitems of the
+    same order.  The oracle enumerates each triangle once through the
+    canonical a<b<c construction — orientation strategy differs,
+    triangle SET must not."""
+    from datawarehouse_code_spark.operators.graph import triangle_counts
+
+    li = read_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey"
+    )
+    x = li.alias("x")
+    y = li.alias("y")
+    edges = (
+        x.join(y, F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .select(
+            F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b")
+        )
+        .distinct()
+    )
+    return triangle_counts(edges)
+
+
+_TRIANGLES_SQL = """
+WITH e AS (
+  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_suppkey < y.l_suppkey
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT node, count(*) AS n_triangles
+FROM (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+GROUP BY node
+"""
+
+
 def _orders_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (operators/cdc.py table_diff) over deterministic
     variants of orders: keys %7==0 deleted, surviving %5==0 keys
@@ -1887,6 +1933,9 @@ WAREHOUSE_SUPPLEMENTARY: list[Query] = [
     Query("orders_table_diff", _orders_table_diff, _TABLE_DIFF_SQL,
           "snapshot diff: CDC feed generation I/U/D (supplementary, "
           "differential-tested; completeness pinned by pytest)"),
+    Query("supplier_triangles", _supplier_triangles, _TRIANGLES_SQL,
+          "graph: degree-ordered triangle counting over the supplier "
+          "co-occurrence graph (supplementary, differential-tested)"),
     Query("rollup_retract", _rollup_retract, _ROLLUP_RETRACT_SQL,
           "delete propagation: retraction merge ≡ rebuild over survivors "
           "(in maintenance_suite)"),

@@ -242,3 +242,33 @@ def test_read_evolving_null_fills_old_files(spark, tmp_path):
         .write.mode("append").parquet(path)
     with pytest.raises(Exception, match="(?i)merge|incompatible|failed"):
         read_evolving(spark, path).collect()
+
+
+def test_triangle_counts_known_graphs(spark):
+    """K4 (every node in 3 triangles), a triangle with a pendant, a
+    path (none), duplicate/reversed edges normalized, self-loops
+    raise."""
+    import pytest
+
+    from datawarehouse_code_spark.operators.graph import triangle_counts
+
+    k4 = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)], "a int, b int"
+    )
+    assert sorted(tuple(r) for r in triangle_counts(k4).collect()) == [
+        (1, 3), (2, 3), (3, 3), (4, 3),
+    ]
+
+    messy = spark.createDataFrame(
+        [(2, 1), (1, 3), (3, 2), (2, 3), (4, 1)], "a int, b int"
+    )
+    assert sorted(tuple(r) for r in triangle_counts(messy).collect()) == [
+        (1, 1), (2, 1), (3, 1),
+    ]
+
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "a int, b int")
+    assert triangle_counts(path).count() == 0
+
+    loops = spark.createDataFrame([(1, 1), (1, 2)], "a int, b int")
+    with pytest.raises(ValueError, match="self-loops"):
+        triangle_counts(loops)
