@@ -398,6 +398,68 @@ FROM per_cell JOIN sizes USING (cohort_week)
 """
 
 
+def _session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel WITHIN sessions — operator composition: sessionize
+    (gaps-and-islands labels) feeds funnel_counts with the composite
+    session key as its grouping column, so conversion is credited
+    only when view→click→purchase happen inside one 30-minute
+    session, not across a user's whole history.  Same fold, same
+    oracle cascade, different grain."""
+    from datawarehouse_code_spark.operators.sessions import (
+        funnel_counts,
+        sessionize,
+    )
+
+    events = read_table(spark, "events", sf_dir)
+    labelled = sessionize(
+        events, ["user_id"], "ts", gap="30 minutes", tiebreak="event_id"
+    ).withColumn(
+        "sess_key",
+        F.col("user_id") * F.lit(1_000_000) + F.col("session_seq"),
+    )
+    return funnel_counts(
+        labelled, ["view", "click", "purchase"], user_col="sess_key"
+    )
+
+
+_SESSION_FUNNEL_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, event_type,
+         user_id * 1000000 + CAST(sum(is_new) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_key
+  FROM marked
+), s1 AS (
+  SELECT sess_key, min(ts) AS t FROM numbered
+  WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT n.sess_key, min(n.ts) AS t FROM numbered n JOIN s1 USING (sess_key)
+  WHERE n.event_type = 'click' AND n.ts > s1.t GROUP BY 1
+), s3 AS (
+  SELECT n.sess_key, min(n.ts) AS t FROM numbered n JOIN s2 USING (sess_key)
+  WHERE n.event_type = 'purchase' AND n.ts > s2.t GROUP BY 1
+)
+SELECT 1 AS step, 'view' AS step_name, count(*) AS n_users,
+       CAST(0 AS BIGINT) AS sum_lag_us
+FROM s1 GROUP BY 1, 2
+UNION ALL
+SELECT 2, 'click', count(*),
+       CAST(sum(epoch_us(s2.t) - epoch_us(s1.t)) AS BIGINT)
+FROM s2 JOIN s1 USING (sess_key) GROUP BY 1, 2
+UNION ALL
+SELECT 3, 'purchase', count(*),
+       CAST(sum(epoch_us(s3.t) - epoch_us(s1.t)) AS BIGINT)
+FROM s3 JOIN s1 USING (sess_key) GROUP BY 1, 2
+"""
+
+
 STREAMING_QUERIES: list[Query] = [
     Query("events_click_attribution", _events_click_attribution, _CLICK_ATTR_SQL,
           "§2.2 streaming: stream-stream join batch twin (click attribution)"),
@@ -423,4 +485,7 @@ STREAMING_SUPPLEMENTARY: list[Query] = [
           "§2.2 streaming: session window (in events_session_suite)"),
     Query("events_sessionize", _events_sessionize, _SESSIONIZE_SQL,
           "§2.2 streaming: explicit sessionization (in events_session_suite)"),
+    Query("session_funnel", _session_funnel, _SESSION_FUNNEL_SQL,
+          "§2.2 analytics: funnel within 30-min sessions (sessionize ∘ "
+          "funnel composition; supplementary, differential-tested)"),
 ]
