@@ -1595,7 +1595,52 @@ SELECT doc_id, lang, source FROM (
 """
 
 
+def _bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first merge-selection step of BPE/WordPiece tokenizer
+    training at corpus scale: count ADJACENT word pairs across all
+    documents and rank the merge candidates (top 200, ties broken
+    lexicographically so both engines cut identically).  Same
+    explode→two-phase-agg→TakeOrdered shape as vocab_top_terms — the
+    pair explode is a narrow zip of the word array with its shift,
+    one shuffle total."""
+    docs = read_table(spark, "documents", sf_dir)
+    ws = words(F.col("text"))
+    pairs = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))).alias("w1"),
+                F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))).alias("w2"),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    return (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(200)
+    )
+
+
+_BPE_PAIRS_SQL = f"""
+WITH w AS (
+  SELECT {_WORDS_SQL} AS ws FROM documents
+), zipped AS (
+  SELECT unnest(list_zip(ws[1:len(ws) - 1], ws[2:len(ws)])) AS p FROM w
+), pairs AS (
+  SELECT p[1] AS w1, p[2] AS w2 FROM zipped
+)
+SELECT w1, w2, count(*) AS n
+FROM pairs
+GROUP BY 1, 2
+ORDER BY n DESC, w1 ASC, w2 ASC
+LIMIT 200
+"""
+
+
 LLM_SUPPLEMENTARY: list[Query] = [
+    Query("bpe_pair_counts", _bpe_pair_counts, _BPE_PAIRS_SQL,
+          "north-star: BPE merge-candidate pair counts (tokenizer "
+          "training step; supplementary, differential-tested)"),
     Query("docs_group_sample", _docs_group_sample, _GROUP_SAMPLE_SQL,
           "north-star: deterministic per-group sample (reproducible "
           "eval sets; in supplementary, differential-tested)"),
