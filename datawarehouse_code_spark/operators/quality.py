@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _REPORT_COLS = ("check_kind", "target", "n_bad", "n_rows")
@@ -145,4 +145,56 @@ def skew_report(
         )
         .orderBy(F.col("n_rows").desc(), *[F.col(k).asc_nulls_last() for k in keys])
         .limit(top_n)
+    )
+
+
+def anomaly_report(
+    df: DataFrame,
+    keys: list[str],
+    time_col: str,
+    metric_col: str,
+    k_bp: int = 50_000,
+) -> DataFrame:
+    """Robust outlier detection over a metric time series (the ops
+    check on a MAINTAINED rollup: which days deviate from this
+    group's norm?): flag points where |x − median| · 10⁴ > k_bp ·
+    MAD, with the median and MAD as DISCRETE per-key quantiles
+    (value at floor(0.5·(n−1)) — the engine-exact doctrine) and the
+    threshold in pure integer arithmetic (`k_bp` basis points, 50000
+    = 5 MADs) so both engines flag identical rows.  Median/MAD, not
+    mean/stddev: one genuine spike inflates a stddev enough to mask
+    the next spike; the breakdown point of MAD is 50%.
+
+    MAD = 0 (over half the points identical) flags ANY deviation —
+    documented, intentional: in a constant series every change is
+    signal.
+
+    Scale shape: two window passes over the INPUT (a rollup-sized
+    series, never raw facts) — rank for the median, rank for the
+    MAD — then a broadcast-sized join back.  Output: the flagged
+    rows with median, mad, dev for triage.
+    """
+    w = Window.partitionBy(*keys).orderBy(metric_col)
+    wk = Window.partitionBy(*keys)
+    ranked = df.withColumn("_rn", F.row_number().over(w) - 1).withColumn(
+        "_n", F.count(F.lit(1)).over(wk)
+    )
+    med_idx = F.floor(F.lit(0.5) * (F.col("_n") - 1)).cast("long")
+    med = ranked.groupBy(*keys).agg(
+        F.max(F.when(F.col("_rn") == med_idx, F.col(metric_col))).alias("med")
+    )
+    devs = df.join(F.broadcast(med), keys).withColumn(
+        "dev", F.abs(F.col(metric_col) - F.col("med"))
+    )
+    wd = Window.partitionBy(*keys).orderBy("dev")
+    ranked_d = devs.withColumn("_rn", F.row_number().over(wd) - 1).withColumn(
+        "_n", F.count(F.lit(1)).over(wk)
+    )
+    mad = ranked_d.groupBy(*keys).agg(
+        F.max(F.when(F.col("_rn") == med_idx, F.col("dev"))).alias("mad")
+    )
+    return (
+        devs.join(F.broadcast(mad), keys)
+        .filter(F.col("dev") * F.lit(10_000) > F.lit(k_bp) * F.col("mad"))
+        .select(*keys, time_col, metric_col, "med", "mad", "dev")
     )

@@ -1719,6 +1719,59 @@ GROUP BY node
 """
 
 
+def _orders_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier days in the per-status daily order counts
+    (operators/quality.py anomaly_report): |x − median| · 10⁴ >
+    30000 · MAD with discrete per-key quantiles — the ops check a
+    maintained rollup feeds.  All-integer threshold arithmetic; the
+    oracle replays the identical index/threshold definitions."""
+    from datawarehouse_code_spark.operators.quality import anomaly_report
+
+    daily = (
+        read_table(spark, "orders", sf_dir)
+        .groupBy("o_orderstatus", F.to_date("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return anomaly_report(
+        daily, ["o_orderstatus"], "d", "n_orders", k_bp=30_000
+    )
+
+
+_ANOMALY_SQL = """
+WITH daily AS (
+  SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS d,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                               ORDER BY n_orders) - 1 AS rn,
+         count(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM daily
+), med AS (
+  SELECT o_orderstatus,
+         max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT)
+                  THEN n_orders END) AS med
+  FROM ranked GROUP BY 1
+), devs AS (
+  SELECT d.*, m.med, abs(d.n_orders - m.med) AS dev
+  FROM daily d JOIN med m USING (o_orderstatus)
+), ranked_d AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                               ORDER BY dev) - 1 AS rn,
+         count(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM devs
+), mad AS (
+  SELECT o_orderstatus,
+         max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT)
+                  THEN dev END) AS mad
+  FROM ranked_d GROUP BY 1
+)
+SELECT v.o_orderstatus, v.d, v.n_orders, v.med, v.mad, v.dev
+FROM (SELECT dv.*, md.mad FROM devs dv JOIN mad md USING (o_orderstatus)) v
+WHERE v.dev * 10000 > 30000 * v.mad
+"""
+
+
 def _orders_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (operators/cdc.py table_diff) over deterministic
     variants of orders: keys %7==0 deleted, surviving %5==0 keys
@@ -1936,6 +1989,9 @@ WAREHOUSE_SUPPLEMENTARY: list[Query] = [
     Query("supplier_triangles", _supplier_triangles, _TRIANGLES_SQL,
           "graph: degree-ordered triangle counting over the supplier "
           "co-occurrence graph (supplementary, differential-tested)"),
+    Query("orders_daily_anomalies", _orders_daily_anomalies, _ANOMALY_SQL,
+          "ops analytics: median/MAD robust outlier days per status "
+          "(supplementary, differential-tested)"),
     Query("rollup_retract", _rollup_retract, _ROLLUP_RETRACT_SQL,
           "delete propagation: retraction merge ≡ rebuild over survivors "
           "(in maintenance_suite)"),

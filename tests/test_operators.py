@@ -272,3 +272,19 @@ def test_triangle_counts_known_graphs(spark):
     loops = spark.createDataFrame([(1, 1), (1, 2)], "a int, b int")
     with pytest.raises(ValueError, match="self-loops"):
         triangle_counts(loops)
+
+
+def test_anomaly_report_planted_spike_and_zero_mad(spark):
+    from datawarehouse_code_spark.operators.quality import anomaly_report
+
+    # stable series around 100 with one planted spike
+    rows = [("a", i, 100 + (i % 3)) for i in range(20)] + [("a", 20, 500)]
+    df = spark.createDataFrame(rows, "k string, t int, m int")
+    out = anomaly_report(df, ["k"], "t", "m", k_bp=50_000).collect()
+    assert [(r["t"], r["m"]) for r in out] == [(20, 500)]
+
+    # constant series: MAD = 0 -> ANY deviation flags
+    rows2 = [("b", i, 7) for i in range(10)] + [("b", 10, 8)]
+    df2 = spark.createDataFrame(rows2, "k string, t int, m int")
+    out2 = anomaly_report(df2, ["k"], "t", "m", k_bp=50_000).collect()
+    assert [(r["t"], r["m"], r["mad"]) for r in out2] == [(10, 8, 0)]
