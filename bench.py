@@ -125,6 +125,9 @@ HEADLINE = [
     "corpus_split_leakage",
     "events_funnel",
     "events_cohort_retention",
+    "session_funnel",
+    "orders_daily_anomalies",
+    "bpe_pair_counts",
 ]
 
 
