@@ -653,3 +653,55 @@ def deterministic_group_sample(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def forget_documents(
+    spark: SparkSession,
+    corpus_path: str,
+    index_path: str | None,
+    doc_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> dict[str, int]:
+    """Right-to-be-forgotten for the corpus: remove `doc_ids` from
+    the stored corpus table AND its persisted LSH bucket index in one
+    call, so a forgotten document can neither be read back nor ever
+    surface as a near-dup candidate for future increments.  (The
+    third leg — retracting the docs from maintained aggregate tables
+    — is operators/rollup.propagate_deletes; it needs the metric
+    columns, so it stays a separate call.)
+
+    Both rewrites are one null-safe anti-join + staged overwrite
+    (crash-recoverable swap, sources/acid.py); cost is a scan of
+    each table, NOT of the raw text pipeline — no re-shingling, no
+    re-signing of survivors, because the index rows are keyed by
+    doc_id and deletion never changes other docs' signatures.
+
+    Returns {'corpus_removed': n, 'index_rows_removed': m} from
+    persisted before/after counts — the audit numbers a deletion
+    request must report.
+    """
+    from datawarehouse_code_spark.sources.acid import (
+        _staged_overwrite,
+        table_exists,
+    )
+
+    if not table_exists(spark, corpus_path):
+        raise ValueError(f"no corpus table at {corpus_path}")
+    ids = doc_ids.select(F.col(id_col)).distinct()
+    report: dict[str, int] = {}
+    corpus = spark.read.parquet(corpus_path)
+    before = corpus.count()
+    kept = corpus.join(ids, id_col, "left_anti").persist()
+    report["corpus_removed"] = before - kept.count()
+    _staged_overwrite(spark, kept, corpus_path)
+    kept.unpersist()
+    if index_path is not None:
+        if not table_exists(spark, index_path):
+            raise ValueError(f"no LSH index at {index_path}")
+        index = spark.read.parquet(index_path)
+        ibefore = index.count()
+        ikept = index.join(ids, id_col, "left_anti").persist()
+        report["index_rows_removed"] = ibefore - ikept.count()
+        _staged_overwrite(spark, ikept, index_path)
+        ikept.unpersist()
+    return report

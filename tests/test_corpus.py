@@ -390,3 +390,51 @@ def test_deterministic_group_sample_properties(spark):
 
     with pytest.raises(ValueError, match="k must be positive"):
         deterministic_group_sample(docs, ["lang"], "doc_id", 0)
+
+
+def test_forget_documents_removes_from_corpus_and_index(spark, tmp_path):
+    """After forgetting, the docs are gone from the stored corpus,
+    their index rows are gone, and an increment that IS an exact copy
+    of a forgotten doc no longer finds it — the full
+    right-to-be-forgotten contract for near-dup serving."""
+    from datawarehouse_code_spark.operators.corpus import forget_documents
+    from datawarehouse_code_spark.operators.text import (
+        build_lsh_index,
+        near_dup_pairs_incremental,
+    )
+
+    docs = read_table(spark, "documents", SF_DIR)
+    corpus_path = str(tmp_path / "corpus")
+    index_path = str(tmp_path / "index")
+    docs.write.parquet(corpus_path)
+    build_lsh_index(docs).write.parquet(index_path)
+
+    gone = docs.filter(F.col("doc_id") % 25 == 0).select("doc_id")
+    n_gone = gone.count()
+    assert n_gone > 0
+
+    report = forget_documents(
+        spark, corpus_path, index_path, gone
+    )
+    assert report["corpus_removed"] == n_gone
+    assert report["index_rows_removed"] > 0
+
+    survivors = spark.read.parquet(corpus_path)
+    assert survivors.join(gone, "doc_id", "left_semi").count() == 0
+    index = spark.read.parquet(index_path)
+    assert index.join(gone, "doc_id", "left_semi").count() == 0
+
+    # an exact copy of a forgotten doc finds NO corpus match now
+    probe = docs.filter(F.col("doc_id") % 25 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 5_000_000
+    )
+    pairs = near_dup_pairs_incremental(probe, survivors, index)
+    hits = pairs.filter(F.col("d_corpus") % 25 == 0).filter(
+        F.col("d_corpus") < 1_000_000
+    )
+    assert hits.count() == 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="no corpus"):
+        forget_documents(spark, str(tmp_path / "nope"), None, gone)
