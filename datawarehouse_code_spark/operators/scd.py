@@ -122,3 +122,41 @@ def scd2_merge(
         ).alias("_r")
     ).select("_r.*")
     return history.unionByName(merged)
+
+
+def scd2_point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Point-in-time lookup against an SCD2 dimension — the query
+    SCD2 exists FOR: join each fact to the dimension version that was
+    valid at the fact's own time (valid_from <= t < valid_to, open
+    end NULL = still valid; the boundary day belongs to the NEWLY
+    opened version, matching scd2_merge's close/open convention).
+    LEFT join: a fact before its key's first version keeps NULL
+    attributes rather than vanishing.
+
+    Scale shape: a keyed EQUI-join with the validity window as a
+    residual predicate — a hash join partitioned by the business key
+    (versions per key are few), never a range join.  This is the
+    opposite trade from asof_join_backward, where both sides are big
+    on the time axis and union+window wins; here the dimension is
+    key-bounded, so the hash join is the plan that survives 100×.
+
+    SCD2 integrity (non-overlapping versions per key) guarantees at
+    most one match per fact; this function trusts it — run the
+    dq/scd2 tests on the dimension, don't re-validate per query.
+    """
+    f = facts.alias("f")
+    d = dim.alias("d")
+    t = F.to_date(F.col(f"f.{ts_col}"))
+    cond = [F.col(f"f.{k}").eqNullSafe(F.col(f"d.{k}")) for k in key]
+    window = (F.col("d.valid_from") <= t) & (
+        F.col("d.valid_to").isNull() | (t < F.col("d.valid_to"))
+    )
+    dim_cols = [c for c in dim.columns if c not in key]
+    return f.join(d, cond + [window], "left").select(
+        "f.*", *[F.col(f"d.{c}").alias(c) for c in dim_cols]
+    )

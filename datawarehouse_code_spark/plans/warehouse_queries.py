@@ -1719,6 +1719,42 @@ GROUP BY node
 """
 
 
+def _events_pit_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup (operators/scd.py
+    scd2_point_in_time_join): every event joined to the client-dim
+    VERSION valid on its event date.  Against the dim_client_scd2
+    dimension, January-2024 events land before the 2024-06-01
+    snapshot, so changed clients resolve to their CLOSED first
+    version (the whole point of SCD2 — today's attributes must not
+    rewrite last year's facts), %7==0 clients (first seen 2024-06-01)
+    resolve to NULL, and the rest to their open version."""
+    from datawarehouse_code_spark.operators.scd import (
+        scd2_point_in_time_join,
+    )
+
+    dim = _dim_client_scd2(spark, sf_dir)
+    facts = read_table(spark, "events", sf_dir).select(
+        "event_id", F.col("user_id").alias("client_id"), "ts"
+    )
+    out = scd2_point_in_time_join(facts, dim, ["client_id"], "ts")
+    return out.select(
+        "event_id", "client_id", "acctbal", "valid_from", "is_current"
+    )
+
+
+def _pit_sql() -> str:
+    return f"""
+WITH dim AS ({_SCD2_SQL})
+SELECT e.event_id, e.user_id AS client_id, d.acctbal, d.valid_from,
+       d.is_current
+FROM events e
+LEFT JOIN dim d
+  ON d.client_id = e.user_id
+ AND d.valid_from <= CAST(e.ts AS DATE)
+ AND (d.valid_to IS NULL OR CAST(e.ts AS DATE) < d.valid_to)
+"""
+
+
 def _orders_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier days in the per-status daily order counts
     (operators/quality.py anomaly_report): |x − median| · 10⁴ >
@@ -1992,6 +2028,10 @@ WAREHOUSE_SUPPLEMENTARY: list[Query] = [
     Query("orders_daily_anomalies", _orders_daily_anomalies, _ANOMALY_SQL,
           "ops analytics: median/MAD robust outlier days per status "
           "(supplementary, differential-tested)"),
+    Query("events_pit_dim", _events_pit_dim, _pit_sql(),
+          "§2.2 SCD2 point-in-time lookup: facts joined to the dim "
+          "version valid at event time (supplementary, "
+          "differential-tested)"),
     Query("rollup_retract", _rollup_retract, _ROLLUP_RETRACT_SQL,
           "delete propagation: retraction merge ≡ rebuild over survivors "
           "(in maintenance_suite)"),

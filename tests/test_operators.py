@@ -288,3 +288,41 @@ def test_anomaly_report_planted_spike_and_zero_mad(spark):
     df2 = spark.createDataFrame(rows2, "k string, t int, m int")
     out2 = anomaly_report(df2, ["k"], "t", "m", k_bp=50_000).collect()
     assert [(r["t"], r["m"], r["mad"]) for r in out2] == [(10, 8, 0)]
+
+
+def test_scd2_point_in_time_join_boundaries(spark):
+    """Crafted two-version dim: the boundary day belongs to the NEW
+    version (scd2_merge close/open convention); a fact before the
+    first version keeps NULL attributes; at most one match per
+    fact."""
+    from datawarehouse_code_spark.operators.scd import (
+        scd2_point_in_time_join,
+    )
+
+    dim = spark.createDataFrame(
+        [
+            (1, "v1", "2024-01-01", "2024-06-01", False),
+            (1, "v2", "2024-06-01", None, True),
+        ],
+        "k int, attr string, valid_from string, valid_to string, is_current boolean",
+    ).select(
+        "k", "attr",
+        F.to_date("valid_from").alias("valid_from"),
+        F.to_date("valid_to").alias("valid_to"),
+        "is_current",
+    )
+    facts = spark.createDataFrame(
+        [
+            (10, 1, "2023-12-31 12:00:00"),  # before first version
+            (11, 1, "2024-01-01 00:00:00"),  # first day of v1
+            (12, 1, "2024-05-31 23:59:59"),  # last day of v1
+            (13, 1, "2024-06-01 00:00:00"),  # boundary -> v2
+            (14, 1, "2025-01-01 08:00:00"),  # open end -> v2
+            (15, 2, "2024-07-01 00:00:00"),  # unknown key
+        ],
+        "fid int, k int, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = scd2_point_in_time_join(facts, dim, ["k"], "ts")
+    assert out.count() == facts.count()  # at most one match each
+    got = {r["fid"]: r["attr"] for r in out.collect()}
+    assert got == {10: None, 11: "v1", 12: "v1", 13: "v2", 14: "v2", 15: None}
