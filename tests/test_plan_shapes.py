@@ -53,6 +53,14 @@ PLAN_BOUNDS = {
     "corpus_split_leakage": (2, 4),
     "cdc_upsert_latest": (4, 3),
     "subquery_above_avg": (6, 4),
+    "set_ops_suite": (11, 7),
+    "events_session_suite": (3, 4),
+    "tokens_packed_suite": (2, 2),
+    "corpus_survivors": (3, 5),
+    # maintenance_suite is five oracle proofs in one row (split-merge
+    # runs the orders scan per half on purpose) — bound generously,
+    # it still trips on a doubling
+    "maintenance_suite": (20, 36),
 }
 
 
