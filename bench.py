@@ -74,6 +74,16 @@ FROZEN_BASELINE_SF01 = {
     "planted_recall_suite": 5.55,
     "graph_pagerank": 3.178,
     "subquery_above_avg": 0.68,
+    # frozen round 7 from the r6 driver run (BENCH_r06.json, sf0.1)
+    "tokens_packed_suite": 0.301,
+    "incremental_near_dup": 2.074,
+    "maintenance_suite": 3.738,
+    "corpus_split_leakage": 3.4,
+    "events_funnel": 0.331,
+    "events_cohort_retention": 0.336,
+    "session_funnel": 0.655,
+    "orders_daily_anomalies": 0.439,
+    "bpe_pair_counts": 0.388,
 }
 
 # Headline set: the expensive/representative plans. Anything listed
@@ -164,8 +174,8 @@ def main() -> None:
         "sf": sf_val,
     }
     if sf_val == 0.1:
-        # ratios vs the FROZEN r2+r3 rows (sf0.1 only — the frozen
-        # numbers were measured at that scale factor)
+        # ratios vs the FROZEN rows (sf0.1 only — the frozen numbers
+        # were measured at that scale factor)
         ratios = {
             n: round(times[n] / FROZEN_BASELINE_SF01[n], 2)
             for n in times
@@ -173,11 +183,39 @@ def main() -> None:
         }
         frozen_total = sum(FROZEN_BASELINE_SF01[n] for n in ratios)
         payload["baseline_ratio"] = {
-            "frozen": "BENCH_r02 + BENCH_r03 r3-new + BENCH_r05 r5-new rows (sf0.1, local[32])",
+            "frozen": "BENCH_r02 + r3-new@r4 + r5-new@r6 + r6-new@r7 rows (sf0.1, local[32])",
             "total": round(sum(times[n] for n in ratios) / frozen_total, 3),
             "queries": ratios,
         }
-    print(json.dumps(payload), flush=True)
+
+    # The driver captures only the tail of stdout (~2000 chars), so the
+    # full per-query payload goes to a file and stdout gets ONE compact
+    # JSON line guaranteed to fit the capture window: the totals, the
+    # frozen-ratio summary, and the worst-3 queries by ratio.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")
+    with open(full_path, "w") as f:
+        json.dump(payload, f, indent=1)
+
+    summary: dict = {
+        "metric": "registry_wall_sec",
+        "value": payload["value"],
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(times),
+        "full": "BENCH_full.json",
+    }
+    if "baseline_ratio" in payload:
+        br = payload["baseline_ratio"]
+        worst3 = dict(sorted(br["queries"].items(), key=lambda kv: -kv[1])[:3])
+        summary["baseline_ratio"] = {
+            "frozen": br["frozen"],
+            "total": br["total"],
+            "n_frozen": len(br["queries"]),
+            "worst3": worst3,
+        }
+    # keep per-query timings on stdout only while they still fit
+    line = json.dumps({**summary, "queries": times})
+    print(line if len(line) <= 1800 else json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":
