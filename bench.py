@@ -138,6 +138,10 @@ HEADLINE = [
     "session_funnel",
     "orders_daily_anomalies",
     "bpe_pair_counts",
+    # round-7 additions (no frozen row yet; ratios appear once a later
+    # round freezes them)
+    "events_funnel_suite",
+    "events_cohort_suite",
 ]
 
 

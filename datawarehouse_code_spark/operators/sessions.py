@@ -63,12 +63,68 @@ def sessionize(
     return df.withColumn("session_seq", F.sum(is_new).over(cum))
 
 
+def _steps_idx_expr(steps: list[str], type_col: str):
+    """1-based step ordinal for a step-typed event, NULL otherwise."""
+    if len(steps) < 2:
+        raise ValueError(f"a funnel needs >= 2 steps, got {steps!r}")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps!r}")
+    idx_expr = F.lit(None).cast("int")
+    for i, s in enumerate(reversed(steps)):
+        idx_expr = F.when(
+            F.col(type_col) == s, F.lit(len(steps) - i)
+        ).otherwise(idx_expr)
+    return idx_expr
+
+
+def _cap_user_events(df: DataFrame, cap: int | None) -> DataFrame:
+    """Loud per-user state guard for the funnel folds (expects the
+    user key aliased to `u`).
+
+    The per-user `collect_list` downstream is bounded by the number
+    of STEP-TYPED events per user — fine for any organic user, but a
+    bot/integration user emitting 10⁷ step events at 100× scale would
+    build a 10⁷-struct array inside one aggregation buffer (executor
+    OOM with no attributable error).  This guard counts per user with
+    a window BEFORE any array exists (the filter_posting_keys
+    pattern, operators/text.py) and raises a `max_events_per_user`
+    error NAMING the hot user, so the failure mode is an explicit,
+    actionable job error instead of a memory death.  The window
+    partitions on the same key the groupBy hashes on, so Catalyst
+    reuses the exchange: still exactly one shuffle (plan-pinned in
+    tests/test_sessions.py).
+    """
+    if cap is None:
+        return df
+    w = Window.partitionBy("u")
+    guard = F.when(
+        F.col("_n_u") > cap,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"funnel per-user event cap exceeded (max_events_per_user={cap}): user="
+                ),
+                F.col("u").cast("string"),
+                F.lit(" has n="),
+                F.col("_n_u").cast("string"),
+                F.lit(" step events; cap or pre-filter this key"),
+            )
+        ),
+    ).otherwise(F.lit(True))
+    return (
+        df.withColumn("_n_u", F.count(F.lit(1)).over(w))
+        .filter(guard)
+        .drop("_n_u")
+    )
+
+
 def funnel_counts(
     events: DataFrame,
     steps: list[str],
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """Strict-order funnel: for each step i, how many users performed
     steps[0..i] in timestamp order (each step STRICTLY after the
@@ -96,33 +152,33 @@ def funnel_counts(
     No time-horizon parameter by design: with a "complete within T of
     the first step" bound, greedy-earliest is no longer optimal (a
     later funnel entry can succeed where the earliest entry's window
-    expired), so a horizon needs per-entry re-scans — a different
-    operator, not a flag on this one.
+    expired), so a horizon needs per-entry re-scans — that operator is
+    `funnel_counts_horizon` below, not a flag on this one.
+
+    `max_events_per_user` (optional): raise — naming the user — if any
+    user has more step-typed events than the cap, instead of building
+    an unbounded per-user array (see _cap_user_events).
     """
-    if len(steps) < 2:
-        raise ValueError(f"a funnel needs >= 2 steps, got {steps!r}")
-    if len(set(steps)) != len(steps):
-        raise ValueError(f"funnel steps must be distinct, got {steps!r}")
-    idx_expr = F.lit(None).cast("int")
-    for i, s in enumerate(reversed(steps)):
-        idx_expr = F.when(
-            F.col(type_col) == s, F.lit(len(steps) - i)
-        ).otherwise(idx_expr)
+    idx_expr = _steps_idx_expr(steps, type_col)
     # NULL-ts rows are excluded up front: inside the fold a NULL
     # timestamp would satisfy the stage-0 branch (no prior-time
     # comparison), consume the funnel entry with t=NULL, and then
     # block every later comparison as NULL — a silent dead funnel.
     per_user = (
-        events.filter(F.col(type_col).isin(steps) & F.col(ts_col).isNotNull())
-        .select(
-            F.col(user_col).alias("u"),
-            # cast at entry: TIMESTAMP_NTZ sources read the same wall
-            # clock under the UTC session, and the fold's accumulator
-            # is typed ARRAY<TIMESTAMP>
-            F.struct(
-                F.col(ts_col).cast("timestamp").alias("ts"),
-                idx_expr.alias("idx"),
-            ).alias("e"),
+        _cap_user_events(
+            events.filter(
+                F.col(type_col).isin(steps) & F.col(ts_col).isNotNull()
+            ).select(
+                F.col(user_col).alias("u"),
+                # cast at entry: TIMESTAMP_NTZ sources read the same wall
+                # clock under the UTC session, and the fold's accumulator
+                # is typed ARRAY<TIMESTAMP>
+                F.struct(
+                    F.col(ts_col).cast("timestamp").alias("ts"),
+                    idx_expr.alias("idx"),
+                ).alias("e"),
+            ),
+            max_events_per_user,
         )
         .groupBy("u")
         .agg(F.array_sort(F.collect_list("e")).alias("seq"))
@@ -161,6 +217,115 @@ def funnel_counts(
     )
 
 
+def funnel_counts_horizon(
+    events: DataFrame,
+    steps: list[str],
+    horizon: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_events_per_user: int | None = None,
+) -> DataFrame:
+    """Strict-order funnel with a completion time-horizon: step i
+    counts only if it happens strictly after step i-1 AND within
+    `horizon` (a Spark INTERVAL literal, e.g. "1 day") of the funnel
+    ENTRY (the step-1 event that opened this attempt).
+
+    Why this is a separate operator from `funnel_counts`: under a
+    horizon, greedy-earliest over one global pass is no longer
+    optimal — the earliest entry's window can expire while a LATER
+    entry completes the funnel, so every entry must be retried.  The
+    shape stays one shuffle: group step events per user, sort once,
+    then for EACH entry (step-1 occurrence) run the same greedy fold
+    restricted to (entry_ts, entry_ts + horizon] — greedy-earliest IS
+    optimal once the entry is fixed, because the deadline is measured
+    from the entry, not per-step.  A user's credited attempt is the
+    entry reaching the deepest step; ties take the EARLIEST entry.
+    Both bounds are deterministic: strictly-after on the previous
+    step, inclusive `<= entry + horizon` on the deadline (boundary
+    pinned in tests/test_sessions.py).
+
+    Output: (step, step_name, n_users, sum_lag_us) like
+    funnel_counts, where sum_lag_us sums the microsecond lag from the
+    credited entry — so the oracle checks WHICH entry and WHICH events
+    completed each step, not just counts.
+
+    Scale shape (100 TB): identical partitioning to funnel_counts —
+    filter pushed to the scan, ONE shuffle on user, everything after
+    is a JVM-side nested higher-order fold (transform over entries ×
+    aggregate over the sorted array, no Python).  Per-user cost is
+    O(entries × step_events): quadratic in the per-user STEP-event
+    count only, which `max_events_per_user` bounds loudly — at any
+    organic per-user cardinality (tens to thousands) this is
+    microseconds; the rollup after the explode groups on ≤ k step
+    ordinals.  Reference parity: none (reference is a MySQL batch
+    loader, warehouse.py:1-314); this is the SURVEY §2.2 analytics
+    extension the round-6 verdict scoped.
+    """
+    idx_expr = _steps_idx_expr(steps, type_col)
+    per_user = (
+        _cap_user_events(
+            events.filter(
+                F.col(type_col).isin(steps) & F.col(ts_col).isNotNull()
+            ).select(
+                F.col(user_col).alias("u"),
+                F.struct(
+                    F.col(ts_col).cast("timestamp").alias("ts"),
+                    idx_expr.alias("idx"),
+                ).alias("e"),
+            ),
+            max_events_per_user,
+        )
+        .groupBy("u")
+        .agg(F.array_sort(F.collect_list("e")).alias("seq"))
+    )
+    deadline_of = lambda entry_ts: entry_ts + F.expr(f"INTERVAL {horizon}")
+    # one fold per entry: stage 1 is the entry itself; each later step
+    # must be strictly after the previous AND inside the entry's window
+    attempts = F.transform(
+        F.filter("seq", lambda x: x["idx"] == 1),
+        lambda e: F.aggregate(
+            F.col("seq"),
+            F.array(e["ts"]),
+            lambda acc, x: F.when(
+                (x["idx"] == F.size(acc) + 1)
+                & (x["ts"] > F.element_at(acc, -1))
+                & (x["ts"] <= deadline_of(e["ts"])),
+                F.concat(acc, F.array(x["ts"])),
+            ).otherwise(acc),
+        ),
+    )
+    # deepest attempt wins; strict > keeps the EARLIEST entry on ties
+    # (entries are in ascending ts order after the sort)
+    best = F.aggregate(
+        attempts,
+        F.expr("CAST(array() AS ARRAY<TIMESTAMP>)"),
+        lambda b, c: F.when(F.size(c) > F.size(b), c).otherwise(b),
+    )
+    exploded = (
+        per_user.select(best.alias("r"))
+        .filter(F.size("r") > 0)
+        .select(
+            F.unix_micros(F.element_at("r", 1)).alias("t0"),
+            F.posexplode("r").alias("pos", "t"),
+        )
+    )
+    names = F.array(*[F.lit(s) for s in steps])
+    return (
+        exploded.groupBy((F.col("pos") + 1).alias("step"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.unix_micros("t") - F.col("t0")).alias("sum_lag_us"),
+        )
+        .select(
+            "step",
+            F.element_at(names, F.col("step").cast("int")).alias("step_name"),
+            "n_users",
+            "sum_lag_us",
+        )
+    )
+
+
 def cohort_retention(
     events: DataFrame,
     user_col: str = "user_id",
@@ -169,7 +334,8 @@ def cohort_retention(
 ) -> DataFrame:
     """Cohort retention — the second product-analytics staple beside
     funnel_counts: users are cohorted by the truncated `period`
-    ("week" = Monday-start, or "day") in which they FIRST appeared;
+    ("week" = Monday-start, "day", or "month") in which they FIRST
+    appeared;
     for each (cohort_week, week_offset), how many of them were
     active that period, with the cohort size alongside (all exact
     integers — consumers derive the retention fraction, so no float
@@ -188,7 +354,7 @@ def cohort_retention(
     arbitrary subplans).  Nothing here grows with raw event count
     except the two user-keyed passes.
     """
-    divisors = {"week": 7, "day": 1}
+    divisors = {"week": 7, "day": 1, "month": None}
     if period not in divisors:
         raise ValueError(f"period must be one of {sorted(divisors)}: {period!r}")
     # NULL-ts rows would form a NULL cohort/period cell; drop them
@@ -200,14 +366,20 @@ def cohort_retention(
         F.col(user_col).alias("u"),
         F.date_trunc(period, F.col(ts_col)).alias("week"),
     ).distinct()
+    if period == "month":
+        # months are not a fixed number of days, so the datediff trick
+        # breaks (a Jan-31 first-seen truncates to Jan-1; Feb activity
+        # must be offset 1 regardless of the 28/29/30/31-day gap).
+        # months_between on two month-start timestamps is exact whole
+        # months, so the int cast is lossless.
+        offset = F.months_between("week", "cohort_week").cast("int")
+    else:
+        offset = (
+            F.datediff("week", "cohort_week") / divisors[period]
+        ).cast("int")
     per_cell = (
         activity.join(firsts, "u")
-        .groupBy(
-            "cohort_week",
-            (F.datediff("week", "cohort_week") / divisors[period])
-            .cast("int")
-            .alias("week_offset"),
-        )
+        .groupBy("cohort_week", offset.alias("week_offset"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
     w = Window.partitionBy("cohort_week")

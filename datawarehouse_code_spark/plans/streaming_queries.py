@@ -359,6 +359,94 @@ FROM s4 JOIN s1 USING (user_id) GROUP BY 1, 2
 """
 
 
+def _events_funnel_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel with a completion time-horizon (operators/sessions.py
+    funnel_counts_horizon): view → click → purchase, where each step
+    must land within 8 hours of the funnel ENTRY.  Unlike the strict
+    funnel, a user's earliest entry can expire and a LATER view can
+    complete — the oracle retries every entry (per-entry min-cascade)
+    and credits the deepest attempt, earliest entry on ties, exactly
+    like the Spark fold.  At sf0.01: 110/150 users are credited to a
+    non-first entry, so the retry path is what's being checked.  The
+    per-user cap (100k step events) is the loud anti-bot guard — it
+    never trips on organic data."""
+    from datawarehouse_code_spark.operators.sessions import (
+        funnel_counts_horizon,
+    )
+
+    events = read_table(spark, "events", sf_dir)
+    return funnel_counts_horizon(
+        events,
+        ["view", "click", "purchase"],
+        "8 hours",
+        max_events_per_user=100_000,
+    )
+
+
+_FUNNEL_HORIZON_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, ts FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+), ent AS (
+  SELECT user_id, ts AS t1 FROM e WHERE event_type = 'view'
+), c2 AS (
+  SELECT ent.user_id, ent.t1, min(x.ts) AS t2
+  FROM ent LEFT JOIN e x
+    ON x.user_id = ent.user_id AND x.event_type = 'click'
+   AND x.ts > ent.t1 AND x.ts <= ent.t1 + INTERVAL '8 hours'
+  GROUP BY 1, 2
+), c3 AS (
+  SELECT c2.user_id, c2.t1, c2.t2, min(x.ts) AS t3
+  FROM c2 LEFT JOIN e x
+    ON x.user_id = c2.user_id AND x.event_type = 'purchase'
+   AND x.ts > c2.t2 AND x.ts <= c2.t1 + INTERVAL '8 hours'
+  GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT user_id, t1, t2, t3,
+         CASE WHEN t3 IS NOT NULL THEN 3
+              WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS stage,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY (CASE WHEN t3 IS NOT NULL THEN 3
+                          WHEN t2 IS NOT NULL THEN 2 ELSE 1 END) DESC,
+                    t1 ASC) AS rn
+  FROM c3
+), best AS (
+  SELECT * FROM ranked WHERE rn = 1
+)
+SELECT 1 AS step, 'view' AS step_name, count(*) AS n_users,
+       CAST(0 AS BIGINT) AS sum_lag_us
+FROM best GROUP BY 1, 2
+UNION ALL
+SELECT 2, 'click', count(*),
+       CAST(sum(epoch_us(t2) - epoch_us(t1)) AS BIGINT)
+FROM best WHERE stage >= 2 GROUP BY 1, 2
+UNION ALL
+SELECT 3, 'purchase', count(*),
+       CAST(sum(epoch_us(t3) - epoch_us(t1)) AS BIGINT)
+FROM best WHERE stage >= 3 GROUP BY 1, 2
+"""
+
+
+def _events_funnel_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver suite row: the strict-order funnel and the
+    time-horizon funnel, labeled — one oracle row covers both funnel
+    semantics (the constituents stay supplementary so their frozen
+    bench rows remain like-for-like)."""
+    strict = _events_funnel(spark, sf_dir)
+    horizon = _events_funnel_horizon(spark, sf_dir)
+    return strict.select(F.lit("strict").alias("variant"), "*").unionByName(
+        horizon.select(F.lit("horizon").alias("variant"), "*")
+    )
+
+
+_FUNNEL_SUITE_SQL = f"""
+SELECT 'strict' AS variant, * FROM ({_FUNNEL_SQL})
+UNION ALL
+SELECT 'horizon' AS variant, * FROM ({_FUNNEL_HORIZON_SQL})
+"""
+
+
 def _events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily purchase-cohort retention (operators/sessions.py
     cohort_retention): users cohorted by their first purchase DAY,
@@ -395,6 +483,64 @@ WITH p AS (
 )
 SELECT cohort_week, week_offset, n_users, n_cohort
 FROM per_cell JOIN sizes USING (cohort_week)
+"""
+
+
+def _orders_cohort_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-grain cohort retention over ORDERS (operators/sessions.py
+    cohort_retention, period="month"): customers cohorted by their
+    first-order month (o_orderdate spans 1995-2001, ~80 months of
+    cells), retained in each later month they ordered again.  Months
+    are not fixed-width, so this exercises the months_between offset
+    path the day/week grains cannot (the Jan-31 → Feb-1 boundary is
+    pinned in tests/test_sessions.py)."""
+    from datawarehouse_code_spark.operators.sessions import cohort_retention
+
+    orders = read_table(spark, "orders", sf_dir)
+    return cohort_retention(
+        orders, user_col="o_custkey", ts_col="o_orderdate", period="month"
+    )
+
+
+_COHORT_MONTH_SQL = """
+WITH p AS (
+  SELECT o_custkey AS user_id,
+         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS d
+  FROM orders
+), firsts AS (
+  SELECT user_id, min(d) AS cohort_week FROM p GROUP BY 1
+), activity AS (
+  SELECT DISTINCT user_id, d AS week FROM p
+), per_cell AS (
+  SELECT cohort_week,
+         CAST(date_diff('month', cohort_week, week) AS INT) AS week_offset,
+         count(*) AS n_users
+  FROM activity JOIN firsts USING (user_id)
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT cohort_week, count(*) AS n_cohort FROM firsts GROUP BY 1
+)
+SELECT cohort_week, week_offset, n_users, n_cohort
+FROM per_cell JOIN sizes USING (cohort_week)
+"""
+
+
+def _events_cohort_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver suite row: daily purchase-cohort retention (events) and
+    month-grain customer-cohort retention (orders), labeled — one
+    oracle row covers both grains; constituents stay supplementary so
+    the frozen events_cohort_retention bench row is like-for-like."""
+    day = _events_cohort_retention(spark, sf_dir)
+    month = _orders_cohort_month(spark, sf_dir)
+    return day.select(F.lit("day").alias("variant"), "*").unionByName(
+        month.select(F.lit("month").alias("variant"), "*")
+    )
+
+
+_COHORT_SUITE_SQL = f"""
+SELECT 'day' AS variant, * FROM ({_COHORT_SQL})
+UNION ALL
+SELECT 'month' AS variant, * FROM ({_COHORT_MONTH_SQL})
 """
 
 
@@ -467,12 +613,13 @@ STREAMING_QUERIES: list[Query] = [
           "§2.2 streaming: tumbling + sliding windows"),
     Query("events_session_suite", _events_session_suite, _SESSION_SUITE_SQL,
           "§2.2 streaming: session window + explicit sessionization, labeled"),
-    Query("events_funnel", _events_funnel, _FUNNEL_SQL,
-          "§2.2 analytics: strict-order funnel (single-pass fold, "
-          "integer-exact step lags)"),
-    Query("events_cohort_retention", _events_cohort_retention, _COHORT_SQL,
-          "§2.2 analytics: daily purchase-cohort retention "
-          "(co-partitioned user passes, all-integer cells)"),
+    Query("events_funnel_suite", _events_funnel_suite, _FUNNEL_SUITE_SQL,
+          "§2.2 analytics: strict-order + time-horizon funnels, labeled "
+          "(single-pass folds; horizon = per-entry retry, integer-exact "
+          "step lags)"),
+    Query("events_cohort_suite", _events_cohort_suite, _COHORT_SUITE_SQL,
+          "§2.2 analytics: daily purchase-cohort (events) + month-grain "
+          "customer-cohort (orders) retention, labeled"),
 ]
 
 # Suite constituents (benchable, not separate driver rows).
@@ -488,4 +635,14 @@ STREAMING_SUPPLEMENTARY: list[Query] = [
     Query("session_funnel", _session_funnel, _SESSION_FUNNEL_SQL,
           "§2.2 analytics: funnel within 30-min sessions (sessionize ∘ "
           "funnel composition; supplementary, differential-tested)"),
+    Query("events_funnel", _events_funnel, _FUNNEL_SQL,
+          "§2.2 analytics: strict-order funnel (in events_funnel_suite)"),
+    Query("events_funnel_horizon", _events_funnel_horizon, _FUNNEL_HORIZON_SQL,
+          "§2.2 analytics: time-horizon funnel (in events_funnel_suite)"),
+    Query("events_cohort_retention", _events_cohort_retention, _COHORT_SQL,
+          "§2.2 analytics: daily purchase-cohort retention "
+          "(in events_cohort_suite)"),
+    Query("orders_cohort_month", _orders_cohort_month, _COHORT_MONTH_SQL,
+          "§2.2 analytics: month-grain customer-cohort retention "
+          "(in events_cohort_suite)"),
 ]

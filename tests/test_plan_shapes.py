@@ -48,8 +48,11 @@ PLAN_BOUNDS = {
     "window_topk_products": (16, 17),
     "filter_topk_orders": (3, 2),
     "asof_join_events": (3, 3),
-    "events_funnel": (2, 3),
-    "events_cohort_retention": (3, 6),
+    # funnel suite = strict (1 scan / <=3 exch) + horizon (1 scan /
+    # <=3 exch incl. the cap window, which reuses the user exchange)
+    "events_funnel_suite": (3, 7),
+    # cohort suite = day-over-events (2/4-ish) + month-over-orders (2/4)
+    "events_cohort_suite": (5, 11),
     "corpus_split_leakage": (2, 4),
     "cdc_upsert_latest": (4, 3),
     "subquery_above_avg": (6, 4),

@@ -162,3 +162,137 @@ def test_cohort_retention_crafted(spark):
     }
     with pytest.raises(ValueError, match="period"):
         cohort_retention(df, period="fortnight")
+
+
+def test_funnel_horizon_retry_and_boundary(spark):
+    """The defining horizon cases: (1) the EARLIEST entry's window
+    expires but a later entry completes — the later entry is
+    credited (per-entry retry, the reason this is not a flag on
+    funnel_counts); (2) a step landing EXACTLY at entry+T counts
+    (inclusive deadline); (3) one microsecond past T does not;
+    (4) same-timestamp progress is still refused (strict order)."""
+    from datawarehouse_code_spark.operators.sessions import (
+        funnel_counts_horizon,
+    )
+
+    rows = [
+        # user 1: entry t=0 can't reach the click at t=120 within 60s,
+        # but entry t=100 can — and then the purchase at t=150
+        (1, "2024-01-01 00:00:00", "view"),
+        (1, "2024-01-01 00:01:40", "view"),     # t=100
+        (1, "2024-01-01 00:02:00", "click"),    # t=120
+        (1, "2024-01-01 00:02:30", "purchase"), # t=150
+        # user 2: click exactly at entry + 60s (inclusive boundary)
+        (2, "2024-01-01 00:00:00", "view"),
+        (2, "2024-01-01 00:01:00", "click"),
+        # user 3: click at entry + 60s + 1us (just outside)
+        (3, "2024-01-01 00:00:00", "view"),
+        (3, "2024-01-01 00:01:00.000001", "click"),
+        # user 4: click at the same timestamp as the view
+        (4, "2024-01-01 00:00:05", "view"),
+        (4, "2024-01-01 00:00:05", "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["step"]: (r["n_users"], r["sum_lag_us"])
+        for r in funnel_counts_horizon(
+            df, ["view", "click", "purchase"], "60 seconds"
+        ).collect()
+    }
+    assert out[1] == (4, 0)
+    # step 2: user 1 (20s from the CREDITED entry t=100) + user 2 (60s)
+    assert out[2] == (2, 20_000_000 + 60_000_000)
+    # step 3: user 1 only, 50s from the credited entry
+    assert out[3] == (1, 50_000_000)
+
+
+def test_funnel_horizon_unbounded_equals_strict(spark):
+    """Differential on the real fixture: with a horizon longer than
+    the data span, per-entry retry must reduce to greedy-earliest
+    (the earliest entry dominates every later one when no deadline
+    can expire), so the output equals funnel_counts row-for-row —
+    including the lag sums (ties credit the earliest entry)."""
+    from datawarehouse_code_spark.operators.sessions import (
+        funnel_counts,
+        funnel_counts_horizon,
+    )
+
+    events = read_table(spark, "events", SF_DIR)
+    steps = ["view", "click", "signup"]
+    strict = funnel_counts(events, steps)
+    horizon = funnel_counts_horizon(events, steps, "3650 days")
+    assert strict.exceptAll(horizon).count() == 0
+    assert horizon.exceptAll(strict).count() == 0
+
+
+def test_funnel_user_cap_raises_naming_user(spark):
+    """A planted bot user past max_events_per_user must fail the job
+    LOUDLY with the user named — not build the array (the 100 TB
+    failure mode is an unattributable executor OOM)."""
+    import pytest
+
+    from datawarehouse_code_spark.operators.sessions import funnel_counts
+
+    rows = [(1, f"2024-01-01 00:{m:02d}:{s:02d}", "a")
+            for m in range(5) for s in range(60)]  # 300 events: the bot
+    rows += [(2, "2024-01-01 00:00:01", "a"), (2, "2024-01-01 00:00:02", "b")]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    with pytest.raises(Exception, match="max_events_per_user=100.*user=1"):
+        funnel_counts(df, ["a", "b"], max_events_per_user=100).collect()
+
+    # under the cap the result is identical to the unguarded run
+    ok = funnel_counts(df, ["a", "b"], max_events_per_user=1000)
+    assert {r["step"]: r["n_users"] for r in ok.collect()} == {1: 2, 2: 1}
+
+
+def test_funnel_cap_keeps_single_exchange(spark):
+    """The cap's window partitions on the same key the groupBy hashes
+    on, so the guarded plan still has exactly ONE exchange — the
+    guard must not add a second shuffle at 100 TB."""
+    from datawarehouse_code_spark.operators.sessions import funnel_counts
+
+    events = read_table(spark, "events", SF_DIR)
+    out = funnel_counts(
+        events, ["view", "click", "purchase"], max_events_per_user=10**6
+    )
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("Exchange hashpartitioning")
+    # one exchange for the per-user pass + the final tiny rollup on
+    # step ordinals (<= k rows) — the user-keyed data moves ONCE
+    assert n <= 2, f"expected <=2 exchanges, got {n}:\n{plan}"
+
+
+def test_cohort_month_boundary_jan31(spark):
+    """Month grain: a Jan-31 first-seen user active Feb-1 and Mar-31
+    lands in offsets 0, 1, 2 — the fixed-divisor datediff trick
+    would misbin these (31-day and 60-day gaps), months_between on
+    truncated months cannot."""
+    from datawarehouse_code_spark.operators.sessions import cohort_retention
+
+    rows = [
+        (1, "2024-01-31 23:59:59"),
+        (1, "2024-02-01 00:00:01"),
+        (1, "2024-03-31 12:00:00"),
+        (2, "2024-02-29 10:00:00"),  # leap-day cohort
+        (2, "2024-03-01 10:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = {
+        (str(r["cohort_week"]), r["week_offset"]): (r["n_users"], r["n_cohort"])
+        for r in cohort_retention(df, period="month").collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", 0): (1, 1),
+        ("2024-01-01 00:00:00", 1): (1, 1),
+        ("2024-01-01 00:00:00", 2): (1, 1),
+        ("2024-02-01 00:00:00", 0): (1, 1),
+        ("2024-02-01 00:00:00", 1): (1, 1),
+    }
