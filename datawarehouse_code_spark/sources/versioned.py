@@ -21,31 +21,47 @@ lacks:
              attempt; no recovery step exists because no intermediate
              state is ever observable
 
-This is the 20-line core of what Iceberg/Delta snapshot logs provide;
-what it deliberately lacks: ANY multi-writer arbitration — the
-contract is ONE writer per table (a single maintenance job), which is
-how every function here is used.  Two concurrent writers can claim
-the same N, and write_version's debris-clearing (which exists so a
-crashed writer's retry can land) would delete the other's in-progress
-dir.  Concurrent writers need a real table format's commit log; this
-module will not pretend otherwise.  Also absent: row-level MERGE
-(see acid.py) and schema-evolution metadata (see
-catalog.read_evolving).
+This is the 20-line core of what Iceberg/Delta snapshot logs provide.
+Multi-writer arbitration (round 7): a writer never writes into v=N
+directly — it stages under a writer-unique dot-dir (invisible to
+readers and to version resolution), then CLAIMS a number by renaming
+the staged dir to v=N.  The rename is the test-and-set: exactly one
+writer can own v=N.  Because Hadoop's FileSystem.rename onto an
+existing directory is allowed to MOVE-INTO it (local FS) rather than
+fail (HDFS), winning is verified positively — the staged dir carries
+a `_WRITER-<id>` marker file, and the claim counts only if
+`v=N/_WRITER-<id>` exists afterwards; a loser un-nests its staging
+dir if it was moved inside the winner's version, re-resolves N, and
+retries.  Corollaries: a v=N dir now APPEARS atomically complete
+(_SUCCESS included) or not at all; write_version deletes nothing it
+does not own (the old debris-clearing is gone — claims simply go past
+every existing v-dir, committed or not); two concurrent maintenance
+jobs commit two distinct versions (pinned by test, including a real
+two-thread race).  Crashed writers leave only stale `.staging-*`
+dirs, which vacuum_versions clears past a retention age.
+
+Still absent by design: row-level MERGE (see acid.py) and
+schema-evolution metadata (see catalog.read_evolving).
 
 Scale: version resolution is one directory listing; vacuum deletes
 whole directories.  Storage cost = versions retained × table size —
-exactly the knob `keep` controls.
+exactly the knob `keep` controls.  The claim loop is driver-side
+metadata only (one rename + one exists per attempt); contention
+between M writers costs at most M(M-1)/2 extra renames, never a
+rewrite of data.
 """
 
 from __future__ import annotations
 
 import re
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 from datawarehouse_code_spark.sources.acid import _fs_for
 
 _V_RE = re.compile(r"^v=(\d+)$")
+_STAGING_PREFIX = ".staging-"
 
 
 def list_versions(spark: SparkSession, path: str) -> list[int]:
@@ -65,24 +81,104 @@ def list_versions(spark: SparkSession, path: str) -> list[int]:
     return sorted(out)
 
 
-def write_version(spark: SparkSession, df: DataFrame, path: str) -> int:
-    """Commit `df` as the next version and return its number.  The
-    version becomes visible only when Spark's committer writes the
-    _SUCCESS marker at the end — a crash before that leaves an
-    incomplete dir no reader resolves."""
-    versions = list_versions(spark, path)
-    n = (versions[-1] + 1) if versions else 0
-    # an UNCOMMITTED leftover at the claimed number is a crashed
-    # writer's debris (n is beyond every committed version by
-    # construction) — clear it so the retry can land; a committed dir
-    # can never be hit here, so data is never deleted
+def _all_version_numbers(spark: SparkSession, path: str) -> list[int]:
+    """EVERY v=N dir present, committed or not — the claim must go
+    past uncommitted legacy debris too, never delete it."""
+    fs, hpath = _fs_for(spark, path)
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for status in fs.listStatus(hpath):
+        m = _V_RE.match(status.getPath().getName())
+        if m and status.isDirectory():
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _stage(spark: SparkSession, df: DataFrame, path: str) -> tuple[str, str]:
+    """Write `df` (plus the writer marker) into a writer-unique
+    staging dot-dir.  Invisible to readers: list_versions only
+    matches v=N, and dot-dirs are skipped by parquet listings."""
+    writer_id = uuid.uuid4().hex
+    staging = f"{_STAGING_PREFIX}{writer_id}"
+    df.write.mode("error").parquet(f"{path}/{staging}")
     fs, hpath = _fs_for(spark, path)
     jvm = spark._jvm
-    vdir = jvm.org.apache.hadoop.fs.Path(hpath, f"v={n}")
-    if fs.exists(vdir):
-        fs.delete(vdir, True)
-    df.write.mode("error").parquet(f"{path}/v={n}")
-    return n
+    marker = jvm.org.apache.hadoop.fs.Path(
+        hpath, f"{staging}/_WRITER-{writer_id}"
+    )
+    fs.create(marker, True).close()
+    return staging, writer_id
+
+
+def _claim(
+    spark: SparkSession,
+    path: str,
+    staging: str,
+    writer_id: str,
+    first_n: int | None = None,
+    max_attempts: int = 64,
+) -> int:
+    """Rename-as-CAS: claim the next free v=N for an already-staged
+    dir.  Winning is verified by the presence of OUR writer marker
+    under v=N (rename onto an existing dir may move-into on local FS
+    instead of failing — the marker makes either semantic safe); a
+    loser un-nests its staging dir if needed, re-resolves N, retries.
+    `first_n` lets tests force the initial claim number to simulate
+    two writers racing for the same N."""
+    fs, hpath = _fs_for(spark, path)
+    jvm = spark._jvm
+    hadoop_path = jvm.org.apache.hadoop.fs.Path
+    src = hadoop_path(hpath, staging)
+    for attempt in range(max_attempts):
+        if first_n is not None and attempt == 0:
+            n = first_n
+        else:
+            existing = _all_version_numbers(spark, path)
+            n = (existing[-1] + 1) if existing else 0
+        vdir = hadoop_path(hpath, f"v={n}")
+        mine = hadoop_path(hpath, f"v={n}/_WRITER-{writer_id}")
+        # cheap pre-check narrows the race window; the marker check
+        # after the rename is what actually decides
+        if not fs.exists(vdir):
+            try:
+                fs.rename(src, vdir)
+            except Exception:
+                pass  # lost the race in a throwing FS implementation
+        if fs.exists(mine):
+            return n
+        # we lost: if the rename moved our staging INSIDE the winner's
+        # v=N (local-FS move-into semantics), pull it back out first
+        nested = hadoop_path(hpath, f"v={n}/{staging}")
+        if fs.exists(nested):
+            if not fs.rename(nested, src):
+                raise IOError(
+                    f"writer {writer_id}: cannot un-nest {staging} from "
+                    f"v={n} at {path}"
+                )
+        if not fs.exists(src):
+            raise IOError(
+                f"writer {writer_id}: staging dir {staging} vanished "
+                f"while claiming a version at {path}"
+            )
+    raise IOError(
+        f"writer {writer_id}: gave up claiming a version at {path} "
+        f"after {max_attempts} attempts"
+    )
+
+
+def write_version(spark: SparkSession, df: DataFrame, path: str) -> int:
+    """Commit `df` as the next version and return its number.
+
+    Two-phase: stage under a writer-unique dot-dir (data + _SUCCESS +
+    writer marker, invisible to readers), then claim v=N by rename —
+    the atomic test-and-set.  The version therefore appears to
+    readers complete-or-not-at-all; a crash during staging leaves
+    only a `.staging-*` dir (cleared by vacuum_versions past its
+    retention age); concurrent writers commit DISTINCT versions and
+    never touch each other's dirs — write_version deletes nothing."""
+    staging, writer_id = _stage(spark, df, path)
+    return _claim(spark, path, staging, writer_id)
 
 
 def read_version(
@@ -104,12 +200,20 @@ def read_version(
     return spark.read.parquet(f"{path}/v={version}")
 
 
-def vacuum_versions(spark: SparkSession, path: str, keep: int = 2) -> list[int]:
-    """Delete all but the newest `keep` committed versions (and any
-    incomplete leftovers older than the retention floor), returning
-    the deleted version numbers.  Readers pinned inside the retention
-    window are safe; pinning beyond it is the caller's contract to
-    avoid — the same retention semantics every table format ships."""
+def vacuum_versions(
+    spark: SparkSession,
+    path: str,
+    keep: int = 2,
+    stale_staging_ms: int = 24 * 3600 * 1000,
+) -> list[int]:
+    """Delete all but the newest `keep` committed versions, returning
+    the deleted version numbers; also clear `.staging-*` dirs whose
+    modification time is more than `stale_staging_ms` old (a crashed
+    writer's leftovers — live writers stage and claim within their
+    job, so a day-old staging dir has no owner).  Readers pinned
+    inside the retention window are safe; pinning beyond it is the
+    caller's contract to avoid — the same retention semantics every
+    table format ships."""
     if keep < 1:
         raise ValueError(f"keep must be >= 1: {keep}")
     versions = list_versions(spark, path)
@@ -118,6 +222,16 @@ def vacuum_versions(spark: SparkSession, path: str, keep: int = 2) -> list[int]:
     jvm = spark._jvm
     for n in doomed:
         fs.delete(jvm.org.apache.hadoop.fs.Path(hpath, f"v={n}"), True)
+    if fs.exists(hpath):
+        now = jvm.java.lang.System.currentTimeMillis()
+        for status in fs.listStatus(hpath):
+            name = status.getPath().getName()
+            if (
+                name.startswith(_STAGING_PREFIX)
+                and status.isDirectory()
+                and now - status.getModificationTime() > stale_staging_ms
+            ):
+                fs.delete(status.getPath(), True)
     return doomed
 
 

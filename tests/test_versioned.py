@@ -84,3 +84,100 @@ def test_compaction_preserves_content_reduces_files(spark, tmp_path):
 
     with pytest.raises(ValueError, match="nothing to compact"):
         compact_table(spark, str(tmp_path / "empty"))
+
+
+def test_interleaved_writers_claim_distinct_versions(spark, tmp_path):
+    """The round-7 CAS protocol, interleaved at the worst point: both
+    writers stage, BOTH resolve the same next version number, then
+    claim in sequence.  The loser must detect the lost rename via its
+    writer marker, un-nest if the FS moved it inside the winner's
+    dir, re-resolve, and land on the NEXT number — two distinct
+    committed versions, neither corrupted."""
+    from datawarehouse_code_spark.sources.versioned import _claim, _stage
+
+    path = str(tmp_path / "t")
+    write_version(spark, _mk(spark, 5, "base"), path)  # v=0
+
+    stag_a, id_a = _stage(spark, _mk(spark, 10, "a"), path)
+    stag_b, id_b = _stage(spark, _mk(spark, 20, "b"), path)
+    # both writers believe the next version is 1
+    n_a = _claim(spark, path, stag_a, id_a, first_n=1)
+    n_b = _claim(spark, path, stag_b, id_b, first_n=1)
+    assert {n_a, n_b} == {1, 2}
+    assert list_versions(spark, path) == [0, 1, 2]
+    by_tag = {
+        read_version(spark, path, n).select("tag").first()["tag"]: n
+        for n in (n_a, n_b)
+    }
+    assert read_version(spark, path, by_tag["a"]).count() == 10
+    assert read_version(spark, path, by_tag["b"]).count() == 20
+    # no staging debris left behind
+    assert not glob.glob(str(tmp_path / "t" / ".staging-*"))
+
+
+def test_concurrent_writers_real_race(spark, tmp_path):
+    """Two writers committing at the SAME time from two threads: both
+    must succeed with distinct version numbers and intact content
+    (the pre-round-7 protocol could delete the other's in-progress
+    dir here)."""
+    import threading
+
+    path = str(tmp_path / "t")
+    results: dict[str, int] = {}
+
+    def work(tag: str, n_rows: int) -> None:
+        results[tag] = write_version(spark, _mk(spark, n_rows, tag), path)
+
+    threads = [
+        threading.Thread(target=work, args=("a", 11)),
+        threading.Thread(target=work, args=("b", 22)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sorted(results.values()) == [0, 1]
+    counts = {
+        read_version(spark, path, n).first()["tag"]: read_version(
+            spark, path, n
+        ).count()
+        for n in results.values()
+    }
+    assert counts == {"a": 11, "b": 22}
+
+
+def test_write_version_never_deletes_foreign_dirs(spark, tmp_path):
+    """An UNCOMMITTED legacy v-dir (old-protocol crash debris) is
+    stepped past, not deleted — write_version owns only its own
+    staging dir."""
+    path = str(tmp_path / "t")
+    write_version(spark, _mk(spark, 5, "a"), path)  # v=0
+    debris = tmp_path / "t" / "v=7"
+    debris.mkdir()
+    (debris / "leftover.parquet").write_text("not actually parquet")
+
+    n = write_version(spark, _mk(spark, 6, "b"), path)
+    assert n == 8  # past ALL v-dirs, committed or not
+    assert (debris / "leftover.parquet").exists()  # untouched
+    assert list_versions(spark, path) == [0, 8]
+
+
+def test_vacuum_clears_stale_staging_only(spark, tmp_path):
+    """Vacuum removes crashed writers' staging dirs past the
+    retention age and leaves fresh ones (a live writer mid-stage)
+    alone."""
+    path = str(tmp_path / "t")
+    write_version(spark, _mk(spark, 5, "a"), path)
+    stale = tmp_path / "t" / ".staging-deadbeef"
+    stale.mkdir()
+    (stale / "part.parquet").write_text("x")
+    fresh = tmp_path / "t" / ".staging-cafe"
+    fresh.mkdir()
+
+    # default retention (24h): neither goes
+    vacuum_versions(spark, path, keep=1)
+    assert stale.exists() and fresh.exists()
+    # age out everything: both go, committed data untouched
+    vacuum_versions(spark, path, keep=1, stale_staging_ms=-1)
+    assert not stale.exists() and not fresh.exists()
+    assert read_version(spark, path).count() == 5
