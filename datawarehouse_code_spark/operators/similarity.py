@@ -14,8 +14,12 @@ Scale shapes:
 - The LSH variant buckets vectors by the sign pattern of `n_planes`
   random-hyperplane projections (deterministic hash-derived planes,
   no stored model), then searches only within a bucket:
-  cost O(|Q|·E[bucket]·d).  Recall is tuned by plane count and by
-  multi-table union (`n_tables`); production adds multi-probe.
+  cost O(|Q|·E[bucket]·d).  Recall is tuned by plane count, by
+  multi-table union (`n_tables`), and — the production recall/cost
+  knob — by query-side multi-probe (`n_probes`): flipping the
+  lowest-|margin| planes visits the likeliest alternative buckets,
+  buying ~p tables' recall for one table's corpus-side index cost
+  (tables multiply the INDEX, probes multiply only the queries).
 """
 
 from __future__ import annotations
@@ -39,8 +43,8 @@ from datawarehouse_code_spark.functions.scalars import (
 __all__ = [
     "as_double_array", "dot", "l2_norm", "cosine",
     "brute_force_topk", "lsh_topk", "ivf_topk", "embedding_near_dup_lsh",
-    "lsh_signature", "lsh_signatures_udf", "plane_matrices",
-    "kmeans_centroids",
+    "lsh_signature", "lsh_signatures_udf", "lsh_probe_sigs_udf",
+    "plane_matrices", "kmeans_centroids",
 ]
 
 
@@ -212,19 +216,85 @@ def lsh_signatures_udf(planes: np.ndarray):
     return _sigs
 
 
-def _lsh_bucketed(vecs: DataFrame, n_planes: int, n_tables: int, dim: int) -> DataFrame:
+def lsh_probe_sigs_udf(planes: np.ndarray, n_probes: int):
+    """Multi-probe signatures in one Arrow batch: for each table, the
+    base bucket FOLLOWED by the n_probes-1 single-bit-flip buckets of
+    the planes with the smallest |projection| — the standard
+    multi-probe perturbation order (a vector near a hyperplane is the
+    one whose true neighbors sit just across it, so flipping the
+    lowest-margin bits visits the likeliest alternative buckets
+    first).  Returns array<bigint> of length n_tables * n_probes,
+    probes contiguous per table.
+
+    Same parity discipline as lsh_signatures_udf: planes come from
+    plane_matrices' xxhash64 evaluation and dots use the cumsum
+    left-fold order, so probe-0 signatures are bit-identical to the
+    single-probe path.
+    """
+    n_tables, n_planes, _dim = planes.shape
+    if not (1 <= n_probes <= n_planes + 1):
+        raise ValueError(
+            f"n_probes must be in [1, n_planes+1={n_planes + 1}]: {n_probes}"
+        )
+    pow2 = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("array<bigint>")
+    def _probes(vec_lists: pd.Series) -> pd.Series:
+        vals = [None if v is None else np.asarray(v, dtype=np.float64)
+                for v in vec_lists]
+        live = [i for i, v in enumerate(vals) if v is not None]
+        out: list = [None] * len(vals)
+        if live:
+            V = np.vstack([vals[i] for i in live])  # (B, dim)
+            sigs = np.empty((V.shape[0], n_tables * n_probes), dtype=np.int64)
+            for t in range(n_tables):
+                dots = np.empty((V.shape[0], n_planes), dtype=np.float64)
+                for p in range(n_planes):
+                    dots[:, p] = np.cumsum(V * planes[t, p], axis=1)[:, -1]
+                bits = (dots > 0).astype(np.int64)
+                base = bits @ pow2
+                # ascending |margin|: flip the least-confident planes
+                order = np.argsort(np.abs(dots), axis=1, kind="stable")
+                sigs[:, t * n_probes] = base
+                for j in range(1, n_probes):
+                    flip = pow2[order[:, j - 1]]
+                    sigs[:, t * n_probes + j] = base ^ flip
+            for j, i in enumerate(live):
+                out[i] = sigs[j]
+        return pd.Series(out)
+
+    return _probes
+
+
+def _lsh_bucketed(
+    vecs: DataFrame,
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+    n_probes: int = 1,
+) -> DataFrame:
     """Vectors tagged with (tbl, sig) for each of `n_tables` hash
     tables — the shared bucketing step of lsh_topk and
     embedding_near_dup_lsh.  One narrow projection computes every
     table's signature (lsh_signatures_udf), then posexplode fans each
     vector out to its n_tables bucket rows — one scan of the corpus,
-    not one per table."""
+    not one per table.  With `n_probes` > 1 each vector additionally
+    lands in its multi-probe alternative buckets (query-side use:
+    probing multiplies only the bounded query set, never the
+    corpus)."""
     planes = plane_matrices(vecs.sparkSession, n_planes, dim, n_tables)
-    sigs = lsh_signatures_udf(planes)
+    if n_probes > 1:
+        sigs = lsh_probe_sigs_udf(planes, n_probes)
+    else:
+        sigs = lsh_signatures_udf(planes)
     return vecs.select(
         "vec_id", "v", "inv", sigs(F.col("v")).alias("sigs")
     ).select(
-        "vec_id", "v", "inv", F.posexplode("sigs").alias("tbl", "sig")
+        "vec_id", "v", "inv",
+        F.posexplode("sigs").alias("pos", "sig"),
+    ).select(
+        "vec_id", "v", "inv",
+        (F.col("pos") / n_probes).cast("int").alias("tbl"), "sig",
     )
 
 
@@ -235,14 +305,30 @@ def lsh_topk(
     n_planes: int = 6,
     n_tables: int = 2,
     dim: int = 64,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share an LSH bucket in at
-    least one hash table; exact cosine re-ranks within the union."""
+    least one hash table; exact cosine re-ranks within the union.
+
+    `n_probes` > 1 turns on query-side multi-probe: each query also
+    searches the n_probes-1 buckets reached by flipping its
+    lowest-|margin| planes (lsh_probe_sigs_udf).  This buys the
+    recall of extra hash tables WITHOUT their dominant cost — tables
+    multiply the CORPUS-side index rows and the join's build side,
+    probes multiply only the bounded query set, so 1 table × p probes
+    ≈ the recall of ~p tables at roughly 1/p the candidate-side work
+    (measured in tests/test_llm_operators.py recall-vs-cost)."""
     vecs = _with_inv_norm(
         embeddings.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
     )
     bucketed = _lsh_bucketed(vecs, n_planes, n_tables, dim)
-    q = bucketed.filter(F.col("vec_id") < max_query_id).select(
+    queries = vecs.filter(F.col("vec_id") < max_query_id)
+    q_bucketed = (
+        _lsh_bucketed(queries, n_planes, n_tables, dim, n_probes=n_probes)
+        if n_probes > 1
+        else bucketed.filter(F.col("vec_id") < max_query_id)
+    )
+    q = q_bucketed.select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
         F.col("inv").alias("inv_q"), "tbl", "sig",
     )

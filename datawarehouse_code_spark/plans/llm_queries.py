@@ -1210,8 +1210,13 @@ def _planted_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv = found(
         ivf_topk(emb_corpus), "query_id", "candidate_id", planted_q, "ivf_topk"
     )
+    # multi-probe since round 7: ONE hash table with 3 probes replaces
+    # the 2-table single-probe config — planted exact copies share the
+    # base bucket in any table (recall 1.0 preserved, enforced by this
+    # row's hash), while the corpus-side index work halves
     ls = found(
-        lsh_topk(emb_corpus), "query_id", "candidate_id", planted_q, "lsh_topk"
+        lsh_topk(emb_corpus, n_tables=1, n_probes=3),
+        "query_id", "candidate_id", planted_q, "lsh_topk",
     )
     return mh.unionByName(sh).unionByName(ed).unionByName(iv).unionByName(ls)
 
