@@ -269,3 +269,139 @@ def test_upsert_fallback_equals_simulated_merge(spark, tmp_path):
         assert got_a == got_b, "fallback and simulated MERGE diverged"
     # sanity: the merge actually exercised both match and insert paths
     assert {r[0] for r in got_a} == set(range(1, 41)) | {41, 50, 60, 61}
+
+
+# ---------------------------------------------------------------------------
+# scd2_apply's Delta branch is the one MERGE shape the upsert replay
+# above does not cover: a 2-branch source (close-rows match their open
+# target version, open-rows match nothing) merged on (key, valid_from).
+# Same doctrine: replay a multi-round SCD2 load through (a) the shipped
+# parquet fallback (full scd2_merge + staged overwrite) and (b) an
+# independent file-level simulated MERGE that does physically what
+# Delta's whenMatchedUpdateAll/whenNotMatchedInsertAll would — rewrite
+# only files containing matched (key, valid_from) rows, append one file
+# for the inserts — with the change set computed EXACTLY as the Delta
+# branch computes it (sources/acid.py scd2_apply: merged filtered to
+# valid_to == load_date OR valid_from == load_date).  Equality after
+# every round pins fallback ≡ MERGE; a same-date replay pins the
+# documented idempotence claim.
+
+
+def _scd2_arrow_schema():
+    import pyarrow as pa
+
+    # explicit schema: an all-NULL valid_to column must stay DATE
+    # through the file rewrites (pandas would degrade it to null/int)
+    return pa.schema(
+        [("id", pa.int64()), ("city", pa.string()), ("tier", pa.string()),
+         ("valid_from", pa.date32()), ("valid_to", pa.date32()),
+         ("is_current", pa.bool_())]
+    )
+
+
+def _simulated_scd2_file_merge(table_dir: Path, changes: "list[dict]", cols):
+    """Reference MERGE on parquet files via pyarrow, merge key =
+    (id, valid_from): matched rows are replaced in place (update-all),
+    unmatched change rows land in one new file (insert-all)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = _scd2_arrow_schema()
+    upd = {(c["id"], c["valid_from"]): c for c in changes}
+    matched = set()
+    for f in sorted(table_dir.glob("*.parquet")):
+        rows, hit = [], False
+        for d in pq.read_table(f).to_pylist():
+            mk = (d["id"], d["valid_from"])
+            if mk in upd:
+                rows.append(upd[mk])
+                matched.add(mk)
+                hit = True
+            else:
+                rows.append(d)
+        if hit:
+            pq.write_table(pa.Table.from_pylist(rows, schema=schema), f)
+    inserts = [c for mk, c in upd.items() if mk not in matched]
+    if inserts:
+        n = len(list(table_dir.glob("*.parquet")))
+        pq.write_table(
+            pa.Table.from_pylist(inserts, schema=schema),
+            table_dir / f"part-insert-{n:05d}.parquet",
+        )
+
+
+def test_scd2_apply_fallback_equals_simulated_merge(spark, tmp_path):
+    """Three SCD2 loads (changes + new keys + an unchanged majority),
+    then a same-date replay: after every step the parquet-fallback
+    table equals the file-level simulated 2-branch MERGE table."""
+    from datawarehouse_code_spark.operators.scd import scd2_init, scd2_merge
+    from datawarehouse_code_spark.sources.acid import scd2_apply
+
+    if delta_available(spark):
+        pytest.skip("Delta present; fallback branch not taken")
+
+    def snap_df(rows):
+        return spark.createDataFrame(rows, "id BIGINT, city STRING, tier STRING")
+
+    base = [(i, "nyc" if i % 3 else "sfo", "t1") for i in range(1, 21)]
+    a = str(tmp_path / "fallback")
+    scd2_init(snap_df(base), "2024-01-01").repartition(4, "id").write.parquet(a)
+    b = tmp_path / "simulated"
+    b.mkdir()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = _scd2_arrow_schema()
+    for i, f in enumerate(sorted((tmp_path / "fallback").glob("*.parquet"))):
+        tbl = pq.read_table(f)
+        pq.write_table(
+            pa.Table.from_pylist(tbl.to_pylist(), schema=schema),
+            b / f"part-{i:05d}.parquet",
+        )
+    cols = ["id", "city", "tier", "valid_from", "valid_to", "is_current"]
+
+    def rows_of(city_moves, new_ids, tier_ups):
+        out = []
+        for i, c, t in base:
+            city = city_moves.get(i, c)
+            tier = tier_ups.get(i, t)
+            out.append((i, city, tier))
+        out += [(i, "ber", "t3") for i in new_ids]
+        return out
+
+    rounds = [
+        ("2024-02-01", rows_of({2: "la", 5: "la"}, [21], {})),
+        # move a previously-changed key again + a new key + tier change
+        ("2024-03-01", rows_of({2: "chi"}, [21, 22], {7: "t2"})),
+        # replay round 2 verbatim: MERGE idempotence (matched rows
+        # update to identical values, nothing inserts)
+        ("2024-03-01", rows_of({2: "chi"}, [21, 22], {7: "t2"})),
+    ]
+    for load_date, rows in rounds:
+        snapshot = snap_df(rows)
+        assert scd2_apply(
+            spark, a, snapshot, ["id"], ["city", "tier"], load_date
+        ) == "parquet"
+
+        # the change set, computed exactly as the Delta branch does
+        sim_dim = spark.read.parquet(str(b))
+        merged = scd2_merge(sim_dim, snapshot, ["id"], ["city", "tier"], load_date)
+        ld = F.to_date(F.lit(load_date))
+        changes = [
+            r.asDict()
+            for r in merged.filter(
+                F.col("valid_to").eqNullSafe(ld) | (F.col("valid_from") == ld)
+            ).collect()
+        ]
+        _simulated_scd2_file_merge(b, changes, cols)
+
+        got_a = {tuple(r) for r in spark.read.parquet(a).collect()}
+        got_b = {tuple(r) for r in spark.read.parquet(str(b)).collect()}
+        assert got_a == got_b, f"diverged at load {load_date}"
+
+    # the history actually exercised every branch: closed versions for
+    # 2 (twice), 5, 7; open rows for the new keys; carried majority
+    final = spark.read.parquet(a)
+    assert final.filter(~F.col("is_current")).count() == 5
+    assert final.filter(F.col("id") == 2).count() == 3
+    assert final.count() == 22 + 5
