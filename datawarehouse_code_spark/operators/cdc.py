@@ -99,6 +99,15 @@ def table_diff(
     missing = [c for c in compare_cols if c not in old.columns]
     if missing:
         raise ValueError(f"compare_cols absent from old side: {missing}")
+    overlap = [c for c in compare_cols if c in keys]
+    if overlap:
+        # a key in compare_cols would emit duplicate output column
+        # names (key alias + value alias collide) and only fail
+        # downstream as an ambiguous reference — reject it here
+        raise ValueError(
+            f"compare_cols overlap keys {overlap}; keys identify rows "
+            "and cannot also be compared values"
+        )
     # presence markers, not key-NULL probes: a row whose KEY is NULL
     # is still a row (eqNullSafe matches NULL keys), and testing
     # o.key IS NOT NULL would misclassify it as absent

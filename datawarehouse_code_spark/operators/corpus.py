@@ -235,18 +235,35 @@ def stratified_hash_sample(
     return df.filter(knuth_u(key_col) < rate)
 
 
+def knuth_hash(key_col: str) -> F.Column:
+    """((key mod 2³¹) · 2654435761) mod 2³² — the integer Knuth
+    multiplicative hash every deterministic sampling/split operator
+    here draws from.  THE single definition: knuth_u,
+    assign_splits_leakage_safe, and deterministic_group_sample all
+    call this, and the DuckDB oracle strings are generated from
+    knuth_hash_sql below — the cross-engine contract requires the
+    copies to stay bit-identical, so there are no copies."""
+    return F.pmod(
+        F.pmod(F.col(key_col), F.lit(2**31)) * F.lit(2654435761),
+        F.lit(2**32),
+    )
+
+
+def knuth_hash_sql(expr: str) -> str:
+    """The same hash as an ANSI/DuckDB SQL fragment (SQL % is signed
+    remainder, so the positive mod is spelled out)."""
+    return (
+        f"((({expr} % 2147483648 + 2147483648) % 2147483648) "
+        "* 2654435761) % 4294967296"
+    )
+
+
 def knuth_u(key_col: str) -> F.Column:
     """Uniform-ish u ∈ [0,1) as a pure function of an integer key:
-    ((key mod 2³¹) · 2654435761 mod 2³²) / 2³² — the deterministic
-    sampling coin shared by stratified_hash_sample / mixture_resample
-    and replayed exactly by the DuckDB oracles."""
-    return (
-        F.pmod(
-            F.pmod(F.col(key_col), F.lit(2**31)) * F.lit(2654435761),
-            F.lit(2**32),
-        )
-        / F.lit(float(2**32))
-    )
+    knuth_hash / 2³² — the deterministic sampling coin shared by
+    stratified_hash_sample / mixture_resample and replayed exactly by
+    the DuckDB oracles."""
+    return knuth_hash(key_col) / F.lit(float(2**32))
 
 
 def assign_splits_leakage_safe(
@@ -270,9 +287,16 @@ def assign_splits_leakage_safe(
     deterministic Knuth coin on group_id (knuth_u) against the
     cumulative split weights.  The coin is a pure function of
     group_id, so the assignment is reproducible across runs,
-    partitionings, and engines (the DuckDB oracle replays it), and
-    STABLE under corpus growth: adding documents never moves an
-    existing group to a different split (only weight changes do).
+    partitionings, and engines (the DuckDB oracle replays it).
+
+    Stability caveat: growth stability holds only while new documents
+    do NOT merge existing components — a new doc bridging two
+    components merges them under the smaller rep, changing group_id
+    (and possibly the split) for every doc in the larger-rep
+    component.  Consumers needing frozen eval sets should PIN val/
+    test membership from a snapshot of this assignment rather than
+    recompute over a grown corpus; weight changes likewise reassign
+    boundary groups.
 
     Scale shape: the component table covers only docs that appear in
     a pair (≪ corpus), so the assignment join broadcasts; everything
@@ -294,10 +318,7 @@ def assign_splits_leakage_safe(
     # fractions — a float bound like 0.9+0.05 differs between Python
     # accumulation and a SQL literal in the last ulp, and a boundary
     # group could flip splits between engines.  Integers can't drift.
-    khash = F.pmod(
-        F.pmod(F.col("group_id"), F.lit(2**31)) * F.lit(2654435761),
-        F.lit(2**32),
-    )
+    khash = knuth_hash("group_id")
     bounds = split_hash_bounds(splits)
     split_expr = F.lit(bounds[-1][0])
     for name, bound in reversed(bounds[:-1]):
@@ -642,9 +663,7 @@ def deterministic_group_sample(
 
     if k <= 0:
         raise ValueError(f"k must be positive: {k}")
-    khash = F.pmod(
-        F.pmod(F.col(key_col), F.lit(2**31)) * F.lit(2654435761), F.lit(2**32)
-    )
+    khash = knuth_hash(key_col)
     w = Window.partitionBy(*group_cols).orderBy(
         khash.asc(), F.col(key_col).asc()
     )

@@ -31,6 +31,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _local_path(file_path: str) -> str:
+    """_metadata.file_path URI -> a path pyarrow can open (file: URIs
+    only; object stores would go through a filesystem handler)."""
+    return file_path[5:] if file_path.startswith("file:") else file_path
 
 
 def morton_interleave(bucket_cols: list[Column], bits: int) -> Column:
@@ -61,6 +68,7 @@ def zorder_write(
     n_files: int = 64,
     bits: int = 16,
     bounds: dict[str, tuple[float, float]] | None = None,
+    writer_options: dict[str, str] | None = None,
 ) -> None:
     """Write `df` as parquet clustered by the Z-order of `cols`.
 
@@ -106,14 +114,19 @@ def zorder_write(
                        F.lit(0))
         )
     z = morton_interleave(buckets, bits).alias("_z")
-    (
+    writer = (
         df.withColumn("_z", z)
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
         .drop("_z")
         .write.mode("overwrite")
-        .parquet(path)
     )
+    # e.g. {"parquet.block.size": ...} to control row-group sizing —
+    # smaller row groups sharpen row-group-level skipping at the cost
+    # of compression ratio and footer size
+    if writer_options:
+        writer = writer.options(**writer_options)
+    writer.parquet(path)
 
 
 def collect_file_stats(
@@ -195,12 +208,187 @@ def read_pruned(
     """
     files = prune_files(manifest, predicates)
     full = spark.read.parquet(path)
+    cond = _interval_cond(predicates)
+    if not files:
+        return full.filter(F.lit(False))
+    _assert_unpartitioned(spark, full, files[0])
+    return spark.read.schema(full.schema).parquet(*files).filter(cond)
+
+
+def _interval_cond(predicates: dict[str, tuple[object, object]]) -> Column:
     cond = F.lit(True)
     for c, (lo, hi) in predicates.items():
         if lo is not None:
             cond = cond & (F.col(c) >= F.lit(lo))
         if hi is not None:
             cond = cond & (F.col(c) <= F.lit(hi))
-    if not files:
+    return cond
+
+
+def _assert_unpartitioned(spark: "SparkSession", full: DataFrame, one_file: str) -> None:
+    """Per-file reads return hive-partition columns (which live in
+    directory names, not file bytes) as all-NULL while the full-scan
+    path populates them — a silent semantic divergence.  Guard: every
+    logical column must exist physically in the files (one footer
+    read), else raise; zorder_write output is always unpartitioned."""
+    physical = {f.name for f in spark.read.parquet(one_file).schema.fields}
+    missing = [c for c in full.schema.names if c not in physical]
+    if missing:
+        raise ValueError(
+            f"pruned per-file reads cannot reconstruct hive-partition "
+            f"columns {missing}; read_pruned/read_pruned_rowgroups "
+            "require an unpartitioned layout (zorder_write output)"
+        )
+
+
+def collect_rowgroup_stats(
+    spark: "SparkSession", path: str, cols: list[str]
+) -> DataFrame:
+    """Per-ROW-GROUP (min, max, n_nulls, n_rows) for each of `cols` —
+    one granularity below collect_file_stats.  On a Z-ordered table a
+    file spans a contiguous z-range but each of its row groups spans a
+    SUB-range, so row-group stats typically skip several times more
+    data for the same band predicate, with readers untouched.
+
+    Built distributedly like the file manifest: the file LIST comes
+    from the scan's `_metadata` column, then each task walks its
+    files' parquet footers with pyarrow (footer bytes only — never
+    data pages, never through the driver).  Schema: file_path, rg,
+    n_rows, then per column c: mn_{c}, mx_{c}, nulls_{c} (typed as
+    the source column; NULL stats where the footer has none).
+    """
+    if not cols:
+        raise ValueError("collect_rowgroup_stats needs at least one column")
+    full = spark.read.parquet(path)
+    fields = [
+        T.StructField("file_path", T.StringType()),
+        T.StructField("rg", T.IntegerType()),
+        T.StructField("n_rows", T.LongType()),
+    ]
+    for c in cols:
+        t = full.schema[c].dataType
+        fields += [
+            T.StructField(f"mn_{c}", t),
+            T.StructField(f"mx_{c}", t),
+            T.StructField(f"nulls_{c}", T.LongType()),
+        ]
+    out_schema = T.StructType(fields)
+    names = [f.name for f in fields]
+    files = full.select(
+        F.col("_metadata.file_path").alias("file_path")
+    ).distinct()
+
+    def walk(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for fp in pdf["file_path"]:
+                md = pq.ParquetFile(_local_path(fp)).metadata
+                idx = {
+                    md.schema.column(i).path: i for i in range(md.num_columns)
+                }
+                for rg in range(md.num_row_groups):
+                    rgm = md.row_group(rg)
+                    row = {"file_path": fp, "rg": rg, "n_rows": rgm.num_rows}
+                    for c in cols:
+                        st = rgm.column(idx[c]).statistics
+                        has = st is not None and st.has_min_max
+                        row[f"mn_{c}"] = st.min if has else None
+                        row[f"mx_{c}"] = st.max if has else None
+                        row[f"nulls_{c}"] = (
+                            st.null_count
+                            if st is not None and st.has_null_count
+                            else None
+                        )
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=names)
+
+    return files.repartition(32).mapInPandas(walk, out_schema)
+
+
+def prune_rowgroups(
+    rg_manifest: DataFrame, predicates: dict[str, tuple[object, object]]
+) -> list[tuple[str, int]]:
+    """(file_path, rg) pairs that might satisfy every interval
+    predicate — same survival rule as prune_files, one level finer.
+    The collect is the surviving row-group LIST (manifest-sized)."""
+    keep = rg_manifest
+    for c, (lo, hi) in predicates.items():
+        if f"mn_{c}" not in rg_manifest.columns:
+            raise ValueError(f"row-group manifest has no stats for {c!r}")
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(f"mx_{c}") >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(f"mn_{c}") <= F.lit(hi))
+        keep = keep.filter(cond | F.col(f"mn_{c}").isNull())
+    return [
+        (r["file_path"], r["rg"])
+        for r in keep.select("file_path", "rg").collect()
+    ]
+
+
+def read_pruned_rowgroups(
+    spark: "SparkSession",
+    path: str,
+    rg_manifest: DataFrame,
+    predicates: dict[str, tuple[object, object]],
+) -> DataFrame:
+    """Read only the ROW GROUPS the manifest can't rule out, then
+    apply the predicates row-level.  Equals the full-scan filter
+    exactly (pytest asserts it).
+
+    Split read: files whose every row group survives go through the
+    ordinary vectorized Spark parquet reader; partially-surviving
+    files are read row-group-selectively by distributed pyarrow tasks
+    (mapInPandas over the (file, row-groups) pairs — each task opens
+    its own file, bytes never touch the driver).  The Arrow path
+    covers only the boundary files of a band predicate, so almost all
+    data still moves through the JVM fast path.
+    """
+    full = spark.read.parquet(path)
+    survivors = prune_rowgroups(rg_manifest, predicates)
+    cond = _interval_cond(predicates)
+    if not survivors:
         return full.filter(F.lit(False))
-    return spark.read.schema(full.schema).parquet(*files).filter(cond)
+    n_rgs = {
+        r["file_path"]: r["n"]
+        for r in rg_manifest.groupBy("file_path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    by_file: dict[str, list[int]] = {}
+    for fp, rg in survivors:
+        by_file.setdefault(fp, []).append(rg)
+    whole = sorted(fp for fp, rgs in by_file.items() if len(rgs) == n_rgs[fp])
+    partial = sorted(
+        (fp, sorted(rgs)) for fp, rgs in by_file.items() if len(rgs) < n_rgs[fp]
+    )
+    _assert_unpartitioned(spark, full, survivors[0][0])
+    names = full.schema.names
+    parts: list[DataFrame] = []
+    if whole:
+        parts.append(spark.read.schema(full.schema).parquet(*whole))
+    if partial:
+        pairs = spark.createDataFrame(
+            [(fp, rgs) for fp, rgs in partial],
+            "file_path string, rgs array<int>",
+        ).repartition(min(len(partial), 32))
+
+        def read_rgs(batches):
+            import pyarrow.parquet as pq
+
+            for pdf in batches:
+                for fp, rgs in zip(pdf["file_path"], pdf["rgs"]):
+                    tbl = pq.ParquetFile(_local_path(fp)).read_row_groups(
+                        [int(g) for g in rgs], columns=names
+                    )
+                    yield tbl.to_pandas()[names]
+
+        parts.append(pairs.mapInPandas(read_rgs, full.schema))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.filter(cond)

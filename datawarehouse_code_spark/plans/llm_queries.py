@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from datawarehouse_code_spark.operators.corpus import knuth_hash_sql
 from datawarehouse_code_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_dup_lsh,
@@ -248,8 +249,7 @@ WITH RECURSIVE w AS (
   FROM documents d LEFT JOIN rep ON rep.doc_id = d.doc_id
 ), coin AS (
   SELECT doc_id, group_id,
-         (((group_id % 2147483648 + 2147483648) % 2147483648)
-          * 2654435761) % 4294967296 AS khash
+         {knuth_hash_sql('group_id')} AS khash
   FROM g
 )
 SELECT doc_id, group_id, {{split_case}} AS split
@@ -375,7 +375,7 @@ def _docs_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.select("doc_id", "lang", "source", "n_chars")
 
 
-_MIXTURE_SQL = """
+_MIXTURE_SQL = f"""
 WITH tgt AS (
   SELECT * FROM (VALUES
     ('en', CAST(0.5 AS DOUBLE)),
@@ -392,18 +392,16 @@ WITH tgt AS (
 )
 SELECT d.doc_id, d.lang, d.source, d.n_chars
 FROM documents d JOIN rates r USING (lang)
-WHERE ((((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761)
-       % 4294967296) / 4294967296.0 < r.rate
+WHERE ({knuth_hash_sql('doc_id')}) / 4294967296.0 < r.rate
 """
 
 
 # The double-mod makes the key term non-negative for negative ids too
 # (DuckDB's % is sign-preserving; Spark-side pmod is non-negative).
-_STRATIFIED_SQL = """
+_STRATIFIED_SQL = f"""
 SELECT doc_id, lang, source, n_chars
 FROM documents
-WHERE (((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761)
-      % 4294967296
+WHERE {knuth_hash_sql('doc_id')}
       < (CASE WHEN lang = 'en' THEN 0.5 ELSE 1.0 END) * 4294967296
 """
 
@@ -1586,13 +1584,12 @@ def _docs_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GROUP_SAMPLE_SQL = """
+_GROUP_SAMPLE_SQL = f"""
 SELECT doc_id, lang, source FROM (
   SELECT doc_id, lang, source,
          row_number() OVER (
            PARTITION BY lang
-           ORDER BY (((doc_id % 2147483648 + 2147483648) % 2147483648)
-                     * 2654435761) % 4294967296 ASC,
+           ORDER BY {knuth_hash_sql('doc_id')} ASC,
                     doc_id ASC
          ) AS rk
   FROM documents

@@ -309,3 +309,7 @@ def test_table_diff_null_keys_and_values(spark):
 
     with pytest.raises(ValueError, match="absent from old"):
         table_diff(old, new.withColumn("extra", F.lit(1)), ["k"])
+    # a key passed as a compare column would collide output column
+    # names downstream — rejected up front, naming the overlap
+    with pytest.raises(ValueError, match="overlap keys \\['k'\\]"):
+        table_diff(old, new, ["k"], compare_cols=["k", "v"])

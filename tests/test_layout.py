@@ -143,3 +143,109 @@ def test_manifest_pruned_read_equals_full_scan(spark, tmp_path):
     none = read_pruned(spark, zpath, manifest, {"l_suppkey": (10**9, None)})
     assert none.count() == 0
     assert none.schema == spark.read.parquet(zpath).schema
+
+
+def test_rowgroup_manifest_matches_footers_and_outprunes_files(spark, tmp_path):
+    """Row-group-granularity skipping (round 7): (a) the distributed
+    row-group manifest agrees with the parquet footers row-group for
+    row-group; (b) a band predicate on the Z-ordered table keeps
+    FEWER row groups than 'every row group of every surviving file' —
+    the extra skipping file-level stats cannot see; (c) the
+    row-group-pruned read equals the full-scan filter exactly,
+    exercising both the whole-file JVM path and the partial-file
+    Arrow path."""
+    from datawarehouse_code_spark.operators.layout import (
+        collect_file_stats,
+        collect_rowgroup_stats,
+        prune_files,
+        prune_rowgroups,
+        read_pruned_rowgroups,
+    )
+
+    li = read_table(spark, "lineitem", SF_DIR).select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    zpath = str(tmp_path / "zorder")
+    # small row groups: several per file, so row-group pruning has
+    # something to win inside a surviving file
+    zorder_write(
+        li, zpath, ["l_orderkey", "l_suppkey"], n_files=4,
+        writer_options={"parquet.block.size": str(4 * 1024)},
+    )
+
+    rgm = collect_rowgroup_stats(spark, zpath, ["l_orderkey", "l_suppkey"])
+    rows = {(r["file_path"], r["rg"]): r for r in rgm.collect()}
+    # footer truth, row group by row group
+    import glob
+
+    n_footer_rgs = 0
+    for f in glob.glob(f"{zpath}/*.parquet"):
+        pf = pq.ParquetFile(f)
+        idx = pf.schema_arrow.get_field_index("l_suppkey")
+        for g in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(g).column(idx).statistics
+            key = next(k for k in rows if k[0].endswith(f.split("/")[-1]) and k[1] == g)
+            assert rows[key]["mn_l_suppkey"] == st.min
+            assert rows[key]["mx_l_suppkey"] == st.max
+            assert rows[key]["n_rows"] == pf.metadata.row_group(g).num_rows
+            n_footer_rgs += 1
+    assert len(rows) == n_footer_rgs > 4  # multiple row groups per file
+
+    preds = {"l_suppkey": (1, 5)}
+    manifest = collect_file_stats(spark, zpath, ["l_orderkey", "l_suppkey"])
+    kept_files = prune_files(manifest, preds)
+    kept_rgs = prune_rowgroups(rgm, preds)
+    rgs_in_kept_files = sum(
+        1 for (fp, _g) in rows if fp in set(kept_files)
+    )
+    assert kept_rgs, "band predicate must keep something"
+    assert len(kept_rgs) < rgs_in_kept_files, (
+        f"row-group stats must out-prune file stats: kept "
+        f"{len(kept_rgs)} rgs vs {rgs_in_kept_files} rgs in kept files"
+    )
+    # at least one file survives PARTIALLY (the Arrow read path)
+    from collections import Counter
+
+    per_file = Counter(fp for fp, _g in kept_rgs)
+    total_per_file = Counter(fp for fp, _g in rows)
+    assert any(per_file[fp] < total_per_file[fp] for fp in per_file)
+
+    got = sorted(
+        tuple(r)
+        for r in read_pruned_rowgroups(spark, zpath, rgm, preds).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in spark.read.parquet(zpath)
+        .filter(F.col("l_suppkey").between(1, 5))
+        .collect()
+    )
+    assert got == want and got
+
+    # empty-survivor band returns an empty, correctly-typed frame
+    nothing = read_pruned_rowgroups(
+        spark, zpath, rgm, {"l_suppkey": (10**9, 10**9 + 1)}
+    )
+    assert nothing.count() == 0
+    assert nothing.schema == spark.read.parquet(zpath).schema
+
+
+def test_read_pruned_rejects_hive_partitioned_layout(spark, tmp_path):
+    """ADVICE guard: per-file reads would silently NULL
+    hive-partition columns; both pruned readers must refuse the
+    layout loudly instead."""
+    import pytest
+
+    from datawarehouse_code_spark.operators.layout import (
+        collect_file_stats,
+        read_pruned,
+    )
+
+    li = read_table(spark, "lineitem", SF_DIR).select(
+        "l_orderkey", "l_suppkey", "l_linestatus"
+    )
+    path = str(tmp_path / "parted")
+    li.write.partitionBy("l_linestatus").parquet(path)
+    manifest = collect_file_stats(spark, path, ["l_suppkey"])
+    with pytest.raises(ValueError, match="hive-partition"):
+        read_pruned(spark, path, manifest, {"l_suppkey": (1, 5)}).collect()
