@@ -142,6 +142,9 @@ HEADLINE = [
     # round freezes them)
     "events_funnel_suite",
     "events_cohort_suite",
+    "orders_daily_gapfill",
+    "events_transitions",
+    "docs_duplicate_spans",
 ]
 
 

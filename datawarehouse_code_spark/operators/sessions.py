@@ -326,6 +326,52 @@ def funnel_counts_horizon(
     )
 
 
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """First-order journey analysis: how often does event type A
+    immediately precede event type B within a user's timeline — the
+    empirical Markov transition table behind "what do users do after
+    X" product questions and next-event features for behavioural
+    models.
+
+    Output: (prev_type, next_type, n_transitions, p_bp) where p_bp =
+    integer basis points of prev_type's outgoing transitions
+    (div(n·10⁴, total) — integer division in both engines, so no
+    float crosses the oracle boundary).
+
+    Scale shape: ONE shuffle (the lag window on user), then a
+    rollup on (prev, next) — at most |types|² rows — and a window
+    over prev on that tiny table.  Ties on ts are ordered by
+    `tiebreak` for a deterministic sequence.
+    """
+    order = [F.col(ts_col).asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        events.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.lag(type_col).over(w).alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    tot = F.sum("n_transitions").over(Window.partitionBy("prev_type"))
+    return (
+        counts.withColumn("_tot", tot)
+        .withColumn("p_bp", F.expr("(n_transitions * 10000) div _tot"))
+        .drop("_tot")
+    )
+
+
 def cohort_retention(
     events: DataFrame,
     user_col: str = "user_id",

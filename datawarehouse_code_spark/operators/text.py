@@ -911,3 +911,126 @@ def collapse_repeats(words_col: Column) -> Column:
         words_col,
         lambda x, i: (i == 0) | (x != F.element_at(words_col, i)),
     )
+
+
+def duplicate_spans(
+    documents: DataFrame,
+    k: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated SPANS — the exact-substring dedup
+    family (the "remove any 50-token run that repeats across the
+    corpus" pass of public training-data pipelines), one level finer
+    than whole-doc near-dup: boilerplate headers, license blocks, and
+    templated paragraphs repeat across otherwise-distinct documents,
+    and whole-doc detectors (MinHash/SimHash, operators above) can't
+    excise them.
+
+    Mechanics: every k-word gram with its 1-based word position; a
+    gram is DUPLICATED when it occurs in >= `min_docs` distinct
+    documents; per document, flagged positions merge into maximal
+    spans (positions i and j, i < j, overlap-or-touch iff j <= i + k)
+    — classic gaps-and-islands, same shape as sessionize.  Output:
+    (doc_id, span_start, span_end, n_grams), word indices inclusive.
+
+    Scale shape: the gram table is one narrow explode (bounded at
+    n_words rows per doc); duplicate detection is a distinct +
+    two-phase count grouped on the gram — the same shuffle shape as
+    tf-idf's term table, no posting arrays (hot boilerplate grams
+    fan out join rows, never an aggregation buffer); the island merge
+    is one window per doc.  At extreme scale, group on
+    xxhash64(gram) instead of the string to shrink shuffle bytes and
+    accept the 2⁻⁶⁴ collision rate — the string key here keeps the
+    operator bit-exact against the cross-engine oracle.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2: {min_docs}")
+    ws = documents.select(
+        "doc_id", words(F.col(text_col)).alias("ws")
+    ).filter(F.size("ws") >= k)
+    grams = ws.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - k + 1),
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.concat_ws(" ", F.slice("ws", i, k)).alias("gram"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.i").alias("i"), F.col("g.gram").alias("gram"))
+    dup = (
+        grams.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    flagged = grams.join(dup, "gram", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    prev = F.lag("i").over(w)
+    brk = F.when(prev.isNull() | (F.col("i") > prev + k), 1).otherwise(0)
+    grp = F.sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        flagged.withColumn("_grp", grp)
+        .groupBy("doc_id", "_grp")
+        .agg(
+            F.min("i").alias("span_start"),
+            (F.max("i") + F.lit(k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .drop("_grp")
+    )
+
+
+def strip_duplicate_spans(
+    documents: DataFrame,
+    spans: DataFrame,
+    k: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove the duplicated spans' words from each document:
+    documents joined to their span set (left — span-free docs pass
+    through), words filtered by index membership, re-joined with
+    single spaces over the NORMALIZED text (the same token stream the
+    spans index).  Output: doc_id, cleaned_text, n_removed_words.
+
+    Scale shape: spans per doc collapse to one bounded array (spans
+    are non-overlapping maximal islands, so there are at most
+    n_words/k of them); the word filter is a narrow nested-HOF
+    projection."""
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    ws = documents.select(
+        "doc_id", words(F.col(text_col)).alias("ws")
+    )
+    joined = ws.join(per_doc, "doc_id", "left").withColumn(
+        "_spans",
+        F.coalesce(
+            "_spans",
+            F.expr(
+                "CAST(array() AS "
+                "ARRAY<STRUCT<span_start: BIGINT, span_end: BIGINT>>)"
+            ),
+        ),
+    )
+    keep = F.filter(
+        "ws",
+        lambda x, i: ~F.exists(
+            F.col("_spans"),
+            lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.concat_ws(" ", keep).alias("cleaned_text"),
+        (F.size("ws") - F.size(keep)).cast("bigint").alias("n_removed_words"),
+    )

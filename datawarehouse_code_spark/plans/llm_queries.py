@@ -1151,6 +1151,55 @@ FROM scored
 """
 
 
+def _docs_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated spans (operators/text.py
+    duplicate_spans): maximal runs of 5-word grams occurring in >= 2
+    distinct documents, per document with word-index bounds — the
+    exact-substring dedup pass whole-doc detectors can't express.
+    The oracle rebuilds the gram table, the distinct-doc counts, and
+    the island merge; a off-by-one span bound or a missed merge
+    hash-fails."""
+    from datawarehouse_code_spark.operators.text import duplicate_spans
+
+    docs = read_table(spark, "documents", sf_dir)
+    return duplicate_spans(docs, k=5, min_docs=2)
+
+
+_DUP_SPANS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+), eligible AS (
+  SELECT doc_id, ws FROM w WHERE len(ws) >= 5
+), p1 AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i
+  FROM eligible
+), pos AS (
+  SELECT doc_id, i, array_to_string(ws[i:i+4], ' ') AS gram FROM p1
+), dup AS (
+  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM pos)
+  GROUP BY gram HAVING count(*) >= 2
+), flagged AS (
+  SELECT p.doc_id, p.i FROM pos p JOIN dup USING (gram)
+), marked AS (
+  SELECT doc_id, i,
+         CASE WHEN lag(i) OVER w IS NULL OR i > lag(i) OVER w + 5
+              THEN 1 ELSE 0 END AS brk
+  FROM flagged
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+), grp AS (
+  SELECT doc_id, i,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM marked
+)
+SELECT doc_id,
+       CAST(min(i) AS INT) AS span_start,
+       CAST(max(i) + 4 AS INT) AS span_end,
+       count(*) AS n_grams
+FROM grp GROUP BY doc_id, g
+"""
+
+
 def _planted_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic-recall oracle for the five approximate detectors
     (MinHash-LSH, SimHash, embedding-LSH near-dup, IVF top-k, LSH
@@ -1643,6 +1692,9 @@ LLM_SUPPLEMENTARY: list[Query] = [
     Query("bpe_pair_counts", _bpe_pair_counts, _BPE_PAIRS_SQL,
           "north-star: BPE merge-candidate pair counts (tokenizer "
           "training step; supplementary, differential-tested)"),
+    Query("docs_duplicate_spans", _docs_duplicate_spans, _DUP_SPANS_SQL,
+          "north-star: cross-document duplicated spans (exact-substring "
+          "dedup; supplementary, differential-tested)"),
     Query("docs_group_sample", _docs_group_sample, _GROUP_SAMPLE_SQL,
           "north-star: deterministic per-group sample (reproducible "
           "eval sets; in supplementary, differential-tested)"),

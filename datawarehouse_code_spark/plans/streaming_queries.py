@@ -606,6 +606,36 @@ FROM s3 JOIN s1 USING (sess_key) GROUP BY 1, 2
 """
 
 
+def _events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical next-event transition table over the events stream
+    (operators/sessions.py event_transitions): counts + integer
+    basis-point shares of each prev type's outgoing edges.  25 rows
+    at most (5 event types), all integers."""
+    from datawarehouse_code_spark.operators.sessions import event_transitions
+
+    events = read_table(spark, "events", sf_dir)
+    return event_transitions(events, tiebreak="event_id")
+
+
+_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events WHERE ts IS NOT NULL
+), counts AS (
+  SELECT prev_type, next_type, count(*) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n_transitions,
+       (n_transitions * 10000) //
+         sum(n_transitions) OVER (PARTITION BY prev_type) AS p_bp
+FROM counts
+"""
+
+
 STREAMING_QUERIES: list[Query] = [
     Query("events_click_attribution", _events_click_attribution, _CLICK_ATTR_SQL,
           "§2.2 streaming: stream-stream join batch twin (click attribution)"),
@@ -645,4 +675,8 @@ STREAMING_SUPPLEMENTARY: list[Query] = [
     Query("orders_cohort_month", _orders_cohort_month, _COHORT_MONTH_SQL,
           "§2.2 analytics: month-grain customer-cohort retention "
           "(in events_cohort_suite)"),
+    Query("events_transitions", _events_transitions, _TRANSITIONS_SQL,
+          "§2.2 analytics: first-order event-transition (Markov) table "
+          "— one lag window + tiny rollup (supplementary, "
+          "differential-tested)"),
 ]

@@ -2010,6 +2010,58 @@ WAREHOUSE_QUERIES.append(
 )
 
 
+def _orders_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order series per priority, REGULARIZED
+    (operators/timeseries.py resample): every calendar day between a
+    priority's first and last order appears — zero-days filled with
+    n_orders=0 / revenue=0.0, plus last_rev carrying the most recent
+    non-gap day's revenue forward (the two fill modes side by side).
+    The oracle rebuilds the spine with generate_series and replays
+    both fills; a missing gap day, a mis-filled constant, or a
+    forward-fill that skips/overshoots all hash-fail."""
+    from datawarehouse_code_spark.operators.timeseries import resample
+
+    orders = read_table(spark, "orders", sf_dir)
+    return resample(
+        orders,
+        ["o_orderpriority"],
+        "o_orderdate",
+        "1 day",
+        aggs={
+            "n_orders": F.count(F.lit(1)),
+            "revenue": F.round(F.sum("o_totalprice"), 2),
+            "last_rev": F.round(F.sum("o_totalprice"), 2),
+        },
+        fill={"n_orders": 0, "revenue": 0.0, "last_rev": "ffill"},
+    )
+
+
+_GAPFILL_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority,
+         time_bucket(INTERVAL '1 day', o_orderdate) AS bucket,
+         count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS revenue,
+         round(sum(o_totalprice), 2) AS last_rev
+  FROM orders GROUP BY 1, 2
+), bounds AS (
+  SELECT o_orderpriority, min(bucket) AS mn, max(bucket) AS mx
+  FROM daily GROUP BY 1
+), spine AS (
+  SELECT o_orderpriority,
+         unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS bucket
+  FROM bounds
+)
+SELECT s.o_orderpriority, s.bucket,
+       COALESCE(d.n_orders, 0) AS n_orders,
+       COALESCE(d.revenue, 0.0) AS revenue,
+       last_value(d.last_rev IGNORE NULLS) OVER (
+         PARTITION BY s.o_orderpriority ORDER BY s.bucket
+         ROWS UNBOUNDED PRECEDING) AS last_rev
+FROM spine s LEFT JOIN daily d USING (o_orderpriority, bucket)
+"""
+
+
 WAREHOUSE_SUPPLEMENTARY: list[Query] = [
     Query("rollup_merge", _rollup_merge, _ROLLUP_MERGE_SQL,
           "§2.2 aggregates: incremental partial-aggregate merge ≡ rebuild "
@@ -2082,4 +2134,8 @@ WAREHOUSE_SUPPLEMENTARY: list[Query] = [
           "§2.2 semi join (in join_suite)"),
     Query("theta_band_join", _theta_band_join, _THETA_SQL,
           "§2.2 theta/range join (in join_suite)"),
+    Query("orders_daily_gapfill", _orders_daily_gapfill, _GAPFILL_SQL,
+          "§2.2 time-series regularization: daily resample + gap fill "
+          "(constant + forward-fill), spine from per-key bounds "
+          "(supplementary, differential-tested)"),
 ]

@@ -296,3 +296,30 @@ def test_cohort_month_boundary_jan31(spark):
         ("2024-02-01 00:00:00", 0): (1, 1),
         ("2024-02-01 00:00:00", 1): (1, 1),
     }
+
+
+def test_event_transitions_crafted(spark):
+    """Known journey: a->b twice, b->a once, b->c once for user 1;
+    user 2 contributes one a->b.  Shares are integer basis points of
+    the prev type's outgoing edges; cross-user boundaries contribute
+    nothing."""
+    from datawarehouse_code_spark.operators.sessions import event_transitions
+
+    rows = [
+        (1, "2024-01-01 00:00:01", 1, "a"), (1, "2024-01-01 00:00:02", 2, "b"),
+        (1, "2024-01-01 00:00:03", 3, "a"), (1, "2024-01-01 00:00:04", 4, "b"),
+        (1, "2024-01-01 00:00:05", 5, "c"),
+        (2, "2024-01-01 00:00:01", 6, "b"), (2, "2024-01-01 00:00:02", 7, "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts string, event_id int, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n_transitions"], r["p_bp"])
+        for r in event_transitions(df, tiebreak="event_id").collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 10000),         # a's only outgoing edge type
+        ("b", "a"): (2, 6666),          # 2 of b's 3 outgoing
+        ("b", "c"): (1, 3333),
+    }

@@ -78,3 +78,38 @@ def test_shingles_short_doc_empty(spark):
             df.select("id", shingles(words(F.col("t"))).alias("sh")).collect()}
     assert rows[1] == []
     assert rows[2] == ["a b c", "b c d"]
+
+
+def test_duplicate_spans_and_strip(spark):
+    """Planted boilerplate: docs 1 and 2 share an 8-word header (one
+    merged span each), doc 3 is unique (no spans); stripping removes
+    exactly the span words and leaves unique text intact."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.text import (
+        duplicate_spans,
+        strip_duplicate_spans,
+    )
+
+    header = "this document is provided under the public license"
+    rows = [
+        (1, f"{header} alpha beta gamma delta"),
+        (2, f"intro words here {header} epsilon zeta"),
+        (3, "completely unrelated content with many distinct words inside"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    spans = duplicate_spans(docs, k=5, min_docs=2)
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in spans.collect()
+    }
+    # header = 8 words: doc 1 positions 1-8, doc 2 offset by 3
+    assert got == {1: (1, 8), 2: (4, 11)}
+
+    cleaned = {
+        r["doc_id"]: (r["cleaned_text"], r["n_removed_words"])
+        for r in strip_duplicate_spans(docs, spans, k=5).collect()
+    }
+    assert cleaned[1] == ("alpha beta gamma delta", 8)
+    assert cleaned[2] == ("intro words here epsilon zeta", 8)
+    assert cleaned[3][1] == 0 and "unrelated" in cleaned[3][0]
