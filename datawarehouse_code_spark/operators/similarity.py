@@ -45,6 +45,7 @@ __all__ = [
     "brute_force_topk", "lsh_topk", "ivf_topk", "embedding_near_dup_lsh",
     "lsh_signature", "lsh_signatures_udf", "lsh_probe_sigs_udf",
     "plane_matrices", "kmeans_centroids",
+    "build_ivf_index", "extend_ivf_index", "query_ivf_index",
 ]
 
 
@@ -401,6 +402,26 @@ def kmeans_centroids(
     )
 
 
+def _nearest_centroids(
+    df: DataFrame, cents: DataFrame, id_col: str, probes: int
+) -> DataFrame:
+    """Each vector tagged with its `probes` nearest centroids (cosine,
+    deterministic cent_id tiebreak): one broadcast of the tiny
+    centroid table against the vectors, one per-vector window."""
+    sim = (dot(F.col("v"), F.col("cv")) * F.col("inv")) * F.col("inv_c")
+    scored = df.crossJoin(F.broadcast(cents)).select(
+        id_col, "v", "inv", "cent_id", sim.alias("csim")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("csim").desc(), F.col("cent_id").asc()
+    )
+    return (
+        scored.withColumn("crk", F.row_number().over(w))
+        .filter(F.col("crk") <= probes)
+        .drop("csim", "crk")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     max_query_id: int = 100,
@@ -437,18 +458,7 @@ def ivf_topk(
     )
 
     def nearest(df: DataFrame, id_col: str, probes: int) -> DataFrame:
-        sim = (dot(F.col("v"), F.col("cv")) * F.col("inv")) * F.col("inv_c")
-        scored = df.crossJoin(F.broadcast(cents)).select(
-            id_col, "v", "inv", "cent_id", sim.alias("csim")
-        )
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("csim").desc(), F.col("cent_id").asc()
-        )
-        return (
-            scored.withColumn("crk", F.row_number().over(w))
-            .filter(F.col("crk") <= probes)
-            .drop("csim", "crk")
-        )
+        return _nearest_centroids(df, cents, id_col, probes)
 
     assigned = nearest(vecs, "vec_id", 1).select(
         F.col("vec_id").alias("candidate_id"), F.col("v").alias("cv"),
@@ -460,6 +470,113 @@ def ivf_topk(
     )
     pairs = (
         probed.join(assigned, "cent_id")
+        .filter(F.col("query_id") != F.col("candidate_id"))
+        .select("query_id", "qv", "inv_q", "candidate_id", "cv", "inv_c")
+        .dropDuplicates(["query_id", "candidate_id"])
+    )
+    return _ranked_topk(pairs, k)
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    seed: int = 42,
+    fit_sample_fraction: float | None = None,
+    fit_max_iter: int = 8,
+) -> None:
+    """Persist an IVF ANN index: the k-means coarse quantizer's
+    centroids (tiny) plus every corpus vector assigned to its nearest
+    centroid, written PARTITIONED BY cent_id — so a query that probes
+    p of k centroids reads p/k of the index through ordinary parquet
+    partition pruning, no custom reader (pinned by plan test).
+
+    The build-once/query-many split ivf_topk can't offer: ivf_topk
+    refits the quantizer per call (right for one-shot analytics,
+    wrong for a serving corpus queried repeatedly), while the index
+    pays the fit + one corpus pass at build time and each query
+    touches only its probed partitions.  Layout doctrine shared with
+    operators/layout.py: physical organization (partitioning) IS the
+    index.
+    """
+    vecs = _with_inv_norm(
+        embeddings.select(
+            "vec_id", as_double_array(F.col("embedding")).alias("v")
+        )
+    )
+    cents = kmeans_centroids(
+        vecs, n_centroids, seed=seed,
+        fit_sample_fraction=fit_sample_fraction, max_iter=fit_max_iter,
+    )
+    cents.coalesce(1).write.mode("error").parquet(f"{path}/centroids")
+    assigned = _nearest_centroids(vecs, cents, "vec_id", 1)
+    (
+        assigned.select("cent_id", "vec_id", "v", "inv")
+        .write.mode("error")
+        .partitionBy("cent_id")
+        .parquet(f"{path}/assignments")
+    )
+
+
+def extend_ivf_index(embeddings: DataFrame, path: str) -> None:
+    """Assign NEW vectors to the EXISTING centroids and append their
+    partitions — the incremental path: cost ∝ |increment|, never a
+    refit or corpus rewrite (bucket boundaries stay fixed, which is
+    exactly what a serving index wants — recall on old vectors is
+    untouched)."""
+    spark = embeddings.sparkSession
+    cents = spark.read.parquet(f"{path}/centroids")
+    vecs = _with_inv_norm(
+        embeddings.select(
+            "vec_id", as_double_array(F.col("embedding")).alias("v")
+        )
+    )
+    assigned = _nearest_centroids(vecs, cents, "vec_id", 1)
+    (
+        assigned.select("cent_id", "vec_id", "v", "inv")
+        .write.mode("append")
+        .partitionBy("cent_id")
+        .parquet(f"{path}/assignments")
+    )
+
+
+def query_ivf_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probes: int = 2,
+) -> DataFrame:
+    """Top-k over a persisted IVF index: queries rank the stored
+    centroids (broadcast), and the index scan is FILTERED to the
+    probed cent_id partitions — the collect here is the probed
+    centroid-id LIST (≤ n_centroids integers), which is what turns
+    the filter into static partition pruning instead of a full-index
+    join.  Self-matches (same vec_id) are excluded, mirroring
+    ivf_topk."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    qv = _with_inv_norm(
+        queries.select(
+            "vec_id", as_double_array(F.col("embedding")).alias("v")
+        )
+    )
+    probed = _nearest_centroids(qv, cents, "vec_id", n_probes).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("inv").alias("inv_q"), "cent_id",
+    )
+    probe_ids = sorted(
+        r["cent_id"] for r in probed.select("cent_id").distinct().collect()
+    )
+    idx = (
+        spark.read.parquet(f"{path}/assignments")
+        .filter(F.col("cent_id").isin(probe_ids))
+        .select(
+            "cent_id", F.col("vec_id").alias("candidate_id"),
+            F.col("v").alias("cv"), F.col("inv").alias("inv_c"),
+        )
+    )
+    pairs = (
+        probed.join(idx, "cent_id")
         .filter(F.col("query_id") != F.col("candidate_id"))
         .select("query_id", "qv", "inv_q", "candidate_id", "cv", "inv_c")
         .dropDuplicates(["query_id", "candidate_id"])

@@ -2010,6 +2010,52 @@ WAREHOUSE_QUERIES.append(
 )
 
 
+def _orders_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame — the window-family member the
+    rows-frame queries can't express: per customer, the trailing
+    30-DAY order total and count at each order date (orders are
+    irregularly spaced, so "previous N rows" ≠ "previous 30 days").
+    Implemented as a RANGE frame over epoch seconds (integer range
+    bounds evaluate identically in both engines); revenue summed in
+    integer cents inside the frame, divided once at the end — no
+    float accumulation order crosses engines."""
+    orders = read_table(spark, "orders", sf_dir)
+    base = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("timestamp").alias("od"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+    ).withColumn("epoch_s", F.unix_seconds(F.col("od")))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("epoch_s")
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return base.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("od").alias("o_orderdate"),
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+        (F.sum("cents").over(w) / F.lit(100.0)).alias("rev_30d"),
+    )
+
+
+_TRAILING_WINDOW_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       count(*) OVER w AS n_orders_30d,
+       sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER w / 100.0
+         AS rev_30d
+FROM orders
+WINDOW w AS (
+  PARTITION BY o_custkey
+  ORDER BY epoch(o_orderdate)
+  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+)
+"""
+
+
 def _orders_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily order series per priority, REGULARIZED
     (operators/timeseries.py resample): every calendar day between a
@@ -2138,4 +2184,9 @@ WAREHOUSE_SUPPLEMENTARY: list[Query] = [
           "§2.2 time-series regularization: daily resample + gap fill "
           "(constant + forward-fill), spine from per-key bounds "
           "(supplementary, differential-tested)"),
+    Query("orders_trailing_window", _orders_trailing_window,
+          _TRAILING_WINDOW_SQL,
+          "§2.2 time-RANGE window frame: trailing 30-day per-customer "
+          "totals over irregular dates (supplementary, "
+          "differential-tested)"),
 ]

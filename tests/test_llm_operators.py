@@ -420,3 +420,63 @@ def test_multiprobe_probe0_parity_with_single_probe(spark):
 
     with pytest.raises(ValueError, match="n_probes"):
         lsh_probe_sigs_udf(planes, n_planes + 2)
+
+
+def test_ivf_index_build_query_extend(spark, tmp_path):
+    """Persisted IVF index: (a) querying the index reaches the same
+    recall floor as the in-memory ivf_topk at the same probe budget;
+    (b) the index scan is PARTITION-PRUNED to the probed cent_id
+    partitions (the plan's PartitionFilters, not a post-scan filter);
+    (c) extend appends new vectors to existing buckets without a
+    refit — a planted exact copy becomes its query's top hit."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        extend_ivf_index,
+        query_ivf_index,
+    )
+    from datawarehouse_code_spark.sources.catalog import read_table
+
+    emb = read_table(spark, "embeddings", SF_DIR)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=16)
+
+    queries = emb.filter(F.col("vec_id") < 100)
+    got = query_ivf_index(spark, path, queries, k=5, n_probes=8)
+
+    brute = defaultdict(set)
+    for r in brute_force_topk(emb).collect():
+        brute[r["query_id"]].add(r["candidate_id"])
+    idx = defaultdict(set)
+    for r in got.collect():
+        idx[r["query_id"]].add(r["candidate_id"])
+    recall = sum(
+        len(idx[q] & cs) / len(cs) for q, cs in brute.items()
+    ) / len(brute)
+    assert recall >= 0.8  # same floor as test_similarity_ivf_recall
+
+    # partition pruning: the assignments scan must carry cent_id
+    # partition filters (probed subset), not read-all-then-filter
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*cent_id[^\]]*\]", plan)
+    assert m, f"no cent_id partition filter in plan:\n{plan[:3000]}"
+
+    # extend: plant an exact copy of vector 7 under a new id; its
+    # bucket assignment equals vector 7's, so querying for 7 must now
+    # return the copy as the top hit (cosine 1.0)
+    copy = emb.filter(F.col("vec_id") == 7).withColumn(
+        "vec_id", F.lit(1_000_007).cast(emb.schema["vec_id"].dataType)
+    )
+    extend_ivf_index(copy, path)
+    got2 = query_ivf_index(
+        spark, path, emb.filter(F.col("vec_id") == 7), k=1, n_probes=1
+    )
+    top = got2.collect()
+    assert len(top) == 1 and top[0]["candidate_id"] == 1_000_007
+    assert top[0]["sim_f6"] >= 0.999999
