@@ -145,6 +145,8 @@ HEADLINE = [
     "orders_daily_gapfill",
     "events_transitions",
     "docs_duplicate_spans",
+    "orders_trailing_window",
+    "parts_fuzzy_match",
 ]
 
 

@@ -2056,6 +2056,44 @@ WINDOW w AS (
 """
 
 
+def _parts_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string join (operators/joins.py fuzzy_prefix_join):
+    every part name with its 5th character deleted must find its
+    original within edit distance 2 through the prefix-blocked
+    candidate join — the dirty-dimension reconciliation pattern.
+    The oracle replays the same blocking (prefix + length bound +
+    levenshtein), so candidate generation AND verification are both
+    hash-checked; near-misses between distinct real part names ride
+    along as extra matches."""
+    from datawarehouse_code_spark.operators.joins import fuzzy_prefix_join
+
+    parts = read_table(spark, "part", sf_dir).select("p_partkey", "p_name")
+    mutated = parts.select(
+        (F.col("p_partkey") + 1_000_000).alias("m_key"),
+        F.concat(
+            F.substring("p_name", 1, 4), F.expr("substring(p_name, 6)")
+        ).alias("m_name"),
+    )
+    return fuzzy_prefix_join(
+        mutated, parts, "m_name", "p_name", max_distance=2
+    ).select("m_key", "p_partkey", "edit_distance")
+
+
+_FUZZY_MATCH_SQL = """
+WITH m AS (
+  SELECT p_partkey + 1000000 AS m_key,
+         concat(substr(p_name, 1, 4), substr(p_name, 6)) AS m_name
+  FROM part
+)
+SELECT m_key, p_partkey,
+       levenshtein(lower(m_name), lower(p_name)) AS edit_distance
+FROM m JOIN part
+  ON substr(lower(m_name), 1, 2) = substr(lower(p_name), 1, 2)
+ AND abs(length(m_name) - length(p_name)) <= 2
+WHERE levenshtein(lower(m_name), lower(p_name)) <= 2
+"""
+
+
 def _orders_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily order series per priority, REGULARIZED
     (operators/timeseries.py resample): every calendar day between a
@@ -2189,4 +2227,7 @@ WAREHOUSE_SUPPLEMENTARY: list[Query] = [
           "§2.2 time-RANGE window frame: trailing 30-day per-customer "
           "totals over irregular dates (supplementary, "
           "differential-tested)"),
+    Query("parts_fuzzy_match", _parts_fuzzy_match, _FUZZY_MATCH_SQL,
+          "§2.2 fuzzy string join: levenshtein-bounded, prefix-blocked "
+          "(supplementary, differential-tested)"),
 ]

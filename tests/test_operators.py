@@ -326,3 +326,36 @@ def test_scd2_point_in_time_join_boundaries(spark):
     assert out.count() == facts.count()  # at most one match each
     got = {r["fid"]: r["attr"] for r in out.collect()}
     assert got == {10: None, 11: "v1", 12: "v1", 13: "v2", 14: "v2", 15: None}
+
+
+def test_fuzzy_prefix_join_contract(spark):
+    """Within-distance pairs found; beyond-distance rejected; a pair
+    whose edit sits INSIDE the blocking prefix is (by documented
+    contract) not a candidate; and the plan is an equi-join on the
+    prefix, never a cartesian."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.joins import fuzzy_prefix_join
+
+    left = spark.createDataFrame(
+        [(1, "chocolate lace"), (2, "Xhocolate lace"), (3, "zzz unrelated")],
+        "lid int, lname string",
+    )
+    right = spark.createDataFrame(
+        [(10, "chocolate lace"), (11, "chocolatey lace"), (12, "wholly other")],
+        "rid int, rname string",
+    )
+    out = fuzzy_prefix_join(left, right, "lname", "rname", max_distance=2)
+    got = {(r["lid"], r["rid"]): r["edit_distance"] for r in out.collect()}
+    # id 1 matches the exact copy (0) and the 1-insert variant (1);
+    # id 2's edit is in the first 2 chars -> blocked out (contract);
+    # id 3 matches nothing within distance 2
+    assert got == {(1, 10): 0, (1, 11): 1}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    with pytest.raises(ValueError, match="max_distance"):
+        fuzzy_prefix_join(left, right, "lname", "rname", max_distance=0)
