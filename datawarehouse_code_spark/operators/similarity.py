@@ -46,6 +46,7 @@ __all__ = [
     "lsh_signature", "lsh_signatures_udf", "lsh_probe_sigs_udf",
     "plane_matrices", "kmeans_centroids",
     "build_ivf_index", "extend_ivf_index", "query_ivf_index",
+    "forget_vectors",
 ]
 
 
@@ -538,6 +539,73 @@ def extend_ivf_index(embeddings: DataFrame, path: str) -> None:
         .partitionBy("cent_id")
         .parquet(f"{path}/assignments")
     )
+
+
+def forget_vectors(
+    spark: SparkSession, path: str, vec_ids: DataFrame
+) -> dict[str, int]:
+    """Right-to-be-forgotten for the persisted IVF index (the
+    embeddings leg of the corpus deletion story,
+    operators/corpus.py forget_documents): remove `vec_ids` (a
+    one-column DataFrame) and rewrite ONLY the cent_id partitions
+    that contained them — dynamic partition overwrite for partitions
+    with survivors, explicit directory deletion for partitions whose
+    every vector was forgotten (dynamic overwrite can't express an
+    empty partition: writing zero rows for it would simply leave the
+    stale files in place).
+
+    Cost: one column-pruned scan of (vec_id, cent_id) to locate the
+    doomed partitions (∝ index size, never a re-fit), then a rewrite
+    of only the affected partitions (∝ affected buckets).  Untouched
+    partitions' files are not rewritten (pinned by test).  Returns
+    {n_removed, partitions_rewritten, partitions_deleted}.
+    """
+    from datawarehouse_code_spark.sources.acid import _fs_for
+
+    apath = f"{path}/assignments"
+    ids = vec_ids.select(F.col(vec_ids.columns[0]).alias("vec_id"))
+    idx = spark.read.parquet(apath)
+    affected = sorted(
+        r["cent_id"]
+        for r in idx.join(ids, "vec_id", "left_semi")
+        .select("cent_id")
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return {"n_removed": 0, "partitions_rewritten": 0,
+                "partitions_deleted": 0}
+    hit = idx.filter(F.col("cent_id").isin(affected))
+    survivors = hit.join(ids, "vec_id", "left_anti")
+    n_before = hit.count()
+    # partitions with at least one survivor rewrite via dynamic
+    # overwrite; fully-forgotten partitions are deleted outright
+    live_parts = sorted(
+        r["cent_id"]
+        for r in survivors.select("cent_id").distinct().collect()
+    )
+    dead_parts = [c for c in affected if c not in set(live_parts)]
+    n_after = survivors.count()
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        if live_parts:
+            (
+                survivors.write.mode("overwrite")
+                .partitionBy("cent_id")
+                .parquet(apath)
+            )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    fs, hpath = _fs_for(spark, apath)
+    jvm = spark._jvm
+    for c in dead_parts:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(hpath, f"cent_id={c}"), True)
+    return {
+        "n_removed": n_before - n_after,
+        "partitions_rewritten": len(live_parts),
+        "partitions_deleted": len(dead_parts),
+    }
 
 
 def query_ivf_index(

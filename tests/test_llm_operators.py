@@ -480,3 +480,71 @@ def test_ivf_index_build_query_extend(spark, tmp_path):
     top = got2.collect()
     assert len(top) == 1 and top[0]["candidate_id"] == 1_000_007
     assert top[0]["sim_f6"] >= 0.999999
+
+
+def test_ivf_index_forget_vectors(spark, tmp_path):
+    """RTBF on the persisted index: the forgotten planted copy stops
+    being returned; only its partition rewrites (untouched partitions
+    keep their exact file set); forgetting every vector of a bucket
+    deletes the partition directory."""
+    import glob as globmod
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.similarity import (
+        build_ivf_index,
+        extend_ivf_index,
+        forget_vectors,
+        query_ivf_index,
+    )
+    from datawarehouse_code_spark.sources.catalog import read_table
+
+    emb = read_table(spark, "embeddings", SF_DIR)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8)
+    copy = emb.filter(F.col("vec_id") == 7).withColumn(
+        "vec_id", F.lit(1_000_007).cast(emb.schema["vec_id"].dataType)
+    )
+    extend_ivf_index(copy, path)
+
+    def files_by_part():
+        out = {}
+        for d in globmod.glob(f"{path}/assignments/cent_id=*"):
+            out[os.path.basename(d)] = sorted(
+                (os.path.basename(f), os.path.getsize(f))
+                for f in globmod.glob(f"{d}/*.parquet")
+            )
+        return out
+
+    before = files_by_part()
+    copy_part = spark.read.parquet(f"{path}/assignments").filter(
+        F.col("vec_id") == 1_000_007
+    ).select("cent_id").first()["cent_id"]
+
+    report = forget_vectors(
+        spark, path, spark.createDataFrame([(1_000_007,)], "vec_id bigint")
+    )
+    assert report["n_removed"] == 1 and report["partitions_deleted"] == 0
+    after = files_by_part()
+    # untouched partitions keep their exact files
+    for part, fl in before.items():
+        if part != f"cent_id={copy_part}":
+            assert after[part] == fl, f"partition {part} was rewritten"
+    # the copy is gone from queries
+    got = query_ivf_index(
+        spark, path, emb.filter(F.col("vec_id") == 7), k=3, n_probes=8
+    ).collect()
+    assert all(r["candidate_id"] != 1_000_007 for r in got)
+
+    # forget an entire bucket -> its directory disappears
+    whole = spark.read.parquet(f"{path}/assignments").filter(
+        F.col("cent_id") == copy_part
+    ).select("vec_id")
+    report2 = forget_vectors(spark, path, whole)
+    assert report2["partitions_deleted"] == 1
+    assert not os.path.isdir(f"{path}/assignments/cent_id={copy_part}")
+    # the index still answers queries from the remaining buckets
+    assert query_ivf_index(
+        spark, path, emb.filter(F.col("vec_id") < 20), k=2, n_probes=8
+    ).count() > 0
