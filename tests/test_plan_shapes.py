@@ -14,12 +14,17 @@ import re
 
 import pytest
 
-from datawarehouse_code_spark.plans.registry import QUERIES
+from datawarehouse_code_spark.plans.registry import (
+    QUERIES,
+    SUPPLEMENTARY_QUERIES,
+)
 from tests.conftest import SF_DIR
+
+ALL_QUERIES = {**SUPPLEMENTARY_QUERIES, **QUERIES}
 
 
 def _plan(spark, name: str) -> str:
-    df = QUERIES[name].fn(spark, SF_DIR)
+    df = ALL_QUERIES[name].fn(spark, SF_DIR)
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"
@@ -64,6 +69,15 @@ PLAN_BOUNDS = {
     # runs the orders scan per half on purpose) — bound generously,
     # it still trips on a doubling
     "maintenance_suite": (20, 36),
+    # round-7 supplementary rows (measured r7: 2/5, 1/3, 2/3, 1/1,
+    # 2/0, 1/2, 2/4 — bounds ~50% above)
+    "orders_daily_gapfill": (3, 8),
+    "events_transitions": (2, 5),
+    "docs_duplicate_spans": (3, 5),
+    "orders_trailing_window": (2, 2),
+    "parts_fuzzy_match": (3, 3),
+    "events_funnel_horizon": (2, 3),
+    "orders_cohort_month": (3, 6),
 }
 
 
@@ -82,12 +96,15 @@ def test_plan_bounds(spark, name):
 
 @pytest.mark.parametrize(
     "name",
-    sorted(n for n in QUERIES if n not in {"dedup_minhash_lsh"}),
+    sorted(
+        n
+        for n, q in ALL_QUERIES.items()
+        if q.oracle is not None and n not in {"dedup_minhash_lsh"}
+    ),
 )
 def test_no_cartesian_products(spark, name):
-    """No registered query may compile to CartesianProduct or
-    BroadcastNestedLoopJoin on a non-broadcast-bounded side — the
-    plans that detonate at scale."""
+    """No registered query — driver row OR supplementary — may compile
+    to CartesianProduct: the plan that detonates at scale."""
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
 
