@@ -137,3 +137,120 @@ def funnel_progress_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id BIGINT, session_start_us BIGINT, session_end_us BIGINT, "
+    "n_events BIGINT"
+)
+SESSION_STATE_SCHEMA = "start_us BIGINT, end_us BIGINT, n_events BIGINT"
+
+
+def session_emit_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Streaming sessionizer that emits each CLOSED session exactly
+    once — the event-time-TIMEOUT pattern `F.session_window` cannot
+    express (session_window re-emits updated aggregates; downstream
+    consumers that act on a session, like writing a training example
+    or firing a re-engagement job, need the one-shot close signal).
+
+    Mechanics: per-user open-session state (start, end, n_events);
+    batch events extend the open session or close it and open the
+    next (gap-exceeded inside a batch emits immediately); the open
+    session registers an event-time timeout at `end + gap`, so when
+    the WATERMARK passes that point with no further activity the
+    state-store timeout fires, the session emits, and the state is
+    removed.  The timeout timestamp is clamped one ms above the
+    current watermark (Spark rejects past timestamps; a user whose
+    merged session already expired relative to the new watermark
+    closes on the next no-data micro-batch instead of erroring).
+
+    Equality contract (tested): under per-user in-order delivery the
+    emitted sessions are exactly the batch gaps-and-islands sessions
+    (operators/sessions.sessionize) whose `end + gap` the final
+    watermark passed; still-open tail sessions stay in state, and
+    nothing is ever emitted twice.
+
+    Scale: three BIGINTs of state per ACTIVE user (closed sessions
+    leave the store immediately via the timeout), hash-partitioned by
+    user_id; the watermark is what bounds state, not history.
+    """
+    from pyspark.sql import functions as F
+
+    gap_us = int(
+        events.sparkSession.range(1)
+        .select(
+            F.unix_micros(
+                F.lit("1970-01-01 00:00:00").cast("timestamp") + F.expr(f"INTERVAL {gap}")
+            )
+        )
+        .first()[0]
+    )
+
+    def _sessions(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start_us": [start_us],
+                    "session_end_us": [end_us],
+                    "n_events": [n],
+                }
+            )
+            return
+        cur = state.get if state.exists else None
+        closed: list[tuple[int, int, int]] = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        for ts_us in sorted(batch["ts_us"].tolist()):
+            if cur is None:
+                cur = (ts_us, ts_us, 1)
+            elif ts_us <= cur[1] + gap_us:
+                cur = (cur[0], max(cur[1], ts_us), cur[2] + 1)
+            else:
+                closed.append(cur)
+                cur = (ts_us, ts_us, 1)
+        state.update(cur)
+        state.setTimeoutTimestamp(
+            max(
+                (cur[1] + gap_us) // 1000 + 1,
+                state.getCurrentWatermarkMs() + 1,
+            )
+        )
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start_us": [c[0] for c in closed],
+                    "session_end_us": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    from pyspark.sql import functions as F
+
+    # `events.ts` must be a true TIMESTAMP (read_events_stream's
+    # contract — raw int64-nanos columns cast here would produce
+    # year-294k timestamps that overflow the state worker's Arrow
+    # ns conversion); the watermark column must remain in the
+    # projection for EventTimeTimeout to resolve
+    prepped = (
+        events.filter(F.col("ts").isNotNull())
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "0 seconds")
+        .select(
+            "user_id",
+            "ts",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+        )
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _sessions,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

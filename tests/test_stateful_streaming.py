@@ -137,3 +137,72 @@ def test_funnel_progress_stream_equals_batch_fold(spark, tmp_path):
         if stage > 0:
             want[uid] = stage
     assert got == want and got
+
+
+def test_session_emit_stream_closes_once_and_matches_batch(spark, tmp_path):
+    """Event-time-timeout sessionizer: closed sessions emitted exactly
+    once and byte-equal to the batch gaps-and-islands sessions; tail
+    sessions the watermark never passed stay unemitted (and only
+    those)."""
+    from datawarehouse_code_spark.operators.sessions import sessionize
+    from datawarehouse_code_spark.streaming.stateful import session_emit_stream
+
+    src = str(tmp_path / "events_split")
+    events = read_table(spark, "events", SF_DIR).filter(
+        F.col("ts").isNotNull()
+    )
+    cut = "2024-01-20 00:00:00"
+    events.filter(F.col("ts") < cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    events.filter(F.col("ts") >= cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        session_emit_stream(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_rows = spark.table("t_sessions").collect()
+    got = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in got_rows
+    }
+    assert len(got) == len(got_rows), "a session was emitted twice"
+
+    labelled = sessionize(
+        events, ["user_id"], "ts", gap="30 minutes", tiebreak="event_id"
+    )
+    batch = {
+        (
+            r["user_id"],
+            r["s"],
+            r["e"],
+            r["n"],
+        )
+        for r in labelled.groupBy("user_id", "session_seq")
+        .agg(
+            F.unix_micros(F.min("ts").cast("timestamp")).alias("s"),
+            F.unix_micros(F.max("ts").cast("timestamp")).alias("e"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert got <= batch, "stream emitted a session batch never saw"
+    # everything the final watermark passed must have been emitted:
+    # the watermark ends at the max event time (0s delay), so every
+    # session with end + gap < max_ts is closed
+    max_us = events.select(
+        F.unix_micros(F.max("ts").cast("timestamp"))
+    ).first()[0]
+    gap_us = 30 * 60 * 1_000_000
+    must_close = {s for s in batch if s[2] + gap_us < max_us - 1_000_000}
+    missing = must_close - got
+    assert not missing, f"{len(missing)} expired sessions never emitted"
+    assert len(got) >= len(must_close) > 0
