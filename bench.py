@@ -147,6 +147,7 @@ HEADLINE = [
     "docs_duplicate_spans",
     "orders_trailing_window",
     "parts_fuzzy_match",
+    "orders_drift_report",
 ]
 
 

@@ -198,3 +198,106 @@ def anomaly_report(
         .filter(F.col("dev") * F.lit(10_000) > F.lit(k_bp) * F.col("mad"))
         .select(*keys, time_col, metric_col, "med", "mad", "dev")
     )
+
+
+def drift_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    cols: list[str],
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Distribution-drift report between a REFERENCE slice and a
+    CURRENT slice — the train/serve skew and data-freshness check an
+    ML pipeline runs before trusting new data: per column, fixed
+    integer buckets derived from the reference's [min, max], with
+    both sides' counts and basis-point shares and the absolute share
+    drift.  Feed the PSI/chi-square of your choice from the counts;
+    the report itself stays all-integer, so it is hash-exact across
+    engines.
+
+    `cols` must be INTEGER-typed columns (cast money to cents, dates
+    to epoch days — the caller owns the lossless int conversion).
+    Integer bucketing is the cross-engine contract: float bucket
+    arithmetic differs in the last ulp on boundary values, integer
+    `div` cannot.  Bucket ids: -2 = NULL, -1 = below the reference
+    min (new low outliers), n_buckets = above the reference max (new
+    high outliers), else 0..n_buckets-1 over the reference range.
+
+    Scale shape: one tiny min/max agg over the reference (collected —
+    2·|cols| longs), then ONE scan per side (per-column buckets
+    emitted via a single explode, so |cols| never multiplies scans),
+    two partial-aggregated groupBys merged with a full-outer on
+    (col, bucket) — at most |cols|·(n_buckets+3) rows ever shuffle.
+    """
+    if not cols:
+        raise ValueError("drift_report needs at least one column")
+    for df, side in ((ref, "ref"), (cur, "cur")):
+        non_int = [
+            c for c in cols
+            if df.schema[c].dataType.simpleString()
+            not in ("int", "bigint", "smallint", "tinyint")
+        ]
+        if non_int:
+            raise ValueError(
+                f"drift_report: {side} columns must be integer-typed "
+                f"(cast money to cents, dates to epoch days): {non_int}"
+            )
+    row = ref.agg(
+        *[F.min(c).cast("bigint").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("bigint").alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+
+    def bucket(c: str) -> Column:
+        lo, hi = row[f"mn_{c}"], row[f"mx_{c}"]
+        if lo is None or hi is None:
+            return F.when(F.col(c).isNull(), F.lit(-2)).otherwise(F.lit(0))
+        width = hi - lo + 1
+        x = F.col(c).cast("bigint")
+        return (
+            F.when(F.col(c).isNull(), F.lit(-2))
+            .when(x < lo, F.lit(-1))
+            .when(x > hi, F.lit(n_buckets))
+            .otherwise(F.expr(f"(CAST({c} AS BIGINT) - {lo}) * {n_buckets} div {width}"))
+        )
+
+    def side_counts(df: DataFrame, alias: str) -> DataFrame:
+        pairs = F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("col"), bucket(c).alias("bucket"))
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+        return (
+            df.select(pairs)
+            .select("p.col", "p.bucket")
+            .groupBy("col", "bucket")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    merged = side_counts(ref, "n_ref").join(
+        side_counts(cur, "n_cur"), ["col", "bucket"], "full_outer"
+    ).select(
+        "col",
+        "bucket",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    w = Window.partitionBy("col")
+    return (
+        merged.withColumn("_tr", F.sum("n_ref").over(w))
+        .withColumn("_tc", F.sum("n_cur").over(w))
+        .withColumn(
+            "ref_bp",
+            F.when(F.col("_tr") > 0, F.expr("(n_ref * 10000) div _tr"))
+            .otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "cur_bp",
+            F.when(F.col("_tc") > 0, F.expr("(n_cur * 10000) div _tc"))
+            .otherwise(F.lit(0)),
+        )
+        .withColumn("drift_bp", F.abs(F.col("ref_bp") - F.col("cur_bp")))
+        .drop("_tr", "_tc")
+    )

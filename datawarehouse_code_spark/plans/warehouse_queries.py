@@ -2056,6 +2056,112 @@ WINDOW w AS (
 """
 
 
+def _orders_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between order eras (operators/quality.py
+    drift_report): pre-1998 orders as the reference, 1998+ as
+    current, over integer-converted o_totalprice cents and
+    epoch-day order dates.  The date column drifts by construction
+    (every current value is above the reference max → bucket 10),
+    the price column should NOT drift materially — the report shows
+    both, all-integer, bucket arithmetic replayed by the oracle."""
+    from datawarehouse_code_spark.operators.quality import drift_report
+
+    orders = read_table(spark, "orders", sf_dir)
+    cut = F.lit("1998-01-01 00:00:00").cast("timestamp")
+
+    def prep(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("total_cents"),
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("bigint")
+            .alias("order_epoch_day"),
+        )
+
+    out = drift_report(
+        prep(orders.filter(F.col("o_orderdate") < cut)),
+        prep(orders.filter(F.col("o_orderdate") >= cut)),
+        ["total_cents", "order_epoch_day"],
+        n_buckets=10,
+    )
+    return out.select(
+        "col",
+        F.col("bucket").cast("int").alias("bucket"),
+        "n_ref", "n_cur", "ref_bp", "cur_bp", "drift_bp",
+    )
+
+
+_DRIFT_SQL = """
+WITH prep AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total_cents,
+         CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+           AS order_epoch_day,
+         o_orderdate
+  FROM orders
+), r AS (
+  SELECT * FROM prep WHERE o_orderdate < TIMESTAMP '1998-01-01'
+), c AS (
+  SELECT * FROM prep WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+), b AS (
+  SELECT min(total_cents) AS mn1, max(total_cents) AS mx1,
+         min(order_epoch_day) AS mn2, max(order_epoch_day) AS mx2
+  FROM r
+), long AS (
+  SELECT 'total_cents' AS col, 'ref' AS side,
+         CASE WHEN total_cents IS NULL THEN -2
+              WHEN total_cents < b.mn1 THEN -1
+              WHEN total_cents > b.mx1 THEN 10
+              ELSE ((total_cents - b.mn1) * 10) // (b.mx1 - b.mn1 + 1)
+         END AS bucket
+  FROM r, b
+  UNION ALL
+  SELECT 'total_cents', 'cur',
+         CASE WHEN total_cents IS NULL THEN -2
+              WHEN total_cents < b.mn1 THEN -1
+              WHEN total_cents > b.mx1 THEN 10
+              ELSE ((total_cents - b.mn1) * 10) // (b.mx1 - b.mn1 + 1)
+         END
+  FROM c, b
+  UNION ALL
+  SELECT 'order_epoch_day', 'ref',
+         CASE WHEN order_epoch_day IS NULL THEN -2
+              WHEN order_epoch_day < b.mn2 THEN -1
+              WHEN order_epoch_day > b.mx2 THEN 10
+              ELSE ((order_epoch_day - b.mn2) * 10) // (b.mx2 - b.mn2 + 1)
+         END
+  FROM r, b
+  UNION ALL
+  SELECT 'order_epoch_day', 'cur',
+         CASE WHEN order_epoch_day IS NULL THEN -2
+              WHEN order_epoch_day < b.mn2 THEN -1
+              WHEN order_epoch_day > b.mx2 THEN 10
+              ELSE ((order_epoch_day - b.mn2) * 10) // (b.mx2 - b.mn2 + 1)
+         END
+  FROM c, b
+), counts AS (
+  SELECT col, CAST(bucket AS INT) AS bucket,
+         count(*) FILTER (WHERE side = 'ref') AS n_ref,
+         count(*) FILTER (WHERE side = 'cur') AS n_cur
+  FROM long GROUP BY 1, 2
+), shared AS (
+  SELECT col, bucket, n_ref, n_cur,
+         CAST(CASE WHEN sum(n_ref) OVER (PARTITION BY col) > 0
+              THEN (n_ref * 10000) // sum(n_ref) OVER (PARTITION BY col)
+              ELSE 0 END AS BIGINT) AS ref_bp,
+         CAST(CASE WHEN sum(n_cur) OVER (PARTITION BY col) > 0
+              THEN (n_cur * 10000) // sum(n_cur) OVER (PARTITION BY col)
+              ELSE 0 END AS BIGINT) AS cur_bp
+  FROM counts
+)
+SELECT col, bucket, n_ref, n_cur, ref_bp, cur_bp,
+       abs(ref_bp - cur_bp) AS drift_bp
+FROM shared
+"""
+
+
 def _parts_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy string join (operators/joins.py fuzzy_prefix_join):
     every part name with its 5th character deleted must find its
@@ -2230,4 +2336,8 @@ WAREHOUSE_SUPPLEMENTARY: list[Query] = [
     Query("parts_fuzzy_match", _parts_fuzzy_match, _FUZZY_MATCH_SQL,
           "§2.2 fuzzy string join: levenshtein-bounded, prefix-blocked "
           "(supplementary, differential-tested)"),
+    Query("orders_drift_report", _orders_drift_report, _DRIFT_SQL,
+          "§2.2 ML data quality: distribution-drift report, integer "
+          "buckets from the reference range (supplementary, "
+          "differential-tested)"),
 ]

@@ -359,3 +359,40 @@ def test_fuzzy_prefix_join_contract(spark):
 
     with pytest.raises(ValueError, match="max_distance"):
         fuzzy_prefix_join(left, right, "lname", "rname", max_distance=0)
+
+
+def test_drift_report_buckets_and_outliers(spark):
+    """Crafted drift: NULLs land in bucket -2, below-reference values
+    in -1, above-reference in n_buckets; shares are integer basis
+    points; non-integer columns are rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.quality import drift_report
+
+    ref = spark.createDataFrame([(i,) for i in range(0, 100)], "x bigint")
+    cur = spark.createDataFrame(
+        [(None,), (-5,), (150,)] + [(i,) for i in range(50, 100)],
+        "x bigint",
+    )
+    out = {
+        r["bucket"]: (r["n_ref"], r["n_cur"], r["drift_bp"])
+        for r in drift_report(ref, cur, ["x"], n_buckets=10).collect()
+    }
+    assert out[-2][1] == 1 and out[-2][0] == 0      # NULL bucket, cur only
+    assert out[-1][1] == 1 and out[10][1] == 1      # outlier buckets
+    # reference is uniform: 10 per bucket = 1000 bp each
+    for b in range(10):
+        assert out[b][0] == 10
+    # cur has no mass below 50 -> buckets 0..4 drift by the full
+    # reference share (1000 bp)
+    assert out[0] == (10, 0, 1000)
+    assert out[9][1] == 10  # 10 of cur's 53 rows -> 1886 bp vs 1000
+    assert out[9][2] == abs(1000 - (10 * 10000) // 53)
+
+    with pytest.raises(ValueError, match="integer-typed"):
+        drift_report(
+            ref.withColumn("x", F.col("x").cast("double")),
+            cur.withColumn("x", F.col("x").cast("double")),
+            ["x"],
+        )
