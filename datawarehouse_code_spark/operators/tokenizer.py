@@ -1,0 +1,201 @@
+"""Byte-pair-encoding tokenizer: distributed merge training + Arrow
+batch encoding.
+
+`bpe_pair_counts` (plans/llm_queries.py) ranks ONE round of merge
+candidates; this module closes the loop: learn an ordered merge list
+from the corpus and apply it, which together with `pack_sequences`
+(operators/corpus.py) completes the text → token-ids → packed-batches
+pipeline a training-data system needs.
+
+Scale design:
+- Training runs on the WORD-FREQUENCY table, not the corpus: the
+  classic BPE optimization — pair statistics are identical when each
+  distinct word is counted once with its frequency, and the vocab
+  table is orders of magnitude smaller than the corpus (one corpus
+  aggregation builds it; every training round after that touches only
+  vocab-sized data, localCheckpoint-ed like the pagerank loop so the
+  plan does not grow with rounds).
+- Each round is one explode + weighted pair count + TakeOrdered(1) +
+  a narrow fold applying the winner.  n_merges rounds = n_merges
+  small jobs: right for the hundreds-of-merges scale this engine
+  tests; production vocabularies (30k+ merges) train on a sample
+  (pass `vocab_cap` / pre-sample the corpus — the same trade
+  sentencepiece makes), then ENCODING, the corpus-sized step, stays
+  fully distributed here.
+- Encoding is the measured Pandas-UDF exception (operators/text.py
+  doctrine): applying an ordered merge list is per-word iteration no
+  expression can unroll for real merge counts; the Arrow batch path
+  memoizes word → tokens per batch (Zipf makes the hit rate high),
+  and the pure-Python reference implementation in the tests pins the
+  semantics.
+
+Reference parity: none (reference is a MySQL loader,
+warehouse.py:1-314); this is north-star LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from datawarehouse_code_spark.operators.text import words
+
+END = "</w>"
+
+
+def word_frequency_table(
+    documents: DataFrame, text_col: str = "text", vocab_cap: int | None = None
+) -> DataFrame:
+    """(word, n) over the normalized corpus — the training input.
+    `vocab_cap` keeps only the most frequent words (deterministic
+    tiebreak) when the long tail would slow the rounds; rare words
+    contribute negligible pair mass."""
+    vocab = (
+        documents.select(F.explode(words(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if vocab_cap is not None:
+        vocab = vocab.orderBy(
+            F.col("n").desc(), F.col("word").asc()
+        ).limit(vocab_cap)
+    return vocab
+
+
+def _pair_counts(sym: DataFrame) -> DataFrame:
+    """Weighted adjacent-symbol pair counts over (symbols, n)."""
+    k = F.greatest(F.size("symbols") - 1, F.lit(0))
+    return (
+        sym.select(
+            "n",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("symbols", 1, k).alias("a"),
+                    F.slice("symbols", 2, k).alias("b"),
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("n").alias("cnt"))
+    )
+
+
+def _apply_merge(symbols: F.Column, a: str, b: str) -> F.Column:
+    """Left-to-right non-overlapping merge of adjacent (a, b) into
+    a+b — the exact BPE application rule, as a JVM fold."""
+    la, lb = F.lit(a), F.lit(b)
+    return F.aggregate(
+        symbols,
+        F.expr("CAST(array() AS ARRAY<STRING>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == la)
+            & (x == lb),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(la, lb)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    documents: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    vocab_cap: int | None = None,
+) -> list[tuple[str, str]]:
+    """Learn an ordered BPE merge list: start from characters (+ the
+    `</w>` end-of-word marker), repeatedly merge the highest-count
+    adjacent pair (ties broken lexicographically, so training is
+    deterministic across partitionings and engines).  Stops early if
+    no pair occurs twice.  Returns [(a, b), ...] in merge order —
+    the artifact `bpe_encode_udf` applies."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1: {n_merges}")
+    vocab = word_frequency_table(documents, text_col, vocab_cap)
+    sym = vocab.select(
+        F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit(END))
+        ).alias("symbols"),
+        "n",
+    ).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            _pair_counts(sym)
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < 2:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        sym = sym.select(
+            _apply_merge(F.col("symbols"), a, b).alias("symbols"), "n"
+        ).localCheckpoint()
+    return merges
+
+
+def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Pure-Python single-word BPE application — the reference
+    semantics the Arrow UDF batches (and the tests pin against)."""
+    syms = list(word) + [END]
+    for a, b in merges:
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def bpe_encode_udf(merges: list[tuple[str, str]]):
+    """Arrow-batched corpus encoder: text → array<string> of BPE
+    tokens (apply per word, concatenate).  Per-batch word → tokens
+    memo exploits the Zipf distribution; the merges list rides to the
+    executors in the UDF closure (KBs)."""
+    frozen = list(merges)
+
+    @pandas_udf("array<string>")
+    def _encode(texts: pd.Series) -> pd.Series:
+        import re
+
+        memo: dict[str, list[str]] = {}
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            norm = re.sub(r"\s+", " ", t.lower()).strip()
+            tokens: list[str] = []
+            for w in norm.split(" "):
+                if not w:
+                    continue
+                if w not in memo:
+                    memo[w] = encode_word(w, frozen)
+                tokens.extend(memo[w])
+            out.append(tokens)
+        return pd.Series(out)
+
+    return _encode
+
+
+def bpe_encode(
+    documents: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """documents + `tokens` (array<string>) + `n_tokens` — the
+    corpus-sized distributed step of the tokenizer pipeline; feed
+    `n_tokens` straight into pack_sequences (operators/corpus.py)."""
+    enc = bpe_encode_udf(merges)
+    return documents.withColumn(
+        "tokens", enc(F.col(text_col))
+    ).withColumn("n_tokens", F.size("tokens").cast("bigint"))
