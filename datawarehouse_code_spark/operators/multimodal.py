@@ -90,21 +90,69 @@ def _decode_pnm(data: bytes) -> tuple[int, int, int, bytes]:
     return width, height, channels, pixels
 
 
+def _decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-Python uncompressed 24-bit BMP (BI_RGB) decode →
+    (width, height, 3, RGB pixel bytes).  Handles the BITMAPFILEHEADER
+    + BITMAPINFOHEADER layout, 4-byte row padding, bottom-up (positive
+    height) and top-down (negative height) storage, and the BGR→RGB
+    channel swap.  Anything else (palettes, other bit depths, RLE)
+    fails loudly."""
+    import struct
+
+    if bytes(data[:2]) != b"BM":
+        raise ValueError(f"not a BMP payload (magic {bytes(data[:2])!r})")
+    if len(data) < 54:
+        raise ValueError("truncated BMP header")
+    pixel_offset = struct.unpack_from("<I", data, 10)[0]
+    width, height_raw = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = height_raw < 0
+    height = -height_raw if top_down else height_raw
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad BMP dimensions {width}x{height_raw}")
+    row_stride = (width * 3 + 3) & ~3
+    need = pixel_offset + row_stride * height
+    if len(data) < need:
+        raise ValueError(
+            f"BMP payload truncated: want {need} bytes, have {len(data)}"
+        )
+    out = bytearray(width * height * 3)
+    for r in range(height):
+        src_row = r if top_down else height - 1 - r
+        base = pixel_offset + src_row * row_stride
+        dst = r * width * 3
+        for x in range(width):
+            b, g, rr = data[base + 3 * x : base + 3 * x + 3]
+            out[dst + 3 * x] = rr
+            out[dst + 3 * x + 1] = g
+            out[dst + 3 * x + 2] = b
+    return width, height, 3, bytes(out)
+
+
 def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode an encoded image to (width, height, n_channels,
     interleaved_pixel_bytes).
 
-    Uncompressed binary PNM (PPM/PGM) decodes in pure Python — the
-    real executable branch this container exercises end-to-end
-    (decoded_image_stats).  Compressed codecs require Pillow, which
-    is not installed here; that branch alone stays NotImplementedError
-    until a codec library exists."""
+    Uncompressed formats decode in pure Python — binary PNM (PPM/PGM)
+    and 24-bit BMP are the real executable branches this container
+    exercises end-to-end (decoded_image_stats).  Compressed codecs
+    require Pillow, which is not installed here; that branch alone
+    stays NotImplementedError until a codec library exists."""
     if bytes(data[:2]) in (b"P6", b"P5"):
         return _decode_pnm(data)
+    if bytes(data[:2]) == b"BM":
+        return _decode_bmp(data)
     if not HAVE_PIL:
         raise NotImplementedError(
-            "compressed image decode requires Pillow (binary PNM "
-            "decodes natively); install Pillow for PNG/JPEG payloads"
+            "compressed image decode requires Pillow (binary PNM and "
+            "24-bit BMP decode natively); install Pillow for PNG/JPEG "
+            "payloads"
         )
     raise NotImplementedError("wire Image.open(BytesIO(data)) here when Pillow exists")
 

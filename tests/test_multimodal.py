@@ -127,3 +127,86 @@ def test_decoded_image_stats_roundtrip(spark):
     assert (got[1].width, got[1].height) == (4, 3)
     assert (got[1].sum_r, got[1].sum_g, got[1].sum_b) == (108, 216, 324)
     assert (got[2].sum_r, got[2].sum_g, got[2].sum_b) == (0, 1020, 4)
+
+
+def _bmp(w, h, rows_rgb, top_down=False):
+    """Hand-built uncompressed 24-bit BMP: rows_rgb is h rows of w
+    (r, g, b) tuples in IMAGE order (row 0 = top)."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    pixel_data = bytearray()
+    row_iter = rows_rgb if top_down else list(reversed(rows_rgb))
+    for row in row_iter:
+        for (r, g, b) in row:
+            pixel_data += bytes([b, g, r])  # BGR on disk
+        pixel_data += b"\x00" * (stride - w * 3)
+    height_field = -h if top_down else h
+    info = struct.pack("<IiiHHIIiiII", 40, w, height_field, 1, 24, 0,
+                       len(pixel_data), 2835, 2835, 0, 0)
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixel_data),
+                              0, 0, 14 + 40)
+    return bytes(file_header + info + pixel_data)
+
+
+def test_decode_bmp_bottom_up_and_top_down():
+    """Row order must come out in IMAGE order for both storage
+    directions, channels swapped BGR->RGB, padding skipped."""
+    from datawarehouse_code_spark.operators.multimodal import decode_image
+
+    rows = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],   # top row: R G B
+        [(1, 2, 3), (4, 5, 6), (7, 8, 9)],
+    ]
+    for top_down in (False, True):
+        w, h, c, px = decode_image(_bmp(3, 2, rows, top_down=top_down))
+        assert (w, h, c) == (3, 2, 3)
+        assert px[0:9] == bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+        assert px[9:18] == bytes([1, 2, 3, 4, 5, 6, 7, 8, 9])
+
+
+def test_decode_bmp_failures():
+    import pytest
+
+    from datawarehouse_code_spark.operators.multimodal import (
+        _decode_bmp,
+        decode_image,
+    )
+
+    good = _bmp(2, 2, [[(1, 1, 1), (2, 2, 2)], [(3, 3, 3), (4, 4, 4)]])
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_bmp(good[:-3])
+    with pytest.raises(ValueError, match="not a BMP"):
+        _decode_bmp(b"XX" + good[2:])
+    # 8-bit palette BMPs refuse loudly
+    import struct
+
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, 28, 8)
+    with pytest.raises(ValueError, match="24-bit"):
+        _decode_bmp(bytes(bad))
+    # compressed codec branch still raises NotImplementedError
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_decoded_image_stats_mixed_pnm_bmp(spark):
+    """The Arrow decode stage handles PNM and BMP payloads in the SAME
+    batch — per-channel integer sums exact for both."""
+    from datawarehouse_code_spark.operators.multimodal import decoded_image_stats
+
+    def ppm(w, h, r, g, b):
+        return f"P6\n{w} {h}\n255\n".encode() + bytes([r, g, b]) * (w * h)
+
+    bmp_rows = [[(10, 20, 30), (40, 50, 60)]]
+    rows = [
+        (1, "image/x-portable-pixmap", ppm(2, 2, 5, 6, 7)),
+        (2, "image/bmp", _bmp(2, 1, bmp_rows)),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id BIGINT, media_type STRING, content BINARY"
+    )
+    got = {r.media_id: r for r in decoded_image_stats(media).collect()}
+    assert (got[1].sum_r, got[1].sum_g, got[1].sum_b) == (20, 24, 28)
+    assert (got[2].width, got[2].height) == (2, 1)
+    assert (got[2].sum_r, got[2].sum_g, got[2].sum_b) == (50, 70, 90)
