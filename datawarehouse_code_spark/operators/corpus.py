@@ -724,3 +724,47 @@ def forget_documents(
         _staged_overwrite(spark, ikept, index_path)
         ikept.unpersist()
     return report
+
+
+def select_canonical(
+    documents: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware survivor selection: instead of clean_corpus's
+    keep-the-minimum-id policy, keep the BEST document of each
+    near-dup component by `score_col` (highest wins; ties break on
+    the lower id, so the choice is deterministic and engine-
+    reproducible).  Production pipelines keep the longest/cleanest
+    member of a duplicate cluster, not an arbitrary one — the
+    min-id policy exists for oracle simplicity, this one for corpus
+    quality.
+
+    Output: `documents` minus the non-canonical members of every
+    component (singletons survive untouched).
+
+    Scale shape: the component table covers only paired docs
+    (≪ corpus); the winner per component is one max_by aggregation
+    over it; the final filter is an id anti-join.  The CC fixpoint
+    dominates, shared with every other component consumer.
+    """
+    comps = near_dup_components(pairs).select(
+        F.col("doc_id").alias(id_col), "rep"
+    )
+    scored = comps.join(
+        documents.select(id_col, score_col), id_col
+    )
+    # deterministic argmax: max_by on a (score, -id) struct — the
+    # struct comparison is lexicographic, so higher score wins and
+    # the LOWER id wins ties
+    winners = scored.groupBy("rep").agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(F.col(score_col).alias("s"), (-F.col(id_col)).alias("nid")),
+        ).alias("keep_id")
+    )
+    losers = comps.join(
+        winners, comps["rep"] == winners["rep"], "inner"
+    ).filter(F.col(id_col) != F.col("keep_id")).select(id_col)
+    return documents.join(losers, id_col, "left_anti")

@@ -288,3 +288,57 @@ def distinct_estimate(rollup: DataFrame, keys: list[str]) -> DataFrame:
         *keys,
         F.hll_sketch_estimate("distinct_sketch").alias("n_distinct_est"),
     )
+
+
+def join_view_delta(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Incremental maintenance for a materialized JOIN view — the
+    other half of IVM beside the additive rollups above: for
+    append-only inputs, the delta of A ⋈ B is exactly
+
+        ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    (the algebraic identity (A∪ΔA)⋈(B∪ΔB) minus A⋈B, with bag
+    semantics — pinned merge ≡ rebuild by test).  Appending the
+    result to the stored view refreshes it at a cost proportional to
+    the DELTAS times join selectivity, never |A|·|B| — the reference's
+    truncate-and-rebuild cube (warehouse.py:254-284) done
+    incrementally without the cube's per-row anti-join.
+
+    Append-only contract (loud, like the rollup delta contract):
+    updates/deletes must flow as retractions through table_diff/CDC,
+    not through this identity — a mutated old row would need the view
+    rows it produced to be found and replaced, which is MERGE
+    territory (incremental_cube's fact_id anti-join is that, priced
+    accordingly).
+
+    Scale shape: three equi-joins, each with at least one delta-sized
+    side — broadcast the delta when it fits, and keep A/B bucketed or
+    key-partitioned so the big sides never reshuffle; the ΔA ⋈ ΔB
+    term is delta × delta (tiny).  Nothing rescans the stored view.
+    """
+    t1 = a_delta.join(b_old, keys)
+    t2 = a_old.join(b_delta, keys)
+    t3 = a_delta.join(b_delta, keys)
+    return t1.unionByName(t2).unionByName(t3)
+
+
+def maintain_join_view(
+    view_old: DataFrame,
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Stored view ∪ join_view_delta — the refreshed materialized
+    join view (write with mode("append") of just the delta in
+    practice; this frame exists for the merge ≡ rebuild proof)."""
+    return view_old.unionByName(
+        join_view_delta(a_old, a_delta, b_old, b_delta, keys)
+    )

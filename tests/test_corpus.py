@@ -438,3 +438,28 @@ def test_forget_documents_removes_from_corpus_and_index(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no corpus"):
         forget_documents(spark, str(tmp_path / "nope"), None, gone)
+
+
+def test_select_canonical_keeps_best_scored(spark):
+    """Crafted component {1, 2, 3} with scores 5, 9, 9: the winner is
+    doc 2 (highest score, lower id on the tie); singleton 4 survives;
+    scores outside the component never matter."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.corpus import select_canonical
+
+    docs = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (4, 1.0)], "doc_id bigint, q double"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "d1 bigint, d2 bigint"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in select_canonical(docs, pairs, "q").collect()
+    )
+    assert kept == [2, 4]
+
+    # min-id policy comparison: clean_corpus-style rep would keep 1;
+    # the quality policy must differ on this input
+    assert 1 not in kept

@@ -267,3 +267,43 @@ def test_distinct_sketch_merge_equals_oneshot_and_close_to_exact(spark):
 
     with pytest.raises(ValueError, match="at least one"):
         merge_distinct_rollup([], ["event_type"])
+
+
+def test_join_view_delta_merge_equals_rebuild(spark):
+    """IVM identity for a join view on real tables: maintaining the
+    stored orders ⋈ customer view with order/customer deltas equals
+    rebuilding from the grown inputs — exact bag equality, including
+    rows produced by the delta × delta term."""
+    from datawarehouse_code_spark.operators.rollup import (
+        join_view_delta,
+        maintain_join_view,
+    )
+    from datawarehouse_code_spark.sources.catalog import read_table
+    from tests.conftest import SF_DIR
+
+    orders = read_table(spark, "orders", SF_DIR).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).withColumnRenamed("o_custkey", "c_custkey")
+    cust = read_table(spark, "customer", SF_DIR).select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    a_old = orders.filter(F.col("o_orderkey") % 3 != 0)
+    a_delta = orders.filter(F.col("o_orderkey") % 3 == 0)
+    b_old = cust.filter(F.col("c_custkey") % 4 != 0)
+    b_delta = cust.filter(F.col("c_custkey") % 4 == 0)
+
+    view_old = a_old.join(b_old, ["c_custkey"])
+    maintained = maintain_join_view(
+        view_old, a_old, a_delta, b_old, b_delta, ["c_custkey"]
+    )
+    rebuilt = orders.join(cust, ["c_custkey"])
+    assert maintained.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(maintained).count() == 0
+    # the delta x delta term matters: dropping it must break equality
+    broken = view_old.unionByName(
+        a_delta.join(b_old, ["c_custkey"])
+    ).unionByName(a_old.join(b_delta, ["c_custkey"]))
+    assert rebuilt.exceptAll(broken).count() > 0
+    # and the delta is delta-sized, not view-sized
+    delta = join_view_delta(a_old, a_delta, b_old, b_delta, ["c_custkey"])
+    assert delta.count() == rebuilt.count() - view_old.count()
