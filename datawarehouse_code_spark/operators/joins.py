@@ -230,41 +230,61 @@ def fuzzy_prefix_join(
     (both parameters, not code changes).  The oracle replays the
     same blocking, so the contract is hash-enforced, not prose.
 
-    Scale shape: ONE equi-shuffle on the prefix (never a cross join —
-    pinned by the no-cartesian plan test); the length bound and the
-    levenshtein evaluate as residual predicates on co-located
-    candidates only.  Prefix skew (many strings sharing a prefix)
-    bounds the candidate set per bucket; for heavy-tailed name
-    corpora, raise block_prefix or pre-salt the hot prefixes
-    (salted_join above).
+    Scale shape: ONE equi-shuffle on (prefix, length band) — never a
+    cross join (pinned by the no-cartesian plan test).  The length
+    band is the second blocking key the distance bound gives for
+    free: band = len div (d+1), and any pair within distance d
+    differs by <= d in length, so the LEFT side probes its band ± 1
+    (a 3× fan-out of the smaller side) and candidates co-locate by
+    both prefix AND size — this is what keeps a skewed prefix
+    distribution (real name corpora share few leading tokens) from
+    turning a block into a quadratic hotspot; the interval-join
+    bucketing trick applied to string length.  Levenshtein evaluates
+    only on co-located candidates, with the THRESHOLD form
+    (levenshtein(l, r, d) — early-exits the DP past d, turning the
+    per-candidate cost from O(|l|·|r|) into O(d·min(|l|,|r|))).  For
+    residual hotspots, raise block_prefix or pre-salt (salted_join
+    above).
     """
     if max_distance < 1:
         raise ValueError(f"max_distance must be >= 1: {max_distance}")
     if block_prefix < 1:
         raise ValueError(f"block_prefix must be >= 1: {block_prefix}")
+    band = max_distance + 1
     l_norm = F.lower(F.col("_l_str"))
     r_norm = F.lower(F.col("_r_str"))
-    a = left.withColumn("_l_str", F.col(left_col)).withColumn(
-        "_blk", F.substring(l_norm, 1, block_prefix)
+    a = (
+        left.withColumn("_l_str", F.col(left_col))
+        .withColumn("_blk", F.substring(l_norm, 1, block_prefix))
+        .withColumn(
+            "_band",
+            F.explode(
+                F.array(
+                    *[
+                        F.expr(f"length(_l_str) div {band}") + F.lit(off)
+                        for off in (-1, 0, 1)
+                    ]
+                )
+            ),
+        )
     )
-    b = right.withColumn("_r_str", F.col(right_col)).withColumn(
-        "_blk", F.substring(r_norm, 1, block_prefix)
+    b = (
+        right.withColumn("_r_str", F.col(right_col))
+        .withColumn("_blk", F.substring(r_norm, 1, block_prefix))
+        .withColumn("_band", F.expr(f"length(_r_str) div {band}"))
+    )
+    bounded_dist = F.levenshtein(
+        F.lower("_l_str"), F.lower("_r_str"), max_distance
     )
     return (
-        a.join(b, "_blk")
+        a.join(b, ["_blk", "_band"])
         .filter(
             (
                 F.abs(F.length("_l_str") - F.length("_r_str"))
                 <= max_distance
             )
-            & (
-                F.levenshtein(F.lower("_l_str"), F.lower("_r_str"))
-                <= max_distance
-            )
+            & (bounded_dist >= 0)  # threshold form returns -1 past d
         )
-        .withColumn(
-            "edit_distance",
-            F.levenshtein(F.lower("_l_str"), F.lower("_r_str")),
-        )
-        .drop("_blk", "_l_str", "_r_str")
+        .withColumn("edit_distance", bounded_dist)
+        .drop("_blk", "_band", "_l_str", "_r_str")
     )

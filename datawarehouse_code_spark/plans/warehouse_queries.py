@@ -2170,30 +2170,38 @@ def _parts_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays the same blocking (prefix + length bound +
     levenshtein), so candidate generation AND verification are both
     hash-checked; near-misses between distinct real part names ride
-    along as extra matches."""
+    along as extra matches.
+
+    Deliberately a DISTINCT-values match: fuzzy reconciliation runs
+    on the distinct dirty values (64 distinct p_names here, each
+    duplicated ~300×), and the resulting mapping broadcasts back to
+    rows — matching at row grain would square the duplication (a 6M-
+    pair result on this fixture) for zero extra information."""
     from datawarehouse_code_spark.operators.joins import fuzzy_prefix_join
 
-    parts = read_table(spark, "part", sf_dir).select("p_partkey", "p_name")
-    mutated = parts.select(
-        (F.col("p_partkey") + 1_000_000).alias("m_key"),
+    names = (
+        read_table(spark, "part", sf_dir).select("p_name").distinct()
+    )
+    mutated = names.select(
         F.concat(
             F.substring("p_name", 1, 4), F.expr("substring(p_name, 6)")
         ).alias("m_name"),
-    )
+    ).distinct()
     return fuzzy_prefix_join(
-        mutated, parts, "m_name", "p_name", max_distance=2
-    ).select("m_key", "p_partkey", "edit_distance")
+        mutated, names, "m_name", "p_name", max_distance=2
+    ).select("m_name", "p_name", "edit_distance")
 
 
 _FUZZY_MATCH_SQL = """
-WITH m AS (
-  SELECT p_partkey + 1000000 AS m_key,
-         concat(substr(p_name, 1, 4), substr(p_name, 6)) AS m_name
-  FROM part
+WITH names AS (
+  SELECT DISTINCT p_name FROM part
+), m AS (
+  SELECT DISTINCT concat(substr(p_name, 1, 4), substr(p_name, 6)) AS m_name
+  FROM names
 )
-SELECT m_key, p_partkey,
+SELECT m_name, p_name,
        levenshtein(lower(m_name), lower(p_name)) AS edit_distance
-FROM m JOIN part
+FROM m JOIN names
   ON substr(lower(m_name), 1, 2) = substr(lower(p_name), 1, 2)
  AND abs(length(m_name) - length(p_name)) <= 2
 WHERE levenshtein(lower(m_name), lower(p_name)) <= 2

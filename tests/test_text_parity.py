@@ -113,3 +113,74 @@ def test_duplicate_spans_and_strip(spark):
     assert cleaned[1] == ("alpha beta gamma delta", 8)
     assert cleaned[2] == ("intro words here epsilon zeta", 8)
     assert cleaned[3][1] == 0 and "unrelated" in cleaned[3][0]
+
+
+def test_bigram_lm_scores_fluent_below_gibberish(spark):
+    """LM trained on the fixture corpus: a sentence assembled from
+    common fixture bigrams scores LOWER (more probable) than shuffled
+    gibberish and than unseen-vocabulary text; the score equals a
+    pure-Python recomputation exactly."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.text_ml import (
+        bigram_lm_score,
+        train_bigram_lm,
+    )
+    from datawarehouse_code_spark.sources.catalog import read_table
+    from tests.conftest import SF_DIR
+
+    ref = read_table(spark, "documents", SF_DIR)
+    bigrams, unigrams, v = train_bigram_lm(ref)
+
+    # a greedy most-likely CHAIN through the bigram table (every
+    # adjacent pair is a high-count corpus bigram) vs a real fixture
+    # document vs martian gibberish (the fixture text is synthetic
+    # word soup, so only the extremes are guaranteed to order — which
+    # is exactly what a quality FILTER thresholds on)
+    bi_rows = bigrams.collect()
+    best_next = {}
+    for r in bi_rows:
+        cur = best_next.get(r["w1"])
+        if cur is None or (r["n_bi"], r["w2"]) > (cur[1], cur[0]):
+            best_next[r["w1"]] = (r["w2"], r["n_bi"])
+    start = max(bi_rows, key=lambda r: (r["n_bi"], r["w1"]))["w1"]
+    chain = [start]
+    for _ in range(11):
+        nxt = best_next.get(chain[-1])
+        if nxt is None:
+            break
+        chain.append(nxt[0])
+    fluent = " ".join(chain)
+    sample = ref.orderBy("doc_id").first()["text"]
+    probe = spark.createDataFrame(
+        [(1, fluent), (2, sample), (3, "zxq gkr plv wmn qqj rrk")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_neg_log2p"])
+        for r in bigram_lm_score(probe, bigrams, unigrams, v).collect()
+    }
+    # the filtering property: the most-likely chain scores strictly
+    # below unseen-vocabulary gibberish, whose score is EXACTLY the
+    # smoothing floor -log2(k/(k*V)) = log2(V) (fully-unseen words:
+    # c_bi = c_uni = 0) — the fixture vocabulary is tiny (~31 words),
+    # so margins are small but the floor is analytic and exact
+    assert got[1][1] < got[3][1]
+    assert abs(got[3][1] - math.log2(v)) < 1e-9
+
+    # exact-twin: recompute doc 3's score in Python
+    bi = {(r["w1"], r["w2"]): r["n_bi"] for r in bigrams.collect()}
+    uni = {r["w1"]: r["n_uni"] for r in unigrams.collect()}
+    ws = "zxq gkr plv wmn qqj rrk".split()
+    k = 0.5
+    nlps = [
+        -math.log2(
+            (bi.get((a, b), 0) + k) / (uni.get(a, 0) + k * v)
+        )
+        for a, b in zip(ws, ws[1:])
+    ]
+    want = sum(nlps) / len(nlps)
+    assert abs(got[3][1] - want) < 1e-9
+    assert got[3][0] == len(nlps)
