@@ -266,3 +266,127 @@ def test_redact_pii_leaves_no_matches(text):
         assert getattr(r, f"n_{name}") == len(_re.findall(pat, text, flags=_re.ASCII))
     for _name, (pat, _tok) in PII_PATTERNS.items():
         assert not _re.search(pat, r.redacted_text, flags=_re.ASCII), (pat, r.redacted_text)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 4),           # user
+            st.integers(0, 50),          # ts seconds
+            st.sampled_from(["a", "b", "c", "x"]),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(3, 20),                  # horizon seconds
+)
+@settings(max_examples=20, deadline=None)
+def test_funnel_horizon_matches_bruteforce(events, horizon_s):
+    """funnel_counts_horizon vs a brute-force per-entry replay in
+    Python: for every random event set and horizon, the per-step user
+    counts and credited-entry lag sums agree exactly."""
+    import tests.conftest as c
+
+    spark = _spark_handle(c)
+    from datawarehouse_code_spark.operators.sessions import (
+        funnel_counts_horizon,
+    )
+
+    steps = ["a", "b", "c"]
+    rows = [
+        (u, datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s), t)
+        for u, s, t in events
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    got = {
+        r["step"]: (r["n_users"], r["sum_lag_us"])
+        for r in funnel_counts_horizon(
+            df, steps, f"{horizon_s} seconds"
+        ).collect()
+    }
+
+    # brute force: per user, for each entry replay greedily within
+    # [entry, entry + horizon]; credit the deepest attempt, earliest
+    # entry on ties
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for u, s, t in events:
+        if t in steps:
+            per_user[u].append((s, steps.index(t) + 1))
+    want_counts = defaultdict(int)
+    want_lags = defaultdict(int)
+    for u, evs in per_user.items():
+        evs.sort()
+        best = []
+        for i, (es, idx) in enumerate(evs):
+            if idx != 1:
+                continue
+            acc = [es]
+            for s, j in evs:
+                if (
+                    j == len(acc) + 1
+                    and s > acc[-1]
+                    and s <= es + horizon_s
+                ):
+                    acc.append(s)
+            if len(acc) > len(best):
+                best = acc
+        if best:
+            for step_i, s in enumerate(best, start=1):
+                want_counts[step_i] += 1
+                want_lags[step_i] += (s - best[0]) * 1_000_000
+    want = {
+        k: (want_counts[k], want_lags[k]) for k in want_counts
+    }
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 30), st.integers(0, 9)),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_gap_fill_properties(buckets):
+    """gap_fill invariants under random bucket sets: output is a
+    complete per-key day grid, observed rows keep their values,
+    constant-filled gaps are 0, and ffill always equals the most
+    recent observed value."""
+    import tests.conftest as c
+
+    spark = _spark_handle(c)
+    from datawarehouse_code_spark.operators.timeseries import gap_fill
+
+    rows = [
+        (str(k), datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d),
+         float(v))
+        for k, d, v in buckets
+    ]
+    df = spark.createDataFrame(rows, "k string, bucket timestamp, v double")
+    df = df.withColumn("w", F.col("v"))
+    out = gap_fill(df, ["k"], "bucket", "1 day", {"v": 0.0, "w": "ffill"})
+    got = sorted(
+        (r["k"], r["bucket"], r["v"], r["w"]) for r in out.collect()
+    )
+
+    from collections import defaultdict
+
+    obs = defaultdict(dict)
+    for k, d, v in buckets:
+        obs[str(k)][d] = float(v)
+    want = []
+    for k, dv in obs.items():
+        days = sorted(dv)
+        last = None
+        for d in range(days[0], days[-1] + 1):
+            ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d)
+            if d in dv:
+                last = dv[d]
+                want.append((k, ts, dv[d], last))
+            else:
+                want.append((k, ts, 0.0, last))
+    assert got == sorted(want)
