@@ -768,3 +768,25 @@ def select_canonical(
         winners, comps["rep"] == winners["rep"], "inner"
     ).filter(F.col(id_col) != F.col("keep_id")).select(id_col)
     return documents.join(losers, id_col, "left_anti")
+
+
+def temperature_mixture(
+    df: DataFrame, strata_col: str, alpha: float
+) -> dict[str, float]:
+    """Temperature-scaled target mixture — THE standard LLM data-mix
+    rule (multilingual/multi-domain sampling à la the mBERT/T5
+    exponential smoothing): target share p(s) ∝ n(s)^alpha.
+    alpha = 1 keeps the natural mix, alpha = 0 gives uniform, values
+    between damp head domains and boost tail ones.  Returns the
+    normalized target dict for `mixture_resample` — the observed
+    counts come from ONE aggregation pass (strata are a bounded
+    domain, so the collect is dict-sized).
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1]: {alpha}")
+    rows = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    if not rows:
+        raise ValueError("temperature_mixture: empty input")
+    weights = {r[strata_col]: float(r["n"]) ** alpha for r in rows}
+    total = sum(weights.values())
+    return {k: v / total for k, v in weights.items()}

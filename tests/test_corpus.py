@@ -463,3 +463,39 @@ def test_select_canonical_keeps_best_scored(spark):
     # min-id policy comparison: clean_corpus-style rep would keep 1;
     # the quality policy must differ on this input
     assert 1 not in kept
+
+
+def test_temperature_mixture_damps_head(spark):
+    """alpha=1 reproduces the natural shares, alpha=0 is uniform, and
+    an intermediate alpha strictly shrinks the head stratum's share
+    while growing the tail's; the dict feeds mixture_resample."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.corpus import (
+        mixture_resample,
+        temperature_mixture,
+    )
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+
+    nat = temperature_mixture(df, "lang", 1.0)
+    assert abs(nat["big"] - 0.9) < 1e-12 and abs(nat["small"] - 0.1) < 1e-12
+    uni = temperature_mixture(df, "lang", 0.0)
+    assert abs(uni["big"] - 0.5) < 1e-12
+    damped = temperature_mixture(df, "lang", 0.5)
+    assert uni["big"] < damped["big"] < nat["big"]
+    assert uni["small"] > damped["small"] > nat["small"]
+
+    out = mixture_resample(df, "doc_id", "lang", damped)
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # the tail stratum binds (kept whole); the head is downsampled to
+    # approximately the damped ratio
+    assert got["small"] == 100
+    want_big = 100 * damped["big"] / damped["small"]
+    assert abs(got["big"] - want_big) / want_big < 0.15
+
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mixture(df, "lang", 1.5)
