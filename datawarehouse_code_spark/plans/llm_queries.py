@@ -1254,8 +1254,14 @@ def _planted_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_near_dup_lsh(emb_corpus), "v1", "v2", planted_emb, "embedding"
     )
     planted_q = planted_emb.filter(F.col("a") < 100)
+    # sample-fit since round 7: the quantizer learns boundaries from a
+    # quarter of the corpus (the 100 TB posture — fit cost is the
+    # suite's dominant term and centroid QUALITY is irrelevant to
+    # planted recall: an exact copy shares its original's nearest
+    # centroid under ANY centroid set; this row's hash enforces that)
     iv = found(
-        ivf_topk(emb_corpus), "query_id", "candidate_id", planted_q, "ivf_topk"
+        ivf_topk(emb_corpus, fit_sample_fraction=0.25),
+        "query_id", "candidate_id", planted_q, "ivf_topk",
     )
     # multi-probe since round 7: ONE hash table with 3 probes replaces
     # the 2-table single-probe config — planted exact copies share the
