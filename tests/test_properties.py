@@ -390,3 +390,60 @@ def test_gap_fill_properties(buckets):
             else:
                 want.append((k, ts, 0.0, last))
     assert got == sorted(want)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12),
+        min_size=2,
+        max_size=8,
+    ),
+    st.integers(2, 3),  # k
+)
+@settings(max_examples=20, deadline=None)
+def test_duplicate_spans_match_python_reference(word_lists, k):
+    """duplicate_spans vs a direct Python recomputation: same flagged
+    positions merged into the same maximal spans for every random
+    tiny corpus (small alphabet forces heavy cross-doc gram overlap,
+    the hard case for the island merge)."""
+    import tests.conftest as c
+
+    spark = _spark_handle(c)
+    from collections import defaultdict
+
+    from datawarehouse_code_spark.operators.text import duplicate_spans
+
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_grams"])
+        for r in duplicate_spans(df, k=k, min_docs=2).collect()
+    )
+
+    # reference: gram -> set of docs; flagged positions; island merge
+    gram_docs = defaultdict(set)
+    doc_grams = {}
+    for i, ws in enumerate(word_lists):
+        grams = [
+            (p + 1, " ".join(ws[p : p + k]))
+            for p in range(len(ws) - k + 1)
+        ]
+        doc_grams[i] = grams
+        for _pos, g in grams:
+            gram_docs[g].add(i)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    want = []
+    for i, grams in doc_grams.items():
+        flagged = sorted(p for p, g in grams if g in dup)
+        if not flagged:
+            continue
+        start = prev = flagged[0]
+        n = 1
+        for p in flagged[1:]:
+            if p > prev + k:
+                want.append((i, start, prev + k - 1, n))
+                start, n = p, 0
+            prev = p
+            n += 1
+        want.append((i, start, prev + k - 1, n))
+    assert got == sorted(want)
