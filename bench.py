@@ -148,6 +148,7 @@ HEADLINE = [
     "orders_trailing_window",
     "parts_fuzzy_match",
     "orders_drift_report",
+    "orders_profile",
 ]
 
 

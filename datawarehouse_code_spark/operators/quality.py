@@ -301,3 +301,43 @@ def drift_report(
         .withColumn("drift_bp", F.abs(F.col("ref_bp") - F.col("cur_bp")))
         .drop("_tr", "_tc")
     )
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Column profile in long format — the data-discovery report every
+    warehouse onboarding starts with: per column, row count, NULL
+    count, EXACT distinct count, and min/max rendered as strings (so
+    one schema covers every column type).
+
+    Scale shape: ONE aggregation pass.  The exact distincts compile
+    to Spark's expand-based multi-distinct aggregation — the honest
+    cost of exact profiling (each distinct column multiplies the
+    pre-shuffle rows); for routine monitoring at 100 TB swap in
+    approx_count_distinct (the HLL rollups above) and keep exact
+    profiling for onboarding runs, where its answer is the point.
+    """
+    if cols is None:
+        cols = df.columns
+    if not cols:
+        raise ValueError("profile_table needs at least one column")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"nulls_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    row = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col("n_rows"),
+            F.col(f"nulls_{c}").alias("n_nulls"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            F.col(f"mn_{c}").alias("min_value"),
+            F.col(f"mx_{c}").alias("max_value"),
+        )
+        for c in cols
+    ]
+    return row.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")

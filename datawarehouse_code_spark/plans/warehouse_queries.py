@@ -2056,6 +2056,66 @@ WINDOW w AS (
 """
 
 
+def _orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profile over orders (operators/quality.py profile_table):
+    per column — rows, NULLs, exact distincts, min/max as strings —
+    in one aggregation pass.  Timestamps are pre-rendered with a
+    shared format so the string casts agree across engines."""
+    from datawarehouse_code_spark.operators.quality import profile_table
+
+    orders = read_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+        "o_orderpriority",
+    )
+    return profile_table(orders)
+
+
+_PROFILE_SQL = """
+WITH prep AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+         o_orderpriority
+  FROM orders
+), agg AS (
+  SELECT count(*) AS n_rows,
+         count(*) - count(o_orderkey) AS nulls_1,
+         count(DISTINCT o_orderkey) AS nd_1,
+         CAST(min(o_orderkey) AS VARCHAR) AS mn_1,
+         CAST(max(o_orderkey) AS VARCHAR) AS mx_1,
+         count(*) - count(o_custkey) AS nulls_2,
+         count(DISTINCT o_custkey) AS nd_2,
+         CAST(min(o_custkey) AS VARCHAR) AS mn_2,
+         CAST(max(o_custkey) AS VARCHAR) AS mx_2,
+         count(*) - count(o_orderstatus) AS nulls_3,
+         count(DISTINCT o_orderstatus) AS nd_3,
+         min(o_orderstatus) AS mn_3,
+         max(o_orderstatus) AS mx_3,
+         count(*) - count(o_orderdate_s) AS nulls_4,
+         count(DISTINCT o_orderdate_s) AS nd_4,
+         min(o_orderdate_s) AS mn_4,
+         max(o_orderdate_s) AS mx_4,
+         count(*) - count(o_orderpriority) AS nulls_5,
+         count(DISTINCT o_orderpriority) AS nd_5,
+         min(o_orderpriority) AS mn_5,
+         max(o_orderpriority) AS mx_5
+  FROM prep
+)
+SELECT 'o_orderkey' AS col, n_rows, nulls_1 AS n_nulls, nd_1 AS n_distinct,
+       mn_1 AS min_value, mx_1 AS max_value FROM agg
+UNION ALL
+SELECT 'o_custkey', n_rows, nulls_2, nd_2, mn_2, mx_2 FROM agg
+UNION ALL
+SELECT 'o_orderstatus', n_rows, nulls_3, nd_3, mn_3, mx_3 FROM agg
+UNION ALL
+SELECT 'o_orderdate_s', n_rows, nulls_4, nd_4, mn_4, mx_4 FROM agg
+UNION ALL
+SELECT 'o_orderpriority', n_rows, nulls_5, nd_5, mn_5, mx_5 FROM agg
+"""
+
+
 def _orders_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift between order eras (operators/quality.py
     drift_report): pre-1998 orders as the reference, 1998+ as
@@ -2344,6 +2404,10 @@ WAREHOUSE_SUPPLEMENTARY: list[Query] = [
     Query("parts_fuzzy_match", _parts_fuzzy_match, _FUZZY_MATCH_SQL,
           "§2.2 fuzzy string join: levenshtein-bounded, prefix-blocked "
           "(supplementary, differential-tested)"),
+    Query("orders_profile", _orders_profile, _PROFILE_SQL,
+          "§2.2 data discovery: one-pass column profile (rows, nulls, "
+          "exact distincts, min/max) (supplementary, "
+          "differential-tested)"),
     Query("orders_drift_report", _orders_drift_report, _DRIFT_SQL,
           "§2.2 ML data quality: distribution-drift report, integer "
           "buckets from the reference range (supplementary, "
