@@ -255,3 +255,35 @@ def compact_table(
     n_files = max(1, -(-int(total) // int(target_file_bytes)))
     df = spark.read.parquet(f"{path}/v={latest}").coalesce(n_files)
     return write_version(spark, df, path)
+
+
+def schema_diff(
+    spark: SparkSession, path: str, v_old: int, v_new: int
+) -> list[dict]:
+    """Schema drift between two committed versions — the alerting
+    report a versioned table's consumers watch: [{column, change,
+    old_type, new_type}] for every added / removed / retyped column
+    (column ORDER changes are not drift; parquet reads by name).
+    Metadata-only: two footer reads, no data scan.
+    """
+    old_schema = {
+        f.name: f.dataType.simpleString()
+        for f in read_version(spark, path, v_old).schema.fields
+    }
+    new_schema = {
+        f.name: f.dataType.simpleString()
+        for f in read_version(spark, path, v_new).schema.fields
+    }
+    out: list[dict] = []
+    for c in sorted(set(old_schema) | set(new_schema)):
+        o, n = old_schema.get(c), new_schema.get(c)
+        if o is None:
+            out.append({"column": c, "change": "added",
+                        "old_type": None, "new_type": n})
+        elif n is None:
+            out.append({"column": c, "change": "removed",
+                        "old_type": o, "new_type": None})
+        elif o != n:
+            out.append({"column": c, "change": "retyped",
+                        "old_type": o, "new_type": n})
+    return out

@@ -78,6 +78,8 @@ PLAN_BOUNDS = {
     "parts_fuzzy_match": (3, 3),
     "events_funnel_horizon": (2, 3),
     "orders_cohort_month": (3, 6),
+    "orders_profile": (2, 3),
+    "orders_drift_report": (3, 5),
 }
 
 

@@ -181,3 +181,37 @@ def test_vacuum_clears_stale_staging_only(spark, tmp_path):
     vacuum_versions(spark, path, keep=1, stale_staging_ms=-1)
     assert not stale.exists() and not fresh.exists()
     assert read_version(spark, path).count() == 5
+
+
+def test_schema_diff_between_versions(spark, tmp_path):
+    """Added, removed, and retyped columns between two commits are
+    reported; identical schemas diff to empty."""
+    from datawarehouse_code_spark.sources.versioned import schema_diff
+
+    path = str(tmp_path / "t")
+    v0 = write_version(
+        spark,
+        spark.range(3).select(
+            F.col("id"), F.lit("x").alias("a"), F.lit(1).alias("b")
+        ),
+        path,
+    )
+    v1 = write_version(
+        spark,
+        spark.range(3).select(
+            F.col("id"),
+            F.lit(2.5).alias("b"),          # retyped int -> double
+            F.lit(True).alias("c"),          # added
+        ),                                   # 'a' removed
+        path,
+    )
+    diff = schema_diff(spark, path, v0, v1)
+    assert diff == [
+        {"column": "a", "change": "removed", "old_type": "string",
+         "new_type": None},
+        {"column": "b", "change": "retyped", "old_type": "int",
+         "new_type": "double"},
+        {"column": "c", "change": "added", "old_type": None,
+         "new_type": "boolean"},
+    ]
+    assert schema_diff(spark, path, v1, v1) == []
