@@ -40,8 +40,9 @@ jobs commit two distinct versions (pinned by test, including a real
 two-thread race).  Crashed writers leave only stale `.staging-*`
 dirs, which vacuum_versions clears past a retention age.
 
-Still absent by design: row-level MERGE (see acid.py) and
-schema-evolution metadata (see catalog.read_evolving).
+Still absent by design: row-level MERGE (see acid.py).  Schema
+evolution: reads go through catalog.read_evolving; drift between two
+committed versions is reported by `schema_diff` below.
 
 Scale: version resolution is one directory listing; vacuum deletes
 whole directories.  Storage cost = versions retained × table size —
