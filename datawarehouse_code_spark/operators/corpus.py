@@ -790,3 +790,104 @@ def temperature_mixture(
     weights = {r[strata_col]: float(r["n"]) ** alpha for r in rows}
     total = sum(weights.values())
     return {k: v / total for k, v in weights.items()}
+
+
+def ingest_corpus_increment(
+    spark: SparkSession,
+    corpus_path: str,
+    index_path: str,
+    new_docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+) -> dict[str, int]:
+    """The composed NIGHTLY SWEEP the incremental pieces exist for:
+    given a stored corpus and its persisted LSH index, ingest an
+    increment end-to-end —
+
+      1. exact dedup WITHIN the increment (min doc_id per content
+         hash) and against the corpus (hash semi-join);
+      2. near-dup dedup WITHIN the increment (batch detector over the
+         increment only — the documented complement of the
+         increment-vs-corpus detector);
+      3. near-dup check AGAINST the corpus via the persisted index
+         (near_dup_pairs_incremental — signs only the increment);
+      4. append the survivors' index buckets, THEN the survivors to
+         the corpus.
+
+    Cost ∝ |increment| (+ the index equi-join) — the corpus is never
+    re-shingled; only matched corpus docs re-derive shingles inside
+    the incremental verifier.
+
+    Crash/idempotence contract: the two appends are index-FIRST, so a
+    crash between them leaves only orphan index buckets (harmless:
+    their candidates verify against absent corpus docs and produce
+    nothing), and a re-run of the SAME increment re-admits exactly
+    the docs missing from the corpus; bucket re-appends are guarded
+    by an anti-join on (doc_id) against the stored index, so retries
+    never duplicate index rows.  Returns the per-stage drop counts.
+    """
+    from datawarehouse_code_spark.operators.text import (
+        build_lsh_index,
+        near_dup_pairs_exact,
+        near_dup_pairs_incremental,
+        normalized_text,
+    )
+    from pyspark.sql import Window
+
+    corpus = spark.read.parquet(corpus_path)
+    n_in = new_docs.count()
+
+    hashed = new_docs.withColumn(
+        "_h", F.md5(normalized_text(F.col("text")))
+    )
+    w = Window.partitionBy("_h").orderBy("doc_id")
+    in_batch = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    corpus_hashes = corpus.select(
+        F.md5(normalized_text(F.col("text"))).alias("_h")
+    )
+    exact_ok = in_batch.join(corpus_hashes, "_h", "left_anti").drop("_h")
+    n_exact = exact_ok.count()
+
+    pairs = near_dup_pairs_exact(exact_ok, k=k, threshold=threshold)
+    comps = near_dup_components(pairs)
+    non_reps = comps.filter(F.col("rep") != F.col("doc_id")).select("doc_id")
+    near_ok = exact_ok.join(non_reps, "doc_id", "left_anti")
+    n_near = near_ok.count()
+
+    vs_corpus = near_dup_pairs_incremental(
+        near_ok, corpus, spark.read.parquet(index_path),
+        k=k, num_hashes=num_hashes, bands=bands, threshold=threshold,
+    )
+    survivors = near_ok.join(
+        vs_corpus.select(F.col("d_new").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    ).persist()
+    n_final = survivors.count()
+
+    if n_final:
+        new_buckets = build_lsh_index(
+            survivors, k=k, num_hashes=num_hashes, bands=bands,
+            hot_bucket_cap=None,
+        )
+        existing_ids = spark.read.parquet(index_path).select("doc_id").distinct()
+        (
+            new_buckets.join(existing_ids, "doc_id", "left_anti")
+            .write.mode("append")
+            .parquet(index_path)
+        )
+        survivors.write.mode("append").parquet(corpus_path)
+    survivors.unpersist()
+    return {
+        "n_input": n_in,
+        "dropped_exact": n_in - n_exact,
+        "dropped_near_in_batch": n_exact - n_near,
+        "dropped_near_vs_corpus": n_near - n_final,
+        "n_ingested": n_final,
+    }

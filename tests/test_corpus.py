@@ -499,3 +499,73 @@ def test_temperature_mixture_damps_head(spark):
 
     with pytest.raises(ValueError, match="alpha"):
         temperature_mixture(df, "lang", 1.5)
+
+
+def test_ingest_corpus_increment_end_to_end(spark, tmp_path):
+    """The composed nightly sweep: an increment carrying an exact
+    in-batch dup, an in-batch near-dup pair, an exact copy of a
+    corpus doc, a near-dup of a corpus doc, and one clean doc.  Only
+    the clean doc and one survivor of the in-batch pair land; the
+    index is extended so a FOLLOW-UP increment duplicating the newly
+    ingested doc is caught; re-running the same increment ingests
+    nothing and duplicates no index rows."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.corpus import (
+        ingest_corpus_increment,
+    )
+    from datawarehouse_code_spark.operators.text import build_lsh_index
+    from datawarehouse_code_spark.sources.catalog import read_table
+
+    corpus_path = str(tmp_path / "corpus")
+    index_path = str(tmp_path / "index")
+    base = read_table(spark, "documents", SF_DIR).limit(50)
+    base.write.parquet(corpus_path)
+    build_lsh_index(base).write.parquet(index_path)
+
+    corpus_doc = base.orderBy("doc_id").first()
+    near_of_corpus = " ".join(corpus_doc["text"].split()[:-1])  # drop last word
+    inc_rows = [
+        (10_001, "a fresh unique document about nothing seen before xyz"),
+        (10_002, "duplicate pair text alpha beta gamma delta epsilon"),
+        (10_003, "duplicate pair text alpha beta gamma delta epsilon"),  # exact in-batch dup
+        (10_004, "duplicate pair text alpha beta gamma delta epsilon zeta"),  # near in-batch
+        (10_005, corpus_doc["text"]),                    # exact copy of corpus doc
+        (10_006, near_of_corpus),                        # near-dup of corpus doc
+    ]
+    schema_cols = base.columns
+    inc = spark.createDataFrame(
+        [(i, t) for i, t in inc_rows], "doc_id bigint, text string"
+    )
+    for c in schema_cols:
+        if c not in inc.columns:
+            inc = inc.withColumn(c, F.lit(None).cast(base.schema[c].dataType))
+    inc = inc.select(schema_cols)
+
+    report = ingest_corpus_increment(spark, corpus_path, index_path, inc)
+    assert report["n_input"] == 6
+    assert report["dropped_exact"] == 2        # in-batch dup + corpus copy
+    assert report["dropped_near_in_batch"] == 1
+    assert report["dropped_near_vs_corpus"] == 1
+    assert report["n_ingested"] == 2
+    got_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(corpus_path)
+        .filter(F.col("doc_id") > 10_000)
+        .collect()
+    }
+    assert got_ids == {10_001, 10_002}
+
+    # follow-up increment duplicating a newly ingested doc is caught
+    # through the EXTENDED index / corpus
+    follow = inc.filter(F.col("doc_id") == 10_001).withColumn(
+        "doc_id", F.lit(20_001).cast("bigint")
+    )
+    r2 = ingest_corpus_increment(spark, corpus_path, index_path, follow)
+    assert r2["n_ingested"] == 0 and r2["dropped_exact"] == 1
+
+    # idempotent re-run: nothing new, no duplicated index rows
+    n_index = spark.read.parquet(index_path).count()
+    r3 = ingest_corpus_increment(spark, corpus_path, index_path, inc)
+    assert r3["n_ingested"] == 0
+    assert spark.read.parquet(index_path).count() == n_index
