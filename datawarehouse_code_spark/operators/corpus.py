@@ -834,34 +834,39 @@ def ingest_corpus_increment(
         near_dup_pairs_incremental,
         normalized_text,
     )
-    from pyspark.sql import Window
 
     corpus = spark.read.parquet(corpus_path)
+    index = spark.read.parquet(index_path)
     n_in = new_docs.count()
 
-    hashed = new_docs.withColumn(
-        "_h", F.md5(normalized_text(F.col("text")))
+    # exact stage reuses exact_dedup's canonical mapping (text.py) for
+    # the in-batch half; the corpus half is a hash anti-join.  Each
+    # surviving stage is persisted: the stage counts below are
+    # separate actions, and without the cache every later count
+    # re-runs the whole upstream pipeline (the near-dup detector is
+    # the dominant term — recomputing it per count doubles the sweep)
+    canon = exact_dedup(new_docs).select(
+        F.col("canonical_doc_id").alias("doc_id"),
+        F.col("content_hash").alias("_h"),
     )
-    w = Window.partitionBy("_h").orderBy("doc_id")
-    in_batch = (
-        hashed.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    in_batch = new_docs.join(canon, "doc_id").select(new_docs.columns + ["_h"])
     corpus_hashes = corpus.select(
         F.md5(normalized_text(F.col("text"))).alias("_h")
     )
-    exact_ok = in_batch.join(corpus_hashes, "_h", "left_anti").drop("_h")
+    exact_ok = (
+        in_batch.join(corpus_hashes, "_h", "left_anti").drop("_h").persist()
+    )
     n_exact = exact_ok.count()
 
     pairs = near_dup_pairs_exact(exact_ok, k=k, threshold=threshold)
     comps = near_dup_components(pairs)
+    # same survivor policy as clean_corpus: component minimum stays
     non_reps = comps.filter(F.col("rep") != F.col("doc_id")).select("doc_id")
-    near_ok = exact_ok.join(non_reps, "doc_id", "left_anti")
+    near_ok = exact_ok.join(non_reps, "doc_id", "left_anti").persist()
     n_near = near_ok.count()
 
     vs_corpus = near_dup_pairs_incremental(
-        near_ok, corpus, spark.read.parquet(index_path),
+        near_ok, corpus, index,
         k=k, num_hashes=num_hashes, bands=bands, threshold=threshold,
     )
     survivors = near_ok.join(
@@ -876,14 +881,15 @@ def ingest_corpus_increment(
             survivors, k=k, num_hashes=num_hashes, bands=bands,
             hot_bucket_cap=None,
         )
-        existing_ids = spark.read.parquet(index_path).select("doc_id").distinct()
+        existing_ids = index.select("doc_id").distinct()
         (
             new_buckets.join(existing_ids, "doc_id", "left_anti")
             .write.mode("append")
             .parquet(index_path)
         )
         survivors.write.mode("append").parquet(corpus_path)
-    survivors.unpersist()
+    for df in (survivors, near_ok, exact_ok):
+        df.unpersist()
     return {
         "n_input": n_in,
         "dropped_exact": n_in - n_exact,

@@ -377,17 +377,22 @@ def read_pruned_rowgroups(
             "file_path string, rgs array<int>",
         ).repartition(min(len(partial), 32))
 
+        # mapInArrow, NOT mapInPandas: pandas degrades a null-bearing
+        # int64 column to float64, silently corrupting values past
+        # 2^53 on the boundary files while whole files read exactly —
+        # arrow batches round-trip the physical types untouched
         def read_rgs(batches):
             import pyarrow.parquet as pq
 
-            for pdf in batches:
-                for fp, rgs in zip(pdf["file_path"], pdf["rgs"]):
+            for batch in batches:
+                d = batch.to_pydict()
+                for fp, rgs in zip(d["file_path"], d["rgs"]):
                     tbl = pq.ParquetFile(_local_path(fp)).read_row_groups(
                         [int(g) for g in rgs], columns=names
-                    )
-                    yield tbl.to_pandas()[names]
+                    ).select(names)
+                    yield from tbl.to_batches()
 
-        parts.append(pairs.mapInPandas(read_rgs, full.schema))
+        parts.append(pairs.mapInArrow(read_rgs, full.schema))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

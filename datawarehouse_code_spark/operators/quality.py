@@ -257,7 +257,14 @@ def drift_report(
             F.when(F.col(c).isNull(), F.lit(-2))
             .when(x < lo, F.lit(-1))
             .when(x > hi, F.lit(n_buckets))
-            .otherwise(F.expr(f"(CAST({c} AS BIGINT) - {lo}) * {n_buckets} div {width}"))
+            .otherwise(
+                # backticks: column names with spaces/keywords must
+                # survive the expr round-trip like they do everywhere
+                # else in this function
+                F.expr(
+                    f"(CAST(`{c}` AS BIGINT) - {lo}) * {n_buckets} div {width}"
+                )
+            )
         )
 
     def side_counts(df: DataFrame, alias: str) -> DataFrame:

@@ -387,6 +387,7 @@ _FUNNEL_HORIZON_SQL = """
 WITH e AS (
   SELECT user_id, event_type, ts FROM events
   WHERE event_type IN ('view', 'click', 'purchase')
+    AND ts IS NOT NULL
 ), ent AS (
   SELECT user_id, ts AS t1 FROM e WHERE event_type = 'view'
 ), c2 AS (

@@ -131,6 +131,7 @@ def _claim(
     jvm = spark._jvm
     hadoop_path = jvm.org.apache.hadoop.fs.Path
     src = hadoop_path(hpath, staging)
+    last_err: Exception | None = None
     for attempt in range(max_attempts):
         if first_n is not None and attempt == 0:
             n = first_n
@@ -144,8 +145,11 @@ def _claim(
         if not fs.exists(vdir):
             try:
                 fs.rename(src, vdir)
-            except Exception:
-                pass  # lost the race in a throwing FS implementation
+            except Exception as e:  # noqa: BLE001 — FS variety
+                # a throwing FS losing the race is expected; anything
+                # persistent (permissions, quota) must surface in the
+                # give-up error, not vanish into 64 silent retries
+                last_err = e
         if fs.exists(mine):
             return n
         # we lost: if the rename moved our staging INSIDE the winner's
@@ -165,7 +169,8 @@ def _claim(
     raise IOError(
         f"writer {writer_id}: gave up claiming a version at {path} "
         f"after {max_attempts} attempts"
-    )
+        + (f"; last rename error: {last_err}" if last_err else "")
+    ) from last_err
 
 
 def write_version(spark: SparkSession, df: DataFrame, path: str) -> int:

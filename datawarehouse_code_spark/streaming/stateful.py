@@ -230,8 +230,6 @@ def session_emit_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame
                 }
             )
 
-    from pyspark.sql import functions as F
-
     # `events.ts` must be a true TIMESTAMP (read_events_stream's
     # contract — raw int64-nanos columns cast here would produce
     # year-294k timestamps that overflow the state worker's Arrow

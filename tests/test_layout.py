@@ -249,3 +249,38 @@ def test_read_pruned_rejects_hive_partitioned_layout(spark, tmp_path):
     manifest = collect_file_stats(spark, path, ["l_suppkey"])
     with pytest.raises(ValueError, match="hive-partition"):
         read_pruned(spark, path, manifest, {"l_suppkey": (1, 5)}).collect()
+
+
+def test_rowgroup_partial_read_preserves_nullable_int64(spark, tmp_path):
+    """Review regression (r7): the partial-file read path must NOT go
+    through pandas — a null-bearing int64 column would degrade to
+    float64 and silently corrupt values past 2^53 on boundary files
+    while whole files read exactly.  Arrow batches round-trip the
+    physical types."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.layout import (
+        collect_rowgroup_stats,
+        read_pruned_rowgroups,
+    )
+
+    big = 9_007_199_254_741_093  # > 2^53: float64 cannot represent it
+    rows = [(i, big + i if i % 7 else None) for i in range(4000)]
+    df = spark.createDataFrame(rows, "k bigint, payload bigint")
+    zpath = str(tmp_path / "z")
+    zorder_write(
+        df, zpath, ["k"], n_files=4,
+        writer_options={"parquet.block.size": str(4 * 1024)},
+    )
+    rgm = collect_rowgroup_stats(spark, zpath, ["k"])
+    preds = {"k": (900, 1400)}  # straddles a file boundary
+    got = {
+        r["k"]: r["payload"]
+        for r in read_pruned_rowgroups(spark, zpath, rgm, preds).collect()
+    }
+    want = {
+        k: v for k, v in rows if 900 <= k <= 1400
+    }
+    assert got == want
+    # the corruption case specifically: exact odd values survive
+    assert got[901] == big + 901
