@@ -78,10 +78,10 @@ PLAN_BOUNDS = {
     "parts_fuzzy_match": (3, 3),
     "events_funnel_horizon": (2, 3),
     "orders_cohort_month": (3, 6),
-    # per-column branches: 5 single-column scans + 1 tiny exchange
-    # each — trades scans for the 6x expand shuffle (measured 6x
-    # faster); bound scans at cols+headroom
-    "orders_profile": (8, 9),
+    # per-column branches: 5 single-column scans + 2 tiny exchanges
+    # each (partial + final distinct agg) — trades scans for the 6x
+    # expand shuffle (measured 6x faster); bounds at cols+headroom
+    "orders_profile": (8, 15),
     "orders_drift_report": (3, 5),
 }
 
