@@ -288,3 +288,169 @@ def fuzzy_prefix_join(
         .withColumn("edit_distance", bounded_dist)
         .drop("_blk", "_band", "_l_str", "_r_str")
     )
+
+
+def _asof_tagged_union(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    payload_cols: list[str],
+    right_tiebreak: str | None,
+) -> tuple[DataFrame, list[str]]:
+    """The shared as-of machinery: both inputs tagged and unioned so
+    ONE shuffle on the keys serves every direction's window pass.
+    The right-side struct carries `_ts_us` so `nearest` can compare
+    distances.  See asof_join_backward for the full design notes."""
+    overlap = set(payload_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(f"as-of join: payload collides with left: {overlap}")
+    left_only = [c for c in left.columns if c not in keys and c != ts_col]
+    tb_type = (
+        right.schema[right_tiebreak].dataType.simpleString()
+        if right_tiebreak is not None
+        else "int"
+    )
+    tagged_left = left.select(
+        *keys, ts_col, *left_only,
+        *[F.lit(None).alias(p) for p in payload_cols],
+        F.lit(None).cast(tb_type).alias("_tb"),
+        F.lit(1).alias("_is_left"),
+    )
+    tb = F.col(right_tiebreak) if right_tiebreak is not None else F.lit(0)
+    tagged_right = right.filter(F.col(ts_col).isNotNull()).select(
+        *keys, ts_col,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_only],
+        *payload_cols,
+        tb.alias("_tb"),
+        F.lit(0).alias("_is_left"),
+    )
+    return tagged_left.unionByName(tagged_right), left_only
+
+
+def _asof_struct(ts_col: str, payload_cols: list[str]) -> F.Column:
+    return F.when(
+        F.col("_is_left") == 0,
+        F.struct(
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_ts_us"),
+            *payload_cols,
+        ),
+    )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    payload_cols: list[str],
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of join, FORWARD direction: each left row attaches the
+    EARLIEST right row with right.ts >= left.ts (the "next quote /
+    next reading" lookup — pandas merge_asof(direction='forward')).
+    Same tagged-union + single-window shape as the backward join,
+    traversed in descending time; ties ("at or after") match, and
+    among equal-ts right rows the max-`right_tiebreak` row wins (the
+    same rule as backward, so flipping direction never changes tie
+    policy).  NULL-ts left rows get NULL payloads; NULL-ts right
+    rows are ignored."""
+    from pyspark.sql import Window
+
+    unioned, left_only = _asof_tagged_union(
+        left, right, keys, ts_col, payload_cols, right_tiebreak
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(
+            F.col(ts_col).desc_nulls_first(),
+            F.col("_is_left").asc(),
+            F.col("_tb").asc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        F.last(_asof_struct(ts_col, payload_cols), ignorenulls=True)
+        .over(w)
+        .alias("_asof"),
+    )
+    return carried.filter(F.col("_is_left") == 1).select(
+        *keys, ts_col, *left_only,
+        *[F.col(f"_asof.{p}").alias(f"asof_{p}") for p in payload_cols],
+    )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    payload_cols: list[str],
+    right_tiebreak: str | None = None,
+    tolerance: str | None = None,
+) -> DataFrame:
+    """As-of join, NEAREST direction: the closest right row in either
+    direction (pandas merge_asof(direction='nearest')); equidistant
+    candidates resolve BACKWARD (pandas' rule).  `tolerance` (a Spark
+    INTERVAL literal, e.g. "10 minutes") drops matches farther than
+    the bound in either direction.
+
+    One shuffle still: both directions' window passes share the
+    tagged union's key partitioning (two sorts over one exchange —
+    Catalyst reuses the exchange for compatible windows), then a
+    narrow projection picks the closer struct per row.
+    """
+    from pyspark.sql import Window
+
+    unioned, left_only = _asof_tagged_union(
+        left, right, keys, ts_col, payload_cols, right_tiebreak
+    )
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy(
+            F.col(ts_col).asc_nulls_first(),
+            F.col("_is_left").asc(),
+            F.col("_tb").asc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(
+            F.col(ts_col).desc_nulls_first(),
+            F.col("_is_left").asc(),
+            F.col("_tb").asc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = _asof_struct(ts_col, payload_cols)
+    carried = unioned.select(
+        "*",
+        F.last(s, ignorenulls=True).over(wb).alias("_b"),
+        F.last(s, ignorenulls=True).over(wf).alias("_f"),
+    ).filter(F.col("_is_left") == 1)
+    lts = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    d_b = lts - F.col("_b._ts_us")
+    d_f = F.col("_f._ts_us") - lts
+    if tolerance is not None:
+        tol_us = F.unix_micros(
+            F.lit("1970-01-01 00:00:00").cast("timestamp")
+            + F.expr(f"INTERVAL {tolerance}")
+        )
+        b_ok = F.col("_b").isNotNull() & (d_b <= tol_us)
+        f_ok = F.col("_f").isNotNull() & (d_f <= tol_us)
+    else:
+        b_ok = F.col("_b").isNotNull()
+        f_ok = F.col("_f").isNotNull()
+    chosen = (
+        F.when(b_ok & f_ok, F.when(d_b <= d_f, F.col("_b")).otherwise(F.col("_f")))
+        .when(b_ok, F.col("_b"))
+        .when(f_ok, F.col("_f"))
+    )
+    return carried.select(
+        *keys, ts_col, *left_only, chosen.alias("_c")
+    ).select(
+        *keys, ts_col, *left_only,
+        *[F.col(f"_c.{p}").alias(f"asof_{p}") for p in payload_cols],
+    )

@@ -447,3 +447,92 @@ def test_duplicate_spans_match_python_reference(word_lists, k):
             n += 1
         want.append((i, start, prev + k - 1, n))
     assert got == sorted(want)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=1, max_size=25,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=0, max_size=25,
+    ),
+    st.one_of(st.none(), st.integers(1, 20)),   # tolerance seconds
+)
+@settings(max_examples=15, deadline=None)
+def test_asof_forward_and_nearest_match_pandas(left_rows, right_rows, tol_s):
+    """asof_join_forward and asof_join_nearest agree with pandas
+    merge_asof (direction=forward/nearest, optional tolerance) on
+    arbitrary key/ts data — including pandas' equidistant-resolves-
+    backward rule.  Right (key, ts) deduped for unambiguous matches."""
+    import pandas as pd
+
+    import tests.conftest as c
+    from datawarehouse_code_spark.operators.joins import (
+        asof_join_forward,
+        asof_join_nearest,
+    )
+
+    spark = _spark_handle(c)
+    seen = set()
+    right_uniq = []
+    for i, (k, ts) in enumerate(right_rows):
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            right_uniq.append((k, ts, i))
+    left = spark.createDataFrame(
+        [
+            (k, datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=ts), i)
+            for i, (k, ts) in enumerate(left_rows)
+        ],
+        "k int, ts timestamp, lid int",
+    )
+    right = spark.createDataFrame(
+        [
+            (k, datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=ts), rid)
+            for k, ts, rid in right_uniq
+        ] or [(99, datetime.datetime(2024, 1, 1), 0)],
+        "k int, ts timestamp, rid int",
+    )
+    if not right_uniq:
+        right = right.filter("k < 0")
+
+    lpdf = pd.DataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(left_rows)],
+        columns=["k", "ts", "lid"],
+    ).sort_values("ts", kind="stable")
+    rpdf = pd.DataFrame(right_uniq, columns=["k", "ts", "rid"]).sort_values(
+        "ts", kind="stable"
+    )
+
+    def pandas_want(direction, tolerance):
+        if rpdf.empty:
+            return {int(lid): None for lid in lpdf["lid"]}
+        merged = pd.merge_asof(
+            lpdf, rpdf, on="ts", by="k", direction=direction,
+            allow_exact_matches=True, tolerance=tolerance,
+        )
+        return {
+            int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+            for r in merged.itertuples()
+        }
+
+    got_f = {
+        r["lid"]: r["asof_rid"]
+        for r in asof_join_forward(
+            left, right, ["k"], "ts", ["rid"], right_tiebreak="rid"
+        ).collect()
+    }
+    assert got_f == pandas_want("forward", None)
+
+    tol = None if tol_s is None else f"{tol_s} seconds"
+    got_n = {
+        r["lid"]: r["asof_rid"]
+        for r in asof_join_nearest(
+            left, right, ["k"], "ts", ["rid"],
+            right_tiebreak="rid", tolerance=tol,
+        ).collect()
+    }
+    want_n = pandas_want("nearest", None if tol_s is None else tol_s)
+    assert got_n == want_n
