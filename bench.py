@@ -149,6 +149,7 @@ HEADLINE = [
     "parts_fuzzy_match",
     "orders_drift_report",
     "orders_profile",
+    "asof_forward_events",
 ]
 
 

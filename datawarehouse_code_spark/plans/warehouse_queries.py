@@ -2056,6 +2056,53 @@ WINDOW w AS (
 """
 
 
+def _asof_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (operators/joins.py asof_join_forward): each
+    click picks up the EARLIEST view at-or-after its timestamp — the
+    "next action" lookup.  Views are pre-deduped to one row per
+    (user, ts) (max event_id, its value) so the oracle's native ASOF
+    JOIN and the window implementation choose identically."""
+    from datawarehouse_code_spark.operators.joins import asof_join_forward
+
+    events = read_table(spark, "events", sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    views = (
+        events.filter(
+            (F.col("event_type") == "view") & F.col("ts").isNotNull()
+        )
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("view_event_id"),
+            F.max_by("value", "event_id").alias("view_value"),
+        )
+    )
+    return asof_join_forward(
+        clicks, views,
+        keys=["user_id"], ts_col="ts",
+        payload_cols=["view_event_id", "view_value"],
+    )
+
+
+_ASOF_FORWARD_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT user_id, ts,
+         max(event_id) AS view_event_id,
+         max_by(value, event_id) AS view_value
+  FROM events WHERE event_type = 'view' AND ts IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT c.user_id, c.ts, c.event_id,
+       v.view_event_id AS asof_view_event_id,
+       v.view_value AS asof_view_value
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts <= v.ts
+"""
+
+
 def _orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table profile over orders (operators/quality.py profile_table):
     per column — rows, NULLs, exact distincts, min/max as strings —
@@ -2404,6 +2451,10 @@ WAREHOUSE_SUPPLEMENTARY: list[Query] = [
     Query("parts_fuzzy_match", _parts_fuzzy_match, _FUZZY_MATCH_SQL,
           "§2.2 fuzzy string join: levenshtein-bounded, prefix-blocked "
           "(supplementary, differential-tested)"),
+    Query("asof_forward_events", _asof_forward_events, _ASOF_FORWARD_SQL,
+          "§2.2 as-of join (forward): next-action lookup, oracle via "
+          "DuckDB native ASOF JOIN (supplementary, "
+          "differential-tested)"),
     Query("orders_profile", _orders_profile, _PROFILE_SQL,
           "§2.2 data discovery: one-pass column profile (rows, nulls, "
           "exact distincts, min/max) (supplementary, "
