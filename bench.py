@@ -150,6 +150,7 @@ HEADLINE = [
     "orders_drift_report",
     "orders_profile",
     "asof_forward_events",
+    "supplier_bfs",
 ]
 
 

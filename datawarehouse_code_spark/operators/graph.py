@@ -181,3 +181,65 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 20,
+) -> DataFrame:
+    """Unweighted shortest-path hop distances from a SOURCE SET — the
+    fourth graph primitive beside pagerank, connected components, and
+    triangles (reachability radii, "how far is every supplier from a
+    flagged set", feature distances for fraud/risk graphs).
+
+    `edges` is undirected input (a, b); `sources` is a one-column
+    frame of seed nodes (distance 0).  Returns (node, dist) for every
+    node within `max_hops` of a seed — unreached nodes are absent
+    (the caller left-joins and fills if it wants INFs).
+
+    Mechanics: synchronous distance relaxation — each round joins the
+    current frontier to the symmetric edge list, proposes dist+1 to
+    neighbors, merges with a min-groupBy, and stops when no node's
+    distance improved.  Rounds needed = graph eccentricity from the
+    seed set, each round join+agg on node ids, localCheckpoint-ed
+    like the other iterative operators (the lineage would otherwise
+    grow per round).  `max_hops` bounds the loop; hitting it
+    truncates distances at max_hops (documented, not an error —
+    distances are exact for every node whose dist < max_hops).
+
+    Scale shape: per round cost = |frontier adjacency| shuffled on
+    node id; at 100 TB the same shape as one pagerank iteration.  No
+    driver-side graph state — only the convergence counter.
+    """
+    sym = (
+        edges.filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    src = sources.toDF("node").distinct()
+    dist = src.withColumn("dist", F.lit(0)).localCheckpoint()
+    frontier = dist
+    for _ in range(max_hops):
+        proposals = (
+            frontier.join(sym, frontier["node"] == sym["a"])
+            .select(F.col("b").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        merged = (
+            dist.unionByName(proposals)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        # the next frontier = nodes whose distance just improved
+        frontier = merged.join(
+            dist.select("node", F.col("dist").alias("_old")), "node", "left"
+        ).filter(
+            F.col("_old").isNull() | (F.col("dist") < F.col("_old"))
+        ).select("node", "dist").localCheckpoint()
+        dist = merged
+        if frontier.limit(1).count() == 0:
+            break
+    return dist

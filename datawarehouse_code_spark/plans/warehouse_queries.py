@@ -1698,6 +1698,56 @@ def _supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
+def _supplier_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distances from a seed supplier set (operators/graph.py
+    bfs_distances) over the same co-occurrence graph as
+    supplier_triangles: seeds are every 25th supplier; output is the
+    exact min-hop distance for every reachable supplier.  The oracle
+    replays it as a recursive CTE with min-dedup — a wrong frontier
+    merge, an off-by-one hop, or premature convergence all
+    hash-fail."""
+    from datawarehouse_code_spark.operators.graph import bfs_distances
+
+    li = read_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey"
+    )
+    x = li.alias("x")
+    y = li.alias("y")
+    edges = (
+        x.join(y, F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .select(
+            F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b")
+        )
+        .distinct()
+    )
+    seeds = (
+        read_table(spark, "supplier", sf_dir)
+        .filter(F.col("s_suppkey") % 25 == 0)
+        .select(F.col("s_suppkey").alias("node"))
+    )
+    out = bfs_distances(edges, seeds, max_hops=10)
+    return out.select("node", F.col("dist").cast("int").alias("dist"))
+
+
+_BFS_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_suppkey <> y.l_suppkey
+), seeds AS (
+  SELECT s_suppkey AS node FROM supplier WHERE s_suppkey % 25 = 0
+), reach(node, dist) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.b, reach.dist + 1
+  FROM e JOIN reach ON e.a = reach.node
+  WHERE reach.dist < 10
+)
+SELECT node, CAST(min(dist) AS INT) AS dist FROM reach GROUP BY node
+"""
+
+
 _TRIANGLES_SQL = """
 WITH e AS (
   SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
@@ -2379,6 +2429,9 @@ WAREHOUSE_SUPPLEMENTARY: list[Query] = [
     Query("orders_table_diff", _orders_table_diff, _TABLE_DIFF_SQL,
           "snapshot diff: CDC feed generation I/U/D (supplementary, "
           "differential-tested; completeness pinned by pytest)"),
+    Query("supplier_bfs", _supplier_bfs, _BFS_SQL,
+          "§2.2 graph: BFS hop distances from a seed set "
+          "(supplementary, differential-tested)"),
     Query("supplier_triangles", _supplier_triangles, _TRIANGLES_SQL,
           "graph: degree-ordered triangle counting over the supplier "
           "co-occurrence graph (supplementary, differential-tested)"),

@@ -396,3 +396,26 @@ def test_drift_report_buckets_and_outliers(spark):
             cur.withColumn("x", F.col("x").cast("double")),
             ["x"],
         )
+
+
+def test_bfs_distances_crafted(spark):
+    """Chain + branch + disconnected island: exact hop counts, min
+    over multiple seeds, unreached nodes absent, max_hops truncation."""
+    from datawarehouse_code_spark.operators.graph import bfs_distances
+
+    # 1-2-3-4-5 chain, 3-6 branch, island 8-9
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (3, 6), (8, 9)], "a bigint, b bigint"
+    )
+    seeds = spark.createDataFrame([(1,), (5,)], "node bigint")
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, seeds).collect()}
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2, 6: 3}  # 8,9 unreached
+
+    # truncation: distances beyond max_hops don't appear
+    got1 = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(
+            edges, spark.createDataFrame([(1,)], "node bigint"), max_hops=2
+        ).collect()
+    }
+    assert got1 == {1: 0, 2: 1, 3: 2}
