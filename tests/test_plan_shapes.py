@@ -82,6 +82,7 @@ PLAN_BOUNDS = {
     # each (partial + final distinct agg) — trades scans for the 6x
     # expand shuffle (measured 6x faster); bounds at cols+headroom
     "orders_profile": (8, 15),
+    "asof_forward_events": (3, 3),
     "orders_drift_report": (3, 5),
 }
 
