@@ -897,3 +897,38 @@ def ingest_corpus_increment(
         "dropped_near_vs_corpus": n_near - n_final,
         "n_ingested": n_final,
     }
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weight-proportional sample WITHOUT replacement
+    (Efraimidis–Spirakis A-Res): each row draws u from the shared
+    Knuth coin on its integer key and scores u^(1/w); the top-k
+    scores are the sample.  With a fixed coin the draw is
+    reproducible across runs, partitionings, and re-orderings — the
+    same audit trail every deterministic sampler here offers — and
+    inclusion probability rises with weight exactly as A-Res
+    guarantees for the random-u case.
+
+    Rows with non-positive or NULL weight are excluded (a zero weight
+    must never be drawn; raising on negatives is the caller's
+    validation).  Rows-only by nature (float pow crosses no oracle),
+    pinned against a pure-Python recomputation in pytest.
+
+    Scale shape: a narrow projection + global TakeOrderedAndProject
+    (the top-k pattern — no full sort, no single-partition shuffle).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    score = F.pow(knuth_u(key_col), F.lit(1.0) / F.col(weight_col))
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_ws", score)
+        .orderBy(F.col("_ws").desc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("_ws")
+    )

@@ -569,3 +569,45 @@ def test_ingest_corpus_increment_end_to_end(spark, tmp_path):
     r3 = ingest_corpus_increment(spark, corpus_path, index_path, inc)
     assert r3["n_ingested"] == 0
     assert spark.read.parquet(index_path).count() == n_index
+
+
+def test_weighted_sample_k_matches_python_and_is_weight_sensitive(spark):
+    """A-Res with the shared Knuth coin: the selected keys equal a
+    pure-Python recomputation of u^(1/w) top-k; heavier weights are
+    overrepresented vs a uniform draw; zero/NULL weights never
+    selected; the plan is TakeOrdered, not a global sort."""
+    import pytest
+
+    from datawarehouse_code_spark.operators.corpus import (
+        knuth_u,
+        weighted_sample_k,
+    )
+
+    rows = [(i, 100.0 if i % 10 == 0 else 1.0) for i in range(1, 1001)]
+    rows += [(2001, 0.0), (2002, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    got = sorted(
+        r["doc_id"] for r in weighted_sample_k(df, "doc_id", "w", 50).collect()
+    )
+
+    # python twin with the same coin
+    def u(key):
+        return ((key % 2**31) * 2654435761 % 2**32) / 2**32
+
+    scored = sorted(
+        ((u(i) ** (1.0 / w), i) for i, w in rows if w),
+        key=lambda t: (-t[0], t[1]),
+    )
+    want = sorted(i for _s, i in scored[:50])
+    assert got == want
+    assert 2001 not in got and 2002 not in got
+    # the 10% heavy keys should dominate the sample
+    heavy = sum(1 for i in got if i % 10 == 0)
+    assert heavy > 25
+
+    plan = weighted_sample_k(df, "doc_id", "w", 50)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+    with pytest.raises(ValueError, match="k must be"):
+        weighted_sample_k(df, "doc_id", "w", 0)
