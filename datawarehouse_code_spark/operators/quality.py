@@ -310,7 +310,9 @@ def drift_report(
     )
 
 
-def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+def profile_table(
+    df: DataFrame, cols: list[str] | None = None, approx: bool = False
+) -> DataFrame:
     """Column profile in long format — the data-discovery report every
     warehouse onboarding starts with: per column, row count, NULL
     count, EXACT distinct count, and min/max rendered as strings (so
@@ -328,7 +330,7 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     "10" < "9").  For routine monitoring at 100 TB swap
     approx_count_distinct into the branch (the HLL rollups above);
     exact profiling is for onboarding runs, where its answer is the
-    point.
+    point — `approx=True` is that monitoring knob (±2% rsd HLL).
     """
     if cols is None:
         cols = df.columns
@@ -336,11 +338,16 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         raise ValueError("profile_table needs at least one column")
 
     def branch(c: str) -> DataFrame:
+        nd = (
+            F.approx_count_distinct(c, 0.02)
+            if approx
+            else F.countDistinct(c)
+        )
         return df.select(c).agg(
             F.lit(c).alias("col"),
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(F.col(c).isNull().cast("bigint")).alias("n_nulls"),
-            F.countDistinct(c).alias("n_distinct"),
+            nd.alias("n_distinct"),
             F.min(c).cast("string").alias("min_value"),
             F.max(c).cast("string").alias("max_value"),
         ).select(

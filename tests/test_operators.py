@@ -419,3 +419,28 @@ def test_bfs_distances_crafted(spark):
         ).collect()
     }
     assert got1 == {1: 0, 2: 1, 3: 2}
+
+
+def test_profile_table_exact_and_approx(spark):
+    """Exact profile facts on a crafted frame; the approx knob stays
+    within HLL error and shares the schema."""
+    from datawarehouse_code_spark.operators.quality import profile_table
+
+    df = spark.createDataFrame(
+        [(i, None if i % 5 == 0 else f"v{i % 7}") for i in range(100)],
+        "id bigint, s string",
+    )
+    got = {r["col"]: r for r in profile_table(df).collect()}
+    assert got["id"]["n_rows"] == 100 and got["id"]["n_nulls"] == 0
+    assert got["id"]["n_distinct"] == 100
+    assert got["id"]["min_value"] == "0" and got["id"]["max_value"] == "99"
+    assert got["s"]["n_nulls"] == 20
+    assert got["s"]["n_distinct"] == 7  # NULLs don't count as a value
+
+    ap = {r["col"]: r["n_distinct"] for r in profile_table(df, approx=True).collect()}
+    assert abs(ap["id"] - 100) <= 10 and abs(ap["s"] - 7) <= 2
+
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one column"):
+        profile_table(df, cols=[])
