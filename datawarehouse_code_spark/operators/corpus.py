@@ -924,9 +924,16 @@ def weighted_sample_k(
     """
     if k <= 0:
         raise ValueError(f"k must be positive: {k}")
-    score = F.pow(knuth_u(key_col), F.lit(1.0) / F.col(weight_col))
+    w = F.col(weight_col)
+    valid = w.isNotNull() & (w > 0)
+    if df.schema[weight_col].dataType.simpleString() in ("double", "float"):
+        # NaN > 0 is TRUE in Spark and NaN sorts ABOVE every double,
+        # so an unguarded NaN weight (a 0/0 upstream ratio) would
+        # monopolize the sample
+        valid = valid & ~F.isnan(w)
+    score = F.pow(knuth_u(key_col), F.lit(1.0) / w)
     return (
-        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        df.filter(valid)
         .withColumn("_ws", score)
         .orderBy(F.col("_ws").desc(), F.col(key_col).asc())
         .limit(k)

@@ -212,10 +212,9 @@ def bfs_distances(
     node id; at 100 TB the same shape as one pagerank iteration.  No
     driver-side graph state — only the convergence counter.
     """
+    clean = edges.filter(F.col("a") != F.col("b")).select("a", "b")
     sym = (
-        edges.filter(F.col("a") != F.col("b"))
-        .select("a", "b")
-        .union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        clean.union(clean.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .localCheckpoint()
     )

@@ -95,32 +95,9 @@ def asof_join_backward(
     """
     from pyspark.sql import Window
 
-    overlap = set(payload_cols) & set(left.columns)
-    if overlap:
-        raise ValueError(f"asof_join_backward: payload collides with left: {overlap}")
-    left_only = [c for c in left.columns if c not in keys and c != ts_col]
-    # the tiebreak keeps its OWN type (a cast to long would silently
-    # null out string tiebreaks and break determinism)
-    tb_type = (
-        right.schema[right_tiebreak].dataType.simpleString()
-        if right_tiebreak is not None
-        else "int"
+    unioned, left_only = _asof_tagged_union(
+        left, right, keys, ts_col, payload_cols, right_tiebreak
     )
-    tagged_left = left.select(
-        *keys, ts_col, *left_only,
-        *[F.lit(None).alias(p) for p in payload_cols],
-        F.lit(None).cast(tb_type).alias("_tb"),
-        F.lit(1).alias("_is_left"),
-    )
-    tb = F.col(right_tiebreak) if right_tiebreak is not None else F.lit(0)
-    tagged_right = right.filter(F.col(ts_col).isNotNull()).select(
-        *keys, ts_col,
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_only],
-        *payload_cols,
-        tb.alias("_tb"),
-        F.lit(0).alias("_is_left"),
-    )
-    unioned = tagged_left.unionByName(tagged_right)
     w = (
         Window.partitionBy(*keys)
         .orderBy(
@@ -136,10 +113,7 @@ def asof_join_backward(
     # falling back to an older row's value
     carried = unioned.select(
         "*",
-        F.last(
-            F.when(F.col("_is_left") == 0, F.struct(*payload_cols)),
-            ignorenulls=True,
-        )
+        F.last(_asof_struct(ts_col, payload_cols), ignorenulls=True)
         .over(w)
         .alias("_asof"),
     )
@@ -434,8 +408,12 @@ def asof_join_nearest(
     d_b = lts - F.col("_b._ts_us")
     d_f = F.col("_f._ts_us") - lts
     if tolerance is not None:
+        # the epoch anchor carries an explicit +00:00 offset: a bare
+        # "1970-01-01 00:00:00" parses in the SESSION timezone, which
+        # would shift the tolerance by the UTC offset under any
+        # non-UTC session (tolerance ± tz_offset — silently wrong)
         tol_us = F.unix_micros(
-            F.lit("1970-01-01 00:00:00").cast("timestamp")
+            F.lit("1970-01-01 00:00:00+00:00").cast("timestamp")
             + F.expr(f"INTERVAL {tolerance}")
         )
         b_ok = F.col("_b").isNotNull() & (d_b <= tol_us)

@@ -90,7 +90,7 @@ def gap_fill(
             - F.unix_micros(F.col("_mn").cast("timestamp"))
         )
         / F.unix_micros(
-            F.lit("1970-01-01 00:00:00").cast("timestamp") + F.expr(step_expr)
+            F.lit("1970-01-01 00:00:00+00:00").cast("timestamp") + F.expr(step_expr)
         )
     ).cast("bigint") + 1
     guard = F.when(

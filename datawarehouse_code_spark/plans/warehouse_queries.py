@@ -2156,8 +2156,10 @@ FROM clicks c ASOF LEFT JOIN views v
 def _orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table profile over orders (operators/quality.py profile_table):
     per column — rows, NULLs, exact distincts, min/max as strings —
-    in one aggregation pass.  Timestamps are pre-rendered with a
-    shared format so the string casts agree across engines."""
+    one single-column aggregation branch per column (the shape that
+    beats the expand-based multi-distinct pass ~6×).  Timestamps are
+    pre-rendered with a shared format so the string casts agree
+    across engines."""
     from datawarehouse_code_spark.operators.quality import profile_table
 
     orders = read_table(spark, "orders", sf_dir).select(
@@ -2509,7 +2511,7 @@ WAREHOUSE_SUPPLEMENTARY: list[Query] = [
           "DuckDB native ASOF JOIN (supplementary, "
           "differential-tested)"),
     Query("orders_profile", _orders_profile, _PROFILE_SQL,
-          "§2.2 data discovery: one-pass column profile (rows, nulls, "
+          "§2.2 data discovery: per-column-branch profile (rows, nulls, "
           "exact distincts, min/max) (supplementary, "
           "differential-tested)"),
     Query("orders_drift_report", _orders_drift_report, _DRIFT_SQL,

@@ -180,7 +180,7 @@ def session_emit_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame
         events.sparkSession.range(1)
         .select(
             F.unix_micros(
-                F.lit("1970-01-01 00:00:00").cast("timestamp") + F.expr(f"INTERVAL {gap}")
+                F.lit("1970-01-01 00:00:00+00:00").cast("timestamp") + F.expr(f"INTERVAL {gap}")
             )
         )
         .first()[0]

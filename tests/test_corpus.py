@@ -611,3 +611,16 @@ def test_weighted_sample_k_matches_python_and_is_weight_sensitive(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         weighted_sample_k(df, "doc_id", "w", 0)
+
+
+def test_weighted_sample_k_nan_weights_excluded(spark):
+    """Review regression (r7): NaN > 0 is TRUE in Spark and NaN sorts
+    above every double — unguarded NaN weights would monopolize the
+    sample."""
+    from datawarehouse_code_spark.operators.corpus import weighted_sample_k
+
+    rows = [(i, 1000.0) for i in range(1, 6)]
+    rows += [(100 + i, float("nan")) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    got = {r["doc_id"] for r in weighted_sample_k(df, "doc_id", "w", 3).collect()}
+    assert got <= {1, 2, 3, 4, 5} and len(got) == 3

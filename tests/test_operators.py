@@ -444,3 +444,36 @@ def test_profile_table_exact_and_approx(spark):
 
     with pytest.raises(ValueError, match="at least one column"):
         profile_table(df, cols=[])
+
+
+def test_asof_nearest_tolerance_timezone_independent(spark):
+    """Review regression (r7): the tolerance anchor must carry an
+    explicit UTC offset — a bare epoch string parses in the SESSION
+    timezone and shifts the tolerance by the UTC offset."""
+    import datetime
+
+    from datawarehouse_code_spark.operators.joins import asof_join_nearest
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+        left = spark.createDataFrame(
+            [(1, base, 10)], "k int, ts timestamp, lid int"
+        )
+        right = spark.createDataFrame(
+            [(1, base + datetime.timedelta(seconds=4), 7)],
+            "k int, ts timestamp, rid int",
+        )
+        # 4s away, 10s tolerance: MUST match under any session tz
+        got = asof_join_nearest(
+            left, right, ["k"], "ts", ["rid"], tolerance="10 seconds"
+        ).collect()
+        assert got[0]["asof_rid"] == 7
+        # 4s away, 1s tolerance: must NOT match
+        got2 = asof_join_nearest(
+            left, right, ["k"], "ts", ["rid"], tolerance="1 seconds"
+        ).collect()
+        assert got2[0]["asof_rid"] is None
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
