@@ -151,6 +151,7 @@ HEADLINE = [
     "orders_profile",
     "asof_forward_events",
     "supplier_bfs",
+    "dim_client_scd3",
 ]
 
 

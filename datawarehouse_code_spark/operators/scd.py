@@ -160,3 +160,93 @@ def scd2_point_in_time_join(
     return f.join(d, cond + [window], "left").select(
         "f.*", *[F.col(f"d.{c}").alias(c) for c in dim_cols]
     )
+
+
+def scd3_merge(
+    dim: DataFrame,
+    snapshot: DataFrame,
+    key: list[str],
+    tracked: list[str],
+    load_date: str,
+) -> DataFrame:
+    """SCD TYPE 3: keep the previous value of each tracked attribute
+    in a `prev_<col>` column beside the current one, with the change
+    date — the limited-history alternative to type 2 (ONE prior
+    version, no row versioning; the right tool when consumers only
+    ever ask "what changed since last load").
+
+    - new key            → current values, prev_* NULL
+    - tracked change     → new current, prev_* = superseded values,
+                           changed_at = load_date
+    - unchanged          → carried (prev_* and changed_at kept)
+    - key absent from snapshot → carried (no implicit deletes, same
+      policy as scd2_merge)
+
+    Change detection is NULL-safe per the scd2 doctrine.  The dim's
+    schema: key..., tracked..., prev_<tracked>..., changed_at DATE
+    (use scd3_init to bootstrap).
+
+    Scale shape: ONE key equi-join between dim and snapshot, narrow
+    branch projections — same single-stage shape as scd2_merge,
+    WITHOUT the close+open row fan-out (type 3 never grows rows).
+    """
+    want = set(key) | set(tracked)
+    prev_cols = [f"prev_{c}" for c in tracked]
+    missing = [c for c in [*prev_cols, "changed_at"] if c not in dim.columns]
+    if missing:
+        raise ValueError(f"scd3_merge: dim lacks SCD3 columns {missing}")
+    if set(snapshot.columns) != want:
+        raise ValueError(
+            f"scd3_merge: snapshot columns {sorted(snapshot.columns)} != "
+            f"dim business columns {sorted(want)}"
+        )
+    ld = F.to_date(F.lit(load_date))
+    snap = snapshot.select(
+        *key, F.struct(*[F.col(c).alias(c) for c in tracked]).alias("_new")
+    )
+    cur = dim.withColumn(
+        "_old", F.struct(*[F.col(c).alias(c) for c in tracked])
+    )
+    joined = cur.join(snap, key, "full_outer")
+    changed = (
+        F.col("_old").isNotNull()
+        & F.col("_new").isNotNull()
+        & ~F.col("_old").eqNullSafe(F.col("_new"))
+    )
+    new_key = F.col("_old").isNull()
+    out_cols = []
+    for c in key:
+        out_cols.append(F.col(c))
+    for c in tracked:
+        out_cols.append(
+            F.when(changed | new_key, F.col("_new")[c])
+            .otherwise(F.col(c))
+            .alias(c)
+        )
+    for c in tracked:
+        out_cols.append(
+            F.when(changed, F.col(c))                # superseded value
+            .when(new_key, F.lit(None).cast(dim.schema[c].dataType))
+            .otherwise(F.col(f"prev_{c}"))
+            .alias(f"prev_{c}")
+        )
+    out_cols.append(
+        F.when(changed, ld)
+        .when(new_key, F.lit(None).cast("date"))
+        .otherwise(F.col("changed_at"))
+        .alias("changed_at")
+    )
+    return joined.select(*out_cols)
+
+
+def scd3_init(snapshot: DataFrame, key: list[str], tracked: list[str]) -> DataFrame:
+    """Bootstrap an SCD3 dimension: current = snapshot, prev_* NULL,
+    changed_at NULL (nothing has changed yet)."""
+    return snapshot.select(
+        *key, *tracked,
+        *[
+            F.lit(None).cast(snapshot.schema[c].dataType).alias(f"prev_{c}")
+            for c in tracked
+        ],
+        F.lit(None).cast("date").alias("changed_at"),
+    )

@@ -2106,6 +2106,72 @@ WINDOW w AS (
 """
 
 
+def _dim_client_scd3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-3 merge (operators/scd.py scd3_merge) over the same
+    scenario as dim_client_scd2: changed balances move to the
+    current column with the superseded value in prev_acctbal and the
+    change date stamped; new keys carry NULL prevs; unchanged rows
+    keep their history columns.  One key equi-join, no row
+    fan-out."""
+    from datawarehouse_code_spark.operators.scd import scd3_init, scd3_merge
+
+    base = read_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("client_id"),
+        F.col("c_name").alias("company_name"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    dim = scd3_init(
+        base.filter(F.col("client_id") % 7 != 0),
+        ["client_id"], ["company_name", "acctbal"],
+    )
+    snap = base.withColumn(
+        "acctbal",
+        F.when(F.col("client_id") % 10 == 0, F.col("acctbal") + 100).otherwise(
+            F.col("acctbal")
+        ),
+    )
+    return scd3_merge(
+        dim, snap, ["client_id"], ["company_name", "acctbal"], "2024-06-01"
+    )
+
+
+_SCD3_SQL = """
+WITH init AS (
+  SELECT c_custkey AS client_id, c_name AS company_name, c_acctbal AS acctbal
+  FROM customer WHERE c_custkey % 7 <> 0
+), snap AS (
+  SELECT c_custkey AS client_id, c_name AS company_name,
+         CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100
+              ELSE c_acctbal END AS acctbal
+  FROM customer
+)
+SELECT COALESCE(i.client_id, s.client_id) AS client_id,
+       CASE WHEN i.client_id IS NULL
+              OR (i.company_name IS DISTINCT FROM s.company_name
+                  OR i.acctbal IS DISTINCT FROM s.acctbal)
+                 AND s.client_id IS NOT NULL
+            THEN s.company_name ELSE i.company_name END AS company_name,
+       CASE WHEN i.client_id IS NULL
+              OR (i.company_name IS DISTINCT FROM s.company_name
+                  OR i.acctbal IS DISTINCT FROM s.acctbal)
+                 AND s.client_id IS NOT NULL
+            THEN s.acctbal ELSE i.acctbal END AS acctbal,
+       CASE WHEN i.client_id IS NOT NULL AND s.client_id IS NOT NULL
+                 AND (i.company_name IS DISTINCT FROM s.company_name
+                      OR i.acctbal IS DISTINCT FROM s.acctbal)
+            THEN i.company_name END AS prev_company_name,
+       CASE WHEN i.client_id IS NOT NULL AND s.client_id IS NOT NULL
+                 AND (i.company_name IS DISTINCT FROM s.company_name
+                      OR i.acctbal IS DISTINCT FROM s.acctbal)
+            THEN i.acctbal END AS prev_acctbal,
+       CASE WHEN i.client_id IS NOT NULL AND s.client_id IS NOT NULL
+                 AND (i.company_name IS DISTINCT FROM s.company_name
+                      OR i.acctbal IS DISTINCT FROM s.acctbal)
+            THEN DATE '2024-06-01' END AS changed_at
+FROM init i FULL OUTER JOIN snap s ON i.client_id = s.client_id
+"""
+
+
 def _asof_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of join (operators/joins.py asof_join_forward): each
     click picks up the EARLIEST view at-or-after its timestamp — the
@@ -2506,6 +2572,9 @@ WAREHOUSE_SUPPLEMENTARY: list[Query] = [
     Query("parts_fuzzy_match", _parts_fuzzy_match, _FUZZY_MATCH_SQL,
           "§2.2 fuzzy string join: levenshtein-bounded, prefix-blocked "
           "(supplementary, differential-tested)"),
+    Query("dim_client_scd3", _dim_client_scd3, _SCD3_SQL,
+          "§2.2 SCD type-3 merge: prev_* columns + change date, no row "
+          "fan-out (supplementary, differential-tested)"),
     Query("asof_forward_events", _asof_forward_events, _ASOF_FORWARD_SQL,
           "§2.2 as-of join (forward): next-action lookup, oracle via "
           "DuckDB native ASOF JOIN (supplementary, "

@@ -477,3 +477,36 @@ def test_asof_nearest_tolerance_timezone_independent(spark):
         assert got2[0]["asof_rid"] is None
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_scd3_merge_crafted(spark):
+    """Type-3 semantics: change moves old value to prev_* with the
+    load date; a SECOND change overwrites prev_* (one level of
+    history, by definition); unchanged and snap-absent rows carry;
+    new keys have NULL prevs; schema validation raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.scd import scd3_init, scd3_merge
+
+    snap0 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id bigint, v string"
+    )
+    dim = scd3_init(snap0, ["id"], ["v"])
+    snap1 = spark.createDataFrame(
+        [(1, "a2"), (2, "b"), (4, "d")], "id bigint, v string"
+    )
+    d1 = scd3_merge(dim, snap1, ["id"], ["v"], "2024-01-01")
+    got = {r["id"]: (r["v"], r["prev_v"], str(r["changed_at"])) for r in d1.collect()}
+    assert got[1] == ("a2", "a", "2024-01-01")
+    assert got[2] == ("b", None, "None")
+    assert got[3] == ("c", None, "None")      # absent from snap: carried
+    assert got[4] == ("d", None, "None")      # new key
+
+    snap2 = spark.createDataFrame([(1, "a3")], "id bigint, v string")
+    d2 = scd3_merge(d1, snap2, ["id"], ["v"], "2024-02-01")
+    got2 = {r["id"]: (r["v"], r["prev_v"], str(r["changed_at"])) for r in d2.collect()}
+    assert got2[1] == ("a3", "a2", "2024-02-01")  # one level of history
+
+    with pytest.raises(ValueError, match="SCD3 columns"):
+        scd3_merge(snap0, snap1, ["id"], ["v"], "2024-01-01")
