@@ -84,6 +84,21 @@ FROZEN_BASELINE_SF01 = {
     "session_funnel": 0.655,
     "orders_daily_anomalies": 0.439,
     "bpe_pair_counts": 0.388,
+    # frozen round 8 from the r7 driver run (BENCH_r07 -> BENCH_full.json
+    # written by that run; the compact stdout line carried only the
+    # summary, the driver-archived full payload carries the per-query row)
+    "events_funnel_suite": 1.016,
+    "events_cohort_suite": 0.655,
+    "orders_daily_gapfill": 0.472,
+    "events_transitions": 0.35,
+    "docs_duplicate_spans": 2.031,
+    "orders_trailing_window": 0.368,
+    "parts_fuzzy_match": 0.267,
+    "orders_drift_report": 0.56,
+    "orders_profile": 0.615,
+    "asof_forward_events": 0.383,
+    "supplier_bfs": 2.866,
+    "dim_client_scd3": 0.336,
 }
 
 # Headline set: the expensive/representative plans. Anything listed
@@ -164,16 +179,23 @@ def main() -> None:
     # plan, not first-run classloading.
     BENCHABLE[names[0]].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
-    # min of two runs per query: the first run pays one-time codegen /
-    # Arrow worker startup, the second measures the plan itself.
+    # min of three runs per query: the first run pays one-time codegen /
+    # Arrow worker startup, the min over the rest measures the plan.
+    # The per-query [min..max] spread and the preflight/postflight load
+    # averages go to BENCH_full.json so ratio drift on sub-second rows
+    # is attributable to host load without re-adjudicating each round
+    # (BASELINE.md documents +-25%/query noise on a shared box).
+    load_before = os.getloadavg()
     times: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             BENCHABLE[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        times[name] = round(min(runs), 3)
+        spreads[name] = [round(t, 3) for t in sorted(runs)]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -185,6 +207,11 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "spread": spreads,
+        "loadavg": {
+            "before": [round(x, 2) for x in load_before],
+            "after": [round(x, 2) for x in os.getloadavg()],
+        },
         "sf": sf_val,
     }
     if sf_val == 0.1:
@@ -197,7 +224,7 @@ def main() -> None:
         }
         frozen_total = sum(FROZEN_BASELINE_SF01[n] for n in ratios)
         payload["baseline_ratio"] = {
-            "frozen": "BENCH_r02 + r3-new@r4 + r5-new@r6 + r6-new@r7 rows (sf0.1, local[32])",
+            "frozen": "BENCH_r02 + r3-new@r4 + r5-new@r6 + r6-new@r7 + r7-new@r8 rows (sf0.1, local[32])",
             "total": round(sum(times[n] for n in ratios) / frozen_total, 3),
             "queries": ratios,
         }
