@@ -21,6 +21,14 @@ shuffle with driver-side sampling, the same cost as any sorted
 write), sortWithinPartitions, write.  No Python, no driver data
 paths, no global single-partition sort.
 
+Pruned-read scale shape (round 8): survivor sets are DataFrames end
+to end.  The driver materializes at most DRIVER_LIST_THRESHOLD file
+paths (the budget under which an explicit multi-path JVM relation is
+both safe and fastest); past the budget the survivors feed
+distributed pyarrow scan tasks via mapInArrow — at ~10^6 files /
+~10^7 row groups (100 TB) driver memory and plan size stay
+O(threshold), never O(n_files).
+
 Skew note: `width_bucket` over [min, max] assumes roughly uniform
 value spread; for heavily skewed columns pass explicit `bounds` from
 `approxQuantile` so buckets equalize row counts instead of value
@@ -162,19 +170,19 @@ def collect_file_stats(
     return df.groupBy("file_path").agg(*aggs)
 
 
-def prune_files(
+def prune_files_df(
     manifest: DataFrame, predicates: dict[str, tuple[object, object]]
-) -> list[str]:
-    """File paths that MIGHT contain rows satisfying every [lo, hi]
-    interval predicate (inclusive; None = unbounded on that side) —
-    a file survives unless some column's [mn, mx] is disjoint from
-    its interval.  All-NULL columns (mn/mx NULL) survive pruning:
-    NULL comparisons are unknowable from stats, the row-level filter
-    decides.
+) -> DataFrame:
+    """Surviving file paths as a DATAFRAME — files that MIGHT contain
+    rows satisfying every [lo, hi] interval predicate (inclusive;
+    None = unbounded on that side).  A file survives unless some
+    column's [mn, mx] is disjoint from its interval.  All-NULL columns
+    (mn/mx NULL) survive pruning: NULL comparisons are unknowable from
+    stats, the row-level filter decides.
 
-    The collect here is the file LIST (manifest-sized, one string per
-    file), not data — the same driver-side step every table format's
-    scan planner performs.
+    Nothing is collected: at 100 TB (~10^6 files) the survivor set
+    stays distributed and is consumed by the Arrow scan path in
+    read_pruned — the driver never holds an O(n_files) list.
     """
     keep = manifest
     for c, (lo, hi) in predicates.items():
@@ -187,7 +195,67 @@ def prune_files(
             cond = cond & (F.col(f"mn_{c}") <= F.lit(hi))
         # NULL stats (all-NULL file) -> cond NULL -> keep the file
         keep = keep.filter(cond | F.col(f"mn_{c}").isNull())
-    return [r["file_path"] for r in keep.select("file_path").collect()]
+    return keep.select("file_path")
+
+
+def prune_files(
+    manifest: DataFrame, predicates: dict[str, tuple[object, object]]
+) -> list[str]:
+    """prune_files_df collected to a Python list — a convenience for
+    audits and tests at manifest scales that fit the driver.  The
+    read path does NOT go through this: read_pruned materializes at
+    most `driver_list_threshold` + 1 paths and switches to the
+    distributed Arrow scan beyond that."""
+    return [
+        r["file_path"]
+        for r in prune_files_df(manifest, predicates).collect()
+    ]
+
+
+# Default driver-side path-list budget for the pruned readers.  Below
+# it, survivors ride the JVM vectorized parquet reader via an explicit
+# multi-path relation (fastest, and the relation stays small); above
+# it, survivors stay a DataFrame consumed by distributed Arrow tasks —
+# driver memory and plan size are O(threshold), never O(n_files).
+DRIVER_LIST_THRESHOLD = 65536
+
+
+def _arrow_scan(
+    files_df: DataFrame,
+    schema: T.StructType,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Distributed parquet scan over a DataFrame of (file_path, rgs):
+    each task opens its assigned files with pyarrow and yields Arrow
+    record batches — file paths and bytes never touch the driver.
+    `rgs` NULL means the whole file; a populated array<int> reads only
+    those row groups (footer-directed seek, data pages of skipped
+    groups are never fetched).
+
+    mapInArrow, NOT mapInPandas: pandas degrades a null-bearing int64
+    column to float64, silently corrupting values past 2^53 — arrow
+    batches round-trip the physical types untouched.
+    """
+    names = list(schema.names)
+
+    def read_parts(batches):
+        import pyarrow.parquet as pq
+
+        for batch in batches:
+            d = batch.to_pydict()
+            for fp, rgs in zip(d["file_path"], d["rgs"]):
+                pf = pq.ParquetFile(_local_path(fp))
+                if rgs is None:
+                    tbl = pf.read(columns=names)
+                else:
+                    tbl = pf.read_row_groups(
+                        [int(g) for g in rgs], columns=names
+                    )
+                yield from tbl.select(names).to_batches()
+
+    spark = files_df.sparkSession
+    n_tasks = parallelism or spark.sparkContext.defaultParallelism
+    return files_df.repartition(n_tasks).mapInArrow(read_parts, schema)
 
 
 def read_pruned(
@@ -195,6 +263,8 @@ def read_pruned(
     path: str,
     manifest: DataFrame,
     predicates: dict[str, tuple[object, object]],
+    driver_list_threshold: int = DRIVER_LIST_THRESHOLD,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Read only the files the manifest can't rule out, then apply
     the interval predicates as ordinary row-level filters (file stats
@@ -205,14 +275,28 @@ def read_pruned(
     asserts it); the win is I/O — with a Z-ordered layout a narrow
     band on ANY clustered column keeps a small fraction of files,
     BEFORE parquet footer/row-group pruning sees a byte.
+
+    Scale shape: survivors are materialized on the driver only up to
+    `driver_list_threshold` paths (limit(threshold+1) — ONE bounded
+    job, no count-then-collect double pass).  Within budget they go
+    through the JVM vectorized reader as a multi-path relation; past
+    it the survivor DataFrame feeds distributed Arrow scan tasks and
+    the driver never sees a path list — at ~10^6 files the old
+    collect-everything plan would have blown driver memory AND built
+    a million-path DataSource relation.
     """
-    files = prune_files(manifest, predicates)
     full = spark.read.parquet(path)
     cond = _interval_cond(predicates)
-    if not files:
+    survivors = prune_files_df(manifest, predicates)
+    head = survivors.limit(driver_list_threshold + 1).collect()
+    if not head:
         return full.filter(F.lit(False))
-    _assert_unpartitioned(spark, full, files[0])
-    return spark.read.schema(full.schema).parquet(*files).filter(cond)
+    _assert_unpartitioned(spark, path, full, head[0]["file_path"])
+    if len(head) <= driver_list_threshold:
+        files = [r["file_path"] for r in head]
+        return spark.read.schema(full.schema).parquet(*files).filter(cond)
+    with_rgs = survivors.withColumn("rgs", F.lit(None).cast("array<int>"))
+    return _arrow_scan(with_rgs, full.schema, parallelism).filter(cond)
 
 
 def _interval_cond(predicates: dict[str, tuple[object, object]]) -> Column:
@@ -225,12 +309,28 @@ def _interval_cond(predicates: dict[str, tuple[object, object]]) -> Column:
     return cond
 
 
-def _assert_unpartitioned(spark: "SparkSession", full: DataFrame, one_file: str) -> None:
+# Tables that already passed the unpartitioned-layout check, keyed by
+# (table path, logical column tuple) — the guard costs one footer read
+# the FIRST time a table is pruned-read, not one per read (the check
+# is a layout property of the table, not of the predicate).  Rewriting
+# a table from unpartitioned to hive-partitioned at the same path
+# invalidates the cache only on column-set change; that rewrite also
+# invalidates the manifest itself, which must be rebuilt anyway.
+_UNPARTITIONED_OK: set[tuple[str, tuple[str, ...]]] = set()
+
+
+def _assert_unpartitioned(
+    spark: "SparkSession", path: str, full: DataFrame, one_file: str
+) -> None:
     """Per-file reads return hive-partition columns (which live in
     directory names, not file bytes) as all-NULL while the full-scan
     path populates them — a silent semantic divergence.  Guard: every
     logical column must exist physically in the files (one footer
-    read), else raise; zorder_write output is always unpartitioned."""
+    read, cached per table), else raise; zorder_write output is always
+    unpartitioned."""
+    key = (path, tuple(full.schema.names))
+    if key in _UNPARTITIONED_OK:
+        return
     physical = {f.name for f in spark.read.parquet(one_file).schema.fields}
     missing = [c for c in full.schema.names if c not in physical]
     if missing:
@@ -239,10 +339,14 @@ def _assert_unpartitioned(spark: "SparkSession", full: DataFrame, one_file: str)
             f"columns {missing}; read_pruned/read_pruned_rowgroups "
             "require an unpartitioned layout (zorder_write output)"
         )
+    _UNPARTITIONED_OK.add(key)
 
 
 def collect_rowgroup_stats(
-    spark: "SparkSession", path: str, cols: list[str]
+    spark: "SparkSession",
+    path: str,
+    cols: list[str],
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Per-ROW-GROUP (min, max, n_nulls, n_rows) for each of `cols` —
     one granularity below collect_file_stats.  On a Z-ordered table a
@@ -305,15 +409,17 @@ def collect_rowgroup_stats(
                     rows.append(row)
             yield pd.DataFrame(rows, columns=names)
 
-    return files.repartition(32).mapInPandas(walk, out_schema)
+    n_tasks = parallelism or spark.sparkContext.defaultParallelism
+    return files.repartition(n_tasks).mapInPandas(walk, out_schema)
 
 
-def prune_rowgroups(
+def prune_rowgroups_df(
     rg_manifest: DataFrame, predicates: dict[str, tuple[object, object]]
-) -> list[tuple[str, int]]:
-    """(file_path, rg) pairs that might satisfy every interval
-    predicate — same survival rule as prune_files, one level finer.
-    The collect is the surviving row-group LIST (manifest-sized)."""
+) -> DataFrame:
+    """Surviving (file_path, rg) pairs as a DATAFRAME — same survival
+    rule as prune_files_df, one level finer.  Nothing is collected:
+    at 100 TB (~10^7 row groups) the survivor set stays distributed
+    and read_pruned_rowgroups consumes it as a per-file read plan."""
     keep = rg_manifest
     for c, (lo, hi) in predicates.items():
         if f"mn_{c}" not in rg_manifest.columns:
@@ -324,9 +430,18 @@ def prune_rowgroups(
         if hi is not None:
             cond = cond & (F.col(f"mn_{c}") <= F.lit(hi))
         keep = keep.filter(cond | F.col(f"mn_{c}").isNull())
+    return keep.select("file_path", "rg")
+
+
+def prune_rowgroups(
+    rg_manifest: DataFrame, predicates: dict[str, tuple[object, object]]
+) -> list[tuple[str, int]]:
+    """prune_rowgroups_df collected to Python pairs — audit/test
+    convenience at driver-friendly scales; the read path consumes the
+    DataFrame form instead."""
     return [
         (r["file_path"], r["rg"])
-        for r in keep.select("file_path", "rg").collect()
+        for r in prune_rowgroups_df(rg_manifest, predicates).collect()
     ]
 
 
@@ -335,64 +450,94 @@ def read_pruned_rowgroups(
     path: str,
     rg_manifest: DataFrame,
     predicates: dict[str, tuple[object, object]],
+    driver_list_threshold: int = DRIVER_LIST_THRESHOLD,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Read only the ROW GROUPS the manifest can't rule out, then
     apply the predicates row-level.  Equals the full-scan filter
     exactly (pytest asserts it).
 
-    Split read: files whose every row group survives go through the
-    ordinary vectorized Spark parquet reader; partially-surviving
-    files are read row-group-selectively by distributed pyarrow tasks
-    (mapInPandas over the (file, row-groups) pairs — each task opens
-    its own file, bytes never touch the driver).  The Arrow path
-    covers only the boundary files of a band predicate, so almost all
-    data still moves through the JVM fast path.
+    Split read: files whose EVERY row group survives go through the
+    ordinary vectorized Spark parquet reader (when their path list
+    fits `driver_list_threshold`; past it they join the Arrow path
+    with rgs=NULL = whole file); partially-surviving files are read
+    row-group-selectively by distributed pyarrow tasks.  The partial
+    plan — (file_path, surviving row groups) — is built with a
+    groupBy JOIN against the per-file row-group totals and NEVER
+    collected: each Arrow task opens its own files, so driver memory
+    stays O(threshold) at any corpus size (the old implementation
+    collected every surviving (file, rg) pair plus a per-file total
+    dict — O(n_rowgroups) driver state, the one audited 100x-scale
+    defect of round 7).  On a band predicate over a Z-ordered table
+    the Arrow path covers only the boundary files, so almost all data
+    still moves through the JVM fast path.
     """
     full = spark.read.parquet(path)
-    survivors = prune_rowgroups(rg_manifest, predicates)
     cond = _interval_cond(predicates)
-    if not survivors:
-        return full.filter(F.lit(False))
-    n_rgs = {
-        r["file_path"]: r["n"]
-        for r in rg_manifest.groupBy("file_path")
-        .agg(F.count(F.lit(1)).alias("n"))
+    keep = prune_rowgroups_df(rg_manifest, predicates)
+    totals = rg_manifest.groupBy("file_path").agg(
+        F.count(F.lit(1)).alias("_n_total")
+    )
+    plan = (
+        keep.groupBy("file_path")
+        .agg(
+            F.sort_array(F.collect_list("rg")).alias("rgs"),
+            F.count(F.lit(1)).alias("_n_keep"),
+        )
+        .join(totals, "file_path")
+        .select(
+            "file_path",
+            "rgs",
+            (F.col("_n_keep") == F.col("_n_total")).alias("_whole"),
+        )
+    )
+    # one metadata-sized job: per-_whole file counts + a sample path
+    # (for the layout guard) — decides the split without collecting
+    # any survivor list
+    stats = {
+        r["_whole"]: (r["n"], r["fp"])
+        for r in plan.groupBy("_whole")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("file_path").alias("fp"))
         .collect()
     }
-    by_file: dict[str, list[int]] = {}
-    for fp, rg in survivors:
-        by_file.setdefault(fp, []).append(rg)
-    whole = sorted(fp for fp, rgs in by_file.items() if len(rgs) == n_rgs[fp])
-    partial = sorted(
-        (fp, sorted(rgs)) for fp, rgs in by_file.items() if len(rgs) < n_rgs[fp]
-    )
-    _assert_unpartitioned(spark, full, survivors[0][0])
-    names = full.schema.names
+    n_whole = stats.get(True, (0, None))[0]
+    n_partial = stats.get(False, (0, None))[0]
+    if n_whole + n_partial == 0:
+        return full.filter(F.lit(False))
+    sample = (stats.get(True) or stats.get(False))[1]
+    _assert_unpartitioned(spark, path, full, sample)
+
     parts: list[DataFrame] = []
-    if whole:
-        parts.append(spark.read.schema(full.schema).parquet(*whole))
-    if partial:
-        pairs = spark.createDataFrame(
-            [(fp, rgs) for fp, rgs in partial],
-            "file_path string, rgs array<int>",
-        ).repartition(min(len(partial), 32))
-
-        # mapInArrow, NOT mapInPandas: pandas degrades a null-bearing
-        # int64 column to float64, silently corrupting values past
-        # 2^53 on the boundary files while whole files read exactly —
-        # arrow batches round-trip the physical types untouched
-        def read_rgs(batches):
-            import pyarrow.parquet as pq
-
-            for batch in batches:
-                d = batch.to_pydict()
-                for fp, rgs in zip(d["file_path"], d["rgs"]):
-                    tbl = pq.ParquetFile(_local_path(fp)).read_row_groups(
-                        [int(g) for g in rgs], columns=names
-                    ).select(names)
-                    yield from tbl.to_batches()
-
-        parts.append(pairs.mapInArrow(read_rgs, full.schema))
+    if 0 < n_whole <= driver_list_threshold:
+        whole = plan.filter("_whole").select("file_path").collect()
+        parts.append(
+            spark.read.schema(full.schema).parquet(
+                *[r["file_path"] for r in whole]
+            )
+        )
+        if n_partial:
+            parts.append(
+                _arrow_scan(
+                    plan.filter(~F.col("_whole")).select("file_path", "rgs"),
+                    full.schema,
+                    parallelism,
+                )
+            )
+    else:
+        # whole-file list over budget (or no whole files): everything
+        # through the Arrow tasks, whole files as rgs=NULL
+        parts.append(
+            _arrow_scan(
+                plan.select(
+                    "file_path",
+                    F.when(F.col("_whole"), F.lit(None).cast("array<int>"))
+                    .otherwise(F.col("rgs"))
+                    .alias("rgs"),
+                ),
+                full.schema,
+                parallelism,
+            )
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
