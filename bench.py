@@ -167,6 +167,10 @@ HEADLINE = [
     "asof_forward_events",
     "supplier_bfs",
     "dim_client_scd3",
+    # round-8 additions (no frozen row yet; ratios appear once a later
+    # round freezes them)
+    "approx_bounds_suite",
+    "lang_suite",
 ]
 
 

@@ -290,6 +290,116 @@ def distinct_estimate(rollup: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+# Typed DataSketches KLL function triples: value class -> (sketch_agg,
+# merge_agg, get_quantile, get_rank, get_n).  bigint is the default —
+# integer measures are the cross-engine-exact currency of this repo.
+_KLL_FNS = {
+    "bigint": (
+        F.kll_sketch_agg_bigint, F.kll_merge_agg_bigint,
+        F.kll_sketch_get_quantile_bigint, F.kll_sketch_get_rank_bigint,
+        F.kll_sketch_get_n_bigint,
+    ),
+    "double": (
+        F.kll_sketch_agg_double, F.kll_merge_agg_double,
+        F.kll_sketch_get_quantile_double, F.kll_sketch_get_rank_double,
+        F.kll_sketch_get_n_double,
+    ),
+    "float": (
+        F.kll_sketch_agg_float, F.kll_merge_agg_float,
+        F.kll_sketch_get_quantile_float, F.kll_sketch_get_rank_float,
+        F.kll_sketch_get_n_float,
+    ),
+}
+
+
+def quantile_sketch_delta(
+    delta: DataFrame,
+    keys: list[str],
+    value_col: str,
+    k: int = 200,
+    dtype: str = "bigint",
+) -> DataFrame:
+    """KLL quantile-sketch partial aggregate: per group, the Apache
+    DataSketches KLL state over `value_col` — the mergeable answer to
+    percentiles in incremental rollups WITHOUT the known-value-bounds
+    precondition of `histogram_delta` (fixed-width bins need min/max
+    up front and break when a new delta exceeds them; KLL adapts its
+    compaction levels to whatever range arrives).  Same JVM-native
+    family as the HLL distinct sketches (`distinct_sketch_delta`).
+
+    Error contract: normalized RANK error ~1.65% at the default
+    k=200 (the published KLL single-sided 99% bound; grows as k
+    shrinks), i.e. get_quantile(0.5) returns a value whose true rank
+    is within ~±1.65% of the median rank.  The sketch's compaction
+    coin is RANDOM (verified: identical input can yield different
+    states run to run), so tests and driver rows must check
+    rank-error-within-bound, never raw estimate equality.
+
+    Unlike the additive measures, KLL insertion is NOT set-semantics:
+    re-delivered deltas double-count ranks — the exactly-once delta
+    contract (module docstring) applies.
+
+    Scale shape: one partial-agg shuffle (map-side combine inside the
+    JVM aggregate), ~KB of state per group at any data size.  All
+    partials to be merged must share `dtype`; `k` may differ (merge
+    keeps the smaller, i.e. looser, accuracy).
+    """
+    sketch_agg = _KLL_FNS[dtype][0]
+    return delta.groupBy(*keys).agg(
+        sketch_agg(value_col, F.lit(k)).alias("quantile_sketch")
+    )
+
+
+def merge_quantile_rollup(
+    parts: list[DataFrame], keys: list[str], k: int = 200,
+    dtype: str = "bigint",
+) -> DataFrame:
+    """Merge KLL partials from any number of deltas: stack and
+    re-aggregate with the DataSketches merge aggregate (KLL merge is
+    associative/commutative in DISTRIBUTION — the merged sketch obeys
+    the same rank-error bound as a one-shot sketch over the union,
+    which is the property the maintenance test pins; byte-identical
+    states are not promised).  Merge cost is rollup-sized: group
+    count x sketch bytes, never data-sized."""
+    if not parts:
+        raise ValueError("merge_quantile_rollup needs at least one partial")
+    merge_agg = _KLL_FNS[dtype][1]
+    stacked = parts[0]
+    for p in parts[1:]:
+        stacked = stacked.unionByName(p)
+    return stacked.groupBy(*keys).agg(
+        merge_agg("quantile_sketch", F.lit(k)).alias("quantile_sketch")
+    )
+
+
+def quantile_estimate(
+    rollup: DataFrame, keys: list[str], ps_bp: list[int],
+    dtype: str = "bigint",
+) -> DataFrame:
+    """Read percentile estimates off a KLL sketch rollup: one output
+    row per group and requested percentile (BASIS POINTS, 5000 =
+    median, matching percentile_from_histogram's integer convention).
+    Output: keys..., p_bp, value_est, n (exact stream length — KLL
+    tracks n exactly)."""
+    for bp in ps_bp:
+        if not 0 < bp <= 10000:
+            raise ValueError(f"percentile basis points must be in (0, 10000]: {bp}")
+    _, _, get_q, _, get_n = _KLL_FNS[dtype]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(bp).alias("p_bp"),
+                get_q("quantile_sketch", F.lit(bp / 10000.0)).alias("value_est"),
+            )
+            for bp in ps_bp
+        ]
+    )
+    return rollup.select(
+        *keys, F.explode(rows).alias("r"),
+        get_n("quantile_sketch").alias("n"),
+    ).select(*keys, "r.p_bp", "r.value_est", "n")
+
+
 def join_view_delta(
     a_old: DataFrame,
     a_delta: DataFrame,

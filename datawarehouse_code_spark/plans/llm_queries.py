@@ -852,6 +852,150 @@ def _approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _approx_bounds_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable semantics for the engine's approximate
+    aggregates (r7 verdict ask #2: every approximate operator must
+    influence a green driver hash row, not sit past the 50-row
+    window).  Each estimator emits an integer within-documented-bound
+    flag NEXT TO exact cross-engine values, so the oracle replays the
+    exact values and pins ok=1 — an estimator regression flips a
+    hashed bit even though the estimate itself is engine-specific
+    (HLL) or randomized (KLL compaction coin):
+
+    part='hll' (per event_type): exact_n = exact countDistinct(user_id)
+      (hash-checked); ok = |approx_count_distinct(rsd 0.01) - exact|
+      <= 5% of exact (5x the configured rsd — deterministic estimator,
+      wide margin).
+    part='kll_oneshot' / 'kll_merged' (per o_orderstatus): exact_n =
+      the exact discrete median of floor(o_totalprice*100) (both
+      engines replay the (n-1) div 2 ranked pick); ok = the KLL median
+      estimate's TRUE normalized rank is within 5% of 0.5 (documented
+      ~1.65% bound at k=200; integer comparison 10*|lt+le-n| <= n,
+      where lt/le = counts strictly-below / at-or-below the estimate).
+      The merged leg merges three disjoint o_orderkey%3 partials —
+      the merge ≡ one-shot error-bound law as a driver hash row.
+    part='ivf_full_probe' (per query#rank): IVF with n_probes =
+      n_centroids degenerates to EXACT search (every bucket probed),
+      so the whole pipeline — centroid fit, nearest-centroid assign,
+      bucket join, top-k ranking — must reproduce brute-force cosine
+      top-5 exactly; exact_n = candidate_id, oracle = the brute-force
+      SQL.  (Default-probe recall is pinned by planted_recall_suite.)
+    """
+    from datawarehouse_code_spark.operators.rollup import (
+        merge_quantile_rollup,
+        quantile_estimate,
+        quantile_sketch_delta,
+    )
+
+    events = read_table(spark, "events", sf_dir)
+    hll = (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("est"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .select(
+            F.lit("hll").alias("part"),
+            F.col("event_type").alias("key"),
+            (F.abs(F.col("est") - F.col("exact")) * 100 <= F.col("exact") * 5)
+            .cast("bigint")
+            .alias("ok"),
+            F.col("exact").cast("bigint").alias("exact_n"),
+        )
+    )
+
+    orders = read_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    keys = ["o_orderstatus"]
+    oneshot = quantile_sketch_delta(orders, keys, "price_cents")
+    merged = merge_quantile_rollup(
+        [
+            quantile_sketch_delta(
+                orders.filter(F.col("o_orderkey") % 3 == i), keys, "price_cents"
+            )
+            for i in range(3)
+        ],
+        keys,
+    )
+    wr = Window.partitionBy("o_orderstatus").orderBy("price_cents")
+    wn = Window.partitionBy("o_orderstatus")
+    exact_med = (
+        orders.withColumn("rn", F.row_number().over(wr) - 1)
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == F.expr("(n - 1) div 2"))
+        .select("o_orderstatus", F.col("price_cents").alias("exact_med"))
+    )
+
+    def kll_leg(sketch: DataFrame, label: str) -> DataFrame:
+        est = quantile_estimate(sketch, keys, [5000]).select(
+            "o_orderstatus", "value_est"
+        )
+        ranked = (
+            orders.join(est, "o_orderstatus")
+            .groupBy("o_orderstatus")
+            .agg(
+                F.sum((F.col("price_cents") < F.col("value_est")).cast("bigint")).alias("lt"),
+                F.sum((F.col("price_cents") <= F.col("value_est")).cast("bigint")).alias("le"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        return ranked.join(exact_med, "o_orderstatus").select(
+            F.lit(label).alias("part"),
+            F.col("o_orderstatus").alias("key"),
+            (F.abs(F.col("lt") + F.col("le") - F.col("n")) * 10 <= F.col("n"))
+            .cast("bigint")
+            .alias("ok"),
+            F.col("exact_med").alias("exact_n"),
+        )
+
+    emb = read_table(spark, "embeddings", sf_dir)
+    ivf_exact = ivf_topk(emb, n_centroids=16, n_probes=16).select(
+        F.lit("ivf_full_probe").alias("part"),
+        F.concat(
+            F.col("query_id").cast("string"), F.lit("#"), F.col("rk").cast("string")
+        ).alias("key"),
+        F.lit(1).cast("bigint").alias("ok"),
+        F.col("candidate_id").cast("bigint").alias("exact_n"),
+    )
+    return (
+        hll.unionByName(kll_leg(oneshot, "kll_oneshot"))
+        .unionByName(kll_leg(merged, "kll_merged"))
+        .unionByName(ivf_exact)
+    )
+
+
+_APPROX_BOUNDS_SQL = f"""
+WITH med AS (
+  SELECT o_orderstatus, price_cents AS exact_med
+  FROM (
+    SELECT o_orderstatus,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+           row_number() OVER (
+             PARTITION BY o_orderstatus
+             ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT)
+           ) - 1 AS rn,
+           count(*) OVER (PARTITION BY o_orderstatus) AS n
+    FROM orders
+  ) WHERE rn = (n - 1) // 2
+)
+SELECT 'hll' AS part, event_type AS key, CAST(1 AS BIGINT) AS ok,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'kll_oneshot', o_orderstatus, CAST(1 AS BIGINT), exact_med FROM med
+UNION ALL
+SELECT 'kll_merged', o_orderstatus, CAST(1 AS BIGINT), exact_med FROM med
+UNION ALL
+SELECT 'ivf_full_probe',
+       CAST(query_id AS VARCHAR) || '#' || CAST(rk AS VARCHAR),
+       CAST(1 AS BIGINT), CAST(candidate_id AS BIGINT)
+FROM ({_SIM_BRUTE_SQL})
+"""
+
+
 # ------------------------------------------------------- multimodal plumbing
 
 
@@ -1091,8 +1235,15 @@ GROUP BY lang
 
 
 def _lang_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language rollup + per-document marker language-ID, labeled
-    (full per-doc granularity preserved)."""
+    """Per-language rollup + per-document marker language-ID +
+    per-language percentile/stats comparison, labeled (full per-doc
+    granularity preserved).
+
+    part='stats' (folded in from the former lang_stats_suite driver
+    row in round 8 to free an oracle slot for approx_bounds_suite):
+    expression-side discrete percentiles beside the applyInPandas
+    twin, with b = (expression median == pandas median) — both code
+    paths hash-checked in one row set."""
     rollup = _lang_rollup(spark, sf_dir).select(
         F.lit("rollup").alias("part"),
         F.col("lang").alias("key"),
@@ -1115,7 +1266,18 @@ def _lang_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("s2"),
         F.col("agree").alias("b"),
     )
-    return rollup.unionByName(langid)
+    stats = _lang_stats_suite(spark, sf_dir).select(
+        F.lit("stats").alias("part"),
+        F.col("lang").alias("key"),
+        F.col("p25").cast("bigint").alias("n1"),
+        F.col("p50").cast("bigint").alias("n2"),
+        F.col("p90").cast("bigint").alias("n3"),
+        F.lit(None).cast("double").alias("v"),
+        F.col("pd_p50").cast("string").alias("s1"),
+        F.col("pd_mean_x100").cast("string").alias("s2"),
+        (F.col("p50").cast("bigint") == F.col("pd_p50")).alias("b"),
+    )
+    return rollup.unionByName(langid).unionByName(stats)
 
 
 _LANG_SUITE_SQL = f"""
@@ -1148,6 +1310,13 @@ SELECT 'langid', CAST(doc_id AS VARCHAR),
              WHEN hits_en > 0 THEN 'en'
              ELSE 'und' END) = lang
 FROM scored
+UNION ALL
+SELECT 'stats', lang,
+       CAST(p25 AS BIGINT), CAST(p50 AS BIGINT), CAST(p90 AS BIGINT),
+       CAST(NULL AS DOUBLE),
+       CAST(pd_p50 AS VARCHAR), CAST(pd_mean_x100 AS VARCHAR),
+       CAST(p50 AS BIGINT) = pd_p50
+FROM ({_LANG_STATS_SUITE_SQL})
 """
 
 
@@ -1588,9 +1757,12 @@ LLM_QUERIES: list[Query] = [
     Query("text_token_stats", _text_token_stats, _TOKEN_STATS_SQL,
           "north-star: token counting + quality features"),
     Query("lang_suite", _lang_suite, _LANG_SUITE_SQL,
-          "north-star: language rollup + per-doc marker language-ID"),
-    Query("lang_stats_suite", _lang_stats_suite, _LANG_STATS_SUITE_SQL,
-          "north-star: discrete percentiles (expr) ⋈ applyInPandas stats"),
+          "north-star: language rollup + per-doc marker language-ID + "
+          "percentile/stats parity (absorbed lang_stats_suite, round 8)"),
+    Query("approx_bounds_suite", _approx_bounds_suite, _APPROX_BOUNDS_SQL,
+          "§2.2 approximate aggregates as hash rows: HLL-within-bound, "
+          "KLL merge/one-shot rank-error-within-bound beside exact "
+          "medians, full-probe IVF ≡ brute-force (r7 verdict ask #2/#3)"),
     Query("docs_quality_filter", _docs_quality_filter, _QUALITY_SQL,
           "north-star: Gopher-style heuristic quality filter"),
     Query("docs_mixture_resample", _docs_mixture_resample, _MIXTURE_SQL,
@@ -1695,6 +1867,10 @@ LIMIT 200
 
 
 LLM_SUPPLEMENTARY: list[Query] = [
+    Query("lang_stats_suite", _lang_stats_suite, _LANG_STATS_SUITE_SQL,
+          "north-star: discrete percentiles (expr) ⋈ applyInPandas stats "
+          "(driver row until round 8, now folded into lang_suite "
+          "part='stats'; supplementary, differential-tested)"),
     Query("bpe_pair_counts", _bpe_pair_counts, _BPE_PAIRS_SQL,
           "north-star: BPE merge-candidate pair counts (tokenizer "
           "training step; supplementary, differential-tested)"),

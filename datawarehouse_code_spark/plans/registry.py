@@ -76,6 +76,18 @@ if _N_ORACLE > 50:
         "50-row correctness window; consolidate into suites "
         "(plans/*_queries.py) before adding more"
     )
+# ORDER governance (r7 verdict ask #2): the count bound above is not
+# enough — a future edit could interleave a rows-only entry before an
+# oracle-backed one and silently rotate a checked row past the window.
+# Assert oracle-backed rows occupy EXACTLY positions 1.._N_ORACLE.
+for _i, (_n, _q) in enumerate(QUERIES.items()):
+    if (_q.oracle is not None) != (_i < _N_ORACLE):
+        raise AssertionError(
+            f"registry ordering broken at position {_i + 1} ({_n!r}): "
+            "every oracle-backed query must precede every rows-only "
+            "query so the driver's 50-row window covers the full "
+            "oracle-backed set"
+        )
 
 # Suite constituents: benchable + testable library queries that are
 # deliberately NOT in the driver-facing registry (their values are

@@ -548,3 +548,33 @@ def test_ivf_index_forget_vectors(spark, tmp_path):
     assert query_ivf_index(
         spark, path, emb.filter(F.col("vec_id") < 20), k=2, n_probes=8
     ).count() > 0
+
+
+def test_approx_bounds_suite_all_ok(spark):
+    """The approx-bounds driver row (r8): every within-bound flag must
+    be 1 at test scale and every part populated — HLL distinct error,
+    KLL one-shot + merged rank error, and full-probe IVF exactness all
+    influence the driver hash through this row."""
+    from datawarehouse_code_spark.plans.llm_queries import _approx_bounds_suite
+    from tests.conftest import SF_DIR
+
+    rows = _approx_bounds_suite(spark, SF_DIR).collect()
+    parts = {r["part"] for r in rows}
+    assert parts == {"hll", "kll_oneshot", "kll_merged", "ivf_full_probe"}
+    bad = [tuple(r) for r in rows if r["ok"] != 1]
+    assert not bad, f"bound violations: {bad}"
+    # full-probe IVF contributes per-(query, rank) rows
+    assert sum(1 for r in rows if r["part"] == "ivf_full_probe") == 500
+
+
+def test_registry_order_oracle_first():
+    """Governance (r7 verdict ask #2): oracle-backed rows occupy the
+    driver's checked window positions exactly; rows-only entries all
+    trail.  (registry.py also asserts this at import — this test
+    documents the contract and fails closer to the edit.)"""
+    from datawarehouse_code_spark.plans.registry import QUERIES
+
+    kinds = [q.oracle is not None for q in QUERIES.values()]
+    n_oracle = sum(kinds)
+    assert n_oracle <= 50
+    assert all(kinds[:n_oracle]) and not any(kinds[n_oracle:])

@@ -269,6 +269,67 @@ def test_distinct_sketch_merge_equals_oneshot_and_close_to_exact(spark):
         merge_distinct_rollup([], ["event_type"])
 
 
+def test_kll_quantile_merge_and_oneshot_within_rank_error(spark):
+    """KLL sketches (r7 verdict ask #3): percentile estimates from (a)
+    a one-shot sketch and (b) a merge of three disjoint-delta partials
+    must both land within the documented normalized rank error of the
+    EXACT distribution (k=200 -> ~1.65%; assert 5% for headroom since
+    the compaction coin is random), and the sketch's n must be exact.
+    Raw estimate equality between merge and one-shot is deliberately
+    NOT asserted — KLL merge preserves the error bound, not bytes."""
+    from datawarehouse_code_spark.operators.rollup import (
+        merge_quantile_rollup,
+        quantile_estimate,
+        quantile_sketch_delta,
+    )
+
+    orders = _orders(spark).cache()
+    keys = ["o_orderstatus"]
+    ps = [2500, 5000, 9000]
+    oneshot = quantile_sketch_delta(orders, keys, "price_cents")
+    parts = [
+        quantile_sketch_delta(
+            orders.filter(F.col("o_orderkey") % 3 == i), keys, "price_cents"
+        )
+        for i in range(3)
+    ]
+    merged = merge_quantile_rollup(parts, keys)
+
+    # exact per-group sorted values for true-rank computation
+    exact = {}
+    for r in orders.groupBy(*keys).agg(
+        F.sort_array(F.collect_list("price_cents")).alias("vs")
+    ).collect():
+        exact[r["o_orderstatus"]] = r["vs"]
+    assert exact and all(len(v) > 100 for v in exact.values())
+
+    import bisect
+
+    for label, sk in (("oneshot", oneshot), ("merged", merged)):
+        rows = quantile_estimate(sk, keys, ps).collect()
+        assert len(rows) == len(exact) * len(ps)
+        for r in rows:
+            vs = exact[r["o_orderstatus"]]
+            assert r["n"] == len(vs)  # KLL tracks n exactly
+            # true normalized rank of the estimate (midpoint of the
+            # tied run, matching the sketch's inclusive-rank model)
+            lo = bisect.bisect_left(vs, r["value_est"])
+            hi = bisect.bisect_right(vs, r["value_est"])
+            rank = (lo + hi) / 2 / len(vs)
+            target = r["p_bp"] / 10000
+            assert abs(rank - target) < 0.05, (
+                f"{label} {r['o_orderstatus']} p{r['p_bp']}: est "
+                f"{r['value_est']} has rank {rank:.4f} vs target {target}"
+            )
+
+    # value-type guard + empty-parts guard
+    with pytest.raises(ValueError, match="at least one"):
+        merge_quantile_rollup([], keys)
+    with pytest.raises(ValueError, match="basis points"):
+        quantile_estimate(oneshot, keys, [0]).collect()
+    orders.unpersist()
+
+
 def test_join_view_delta_merge_equals_rebuild(spark):
     """IVM identity for a join view on real tables: maintaining the
     stored orders ⋈ customer view with order/customer deltas equals
