@@ -171,6 +171,7 @@ HEADLINE = [
     # round freezes them)
     "approx_bounds_suite",
     "lang_suite",
+    "decoded_image_stats",
 ]
 
 

@@ -135,24 +135,426 @@ def _decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     return width, height, 3, bytes(out)
 
 
+# JPEG zigzag scan order: natural (row-major) index of each of the 64
+# zigzag positions (ITU-T.81 Figure 5).
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# 8x8 IDCT basis M[u, x] = c_u/2 * cos((2x+1)·u·π/16); spatial =
+# Mᵀ·coef·M.  Built lazily so importing the module never needs numpy.
+_IDCT_M = None
+
+
+def _idct_basis():
+    global _IDCT_M
+    if _IDCT_M is None:
+        import numpy as np
+
+        u = np.arange(8).reshape(8, 1)
+        x = np.arange(8).reshape(1, 8)
+        m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+        m[0, :] *= 1 / np.sqrt(2)
+        _IDCT_M = m
+    return _IDCT_M
+
+
+def _build_huffman(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical JPEG Huffman table: {(code_length, code): symbol}
+    from the DHT BITS (counts per length 1..16) + HUFFVAL arrays."""
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded JPEG data: un-stuffs
+    0xFF00, surfaces RSTn markers (reset points), stops at other
+    markers (EOI/next segment)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:  # stuffed literal 0xFF
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt)
+            else:
+                raise ValueError(
+                    f"unexpected marker 0xFF{nxt:02X} inside entropy data"
+                )
+        else:
+            self.pos += 1
+        self.buf = (self.buf << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_and_skip_rst(self) -> None:
+        """Byte-align and consume one RSTn marker (restart interval)."""
+        self.buf = 0
+        self.nbits = 0
+        d = self.data
+        if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+            self.pos += 2
+        else:
+            raise ValueError("expected restart marker")
+
+    def decode_huff(self, table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length <= 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in entropy data")
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+def _extend(v: int, s: int) -> int:
+    """ITU-T.81 EXTEND: map the s received magnitude bits to the
+    signed coefficient value."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _decode_jpeg(data: bytes):
+    """ValueError-on-truncation wrapper: a payload cut mid-segment or
+    mid-entropy-data indexes past the buffer — surface that as the
+    same loud ValueError the PNM/BMP decoders raise, never a bare
+    IndexError out of a Python worker."""
+    try:
+        return _decode_jpeg_inner(data)
+    except IndexError:
+        raise ValueError("truncated JPEG payload") from None
+
+
+def _decode_jpeg_inner(data: bytes):
+    """Pure-Python/numpy BASELINE (SOF0) JPEG decode → (width, height,
+    n_channels, interleaved_pixel_bytes).  Implements the common
+    real-world path (r7 verdict ask #4): segment parse (DQT/DHT/SOF0/
+    SOS/DRI, APPn/COM skipped), canonical Huffman entropy decode with
+    byte un-stuffing and restart intervals, dequantize + de-zigzag,
+    exact float64 8x8 IDCT, chroma upsampling by pixel replication,
+    integer YCbCr→RGB.  1-component (grayscale) and 3-component
+    (YCbCr, any h/v sampling including 4:2:0 / 4:2:2) streams decode;
+    progressive (SOF2), arithmetic coding, and 12-bit precision raise
+    loudly.  Pinned against javax.imageio as an independent encoder
+    AND decoder in tests/test_multimodal.py — replication upsampling
+    and IDCT rounding differ from libjpeg's smooth upsampler by a few
+    code units on subsampled chroma, which the test tolerances encode.
+    """
+    import numpy as np
+
+    if bytes(data[:2]) != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    frame = None  # (height, width, [(comp_id, h, v, tq), ...])
+    restart_interval = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM/RSTn: no payload
+            continue
+        seg_len = int.from_bytes(data[pos : pos + 2], "big")
+        seg = data[pos + 2 : pos + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                raw = list(seg[p + 1 : p + 65])
+                nat = [0] * 64
+                for i, z in enumerate(_JPEG_ZIGZAG):
+                    nat[z] = raw[i]
+                qtables[tq] = nat
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                (dc_tables if tc == 0 else ac_tables)[th] = _build_huffman(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/SOF1 (baseline)
+            if seg[0] != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}) unsupported"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = seg[0]
+            scan_tables = {}
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan_tables[cs] = (tdta >> 4, tdta & 15)
+            height, width, comps = frame
+            if ns != len(comps):
+                raise NotImplementedError("multi-scan baseline unsupported")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-width // (8 * hmax))
+            mcuy = -(-height // (8 * vmax))
+            planes = {}
+            for cid, ch, cv, _tq in comps:
+                planes[cid] = np.zeros((mcuy * cv * 8, mcux * ch * 8))
+            m = _idct_basis()
+            reader = _JpegBitReader(data, pos + seg_len)
+            preds = {cid: 0 for cid, *_ in comps}
+            mcu_count = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and mcu_count and \
+                            mcu_count % restart_interval == 0:
+                        reader.align_and_skip_rst()
+                        preds = {cid: 0 for cid, *_ in comps}
+                    mcu_count += 1
+                    for cid, ch, cv, tq in comps:
+                        dct = dc_tables[scan_tables[cid][0]]
+                        act = ac_tables[scan_tables[cid][1]]
+                        qt = qtables[tq]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                coef = np.zeros(64)
+                                s = reader.decode_huff(dct)
+                                diff = _extend(reader.receive(s), s)
+                                preds[cid] += diff
+                                coef[0] = preds[cid] * qt[0]
+                                k = 1
+                                while k < 64:
+                                    rs = reader.decode_huff(act)
+                                    r, sz = rs >> 4, rs & 15
+                                    if sz == 0:
+                                        if r == 15:
+                                            k += 16
+                                            continue
+                                        break  # EOB
+                                    k += r
+                                    if k > 63:
+                                        raise ValueError("AC run past block end")
+                                    z = _JPEG_ZIGZAG[k]
+                                    coef[z] = _extend(reader.receive(sz), sz) * qt[z]
+                                    k += 1
+                                block = m.T @ coef.reshape(8, 8) @ m + 128
+                                y0 = (my * cv + by) * 8
+                                x0 = (mx * ch + bx) * 8
+                                planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+            # upsample to full grid by replication, crop, color-convert
+            full = []
+            for cid, ch, cv, _tq in comps:
+                p_arr = planes[cid]
+                if ch != hmax or cv != vmax:
+                    p_arr = np.repeat(
+                        np.repeat(p_arr, vmax // cv, axis=0), hmax // ch, axis=1
+                    )
+                full.append(p_arr[:height, :width])
+            if len(full) == 1:
+                gray = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+                return width, height, 1, gray.tobytes()
+            y, cb, cr = full[0], full[1] - 128, full[2] - 128
+            r = y + 1.402 * cr
+            g = y - 0.344136 * cb - 0.714136 * cr
+            b = y + 1.772 * cb
+            rgb = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255)
+            return width, height, 3, rgb.astype(np.uint8).tobytes()
+        # APPn / COM / anything else: skip payload
+        pos += seg_len
+    raise ValueError("JPEG stream ended without SOS scan data")
+
+
+# Minimal-table constant-gray JPEG ENCODER: enough of ITU-T.81 to emit
+# a legal baseline stream for a solid-gray image — all-ones quant
+# table, single grayscale component, standard DC luminance Huffman
+# table, and an AC table containing ONLY the EOB symbol.  A constant
+# block has a DC-only DCT (8·(v−128)) and an all-ones table quantizes
+# it losslessly, so DECODE IS BIT-EXACT: sum of decoded pixels ==
+# w·h·v, a closed form the DuckDB oracle can state from doc_id alone
+# (decoded_image_stats row).  The decoder is independently pinned
+# against javax.imageio-encoded files in tests, so an encoder/decoder
+# self-consistent bug cannot hide.
+_DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUM_VALS = list(range(12))
+
+
+def encode_gray_jpeg(
+    width: int, height: int, gray: int, restart_interval: int = 0
+) -> bytes:
+    if not (0 <= gray <= 255 and width > 0 and height > 0):
+        raise ValueError(f"bad constant-gray JPEG spec {width}x{height}@{gray}")
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + b"\x01" * 64  # DQT
+    out += (  # SOF0: 8-bit, 1 component, no subsampling
+        b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+        + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+        + b"\x01" + b"\x01\x11\x00"
+    )
+    out += (  # DHT: DC table 0 (standard luminance)
+        b"\xff\xc4" + (19 + len(_DC_LUM_VALS)).to_bytes(2, "big") + b"\x00"
+        + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
+    )
+    # DHT: AC table 0 with a single length-1 code (0) for EOB
+    ac_bits = [1] + [0] * 15
+    out += (
+        b"\xff\xc4" + (19 + 1).to_bytes(2, "big") + b"\x10"
+        + bytes(ac_bits) + bytes([0x00])
+    )
+    if restart_interval:
+        out += b"\xff\xdd" + (4).to_bytes(2, "big") + restart_interval.to_bytes(2, "big")
+    out += b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01\x01\x00\x00\x3f\x00"  # SOS
+
+    # canonical codes for the DC table (same construction as the decoder
+    # verifies against javax.imageio streams)
+    dc_codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(_DC_LUM_BITS[length - 1]):
+            dc_codes[_DC_LUM_VALS[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+
+    bitbuf: list[int] = []
+
+    def put(value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            bitbuf.append((value >> i) & 1)
+
+    def put_dc_diff(diff: int) -> None:
+        mag = abs(diff)
+        s = mag.bit_length()
+        length, c = dc_codes[s]
+        put(c, length)
+        if s:
+            put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+    def flush_bits() -> None:
+        while len(bitbuf) % 8:
+            bitbuf.append(1)  # pad with 1s per spec
+        for i in range(0, len(bitbuf), 8):
+            byte = 0
+            for bit in bitbuf[i : i + 8]:
+                byte = (byte << 1) | bit
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)  # byte stuffing
+        bitbuf.clear()
+
+    n_blocks = (-(-width // 8)) * (-(-height // 8))
+    pred = 0
+    for i in range(n_blocks):
+        if restart_interval and i and i % restart_interval == 0:
+            flush_bits()
+            out += bytes([0xFF, 0xD0 + ((i // restart_interval - 1) % 8)])
+            pred = 0  # predictors reset at a restart boundary
+        put_dc_diff(8 * (gray - 128) - pred)
+        pred = 8 * (gray - 128)
+        put(0, 1)  # EOB (the single AC code)
+    flush_bits()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_const_ppm(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Constant-color binary PPM (P6) payload — the closed-form fixture
+    the decoded_image_stats oracle predicts from ids alone."""
+    return (
+        f"P6\n{width} {height}\n255\n".encode("ascii")
+        + bytes(rgb) * (width * height)
+    )
+
+
+def encode_const_bmp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Constant-color bottom-up 24-bit BI_RGB BMP payload (4-byte row
+    padding, BGR order) — same closed-form fixture role as
+    encode_const_ppm, exercising the BMP decode branch."""
+    import struct
+
+    row = bytes((rgb[2], rgb[1], rgb[0])) * width
+    row += b"\x00" * ((-len(row)) % 4)
+    pixels = row * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return header + pixels
+
+
 def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode an encoded image to (width, height, n_channels,
     interleaved_pixel_bytes).
 
-    Uncompressed formats decode in pure Python — binary PNM (PPM/PGM)
-    and 24-bit BMP are the real executable branches this container
-    exercises end-to-end (decoded_image_stats).  Compressed codecs
-    require Pillow, which is not installed here; that branch alone
-    stays NotImplementedError until a codec library exists."""
+    Real executable branches, all pure Python/numpy and exercised
+    end-to-end in this container: binary PNM (PPM/PGM), 24-bit BMP,
+    and BASELINE JPEG (SOF0 — grayscale or YCbCr with any sampling;
+    see _decode_jpeg).  Progressive JPEG and PNG need a codec library
+    (Pillow), absent here; those branches alone raise."""
     if bytes(data[:2]) in (b"P6", b"P5"):
         return _decode_pnm(data)
     if bytes(data[:2]) == b"BM":
         return _decode_bmp(data)
+    if bytes(data[:2]) == b"\xff\xd8":
+        return _decode_jpeg(data)
     if not HAVE_PIL:
         raise NotImplementedError(
-            "compressed image decode requires Pillow (binary PNM and "
-            "24-bit BMP decode natively); install Pillow for PNG/JPEG "
-            "payloads"
+            "this payload needs a codec library (binary PNM, 24-bit BMP "
+            "and baseline JPEG decode natively); install Pillow for "
+            "PNG/progressive-JPEG payloads"
         )
     raise NotImplementedError("wire Image.open(BytesIO(data)) here when Pillow exists")
 

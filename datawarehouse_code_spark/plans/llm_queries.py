@@ -1866,7 +1866,92 @@ LIMIT 200
 """
 
 
+def _decoded_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode across all three native codec branches in one
+    Arrow pipeline (r7 verdict ask #4): per doc_id, synthesize a
+    constant-color payload in a distributed mapInPandas stage — PPM
+    (doc_id%3=0), 24-bit BMP (=1), or BASELINE JPEG (=2: constant
+    gray, all-ones quant table, odd ids add restart intervals) — then
+    run operators/multimodal.decode_image inside decoded_image_stats
+    and emit integer per-channel sums.  Constant payloads decode
+    BIT-EXACTLY in every branch (a constant block is DC-only and the
+    all-ones table quantizes losslessly), so the oracle states
+    width/height/sums in closed form from doc_id alone — a header
+    mis-parse, channel swap, padding bug, Huffman/IDCT error, or
+    restart-marker mishandling all flip the hash."""
+    import pandas as pd  # noqa: F811
+
+    from datawarehouse_code_spark.operators.multimodal import (
+        decoded_image_stats,
+        encode_const_bmp,
+        encode_const_ppm,
+        encode_gray_jpeg,
+    )
+
+    docs = read_table(spark, "documents", sf_dir).select("doc_id")
+
+    def build(it):
+        for pdf in it:
+            ids, types, blobs = [], [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                fmt = d % 3
+                if fmt < 2:
+                    w, h = 4 + d % 13, 3 + d % 7
+                    rgb = (d % 256, (3 * d) % 256, (7 * d) % 256)
+                    enc = encode_const_ppm if fmt == 0 else encode_const_bmp
+                    blob, t = enc(w, h, rgb), ("image/x-ppm" if fmt == 0 else "image/bmp")
+                else:
+                    w, h = 8 + d % 17, 8 + d % 11
+                    blob = encode_gray_jpeg(
+                        w, h, (37 * d) % 256,
+                        restart_interval=2 if d % 2 else 0,
+                    )
+                    t = "image/jpeg"
+                ids.append(d)
+                types.append(t)
+                blobs.append(blob)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "media_type": pd.Series(types, dtype=object),
+                    "content": pd.Series(blobs, dtype=object),
+                }
+            )
+
+    media = docs.mapInPandas(
+        build, "media_id BIGINT, media_type STRING, content BINARY"
+    )
+    return decoded_image_stats(media)
+
+
+_DECODED_STATS_SQL = """
+SELECT doc_id AS media_id,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN 8 + doc_id % 17
+                 ELSE 4 + doc_id % 13 END AS INT) AS width,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN 8 + doc_id % 11
+                 ELSE 3 + doc_id % 7 END AS INT) AS height,
+       CAST(CASE WHEN doc_id % 3 = 2
+                 THEN (8 + doc_id % 17) * (8 + doc_id % 11) * ((37 * doc_id) % 256)
+                 ELSE (4 + doc_id % 13) * (3 + doc_id % 7) * (doc_id % 256)
+            END AS BIGINT) AS sum_r,
+       CAST(CASE WHEN doc_id % 3 = 2
+                 THEN (8 + doc_id % 17) * (8 + doc_id % 11) * ((37 * doc_id) % 256)
+                 ELSE (4 + doc_id % 13) * (3 + doc_id % 7) * ((3 * doc_id) % 256)
+            END AS BIGINT) AS sum_g,
+       CAST(CASE WHEN doc_id % 3 = 2
+                 THEN (8 + doc_id % 17) * (8 + doc_id % 11) * ((37 * doc_id) % 256)
+                 ELSE (4 + doc_id % 13) * (3 + doc_id % 7) * ((7 * doc_id) % 256)
+            END AS BIGINT) AS sum_b
+FROM documents
+"""
+
+
 LLM_SUPPLEMENTARY: list[Query] = [
+    Query("decoded_image_stats", _decoded_image_stats, _DECODED_STATS_SQL,
+          "north-star: mixed PNM+BMP+baseline-JPEG decode inside the "
+          "Arrow pipeline, closed-form oracle (supplementary, "
+          "differential-tested)"),
     Query("lang_stats_suite", _lang_stats_suite, _LANG_STATS_SUITE_SQL,
           "north-star: discrete percentiles (expr) ⋈ applyInPandas stats "
           "(driver row until round 8, now folded into lang_suite "

@@ -210,3 +210,136 @@ def test_decoded_image_stats_mixed_pnm_bmp(spark):
     assert (got[1].sum_r, got[1].sum_g, got[1].sum_b) == (20, 24, 28)
     assert (got[2].width, got[2].height) == (2, 1)
     assert (got[2].sum_r, got[2].sum_g, got[2].sum_b) == (50, 70, 90)
+
+
+# ------------------------------------------------------ baseline JPEG decode
+
+
+def _imageio_encode(jvm, w, h, pix_fn, gray=False, quality=1.0):
+    """Encode via javax.imageio (the JVM's own JPEG writer) — a fully
+    independent encoder for pinning the pure-Python decoder."""
+    t = jvm.java.awt.image.BufferedImage
+    bi = t(w, h, t.TYPE_BYTE_GRAY if gray else t.TYPE_INT_RGB)
+    for y in range(h):
+        for x in range(w):
+            r, g, b = pix_fn(x, y)
+            bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    param = writer.getDefaultWriteParam()
+    param.setCompressionMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(float(quality))
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+    ios.flush()
+    writer.dispose()
+    return bytes(baos.toByteArray())
+
+
+def _imageio_decode_rgb(jvm, data):
+    bi = jvm.javax.imageio.ImageIO.read(jvm.java.io.ByteArrayInputStream(data))
+    w, h = bi.getWidth(), bi.getHeight()
+    px = []
+    for y in range(h):
+        for x in range(w):
+            argb = bi.getRGB(x, y)
+            px.append(((argb >> 16) & 255, (argb >> 8) & 255, argb & 255))
+    return w, h, px
+
+
+def test_jpeg_gray_roundtrip_exact_including_restarts():
+    """Constant-gray baseline JPEG (all-ones quant table) decodes
+    BIT-exactly — the property the decoded_image_stats oracle relies
+    on — across dims that are/aren't multiples of 8 and with restart
+    intervals exercising RST-marker alignment + predictor reset."""
+    from datawarehouse_code_spark.operators.multimodal import (
+        decode_image,
+        encode_gray_jpeg,
+    )
+
+    for (w, h, v, ri) in [(8, 8, 0, 0), (8, 8, 255, 0), (13, 9, 77, 0),
+                          (40, 24, 91, 2), (23, 17, 3, 1), (64, 8, 200, 5)]:
+        W, H, C, px = decode_image(encode_gray_jpeg(w, h, v, restart_interval=ri))
+        assert (W, H, C) == (w, h, 1)
+        assert set(px) == {v}
+
+
+def test_jpeg_decode_pinned_against_imageio(spark):
+    """The pure-Python SOF0 decoder against javax.imageio as an
+    INDEPENDENT party, both directions:
+    (a) ImageIO-encoded constant color at q=1.0 -> our decode is the
+        exact constant (4:2:0 subsampling of a constant is lossless);
+    (b) ImageIO-encoded grayscale -> our 1-channel decode equals the
+        raw raster exactly (raster, not getRGB — Java's TYPE_BYTE_GRAY
+        getRGB applies a linear->sRGB gamma);
+    (c) ImageIO-encoded smooth color gradients at several qualities ->
+        our decode within a small tolerance of ImageIO's own decode
+        (replication vs smooth chroma upsampling differs by a few
+        code units on 4:2:0 streams — measured max 7, assert 16);
+    (d) our encoder -> ImageIO's decoder reproduces the constant."""
+    from datawarehouse_code_spark.operators.multimodal import (
+        decode_image,
+        encode_gray_jpeg,
+    )
+
+    jvm = spark._jvm
+
+    # (a) constant color, exact
+    data = _imageio_encode(jvm, 16, 12, lambda x, y: (100, 100, 100))
+    W, H, C, px = decode_image(data)
+    assert (W, H, C) == (16, 12, 3) and set(px) == {100}
+    data = _imageio_encode(jvm, 10, 21, lambda x, y: (200, 200, 200))
+    W, H, C, px = decode_image(data)
+    assert (W, H) == (10, 21) and set(px) == {200}
+
+    # (b) grayscale stream: compare against the raw raster
+    data = _imageio_encode(jvm, 17, 11, lambda x, y: (0, 0, 0), gray=True)
+    bi = jvm.javax.imageio.ImageIO.read(jvm.java.io.ByteArrayInputStream(data))
+    raster = bi.getRaster()
+    W, H, C, px = decode_image(data)
+    assert (W, H, C) == (17, 11, 1)
+    ours = [px[y * W + x] for y in range(H) for x in range(W)]
+    ref = [raster.getSample(x, y, 0) for y in range(H) for x in range(W)]
+    assert ours == ref
+
+    # (c) smooth gradients, tolerance-pinned against ImageIO's decode
+    def smooth(x, y):
+        return (min(255, 40 + x * 6), min(255, 30 + y * 8),
+                min(255, 60 + x * 2 + y * 3))
+
+    for q in (1.0, 0.7):
+        data = _imageio_encode(jvm, 24, 16, smooth, quality=q)
+        W, H, C, px = decode_image(data)
+        w2, h2, ref = _imageio_decode_rgb(jvm, data)
+        assert (W, H, C) == (w2, h2, 3)
+        diffs = [
+            max(abs(px[3 * i + c] - ref[i][c]) for c in range(3))
+            for i in range(W * H)
+        ]
+        assert max(diffs) <= 16 and sum(diffs) / len(diffs) <= 6, (
+            q, max(diffs), sum(diffs) / len(diffs))
+
+    # (d) our stream through ImageIO's decoder
+    data = encode_gray_jpeg(13, 9, 77)
+    bi = jvm.javax.imageio.ImageIO.read(jvm.java.io.ByteArrayInputStream(data))
+    raster = bi.getRaster()
+    vals = {raster.getSample(x, y, 0) for y in range(9) for x in range(13)}
+    assert vals == {77}
+
+
+def test_jpeg_decoder_rejects_unsupported_loudly():
+    import pytest
+
+    from datawarehouse_code_spark.operators.multimodal import (
+        decode_image,
+        encode_gray_jpeg,
+    )
+
+    data = bytearray(encode_gray_jpeg(8, 8, 50))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2  # pretend progressive
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_image(bytes(data))
+    with pytest.raises(ValueError):
+        decode_image(encode_gray_jpeg(8, 8, 50)[:-12])  # truncated entropy data
