@@ -172,6 +172,7 @@ HEADLINE = [
     "approx_bounds_suite",
     "lang_suite",
     "decoded_image_stats",
+    "supplier_communities",
 ]
 
 

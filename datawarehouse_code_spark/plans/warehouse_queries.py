@@ -1698,6 +1698,68 @@ def _supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
+def _supplier_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection (operators/graph.py label_propagation)
+    over the same supplier co-occurrence graph as supplier_triangles /
+    supplier_bfs: 4 synchronous LPA rounds, neighbor-majority label
+    with min-label tie-break — both rules deterministic, so the oracle
+    UNROLLS the identical rounds in SQL and the driver hash pins every
+    per-node label (a wrong majority count, tie-break, or round order
+    all hash-fail)."""
+    from datawarehouse_code_spark.operators.graph import label_propagation
+
+    li = read_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey"
+    )
+    x = li.alias("x")
+    y = li.alias("y")
+    edges = (
+        x.join(y, F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .select(
+            F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b")
+        )
+        .distinct()
+    )
+    return label_propagation(edges, n_rounds=4).select(
+        "node", F.col("label").alias("community")
+    )
+
+
+def _lpa_sql(n_rounds: int = 4) -> str:
+    """The LPA oracle: symmetric edge CTE + one (count, argmax) CTE
+    pair per unrolled round — generated, not hand-copied, so the round
+    count stays in one place."""
+    parts = [
+        """
+WITH e AS (
+  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_suppkey <> y.l_suppkey
+), l0 AS (
+  SELECT DISTINCT a AS node, a AS label FROM e
+)"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(f""", c{r} AS (
+  SELECT e.a AS node, l.label, count(*) AS cnt
+  FROM e JOIN l{r - 1} l ON e.b = l.node
+  GROUP BY 1, 2
+), l{r} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, label ASC) AS rk
+    FROM c{r}
+  ) WHERE rk = 1
+)""")
+    parts.append(f"\nSELECT node, label AS community FROM l{n_rounds}")
+    return "".join(parts)
+
+
+_LPA_SQL = _lpa_sql(4)
+
+
 def _supplier_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hop distances from a seed supplier set (operators/graph.py
     bfs_distances) over the same co-occurrence graph as
@@ -2497,6 +2559,9 @@ WAREHOUSE_SUPPLEMENTARY: list[Query] = [
     Query("orders_table_diff", _orders_table_diff, _TABLE_DIFF_SQL,
           "snapshot diff: CDC feed generation I/U/D (supplementary, "
           "differential-tested; completeness pinned by pytest)"),
+    Query("supplier_communities", _supplier_communities, _LPA_SQL,
+          "graph: label-propagation communities over the supplier "
+          "co-occurrence graph (supplementary, differential-tested)"),
     Query("supplier_bfs", _supplier_bfs, _BFS_SQL,
           "§2.2 graph: BFS hop distances from a seed set "
           "(supplementary, differential-tested)"),
