@@ -534,3 +534,55 @@ def run_rollup_maintenance(
     finally:
         if not spark.streams.active:
             restore_nanos_conf(spark)
+
+
+def run_ivf_ingest(
+    embeddings: DataFrame,
+    index_path: str,
+    checkpoint_dir: str | None = None,
+    n_centroids: int = 16,
+) -> None:
+    """Streaming maintenance for the persisted IVF ANN index
+    (operators/similarity.py build_ivf_index family) — embedding
+    streams keep the serving index fresh without refits or rebuilds:
+
+    - the FIRST micro-batch bootstraps `build_ivf_index` (the k-means
+      fit happens exactly once, on the bootstrap corpus; bucket
+      boundaries are frozen from then on, which is what a serving
+      index wants — recall on already-indexed vectors never shifts);
+    - every later batch runs `extend_ivf_index` with only the vectors
+      the index has NOT seen (anti-join on vec_id against the index's
+      column-pruned vec_id projection — the same idempotence guard
+      shape as run_corpus_ingest's content-hash join), so checkpoint
+      replays and at-least-once re-deliveries append nothing twice;
+    - `forget_vectors` (RTBF) composes unchanged: it rewrites only
+      affected cent_id partitions regardless of whether a vector
+      arrived via bootstrap, batch extend, or this stream.
+
+    Scale shape per batch: batch-sized dedup, one anti-join whose
+    index side is a two-column pruned scan, then extend's broadcast
+    of the tiny centroid table + an append of batch-sized partitions.
+    Nothing rescans vector payloads of the stored index.
+    """
+    from datawarehouse_code_spark.operators.similarity import (
+        build_ivf_index,
+        extend_ivf_index,
+    )
+    from datawarehouse_code_spark.sources.acid import table_exists
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        sp = batch.sparkSession
+        fresh = batch.dropDuplicates(["vec_id"])
+        if not table_exists(sp, f"{index_path}/centroids"):
+            build_ivf_index(fresh, index_path, n_centroids=n_centroids)
+            return
+        seen = sp.read.parquet(f"{index_path}/assignments").select("vec_id")
+        new = fresh.join(seen, "vec_id", "left_anti")
+        if new.limit(1).count() == 0:
+            return  # pure replay/re-delivery: nothing to append
+        extend_ivf_index(new, index_path)
+
+    writer = embeddings.writeStream.foreachBatch(_apply).trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    writer.start().awaitTermination()

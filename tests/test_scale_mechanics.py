@@ -285,3 +285,110 @@ def test_read_json_audited_quarantines_corrupt_lines(spark, tmp_path):
         bad_rows = bad.collect()
         assert len(bad_rows) == 1 and "broken" in bad_rows[0].raw_line
         assert "_corrupt_record" not in good.columns
+
+
+def test_planted_skew_bot_user_end_to_end(spark):
+    """Planted 100x-skew stress (r7 verdict ask #8): one bot user with
+    100x the events of every normal user, pushed through the three
+    skew-sensitive paths at test scale —
+    (a) sessionize stays correct on the hot key (windowed lag, one
+        fat-but-correct partition);
+    (b) funnel_counts' per-user cap fires LOUDLY naming the bot, and
+        with an adequate cap the counts are exactly right;
+    (c) salted_join equals the plain join row-for-row while measurably
+        spreading the hot key across shuffle partitions (the plain
+        join concentrates the bot in exactly one partition).
+    AQE skew-join stays enabled in the session (get_spark sets
+    adaptive.enabled) as the runtime backstop for joins not routed
+    through salted_join."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.joins import salted_join
+    from datawarehouse_code_spark.operators.sessions import (
+        funnel_counts,
+        sessionize,
+    )
+
+    n_users, per_user, bot_events = 200, 20, 2000
+    base = "timestamp'2024-01-01 00:00:00'"
+    steps = ["A", "B", "C"]
+    normal = spark.range(n_users * per_user).select(
+        (F.col("id") % n_users + 1).alias("user_id"),
+        F.expr(f"{base} + make_interval(0,0,0,0,0,40,0) * CAST(id DIV {n_users} AS INT)").alias("ts"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in steps]),
+            (F.expr(f"id DIV {n_users}") % 3 + 1).cast("int"),
+        ).alias("event_type"),
+    )
+    bot = spark.range(bot_events).select(
+        F.lit(0).cast("bigint").alias("user_id"),
+        F.expr(f"{base} + make_interval(0,0,0,0,0,1,0) * CAST(id AS INT)").alias("ts"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in steps]), (F.col("id") % 3 + 1).cast("int")
+        ).alias("event_type"),
+    )
+    events = normal.unionByName(bot).localCheckpoint()
+
+    # (a) sessionize: 40-min gaps split every normal event into its own
+    # session; the bot's 1-min cadence is one long session
+    sess = (
+        sessionize(events, ["user_id"], "ts", gap="30 minutes")
+        .groupBy("user_id")
+        .agg(F.max("session_seq").alias("n_sessions"))
+    )
+    got = {r["user_id"]: r["n_sessions"] for r in sess.collect()}
+    assert got[0] == 1
+    assert all(got[u] == per_user for u in range(1, n_users + 1))
+
+    # (b) cap fires naming the bot; adequate cap gives exact counts
+    with pytest.raises(Exception, match="max_events_per_user=100.*user=0"):
+        funnel_counts(events, steps, max_events_per_user=100).collect()
+    counts = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(
+            events, steps, max_events_per_user=bot_events
+        ).collect()
+    }
+    # every user (bot included) runs A->B->C in order (steps are
+    # reported by 1-based ordinal)
+    assert counts == {1: n_users + 1, 2: n_users + 1, 3: n_users + 1}
+
+    # (c) salted join == plain join, with the hot key actually spread.
+    # Broadcast and AQE coalescing are disabled for the MEASUREMENT
+    # only: at test scale the 201-row dim broadcasts (no exchange at
+    # all — partition ids would reflect the scan, not the join) and
+    # AQE would re-coalesce the tiny shuffle; at 100 TB with a
+    # too-big-to-broadcast dim this shuffle shape is the real one.
+    dim = spark.range(n_users + 1).select(
+        F.col("id").alias("user_id"), (F.col("id") * 7).alias("segment")
+    )
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plain = events.join(dim, "user_id")
+        salted = salted_join(events, dim, ["user_id"], n_salts=8)
+        key = lambda r: (r["user_id"], r["ts"], r["event_type"], r["segment"])
+        assert sorted(map(key, salted.collect())) == sorted(map(key, plain.collect()))
+
+        def bot_partitions(df):
+            return (
+                df.withColumn("p", F.spark_partition_id())
+                .filter(F.col("user_id") == 0)
+                .select("p")
+                .distinct()
+                .count()
+            )
+
+        spread_plain = bot_partitions(plain)
+        spread_salted = bot_partitions(salted)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    assert spread_plain == 1, "plain hash join must concentrate the hot key"
+    assert spread_salted >= 4, (
+        f"salting must spread the hot key (got {spread_salted} partitions)"
+    )

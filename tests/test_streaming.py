@@ -468,3 +468,90 @@ def test_rollup_maintenance_replay_idempotent(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"),
     )
     assert sorted(tuple(r) for r in read_rollup(spark, spath).collect()) == want
+
+
+def test_ivf_ingest_stream_equals_batch_extend(spark, tmp_path):
+    """run_ivf_ingest (r7 verdict ask #6): streaming increments over a
+    bootstrapped IVF index must land EXACTLY the assignments the batch
+    extend path produces (same frozen centroids => identical buckets),
+    re-delivering the same files must append nothing, and
+    forget_vectors stays exact on stream-extended vectors."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.similarity import (
+        build_ivf_index,
+        extend_ivf_index,
+        forget_vectors,
+        query_ivf_index,
+    )
+    from datawarehouse_code_spark.sources.catalog import read_table
+    from datawarehouse_code_spark.streaming.jobs import run_ivf_ingest
+    from tests.conftest import SF_DIR
+
+    emb = read_table(spark, "embeddings", SF_DIR).cache()
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    inc1 = emb.filter((F.col("vec_id") % 4 == 0) & (F.col("vec_id") % 8 == 0))
+    inc2 = emb.filter((F.col("vec_id") % 4 == 0) & (F.col("vec_id") % 8 != 0))
+
+    # batch reference: bootstrap + two batch extends
+    ref_path = str(tmp_path / "ivf_ref")
+    build_ivf_index(base, ref_path)
+    extend_ivf_index(inc1, ref_path)
+    extend_ivf_index(inc2, ref_path)
+
+    # streamed variant: same bootstrap, increments arrive as files
+    got_path = str(tmp_path / "ivf_stream")
+    build_ivf_index(base, got_path)
+    land = tmp_path / "landing"
+    land.mkdir()
+    now = time.time() - 600
+    for i, part in enumerate([inc1, inc2]):
+        f = land / f"inc-{i}.parquet"
+        part.toPandas().to_parquet(f, index=False)
+        os.utime(f, (now + 60 * i, now + 60 * i))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    run_ivf_ingest(stream, got_path, checkpoint_dir=str(tmp_path / "ckpt"))
+
+    def assignments(p):
+        return {
+            (r["cent_id"], r["vec_id"])
+            for r in spark.read.parquet(f"{p}/assignments")
+            .select("cent_id", "vec_id")
+            .collect()
+        }
+
+    want = assignments(ref_path)
+    assert assignments(got_path) == want and len(want) == emb.count()
+
+    # identical query answers through the probed-partition path
+    q = emb.filter(F.col("vec_id") < 10)
+    a = sorted(tuple(r) for r in query_ivf_index(spark, ref_path, q).collect())
+    b = sorted(tuple(r) for r in query_ivf_index(spark, got_path, q).collect())
+    assert a == b and a
+
+    # re-delivery without the checkpoint: the anti-join guard makes the
+    # whole drain a no-op
+    stream2 = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    run_ivf_ingest(stream2, got_path, checkpoint_dir=str(tmp_path / "ckpt2"))
+    assert assignments(got_path) == want
+
+    # RTBF still exact on a stream-extended vector
+    victim = inc2.select(F.min("vec_id")).collect()[0][0]
+    report = forget_vectors(
+        spark, got_path, spark.createDataFrame([(victim,)], "vec_id bigint")
+    )
+    assert report["n_removed"] == 1
+    left = {v for _c, v in assignments(got_path)}
+    assert victim not in left and len(left) == emb.count() - 1
+    emb.unpersist()
