@@ -952,7 +952,14 @@ def _approx_bounds_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     emb = read_table(spark, "embeddings", sf_dir)
-    ivf_exact = ivf_topk(emb, n_centroids=16, n_probes=16).select(
+    # full probing makes the result exact under ANY centroid set (every
+    # bucket is scored), so the quantizer fit — the dominant cost of an
+    # IVF call — is minimized: quarter-sample fit, 2 Lloyd rounds.
+    # This pins the assign/bucket-join/rank machinery, not fit quality.
+    ivf_exact = ivf_topk(
+        emb, n_centroids=16, n_probes=16,
+        fit_sample_fraction=0.25, fit_max_iter=2,
+    ).select(
         F.lit("ivf_full_probe").alias("part"),
         F.concat(
             F.col("query_id").cast("string"), F.lit("#"), F.col("rk").cast("string")

@@ -84,6 +84,15 @@ PLAN_BOUNDS = {
     "orders_profile": (8, 15),
     "asof_forward_events": (3, 3),
     "orders_drift_report": (3, 5),
+    # round-8 rows (measured r8: 11/14, 1/0, 0/0, 4/4 — bounds ~50%
+    # above).  supplier_communities' visible plan is checkpoint-
+    # terminated (LPA localCheckpoints every 2 rounds), so its bound
+    # pins that the lineage cut STAYS: removing the checkpoints would
+    # surface ~12 exchanges and trip it.
+    "approx_bounds_suite": (16, 21),
+    "decoded_image_stats": (2, 1),
+    "supplier_communities": (2, 6),
+    "lang_suite": (6, 6),
 }
 
 
