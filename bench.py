@@ -173,6 +173,7 @@ HEADLINE = [
     "lang_suite",
     "decoded_image_stats",
     "supplier_communities",
+    "supplier_weighted_paths",
 ]
 
 

@@ -304,3 +304,84 @@ def label_propagation(
         if checkpoint_every and (r + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint()
     return labels
+
+
+def weighted_shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Weighted shortest-path distances from a SOURCE SET — the
+    weighted companion of bfs_distances (hop counts) and the sixth
+    graph primitive: cost-weighted reachability over trade /
+    co-occurrence / similarity graphs.
+
+    `edges` is an undirected weighted edge list (a, b, w) with
+    NON-NEGATIVE INTEGER weights (integer per the exactness doctrine
+    at the top of this module — float path sums would differ in the
+    low bits across engines; negative weights raise, since distributed
+    Bellman-Ford has no negative-cycle detection worth its cost);
+    parallel edges keep their minimum weight.  `sources` is a
+    one-column frame of seed nodes (distance 0).
+
+    Returns (node, dist): the minimum total weight over paths of AT
+    MOST `max_rounds` edges — the same honest truncation contract as
+    bfs_distances (distances are exact for every node whose shortest
+    path uses fewer edges; the oracle replays the identical ≤H-edge
+    semantics with a hop-bounded recursive CTE).  Converges early
+    when a round improves nothing.
+
+    Mechanics: frontier-based Bellman-Ford — each round joins the
+    IMPROVED nodes to the symmetric edge list, proposes dist + w to
+    neighbors, min-merges with the standing distances.  A node
+    re-relaxes only when its own distance improved, so round k ends
+    with exactly min-over-≤k-edge-paths.  Scale shape per round: one
+    equi-join shuffled on node id + one min-groupBy — the
+    bfs/pagerank/LPA round, localCheckpoint-ed lineage.
+    """
+    neg = edges.filter(F.col("w") < 0).limit(1).count()
+    if neg:
+        raise ValueError(
+            "weighted_shortest_paths: negative edge weights present — "
+            "Bellman-Ford over a distributed frontier cannot certify "
+            "negative-cycle freedom; shift or clamp weights first"
+        )
+    clean = edges.filter(F.col("a") != F.col("b")).select("a", "b", "w")
+    sym = (
+        clean.union(
+            clean.select(
+                F.col("b").alias("a"), F.col("a").alias("b"), F.col("w")
+            )
+        )
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint()
+    )
+    src = sources.toDF("node").distinct()
+    dist = src.withColumn("dist", F.lit(0).cast("bigint")).localCheckpoint()
+    frontier = dist
+    for _ in range(max_rounds):
+        proposals = frontier.join(sym, frontier["node"] == sym["a"]).select(
+            F.col("b").alias("node"),
+            (F.col("dist") + F.col("w")).cast("bigint").alias("dist"),
+        )
+        merged = (
+            dist.unionByName(proposals)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        frontier = (
+            merged.join(
+                dist.select("node", F.col("dist").alias("_old")),
+                "node",
+                "left",
+            )
+            .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+            .select("node", "dist")
+            .localCheckpoint()
+        )
+        dist = merged
+        if frontier.limit(1).count() == 0:
+            break
+    return dist

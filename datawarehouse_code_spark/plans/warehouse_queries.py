@@ -1760,6 +1760,68 @@ WITH e AS (
 _LPA_SQL = _lpa_sql(4)
 
 
+def _supplier_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (operators/graph.py
+    weighted_shortest_paths) over the supplier co-occurrence graph
+    with edge weight = greatest(1, 10 − n shared orders) — strongly
+    co-trading suppliers are "close".  4 relaxation rounds; the oracle
+    replays the IDENTICAL ≤4-edge semantics with a hop-bounded
+    recursive CTE, so every per-node distance is hash-pinned (a wrong
+    min-merge, weight aggregation, or round count hash-fails)."""
+    from datawarehouse_code_spark.operators.graph import (
+        weighted_shortest_paths,
+    )
+
+    li = read_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey"
+    )
+    x = li.alias("x")
+    y = li.alias("y")
+    edges = (
+        x.join(y, F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .groupBy(
+            F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b")
+        )
+        .agg(F.countDistinct("x.l_orderkey").alias("n_shared"))
+        .select(
+            "a", "b",
+            F.greatest(F.lit(1), F.lit(10) - F.col("n_shared"))
+            .cast("bigint").alias("w"),
+        )
+    )
+    seeds = (
+        read_table(spark, "supplier", sf_dir)
+        .filter(F.col("s_suppkey") % 25 == 0)
+        .select(F.col("s_suppkey").alias("node"))
+    )
+    return weighted_shortest_paths(edges, seeds, max_rounds=4)
+
+
+_WSP_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT x.l_suppkey AS a, y.l_suppkey AS b,
+         count(DISTINCT x.l_orderkey) AS n_shared
+  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_suppkey < y.l_suppkey
+  GROUP BY 1, 2
+), e AS (
+  SELECT a, b, CAST(greatest(1, 10 - n_shared) AS BIGINT) AS w FROM pairs
+  UNION ALL
+  SELECT b, a, CAST(greatest(1, 10 - n_shared) AS BIGINT) AS w FROM pairs
+), seeds AS (
+  SELECT s_suppkey AS node FROM supplier WHERE s_suppkey % 25 = 0
+), reach(node, dist, hops) AS (
+  SELECT node, CAST(0 AS BIGINT), 0 FROM seeds
+  UNION
+  SELECT e.b, reach.dist + e.w, reach.hops + 1
+  FROM e JOIN reach ON e.a = reach.node
+  WHERE reach.hops < 4
+)
+SELECT node, min(dist) AS dist FROM reach GROUP BY node
+"""
+
+
 def _supplier_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hop distances from a seed supplier set (operators/graph.py
     bfs_distances) over the same co-occurrence graph as
@@ -2559,6 +2621,10 @@ WAREHOUSE_SUPPLEMENTARY: list[Query] = [
     Query("orders_table_diff", _orders_table_diff, _TABLE_DIFF_SQL,
           "snapshot diff: CDC feed generation I/U/D (supplementary, "
           "differential-tested; completeness pinned by pytest)"),
+    Query("supplier_weighted_paths", _supplier_weighted_paths, _WSP_SQL,
+          "graph: weighted shortest paths (Bellman-Ford, ≤4-edge "
+          "contract) over the supplier co-occurrence graph "
+          "(supplementary, differential-tested)"),
     Query("supplier_communities", _supplier_communities, _LPA_SQL,
           "graph: label-propagation communities over the supplier "
           "co-occurrence graph (supplementary, differential-tested)"),

@@ -538,3 +538,44 @@ def test_label_propagation_two_cliques(spark):
     with_loop = edges.union(spark.createDataFrame([(2, 2)], "a BIGINT, b BIGINT"))
     got3 = {r["node"]: r["label"] for r in label_propagation(with_loop, n_rounds=4).collect()}
     assert got3 == got
+
+
+def test_weighted_shortest_paths_crafted(spark):
+    """Weighted SP must differ from hop-count SP where weights demand
+    it: 1-2 direct costs 10, the 1-3-2 detour costs 2; parallel edges
+    keep the min weight; truncation at max_rounds is honest; negative
+    weights raise."""
+    import pytest
+
+    from datawarehouse_code_spark.operators.graph import (
+        weighted_shortest_paths,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 10), (1, 3, 1), (3, 2, 1),
+            (2, 4, 3), (2, 4, 7),          # parallel edge: min wins
+            (4, 5, 1), (5, 6, 1), (6, 7, 1),
+        ],
+        "a BIGINT, b BIGINT, w BIGINT",
+    )
+    seeds = spark.createDataFrame([(1,)], "node BIGINT")
+    got = {
+        r["node"]: r["dist"]
+        for r in weighted_shortest_paths(edges, seeds, max_rounds=10).collect()
+    }
+    assert got == {1: 0, 3: 1, 2: 2, 4: 5, 5: 6, 6: 7, 7: 8}
+
+    # <=H-edge truncation: with 2 rounds, node 4 is reachable only via
+    # the heavy 2-edge route (1-2 direct + 2-4), nodes 5..7 not at all
+    got2 = {
+        r["node"]: r["dist"]
+        for r in weighted_shortest_paths(edges, seeds, max_rounds=2).collect()
+    }
+    assert got2 == {1: 0, 3: 1, 2: 2, 4: 13}
+
+    with pytest.raises(ValueError, match="negative"):
+        weighted_shortest_paths(
+            spark.createDataFrame([(1, 2, -1)], "a BIGINT, b BIGINT, w BIGINT"),
+            seeds,
+        )
