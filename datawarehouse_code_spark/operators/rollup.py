@@ -400,6 +400,90 @@ def quantile_estimate(
     ).select(*keys, "r.p_bp", "r.value_est", "n")
 
 
+def theta_sketch_delta(
+    delta: DataFrame, keys: list[str], value_col: str, lgk: int = 12
+) -> DataFrame:
+    """Theta sketch partial aggregate: per group, the DataSketches
+    Theta (KMV) state over `value_col` — the third mergeable sketch in
+    the rollup family (HLL = distinct counts, KLL = quantiles, Theta =
+    distinct counts WITH SET ALGEBRA).  Where HLL only unions, theta
+    sketches support union, intersection, and difference — the
+    audience-overlap questions ("users who did A and B", "A but not
+    B") answered from rollup-sized state without rescanning raw data.
+
+    Like HLL, insertion is set-semantics (state depends only on the
+    value set), so re-delivered deltas are harmless and merge-then-
+    estimate equals one-shot-estimate (KMV keeps the k smallest
+    hashes; a union of sketches retains exactly the k smallest of the
+    union — pinned by test).  Below ~2^lgk distinct values the sketch
+    is in EXACT mode (estimates are exact counts); above it the
+    standard KMV bound ~1/sqrt(2^lgk) applies, and INTERSECTION error
+    scales with the UNION size — a small overlap of two big sets
+    carries the unions' absolute error, the documented theta caveat.
+
+    One JVM partial-agg shuffle, ~KB state per group at any size."""
+    return delta.groupBy(*keys).agg(
+        F.theta_sketch_agg(value_col, F.lit(lgk)).alias("theta_sketch")
+    )
+
+
+def merge_theta_rollup(
+    parts: list[DataFrame], keys: list[str], lgk: int = 12
+) -> DataFrame:
+    """Merge theta partials from any number of deltas (union of KMV
+    states is associative/commutative; arrival order irrelevant).
+    Merge cost is rollup-sized — group count x sketch bytes."""
+    if not parts:
+        raise ValueError("merge_theta_rollup needs at least one partial")
+    stacked = parts[0]
+    for p in parts[1:]:
+        stacked = stacked.unionByName(p)
+    return stacked.groupBy(*keys).agg(
+        F.theta_union_agg("theta_sketch", F.lit(lgk)).alias("theta_sketch")
+    )
+
+
+def theta_estimate(rollup: DataFrame, keys: list[str]) -> DataFrame:
+    """Distinct-count estimates off a theta rollup:
+    (keys..., n_distinct_est)."""
+    return rollup.select(
+        *keys,
+        F.theta_sketch_estimate("theta_sketch").alias("n_distinct_est"),
+    )
+
+
+def theta_overlap(
+    rollup: DataFrame, keys: list[str], label_col: str, a: object, b: object
+) -> DataFrame:
+    """Set-algebra report between two labeled groups of a theta
+    rollup: per remaining `keys` group present on BOTH sides, the
+    estimated |A|, |B|, |A∪B|, |A∩B|, |A\\B| — audience overlap from
+    sketch state alone.  With empty `keys` the rollup must hold one
+    row per label (aggregate first); the two single rows cross-join.
+
+    Scale shape: filter + equi-join (or 1x1 cross) on rollup-sized
+    state, then five scalar sketch expressions — no data rescan."""
+    sa = rollup.filter(F.col(label_col) == a).select(
+        *keys, F.col("theta_sketch").alias("_sa")
+    )
+    sb = rollup.filter(F.col(label_col) == b).select(
+        *keys, F.col("theta_sketch").alias("_sb")
+    )
+    joined = sa.join(sb, keys) if keys else sa.crossJoin(sb)
+    return joined.select(
+        *keys,
+        F.theta_sketch_estimate("_sa").alias("est_a"),
+        F.theta_sketch_estimate("_sb").alias("est_b"),
+        F.theta_sketch_estimate(F.theta_union("_sa", "_sb")).alias("est_union"),
+        F.theta_sketch_estimate(
+            F.theta_intersection("_sa", "_sb")
+        ).alias("est_intersection"),
+        F.theta_sketch_estimate(
+            F.theta_difference("_sa", "_sb")
+        ).alias("est_a_not_b"),
+    )
+
+
 def join_view_delta(
     a_old: DataFrame,
     a_delta: DataFrame,

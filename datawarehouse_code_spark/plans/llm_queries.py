@@ -880,11 +880,19 @@ def _approx_bounds_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       bucket join, top-k ranking — must reproduce brute-force cosine
       top-5 exactly; exact_n = candidate_id, oracle = the brute-force
       SQL.  (Default-probe recall is pinned by planted_recall_suite.)
+    part='theta_union' (per event_type): three day-bucket theta
+      sketches merged with theta_union_agg must estimate the exact
+      distinct user count within 5% (exact KMV mode below 2^12
+      distincts; the set-algebra legs are pinned by pytest) — the
+      theta rollup family's driver hash row.
     """
     from datawarehouse_code_spark.operators.rollup import (
         merge_quantile_rollup,
+        merge_theta_rollup,
         quantile_estimate,
         quantile_sketch_delta,
+        theta_estimate,
+        theta_sketch_delta,
     )
 
     events = read_table(spark, "events", sf_dir)
@@ -951,6 +959,32 @@ def _approx_bounds_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("exact_med").alias("exact_n"),
         )
 
+    theta_parts = [
+        theta_sketch_delta(
+            events.filter(F.dayofmonth("ts").between(lo, hi)),
+            ["event_type"], "user_id",
+        )
+        for lo, hi in [(1, 10), (11, 20), (21, 31)]
+    ]
+    exact_users = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact")
+    )
+    theta = (
+        theta_estimate(
+            merge_theta_rollup(theta_parts, ["event_type"]), ["event_type"]
+        )
+        .join(exact_users, "event_type")
+        .select(
+            F.lit("theta_union").alias("part"),
+            F.col("event_type").alias("key"),
+            (
+                F.abs(F.col("n_distinct_est") - F.col("exact")) * 100
+                <= F.col("exact") * 5
+            ).cast("bigint").alias("ok"),
+            F.col("exact").cast("bigint").alias("exact_n"),
+        )
+    )
+
     emb = read_table(spark, "embeddings", sf_dir)
     # full probing makes the result exact under ANY centroid set (every
     # bucket is scored), so the quantizer fit — the dominant cost of an
@@ -970,6 +1004,7 @@ def _approx_bounds_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         hll.unionByName(kll_leg(oneshot, "kll_oneshot"))
         .unionByName(kll_leg(merged, "kll_merged"))
+        .unionByName(theta)
         .unionByName(ivf_exact)
     )
 
@@ -995,6 +1030,10 @@ UNION ALL
 SELECT 'kll_oneshot', o_orderstatus, CAST(1 AS BIGINT), exact_med FROM med
 UNION ALL
 SELECT 'kll_merged', o_orderstatus, CAST(1 AS BIGINT), exact_med FROM med
+UNION ALL
+SELECT 'theta_union', event_type, CAST(1 AS BIGINT),
+       CAST(count(DISTINCT user_id) AS BIGINT)
+FROM events GROUP BY event_type
 UNION ALL
 SELECT 'ivf_full_probe',
        CAST(query_id AS VARCHAR) || '#' || CAST(rk AS VARCHAR),

@@ -560,7 +560,9 @@ def test_approx_bounds_suite_all_ok(spark):
 
     rows = _approx_bounds_suite(spark, SF_DIR).collect()
     parts = {r["part"] for r in rows}
-    assert parts == {"hll", "kll_oneshot", "kll_merged", "ivf_full_probe"}
+    assert parts == {
+        "hll", "kll_oneshot", "kll_merged", "theta_union", "ivf_full_probe"
+    }
     bad = [tuple(r) for r in rows if r["ok"] != 1]
     assert not bad, f"bound violations: {bad}"
     # full-probe IVF contributes per-(query, rank) rows

@@ -368,3 +368,74 @@ def test_join_view_delta_merge_equals_rebuild(spark):
     # and the delta is delta-sized, not view-sized
     delta = join_view_delta(a_old, a_delta, b_old, b_delta, ["c_custkey"])
     assert delta.count() == rebuilt.count() - view_old.count()
+
+
+def test_theta_sketch_merge_union_and_set_algebra(spark):
+    """Theta rollups (third mergeable sketch family): in the exact
+    regime (distinct < 2^lgk) estimates equal exact countDistinct,
+    merged-partial estimates equal one-shot estimates, and the
+    overlap report's union/intersection/difference equal the exact
+    set sizes; in the estimation regime (200k > 2^12 nominal) the
+    union estimate stays within 5%."""
+    from datawarehouse_code_spark.operators.rollup import (
+        merge_theta_rollup,
+        theta_estimate,
+        theta_overlap,
+        theta_sketch_delta,
+    )
+
+    ev = read_table(spark, "events", SF_DIR).cache()
+    parts = [
+        theta_sketch_delta(
+            ev.filter(F.dayofmonth("ts").between(lo, hi)),
+            ["event_type"], "user_id",
+        )
+        for lo, hi in [(1, 10), (11, 20), (21, 31)]
+    ]
+    merged = theta_estimate(
+        merge_theta_rollup(parts, ["event_type"]), ["event_type"]
+    )
+    oneshot = theta_estimate(
+        theta_sketch_delta(ev, ["event_type"], "user_id"), ["event_type"]
+    )
+    a = sorted(tuple(r) for r in merged.collect())
+    assert a == sorted(tuple(r) for r in oneshot.collect())
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert exact and all(exact[t] == est for t, est in a)  # exact regime
+
+    # set algebra between two event types, against exact set ops
+    types = sorted(exact)[:2]
+    ta, tb = types[0], types[1]
+    rollup = theta_sketch_delta(ev, ["event_type"], "user_id")
+    rep = theta_overlap(rollup, [], "event_type", ta, tb).collect()[0]
+    ua = ev.filter(F.col("event_type") == ta).select("user_id").distinct()
+    ub = ev.filter(F.col("event_type") == tb).select("user_id").distinct()
+    n_a, n_b = ua.count(), ub.count()
+    n_inter = ua.intersect(ub).count()
+    n_union = ua.union(ub).distinct().count()
+    assert (rep["est_a"], rep["est_b"]) == (n_a, n_b)
+    assert rep["est_union"] == n_union
+    assert rep["est_intersection"] == n_inter
+    assert rep["est_a_not_b"] == n_a - n_inter
+
+    # estimation regime: 200k distinct through lgk=12 nominal entries
+    big = spark.range(200_000).select(
+        F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+    halves = [
+        theta_sketch_delta(big.filter(F.col("v") % 2 == i), ["g"], "v")
+        for i in range(2)
+    ]
+    est = theta_estimate(
+        merge_theta_rollup(halves, ["g"]), ["g"]
+    ).collect()[0]["n_distinct_est"]
+    assert abs(est - 200_000) / 200_000 < 0.05
+
+    with pytest.raises(ValueError, match="at least one"):
+        merge_theta_rollup([], ["g"])
+    ev.unpersist()
