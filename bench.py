@@ -186,8 +186,10 @@ def main() -> None:
     # plan, not first-run classloading.
     BENCHABLE[names[0]].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
-    # min of three runs per query: the first run pays one-time codegen /
-    # Arrow worker startup, the min over the rest measures the plan.
+    # min of THREE runs per query (the first typically pays one-time
+    # codegen / Arrow worker startup and rarely wins; it stays in the
+    # min deliberately — the frozen rows were measured min-over-all-
+    # runs, so excluding it would break like-for-like ratios).
     # The per-query [min..max] spread and the preflight/postflight load
     # averages go to BENCH_full.json so ratio drift on sub-second rows
     # is attributable to host load without re-adjudicating each round

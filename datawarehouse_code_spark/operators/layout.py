@@ -309,13 +309,15 @@ def _interval_cond(predicates: dict[str, tuple[object, object]]) -> Column:
     return cond
 
 
-# Tables that already passed the unpartitioned-layout check, keyed by
-# (table path, logical column tuple) — the guard costs one footer read
-# the FIRST time a table is pruned-read, not one per read (the check
-# is a layout property of the table, not of the predicate).  Rewriting
-# a table from unpartitioned to hive-partitioned at the same path
-# invalidates the cache only on column-set change; that rewrite also
-# invalidates the manifest itself, which must be rebuilt anyway.
+# Checks that already passed, keyed by (SAMPLE FILE path, logical
+# column tuple) — the guard costs one footer read the FIRST time a
+# table version is pruned-read, not one per read.  Keying on the
+# sample FILE (not the table directory) makes rewrites self-
+# invalidating: a rewrite — including one that hive-partitions the
+# table at the same path — produces new file names (and lives in
+# partition subdirectories), so the fresh manifest's sample file is a
+# cache miss and the check re-runs; a STALE manifest's sample file no
+# longer exists and the read fails loudly at the footer open.
 _UNPARTITIONED_OK: set[tuple[str, tuple[str, ...]]] = set()
 
 
@@ -326,9 +328,9 @@ def _assert_unpartitioned(
     directory names, not file bytes) as all-NULL while the full-scan
     path populates them — a silent semantic divergence.  Guard: every
     logical column must exist physically in the files (one footer
-    read, cached per table), else raise; zorder_write output is always
-    unpartitioned."""
-    key = (path, tuple(full.schema.names))
+    read, cached per table version), else raise; zorder_write output
+    is always unpartitioned."""
+    key = (one_file, tuple(full.schema.names))
     if key in _UNPARTITIONED_OK:
         return
     physical = {f.name for f in spark.read.parquet(one_file).schema.fields}
@@ -490,6 +492,10 @@ def read_pruned_rowgroups(
             "rgs",
             (F.col("_n_keep") == F.col("_n_total")).alias("_whole"),
         )
+        # materialized once: the stats collect, the whole-file collect,
+        # and the Arrow scan all consume it — without the cut the
+        # prune+agg+join shuffles would re-execute up to three times
+        .localCheckpoint()
     )
     # one metadata-sized job: per-_whole file counts + a sample path
     # (for the layout guard) — decides the split without collecting

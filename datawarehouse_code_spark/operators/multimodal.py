@@ -202,7 +202,10 @@ class _JpegBitReader:
                 )
         else:
             self.pos += 1
-        self.buf = (self.buf << 8) | b
+        # mask to the LIVE bits before appending: without it buf keeps
+        # every consumed byte since the last restart and each <<8 copies
+        # a growing bignum — O(N^2) on a multi-MB entropy segment
+        self.buf = ((self.buf & ((1 << self.nbits) - 1)) << 8) | b
         self.nbits += 8
 
     def read_bit(self) -> int:
@@ -250,14 +253,21 @@ def _extend(v: int, s: int) -> int:
 
 
 def _decode_jpeg(data: bytes):
-    """ValueError-on-truncation wrapper: a payload cut mid-segment or
-    mid-entropy-data indexes past the buffer — surface that as the
-    same loud ValueError the PNM/BMP decoders raise, never a bare
-    IndexError out of a Python worker."""
+    """ValueError-on-corruption wrapper: a payload cut mid-segment or
+    mid-entropy-data indexes past the buffer, and a corrupt stream can
+    drift the Huffman reader into a restart marker mid-block — surface
+    both as the same loud ValueError the PNM/BMP decoders raise, never
+    a bare IndexError or internal control-flow exception out of a
+    Python worker."""
     try:
         return _decode_jpeg_inner(data)
     except IndexError:
         raise ValueError("truncated JPEG payload") from None
+    except _RestartMarker:
+        raise ValueError(
+            "unexpected restart marker mid-block (corrupt entropy data "
+            "or missing DRI segment)"
+        ) from None
 
 
 def _decode_jpeg_inner(data: bytes):
@@ -346,6 +356,14 @@ def _decode_jpeg_inner(data: bytes):
             height, width, comps = frame
             if ns != len(comps):
                 raise NotImplementedError("multi-scan baseline unsupported")
+            if ns == 1:
+                # ITU-T.81 A.2.2: a single-component scan is
+                # NON-interleaved — one 8x8 block per MCU over
+                # ceil(w/8) x ceil(h/8), regardless of the sampling
+                # factors the SOF declares (some encoders emit h=v=2
+                # on grayscale; interleaved geometry would mis-order
+                # blocks whenever w or h is not a multiple of 16)
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             mcux = -(-width // (8 * hmax))

@@ -76,10 +76,13 @@ if _N_ORACLE > 50:
         "50-row correctness window; consolidate into suites "
         "(plans/*_queries.py) before adding more"
     )
-# ORDER governance (r7 verdict ask #2): the count bound above is not
-# enough — a future edit could interleave a rows-only entry before an
-# oracle-backed one and silently rotate a checked row past the window.
-# Assert oracle-backed rows occupy EXACTLY positions 1.._N_ORACLE.
+# ORDER governance (r7 verdict ask #2): with the sorted() construction
+# above, oracle-backed rows occupy positions 1.._N_ORACLE by
+# construction — this assertion is the belt-and-suspenders invariant
+# that survives a REFACTOR of that construction (someone simplifying
+# away the sort, changing its key, or building QUERIES another way
+# would trip it; against the current code it cannot fire, and that is
+# the point: the invariant outlives the implementation).
 for _i, (_n, _q) in enumerate(QUERIES.items()):
     if (_q.oracle is not None) != (_i < _N_ORACLE):
         raise AssertionError(

@@ -573,7 +573,18 @@ def run_ivf_ingest(
     def _apply(batch: DataFrame, _batch_id: int) -> None:
         sp = batch.sparkSession
         fresh = batch.dropDuplicates(["vec_id"])
-        if not table_exists(sp, f"{index_path}/centroids"):
+        # bootstrap detection keys on ASSIGNMENTS — the LAST artifact
+        # build_ivf_index writes.  Keying on centroids (written first)
+        # would leave a crash between the two writes unrecoverable:
+        # every replay would take the extend path and fail reading the
+        # missing assignments.  Here a half-bootstrapped index is
+        # rolled back (stale centroids removed) and rebuilt instead.
+        if not table_exists(sp, f"{index_path}/assignments"):
+            if table_exists(sp, f"{index_path}/centroids"):
+                from datawarehouse_code_spark.sources.acid import _fs_for
+
+                fs, hpath = _fs_for(sp, f"{index_path}/centroids")
+                fs.delete(hpath, True)
             build_ivf_index(fresh, index_path, n_centroids=n_centroids)
             return
         seen = sp.read.parquet(f"{index_path}/assignments").select("vec_id")

@@ -343,3 +343,42 @@ def test_jpeg_decoder_rejects_unsupported_loudly():
         decode_image(bytes(data))
     with pytest.raises(ValueError):
         decode_image(encode_gray_jpeg(8, 8, 50)[:-12])  # truncated entropy data
+
+
+def test_jpeg_single_component_scan_ignores_sampling_factors():
+    """Review fix (r8): per ITU-T.81 A.2.2 a single-component scan is
+    NON-interleaved — one block per MCU over ceil(w/8) x ceil(h/8) —
+    regardless of the sampling factors the SOF declares.  A grayscale
+    stream re-labeled h=v=2 (some encoders do this when stripping
+    chroma) must decode identically on non-multiple-of-16 dims."""
+    from datawarehouse_code_spark.operators.multimodal import (
+        decode_image,
+        encode_gray_jpeg,
+    )
+
+    for (w, h, v) in [(13, 9, 77), (20, 12, 200), (8, 8, 5)]:
+        data = bytearray(encode_gray_jpeg(w, h, v))
+        sof = data.find(b"\xff\xc0")
+        assert data[sof + 11] == 0x11
+        data[sof + 11] = 0x22  # declare 2x2 sampling on the only comp
+        W, H, C, px = decode_image(bytes(data))
+        assert (W, H, C) == (w, h, 1) and set(px) == {v}
+
+
+def test_jpeg_unexpected_restart_marker_raises_valueerror():
+    """Review fix (r8): a restart marker the decoder wasn't told about
+    (DRI stripped from a restart-coded stream) must surface as the
+    loud ValueError, not the internal control-flow exception."""
+    import pytest
+
+    from datawarehouse_code_spark.operators.multimodal import (
+        decode_image,
+        encode_gray_jpeg,
+    )
+
+    data = bytearray(encode_gray_jpeg(40, 24, 91, restart_interval=1))
+    dri = data.find(b"\xff\xdd")
+    assert dri > 0
+    del data[dri : dri + 6]  # strip the DRI segment, keep the RSTs
+    with pytest.raises(ValueError, match="restart marker"):
+        decode_image(bytes(data))

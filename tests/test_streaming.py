@@ -555,3 +555,41 @@ def test_ivf_ingest_stream_equals_batch_extend(spark, tmp_path):
     left = {v for _c, v in assignments(got_path)}
     assert victim not in left and len(left) == emb.count() - 1
     emb.unpersist()
+
+
+def test_ivf_ingest_recovers_half_bootstrapped_index(spark, tmp_path):
+    """Review fix (r8): a crash between build_ivf_index's centroids
+    write and its assignments write must not wedge the stream — the
+    next drain detects the missing assignments, rolls the stale
+    centroids back, and re-bootstraps."""
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from datawarehouse_code_spark.sources.catalog import read_table
+    from datawarehouse_code_spark.streaming.jobs import run_ivf_ingest
+    from tests.conftest import SF_DIR
+
+    emb = read_table(spark, "embeddings", SF_DIR)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path)
+    shutil.rmtree(f"{path}/assignments")  # the simulated crash state
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    f = land / "all.parquet"
+    emb.toPandas().to_parquet(f, index=False)
+    os.utime(f, (time.time() - 60, time.time() - 60))
+    stream = spark.readStream.schema(emb.schema).parquet(str(land))
+    run_ivf_ingest(stream, path, checkpoint_dir=str(tmp_path / "ckpt"))
+
+    n = spark.read.parquet(f"{path}/assignments").count()
+    assert n == emb.count()
+    q = emb.filter(F.col("vec_id") < 5)
+    assert query_ivf_index(spark, path, q).count() > 0
