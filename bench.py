@@ -174,6 +174,7 @@ HEADLINE = [
     "decoded_image_stats",
     "supplier_communities",
     "supplier_weighted_paths",
+    "docs_mixture_token_budget",
 ]
 
 

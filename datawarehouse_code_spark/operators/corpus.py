@@ -349,7 +349,11 @@ def split_hash_bounds(
 
 
 def mixture_resample(
-    df: DataFrame, key_col: str, strata_col: str, target: dict[str, float]
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    target: dict[str, float],
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Resample the corpus to a TARGET mixture over `strata_col`
     (domain/language reweighting before training) by downsampling
@@ -360,6 +364,17 @@ def mixture_resample(
     keeps rate(s) = T·p(s)/n(s) of its rows, decided by the same
     deterministic per-key hash as stratified_hash_sample.  Strata
     absent from `target` are dropped (weight 0).
+
+    `weight_col` switches the budget currency: with it, n(s) is the
+    stratum's SUM of weights (pass a token-count column to mix by
+    token budget — what a training-data pipeline actually targets,
+    since domains with longer documents would otherwise be over-
+    represented token-wise under a doc-count mixture).  The keep/drop
+    decision stays per-DOCUMENT on the same deterministic coin, so
+    realized token shares match the target in expectation with
+    deviation ∝ per-stratum doc-length variance — the standard
+    sampling trade; exact token-level truncation belongs to
+    pack_sequences' budget, not the sampler.
 
     Fully declarative — the observed counts, the bottleneck T, and
     the per-stratum rates are computed as a tiny aggregate + a
@@ -384,9 +399,13 @@ def mixture_resample(
     tgt = spark.createDataFrame(
         [(k, float(v)) for k, v in target.items()], f"{strata_col} string, _p double"
     )
+    budget = (
+        F.count(F.lit(1)) if weight_col is None
+        else F.sum(weight_col).cast("double")
+    )
     observed = (
         df.groupBy(strata_col)
-        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(budget.alias("_n"))
         .join(F.broadcast(tgt), strata_col, "inner")
     )
     # single-partition window is safe here: the frame holds one row per
@@ -401,6 +420,29 @@ def mixture_resample(
         df.join(F.broadcast(rates), strata_col, "inner")
         .filter(knuth_u(key_col) < F.col("_rate"))
         .drop("_rate")
+    )
+
+
+def assign_shards(
+    df: DataFrame, n_shards: int, key_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic loader shard assignment: `shard_id` =
+    knuth_hash(key) mod n_shards — the last step before a
+    data-parallel training job reads the corpus (each worker reads
+    its shard; write with .partitionBy("shard_id") so a worker's read
+    is partition pruning).
+
+    Same reproducibility contract as every sampler here: the
+    assignment is a pure function of the integer key — stable across
+    runs, partitionings, and engines — so a resumed or re-sharded-at-
+    the-same-n job sees identical shards, and any engine can replay
+    the mapping.  The multiplicative hash spreads sequential ids, so
+    shard sizes concentrate tightly around n/n_shards (balance pinned
+    by test).  Narrow projection; no shuffle."""
+    if n_shards <= 0:
+        raise ValueError(f"assign_shards: n_shards must be positive: {n_shards}")
+    return df.withColumn(
+        "shard_id", F.pmod(knuth_hash(key_col), F.lit(n_shards)).cast("int")
     )
 
 

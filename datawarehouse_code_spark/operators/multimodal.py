@@ -263,6 +263,10 @@ def _decode_jpeg(data: bytes):
         return _decode_jpeg_inner(data)
     except IndexError:
         raise ValueError("truncated JPEG payload") from None
+    except KeyError as e:
+        # a corrupt stream can reference a quant/Huffman table or scan
+        # component id that was never defined
+        raise ValueError(f"JPEG references undefined table/component {e}") from None
     except _RestartMarker:
         raise ValueError(
             "unexpected restart marker mid-block (corrupt entropy data "
@@ -333,10 +337,20 @@ def _decode_jpeg_inner(data: bytes):
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
+            # corruption guards: zero/absurd dims would allocate GB-
+            # scale planes or divide by zero; sampling factors are 1..4
+            # per the spec
+            if h == 0 or w == 0 or h * w > (1 << 28):
+                raise ValueError(f"implausible JPEG dimensions {w}x{h}")
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported component count {ncomp}")
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
-                comps.append((cid, hv >> 4, hv & 15, tq))
+                ch, cv = hv >> 4, hv & 15
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError(f"bad sampling factors {ch}x{cv}")
+                comps.append((cid, ch, cv, tq))
             frame = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):

@@ -396,6 +396,45 @@ WHERE ({knuth_hash_sql('doc_id')}) / 4294967296.0 < r.rate
 """
 
 
+def _docs_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-BUDGET mixture resampling (r8): the same 50/25/25
+    en/de/fr rebalance, but the per-stratum budget is the SUM of
+    n_chars instead of the doc count — what a training mixture
+    actually targets (long-doc domains are otherwise over-represented
+    token-wise).  Per-doc keep decisions on the shared deterministic
+    coin; the oracle replays the weighted rates exactly."""
+    from datawarehouse_code_spark.operators.corpus import mixture_resample
+
+    docs = read_table(spark, "documents", sf_dir)
+    sampled = mixture_resample(
+        docs, key_col="doc_id", strata_col="lang",
+        target={"en": 0.5, "de": 0.25, "fr": 0.25},
+        weight_col="n_chars",
+    )
+    return sampled.select("doc_id", "lang", "source", "n_chars")
+
+
+_MIXTURE_TOKENS_SQL = f"""
+WITH tgt AS (
+  SELECT * FROM (VALUES
+    ('en', CAST(0.5 AS DOUBLE)),
+    ('de', CAST(0.25 AS DOUBLE)),
+    ('fr', CAST(0.25 AS DOUBLE))) AS t(lang, p)
+), counts AS (
+  SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS n FROM documents GROUP BY 1
+), obs AS (
+  SELECT c.lang, c.n, t.p FROM counts c JOIN tgt t USING (lang)
+), bt AS (
+  SELECT min(n / p) AS t FROM obs
+), rates AS (
+  SELECT lang, LEAST(bt.t * p / n, 1.0) AS rate FROM obs, bt
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN rates r USING (lang)
+WHERE ({knuth_hash_sql('doc_id')}) / 4294967296.0 < r.rate
+"""
+
+
 # The double-mod makes the key term non-negative for negative ids too
 # (DuckDB's % is sign-preserving; Spark-side pmod is non-negative).
 _STRATIFIED_SQL = f"""
@@ -1994,6 +2033,10 @@ FROM documents
 
 
 LLM_SUPPLEMENTARY: list[Query] = [
+    Query("docs_mixture_token_budget", _docs_mixture_token_budget,
+          _MIXTURE_TOKENS_SQL,
+          "north-star: token-budget domain mixture (weighted "
+          "mixture_resample; supplementary, differential-tested)"),
     Query("decoded_image_stats", _decoded_image_stats, _DECODED_STATS_SQL,
           "north-star: mixed PNM+BMP+baseline-JPEG decode inside the "
           "Arrow pipeline, closed-form oracle (supplementary, "

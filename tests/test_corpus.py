@@ -624,3 +624,69 @@ def test_weighted_sample_k_nan_weights_excluded(spark):
     df = spark.createDataFrame(rows, "doc_id bigint, w double")
     got = {r["doc_id"] for r in weighted_sample_k(df, "doc_id", "w", 3).collect()}
     assert got <= {1, 2, 3, 4, 5} and len(got) == 3
+
+
+def test_mixture_resample_token_budget(spark):
+    """Weighted mixture (r8): with weight_col the budget currency is
+    tokens, so realized TOKEN shares approach the target where the
+    doc-count mixture's token shares would drift with per-domain doc
+    length; per-row decisions stay on the deterministic coin (a rerun
+    and a repartitioned input agree exactly)."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.corpus import mixture_resample
+
+    # planted corpus: en docs are 10x longer than de docs, doc counts
+    # equal — a doc-count 50/50 mixture would give ~91/9 token shares
+    rows = [(i, "en", 1000) for i in range(500)] + [
+        (i + 1000, "de", 100) for i in range(500)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, lang STRING, n_chars BIGINT")
+    target = {"en": 0.5, "de": 0.5}
+    got = mixture_resample(docs, "doc_id", "lang", target, weight_col="n_chars")
+    tok = {
+        r["lang"]: r["t"]
+        for r in got.groupBy("lang").agg(F.sum("n_chars").alias("t")).collect()
+    }
+    share_en = tok["en"] / (tok["en"] + tok["de"])
+    assert abs(share_en - 0.5) < 0.05, share_en  # token share ~ target
+    # de is the binding stratum: kept (almost) whole
+    assert tok["de"] == 500 * 100
+    # determinism under repartitioning
+    a = sorted(r["doc_id"] for r in got.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in mixture_resample(
+            docs.repartition(13), "doc_id", "lang", target, weight_col="n_chars"
+        ).collect()
+    )
+    assert a == b
+
+
+def test_assign_shards_balance_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.corpus import assign_shards
+
+    docs = spark.range(10_000).select(F.col("id").alias("doc_id"))
+    n_shards = 16
+    got = assign_shards(docs, n_shards)
+    sizes = {
+        r["shard_id"]: r["n"]
+        for r in got.groupBy("shard_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(sizes) == set(range(n_shards))  # every shard populated
+    # multiplicative hash spreads sequential ids tightly
+    assert max(sizes.values()) / min(sizes.values()) < 1.3, sizes
+    # pure function of the key: repartitioning changes nothing
+    a = sorted((r["doc_id"], r["shard_id"]) for r in got.collect())
+    b = sorted(
+        (r["doc_id"], r["shard_id"])
+        for r in assign_shards(docs.repartition(7), n_shards).collect()
+    )
+    assert a == b
+
+    import pytest
+
+    with pytest.raises(ValueError, match="positive"):
+        assign_shards(docs, 0)

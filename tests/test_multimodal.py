@@ -382,3 +382,41 @@ def test_jpeg_unexpected_restart_marker_raises_valueerror():
     del data[dri : dri + 6]  # strip the DRI segment, keep the RSTs
     with pytest.raises(ValueError, match="restart marker"):
         decode_image(bytes(data))
+
+
+def test_jpeg_decoder_corruption_fuzz():
+    """Worker-safety contract under arbitrary corruption: for ANY
+    single-byte mutation or truncation of a valid stream, decode_image
+    either succeeds (returning a well-formed tuple) or raises
+    ValueError / NotImplementedError — never an IndexError, KeyError,
+    struct.error, or internal control-flow exception that would
+    surface as a bare crash out of an Arrow worker.  Deterministic
+    seeded sweep, small image => bounded runtime."""
+    import random
+
+    from datawarehouse_code_spark.operators.multimodal import (
+        decode_image,
+        encode_gray_jpeg,
+    )
+
+    base = encode_gray_jpeg(24, 16, 130, restart_interval=2)
+    rng = random.Random(42)
+    trials = []
+    # every truncation point (small stream), then 300 random byte flips
+    trials += [base[:i] for i in range(1, len(base))]
+    for _ in range(300):
+        i = rng.randrange(len(base))
+        b = bytearray(base)
+        b[i] = rng.randrange(256)
+        trials.append(bytes(b))
+    n_ok = n_raised = 0
+    for payload in trials:
+        try:
+            w, h, c, px = decode_image(payload)
+            assert isinstance(px, bytes) and len(px) == w * h * c
+            n_ok += 1
+        except (ValueError, NotImplementedError):
+            n_raised += 1
+    # the sweep must exercise both outcomes (some flips hit pixel data
+    # harmlessly or inside padded bits; most break structure)
+    assert n_ok > 0 and n_raised > 0
