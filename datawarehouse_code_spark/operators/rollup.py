@@ -400,6 +400,134 @@ def quantile_estimate(
     ).select(*keys, "r.p_bp", "r.value_est", "n")
 
 
+def _dynamic_partition_overwrite(df: DataFrame, path: str, partition_col: str) -> None:
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+
+def refresh_rollup_partition(
+    spark: SparkSession,
+    rollup_path: str,
+    partition_rows: DataFrame,
+    partition_col: str,
+    keys: list[str],
+    sum_cols: list[str],
+) -> None:
+    """Refresh a PARTITIONED rollup's slice from its fact partition's
+    rows: aggregate, dynamic-partition-overwrite that slice.
+
+    The partitioned-rollup layout stores each fact partition's PARTIAL
+    aggregate under the same partition key (`partition_col` must be in
+    `partition_rows`); readers merge partials via read_partitioned_rollup.
+    What this buys over the flat rollup + delta-merge: REFRESH IS A
+    PURE FUNCTION OF ONE FACT PARTITION — recomputable, idempotent,
+    crash-safe without journals or exactly-once delta feeds.  The flat
+    rollup's merge needs a retraction journal to restate a partition
+    (the net-delta is not rerunnable: a crash between the rollup swap
+    and its completion marker double-applies), while here re-running
+    any step converges.  Cost: |partition| aggregate + one partition
+    write; the stored table holds keys x partitions rows (still
+    rollup-sized).
+    """
+    agg = partition_rows.groupBy(partition_col, *keys).agg(
+        *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    _dynamic_partition_overwrite(agg, rollup_path, partition_col)
+
+
+def read_partitioned_rollup(
+    spark: SparkSession, rollup_path: str, keys: list[str]
+) -> DataFrame:
+    """Merge a partitioned rollup's per-partition partials into the
+    flat rollup view (sums add, n_rows adds) — rollup-sized work."""
+    parts = spark.read.parquet(rollup_path)
+    measures = [
+        c for c in parts.columns
+        if c.startswith("sum_") or c == "n_rows"
+    ]
+    return parts.groupBy(*keys).agg(
+        *[F.sum(m).alias(m) for m in measures]
+    )
+
+
+def backfill_partition(
+    spark: SparkSession,
+    fact_path: str,
+    rollup_path: str,
+    partition_col: str,
+    partition_value: object,
+    new_rows: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+) -> None:
+    """Partition-scoped RESTATEMENT: replace one fact partition and
+    bring the partitioned rollup's slice with it — the backfill a
+    warehouse actually runs when a day/year of facts is corrected,
+    at cost ∝ |partition| + rollup slice, never |fact history| (the
+    reference's only restatement tool is the full TRUNCATE+rebuild,
+    warehouse.py:254-284).
+
+    Two dynamic-partition overwrites, each IDEMPOTENT and derived
+    from `new_rows` alone: (1) the fact partition, (2) the rollup
+    slice.  A crash anywhere leaves a state a plain re-run converges
+    from; between (1) and (2) the rollup slice is stale, which
+    verify_rollup_partition detects cheaply (partition-pruned
+    re-aggregate vs stored partials).  `new_rows` must all carry
+    `partition_col` = `partition_value` (guarded — silently writing a
+    row into another partition would corrupt a slice this backfill
+    then never refreshes).
+    """
+    stray = new_rows.filter(
+        ~F.col(partition_col).eqNullSafe(F.lit(partition_value))
+    ).limit(1).count()
+    if stray:
+        raise ValueError(
+            f"backfill_partition: new_rows contain rows outside "
+            f"{partition_col}={partition_value!r}"
+        )
+    _dynamic_partition_overwrite(new_rows, fact_path, partition_col)
+    refresh_rollup_partition(
+        spark, rollup_path, new_rows, partition_col, keys, sum_cols
+    )
+
+
+def verify_rollup_partition(
+    spark: SparkSession,
+    fact_path: str,
+    rollup_path: str,
+    partition_col: str,
+    partition_value: object,
+    keys: list[str],
+    sum_cols: list[str],
+) -> bool:
+    """Consistency probe for one rollup slice: re-aggregate the fact
+    partition (partition-pruned scan) and compare against the stored
+    partials — True iff they match exactly.  The cheap post-crash /
+    post-backfill audit; run over all partitions it is the full
+    rollup ≡ rebuild check at |fact| cost."""
+    fact = spark.read.parquet(fact_path).filter(
+        F.col(partition_col) == F.lit(partition_value)
+    )
+    want = fact.groupBy(partition_col, *keys).agg(
+        *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    got = spark.read.parquet(rollup_path).filter(
+        F.col(partition_col) == F.lit(partition_value)
+    ).select(*want.columns)
+    # exact symmetric difference on the slice (rollup-sized)
+    return (
+        want.exceptAll(got).limit(1).count() == 0
+        and got.exceptAll(want).limit(1).count() == 0
+    )
+
+
 def theta_sketch_delta(
     delta: DataFrame, keys: list[str], value_col: str, lgk: int = 12
 ) -> DataFrame:

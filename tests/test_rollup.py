@@ -439,3 +439,93 @@ def test_theta_sketch_merge_union_and_set_algebra(spark):
     with pytest.raises(ValueError, match="at least one"):
         merge_theta_rollup([], ["g"])
     ev.unpersist()
+
+
+def test_backfill_partition_restates_and_stays_consistent(spark, tmp_path):
+    """Partition-scoped restatement (r8): backfill one year of facts —
+    the fact partition AND the rollup slice restate; untouched slices
+    keep their exact bytes' content; the merged rollup view equals a
+    from-scratch rebuild; a simulated crash between the two overwrites
+    is detected by the verifier and repaired by a plain re-run; and a
+    stray-partition row is rejected loudly."""
+    from datawarehouse_code_spark.operators.rollup import (
+        _dynamic_partition_overwrite,
+        backfill_partition,
+        read_partitioned_rollup,
+        refresh_rollup_partition,
+        verify_rollup_partition,
+    )
+
+    orders = read_table(spark, "orders", SF_DIR).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.year("o_orderdate").alias("yr"),
+        (F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    fact_path = str(tmp_path / "fact")
+    rollup_path = str(tmp_path / "rollup")
+    keys, sums = ["o_orderstatus"], ["cents"]
+    orders.write.partitionBy("yr").parquet(fact_path)
+    for r in orders.select("yr").distinct().collect():
+        refresh_rollup_partition(
+            spark, rollup_path,
+            orders.filter(F.col("yr") == r["yr"]), "yr", keys, sums,
+        )
+    assert verify_rollup_partition(
+        spark, fact_path, rollup_path, "yr", 1997, keys, sums
+    )
+
+    # the restatement: 1997 rows get corrected prices (halved)
+    new_1997 = orders.filter(F.col("yr") == 1997).withColumn(
+        "cents", F.expr("cents div 2")
+    )
+    backfill_partition(
+        spark, fact_path, rollup_path, "yr", 1997, new_1997, keys, sums
+    )
+    # merged view == rebuild over the restated facts
+    restated = orders.filter(F.col("yr") != 1997).unionByName(new_1997)
+    got = sorted(
+        tuple(r)
+        for r in read_partitioned_rollup(spark, rollup_path, keys).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in restated.groupBy(*keys)
+        .agg(F.sum("cents").alias("sum_cents"), F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    )
+    assert got == want and got
+    assert verify_rollup_partition(
+        spark, fact_path, rollup_path, "yr", 1997, keys, sums
+    )
+
+    # idempotence: re-running the whole backfill changes nothing
+    backfill_partition(
+        spark, fact_path, rollup_path, "yr", 1997, new_1997, keys, sums
+    )
+    again = sorted(
+        tuple(r)
+        for r in read_partitioned_rollup(spark, rollup_path, keys).collect()
+    )
+    assert again == want
+
+    # simulated crash: fact swapped, rollup slice not (overwrite fact
+    # with doubled prices directly) -> verifier flags, re-run repairs
+    broken = new_1997.withColumn("cents", F.col("cents") * 2)
+    _dynamic_partition_overwrite(broken, fact_path, "yr")
+    assert not verify_rollup_partition(
+        spark, fact_path, rollup_path, "yr", 1997, keys, sums
+    )
+    backfill_partition(
+        spark, fact_path, rollup_path, "yr", 1997, broken, keys, sums
+    )
+    assert verify_rollup_partition(
+        spark, fact_path, rollup_path, "yr", 1997, keys, sums
+    )
+
+    # stray rows refuse loudly
+    with pytest.raises(ValueError, match="outside"):
+        backfill_partition(
+            spark, fact_path, rollup_path, "yr", 1997,
+            orders.filter(F.col("yr") == 1998), keys, sums,
+        )
