@@ -597,3 +597,97 @@ def run_ivf_ingest(
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     writer.start().awaitTermination()
+
+
+# Sketch-family registry for streaming maintenance: kind -> (partial
+# delta builder, partials merger, state column name).  HLL and theta
+# are set-semantics (re-delivery harmless by construction); KLL rank
+# state double-counts on re-delivery, so ALL three ride the same
+# versioned _last_batch protocol as apply_rollup_batch — batch-id
+# dedup makes replay a skip regardless of the family's algebra.
+def _sketch_family(kind: str):
+    from datawarehouse_code_spark.operators import rollup as R
+
+    families = {
+        "hll": (R.distinct_sketch_delta, R.merge_distinct_rollup),
+        "theta": (R.theta_sketch_delta, R.merge_theta_rollup),
+        "kll": (R.quantile_sketch_delta, R.merge_quantile_rollup),
+    }
+    if kind not in families:
+        raise ValueError(f"unknown sketch kind {kind!r}; one of {sorted(families)}")
+    return families[kind]
+
+
+def apply_sketch_batch(
+    batch: DataFrame,
+    batch_id: int,
+    rollup_path: str,
+    keys: list[str],
+    value_col: str,
+    kind: str = "hll",
+    keep_versions: int = 2,
+) -> bool:
+    """Apply ONE micro-batch to a versioned SKETCH rollup (HLL
+    distinct counts, theta set-algebra state, or KLL quantiles),
+    idempotently under foreachBatch replays — the sketch companion of
+    apply_rollup_batch, same protocol: the applied batch id commits
+    atomically inside the version (`_last_batch` column), replays
+    skip on id <= committed.  Streaming dashboards get mergeable
+    distinct/quantile state over plain parquet with exactly-once
+    semantics; cost per batch = one partial-agg over the batch + a
+    rollup-sized merge."""
+    delta_fn, merge_fn = _sketch_family(kind)
+    from datawarehouse_code_spark.sources.versioned import (
+        list_versions,
+        read_version,
+        vacuum_versions,
+        write_version,
+    )
+
+    if batch.isEmpty():
+        return False
+    spark = batch.sparkSession
+    delta = delta_fn(batch, keys, value_col)
+    if list_versions(spark, rollup_path):
+        current = read_version(spark, rollup_path)
+        last = current.select("_last_batch").limit(1).collect()
+        if last and last[0][0] is not None and batch_id <= last[0][0]:
+            return False
+        merged = merge_fn([current.drop("_last_batch"), delta], keys)
+    else:
+        merged = delta
+    write_version(
+        spark,
+        merged.withColumn("_last_batch", F.lit(batch_id).cast("bigint")),
+        rollup_path,
+    )
+    vacuum_versions(spark, rollup_path, keep=keep_versions)
+    return True
+
+
+def run_sketch_maintenance(
+    rows: DataFrame,
+    rollup_path: str,
+    keys: list[str],
+    value_col: str,
+    kind: str = "hll",
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Drain a stream into a maintained sketch rollup: foreachBatch →
+    apply_sketch_batch (replay-idempotent).  Read the result with
+    read_rollup + the family's estimator (distinct_estimate /
+    theta_estimate / quantile_estimate)."""
+    spark = rows.sparkSession
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        apply_sketch_batch(batch, batch_id, rollup_path, keys, value_col, kind)
+
+    writer = rows.writeStream.foreachBatch(_apply).trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    try:
+        q.awaitTermination()
+    finally:
+        if not spark.streams.active:
+            restore_nanos_conf(spark)

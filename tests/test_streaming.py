@@ -593,3 +593,125 @@ def test_ivf_ingest_recovers_half_bootstrapped_index(spark, tmp_path):
     assert n == emb.count()
     q = emb.filter(F.col("vec_id") < 5)
     assert query_ivf_index(spark, path, q).count() > 0
+
+
+def test_sketch_rollup_maintenance_stream_and_replay(spark, tmp_path):
+    """Streaming sketch maintenance (r8): a drained HLL rollup must
+    estimate exactly what the one-shot batch sketch does (set-
+    semantics merge), a re-delivered drain must change nothing (the
+    versioned _last_batch protocol), apply_sketch_batch skips replayed
+    ids for every family, and a KLL rollup maintained batch-by-batch
+    lands its median within the documented rank bound."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.rollup import (
+        distinct_estimate,
+        distinct_sketch_delta,
+        quantile_estimate,
+        theta_sketch_delta,
+    )
+    from datawarehouse_code_spark.sources.catalog import read_table
+    from datawarehouse_code_spark.streaming.jobs import (
+        apply_sketch_batch,
+        read_rollup,
+        run_sketch_maintenance,
+    )
+    from tests.conftest import SF_DIR
+
+    ev = read_table(spark, "events", SF_DIR).select("event_type", "user_id").cache()
+    land = tmp_path / "landing"
+    land.mkdir()
+    now = time.time() - 600
+    for i in range(3):
+        f = land / f"b{i}.parquet"
+        ev.filter(F.col("user_id") % 3 == i).toPandas().to_parquet(f, index=False)
+        os.utime(f, (now + 60 * i, now + 60 * i))
+
+    stream = (
+        spark.readStream.schema("event_type string, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    hll_path = str(tmp_path / "hll_rollup")
+    run_sketch_maintenance(
+        stream, hll_path, ["event_type"], "user_id",
+        kind="hll", checkpoint_dir=str(tmp_path / "ck1"),
+    )
+    got = sorted(
+        tuple(r)
+        for r in distinct_estimate(
+            read_rollup(spark, hll_path), ["event_type"]
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in distinct_estimate(
+            distinct_sketch_delta(ev, ["event_type"], "user_id"), ["event_type"]
+        ).collect()
+    )
+    assert got == want and got
+
+    # re-delivery with a FRESH checkpoint: batch ids restart at 0,
+    # every batch skips on id <= committed — state unchanged
+    stream2 = (
+        spark.readStream.schema("event_type string, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    run_sketch_maintenance(
+        stream2, hll_path, ["event_type"], "user_id",
+        kind="hll", checkpoint_dir=str(tmp_path / "ck2"),
+    )
+    assert sorted(
+        tuple(r)
+        for r in distinct_estimate(
+            read_rollup(spark, hll_path), ["event_type"]
+        ).collect()
+    ) == want
+
+    # per-family replay skip at the apply level (theta here)
+    theta_path = str(tmp_path / "theta_rollup")
+    assert apply_sketch_batch(ev, 0, theta_path, ["event_type"], "user_id", "theta")
+    snap = sorted(
+        tuple(r)
+        for r in read_rollup(spark, theta_path)
+        .select("event_type", F.theta_sketch_estimate("theta_sketch"))
+        .collect()
+    )
+    assert not apply_sketch_batch(ev, 0, theta_path, ["event_type"], "user_id", "theta")
+    assert sorted(
+        tuple(r)
+        for r in read_rollup(spark, theta_path)
+        .select("event_type", F.theta_sketch_estimate("theta_sketch"))
+        .collect()
+    ) == snap
+
+    # KLL maintained over two batches: median rank within 5%
+    kll_path = str(tmp_path / "kll_rollup")
+    halves = [ev.filter(F.col("user_id") % 2 == i) for i in range(2)]
+    assert apply_sketch_batch(halves[0], 0, kll_path, ["event_type"], "user_id", "kll")
+    assert apply_sketch_batch(halves[1], 1, kll_path, ["event_type"], "user_id", "kll")
+    est = quantile_estimate(read_rollup(spark, kll_path), ["event_type"], [5000])
+    import bisect
+
+    exact = {
+        r["event_type"]: r["vs"]
+        for r in ev.groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("user_id")).alias("vs"))
+        .collect()
+    }
+    for r in est.collect():
+        vs = exact[r["event_type"]]
+        assert r["n"] == len(vs)
+        lo = bisect.bisect_left(vs, r["value_est"])
+        hi = bisect.bisect_right(vs, r["value_est"])
+        assert abs((lo + hi) / 2 / len(vs) - 0.5) < 0.05
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown sketch kind"):
+        apply_sketch_batch(ev, 0, kll_path, ["event_type"], "user_id", "bogus")
+    ev.unpersist()
