@@ -175,6 +175,7 @@ HEADLINE = [
     "supplier_communities",
     "supplier_weighted_paths",
     "docs_mixture_token_budget",
+    "text_nfc_suite",
 ]
 
 

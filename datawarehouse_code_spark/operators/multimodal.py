@@ -691,6 +691,70 @@ def decoded_image_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, DECODED_STATS_SCHEMA)
 
 
+QUARANTINE_STATS_SCHEMA = (
+    "media_id BIGINT, width INT, height INT, "
+    "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT, decode_error STRING"
+)
+
+
+def decoded_image_stats_quarantine(media: DataFrame) -> DataFrame:
+    """decoded_image_stats with a QUARANTINE lane — the production
+    posture for 100 TB of scraped media, where some payloads WILL be
+    corrupt and one bad byte must not kill a thousand-executor job:
+    every payload yields exactly one row; successful decodes carry
+    stats and decode_error = NULL, failures carry NULL stats and the
+    decoder's message (ValueError / NotImplementedError — the
+    worker-safety contract the corruption fuzz pins; anything else
+    would still crash loudly, by design).  Route the failures to a
+    quarantine table with `.filter("decode_error IS NOT NULL")` and
+    reprocess after a decoder fix; NULL payloads quarantine as
+    'null payload'.
+
+    Same scale shape as the fail-loud variant: a narrow Arrow-batched
+    map, no shuffle, pixels never leave the worker."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in
+                   ("media_id", "width", "height", "sum_r", "sum_g", "sum_b",
+                    "decode_error")}
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                out["media_id"].append(media_id)
+                err = None
+                w = h = sr = sg = sb = None
+                if content is None:
+                    err = "null payload"
+                else:
+                    try:
+                        w, h, ch, px = decode_image(bytes(content))
+                        if ch == 3:
+                            sr, sg, sb = sum(px[0::3]), sum(px[1::3]), sum(px[2::3])
+                        else:
+                            sr = sg = sb = sum(px)
+                    except (ValueError, NotImplementedError) as e:
+                        w = h = sr = sg = sb = None
+                        err = f"{type(e).__name__}: {e}"
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(sr)
+                out["sum_g"].append(sg)
+                out["sum_b"].append(sb)
+                out["decode_error"].append(err)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "width": pd.array(out["width"], dtype="Int32"),
+                    "height": pd.array(out["height"], dtype="Int32"),
+                    "sum_r": pd.array(out["sum_r"], dtype="Int64"),
+                    "sum_g": pd.array(out["sum_g"], dtype="Int64"),
+                    "sum_b": pd.array(out["sum_b"], dtype="Int64"),
+                    "decode_error": pd.Series(out["decode_error"], dtype=object),
+                }
+            )
+
+    return media.mapInPandas(batches, QUARANTINE_STATS_SCHEMA)
+
+
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """One-to-many frame sampling via mapInPandas: each payload is cut
     into `n_frames` evenly-spaced slices (the batch shape a real video

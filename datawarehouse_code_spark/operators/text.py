@@ -1034,3 +1034,34 @@ def strip_duplicate_spans(
         F.concat_ws(" ", keep).alias("cleaned_text"),
         (F.size("ws") - F.size(keep)).cast("bigint").alias("n_removed_words"),
     )
+
+
+def normalize_unicode(col, form: str = "NFC"):
+    """Unicode normalization as an Arrow-batched column expression —
+    the canonicalization pass a multilingual training corpus needs
+    before hashing/dedup (the same text arrives precomposed from one
+    scraper and decomposed from another; without normalization the
+    copies hash apart and every downstream dedup stage misses them).
+
+    `form` is NFC (default; canonical compose — the storage/dedup
+    canon), NFD, NFKC (also folds compatibility forms: ligatures,
+    fullwidth digits — the aggressive pre-tokenization choice), or
+    NFKD.  NULLs pass through.  Python `unicodedata` via a pandas
+    UDF — the legitimate Arrow-batch slow path: no JVM expression
+    does normalization, and the per-batch cost is one C-implemented
+    library call per string.  Cross-engine: DuckDB's nfc_normalize
+    implements the same (stable) canonical composition, which the
+    text_nfc_suite oracle row pins on planted decomposed sequences.
+    """
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    return _norm(col)

@@ -1951,6 +1951,61 @@ LIMIT 200
 """
 
 
+# decomposed combining sequences planted per doc_id%4: each is 2 code
+# points that NFC composes to 1 (e-acute, A-ring, n-tilde, o-umlaut)
+_NFC_MARKERS = ["é", "Å", "ñ", "ö"]
+
+
+def _text_nfc_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization (operators/text.py normalize_unicode):
+    plant a DECOMPOSED combining sequence per document (chosen by
+    doc_id, so the oracle replays it literally), NFC-normalize, and
+    emit pre/post character counts plus the md5 of the normalized
+    text — composition is visible in the hash-checked length drop
+    (every planted sequence shrinks 2→1) and the byte-exact digest
+    (DuckDB nfc_normalize implements the same stable canonical
+    composition)."""
+    from datawarehouse_code_spark.operators.text import normalize_unicode
+
+    docs = read_table(spark, "documents", sf_dir)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" "),
+            F.element_at(
+                F.array(*[F.lit(m) for m in _NFC_MARKERS]),
+                (F.col("doc_id") % 4 + 1).cast("int"),
+            ),
+        ).alias("t"),
+    )
+    return planted.select(
+        "doc_id",
+        F.length("t").cast("bigint").alias("pre_chars"),
+        normalize_unicode(F.col("t")).alias("nt"),
+    ).select(
+        "doc_id",
+        "pre_chars",
+        F.length("nt").cast("bigint").alias("post_chars"),
+        F.md5(F.encode(F.col("nt"), "utf-8")).alias("h"),
+    )
+
+
+_NFC_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' ' ||
+         (['{_NFC_MARKERS[0]}', '{_NFC_MARKERS[1]}',
+           '{_NFC_MARKERS[2]}', '{_NFC_MARKERS[3]}'][doc_id % 4 + 1]) AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(t) AS BIGINT) AS pre_chars,
+       CAST(length(nfc_normalize(t)) AS BIGINT) AS post_chars,
+       md5(nfc_normalize(t)) AS h
+FROM planted
+"""
+
+
 def _decoded_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode across all three native codec branches in one
     Arrow pipeline (r7 verdict ask #4): per doc_id, synthesize a
@@ -2033,6 +2088,9 @@ FROM documents
 
 
 LLM_SUPPLEMENTARY: list[Query] = [
+    Query("text_nfc_suite", _text_nfc_suite, _NFC_SQL,
+          "north-star: Unicode NFC canonicalization on planted "
+          "decomposed sequences (supplementary, differential-tested)"),
     Query("docs_mixture_token_budget", _docs_mixture_token_budget,
           _MIXTURE_TOKENS_SQL,
           "north-star: token-budget domain mixture (weighted "

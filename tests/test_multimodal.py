@@ -420,3 +420,48 @@ def test_jpeg_decoder_corruption_fuzz():
     # the sweep must exercise both outcomes (some flips hit pixel data
     # harmlessly or inside padded bits; most break structure)
     assert n_ok > 0 and n_raised > 0
+
+
+def test_decoded_image_stats_quarantine_lane(spark):
+    """One bad payload must not kill the job: corrupt/truncated/NULL
+    payloads land in the quarantine lane with the decoder's message,
+    good payloads decode to stats identical to the fail-loud variant,
+    and every input yields exactly one row."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.multimodal import (
+        decoded_image_stats,
+        decoded_image_stats_quarantine,
+        encode_const_bmp,
+        encode_gray_jpeg,
+    )
+
+    good_jpeg = encode_gray_jpeg(10, 6, 40)
+    good_bmp = encode_const_bmp(4, 3, (1, 2, 3))
+    rows = [
+        (1, "image/jpeg", bytearray(good_jpeg)),
+        (2, "image/bmp", bytearray(good_bmp)),
+        (3, "image/jpeg", bytearray(good_jpeg[:-8])),   # truncated
+        (4, "application/x-unknown", bytearray(b"\x00\x01\x02")),
+        (5, "image/jpeg", None),                        # null payload
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id BIGINT, media_type STRING, content BINARY"
+    )
+    got = {r["media_id"]: r for r in decoded_image_stats_quarantine(media).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[1]["decode_error"] is None
+    assert (got[1]["width"], got[1]["height"], got[1]["sum_r"]) == (10, 6, 10 * 6 * 40)
+    assert got[2]["decode_error"] is None and got[2]["sum_g"] == 4 * 3 * 2
+    assert got[3]["decode_error"] and got[3]["width"] is None
+    assert got[4]["decode_error"].startswith("NotImplementedError")
+    assert got[5]["decode_error"] == "null payload"
+
+    # agreement with the fail-loud variant on the clean subset
+    clean = media.filter(F.col("media_id").isin(1, 2))
+    a = sorted(tuple(r) for r in decoded_image_stats(clean).collect())
+    b = sorted(
+        tuple(r)[:-1]
+        for r in decoded_image_stats_quarantine(clean).collect()
+    )
+    assert a == b

@@ -184,3 +184,44 @@ def test_bigram_lm_scores_fluent_below_gibberish(spark):
     want = sum(nlps) / len(nlps)
     assert abs(got[3][1] - want) < 1e-9
     assert got[3][0] == len(nlps)
+
+
+def test_normalize_unicode_forms(spark):
+    """normalize_unicode: NFC composes decomposed sequences, NFKC
+    additionally folds compatibility forms (ligature, fullwidth),
+    NULLs pass through, idempotent, invalid form raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.text import normalize_unicode
+
+    rows = [
+        (1, "café"),          # decomposed acute -> composed
+        (2, "ﬃx"),             # ffi ligature (NFKC folds, NFC keeps)
+        (3, "２０"),        # fullwidth digits (NFKC -> "20")
+        (4, None),
+        (5, "plain ascii"),
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, t STRING")
+    nfc = {
+        r["id"]: r["n"]
+        for r in df.select("id", normalize_unicode(F.col("t")).alias("n")).collect()
+    }
+    assert nfc[1] == "café"
+    assert nfc[2] == "ﬃx"          # NFC preserves compatibility chars
+    assert nfc[4] is None and nfc[5] == "plain ascii"
+    nfkc = {
+        r["id"]: r["n"]
+        for r in df.select(
+            "id", normalize_unicode(F.col("t"), "NFKC").alias("n")
+        ).collect()
+    }
+    assert nfkc[2] == "ffix" and nfkc[3] == "20"
+    # idempotence: normalizing the normalized column is a fixpoint
+    twice = df.select(
+        normalize_unicode(normalize_unicode(F.col("t"))).alias("a"),
+        normalize_unicode(F.col("t")).alias("b"),
+    ).collect()
+    assert all(r["a"] == r["b"] for r in twice)
+    with pytest.raises(ValueError, match="normalization form"):
+        normalize_unicode(F.col("t"), "NFX")
