@@ -1772,8 +1772,16 @@ def _supplier_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         weighted_shortest_paths,
     )
 
-    li = read_table(spark, "lineitem", sf_dir).select(
-        "l_orderkey", "l_suppkey"
+    # pre-distinct (order, supplier) BEFORE the self-join: an order
+    # lists the same supplier on several lineitems, so the raw
+    # self-join repeats (a, b) per order and needs countDistinct; the
+    # distinct-first shape joins a smaller table AND counts plainly —
+    # identical n_shared, one expensive distinct-agg less (the oracle
+    # keeps the countDistinct spelling; same values)
+    li = (
+        read_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
     )
     x = li.alias("x")
     y = li.alias("y")
@@ -1783,7 +1791,7 @@ def _supplier_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b")
         )
-        .agg(F.countDistinct("x.l_orderkey").alias("n_shared"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
         .select(
             "a", "b",
             F.greatest(F.lit(1), F.lit(10) - F.col("n_shared"))
