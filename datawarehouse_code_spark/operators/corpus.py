@@ -408,6 +408,24 @@ def mixture_resample(
         .agg(budget.alias("_n"))
         .join(F.broadcast(tgt), strata_col, "inner")
     )
+    if weight_col is not None:
+        # same loudness rule as the target-weight guard above: an
+        # all-NULL weight column sums to NULL, whose rate least(NULL,1)
+        # silently keeps the stratum WHOLE; a zero/negative sum zeroes
+        # every rate and silently empties the corpus.  The check is a
+        # collect over <= len(target) rows — bounded by the target
+        # dict, not the data.
+        bad_w = [
+            (r[strata_col], r["_n"])
+            for r in observed.filter(
+                F.col("_n").isNull() | (F.col("_n") <= 0)
+            ).collect()
+        ]
+        if bad_w:
+            raise ValueError(
+                f"mixture_resample: non-positive/NULL {weight_col} sums "
+                f"for strata {bad_w}; clean the weight column first"
+            )
     # single-partition window is safe here: the frame holds one row per
     # TARGET stratum (bounded by the target dict, not the data)
     rates = observed.withColumn(

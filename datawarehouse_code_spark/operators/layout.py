@@ -291,7 +291,7 @@ def read_pruned(
     head = survivors.limit(driver_list_threshold + 1).collect()
     if not head:
         return full.filter(F.lit(False))
-    _assert_unpartitioned(spark, path, full, head[0]["file_path"])
+    _assert_unpartitioned(spark, full, head[0]["file_path"])
     if len(head) <= driver_list_threshold:
         files = [r["file_path"] for r in head]
         return spark.read.schema(full.schema).parquet(*files).filter(cond)
@@ -310,19 +310,21 @@ def _interval_cond(predicates: dict[str, tuple[object, object]]) -> Column:
 
 
 # Checks that already passed, keyed by (SAMPLE FILE path, logical
-# column tuple) — the guard costs one footer read the FIRST time a
-# table version is pruned-read, not one per read.  Keying on the
-# sample FILE (not the table directory) makes rewrites self-
-# invalidating: a rewrite — including one that hive-partitions the
-# table at the same path — produces new file names (and lives in
-# partition subdirectories), so the fresh manifest's sample file is a
-# cache miss and the check re-runs; a STALE manifest's sample file no
-# longer exists and the read fails loudly at the footer open.
+# column tuple) — keying on the sample FILE (not the table directory)
+# makes rewrites self-invalidating: a rewrite — including one that
+# hive-partitions the table at the same path — produces new file names
+# (and lives in partition subdirectories), so the fresh manifest's
+# sample file is a cache miss and the check re-runs; a STALE
+# manifest's sample file no longer exists and the read fails loudly at
+# the footer open.  The key is predicate-dependent (the sample is the
+# min SURVIVING file), so the cost is one footer read per distinct
+# surviving set rather than strictly one per table version — the
+# accepted price of staleness-proofness.
 _UNPARTITIONED_OK: set[tuple[str, tuple[str, ...]]] = set()
 
 
 def _assert_unpartitioned(
-    spark: "SparkSession", path: str, full: DataFrame, one_file: str
+    spark: "SparkSession", full: DataFrame, one_file: str
 ) -> None:
     """Per-file reads return hive-partition columns (which live in
     directory names, not file bytes) as all-NULL while the full-scan
@@ -511,7 +513,7 @@ def read_pruned_rowgroups(
     if n_whole + n_partial == 0:
         return full.filter(F.lit(False))
     sample = (stats.get(True) or stats.get(False))[1]
-    _assert_unpartitioned(spark, path, full, sample)
+    _assert_unpartitioned(spark, full, sample)
 
     parts: list[DataFrame] = []
     if 0 < n_whole <= driver_list_threshold:

@@ -647,6 +647,18 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+def _payload_stats(content: bytes) -> tuple[int, int, int, int, int]:
+    """(width, height, sum_r, sum_g, sum_b) of one decoded payload —
+    THE stats definition, shared by the fail-loud and quarantine
+    variants so they cannot drift apart (their clean-subset parity is
+    test-pinned).  Grayscale reports its single channel as r=g=b."""
+    w, h, ch, px = decode_image(content)
+    if ch == 3:
+        return w, h, sum(px[0::3]), sum(px[1::3]), sum(px[2::3])
+    s = sum(px)
+    return w, h, s, s, s
+
+
 def decoded_image_stats(media: DataFrame) -> DataFrame:
     """Per-media stats computed from REAL decoded pixels — the stage
     that proves the decode path executes inside the Arrow plumbing
@@ -666,11 +678,7 @@ def decoded_image_stats(media: DataFrame) -> DataFrame:
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 if content is None:
                     continue
-                w, h, ch, px = decode_image(bytes(content))
-                if ch == 3:
-                    sr, sg, sb = sum(px[0::3]), sum(px[1::3]), sum(px[2::3])
-                else:
-                    sr = sg = sb = sum(px)
+                w, h, sr, sg, sb = _payload_stats(bytes(content))
                 ids.append(media_id)
                 ws.append(w)
                 hs.append(h)
@@ -726,11 +734,7 @@ def decoded_image_stats_quarantine(media: DataFrame) -> DataFrame:
                     err = "null payload"
                 else:
                     try:
-                        w, h, ch, px = decode_image(bytes(content))
-                        if ch == 3:
-                            sr, sg, sb = sum(px[0::3]), sum(px[1::3]), sum(px[2::3])
-                        else:
-                            sr = sg = sb = sum(px)
+                        w, h, sr, sg, sb = _payload_stats(bytes(content))
                     except (ValueError, NotImplementedError) as e:
                         w = h = sr = sg = sb = None
                         err = f"{type(e).__name__}: {e}"

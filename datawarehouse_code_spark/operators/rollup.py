@@ -482,7 +482,20 @@ def backfill_partition(
     `partition_col` = `partition_value` (guarded — silently writing a
     row into another partition would corrupt a slice this backfill
     then never refreshes).
+
+    Restating to ZERO rows deletes the fact partition directory and
+    its rollup slice outright (dynamic overwrite cannot express an
+    empty partition: writing no rows would leave both untouched — the
+    same hazard forget_vectors handles for emptied IVF buckets).
+    NULL partition values are rejected: parquet spells them
+    __HIVE_DEFAULT_PARTITION__ and == filters silently miss them —
+    route NULL-keyed rows to a real sentinel partition upstream.
     """
+    if partition_value is None:
+        raise ValueError(
+            "backfill_partition: NULL partition values are unsupported "
+            "(use a sentinel partition value upstream)"
+        )
     stray = new_rows.filter(
         ~F.col(partition_col).eqNullSafe(F.lit(partition_value))
     ).limit(1).count()
@@ -491,6 +504,15 @@ def backfill_partition(
             f"backfill_partition: new_rows contain rows outside "
             f"{partition_col}={partition_value!r}"
         )
+    if new_rows.limit(1).count() == 0:
+        from datawarehouse_code_spark.sources.acid import _fs_for
+
+        for base in (fact_path, rollup_path):
+            fs, hpath = _fs_for(
+                spark, f"{base}/{partition_col}={partition_value}"
+            )
+            fs.delete(hpath, True)
+        return
     _dynamic_partition_overwrite(new_rows, fact_path, partition_col)
     refresh_rollup_partition(
         spark, rollup_path, new_rows, partition_col, keys, sum_cols
@@ -510,7 +532,14 @@ def verify_rollup_partition(
     partition (partition-pruned scan) and compare against the stored
     partials — True iff they match exactly.  The cheap post-crash /
     post-backfill audit; run over all partitions it is the full
-    rollup ≡ rebuild check at |fact| cost."""
+    rollup ≡ rebuild check at |fact| cost.  NULL partition values are
+    rejected for the same reason as in backfill_partition (== filters
+    would vacuously verify an empty comparison)."""
+    if partition_value is None:
+        raise ValueError(
+            "verify_rollup_partition: NULL partition values are "
+            "unsupported (use a sentinel partition value upstream)"
+        )
     fact = spark.read.parquet(fact_path).filter(
         F.col(partition_col) == F.lit(partition_value)
     )

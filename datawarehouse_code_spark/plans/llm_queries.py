@@ -1974,7 +1974,10 @@ def _text_nfc_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text"), F.lit(" "),
             F.element_at(
                 F.array(*[F.lit(m) for m in _NFC_MARKERS]),
-                (F.col("doc_id") % 4 + 1).cast("int"),
+                # pmod, not %: Spark's % is sign-preserving, so a
+                # negative doc_id would index 0 (Spark raises, DuckDB
+                # yields NULL) — the _STRATIFIED_SQL double-mod rule
+                (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"),
             ),
         ).alias("t"),
     )
@@ -1995,7 +1998,7 @@ WITH planted AS (
   SELECT doc_id,
          text || ' ' ||
          (['{_NFC_MARKERS[0]}', '{_NFC_MARKERS[1]}',
-           '{_NFC_MARKERS[2]}', '{_NFC_MARKERS[3]}'][doc_id % 4 + 1]) AS t
+           '{_NFC_MARKERS[2]}', '{_NFC_MARKERS[3]}'][(doc_id % 4 + 4) % 4 + 1]) AS t
   FROM documents
 )
 SELECT doc_id,

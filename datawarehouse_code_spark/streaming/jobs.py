@@ -571,20 +571,27 @@ def run_ivf_ingest(
     from datawarehouse_code_spark.sources.acid import table_exists
 
     def _apply(batch: DataFrame, _batch_id: int) -> None:
+        from datawarehouse_code_spark.sources.acid import _fs_for
+
         sp = batch.sparkSession
         fresh = batch.dropDuplicates(["vec_id"])
-        # bootstrap detection keys on ASSIGNMENTS — the LAST artifact
-        # build_ivf_index writes.  Keying on centroids (written first)
-        # would leave a crash between the two writes unrecoverable:
-        # every replay would take the extend path and fail reading the
-        # missing assignments.  Here a half-bootstrapped index is
-        # rolled back (stale centroids removed) and rebuilt instead.
-        if not table_exists(sp, f"{index_path}/assignments"):
-            if table_exists(sp, f"{index_path}/centroids"):
-                from datawarehouse_code_spark.sources.acid import _fs_for
-
-                fs, hpath = _fs_for(sp, f"{index_path}/centroids")
-                fs.delete(hpath, True)
+        # bootstrap detection keys on the ASSIGNMENTS _SUCCESS marker —
+        # the last byte of the last artifact build_ivf_index writes.
+        # Bare dir existence is not enough: FileOutputCommitter creates
+        # the output dir (holding only _temporary/) at job SETUP, so a
+        # crash DURING the assignments write leaves a dir that exists
+        # but cannot be read — keying on it would wedge every replay.
+        # The marker appears only at job commit; until then the whole
+        # half-bootstrap (stale centroids included) is rolled back and
+        # rebuilt.  Appends rewrite the marker at THEIR commit, so a
+        # crash mid-append leaves the previous committed state readable
+        # and the marker present — the anti-join guard then re-extends.
+        fs, marker = _fs_for(sp, f"{index_path}/assignments/_SUCCESS")
+        if not fs.exists(marker):
+            for part in ("assignments", "centroids"):
+                if table_exists(sp, f"{index_path}/{part}"):
+                    pfs, ppath = _fs_for(sp, f"{index_path}/{part}")
+                    pfs.delete(ppath, True)
             build_ivf_index(fresh, index_path, n_centroids=n_centroids)
             return
         seen = sp.read.parquet(f"{index_path}/assignments").select("vec_id")
@@ -600,7 +607,7 @@ def run_ivf_ingest(
 
 
 # Sketch-family registry for streaming maintenance: kind -> (partial
-# delta builder, partials merger, state column name).  HLL and theta
+# delta builder, partials merger).  HLL and theta
 # are set-semantics (re-delivery harmless by construction); KLL rank
 # state double-counts on re-delivery, so ALL three ride the same
 # versioned _last_batch protocol as apply_rollup_batch — batch-id

@@ -690,3 +690,28 @@ def test_assign_shards_balance_and_determinism(spark):
 
     with pytest.raises(ValueError, match="positive"):
         assign_shards(docs, 0)
+
+
+def test_mixture_resample_weight_guard(spark):
+    """Second-review fix (r8): an all-NULL or non-positive weight sum
+    must raise loudly (NULL would silently keep the stratum whole,
+    zero would silently empty the corpus)."""
+    import pytest
+
+    from datawarehouse_code_spark.operators.corpus import mixture_resample
+
+    docs = spark.createDataFrame(
+        [(1, "en", None), (2, "en", None), (3, "de", 100)],
+        "doc_id BIGINT, lang STRING, n_chars BIGINT",
+    )
+    with pytest.raises(ValueError, match="non-positive/NULL n_chars"):
+        mixture_resample(
+            docs, "doc_id", "lang", {"en": 0.5, "de": 0.5}, weight_col="n_chars"
+        )
+    zero = spark.createDataFrame(
+        [(1, "en", 0), (2, "de", 50)], "doc_id BIGINT, lang STRING, n_chars BIGINT"
+    )
+    with pytest.raises(ValueError, match="non-positive/NULL n_chars"):
+        mixture_resample(
+            zero, "doc_id", "lang", {"en": 0.5, "de": 0.5}, weight_col="n_chars"
+        )

@@ -529,3 +529,73 @@ def test_backfill_partition_restates_and_stays_consistent(spark, tmp_path):
             spark, fact_path, rollup_path, "yr", 1997,
             orders.filter(F.col("yr") == 1998), keys, sums,
         )
+
+
+def test_backfill_partition_to_zero_rows_and_null_guard(spark, tmp_path):
+    """Second-review fixes (r8): restating a partition to ZERO rows
+    must delete the fact partition and its rollup slice (dynamic
+    overwrite can't express an empty partition), idempotently; NULL
+    partition values are rejected loudly in both backfill and verify."""
+    from datawarehouse_code_spark.operators.rollup import (
+        backfill_partition,
+        read_partitioned_rollup,
+        refresh_rollup_partition,
+        verify_rollup_partition,
+    )
+
+    orders = read_table(spark, "orders", SF_DIR).select(
+        "o_orderkey", "o_orderstatus",
+        F.year("o_orderdate").alias("yr"),
+        (F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    fact_path, rollup_path = str(tmp_path / "f"), str(tmp_path / "r")
+    keys, sums = ["o_orderstatus"], ["cents"]
+    orders.write.partitionBy("yr").parquet(fact_path)
+    for r in orders.select("yr").distinct().collect():
+        refresh_rollup_partition(
+            spark, rollup_path, orders.filter(F.col("yr") == r["yr"]),
+            "yr", keys, sums,
+        )
+
+    empty = orders.filter(F.lit(False))
+    backfill_partition(
+        spark, fact_path, rollup_path, "yr", 1997, empty, keys, sums
+    )
+    import os
+
+    assert not os.path.isdir(f"{fact_path}/yr=1997")
+    assert not os.path.isdir(f"{rollup_path}/yr=1997")
+    assert spark.read.parquet(fact_path).filter("yr = 1997").count() == 0
+    got = sorted(
+        tuple(r) for r in read_partitioned_rollup(spark, rollup_path, keys).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in orders.filter("yr <> 1997")
+        .groupBy(*keys)
+        .agg(F.sum("cents").alias("sum_cents"), F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    )
+    assert got == want
+    # deleted slice verifies consistent (0 facts == 0 partials), and
+    # the deletion re-runs as a no-op
+    assert verify_rollup_partition(
+        spark, fact_path, rollup_path, "yr", 1997, keys, sums
+    )
+    backfill_partition(
+        spark, fact_path, rollup_path, "yr", 1997, empty, keys, sums
+    )
+    assert sorted(
+        tuple(r) for r in read_partitioned_rollup(spark, rollup_path, keys).collect()
+    ) == want
+
+    for fn in (
+        lambda: backfill_partition(
+            spark, fact_path, rollup_path, "yr", None, empty, keys, sums
+        ),
+        lambda: verify_rollup_partition(
+            spark, fact_path, rollup_path, "yr", None, keys, sums
+        ),
+    ):
+        with pytest.raises(ValueError, match="NULL partition"):
+            fn()
