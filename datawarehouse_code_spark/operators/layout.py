@@ -157,9 +157,23 @@ def collect_file_stats(
     """
     if not cols:
         raise ValueError("collect_file_stats needs at least one column")
-    df = spark.read.parquet(path).select(
-        F.col("_metadata.file_path").alias("file_path"), *cols
-    )
+    return _file_stats_scan(spark, path, cols, only_files=None)
+
+
+def _file_stats_scan(
+    spark: "SparkSession",
+    path: str,
+    cols: list[str],
+    only_files: list[str] | None,
+) -> DataFrame:
+    df = spark.read.parquet(path)
+    if only_files is not None:
+        # a filter on the CONSTANT metadata column prunes the file
+        # LISTING itself — the scan opens exactly len(only_files)
+        # files (numFiles metric pinned by test), which is what makes
+        # refresh_file_stats cost ∝ the increment
+        df = df.where(F.col("_metadata.file_path").isin(only_files))
+    df = df.select(F.col("_metadata.file_path").alias("file_path"), *cols)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         aggs += [
@@ -168,6 +182,53 @@ def collect_file_stats(
             F.sum(F.col(c).isNull().cast("bigint")).alias(f"nulls_{c}"),
         ]
     return df.groupBy("file_path").agg(*aggs)
+
+
+def refresh_file_stats(
+    spark: "SparkSession",
+    path: str,
+    cols: list[str],
+    manifest: DataFrame,
+) -> DataFrame:
+    """Incremental manifest maintenance: bring a collect_file_stats
+    manifest up to date after files were APPENDED to (or removed
+    from) the table, at cost ∝ |changed files| + |manifest| — never a
+    full-table stats rescan (the same incremental doctrine as
+    extend_ivf_index / near_dup_pairs_incremental).
+
+    Mechanics: one zero-data-column distinct scan lists the CURRENT
+    file set (distributed — no driver file list for the table);
+    manifest rows for vanished files drop via a semi-join; stats for
+    new files come from a scan whose `_metadata.file_path IN (...)`
+    filter prunes the file listing to exactly the increment
+    (numFiles == |new files|, metric-pinned by test).  Only the
+    increment's paths are ever collected to the driver — bounded by
+    the append batch, not the table.
+
+    Returns the refreshed manifest (same schema); callers PERSIST it
+    wherever they keep manifests before the next refresh — the frame
+    is lazy and its lineage reads the table, so re-evaluating a stale
+    manifest frame after files were deleted fails on the vanished
+    files (a stored manifest has no such lineage).  Equals a
+    from-scratch collect_file_stats exactly (pytest asserts it).
+    """
+    current = (
+        spark.read.parquet(path)
+        .select(F.col("_metadata.file_path").alias("file_path"))
+        .distinct()
+    )
+    new_files = [
+        r["file_path"]
+        for r in current.join(
+            manifest.select("file_path"), "file_path", "left_anti"
+        ).collect()
+    ]
+    kept = manifest.join(current, "file_path", "left_semi")
+    if not new_files:
+        return kept
+    return kept.unionByName(
+        _file_stats_scan(spark, path, cols, only_files=new_files)
+    )
 
 
 def prune_files_df(

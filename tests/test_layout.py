@@ -349,3 +349,87 @@ def test_rowgroup_partial_read_preserves_nullable_int64(spark, tmp_path):
     assert got == want
     # the corruption case specifically: exact odd values survive
     assert got[901] == big + 901
+
+
+def _scan_num_files(df):
+    """Sum of FileSourceScan numFiles metrics after executing df."""
+    df.collect()
+    exe = df._jdf.queryExecution().executedPlan()
+    total = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if "QueryStageExec" in name:
+            walk(node.plan())
+            return
+        if "Scan" in name:
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numFiles":
+                    total.append(kv._2().value())
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(exe)
+    return sum(total)
+
+
+def test_refresh_file_stats_incremental(spark, tmp_path):
+    """Incremental manifest refresh (r8): after appending files, the
+    refreshed manifest must equal a from-scratch rebuild, the new-file
+    stats scan must OPEN only the appended files (numFiles metric ==
+    increment size — the _metadata.file_path listing-pruning this op
+    relies on), vanished files drop, and a no-change refresh is a
+    pure carry-through."""
+    import glob
+    import os
+
+    from datawarehouse_code_spark.operators.layout import (
+        _file_stats_scan,
+        collect_file_stats,
+        refresh_file_stats,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(0, 8000).select(F.col("id").alias("k")).repartition(8) \
+        .write.parquet(path)
+    manifest = collect_file_stats(spark, path, ["k"]).cache()
+    assert manifest.count() == 8
+
+    # append an increment
+    spark.range(8000, 11000).select(F.col("id").alias("k")).repartition(3) \
+        .write.mode("append").parquet(path)
+    # the increment-only stats scan opens exactly the 3 new files
+    new = [
+        "file:" + f for f in sorted(glob.glob(f"{path}/*.parquet"))
+    ]
+    refreshed = refresh_file_stats(spark, path, ["k"], manifest)
+    got = sorted(tuple(r) for r in refreshed.collect())
+    want = sorted(tuple(r) for r in collect_file_stats(spark, path, ["k"]).collect())
+    assert got == want and len(got) == 11
+
+    # metric pin: scanning 3 chosen files opens 3 files, not 11
+    three = new[:3]
+    assert _scan_num_files(_file_stats_scan(spark, path, ["k"], three)) == 3
+
+    # materialize the refreshed manifest (the real workflow persists
+    # it between refreshes: its lazy lineage reads the TABLE, so once
+    # files are deleted the old frame cannot be re-evaluated)
+    stored = spark.createDataFrame(refreshed.collect(), refreshed.schema)
+
+    # no-op refresh carries through; a deleted file's row drops
+    again = refresh_file_stats(spark, path, ["k"], stored)
+    assert sorted(tuple(r) for r in again.collect()) == got
+    victim = sorted(glob.glob(f"{path}/*.parquet"))[0]
+    os.remove(victim)
+    after = refresh_file_stats(spark, path, ["k"], stored)
+    assert after.count() == 10
+    assert not any(
+        r["file_path"].endswith(os.path.basename(victim))
+        for r in after.select("file_path").collect()
+    )
+    manifest.unpersist()
