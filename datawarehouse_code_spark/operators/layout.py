@@ -217,17 +217,24 @@ def refresh_file_stats(
         .select(F.col("_metadata.file_path").alias("file_path"))
         .distinct()
     )
-    new_files = [
-        r["file_path"]
-        for r in current.join(
-            manifest.select("file_path"), "file_path", "left_anti"
-        ).collect()
-    ]
+    new_head = (
+        current.join(manifest.select("file_path"), "file_path", "left_anti")
+        .limit(DRIVER_LIST_THRESHOLD + 1)
+        .collect()
+    )
+    if len(new_head) > DRIVER_LIST_THRESHOLD:
+        # the "increment" is itself table-scale (first build, or a
+        # bulk rewrite): an IN-list of that size would bloat the plan
+        # past the same budget the pruned readers honor — a full
+        # rebuild is both simpler and no more expensive
+        return collect_file_stats(spark, path, cols)
     kept = manifest.join(current, "file_path", "left_semi")
-    if not new_files:
+    if not new_head:
         return kept
     return kept.unionByName(
-        _file_stats_scan(spark, path, cols, only_files=new_files)
+        _file_stats_scan(
+            spark, path, cols, only_files=[r["file_path"] for r in new_head]
+        )
     )
 
 
