@@ -288,17 +288,57 @@ def prune_files(
 DRIVER_LIST_THRESHOLD = 65536
 
 
+def _surviving_rowgroups(
+    md, predicates: dict[str, tuple[object, object]]
+) -> list[int]:
+    """Row groups of one parquet footer that MIGHT satisfy every
+    interval predicate — the same survival rule as prune_rowgroups
+    (keep on missing/unknown stats), evaluated worker-side so the
+    past-threshold Arrow path skips row groups WITHOUT any row-group
+    manifest.  Conservative on any stats comparison surprise
+    (TypeError on exotic physical types → keep the group): skipping
+    must never be able to change results, only reduce I/O."""
+    idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
+    keep = []
+    for rg in range(md.num_row_groups):
+        rgm = md.row_group(rg)
+        ok = True
+        for c, (lo, hi) in predicates.items():
+            ci = idx.get(c)
+            if ci is None:
+                continue
+            st = rgm.column(ci).statistics
+            if st is None or not st.has_min_max:
+                continue
+            try:
+                if (lo is not None and st.max < lo) or (
+                    hi is not None and st.min > hi
+                ):
+                    ok = False
+                    break
+            except TypeError:
+                continue
+        if ok:
+            keep.append(rg)
+    return keep
+
+
 def _arrow_scan(
     files_df: DataFrame,
     schema: T.StructType,
     parallelism: int | None = None,
+    predicates: dict[str, tuple[object, object]] | None = None,
 ) -> DataFrame:
     """Distributed parquet scan over a DataFrame of (file_path, rgs):
     each task opens its assigned files with pyarrow and yields Arrow
     record batches — file paths and bytes never touch the driver.
     `rgs` NULL means the whole file; a populated array<int> reads only
     those row groups (footer-directed seek, data pages of skipped
-    groups are never fetched).
+    groups are never fetched).  With `predicates`, whole-file reads
+    additionally consult the footer they already opened and skip
+    row groups whose stats rule them out — the file-level manifest
+    cannot see inside files, so this recovers the row-group skipping
+    the JVM vectorized reader would have done on the fast path.
 
     mapInArrow, NOT mapInPandas: pandas degrades a null-bearing int64
     column to float64, silently corrupting values past 2^53 — arrow
@@ -313,7 +353,16 @@ def _arrow_scan(
             d = batch.to_pydict()
             for fp, rgs in zip(d["file_path"], d["rgs"]):
                 pf = pq.ParquetFile(_local_path(fp))
-                if rgs is None:
+                if rgs is None and predicates:
+                    md = pf.metadata
+                    live = _surviving_rowgroups(md, predicates)
+                    if not live:
+                        continue
+                    if len(live) == md.num_row_groups:
+                        tbl = pf.read(columns=names)
+                    else:
+                        tbl = pf.read_row_groups(live, columns=names)
+                elif rgs is None:
                     tbl = pf.read(columns=names)
                 else:
                     tbl = pf.read_row_groups(
@@ -364,7 +413,9 @@ def read_pruned(
         files = [r["file_path"] for r in head]
         return spark.read.schema(full.schema).parquet(*files).filter(cond)
     with_rgs = survivors.withColumn("rgs", F.lit(None).cast("array<int>"))
-    return _arrow_scan(with_rgs, full.schema, parallelism).filter(cond)
+    return _arrow_scan(
+        with_rgs, full.schema, parallelism, predicates=predicates
+    ).filter(cond)
 
 
 def _interval_cond(predicates: dict[str, tuple[object, object]]) -> Column:

@@ -433,3 +433,42 @@ def test_refresh_file_stats_incremental(spark, tmp_path):
         for r in after.select("file_path").collect()
     )
     manifest.unpersist()
+
+
+def test_surviving_rowgroups_matches_footer_truth(spark, tmp_path):
+    """Worker-side row-group survival (r8): against a real multi-row-
+    group file, _surviving_rowgroups must keep exactly the groups
+    whose [min, max] intersects the interval, keep groups on missing
+    predicate columns, and keep everything for an untyped-comparable
+    predicate (conservative fail-open)."""
+    from datawarehouse_code_spark.operators.layout import (
+        _surviving_rowgroups,
+        zorder_write,
+    )
+
+    df = spark.range(0, 20000).select(F.col("id").alias("k"))
+    path = str(tmp_path / "z")
+    zorder_write(df, path, ["k"], n_files=1,
+                 writer_options={"parquet.block.size": str(8 * 1024)})
+    import glob
+
+    f = glob.glob(f"{path}/*.parquet")[0]
+    md = pq.ParquetFile(f).metadata
+    assert md.num_row_groups > 3
+    lo, hi = 5000, 6000
+    live = _surviving_rowgroups(md, {"k": (lo, hi)})
+    want = []
+    idx = md.schema.column(0).path
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(0).statistics
+        if st.max >= lo and st.min <= hi:
+            want.append(rg)
+    assert live == want and 0 < len(live) < md.num_row_groups
+    # unknown predicate column: keep all (the row filter decides)
+    assert _surviving_rowgroups(md, {"missing": (1, 2)}) == list(
+        range(md.num_row_groups)
+    )
+    # incomparable bound: fail open, keep all
+    assert _surviving_rowgroups(md, {"k": ("zzz", None)}) == list(
+        range(md.num_row_groups)
+    )
