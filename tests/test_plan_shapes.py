@@ -93,6 +93,11 @@ PLAN_BOUNDS = {
     "decoded_image_stats": (2, 1),
     "supplier_communities": (2, 6),
     "lang_suite": (6, 6),
+    # late round-8 rows (measured: 0/0 checkpoint-terminated like the
+    # other iterative graph rows, 2/2, 1/0)
+    "supplier_weighted_paths": (2, 6),
+    "docs_mixture_token_budget": (3, 4),
+    "text_nfc_suite": (2, 1),
 }
 
 
