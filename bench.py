@@ -99,7 +99,24 @@ FROZEN_BASELINE_SF01 = {
     "asof_forward_events": 0.383,
     "supplier_bfs": 2.866,
     "dim_client_scd3": 0.336,
+    # frozen round 9 from the r8 driver run (driver-archived
+    # BENCH_full.json at commit 1210323; measured min-of-3)
+    "approx_bounds_suite": 5.507,
+    "lang_suite": 0.777,
+    "decoded_image_stats": 0.506,
+    "supplier_communities": 2.709,
+    "supplier_weighted_paths": 4.481,
+    "docs_mixture_token_budget": 0.845,
+    "text_nfc_suite": 0.32,
 }
+
+# Run-count provenance (adjudicated in round-8 ADVICE): rows frozen
+# through round 7 were measured min-of-2; the r7-new-at-r8 rows and
+# everything after are min-of-3 (the harness switched in round 8).
+# The extra sample gives post-switch measurements one more shot at a
+# lucky minimum vs the min-of-2 rows, so a small downward drift in
+# baseline_ratio across the switch is measurement, not speedup — do
+# not read sub-5% ratio moves on pre-r8 rows as real wins.
 
 # Headline set: the expensive/representative plans. Anything listed
 # here but not (yet) registered is skipped, so bench.py never breaks
@@ -167,8 +184,7 @@ HEADLINE = [
     "asof_forward_events",
     "supplier_bfs",
     "dim_client_scd3",
-    # round-8 additions (no frozen row yet; ratios appear once a later
-    # round freezes them)
+    # round-8 additions (frozen round 9 from the r8 driver run)
     "approx_bounds_suite",
     "lang_suite",
     "decoded_image_stats",
@@ -235,7 +251,7 @@ def main() -> None:
         }
         frozen_total = sum(FROZEN_BASELINE_SF01[n] for n in ratios)
         payload["baseline_ratio"] = {
-            "frozen": "BENCH_r02 + r3-new@r4 + r5-new@r6 + r6-new@r7 + r7-new@r8 rows (sf0.1, local[32])",
+            "frozen": "BENCH_r02 + r3-new@r4 + r5-new@r6 + r6-new@r7 + r7-new@r8 + r8-new@r9 rows (sf0.1, local[32]; min-of-2 through r7 rows, min-of-3 after)",
             "total": round(sum(times[n] for n in ratios) / frozen_total, 3),
             "queries": ratios,
         }
