@@ -23,13 +23,19 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datawarehouse_code_spark.operators.iterative import (
+    cut_lineage,
+    resolve_checkpoint_mode,
+)
 from datawarehouse_code_spark.operators.text import exact_dedup, near_dup_pairs_lsh
 
 # a pair source maps (documents, threshold) -> DataFrame[d1, d2, ...]
 PairSource = Callable[[DataFrame, float], DataFrame]
 
 
-def _two_phase_components(sym: DataFrame, max_rounds: int = 50) -> DataFrame:
+def _two_phase_components(
+    sym: DataFrame, max_rounds: int = 50, mode: str = "local"
+) -> DataFrame:
     """(doc_id, rep) by the alternating large-star/small-star fixpoint
     (Kiveris et al. 2014, "Connected Components in MapReduce and
     Beyond") — converges in O(log² n) rounds REGARDLESS of graph
@@ -49,13 +55,13 @@ def _two_phase_components(sym: DataFrame, max_rounds: int = 50) -> DataFrame:
     is a pure runaway guard; hitting it on a connected input would
     take a graph beyond 2^(sqrt(50)) nodes of pure chain.
     """
-    edges = (
+    edges = cut_lineage(
         sym.filter(F.col("d1") != F.col("d2"))
         .select(
             F.greatest("d1", "d2").alias("u"), F.least("d1", "d2").alias("v")
         )
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        mode,
     )
     for _ in range(max_rounds):
         # --- large-star ---
@@ -67,22 +73,22 @@ def _two_phase_components(sym: DataFrame, max_rounds: int = 50) -> DataFrame:
             .agg(F.min("v").alias("mn"))
             .select("u", F.least("mn", F.col("u")).alias("m"))
         )
-        large = (
+        large = cut_lineage(
             s.join(m, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
-            .localCheckpoint()
+            .distinct(),
+            mode,
         )
         # --- small-star (edges strictly oriented u > v by construction) ---
         m2 = large.groupBy("u").agg(F.min("v").alias("m"))
         joined = large.join(m2, "u")
-        small = (
+        small = cut_lineage(
             joined.filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(m2.select("u", F.col("m").alias("v")))
-            .distinct()
-            .localCheckpoint()
+            .distinct(),
+            mode,
         )
         unchanged = (
             small.count() == edges.count()
@@ -109,7 +115,10 @@ def _two_phase_components(sym: DataFrame, max_rounds: int = 50) -> DataFrame:
 
 
 def near_dup_components(
-    pairs: DataFrame, max_iters: int = 20, algorithm: str = "propagation"
+    pairs: DataFrame,
+    max_iters: int = 20,
+    algorithm: str = "propagation",
+    checkpoint: str = "auto",
 ) -> DataFrame:
     """(doc_id, rep): every document in the pair graph mapped to the
     minimum doc_id of its connected component.
@@ -132,38 +141,42 @@ def near_dup_components(
     graph is deep.
 
     Scale notes: each round of either algorithm is join + groupBy on
-    doc_id — no all-pairs step, no driver-side graph.
-    `localCheckpoint` truncates the lineage every round (the naive
-    loop builds an exponentially growing plan and re-executes the
-    pair source each round); on a real cluster prefer
-    `spark.sparkContext.setCheckpointDir` + `.checkpoint()` for
-    executor-loss resilience (localCheckpoint stores partitions on
-    executors only).
+    doc_id — no all-pairs step, no driver-side graph.  A lineage cut
+    every round keeps the plan flat (the naive loop builds an
+    exponentially growing plan and re-executes the pair source each
+    round); `checkpoint` picks the cut strategy
+    (operators/iterative.py — "auto" resolves to the reliable,
+    executor-loss-resilient `checkpoint()` iff the session has a
+    checkpoint dir, else `localCheckpoint()`).
     """
-    edges = pairs.select("d1", "d2").localCheckpoint()
-    sym = edges.union(
-        edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
-    ).localCheckpoint()
+    mode = resolve_checkpoint_mode(pairs, checkpoint)
+    edges = cut_lineage(pairs.select("d1", "d2"), mode)
+    sym = cut_lineage(
+        edges.union(
+            edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+        ),
+        mode,
+    )
     if algorithm == "two_phase":
-        return _two_phase_components(sym)
+        return _two_phase_components(sym, mode=mode)
     if algorithm != "propagation":
         raise ValueError(f"unknown algorithm {algorithm!r}")
-    labels = (
+    labels = cut_lineage(
         sym.select(F.col("d1").alias("doc_id"))
         .distinct()
-        .withColumn("rep", F.col("doc_id"))
-        .localCheckpoint()
+        .withColumn("rep", F.col("doc_id")),
+        mode,
     )
     changed = 0
     for _ in range(max_iters):
         nbr_reps = sym.join(
             labels.select(F.col("doc_id").alias("d2"), "rep"), "d2"
         ).select(F.col("d1").alias("doc_id"), "rep")
-        new_labels = (
+        new_labels = cut_lineage(
             labels.unionByName(nbr_reps)
             .groupBy("doc_id")
-            .agg(F.min("rep").alias("rep"))
-            .localCheckpoint()
+            .agg(F.min("rep").alias("rep")),
+            mode,
         )
         changed = (
             new_labels.join(
@@ -179,7 +192,7 @@ def near_dup_components(
         # long-diameter component: finish with the diameter-independent
         # fixpoint rather than raising (propagation's partial labels are
         # discarded — two-phase restarts from the edge set)
-        return _two_phase_components(sym)
+        return _two_phase_components(sym, mode=mode)
     return labels
 
 

@@ -31,6 +31,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from datawarehouse_code_spark.operators.iterative import (
+    cut_lineage,
+    resolve_checkpoint_mode,
+)
+
 TOTAL_MASS = 10**12
 
 
@@ -39,6 +44,7 @@ def pagerank_fixed(
     iters: int = 3,
     checkpoint_every: int | None = 8,
     check_dangling: bool = True,
+    checkpoint: str = "auto",
 ) -> DataFrame:
     """Integer-mass PageRank over a directed edge list (src, dst) for
     a FIXED number of iterations.  Every node must appear as a src at
@@ -57,17 +63,22 @@ def pagerank_fixed(
     exactly reproducible on any engine (integer arithmetic only).
 
     The edge list (and nodes/outdeg derived from it) is eagerly
-    localCheckpoint-ed up front: every iteration joins against all
-    three, and without the cut each round's plan would re-derive the
-    whole upstream edge lineage (at scale typically a large join +
-    distinct) once per iteration.
+    checkpointed up front: every iteration joins against all three,
+    and without the cut each round's plan would re-derive the whole
+    upstream edge lineage (at scale typically a large join +
+    distinct) once per iteration.  `checkpoint` picks the cut
+    strategy — see operators/iterative.py ("auto" = reliable
+    `checkpoint()` iff a checkpoint dir is configured, else
+    `localCheckpoint()`; executor loss mid-loop is unrecoverable
+    under the local variant on a real cluster).
     """
-    edges = edges.localCheckpoint(eager=True)
-    nodes = (
+    mode = resolve_checkpoint_mode(edges, checkpoint)
+    edges = cut_lineage(edges, mode)
+    nodes = cut_lineage(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        mode,
     )
     if check_dangling:
         srcs = edges.select("src").distinct()
@@ -80,10 +91,8 @@ def pagerank_fixed(
                 "symmetrize or self-loop the edge list first"
             )
 
-    outdeg = (
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("outdeg"))
-        .localCheckpoint(eager=True)
+    outdeg = cut_lineage(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")), mode
     )
     n_nodes = nodes.count()
     base = TOTAL_MASS // n_nodes
@@ -109,7 +118,7 @@ def pagerank_fixed(
             ).alias("mass"),
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = cut_lineage(ranks, mode)
     return ranks
 
 
@@ -187,6 +196,7 @@ def bfs_distances(
     edges: DataFrame,
     sources: DataFrame,
     max_hops: int = 20,
+    checkpoint: str = "auto",
 ) -> DataFrame:
     """Unweighted shortest-path hop distances from a SOURCE SET — the
     fourth graph primitive beside pagerank, connected components, and
@@ -202,9 +212,10 @@ def bfs_distances(
     current frontier to the symmetric edge list, proposes dist+1 to
     neighbors, merges with a min-groupBy, and stops when no node's
     distance improved.  Rounds needed = graph eccentricity from the
-    seed set, each round join+agg on node ids, localCheckpoint-ed
-    like the other iterative operators (the lineage would otherwise
-    grow per round).  `max_hops` bounds the loop; hitting it
+    seed set, each round join+agg on node ids, checkpointed like the
+    other iterative operators (the lineage would otherwise grow per
+    round; `checkpoint` picks the strategy — operators/iterative.py).
+    `max_hops` bounds the loop; hitting it
     truncates distances at max_hops (documented, not an error —
     distances are exact for every node whose dist < max_hops).
 
@@ -212,32 +223,37 @@ def bfs_distances(
     node id; at 100 TB the same shape as one pagerank iteration.  No
     driver-side graph state — only the convergence counter.
     """
+    mode = resolve_checkpoint_mode(edges, checkpoint)
     clean = edges.filter(F.col("a") != F.col("b")).select("a", "b")
-    sym = (
-        clean.union(clean.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint()
+    sym = cut_lineage(
+        clean.union(
+            clean.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct(),
+        mode,
     )
     src = sources.toDF("node").distinct()
-    dist = src.withColumn("dist", F.lit(0)).localCheckpoint()
+    dist = cut_lineage(src.withColumn("dist", F.lit(0)), mode)
     frontier = dist
     for _ in range(max_hops):
         proposals = (
             frontier.join(sym, frontier["node"] == sym["a"])
             .select(F.col("b").alias("node"), (F.col("dist") + 1).alias("dist"))
         )
-        merged = (
+        merged = cut_lineage(
             dist.unionByName(proposals)
             .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
+            .agg(F.min("dist").alias("dist")),
+            mode,
         )
         # the next frontier = nodes whose distance just improved
-        frontier = merged.join(
-            dist.select("node", F.col("dist").alias("_old")), "node", "left"
-        ).filter(
-            F.col("_old").isNull() | (F.col("dist") < F.col("_old"))
-        ).select("node", "dist").localCheckpoint()
+        frontier = cut_lineage(
+            merged.join(
+                dist.select("node", F.col("dist").alias("_old")), "node", "left"
+            ).filter(
+                F.col("_old").isNull() | (F.col("dist") < F.col("_old"))
+            ).select("node", "dist"),
+            mode,
+        )
         dist = merged
         if frontier.limit(1).count() == 0:
             break
@@ -248,6 +264,7 @@ def label_propagation(
     edges: DataFrame,
     n_rounds: int = 4,
     checkpoint_every: int = 2,
+    checkpoint: str = "auto",
 ) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation (LPA) —
     the fifth graph primitive beside pagerank, connected components
@@ -271,15 +288,18 @@ def label_propagation(
     against the label frame (shuffled on node id), one (node, label)
     count, one per-node window for the argmax — the same join+agg
     round as the CC/pagerank loops, AQE-splittable on hot nodes.
-    localCheckpoint every `checkpoint_every` rounds cuts the growing
-    lineage exactly as the other iterative operators do.  No driver
-    state beyond the loop counter.
+    A lineage cut every `checkpoint_every` rounds caps the growing
+    plan exactly as the other iterative operators do (`checkpoint`
+    picks the strategy — operators/iterative.py).  No driver state
+    beyond the loop counter.
     """
+    mode = resolve_checkpoint_mode(edges, checkpoint)
     clean = edges.filter(F.col("a") != F.col("b")).select("a", "b")
-    sym = (
-        clean.union(clean.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint()
+    sym = cut_lineage(
+        clean.union(
+            clean.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct(),
+        mode,
     )
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -302,7 +322,7 @@ def label_propagation(
             .select("node", "label")
         )
         if checkpoint_every and (r + 1) % checkpoint_every == 0:
-            labels = labels.localCheckpoint()
+            labels = cut_lineage(labels, mode)
     return labels
 
 
@@ -310,6 +330,7 @@ def weighted_shortest_paths(
     edges: DataFrame,
     sources: DataFrame,
     max_rounds: int = 20,
+    checkpoint: str = "auto",
 ) -> DataFrame:
     """Weighted shortest-path distances from a SOURCE SET — the
     weighted companion of bfs_distances (hop counts) and the sixth
@@ -337,49 +358,64 @@ def weighted_shortest_paths(
     re-relaxes only when its own distance improved, so round k ends
     with exactly min-over-≤k-edge-paths.  Scale shape per round: one
     equi-join shuffled on node id + one min-groupBy — the
-    bfs/pagerank/LPA round, localCheckpoint-ed lineage.
+    bfs/pagerank/LPA round, checkpointed lineage (`checkpoint` picks
+    the strategy — operators/iterative.py).
+
+    The negative-weight precondition is checked on the SYMMETRIZED
+    frame, not with a separate scan of `edges`: sym is eagerly
+    materialized for the loop anyway, so min-over-sym reads the
+    deduplicated checkpoint blocks instead of paying one extra full
+    edge scan per call (min(min-per-pair) == global min, so the
+    check is exact).
     """
-    neg = edges.filter(F.col("w") < 0).limit(1).count()
-    if neg:
+    mode = resolve_checkpoint_mode(edges, checkpoint)
+    # self-loops ride THROUGH the symmetrize (they collapse to (a, a)
+    # rows) so the min-weight check still sees a negative self-loop —
+    # a genuine negative cycle — before they are dropped for the loop
+    raw = edges.select("a", "b", "w")
+    sym_all = cut_lineage(
+        raw.union(
+            raw.select(
+                F.col("b").alias("a"), F.col("a").alias("b"), F.col("w")
+            )
+        )
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w")),
+        mode,
+    )
+    min_w = sym_all.agg(F.min("w").alias("mn")).first()["mn"]
+    if min_w is not None and min_w < 0:
         raise ValueError(
             "weighted_shortest_paths: negative edge weights present — "
             "Bellman-Ford over a distributed frontier cannot certify "
             "negative-cycle freedom; shift or clamp weights first"
         )
-    clean = edges.filter(F.col("a") != F.col("b")).select("a", "b", "w")
-    sym = (
-        clean.union(
-            clean.select(
-                F.col("b").alias("a"), F.col("a").alias("b"), F.col("w")
-            )
-        )
-        .groupBy("a", "b")
-        .agg(F.min("w").alias("w"))
-        .localCheckpoint()
-    )
+    sym = sym_all.filter(F.col("a") != F.col("b"))
     src = sources.toDF("node").distinct()
-    dist = src.withColumn("dist", F.lit(0).cast("bigint")).localCheckpoint()
+    dist = cut_lineage(
+        src.withColumn("dist", F.lit(0).cast("bigint")), mode
+    )
     frontier = dist
     for _ in range(max_rounds):
         proposals = frontier.join(sym, frontier["node"] == sym["a"]).select(
             F.col("b").alias("node"),
             (F.col("dist") + F.col("w")).cast("bigint").alias("dist"),
         )
-        merged = (
+        merged = cut_lineage(
             dist.unionByName(proposals)
             .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
+            .agg(F.min("dist").alias("dist")),
+            mode,
         )
-        frontier = (
+        frontier = cut_lineage(
             merged.join(
                 dist.select("node", F.col("dist").alias("_old")),
                 "node",
                 "left",
             )
             .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
-            .select("node", "dist")
-            .localCheckpoint()
+            .select("node", "dist"),
+            mode,
         )
         dist = merged
         if frontier.limit(1).count() == 0:

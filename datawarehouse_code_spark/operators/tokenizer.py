@@ -40,6 +40,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from datawarehouse_code_spark.operators.iterative import (
+    cut_lineage,
+    resolve_checkpoint_mode,
+)
 from datawarehouse_code_spark.operators.text import words
 
 END = "</w>"
@@ -107,22 +111,28 @@ def bpe_train(
     n_merges: int,
     text_col: str = "text",
     vocab_cap: int | None = None,
+    checkpoint: str = "auto",
 ) -> list[tuple[str, str]]:
     """Learn an ordered BPE merge list: start from characters (+ the
     `</w>` end-of-word marker), repeatedly merge the highest-count
     adjacent pair (ties broken lexicographically, so training is
     deterministic across partitionings and engines).  Stops early if
     no pair occurs twice.  Returns [(a, b), ...] in merge order —
-    the artifact `bpe_encode_udf` applies."""
+    the artifact `bpe_encode_udf` applies.  `checkpoint` picks the
+    per-round lineage-cut strategy (operators/iterative.py)."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1: {n_merges}")
+    mode = resolve_checkpoint_mode(documents, checkpoint)
     vocab = word_frequency_table(documents, text_col, vocab_cap)
-    sym = vocab.select(
-        F.concat(
-            F.split(F.col("word"), ""), F.array(F.lit(END))
-        ).alias("symbols"),
-        "n",
-    ).localCheckpoint()
+    sym = cut_lineage(
+        vocab.select(
+            F.concat(
+                F.split(F.col("word"), ""), F.array(F.lit(END))
+            ).alias("symbols"),
+            "n",
+        ),
+        mode,
+    )
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         top = (
@@ -135,9 +145,12 @@ def bpe_train(
             break
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
-        sym = sym.select(
-            _apply_merge(F.col("symbols"), a, b).alias("symbols"), "n"
-        ).localCheckpoint()
+        sym = cut_lineage(
+            sym.select(
+                _apply_merge(F.col("symbols"), a, b).alias("symbols"), "n"
+            ),
+            mode,
+        )
     return merges
 
 

@@ -1,0 +1,170 @@
+"""Checkpoint-strategy knob for the iterative operators.
+
+All six iterative operators (pagerank, BFS, LPA, weighted SSSP,
+near-dup connected components, BPE training) take a
+``checkpoint: "auto"|"local"|"reliable"`` parameter
+(operators/iterative.py).  These tests pin:
+
+- "auto" resolves to RELIABLE ``checkpoint()`` iff the session has a
+  checkpoint directory, local otherwise;
+- reliable mode actually materializes to the checkpoint dir (files
+  appear; the result frame's RDD lineage shows ReliableCheckpointRDD)
+  — executor-loss resilience on a real cluster, the property
+  localCheckpoint lacks;
+- every operator returns identical results under both strategies;
+- "reliable" without a configured dir fails FAST (before any work).
+
+The checkpoint dir is restored (unset) after each test so the shared
+session's other tests keep the cheap local path.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def ckpt_dir(spark, tmp_path):
+    sc = spark.sparkContext
+    old = sc.getCheckpointDir()
+    assert old is None, "shared test session unexpectedly has a checkpoint dir"
+    d = str(tmp_path / "reliable_ckpt")
+    sc.setCheckpointDir(d)
+    yield d
+    # SparkContext.setCheckpointDir(None) unsets (Option(null) -> None)
+    sc.setCheckpointDir(None)
+    assert sc.getCheckpointDir() is None
+
+
+def _n_ckpt_files(d: str) -> int:
+    return sum(len(files) for _, _, files in os.walk(d))
+
+
+def test_resolve_modes(spark):
+    from datawarehouse_code_spark.operators.iterative import (
+        resolve_checkpoint_mode,
+    )
+
+    df = spark.range(1)
+    assert resolve_checkpoint_mode(df, "auto") == "local"
+    assert resolve_checkpoint_mode(df, "local") == "local"
+    with pytest.raises(ValueError, match="setCheckpointDir"):
+        resolve_checkpoint_mode(df, "reliable")
+    with pytest.raises(ValueError, match="checkpoint must be one of"):
+        resolve_checkpoint_mode(df, "hdfs")
+
+
+def test_resolve_auto_prefers_reliable_with_dir(spark, ckpt_dir):
+    from datawarehouse_code_spark.operators.iterative import (
+        resolve_checkpoint_mode,
+    )
+
+    assert resolve_checkpoint_mode(spark.range(1), "auto") == "reliable"
+    assert resolve_checkpoint_mode(spark.range(1), "local") == "local"
+
+
+def test_pagerank_reliable_checkpoints_and_matches_local(spark, ckpt_dir):
+    from datawarehouse_code_spark.operators.graph import pagerank_fixed
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3)], ["src", "dst"]
+    )
+    # checkpoint_every=1 so the RETURNED frame is itself checkpointed
+    reliable = pagerank_fixed(edges, iters=2, checkpoint_every=1)  # auto→reliable
+    assert "ReliableCheckpointRDD" in reliable.rdd.toDebugString().decode()
+    assert _n_ckpt_files(ckpt_dir) > 0
+    local = pagerank_fixed(edges, iters=2, checkpoint_every=1, checkpoint="local")
+    assert sorted(map(tuple, reliable.collect())) == sorted(
+        map(tuple, local.collect())
+    )
+
+
+def test_bfs_reliable_matches_local(spark, ckpt_dir):
+    from datawarehouse_code_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], ["a", "b"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    reliable = bfs_distances(edges, seeds)  # auto → reliable
+    assert "ReliableCheckpointRDD" in reliable.rdd.toDebugString().decode()
+    local = bfs_distances(edges, seeds, checkpoint="local")
+    assert sorted(map(tuple, reliable.collect())) == sorted(
+        map(tuple, local.collect())
+    )
+
+
+def test_lpa_reliable_matches_local(spark, ckpt_dir):
+    from datawarehouse_code_spark.operators.graph import label_propagation
+
+    clique1 = [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a < b]
+    clique2 = [(a, b) for a in (7, 8, 9) for b in (7, 8, 9) if a < b]
+    edges = spark.createDataFrame(clique1 + clique2 + [(3, 7)], ["a", "b"])
+    reliable = label_propagation(edges, n_rounds=2, checkpoint_every=1)
+    assert "ReliableCheckpointRDD" in reliable.rdd.toDebugString().decode()
+    local = label_propagation(
+        edges, n_rounds=2, checkpoint_every=1, checkpoint="local"
+    )
+    assert sorted(map(tuple, reliable.collect())) == sorted(
+        map(tuple, local.collect())
+    )
+
+
+def test_sssp_reliable_matches_local(spark, ckpt_dir):
+    from datawarehouse_code_spark.operators.graph import weighted_shortest_paths
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 1), (1, 3, 10), (3, 4, 2)], ["a", "b", "w"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    reliable = weighted_shortest_paths(edges, seeds)
+    assert "ReliableCheckpointRDD" in reliable.rdd.toDebugString().decode()
+    local = weighted_shortest_paths(edges, seeds, checkpoint="local")
+    assert sorted(map(tuple, reliable.collect())) == sorted(
+        map(tuple, local.collect())
+    )
+
+
+def test_sssp_negative_weight_still_raises(spark, ckpt_dir):
+    from datawarehouse_code_spark.operators.graph import weighted_shortest_paths
+
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    neg = spark.createDataFrame([(1, 2, 3), (2, 3, -1)], ["a", "b", "w"])
+    with pytest.raises(ValueError, match="negative edge weights"):
+        weighted_shortest_paths(neg, seeds)
+    # a negative SELF-LOOP is a negative cycle and must raise too
+    # (the guard runs before self-loops are dropped)
+    loop = spark.createDataFrame([(1, 2, 3), (2, 2, -5)], ["a", "b", "w"])
+    with pytest.raises(ValueError, match="negative edge weights"):
+        weighted_shortest_paths(loop, seeds)
+
+
+def test_components_reliable_matches_local(spark, ckpt_dir):
+    from datawarehouse_code_spark.operators.corpus import near_dup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (12, 11)], ["d1", "d2"]
+    )
+    for algo in ("propagation", "two_phase"):
+        reliable = near_dup_components(pairs, algorithm=algo)
+        local = near_dup_components(pairs, algorithm=algo, checkpoint="local")
+        assert sorted(map(tuple, reliable.collect())) == sorted(
+            map(tuple, local.collect())
+        ), algo
+    assert _n_ckpt_files(ckpt_dir) > 0
+
+
+def test_bpe_train_reliable_matches_local(spark, ckpt_dir):
+    from datawarehouse_code_spark.operators.tokenizer import bpe_train
+
+    docs = spark.createDataFrame(
+        [("low lower lowest",), ("newer newest low",)], ["text"]
+    )
+    before = _n_ckpt_files(ckpt_dir)
+    reliable = bpe_train(docs, n_merges=3)
+    assert _n_ckpt_files(ckpt_dir) > before
+    local = bpe_train(docs, n_merges=3, checkpoint="local")
+    assert reliable == local and len(reliable) == 3
