@@ -192,6 +192,10 @@ HEADLINE = [
     "supplier_weighted_paths",
     "docs_mixture_token_budget",
     "text_nfc_suite",
+    # round-9 additions (no frozen row yet; ratios appear once a later
+    # round freezes them)
+    "similarity_topk_filtered",
+    "docs_quality_ml",
 ]
 
 

@@ -42,6 +42,17 @@ FEATURE_SCHEMA = (
     "checksum BIGINT"
 )
 FRAME_SCHEMA = "media_id BIGINT, frame_idx INT, frame_bytes BINARY, frame_len INT"
+
+# Hard cap on declared JPEG pixel count (16.7 MP).  The plane buffers
+# are allocated from the SOF0 header BEFORE entropy decode can fail,
+# so a crafted 2-byte dimension field must not be able to command
+# GB-scale numpy allocations in the quarantine lane (one hostile
+# payload OOM-killing an executor defeats "one bad byte must not kill
+# the job").  At this cap the worst pre-decode allocation is
+# ~3 planes x 2^24 x 8 B = 402 MB - survivable, and far above any
+# plausible training-corpus image; raise it only alongside a real
+# streaming/per-MCU-row allocator.
+JPEG_MAX_PIXELS = 1 << 24
 DECODED_STATS_SCHEMA = (
     "media_id BIGINT, width INT, height INT, "
     "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT"
@@ -338,9 +349,9 @@ def _decode_jpeg_inner(data: bytes):
             w = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
             # corruption guards: zero/absurd dims would allocate GB-
-            # scale planes or divide by zero; sampling factors are 1..4
-            # per the spec
-            if h == 0 or w == 0 or h * w > (1 << 28):
+            # scale planes or divide by zero (cap rationale at
+            # JPEG_MAX_PIXELS); sampling factors are 1..4 per the spec
+            if h == 0 or w == 0 or h * w > JPEG_MAX_PIXELS:
                 raise ValueError(f"implausible JPEG dimensions {w}x{h}")
             if ncomp not in (1, 3):
                 raise ValueError(f"unsupported component count {ncomp}")

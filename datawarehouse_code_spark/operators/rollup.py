@@ -456,6 +456,27 @@ def read_partitioned_rollup(
     )
 
 
+def _check_partition_value_path_safe(fn: str, value: object) -> None:
+    """Partition-scoped maintenance builds the partition DIRECTORY
+    path as a raw f-string `{col}={value}`, but Hive/Spark writers
+    percent-escape special characters (space, '/', ':', '%', ...) in
+    partition dir names — so for such values the raw path points at a
+    directory that does not exist and fs.delete silently no-ops,
+    leaving stale fact rows and a stale rollup slice behind (r8
+    ADVICE).  Rather than reimplementing Hive's escaping table (and
+    silently depending on it staying in sync), restrict string
+    partition values to the unescaped charset and fail loudly."""
+    import re
+
+    if isinstance(value, str) and not re.fullmatch(r"[A-Za-z0-9._-]+", value):
+        raise ValueError(
+            f"{fn}: string partition value {value!r} contains characters "
+            "Hive escapes in partition directory names; restrict "
+            "partition keys to [A-Za-z0-9._-] (or re-key the partition "
+            "column upstream)"
+        )
+
+
 def backfill_partition(
     spark: SparkSession,
     fact_path: str,
@@ -496,6 +517,7 @@ def backfill_partition(
             "backfill_partition: NULL partition values are unsupported "
             "(use a sentinel partition value upstream)"
         )
+    _check_partition_value_path_safe("backfill_partition", partition_value)
     stray = new_rows.filter(
         ~F.col(partition_col).eqNullSafe(F.lit(partition_value))
     ).limit(1).count()
@@ -540,6 +562,7 @@ def verify_rollup_partition(
             "verify_rollup_partition: NULL partition values are "
             "unsupported (use a sentinel partition value upstream)"
         )
+    _check_partition_value_path_safe("verify_rollup_partition", partition_value)
     fact = spark.read.parquet(fact_path).filter(
         F.col(partition_col) == F.lit(partition_value)
     )

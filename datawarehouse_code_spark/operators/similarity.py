@@ -47,11 +47,22 @@ __all__ = [
     "plane_matrices", "kmeans_centroids",
     "build_ivf_index", "extend_ivf_index", "query_ivf_index",
     "forget_vectors",
+    "_restrict_candidates",
 ]
 
 
 def as_double_array(c: Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
+
+
+# Compressed-index re-rank: when the shortlist has at most this many
+# distinct candidate ids, the id list is collected and pushed into the
+# vectors/ scan as a literal IN filter — parquet min/max row-group
+# stats + the vec_id-sorted layout turn the fetch into a skip-read.
+# Past it, the fetch falls back to a plain (broadcast) join: unbounded
+# driver lists are never built (layout.py DRIVER_LIST_THRESHOLD
+# doctrine).
+_RERANK_IN_LIST_THRESHOLD = 20_000
 
 
 def _ranked_topk(pairs: DataFrame, k: int) -> DataFrame:
@@ -81,11 +92,35 @@ def _with_inv_norm(vecs: DataFrame) -> DataFrame:
     return vecs.withColumn("inv", F.lit(1.0) / l2_norm(F.col("v")))
 
 
+def _restrict_candidates(vecs: DataFrame, allowed: DataFrame | None) -> DataFrame:
+    """Metadata-filtered ANN: semi-join the candidate side down to an
+    allowed-id set BEFORE any bucketing/ranking.  `allowed` is a
+    one-column DataFrame of permitted candidate vec_ids (the caller
+    computes it from whatever attribute predicate applies — lang,
+    license, date — typically `documents.filter(pred).select(doc_id)`).
+
+    Filter-BEFORE-rank is the whole point: ranking the full bucket and
+    filtering the top-k afterwards returns fewer than k rows (or none)
+    whenever the filter is selective — the classic post-filter ANN
+    bug.  A semi-join keeps the shape scale-safe: no collect, and when
+    the allowed set is small Spark broadcasts it."""
+    if allowed is None:
+        return vecs
+    ids = allowed.select(F.col(allowed.columns[0]).alias("vec_id"))
+    return vecs.join(ids, "vec_id", "left_semi")
+
+
 def brute_force_topk(
-    embeddings: DataFrame, max_query_id: int = 100, k: int = 5
+    embeddings: DataFrame,
+    max_query_id: int = 100,
+    k: int = 5,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine top-k for every query vector (vec_id < max_query_id)
-    against the full corpus (self excluded)."""
+    against the full corpus (self excluded).  `allowed` restricts the
+    CANDIDATE side to an id set (see _restrict_candidates) — queries
+    outside the set still search; candidates outside it are never
+    ranked."""
     vecs = _with_inv_norm(
         embeddings.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
     )
@@ -93,7 +128,7 @@ def brute_force_topk(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
         F.col("inv").alias("inv_q"),
     )
-    c = vecs.select(
+    c = _restrict_candidates(vecs, allowed).select(
         F.col("vec_id").alias("candidate_id"), F.col("v").alias("cv"),
         F.col("inv").alias("inv_c"),
     )
@@ -308,9 +343,16 @@ def lsh_topk(
     n_tables: int = 2,
     dim: int = 64,
     n_probes: int = 1,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share an LSH bucket in at
     least one hash table; exact cosine re-ranks within the union.
+
+    `allowed` restricts the CANDIDATE side to an id set
+    (_restrict_candidates) — applied BEFORE bucketing, so a selective
+    filter shrinks the index build itself, and filtered top-k returns
+    k results from the permitted set rather than post-filtering a
+    ranked bucket down to fewer.
 
     `n_probes` > 1 turns on query-side multi-probe: each query also
     searches the n_probes-1 buckets reached by flipping its
@@ -323,11 +365,16 @@ def lsh_topk(
     vecs = _with_inv_norm(
         embeddings.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
     )
-    bucketed = _lsh_bucketed(vecs, n_planes, n_tables, dim)
+    bucketed = _lsh_bucketed(
+        _restrict_candidates(vecs, allowed), n_planes, n_tables, dim
+    )
     queries = vecs.filter(F.col("vec_id") < max_query_id)
+    # queries bucket from the UNFILTERED corpus (a query outside the
+    # allowed set still searches), so the candidate-bucket reuse
+    # shortcut only applies when no filter is active
     q_bucketed = (
         _lsh_bucketed(queries, n_planes, n_tables, dim, n_probes=n_probes)
-        if n_probes > 1
+        if n_probes > 1 or allowed is not None
         else bucketed.filter(F.col("vec_id") < max_query_id)
     )
     q = q_bucketed.select(
@@ -431,8 +478,14 @@ def ivf_topk(
     n_probes: int = 2,
     fit_sample_fraction: float | None = None,
     fit_max_iter: int = 8,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: the centroid-bucketed scale path beside LSH.
+
+    `allowed` restricts the CANDIDATE side to an id set BEFORE
+    ranking (_restrict_candidates); the quantizer still fits on the
+    full corpus, so bucket boundaries are stable across filters (the
+    same predicate-agnostic index serves every query).
 
     Coarse quantizer: k-means centroids (see kmeans_centroids;
     deterministic seed, optionally sample-fit).  Every vector is
@@ -461,7 +514,7 @@ def ivf_topk(
     def nearest(df: DataFrame, id_col: str, probes: int) -> DataFrame:
         return _nearest_centroids(df, cents, id_col, probes)
 
-    assigned = nearest(vecs, "vec_id", 1).select(
+    assigned = nearest(_restrict_candidates(vecs, allowed), "vec_id", 1).select(
         F.col("vec_id").alias("candidate_id"), F.col("v").alias("cv"),
         F.col("inv").alias("inv_c"), "cent_id",
     )
@@ -478,6 +531,29 @@ def ivf_topk(
     return _ranked_topk(pairs, k)
 
 
+def _quantize_int8(assigned: DataFrame) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization of column `v`:
+    scale = max|v_i| / 127, code_i = round(v_i / scale) ∈ [-127, 127]
+    (an all-zero vector gets scale 0 and zero codes).  Pure JVM array
+    expressions — no UDF.  The stored `inv` stays the EXACT
+    reciprocal norm: quantization approximates the dot product only,
+    which keeps the approximate cosine unbiased by norm error."""
+    scale = (F.array_max(F.transform(F.col("v"), F.abs)) / F.lit(127.0))
+    code = F.when(
+        scale > 0,
+        F.transform(
+            F.col("v"),
+            lambda x: F.round(x / scale).cast("tinyint"),
+        ),
+    ).otherwise(
+        F.transform(F.col("v"), lambda x: F.lit(0).cast("tinyint"))
+    )
+    return assigned.select(
+        "cent_id", "vec_id",
+        code.alias("code"), scale.alias("scale"), "inv",
+    )
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     path: str,
@@ -485,6 +561,7 @@ def build_ivf_index(
     seed: int = 42,
     fit_sample_fraction: float | None = None,
     fit_max_iter: int = 8,
+    compress: str | None = None,
 ) -> None:
     """Persist an IVF ANN index: the k-means coarse quantizer's
     centroids (tiny) plus every corpus vector assigned to its nearest
@@ -499,7 +576,20 @@ def build_ivf_index(
     touches only its probed partitions.  Layout doctrine shared with
     operators/layout.py: physical organization (partitioning) IS the
     index.
+
+    `compress="int8"` stores per-vector symmetric int8 codes + scale
+    in `assignments/` (the RANKING columns — ~8× fewer probe bytes
+    than float64 vectors, the dominant cost at 10⁹×d index scale) and
+    the full-precision vectors in a separate `vectors/` table, also
+    cent_id-partitioned and SORTED by vec_id within partitions so the
+    re-rank's candidate-id filter can skip row groups via parquet
+    min/max stats.  `query_ivf_index` ranks on the codes and re-ranks
+    its top k·rerank_factor survivors on full precision — recall loss
+    vs the uncompressed index is bounded to candidates whose
+    quantized rank falls outside the rerank window (pinned by test).
     """
+    if compress not in (None, "int8"):
+        raise ValueError(f"compress must be None or 'int8': {compress!r}")
     vecs = _with_inv_norm(
         embeddings.select(
             "vec_id", as_double_array(F.col("embedding")).alias("v")
@@ -511,12 +601,33 @@ def build_ivf_index(
     )
     cents.coalesce(1).write.mode("error").parquet(f"{path}/centroids")
     assigned = _nearest_centroids(vecs, cents, "vec_id", 1)
+    if compress is None:
+        (
+            assigned.select("cent_id", "vec_id", "v", "inv")
+            .write.mode("error")
+            .partitionBy("cent_id")
+            .parquet(f"{path}/assignments")
+        )
+        return
     (
-        assigned.select("cent_id", "vec_id", "v", "inv")
+        _quantize_int8(assigned)
         .write.mode("error")
         .partitionBy("cent_id")
         .parquet(f"{path}/assignments")
     )
+    (
+        assigned.select("cent_id", "vec_id", "v")
+        .sortWithinPartitions("cent_id", "vec_id")
+        .write.mode("error")
+        .partitionBy("cent_id")
+        .parquet(f"{path}/vectors")
+    )
+
+
+def _index_is_compressed(spark: SparkSession, path: str) -> bool:
+    """True when the persisted index stores int8 codes (schema probe —
+    footer metadata only, no data read)."""
+    return "code" in spark.read.parquet(f"{path}/assignments").columns
 
 
 def extend_ivf_index(embeddings: DataFrame, path: str) -> None:
@@ -524,7 +635,9 @@ def extend_ivf_index(embeddings: DataFrame, path: str) -> None:
     partitions — the incremental path: cost ∝ |increment|, never a
     refit or corpus rewrite (bucket boundaries stay fixed, which is
     exactly what a serving index wants — recall on old vectors is
-    untouched)."""
+    untouched).  A compressed index (schema-detected) gets the same
+    treatment: quantize the increment, append codes to assignments/
+    and full vectors to vectors/."""
     spark = embeddings.sparkSession
     cents = spark.read.parquet(f"{path}/centroids")
     vecs = _with_inv_norm(
@@ -533,11 +646,26 @@ def extend_ivf_index(embeddings: DataFrame, path: str) -> None:
         )
     )
     assigned = _nearest_centroids(vecs, cents, "vec_id", 1)
+    if not _index_is_compressed(spark, path):
+        (
+            assigned.select("cent_id", "vec_id", "v", "inv")
+            .write.mode("append")
+            .partitionBy("cent_id")
+            .parquet(f"{path}/assignments")
+        )
+        return
     (
-        assigned.select("cent_id", "vec_id", "v", "inv")
+        _quantize_int8(assigned)
         .write.mode("append")
         .partitionBy("cent_id")
         .parquet(f"{path}/assignments")
+    )
+    (
+        assigned.select("cent_id", "vec_id", "v")
+        .sortWithinPartitions("cent_id", "vec_id")
+        .write.mode("append")
+        .partitionBy("cent_id")
+        .parquet(f"{path}/vectors")
     )
 
 
@@ -559,10 +687,28 @@ def forget_vectors(
     of only the affected partitions (∝ affected buckets).  Untouched
     partitions' files are not rewritten (pinned by test).  Returns
     {n_removed, partitions_rewritten, partitions_deleted}.
+
+    A compressed index (build_ivf_index compress="int8") holds the
+    forgotten vectors TWICE — int8 codes in assignments/ and full
+    precision in vectors/ — so both tables get the same
+    partition-scoped rewrite (deleting only the codes would leave the
+    recoverable full-precision embedding behind, which is the exact
+    thing RTBF must not do).
     """
     from datawarehouse_code_spark.sources.acid import _fs_for
 
-    apath = f"{path}/assignments"
+    # probe the format BEFORE mutating: forgetting every vector can
+    # leave assignments/ without a readable schema
+    compressed = _index_is_compressed(spark, path)
+    result = _forget_from_table(spark, f"{path}/assignments", vec_ids, _fs_for)
+    if compressed:
+        _forget_from_table(spark, f"{path}/vectors", vec_ids, _fs_for)
+    return result
+
+
+def _forget_from_table(
+    spark: SparkSession, apath: str, vec_ids: DataFrame, _fs_for
+) -> dict[str, int]:
     ids = vec_ids.select(F.col(vec_ids.columns[0]).alias("vec_id"))
     idx = spark.read.parquet(apath)
     affected = sorted(
@@ -591,7 +737,11 @@ def forget_vectors(
     try:
         if live_parts:
             (
-                survivors.write.mode("overwrite")
+                # the vec_id re-sort keeps the vectors/ table's
+                # row-group-skippable layout across rewrites (no-op
+                # cost for assignments/)
+                survivors.sortWithinPartitions("cent_id", "vec_id")
+                .write.mode("overwrite")
                 .partitionBy("cent_id")
                 .parquet(apath)
             )
@@ -614,6 +764,8 @@ def query_ivf_index(
     queries: DataFrame,
     k: int = 5,
     n_probes: int = 2,
+    allowed: DataFrame | None = None,
+    rerank_factor: int = 4,
 ) -> DataFrame:
     """Top-k over a persisted IVF index: queries rank the stored
     centroids (broadcast), and the index scan is FILTERED to the
@@ -621,7 +773,26 @@ def query_ivf_index(
     centroid-id LIST (≤ n_centroids integers), which is what turns
     the filter into static partition pruning instead of a full-index
     join.  Self-matches (same vec_id) are excluded, mirroring
-    ivf_topk."""
+    ivf_topk.
+
+    `allowed` (one-column id frame) restricts candidates BEFORE
+    ranking — the semi-join sits ABOVE the pruned scan, so the
+    attribute filter composes with cent_id partition pruning instead
+    of replacing it (plan-pinned: PartitionFilters survive).
+
+    On a COMPRESSED index (build_ivf_index compress="int8",
+    schema-detected) the probed partitions are ranked on the int8
+    codes (~1/8 the bytes of the float64 vectors — the probe-I/O
+    win), the top k·`rerank_factor` per query are re-ranked on the
+    full-precision vectors/ table, and the final top-k comes from the
+    exact scores — so returned sims are EXACT; compression can only
+    cost recall, and only for true top-k members whose quantized rank
+    fell outside the rerank window.  The re-rank fetch filters
+    vectors/ to the probed partitions, and when the shortlist is
+    driver-bounded (≤ _RERANK_IN_LIST_THRESHOLD ids) pushes the
+    candidate-id list into the scan so the vec_id-sorted row groups
+    are SKIPPED via parquet min/max stats instead of read-and-joined.
+    """
     cents = spark.read.parquet(f"{path}/centroids")
     qv = _with_inv_norm(
         queries.select(
@@ -635,20 +806,70 @@ def query_ivf_index(
     probe_ids = sorted(
         r["cent_id"] for r in probed.select("cent_id").distinct().collect()
     )
-    idx = (
-        spark.read.parquet(f"{path}/assignments")
-        .filter(F.col("cent_id").isin(probe_ids))
-        .select(
+    scan = _restrict_candidates(
+        spark.read.parquet(f"{path}/assignments").filter(
+            F.col("cent_id").isin(probe_ids)
+        ),
+        allowed,
+    )
+    if "code" not in scan.columns:
+        idx = scan.select(
             "cent_id", F.col("vec_id").alias("candidate_id"),
             F.col("v").alias("cv"), F.col("inv").alias("inv_c"),
         )
+        pairs = (
+            probed.join(idx, "cent_id")
+            .filter(F.col("query_id") != F.col("candidate_id"))
+            .select("query_id", "qv", "inv_q", "candidate_id", "cv", "inv_c")
+            .dropDuplicates(["query_id", "candidate_id"])
+        )
+        return _ranked_topk(pairs, k)
+    # --- compressed path: rank codes, re-rank survivors exactly ---
+    cand = scan.select(
+        "cent_id", F.col("vec_id").alias("candidate_id"),
+        "code", "scale", F.col("inv").alias("inv_c"),
     )
-    pairs = (
-        probed.join(idx, "cent_id")
+    approx_sim = (
+        dot(F.col("qv"), as_double_array(F.col("code")))
+        * F.col("scale") * F.col("inv_q") * F.col("inv_c")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("asim").desc(), F.col("candidate_id").asc()
+    )
+    shortlist = (
+        probed.join(cand, "cent_id")
         .filter(F.col("query_id") != F.col("candidate_id"))
-        .select("query_id", "qv", "inv_q", "candidate_id", "cv", "inv_c")
-        .dropDuplicates(["query_id", "candidate_id"])
+        .select(
+            "cent_id", "query_id", "qv", "inv_q", "candidate_id", "inv_c",
+            approx_sim.alias("asim"),
+        )
+        .withColumn("ark", F.row_number().over(w))
+        .filter(F.col("ark") <= k * rerank_factor)
+        .select("cent_id", "query_id", "qv", "inv_q", "candidate_id", "inv_c")
+        # eagerly materialized: it is joined below AND probed for the
+        # bounded id-list pushdown — |Q|·k·rerank_factor rows, small
+        .localCheckpoint(eager=True)
     )
+    vec_scan = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("cent_id").isin(probe_ids)
+    )
+    id_probe = (
+        shortlist.select("candidate_id").distinct()
+        .limit(_RERANK_IN_LIST_THRESHOLD + 1).collect()
+    )
+    if len(id_probe) <= _RERANK_IN_LIST_THRESHOLD:
+        vec_scan = vec_scan.filter(
+            F.col("vec_id").isin(sorted(r["candidate_id"] for r in id_probe))
+        )
+    full = shortlist.join(
+        vec_scan.select(
+            F.col("vec_id").alias("candidate_id"), F.col("v").alias("cv")
+        ),
+        "candidate_id",
+    )
+    pairs = full.select(
+        "query_id", "qv", "inv_q", "candidate_id", "cv", "inv_c"
+    ).dropDuplicates(["query_id", "candidate_id"])
     return _ranked_topk(pairs, k)
 
 

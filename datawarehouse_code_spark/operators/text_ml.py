@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datawarehouse_code_spark.operators.text import shingle_hash_docs
+from datawarehouse_code_spark.operators.text import shingle_hash_docs, words
 
 
 def near_dup_pairs_mllib(
@@ -59,6 +59,137 @@ def near_dup_pairs_mllib(
         )
         .filter(F.col("d1") < F.col("d2"))
         .dropDuplicates(["d1", "d2"])
+    )
+
+
+def gibberish_twin(c) -> "F.Column":
+    """Deterministic reject-class twin of a text: every word maps to
+    the pseudo-word ``zq<first 2 md5 hex chars>`` — vocabulary-disjoint
+    from real text, but drawn from a SHARED 256-token gibberish
+    vocabulary, so a classifier trained on some twins generalizes to
+    held-out ones (per-doc-unique gibberish — e.g. hashing the whole
+    text — trains nothing transferable: unseen negatives would score
+    at the intercept).  Used by the planted-seed registry row and the
+    classifier tests; real deployments supply human-labeled seeds."""
+    return F.concat_ws(
+        " ",
+        F.transform(
+            words(c),
+            lambda w: F.concat(F.lit("zq"), F.substring(F.md5(w), 1, 2)),
+        ),
+    )
+
+
+def hashed_ngram_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_features: int = 1 << 16,
+    out_col: str = "features",
+) -> DataFrame:
+    """fastText-style bag of hashed word n-grams: unigrams + adjacent
+    word bigrams (joined with '_'), feature-hashed by HashingTF into a
+    fixed-width sparse count vector.  Stateless — no vocabulary fit,
+    no global pass — which is exactly why it scales: featurization is
+    a narrow map at any corpus size, and train/score can never skew on
+    a vocabulary table.
+
+    `num_features` trades collision rate against driver memory: the
+    logistic-regression coefficient vector is `num_features` doubles
+    aggregated on the driver per L-BFGS iteration, so 2^16 (0.5 MB)
+    is the scale-sane default and 2^22 (32 MB × history) the ceiling
+    worth considering for very large seeds.
+    """
+    from pyspark.ml.feature import HashingTF
+
+    base = docs.withColumn("_ws", words(F.col(text_col)))
+    k = F.greatest(F.size("_ws") - 1, F.lit(0))
+    toks = base.withColumn(
+        "_tokens",
+        F.concat(
+            F.col("_ws"),
+            F.transform(
+                F.arrays_zip(
+                    F.slice("_ws", 1, k).alias("w1"),
+                    F.slice("_ws", 2, k).alias("w2"),
+                ),
+                lambda p: F.concat_ws("_", p["w1"], p["w2"]),
+            ),
+        ),
+    ).drop("_ws")
+    tf = HashingTF(
+        inputCol="_tokens", outputCol=out_col, numFeatures=num_features
+    )
+    return tf.transform(toks).drop("_tokens")
+
+
+def train_quality_classifier(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    num_features: int = 1 << 16,
+    max_iter: int = 50,
+    reg_param: float = 1e-4,
+):
+    """Hashed-ngram logistic regression — the ML leg of quality
+    scoring beside the Gopher-style rules (operators/text.py) and the
+    bigram-LM perplexity proxy above: train on a LABELED SEED
+    (label 1 = keep-quality, 0 = reject) and score the whole corpus.
+    This is the fastText-classifier recipe (Joulin et al. 2016,
+    "Bag of Tricks for Efficient Text Classification") on Spark
+    primitives: hashed n-gram features + a linear model.
+
+    Returns the fitted pyspark.ml LogisticRegressionModel; score with
+    `quality_classifier_score` using the SAME num_features (feature
+    hashing is position-based — a width mismatch silently scrambles
+    every feature, so the scorer takes it explicitly rather than
+    defaulting differently).
+
+    Scale shape: L-BFGS over treeAggregated gradients — each
+    iteration is one pass over the (usually seed-sized, not
+    corpus-sized) training frame; scoring broadcasts the coefficient
+    vector and is a narrow map.  Threshold guidance: on the planted
+    fixture seed the classifier separates perfectly (AUC pinned >=
+    0.99 in tests/test_quality_classifier.py); on real mixed-domain
+    seeds pick the operating threshold from the score distribution
+    (e.g. keep p_good >= 0.5 for balanced seeds, higher for
+    precision-first filtering).
+    """
+    from pyspark.ml.classification import LogisticRegression
+
+    feats = hashed_ngram_features(
+        labeled, text_col=text_col, num_features=num_features
+    ).select(F.col(label_col).cast("double").alias("label"), "features")
+    lr = LogisticRegression(
+        featuresCol="features", labelCol="label",
+        maxIter=max_iter, regParam=reg_param,
+    )
+    return lr.fit(feats)
+
+
+def quality_classifier_score(
+    docs: DataFrame,
+    model,
+    num_features: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, p_good, predicted): corpus scoring under a trained quality
+    classifier.  `p_good` is the class-1 probability (floats are
+    engine-specific, so this is a rows-only operator with exact-twin
+    pytest coverage — the planted-seed test pins perfect separation);
+    `predicted` is the 0/1 argmax at the model's 0.5 threshold."""
+    from pyspark.ml.functions import vector_to_array
+
+    feats = hashed_ngram_features(
+        docs, text_col=text_col, num_features=num_features
+    )
+    return (
+        model.transform(feats)
+        .select(
+            id_col,
+            vector_to_array(F.col("probability"))[1].alias("p_good"),
+            F.col("prediction").cast("int").alias("predicted"),
+        )
     )
 
 

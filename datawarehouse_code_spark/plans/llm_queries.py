@@ -849,6 +849,48 @@ WHERE rk <= 5
 """
 
 
+def _similarity_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered exact top-k: candidates restricted to
+    English-language documents (fixture vec_id aligns with doc_id)
+    BEFORE ranking — filter-then-rank semantics (the post-filter ANN
+    bug returns < k rows under a selective predicate; this always
+    ranks k permitted candidates).  Exact brute force so DuckDB
+    replays it verbatim; the approximate paths (lsh_topk / ivf_topk /
+    query_ivf_index `allowed=`) share the same _restrict_candidates
+    semi-join and are pinned against this exact twin in
+    tests/test_similarity_compressed.py."""
+    emb = read_table(spark, "embeddings", sf_dir)
+    docs = read_table(spark, "documents", sf_dir)
+    allowed = docs.filter(F.col("lang") == "en").select("doc_id")
+    return brute_force_topk(emb, allowed=allowed)
+
+
+_SIM_FILTERED_SQL = """
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         1.0 / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
+             AS inv
+  FROM embeddings
+), pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+         (list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+          * q.inv) * c.inv AS sim
+  FROM vecs q JOIN vecs c ON q.vec_id < 100 AND q.vec_id <> c.vec_id
+  WHERE c.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+)
+SELECT query_id, candidate_id,
+       floor(sim * 1e6) / 1e6 AS sim_f6,
+       CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY floor(sim * 1e6) / 1e6 DESC, candidate_id ASC) AS rk
+  FROM pairs
+)
+WHERE rk <= 5
+"""
+
+
 def _similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: bucket membership depends on xxhash64-derived planes.
     return lsh_topk(read_table(spark, "embeddings", sf_dir))
@@ -878,6 +920,36 @@ def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("vec_id") + 1_000_000
     )
     return embedding_near_dup_lsh(emb.unionByName(copies))
+
+
+def _docs_quality_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: hashed-ngram logistic-regression quality scores (the
+    fastText-classifier leg beside the Gopher rules and the bigram
+    LM).  Seed labels are PLANTED deterministically — every 5th doc as
+    a keep-quality positive, its gibberish twin (words mapped into a
+    shared vocabulary-disjoint pseudo-word set, text_ml.gibberish_twin)
+    as a reject negative — then the trained model scores the whole
+    corpus.  Probabilities
+    are float/engine-specific, so this is a rows-only row; the
+    planted-seed separation (AUC, margins) is pinned exactly in
+    tests/test_quality_classifier.py."""
+    from datawarehouse_code_spark.operators.text_ml import (
+        gibberish_twin,
+        quality_classifier_score,
+        train_quality_classifier,
+    )
+
+    docs = read_table(spark, "documents", sf_dir)
+    seed_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    pos = seed_docs.select("text", F.lit(1).alias("label"))
+    neg = seed_docs.select(
+        gibberish_twin(F.col("text")).alias("text"),
+        F.lit(0).alias("label"),
+    )
+    model = train_quality_classifier(
+        pos.unionByName(neg), num_features=1 << 16, max_iter=20
+    )
+    return quality_classifier_score(docs, model, num_features=1 << 16)
 
 
 def _approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1876,6 +1948,10 @@ LLM_QUERIES: list[Query] = [
           "north-star: embedding-cosine near-dup via LSH + exact verify (rows-only)"),
     Query("approx_distinct_events", _approx_distinct_events, None,
           "§2.2 aggregates: HLL approx_count_distinct (rows-only; exact twin = agg_count_distinct)"),
+    Query("docs_quality_ml", _docs_quality_ml, None,
+          "north-star: hashed-ngram logistic-regression quality scores "
+          "(fastText-style classifier leg; rows-only — planted-seed "
+          "separation pinned in tests/test_quality_classifier.py)"),
 ]
 
 # Constituents of the suites above: still first-class library queries —
@@ -2091,6 +2167,11 @@ FROM documents
 
 
 LLM_SUPPLEMENTARY: list[Query] = [
+    Query("similarity_topk_filtered", _similarity_topk_filtered,
+          _SIM_FILTERED_SQL,
+          "north-star: metadata-filtered ANN — candidates restricted "
+          "to lang='en' docs BEFORE ranking (filter-then-rank exact "
+          "twin; supplementary, differential-tested)"),
     Query("text_nfc_suite", _text_nfc_suite, _NFC_SQL,
           "north-star: Unicode NFC canonicalization on planted "
           "decomposed sequences (supplementary, differential-tested)"),

@@ -173,6 +173,70 @@ def read_orc(spark: SparkSession, path: str, table: str) -> DataFrame:
     return spark.read.schema(SCHEMAS[table]).orc(path)
 
 
+def avro_available(spark: SparkSession) -> bool:
+    """True when the spark-avro datasource module is on the session's
+    classpath.  Avro has been an EXTERNAL module since Spark 2.4 —
+    the distribution ships avro-core jars but not the
+    ``org.apache.spark:spark-avro`` datasource, so availability is a
+    deployment property (``--packages``), probed through Spark's own
+    datasource registry.  A bare Class.forName probe is NOT enough:
+    Spark 4 ships some ``org.apache.spark.sql.avro`` classes in core
+    (for from_avro/to_avro expression plumbing) while the file-source
+    registration still lives in the external module — lookupDataSource
+    is the check the read path itself performs."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+    except Exception:
+        return False
+    return True
+
+
+def read_avro(
+    spark: SparkSession, path: str, expected: str | None = None
+) -> DataFrame:
+    """Avro connector — the second-most-common lake interchange format
+    after parquet, with the same schema-contract treatment as
+    `read_evolving`: `expected` (optional DDL string) adds columns the
+    files predate as typed NULLs and projects to exactly the expected
+    columns in order, so a reader compiled against the current schema
+    works over any historical file mix.  Avro carries a writer schema
+    per FILE (not per row group), so evolution across files is the
+    normal case, not an option flag.
+
+    Raises loudly when the spark-avro module is absent (this container
+    — no network for the jar; see test_avro.py's skip) instead of
+    letting Spark's "Failed to find data source" surface mid-plan.
+    """
+    if not avro_available(spark):
+        raise RuntimeError(
+            "spark-avro datasource not on the classpath — deploy with "
+            "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
+        )
+    df = spark.read.format("avro").load(path)
+    if expected is None:
+        return df
+    from pyspark.sql.types import StructType
+
+    want = StructType.fromDDL(expected)
+    have = {f.name for f in df.schema.fields}
+    for f in want.fields:
+        if f.name not in have:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return df.select(*[f.name for f in want.fields])
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "error") -> None:
+    """Avro sink (same availability gate as `read_avro`)."""
+    if not avro_available(df.sparkSession):
+        raise RuntimeError(
+            "spark-avro datasource not on the classpath — deploy with "
+            "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
+        )
+    df.write.format("avro").mode(mode).save(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

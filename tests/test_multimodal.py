@@ -345,6 +345,36 @@ def test_jpeg_decoder_rejects_unsupported_loudly():
         decode_image(encode_gray_jpeg(8, 8, 50)[:-12])  # truncated entropy data
 
 
+def test_jpeg_hostile_dimensions_rejected_before_allocation():
+    """A crafted SOF0 header declaring huge dimensions must raise the
+    quarantine-lane ValueError BEFORE any plane allocation — a 2-byte
+    header field must not command GB-scale numpy buffers (the
+    JPEG_MAX_PIXELS cap; r8 ADVICE)."""
+    import resource
+
+    import pytest
+
+    from datawarehouse_code_spark.operators.multimodal import (
+        JPEG_MAX_PIXELS,
+        decode_image,
+        encode_gray_jpeg,
+    )
+
+    data = bytearray(encode_gray_jpeg(8, 8, 50))
+    sof = data.find(b"\xff\xc0")
+    # SOF0 payload: len(2) precision(1) height(2) width(2) — declare
+    # 32767 x 32767 ≈ 1.07e9 px, 64x past the cap
+    data[sof + 5 : sof + 9] = (32767).to_bytes(2, "big") * 2
+    before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    with pytest.raises(ValueError, match="implausible JPEG dimensions"):
+        decode_image(bytes(data))
+    after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    # rejection must not have grown the peak RSS by anything like the
+    # ~8 GB the declared planes would need (ru_maxrss is KB on Linux)
+    assert after - before < 1 << 20, (before, after)
+    assert 32767 * 32767 > JPEG_MAX_PIXELS
+
+
 def test_jpeg_single_component_scan_ignores_sampling_factors():
     """Review fix (r8): per ITU-T.81 A.2.2 a single-component scan is
     NON-interleaved — one block per MCU over ceil(w/8) x ceil(h/8) —

@@ -530,6 +530,24 @@ def test_backfill_partition_restates_and_stays_consistent(spark, tmp_path):
             orders.filter(F.col("yr") == 1998), keys, sums,
         )
 
+    # string values Hive would escape in the partition dir name refuse
+    # loudly instead of letting the zero-row fs.delete no-op on a path
+    # that never existed (r8 ADVICE)
+    for bad in ("1997:Q1", "a b", "x/y", "p%20q"):
+        with pytest.raises(ValueError, match="Hive escapes"):
+            backfill_partition(
+                spark, fact_path, rollup_path, "yr", bad,
+                orders.limit(0), keys, sums,
+            )
+        with pytest.raises(ValueError, match="Hive escapes"):
+            verify_rollup_partition(
+                spark, fact_path, rollup_path, "yr", bad, keys, sums
+            )
+    # the safe charset still passes through to the normal path
+    assert verify_rollup_partition(
+        spark, fact_path, rollup_path, "yr", 1997, keys, sums
+    )
+
 
 def test_backfill_partition_to_zero_rows_and_null_guard(spark, tmp_path):
     """Second-review fixes (r8): restating a partition to ZERO rows

@@ -1,0 +1,260 @@
+"""Int8-compressed persisted IVF index + metadata-filtered ANN
+(similarity.py round 9: build_ivf_index(compress="int8"),
+query_ivf_index rerank path, `allowed=` on every ANN entry point).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _dir_bytes(d: str) -> int:
+    return sum(
+        os.path.getsize(f)
+        for f in glob.glob(f"{d}/**/*.parquet", recursive=True)
+    )
+
+
+def _column_bytes(d: str, col: str) -> int:
+    """Compressed bytes of one column across every file in a parquet
+    dir (footer metadata only) — the probe-I/O a column-pruned rank
+    scan actually pays, free of per-file footer overhead that
+    dominates at fixture scale."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in glob.glob(f"{d}/**/*.parquet", recursive=True):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                if c.path_in_schema.split(".")[0] == col:
+                    total += c.total_compressed_size
+    return total
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from datawarehouse_code_spark.sources.catalog import read_table
+
+    return read_table(spark, "embeddings", SF_DIR)
+
+
+def test_int8_index_recall_exact_sims_and_size(spark, emb, tmp_path):
+    """The compressed index must (a) return EXACT sims (re-rank runs
+    on full precision), (b) keep recall vs the uncompressed index
+    within the rerank-window bound, and (c) actually shrink the
+    ranking table ~8x (the probe-I/O claim, measured not asserted-by-
+    vibes: int8 codes + one double scale vs array<double>)."""
+    from datawarehouse_code_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    pu, pc = str(tmp_path / "u"), str(tmp_path / "c")
+    build_ivf_index(emb, pu, n_centroids=16)
+    build_ivf_index(emb, pc, n_centroids=16, compress="int8")
+
+    queries = emb.filter(F.col("vec_id") < 100)
+    got_u = query_ivf_index(spark, pu, queries, k=5, n_probes=8).collect()
+    got_c = query_ivf_index(spark, pc, queries, k=5, n_probes=8).collect()
+
+    sims_u = {(r["query_id"], r["candidate_id"]): r["sim_f6"] for r in got_u}
+    sims_c = {(r["query_id"], r["candidate_id"]): r["sim_f6"] for r in got_c}
+    # exactness: every pair both paths return scores IDENTICALLY
+    # (quantization affects candidate selection only, never the score)
+    common = set(sims_u) & set(sims_c)
+    assert common, "no overlap between compressed and uncompressed top-k"
+    for pair in common:
+        assert sims_u[pair] == sims_c[pair], pair
+
+    by_q_u = defaultdict(set)
+    by_q_c = defaultdict(set)
+    for r in got_u:
+        by_q_u[r["query_id"]].add(r["candidate_id"])
+    for r in got_c:
+        by_q_c[r["query_id"]].add(r["candidate_id"])
+    recall = sum(
+        len(by_q_c[q] & cs) / len(cs) for q, cs in by_q_u.items()
+    ) / len(by_q_u)
+    assert recall >= 0.9, recall
+
+    # the probe-I/O claim, measured on the RANKING columns themselves
+    # (column-chunk compressed bytes): int8 codes ~1/8 of the float64
+    # vectors.  Whole-dir bytes get a looser bound — per-file footers
+    # and the scale/inv doubles dominate at 500-vector fixture scale
+    # but amortize away at index scale.
+    # measured 0.24 at sf0.01: the fixture's float32-provenance doubles
+    # snappy-compress (zero mantissa tails), so the on-disk gap is ~4x
+    # here and approaches the raw 8x on true float64 embeddings
+    code_b = _column_bytes(f"{pc}/assignments", "code")
+    vec_b = _column_bytes(f"{pu}/assignments", "v")
+    assert code_b < 0.3 * vec_b, (code_b, vec_b)
+    assert _dir_bytes(f"{pc}/assignments") < 0.5 * _dir_bytes(f"{pu}/assignments")
+
+
+def test_int8_rerank_pushes_id_list_into_vectors_scan(spark, emb, tmp_path):
+    """The full-precision fetch must keep cent_id PartitionFilters AND
+    (shortlist below the driver threshold) carry a pushed vec_id IN
+    filter so sorted row groups are skippable."""
+    from datawarehouse_code_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    path = str(tmp_path / "c")
+    build_ivf_index(emb, path, n_centroids=8, compress="int8")
+    got = query_ivf_index(
+        spark, path, emb.filter(F.col("vec_id") < 10), k=3, n_probes=2
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert re.search(r"PartitionFilters: \[[^\]]*cent_id[^\]]*\]", plan), plan[:3000]
+    assert re.search(r"PushedFilters: \[[^\]]*In\(vec_id", plan), plan[:3000]
+    assert got.count() > 0
+
+
+def test_int8_extend_and_forget(spark, emb, tmp_path):
+    """extend appends quantized codes AND full vectors; forget removes
+    the id from BOTH tables (RTBF must not leave the recoverable
+    full-precision copy behind)."""
+    from datawarehouse_code_spark.operators.similarity import (
+        build_ivf_index,
+        extend_ivf_index,
+        forget_vectors,
+        query_ivf_index,
+    )
+
+    path = str(tmp_path / "c")
+    build_ivf_index(emb, path, n_centroids=8, compress="int8")
+    copy = emb.filter(F.col("vec_id") == 7).withColumn(
+        "vec_id", F.lit(1_000_007).cast(emb.schema["vec_id"].dataType)
+    )
+    extend_ivf_index(copy, path)
+    top = query_ivf_index(
+        spark, path, emb.filter(F.col("vec_id") == 7), k=1, n_probes=1
+    ).collect()
+    assert len(top) == 1 and top[0]["candidate_id"] == 1_000_007
+    assert top[0]["sim_f6"] >= 0.999999
+
+    report = forget_vectors(
+        spark, path, spark.createDataFrame([(1_000_007,)], "vec_id bigint")
+    )
+    assert report["n_removed"] == 1
+    for sub in ("assignments", "vectors"):
+        left = (
+            spark.read.parquet(f"{path}/{sub}")
+            .filter(F.col("vec_id") == 1_000_007)
+            .count()
+        )
+        assert left == 0, sub
+    got = query_ivf_index(
+        spark, path, emb.filter(F.col("vec_id") == 7), k=3, n_probes=8
+    ).collect()
+    assert all(r["candidate_id"] != 1_000_007 for r in got)
+
+
+# ------------------------------------------------- metadata-filtered ANN
+
+
+@pytest.fixture(scope="module")
+def allowed_en(spark):
+    from datawarehouse_code_spark.sources.catalog import read_table
+
+    return (
+        read_table(spark, "documents", SF_DIR)
+        .filter(F.col("lang") == "en")
+        .select("doc_id")
+    )
+
+
+def test_filtered_fullprobe_ivf_equals_filtered_bruteforce(
+    spark, emb, allowed_en
+):
+    """Full probing makes IVF exact under ANY centroids, so the
+    filtered IVF path must match filter-then-brute-force EXACTLY —
+    the equivalence that pins _restrict_candidates is applied before
+    ranking, not after."""
+    from datawarehouse_code_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    brute = brute_force_topk(emb, allowed=allowed_en)
+    full_probe = ivf_topk(
+        emb, n_centroids=8, n_probes=8, fit_max_iter=1, allowed=allowed_en
+    )
+    assert sorted(map(tuple, brute.collect())) == sorted(
+        map(tuple, full_probe.collect())
+    )
+
+
+def test_filtered_lsh_candidates_all_allowed(spark, emb, allowed_en):
+    from datawarehouse_code_spark.operators.similarity import lsh_topk
+
+    allowed_ids = {r["doc_id"] for r in allowed_en.collect()}
+    got = lsh_topk(emb, allowed=allowed_en, n_probes=2).collect()
+    assert got, "filtered LSH returned nothing"
+    assert all(r["candidate_id"] in allowed_ids for r in got)
+    # a query OUTSIDE the allowed set still searches
+    assert any(r["query_id"] not in allowed_ids for r in got)
+
+
+def test_filtered_query_ivf_keeps_partition_pruning(
+    spark, emb, allowed_en, tmp_path
+):
+    """The attribute semi-join must COMPOSE with cent_id partition
+    pruning (sit above the pruned scan), not replace it."""
+    import re
+
+    from datawarehouse_code_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    path = str(tmp_path / "u")
+    build_ivf_index(emb, path, n_centroids=16)
+    got = query_ivf_index(
+        spark, path, emb.filter(F.col("vec_id") < 50),
+        k=5, n_probes=2, allowed=allowed_en,
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*cent_id[^\]]*\]", plan), plan[:3000]
+    allowed_ids = {r["doc_id"] for r in allowed_en.collect()}
+    rows = got.collect()
+    assert rows and all(r["candidate_id"] in allowed_ids for r in rows)
+
+
+def test_filtered_compressed_query_matches_filtered_uncompressed(
+    spark, emb, allowed_en, tmp_path
+):
+    """allowed= composes with the int8 rerank path."""
+    from datawarehouse_code_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    pu, pc = str(tmp_path / "u"), str(tmp_path / "c")
+    build_ivf_index(emb, pu, n_centroids=8)
+    build_ivf_index(emb, pc, n_centroids=8, compress="int8")
+    q = emb.filter(F.col("vec_id") < 50)
+    got_u = query_ivf_index(spark, pu, q, k=3, n_probes=8, allowed=allowed_en)
+    # rerank_factor large enough that the rerank window covers every
+    # allowed candidate -> the compressed path is EXACT by
+    # construction (quantization selects, full precision scores)
+    got_c = query_ivf_index(
+        spark, pc, q, k=3, n_probes=8, allowed=allowed_en,
+        rerank_factor=1000,
+    )
+    assert sorted(map(tuple, got_u.collect())) == sorted(
+        map(tuple, got_c.collect())
+    )
