@@ -195,6 +195,7 @@ HEADLINE = [
     # round-9 additions (no frozen row yet; ratios appear once a later
     # round freezes them)
     "similarity_topk_filtered",
+    "similarity_topk_quantized",
     "docs_quality_ml",
 ]
 

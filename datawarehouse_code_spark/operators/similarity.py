@@ -47,7 +47,7 @@ __all__ = [
     "plane_matrices", "kmeans_centroids",
     "build_ivf_index", "extend_ivf_index", "query_ivf_index",
     "forget_vectors",
-    "_restrict_candidates",
+    "_restrict_candidates", "quantized_rerank_topk",
 ]
 
 
@@ -394,6 +394,74 @@ def lsh_topk(
     return _ranked_topk(pairs, k)
 
 
+def quantized_rerank_topk(
+    embeddings: DataFrame,
+    max_query_id: int = 100,
+    k: int = 5,
+    rerank_factor: int = 2,
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """The int8 rank-then-rerank primitive in isolation (no IVF
+    bucketing): candidates are symmetrically quantized (scale =
+    max|v|/127, code = round(v/scale) — the same arithmetic
+    _quantize_int8 persists), every query ranks ALL candidates on the
+    CODES (floor-6, candidate-id tiebreak), the top k·rerank_factor
+    survivors re-rank on full precision, and the final top-k carries
+    EXACT sims.  This is the deterministic, centroid-free core of the
+    compressed index (query_ivf_index composes it with cent_id
+    partition pruning) — and because quantization is pure arithmetic,
+    DuckDB replays the ENTIRE pipeline including the int8 rounding,
+    making the compression path a hash-checked oracle row
+    (`similarity_topk_quantized`) rather than a pytest-only claim.
+    With rerank_factor small (default 2) the quantized ranking
+    genuinely decides the shortlist, so a quantization regression
+    (wrong scale, wrong rounding, dropped tiebreak) flips the hash.
+
+    Scale shape: same O(|Q|·N·d) pair arithmetic as brute_force_topk
+    but over 1-byte codes (the memory-bandwidth win); the rerank
+    touches |Q|·k·rerank_factor full vectors.  At index scale use the
+    persisted compressed index — this operator is the exact-semantics
+    anchor, not the serving path."""
+    vecs = _with_inv_norm(
+        embeddings.select(
+            "vec_id", as_double_array(F.col("embedding")).alias("v")
+        )
+    )
+    q = vecs.filter(F.col("vec_id") < max_query_id).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("inv").alias("inv_q"),
+    )
+    scale = (F.array_max(F.transform(F.col("v"), F.abs)) / F.lit(127.0))
+    code = F.when(
+        scale > 0,
+        F.transform(F.col("v"), lambda x: F.round(x / scale).cast("double")),
+    ).otherwise(F.transform(F.col("v"), lambda x: F.lit(0.0)))
+    c = _restrict_candidates(vecs, allowed).select(
+        F.col("vec_id").alias("candidate_id"), F.col("v").alias("cv"),
+        F.col("inv").alias("inv_c"), code.alias("code"),
+        scale.alias("scale"),
+    )
+    asim = (
+        dot(F.col("qv"), F.col("code"))
+        * F.col("scale") * F.col("inv_q") * F.col("inv_c")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("asim_f6").desc(), F.col("candidate_id").asc()
+    )
+    shortlist = (
+        F.broadcast(q).crossJoin(c)
+        .filter(F.col("query_id") != F.col("candidate_id"))
+        .select(
+            "query_id", "qv", "inv_q", "candidate_id", "cv", "inv_c",
+            (F.floor(asim * 1e6) / 1e6).alias("asim_f6"),
+        )
+        .withColumn("ark", F.row_number().over(w))
+        .filter(F.col("ark") <= k * rerank_factor)
+        .drop("asim_f6", "ark")
+    )
+    return _ranked_topk(shortlist, k)
+
+
 def kmeans_centroids(
     vecs: DataFrame,
     n_centroids: int,
@@ -531,13 +599,14 @@ def ivf_topk(
     return _ranked_topk(pairs, k)
 
 
-def _quantize_int8(assigned: DataFrame) -> DataFrame:
+def _quantize_int8(assigned: DataFrame, extra_cols: list[str] = ()) -> DataFrame:
     """Symmetric per-vector int8 scalar quantization of column `v`:
     scale = max|v_i| / 127, code_i = round(v_i / scale) ∈ [-127, 127]
     (an all-zero vector gets scale 0 and zero codes).  Pure JVM array
     expressions — no UDF.  The stored `inv` stays the EXACT
     reciprocal norm: quantization approximates the dot product only,
-    which keeps the approximate cosine unbiased by norm error."""
+    which keeps the approximate cosine unbiased by norm error.
+    `extra_cols` (attribute columns) ride along unchanged."""
     scale = (F.array_max(F.transform(F.col("v"), F.abs)) / F.lit(127.0))
     code = F.when(
         scale > 0,
@@ -550,7 +619,7 @@ def _quantize_int8(assigned: DataFrame) -> DataFrame:
     )
     return assigned.select(
         "cent_id", "vec_id",
-        code.alias("code"), scale.alias("scale"), "inv",
+        code.alias("code"), scale.alias("scale"), "inv", *extra_cols,
     )
 
 
@@ -562,6 +631,7 @@ def build_ivf_index(
     fit_sample_fraction: float | None = None,
     fit_max_iter: int = 8,
     compress: str | None = None,
+    attrs: DataFrame | None = None,
 ) -> None:
     """Persist an IVF ANN index: the k-means coarse quantizer's
     centroids (tiny) plus every corpus vector assigned to its nearest
@@ -587,6 +657,17 @@ def build_ivf_index(
     its top k·rerank_factor survivors on full precision — recall loss
     vs the uncompressed index is bounded to candidates whose
     quantized rank falls outside the rerank window (pinned by test).
+
+    `attrs` (a DataFrame whose FIRST column is the vector id, the
+    rest attribute columns — lang, license, date...) denormalizes
+    document metadata INTO the assignments table at build time, so
+    `query_ivf_index(predicate=...)` filters candidates with a plain
+    pushed parquet filter on the probed partitions — no id-set
+    semi-join, no shuffle of an allowed list, the scale-right leg of
+    metadata-filtered retrieval (the `allowed=` semi-join remains for
+    ad-hoc sets the index never stored).  Left join: vectors missing
+    from `attrs` carry NULLs and fail every predicate (excluded) —
+    the safe default for retrieval filters.
     """
     if compress not in (None, "int8"):
         raise ValueError(f"compress must be None or 'int8': {compress!r}")
@@ -601,26 +682,36 @@ def build_ivf_index(
     )
     cents.coalesce(1).write.mode("error").parquet(f"{path}/centroids")
     assigned = _nearest_centroids(vecs, cents, "vec_id", 1)
+    attr_cols: list[str] = []
+    if attrs is not None:
+        a = attrs.withColumnRenamed(attrs.columns[0], "vec_id")
+        attr_cols = [c for c in a.columns if c != "vec_id"]
+        assigned = assigned.join(a, "vec_id", "left")
     if compress is None:
         (
-            assigned.select("cent_id", "vec_id", "v", "inv")
+            assigned.select("cent_id", "vec_id", "v", "inv", *attr_cols)
             .write.mode("error")
             .partitionBy("cent_id")
             .parquet(f"{path}/assignments")
         )
         return
-    (
-        _quantize_int8(assigned)
-        .write.mode("error")
-        .partitionBy("cent_id")
-        .parquet(f"{path}/assignments")
-    )
+    # assignments/ is written LAST: its _SUCCESS is the bootstrap
+    # commit marker run_ivf_ingest keys on, so every other artifact
+    # (centroids, the full-precision vectors) must exist before it
+    # appears — a crash between the writes rolls the whole bootstrap
+    # back instead of leaving a marker over a half-built index
     (
         assigned.select("cent_id", "vec_id", "v")
         .sortWithinPartitions("cent_id", "vec_id")
         .write.mode("error")
         .partitionBy("cent_id")
         .parquet(f"{path}/vectors")
+    )
+    (
+        _quantize_int8(assigned, attr_cols)
+        .write.mode("error")
+        .partitionBy("cent_id")
+        .parquet(f"{path}/assignments")
     )
 
 
@@ -630,14 +721,22 @@ def _index_is_compressed(spark: SparkSession, path: str) -> bool:
     return "code" in spark.read.parquet(f"{path}/assignments").columns
 
 
-def extend_ivf_index(embeddings: DataFrame, path: str) -> None:
+def extend_ivf_index(
+    embeddings: DataFrame, path: str, attrs: DataFrame | None = None
+) -> None:
     """Assign NEW vectors to the EXISTING centroids and append their
     partitions — the incremental path: cost ∝ |increment|, never a
     refit or corpus rewrite (bucket boundaries stay fixed, which is
     exactly what a serving index wants — recall on old vectors is
     untouched).  A compressed index (schema-detected) gets the same
     treatment: quantize the increment, append codes to assignments/
-    and full vectors to vectors/."""
+    and full vectors to vectors/.
+
+    An index built with attribute columns (build_ivf_index attrs=)
+    REQUIRES `attrs` covering those columns here — silently appending
+    NULL attributes would make every new vector invisible to
+    predicate-filtered queries, which is exactly the wrong failure
+    mode for an incremental path."""
     spark = embeddings.sparkSession
     cents = spark.read.parquet(f"{path}/centroids")
     vecs = _with_inv_norm(
@@ -646,26 +745,58 @@ def extend_ivf_index(embeddings: DataFrame, path: str) -> None:
         )
     )
     assigned = _nearest_centroids(vecs, cents, "vec_id", 1)
-    if not _index_is_compressed(spark, path):
+    idx_cols = spark.read.parquet(f"{path}/assignments").columns
+    compressed = "code" in idx_cols
+    base = (
+        {"cent_id", "vec_id", "code", "scale", "inv"}
+        if compressed
+        else {"cent_id", "vec_id", "v", "inv"}
+    )
+    attr_cols = [c for c in idx_cols if c not in base]
+    if attr_cols and attrs is None:
+        raise ValueError(
+            f"extend_ivf_index: index stores attribute columns "
+            f"{attr_cols} — pass attrs= for the increment (NULL "
+            "attributes would hide new vectors from filtered queries)"
+        )
+    if attrs is not None:
+        a = attrs.withColumnRenamed(attrs.columns[0], "vec_id")
+        missing = [c for c in attr_cols if c not in a.columns]
+        if missing:
+            raise ValueError(
+                f"extend_ivf_index: attrs missing index attribute "
+                f"columns {missing}"
+            )
+        assigned = assigned.join(
+            a.select("vec_id", *attr_cols), "vec_id", "left"
+        )
+    if not compressed:
         (
-            assigned.select("cent_id", "vec_id", "v", "inv")
+            assigned.select("cent_id", "vec_id", "v", "inv", *attr_cols)
             .write.mode("append")
             .partitionBy("cent_id")
             .parquet(f"{path}/assignments")
         )
         return
-    (
-        _quantize_int8(assigned)
-        .write.mode("append")
-        .partitionBy("cent_id")
-        .parquet(f"{path}/assignments")
-    )
+    # vectors/ first, assignments/ second: the streaming idempotence
+    # guard anti-joins on ASSIGNMENTS vec_ids, so a crash between the
+    # appends re-extends on replay — duplicate vectors/ rows from that
+    # replay are deduplicated at query time (pairs dropDuplicates),
+    # whereas the reverse order would leave committed codes whose
+    # full-precision row is missing and silently drop them from the
+    # re-rank
     (
         assigned.select("cent_id", "vec_id", "v")
         .sortWithinPartitions("cent_id", "vec_id")
         .write.mode("append")
         .partitionBy("cent_id")
         .parquet(f"{path}/vectors")
+    )
+    (
+        _quantize_int8(assigned, attr_cols)
+        .write.mode("append")
+        .partitionBy("cent_id")
+        .parquet(f"{path}/assignments")
     )
 
 
@@ -766,6 +897,7 @@ def query_ivf_index(
     n_probes: int = 2,
     allowed: DataFrame | None = None,
     rerank_factor: int = 4,
+    predicate: Column | str | None = None,
 ) -> DataFrame:
     """Top-k over a persisted IVF index: queries rank the stored
     centroids (broadcast), and the index scan is FILTERED to the
@@ -779,6 +911,14 @@ def query_ivf_index(
     ranking — the semi-join sits ABOVE the pruned scan, so the
     attribute filter composes with cent_id partition pruning instead
     of replacing it (plan-pinned: PartitionFilters survive).
+
+    `predicate` (a Column or SQL string over attribute columns the
+    index stored at build time, build_ivf_index attrs=) also filters
+    BEFORE ranking, but as a plain pushed parquet filter on the
+    probed partitions — no id-set shuffle at all, the scale-right
+    form when the filter is expressible over indexed attributes
+    (plan-pinned: PushedFilters carry it beside the cent_id
+    PartitionFilters).  Composes with `allowed`.
 
     On a COMPRESSED index (build_ivf_index compress="int8",
     schema-detected) the probed partitions are ranked on the int8
@@ -806,12 +946,12 @@ def query_ivf_index(
     probe_ids = sorted(
         r["cent_id"] for r in probed.select("cent_id").distinct().collect()
     )
-    scan = _restrict_candidates(
-        spark.read.parquet(f"{path}/assignments").filter(
-            F.col("cent_id").isin(probe_ids)
-        ),
-        allowed,
+    scan = spark.read.parquet(f"{path}/assignments").filter(
+        F.col("cent_id").isin(probe_ids)
     )
+    if predicate is not None:
+        scan = scan.filter(predicate)
+    scan = _restrict_candidates(scan, allowed)
     if "code" not in scan.columns:
         idx = scan.select(
             "cent_id", F.col("vec_id").alias("candidate_id"),
@@ -846,9 +986,17 @@ def query_ivf_index(
         .withColumn("ark", F.row_number().over(w))
         .filter(F.col("ark") <= k * rerank_factor)
         .select("cent_id", "query_id", "qv", "inv_q", "candidate_id", "inv_c")
-        # eagerly materialized: it is joined below AND probed for the
-        # bounded id-list pushdown — |Q|·k·rerank_factor rows, small
-        .localCheckpoint(eager=True)
+    )
+    # eagerly materialized: it is joined below AND probed for the
+    # bounded id-list pushdown — |Q|·k·rerank_factor rows, small;
+    # cut strategy follows the session (operators/iterative.py)
+    from datawarehouse_code_spark.operators.iterative import (
+        cut_lineage,
+        resolve_checkpoint_mode,
+    )
+
+    shortlist = cut_lineage(
+        shortlist, resolve_checkpoint_mode(shortlist, "auto")
     )
     vec_scan = spark.read.parquet(f"{path}/vectors").filter(
         F.col("cent_id").isin(probe_ids)

@@ -35,6 +35,7 @@ from datawarehouse_code_spark.operators.similarity import (
     embedding_near_dup_lsh,
     ivf_topk,
     lsh_topk,
+    quantized_rerank_topk,
 )
 from datawarehouse_code_spark.operators.text import (
     content_fingerprint_udf,
@@ -877,6 +878,62 @@ WITH vecs AS (
           * q.inv) * c.inv AS sim
   FROM vecs q JOIN vecs c ON q.vec_id < 100 AND q.vec_id <> c.vec_id
   WHERE c.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+)
+SELECT query_id, candidate_id,
+       floor(sim * 1e6) / 1e6 AS sim_f6,
+       CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY floor(sim * 1e6) / 1e6 DESC, candidate_id ASC) AS rk
+  FROM pairs
+)
+WHERE rk <= 5
+"""
+
+
+def _similarity_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 quantized-rank + exact-rerank top-k
+    (operators/similarity.py quantized_rerank_topk) — the compression
+    arithmetic of the persisted int8 IVF index as a HASH-CHECKED row:
+    DuckDB replays the symmetric quantization (scale = max|v|/127,
+    round(v/scale)), the floor-6 code ranking, the k·2 shortlist cut,
+    and the exact full-precision rerank.  rerank_factor=2 keeps the
+    quantized ranking decisive (a rounding/scale/tiebreak regression
+    changes the shortlist and flips the hash)."""
+    return quantized_rerank_topk(read_table(spark, "embeddings", sf_dir))
+
+
+_SIM_QUANTIZED_SQL = """
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         1.0 / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
+             AS inv
+  FROM embeddings
+), coded AS (
+  SELECT vec_id, v, inv, scale,
+         CASE WHEN scale > 0
+              THEN list_transform(v, x -> round(x / scale))
+              ELSE list_transform(v, x -> 0.0) END AS code
+  FROM (SELECT vec_id, v, inv,
+               list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        FROM vecs)
+), approx AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+         q.v AS qv, q.inv AS inv_q, c.v AS cv, c.inv AS inv_c,
+         floor(list_sum(list_transform(range(1, len(q.v) + 1),
+                                       i -> q.v[i] * c.code[i]))
+               * c.scale * q.inv * c.inv * 1e6) / 1e6 AS asim_f6
+  FROM vecs q JOIN coded c ON q.vec_id < 100 AND q.vec_id <> c.vec_id
+), short AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY asim_f6 DESC, candidate_id ASC) AS ark
+  FROM approx
+), pairs AS (
+  SELECT query_id, candidate_id,
+         (list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i]))
+          * inv_q) * inv_c AS sim
+  FROM short WHERE ark <= 10
 )
 SELECT query_id, candidate_id,
        floor(sim * 1e6) / 1e6 AS sim_f6,
@@ -2172,6 +2229,11 @@ LLM_SUPPLEMENTARY: list[Query] = [
           "north-star: metadata-filtered ANN — candidates restricted "
           "to lang='en' docs BEFORE ranking (filter-then-rank exact "
           "twin; supplementary, differential-tested)"),
+    Query("similarity_topk_quantized", _similarity_topk_quantized,
+          _SIM_QUANTIZED_SQL,
+          "north-star: int8 quantized-rank + exact-rerank top-k — the "
+          "compressed-index arithmetic hash-checked end to end "
+          "(supplementary, differential-tested)"),
     Query("text_nfc_suite", _text_nfc_suite, _NFC_SQL,
           "north-star: Unicode NFC canonicalization on planted "
           "decomposed sequences (supplementary, differential-tested)"),

@@ -541,6 +541,7 @@ def run_ivf_ingest(
     index_path: str,
     checkpoint_dir: str | None = None,
     n_centroids: int = 16,
+    compress: str | None = None,
 ) -> None:
     """Streaming maintenance for the persisted IVF ANN index
     (operators/similarity.py build_ivf_index family) — embedding
@@ -563,6 +564,11 @@ def run_ivf_ingest(
     index side is a two-column pruned scan, then extend's broadcast
     of the tiny centroid table + an append of batch-sized partitions.
     Nothing rescans vector payloads of the stored index.
+
+    `compress` ("int8") bootstraps a compressed index
+    (build_ivf_index compress semantics); later batches adapt to the
+    stored format automatically (extend_ivf_index schema-detects), so
+    the knob only matters for the bootstrap batch.
     """
     from datawarehouse_code_spark.operators.similarity import (
         build_ivf_index,
@@ -588,11 +594,16 @@ def run_ivf_ingest(
         # and the marker present — the anti-join guard then re-extends.
         fs, marker = _fs_for(sp, f"{index_path}/assignments/_SUCCESS")
         if not fs.exists(marker):
-            for part in ("assignments", "centroids"):
+            # assignments/ is written LAST by build_ivf_index, so the
+            # rollback must also sweep the artifacts written BEFORE it
+            # (centroids, and the compressed format's vectors/ table)
+            for part in ("assignments", "centroids", "vectors"):
                 if table_exists(sp, f"{index_path}/{part}"):
                     pfs, ppath = _fs_for(sp, f"{index_path}/{part}")
                     pfs.delete(ppath, True)
-            build_ivf_index(fresh, index_path, n_centroids=n_centroids)
+            build_ivf_index(
+                fresh, index_path, n_centroids=n_centroids, compress=compress
+            )
             return
         seen = sp.read.parquet(f"{index_path}/assignments").select("vec_id")
         new = fresh.join(seen, "vec_id", "left_anti")
