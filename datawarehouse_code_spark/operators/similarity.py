@@ -48,6 +48,7 @@ __all__ = [
     "build_ivf_index", "extend_ivf_index", "query_ivf_index",
     "forget_vectors",
     "_restrict_candidates", "quantized_rerank_topk",
+    "pq_encode_udf", "pq_query_tables_udf",
 ]
 
 
@@ -658,6 +659,18 @@ def build_ivf_index(
     vs the uncompressed index is bounded to candidates whose
     quantized rank falls outside the rerank window (pinned by test).
 
+    `compress="pq"` goes further: product quantization — the vector
+    splits into PQ_SUBSPACES sub-vectors, each encoded as its nearest
+    of 256 per-subspace codewords (codebooks trained on a bounded
+    deterministic sample, persisted under codebooks/), so a d=64
+    float64 vector stores as 8 BYTES (64× less than full precision,
+    8× less than int8).  Queries rank via ADC lookup tables (one
+    m×256 table per query) and re-rank exactly like the int8 path.
+    The coarser the code the more the rerank window matters: PQ wants
+    a larger rerank_factor than int8 (recall-vs-window pinned by
+    test).  Codebooks are FROZEN at build like the centroids — codes
+    of already-indexed vectors never shift on extend.
+
     `attrs` (a DataFrame whose FIRST column is the vector id, the
     rest attribute columns — lang, license, date...) denormalizes
     document metadata INTO the assignments table at build time, so
@@ -669,8 +682,10 @@ def build_ivf_index(
     from `attrs` carry NULLs and fail every predicate (excluded) —
     the safe default for retrieval filters.
     """
-    if compress not in (None, "int8"):
-        raise ValueError(f"compress must be None or 'int8': {compress!r}")
+    if compress not in (None, "int8", "pq"):
+        raise ValueError(
+            f"compress must be None, 'int8', or 'pq': {compress!r}"
+        )
     vecs = _with_inv_norm(
         embeddings.select(
             "vec_id", as_double_array(F.col("embedding")).alias("v")
@@ -697,9 +712,22 @@ def build_ivf_index(
         return
     # assignments/ is written LAST: its _SUCCESS is the bootstrap
     # commit marker run_ivf_ingest keys on, so every other artifact
-    # (centroids, the full-precision vectors) must exist before it
-    # appears — a crash between the writes rolls the whole bootstrap
-    # back instead of leaving a marker over a half-built index
+    # (centroids, PQ codebooks, the full-precision vectors) must exist
+    # before it appears — a crash between the writes rolls the whole
+    # bootstrap back instead of leaving a marker over a half-built
+    # index
+    if compress == "pq":
+        dim = len(vecs.select("v").first()["v"])
+        books = _pq_train_codebooks(vecs, dim, seed=seed)
+        spark = embeddings.sparkSession
+        book_rows = [
+            (j, c, [float(x) for x in books[j, c]])
+            for j in range(books.shape[0])
+            for c in range(books.shape[1])
+        ]
+        spark.createDataFrame(
+            book_rows, "sub int, code int, centroid array<double>"
+        ).coalesce(1).write.mode("error").parquet(f"{path}/codebooks")
     (
         assigned.select("cent_id", "vec_id", "v")
         .sortWithinPartitions("cent_id", "vec_id")
@@ -707,18 +735,144 @@ def build_ivf_index(
         .partitionBy("cent_id")
         .parquet(f"{path}/vectors")
     )
+    if compress == "pq":
+        enc = pq_encode_udf(books)
+        coded = assigned.select(
+            "cent_id", "vec_id", enc(F.col("v")).alias("code"), "inv",
+            *attr_cols,
+        )
+    else:
+        coded = _quantize_int8(assigned, attr_cols)
     (
-        _quantize_int8(assigned, attr_cols)
-        .write.mode("error")
+        coded.write.mode("error")
         .partitionBy("cent_id")
         .parquet(f"{path}/assignments")
     )
 
 
 def _index_is_compressed(spark: SparkSession, path: str) -> bool:
-    """True when the persisted index stores int8 codes (schema probe —
-    footer metadata only, no data read)."""
+    """True when the persisted index stores codes instead of full
+    vectors (int8 or PQ — schema probe, footer metadata only)."""
     return "code" in spark.read.parquet(f"{path}/assignments").columns
+
+
+# ----------------------------------------------- product quantization
+
+PQ_SUBSPACES = 8
+PQ_CODES = 256
+PQ_FIT_SAMPLE_CAP = 20_000
+PQ_FIT_ITERS = 10
+
+
+def _pq_train_codebooks(
+    vecs: DataFrame, dim: int, m: int = PQ_SUBSPACES, seed: int = 42
+) -> np.ndarray:
+    """(m, 256, dim/m) PQ codebooks: per-subspace Lloyd k-means in
+    numpy on a DETERMINISTIC bounded sample (TakeOrdered by the shared
+    Knuth hash, ≤ PQ_FIT_SAMPLE_CAP rows collected — ~10 MB at d=64;
+    codebooks are tiny models and production PQ always trains them on
+    samples, so the bounded collect is the scale-correct shape, not a
+    shortcut).  Fixed seed + deterministic sample + fixed iteration
+    count + first-index argmin ties ⇒ bit-reproducible codebooks for
+    a given corpus."""
+    if dim % m != 0:
+        raise ValueError(f"PQ needs m | dim: m={m}, dim={dim}")
+    from datawarehouse_code_spark.operators.corpus import knuth_hash
+
+    rows = (
+        vecs.select("vec_id", "v")
+        .orderBy(knuth_hash("vec_id").asc(), F.col("vec_id").asc())
+        .limit(PQ_FIT_SAMPLE_CAP)
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    sub_d = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, PQ_CODES, sub_d), dtype=np.float64)
+    for j in range(m):
+        S = X[:, j * sub_d : (j + 1) * sub_d]
+        k = min(PQ_CODES, len(S))
+        init_idx = rng.permutation(len(S))[:k]
+        C = S[init_idx].copy()
+        if k < PQ_CODES:  # degenerate tiny corpus: pad by repetition
+            C = np.vstack([C, C[rng.integers(0, k, PQ_CODES - k)]])
+        for _ in range(PQ_FIT_ITERS):
+            # assign: ||s-c||² = ||s||² - 2 s·c + ||c||²; ||s||² is
+            # constant per row, drop it
+            d2 = (C**2).sum(axis=1)[None, :] - 2.0 * (S @ C.T)
+            a = np.argmin(d2, axis=1)
+            for c in range(PQ_CODES):
+                mask = a == c
+                if mask.any():
+                    C[c] = S[mask].mean(axis=0)
+                else:  # empty cluster: reseed deterministically
+                    C[c] = S[rng.integers(0, len(S))]
+        books[j] = C
+    return books
+
+
+def pq_encode_udf(codebooks: np.ndarray):
+    """Arrow-batched PQ encoder: vector → array<tinyint> of m codes
+    (stored shifted by -128 so the byte range is honest int8).  The
+    measured-exception UDF (argmin over 256 centroids × m subspaces
+    per vector has no sane expression form); one matmul per subspace
+    per batch."""
+    m, k, sub_d = codebooks.shape
+    c_norms = [(codebooks[j] ** 2).sum(axis=1) for j in range(m)]
+
+    @pandas_udf("array<tinyint>")
+    def _enc(vec_lists: pd.Series) -> pd.Series:
+        vals = [None if v is None else np.asarray(v, dtype=np.float64)
+                for v in vec_lists]
+        live = [i for i, v in enumerate(vals) if v is not None]
+        out: list = [None] * len(vals)
+        if live:
+            V = np.vstack([vals[i] for i in live]).reshape(len(live), m, sub_d)
+            codes = np.empty((len(live), m), dtype=np.int64)
+            for j in range(m):
+                d2 = c_norms[j][None, :] - 2.0 * (V[:, j, :] @ codebooks[j].T)
+                codes[:, j] = np.argmin(d2, axis=1)
+            codes -= 128
+            for row, i in zip(codes.astype(np.int8), live):
+                out[i] = row
+        return pd.Series(out)
+
+    return _enc
+
+
+def pq_query_tables_udf(codebooks: np.ndarray):
+    """Per-query ADC lookup tables: flat array<double> of length
+    m·256 where tables[j·256 + c] = q_sub_j · codebook[j][c].  Query-
+    side only (bounded set), one matmul per subspace per batch."""
+    m, k, sub_d = codebooks.shape
+
+    @pandas_udf("array<double>")
+    def _tab(vec_lists: pd.Series) -> pd.Series:
+        vals = [None if v is None else np.asarray(v, dtype=np.float64)
+                for v in vec_lists]
+        live = [i for i, v in enumerate(vals) if v is not None]
+        out: list = [None] * len(vals)
+        if live:
+            V = np.vstack([vals[i] for i in live]).reshape(len(live), m, sub_d)
+            tabs = np.empty((len(live), m * k), dtype=np.float64)
+            for j in range(m):
+                tabs[:, j * k : (j + 1) * k] = V[:, j, :] @ codebooks[j].T
+            for row, i in zip(tabs, live):
+                out[i] = row
+        return pd.Series(out)
+
+    return _tab
+
+
+def _load_codebooks(spark: SparkSession, path: str) -> np.ndarray:
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r["sub"] for r in rows)
+    k = 1 + max(r["code"] for r in rows)
+    sub_d = len(rows[0]["centroid"])
+    books = np.empty((m, k, sub_d), dtype=np.float64)
+    for r in rows:
+        books[r["sub"], r["code"]] = r["centroid"]
+    return books
 
 
 def extend_ivf_index(
@@ -747,6 +901,7 @@ def extend_ivf_index(
     assigned = _nearest_centroids(vecs, cents, "vec_id", 1)
     idx_cols = spark.read.parquet(f"{path}/assignments").columns
     compressed = "code" in idx_cols
+    pq = compressed and "scale" not in idx_cols
     base = (
         {"cent_id", "vec_id", "code", "scale", "inv"}
         if compressed
@@ -792,9 +947,19 @@ def extend_ivf_index(
         .partitionBy("cent_id")
         .parquet(f"{path}/vectors")
     )
+    if pq:
+        # encode the increment with the STORED codebooks — like the
+        # frozen centroids, frozen codebooks are the point: codes of
+        # already-indexed vectors never shift
+        enc = pq_encode_udf(_load_codebooks(spark, path))
+        coded = assigned.select(
+            "cent_id", "vec_id", enc(F.col("v")).alias("code"), "inv",
+            *attr_cols,
+        )
+    else:
+        coded = _quantize_int8(assigned, attr_cols)
     (
-        _quantize_int8(assigned, attr_cols)
-        .write.mode("append")
+        coded.write.mode("append")
         .partitionBy("cent_id")
         .parquet(f"{path}/assignments")
     )
@@ -965,14 +1130,40 @@ def query_ivf_index(
         )
         return _ranked_topk(pairs, k)
     # --- compressed path: rank codes, re-rank survivors exactly ---
-    cand = scan.select(
-        "cent_id", F.col("vec_id").alias("candidate_id"),
-        "code", "scale", F.col("inv").alias("inv_c"),
-    )
-    approx_sim = (
-        dot(F.col("qv"), as_double_array(F.col("code")))
-        * F.col("scale") * F.col("inv_q") * F.col("inv_c")
-    )
+    pq = "scale" not in scan.columns
+    if pq:
+        books = _load_codebooks(spark, path)
+        m, n_codes, _sub_d = books.shape
+        tab = pq_query_tables_udf(books)
+        probed = probed.withColumn("tables", tab(F.col("qv")))
+        cand = scan.select(
+            "cent_id", F.col("vec_id").alias("candidate_id"),
+            "code", F.col("inv").alias("inv_c"),
+        )
+        # ADC: sum of per-subspace lookups (codes stored shifted by
+        # -128; element_at is 1-based, hence +129)
+        adc = F.aggregate(
+            F.zip_with(
+                F.col("code"),
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda c, j: F.element_at(
+                    F.col("tables"),
+                    (j * n_codes + c.cast("int") + 129).cast("int"),
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        approx_sim = adc * F.col("inv_q") * F.col("inv_c")
+    else:
+        cand = scan.select(
+            "cent_id", F.col("vec_id").alias("candidate_id"),
+            "code", "scale", F.col("inv").alias("inv_c"),
+        )
+        approx_sim = (
+            dot(F.col("qv"), as_double_array(F.col("code")))
+            * F.col("scale") * F.col("inv_q") * F.col("inv_c")
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("asim").desc(), F.col("candidate_id").asc()
     )

@@ -163,6 +163,109 @@ def test_int8_extend_and_forget(spark, emb, tmp_path):
     assert all(r["candidate_id"] != 1_000_007 for r in got)
 
 
+def test_pq_index_build_query_extend_forget(spark, emb, tmp_path):
+    """Product quantization: 8-byte codes (64x smaller than float64),
+    ADC ranking + exact rerank.  Pins (a) storage reduction on the
+    code column, (b) exact sims on returned pairs, (c) recall floor
+    vs the uncompressed index at a generous rerank window, (d) a
+    planted exact copy surfaces as top hit after a codebook-frozen
+    extend, and (e) RTBF clears codes, vectors, and codebook-encoded
+    extends alike."""
+    from datawarehouse_code_spark.operators.similarity import (
+        build_ivf_index,
+        extend_ivf_index,
+        forget_vectors,
+        query_ivf_index,
+    )
+
+    pu, pp = str(tmp_path / "u"), str(tmp_path / "p")
+    build_ivf_index(emb, pu, n_centroids=8)
+    build_ivf_index(emb, pp, n_centroids=8, compress="pq")
+
+    code_b = _column_bytes(f"{pp}/assignments", "code")
+    vec_b = _column_bytes(f"{pu}/assignments", "v")
+    assert code_b < 0.2 * vec_b, (code_b, vec_b)
+
+    queries = emb.filter(F.col("vec_id") < 100)
+    got_u = query_ivf_index(spark, pu, queries, k=5, n_probes=8).collect()
+    got_p = query_ivf_index(
+        spark, pp, queries, k=5, n_probes=8, rerank_factor=16
+    ).collect()
+    sims_u = {(r["query_id"], r["candidate_id"]): r["sim_f6"] for r in got_u}
+    sims_p = {(r["query_id"], r["candidate_id"]): r["sim_f6"] for r in got_p}
+    common = set(sims_u) & set(sims_p)
+    assert common
+    for pair in common:
+        assert sims_u[pair] == sims_p[pair], pair
+    by_q_u = defaultdict(set)
+    by_q_p = defaultdict(set)
+    for r in got_u:
+        by_q_u[r["query_id"]].add(r["candidate_id"])
+    for r in got_p:
+        by_q_p[r["query_id"]].add(r["candidate_id"])
+    recall = sum(
+        len(by_q_p[q] & cs) / len(cs) for q, cs in by_q_u.items()
+    ) / len(by_q_u)
+    # PQ on 64-dim unstructured random vectors is the hard case; the
+    # generous rerank window still has to recover most of the true
+    # top-5 (the planted-copy check below pins the easy/important case
+    # exactly)
+    assert recall >= 0.5, recall
+
+    copy = emb.filter(F.col("vec_id") == 7).withColumn(
+        "vec_id", F.lit(1_000_007).cast(emb.schema["vec_id"].dataType)
+    )
+    extend_ivf_index(copy, pp)
+    top = query_ivf_index(
+        spark, pp, emb.filter(F.col("vec_id") == 7), k=1, n_probes=1,
+        rerank_factor=16,
+    ).collect()
+    assert len(top) == 1 and top[0]["candidate_id"] == 1_000_007
+    assert top[0]["sim_f6"] >= 0.999999
+
+    report = forget_vectors(
+        spark, pp, spark.createDataFrame([(1_000_007,)], "vec_id bigint")
+    )
+    assert report["n_removed"] == 1
+    for sub in ("assignments", "vectors"):
+        assert (
+            spark.read.parquet(f"{pp}/{sub}")
+            .filter(F.col("vec_id") == 1_000_007)
+            .count()
+            == 0
+        ), sub
+
+
+def test_pq_codebooks_deterministic(spark, emb, tmp_path):
+    """Same corpus -> bit-identical codebooks and codes (fixed seed,
+    deterministic Knuth-hash fit sample, first-index argmin ties)."""
+    from datawarehouse_code_spark.operators.similarity import build_ivf_index
+
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    build_ivf_index(emb, p1, n_centroids=8, compress="pq")
+    build_ivf_index(emb.repartition(7), p2, n_centroids=8, compress="pq")
+    b1 = sorted(
+        map(tuple, spark.read.parquet(f"{p1}/codebooks")
+            .select("sub", "code", F.col("centroid").cast("string"))
+            .collect())
+    )
+    b2 = sorted(
+        map(tuple, spark.read.parquet(f"{p2}/codebooks")
+            .select("sub", "code", F.col("centroid").cast("string"))
+            .collect())
+    )
+    assert b1 == b2
+    c1 = sorted(
+        map(tuple, spark.read.parquet(f"{p1}/assignments")
+            .select("vec_id", F.col("code").cast("string")).collect())
+    )
+    c2 = sorted(
+        map(tuple, spark.read.parquet(f"{p2}/assignments")
+            .select("vec_id", F.col("code").cast("string")).collect())
+    )
+    assert c1 == c2
+
+
 def test_int8_streaming_ingest_matches_batch(spark, emb, tmp_path):
     """run_ivf_ingest(compress='int8'): stream-bootstrapped +
     stream-extended compressed index ≡ batch bootstrap + batch
