@@ -701,6 +701,17 @@ def build_ivf_index(
     if attrs is not None:
         a = attrs.withColumnRenamed(attrs.columns[0], "vec_id")
         attr_cols = [c for c in a.columns if c != "vec_id"]
+        # base column names are how readers detect the index FORMAT
+        # (e.g. "scale" ⇒ int8, "code" ⇒ compressed) — an attribute
+        # shadowing one would scramble detection and the scan schema
+        reserved = {"cent_id", "vec_id", "v", "inv", "code", "scale",
+                    "tables"}
+        clash = sorted(reserved & set(attr_cols))
+        if clash:
+            raise ValueError(
+                f"build_ivf_index: attribute columns {clash} shadow "
+                "reserved index columns; rename them upstream"
+            )
         assigned = assigned.join(a, "vec_id", "left")
     if compress is None:
         (
@@ -984,12 +995,16 @@ def forget_vectors(
     partitions' files are not rewritten (pinned by test).  Returns
     {n_removed, partitions_rewritten, partitions_deleted}.
 
-    A compressed index (build_ivf_index compress="int8") holds the
-    forgotten vectors TWICE — int8 codes in assignments/ and full
+    A compressed index (build_ivf_index compress="int8"/"pq") holds
+    the forgotten vectors TWICE — codes in assignments/ and full
     precision in vectors/ — so both tables get the same
     partition-scoped rewrite (deleting only the codes would leave the
     recoverable full-precision embedding behind, which is the exact
-    thing RTBF must not do).
+    thing RTBF must not do).  The centroids and PQ codebooks stay:
+    they are sample-trained AGGREGATE models (k-means means over
+    thousands of vectors), not per-row data — the same posture as
+    retaining a rollup's aggregates after forget_rollup removes the
+    subject's contributions (operators/rollup.py RTBF leg).
     """
     from datawarehouse_code_spark.sources.acid import _fs_for
 

@@ -454,6 +454,14 @@ def test_attr_predicate_pushdown_matches_allowed_semi_join(
             map(tuple, via_allowed.collect())
         ), compress
 
+    # attribute names shadowing reserved index columns refuse loudly
+    # (they would scramble the reader's format detection)
+    with pytest.raises(ValueError, match="shadow"):
+        build_ivf_index(
+            emb, str(tmp_path / "clash"), n_centroids=8,
+            attrs=docs.select("doc_id", F.col("lang").alias("scale")),
+        )
+
     # extending an attributed index without attrs refuses loudly
     inc = emb.filter(F.col("vec_id") < 3).withColumn(
         "vec_id", F.col("vec_id") + 1_000_000
