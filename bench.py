@@ -197,6 +197,7 @@ HEADLINE = [
     "similarity_topk_filtered",
     "similarity_topk_quantized",
     "docs_quality_ml",
+    "docs_boilerplate_lines",
 ]
 
 

@@ -1036,6 +1036,80 @@ def strip_duplicate_spans(
     )
 
 
+def remove_frequent_lines(
+    documents: DataFrame,
+    max_df: int,
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style boilerplate removal (Wenzek et al. 2020): drop
+    every LINE that occurs in more than `max_df` documents — cookie
+    banners, nav menus, license footers repeat verbatim across a
+    crawl, and page-level dedup never sees them.  Lines compare
+    EXACTLY (no normalization — the oracle replays byte equality);
+    empty lines are kept verbatim (they are structure, not content,
+    and counting them would make every blank line 'boilerplate').
+
+    Output: (doc_id, cleaned_text, n_removed_lines) — surviving lines
+    re-joined with `sep` in original order; a document of nothing but
+    boilerplate comes back with cleaned_text ''.
+
+    Scale shape: one posexplode → distinct (doc, line) pairs →
+    per-line count (the tf-idf shuffle shape — NEVER countDistinct
+    inside the per-line agg, the distinct-then-count form avoids the
+    expand), count table joined back to the line rows (hot
+    boilerplate lines fan out join ROWS, one per occurrence — no
+    aggregation buffer), order-preserving reassembly via
+    sort_array over (pos, line) structs (no window needed).  At
+    extreme scale group on xxhash64(line) and accept 2⁻⁶⁴ collisions
+    — the string key is kept here for oracle exactness (the
+    duplicate_spans precedent)."""
+    import re as _re
+
+    lines = documents.select(
+        "doc_id",
+        F.posexplode(
+            # split takes a REGEX; escape so sep means the literal
+            # separator (limit -1 keeps trailing empty lines)
+            F.split(F.col(text_col), _re.escape(sep), -1)
+        ).alias("pos", "line"),
+    )
+    df_counts = (
+        lines.filter(F.col("line") != "")
+        .select("doc_id", "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("line_df"))
+    )
+    tagged = lines.join(df_counts, "line", "left")
+    keep = tagged.filter(
+        (F.col("line") == "") | (F.col("line_df") <= max_df)
+    )
+    survivors = keep.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_n_lines")
+    )
+    return (
+        totals.join(survivors, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            (F.col("_n_lines") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed_lines"),
+        )
+    )
+
+
 def normalize_unicode(col, form: str = "NFC"):
     """Unicode normalization as an Arrow-batched column expression —
     the canonicalization pass a multilingual training corpus needs

@@ -16,7 +16,7 @@ binarized feature vectors.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datawarehouse_code_spark.operators.text import shingle_hash_docs, words
@@ -191,6 +191,29 @@ def quality_classifier_score(
             F.col("prediction").cast("int").alias("predicted"),
         )
     )
+
+
+def save_quality_classifier(model, path: str, num_features: int) -> None:
+    """Persist the trained classifier: pyspark.ml native model save
+    plus the feature WIDTH as a sidecar table — feature hashing is
+    position-based, so scoring with a different num_features silently
+    scrambles every feature; persisting the width with the
+    coefficients makes the pair one artifact (the IVF-index doctrine:
+    the model is build-once/score-many)."""
+    model.write().overwrite().save(f"{path}/model")
+    spark = SparkSession.getActiveSession()
+    spark.createDataFrame(
+        [(int(num_features),)], "num_features int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_quality_classifier(spark: SparkSession, path: str):
+    """(model, num_features) — feed both to quality_classifier_score."""
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    model = LogisticRegressionModel.load(f"{path}/model")
+    nf = spark.read.parquet(f"{path}/meta").first()["num_features"]
+    return model, int(nf)
 
 
 def train_bigram_lm(

@@ -154,6 +154,23 @@ def bpe_train(
     return merges
 
 
+def save_bpe_merges(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist an ordered merge list as a (rank, a, b) table — the
+    tokenizer artifact is build-once/encode-many exactly like the IVF
+    index; merge ORDER is the tokenizer (applying them shuffled
+    produces different segmentations), so the rank column is data,
+    not decoration."""
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    spark.createDataFrame(
+        rows, "rank int, a string, b string"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_bpe_merges(spark, path: str) -> list[tuple[str, str]]:
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["a"], r["b"]) for r in rows]
+
+
 def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
     """Pure-Python single-word BPE application — the reference
     semantics the Arrow UDF batches (and the tests pin against)."""

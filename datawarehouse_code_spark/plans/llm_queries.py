@@ -1534,6 +1534,67 @@ FROM ({_LANG_STATS_SUITE_SQL})
 """
 
 
+def _docs_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style frequent-line removal (operators/text.py
+    remove_frequent_lines).  The fixture texts carry no newlines, so
+    multi-line documents are PLANTED deterministically: every doc
+    becomes three lines — its own text, a corpus-wide boilerplate
+    footer (line-df = n_docs, must be removed at max_df=1), and a
+    doc-unique line (df = 1, must survive).  Text lines shared by
+    naturally-duplicated fixture docs also exceed max_df and drop on
+    BOTH sides — the oracle replays the identical rule, so an
+    off-by-one in the df count, a broken order-preserving
+    reassembly, or an empty-line miscount hash-fails."""
+    from datawarehouse_code_spark.operators.text import (
+        remove_frequent_lines,
+    )
+
+    docs = read_table(spark, "documents", sf_dir)
+    lined = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\n"),
+            F.lit("standard boilerplate footer"), F.lit("\n"),
+            F.concat(F.lit("doc-specific "), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    return remove_frequent_lines(lined, max_df=1)
+
+
+_BOILERPLATE_SQL = """
+WITH lined AS (
+  SELECT doc_id,
+         text || chr(10) || 'standard boilerplate footer' || chr(10)
+              || 'doc-specific ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents
+), parts_t AS (
+  SELECT doc_id, string_split(text, chr(10)) AS parts FROM lined
+), lines AS (
+  SELECT doc_id, t.i - 1 AS pos, parts[t.i] AS line
+  FROM parts_t, unnest(range(1, len(parts) + 1)) AS t(i)
+), dfs AS (
+  SELECT line, count(*) AS line_df
+  FROM (SELECT DISTINCT doc_id, line FROM lines WHERE line <> '')
+  GROUP BY line
+), keep AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM lines l LEFT JOIN dfs d USING (line)
+  WHERE l.line = '' OR d.line_df <= 1
+), survivors AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY pos) AS cleaned_text,
+         count(*) AS n_kept
+  FROM keep GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(s.cleaned_text, '') AS cleaned_text,
+       CAST(t.n_lines - coalesce(s.n_kept, 0) AS BIGINT) AS n_removed_lines
+FROM totals t LEFT JOIN survivors s USING (doc_id)
+"""
+
+
 def _docs_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated spans (operators/text.py
     duplicate_spans): maximal runs of 5-word grams occurring in >= 2
@@ -2252,6 +2313,11 @@ LLM_SUPPLEMENTARY: list[Query] = [
     Query("bpe_pair_counts", _bpe_pair_counts, _BPE_PAIRS_SQL,
           "north-star: BPE merge-candidate pair counts (tokenizer "
           "training step; supplementary, differential-tested)"),
+    Query("docs_boilerplate_lines", _docs_boilerplate_lines,
+          _BOILERPLATE_SQL,
+          "north-star: CCNet-style frequent-line boilerplate removal "
+          "on planted multi-line docs (supplementary, "
+          "differential-tested)"),
     Query("docs_duplicate_spans", _docs_duplicate_spans, _DUP_SPANS_SQL,
           "north-star: cross-document duplicated spans (exact-substring "
           "dedup; supplementary, differential-tested)"),

@@ -580,3 +580,45 @@ def test_registry_order_oracle_first():
     n_oracle = sum(kinds)
     assert n_oracle <= 50
     assert all(kinds[:n_oracle]) and not any(kinds[n_oracle:])
+
+
+def test_remove_frequent_lines_crafted(spark):
+    """CCNet-style line removal on a crafted corpus: the shared
+    footer drops, unique lines survive in ORIGINAL order, empty lines
+    are structure (kept, never counted), an all-boilerplate doc comes
+    back empty, and max_df raises the bar."""
+    from datawarehouse_code_spark.operators.text import remove_frequent_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha one\nFOOTER\n\nbeta one"),
+            (2, "alpha two\nFOOTER\ngamma two"),
+            (3, "FOOTER"),
+            (4, "only unique content"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["cleaned_text"], r["n_removed_lines"])
+        for r in remove_frequent_lines(docs, max_df=1).collect()
+    }
+    assert got[1] == ("alpha one\n\nbeta one", 1)
+    assert got[2] == ("alpha two\ngamma two", 1)
+    assert got[3] == ("", 1)
+    assert got[4] == ("only unique content", 0)
+
+    # max_df=2 lets a 2-doc line live, still drops the 3-doc footer
+    docs2 = spark.createDataFrame(
+        [
+            (1, "shared pair\nFOOTER"),
+            (2, "shared pair\nFOOTER"),
+            (3, "solo\nFOOTER"),
+        ],
+        ["doc_id", "text"],
+    )
+    got2 = {
+        r["doc_id"]: (r["cleaned_text"], r["n_removed_lines"])
+        for r in remove_frequent_lines(docs2, max_df=2).collect()
+    }
+    assert got2[1] == ("shared pair", 1)
+    assert got2[3] == ("solo", 1)

@@ -118,3 +118,31 @@ def test_registry_row_runs(spark):
     # (including ones outside the every-5th seed) score as keepers
     keep_rate = sum(r["predicted"] for r in rows) / len(rows)
     assert keep_rate > 0.95, keep_rate
+
+
+def test_save_load_round_trip(spark, docs, tmp_path):
+    """Persisted classifier scores identically to the in-memory one,
+    and the feature width travels with the coefficients."""
+    from datawarehouse_code_spark.operators.text_ml import (
+        load_quality_classifier,
+        quality_classifier_score,
+        save_quality_classifier,
+        train_quality_classifier,
+    )
+
+    pos, neg = _planted_seed(docs.limit(100))
+    model = train_quality_classifier(
+        pos.unionByName(neg).select("text", "label"),
+        num_features=NF, max_iter=5,
+    )
+    path = str(tmp_path / "clf")
+    save_quality_classifier(model, path, NF)
+    loaded, nf = load_quality_classifier(spark, path)
+    assert nf == NF
+    a = sorted(
+        map(tuple, quality_classifier_score(docs, model, NF).collect())
+    )
+    b = sorted(
+        map(tuple, quality_classifier_score(docs, loaded, nf).collect())
+    )
+    assert a == b

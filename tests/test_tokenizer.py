@@ -123,3 +123,25 @@ def test_bpe_tokens_feed_pack_sequences(spark):
     assert packed.count() > 0
     total = enc.agg(F.sum("n_tokens")).first()[0]
     assert total and total > 0
+
+
+def test_bpe_merges_save_load_round_trip(spark, tmp_path):
+    """Ordered merge-list persistence: load returns the exact ordered
+    list, and the encoder built from it segments identically."""
+    from datawarehouse_code_spark.operators.tokenizer import (
+        bpe_train,
+        encode_word,
+        load_bpe_merges,
+        save_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [("low lower lowest",), ("newer newest low",)], ["text"]
+    )
+    merges = bpe_train(docs, n_merges=4)
+    path = str(tmp_path / "merges")
+    save_bpe_merges(spark, merges, path)
+    loaded = load_bpe_merges(spark, path)
+    assert loaded == merges
+    for w in ("lowest", "newer", "unseen"):
+        assert encode_word(w, loaded) == encode_word(w, merges)
