@@ -198,6 +198,7 @@ HEADLINE = [
     "similarity_topk_quantized",
     "docs_quality_ml",
     "docs_boilerplate_lines",
+    "sql_recursive_reachability",
 ]
 
 

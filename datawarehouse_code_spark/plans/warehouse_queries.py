@@ -1491,6 +1491,53 @@ def _subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUBQUERY_SQL = _SUBQUERY_TEXT
 
 
+# Variable-depth traversal through the DECLARATIVE surface: Spark 4
+# added WITH RECURSIVE, so hop-bounded reachability no longer needs
+# the driver-side loop (operators/graph.py bfs_distances stays the
+# scale path — its per-round lineage cuts and early convergence beat
+# the planner's unrolling on deep graphs — but the SQL surface now
+# covers the idiom, and the IDENTICAL text runs on DuckDB).
+# Seeds: suppliers with suppkey % 20 = 0 over the order-co-occurrence
+# edge set (deduplicated at (orderkey, suppkey) grain BEFORE the
+# self-join — the fan-out lesson from the weighted-paths row).  The
+# hop < 3 bound caps the UNION ALL recursion on a cyclic graph; the
+# outer MIN collapses path multiplicity, so the result is the exact
+# ≤3-hop BFS distance set.
+_RECURSIVE_TEXT = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+), reach(node, hop) AS (
+  SELECT DISTINCT src AS node, 0 AS hop FROM edges WHERE src % 20 = 0
+  UNION ALL
+  SELECT e.dst AS node, r.hop + 1 AS hop
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.hop < 3
+)
+SELECT node, CAST(MIN(hop) AS BIGINT) AS min_hops
+FROM reach
+GROUP BY node
+"""
+
+
+def _sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE) through the SQL surface —
+    ≤3-hop reachability from seed suppliers over the co-occurrence
+    graph.  The same text runs on DuckDB unchanged; the driver-loop
+    twin is operators/graph.py bfs_distances (used by the
+    supplier_bfs oracle row), so the two traversal surfaces check
+    each other."""
+    from datawarehouse_code_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_TEXT)
+
+
+_RECURSIVE_SQL = _RECURSIVE_TEXT
+
+
 WAREHOUSE_QUERIES: list[Query] = [
     Query("agg_revenue_year_country", _agg_revenue_year_country, _AGG_REVENUE_SQL,
           "§2.2 aggregates: the cube's flagship GROUP BY"),
@@ -2606,6 +2653,11 @@ FROM spine s LEFT JOIN daily d USING (o_orderpriority, bucket)
 
 
 WAREHOUSE_SUPPLEMENTARY: list[Query] = [
+    Query("sql_recursive_reachability", _sql_recursive_reachability,
+          _RECURSIVE_SQL,
+          "§2.2 SQL surface: WITH RECURSIVE hop-bounded reachability "
+          "(Spark 4 recursive CTE; identical text on DuckDB; "
+          "supplementary, differential-tested)"),
     Query("rollup_merge", _rollup_merge, _ROLLUP_MERGE_SQL,
           "§2.2 aggregates: incremental partial-aggregate merge ≡ rebuild "
           "(operators/rollup.py)"),
