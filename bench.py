@@ -222,12 +222,20 @@ def main() -> None:
     load_before = os.getloadavg()
     times: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
     for name in names:
         runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            BENCHABLE[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
+        try:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                BENCHABLE[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+        except Exception as e:  # noqa: BLE001 — one broken query must
+            # not zero out the whole benchmark payload (the driver
+            # records whatever JSON line this prints; an abort records
+            # nothing for ANY query)
+            errors[name] = str(e).splitlines()[0][:200]
+            continue
         times[name] = round(min(runs), 3)
         spreads[name] = [round(t, 3) for t in sorted(runs)]
 
@@ -248,6 +256,8 @@ def main() -> None:
         },
         "sf": sf_val,
     }
+    if errors:
+        payload["errors"] = errors
     if sf_val == 0.1:
         # ratios vs the FROZEN rows (sf0.1 only — the frozen numbers
         # were measured at that scale factor)
@@ -279,6 +289,8 @@ def main() -> None:
         "n_queries": len(times),
         "full": "BENCH_full.json",
     }
+    if errors:
+        summary["errors"] = errors
     if "baseline_ratio" in payload:
         br = payload["baseline_ratio"]
         worst3 = dict(sorted(br["queries"].items(), key=lambda kv: -kv[1])[:3])

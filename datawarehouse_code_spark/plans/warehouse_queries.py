@@ -1500,9 +1500,16 @@ _SUBQUERY_SQL = _SUBQUERY_TEXT
 # Seeds: suppliers with suppkey % 20 = 0 over the order-co-occurrence
 # edge set (deduplicated at (orderkey, suppkey) grain BEFORE the
 # self-join — the fan-out lesson from the weighted-paths row).  The
-# hop < 3 bound caps the UNION ALL recursion on a cyclic graph; the
-# outer MIN collapses path multiplicity, so the result is the exact
-# ≤3-hop BFS distance set.
+# hop < 3 bound caps the UNION ALL recursion on a cyclic graph, and
+# the DISTINCT inside the recursive term is load-bearing: it bounds
+# every iteration at ≤ |V| rows.  Without it each step carries PATH
+# multiplicity — on the dense co-occurrence graph that's
+# seeds·degree^hop rows and trips Spark's
+# RECURSION_ROW_LIMIT_EXCEEDED (1e6) at sf0.1.  (Both engines
+# iterate on the previous step's working table, so the per-step
+# DISTINCT is semantics-identical on Spark and DuckDB.)  The outer
+# MIN collapses the node-reached-at-several-hops residue, so the
+# result is the exact ≤3-hop BFS distance set.
 _RECURSIVE_TEXT = """
 WITH RECURSIVE edges AS (
   SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
@@ -1512,7 +1519,7 @@ WITH RECURSIVE edges AS (
 ), reach(node, hop) AS (
   SELECT DISTINCT src AS node, 0 AS hop FROM edges WHERE src % 20 = 0
   UNION ALL
-  SELECT e.dst AS node, r.hop + 1 AS hop
+  SELECT DISTINCT e.dst AS node, r.hop + 1 AS hop
   FROM reach r JOIN edges e ON e.src = r.node
   WHERE r.hop < 3
 )
