@@ -536,3 +536,87 @@ def test_asof_forward_and_nearest_match_pandas(left_rows, right_rows, tol_s):
     }
     want_n = pandas_want("nearest", None if tol_s is None else tol_s)
     assert got_n == want_n
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(-1000, 1000), min_size=8, max_size=8),
+        min_size=3, max_size=12, unique_by=tuple,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_quantized_rerank_full_window_equals_bruteforce(vec_rows):
+    """Int8 quantized-rank + exact-rerank with a rerank window that
+    covers the whole corpus MUST equal brute force exactly for ANY
+    vector set — quantization may only reorder the shortlist cut, and
+    an all-corpus window makes the cut a no-op.  Catches scale/
+    rounding bugs the fixture's well-behaved vectors might mask
+    (zero vectors, constant vectors, sign-flips)."""
+    import tests.conftest as c
+    from datawarehouse_code_spark.operators.similarity import (
+        brute_force_topk,
+        quantized_rerank_topk,
+    )
+
+    spark = _spark_handle(c)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vec_rows)],
+        "vec_id bigint, embedding array<float>",
+    )
+    brute = sorted(map(tuple, brute_force_topk(emb, k=3).collect()))
+    quant = sorted(
+        map(
+            tuple,
+            quantized_rerank_topk(
+                emb, k=3, rerank_factor=len(vec_rows) + 1
+            ).collect(),
+        )
+    )
+    assert brute == quant
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "FOOT", ""]),
+            min_size=1, max_size=5,
+        ),
+        min_size=1, max_size=8,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_remove_frequent_lines_properties(doc_lines):
+    """Two invariants for ANY corpus: (a) max_df >= n_docs is the
+    identity (nothing can exceed it); (b) output reassembly agrees
+    with a pure-Python replay of the rule."""
+    import tests.conftest as c
+    from datawarehouse_code_spark.operators.text import remove_frequent_lines
+
+    spark = _spark_handle(c)
+    docs = [(i, "\n".join(ls)) for i, ls in enumerate(doc_lines)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    ident = {
+        r["doc_id"]: (r["cleaned_text"], r["n_removed_lines"])
+        for r in remove_frequent_lines(df, max_df=len(docs)).collect()
+    }
+    assert ident == {i: (t, 0) for i, t in docs}
+
+    # python replay at max_df=1
+    line_docs: dict[str, set] = {}
+    for i, t in docs:
+        for ln in set(t.split("\n")):
+            if ln != "":
+                line_docs.setdefault(ln, set()).add(i)
+    want = {}
+    for i, t in docs:
+        kept = [
+            ln for ln in t.split("\n")
+            if ln == "" or len(line_docs[ln]) <= 1
+        ]
+        want[i] = ("\n".join(kept), len(t.split("\n")) - len(kept))
+    got = {
+        r["doc_id"]: (r["cleaned_text"], r["n_removed_lines"])
+        for r in remove_frequent_lines(df, max_df=1).collect()
+    }
+    assert got == want
