@@ -1227,6 +1227,43 @@ def query_ivf_index(
     return _ranked_topk(pairs, k)
 
 
+def ivf_index_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Bucket-balance report for a persisted IVF index: (cent_id,
+    n_vectors, share_bp, imbalance_x100) — one row per centroid,
+    share in integer basis points, and max-bucket/mean-bucket ratio
+    (×100) repeated on every row so a single filter
+    (`imbalance_x100 > 300`) flags a skewed index.
+
+    This is the ANN leg of the skew-observability story
+    (operators/quality.py skew_report for join keys): probe cost is
+    ∝ bucket size, so one hot centroid makes every query that probes
+    it pay the whole imbalance — the report names the buckets worth
+    splitting (re-fit with more centroids, or route the hot bucket's
+    vectors through a sub-quantizer).  Cost: one column-pruned
+    count-by-partition scan of assignment keys; integer arithmetic
+    only (deterministic across engines/partitionings)."""
+    counts = (
+        spark.read.parquet(f"{path}/assignments")
+        .groupBy("cent_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+    totals = counts.agg(
+        F.sum("n_vectors").alias("_total"),
+        F.max("n_vectors").alias("_max"),
+        F.count(F.lit(1)).alias("_k"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "cent_id",
+            "n_vectors",
+            F.expr("(n_vectors * 10000) div _total").alias("share_bp"),
+            F.expr("(_max * 100 * _k) div _total").alias("imbalance_x100"),
+        )
+        .orderBy(F.col("n_vectors").desc(), F.col("cent_id").asc())
+    )
+
+
 def embedding_near_dup_lsh(
     embeddings: DataFrame,
     threshold: float = 0.95,

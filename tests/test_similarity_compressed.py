@@ -506,3 +506,29 @@ def test_filtered_compressed_query_matches_filtered_uncompressed(
     assert sorted(map(tuple, got_u.collect())) == sorted(
         map(tuple, got_c.collect())
     )
+
+
+def test_ivf_index_stats(spark, emb, tmp_path):
+    """Bucket-balance report: shares sum to ~10000 bp, counts sum to
+    the corpus, imbalance = max/mean x100, identical math on a
+    compressed index."""
+    from datawarehouse_code_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_stats,
+    )
+
+    n = emb.count()
+    for compress in (None, "int8"):
+        path = str(tmp_path / f"s_{compress}")
+        build_ivf_index(emb, path, n_centroids=8, compress=compress)
+        rows = ivf_index_stats(spark, path).collect()
+        assert sum(r["n_vectors"] for r in rows) == n
+        assert rows == sorted(
+            rows, key=lambda r: (-r["n_vectors"], r["cent_id"])
+        )
+        total_bp = sum(r["share_bp"] for r in rows)
+        assert 10000 - len(rows) <= total_bp <= 10000  # div truncation
+        k = len(rows)
+        want_imb = rows[0]["n_vectors"] * 100 * k // n
+        assert all(r["imbalance_x100"] == want_imb for r in rows)
+        assert want_imb >= 100
