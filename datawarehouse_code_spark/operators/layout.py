@@ -137,6 +137,33 @@ def zorder_write(
     writer.parquet(path)
 
 
+def bloom_filter_options(
+    cols: list[str], expected_ndv: int | None = None
+) -> dict[str, str]:
+    """Writer options that embed parquet BLOOM FILTERS for `cols` —
+    the data-skipping leg min/max stats can't provide: a
+    high-cardinality id scattered uniformly across a table makes
+    every row group's [min, max] span the whole domain, so stats
+    prune NOTHING for point lookups, while a bloom filter answers
+    "definitely absent" per row group with ~1% false positives.
+    Spark's vectorized parquet reader consults the filters
+    automatically for equality/IN predicates — layout doctrine:
+    physical organization is the index, zero reader-side cooperation.
+
+    Compose with zorder_write(writer_options=...) or any
+    `.write.options(**...)`.  `expected_ndv` sizes the filter
+    (per-row-group distinct estimate; Spark's default sizing applies
+    when omitted).  Bloom filters cost write-side bytes per row
+    group, so list only the columns point-lookups actually probe.
+    """
+    opts: dict[str, str] = {}
+    for c in cols:
+        opts[f"parquet.bloom.filter.enabled#{c}"] = "true"
+        if expected_ndv is not None:
+            opts[f"parquet.bloom.filter.expected.ndv#{c}"] = str(expected_ndv)
+    return opts
+
+
 def collect_file_stats(
     spark: "SparkSession", path: str, cols: list[str]
 ) -> DataFrame:

@@ -472,3 +472,47 @@ def test_surviving_rowgroups_matches_footer_truth(spark, tmp_path):
     assert _surviving_rowgroups(md, {"k": ("zzz", None)}) == list(
         range(md.num_row_groups)
     )
+
+
+def test_bloom_filter_options_write_and_lookup(spark, tmp_path):
+    """bloom_filter_options embeds parquet bloom filters for the
+    listed column only (observable as footer-region growth on that
+    file; pyarrow 16 doesn't expose the offset attribute), and
+    point-lookup results are unchanged — the reader treats the filter
+    as a pure skipping aid."""
+    import glob
+    import os
+
+    from datawarehouse_code_spark.operators.layout import (
+        bloom_filter_options,
+    )
+
+    df = spark.range(200_000).selectExpr(
+        "id", "CAST(id * 7919 % 1000003 AS BIGINT) AS k"
+    )
+    plain, bloom = str(tmp_path / "plain"), str(tmp_path / "bloom")
+    df.coalesce(1).write.parquet(plain)
+    df.coalesce(1).write.options(
+        **bloom_filter_options(["k"], expected_ndv=200_000)
+    ).parquet(bloom)
+
+    sz = {
+        v: os.path.getsize(glob.glob(f"{p}/*.parquet")[0])
+        for v, p in [("plain", plain), ("bloom", bloom)]
+    }
+    # a 200k-NDV bloom filter is ~100s of KB; well above parquet's
+    # size jitter between two writes of identical data
+    assert sz["bloom"] > sz["plain"] + 50_000, sz
+
+    for probe in (7919, 1, 999_999_937):
+        a = spark.read.parquet(plain).filter(f"k = {probe}").count()
+        b = spark.read.parquet(bloom).filter(f"k = {probe}").count()
+        assert a == b
+
+    opts = bloom_filter_options(["a", "b"], expected_ndv=10)
+    assert opts == {
+        "parquet.bloom.filter.enabled#a": "true",
+        "parquet.bloom.filter.expected.ndv#a": "10",
+        "parquet.bloom.filter.enabled#b": "true",
+        "parquet.bloom.filter.expected.ndv#b": "10",
+    }
