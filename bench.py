@@ -234,7 +234,7 @@ def main() -> None:
             # not zero out the whole benchmark payload (the driver
             # records whatever JSON line this prints; an abort records
             # nothing for ANY query)
-            errors[name] = str(e).splitlines()[0][:200]
+            errors[name] = (str(e).splitlines() or [repr(e)])[0][:200]
             continue
         times[name] = round(min(runs), 3)
         spreads[name] = [round(t, 3) for t in sorted(runs)]

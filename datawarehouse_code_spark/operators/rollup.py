@@ -464,16 +464,19 @@ def _check_partition_value_path_safe(fn: str, value: object) -> None:
     directory that does not exist and fs.delete silently no-ops,
     leaving stale fact rows and a stale rollup slice behind (r8
     ADVICE).  Rather than reimplementing Hive's escaping table (and
-    silently depending on it staying in sync), restrict string
-    partition values to the unescaped charset and fail loudly."""
+    silently depending on it staying in sync), restrict the value's
+    PATH RENDERING to the unescaped charset and fail loudly — on
+    str(value) whatever the Python type, since a datetime/timestamp
+    renders with spaces and colons and hits the same
+    escaped-directory mismatch a raw string would."""
     import re
 
-    if isinstance(value, str) and not re.fullmatch(r"[A-Za-z0-9._-]+", value):
+    if not re.fullmatch(r"[A-Za-z0-9._-]+", str(value)):
         raise ValueError(
-            f"{fn}: string partition value {value!r} contains characters "
+            f"{fn}: partition value {value!r} renders with characters "
             "Hive escapes in partition directory names; restrict "
-            "partition keys to [A-Za-z0-9._-] (or re-key the partition "
-            "column upstream)"
+            "partition keys to values spelled with [A-Za-z0-9._-] "
+            "(or re-key the partition column upstream)"
         )
 
 

@@ -432,10 +432,17 @@ def quantized_rerank_topk(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
         F.col("inv").alias("inv_q"),
     )
+    # array_repeat zips the scale in once per row — an embedded
+    # array_max subtree inside the lambda would re-evaluate per
+    # element (the O(d²) interpreted-HOF trap; see _quantize_int8)
     scale = (F.array_max(F.transform(F.col("v"), F.abs)) / F.lit(127.0))
     code = F.when(
         scale > 0,
-        F.transform(F.col("v"), lambda x: F.round(x / scale).cast("double")),
+        F.zip_with(
+            F.col("v"),
+            F.array_repeat(scale, F.size(F.col("v"))),
+            lambda x, s: F.round(x / s).cast("double"),
+        ),
     ).otherwise(F.transform(F.col("v"), lambda x: F.lit(0.0)))
     c = _restrict_candidates(vecs, allowed).select(
         F.col("vec_id").alias("candidate_id"), F.col("v").alias("cv"),
@@ -607,13 +614,21 @@ def _quantize_int8(assigned: DataFrame, extra_cols: list[str] = ()) -> DataFrame
     expressions — no UDF.  The stored `inv` stays the EXACT
     reciprocal norm: quantization approximates the dot product only,
     which keeps the approximate cosine unbiased by norm error.
-    `extra_cols` (attribute columns) ride along unchanged."""
+    `extra_cols` (attribute columns) ride along unchanged.
+
+    Expression shape: the scale is zipped in via `array_repeat`
+    rather than referenced inside the transform lambda — an embedded
+    `array_max(...)` subtree would re-evaluate PER ELEMENT (the
+    interpreted-HOF O(d²) trap text.py's words() and _ranked_topk
+    both document); array_repeat evaluates it once per row and the
+    lambda reads the materialized element."""
     scale = (F.array_max(F.transform(F.col("v"), F.abs)) / F.lit(127.0))
     code = F.when(
         scale > 0,
-        F.transform(
+        F.zip_with(
             F.col("v"),
-            lambda x: F.round(x / scale).cast("tinyint"),
+            F.array_repeat(scale, F.size(F.col("v"))),
+            lambda x, s: F.round(x / s).cast("tinyint"),
         ),
     ).otherwise(
         F.transform(F.col("v"), lambda x: F.lit(0).cast("tinyint"))
@@ -1194,16 +1209,14 @@ def query_ivf_index(
         .select("cent_id", "query_id", "qv", "inv_q", "candidate_id", "inv_c")
     )
     # eagerly materialized: it is joined below AND probed for the
-    # bounded id-list pushdown — |Q|·k·rerank_factor rows, small;
-    # cut strategy follows the session (operators/iterative.py)
-    from datawarehouse_code_spark.operators.iterative import (
-        cut_lineage,
-        resolve_checkpoint_mode,
-    )
-
-    shortlist = cut_lineage(
-        shortlist, resolve_checkpoint_mode(shortlist, "auto")
-    )
+    # bounded id-list pushdown — |Q|·k·rerank_factor rows, small.
+    # Deliberately localCheckpoint, NOT the session-auto strategy:
+    # this is a SERVING-path read, and on a cluster whose checkpoint
+    # dir is configured for the iterative TRAINING operators, 'auto'
+    # would pay a distributed-FS write and leak one never-cleaned
+    # reliable-checkpoint dir per query; losing an executor mid-query
+    # just fails one query, which a serving layer retries.
+    shortlist = shortlist.localCheckpoint(eager=True)
     vec_scan = spark.read.parquet(f"{path}/vectors").filter(
         F.col("cent_id").isin(probe_ids)
     )

@@ -1540,10 +1540,6 @@ def _sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge frame cut and registered as a view).  The driver-loop twin
     is operators/graph.py bfs_distances (the supplier_bfs oracle
     row), so the two traversal surfaces check each other."""
-    from datawarehouse_code_spark.operators.iterative import (
-        cut_lineage,
-        resolve_checkpoint_mode,
-    )
     from datawarehouse_code_spark.sources.catalog import read_table
 
     li = (
@@ -1562,7 +1558,12 @@ def _sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
         .distinct()
     )
-    edges = cut_lineage(edges, resolve_checkpoint_mode(edges, "auto"))
+    # localCheckpoint, not the session-auto strategy: this is a QUERY
+    # (one ephemeral materialization), and auto would write + leak a
+    # reliable checkpoint per run on checkpoint-dir-configured
+    # clusters (the iterative TRAINING operators are where reliable
+    # cuts belong)
+    edges = edges.localCheckpoint(eager=True)
     edges.createOrReplaceTempView("_rcte_edges")
     return spark.sql(
         """

@@ -173,6 +173,22 @@ def read_orc(spark: SparkSession, path: str, table: str) -> DataFrame:
     return spark.read.schema(SCHEMAS[table]).orc(path)
 
 
+def _project_to_expected(df: DataFrame, expected: str) -> DataFrame:
+    """The shared schema-contract projection of read_evolving and
+    read_avro: columns the files predate are added as typed NULLs and
+    the frame is projected to exactly the expected DDL's columns in
+    order — ONE definition so a contract change (e.g. type-conflict
+    handling) can't silently diverge between the readers."""
+    from pyspark.sql.types import StructType
+
+    want = StructType.fromDDL(expected)
+    have = {f.name for f in df.schema.fields}
+    for f in want.fields:
+        if f.name not in have:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return df.select(*[f.name for f in want.fields])
+
+
 def avro_available(spark: SparkSession) -> bool:
     """True when the spark-avro datasource module is on the session's
     classpath.  Avro has been an EXTERNAL module since Spark 2.4 —
@@ -217,14 +233,7 @@ def read_avro(
     df = spark.read.format("avro").load(path)
     if expected is None:
         return df
-    from pyspark.sql.types import StructType
-
-    want = StructType.fromDDL(expected)
-    have = {f.name for f in df.schema.fields}
-    for f in want.fields:
-        if f.name not in have:
-            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-    return df.select(*[f.name for f in want.fields])
+    return _project_to_expected(df, expected)
 
 
 def write_avro(df: DataFrame, path: str, mode: str = "error") -> None:
@@ -300,11 +309,4 @@ def read_evolving(
     df = spark.read.option("mergeSchema", "true").parquet(path)
     if expected is None:
         return df
-    from pyspark.sql.types import StructType
-
-    want = StructType.fromDDL(expected)
-    have = {f.name for f in df.schema.fields}
-    for f in want.fields:
-        if f.name not in have:
-            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-    return df.select(*[f.name for f in want.fields])
+    return _project_to_expected(df, expected)

@@ -595,9 +595,11 @@ def run_ivf_ingest(
         fs, marker = _fs_for(sp, f"{index_path}/assignments/_SUCCESS")
         if not fs.exists(marker):
             # assignments/ is written LAST by build_ivf_index, so the
-            # rollback must also sweep the artifacts written BEFORE it
-            # (centroids, and the compressed format's vectors/ table)
-            for part in ("assignments", "centroids", "vectors"):
+            # rollback must sweep EVERY artifact written before it
+            # (centroids, PQ codebooks, the compressed formats'
+            # vectors/) — a survivor would make the rebuild's
+            # mode("error") write wedge every replay
+            for part in ("assignments", "centroids", "vectors", "codebooks"):
                 if table_exists(sp, f"{index_path}/{part}"):
                     pfs, ppath = _fs_for(sp, f"{index_path}/{part}")
                     pfs.delete(ppath, True)

@@ -617,3 +617,29 @@ def test_backfill_partition_to_zero_rows_and_null_guard(spark, tmp_path):
     ):
         with pytest.raises(ValueError, match="NULL partition"):
             fn()
+
+
+def test_partition_guard_rejects_non_string_escaped_values(spark, tmp_path):
+    """The Hive-escape guard must fire on str(value) whatever the
+    Python type — a datetime renders with spaces/colons and hits the
+    same escaped-directory silent no-op a raw string would."""
+    import datetime
+
+    import pytest
+
+    from datawarehouse_code_spark.operators.rollup import (
+        _check_partition_value_path_safe,
+    )
+
+    _check_partition_value_path_safe("t", 1997)          # int renders clean
+    _check_partition_value_path_safe("t", "ok-value_1")  # safe charset
+    for bad in (
+        datetime.datetime(2024, 1, 1, 0, 0),
+        datetime.date(2024, 1, 1).isoformat() + " 00:00",
+        1.5,  # '1.5' is fine... but -0.5e-3 style floats are not
+    ):
+        if str(bad) == "1.5":
+            _check_partition_value_path_safe("t", bad)
+            continue
+        with pytest.raises(ValueError, match="Hive escapes"):
+            _check_partition_value_path_safe("t", bad)

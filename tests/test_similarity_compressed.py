@@ -532,3 +532,48 @@ def test_ivf_index_stats(spark, emb, tmp_path):
         want_imb = rows[0]["n_vectors"] * 100 * k // n
         assert all(r["imbalance_x100"] == want_imb for r in rows)
         assert want_imb >= 100
+
+
+def test_pq_stream_bootstrap_replay_after_crash(spark, emb, tmp_path):
+    """Half-bootstrap recovery for the PQ format: a crash AFTER
+    codebooks/ (and centroids/, vectors/) land but BEFORE the
+    assignments _SUCCESS marker must roll back EVERY artifact on
+    replay — a surviving codebooks/ dir would wedge the rebuild's
+    mode('error') write on this and every later replay."""
+    import os
+    import time
+
+    from datawarehouse_code_spark.streaming.jobs import run_ivf_ingest
+
+    path = str(tmp_path / "idx")
+    # simulate the crash state: pre-marker artifacts present
+    spark.createDataFrame(
+        [(0, 0, [0.0] * 8)], "sub int, code int, centroid array<double>"
+    ).write.parquet(f"{path}/codebooks")
+    spark.createDataFrame(
+        [(0, [0.0] * 64, 0.0)], "cent_id int, cv array<double>, inv_c double"
+    ).write.parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [(0, 1, [0.0] * 64)], "cent_id int, vec_id bigint, v array<double>"
+    ).write.parquet(f"{path}/vectors")
+    assert not os.path.exists(f"{path}/assignments/_SUCCESS")
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    f = land / "batch.parquet"
+    emb.limit(50).toPandas().to_parquet(f, index=False)
+    os.utime(f, (time.time() - 600, time.time() - 600))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    run_ivf_ingest(
+        stream, path, checkpoint_dir=str(tmp_path / "ckpt"),
+        n_centroids=4, compress="pq",
+    )
+    # rebuilt cleanly: marker present, codebooks replaced (not the
+    # planted single-row stub), all 50 vectors indexed
+    assert os.path.exists(f"{path}/assignments/_SUCCESS")
+    assert spark.read.parquet(f"{path}/codebooks").count() == 8 * 256
+    assert spark.read.parquet(f"{path}/assignments").count() == 50
