@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from datawarehouse_code_spark.operators.iterative import (
     cut_lineage,
+    release_checkpoint,
     resolve_checkpoint_mode,
 )
 from datawarehouse_code_spark.operators.text import exact_dedup, near_dup_pairs_lsh
@@ -83,17 +84,23 @@ def _two_phase_components(
         # --- small-star (edges strictly oriented u > v by construction) ---
         m2 = large.groupBy("u").agg(F.min("v").alias("m"))
         joined = large.join(m2, "u")
+        # `supersedes=large`: the large-star frame is consumed entirely
+        # by this cut — reclaim its reliable checkpoint immediately
         small = cut_lineage(
             joined.filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(m2.select("u", F.col("m").alias("v")))
             .distinct(),
             mode,
+            supersedes=large,
         )
         unchanged = (
             small.count() == edges.count()
             and small.join(edges, ["u", "v"], "left_anti").limit(1).count() == 0
         )
+        # the fixpoint comparison above was the old edge set's last
+        # reader; reclaim its checkpoint before replacing it
+        release_checkpoint(edges, unless=(small,))
         edges = small
         if unchanged:
             # fixpoint: edges are stars rooted at each component min
@@ -185,6 +192,9 @@ def near_dup_components(
             .filter(F.col("rep") != F.col("old_rep"))
             .count()
         )
+        # the changed-count above was the old label frame's last
+        # reader; reclaim its reliable checkpoint before replacing it
+        release_checkpoint(labels, unless=(new_labels,))
         labels = new_labels
         if changed == 0:
             break

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from datawarehouse_code_spark.operators.iterative import (
     cut_lineage,
+    release_checkpoint,
     resolve_checkpoint_mode,
 )
 
@@ -98,6 +99,11 @@ def pagerank_fixed(
     base = TOTAL_MASS // n_nodes
 
     ranks = nodes.withColumn("mass", F.lit(base).cast("bigint"))
+    # each periodic cut supersedes the previous one — under reliable
+    # checkpointing the replaced round's files are deleted as soon as
+    # the new cut materializes, so a long loop holds at most one
+    # superseded copy instead of one per cut (operators/iterative.py)
+    prev_cut = None
     for it in range(iters):
         # `div` is true integer division on both engines; a double `/`
         # followed by a cast can round UP across an integer boundary
@@ -118,7 +124,8 @@ def pagerank_fixed(
             ).alias("mass"),
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
-            ranks = cut_lineage(ranks, mode)
+            ranks = cut_lineage(ranks, mode, supersedes=prev_cut)
+            prev_cut = ranks
     return ranks
 
 
@@ -246,7 +253,7 @@ def bfs_distances(
             mode,
         )
         # the next frontier = nodes whose distance just improved
-        frontier = cut_lineage(
+        new_frontier = cut_lineage(
             merged.join(
                 dist.select("node", F.col("dist").alias("_old")), "node", "left"
             ).filter(
@@ -254,9 +261,17 @@ def bfs_distances(
             ).select("node", "dist"),
             mode,
         )
+        # both new cuts are materialized, so the round's inputs are
+        # dead: reclaim their reliable-checkpoint files now instead of
+        # leaking one per round (round 1 aliases frontier to dist —
+        # the `unless` guard makes the two releases delete once)
+        release_checkpoint(frontier, unless=(dist, merged))
+        release_checkpoint(dist, unless=(merged,))
         dist = merged
+        frontier = new_frontier
         if frontier.limit(1).count() == 0:
             break
+    release_checkpoint(frontier, unless=(dist,))
     return dist
 
 
@@ -309,6 +324,9 @@ def label_propagation(
     w = Window.partitionBy("node").orderBy(
         F.col("cnt").desc(), F.col("label").asc()
     )
+    # superseded periodic cuts are reclaimed as soon as the next cut
+    # materializes (reliable mode; see operators/iterative.py)
+    prev_cut = None
     for r in range(n_rounds):
         nbr_labels = sym.join(
             labels.select(F.col("node").alias("b"), "label"), "b"
@@ -322,7 +340,8 @@ def label_propagation(
             .select("node", "label")
         )
         if checkpoint_every and (r + 1) % checkpoint_every == 0:
-            labels = cut_lineage(labels, mode)
+            labels = cut_lineage(labels, mode, supersedes=prev_cut)
+            prev_cut = labels
     return labels
 
 
@@ -407,7 +426,7 @@ def weighted_shortest_paths(
             .agg(F.min("dist").alias("dist")),
             mode,
         )
-        frontier = cut_lineage(
+        new_frontier = cut_lineage(
             merged.join(
                 dist.select("node", F.col("dist").alias("_old")),
                 "node",
@@ -417,7 +436,14 @@ def weighted_shortest_paths(
             .select("node", "dist"),
             mode,
         )
+        # the round's inputs are dead once both cuts materialize —
+        # reclaim reliable-checkpoint files (round 1 aliases frontier
+        # to dist; the unless guard deletes once)
+        release_checkpoint(frontier, unless=(dist, merged))
+        release_checkpoint(dist, unless=(merged,))
         dist = merged
+        frontier = new_frontier
         if frontier.limit(1).count() == 0:
             break
+    release_checkpoint(frontier, unless=(dist,))
     return dist

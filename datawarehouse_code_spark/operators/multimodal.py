@@ -43,16 +43,20 @@ FEATURE_SCHEMA = (
 )
 FRAME_SCHEMA = "media_id BIGINT, frame_idx INT, frame_bytes BINARY, frame_len INT"
 
-# Hard cap on declared JPEG pixel count (16.7 MP).  The plane buffers
+# Hard cap on declared JPEG pixel count (67 MP).  The plane buffers
 # are allocated from the SOF0 header BEFORE entropy decode can fail,
 # so a crafted 2-byte dimension field must not be able to command
 # GB-scale numpy allocations in the quarantine lane (one hostile
 # payload OOM-killing an executor defeats "one bad byte must not kill
-# the job").  At this cap the worst pre-decode allocation is
-# ~3 planes x 2^24 x 8 B = 402 MB - survivable, and far above any
-# plausible training-corpus image; raise it only alongside a real
-# streaming/per-MCU-row allocator.
-JPEG_MAX_PIXELS = 1 << 24
+# the job").  The cap must also ADMIT legitimate corpus images:
+# modern camera/phone output runs 24-48 MP, so a 16 MP cap (the r8
+# first cut) silently quarantined valid photos.  2^26 covers every
+# mainstream sensor with headroom; the worst pre-decode allocation is
+# ~3 planes x 2^26 x 8 B ≈ 1.6 GB — paid only for a genuinely
+# 67 MP-declared image, survivable per-task, and 5x under the ~8 GB a
+# 16-bit dimension field could otherwise command.  Raise further only
+# alongside a real streaming/per-MCU-row allocator.
+JPEG_MAX_PIXELS = 1 << 26
 DECODED_STATS_SCHEMA = (
     "media_id BIGINT, width INT, height INT, "
     "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT"

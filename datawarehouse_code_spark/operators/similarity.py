@@ -432,18 +432,11 @@ def quantized_rerank_topk(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
         F.col("inv").alias("inv_q"),
     )
-    # array_repeat zips the scale in once per row — an embedded
-    # array_max subtree inside the lambda would re-evaluate per
-    # element (the O(d²) interpreted-HOF trap; see _quantize_int8)
-    scale = (F.array_max(F.transform(F.col("v"), F.abs)) / F.lit(127.0))
-    code = F.when(
-        scale > 0,
-        F.zip_with(
-            F.col("v"),
-            F.array_repeat(scale, F.size(F.col("v"))),
-            lambda x, s: F.round(x / s).cast("double"),
-        ),
-    ).otherwise(F.transform(F.col("v"), lambda x: F.lit(0.0)))
+    # the SAME arithmetic the persisted index stores — shared helper,
+    # double-typed codes so dot() consumes them without a cast (a
+    # formula change here and in _quantize_int8 cannot drift apart:
+    # both are _int8_expressions)
+    scale, code = _int8_expressions(F.col("v"), "double")
     c = _restrict_candidates(vecs, allowed).select(
         F.col("vec_id").alias("candidate_id"), F.col("v").alias("cv"),
         F.col("inv").alias("inv_c"), code.alias("code"),
@@ -607,14 +600,17 @@ def ivf_topk(
     return _ranked_topk(pairs, k)
 
 
-def _quantize_int8(assigned: DataFrame, extra_cols: list[str] = ()) -> DataFrame:
-    """Symmetric per-vector int8 scalar quantization of column `v`:
-    scale = max|v_i| / 127, code_i = round(v_i / scale) ∈ [-127, 127]
-    (an all-zero vector gets scale 0 and zero codes).  Pure JVM array
-    expressions — no UDF.  The stored `inv` stays the EXACT
-    reciprocal norm: quantization approximates the dot product only,
-    which keeps the approximate cosine unbiased by norm error.
-    `extra_cols` (attribute columns) ride along unchanged.
+def _int8_expressions(v, code_type: str):
+    """(scale, code) column expressions for symmetric per-vector int8
+    scalar quantization: scale = max|v_i| / 127, code_i =
+    round(v_i / scale) ∈ [-127, 127] (an all-zero vector gets scale 0
+    and zero codes).  THE single definition of the quantization
+    arithmetic — the persisted-index path (_quantize_int8, tinyint
+    codes) and the hash-checked oracle row (quantized_rerank_topk,
+    double codes so dot() consumes them directly) both call here, so
+    a change to the formula cannot silently diverge the serving path
+    from the row that checks it.  `code_type` is the cast applied to
+    each code element.
 
     Expression shape: the scale is zipped in via `array_repeat`
     rather than referenced inside the transform lambda — an embedded
@@ -622,17 +618,26 @@ def _quantize_int8(assigned: DataFrame, extra_cols: list[str] = ()) -> DataFrame
     interpreted-HOF O(d²) trap text.py's words() and _ranked_topk
     both document); array_repeat evaluates it once per row and the
     lambda reads the materialized element."""
-    scale = (F.array_max(F.transform(F.col("v"), F.abs)) / F.lit(127.0))
+    scale = (F.array_max(F.transform(v, F.abs)) / F.lit(127.0))
     code = F.when(
         scale > 0,
         F.zip_with(
-            F.col("v"),
-            F.array_repeat(scale, F.size(F.col("v"))),
-            lambda x, s: F.round(x / s).cast("tinyint"),
+            v,
+            F.array_repeat(scale, F.size(v)),
+            lambda x, s: F.round(x / s).cast(code_type),
         ),
-    ).otherwise(
-        F.transform(F.col("v"), lambda x: F.lit(0).cast("tinyint"))
-    )
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast(code_type)))
+    return scale, code
+
+
+def _quantize_int8(assigned: DataFrame, extra_cols: list[str] = ()) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization of column `v`
+    (arithmetic: _int8_expressions; tinyint codes on disk).  Pure JVM
+    array expressions — no UDF.  The stored `inv` stays the EXACT
+    reciprocal norm: quantization approximates the dot product only,
+    which keeps the approximate cosine unbiased by norm error.
+    `extra_cols` (attribute columns) ride along unchanged."""
+    scale, code = _int8_expressions(F.col("v"), "tinyint")
     return assigned.select(
         "cent_id", "vec_id",
         code.alias("code"), scale.alias("scale"), "inv", *extra_cols,
@@ -741,7 +746,21 @@ def build_ivf_index(
     # (centroids, PQ codebooks, the full-precision vectors) must exist
     # before it appears — a crash between the writes rolls the whole
     # bootstrap back instead of leaving a marker over a half-built
-    # index
+    # index.
+    # The compressed path writes `assigned` TWICE (vectors/ then
+    # codes into assignments/); persist it so the dominant build job
+    # (corpus x centroids crossJoin + per-vector window + attrs join)
+    # runs once, not once per artifact — MEMORY_AND_DISK, so at index
+    # scale the materialized assignment spills rather than recomputes.
+    # The repartition on the write's partition column matters twice
+    # over: a cached frame bypasses AQE's output coalescing, so
+    # without it every cached partition writes its own small file
+    # into every cent_id dir (shuffle-partitions x centroids tiny
+    # parquet chunks — measured 2x the column bytes at fixture scale
+    # from per-chunk overhead alone), and clustering by cent_id
+    # before a partitionBy("cent_id") write is the standard
+    # small-files guard regardless of caching.
+    assigned = assigned.repartition("cent_id").persist()
     if compress == "pq":
         dim = len(vecs.select("v").first()["v"])
         books = _pq_train_codebooks(vecs, dim, seed=seed)
@@ -774,6 +793,7 @@ def build_ivf_index(
         .partitionBy("cent_id")
         .parquet(f"{path}/assignments")
     )
+    assigned.unpersist()
 
 
 def _index_is_compressed(spark: SparkSession, path: str) -> bool:
@@ -965,7 +985,14 @@ def extend_ivf_index(
     # replay are deduplicated at query time (pairs dropDuplicates),
     # whereas the reverse order would leave committed codes whose
     # full-precision row is missing and silently drop them from the
-    # re-rank
+    # re-rank.
+    # Increment assignment feeds both appends — persist so the
+    # nearest-centroid job (and the anti-join upstream) runs once per
+    # increment, not twice (this path runs per streaming batch).  The
+    # cent_id repartition keeps each append to one file per touched
+    # partition dir (cached frames bypass AQE output coalescing; see
+    # build_ivf_index).
+    assigned = assigned.repartition("cent_id").persist()
     (
         assigned.select("cent_id", "vec_id", "v")
         .sortWithinPartitions("cent_id", "vec_id")
@@ -989,6 +1016,7 @@ def extend_ivf_index(
         .partitionBy("cent_id")
         .parquet(f"{path}/assignments")
     )
+    assigned.unpersist()
 
 
 def forget_vectors(

@@ -199,21 +199,50 @@ def save_quality_classifier(model, path: str, num_features: int) -> None:
     position-based, so scoring with a different num_features silently
     scrambles every feature; persisting the width with the
     coefficients makes the pair one artifact (the IVF-index doctrine:
-    the model is build-once/score-many)."""
-    model.write().overwrite().save(f"{path}/model")
+    the model is build-once/score-many).
+
+    Ordering/crash posture: everything that can fail cheaply
+    (width-vs-coefficients consistency, session resolution) fails
+    BEFORE the first byte is overwritten, and a crash between the two
+    writes cannot scramble scoring because `load_quality_classifier`
+    re-validates the sidecar against the loaded model's own
+    `numFeatures` and refuses a mismatched pair."""
+    if int(num_features) != int(model.numFeatures):
+        raise ValueError(
+            f"save_quality_classifier: num_features={num_features} but "
+            f"the model was trained with {model.numFeatures} features"
+        )
     spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "save_quality_classifier: no active SparkSession (called "
+            "from a non-inheriting thread or after session stop) — "
+            "resolve the session before overwriting the artifact"
+        )
+    model.write().overwrite().save(f"{path}/model")
     spark.createDataFrame(
         [(int(num_features),)], "num_features int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def load_quality_classifier(spark: SparkSession, path: str):
-    """(model, num_features) — feed both to quality_classifier_score."""
+    """(model, num_features) — feed both to quality_classifier_score.
+    Refuses a torn artifact: the sidecar width must equal the loaded
+    model's own coefficient width (a crash between the two saves can
+    leave a new model beside a stale sidecar or vice versa; scoring
+    with the wrong hash width silently scrambles every feature, so
+    mismatch is a hard error, not a warning)."""
     from pyspark.ml.classification import LogisticRegressionModel
 
     model = LogisticRegressionModel.load(f"{path}/model")
-    nf = spark.read.parquet(f"{path}/meta").first()["num_features"]
-    return model, int(nf)
+    nf = int(spark.read.parquet(f"{path}/meta").first()["num_features"])
+    if nf != int(model.numFeatures):
+        raise ValueError(
+            f"load_quality_classifier: torn artifact at {path} — sidecar "
+            f"num_features={nf} but the persisted model has "
+            f"{model.numFeatures}; re-run save_quality_classifier"
+        )
+    return model, nf
 
 
 def train_bigram_lm(

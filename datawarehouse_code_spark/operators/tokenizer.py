@@ -42,6 +42,7 @@ from pyspark.sql.functions import pandas_udf
 
 from datawarehouse_code_spark.operators.iterative import (
     cut_lineage,
+    release_checkpoint,
     resolve_checkpoint_mode,
 )
 from datawarehouse_code_spark.operators.text import words
@@ -145,12 +146,19 @@ def bpe_train(
             break
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
+        # supersedes=sym: the pre-merge symbol table's last reader is
+        # this cut — its reliable checkpoint is reclaimed as soon as
+        # the merged table materializes (operators/iterative.py)
         sym = cut_lineage(
             sym.select(
                 _apply_merge(F.col("symbols"), a, b).alias("symbols"), "n"
             ),
             mode,
+            supersedes=sym,
         )
+    # the return value is the merge LIST — the final symbol table is
+    # dead too
+    release_checkpoint(sym)
     return merges
 
 

@@ -19,6 +19,8 @@ Scale notes baked into each plan:
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1564,21 +1566,32 @@ def _sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     # clusters (the iterative TRAINING operators are where reliable
     # cuts belong)
     edges = edges.localCheckpoint(eager=True)
-    edges.createOrReplaceTempView("_rcte_edges")
-    return spark.sql(
-        """
+    # per-call unique view name: temp views are SESSION-global, so a
+    # fixed name races under concurrent invocations (thread B's
+    # createOrReplaceTempView landing between A's registration and
+    # A's spark.sql would silently swap A's edge set).  spark.sql
+    # analyzes eagerly — the view's plan is inlined into the returned
+    # DataFrame at this call — so the view is dropped immediately
+    # after; neither the name nor the catalog entry outlives the call.
+    view = f"_rcte_edges_{uuid.uuid4().hex}"
+    edges.createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
 WITH RECURSIVE reach(node, hop) AS (
-  SELECT DISTINCT src AS node, 0 AS hop FROM _rcte_edges WHERE src % 20 = 0
+  SELECT DISTINCT src AS node, 0 AS hop FROM {view} WHERE src % 20 = 0
   UNION ALL
   SELECT DISTINCT e.dst AS node, r.hop + 1 AS hop
-  FROM reach r JOIN _rcte_edges e ON e.src = r.node
+  FROM reach r JOIN {view} e ON e.src = r.node
   WHERE r.hop < 3
 )
 SELECT node, CAST(MIN(hop) AS BIGINT) AS min_hops
 FROM reach
 GROUP BY node
 """
-    )
+        )
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 _RECURSIVE_SQL = _RECURSIVE_TEXT

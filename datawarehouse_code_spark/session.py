@@ -36,6 +36,12 @@ def get_spark(app_name: str = "datawarehouse_code_spark", cpus: str | None = Non
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # reliable checkpoints (iterative operators under
+        # checkpoint='reliable'/'auto') are deleted on driver GC of the
+        # RDD reference; without this the TERMINAL checkpoint of every
+        # iterative call accumulates forever (per-round SUPERSEDED
+        # checkpoints are deleted eagerly by operators/iterative.py)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # saveAsTable targets (bucketed writes) go to a scratch dir,
         # never the repo cwd

@@ -204,8 +204,21 @@ def avro_available(spark: SparkSession) -> bool:
         spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
             "avro", spark._jsparkSession.sessionState().conf()
         )
-    except Exception:
-        return False
+    except Exception as e:  # noqa: BLE001 — filtered below, others re-raise
+        # Only the registry's missing-provider error means "module not
+        # deployed" (Spark 4: SparkClassNotFoundException with error
+        # class DATA_SOURCE_NOT_FOUND, "Failed to find the data source";
+        # Spark 3: ClassNotFoundException "Failed to find data source").
+        # Anything else — stopped session, py4j gateway failure — is a
+        # REAL error; swallowing it would tell a user whose cluster HAS
+        # spark-avro to deploy a package that is already present while
+        # masking the actual failure.
+        msg = str(e)
+        if "DATA_SOURCE_NOT_FOUND" in msg or (
+            "Failed to find" in msg and "data source" in msg.lower()
+        ) or "ClassNotFoundException" in msg:
+            return False
+        raise
     return True
 
 

@@ -163,8 +163,86 @@ def test_bpe_train_reliable_matches_local(spark, ckpt_dir):
     docs = spark.createDataFrame(
         [("low lower lowest",), ("newer newest low",)], ["text"]
     )
-    before = _n_ckpt_files(ckpt_dir)
+    before = _n_rdd_dirs(ckpt_dir)
     reliable = bpe_train(docs, n_merges=3)
-    assert _n_ckpt_files(ckpt_dir) > before
+    # the merge LIST is the return value — every round's symbol-table
+    # checkpoint is superseded by the next and the final one released,
+    # so a completed training run leaves NOTHING in the checkpoint dir
+    # (the unbounded-growth fix: 20-round loops used to persist 20
+    # copies forever under reliable mode)
+    assert _n_rdd_dirs(ckpt_dir) == before
     local = bpe_train(docs, n_merges=3, checkpoint="local")
     assert reliable == local and len(reliable) == 3
+
+
+def _n_rdd_dirs(d: str) -> int:
+    """Reliable checkpoints materialize as rdd-<id> directories."""
+    n = 0
+    for _root, dirs, _files in os.walk(d):
+        n += sum(1 for x in dirs if x.startswith("rdd-"))
+    return n
+
+
+def test_cut_lineage_supersedes_reclaims_reliable_checkpoint(spark, ckpt_dir):
+    """cut_lineage(supersedes=prev) deletes prev's checkpoint files
+    once the new cut materializes; release_checkpoint reclaims a dead
+    terminal frame; local mode ignores both (blocks are ContextCleaner
+    territory)."""
+    from datawarehouse_code_spark.operators.iterative import (
+        _reliable_checkpoint_file,
+        cut_lineage,
+        release_checkpoint,
+    )
+
+    df1 = cut_lineage(spark.range(10), "reliable")
+    f1 = _reliable_checkpoint_file(df1)
+    assert f1 is not None and os.path.exists(f1.replace("file:", ""))
+    df2 = cut_lineage(
+        df1.withColumn("y", F.col("id") * 2), "reliable", supersedes=df1
+    )
+    f2 = _reliable_checkpoint_file(df2)
+    assert f2 is not None and f2 != f1
+    assert not os.path.exists(f1.replace("file:", ""))  # superseded → gone
+    assert df2.count() == 10  # the survivor still computes
+    release_checkpoint(df2)
+    assert not os.path.exists(f2.replace("file:", ""))
+    # identity guard: a frame listed in `unless` is never deleted
+    df3 = cut_lineage(spark.range(3), "reliable")
+    release_checkpoint(df3, unless=(df3,))
+    f3 = _reliable_checkpoint_file(df3)
+    assert f3 is not None and os.path.exists(f3.replace("file:", ""))
+    # local mode: supersedes/release are no-ops, both frames usable
+    l1 = cut_lineage(spark.range(5), "local")
+    l2 = cut_lineage(l1.withColumn("y", F.col("id") + 1), "local", supersedes=l1)
+    release_checkpoint(l1)
+    assert l1.count() == 5 and l2.count() == 5
+
+
+def test_iterative_loops_hold_bounded_checkpoints(spark, ckpt_dir):
+    """A multi-round reliable-mode loop must not retain one checkpoint
+    per round: after pagerank(iters=4, checkpoint_every=1) the dir
+    holds only the PERMANENT per-loop frames (edges, nodes, outdeg)
+    plus the final ranks — not 4 rank generations (the r8 verdict's
+    unbounded-checkpoint-growth finding)."""
+    from datawarehouse_code_spark.operators.graph import (
+        bfs_distances,
+        pagerank_fixed,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3)], ["src", "dst"]
+    )
+    before = _n_rdd_dirs(ckpt_dir)
+    ranks = pagerank_fixed(edges, iters=4, checkpoint_every=1)
+    ranks.count()
+    # edges + nodes + outdeg + final ranks = 4 (3 superseded reclaimed)
+    assert _n_rdd_dirs(ckpt_dir) - before == 4
+    # BFS on a 4-hop chain: per-round dist/frontier generations are
+    # reclaimed as they are superseded; the converged run keeps only
+    # sym + the final dist
+    chain = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["a", "b"])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    mid = _n_rdd_dirs(ckpt_dir)
+    dist = bfs_distances(chain, seeds)
+    assert sorted(map(tuple, dist.collect())) == [(1, 0), (2, 1), (3, 2), (4, 3)]
+    assert _n_rdd_dirs(ckpt_dir) - mid == 2

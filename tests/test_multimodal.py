@@ -363,7 +363,7 @@ def test_jpeg_hostile_dimensions_rejected_before_allocation():
     data = bytearray(encode_gray_jpeg(8, 8, 50))
     sof = data.find(b"\xff\xc0")
     # SOF0 payload: len(2) precision(1) height(2) width(2) — declare
-    # 32767 x 32767 ≈ 1.07e9 px, 64x past the cap
+    # 32767 x 32767 ≈ 1.07e9 px, 16x past the cap
     data[sof + 5 : sof + 9] = (32767).to_bytes(2, "big") * 2
     before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     with pytest.raises(ValueError, match="implausible JPEG dimensions"):
