@@ -199,6 +199,7 @@ HEADLINE = [
     "docs_quality_ml",
     "docs_boilerplate_lines",
     "sql_recursive_reachability",
+    "docs_semantic_dedup",
 ]
 
 

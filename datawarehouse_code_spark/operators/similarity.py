@@ -49,6 +49,7 @@ __all__ = [
     "forget_vectors",
     "_restrict_candidates", "quantized_rerank_topk",
     "pq_encode_udf", "pq_query_tables_udf",
+    "semantic_dedup", "semantic_dedup_exact",
 ]
 
 
@@ -1340,3 +1341,133 @@ def embedding_near_dup_lsh(
         .filter(F.col("sim_f6") >= threshold)
         .select("v1", "v2", "sim_f6")
     )
+
+
+# ------------------------------------------------------ semantic dedup
+
+
+def _dedup_from_pairs(vecs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Shared drop-rule tail for the semantic dedup variants: given
+    candidate (a_id, vec_id, sim_f6i) pairs with a_id < vec_id and
+    the similarity already floored to integer 1e-6 grains, a vector
+    is DROPPED iff any smaller-id pair survives the caller's
+    threshold, `dup_of` names the smallest such neighbor (kept rows
+    carry -1 — a sentinel instead of NULL keeps the row orderable and
+    join-safe downstream), `kept` is a 0/1 int."""
+    dups = pairs.groupBy("vec_id").agg(F.min("a_id").alias("_dup"))
+    return (
+        vecs.select("vec_id")
+        .join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.col("_dup").isNull(), F.lit(1))
+            .otherwise(F.lit(0)).cast("int").alias("kept"),
+            F.coalesce(F.col("_dup"), F.lit(-1).cast("bigint")).alias("dup_of"),
+        )
+    )
+
+
+def semantic_dedup_exact(
+    embeddings: DataFrame, threshold_f6: int = 420_000
+) -> DataFrame:
+    """(vec_id, kept, dup_of): exact semantic deduplication — the
+    SemDeDup drop rule (Abbas et al. 2023: remove embedding-space
+    near-duplicates, not just textual ones) with brute-force all-pairs
+    search as the exact-answer anchor.  A vector is dropped iff some
+    SMALLER-id vector's cosine similarity, floored to 1e-6 grains,
+    reaches `threshold_f6` (an integer count of those grains — the
+    cross-engine-safe comparison; no round(), no float literal
+    equality).  `dup_of` is the smallest such neighbor id, -1 for
+    kept rows.  Keep-the-smallest-id is deterministic under any
+    partitioning and engine — the property a reproducible corpus
+    pipeline needs from its dedup stage.
+
+    Scale posture: O(N²·d) pair arithmetic — this is the ORACLE and
+    the calibration baseline (brute_force_topk doctrine), not the
+    serving path; `semantic_dedup` is the cluster-bucketed scale
+    variant and is pinned against this one in tests.  The broadcast
+    nested-loop shape (small side broadcast) is deliberate: a
+    cartesian with an equi-key would shuffle N² rows instead."""
+    vecs = _with_inv_norm(
+        embeddings.select(
+            "vec_id", as_double_array(F.col("embedding")).alias("v")
+        )
+    )
+    a = vecs.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("av"),
+        F.col("inv").alias("inv_a"),
+    )
+    b = vecs.select("vec_id", F.col("v").alias("bv"), F.col("inv").alias("inv_b"))
+    sim_f6i = F.floor(
+        ((dot(F.col("av"), F.col("bv")) * F.col("inv_a")) * F.col("inv_b"))
+        * F.lit(1e6)
+    )
+    pairs = (
+        F.broadcast(a).crossJoin(b)
+        .filter(F.col("a_id") < F.col("vec_id"))
+        .select("a_id", "vec_id", sim_f6i.alias("sim_f6i"))
+        .filter(F.col("sim_f6i") >= F.lit(int(threshold_f6)))
+    )
+    return _dedup_from_pairs(vecs, pairs)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    threshold_f6: int = 420_000,
+    seed: int = 42,
+    fit_sample_fraction: float | None = None,
+    fit_max_iter: int = 8,
+) -> DataFrame:
+    """Cluster-bucketed semantic dedup — the SemDeDup scale shape:
+    k-means coarse clustering (the IVF quantizer, reused verbatim),
+    then the smaller-id drop rule WITHIN each cluster only.  Same
+    output contract as semantic_dedup_exact; near-duplicates that
+    land in different clusters are missed by construction (the
+    SemDeDup paper's accepted trade — true near-dups are nearly
+    colinear and co-cluster; exact twins always do, since identical
+    vectors score identically against every centroid and the
+    tiebreak is deterministic).  With n_centroids=1 this IS the exact
+    variant (single bucket ≡ all pairs — the full-probe≡brute-force
+    doctrine), which is how tests pin the bucketed path to the
+    oracle-checked one.
+
+    Scale shape: one tiny-centroid broadcast + per-vector window to
+    assign clusters, then a cent_id EQUI-join self-join — cost
+    O(Σ bucket²·d), never corpus², with bucket sizes observable via
+    ivf_index_stats (one hot cluster taxes only its own bucket;
+    raise n_centroids or re-fit when imbalance_x100 flags it)."""
+    vecs = _with_inv_norm(
+        embeddings.select(
+            "vec_id", as_double_array(F.col("embedding")).alias("v")
+        )
+    )
+    if n_centroids == 1:
+        # one bucket needs no quantizer (pyspark.ml KMeans requires
+        # k >= 2 anyway) — this is the exact variant by construction
+        assigned = vecs.withColumn("cent_id", F.lit(0))
+    else:
+        cents = kmeans_centroids(
+            vecs, n_centroids, seed=seed,
+            fit_sample_fraction=fit_sample_fraction, max_iter=fit_max_iter,
+        )
+        assigned = _nearest_centroids(vecs, cents, "vec_id", 1)
+    a = assigned.select(
+        "cent_id", F.col("vec_id").alias("a_id"), F.col("v").alias("av"),
+        F.col("inv").alias("inv_a"),
+    )
+    b = assigned.select(
+        "cent_id", "vec_id", F.col("v").alias("bv"),
+        F.col("inv").alias("inv_b"),
+    )
+    sim_f6i = F.floor(
+        ((dot(F.col("av"), F.col("bv")) * F.col("inv_a")) * F.col("inv_b"))
+        * F.lit(1e6)
+    )
+    pairs = (
+        a.join(b, "cent_id")
+        .filter(F.col("a_id") < F.col("vec_id"))
+        .select("a_id", "vec_id", sim_f6i.alias("sim_f6i"))
+        .filter(F.col("sim_f6i") >= F.lit(int(threshold_f6)))
+    )
+    return _dedup_from_pairs(vecs, pairs)

@@ -36,6 +36,7 @@ from datawarehouse_code_spark.operators.similarity import (
     ivf_topk,
     lsh_topk,
     quantized_rerank_topk,
+    semantic_dedup_exact,
 )
 from datawarehouse_code_spark.operators.text import (
     content_fingerprint_udf,
@@ -945,6 +946,62 @@ FROM (
   FROM pairs
 )
 WHERE rk <= 5
+"""
+
+
+def _docs_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication as a hash-checked row:
+    exact all-pairs variant (operators/similarity.py
+    semantic_dedup_exact) so DuckDB replays the whole pipeline —
+    normalization, the floor-6 grain comparison against the integer
+    threshold, the smaller-id drop rule, and the min-neighbor dup_of
+    attribution.  The fixture's random embeddings have no natural
+    near-duplicates (max pairwise cos ≈ 0.51 at sf0.01), so the query
+    PLANTS exact twins — copies of vec_id < 50 re-keyed +100000, a
+    union both engines replay — guaranteeing the drop path executes,
+    while the 0.42 threshold also admits a band of natural borderline
+    pairs that exercise the grain arithmetic (34 pairs at sf0.01).
+    The corpus side is BOUNDED at vec_id < 600 — the same convention
+    as the brute-force top-k rows' query bound: an O(N²) exact oracle
+    row must stay sf-stable (unbounded it measured 13 s at sf0.1,
+    all-pairs over 2050 vectors), while the operator itself is
+    unbounded and its scale path is the cluster-bucketed variant.
+    The cluster-bucketed scale variant (semantic_dedup) is pinned ≡
+    this exact one at n_centroids=1 and on planted twins at
+    n_centroids>1 in tests/test_llm_operators.py."""
+    emb = read_table(spark, "embeddings", sf_dir).filter(
+        F.col("vec_id") < 600
+    )
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    base = emb.select("vec_id", "embedding").unionByName(planted)
+    return semantic_dedup_exact(base, threshold_f6=420_000)
+
+
+_SEMANTIC_DEDUP_SQL = """
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 600
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id < 50
+), vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         1.0 / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
+             AS inv
+  FROM base
+), dups AS (
+  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+  FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+  WHERE floor(((list_sum(list_transform(range(1, len(a.v) + 1),
+                                        i -> a.v[i] * b.v[i]))
+                * a.inv) * b.inv) * 1e6) >= 420000
+  GROUP BY b.vec_id
+)
+SELECT v.vec_id,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept,
+       coalesce(d.dup_of, CAST(-1 AS BIGINT)) AS dup_of
+FROM vecs v LEFT JOIN dups d ON v.vec_id = d.vec_id
 """
 
 
@@ -2295,6 +2352,11 @@ LLM_SUPPLEMENTARY: list[Query] = [
           "north-star: int8 quantized-rank + exact-rerank top-k — the "
           "compressed-index arithmetic hash-checked end to end "
           "(supplementary, differential-tested)"),
+    Query("docs_semantic_dedup", _docs_semantic_dedup,
+          _SEMANTIC_DEDUP_SQL,
+          "north-star: SemDeDup-style embedding-space dedup — planted "
+          "exact twins + natural borderline pairs, smaller-id drop "
+          "rule hash-checked (supplementary, differential-tested)"),
     Query("text_nfc_suite", _text_nfc_suite, _NFC_SQL,
           "north-star: Unicode NFC canonicalization on planted "
           "decomposed sequences (supplementary, differential-tested)"),

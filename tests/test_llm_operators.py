@@ -622,3 +622,56 @@ def test_remove_frequent_lines_crafted(spark):
     }
     assert got2[1] == ("shared pair", 1)
     assert got2[3] == ("solo", 1)
+
+
+def test_semantic_dedup_clustered_matches_exact_single_bucket(spark):
+    """semantic_dedup with n_centroids=1 IS semantic_dedup_exact
+    (one cluster ≡ all pairs — the full-probe≡brute-force doctrine),
+    row for row."""
+    from datawarehouse_code_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_exact,
+    )
+    from datawarehouse_code_spark.sources.catalog import read_table
+
+    emb = read_table(spark, "embeddings", SF_DIR)
+    exact = sorted(map(tuple, semantic_dedup_exact(emb, 420_000).collect()))
+    one = sorted(map(tuple, semantic_dedup(emb, n_centroids=1,
+                                           threshold_f6=420_000).collect()))
+    assert exact == one
+    assert len(exact) == emb.count()
+
+
+def test_semantic_dedup_planted_twins_dropped_in_clusters(spark):
+    """Exact twins (identical vectors, re-keyed ids) score identically
+    against every centroid, so they ALWAYS co-cluster: with several
+    clusters every planted copy must be dropped with dup_of naming
+    its original, and the clustered drop set is a SUBSET of the exact
+    one (bucketing only removes candidate pairs, never adds)."""
+    import pyspark.sql.functions as F
+
+    from datawarehouse_code_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_exact,
+    )
+    from datawarehouse_code_spark.sources.catalog import read_table
+
+    emb = read_table(spark, "embeddings", SF_DIR).select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    base = emb.unionByName(planted)
+    rows = {r["vec_id"]: r for r in
+            semantic_dedup(base, n_centroids=4, threshold_f6=990_000).collect()}
+    for orig in range(10):
+        copy = rows[orig + 100000]
+        assert copy["kept"] == 0 and copy["dup_of"] == orig, copy
+        assert rows[orig]["kept"] == 1, rows[orig]
+    dropped_clustered = {v for v, r in rows.items() if r["kept"] == 0}
+    dropped_exact = {
+        r["vec_id"]
+        for r in semantic_dedup_exact(base, 990_000).collect()
+        if r["kept"] == 0
+    }
+    assert dropped_clustered <= dropped_exact
+    assert dropped_clustered >= {v + 100000 for v in range(10)}
