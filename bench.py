@@ -200,6 +200,7 @@ HEADLINE = [
     "docs_boilerplate_lines",
     "sql_recursive_reachability",
     "docs_semantic_dedup",
+    "events_heavy_hitters",
 ]
 
 

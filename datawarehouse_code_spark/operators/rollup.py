@@ -719,3 +719,165 @@ def maintain_join_view(
     return view_old.unionByName(
         join_view_delta(a_old, a_delta, b_old, b_delta, keys)
     )
+
+
+# ------------------------------------------ count-min frequency sketches
+
+CMS_SKETCH_COL = "cms_sketch"
+
+
+def cms_sketch_delta(
+    delta: DataFrame,
+    keys: list[str],
+    value_col: str,
+    eps: float = 0.01,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """Count-min sketch partial aggregate: per group, Spark's native
+    CMS state over `value_col` — the FREQUENCY-sketch family beside
+    HLL (distinct), KLL (quantiles), and theta (set algebra): point
+    lookups "how often did item x occur" from rollup-sized state,
+    with the one-sided guarantee estimate >= true and, with
+    probability `confidence`, estimate <= true + eps * N.
+
+    CMS counters are ADDITIVE, so merging partials is elementwise
+    array addition — with a shared (eps, confidence, seed) the merged
+    state is BYTE-IDENTICAL to the one-shot sketch (pinned by test;
+    stronger than HLL's estimate-level equality).  All partials to be
+    merged must share all three parameters: eps/confidence size the
+    counter table and seed derives the row hashes.  Native JVM
+    aggregate, one partial-agg shuffle, width(=ceil(2/eps)) x
+    depth(=ceil(ln(1/(1-confidence))/ln 2)) longs per group.
+
+    Add-only: CMS has no retraction form (negative counts break the
+    min estimator) — RTBF on a frequency rollup is a rebuild, unlike
+    the histogram family (retract_delta).
+    """
+    return delta.groupBy(*keys).agg(
+        F.count_min_sketch(
+            value_col, F.lit(float(eps)), F.lit(float(confidence)),
+            F.lit(int(seed)),
+        ).alias(CMS_SKETCH_COL)
+    )
+
+
+def _cms_parse(b: bytes):
+    """(total_count, depth, width, hashA[d], table[d][w]) from Spark's
+    CountMinSketch serialization (version 1, big-endian: int version,
+    long totalCount, int depth, int width, long hashA per row, then
+    the row-major counter table) — format pinned by the byte-identity
+    test against the JVM's own writeTo/readFrom."""
+    import struct
+
+    import numpy as np
+
+    version, = struct.unpack(">i", b[:4])
+    if version != 1:
+        raise ValueError(f"unsupported CountMinSketch version {version}")
+    tc, = struct.unpack(">q", b[4:12])
+    d, w = struct.unpack(">2i", b[12:20])
+    rest = np.frombuffer(b, dtype=">i8", offset=20)
+    if rest.size != d + d * w:
+        raise ValueError(
+            f"count-min sketch payload size mismatch: {rest.size} longs "
+            f"for depth={d} width={w}"
+        )
+    return tc, d, w, rest[:d], rest[d:].reshape(d, w)
+
+
+def _cms_serialize(tc: int, d: int, w: int, hash_a, table) -> bytes:
+    import struct
+
+    return (
+        struct.pack(">iq2i", 1, int(tc), int(d), int(w))
+        + hash_a.astype(">i8").tobytes()
+        + table.astype(">i8").tobytes()
+    )
+
+
+def _cms_merge_bytes(sketches) -> bytes:
+    """Merge CMS binaries by counter addition (numpy) — refuses
+    mismatched geometry or hash rows (different eps/confidence/seed
+    states are not mergeable; adding them would silently answer from
+    scrambled counters)."""
+    tc, d, w, hash_a, table = _cms_parse(sketches[0])
+    table = table.copy()
+    for b in sketches[1:]:
+        tc2, d2, w2, h2, t2 = _cms_parse(b)
+        if d2 != d or w2 != w or not (h2 == hash_a).all():
+            raise ValueError(
+                "cannot merge count-min sketches with different "
+                "eps/confidence/seed parameters"
+            )
+        tc += tc2
+        table += t2
+    return _cms_serialize(tc, d, w, hash_a, table)
+
+
+def merge_cms_rollup(parts: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Merge CMS partials from any number of deltas: stack and reduce
+    per group with counter addition (an Arrow-batched grouped map —
+    the merge is pure numpy on KB-sized states; no JVM union agg
+    exists for CMS the way hll_union_agg does, so this is the
+    legitimate-Python-path exception, and it runs on ROLLUP-sized
+    data only).  Byte-identical to the one-shot sketch over the same
+    rows (pinned)."""
+    import pandas as pd
+
+    if not parts:
+        raise ValueError("merge_cms_rollup needs at least one partial")
+    stacked = parts[0]
+    for p in parts[1:]:
+        stacked = stacked.unionByName(p)
+
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in stacked.schema.fields if f.name in keys
+    )
+    schema = f"{key_fields}, {CMS_SKETCH_COL} binary"
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        head = pdf.iloc[:1][keys].copy()
+        head[CMS_SKETCH_COL] = [
+            _cms_merge_bytes([bytes(x) for x in pdf[CMS_SKETCH_COL]])
+        ]
+        return head
+
+    return stacked.groupBy(*keys).applyInPandas(_merge, schema)
+
+
+def cms_estimate(
+    rollup: DataFrame, keys: list[str], items: list
+) -> DataFrame:
+    """Point-frequency report off a CMS rollup: one row per
+    (group, item) with the sketch's estimate and the eps*N error
+    budget implied by the stored geometry (width = ceil(2/eps) ⇒
+    budget = ceil(2·N/width)).  `items` is a BOUNDED list (the
+    report's columns, like theta_overlap's set labels) and the rollup
+    is group-count-sized, so the collect here is rollup-sized by
+    construction — estimates decode through the JVM's own readFrom,
+    never a re-implementation of the hash."""
+    spark = rollup.sparkSession
+    jcms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch
+    out = []
+    for row in rollup.select(*keys, CMS_SKETCH_COL).collect():
+        b = bytes(row[CMS_SKETCH_COL])
+        tc, d, w, _h, _t = _cms_parse(b)
+        budget = -(-2 * tc // w)
+        sk = jcms.readFrom(bytearray(b))
+        for item in items:
+            out.append(
+                (*[row[k] for k in keys], item, int(sk.estimateCount(item)),
+                 int(tc), int(budget))
+            )
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in rollup.schema.fields if f.name in keys
+    )
+    item_type = "bigint" if all(isinstance(i, int) for i in items) else "string"
+    return spark.createDataFrame(
+        out,
+        f"{key_fields}, item {item_type}, est bigint, n_total bigint, "
+        "err_budget bigint",
+    )

@@ -1267,6 +1267,63 @@ FROM ({_SIM_BRUTE_SQL})
 """
 
 
+def _events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters as a hash-checked row — the
+    frequency-sketch family's driver leg (approx_bounds_suite
+    doctrine: an estimator emits integer within-documented-bound
+    flags NEXT TO exact cross-engine values, so the oracle replays
+    the exact values and pins the flags at 1).  The top-10 users by
+    event count carry their EXACT counts (hash-checked) plus two CMS
+    guarantee flags evaluated against the real sketch
+    (operators/rollup.py cms_*): est_ge_exact (CMS never
+    underestimates — deterministic, not probabilistic) and
+    est_within_eps (est <= exact + ceil(2N/width), the eps*N budget,
+    holding with confidence 0.99 — deterministic for a FIXED seed on
+    fixed data, so the row is stable, and a hash/merge/serialization
+    regression in the CMS path flips a hashed bit).  The sketch is a
+    single one-row aggregate and the estimate report is top-10-sized:
+    bounded driver work by construction."""
+    from datawarehouse_code_spark.operators.rollup import (
+        cms_estimate,
+        cms_sketch_delta,
+    )
+
+    events = read_table(spark, "events", sf_dir)
+    exact = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+    roll = cms_sketch_delta(
+        events.withColumn("_g", F.lit(0)), ["_g"], "user_id",
+        eps=0.01, confidence=0.99, seed=42,
+    )
+    top_ids = [r["user_id"] for r in exact.collect()]
+    est = cms_estimate(roll, ["_g"], top_ids).select(
+        F.col("item").alias("user_id"), "est", "err_budget"
+    )
+    return exact.join(est, "user_id").select(
+        "user_id",
+        "exact_cnt",
+        (F.col("est") >= F.col("exact_cnt")).cast("int").alias("est_ge_exact"),
+        (F.col("est") <= F.col("exact_cnt") + F.col("err_budget"))
+        .cast("int").alias("est_within_eps"),
+    )
+
+
+_HEAVY_HITTERS_SQL = """
+SELECT user_id, exact_cnt,
+       CAST(1 AS INTEGER) AS est_ge_exact,
+       CAST(1 AS INTEGER) AS est_within_eps
+FROM (
+  SELECT user_id, count(*) AS exact_cnt,
+         row_number() OVER (ORDER BY count(*) DESC, user_id ASC) AS rk
+  FROM events GROUP BY user_id
+) WHERE rk <= 10
+"""
+
+
 # ------------------------------------------------------- multimodal plumbing
 
 
@@ -2357,6 +2414,11 @@ LLM_SUPPLEMENTARY: list[Query] = [
           "north-star: SemDeDup-style embedding-space dedup — planted "
           "exact twins + natural borderline pairs, smaller-id drop "
           "rule hash-checked (supplementary, differential-tested)"),
+    Query("events_heavy_hitters", _events_heavy_hitters,
+          _HEAVY_HITTERS_SQL,
+          "north-star: count-min-sketch heavy hitters — exact top-10 "
+          "counts hash-checked beside CMS guarantee flags "
+          "(supplementary, differential-tested)"),
     Query("text_nfc_suite", _text_nfc_suite, _NFC_SQL,
           "north-star: Unicode NFC canonicalization on planted "
           "decomposed sequences (supplementary, differential-tested)"),

@@ -632,6 +632,7 @@ def _sketch_family(kind: str):
         "hll": (R.distinct_sketch_delta, R.merge_distinct_rollup),
         "theta": (R.theta_sketch_delta, R.merge_theta_rollup),
         "kll": (R.quantile_sketch_delta, R.merge_quantile_rollup),
+        "cms": (R.cms_sketch_delta, R.merge_cms_rollup),
     }
     if kind not in families:
         raise ValueError(f"unknown sketch kind {kind!r}; one of {sorted(families)}")

@@ -643,3 +643,76 @@ def test_partition_guard_rejects_non_string_escaped_values(spark, tmp_path):
             continue
         with pytest.raises(ValueError, match="Hive escapes"):
             _check_partition_value_path_safe("t", bad)
+
+
+def test_cms_merge_is_byte_identical_to_oneshot(spark):
+    """CMS counters are additive with seed-derived hash rows, so
+    merging per-day partials must reproduce the one-shot sketch
+    BYTE-FOR-BYTE (stronger than HLL's estimate-level equality — the
+    serialization parse/serialize round-trip is pinned too), and the
+    estimates obey the one-sided guarantee: est >= exact always,
+    est <= exact + ceil(2N/width) at confidence 0.99."""
+    from datawarehouse_code_spark.operators.rollup import (
+        cms_estimate,
+        cms_sketch_delta,
+        merge_cms_rollup,
+    )
+
+    ev = read_table(spark, "events", SF_DIR)
+    parts = [
+        cms_sketch_delta(
+            ev.filter(F.dayofmonth("ts").between(lo, hi)),
+            ["event_type"], "user_id",
+        )
+        for lo, hi in [(1, 10), (11, 20), (21, 31)]
+    ]
+    merged = {
+        r["event_type"]: bytes(r["cms_sketch"])
+        for r in merge_cms_rollup(parts, ["event_type"]).collect()
+    }
+    oneshot = {
+        r["event_type"]: bytes(r["cms_sketch"])
+        for r in cms_sketch_delta(ev, ["event_type"], "user_id").collect()
+    }
+    assert merged.keys() == oneshot.keys() and len(merged) >= 3
+    for k in merged:
+        assert merged[k] == oneshot[k], k
+
+    exact = {
+        (r["event_type"], r["user_id"]): r["n"]
+        for r in ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    users = sorted({u for _, u in exact})[:20]
+    roll = merge_cms_rollup(parts, ["event_type"])
+    est = cms_estimate(roll, ["event_type"], users)
+    n_rows = 0
+    for r in est.collect():
+        true = exact.get((r["event_type"], r["item"]), 0)
+        assert r["est"] >= true, (r, true)
+        assert r["est"] <= true + r["err_budget"], (r, true)
+        n_rows += 1
+    assert n_rows == len(merged) * len(users)
+
+    with pytest.raises(ValueError, match="at least one"):
+        merge_cms_rollup([], ["event_type"])
+
+
+def test_cms_merge_rejects_mismatched_parameters(spark):
+    """Partials built with different eps/confidence/seed have
+    different geometry or hash rows — adding their counters would
+    silently answer from scrambled state, so the merge refuses."""
+    from datawarehouse_code_spark.operators.rollup import (
+        cms_sketch_delta,
+        merge_cms_rollup,
+    )
+
+    ev = read_table(spark, "events", SF_DIR).limit(200)
+    a = cms_sketch_delta(ev, ["event_type"], "user_id", eps=0.01)
+    b = cms_sketch_delta(ev, ["event_type"], "user_id", eps=0.02)
+    with pytest.raises(Exception, match="different"):
+        merge_cms_rollup([a, b], ["event_type"]).collect()
+    c = cms_sketch_delta(ev, ["event_type"], "user_id", seed=7)
+    with pytest.raises(Exception, match="different"):
+        merge_cms_rollup([a, c], ["event_type"]).collect()

@@ -715,3 +715,45 @@ def test_sketch_rollup_maintenance_stream_and_replay(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown sketch kind"):
         apply_sketch_batch(ev, 0, kll_path, ["event_type"], "user_id", "bogus")
     ev.unpersist()
+
+
+def test_cms_sketch_maintenance_batches_equal_oneshot(spark, tmp_path):
+    """The CMS family through the exactly-once sketch maintenance
+    protocol: two applied batches must leave a rollup whose sketch is
+    BYTE-IDENTICAL to the one-shot batch sketch (counter addition is
+    exact, and the versioned-merge path goes through
+    merge_cms_rollup), and a replayed batch id is skipped without
+    touching the state."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.rollup import cms_sketch_delta
+    from datawarehouse_code_spark.sources.catalog import read_table
+    from datawarehouse_code_spark.streaming.jobs import (
+        apply_sketch_batch,
+        read_rollup,
+    )
+    from tests.conftest import SF_DIR
+
+    ev = read_table(spark, "events", SF_DIR).select("event_type", "user_id")
+    path = str(tmp_path / "cms_rollup")
+    halves = [ev.filter(F.col("user_id") % 2 == i) for i in range(2)]
+    assert apply_sketch_batch(halves[0], 0, path, ["event_type"], "user_id", "cms")
+    assert apply_sketch_batch(halves[1], 1, path, ["event_type"], "user_id", "cms")
+    got = {
+        r["event_type"]: bytes(r["cms_sketch"])
+        for r in read_rollup(spark, path).collect()
+    }
+    want = {
+        r["event_type"]: bytes(r["cms_sketch"])
+        for r in cms_sketch_delta(ev, ["event_type"], "user_id").collect()
+    }
+    assert got == want and len(got) >= 3
+    # replayed batch id: no-op, state unchanged
+    assert not apply_sketch_batch(
+        halves[1], 1, path, ["event_type"], "user_id", "cms"
+    )
+    after = {
+        r["event_type"]: bytes(r["cms_sketch"])
+        for r in read_rollup(spark, path).collect()
+    }
+    assert after == want
