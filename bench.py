@@ -201,6 +201,7 @@ HEADLINE = [
     "sql_recursive_reachability",
     "docs_semantic_dedup",
     "events_heavy_hitters",
+    "docs_bm25_topk",
 ]
 
 

@@ -1139,3 +1139,115 @@ def normalize_unicode(col, form: str = "NFC"):
         )
 
     return _norm(col)
+
+
+# ---------------------------------------------------------- BM25 retrieval
+
+
+def top_df_terms(
+    documents: DataFrame, n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """The n highest-document-frequency terms (ties by term asc) — a
+    deterministic, corpus-derived query set for retrieval rows and
+    evals (no hand-picked word list to drift from the fixture).  The
+    ranking window is vocabulary-sized, never corpus-sized."""
+    terms = (
+        documents.repartition(id_col)
+        .select(id_col, words(F.col(text_col)).alias("ws"))
+        .select(id_col, F.explode("ws").alias("term"))
+        .filter(F.col("term") != "")
+    )
+    df_t = terms.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    return (
+        df_t.withColumn("qrk", F.row_number().over(w))
+        .filter(F.col("qrk") <= n)
+        .select("term")
+    )
+
+
+def bm25_scores(
+    documents: DataFrame,
+    query_terms: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 relevance of every document for each single-term query in
+    `query_terms` (a one-column term DataFrame): the retrieval scorer
+    a decontamination / eval-lookup pipeline runs over the corpus —
+    tf-idf's ranking-grade sibling (Robertson/Spärck Jones; the same
+    formula every production search engine defaults to).
+
+    score = ln(1 + (N - df + ½)/(df + ½)) · tf·(k1+1) /
+            (tf + k1·(1 − b + b·dl/avgdl))
+
+    floored to 1e-6 grains: ln() is the one transcendental this repo
+    allows across engines, because the fixed floor grain absorbs
+    last-ulp libm differences (pinned by the differential row; all
+    other arithmetic is rational).  N/avgdl are computed over
+    documents with ≥1 token — the same population every other table
+    here derives from.
+
+    Scale shape: tf/df/dl are the tf-idf shuffles (term and doc
+    keys); the query-term restriction joins BEFORE scoring (query
+    sets are small — broadcast), stats is a 1-row broadcast; nothing
+    materializes the full |vocab|×|docs| score space."""
+    w = documents.repartition(id_col).select(
+        id_col, words(F.col(text_col)).alias("ws")
+    )
+    terms = w.select(id_col, F.explode("ws").alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = terms.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_total"), F.avg("dl").alias("avgdl")
+    )
+    df_t = terms.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    qdf = df_t.join(query_terms.select("term"), "term")
+    # literals are repr'd into the expression so the SQL twin can
+    # carry the IDENTICAL text (same parse → same association order →
+    # bit-equal doubles before the floor)
+    score = (
+        f"floor(ln(1.0 + (n_total - df + 0.5) / (df + 0.5)) "
+        f"* (tf * {k1 + 1.0!r}) "
+        f"/ (tf + {k1!r} * ({1.0 - b!r} + {b!r} * dl / avgdl)) "
+        f"* 1e6) / 1e6"
+    )
+    return (
+        tf.join(F.broadcast(qdf), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term", id_col, "tf", F.expr(score).alias("score_f6"),
+        )
+    )
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents per query term under BM25 (ties by doc id) —
+    one rank window over the scored (term, doc) pairs, which the
+    query-term restriction already bounded to |queries|·|matching
+    docs| rows."""
+    scored = bm25_scores(
+        documents, query_terms, k1=k1, b=b,
+        text_col=text_col, id_col=id_col,
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("score_f6").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+    )

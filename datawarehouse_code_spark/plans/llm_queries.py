@@ -660,6 +660,56 @@ def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval as a hash-checked row (operators/text.py
+    bm25_scores/bm25_topk): the query set is the corpus's own top-3
+    document-frequency terms (deterministic, fixture-independent —
+    top_df_terms), and DuckDB replays the WHOLE pipeline:
+    tokenization, tf/df/dl/avgdl, the identical BM25 expression text
+    (same literals, same association order — ln() is safe under the
+    floor-6 grain), and the per-term top-5 ranking."""
+    from datawarehouse_code_spark.operators.text import (
+        bm25_topk,
+        top_df_terms,
+    )
+
+    docs = read_table(spark, "documents", sf_dir)
+    return bm25_topk(docs, top_df_terms(docs, 3), k=5)
+
+
+_BM25_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+), terms AS (
+  SELECT doc_id, unnest(ws) AS term FROM w
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms WHERE term <> '' GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM terms WHERE term <> '' GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n_total, avg(dl) AS avgdl FROM dl
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM terms WHERE term <> '' GROUP BY 1
+), q AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS qrk FROM df
+  ) WHERE qrk <= 3
+), scored AS (
+  SELECT tf.term, tf.doc_id, tf.tf,
+         floor(ln(1.0 + (n_total - df + 0.5) / (df + 0.5)) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6) / 1e6 AS score_f6
+  FROM tf JOIN q USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats
+)
+SELECT term, doc_id, tf, score_f6, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY term ORDER BY score_f6 DESC, doc_id ASC) AS rk
+  FROM scored
+)
+WHERE rk <= 5
+"""
+
+
 _TFIDF_SQL = f"""
 WITH w AS (
   SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
@@ -2419,6 +2469,10 @@ LLM_SUPPLEMENTARY: list[Query] = [
           "north-star: count-min-sketch heavy hitters — exact top-10 "
           "counts hash-checked beside CMS guarantee flags "
           "(supplementary, differential-tested)"),
+    Query("docs_bm25_topk", _docs_bm25_topk, _BM25_SQL,
+          "north-star: BM25 retrieval top-k per corpus-derived query "
+          "term — full pipeline replayed by DuckDB (supplementary, "
+          "differential-tested)"),
     Query("text_nfc_suite", _text_nfc_suite, _NFC_SQL,
           "north-star: Unicode NFC canonicalization on planted "
           "decomposed sequences (supplementary, differential-tested)"),

@@ -675,3 +675,38 @@ def test_semantic_dedup_planted_twins_dropped_in_clusters(spark):
     }
     assert dropped_clustered <= dropped_exact
     assert dropped_clustered >= {v + 100000 for v in range(10)}
+
+
+def test_bm25_ranking_properties(spark):
+    """BM25 semantics on a constructed corpus: (a) score grows with
+    tf at fixed dl, (b) the idf term makes a RARE term outscore a
+    ubiquitous one at identical tf/dl, (c) longer documents are
+    penalized at equal tf, (d) only documents containing the term
+    appear, capped at k."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from datawarehouse_code_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare common common common"),        # tf(rare)=1, dl=4
+            (2, "rare rare common common"),          # tf(rare)=2, dl=4
+            (3, "rare common common common common common common common"),
+            (4, "common common common common"),
+            (5, "common"),
+        ],
+        ["doc_id", "text"],
+    )
+    q = spark.createDataFrame([("rare",), ("common",)], ["term"])
+    rows = bm25_topk(docs, q, k=5).collect()
+    by = {(r["term"], r["doc_id"]): r for r in rows}
+    # (a) higher tf wins at equal dl
+    assert by[("rare", 2)]["score_f6"] > by[("rare", 1)]["score_f6"]
+    # (c) same tf, longer doc scores lower
+    assert by[("rare", 1)]["score_f6"] > by[("rare", 3)]["score_f6"]
+    # (b) rare beats common at the same (tf=1, dl=4) coordinates
+    assert by[("rare", 1)]["score_f6"] > by[("common", 4)]["score_f6"] / 4 \
+        and by[("rare", 1)]["score_f6"] > by[("common", 1)]["score_f6"]
+    # (d) docs without the term never rank
+    assert ("rare", 4) not in by and ("rare", 5) not in by
+    assert {r["rk"] for r in rows if r["term"] == "rare"} == {1, 2, 3}
