@@ -487,6 +487,75 @@ def assign_shards(
     )
 
 
+def export_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    fmt: str = "json",
+    key_col: str = "doc_id",
+    compression: str | None = None,
+) -> None:
+    """Materialize the corpus as LOADER SHARDS in a wire format a
+    training job streams directly (`fmt`: "json" → JSONL, the
+    de-facto trainer interchange; also "parquet"/"orc"/"csv"),
+    one directory per deterministic shard (assign_shards' Knuth-hash
+    contract) and ONE data file per shard — the layout a
+    data-parallel reader wants: worker i opens shard_id=i and
+    nothing else.
+
+    One file per shard is guaranteed, not hoped for:
+    `repartition(n_shards, "shard_id")` hash-clusters every row of a
+    shard into a single task (two shards may share a task; each still
+    writes its own single file under its own partition dir), so the
+    export never produces the many-small-files layout a cached or
+    AQE-coalesced write would.  A per-shard row-count manifest lands
+    beside the data under `_manifest` (underscore-prefixed paths are
+    invisible to Spark's partition discovery), computed from the SAME
+    frame that was written — a resumed trainer can assert shard
+    completeness without listing or re-counting data files.
+
+    mode("error"): shards are immutable artifacts like the IVF index
+    and BPE merges — re-exporting to a used path is a caller bug, not
+    an overwrite."""
+    if fmt not in ("json", "parquet", "orc", "csv"):
+        raise ValueError(f"export_shards: unsupported format {fmt!r}")
+    sharded = assign_shards(df, n_shards, key_col).persist()
+    writer = (
+        sharded.repartition(n_shards, "shard_id")
+        .write.mode("error")
+        .partitionBy("shard_id")
+        .format(fmt)
+    )
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    writer.save(path)
+    (
+        sharded.groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .coalesce(1)
+        .write.mode("error")
+        .parquet(f"{path}/_manifest")
+    )
+    sharded.unpersist()
+
+
+def read_shard(
+    spark: SparkSession, path: str, shard_id: int, fmt: str = "json"
+) -> DataFrame:
+    """One worker's view of an exported shard set: partition-pruned
+    read of a single shard_id directory (the filter is a partition
+    filter — no other shard's bytes are touched)."""
+    return (
+        spark.read.format(fmt).load(path)
+        .filter(F.col("shard_id") == int(shard_id))
+    )
+
+
+def shard_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """(shard_id, n_rows) as written at export time."""
+    return spark.read.parquet(f"{path}/_manifest")
+
+
 def write_clean_corpus(
     spark: SparkSession, documents: DataFrame, out_path: str,
     near_dup_threshold: float = 0.5,

@@ -58,6 +58,7 @@ import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from datawarehouse_code_spark.sources.acid import _fs_for
 
@@ -293,3 +294,49 @@ def schema_diff(
             out.append({"column": c, "change": "retyped",
                         "old_type": o, "new_type": n})
     return out
+
+
+def row_diff(
+    spark: SparkSession,
+    path: str,
+    v_old: int,
+    v_new: int,
+    keys: list[str],
+) -> DataFrame:
+    """Row-level drift between two committed versions, keyed by
+    `keys`: (change, keys...) with change ∈ added / removed /
+    changed — schema_diff's data-level sibling, the audit report for
+    "what did the last maintenance cycle actually do to this table".
+    Both versions must agree on the key columns; value comparison
+    hashes the remaining shared columns (xxhash64 — engine-internal
+    is fine here, this is an intra-Spark report), so a row counts as
+    changed only when some non-key value differs.  Columns added or
+    removed BETWEEN the versions are schema drift (schema_diff's
+    job), not row drift — comparison runs over the shared non-key
+    columns.
+
+    Scale shape: two anti-joins + one inner join, all shuffled on the
+    key columns; output is drift-sized."""
+    old = read_version(spark, path, v_old)
+    new = read_version(spark, path, v_new)
+    for k in keys:
+        if k not in old.columns or k not in new.columns:
+            raise ValueError(f"row_diff: key column {k!r} missing in a version")
+    shared = [c for c in old.columns if c in set(new.columns) and c not in keys]
+    added = new.join(old, keys, "left_anti").select(
+        F.lit("added").alias("change"), *keys
+    )
+    removed = old.join(new, keys, "left_anti").select(
+        F.lit("removed").alias("change"), *keys
+    )
+    if shared:
+        o = old.select(*keys, F.xxhash64(*shared).alias("_h_old"))
+        n = new.select(*keys, F.xxhash64(*shared).alias("_h_new"))
+        changed = (
+            o.join(n, keys)
+            .filter(F.col("_h_old") != F.col("_h_new"))
+            .select(F.lit("changed").alias("change"), *keys)
+        )
+    else:
+        changed = added.limit(0)
+    return added.unionByName(removed).unionByName(changed)

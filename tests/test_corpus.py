@@ -715,3 +715,59 @@ def test_mixture_resample_weight_guard(spark):
         mixture_resample(
             zero, "doc_id", "lang", {"en": 0.5, "de": 0.5}, weight_col="n_chars"
         )
+
+
+def test_export_shards_jsonl_one_file_per_shard_roundtrip(spark, tmp_path):
+    """export_shards: one data file per shard dir (the repartition-on-
+    shard guarantee), JSONL round-trips losslessly, the manifest
+    matches per-shard counts, shard membership is assign_shards'
+    deterministic mapping, and a used path is refused."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.corpus import (
+        assign_shards,
+        export_shards,
+        read_shard,
+        shard_manifest,
+    )
+    from datawarehouse_code_spark.sources.catalog import read_table
+    from tests.conftest import SF_DIR
+
+    docs = read_table(spark, "documents", SF_DIR).select("doc_id", "text", "lang")
+    path = str(tmp_path / "shards")
+    export_shards(docs, path, n_shards=4, fmt="json", compression="gzip")
+
+    for s in range(4):
+        d = os.path.join(path, f"shard_id={s}")
+        data_files = [f for f in os.listdir(d) if not f.startswith((".", "_"))]
+        assert len(data_files) == 1, (s, data_files)
+        assert data_files[0].endswith(".json.gz")
+
+    want = sorted(map(tuple, docs.collect()))
+    got = sorted(
+        map(tuple, spark.read.format("json").load(path)
+            .select("doc_id", "text", "lang").collect())
+    )
+    assert got == want
+
+    # per-shard reads see exactly the deterministic assignment
+    expected = {
+        s: {r["doc_id"] for r in assign_shards(docs, 4)
+            .filter(F.col("shard_id") == s).collect()}
+        for s in range(4)
+    }
+    n_total = 0
+    for s in range(4):
+        ids = {r["doc_id"] for r in read_shard(spark, path, s).collect()}
+        assert ids == expected[s]
+        n_total += len(ids)
+    assert n_total == docs.count()
+
+    mani = {r["shard_id"]: r["n_rows"] for r in shard_manifest(spark, path).collect()}
+    assert mani == {s: len(expected[s]) for s in range(4)}
+
+    with pytest.raises(Exception, match="already exists|ERROR"):
+        export_shards(docs, path, n_shards=4, fmt="json")

@@ -98,6 +98,14 @@ PLAN_BOUNDS = {
     "supplier_weighted_paths": (2, 6),
     "docs_mixture_token_budget": (3, 4),
     "text_nfc_suite": (2, 1),
+    # round-9 additions: semantic dedup reads the embedding scan once
+    # per self-join side plus the planted-twin union (same small
+    # parquet); BM25's shuffles are the tf/df/dl aggregation keys; the
+    # heavy-hitters row's RETURNED frame is the tiny exact-top-10 join
+    # (the sketch agg runs inside the fn, driver-bounded)
+    "docs_semantic_dedup": (6, 2),
+    "docs_bm25_topk": (5, 9),
+    "events_heavy_hitters": (1, 1),
 }
 
 

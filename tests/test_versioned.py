@@ -215,3 +215,41 @@ def test_schema_diff_between_versions(spark, tmp_path):
          "new_type": "boolean"},
     ]
     assert schema_diff(spark, path, v1, v1) == []
+
+
+def test_row_diff_reports_added_removed_changed(spark, tmp_path):
+    """row_diff between two committed versions: keyed anti-joins name
+    the added/removed rows, the non-key hash comparison names the
+    changed ones, untouched rows stay silent, and a missing key
+    column is refused."""
+    import pytest
+
+    from datawarehouse_code_spark.sources.versioned import (
+        row_diff,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    v0 = write_version(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["id", "s", "m"]
+        ),
+        path,
+    )
+    v1 = write_version(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "B", 20), (4, "d", 40)], ["id", "s", "m"]
+        ),
+        path,
+    )
+    got = sorted(
+        map(tuple, row_diff(spark, path, v0, v1, ["id"]).collect())
+    )
+    assert got == [("added", 4), ("changed", 2), ("removed", 3)]
+    # symmetric direction flips added/removed
+    rev = sorted(map(tuple, row_diff(spark, path, v1, v0, ["id"]).collect()))
+    assert rev == [("added", 3), ("changed", 2), ("removed", 4)]
+    with pytest.raises(ValueError, match="key column"):
+        row_diff(spark, path, v0, v1, ["nope"])
