@@ -520,23 +520,27 @@ def export_shards(
     if fmt not in ("json", "parquet", "orc", "csv"):
         raise ValueError(f"export_shards: unsupported format {fmt!r}")
     sharded = assign_shards(df, n_shards, key_col).persist()
-    writer = (
-        sharded.repartition(n_shards, "shard_id")
-        .write.mode("error")
-        .partitionBy("shard_id")
-        .format(fmt)
-    )
-    if compression is not None:
-        writer = writer.option("compression", compression)
-    writer.save(path)
-    (
-        sharded.groupBy("shard_id")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .coalesce(1)
-        .write.mode("error")
-        .parquet(f"{path}/_manifest")
-    )
-    sharded.unpersist()
+    try:
+        writer = (
+            sharded.repartition(n_shards, "shard_id")
+            .write.mode("error")
+            .partitionBy("shard_id")
+            .format(fmt)
+        )
+        if compression is not None:
+            writer = writer.option("compression", compression)
+        writer.save(path)
+        (
+            sharded.groupBy("shard_id")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .coalesce(1)
+            .write.mode("error")
+            .parquet(f"{path}/_manifest")
+        )
+    finally:
+        # a failed write (e.g. the documented used-path caller bug)
+        # must not leak the cached corpus for the session's lifetime
+        sharded.unpersist()
 
 
 def read_shard(

@@ -858,6 +858,19 @@ def cms_estimate(
     is group-count-sized, so the collect here is rollup-sized by
     construction — estimates decode through the JVM's own readFrom,
     never a re-implementation of the hash."""
+    import numpy as np
+
+    if all(isinstance(i, (int, np.integer)) and not isinstance(i, bool)
+           for i in items):
+        items = [int(i) for i in items]
+        item_type = "bigint"
+    elif all(isinstance(i, str) for i in items):
+        item_type = "string"
+    else:
+        raise ValueError(
+            "cms_estimate: items must be all integers or all strings "
+            f"(got {sorted({type(i).__name__ for i in items})})"
+        )
     spark = rollup.sparkSession
     jcms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch
     out = []
@@ -871,11 +884,11 @@ def cms_estimate(
                 (*[row[k] for k in keys], item, int(sk.estimateCount(item)),
                  int(tc), int(budget))
             )
-    key_fields = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in rollup.schema.fields if f.name in keys
-    )
-    item_type = "bigint" if all(isinstance(i, int) for i in items) else "string"
+    # schema fields in CALLER key order — the tuples above are built in
+    # that order, and createDataFrame matches positionally (a
+    # rollup-schema-ordered DDL would silently swap permuted keys)
+    types = {f.name: f.dataType.simpleString() for f in rollup.schema.fields}
+    key_fields = ", ".join(f"{k} {types[k]}" for k in keys)
     return spark.createDataFrame(
         out,
         f"{key_fields}, item {item_type}, est bigint, n_total bigint, "

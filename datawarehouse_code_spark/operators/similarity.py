@@ -1368,7 +1368,9 @@ def _dedup_from_pairs(vecs: DataFrame, pairs: DataFrame) -> DataFrame:
 
 
 def semantic_dedup_exact(
-    embeddings: DataFrame, threshold_f6: int = 420_000
+    embeddings: DataFrame,
+    threshold_f6: int = 420_000,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """(vec_id, kept, dup_of): exact semantic deduplication — the
     SemDeDup drop rule (Abbas et al. 2023: remove embedding-space
@@ -1382,17 +1384,29 @@ def semantic_dedup_exact(
     partitioning and engine — the property a reproducible corpus
     pipeline needs from its dedup stage.
 
-    Scale posture: O(N²·d) pair arithmetic — this is the ORACLE and
-    the calibration baseline (brute_force_topk doctrine), not the
-    serving path; `semantic_dedup` is the cluster-bucketed scale
-    variant and is pinned against this one in tests.  The broadcast
-    nested-loop shape (small side broadcast) is deliberate: a
-    cartesian with an equi-key would shuffle N² rows instead."""
+    Scale posture: O(N²·d) pair arithmetic AND a broadcast of the
+    whole input — this is the ORACLE and the calibration baseline
+    (brute_force_topk doctrine), not the serving path;
+    `semantic_dedup` is the cluster-bucketed scale variant and is
+    pinned against this one in tests.  Because the nested-loop build
+    side here is the ENTIRE corpus (unlike brute_force_topk, whose
+    broadcast side is the bounded query set), the operator REFUSES
+    inputs past `max_rows` (one limit-probe, not a full count)
+    instead of dying mid-job on the broadcast — raise the cap
+    deliberately for a big calibration box, or use semantic_dedup."""
     vecs = _with_inv_norm(
         embeddings.select(
             "vec_id", as_double_array(F.col("embedding")).alias("v")
         )
     )
+    if vecs.limit(max_rows + 1).count() > max_rows:
+        raise ValueError(
+            f"semantic_dedup_exact: input exceeds max_rows={max_rows} — "
+            "this exact variant broadcasts the whole corpus and scans "
+            "N² pairs (calibration/oracle shape); use semantic_dedup "
+            "(cluster-bucketed) at corpus scale, or raise max_rows "
+            "deliberately"
+        )
     a = vecs.select(
         F.col("vec_id").alias("a_id"), F.col("v").alias("av"),
         F.col("inv").alias("inv_a"),

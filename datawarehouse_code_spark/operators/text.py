@@ -1169,17 +1169,21 @@ def top_df_terms(
 
 def bm25_scores(
     documents: DataFrame,
-    query_terms: DataFrame,
+    query_terms: DataFrame | int,
     k1: float = 1.2,
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """BM25 relevance of every document for each single-term query in
-    `query_terms` (a one-column term DataFrame): the retrieval scorer
-    a decontamination / eval-lookup pipeline runs over the corpus —
-    tf-idf's ranking-grade sibling (Robertson/Spärck Jones; the same
-    formula every production search engine defaults to).
+    `query_terms` (a one-column term DataFrame — or an INT n, meaning
+    "the corpus's own top-n document-frequency terms", derived from
+    the df table this function already builds, so the corpus-derived
+    query set costs no second tokenization pass the way composing
+    with top_df_terms would): the retrieval scorer a decontamination
+    / eval-lookup pipeline runs over the corpus — tf-idf's
+    ranking-grade sibling (Robertson/Spärck Jones; the same formula
+    every production search engine defaults to).
 
     score = ln(1 + (N - df + ½)/(df + ½)) · tf·(k1+1) /
             (tf + k1·(1 − b + b·dl/avgdl))
@@ -1207,7 +1211,15 @@ def bm25_scores(
         F.count(F.lit(1)).alias("n_total"), F.avg("dl").alias("avgdl")
     )
     df_t = terms.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
-    qdf = df_t.join(query_terms.select("term"), "term")
+    if isinstance(query_terms, int):
+        wq = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+        qdf = (
+            df_t.withColumn("qrk", F.row_number().over(wq))
+            .filter(F.col("qrk") <= query_terms)
+            .drop("qrk")
+        )
+    else:
+        qdf = df_t.join(query_terms.select("term"), "term")
     # literals are repr'd into the expression so the SQL twin can
     # carry the IDENTICAL text (same parse → same association order →
     # bit-equal doubles before the floor)
@@ -1229,7 +1241,7 @@ def bm25_scores(
 
 def bm25_topk(
     documents: DataFrame,
-    query_terms: DataFrame,
+    query_terms: DataFrame | int,
     k: int = 5,
     k1: float = 1.2,
     b: float = 0.75,

@@ -667,14 +667,14 @@ def _docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top_df_terms), and DuckDB replays the WHOLE pipeline:
     tokenization, tf/df/dl/avgdl, the identical BM25 expression text
     (same literals, same association order — ln() is safe under the
-    floor-6 grain), and the per-term top-5 ranking."""
-    from datawarehouse_code_spark.operators.text import (
-        bm25_topk,
-        top_df_terms,
-    )
+    floor-6 grain), and the per-term top-5 ranking.  The int query
+    arg derives the query set from bm25's OWN df table — one
+    tokenization pass, not the two that composing with top_df_terms
+    would cost."""
+    from datawarehouse_code_spark.operators.text import bm25_topk
 
     docs = read_table(spark, "documents", sf_dir)
-    return bm25_topk(docs, top_df_terms(docs, 3), k=5)
+    return bm25_topk(docs, 3, k=5)
 
 
 _BM25_SQL = f"""

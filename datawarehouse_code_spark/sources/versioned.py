@@ -308,12 +308,15 @@ def row_diff(
     changed — schema_diff's data-level sibling, the audit report for
     "what did the last maintenance cycle actually do to this table".
     Both versions must agree on the key columns; value comparison
-    hashes the remaining shared columns (xxhash64 — engine-internal
-    is fine here, this is an intra-Spark report), so a row counts as
-    changed only when some non-key value differs.  Columns added or
-    removed BETWEEN the versions are schema drift (schema_diff's
-    job), not row drift — comparison runs over the shared non-key
-    columns.
+    hashes the remaining shared columns through the repo's INJECTIVE
+    length-prefixed encoding (functions/scalars.py
+    surrogate_hash_key128) — xxhash64 would skip NULL inputs (a null
+    swapped between two columns hashes identically → missed change)
+    and hashes by physical type (an int→bigint retype flags every
+    row) — so a row counts as changed exactly when some non-key
+    VALUE differs.  Columns added or removed BETWEEN the versions
+    are schema drift (schema_diff's job), not row drift — comparison
+    runs over the shared non-key columns.
 
     Scale shape: two anti-joins + one inner join, all shuffled on the
     key columns; output is drift-sized."""
@@ -330,8 +333,18 @@ def row_diff(
         F.lit("removed").alias("change"), *keys
     )
     if shared:
-        o = old.select(*keys, F.xxhash64(*shared).alias("_h_old"))
-        n = new.select(*keys, F.xxhash64(*shared).alias("_h_new"))
+        from datawarehouse_code_spark.functions.scalars import (
+            surrogate_hash_key128,
+        )
+
+        o = old.select(
+            *keys,
+            surrogate_hash_key128(*[F.col(c) for c in shared]).alias("_h_old"),
+        )
+        n = new.select(
+            *keys,
+            surrogate_hash_key128(*[F.col(c) for c in shared]).alias("_h_new"),
+        )
         changed = (
             o.join(n, keys)
             .filter(F.col("_h_old") != F.col("_h_new"))

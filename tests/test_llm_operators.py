@@ -694,19 +694,22 @@ def test_bm25_ranking_properties(spark):
             (3, "rare common common common common common common common"),
             (4, "common common common common"),
             (5, "common"),
+            (6, "common filler1 filler2 filler3"),   # tf(common)=1, dl=4
         ],
         ["doc_id", "text"],
     )
     q = spark.createDataFrame([("rare",), ("common",)], ["term"])
-    rows = bm25_topk(docs, q, k=5).collect()
+    rows = bm25_topk(docs, q, k=6).collect()
     by = {(r["term"], r["doc_id"]): r for r in rows}
     # (a) higher tf wins at equal dl
     assert by[("rare", 2)]["score_f6"] > by[("rare", 1)]["score_f6"]
     # (c) same tf, longer doc scores lower
     assert by[("rare", 1)]["score_f6"] > by[("rare", 3)]["score_f6"]
-    # (b) rare beats common at the same (tf=1, dl=4) coordinates
-    assert by[("rare", 1)]["score_f6"] > by[("common", 4)]["score_f6"] / 4 \
-        and by[("rare", 1)]["score_f6"] > by[("common", 1)]["score_f6"]
+    # (b) the idf term alone: doc 1 for "rare" and doc 6 for "common"
+    # sit at IDENTICAL (tf=1, dl=4) coordinates, so only df separates
+    # them — the rare term (df=3 of 6) must outscore the ubiquitous
+    # one (df=6 of 6)
+    assert by[("rare", 1)]["score_f6"] > by[("common", 6)]["score_f6"]
     # (d) docs without the term never rank
     assert ("rare", 4) not in by and ("rare", 5) not in by
     assert {r["rk"] for r in rows if r["term"] == "rare"} == {1, 2, 3}

@@ -253,3 +253,20 @@ def test_row_diff_reports_added_removed_changed(spark, tmp_path):
     assert rev == [("added", 3), ("changed", 2), ("removed", 4)]
     with pytest.raises(ValueError, match="key column"):
         row_diff(spark, path, v0, v1, ["nope"])
+
+    # a NULL swapped between two columns IS a change (xxhash64 skips
+    # NULL inputs and would hash the rows identically — the injective
+    # length-prefixed encoding does not)
+    p2 = str(tmp_path / "t2")
+    w0 = write_version(
+        spark,
+        spark.createDataFrame([(1, None, "x")], "id int, s string, m string"),
+        p2,
+    )
+    w1 = write_version(
+        spark,
+        spark.createDataFrame([(1, "x", None)], "id int, s string, m string"),
+        p2,
+    )
+    assert sorted(map(tuple, row_diff(spark, p2, w0, w1, ["id"]).collect())) \
+        == [("changed", 1)]
