@@ -49,7 +49,7 @@ __all__ = [
     "forget_vectors",
     "_restrict_candidates", "quantized_rerank_topk",
     "pq_encode_udf", "pq_query_tables_udf",
-    "semantic_dedup", "semantic_dedup_exact",
+    "semantic_dedup", "semantic_dedup_exact", "incremental_semantic_dedup",
 ]
 
 
@@ -1485,3 +1485,56 @@ def semantic_dedup(
         .filter(F.col("sim_f6i") >= F.lit(int(threshold_f6)))
     )
     return _dedup_from_pairs(vecs, pairs)
+
+
+def incremental_semantic_dedup(
+    spark: SparkSession,
+    path: str,
+    increment: DataFrame,
+    threshold_f6: int = 420_000,
+    n_probes: int = 2,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Semantic dedup for an INCREMENT against a persisted IVF index
+    (the embedding-space sibling of text.py's incremental_near_dup
+    over the persisted LSH index): (vec_id, kept, dup_of) for each
+    new vector, where dup_of is its NEAREST indexed neighbor whose
+    floor-6 cosine reaches `threshold_f6` (ties by candidate id —
+    the top-1 contract; batch semantic_dedup attributes to the
+    smallest-id neighbor instead, a deliberate difference: an
+    index-probe answers "closest existing duplicate", the batch pass
+    answers "canonical survivor") and -1 when no indexed neighbor
+    reaches the threshold.
+
+    Nightly-ingest shape: cost ∝ |increment| · probed buckets — the
+    corpus is never rescanned; works unchanged on uncompressed, int8,
+    and PQ indexes (exact sims after the re-rank, so the threshold
+    comparison is exact arithmetic on every format).  The grain
+    comparison reconstructs integer grains via round() — sim_f6 is
+    floor(x·1e6)/1e6, so sim_f6·1e6 is an integer up to one ulp and
+    round() recovers it exactly (a second floor could drop a grain).
+    Survivors (kept=1) are what extend_ivf_index should then append —
+    dedup BEFORE extend, or the next increment's duplicates resolve
+    to this one's rejects."""
+    top1 = query_ivf_index(
+        spark, path, increment, k=1,
+        n_probes=n_probes, rerank_factor=rerank_factor,
+    )
+    dups = (
+        top1.select(
+            F.col("query_id").alias("vec_id"),
+            F.col("candidate_id").alias("_dup"),
+            F.round(F.col("sim_f6") * 1e6).cast("bigint").alias("_g"),
+        )
+        .filter(F.col("_g") >= F.lit(int(threshold_f6)))
+    )
+    return (
+        increment.select("vec_id")
+        .join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.col("_dup").isNull(), F.lit(1))
+            .otherwise(F.lit(0)).cast("int").alias("kept"),
+            F.coalesce(F.col("_dup"), F.lit(-1).cast("bigint")).alias("dup_of"),
+        )
+    )

@@ -577,3 +577,49 @@ def test_pq_stream_bootstrap_replay_after_crash(spark, emb, tmp_path):
     assert os.path.exists(f"{path}/assignments/_SUCCESS")
     assert spark.read.parquet(f"{path}/codebooks").count() == 8 * 256
     assert spark.read.parquet(f"{path}/assignments").count() == 50
+
+
+def test_incremental_semantic_dedup_against_persisted_index(spark, emb, tmp_path):
+    """Increment dedup probes the persisted index: planted twins of
+    indexed vectors are dropped with dup_of naming the indexed
+    original, dissimilar new vectors are kept (the fixture's natural
+    max cosine is far below the 0.99 threshold), the report covers
+    exactly the increment, and the behavior is identical on an int8
+    index (exact sims after re-rank)."""
+    from datawarehouse_code_spark.operators.similarity import (
+        build_ivf_index,
+        incremental_semantic_dedup,
+    )
+
+    for compress in (None, "int8"):
+        path = str(tmp_path / f"idx_{compress}")
+        build_ivf_index(emb, path, n_centroids=8, compress=compress)
+        twins = emb.filter(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+        novel = emb.filter(F.col("vec_id").between(20, 29)).select(
+            (F.col("vec_id") + 200000).alias("vec_id"), "embedding"
+        )
+        # 'novel' reuses fixture vectors under new ids — but they ARE
+        # exact twins of their indexed originals, so to get genuinely
+        # novel vectors, negate them (cosine flips sign: nothing in
+        # the corpus is near -v when max natural cos is ~0.6)
+        novel = novel.select(
+            "vec_id",
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        )
+        inc = twins.unionByName(novel)
+        rows = {
+            r["vec_id"]: r
+            for r in incremental_semantic_dedup(
+                spark, path, inc, threshold_f6=990_000, n_probes=8
+            ).collect()
+        }
+        assert len(rows) == 20, compress
+        for orig in range(10):
+            r = rows[orig + 100000]
+            assert r["kept"] == 0 and r["dup_of"] == orig, (compress, r)
+        for nid in range(200020, 200030):
+            assert rows[nid]["kept"] == 1 and rows[nid]["dup_of"] == -1, (
+                compress, rows[nid],
+            )
