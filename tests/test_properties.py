@@ -620,3 +620,72 @@ def test_remove_frequent_lines_properties(doc_lines):
         for r in remove_frequent_lines(df, max_df=1).collect()
     }
     assert got == want
+
+
+@given(
+    st.integers(1, 6),          # depth
+    st.integers(1, 40),         # width
+    st.integers(1, 4),          # number of partial sketches
+    st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_cms_codec_and_merge_properties(depth, width, n_parts, data):
+    """The count-min byte codec and merge, pure-Python (no Spark):
+    serialize∘parse is the identity, merging partials sums counters
+    and total counts in any order (commutative + associative at the
+    BYTE level, since the layout is canonical), and geometry/hash
+    mismatches are refused."""
+    import numpy as np
+
+    from datawarehouse_code_spark.operators.rollup import (
+        _cms_merge_bytes,
+        _cms_parse,
+        _cms_serialize,
+    )
+
+    hash_a = np.array(
+        data.draw(st.lists(st.integers(0, 2**31 - 1),
+                           min_size=depth, max_size=depth)),
+        dtype=np.int64,
+    )
+    parts = []
+    for _ in range(n_parts):
+        table = np.array(
+            data.draw(st.lists(st.integers(0, 2**40),
+                               min_size=depth * width,
+                               max_size=depth * width)),
+            dtype=np.int64,
+        ).reshape(depth, width)
+        tc = int(table[0].sum())
+        parts.append(_cms_serialize(tc, depth, width, hash_a, table))
+
+    # codec round-trip
+    for b in parts:
+        tc, d, w, h, t = _cms_parse(b)
+        assert _cms_serialize(tc, d, w, h, t) == b
+
+    merged = _cms_merge_bytes(parts)
+    tc_m, d, w, h, t_m = _cms_parse(merged)
+    assert d == depth and w == width and (h == hash_a).all()
+    assert tc_m == sum(_cms_parse(b)[0] for b in parts)
+    assert (t_m == sum(_cms_parse(b)[4] for b in parts)).all()
+    # order-independence at the byte level
+    assert _cms_merge_bytes(list(reversed(parts))) == merged
+    if n_parts >= 3:
+        left = _cms_merge_bytes([_cms_merge_bytes(parts[:2]), *parts[2:]])
+        assert left == merged
+
+    # refused merges: different geometry / different hash rows
+    import pytest
+
+    other = _cms_serialize(
+        1, depth, width + 1, hash_a,
+        np.zeros((depth, width + 1), dtype=np.int64),
+    )
+    with pytest.raises(ValueError, match="different"):
+        _cms_merge_bytes([parts[0], other])
+    bumped = _cms_serialize(
+        1, depth, width, hash_a + 1, np.zeros((depth, width), dtype=np.int64)
+    )
+    with pytest.raises(ValueError, match="different"):
+        _cms_merge_bytes([parts[0], bumped])
