@@ -235,14 +235,23 @@ def test_iterative_loops_hold_bounded_checkpoints(spark, ckpt_dir):
     before = _n_rdd_dirs(ckpt_dir)
     ranks = pagerank_fixed(edges, iters=4, checkpoint_every=1)
     ranks.count()
-    # edges + nodes + outdeg + final ranks = 4 (3 superseded reclaimed)
-    assert _n_rdd_dirs(ckpt_dir) - before == 4
+    # at most edges + nodes + outdeg + final ranks = 4 (the 3
+    # superseded generations are reclaimed synchronously; the
+    # permanent frames may ALSO disappear at any moment after
+    # pagerank_fixed returns — cleanCheckpoints lets the
+    # ContextCleaner delete them asynchronously once their driver
+    # references are GC'd — so the pin is a RANGE, not an exact
+    # count: the returned frame's own checkpoint must survive, and
+    # nothing like the 7 dirs a no-GC run would hold may remain)
+    d_pr = _n_rdd_dirs(ckpt_dir) - before
+    assert 1 <= d_pr <= 4, d_pr
     # BFS on a 4-hop chain: per-round dist/frontier generations are
-    # reclaimed as they are superseded; the converged run keeps only
-    # sym + the final dist
+    # reclaimed as they are superseded; the converged run keeps at
+    # most sym + the final dist (same async-cleaner caveat for sym)
     chain = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["a", "b"])
     seeds = spark.createDataFrame([(1,)], ["node"])
     mid = _n_rdd_dirs(ckpt_dir)
     dist = bfs_distances(chain, seeds)
     assert sorted(map(tuple, dist.collect())) == [(1, 0), (2, 1), (3, 2), (4, 3)]
-    assert _n_rdd_dirs(ckpt_dir) - mid == 2
+    d_bfs = _n_rdd_dirs(ckpt_dir) - mid
+    assert 1 <= d_bfs <= 2, d_bfs

@@ -104,7 +104,7 @@ PLAN_BOUNDS = {
     # heavy-hitters row's RETURNED frame is the tiny exact-top-10 join
     # (the sketch agg runs inside the fn, driver-bounded)
     "docs_semantic_dedup": (6, 2),
-    "docs_bm25_topk": (5, 9),
+    "docs_bm25_topk": (4, 7),
     "events_heavy_hitters": (1, 1),
 }
 
