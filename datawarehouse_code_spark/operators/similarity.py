@@ -1432,6 +1432,7 @@ def semantic_dedup(
     seed: int = 42,
     fit_sample_fraction: float | None = None,
     fit_max_iter: int = 8,
+    n_assign: int = 1,
 ) -> DataFrame:
     """Cluster-bucketed semantic dedup — the SemDeDup scale shape:
     k-means coarse clustering (the IVF quantizer, reused verbatim),
@@ -1441,21 +1442,34 @@ def semantic_dedup(
     SemDeDup paper's accepted trade — true near-dups are nearly
     colinear and co-cluster; exact twins always do, since identical
     vectors score identically against every centroid and the
-    tiebreak is deterministic).  With n_centroids=1 this IS the exact
-    variant (single bucket ≡ all pairs — the full-probe≡brute-force
+    tiebreak is deterministic).  `n_assign` is the recall knob for
+    BOUNDARY pairs: each vector joins its n_assign nearest clusters
+    (multi-probe, the IVF n_probes idea on the corpus side), so two
+    near-dups straddling a cluster boundary pair up whenever they
+    share ANY of their assigned clusters — cost multiplies by at most
+    n_assign² and the drop rule is unchanged (duplicate pair hits
+    across shared clusters collapse in the min() attribution).  With
+    n_centroids=1 — or n_assign=n_centroids, every vector in every
+    bucket — this IS the exact variant (full-probe≡brute-force
     doctrine), which is how tests pin the bucketed path to the
     oracle-checked one.
 
     Scale shape: one tiny-centroid broadcast + per-vector window to
     assign clusters, then a cent_id EQUI-join self-join — cost
-    O(Σ bucket²·d), never corpus², with bucket sizes observable via
-    ivf_index_stats (one hot cluster taxes only its own bucket;
-    raise n_centroids or re-fit when imbalance_x100 flags it)."""
+    O(n_assign²·Σ bucket²·d), never corpus², with bucket sizes
+    observable via ivf_index_stats (one hot cluster taxes only its
+    own bucket; raise n_centroids or re-fit when imbalance_x100
+    flags it)."""
     vecs = _with_inv_norm(
         embeddings.select(
             "vec_id", as_double_array(F.col("embedding")).alias("v")
         )
     )
+    if not 1 <= n_assign <= n_centroids:
+        raise ValueError(
+            f"semantic_dedup: n_assign must be in [1, n_centroids]: "
+            f"{n_assign} vs {n_centroids}"
+        )
     if n_centroids == 1:
         # one bucket needs no quantizer (pyspark.ml KMeans requires
         # k >= 2 anyway) — this is the exact variant by construction
@@ -1465,7 +1479,7 @@ def semantic_dedup(
             vecs, n_centroids, seed=seed,
             fit_sample_fraction=fit_sample_fraction, max_iter=fit_max_iter,
         )
-        assigned = _nearest_centroids(vecs, cents, "vec_id", 1)
+        assigned = _nearest_centroids(vecs, cents, "vec_id", n_assign)
     a = assigned.select(
         "cent_id", F.col("vec_id").alias("a_id"), F.col("v").alias("av"),
         F.col("inv").alias("inv_a"),

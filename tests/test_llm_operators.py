@@ -713,3 +713,43 @@ def test_bm25_ranking_properties(spark):
     # (d) docs without the term never rank
     assert ("rare", 4) not in by and ("rare", 5) not in by
     assert {r["rk"] for r in rows if r["term"] == "rare"} == {1, 2, 3}
+
+
+def test_semantic_dedup_multi_assign_recovers_boundary_pairs(spark):
+    """n_assign is the boundary-pair recall knob: drops grow
+    monotonically with it (more shared buckets → more candidate
+    pairs, never fewer), and at n_assign=n_centroids — every vector
+    in every bucket — the clustered variant IS the exact one."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from datawarehouse_code_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_exact,
+    )
+    from datawarehouse_code_spark.sources.catalog import read_table
+
+    emb = read_table(spark, "embeddings", SF_DIR)
+    thr = 300_000  # low threshold → borderline natural pairs exist
+
+    def dropped(n_assign):
+        return {
+            r["vec_id"]
+            for r in semantic_dedup(
+                emb, n_centroids=4, threshold_f6=thr, n_assign=n_assign
+            ).collect()
+            if r["kept"] == 0
+        }
+
+    d1, d2, d4 = dropped(1), dropped(2), dropped(4)
+    exact = sorted(map(tuple, semantic_dedup_exact(emb, thr).collect()))
+    full = sorted(
+        map(tuple, semantic_dedup(
+            emb, n_centroids=4, threshold_f6=thr, n_assign=4
+        ).collect())
+    )
+    assert d1 <= d2 <= d4
+    assert full == exact  # full assignment ≡ brute force, row for row
+    import pytest
+
+    with pytest.raises(ValueError, match="n_assign"):
+        semantic_dedup(emb, n_centroids=4, n_assign=5)
