@@ -50,6 +50,7 @@ __all__ = [
     "_restrict_candidates", "quantized_rerank_topk",
     "pq_encode_udf", "pq_query_tables_udf",
     "semantic_dedup", "semantic_dedup_exact", "incremental_semantic_dedup",
+    "semantic_dedup_with_centroids",
 ]
 
 
@@ -1480,6 +1481,15 @@ def semantic_dedup(
             fit_sample_fraction=fit_sample_fraction, max_iter=fit_max_iter,
         )
         assigned = _nearest_centroids(vecs, cents, "vec_id", n_assign)
+    return _semantic_dedup_assigned(vecs, assigned, threshold_f6)
+
+
+def _semantic_dedup_assigned(
+    vecs: DataFrame, assigned: DataFrame, threshold_f6: int
+) -> DataFrame:
+    """Shared bucketed tail of the clustered semantic-dedup variants:
+    within-bucket smaller-id drop rule over an already-assigned
+    (cent_id, vec_id, v, inv) frame."""
     a = assigned.select(
         "cent_id", F.col("vec_id").alias("a_id"), F.col("v").alias("av"),
         F.col("inv").alias("inv_a"),
@@ -1499,6 +1509,27 @@ def semantic_dedup(
         .filter(F.col("sim_f6i") >= F.lit(int(threshold_f6)))
     )
     return _dedup_from_pairs(vecs, pairs)
+
+
+def semantic_dedup_with_centroids(
+    embeddings: DataFrame,
+    cents: DataFrame,
+    threshold_f6: int = 420_000,
+    n_assign: int = 1,
+) -> DataFrame:
+    """Clustered semantic dedup bucketed by a FROZEN centroid table
+    (the persisted IVF index's coarse quantizer) instead of a fresh
+    k-means fit — the batch-internal dedup pass a streaming ingest
+    wants: no per-batch fit, bucket boundaries identical to the
+    serving index, same (vec_id, kept, dup_of) contract as
+    semantic_dedup."""
+    vecs = _with_inv_norm(
+        embeddings.select(
+            "vec_id", as_double_array(F.col("embedding")).alias("v")
+        )
+    )
+    assigned = _nearest_centroids(vecs, cents, "vec_id", n_assign)
+    return _semantic_dedup_assigned(vecs, assigned, threshold_f6)
 
 
 def incremental_semantic_dedup(

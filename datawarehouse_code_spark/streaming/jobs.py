@@ -542,6 +542,7 @@ def run_ivf_ingest(
     checkpoint_dir: str | None = None,
     n_centroids: int = 16,
     compress: str | None = None,
+    dedup_threshold_f6: int | None = None,
 ) -> None:
     """Streaming maintenance for the persisted IVF ANN index
     (operators/similarity.py build_ivf_index family) — embedding
@@ -569,10 +570,27 @@ def run_ivf_ingest(
     (build_ivf_index compress semantics); later batches adapt to the
     stored format automatically (extend_ivf_index schema-detects), so
     the knob only matters for the bootstrap batch.
+
+    `dedup_threshold_f6` turns the ingest into a SEMANTIC-DEDUPED
+    feed: the bootstrap corpus is deduplicated batch-internally
+    (semantic_dedup, same n_centroids), and every later batch drops
+    vectors that duplicate EITHER an already-indexed vector
+    (incremental_semantic_dedup — probes only, corpus never
+    rescanned) or a smaller-id vector in the same batch
+    (semantic_dedup_with_centroids over the index's FROZEN
+    centroids — no per-batch fit).  Rejected vectors never enter the
+    index, so the check is deterministic under replay: a re-delivered
+    batch rejects the same ids and the anti-join guard drops the
+    rest.  This is the dedup-BEFORE-extend ordering
+    incremental_semantic_dedup's contract requires — duplicates in a
+    later batch resolve to indexed SURVIVORS, never to rejects.
     """
     from datawarehouse_code_spark.operators.similarity import (
         build_ivf_index,
         extend_ivf_index,
+        incremental_semantic_dedup,
+        semantic_dedup,
+        semantic_dedup_with_centroids,
     )
     from datawarehouse_code_spark.sources.acid import table_exists
 
@@ -603,6 +621,12 @@ def run_ivf_ingest(
                 if table_exists(sp, f"{index_path}/{part}"):
                     pfs, ppath = _fs_for(sp, f"{index_path}/{part}")
                     pfs.delete(ppath, True)
+            if dedup_threshold_f6 is not None:
+                kept = semantic_dedup(
+                    fresh, n_centroids=n_centroids,
+                    threshold_f6=dedup_threshold_f6,
+                ).filter(F.col("kept") == 1).select("vec_id")
+                fresh = fresh.join(kept, "vec_id")
             build_ivf_index(
                 fresh, index_path, n_centroids=n_centroids, compress=compress
             )
@@ -611,6 +635,19 @@ def run_ivf_ingest(
         new = fresh.join(seen, "vec_id", "left_anti")
         if new.limit(1).count() == 0:
             return  # pure replay/re-delivery: nothing to append
+        if dedup_threshold_f6 is not None:
+            # survive BOTH gates: no indexed duplicate (probe) and no
+            # smaller-id batch-mate duplicate (frozen-centroid pass)
+            vs_index = incremental_semantic_dedup(
+                sp, index_path, new, threshold_f6=dedup_threshold_f6
+            ).filter(F.col("kept") == 1).select("vec_id")
+            cents = sp.read.parquet(f"{index_path}/centroids")
+            in_batch = semantic_dedup_with_centroids(
+                new, cents, threshold_f6=dedup_threshold_f6
+            ).filter(F.col("kept") == 1).select("vec_id")
+            new = new.join(vs_index, "vec_id").join(in_batch, "vec_id")
+            if new.limit(1).count() == 0:
+                return  # every new vector was a semantic duplicate
         extend_ivf_index(new, index_path)
 
     writer = embeddings.writeStream.foreachBatch(_apply).trigger(availableNow=True)

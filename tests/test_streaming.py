@@ -757,3 +757,85 @@ def test_cms_sketch_maintenance_batches_equal_oneshot(spark, tmp_path):
         for r in read_rollup(spark, path).collect()
     }
     assert after == want
+
+
+def test_ivf_ingest_semantic_dedup_gate(spark, tmp_path):
+    """run_ivf_ingest(dedup_threshold_f6=...): the bootstrap corpus is
+    batch-internally deduplicated, later batches drop vectors that
+    duplicate an INDEXED vector (probe) or a smaller-id BATCH-mate
+    (frozen-centroid pass), genuinely novel vectors append, and a
+    re-delivered drain changes nothing."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.sources.catalog import read_table
+    from datawarehouse_code_spark.streaming.jobs import run_ivf_ingest
+    from tests.conftest import SF_DIR
+
+    emb = read_table(spark, "embeddings", SF_DIR).select("vec_id", "embedding")
+    base_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    neg = F.transform("embedding", lambda x: -x)
+
+    boot = emb.unionByName(
+        emb.filter(F.col("vec_id") == 1)
+        .select((F.lit(501)).alias("vec_id"), "embedding")
+    )
+    batch = (
+        emb.filter(F.col("vec_id") == 2)
+        .select(F.lit(502).alias("vec_id"), "embedding")          # index dup
+        .unionByName(
+            emb.filter(F.col("vec_id") == 30)
+            .select(F.lit(600).alias("vec_id"), neg.alias("embedding"))  # novel
+        )
+        .unionByName(
+            emb.filter(F.col("vec_id") == 31)
+            .select(F.lit(603).alias("vec_id"), neg.alias("embedding"))  # novel,
+        )
+        .unionByName(
+            emb.filter(F.col("vec_id") == 31)
+            .select(F.lit(604).alias("vec_id"), neg.alias("embedding"))  # twin of 603
+        )
+    )
+    land = tmp_path / "landing"
+    land.mkdir()
+    now = time.time() - 600
+    for i, part in enumerate([boot, batch]):
+        f = land / f"b{i}.parquet"
+        part.toPandas().to_parquet(f, index=False)
+        os.utime(f, (now + 60 * i, now + 60 * i))
+
+    path = str(tmp_path / "ivf_dedup")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    run_ivf_ingest(
+        stream, path, checkpoint_dir=str(tmp_path / "ck"),
+        n_centroids=4, dedup_threshold_f6=990_000,
+    )
+
+    def indexed():
+        return {
+            r["vec_id"]
+            for r in spark.read.parquet(f"{path}/assignments")
+            .select("vec_id").collect()
+        }
+
+    want = base_ids | {600, 603}
+    assert indexed() == want  # 501/502/604 rejected as semantic dups
+
+    # fresh-checkpoint re-delivery: nothing changes (rejects stay
+    # rejected deterministically; survivors anti-join out)
+    stream2 = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    run_ivf_ingest(
+        stream2, path, checkpoint_dir=str(tmp_path / "ck2"),
+        n_centroids=4, dedup_threshold_f6=990_000,
+    )
+    assert indexed() == want
