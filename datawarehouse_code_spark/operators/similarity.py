@@ -50,7 +50,7 @@ __all__ = [
     "_restrict_candidates", "quantized_rerank_topk",
     "pq_encode_udf", "pq_query_tables_udf",
     "semantic_dedup", "semantic_dedup_exact", "incremental_semantic_dedup",
-    "semantic_dedup_with_centroids",
+    "semantic_dedup_with_centroids", "fit_ivf_centroids",
 ]
 
 
@@ -646,6 +646,29 @@ def _quantize_int8(assigned: DataFrame, extra_cols: list[str] = ()) -> DataFrame
     )
 
 
+def fit_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 42,
+    fit_sample_fraction: float | None = None,
+    fit_max_iter: int = 8,
+) -> DataFrame:
+    """Fit the IVF coarse quantizer on a raw (vec_id, embedding)
+    frame — the public wrapper around kmeans_centroids for callers
+    that want to reuse ONE fit across several consumers (a
+    frozen-centroid dedup pass + build_ivf_index(centroids=...), the
+    streaming bootstrap's single-fit shape)."""
+    return kmeans_centroids(
+        _with_inv_norm(
+            embeddings.select(
+                "vec_id", as_double_array(F.col("embedding")).alias("v")
+            )
+        ),
+        n_centroids, seed=seed,
+        fit_sample_fraction=fit_sample_fraction, max_iter=fit_max_iter,
+    )
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     path: str,
@@ -655,6 +678,7 @@ def build_ivf_index(
     fit_max_iter: int = 8,
     compress: str | None = None,
     attrs: DataFrame | None = None,
+    centroids: DataFrame | None = None,
 ) -> None:
     """Persist an IVF ANN index: the k-means coarse quantizer's
     centroids (tiny) plus every corpus vector assigned to its nearest
@@ -713,10 +737,17 @@ def build_ivf_index(
             "vec_id", as_double_array(F.col("embedding")).alias("v")
         )
     )
-    cents = kmeans_centroids(
-        vecs, n_centroids, seed=seed,
-        fit_sample_fraction=fit_sample_fraction, max_iter=fit_max_iter,
-    )
+    if centroids is not None:
+        # caller fit the quantizer already (e.g. to bucket a dedup
+        # pass over the same corpus before indexing the survivors) —
+        # reuse it instead of paying the dominant build cost twice;
+        # the fit knobs are ignored in this mode
+        cents = centroids
+    else:
+        cents = kmeans_centroids(
+            vecs, n_centroids, seed=seed,
+            fit_sample_fraction=fit_sample_fraction, max_iter=fit_max_iter,
+        )
     cents.coalesce(1).write.mode("error").parquet(f"{path}/centroids")
     assigned = _nearest_centroids(vecs, cents, "vec_id", 1)
     attr_cols: list[str] = []
@@ -1502,9 +1533,15 @@ def _semantic_dedup_assigned(
         ((dot(F.col("av"), F.col("bv")) * F.col("inv_a")) * F.col("inv_b"))
         * F.lit(1e6)
     )
+    # dedup BEFORE scoring: under multi-assignment a pair sharing m
+    # buckets would otherwise pay the d-dimensional dot product m
+    # times before min() collapses it (the embedding_near_dup_lsh
+    # pattern — candidate identity first, arithmetic once)
     pairs = (
         a.join(b, "cent_id")
         .filter(F.col("a_id") < F.col("vec_id"))
+        .select("a_id", "vec_id", "av", "inv_a", "bv", "inv_b")
+        .dropDuplicates(["a_id", "vec_id"])
         .select("a_id", "vec_id", sim_f6i.alias("sim_f6i"))
         .filter(F.col("sim_f6i") >= F.lit(int(threshold_f6)))
     )
@@ -1522,7 +1559,17 @@ def semantic_dedup_with_centroids(
     k-means fit — the batch-internal dedup pass a streaming ingest
     wants: no per-batch fit, bucket boundaries identical to the
     serving index, same (vec_id, kept, dup_of) contract as
-    semantic_dedup."""
+    semantic_dedup.  Validates `n_assign` against the ACTUAL centroid
+    count (the table is tiny — the count is a no-op job) exactly as
+    semantic_dedup does: silently assigning every vector to every
+    bucket would degrade the bucketed pass to the O(N²) join the
+    validation exists to catch."""
+    n_cents = cents.count()
+    if not 1 <= n_assign <= n_cents:
+        raise ValueError(
+            f"semantic_dedup_with_centroids: n_assign must be in "
+            f"[1, n_centroids]: {n_assign} vs {n_cents}"
+        )
     vecs = _with_inv_norm(
         embeddings.select(
             "vec_id", as_double_array(F.col("embedding")).alias("v")
@@ -1560,7 +1607,31 @@ def incremental_semantic_dedup(
     round() recovers it exactly (a second floor could drop a grain).
     Survivors (kept=1) are what extend_ivf_index should then append —
     dedup BEFORE extend, or the next increment's duplicates resolve
-    to this one's rejects."""
+    to this one's rejects.
+
+    Precondition (GUARDED, not assumed): increment ids must be
+    disjoint from the index's — query_ivf_index excludes
+    query_id == candidate_id as a self-match, so a re-submitted
+    indexed id would be blind to its own indexed twin and come back
+    kept=1, double-appending on the follow-up extend.  The guard is
+    one column-pruned semi-join probe (anti-join shape the streaming
+    ingest already pays)."""
+    collided = (
+        increment.select("vec_id")
+        .join(
+            spark.read.parquet(f"{path}/assignments").select("vec_id"),
+            "vec_id",
+        )
+        .limit(1)
+        .count()
+    )
+    if collided:
+        raise ValueError(
+            "incremental_semantic_dedup: increment vec_ids collide with "
+            "already-indexed ids — the self-match exclusion would hide "
+            "their indexed twins; re-key the increment (or anti-join it "
+            "first, the run_ivf_ingest guard)"
+        )
     top1 = query_ivf_index(
         spark, path, increment, k=1,
         n_probes=n_probes, rerank_factor=rerank_factor,
@@ -1573,13 +1644,8 @@ def incremental_semantic_dedup(
         )
         .filter(F.col("_g") >= F.lit(int(threshold_f6)))
     )
-    return (
-        increment.select("vec_id")
-        .join(dups, "vec_id", "left")
-        .select(
-            "vec_id",
-            F.when(F.col("_dup").isNull(), F.lit(1))
-            .otherwise(F.lit(0)).cast("int").alias("kept"),
-            F.coalesce(F.col("_dup"), F.lit(-1).cast("bigint")).alias("dup_of"),
-        )
+    # top-1 yields at most one pair per vec_id, so min() is the
+    # identity and the shared tail applies unchanged
+    return _dedup_from_pairs(
+        increment, dups.select(F.col("_dup").alias("a_id"), "vec_id")
     )

@@ -543,6 +543,9 @@ def run_ivf_ingest(
     n_centroids: int = 16,
     compress: str | None = None,
     dedup_threshold_f6: int | None = None,
+    dedup_n_probes: int = 2,
+    dedup_rerank_factor: int = 4,
+    dedup_n_assign: int = 1,
 ) -> None:
     """Streaming maintenance for the persisted IVF ANN index
     (operators/similarity.py build_ivf_index family) — embedding
@@ -584,12 +587,18 @@ def run_ivf_ingest(
     rest.  This is the dedup-BEFORE-extend ordering
     incremental_semantic_dedup's contract requires — duplicates in a
     later batch resolve to indexed SURVIVORS, never to rejects.
+    The bootstrap fits the quantizer ONCE (fit_ivf_centroids) and
+    shares it between the dedup pass and build_ivf_index(centroids=)
+    — the fit is the dominant bootstrap cost.  `dedup_n_probes` /
+    `dedup_rerank_factor` tune the index-probe gate and
+    `dedup_n_assign` the batch-internal boundary recall (the
+    semantic_dedup multi-assignment knob).
     """
     from datawarehouse_code_spark.operators.similarity import (
         build_ivf_index,
         extend_ivf_index,
+        fit_ivf_centroids,
         incremental_semantic_dedup,
-        semantic_dedup,
         semantic_dedup_with_centroids,
     )
     from datawarehouse_code_spark.sources.acid import table_exists
@@ -622,33 +631,55 @@ def run_ivf_ingest(
                     pfs, ppath = _fs_for(sp, f"{index_path}/{part}")
                     pfs.delete(ppath, True)
             if dedup_threshold_f6 is not None:
-                kept = semantic_dedup(
-                    fresh, n_centroids=n_centroids,
-                    threshold_f6=dedup_threshold_f6,
+                # ONE quantizer fit shared by the dedup bucketing and
+                # the index build — the fit dominates bootstrap cost
+                cents0 = fit_ivf_centroids(fresh, n_centroids=n_centroids)
+                kept = semantic_dedup_with_centroids(
+                    fresh, cents0, threshold_f6=dedup_threshold_f6,
+                    n_assign=dedup_n_assign,
                 ).filter(F.col("kept") == 1).select("vec_id")
-                fresh = fresh.join(kept, "vec_id")
+                build_ivf_index(
+                    fresh.join(kept, "vec_id"), index_path,
+                    n_centroids=n_centroids, compress=compress,
+                    centroids=cents0,
+                )
+                return
             build_ivf_index(
                 fresh, index_path, n_centroids=n_centroids, compress=compress
             )
             return
         seen = sp.read.parquet(f"{index_path}/assignments").select("vec_id")
         new = fresh.join(seen, "vec_id", "left_anti")
-        if new.limit(1).count() == 0:
-            return  # pure replay/re-delivery: nothing to append
-        if dedup_threshold_f6 is not None:
+        if dedup_threshold_f6 is None:
+            if new.limit(1).count() == 0:
+                return  # pure replay/re-delivery: nothing to append
+            extend_ivf_index(new, index_path)
+            return
+        # the dedup branch reads `new` many times (two limit probes,
+        # the index-probe gate, the in-batch gate, the final joins,
+        # the extend) — persist the batch-sized frame so the file
+        # scan + anti-join run once, not per consumer
+        new = new.persist()
+        try:
+            if new.limit(1).count() == 0:
+                return  # pure replay/re-delivery: nothing to append
             # survive BOTH gates: no indexed duplicate (probe) and no
             # smaller-id batch-mate duplicate (frozen-centroid pass)
             vs_index = incremental_semantic_dedup(
-                sp, index_path, new, threshold_f6=dedup_threshold_f6
+                sp, index_path, new, threshold_f6=dedup_threshold_f6,
+                n_probes=dedup_n_probes, rerank_factor=dedup_rerank_factor,
             ).filter(F.col("kept") == 1).select("vec_id")
             cents = sp.read.parquet(f"{index_path}/centroids")
             in_batch = semantic_dedup_with_centroids(
-                new, cents, threshold_f6=dedup_threshold_f6
+                new, cents, threshold_f6=dedup_threshold_f6,
+                n_assign=dedup_n_assign,
             ).filter(F.col("kept") == 1).select("vec_id")
-            new = new.join(vs_index, "vec_id").join(in_batch, "vec_id")
-            if new.limit(1).count() == 0:
+            survivors = new.join(vs_index, "vec_id").join(in_batch, "vec_id")
+            if survivors.limit(1).count() == 0:
                 return  # every new vector was a semantic duplicate
-        extend_ivf_index(new, index_path)
+            extend_ivf_index(survivors, index_path)
+        finally:
+            new.unpersist()
 
     writer = embeddings.writeStream.foreachBatch(_apply).trigger(availableNow=True)
     if checkpoint_dir is not None:

@@ -623,3 +623,28 @@ def test_incremental_semantic_dedup_against_persisted_index(spark, emb, tmp_path
             assert rows[nid]["kept"] == 1 and rows[nid]["dup_of"] == -1, (
                 compress, rows[nid],
             )
+
+
+def test_incremental_semantic_dedup_rejects_id_collisions(spark, emb, tmp_path):
+    """An increment that reuses an indexed vec_id is refused loudly:
+    the probe's self-match exclusion would hide the indexed twin and
+    report the re-submitted vector as kept (the double-append bug the
+    guard exists to prevent).  And semantic_dedup_with_centroids
+    validates n_assign against the real centroid count like its
+    fitting sibling."""
+    import pytest
+
+    from datawarehouse_code_spark.operators.similarity import (
+        build_ivf_index,
+        incremental_semantic_dedup,
+        semantic_dedup_with_centroids,
+    )
+
+    path = str(tmp_path / "idx")
+    build_ivf_index(emb, path, n_centroids=4)
+    colliding = emb.filter(F.col("vec_id") < 5)
+    with pytest.raises(ValueError, match="collide"):
+        incremental_semantic_dedup(spark, path, colliding)
+    cents = spark.read.parquet(f"{path}/centroids")
+    with pytest.raises(ValueError, match="n_assign"):
+        semantic_dedup_with_centroids(emb, cents, n_assign=99)
