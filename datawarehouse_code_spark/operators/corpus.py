@@ -655,6 +655,94 @@ def pack_sequences(
     )
 
 
+def pack_documents_whole(
+    docs: DataFrame,
+    budget: int,
+    shard_col: str,
+    tokens_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Whole-document bin packing — the OTHER standard packing mode
+    beside `pack_sequences`' concatenate-and-chunk: every document
+    lands intact in exactly one fixed-capacity bin (SFT/instruction
+    tuning wants unfragmented examples; the price is padding waste
+    where chunk-packing has none).  Best-fit-decreasing per shard:
+    docs sorted by (tokens desc, id asc), each placed in the fullest
+    bin that still fits it (ties → lowest bin id), new bin otherwise
+    — the classic ≤ 11/9·OPT + 1 guarantee, deterministic under any
+    partitioning because both the order and the tie-breaks are total.
+
+    Output: one row per doc with `bin_id` (per shard, dense from 0)
+    and `bin_slot` (insertion order within the bin — the loader's
+    concatenation order).  Docs larger than `budget` (and NULL or
+    non-positive counts) are rejected loudly: silently dropping an
+    unpackable document is how a corpus loses its longest examples.
+
+    Scale shape: one shuffle on `shard_col`, then a per-shard
+    sequential BFD in an Arrow-batched grouped map (bin packing is
+    inherently order-dependent; the shard IS the parallelism unit,
+    exactly like `pack_sequences`' per-shard window).  The in-memory
+    state is the doc list of one shard — shards are sized for
+    training-loader consumption, far under executor memory.
+    """
+    import pandas as pd
+
+    if budget <= 0:
+        raise ValueError(f"pack_documents_whole: budget must be > 0: {budget}")
+    types = {f.name: f.dataType.simpleString() for f in docs.schema.fields}
+    schema = (
+        f"{shard_col} {types[shard_col]}, {id_col} {types[id_col]}, "
+        f"n_tokens bigint, bin_id int, bin_slot int"
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import bisect
+
+        bad = pdf[pdf[tokens_col].isna() | (pdf[tokens_col] <= 0)]
+        if len(bad):
+            raise ValueError(
+                "pack_documents_whole: non-positive or NULL token count "
+                f"for {id_col}={bad.iloc[0][id_col]!r}"
+            )
+        over = pdf[pdf[tokens_col] > budget]
+        if len(over):
+            raise ValueError(
+                f"pack_documents_whole: document {over.iloc[0][id_col]!r} "
+                f"has {int(over.iloc[0][tokens_col])} tokens > budget "
+                f"{budget} — it fits no bin; chunk it first or raise the "
+                "budget"
+            )
+        pdf = pdf.sort_values(
+            [tokens_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        open_bins: list[tuple[int, int]] = []  # (remaining, bin_id), sorted
+        slots: list[int] = []  # next slot per bin_id
+        bin_ids, bin_slots = [], []
+        for length in pdf[tokens_col].astype("int64"):
+            length = int(length)
+            i = bisect.bisect_left(open_bins, (length, -1))
+            if i < len(open_bins):
+                rem, b = open_bins.pop(i)  # best fit: smallest rem >= len
+                rem -= length
+            else:
+                b, rem = len(slots), budget - length  # open a new bin
+                slots.append(0)
+            if rem > 0:
+                bisect.insort(open_bins, (rem, b))
+            bin_ids.append(b)
+            bin_slots.append(slots[b])
+            slots[b] += 1
+        out = pdf[[shard_col, id_col]].copy()
+        out["n_tokens"] = pdf[tokens_col].astype("int64")
+        out["bin_id"] = pd.array(bin_ids, dtype="int32")
+        out["bin_slot"] = pd.array(bin_slots, dtype="int32")
+        return out
+
+    return docs.select(shard_col, id_col, tokens_col).groupBy(
+        shard_col
+    ).applyInPandas(_pack, schema)
+
+
 def explode_sequence_spans(
     packed: DataFrame,
     budget: int,

@@ -771,3 +771,58 @@ def test_export_shards_jsonl_one_file_per_shard_roundtrip(spark, tmp_path):
 
     with pytest.raises(Exception, match="already exists|ERROR"):
         export_shards(docs, path, n_shards=4, fmt="json")
+
+
+def test_pack_documents_whole_bfd_invariants(spark):
+    """Whole-doc best-fit-decreasing packing: every doc lands in
+    exactly one bin, no bin exceeds the budget, the bin count stays
+    near the ceil(total/budget) lower bound (BFD guarantee), slots
+    are dense per bin, results are partitioning-independent, and
+    NULL/oversized docs are refused loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.corpus import pack_documents_whole
+
+    rows = [
+        ("s0", i, t)
+        for i, t in enumerate([900, 800, 700, 600, 500, 400, 300, 200,
+                               150, 100, 90, 60, 30, 10, 5])
+    ] + [("s1", 100 + i, 512) for i in range(7)]
+    docs = spark.createDataFrame(rows, ["shard", "doc_id", "n_tok"])
+    got = pack_documents_whole(docs, 1024, "shard", "n_tok", "doc_id")
+    out = got.collect()
+    assert len(out) == len(rows)  # every doc exactly once
+    by_bin: dict = {}
+    for r in out:
+        by_bin.setdefault((r["shard"], r["bin_id"]), []).append(r)
+    for (shard, _b), members in by_bin.items():
+        assert sum(m["n_tokens"] for m in members) <= 1024, (shard, members)
+        assert sorted(m["bin_slot"] for m in members) == list(
+            range(len(members))
+        )
+    for shard, total in (("s0", sum(t for s, _, t in rows if s == "s0")),
+                         ("s1", 7 * 512)):
+        n_bins = len({b for (s, b) in by_bin if s == shard})
+        lower = -(-total // 1024)
+        assert lower <= n_bins <= 2 * lower + 1, (shard, n_bins, lower)
+    # s1: seven 512s into 1024-bins → exactly 4 bins (pairs + one odd)
+    assert len({b for (s, b) in by_bin if s == "s1"}) == 4
+
+    # deterministic under repartitioning
+    a = sorted(map(tuple, out))
+    b = sorted(map(tuple,
+                   pack_documents_whole(docs.repartition(7), 1024,
+                                        "shard", "n_tok", "doc_id").collect()))
+    assert a == b
+
+    with pytest.raises(Exception, match="fits no bin"):
+        pack_documents_whole(
+            spark.createDataFrame([("s", 1, 2000)], ["shard", "doc_id", "n_tok"]),
+            1024, "shard", "n_tok", "doc_id",
+        ).collect()
+    with pytest.raises(Exception, match="non-positive or NULL"):
+        pack_documents_whole(
+            spark.createDataFrame([("s", 1, 0)], ["shard", "doc_id", "n_tok"]),
+            1024, "shard", "n_tok", "doc_id",
+        ).collect()
