@@ -202,6 +202,7 @@ HEADLINE = [
     "docs_semantic_dedup",
     "events_heavy_hitters",
     "docs_bm25_topk",
+    "docs_curriculum_phases",
 ]
 
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datawarehouse_code_spark.operators.iterative import (
@@ -461,6 +461,35 @@ def mixture_resample(
         df.join(F.broadcast(rates), strata_col, "inner")
         .filter(knuth_u(key_col) < F.col("_rate"))
         .drop("_rate")
+    )
+
+
+def curriculum_phases(
+    docs: DataFrame,
+    n_phases: int,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum phase assignment: rank the corpus by a difficulty /
+    quality score and split it into `n_phases` contiguous,
+    near-equal-size phases (phase 1 = lowest scores first — the
+    easy-to-hard curriculum ordering; feed phases to training in
+    order, or invert the score upstream for the reverse).  ntile over
+    the (score, id) total order — the id tiebreak makes the
+    assignment deterministic across engines and partitionings, the
+    same contract every sampler here carries.
+
+    Scale note: a single global NTILE window is one total sort — fine
+    for manifest-sized inputs; for corpus-scale assignment compute
+    phase BOUNDARIES from exact percentiles of the score instead and
+    join them back (two shuffles, no global sort).  This operator is
+    the manifest-level step; its output composes with assign_shards /
+    export_shards per phase."""
+    if n_phases < 1:
+        raise ValueError(f"curriculum_phases: n_phases must be >= 1: {n_phases}")
+    w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+    return docs.select(
+        id_col, score_col, F.ntile(n_phases).over(w).alias("phase")
     )
 
 

@@ -1055,6 +1055,45 @@ FROM vecs v LEFT JOIN dups d ON v.vec_id = d.vec_id
 """
 
 
+def _docs_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum phase assignment as a hash-checked row
+    (operators/corpus.py curriculum_phases): documents split into 4
+    contiguous near-equal phases by a deterministic difficulty score
+    (text length in chars — engine-identical), reported as per-phase
+    stats so the hash pins BOTH the balanced sizes and the contiguous
+    score ranges (phase k's max_score ≤ phase k+1's min_score shows
+    in the values)."""
+    from datawarehouse_code_spark.operators.corpus import curriculum_phases
+
+    docs = read_table(spark, "documents", sf_dir).select(
+        "doc_id", F.length("text").alias("score")
+    )
+    return (
+        curriculum_phases(docs, 4, "score")
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("score").cast("bigint").alias("min_score"),
+            F.max("score").cast("bigint").alias("max_score"),
+            F.sum("score").cast("bigint").alias("sum_score"),
+        )
+    )
+
+
+_CURRICULUM_SQL = """
+SELECT CAST(phase AS INTEGER) AS phase, count(*) AS n_docs,
+       CAST(min(score) AS BIGINT) AS min_score,
+       CAST(max(score) AS BIGINT) AS max_score,
+       CAST(sum(score) AS BIGINT) AS sum_score
+FROM (
+  SELECT doc_id, length(text) AS score,
+         ntile(4) OVER (ORDER BY length(text) ASC, doc_id ASC) AS phase
+  FROM documents
+)
+GROUP BY phase
+"""
+
+
 def _similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: bucket membership depends on xxhash64-derived planes.
     return lsh_topk(read_table(spark, "embeddings", sf_dir))
@@ -2473,6 +2512,11 @@ LLM_SUPPLEMENTARY: list[Query] = [
           "north-star: BM25 retrieval top-k per corpus-derived query "
           "term — full pipeline replayed by DuckDB (supplementary, "
           "differential-tested)"),
+    Query("docs_curriculum_phases", _docs_curriculum_phases,
+          _CURRICULUM_SQL,
+          "north-star: curriculum phase assignment — contiguous "
+          "near-equal difficulty phases, per-phase stats hash-checked "
+          "(supplementary, differential-tested)"),
     Query("text_nfc_suite", _text_nfc_suite, _NFC_SQL,
           "north-star: Unicode NFC canonicalization on planted "
           "decomposed sequences (supplementary, differential-tested)"),
