@@ -108,6 +108,17 @@ FROZEN_BASELINE_SF01 = {
     "supplier_weighted_paths": 4.481,
     "docs_mixture_token_budget": 0.845,
     "text_nfc_suite": 0.32,
+    # frozen round 10 from the r9 driver run (driver-archived
+    # BENCH_full.json at commit a0da366; measured min-of-3)
+    "similarity_topk_filtered": 0.89,
+    "similarity_topk_quantized": 1.917,
+    "docs_quality_ml": 2.649,
+    "docs_boilerplate_lines": 0.49,
+    "sql_recursive_reachability": 2.73,
+    "docs_semantic_dedup": 1.439,
+    "events_heavy_hitters": 0.643,
+    "docs_bm25_topk": 0.813,
+    "docs_curriculum_phases": 0.166,
 }
 
 # Run-count provenance (adjudicated in round-8 ADVICE): rows frozen
@@ -280,7 +291,7 @@ def main() -> None:
         }
         frozen_total = sum(FROZEN_BASELINE_SF01[n] for n in ratios)
         payload["baseline_ratio"] = {
-            "frozen": "BENCH_r02 + r3-new@r4 + r5-new@r6 + r6-new@r7 + r7-new@r8 + r8-new@r9 rows (sf0.1, local[32]; min-of-2 through r7 rows, min-of-3 after)",
+            "frozen": "BENCH_r02 + r3-new@r4 + r5-new@r6 + r6-new@r7 + r7-new@r8 + r8-new@r9 + r9-new@r10 rows (sf0.1, local[32]; min-of-2 through r7 rows, min-of-3 after)",
             "total": round(sum(times[n] for n in ratios) / frozen_total, 3),
             "queries": ratios,
         }
