@@ -1151,7 +1151,11 @@ def top_df_terms(
     """The n highest-document-frequency terms (ties by term asc) — a
     deterministic, corpus-derived query set for retrieval rows and
     evals (no hand-picked word list to drift from the fixture).  The
-    ranking window is vocabulary-sized, never corpus-sized."""
+    selection compiles to TakeOrderedAndProject (per-partition top-n,
+    then one n-sized merge on the driver side of the exchange) — at
+    100 TB the vocabulary is 10⁸+ distinct terms, and a rank window
+    over it would sort the whole df table through one partition; the
+    limit form never materializes more than n rows per partition."""
     terms = (
         documents.repartition(id_col)
         .select(id_col, words(F.col(text_col)).alias("ws"))
@@ -1159,10 +1163,9 @@ def top_df_terms(
         .filter(F.col("term") != "")
     )
     df_t = terms.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
-    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
     return (
-        df_t.withColumn("qrk", F.row_number().over(w))
-        .filter(F.col("qrk") <= n)
+        df_t.orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(n)
         .select("term")
     )
 
@@ -1212,12 +1215,13 @@ def bm25_scores(
     )
     df_t = terms.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
     if isinstance(query_terms, int):
-        wq = Window.orderBy(F.col("df").desc(), F.col("term").asc())
-        qdf = (
-            df_t.withColumn("qrk", F.row_number().over(wq))
-            .filter(F.col("qrk") <= query_terms)
-            .drop("qrk")
-        )
+        # TakeOrderedAndProject, not a rank window: the df table is
+        # vocabulary-sized (10⁸+ terms at 100 TB) and a global window
+        # would total-sort it through one partition; orderBy().limit()
+        # keeps at most `query_terms` rows per partition.
+        qdf = df_t.orderBy(
+            F.col("df").desc(), F.col("term").asc()
+        ).limit(query_terms)
     else:
         qdf = df_t.join(query_terms.select("term"), "term")
     # literals are repr'd into the expression so the SQL twin can
@@ -1258,6 +1262,70 @@ def bm25_topk(
     )
     w = Window.partitionBy("term").orderBy(
         F.col("score_f6").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def bm25_multiterm_topk(
+    documents: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+) -> DataFrame:
+    """Multi-term BM25 retrieval: `queries` is a (query_id, term) BAG
+    — the real retrieval/decontamination shape, where a query is a
+    tokenized string, not one term.  Per-(query, doc) relevance is
+    the sum of the per-term BM25 scores (duplicate terms in a bag
+    weight their term's score by their count, the qtf·score shape of
+    the classic formula with k3→∞), then top-k docs per query.
+
+    Exactness across engines and partitionings: the per-term score is
+    floored to 1e-6 grains (bm25_scores' score_f6 contract) and then
+    carried as INTEGER MICROS — a bigint — so the per-(query, doc)
+    sum is exact integer arithmetic, independent of addition order.
+    Summing the floored DOUBLES instead would disagree in the last
+    ulp between plans that merge partials in different orders, and a
+    last-ulp disagreement flips top-k tiebreaks.
+
+    Scale shape: term scores are computed once per DISTINCT term
+    across all queries (a corpus-sized tf/df/dl pipeline, the same
+    shuffles tf-idf pays); the query map is query-set-sized —
+    broadcast; the final rank window is partitioned by query_id,
+    never global.  Output: query_id, doc_id, n_terms_matched (how
+    many of the query's distinct terms the doc contains),
+    score_micros (bigint, 1e-6 grains), rk.
+    """
+    qweights = queries.groupBy(
+        F.col(query_id_col).alias(query_id_col),
+        F.col(term_col).alias("term"),
+    ).agg(F.count(F.lit(1)).alias("_qtf"))
+    term_scores = bm25_scores(
+        documents,
+        qweights.select("term").distinct(),
+        k1=k1, b=b, text_col=text_col, id_col=id_col,
+    ).withColumn(
+        # exact micros: score_f6 is floor(x*1e6)/1e6, so *1e6 is
+        # within one ulp of an integer — round() recovers it exactly
+        "_score_u", F.round(F.col("score_f6") * 1e6, 0).cast("bigint")
+    )
+    scored = (
+        term_scores.join(F.broadcast(qweights), "term")
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.sum(F.col("_score_u") * F.col("_qtf")).alias("score_micros"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score_micros").desc(), F.col(id_col).asc()
     )
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("int"))

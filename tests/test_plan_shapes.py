@@ -137,6 +137,32 @@ def test_no_cartesian_products(spark, name):
     assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
 
 
+def test_vocab_topn_is_take_ordered(spark):
+    """Top-df term selection must compile to TakeOrderedAndProject
+    (per-partition top-n, n-sized merge) — never a global rank window,
+    which would total-sort the vocabulary-sized df table through one
+    partition (10⁸+ terms at 100 TB).  Covers both entry points: the
+    standalone top_df_terms and bm25_scores' int query-set branch
+    (bm25_topk's per-term rank window is partitioned by term and
+    therefore fine — only an UNPARTITIONED Window over the df table
+    is the scale bug this pins against)."""
+    from datawarehouse_code_spark.operators.text import bm25_scores, top_df_terms
+    from datawarehouse_code_spark.sources.catalog import read_table
+
+    docs = read_table(spark, "documents", SF_DIR)
+    plan = top_df_terms(docs, 3)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert not re.search(r"\(\d+\) Window", plan), plan[:2000]
+
+    plan = bm25_scores(docs, 3)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert not re.search(r"\(\d+\) Window", plan), plan[:2000]
+
+
 def test_filter_queries_push_predicates(spark):
     """The filter suite's predicates must reach the parquet scan."""
     plan = _plan(spark, "filter_topk_orders")
