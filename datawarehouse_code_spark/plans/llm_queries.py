@@ -710,6 +710,78 @@ WHERE rk <= 5
 """
 
 
+def _docs_bm25_multiterm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-term BM25 (operators/text.py bm25_multiterm_topk): two
+    three-term query bags built from the corpus's own top-6
+    document-frequency terms (rank 1-3 → query 0, rank 4-6 → query 1
+    — deterministic, fixture-independent), scored as the SUM of
+    per-term BM25 micros per (query, doc) — exact integer arithmetic,
+    so the sum is independent of partial-aggregation order — then
+    top-5 docs per query.  DuckDB replays the whole pipeline: the
+    query-set derivation, the identical per-term floor-6 expression
+    text, the micros conversion, the per-query summation, and the
+    (score desc, doc_id asc) tiebreak."""
+    from datawarehouse_code_spark.operators.text import (
+        bm25_multiterm_topk,
+        words,
+    )
+
+    docs = read_table(spark, "documents", sf_dir)
+    terms = docs.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    dft = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # top-6 by (df desc, term asc) via TakeOrderedAndProject; the rank
+    # window that assigns bags runs over the six SURVIVING rows — a
+    # frame bounded by the limit, not the corpus
+    top6 = dft.orderBy(F.col("df").desc(), F.col("term").asc()).limit(6)
+    w6 = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    qset = top6.withColumn("qrk", F.row_number().over(w6)).select(
+        F.expr("CAST((qrk - 1) div 3 AS INT)").alias("query_id"), "term"
+    )
+    return bm25_multiterm_topk(docs, qset, k=5)
+
+
+_BM25_MULTI_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+), terms AS (
+  SELECT doc_id, unnest(ws) AS term FROM w
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms WHERE term <> '' GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM terms WHERE term <> '' GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n_total, avg(dl) AS avgdl FROM dl
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM terms WHERE term <> '' GROUP BY 1
+), q AS (
+  SELECT CAST((qrk - 1) // 3 AS INTEGER) AS query_id, term FROM (
+    SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS qrk FROM df
+  ) WHERE qrk <= 6
+), su AS (
+  SELECT tf.term, tf.doc_id,
+         CAST(round(floor(ln(1.0 + (n_total - df + 0.5) / (df + 0.5)) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6) / 1e6 * 1e6, 0) AS BIGINT) AS score_u
+  FROM tf JOIN (SELECT DISTINCT term FROM q) USING (term)
+  JOIN df USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats
+), qd AS (
+  SELECT q.query_id, su.doc_id,
+         CAST(count(*) AS BIGINT) AS n_terms_matched,
+         CAST(sum(su.score_u) AS BIGINT) AS score_micros
+  FROM su JOIN q USING (term)
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, n_terms_matched, score_micros, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY score_micros DESC, doc_id ASC) AS rk
+  FROM qd
+)
+WHERE rk <= 5
+"""
+
+
 _TFIDF_SQL = f"""
 WITH w AS (
   SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
@@ -1092,6 +1164,31 @@ FROM (
 )
 GROUP BY phase
 """
+
+
+def _docs_curriculum_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale curriculum strategy (range-exchange + per-
+    partition rank offsets — no single-partition sort; see
+    operators/corpus.py curriculum_phases strategy='boundary') against
+    the SAME ntile oracle: the two strategies are assignment-identical
+    by contract (pinned tie-inclusive by test_corpus.py), so DuckDB's
+    ntile replays this plan's values exactly — the hash row proves the
+    distributed rank arithmetic, not just the formula."""
+    from datawarehouse_code_spark.operators.corpus import curriculum_phases
+
+    docs = read_table(spark, "documents", sf_dir).select(
+        "doc_id", F.length("text").alias("score")
+    )
+    return (
+        curriculum_phases(docs, 4, "score", strategy="boundary")
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("score").cast("bigint").alias("min_score"),
+            F.max("score").cast("bigint").alias("max_score"),
+            F.sum("score").cast("bigint").alias("sum_score"),
+        )
+    )
 
 
 def _similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2512,11 +2609,20 @@ LLM_SUPPLEMENTARY: list[Query] = [
           "north-star: BM25 retrieval top-k per corpus-derived query "
           "term — full pipeline replayed by DuckDB (supplementary, "
           "differential-tested)"),
+    Query("docs_bm25_multiterm", _docs_bm25_multiterm, _BM25_MULTI_SQL,
+          "north-star: multi-term BM25 — per-(query, doc) integer-"
+          "micros score sums over corpus-derived 3-term bags, top-5 "
+          "per query (supplementary, differential-tested)"),
     Query("docs_curriculum_phases", _docs_curriculum_phases,
           _CURRICULUM_SQL,
           "north-star: curriculum phase assignment — contiguous "
           "near-equal difficulty phases, per-phase stats hash-checked "
           "(supplementary, differential-tested)"),
+    Query("docs_curriculum_boundary", _docs_curriculum_boundary,
+          _CURRICULUM_SQL,
+          "north-star: corpus-scale curriculum assignment — range-"
+          "exchange + partition rank offsets, no single-partition "
+          "sort, ≡ ntile (supplementary, differential-tested)"),
     Query("text_nfc_suite", _text_nfc_suite, _NFC_SQL,
           "north-star: Unicode NFC canonicalization on planted "
           "decomposed sequences (supplementary, differential-tested)"),

@@ -753,3 +753,56 @@ def test_semantic_dedup_multi_assign_recovers_boundary_pairs(spark):
 
     with pytest.raises(ValueError, match="n_assign"):
         semantic_dedup(emb, n_centroids=4, n_assign=5)
+
+
+def test_bm25_multiterm_semantics(spark):
+    """Multi-term BM25: (a) score_micros is the exact integer sum of
+    the constituent single-term micros, (b) a duplicated bag term
+    weights its score by its count (qtf), (c) n_terms_matched counts
+    the query's DISTINCT terms present in the doc, (d) per-query rank
+    partitions are independent."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.text import (
+        bm25_multiterm_topk,
+        bm25_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta beta gamma"),
+            (2, "alpha alpha delta delta"),
+            (3, "beta gamma gamma gamma"),
+            (4, "delta epsilon epsilon zeta"),
+        ],
+        ["doc_id", "text"],
+    )
+    queries = spark.createDataFrame(
+        [(0, "alpha"), (0, "beta"), (1, "delta"), (1, "delta"), (1, "zeta")],
+        ["query_id", "term"],
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): r
+        for r in bm25_multiterm_topk(docs, queries, k=4).collect()
+    }
+    single = {
+        (r["term"], r["doc_id"]): round(r["score_f6"] * 1e6)
+        for r in bm25_scores(
+            docs, queries.select("term").distinct()
+        ).collect()
+    }
+    # (a) exact integer sum for the two-term query on doc 1
+    assert got[(0, 1)]["score_micros"] == (
+        single[("alpha", 1)] + single[("beta", 1)]
+    )
+    assert got[(0, 1)]["n_terms_matched"] == 2
+    # (b) 'delta' appears twice in query 1's bag → doubled micros
+    assert got[(1, 2)]["score_micros"] == 2 * single[("delta", 2)]
+    # (c) doc 4 matches both delta (once) and zeta for query 1
+    assert got[(1, 4)]["n_terms_matched"] == 2
+    assert got[(1, 4)]["score_micros"] == (
+        2 * single[("delta", 4)] + single[("zeta", 4)]
+    )
+    # (d) ranks restart per query and only matching docs appear
+    assert {r["rk"] for (q, _), r in got.items() if q == 0} == {1, 2, 3}
+    assert (0, 4) not in got and (1, 1) not in got
