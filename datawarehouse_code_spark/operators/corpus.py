@@ -469,28 +469,98 @@ def curriculum_phases(
     n_phases: int,
     score_col: str,
     id_col: str = "doc_id",
+    strategy: str = "ntile",
+    checkpoint: str = "auto",
 ) -> DataFrame:
     """Curriculum phase assignment: rank the corpus by a difficulty /
     quality score and split it into `n_phases` contiguous,
     near-equal-size phases (phase 1 = lowest scores first — the
     easy-to-hard curriculum ordering; feed phases to training in
-    order, or invert the score upstream for the reverse).  ntile over
-    the (score, id) total order — the id tiebreak makes the
+    order, or invert the score upstream for the reverse).  Phases
+    follow the (score, id) total order — the id tiebreak makes the
     assignment deterministic across engines and partitionings, the
-    same contract every sampler here carries.
+    same contract every sampler here carries — and both strategies
+    produce IDENTICAL assignments (ntile tile allocation: the first
+    n mod k phases hold ceil(n/k) docs; pinned ≡ by test, ties
+    included, because the composite order is total).
 
-    Scale note: a single global NTILE window is one total sort — fine
-    for manifest-sized inputs; for corpus-scale assignment compute
-    phase BOUNDARIES from exact percentiles of the score instead and
-    join them back (two shuffles, no global sort).  This operator is
-    the manifest-level step; its output composes with assign_shards /
-    export_shards per phase."""
+    strategy="ntile" (default): one global NTILE window — one total
+    sort through a single partition.  The manifest-sized fast path:
+    correct at any size, cheapest below ~10⁷ rows, a non-starter at
+    corpus grain.
+
+    strategy="boundary": the corpus-scale path — no single-partition
+    sort anywhere.  (1) range-exchange on (score, id) (Spark's
+    distributed sort machinery: sampled balanced boundaries), cut and
+    materialized so the boundary sample is computed ONCE (a second
+    action would re-sample and could disagree with the counts job);
+    (2) per-range-partition counts — a frame bounded by the shuffle-
+    partition count, not the data — collected to the driver and
+    turned into exclusive rank offsets; (3) local rank per range
+    partition (a window PARTITIONED BY the range id — each partition
+    sorts only its own near-equal slice) + offset = exact global
+    rank; (4) phase from the ntile allocation formula in pure integer
+    arithmetic.  Cost: two corpus shuffles of a narrow (id, score)
+    projection + one bounded collect.  `checkpoint` follows the
+    iterative-operator knob ("auto" | "local" | "reliable").
+
+    Output composes with assign_shards / export_shards per phase."""
     if n_phases < 1:
         raise ValueError(f"curriculum_phases: n_phases must be >= 1: {n_phases}")
-    w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
-    return docs.select(
-        id_col, score_col, F.ntile(n_phases).over(w).alias("phase")
+    if strategy == "ntile":
+        w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+        return docs.select(
+            id_col, score_col, F.ntile(n_phases).over(w).alias("phase")
+        )
+    if strategy != "boundary":
+        raise ValueError(
+            f"curriculum_phases: strategy must be 'ntile' or 'boundary': "
+            f"{strategy!r}"
+        )
+    mode = resolve_checkpoint_mode(docs, checkpoint)
+    parted = cut_lineage(
+        docs.select(id_col, score_col)
+        .repartitionByRange(F.col(score_col).asc(), F.col(id_col).asc())
+        .withColumn("_pid", F.spark_partition_id()),
+        mode,
     )
+    # bounded collect: one row per shuffle partition (cluster config,
+    # not data) — the established manifest-sized driver hop
+    counts = sorted(
+        (r["_pid"], r["_n"])
+        for r in parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    )
+    n = sum(c for _, c in counts)
+    offsets, acc = [], 0
+    for pid, c in counts:
+        offsets.append((pid, acc))
+        acc += c
+    q, r = divmod(n, n_phases)
+    size_hi, cut = q + 1, r * (q + 1)
+    off_df = docs.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "`_pid` int, `_off` bigint"
+    )
+    lw = Window.partitionBy("_pid").orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    ranked = parted.join(F.broadcast(off_df), "_pid").withColumn(
+        "_grk", F.col("_off") + F.row_number().over(lw)
+    )
+    # ntile allocation, integer-exact at any n: ranks 1..cut fall in
+    # the r larger tiles of size q+1, the rest in tiles of size q
+    # (max(q,1) guards the n < n_phases case, where cut == n and the
+    # otherwise-branch is never taken)
+    phase = (
+        F.when(
+            F.col("_grk") <= F.lit(cut),
+            F.expr(f"(_grk - 1) div {size_hi}") + F.lit(1),
+        )
+        .otherwise(
+            F.expr(f"(_grk - {cut} - 1) div {max(q, 1)}") + F.lit(1 + r)
+        )
+        .cast("int")
+    )
+    return ranked.select(id_col, score_col, phase.alias("phase"))
 
 
 def assign_shards(

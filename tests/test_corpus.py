@@ -826,3 +826,61 @@ def test_pack_documents_whole_bfd_invariants(spark):
             spark.createDataFrame([("s", 1, 0)], ["shard", "doc_id", "n_tok"]),
             1024, "shard", "n_tok", "doc_id",
         ).collect()
+
+
+def test_curriculum_boundary_equals_ntile(spark):
+    """The corpus-scale boundary strategy must reproduce the ntile
+    assignment EXACTLY — ties included, because both follow the
+    (score, id) composite total order — across phase counts that
+    exercise every allocation shape: n divisible by k, n mod k != 0,
+    k > n (each row its own phase), and k = 1."""
+    from datawarehouse_code_spark.operators.corpus import curriculum_phases
+
+    rows = [(i, [5, 2, 2, 9, 2, 7, 1, 9, 4, 3, 2, 8, 6][i % 13] + (i // 13))
+            for i in range(137)]
+    docs = spark.createDataFrame(rows, ["doc_id", "score"])
+    for k in (1, 4, 5, 137, 200):
+        ntile = {
+            r["doc_id"]: r["phase"]
+            for r in curriculum_phases(docs, k, "score").collect()
+        }
+        boundary = {
+            r["doc_id"]: r["phase"]
+            for r in curriculum_phases(
+                docs, k, "score", strategy="boundary"
+            ).collect()
+        }
+        assert boundary == ntile, f"divergence at n_phases={k}"
+
+
+def test_curriculum_boundary_plan_has_no_global_sort(spark):
+    """The boundary strategy's returned plan must contain no
+    single-partition exchange and no unpartitioned window — the two
+    shapes that serialize the corpus through one task (the ntile
+    path's documented limitation this strategy exists to remove)."""
+    from datawarehouse_code_spark.operators.corpus import curriculum_phases
+    from datawarehouse_code_spark.sources.catalog import read_table
+    from tests.conftest import SF_DIR
+
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, "documents", SF_DIR).select(
+        "doc_id", F.length("text").alias("score")
+    )
+    plan = (
+        curriculum_phases(docs, 4, "score", strategy="boundary")
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "SinglePartition" not in plan, plan[:3000]
+    # every Window node must carry a partition spec (pinned by the
+    # local-rank window being PARTITIONED BY the range id)
+    assert "Window" in plan  # the local-rank window is there...
+    import re
+
+    for m in re.finditer(r"Arguments: .*windowspecdefinition\(([^)]*)\)", plan):
+        assert m.group(1).strip().startswith("_pid"), m.group(0)
