@@ -220,6 +220,16 @@ HEADLINE = [
     "events_heavy_hitters",
     "docs_bm25_topk",
     "docs_curriculum_phases",
+    # round-10 additions (no frozen row yet; ratios appear once a
+    # later round freezes them).  The four suites are round-10
+    # consolidations — their constituents keep their own frozen rows
+    # above, like-for-like.
+    "similarity_retrieval_suite",
+    "multimodal_suite",
+    "text_corpus_suite",
+    "events_time_suite",
+    "docs_bm25_multiterm",
+    "docs_curriculum_boundary",
 ]
 
 

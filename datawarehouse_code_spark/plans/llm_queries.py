@@ -1646,6 +1646,131 @@ FROM dims
 # and benchable via LLM_SUPPLEMENTARY).
 
 
+def _similarity_retrieval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-retrieval family as ONE labeled driver row
+    (consolidated round 10 to bring the r9 retrieval variants into
+    the driver's sf0.01 hash window): brute-force cosine top-k, the
+    metadata-filtered filter-then-rank variant, and the int8
+    quantized-rank + exact-rerank variant.  All three constituents
+    share the (query_id, candidate_id, sim_f6, rk) schema, so the
+    suite is a plain labeled union; each stays a supplementary row
+    (benchable, differential-tested, frozen bench rows
+    like-for-like)."""
+    return (
+        _similarity_topk_bruteforce(spark, sf_dir)
+        .select(F.lit("brute").alias("part"), "*")
+        .unionByName(
+            _similarity_topk_filtered(spark, sf_dir)
+            .select(F.lit("filtered").alias("part"), "*")
+        )
+        .unionByName(
+            _similarity_topk_quantized(spark, sf_dir)
+            .select(F.lit("quantized").alias("part"), "*")
+        )
+    )
+
+
+_SIM_RETRIEVAL_SQL = f"""
+SELECT 'brute' AS part, * FROM ({_SIM_BRUTE_SQL})
+UNION ALL
+SELECT 'filtered' AS part, * FROM ({_SIM_FILTERED_SQL})
+UNION ALL
+SELECT 'quantized' AS part, * FROM ({_SIM_QUANTIZED_SQL})
+"""
+
+
+def _multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media feature extraction + frame sampling + pure-Python
+    PPM decode as ONE labeled driver row (consolidated round 10; the
+    constituents' part values — 'features' here, 'frames'/'ppm' from
+    the frame-stats row — are disjoint by construction).  Normalized
+    columns per the suite convention: s1 carries media_type for the
+    features part; n1..n5 carry the per-part numeric payload."""
+    features = _multimodal_features(spark, sf_dir).select(
+        F.lit("features").alias("part"),
+        "media_id",
+        F.col("media_type").alias("s1"),
+        F.col("n_bytes").cast("bigint").alias("n1"),
+        F.col("width").cast("bigint").alias("n2"),
+        F.col("height").cast("bigint").alias("n3"),
+        F.col("checksum").alias("n4"),
+        F.lit(None).cast("bigint").alias("n5"),
+    )
+    frames = _multimodal_frame_stats(spark, sf_dir).select(
+        "part",
+        "media_id",
+        F.lit(None).cast("string").alias("s1"),
+        "n1", "n2", "n3", "n4", "n5",
+    )
+    return features.unionByName(frames)
+
+
+_MULTIMODAL_SUITE_SQL = f"""
+SELECT 'features' AS part, media_id, media_type AS s1,
+       CAST(n_bytes AS BIGINT) AS n1, CAST(width AS BIGINT) AS n2,
+       CAST(height AS BIGINT) AS n3, checksum AS n4,
+       CAST(NULL AS BIGINT) AS n5
+FROM ({_MULTIMODAL_SQL})
+UNION ALL
+SELECT part, media_id, CAST(NULL AS VARCHAR) AS s1, n1, n2, n3, n4, n5
+FROM ({_FRAME_STATS_SQL})
+"""
+
+
+def _text_corpus_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction + per-doc tf-idf top terms + overlapping
+    word-window chunking as ONE labeled driver row (consolidated
+    round 10).  Normalized columns: key is the constituent's natural
+    key rendered as a string (term for vocab, doc_id otherwise), s1
+    the constituent's text payload (tf-idf's term, the chunk text),
+    n1..n3 the numeric payload, v the tf-idf score."""
+    vocab = _vocab_top_terms(spark, sf_dir).select(
+        F.lit("vocab").alias("part"),
+        F.col("term").alias("key"),
+        F.lit(None).cast("string").alias("s1"),
+        F.col("df").alias("n1"),
+        F.col("tf").alias("n2"),
+        F.lit(None).cast("bigint").alias("n3"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    tfidf = _tfidf_top_terms(spark, sf_dir).select(
+        F.lit("tfidf").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("term").alias("s1"),
+        F.col("tf").alias("n1"),
+        F.col("df").alias("n2"),
+        F.col("rk").cast("bigint").alias("n3"),
+        F.col("score_f4").alias("v"),
+    )
+    chunks = _text_chunking(spark, sf_dir).select(
+        F.lit("chunk").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("chunk_text").alias("s1"),
+        F.col("chunk_idx").cast("bigint").alias("n1"),
+        F.col("chunk_start").cast("bigint").alias("n2"),
+        F.col("n_chunk_words").cast("bigint").alias("n3"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    return vocab.unionByName(tfidf).unionByName(chunks)
+
+
+_TEXT_CORPUS_SUITE_SQL = f"""
+SELECT 'vocab' AS part, term AS key, CAST(NULL AS VARCHAR) AS s1,
+       df AS n1, tf AS n2, CAST(NULL AS BIGINT) AS n3,
+       CAST(NULL AS DOUBLE) AS v
+FROM ({_VOCAB_SQL})
+UNION ALL
+SELECT 'tfidf', CAST(doc_id AS VARCHAR), term,
+       tf, df, CAST(rk AS BIGINT), score_f4
+FROM ({_TFIDF_SQL})
+UNION ALL
+SELECT 'chunk', CAST(doc_id AS VARCHAR), chunk_text,
+       CAST(chunk_idx AS BIGINT), CAST(chunk_start AS BIGINT),
+       CAST(n_chunk_words AS BIGINT), CAST(NULL AS DOUBLE)
+FROM ({_TEXT_CHUNK_SQL})
+"""
+
+
 def _dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content-hash dedup + exact n-gram Jaccard pairs +
     min-md5-shingle fingerprints, labeled."""
@@ -2346,20 +2471,35 @@ LLM_QUERIES: list[Query] = [
           "north-star: deterministic stratified hash-sampling (corpus rebalance)"),
     Query("contamination_check", _contamination_check, _CONTAMINATION_SQL,
           "north-star: benchmark decontamination (broadcast holdout shingle set)"),
-    Query("vocab_top_terms", _vocab_top_terms, _VOCAB_SQL,
-          "north-star: vocabulary induction (top terms by document frequency)"),
-    Query("text_tfidf_top_terms", _tfidf_top_terms, _TFIDF_SQL,
-          "north-star: tf-idf top terms per doc"),
-    Query("text_chunking", _text_chunking, _TEXT_CHUNK_SQL,
-          "north-star: overlapping word-window chunking for training data"),
-    Query("similarity_topk_bruteforce", _similarity_topk_bruteforce, _SIM_BRUTE_SQL,
-          "north-star: exact cosine top-k"),
+    Query("text_corpus_suite", _text_corpus_suite, _TEXT_CORPUS_SUITE_SQL,
+          "north-star: vocabulary induction + tf-idf top terms + "
+          "word-window chunking, labeled (consolidated round 10)"),
+    Query("similarity_retrieval_suite", _similarity_retrieval_suite,
+          _SIM_RETRIEVAL_SQL,
+          "north-star: exact + metadata-filtered + int8-quantized-"
+          "rerank retrieval top-k, labeled (consolidated round 10)"),
     Query("similarity_topk_lsh", _similarity_topk_lsh, None,
           "north-star: LSH-bucketed cosine top-k (rows-only; exact twin = bruteforce)"),
-    Query("multimodal_features", _multimodal_features, _MULTIMODAL_SQL,
-          "north-star: binary media feature extraction via mapInPandas"),
-    Query("multimodal_frame_stats", _multimodal_frame_stats, _FRAME_STATS_SQL,
-          "north-star: frame sampling + real pure-Python PPM decode (mapInPandas)"),
+    Query("multimodal_suite", _multimodal_suite, _MULTIMODAL_SUITE_SQL,
+          "north-star: media feature extraction + frame sampling + "
+          "pure-Python PPM decode, labeled (consolidated round 10)"),
+    Query("docs_semantic_dedup", _docs_semantic_dedup, _SEMANTIC_DEDUP_SQL,
+          "north-star: SemDeDup-style embedding-space dedup — planted "
+          "exact twins + natural borderline pairs, smaller-id drop "
+          "rule hash-checked (driver row since round 10)"),
+    Query("events_heavy_hitters", _events_heavy_hitters, _HEAVY_HITTERS_SQL,
+          "north-star: count-min-sketch heavy hitters — exact top-10 "
+          "counts hash-checked beside CMS guarantee flags (driver row "
+          "since round 10)"),
+    Query("docs_bm25_topk", _docs_bm25_topk, _BM25_SQL,
+          "north-star: BM25 retrieval top-k per corpus-derived query "
+          "term — full pipeline replayed by DuckDB (driver row since "
+          "round 10)"),
+    Query("docs_curriculum_phases", _docs_curriculum_phases,
+          _CURRICULUM_SQL,
+          "north-star: curriculum phase assignment — contiguous "
+          "near-equal difficulty phases, per-phase stats hash-checked "
+          "(driver row since round 10)"),
     Query("similarity_topk_ivf", _similarity_topk_ivf, None,
           "north-star: IVF centroid-bucketed ANN (rows-only; exact twin = bruteforce)"),
     Query("embedding_near_dup", _embedding_near_dup, None,
@@ -2595,29 +2735,30 @@ LLM_SUPPLEMENTARY: list[Query] = [
           "north-star: int8 quantized-rank + exact-rerank top-k — the "
           "compressed-index arithmetic hash-checked end to end "
           "(supplementary, differential-tested)"),
-    Query("docs_semantic_dedup", _docs_semantic_dedup,
-          _SEMANTIC_DEDUP_SQL,
-          "north-star: SemDeDup-style embedding-space dedup — planted "
-          "exact twins + natural borderline pairs, smaller-id drop "
-          "rule hash-checked (supplementary, differential-tested)"),
-    Query("events_heavy_hitters", _events_heavy_hitters,
-          _HEAVY_HITTERS_SQL,
-          "north-star: count-min-sketch heavy hitters — exact top-10 "
-          "counts hash-checked beside CMS guarantee flags "
-          "(supplementary, differential-tested)"),
-    Query("docs_bm25_topk", _docs_bm25_topk, _BM25_SQL,
-          "north-star: BM25 retrieval top-k per corpus-derived query "
-          "term — full pipeline replayed by DuckDB (supplementary, "
-          "differential-tested)"),
+    Query("vocab_top_terms", _vocab_top_terms, _VOCAB_SQL,
+          "north-star: vocabulary induction (in text_corpus_suite "
+          "since round 10)"),
+    Query("text_tfidf_top_terms", _tfidf_top_terms, _TFIDF_SQL,
+          "north-star: tf-idf top terms per doc (in text_corpus_suite "
+          "since round 10)"),
+    Query("text_chunking", _text_chunking, _TEXT_CHUNK_SQL,
+          "north-star: overlapping word-window chunking (in "
+          "text_corpus_suite since round 10)"),
+    Query("similarity_topk_bruteforce", _similarity_topk_bruteforce,
+          _SIM_BRUTE_SQL,
+          "north-star: exact cosine top-k (in "
+          "similarity_retrieval_suite since round 10)"),
+    Query("multimodal_features", _multimodal_features, _MULTIMODAL_SQL,
+          "north-star: binary media feature extraction (in "
+          "multimodal_suite since round 10)"),
+    Query("multimodal_frame_stats", _multimodal_frame_stats,
+          _FRAME_STATS_SQL,
+          "north-star: frame sampling + PPM decode (in "
+          "multimodal_suite since round 10)"),
     Query("docs_bm25_multiterm", _docs_bm25_multiterm, _BM25_MULTI_SQL,
           "north-star: multi-term BM25 — per-(query, doc) integer-"
           "micros score sums over corpus-derived 3-term bags, top-5 "
           "per query (supplementary, differential-tested)"),
-    Query("docs_curriculum_phases", _docs_curriculum_phases,
-          _CURRICULUM_SQL,
-          "north-star: curriculum phase assignment — contiguous "
-          "near-equal difficulty phases, per-phase stats hash-checked "
-          "(supplementary, differential-tested)"),
     Query("docs_curriculum_boundary", _docs_curriculum_boundary,
           _CURRICULUM_SQL,
           "north-star: corpus-scale curriculum assignment — range-"

@@ -637,11 +637,52 @@ FROM counts
 """
 
 
+def _events_time_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click attribution (the stream-stream-join batch twin) +
+    tumbling/sliding windows as ONE labeled driver row (consolidated
+    round 10 to free oracle-window slots).  Normalized columns: k1/k2
+    carry the attribution keys (click_id/user_id), t1/t2 the window
+    or click timestamps, s1 the event type, n1/v the counts and
+    value sums."""
+    attribution = _events_click_attribution(spark, sf_dir).select(
+        F.lit("attribution").alias("part"),
+        F.col("click_id").alias("k1"),
+        F.col("user_id").alias("k2"),
+        F.col("click_ts").alias("t1"),
+        F.lit(None).cast("timestamp_ntz").alias("t2"),
+        F.lit(None).cast("string").alias("s1"),
+        F.col("n_views").alias("n1"),
+        F.col("sum_view_value").alias("v"),
+    )
+    windows = _events_time_windows(spark, sf_dir).select(
+        F.concat(F.lit("win:"), F.col("part")).alias("part"),
+        F.lit(None).cast("bigint").alias("k1"),
+        F.lit(None).cast("bigint").alias("k2"),
+        F.col("window_start").alias("t1"),
+        F.col("window_end").alias("t2"),
+        F.col("event_type").alias("s1"),
+        F.col("n_events").alias("n1"),
+        F.col("sum_value").alias("v"),
+    )
+    return attribution.unionByName(windows)
+
+
+_EVENTS_TIME_SUITE_SQL = f"""
+SELECT 'attribution' AS part, click_id AS k1, user_id AS k2,
+       click_ts AS t1, CAST(NULL AS TIMESTAMP) AS t2,
+       CAST(NULL AS VARCHAR) AS s1, n_views AS n1, sum_view_value AS v
+FROM ({_CLICK_ATTR_SQL})
+UNION ALL
+SELECT 'win:' || part, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       window_start, window_end, event_type, n_events, sum_value
+FROM ({_TIME_WINDOWS_SQL})
+"""
+
+
 STREAMING_QUERIES: list[Query] = [
-    Query("events_click_attribution", _events_click_attribution, _CLICK_ATTR_SQL,
-          "§2.2 streaming: stream-stream join batch twin (click attribution)"),
-    Query("events_time_windows", _events_time_windows, _TIME_WINDOWS_SQL,
-          "§2.2 streaming: tumbling + sliding windows"),
+    Query("events_time_suite", _events_time_suite, _EVENTS_TIME_SUITE_SQL,
+          "§2.2 streaming: click attribution (stream-stream-join twin) "
+          "+ tumbling/sliding windows, labeled (consolidated round 10)"),
     Query("events_session_suite", _events_session_suite, _SESSION_SUITE_SQL,
           "§2.2 streaming: session window + explicit sessionization, labeled"),
     Query("events_funnel_suite", _events_funnel_suite, _FUNNEL_SUITE_SQL,
@@ -655,6 +696,12 @@ STREAMING_QUERIES: list[Query] = [
 
 # Suite constituents (benchable, not separate driver rows).
 STREAMING_SUPPLEMENTARY: list[Query] = [
+    Query("events_click_attribution", _events_click_attribution, _CLICK_ATTR_SQL,
+          "§2.2 streaming: stream-stream join batch twin (in "
+          "events_time_suite since round 10)"),
+    Query("events_time_windows", _events_time_windows, _TIME_WINDOWS_SQL,
+          "§2.2 streaming: tumbling + sliding windows (in "
+          "events_time_suite since round 10)"),
     Query("events_tumbling_10min", _events_tumbling_10min, _TUMBLING_SQL,
           "§2.2 streaming: tumbling window (in events_time_windows)"),
     Query("events_sliding_10m_5m", _events_sliding_10m_5m, _SLIDING_SQL,
