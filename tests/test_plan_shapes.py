@@ -106,6 +106,18 @@ PLAN_BOUNDS = {
     "docs_semantic_dedup": (6, 2),
     "docs_bm25_topk": (4, 7),
     "events_heavy_hitters": (1, 1),
+    # round-10 suites + rows (measured r10: 7/3, 4/4, 5/8, 4/3, 6/11,
+    # 0/2 checkpoint-terminated, 1/0 — bounds ~50% above)
+    "similarity_retrieval_suite": (11, 5),
+    "multimodal_suite": (6, 6),
+    "text_corpus_suite": (8, 12),
+    "events_time_suite": (6, 5),
+    "docs_bm25_multiterm": (9, 17),
+    # the boundary strategy's visible plan starts at the range-cut
+    # checkpoint; the bound pins that the cut STAYS (and the dedicated
+    # test pins no SinglePartition / unpartitioned window)
+    "docs_curriculum_boundary": (1, 3),
+    "decoded_png_stats": (2, 1),
 }
 
 
