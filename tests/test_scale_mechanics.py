@@ -203,10 +203,12 @@ def test_asof_join_single_shuffle_no_join_node(spark):
 
 def test_vocab_topk_compiles_to_take_ordered(spark):
     """Vocabulary top-k must be TakeOrderedAndProject (per-partition
-    top-k + k-row merge), not a global Sort of the whole vocabulary."""
-    from datawarehouse_code_spark.plans.registry import QUERIES
+    top-k + k-row merge), not a global Sort of the whole vocabulary.
+    (vocab_top_terms is a text_corpus_suite constituent since round
+    10, so it resolves from the supplementary registry.)"""
+    from datawarehouse_code_spark.plans.registry import SUPPLEMENTARY_QUERIES
 
-    df = QUERIES["vocab_top_terms"].fn(spark, SF_DIR)
+    df = SUPPLEMENTARY_QUERIES["vocab_top_terms"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
 
