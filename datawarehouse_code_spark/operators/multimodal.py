@@ -179,13 +179,18 @@ def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     Loud-failure contract (the quarantine lane catches exactly
     these): ValueError for structural corruption — bad signature,
     truncated or CRC-broken chunks, inflate errors, over/under-sized
-    pixel data, bad filter bytes, palette index out of range;
+    or non-terminated pixel streams, bad filter bytes, palette index
+    out of range, and spec-mandated chunk-order violations (PLTE
+    after the first IDAT, duplicate PLTE, a PLTE on grayscale color
+    types, non-consecutive IDAT runs — RFC 2083 §4.1/§10);
     NotImplementedError for valid-but-unsupported streams — Adam7
     interlace, non-8-bit depths.  Ancillary chunks (tEXt, gAMA,
     tRNS, ...) are skipped: stats decode ignores transparency and
     color management by design."""
     import struct
     import zlib
+
+    import numpy as np
 
     if bytes(data[:8]) != _PNG_SIG:
         raise ValueError(f"not a PNG payload (signature {bytes(data[:8])!r})")
@@ -194,6 +199,7 @@ def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     plte: bytes | None = None
     idat = bytearray()
     saw_iend = False
+    idat_run_closed = False  # an IDAT sequence ended (next IDAT is a spec violation)
     while pos < n:
         if pos + 8 > n:
             raise ValueError("truncated PNG chunk header")
@@ -208,6 +214,8 @@ def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         pos += 12 + length
         if ihdr is None and ctype != b"IHDR":
             raise ValueError(f"PNG first chunk is {ctype!r}, not IHDR")
+        if idat and ctype != b"IDAT":
+            idat_run_closed = True
         if ctype == b"IHDR":
             if ihdr is not None:
                 raise ValueError("duplicate IHDR chunk")
@@ -215,8 +223,14 @@ def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError(f"IHDR length {length} != 13")
             ihdr = body
         elif ctype == b"PLTE":
+            if plte is not None:
+                raise ValueError("duplicate PLTE chunk")
+            if idat:
+                raise ValueError("PLTE chunk after IDAT")
             plte = body
         elif ctype == b"IDAT":
+            if idat_run_closed:
+                raise ValueError("non-consecutive IDAT chunks")
             idat += body
         elif ctype == b"IEND":
             saw_iend = True
@@ -241,6 +255,10 @@ def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError(f"bad IHDR interlace {interlace}")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"bad PNG color type {color_type}")
+    if plte is not None and color_type in (0, 4):
+        raise ValueError(
+            f"PLTE chunk forbidden for grayscale color type {color_type}"
+        )
     if depth != 8:
         raise NotImplementedError(
             f"only 8-bit PNG supported (depth {depth})"
@@ -266,42 +284,70 @@ def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             f"PNG pixel data truncated: want {expected} bytes, "
             f"have {len(raw)}"
         )
+    # the stream must TERMINATE at exactly the scanline volume: a
+    # clean truncation after `expected` inflated bytes leaves the
+    # zlib stream open (d.eof False), and a stream with trailing
+    # garbage after the Adler-32 checksum leaves unused_data — both
+    # are corruption the chunk CRCs cannot see.  max_length parks
+    # unprocessed input in unconsumed_tail, so feed it back (capped
+    # at ONE more byte — still bomb-proof) to let zlib reach the
+    # stream trailer before checking eof.
+    if d.decompress(d.unconsumed_tail, 1):
+        raise ValueError("PNG pixel data exceeds IHDR scanline volume")
+    if not d.eof:
+        raise ValueError(
+            "PNG IDAT zlib stream not terminated (truncated deflate)"
+        )
+    if d.unused_data:
+        raise ValueError("trailing garbage after PNG IDAT zlib stream")
 
-    out = bytearray(stride * height)
+    # un-filter (RFC 2083 §6) against RECONSTRUCTED neighbors.
+    # None/Up are whole-row numpy ops (uint8 addition wraps mod 256);
+    # Sub is a per-channel-lane prefix sum (recon[j] = Σ filt[0..j]
+    # mod 256), vectorized as an int64 cumsum masked back to a byte.
+    # Average and Paeth carry a RECONSTRUCTED-left dependency through
+    # a nonlinear op (floor-half / min-predictor), so those rows stay
+    # per-pixel Python — encoders overwhelmingly pick None/Sub/Up for
+    # the synthetic and photographic content this lane sees.
+    rawa = np.frombuffer(raw, dtype=np.uint8)
+    out = np.zeros((height, stride), dtype=np.uint8)
     zero_row = bytes(stride)
     for y in range(height):
         base = y * (stride + 1)
         f = raw[base]
-        row = bytearray(raw[base + 1 : base + 1 + stride])
-        prev = bytes(out[(y - 1) * stride : y * stride]) if y else zero_row
+        fr = rawa[base + 1 : base + 1 + stride]
         if f == 0:
-            pass
-        elif f == 1:  # Sub: left neighbor, already reconstructed
-            for i in range(ch, stride):
-                row[i] = (row[i] + row[i - ch]) & 0xFF
-        elif f == 2:  # Up
-            for i in range(stride):
-                row[i] = (row[i] + prev[i]) & 0xFF
-        elif f == 3:  # Average
-            for i in range(stride):
-                a = row[i - ch] if i >= ch else 0
-                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                a = row[i - ch] if i >= ch else 0
-                b = prev[i]
-                c = prev[i - ch] if i >= ch else 0
-                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
-                if pa <= pb and pa <= pc:
-                    pred = a
-                elif pb <= pc:
-                    pred = b
-                else:
-                    pred = c
-                row[i] = (row[i] + pred) & 0xFF
+            out[y] = fr
+        elif f == 1:  # Sub: per-lane prefix sum of filter bytes
+            out[y] = (
+                np.cumsum(fr.reshape(width, ch), axis=0, dtype=np.int64)
+                & 0xFF
+            ).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up: whole-row wrap-add of the prior recon row
+            out[y] = fr + (out[y - 1] if y else 0)
+        elif f in (3, 4):
+            row = bytearray(fr.tobytes())
+            prev = out[y - 1].tobytes() if y else zero_row
+            if f == 3:  # Average
+                for i in range(stride):
+                    a = row[i - ch] if i >= ch else 0
+                    row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+            else:  # Paeth
+                for i in range(stride):
+                    a = row[i - ch] if i >= ch else 0
+                    b = prev[i]
+                    c = prev[i - ch] if i >= ch else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = c
+                    row[i] = (row[i] + pred) & 0xFF
+            out[y] = np.frombuffer(bytes(row), dtype=np.uint8)
         else:
             raise ValueError(f"bad PNG filter type {f} on row {y}")
-        out[y * stride : (y + 1) * stride] = row
 
     if color_type == 3:
         if plte is None:
@@ -309,15 +355,15 @@ def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         if len(plte) == 0 or len(plte) % 3:
             raise ValueError(f"bad PLTE length {len(plte)}")
         n_entries = len(plte) // 3
-        px = bytearray(width * height * 3)
-        for i, idx in enumerate(out):
-            if idx >= n_entries:
-                raise ValueError(
-                    f"palette index {idx} out of range ({n_entries} entries)"
-                )
-            px[3 * i : 3 * i + 3] = plte[3 * idx : 3 * idx + 3]
-        return width, height, 3, bytes(px)
-    return width, height, ch, bytes(out)
+        idx = out.reshape(-1)
+        bad = int(idx.max()) if idx.size else 0
+        if bad >= n_entries:
+            raise ValueError(
+                f"palette index {bad} out of range ({n_entries} entries)"
+            )
+        px = np.frombuffer(plte, dtype=np.uint8).reshape(n_entries, 3)[idx]
+        return width, height, 3, px.tobytes()
+    return width, height, ch, out.tobytes()
 
 
 # JPEG zigzag scan order: natural (row-major) index of each of the 64

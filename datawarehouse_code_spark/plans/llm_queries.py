@@ -756,9 +756,14 @@ WITH w AS (
 ), df AS (
   SELECT term, count(DISTINCT doc_id) AS df FROM terms WHERE term <> '' GROUP BY 1
 ), q AS (
-  SELECT CAST((qrk - 1) // 3 AS INTEGER) AS query_id, term FROM (
+  -- qtf mirrors bm25_multiterm_topk's per-(query_id, term) bag count
+  -- so the twin stays equivalent even if the bag derivation ever
+  -- produces duplicated terms (here the 6 top-df terms are distinct,
+  -- so qtf = 1 — but the weighting path is expressed, not elided)
+  SELECT CAST((qrk - 1) // 3 AS INTEGER) AS query_id, term,
+         count(*) AS qtf FROM (
     SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS qrk FROM df
-  ) WHERE qrk <= 6
+  ) WHERE qrk <= 6 GROUP BY 1, 2
 ), su AS (
   SELECT tf.term, tf.doc_id,
          CAST(round(floor(ln(1.0 + (n_total - df + 0.5) / (df + 0.5)) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6) / 1e6 * 1e6, 0) AS BIGINT) AS score_u
@@ -768,7 +773,7 @@ WITH w AS (
 ), qd AS (
   SELECT q.query_id, su.doc_id,
          CAST(count(*) AS BIGINT) AS n_terms_matched,
-         CAST(sum(su.score_u) AS BIGINT) AS score_micros
+         CAST(sum(su.score_u * q.qtf) AS BIGINT) AS score_micros
   FROM su JOIN q USING (term)
   GROUP BY 1, 2
 )

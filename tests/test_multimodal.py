@@ -721,6 +721,91 @@ def test_png_hostile_dimensions_and_bombs_bounded():
     assert time.perf_counter() - t0 < 0.5
 
 
+def test_png_stream_termination_and_chunk_order_strictness():
+    """The checks chunk CRCs cannot see: a deflate stream cleanly cut
+    after EXACTLY the scanline volume (decodes byte-complete but never
+    terminates), trailing bytes after the Adler-32 trailer, and the
+    spec-mandated ordering rules — PLTE after IDAT, duplicate PLTE,
+    PLTE on grayscale, non-consecutive IDAT runs (RFC 2083 §4.1/§10).
+    Every rejection is a ValueError, i.e. lands in the quarantine
+    lane, and the equivalent well-formed stream still decodes."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from datawarehouse_code_spark.operators.multimodal import decode_image
+
+    ihdr_rgb = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    raw = b"\x00" + bytes(6) + b"\x00" + bytes(6)  # 2x2 RGB zeros
+    z = zlib.compress(raw)
+
+    # well-formed baseline decodes
+    ok = _png_chunks((b"IHDR", ihdr_rgb), (b"IDAT", z), (b"IEND", b""))
+    assert decode_image(ok) == (2, 2, 3, bytes(12))
+
+    # IDAT split across two CONSECUTIVE chunks is legal
+    split = _png_chunks(
+        (b"IHDR", ihdr_rgb), (b"IDAT", z[:5]), (b"IDAT", z[5:]),
+        (b"IEND", b""),
+    )
+    assert decode_image(split) == (2, 2, 3, bytes(12))
+
+    # truncated deflate that still yields every pixel byte: compress
+    # without the stream-end block by using a raw deflater flush —
+    # cut the stream right after a Z_FULL_FLUSH of the full payload
+    co = zlib.compressobj()
+    cut = co.compress(raw) + co.flush(zlib.Z_FULL_FLUSH)
+    data = _png_chunks((b"IHDR", ihdr_rgb), (b"IDAT", cut), (b"IEND", b""))
+    with pytest.raises(ValueError, match="not terminated"):
+        decode_image(data)
+
+    # trailing garbage after the zlib trailer inside IDAT
+    data = _png_chunks(
+        (b"IHDR", ihdr_rgb), (b"IDAT", z + b"\x99\x99"), (b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="trailing garbage"):
+        decode_image(data)
+
+    # non-consecutive IDAT chunks (ancillary chunk splits the run)
+    data = _png_chunks(
+        (b"IHDR", ihdr_rgb), (b"IDAT", z[:5]), (b"tEXt", b"k\x00v"),
+        (b"IDAT", z[5:]), (b"IEND", b""),
+    )
+    with pytest.raises(ValueError, match="non-consecutive IDAT"):
+        decode_image(data)
+
+    plte = bytes((255, 0, 0, 0, 255, 0))
+    ihdr_pal = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    zpal = zlib.compress(b"\x00" + bytes((0, 1)) + b"\x00" + bytes((1, 0)))
+
+    # PLTE after the first IDAT
+    data = _png_chunks(
+        (b"IHDR", ihdr_pal), (b"IDAT", zpal), (b"PLTE", plte),
+        (b"IEND", b""),
+    )
+    with pytest.raises(ValueError, match="PLTE chunk after IDAT"):
+        decode_image(data)
+
+    # duplicate PLTE
+    data = _png_chunks(
+        (b"IHDR", ihdr_pal), (b"PLTE", plte), (b"PLTE", plte),
+        (b"IDAT", zpal), (b"IEND", b""),
+    )
+    with pytest.raises(ValueError, match="duplicate PLTE"):
+        decode_image(data)
+
+    # PLTE on a grayscale color type
+    ihdr_gray = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    zg = zlib.compress(b"\x00" + bytes(2) + b"\x00" + bytes(2))
+    data = _png_chunks(
+        (b"IHDR", ihdr_gray), (b"PLTE", plte), (b"IDAT", zg),
+        (b"IEND", b""),
+    )
+    with pytest.raises(ValueError, match="forbidden for grayscale"):
+        decode_image(data)
+
+
 def test_png_corruption_fuzz():
     """Same worker-safety sweep as the JPEG fuzz: every truncation
     point and 300 seeded byte flips of a valid multi-filter PNG either
