@@ -464,13 +464,21 @@ def mixture_resample(
     )
 
 
+# strategy="auto" cutover: inputs whose Catalyst-estimated size
+# exceeds this take the boundary strategy.  64 MB is manifest-grain —
+# far below one shuffle partition's comfortable sort volume, far above
+# any stats/centroid/query-set frame this package ever ranks.
+CURRICULUM_AUTO_NTILE_MAX_BYTES = 64 << 20
+
+
 def curriculum_phases(
     docs: DataFrame,
     n_phases: int,
     score_col: str,
     id_col: str = "doc_id",
-    strategy: str = "ntile",
+    strategy: str = "auto",
     checkpoint: str = "auto",
+    auto_ntile_max_bytes: int = CURRICULUM_AUTO_NTILE_MAX_BYTES,
 ) -> DataFrame:
     """Curriculum phase assignment: rank the corpus by a difficulty /
     quality score and split it into `n_phases` contiguous,
@@ -484,8 +492,16 @@ def curriculum_phases(
     n mod k phases hold ceil(n/k) docs; pinned ≡ by test, ties
     included, because the composite order is total).
 
-    strategy="ntile" (default): one global NTILE window — one total
-    sort through a single partition.  The manifest-sized fast path:
+    strategy="auto" (default): pick by the input's Catalyst-estimated
+    size (`optimizedPlan().stats().sizeInBytes` — a plan statistic,
+    no job) — at most `auto_ntile_max_bytes` (64 MB: manifest grain)
+    takes the ntile fast path, anything larger OR UNKNOWN takes the
+    boundary path (unknown stats default to Long.Max, so uncertainty
+    resolves toward the scale-safe plan).  A default caller therefore
+    never gets the single-partition sort on corpus-sized input.
+
+    strategy="ntile": one global NTILE window — one total sort
+    through a single partition.  The manifest-sized fast path:
     correct at any size, cheapest below ~10⁷ rows, a non-starter at
     corpus grain.
 
@@ -507,6 +523,12 @@ def curriculum_phases(
     Output composes with assign_shards / export_shards per phase."""
     if n_phases < 1:
         raise ValueError(f"curriculum_phases: n_phases must be >= 1: {n_phases}")
+    if strategy == "auto":
+        # py4j maps the Scala BigInt straight to a Python int
+        est = int(
+            docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        strategy = "ntile" if est <= auto_ntile_max_bytes else "boundary"
     if strategy == "ntile":
         w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
         return docs.select(
@@ -514,8 +536,8 @@ def curriculum_phases(
         )
     if strategy != "boundary":
         raise ValueError(
-            f"curriculum_phases: strategy must be 'ntile' or 'boundary': "
-            f"{strategy!r}"
+            f"curriculum_phases: strategy must be 'auto', 'ntile' or "
+            f"'boundary': {strategy!r}"
         )
     mode = resolve_checkpoint_mode(docs, checkpoint)
     parted = cut_lineage(

@@ -842,7 +842,9 @@ def test_curriculum_boundary_equals_ntile(spark):
     for k in (1, 4, 5, 137, 200):
         ntile = {
             r["doc_id"]: r["phase"]
-            for r in curriculum_phases(docs, k, "score").collect()
+            for r in curriculum_phases(
+                docs, k, "score", strategy="ntile"
+            ).collect()
         }
         boundary = {
             r["doc_id"]: r["phase"]
@@ -884,3 +886,52 @@ def test_curriculum_boundary_plan_has_no_global_sort(spark):
 
     for m in re.finditer(r"Arguments: .*windowspecdefinition\(([^)]*)\)", plan):
         assert m.group(1).strip().startswith("_pid"), m.group(0)
+
+
+def test_curriculum_auto_strategy_selection(spark):
+    """The DEFAULT strategy is 'auto': corpus-sized inputs (Catalyst
+    size estimate above the cutover) must get the boundary plan — no
+    SinglePartition exchange, no unpartitioned window — without the
+    caller naming a strategy, while manifest-sized inputs keep the
+    cheap global-ntile fast path.  The cutover reads a plan STATISTIC
+    (no job), and unknown statistics default to Long.Max, i.e. the
+    scale-safe branch."""
+    from datawarehouse_code_spark.operators.corpus import curriculum_phases
+    from datawarehouse_code_spark.sources.catalog import read_table
+    from tests.conftest import SF_DIR
+
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, "documents", SF_DIR).select(
+        "doc_id", F.length("text").alias("score")
+    )
+
+    def plan_of(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    # default call, input "large" relative to a forced 0-byte cutover:
+    # the scale-safe boundary plan (this is the default-call pin — at
+    # real corpus scale the 64 MB production cutover trips the same way)
+    big = plan_of(
+        curriculum_phases(docs, 4, "score", auto_ntile_max_bytes=0)
+    )
+    assert "SinglePartition" not in big, big[:3000]
+
+    # default call, fixture-sized input under the production cutover:
+    # the ntile fast path (its global window IS the single partition)
+    small = plan_of(curriculum_phases(docs, 4, "score"))
+    assert "SinglePartition" in small, small[:3000]
+
+    # and the two default-call branches agree on values (the broader
+    # tie-inclusive equivalence is pinned above)
+    a = {r["doc_id"]: r["phase"]
+         for r in curriculum_phases(docs, 4, "score").collect()}
+    b = {r["doc_id"]: r["phase"]
+         for r in curriculum_phases(
+             docs, 4, "score", auto_ntile_max_bytes=0
+         ).collect()}
+    assert a == b
