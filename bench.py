@@ -231,6 +231,12 @@ HEADLINE = [
     "docs_bm25_multiterm",
     "docs_curriculum_boundary",
     "decoded_png_stats",
+    # round-11 additions (no frozen row yet; ratios appear once a
+    # later round freezes them).  The two suites are round-11
+    # consolidations — their constituents keep their own frozen rows
+    # above, like-for-like.
+    "retrieval_bm25_suite",
+    "curriculum_suite",
 ]
 
 

@@ -787,6 +787,49 @@ WHERE rk <= 5
 """
 
 
+def _retrieval_bm25_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-term + multi-term-bag BM25 retrieval as ONE labeled
+    driver row (consolidated round 11, promoting the multi-term
+    pipeline — qtf-weighted integer-micros sums over corpus-derived
+    3-term bags — into the sf0.01 driver hash).  Normalized columns:
+    key is the retrieval key rendered as a string (the query term for
+    part='single', the query_id for part='multi'), n1 the integer
+    payload (tf / n_terms_matched), n2 the exact micros score (multi
+    only), v the floor-6 double score (single only)."""
+    single = _docs_bm25_topk(spark, sf_dir).select(
+        F.lit("single").alias("part"),
+        F.col("term").alias("key"),
+        F.col("doc_id"),
+        F.col("tf").cast("bigint").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.col("score_f6").alias("v"),
+        F.col("rk").cast("bigint").alias("rk"),
+    )
+    multi = _docs_bm25_multiterm(spark, sf_dir).select(
+        F.lit("multi").alias("part"),
+        F.col("query_id").cast("string").alias("key"),
+        F.col("doc_id"),
+        F.col("n_terms_matched").cast("bigint").alias("n1"),
+        F.col("score_micros").cast("bigint").alias("n2"),
+        F.lit(None).cast("double").alias("v"),
+        F.col("rk").cast("bigint").alias("rk"),
+    )
+    return single.unionByName(multi)
+
+
+_RETRIEVAL_BM25_SQL = f"""
+SELECT 'single' AS part, term AS key, doc_id,
+       CAST(tf AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2,
+       score_f6 AS v, CAST(rk AS BIGINT) AS rk
+FROM ({_BM25_SQL})
+UNION ALL
+SELECT 'multi', CAST(query_id AS VARCHAR), doc_id,
+       CAST(n_terms_matched AS BIGINT), CAST(score_micros AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(rk AS BIGINT)
+FROM ({_BM25_MULTI_SQL})
+"""
+
+
 _TFIDF_SQL = f"""
 WITH w AS (
   SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
@@ -1139,7 +1182,10 @@ def _docs_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     (text length in chars — engine-identical), reported as per-phase
     stats so the hash pins BOTH the balanced sizes and the contiguous
     score ranges (phase k's max_score ≤ phase k+1's min_score shows
-    in the values)."""
+    in the values).  Uses the default strategy='auto' — fixture-sized
+    input takes the ntile fast path here; corpus-sized input would
+    trip the 64 MB cutover into the boundary plan, with values
+    identical by the pinned tie-inclusive equivalence."""
     from datawarehouse_code_spark.operators.corpus import curriculum_phases
 
     docs = read_table(spark, "documents", sf_dir).select(
@@ -1194,6 +1240,34 @@ def _docs_curriculum_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("score").cast("bigint").alias("sum_score"),
         )
     )
+
+
+def _curriculum_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both curriculum strategies as ONE labeled driver row
+    (consolidated round 11): part='default' is the auto-selected
+    plan a plain caller gets, part='boundary' forces the corpus-scale
+    range-exchange path — so the boundary rank arithmetic gets an
+    sf0.01 driver hash beside the fast path it must equal.  Both legs
+    replay against the SAME DuckDB ntile oracle (the strategies are
+    assignment-identical by the tie-inclusive pinned equivalence)."""
+    default = _docs_curriculum_phases(spark, sf_dir).select(
+        F.lit("default").alias("part"), "phase", "n_docs",
+        "min_score", "max_score", "sum_score",
+    )
+    boundary = _docs_curriculum_boundary(spark, sf_dir).select(
+        F.lit("boundary").alias("part"), "phase", "n_docs",
+        "min_score", "max_score", "sum_score",
+    )
+    return default.unionByName(boundary)
+
+
+_CURRICULUM_SUITE_SQL = f"""
+SELECT 'default' AS part, phase, n_docs, min_score, max_score, sum_score
+FROM ({_CURRICULUM_SQL})
+UNION ALL
+SELECT 'boundary', phase, n_docs, min_score, max_score, sum_score
+FROM ({_CURRICULUM_SQL})
+"""
 
 
 def _similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2567,15 +2641,15 @@ LLM_QUERIES: list[Query] = [
           "north-star: count-min-sketch heavy hitters — exact top-10 "
           "counts hash-checked beside CMS guarantee flags (driver row "
           "since round 10)"),
-    Query("docs_bm25_topk", _docs_bm25_topk, _BM25_SQL,
-          "north-star: BM25 retrieval top-k per corpus-derived query "
-          "term — full pipeline replayed by DuckDB (driver row since "
-          "round 10)"),
-    Query("docs_curriculum_phases", _docs_curriculum_phases,
-          _CURRICULUM_SQL,
-          "north-star: curriculum phase assignment — contiguous "
-          "near-equal difficulty phases, per-phase stats hash-checked "
-          "(driver row since round 10)"),
+    Query("retrieval_bm25_suite", _retrieval_bm25_suite,
+          _RETRIEVAL_BM25_SQL,
+          "north-star: single-term + multi-term-bag BM25 retrieval "
+          "top-k, labeled — full pipelines replayed by DuckDB "
+          "(consolidated round 11)"),
+    Query("curriculum_suite", _curriculum_suite, _CURRICULUM_SUITE_SQL,
+          "north-star: curriculum phase assignment — default (auto) "
+          "and forced corpus-scale boundary strategies hash-checked "
+          "side by side (consolidated round 11)"),
     Query("similarity_topk_ivf", _similarity_topk_ivf, None,
           "north-star: IVF centroid-bucketed ANN (rows-only; exact twin = bruteforce)"),
     Query("embedding_near_dup", _embedding_near_dup, None,
@@ -2831,15 +2905,23 @@ LLM_SUPPLEMENTARY: list[Query] = [
           _FRAME_STATS_SQL,
           "north-star: frame sampling + PPM decode (in "
           "multimodal_suite since round 10)"),
+    Query("docs_bm25_topk", _docs_bm25_topk, _BM25_SQL,
+          "north-star: BM25 retrieval top-k per corpus-derived query "
+          "term (in retrieval_bm25_suite since round 11)"),
     Query("docs_bm25_multiterm", _docs_bm25_multiterm, _BM25_MULTI_SQL,
           "north-star: multi-term BM25 — per-(query, doc) integer-"
           "micros score sums over corpus-derived 3-term bags, top-5 "
-          "per query (supplementary, differential-tested)"),
+          "per query (in retrieval_bm25_suite since round 11)"),
+    Query("docs_curriculum_phases", _docs_curriculum_phases,
+          _CURRICULUM_SQL,
+          "north-star: curriculum phase assignment — contiguous "
+          "near-equal difficulty phases (in curriculum_suite since "
+          "round 11)"),
     Query("docs_curriculum_boundary", _docs_curriculum_boundary,
           _CURRICULUM_SQL,
           "north-star: corpus-scale curriculum assignment — range-"
           "exchange + partition rank offsets, no single-partition "
-          "sort, ≡ ntile (supplementary, differential-tested)"),
+          "sort, ≡ ntile (in curriculum_suite since round 11)"),
     Query("text_nfc_suite", _text_nfc_suite, _NFC_SQL,
           "north-star: Unicode NFC canonicalization on planted "
           "decomposed sequences (supplementary, differential-tested)"),

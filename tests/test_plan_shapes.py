@@ -118,6 +118,11 @@ PLAN_BOUNDS = {
     # test pins no SinglePartition / unpartitioned window)
     "docs_curriculum_boundary": (1, 3),
     "decoded_png_stats": (2, 1),
+    # round-11 suites (measured r11: 20/18, 2/3 — bounds ~50% above;
+    # each leg rebuilds its own tf/df/dl pipeline by design, the
+    # constituents' tighter bounds above pin the per-leg shapes)
+    "retrieval_bm25_suite": (30, 27),
+    "curriculum_suite": (3, 5),
 }
 
 
