@@ -31,101 +31,43 @@ BENCHABLE = {**SUPPLEMENTARY_QUERIES, **QUERIES}
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Frozen comparison row: the round-2 driver measurement (BENCH_r02.json,
-# sf0.1, local[32], min of 2), extended in round 4 with the round-3
-# driver numbers (BENCH_r03.json) for the seven queries added in round
-# 3. Later rounds report ratios against THESE numbers — not against a
-# same-round re-measurement — so the 2× gate stays honest. Do not
-# update without recording the old row in BASELINE.md history.
-FROZEN_BASELINE_SF01 = {
-    "fact_build": 1.778,
-    "cube_table": 3.173,
-    "dim_date": 0.203,
-    "insert_if_not_exists": 0.608,
-    "agg_revenue_year_country": 0.976,
-    "agg_lineitem_stats": 0.355,
-    "agg_rollup_year_type": 1.036,
-    "window_topk_products": 1.475,
-    "window_monthly_growth": 1.227,
-    "events_tumbling_10min": 0.286,
-    "events_session_window": 0.43,
-    "dedup_exact": 0.237,
-    "dedup_near_jaccard": 3.35,
-    "dedup_minhash_lsh": 3.269,
-    "dedup_simhash_pairs": 2.092,
-    "similarity_topk_bruteforce": 1.87,
-    "similarity_topk_lsh": 1.614,
-    "embedding_near_dup": 2.308,
-    "text_tfidf_top_terms": 1.022,
-    "text_token_stats": 0.597,
-    "multimodal_features": 0.43,
-    # frozen round 4 from the r3 driver run (BENCH_r03.json, sf0.1)
-    "asof_join_events": 0.85,
-    "docs_quality_filter": 0.908,
-    "docs_stratified_sample": 0.212,
-    "corpus_survivors": 7.343,
-    "vocab_top_terms": 1.585,
-    "multimodal_frame_stats": 1.69,
-    "contamination_check": 3.339,
-    # frozen round 6 from the r5 driver run (BENCH_r05.json, sf0.1)
-    "text_cleaning_suite": 1.151,
-    "tokens_packed": 0.217,
-    "cdc_upsert_latest": 0.432,
-    "planted_recall_suite": 5.55,
-    "graph_pagerank": 3.178,
-    "subquery_above_avg": 0.68,
-    # frozen round 7 from the r6 driver run (BENCH_r06.json, sf0.1)
-    "tokens_packed_suite": 0.301,
-    # re-frozen round 10 at the r9 driver number (was 2.074 from the
-    # r6 driver, min-of-2 era).  Cause adjudicated by same-box A/B in
-    # round 10 (BASELINE.md "incremental_near_dup re-freeze"): the
-    # code path is byte-identical since the r6 freeze and the r6 code
-    # itself measures 2.84 today — the old number was a lucky min,
-    # not a lost optimization.
-    "incremental_near_dup": 2.728,
-    "maintenance_suite": 3.738,
-    "corpus_split_leakage": 3.4,
-    "events_funnel": 0.331,
-    "events_cohort_retention": 0.336,
-    "session_funnel": 0.655,
-    "orders_daily_anomalies": 0.439,
-    "bpe_pair_counts": 0.388,
-    # frozen round 8 from the r7 driver run (BENCH_r07 -> BENCH_full.json
-    # written by that run; the compact stdout line carried only the
-    # summary, the driver-archived full payload carries the per-query row)
-    "events_funnel_suite": 1.016,
-    "events_cohort_suite": 0.655,
-    "orders_daily_gapfill": 0.472,
-    "events_transitions": 0.35,
-    "docs_duplicate_spans": 2.031,
-    "orders_trailing_window": 0.368,
-    "parts_fuzzy_match": 0.267,
-    "orders_drift_report": 0.56,
-    "orders_profile": 0.615,
-    "asof_forward_events": 0.383,
-    "supplier_bfs": 2.866,
-    "dim_client_scd3": 0.336,
-    # frozen round 9 from the r8 driver run (driver-archived
-    # BENCH_full.json at commit 1210323; measured min-of-3)
-    "approx_bounds_suite": 5.507,
-    "lang_suite": 0.777,
-    "decoded_image_stats": 0.506,
-    "supplier_communities": 2.709,
-    "supplier_weighted_paths": 4.481,
-    "docs_mixture_token_budget": 0.845,
-    "text_nfc_suite": 0.32,
-    # frozen round 10 from the r9 driver run (driver-archived
-    # BENCH_full.json at commit a0da366; measured min-of-3)
-    "similarity_topk_filtered": 0.89,
-    "similarity_topk_quantized": 1.917,
-    "docs_quality_ml": 2.649,
-    "docs_boilerplate_lines": 0.49,
-    "sql_recursive_reachability": 2.73,
-    "docs_semantic_dedup": 1.439,
-    "events_heavy_hitters": 0.643,
-    "docs_bm25_topk": 0.813,
-    "docs_curriculum_phases": 0.166,
-}
+# Frozen comparison rows: parsed from BASELINE.md's canonical freeze
+# table (consolidated round 11 — the inline dict this replaced had
+# grown seven rounds of append-only provenance comments; BASELINE.md
+# now carries one current table plus the full history).  Later rounds
+# report ratios against THESE numbers — not a same-round
+# re-measurement — so the 2x gate stays honest.  Never update a row
+# without recording the old value and a same-box A/B adjudication in
+# BASELINE.md's history.
+def _load_frozen_baseline() -> dict[str, float]:
+    import re
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE.md"
+    )
+    rows: dict[str, float] = {}
+    in_section = False
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            if line.startswith("## "):
+                in_section = line.startswith("## Canonical frozen baseline")
+                continue
+            if in_section:
+                m = re.match(
+                    r"\|\s*([a-z0-9_]+)\s*\|\s*([0-9]+\.[0-9]+)\s*\|", line
+                )
+                if m:
+                    rows[m.group(1)] = float(m.group(2))
+    if len(rows) < 70:
+        raise AssertionError(
+            f"BASELINE.md canonical freeze table parsed only {len(rows)} "
+            "rows — the table or its header was damaged; baseline_ratio "
+            "would silently shrink"
+        )
+    return rows
+
+
+FROZEN_BASELINE_SF01 = _load_frozen_baseline()
 
 # Run-count provenance (adjudicated in round-8 ADVICE): rows frozen
 # through round 7 were measured min-of-2; the r7-new-at-r8 rows and
@@ -314,7 +256,7 @@ def main() -> None:
         }
         frozen_total = sum(FROZEN_BASELINE_SF01[n] for n in ratios)
         payload["baseline_ratio"] = {
-            "frozen": "BENCH_r02 + r3-new@r4 + r5-new@r6 + r6-new@r7 + r7-new@r8 + r8-new@r9 + r9-new@r10 rows (sf0.1, local[32]; min-of-2 through r7 rows, min-of-3 after)",
+            "frozen": "BASELINE.md canonical freeze table (sf0.1, local[32]; min-of-2 through r7 rows, min-of-3 after)",
             "total": round(sum(times[n] for n in ratios) / frozen_total, 3),
             "queries": ratios,
         }

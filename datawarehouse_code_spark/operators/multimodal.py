@@ -16,8 +16,10 @@ Doctrine for image/audio/video at 100 TB:
   payloads and pinned against javax.imageio as an independent
   encoder/decoder.  Codecs beyond these (progressive JPEG, Adam7
   PNG, audio/video) need libraries (Pillow / torchaudio / ffmpeg)
-  NOT in this container, so only THOSE branches raise
-  NotImplementedError; swapping one in is a one-function change.
+  NOT in this container; image payloads auto-route through Pillow
+  when it imports (availability-probed like the avro/Delta sources,
+  see _decode_pillow), and only when it does not do those branches
+  raise NotImplementedError into the quarantine lane.
 
 The fixture has no binary table, so `media_from_documents` derives
 one by UTF-8-encoding `documents.text` — deterministic, and (for
@@ -164,6 +166,10 @@ PNG_MAX_PIXELS = 1 << 26
 # color type -> channels as stored in the scanlines (palette stores
 # 1-byte indices; the decoder expands them to RGB on output)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# JPEG batched-IDCT flush size: 4096 blocks × 64 coefs × 8 B ≈ 2 MB
+# of pending coefficient memory, image-size independent.
+_IDCT_CHUNK = 4096
 
 
 def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
@@ -620,6 +626,25 @@ def _decode_jpeg_inner(data: bytes):
             reader = _JpegBitReader(data, pos + seg_len)
             preds = {cid: 0 for cid, *_ in comps}
             mcu_count = 0
+
+            # batched IDCT: the Huffman scan collects dequantized
+            # coefficient blocks and positions; every _IDCT_CHUNK
+            # blocks (and once at scan end) ONE broadcast matmul pair
+            # mᵀ·C·m transforms the whole batch — replacing two tiny
+            # numpy matmuls per 8x8 block (call overhead ≈ the math at
+            # this size) while the chunk bound keeps the extra peak
+            # memory at ~2 MB regardless of image size.
+            pend: dict = {cid: ([], []) for cid, *_ in comps}
+
+            def _flush(cid: int) -> None:
+                coefs, pos_list = pend[cid]
+                if not coefs:
+                    return
+                blocks = m.T @ np.stack(coefs).reshape(-1, 8, 8) @ m + 128
+                pl = planes[cid]
+                for b, (y0, x0) in zip(blocks, pos_list):
+                    pl[y0 : y0 + 8, x0 : x0 + 8] = b
+                pend[cid] = ([], [])
             for my in range(mcuy):
                 for mx in range(mcux):
                     if restart_interval and mcu_count and \
@@ -653,10 +678,16 @@ def _decode_jpeg_inner(data: bytes):
                                     z = _JPEG_ZIGZAG[k]
                                     coef[z] = _extend(reader.receive(sz), sz) * qt[z]
                                     k += 1
-                                block = m.T @ coef.reshape(8, 8) @ m + 128
-                                y0 = (my * cv + by) * 8
-                                x0 = (mx * ch + bx) * 8
-                                planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+                                coefs, pos_list = pend[cid]
+                                coefs.append(coef)
+                                pos_list.append((
+                                    (my * cv + by) * 8,
+                                    (mx * ch + bx) * 8,
+                                ))
+                                if len(coefs) >= _IDCT_CHUNK:
+                                    _flush(cid)
+            for cid, *_ in comps:
+                _flush(cid)
             # upsample to full grid by replication, crop, color-convert
             full = []
             for cid, ch, cv, _tq in comps:
@@ -830,6 +861,52 @@ def encode_const_png(
     )
 
 
+def _decode_pillow(data: bytes) -> tuple[int, int, int, bytes]:
+    """Codec-library decode (Pillow) for the payloads the pure-Python
+    decoders route to quarantine: progressive JPEG, Adam7-interlaced
+    PNG, non-8-bit depths.  Availability-probed like the avro/Delta
+    sources — this function is only reachable when `HAVE_PIL` is True
+    (`pip install pillow` is the documented one-package upgrade; the
+    container this repo is built in ships without it, so the Pillow
+    path is pinned by skip-marked tests that activate when the
+    environment gains the package).
+
+    Output keeps decode_image's contract — (width, height,
+    n_channels, interleaved 8-bit pixel bytes) with channels as the
+    image stores them (L=1, LA=2, RGB=3, RGBA=4); palette expands to
+    RGB and >8-bit depths normalize to 8-bit, matching the
+    pure-Python decoders' behavior on their supported overlap.
+    Decode errors surface as ValueError so the quarantine lane's
+    loud-failure contract is preserved."""
+    from io import BytesIO
+
+    from PIL import Image, UnidentifiedImageError
+
+    try:
+        img = Image.open(BytesIO(data))
+        img.load()
+    except UnidentifiedImageError as e:
+        raise ValueError(f"Pillow could not identify payload: {e}") from None
+    except OSError as e:
+        raise ValueError(f"Pillow decode failed: {e}") from None
+    if img.mode == "P":
+        img = img.convert("RGB")
+    elif img.mode in ("I", "I;16", "I;16B", "I;16L", "F"):
+        # >8-bit single-channel: scale to 8-bit gray (PIL's plain
+        # convert("L") truncates instead of scaling 16-bit values)
+        import numpy as np
+
+        arr = np.asarray(img, dtype=np.float64)
+        peak = 65535.0 if "16" in img.mode else max(float(arr.max()), 1.0)
+        img = Image.fromarray(
+            (arr / peak * 255.0).round().clip(0, 255).astype(np.uint8), "L"
+        )
+    mode_ch = {"L": 1, "LA": 2, "RGB": 3, "RGBA": 4}
+    if img.mode not in mode_ch:
+        img = img.convert("RGB")
+    return img.width, img.height, mode_ch[img.mode], img.tobytes()
+
+
 def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode an encoded image to (width, height, n_channels,
     interleaved_pixel_bytes).
@@ -838,24 +915,37 @@ def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
     end-to-end in this container: binary PNM (PPM/PGM), 24-bit BMP,
     BASELINE JPEG (SOF0 — grayscale or YCbCr with any sampling; see
     _decode_jpeg), and non-interlaced 8-bit PNG (gray / RGB / RGBA /
-    gray+alpha / palette; see _decode_png).  Progressive JPEG and
-    Adam7 PNG need a codec library (Pillow), absent here; those
-    branches alone raise."""
+    gray+alpha / palette; see _decode_png).  Progressive JPEG, Adam7
+    PNG and non-8-bit depths need a codec library: when Pillow is
+    importable those payloads route through _decode_pillow, otherwise
+    those branches alone raise NotImplementedError (the quarantine
+    lane).  Corruption is ValueError on every path — a codec library
+    never rescues a stream the pure decoders rejected as damaged."""
     if bytes(data[:2]) in (b"P6", b"P5"):
         return _decode_pnm(data)
     if bytes(data[:2]) == b"BM":
         return _decode_bmp(data)
     if bytes(data[:2]) == b"\xff\xd8":
-        return _decode_jpeg(data)
+        try:
+            return _decode_jpeg(data)
+        except NotImplementedError:
+            if HAVE_PIL:
+                return _decode_pillow(data)
+            raise
     if bytes(data[:8]) == _PNG_SIG:
-        return _decode_png(data)
-    if not HAVE_PIL:
-        raise NotImplementedError(
-            "this payload needs a codec library (binary PNM, 24-bit BMP, "
-            "baseline JPEG and non-interlaced 8-bit PNG decode natively); "
-            "install Pillow for progressive-JPEG/Adam7 payloads"
-        )
-    raise NotImplementedError("wire Image.open(BytesIO(data)) here when Pillow exists")
+        try:
+            return _decode_png(data)
+        except NotImplementedError:
+            if HAVE_PIL:
+                return _decode_pillow(data)
+            raise
+    if HAVE_PIL:
+        return _decode_pillow(data)
+    raise NotImplementedError(
+        "this payload needs a codec library (binary PNM, 24-bit BMP, "
+        "baseline JPEG and non-interlaced 8-bit PNG decode natively); "
+        "install Pillow for progressive-JPEG/Adam7/16-bit payloads"
+    )
 
 
 def media_from_documents(documents: DataFrame) -> DataFrame:

@@ -106,8 +106,13 @@ def test_decode_pnm_failures():
     # loud ValueError from the chunk walk, not a codec-library stub
     with pytest.raises(ValueError, match="truncated PNG"):
         decode_image(b"\x89PNG\r\n\x1a\n....")
-    # genuinely unknown magics still route to the codec-library stub
-    with pytest.raises(NotImplementedError, match="Pillow"):
+    # genuinely unknown magics: the codec-library stub raises
+    # NotImplementedError without Pillow; with Pillow the fallback
+    # rejects the unidentifiable payload as ValueError (corruption
+    # contract) — both land in the quarantine lane
+    from datawarehouse_code_spark.operators.multimodal import HAVE_PIL
+
+    with pytest.raises(ValueError if HAVE_PIL else NotImplementedError):
         decode_image(b"GIF89a....")
 
 
@@ -190,9 +195,12 @@ def test_decode_bmp_failures():
     struct.pack_into("<H", bad, 28, 8)
     with pytest.raises(ValueError, match="24-bit"):
         _decode_bmp(bytes(bad))
-    # unknown-codec branch still raises NotImplementedError (PNG is
-    # native since round 10, so the probe magic is GIF now)
-    with pytest.raises(NotImplementedError):
+    # unknown-codec branch raises loudly (PNG is native since round
+    # 10, so the probe magic is GIF now): NotImplementedError without
+    # Pillow, ValueError when the Pillow fallback can't identify it
+    from datawarehouse_code_spark.operators.multimodal import HAVE_PIL
+
+    with pytest.raises(ValueError if HAVE_PIL else NotImplementedError):
         decode_image(b"GIF89a....")
 
 
@@ -342,11 +350,23 @@ def test_jpeg_decoder_rejects_unsupported_loudly():
         encode_gray_jpeg,
     )
 
+    from datawarehouse_code_spark.operators.multimodal import (
+        HAVE_PIL,
+        _decode_jpeg,
+    )
+
     data = bytearray(encode_gray_jpeg(8, 8, 50))
     sof = data.find(b"\xff\xc0")
     data[sof + 1] = 0xC2  # pretend progressive
+    # the PURE decoder always rejects non-baseline loudly; decode_image
+    # only surfaces that when no Pillow fallback exists (with Pillow
+    # the mislabeled stream routes there and fails its progressive
+    # parse as ValueError — still loud, still quarantine-bound)
     with pytest.raises(NotImplementedError, match="non-baseline"):
-        decode_image(bytes(data))
+        _decode_jpeg(bytes(data))
+    if not HAVE_PIL:
+        with pytest.raises(NotImplementedError, match="non-baseline"):
+            decode_image(bytes(data))
     with pytest.raises(ValueError):
         decode_image(encode_gray_jpeg(8, 8, 50)[:-12])  # truncated entropy data
 
@@ -489,8 +509,12 @@ def test_decoded_image_stats_quarantine_lane(spark):
     assert got[1]["decode_error"] is None
     assert (got[1]["width"], got[1]["height"], got[1]["sum_r"]) == (10, 6, 10 * 6 * 40)
     assert got[2]["decode_error"] is None and got[2]["sum_g"] == 4 * 3 * 2
+    from datawarehouse_code_spark.operators.multimodal import HAVE_PIL
+
     assert got[3]["decode_error"] and got[3]["width"] is None
-    assert got[4]["decode_error"].startswith("NotImplementedError")
+    assert got[4]["decode_error"].startswith(
+        "ValueError" if HAVE_PIL else "NotImplementedError"
+    )
     assert got[5]["decode_error"] == "null payload"
 
     # agreement with the fail-loud variant on the clean subset
@@ -657,10 +681,22 @@ def test_png_rejects_unsupported_and_hostile_loudly():
             data = bytes(data)
         return data
 
+    from datawarehouse_code_spark.operators.multimodal import (
+        HAVE_PIL,
+        _decode_png,
+    )
+
+    # the PURE decoder always routes Adam7/16-bit to quarantine;
+    # decode_image surfaces that only when no Pillow fallback exists
     with pytest.raises(NotImplementedError, match="Adam7"):
-        decode_image(build(interlace=1))
+        _decode_png(build(interlace=1))
     with pytest.raises(NotImplementedError, match="8-bit"):
-        decode_image(build(depth=16))
+        _decode_png(build(depth=16))
+    if not HAVE_PIL:
+        with pytest.raises(NotImplementedError, match="Adam7"):
+            decode_image(build(interlace=1))
+        with pytest.raises(NotImplementedError, match="8-bit"):
+            decode_image(build(depth=16))
     with pytest.raises(ValueError, match="CRC"):
         decode_image(build(crc_break=True))
     with pytest.raises(ValueError, match="color type"):
@@ -804,6 +840,52 @@ def test_png_stream_termination_and_chunk_order_strictness():
     )
     with pytest.raises(ValueError, match="forbidden for grayscale"):
         decode_image(data)
+
+
+def test_pillow_fallback_parity_and_routing():
+    """Pillow-state pin (mirrors the avro/Delta probe precedent: this
+    test SKIPS in the shipped container and activates if the
+    environment ever gains the package).  Pins (a) exact byte parity
+    between _decode_pillow and the pure-Python PNG decoder on their
+    supported overlap, (b) that a progressive JPEG — which the pure
+    decoder routes to quarantine — decodes through the fallback with
+    the right dimensions, and (c) that corruption stays ValueError
+    (Pillow never rescues a damaged stream into the clean lane)."""
+    import io
+
+    import pytest
+
+    from datawarehouse_code_spark.operators.multimodal import (
+        HAVE_PIL,
+        _decode_jpeg,
+        _decode_pillow,
+        _decode_png,
+        decode_image,
+        encode_const_png,
+    )
+
+    if not HAVE_PIL:
+        pytest.skip("Pillow not installed — fallback path unreachable")
+
+    from PIL import Image
+
+    # (a) supported-overlap parity: pure decoder vs Pillow, byte-exact
+    data = encode_const_png(6, 4, (200, 10, 77))
+    assert _decode_pillow(data) == _decode_png(data)
+
+    # (b) progressive JPEG: pure decoder quarantines, fallback decodes
+    img = Image.new("L", (16, 12), 80)
+    buf = io.BytesIO()
+    img.save(buf, "JPEG", progressive=True, quality=95)
+    prog = buf.getvalue()
+    with pytest.raises(NotImplementedError):
+        _decode_jpeg(prog)
+    w, h, ch, px = decode_image(prog)
+    assert (w, h, ch) == (16, 12, 1) and len(px) == 16 * 12
+
+    # (c) corruption is ValueError on the fallback path too
+    with pytest.raises(ValueError):
+        decode_image(b"GIF89a....")
 
 
 def test_png_corruption_fuzz():
