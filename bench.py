@@ -179,6 +179,8 @@ HEADLINE = [
     # above, like-for-like.
     "retrieval_bm25_suite",
     "curriculum_suite",
+    "docs_cdc_shared_chunks",
+    "docs_winnowing_pairs",
 ]
 
 

@@ -1110,6 +1110,195 @@ def remove_frequent_lines(
     )
 
 
+def content_defined_chunks(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boundary_hexes: tuple[str, ...] = ("0", "1"),
+) -> DataFrame:
+    """Content-defined chunking (the Rabin/LBFS cut rule — Muthitacharoen
+    et al., SOSP'01 — at word grain): a word OPENS a new chunk iff the
+    first hex char of its md5 falls in `boundary_hexes` (default 2 of
+    16 → expected chunk length 8 words).  The cut decision depends
+    only on the word itself, never its offset, so inserting or
+    deleting text re-chunks ONLY the edited region — every chunk
+    outside it keeps its exact text and hash.  That shift-robustness
+    is what fixed-offset span tables can't give: a one-word insertion
+    moves every downstream k-gram, but moves no CDC boundary.
+
+    Output: (id_col, chunk_idx, chunk_start, n_words, chunk_hash) —
+    chunk_idx is the 0-based running boundary count, chunk_start the
+    word offset, chunk_hash the md5 of the space-joined chunk text.
+
+    Cross-engine determinism: md5 is the shared hash, the boundary
+    predicate is a hex-prefix test on its text form, and the chunk
+    text is reassembled in (pos) order on both engines — every value
+    replays exactly on DuckDB.
+
+    Scale shape: repartition on the doc key, one narrow posexplode,
+    a per-DOC window (partitioned — never global), and one grouped
+    aggregation riding the same key; output ≈ corpus words / expected
+    chunk length.  No UDF anywhere."""
+    toks = (
+        documents.repartition(id_col)
+        .select(id_col, F.posexplode(words(F.col(text_col))).alias("pos", "word"))
+        .filter(F.col("word") != "")
+    )
+    flagged = toks.withColumn(
+        "_b",
+        F.when(
+            F.substring(F.md5(F.col("word")), 1, 1).isin(*boundary_hexes),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    win = Window.partitionBy(id_col).orderBy("pos")
+    chunked = flagged.withColumn(
+        "chunk_idx", F.sum("_b").over(win).cast("bigint")
+    )
+    return chunked.groupBy(id_col, "chunk_idx").agg(
+        F.min("pos").cast("bigint").alias("chunk_start"),
+        F.count(F.lit(1)).alias("n_words"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+            )
+        ).alias("chunk_hash"),
+    )
+
+
+def cdc_shared_chunks(
+    documents: DataFrame,
+    min_words: int = 3,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boundary_hexes: tuple[str, ...] = ("0", "1"),
+) -> DataFrame:
+    """Cross-document duplicate-chunk report over content-defined
+    chunks: every chunk text (≥ `min_words` words — sub-minimum
+    chunks are single common words, noise not plagiarism) appearing
+    in ≥ `min_docs` DISTINCT documents, with its occurrence counts
+    and the smallest carrying doc id.  The CDC complement to
+    duplicate_spans' fixed k-gram table: it catches the same shared
+    boilerplate even when one copy has text inserted ahead of it.
+
+    Scale shape: content_defined_chunks' narrow pipeline + ONE
+    shuffle on chunk_hash; the HAVING on n_docs makes the output
+    duplication-sized, not corpus-sized."""
+    chunks = content_defined_chunks(
+        documents, text_col=text_col, id_col=id_col,
+        boundary_hexes=boundary_hexes,
+    )
+    return (
+        chunks.filter(F.col("n_words") >= min_words)
+        .groupBy("chunk_hash")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("n_words").alias("n_words"),
+            F.min(id_col).alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def winnowing_fingerprints(
+    documents: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm) at word grain: hash every k-word
+    gram in position order, slide a window of `w` consecutive gram
+    hashes, select each FULL window's minimum; the distinct selected
+    (doc, hash) pairs are the fingerprint set.
+
+    The guarantee (the paper's correctness property, pinned by
+    property test): any shared word run of length ≥ w + k − 1 in two
+    documents yields at least one shared fingerprint — while the
+    expected density is only 2/(w+1) of all grams, so the fingerprint
+    table is a fraction of the k-gram table.  Positional, local and
+    deterministic — unlike MinHash (a global per-doc sketch), a
+    winnowing match localizes WHERE the overlap is.
+
+    Cross-engine determinism: gram hash = md5 of the space-joined
+    gram (text-form min — md5 hex compares identically on both
+    engines); window = ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING
+    with full windows only (pos ≤ n_grams − w).
+
+    Scale shape: narrow gram generator over the repartitioned doc
+    key, per-DOC windows (never global), one distinct.  No UDF."""
+    toks = documents.repartition(id_col).select(
+        id_col, words(F.col(text_col)).alias("ws")
+    )
+    grams = toks.filter(F.size("ws") >= k).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - (k - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("ws"), i, k))),
+            )
+        ).alias("pos", "gh"),
+    )
+    nwin = Window.partitionBy(id_col)
+    mwin = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        grams.withColumn("_n", F.count(F.lit(1)).over(nwin))
+        .withColumn("fp", F.min("gh").over(mwin))
+        .filter(F.col("pos") <= F.col("_n") - w)
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
+def winnowing_near_dup_pairs(
+    documents: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_docs_per_fp: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints:
+    (d1 < d2, n_shared) for pairs sharing ≥ `min_shared` selected
+    fingerprints.  Fingerprints carried by more than
+    `max_docs_per_fp` distinct documents are dropped FIRST — the
+    same hot-key guard every bucketed detector here applies
+    (corpus-wide boilerplate phrases would otherwise fan the
+    self-join quadratically; real overlap between a PAIR rides rarer
+    fingerprints).
+
+    Scale shape: fingerprint table (a 2/(w+1) fraction of the k-gram
+    table) → hot-fp cap BEFORE the self-join → join fan-out bounded
+    by max_docs_per_fp² per fingerprint → one (d1, d2) count."""
+    fps = winnowing_fingerprints(
+        documents, k=k, w=w, text_col=text_col, id_col=id_col
+    )
+    cold = (
+        fps.groupBy("fp")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") <= max_docs_per_fp)
+        .select("fp")
+    )
+    capped = fps.join(cold, "fp", "left_semi")
+    a = capped.select(F.col("fp"), F.col(id_col).alias("d1"))
+    b = capped.select(F.col("fp"), F.col(id_col).alias("d2"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def normalize_unicode(col, form: str = "NFC"):
     """Unicode normalization as an Arrow-batched column expression —
     the canonicalization pass a multilingual training corpus needs

@@ -2874,7 +2874,101 @@ FROM documents
 """
 
 
+def _docs_cdc_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk dedup (operators/text.py
+    cdc_shared_chunks — the Rabin/LBFS cut rule at word grain):
+    chunks bounded by md5-hex-prefix boundary words, so a one-word
+    insertion re-chunks only the edited region; the report lists
+    every ≥3-word chunk text shared by ≥2 documents.  DuckDB replays
+    the whole pipeline — tokenization with positions, the boundary
+    predicate, the running boundary count, position-ordered chunk
+    reassembly, md5, and the cross-doc aggregation."""
+    from datawarehouse_code_spark.operators.text import cdc_shared_chunks
+
+    return cdc_shared_chunks(read_table(spark, "documents", sf_dir))
+
+
+_CDC_SHARED_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+), tok AS (
+  SELECT doc_id, g.i - 1 AS pos, ws[g.i] AS word
+  FROM w, unnest(range(1, len(ws) + 1)) AS g(i)
+  WHERE ws[g.i] <> ''
+), fl AS (
+  SELECT doc_id, pos, word,
+         CASE WHEN substr(md5(word), 1, 1) IN ('0', '1') THEN 1 ELSE 0 END AS b
+  FROM tok
+), ch AS (
+  SELECT doc_id, pos, word,
+         CAST(sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS chunk_idx
+  FROM fl
+), chunks AS (
+  SELECT doc_id, chunk_idx, count(*) AS n_words,
+         md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_hash
+  FROM ch GROUP BY 1, 2
+)
+SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occurrences,
+       CAST(min(n_words) AS BIGINT) AS n_words,
+       min(doc_id) AS min_doc_id
+FROM chunks WHERE n_words >= 3
+GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+def _docs_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup pairs (operators/text.py
+    winnowing_near_dup_pairs — the MOSS fingerprint scheme): 3-gram
+    md5s, window-4 minima over full windows, hot-fingerprint cap at
+    50 docs, pairs sharing ≥2 selected fingerprints.  DuckDB replays
+    gram hashing, the windowed minima with the full-window cutoff,
+    the distinct selection, the hot cap, and the pair count."""
+    from datawarehouse_code_spark.operators.text import (
+        winnowing_near_dup_pairs,
+    )
+
+    return winnowing_near_dup_pairs(read_table(spark, "documents", sf_dir))
+
+
+_WINNOWING_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+), g AS (
+  SELECT doc_id, t.i - 1 AS pos,
+         md5(ws[t.i] || ' ' || ws[t.i + 1] || ' ' || ws[t.i + 2]) AS gh
+  FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+), m AS (
+  SELECT doc_id, pos,
+         min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM g
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM m WHERE pos <= n - 4
+), cold AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(DISTINCT doc_id) <= 50
+), capped AS (
+  SELECT doc_id, fp FROM fps JOIN cold USING (fp)
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+FROM capped a JOIN capped b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
 LLM_SUPPLEMENTARY: list[Query] = [
+    Query("docs_cdc_shared_chunks", _docs_cdc_shared_chunks,
+          _CDC_SHARED_SQL,
+          "north-star: content-defined chunk dedup — shift-robust "
+          "shared-boilerplate report via the Rabin/LBFS word-grain "
+          "cut rule (supplementary, differential-tested)"),
+    Query("docs_winnowing_pairs", _docs_winnowing_pairs,
+          _WINNOWING_SQL,
+          "north-star: winnowing (MOSS) fingerprint near-dup pairs — "
+          "positional local fingerprints with the w+k-1 detection "
+          "guarantee (supplementary, differential-tested)"),
     Query("similarity_topk_filtered", _similarity_topk_filtered,
           _SIM_FILTERED_SQL,
           "north-star: metadata-filtered ANN — candidates restricted "

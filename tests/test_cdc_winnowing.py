@@ -1,0 +1,149 @@
+"""Content-defined chunking (Rabin/LBFS cut rule) and winnowing
+(MOSS) fingerprints: the semantic guarantees the oracle rows can't
+express — CDC's shift-robustness under insertion, winnowing's
+w+k-1 detection guarantee — pinned on constructed corpora with
+test-side independent boundary computation (hashlib, not the
+operator's own expressions)."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from datawarehouse_code_spark.operators.text import (
+    cdc_shared_chunks,
+    content_defined_chunks,
+    winnowing_fingerprints,
+    winnowing_near_dup_pairs,
+)
+
+BOUNDARY_HEXES = ("0", "1")
+
+
+def _is_boundary(word: str) -> bool:
+    return hashlib.md5(word.encode()).hexdigest()[0] in BOUNDARY_HEXES
+
+
+def _vocab(n: int, boundary: bool) -> list[str]:
+    """First n words of the deterministic series w0, w1, ... that are
+    (non-)boundary under the md5 cut rule — computed independently of
+    the operator."""
+    out, i = [], 0
+    while len(out) < n:
+        w = f"w{i}"
+        if _is_boundary(w) == boundary:
+            out.append(w)
+        i += 1
+    return out
+
+
+def test_cdc_vocab_sanity():
+    """The test's independent boundary rule actually splits the w{i}
+    series both ways (guards the constructions below)."""
+    assert len(_vocab(5, True)) == 5
+    assert len(_vocab(20, False)) == 20
+
+
+def test_cdc_shared_chunk_survives_offset_shift(spark):
+    """The CDC property k-gram span tables lack: a paragraph shared
+    at DIFFERENT offsets still produces an identical chunk, because
+    boundaries depend on words, not positions.  The expected chunk
+    hash is computed test-side with hashlib."""
+    b = _vocab(2, True)
+    n = _vocab(30, False)
+    # shared paragraph: boundary word then 3 non-boundaries, then the
+    # next boundary word closes the chunk — the interior chunk
+    # [b0 n0 n1 n2] lies wholly inside the shared region
+    shared = [b[0], n[0], n[1], n[2], b[1], n[3]]
+    doc_a = " ".join(n[10:14] + shared + n[14:16])
+    doc_b = " ".join(n[16:25] + shared + n[25:28])  # different offset
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b)], ["doc_id", "text"]
+    )
+    expected = hashlib.md5(
+        " ".join([b[0], n[0], n[1], n[2]]).encode()
+    ).hexdigest()
+    got = {
+        r["chunk_hash"]: r
+        for r in cdc_shared_chunks(docs, min_words=3, min_docs=2).collect()
+    }
+    assert expected in got, sorted(got)
+    assert got[expected]["n_docs"] == 2
+    assert got[expected]["n_words"] == 4
+    assert got[expected]["min_doc_id"] == 1
+
+
+def test_cdc_insertion_localizes_rechunking(spark):
+    """Inserting ONE non-boundary word re-chunks only the edited
+    chunk: the two documents' chunk-hash multisets differ by exactly
+    one chunk on each side, every other chunk identical."""
+    b = _vocab(4, True)
+    n = _vocab(20, False)
+    base = [n[0], b[0], n[1], n[2], b[1], n[3], n[4], b[2], n[5], b[3], n[6]]
+    edited = list(base)
+    edited.insert(6, n[19])  # inside the chunk opened by b[1]
+    docs = spark.createDataFrame(
+        [(1, " ".join(base)), (2, " ".join(edited))], ["doc_id", "text"]
+    )
+    chunks = content_defined_chunks(docs).collect()
+    a = sorted(r["chunk_hash"] for r in chunks if r["doc_id"] == 1)
+    c = sorted(r["chunk_hash"] for r in chunks if r["doc_id"] == 2)
+    assert len(c) == len(a)  # a non-boundary insertion adds no chunk
+    only_a = [h for h in a if h not in c]
+    only_c = [h for h in c if h not in a]
+    assert len(only_a) == 1 and len(only_c) == 1, (only_a, only_c)
+
+
+def test_winnowing_detection_guarantee(spark):
+    """The paper's guarantee: any shared run of >= w + k - 1 words
+    (k=3, w=4 -> 6) yields at least one shared fingerprint — checked
+    across several constructions with the run at different offsets
+    and different surrounding text, plus the density bound
+    (fingerprints are a strict subset of grams)."""
+    n = _vocab(60, False) + _vocab(10, True)
+    rows = []
+    for seed in range(5):
+        run = n[seed * 6 : seed * 6 + 6]  # 6 = w + k - 1
+        left = [f"a{seed}x{i}" for i in range(3 + seed)]
+        right = [f"b{seed}y{i}" for i in range(4)]
+        rows.append((2 * seed, " ".join(left + run + right)))
+        rows.append(
+            (2 * seed + 1, " ".join(right + left[:1] + run + left[1:]))
+        )
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = winnowing_fingerprints(docs, k=3, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    for seed in range(5):
+        shared = by_doc[2 * seed] & by_doc[2 * seed + 1]
+        assert shared, f"no shared fingerprint for planted run {seed}"
+    # density: winnowing selects far fewer fingerprints than grams
+    grams = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 2),"
+                " i -> i)"
+            )
+        )
+    ).count()
+    assert len(fps) < grams
+
+
+def test_winnowing_pairs_planted_and_threshold(spark):
+    """Pair detection end-to-end: two docs sharing a LONG run are
+    reported with n_shared >= 2; an unrelated doc pairs with
+    neither."""
+    n = _vocab(40, False)
+    run = n[0:14]
+    rows = [
+        (1, " ".join(["p1a", "p1b"] + run + ["t1a"])),
+        (2, " ".join(["q2a", "q2b", "q2c"] + run + ["u2a", "u2b"])),
+        (3, " ".join(f"z3w{i}" for i in range(20))),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["d1"], r["d2"]): r["n_shared"]
+        for r in winnowing_near_dup_pairs(docs, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all({1, 2} & set(p) == set() or p == (1, 2) for p in pairs)

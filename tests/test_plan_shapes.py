@@ -123,6 +123,12 @@ PLAN_BOUNDS = {
     # constituents' tighter bounds above pin the per-leg shapes)
     "retrieval_bm25_suite": (30, 27),
     "curriculum_suite": (3, 5),
+    # round-11 CDC + winnowing rows (measured r11: 2/2, 8/6 — bounds
+    # ~50% above; winnowing recomputes the fingerprint pipeline per
+    # self-join side + cold-cap branch by design at fixture scale —
+    # a 100 TB caller persists the fingerprint table once)
+    "docs_cdc_shared_chunks": (3, 3),
+    "docs_winnowing_pairs": (12, 9),
 }
 
 
