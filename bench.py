@@ -181,6 +181,7 @@ HEADLINE = [
     "curriculum_suite",
     "docs_cdc_shared_chunks",
     "docs_winnowing_pairs",
+    "sql_lateral_topk",
 ]
 
 

@@ -69,6 +69,52 @@ def morton_interleave(bucket_cols: list[Column], bits: int) -> Column:
     return z
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    path: str,
+    n_buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Hash-bucketed, per-bucket-sorted catalog table — Spark's
+    co-located join layout, the third physical-layout lever beside
+    Z-order clustering and year range partitions (reference context:
+    warehouse.py:183-200 keeps InnoDB secondary indexes on the join
+    keys; the lakehouse equivalent for a HOT REPEATED join is paying
+    the key shuffle ONCE at write time).  Writing both sides of a
+    recurring join bucketed by the key with the SAME bucket count
+    makes every later join between them shuffle-free: the bucketed
+    scan reports HashPartitioning(bucket_cols, n_buckets), and with
+    `sort_cols` the per-file sort order too, so SortMergeJoin needs
+    neither an Exchange nor (single file per bucket) a Sort on either
+    side — at 100 TB that deletes the two largest shuffles from every
+    run of the pipeline that reads them.
+
+    The frame is repartitioned to exactly `n_buckets` tasks on the
+    bucket keys first, so each bucket lands in ONE file (the standard
+    small-files guard; many files per bucket would also force the
+    reader to re-sort).  The table is registered in the session
+    catalog at the external `path` (bucket metadata lives in the
+    catalog — a plain parquet read of the same files would not know
+    the layout; at production scale the same call writes through the
+    shared metastore).
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1: {n_buckets}")
+    if not bucket_cols:
+        raise ValueError("write_bucketed_table needs bucket columns")
+    (
+        df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+        .write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*(sort_cols or bucket_cols))
+        .saveAsTable(name)
+    )
+
+
 def zorder_write(
     df: DataFrame,
     path: str,

@@ -1597,6 +1597,54 @@ GROUP BY node
 _RECURSIVE_SQL = _RECURSIVE_TEXT
 
 
+# LATERAL correlated subquery — ONE text, run verbatim by BOTH engines
+# (the recursive-CTE precedent): per-customer top-2 orders by price.
+# Spark 4 decorrelates the LIMIT-bearing lateral into a ranked join;
+# DuckDB executes it directly — the hash row pins that the decorrelated
+# plan and the direct evaluation agree, values, ties and all (floor-2
+# price scaling and the (price DESC, o_orderkey ASC) tiebreak keep the
+# comparison exact cross-engine).
+_LATERAL_TEXT = """
+SELECT c_custkey, o_orderkey, o_totalprice_f2
+FROM (SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0) c,
+LATERAL (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS o_totalprice_f2
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC
+  LIMIT 2
+) t
+"""
+
+
+def _sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL subquery through the SQL surface (§2.2 SQL extras,
+    beside the recursive CTE): for every 100th customer, the top-2
+    orders by price via a correlated LIMIT subquery in FROM.  The
+    oracle runs _LATERAL_TEXT verbatim on DuckDB; Spark analyzes the
+    same text against per-call unique temp views (dropped immediately
+    — spark.sql analyzes eagerly, so neither name outlives the call).
+    Scale shape: Catalyst decorrelates to a per-key ranked join (the
+    window is partitioned by the correlation key, never global)."""
+    from datawarehouse_code_spark.sources.catalog import read_table
+
+    cv = f"_lat_customer_{uuid.uuid4().hex}"
+    ov = f"_lat_orders_{uuid.uuid4().hex}"
+    read_table(spark, "customer", sf_dir).createOrReplaceTempView(cv)
+    read_table(spark, "orders", sf_dir).createOrReplaceTempView(ov)
+    try:
+        return spark.sql(
+            _LATERAL_TEXT.replace("customer", cv).replace("orders", ov)
+        )
+    finally:
+        spark.catalog.dropTempView(cv)
+        spark.catalog.dropTempView(ov)
+
+
+_LATERAL_SQL = _LATERAL_TEXT
+
+
 WAREHOUSE_QUERIES: list[Query] = [
     Query("agg_revenue_year_country", _agg_revenue_year_country, _AGG_REVENUE_SQL,
           "§2.2 aggregates: the cube's flagship GROUP BY"),
@@ -2716,6 +2764,10 @@ WAREHOUSE_SUPPLEMENTARY: list[Query] = [
           _RECURSIVE_SQL,
           "§2.2 SQL surface: WITH RECURSIVE hop-bounded reachability "
           "(Spark 4 recursive CTE; identical text on DuckDB; "
+          "supplementary, differential-tested)"),
+    Query("sql_lateral_topk", _sql_lateral_topk, _LATERAL_SQL,
+          "§2.2 SQL surface: LATERAL correlated LIMIT subquery — "
+          "per-customer top-2 orders (identical text on DuckDB; "
           "supplementary, differential-tested)"),
     Query("rollup_merge", _rollup_merge, _ROLLUP_MERGE_SQL,
           "§2.2 aggregates: incremental partial-aggregate merge ≡ rebuild "

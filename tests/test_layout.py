@@ -516,3 +516,81 @@ def test_bloom_filter_options_write_and_lookup(spark, tmp_path):
         "parquet.bloom.filter.enabled#b": "true",
         "parquet.bloom.filter.expected.ndv#b": "10",
     }
+
+
+def test_bucketed_tables_join_colocated(spark, tmp_path):
+    """The co-located-join layout: both sides written bucketed by the
+    join key with the same bucket count -> the SortMergeJoin plan has
+    ZERO exchanges and ZERO sorts (the bucketed scan reports the hash
+    partitioning and, with one file per bucket, the sort order), while
+    the identical join over plain parquet shuffles both sides.  Values
+    are pinned equal between the two plans."""
+    from datawarehouse_code_spark.operators.layout import write_bucketed_table
+
+    orders = read_table(spark, "orders", SF_DIR).select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = read_table(spark, "lineitem", SF_DIR).select(
+        "l_orderkey", "l_quantity"
+    )
+
+    def fmt(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    try:
+        write_bucketed_table(
+            orders, "b_orders", str(tmp_path / "o"), 8, ["o_orderkey"]
+        )
+        write_bucketed_table(
+            li, "b_lineitem", str(tmp_path / "l"), 8, ["l_orderkey"]
+        )
+        cond_b = F.col("o_orderkey") == F.col("l_orderkey")
+        j = (
+            spark.table("b_orders")
+            .hint("merge")
+            .join(spark.table("b_lineitem"), cond_b)
+        )
+        plan = fmt(j)
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert "Exchange" not in plan, plan[:3000]
+        assert ") Sort " not in plan and "\nSort " not in plan, plan[:3000]
+
+        # contrast: the same join over plain (unbucketed) parquet
+        # shuffles both sides
+        orders.write.parquet(str(tmp_path / "po"))
+        li.write.parquet(str(tmp_path / "pl"))
+        pj = (
+            spark.read.parquet(str(tmp_path / "po"))
+            .hint("merge")
+            .join(spark.read.parquet(str(tmp_path / "pl")), cond_b)
+        )
+        import re
+
+        assert len(set(re.findall(r"\((\d+)\) Exchange", fmt(pj)))) >= 2
+
+        # identical values
+        a = j.groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("s"),
+        ).head()
+        b = pj.groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("s"),
+        ).head()
+        assert (a.n, a.s) == (b.n, b.s) and a.n > 0
+
+        # layout on disk: exactly one data file per bucket per side
+        import os
+
+        files = [
+            f for f in os.listdir(tmp_path / "o")
+            if f.endswith(".parquet") and not f.startswith("_")
+        ]
+        assert len(files) == 8, sorted(files)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

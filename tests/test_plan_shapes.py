@@ -129,6 +129,9 @@ PLAN_BOUNDS = {
     # a 100 TB caller persists the fingerprint table once)
     "docs_cdc_shared_chunks": (3, 3),
     "docs_winnowing_pairs": (12, 9),
+    # decorrelated LATERAL: ranked join, window partitioned by the
+    # correlation key (measured r11: 4/2)
+    "sql_lateral_topk": (6, 3),
 }
 
 
