@@ -182,6 +182,7 @@ HEADLINE = [
     "docs_cdc_shared_chunks",
     "docs_winnowing_pairs",
     "sql_lateral_topk",
+    "decoded_audio_stats",
 ]
 
 

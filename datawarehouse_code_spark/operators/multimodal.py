@@ -1151,3 +1151,238 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
             )
 
     return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio modality: pure-Python RIFF/WAVE PCM decode (8-bit unsigned /
+# 16-bit signed LE, any channel count) + Arrow-batched waveform stats.
+# Same architecture as the image lane — bounded pre-allocation guards,
+# ValueError for corruption, NotImplementedError for valid-but-
+# unsupported codecs (float32/ADPCM/mu-law/extensible route to the
+# quarantine lane; a codec library would slot in exactly like Pillow).
+# ---------------------------------------------------------------------------
+
+# pre-allocation cap, the audio analogue of PNG_MAX_PIXELS: 2^26 total
+# samples (= 64 MiB of int16 mono, ~23 min at 48 kHz) checked from the
+# header before any allocation.
+WAV_MAX_SAMPLES = 1 << 26
+
+
+def encode_pcm_wav(
+    sample_rate: int, channels: list[list[int]], bits: int = 16
+) -> bytes:
+    """Minimal RIFF/WAVE PCM encoder (test/fixture side): interleaves
+    `channels` (equal-length integer sample lists; 16-bit signed or
+    8-bit unsigned ranges) into a canonical fmt+data layout."""
+    import struct
+
+    if bits not in (8, 16):
+        raise ValueError(f"bits must be 8 or 16: {bits}")
+    n_ch = len(channels)
+    if n_ch == 0 or len({len(c) for c in channels}) > 1:
+        raise ValueError("channels must be non-empty and equal-length")
+    n_frames = len(channels[0])
+    block = n_ch * (bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_ch, sample_rate, sample_rate * block, block, bits
+    )
+    frames = bytearray()
+    pack = "<h" if bits == 16 else "<B"
+    for i in range(n_frames):
+        for c in channels:
+            frames += struct.pack(pack, c[i])
+    data = bytes(frames)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_audio(data: bytes):
+    """Pure-Python WAV decode → (sample_rate, n_channels, n_frames,
+    samples) where samples is an int32 numpy array of shape
+    (n_frames, n_channels), CENTERED (8-bit unsigned payloads are
+    shifted by −128 so silence is 0 in both widths).
+
+    Loud-failure contract (the audio quarantine lane catches exactly
+    these): ValueError for structural corruption — bad RIFF/WAVE
+    magic, truncated chunk walks, zero channels/block-align, a data
+    chunk that is not a whole number of frames, over-cap sample
+    counts, missing fmt/data; NotImplementedError for valid streams
+    this decoder doesn't cover — any wFormatTag other than PCM(1)
+    (IEEE-float 3, A-law 6, mu-law 7, extensible 0xFFFE) and any bit
+    depth other than 8/16."""
+    import struct
+
+    import numpy as np
+
+    if bytes(data[:4]) != b"RIFF" or bytes(data[8:12]) != b"WAVE":
+        raise ValueError(
+            f"not a RIFF/WAVE payload (magic {bytes(data[:4])!r})"
+        )
+    pos, n = 12, len(data)
+    fmt_body: bytes | None = None
+    pcm: bytes | None = None
+    while pos + 8 <= n:
+        cid = bytes(data[pos : pos + 4])
+        (clen,) = struct.unpack_from("<I", data, pos + 4)
+        if clen > n - pos - 8:
+            raise ValueError(f"truncated WAV chunk {cid!r}")
+        body = bytes(data[pos + 8 : pos + 8 + clen])
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt_body = body
+        elif cid == b"data":
+            pcm = body
+            # fmt must precede data per spec; tolerate either order
+            # but stop scanning once both are in hand
+            if fmt_body is not None:
+                break
+    if fmt_body is None:
+        raise ValueError("WAV missing fmt chunk")
+    if pcm is None:
+        raise ValueError("WAV missing data chunk")
+    if len(fmt_body) < 16:
+        raise ValueError(f"WAV fmt chunk too short ({len(fmt_body)})")
+    codec, n_ch, rate, _brate, block, bits = struct.unpack_from(
+        "<HHIIHH", fmt_body
+    )
+    if codec != 1:
+        raise NotImplementedError(
+            f"only PCM WAV supported (wFormatTag {codec})"
+        )
+    if bits not in (8, 16):
+        raise NotImplementedError(
+            f"only 8/16-bit PCM supported (bits {bits})"
+        )
+    if n_ch == 0:
+        raise ValueError("WAV declares zero channels")
+    if block != n_ch * (bits // 8):
+        raise ValueError(
+            f"WAV block align {block} != channels*width {n_ch * (bits // 8)}"
+        )
+    if len(pcm) % block:
+        raise ValueError(
+            f"WAV data size {len(pcm)} not a whole number of "
+            f"{block}-byte frames"
+        )
+    n_frames = len(pcm) // block
+    if n_frames * n_ch > WAV_MAX_SAMPLES:
+        raise ValueError(
+            f"WAV declares {n_frames * n_ch} samples > cap {WAV_MAX_SAMPLES}"
+        )
+    if bits == 16:
+        arr = np.frombuffer(pcm, dtype="<i2").astype(np.int32)
+    else:
+        arr = np.frombuffer(pcm, dtype=np.uint8).astype(np.int32) - 128
+    return rate, n_ch, n_frames, arr.reshape(n_frames, n_ch)
+
+
+def _audio_payload_stats(content: bytes):
+    """(sample_rate, n_channels, n_frames, sum_abs, peak_abs,
+    n_zero_cross) of one decoded payload — integer stats only, so the
+    DuckDB oracle replays them exactly.  Zero crossings count sign
+    flips of channel 0 between consecutive frames (negative vs
+    non-negative — the closed-form-friendly convention)."""
+    import numpy as np
+
+    rate, n_ch, n_frames, arr = decode_audio(content)
+    sum_abs = int(np.abs(arr).sum(dtype=np.int64)) if n_frames else 0
+    peak = int(np.abs(arr).max()) if n_frames else 0
+    if n_frames > 1:
+        neg = arr[:, 0] < 0
+        n_zc = int((neg[1:] != neg[:-1]).sum())
+    else:
+        n_zc = 0
+    return rate, n_ch, n_frames, sum_abs, peak, n_zc
+
+
+AUDIO_STATS_SCHEMA = (
+    "media_id BIGINT, sample_rate INT, n_channels INT, n_frames BIGINT, "
+    "sum_abs BIGINT, peak_abs INT, n_zero_cross BIGINT"
+)
+
+AUDIO_QUARANTINE_SCHEMA = AUDIO_STATS_SCHEMA + ", decode_error STRING"
+
+
+def decoded_audio_stats(media: DataFrame) -> DataFrame:
+    """Per-media waveform stats from REAL decoded PCM — the audio
+    twin of decoded_image_stats: decode_audio each payload inside the
+    Arrow-batched map, report integer stats (sum of |samples|, peak,
+    channel-0 zero crossings).  Same scale shape: narrow map, no
+    shuffle, samples never leave the worker.  NULL payloads yield no
+    row (the quarantine variant is the production posture)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols = {k: [] for k in (
+                "media_id", "sample_rate", "n_channels", "n_frames",
+                "sum_abs", "peak_abs", "n_zero_cross",
+            )}
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                r, ch, nf, sa, pk, zc = _audio_payload_stats(bytes(content))
+                for k, v in zip(cols, (media_id, r, ch, nf, sa, pk, zc)):
+                    cols[k].append(v)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(cols["media_id"], dtype="int64"),
+                    "sample_rate": pd.Series(cols["sample_rate"], dtype="int32"),
+                    "n_channels": pd.Series(cols["n_channels"], dtype="int32"),
+                    "n_frames": pd.Series(cols["n_frames"], dtype="int64"),
+                    "sum_abs": pd.Series(cols["sum_abs"], dtype="int64"),
+                    "peak_abs": pd.Series(cols["peak_abs"], dtype="int32"),
+                    "n_zero_cross": pd.Series(cols["n_zero_cross"], dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, AUDIO_STATS_SCHEMA)
+
+
+def decoded_audio_stats_quarantine(media: DataFrame) -> DataFrame:
+    """decoded_audio_stats with the quarantine lane: every payload
+    yields exactly one row — successes carry stats and a NULL
+    decode_error, failures carry NULL stats and the decoder's message
+    (ValueError / NotImplementedError, the same worker-safety
+    contract the image fuzz pins)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    rows.append((media_id,) + (None,) * 6 + ("null payload",))
+                    continue
+                try:
+                    rows.append(
+                        (media_id,)
+                        + _audio_payload_stats(bytes(content))
+                        + (None,)
+                    )
+                except (ValueError, NotImplementedError) as e:
+                    rows.append(
+                        (media_id,) + (None,) * 6
+                        + (f"{type(e).__name__}: {e}",)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_channels", "n_frames",
+                    "sum_abs", "peak_abs", "n_zero_cross", "decode_error",
+                ],
+            ).astype(
+                {
+                    "media_id": "int64",
+                    "sample_rate": "Int32",
+                    "n_channels": "Int32",
+                    "n_frames": "Int64",
+                    "sum_abs": "Int64",
+                    "peak_abs": "Int32",
+                    "n_zero_cross": "Int64",
+                }
+            )
+
+    return media.mapInPandas(batches, AUDIO_QUARANTINE_SCHEMA)

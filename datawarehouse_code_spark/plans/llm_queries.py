@@ -2874,6 +2874,79 @@ FROM documents
 """
 
 
+def _decoded_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV decode inside the Arrow pipeline — the audio twin of
+    decoded_png_stats: per doc_id, synthesize a deterministic 16-bit
+    mono PCM WAV in a distributed mapInPandas stage
+    (operators/multimodal.py encode_pcm_wav; sample i =
+    ((doc_id·37 + i·211) mod 4096) − 2048), then run the pure-Python
+    RIFF chunk walk + PCM decode inside decoded_audio_stats.  The
+    oracle restates every stat in closed form from doc_id alone
+    (sum |v| and peak via a range unnest, zero crossings via lag) —
+    a header mis-parse, block-align slip, sign/centering bug or
+    channel interleave error all flip the hash."""
+    import pandas as pd  # noqa: F811
+
+    from datawarehouse_code_spark.operators.multimodal import (
+        decoded_audio_stats,
+        encode_pcm_wav,
+    )
+
+    docs = read_table(spark, "documents", sf_dir).select("doc_id")
+
+    def build(it):
+        for pdf in it:
+            ids, types, blobs = [], [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                sr = 8000 + (d % 8) * 1000
+                n = 16 + d % 48
+                samples = [((d * 37 + i * 211) % 4096) - 2048
+                           for i in range(n)]
+                ids.append(d)
+                types.append("audio/wav")
+                blobs.append(encode_pcm_wav(sr, [samples]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "media_type": pd.Series(types, dtype=object),
+                    "content": pd.Series(blobs, dtype=object),
+                }
+            )
+
+    media = docs.mapInPandas(
+        build, "media_id BIGINT, media_type STRING, content BINARY"
+    )
+    return decoded_audio_stats(media)
+
+
+_AUDIO_STATS_SQL = """
+WITH f AS (
+  SELECT doc_id, 8000 + (doc_id % 8) * 1000 AS sample_rate,
+         16 + doc_id % 48 AS n
+  FROM documents
+), s AS (
+  SELECT f.doc_id, f.sample_rate, f.n, g.i AS i,
+         ((f.doc_id * 37 + g.i * 211) % 4096) - 2048 AS v
+  FROM f, unnest(range(0, f.n)) AS g(i)
+), z AS (
+  SELECT doc_id, sample_rate, n, i, v,
+         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM s
+)
+SELECT doc_id AS media_id,
+       CAST(sample_rate AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(n AS BIGINT) AS n_frames,
+       CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+       CAST(max(abs(v)) AS INTEGER) AS peak_abs,
+       CAST(sum(CASE WHEN pv IS NOT NULL AND ((v < 0) <> (pv < 0))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross
+FROM z
+GROUP BY 1, 2, 3, 4
+"""
+
+
 def _docs_cdc_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunk dedup (operators/text.py
     cdc_shared_chunks — the Rabin/LBFS cut rule at word grain):
@@ -2969,6 +3042,10 @@ LLM_SUPPLEMENTARY: list[Query] = [
           "north-star: winnowing (MOSS) fingerprint near-dup pairs — "
           "positional local fingerprints with the w+k-1 detection "
           "guarantee (supplementary, differential-tested)"),
+    Query("decoded_audio_stats", _decoded_audio_stats, _AUDIO_STATS_SQL,
+          "north-star: REAL pure-Python WAV/PCM decode in the Arrow "
+          "pipeline — waveform stats vs a closed-form oracle "
+          "(supplementary, differential-tested)"),
     Query("similarity_topk_filtered", _similarity_topk_filtered,
           _SIM_FILTERED_SQL,
           "north-star: metadata-filtered ANN — candidates restricted "

@@ -1014,3 +1014,129 @@ def test_png_decode_pinned_against_imageio(spark):
     for y in range(3):
         for x in range(4):
             assert bi.getRGB(x, y) & 0xFFFFFF == (200 << 16) | (10 << 8) | 77
+
+
+def test_wav_roundtrip_and_failures():
+    """RIFF/WAVE PCM decode: bit-exact roundtrip both widths and
+    channel layouts; the loud-failure contract for every structural
+    corruption and every unsupported-codec route."""
+    import struct
+
+    import pytest
+
+    from datawarehouse_code_spark.operators.multimodal import (
+        decode_audio,
+        encode_pcm_wav,
+    )
+
+    ch0 = [0, 100, -200, 32767, -32768, 5]
+    ch1 = [1, -1, 2, -2, 3, -3]
+    w = encode_pcm_wav(44100, [ch0, ch1])
+    r, nc, nf, arr = decode_audio(w)
+    assert (r, nc, nf) == (44100, 2, 6)
+    assert arr[:, 0].tolist() == ch0 and arr[:, 1].tolist() == ch1
+
+    w8 = encode_pcm_wav(8000, [[0, 128, 255, 1]], bits=8)
+    assert decode_audio(w8)[3][:, 0].tolist() == [-128, 0, 127, -127]
+
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        decode_audio(b"OggS" + bytes(40))
+    with pytest.raises(ValueError, match="truncated WAV chunk"):
+        decode_audio(w[:30])
+    # full fmt chunk, no data chunk (fmt spans bytes 12..40 of the
+    # canonical encoder layout: 8-byte header + 16-byte body)
+    with pytest.raises(ValueError, match="missing data"):
+        decode_audio(w[: 12 + 8 + 16])
+    with pytest.raises(ValueError, match="missing fmt"):
+        decode_audio(
+            b"RIFF" + struct.pack("<I", 12) + b"WAVE"
+            + b"data" + struct.pack("<I", 0)
+        )
+    # non-PCM codec and unsupported depth route to quarantine loudly
+    bad = bytearray(w)
+    fmtpos = w.find(b"fmt ") + 8
+    struct.pack_into("<H", bad, fmtpos, 3)  # IEEE float
+    with pytest.raises(NotImplementedError, match="PCM"):
+        decode_audio(bytes(bad))
+    bad = bytearray(w)
+    struct.pack_into("<H", bad, fmtpos + 14, 24)  # 24-bit
+    with pytest.raises(NotImplementedError, match="8/16-bit"):
+        decode_audio(bytes(bad))
+    # data not a whole number of frames
+    bad = bytearray(w)
+    dpos = w.find(b"data") + 4
+    (dlen,) = struct.unpack_from("<I", w, dpos)
+    struct.pack_into("<I", bad, dpos, dlen - 1)
+    with pytest.raises(ValueError, match="whole number"):
+        decode_audio(bytes(bad[:-1]))
+    # hostile declared sizes never allocate: a fake giant data chunk
+    # is caught as truncation before any frame math
+    giant = w[: w.find(b"data") + 4] + struct.pack("<I", 1 << 31)
+    with pytest.raises(ValueError, match="truncated WAV chunk"):
+        decode_audio(giant)
+
+
+def test_wav_corruption_fuzz():
+    """Every single-byte flip and every truncation of a valid WAV
+    either decodes or raises ValueError/NotImplementedError — never a
+    bare struct.error/IndexError out of an Arrow worker."""
+    from datawarehouse_code_spark.operators.multimodal import (
+        decode_audio,
+        encode_pcm_wav,
+    )
+
+    base = encode_pcm_wav(16000, [[(i * 311) % 4096 - 2048 for i in range(9)]])
+    for cut in range(len(base)):
+        try:
+            decode_audio(base[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+    for pos in range(len(base)):
+        for delta in (1, 128):
+            mutated = bytearray(base)
+            mutated[pos] = (mutated[pos] + delta) % 256
+            try:
+                decode_audio(bytes(mutated))
+            except (ValueError, NotImplementedError):
+                pass
+
+
+def test_decoded_audio_stats_quarantine(spark):
+    """Audio quarantine lane: every payload yields exactly one row;
+    clean WAVs carry stats identical to the fail-loud variant,
+    corrupt/unsupported/NULL payloads carry the decoder's message."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.multimodal import (
+        decoded_audio_stats,
+        decoded_audio_stats_quarantine,
+        encode_pcm_wav,
+    )
+
+    good = encode_pcm_wav(22050, [[5, -5, 7, -7, 0]])
+    rows = [
+        (1, "audio/wav", bytearray(good)),
+        (2, "audio/wav", bytearray(good[:15])),     # truncated
+        (3, "audio/ogg", bytearray(b"OggS\x00\x01")),
+        (4, "audio/wav", None),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id BIGINT, media_type STRING, content BINARY"
+    )
+    got = {
+        r["media_id"]: r
+        for r in decoded_audio_stats_quarantine(media).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1]["decode_error"] is None
+    assert (got[1]["sample_rate"], got[1]["n_frames"]) == (22050, 5)
+    assert got[1]["sum_abs"] == 24 and got[1]["peak_abs"] == 7
+    assert got[1]["n_zero_cross"] == 4  # 5,-5,7,-7,0: neg flags F T F T F
+    assert got[2]["decode_error"] and got[2]["sum_abs"] is None
+    assert got[3]["decode_error"].startswith("ValueError")
+    assert got[4]["decode_error"] == "null payload"
+
+    clean = media.filter(F.col("media_id") == 1)
+    a = [tuple(r) for r in decoded_audio_stats(clean).collect()]
+    b = [tuple(r)[:-1] for r in decoded_audio_stats_quarantine(clean).collect()]
+    assert a == b

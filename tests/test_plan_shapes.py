@@ -132,6 +132,8 @@ PLAN_BOUNDS = {
     # decorrelated LATERAL: ranked join, window partitioned by the
     # correlation key (measured r11: 4/2)
     "sql_lateral_topk": (6, 3),
+    # audio lane: two narrow Arrow maps, zero shuffles (measured 2/0)
+    "decoded_audio_stats": (2, 1),
 }
 
 
