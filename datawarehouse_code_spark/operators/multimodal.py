@@ -1168,6 +1168,40 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
 WAV_MAX_SAMPLES = 1 << 26
 
 
+class _G711:
+    """Lazily-built ITU-T G.711 expansion LUTs (the canonical Sun
+    g711.c integer mappings — exact, no floats): 256-entry int32
+    tables indexed by the companded byte.  Pinned in tests against
+    published table values (mu-law 0x00 → −32124, 0xFF → 0; A-law
+    0x55 → −8, 0xD5 → +8) plus sign symmetry and monotonicity."""
+
+    _cache: dict = {}
+
+    def __class_getitem__(cls, law: str):
+        if law not in cls._cache:
+            import numpy as np
+
+            out = np.empty(256, dtype=np.int32)
+            for b in range(256):
+                if law == "ulaw":
+                    u = ~b & 0xFF
+                    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+                    out[b] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+                else:
+                    a = b ^ 0x55
+                    t = (a & 0x0F) << 4
+                    seg = (a & 0x70) >> 4
+                    if seg == 0:
+                        t += 8
+                    elif seg == 1:
+                        t += 0x108
+                    else:
+                        t = (t + 0x108) << (seg - 1)
+                    out[b] = t if (a & 0x80) else -t
+            cls._cache[law] = out
+        return cls._cache[law]
+
+
 def encode_pcm_wav(
     sample_rate: int, channels: list[list[int]], bits: int = 16
 ) -> bytes:
@@ -1211,9 +1245,10 @@ def decode_audio(data: bytes):
     magic, truncated chunk walks, zero channels/block-align, a data
     chunk that is not a whole number of frames, over-cap sample
     counts, missing fmt/data; NotImplementedError for valid streams
-    this decoder doesn't cover — any wFormatTag other than PCM(1)
-    (IEEE-float 3, A-law 6, mu-law 7, extensible 0xFFFE) and any bit
-    depth other than 8/16."""
+    this decoder doesn't cover — any wFormatTag other than PCM(1),
+    A-law(6) or mu-law(7) (IEEE-float 3 and extensible 0xFFFE route
+    to quarantine) and any PCM depth other than 8/16.  G.711 bytes
+    expand through the exact ITU integer LUTs (_G711)."""
     import struct
 
     import numpy as np
@@ -1249,11 +1284,16 @@ def decode_audio(data: bytes):
     codec, n_ch, rate, _brate, block, bits = struct.unpack_from(
         "<HHIIHH", fmt_body
     )
-    if codec != 1:
+    if codec not in (1, 6, 7):
         raise NotImplementedError(
-            f"only PCM WAV supported (wFormatTag {codec})"
+            f"only PCM/A-law/mu-law WAV supported (wFormatTag {codec})"
         )
-    if bits not in (8, 16):
+    if codec in (6, 7):
+        if bits != 8:
+            raise ValueError(
+                f"G.711 WAV must be 8-bit (bits {bits})"
+            )
+    elif bits not in (8, 16):
         raise NotImplementedError(
             f"only 8/16-bit PCM supported (bits {bits})"
         )
@@ -1273,7 +1313,11 @@ def decode_audio(data: bytes):
         raise ValueError(
             f"WAV declares {n_frames * n_ch} samples > cap {WAV_MAX_SAMPLES}"
         )
-    if bits == 16:
+    if codec == 6:
+        arr = _G711["alaw"][np.frombuffer(pcm, dtype=np.uint8)]
+    elif codec == 7:
+        arr = _G711["ulaw"][np.frombuffer(pcm, dtype=np.uint8)]
+    elif bits == 16:
         arr = np.frombuffer(pcm, dtype="<i2").astype(np.int32)
     else:
         arr = np.frombuffer(pcm, dtype=np.uint8).astype(np.int32) - 128

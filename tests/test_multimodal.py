@@ -1140,3 +1140,43 @@ def test_decoded_audio_stats_quarantine(spark):
     a = [tuple(r) for r in decoded_audio_stats(clean).collect()]
     b = [tuple(r)[:-1] for r in decoded_audio_stats_quarantine(clean).collect()]
     assert a == b
+
+
+def test_wav_g711_expansion():
+    """G.711 mu-law/A-law WAVs decode through the exact ITU integer
+    LUTs: published table anchors (mu-law 0x00 -> -32124, 0xFF -> 0;
+    A-law 0x55 -> -8, 0xD5 -> +8), sign antisymmetry of the byte's
+    sign bit, and segment monotonicity."""
+    import struct
+
+    from datawarehouse_code_spark.operators.multimodal import (
+        decode_audio,
+        encode_pcm_wav,
+    )
+
+    def g711_wav(codec, payload_bytes):
+        w = bytearray(encode_pcm_wav(8000, [list(payload_bytes)], bits=8))
+        struct.pack_into("<H", w, w.find(b"fmt ") + 8, codec)
+        return bytes(w)
+
+    # mu-law anchors + full-byte sweep properties
+    r, nc, nf, arr = decode_audio(g711_wav(7, bytes(range(256))))
+    assert (r, nc, nf) == (8000, 1, 256)
+    ulaw = arr[:, 0].tolist()
+    assert ulaw[0x00] == -32124 and ulaw[0xFF] == 0
+    # 0x7F is mu-law's second zero code (negative half's zero)
+    assert ulaw[0x7F] == 0 and ulaw[0x80] == 32124
+    # byte b (negative half) and b|0x80 (positive half) are negatives
+    for b in range(128):
+        assert ulaw[b] == -ulaw[b | 0x80]
+    # magnitudes decrease along each half toward the zero codes
+    mags = [-v for v in ulaw[:128]]
+    assert mags == sorted(mags, reverse=True)
+
+    # A-law anchors + antisymmetry
+    arr = decode_audio(g711_wav(6, bytes(range(256))))[3]
+    alaw = arr[:, 0].tolist()
+    assert alaw[0x55] == -8 and alaw[0xD5] == 8
+    assert min(alaw) == -32256 and max(alaw) == 32256
+    for b in range(256):
+        assert alaw[b] == -alaw[b ^ 0x80]
