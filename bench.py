@@ -183,6 +183,7 @@ HEADLINE = [
     "docs_winnowing_pairs",
     "sql_lateral_topk",
     "decoded_audio_stats",
+    "docs_cdc_incremental",
 ]
 
 

@@ -1206,6 +1206,84 @@ def cdc_shared_chunks(
     )
 
 
+def build_cdc_index(
+    documents: DataFrame,
+    min_words: int = 3,
+    hot_chunk_cap: int | None = 5000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boundary_hexes: tuple[str, ...] = ("0", "1"),
+) -> DataFrame:
+    """The persisted content-defined-chunk index of a corpus:
+    (doc_id, chunk_hash, n_words), one row per ≥ `min_words` chunk —
+    computed ONCE per corpus build and stored beside it, the CDC
+    sibling of build_lsh_index.  Increments (`cdc_matches_incremental`)
+    equi-join against this table; they never re-chunk the corpus.
+
+    `hot_chunk_cap` drops corpus-wide boilerplate chunks AT BUILD TIME
+    (same rationale as the LSH index's hot buckets: a chunk carried by
+    10⁷ docs hands every future increment |chunk| matches); SINGLETON
+    chunks are kept — a future new doc must be able to meet a
+    so-far-unique corpus chunk.  (min_words, boundary_hexes) are part
+    of the index contract: increments must pass the same values."""
+    chunks = content_defined_chunks(
+        documents, text_col=text_col, id_col=id_col,
+        boundary_hexes=boundary_hexes,
+    ).filter(F.col("n_words") >= min_words).select(
+        id_col, "chunk_hash", "n_words"
+    )
+    if hot_chunk_cap is not None:
+        w = Window.partitionBy("chunk_hash")
+        chunks = (
+            chunks.withColumn("_k", F.count(F.lit(1)).over(w))
+            .filter(F.col("_k") <= hot_chunk_cap)
+            .drop("_k")
+        )
+    return chunks
+
+
+def cdc_matches_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    min_words: int = 3,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boundary_hexes: tuple[str, ...] = ("0", "1"),
+) -> DataFrame:
+    """Shared-boilerplate matches between an increment and a PERSISTED
+    corpus CDC index: (d_new, d_corpus, n_shared_chunks,
+    n_shared_words) for every new doc sharing ≥ `min_shared` chunks
+    with a corpus doc — the nightly-increment shape: the increment is
+    chunked fresh, the corpus is never re-read beyond the index
+    equi-join, so cost scales with |increment| (+ the index scan, a
+    fixed-width fraction of the corpus).  Because chunk boundaries
+    are content-defined, a match survives the insertion shifts that
+    break fixed-offset span tables.  New-vs-new duplication within
+    the increment is out of scope by contract (run cdc_shared_chunks
+    over the increment for that).  Parameters must match the index
+    build."""
+    nc = content_defined_chunks(
+        new_docs, text_col=text_col, id_col=id_col,
+        boundary_hexes=boundary_hexes,
+    ).filter(F.col("n_words") >= min_words).select(
+        F.col(id_col).alias("d_new"), "chunk_hash", "n_words"
+    )
+    idx = index.select(
+        F.col(id_col).alias("d_corpus"), "chunk_hash"
+    )
+    return (
+        nc.join(idx, "chunk_hash")
+        .filter(F.col("d_new") != F.col("d_corpus"))
+        .groupBy("d_new", "d_corpus")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_chunks"),
+            F.sum("n_words").alias("n_shared_words"),
+        )
+        .filter(F.col("n_shared_chunks") >= min_shared)
+    )
+
+
 def winnowing_fingerprints(
     documents: DataFrame,
     k: int = 3,

@@ -2961,7 +2961,7 @@ def _docs_cdc_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_shared_chunks(read_table(spark, "documents", sf_dir))
 
 
-_CDC_SHARED_SQL = f"""
+_CDC_CHUNKS_CTE = f"""
 WITH w AS (
   SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
 ), tok AS (
@@ -2980,13 +2980,54 @@ WITH w AS (
   SELECT doc_id, chunk_idx, count(*) AS n_words,
          md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_hash
   FROM ch GROUP BY 1, 2
-)
+)"""
+
+_CDC_SHARED_SQL = f"""{_CDC_CHUNKS_CTE}
 SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs,
        count(*) AS n_occurrences,
        CAST(min(n_words) AS BIGINT) AS n_words,
        min(doc_id) AS min_doc_id
 FROM chunks WHERE n_words >= 3
 GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+def _docs_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Increment-vs-corpus CDC matching through the persisted chunk
+    index (operators/text.py build_cdc_index / cdc_matches_incremental):
+    corpus = doc_id % 10 != 0, increment = every 10th doc; the
+    increment is chunked fresh and equi-joined against the index —
+    the corpus is never re-chunked.  DuckDB replays the whole thing:
+    both chunkings, the min-words filter, the hot-chunk cap, the
+    equi-join and the per-pair chunk/word sums."""
+    from datawarehouse_code_spark.operators.text import (
+        build_cdc_index,
+        cdc_matches_incremental,
+    )
+
+    docs = read_table(spark, "documents", sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    inc = docs.filter(F.col("doc_id") % 10 == 0)
+    return cdc_matches_incremental(inc, build_cdc_index(corpus))
+
+
+_CDC_INCR_SQL = f"""{_CDC_CHUNKS_CTE}
+, filt AS (
+  SELECT doc_id, chunk_hash, n_words FROM chunks WHERE n_words >= 3
+), idx AS (
+  SELECT doc_id, chunk_hash, n_words FROM filt WHERE doc_id % 10 <> 0
+), cap AS (
+  SELECT chunk_hash FROM idx GROUP BY chunk_hash HAVING count(*) <= 5000
+), inc AS (
+  SELECT doc_id, chunk_hash, n_words FROM filt WHERE doc_id % 10 = 0
+)
+SELECT inc.doc_id AS d_new, i.doc_id AS d_corpus,
+       count(*) AS n_shared_chunks,
+       CAST(sum(inc.n_words) AS BIGINT) AS n_shared_words
+FROM inc
+JOIN (SELECT idx.* FROM idx JOIN cap USING (chunk_hash)) i USING (chunk_hash)
+WHERE inc.doc_id <> i.doc_id
+GROUP BY 1, 2
 """
 
 
@@ -3045,6 +3086,10 @@ LLM_SUPPLEMENTARY: list[Query] = [
     Query("decoded_audio_stats", _decoded_audio_stats, _AUDIO_STATS_SQL,
           "north-star: REAL pure-Python WAV/PCM decode in the Arrow "
           "pipeline — waveform stats vs a closed-form oracle "
+          "(supplementary, differential-tested)"),
+    Query("docs_cdc_incremental", _docs_cdc_incremental, _CDC_INCR_SQL,
+          "north-star: increment-vs-corpus shared-chunk matching "
+          "through the persisted CDC index — cost ∝ increment "
           "(supplementary, differential-tested)"),
     Query("similarity_topk_filtered", _similarity_topk_filtered,
           _SIM_FILTERED_SQL,

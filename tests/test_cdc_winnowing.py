@@ -147,3 +147,41 @@ def test_winnowing_pairs_planted_and_threshold(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] >= 2
     assert all({1, 2} & set(p) == set() or p == (1, 2) for p in pairs)
+
+
+def test_cdc_incremental_matches_through_index(spark):
+    """Increment-vs-index: a new doc sharing a paragraph with a corpus
+    doc — at a DIFFERENT offset — matches through the persisted chunk
+    index; unrelated new docs match nothing; the corpus doc itself is
+    identified with the right shared-chunk count."""
+    from datawarehouse_code_spark.operators.text import (
+        build_cdc_index,
+        cdc_matches_incremental,
+    )
+
+    b = _vocab(2, True)
+    n = _vocab(40, False)
+    shared = [b[0], n[0], n[1], n[2], b[1], n[3]]
+    corpus = spark.createDataFrame(
+        [
+            (1, " ".join(n[10:14] + shared + n[14:16])),
+            (2, " ".join(n[20:30])),
+        ],
+        ["doc_id", "text"],
+    )
+    inc = spark.createDataFrame(
+        [
+            (100, " ".join(n[30:39] + shared)),   # shifted copy
+            (101, " ".join(f"inc{i}x" for i in range(12))),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = build_cdc_index(corpus)
+    got = {
+        (r["d_new"], r["d_corpus"]): r
+        for r in cdc_matches_incremental(inc, idx).collect()
+    }
+    assert (100, 1) in got, sorted(got)
+    assert got[(100, 1)]["n_shared_chunks"] >= 1
+    assert got[(100, 1)]["n_shared_words"] >= 4
+    assert all(d_new != 101 for d_new, _ in got)

@@ -134,6 +134,8 @@ PLAN_BOUNDS = {
     "sql_lateral_topk": (6, 3),
     # audio lane: two narrow Arrow maps, zero shuffles (measured 2/0)
     "decoded_audio_stats": (2, 1),
+    # increment chunking + index equi-join (measured 4/3)
+    "docs_cdc_incremental": (6, 5),
 }
 
 
