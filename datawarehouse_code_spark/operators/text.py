@@ -1233,13 +1233,23 @@ def build_cdc_index(
         id_col, "chunk_hash", "n_words"
     )
     if hot_chunk_cap is not None:
-        w = Window.partitionBy("chunk_hash")
-        chunks = (
-            chunks.withColumn("_k", F.count(F.lit(1)).over(w))
-            .filter(F.col("_k") <= hot_chunk_cap)
-            .drop("_k")
-        )
+        chunks = cap_hot_chunks(chunks, hot_chunk_cap)
     return chunks
+
+
+def cap_hot_chunks(index: DataFrame, cap: int) -> DataFrame:
+    """Drop chunk hashes carried by more than `cap` index rows — the
+    boilerplate guard, shared by the batch build (applied at build
+    time) and STREAM-MAINTAINED indexes (applied at read time: an
+    append-only stream can only push a chunk's count up, so capping
+    when the index is read keeps replays idempotent while still
+    bounding every increment join's per-chunk fan-out)."""
+    w = Window.partitionBy("chunk_hash")
+    return (
+        index.withColumn("_k", F.count(F.lit(1)).over(w))
+        .filter(F.col("_k") <= cap)
+        .drop("_k")
+    )
 
 
 def cdc_matches_incremental(

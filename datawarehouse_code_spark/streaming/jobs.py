@@ -408,6 +408,57 @@ def run_corpus_ingest(
     writer.start().awaitTermination()
 
 
+def run_cdc_index_ingest(
+    docs: DataFrame,
+    index_path: str,
+    checkpoint_dir: str | None = None,
+    min_words: int = 3,
+) -> None:
+    """Exactly-once streaming maintenance of the persisted CDC chunk
+    index (operators/text.py build_cdc_index / cdc_matches_incremental)
+    — the streaming sibling of run_ivf_ingest for the chunk-dedup
+    family: per micro-batch of arriving documents, chunk the BATCH
+    only (content-defined boundaries — no corpus state needed, the
+    cut rule is per-word) and upsert rows keyed on (doc_id,
+    chunk_idx) into `index_path`.
+
+    Exactly-once: (doc_id, chunk_idx) is unique per document and the
+    chunking is a pure function of the text, so a checkpoint replay
+    rewrites identical rows — the keyed upsert makes it a no-op.  The
+    hot-chunk cap is deliberately NOT applied at ingest (an
+    append-only stream can only push a chunk past the cap
+    monotonically, so an ingest-time cap would make replays
+    order-dependent); readers apply operators/text.cap_hot_chunks at
+    query time, which the batch build also routes through.
+
+    Scale shape per batch: content_defined_chunks' narrow pipeline
+    over the batch (cost ∝ |batch|) + one keyed upsert; the corpus is
+    never re-chunked."""
+    from datawarehouse_code_spark.operators.text import (
+        content_defined_chunks,
+    )
+    from datawarehouse_code_spark.sources.acid import (
+        _staged_overwrite,
+        table_exists,
+        upsert,
+    )
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        sp = batch.sparkSession
+        chunks = content_defined_chunks(batch).filter(
+            F.col("n_words") >= min_words
+        ).select("doc_id", "chunk_idx", "chunk_hash", "n_words")
+        if table_exists(sp, index_path):
+            upsert(sp, index_path, chunks, ["doc_id", "chunk_idx"])
+        else:
+            _staged_overwrite(sp, chunks, index_path)
+
+    writer = docs.writeStream.foreachBatch(_apply).trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    writer.start().awaitTermination()
+
+
 def run_to_memory(
     result: DataFrame, table_name: str, output_mode: str = "complete"
 ) -> None:

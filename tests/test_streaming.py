@@ -839,3 +839,81 @@ def test_ivf_ingest_semantic_dedup_gate(spark, tmp_path):
         n_centroids=4, dedup_threshold_f6=990_000,
     )
     assert indexed() == want
+
+
+def test_cdc_index_ingest_stream_equals_batch(spark, tmp_path):
+    """run_cdc_index_ingest drained over three micro-batches must
+    leave exactly the batch build's uncapped index rows (chunking is
+    a pure per-doc function, so batching cannot change it); a
+    checkpoint replay with no new files changes nothing; and the
+    maintained index serves cdc_matches_incremental through the
+    query-time hot-chunk cap."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.text import (
+        cap_hot_chunks,
+        cdc_matches_incremental,
+        content_defined_chunks,
+    )
+    from datawarehouse_code_spark.sources.catalog import read_table
+    from datawarehouse_code_spark.streaming.jobs import run_cdc_index_ingest
+    from tests.conftest import SF_DIR
+
+    docs = read_table(spark, "documents", SF_DIR).cache()
+    land = tmp_path / "landing"
+    land.mkdir()
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cut1, cut2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    parts = [
+        docs.filter(F.col("doc_id") <= cut1),
+        docs.filter((F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2)),
+        docs.filter(F.col("doc_id") > cut2),
+    ]
+    now = time.time() - 600
+    for i, p in enumerate(parts):
+        f = land / f"batch-{i}.parquet"
+        p.toPandas().to_parquet(f, index=False)
+        os.utime(f, (now + 60 * i, now + 60 * i))
+
+    schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    index_path = str(tmp_path / "cdc_index")
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(land))
+        )
+
+    run_cdc_index_ingest(stream(), index_path,
+                         checkpoint_dir=str(tmp_path / "ckpt"))
+
+    expected = sorted(
+        tuple(r)
+        for r in content_defined_chunks(docs)
+        .filter(F.col("n_words") >= 3)
+        .select("doc_id", "chunk_idx", "chunk_hash", "n_words")
+        .collect()
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(index_path).collect())
+    assert got == expected and len(got) > 0
+
+    # checkpoint replay: draining again with no new files is a no-op
+    run_cdc_index_ingest(stream(), index_path,
+                         checkpoint_dir=str(tmp_path / "ckpt"))
+    again = sorted(tuple(r) for r in spark.read.parquet(index_path).collect())
+    assert again == got
+
+    # the maintained index serves increments through the read-time cap
+    inc = spark.createDataFrame(
+        [(990001, docs.orderBy("doc_id").first().text)], ["doc_id", "text"]
+    )
+    idx = cap_hot_chunks(
+        spark.read.parquet(index_path).select("doc_id", "chunk_hash", "n_words"),
+        5000,
+    )
+    matches = cdc_matches_incremental(inc, idx).collect()
+    assert any(r["d_new"] == 990001 for r in matches)
