@@ -185,3 +185,38 @@ def test_cdc_incremental_matches_through_index(spark):
     assert got[(100, 1)]["n_shared_chunks"] >= 1
     assert got[(100, 1)]["n_shared_words"] >= 4
     assert all(d_new != 101 for d_new, _ in got)
+
+
+def test_cdc_chunks_partition_the_document(spark):
+    """Chunks are a PARTITION of each document's word sequence: per
+    doc, n_words sums to the doc's word count, chunk_idx is dense
+    from its minimum, and chunk_start offsets are consistent with the
+    cumulative chunk lengths — nothing dropped, nothing duplicated."""
+    from datawarehouse_code_spark.sources.catalog import read_table
+    from tests.conftest import SF_DIR
+
+    docs = read_table(spark, "documents", SF_DIR).limit(200)
+    chunks = content_defined_chunks(docs).collect()
+    words = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id",
+            F.size(F.split(F.trim(F.regexp_replace(F.lower("text"),
+                                                   r"\s+", " ")), " "))
+            .alias("n"),
+        ).collect()
+    }
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {d for d, n in words.items() if n > 0}
+    for d, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        assert sum(r["n_words"] for r in rows) == words[d]
+        idxs = [r["chunk_idx"] for r in rows]
+        assert idxs == list(range(idxs[0], idxs[0] + len(rows)))
+        # starts = running sum of preceding chunk lengths
+        acc = 0
+        for r in rows:
+            assert r["chunk_start"] == acc
+            acc += r["n_words"]
