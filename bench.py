@@ -184,6 +184,7 @@ HEADLINE = [
     "sql_lateral_topk",
     "decoded_audio_stats",
     "docs_cdc_incremental",
+    "similarity_matryoshka_recall",
 ]
 
 

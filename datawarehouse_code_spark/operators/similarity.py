@@ -141,6 +141,63 @@ def brute_force_topk(
     return _ranked_topk(pairs, k)
 
 
+def matryoshka_topk_recall(
+    embeddings: DataFrame,
+    prefix_dim: int = 16,
+    max_query_id: int = 100,
+    k: int = 5,
+) -> DataFrame:
+    """Prefix-truncation (Matryoshka) retrieval evaluation: rank
+    top-k by cosine over only the FIRST `prefix_dim` dimensions —
+    the cheap first-stage a Matryoshka-trained embedding enables
+    (Kusupati et al., NeurIPS'22: nested prefixes are themselves
+    usable embeddings) — and report, per query, how many of the
+    EXACT full-dimension top-k the truncated ranking kept.  The
+    measurement a pipeline needs before committing to a truncated
+    first stage: n_overlap/k is recall@k of the cheap ranker.
+
+    Both rankings are exact brute force under the shared floor-6 +
+    (sim desc, id asc) contract, so every value replays on DuckDB —
+    including queries the truncation fully misses (kept via the
+    left join, n_overlap = 0).
+
+    Scale shape: two broadcast-query rank passes (the brute_force
+    shape — at corpus scale the truncated pass is the one you'd run
+    over the full corpus at prefix_dim cost, the full-dim pass only
+    over a rerank window); the overlap join is (queries × k)-sized.
+    """
+    if prefix_dim < 1:
+        raise ValueError(f"prefix_dim must be >= 1: {prefix_dim}")
+    full = brute_force_topk(embeddings, max_query_id, k).select(
+        "query_id", "candidate_id"
+    )
+    truncated = brute_force_topk(
+        embeddings.select(
+            "vec_id",
+            F.slice(as_double_array(F.col("embedding")), 1, prefix_dim)
+            .alias("embedding"),
+        ),
+        max_query_id,
+        k,
+    ).select("query_id", "candidate_id")
+    overlap = (
+        full.join(truncated, ["query_id", "candidate_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        full.select("query_id").distinct()
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0))
+            .cast("bigint")
+            .alias("n_overlap"),
+            F.lit(k).cast("int").alias("k"),
+        )
+    )
+
+
 def lsh_signature(v: Column, n_planes: int, dim: int, table: int = 0) -> Column:
     """Sign pattern of `n_planes` hyperplane projections, packed into
     one integer bucket id.  Plane components are ±1 derived from

@@ -3031,6 +3031,73 @@ GROUP BY 1, 2
 """
 
 
+def _similarity_matryoshka_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka prefix-truncation evaluation (operators/similarity.py
+    matryoshka_topk_recall): top-5 by cosine over the first 16 of 64
+    dims vs the exact full-dim top-5, per-query overlap counts —
+    including zero-overlap queries (left join).  DuckDB replays both
+    exact rankings (shared floor-6 grain and tiebreaks, the
+    _SIM_BRUTE_SQL shape twice, once over v[1:16]) and the overlap
+    join."""
+    from datawarehouse_code_spark.operators.similarity import (
+        matryoshka_topk_recall,
+    )
+
+    return matryoshka_topk_recall(
+        read_table(spark, "embeddings", sf_dir), prefix_dim=16
+    )
+
+
+_MATRYOSHKA_SQL = """
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), fullv AS (
+  SELECT vec_id, v,
+         1.0 / sqrt(list_sum(list_transform(v, x -> x * x))) AS inv
+  FROM vecs
+), truncv AS (
+  SELECT vec_id, v[1:16] AS v,
+         1.0 / sqrt(list_sum(list_transform(v[1:16], x -> x * x))) AS inv
+  FROM vecs
+), fp AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+         (list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+          * q.inv) * c.inv AS sim
+  FROM fullv q JOIN fullv c ON q.vec_id < 100 AND q.vec_id <> c.vec_id
+), fr AS (
+  SELECT query_id, candidate_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY floor(sim * 1e6) / 1e6 DESC, candidate_id ASC) AS rk
+    FROM fp
+  ) WHERE rk <= 5
+), tp AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+         (list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+          * q.inv) * c.inv AS sim
+  FROM truncv q JOIN truncv c ON q.vec_id < 100 AND q.vec_id <> c.vec_id
+), tr AS (
+  SELECT query_id, candidate_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY floor(sim * 1e6) / 1e6 DESC, candidate_id ASC) AS rk
+    FROM tp
+  ) WHERE rk <= 5
+)
+SELECT q.query_id,
+       CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(5 AS INTEGER) AS k
+FROM (SELECT DISTINCT query_id FROM fr) q
+LEFT JOIN (
+  SELECT query_id, count(*) AS n_overlap
+  FROM fr JOIN tr USING (query_id, candidate_id)
+  GROUP BY 1
+) o USING (query_id)
+"""
+
+
 def _docs_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing near-dup pairs (operators/text.py
     winnowing_near_dup_pairs — the MOSS fingerprint scheme): 3-gram
@@ -3090,6 +3157,11 @@ LLM_SUPPLEMENTARY: list[Query] = [
     Query("docs_cdc_incremental", _docs_cdc_incremental, _CDC_INCR_SQL,
           "north-star: increment-vs-corpus shared-chunk matching "
           "through the persisted CDC index — cost ∝ increment "
+          "(supplementary, differential-tested)"),
+    Query("similarity_matryoshka_recall", _similarity_matryoshka_recall,
+          _MATRYOSHKA_SQL,
+          "north-star: Matryoshka prefix-truncation retrieval recall "
+          "— 16-of-64-dim top-k overlap vs exact full-dim top-k "
           "(supplementary, differential-tested)"),
     Query("similarity_topk_filtered", _similarity_topk_filtered,
           _SIM_FILTERED_SQL,

@@ -136,6 +136,8 @@ PLAN_BOUNDS = {
     "decoded_audio_stats": (2, 1),
     # increment chunking + index equi-join (measured 4/3)
     "docs_cdc_incremental": (6, 5),
+    # two broadcast-query brute rank passes + overlap join (16/8)
+    "similarity_matryoshka_recall": (24, 12),
 }
 
 
