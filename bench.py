@@ -185,6 +185,7 @@ HEADLINE = [
     "decoded_audio_stats",
     "docs_cdc_incremental",
     "similarity_matryoshka_recall",
+    "docs_winnowing_incremental",
 ]
 
 

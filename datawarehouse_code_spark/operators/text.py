@@ -1345,6 +1345,66 @@ def winnowing_fingerprints(
     )
 
 
+def build_winnowing_index(
+    documents: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    hot_fp_cap: int | None = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The persisted winnowing fingerprint index of a corpus:
+    (doc_id, fp) — the selected-minima set per document, computed
+    ONCE per corpus build, the winnowing sibling of build_lsh_index /
+    build_cdc_index.  `hot_fp_cap` drops corpus-wide boilerplate
+    fingerprints AT BUILD TIME (counted per distinct doc; singletons
+    kept so a future new doc can meet a so-far-unique corpus doc).
+    (k, w) are part of the index contract: increments must pass the
+    same values."""
+    fps = winnowing_fingerprints(
+        documents, k=k, w=w, text_col=text_col, id_col=id_col
+    )
+    if hot_fp_cap is not None:
+        wn = Window.partitionBy("fp")
+        fps = (
+            fps.withColumn("_nd", F.count(F.lit(1)).over(wn))
+            .filter(F.col("_nd") <= hot_fp_cap)
+            .drop("_nd")
+        )
+    return fps
+
+
+def winnowing_matches_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup matches between an increment and a PERSISTED
+    winnowing index: (d_new, d_corpus, n_shared) for every new doc
+    sharing ≥ `min_shared` selected fingerprints with a corpus doc —
+    the increment is fingerprinted fresh (cost ∝ |increment|), the
+    corpus is never re-read beyond the index equi-join.  The w+k−1
+    detection guarantee carries over: a new doc sharing a run that
+    long with a corpus doc shares ≥ 1 fingerprint with its index
+    rows (≥ min_shared tunes precision).  (k, w) must match the
+    index build."""
+    nf = winnowing_fingerprints(
+        new_docs, k=k, w=w, text_col=text_col, id_col=id_col
+    ).select(F.col(id_col).alias("d_new"), "fp")
+    idx = index.select(F.col(id_col).alias("d_corpus"), "fp")
+    return (
+        nf.join(idx, "fp")
+        .filter(F.col("d_new") != F.col("d_corpus"))
+        .groupBy("d_new", "d_corpus")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def winnowing_near_dup_pairs(
     documents: DataFrame,
     k: int = 3,

@@ -3112,7 +3112,7 @@ def _docs_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_near_dup_pairs(read_table(spark, "documents", sf_dir))
 
 
-_WINNOWING_SQL = f"""
+_WINNOWING_FPS_CTE = f"""
 WITH w AS (
   SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
 ), g AS (
@@ -3127,7 +3127,10 @@ WITH w AS (
   FROM g
 ), fps AS (
   SELECT DISTINCT doc_id, fp FROM m WHERE pos <= n - 4
-), cold AS (
+)"""
+
+_WINNOWING_SQL = f"""{_WINNOWING_FPS_CTE}
+, cold AS (
   SELECT fp FROM fps GROUP BY fp HAVING count(DISTINCT doc_id) <= 50
 ), capped AS (
   SELECT doc_id, fp FROM fps JOIN cold USING (fp)
@@ -3136,6 +3139,44 @@ SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
 FROM capped a JOIN capped b USING (fp)
 WHERE a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def _docs_winnowing_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Increment-vs-corpus winnowing through the persisted fingerprint
+    index (operators/text.py build_winnowing_index /
+    winnowing_matches_incremental): corpus = doc_id % 10 != 0,
+    increment = every 10th doc, min_shared = 1.  DuckDB replays both
+    fingerprint selections, the hot-fp cap (counted per distinct
+    corpus doc) and the pair counts."""
+    from datawarehouse_code_spark.operators.text import (
+        build_winnowing_index,
+        winnowing_matches_incremental,
+    )
+
+    docs = read_table(spark, "documents", sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    inc = docs.filter(F.col("doc_id") % 10 == 0)
+    return winnowing_matches_incremental(
+        inc, build_winnowing_index(corpus), min_shared=1
+    )
+
+
+_WINNOWING_INCR_SQL = f"""{_WINNOWING_FPS_CTE}
+, idx0 AS (
+  SELECT doc_id, fp FROM fps WHERE doc_id % 10 <> 0
+), cold AS (
+  SELECT fp FROM idx0 GROUP BY fp HAVING count(DISTINCT doc_id) <= 50
+), idx AS (
+  SELECT doc_id, fp FROM idx0 JOIN cold USING (fp)
+), inc AS (
+  SELECT doc_id, fp FROM fps WHERE doc_id % 10 = 0
+)
+SELECT inc.doc_id AS d_new, idx.doc_id AS d_corpus,
+       count(*) AS n_shared
+FROM inc JOIN idx USING (fp)
+WHERE inc.doc_id <> idx.doc_id
+GROUP BY 1, 2
 """
 
 
@@ -3162,6 +3203,11 @@ LLM_SUPPLEMENTARY: list[Query] = [
           _MATRYOSHKA_SQL,
           "north-star: Matryoshka prefix-truncation retrieval recall "
           "— 16-of-64-dim top-k overlap vs exact full-dim top-k "
+          "(supplementary, differential-tested)"),
+    Query("docs_winnowing_incremental", _docs_winnowing_incremental,
+          _WINNOWING_INCR_SQL,
+          "north-star: increment-vs-corpus winnowing matches through "
+          "the persisted fingerprint index — cost ∝ increment "
           "(supplementary, differential-tested)"),
     Query("similarity_topk_filtered", _similarity_topk_filtered,
           _SIM_FILTERED_SQL,

@@ -220,3 +220,40 @@ def test_cdc_chunks_partition_the_document(spark):
         for r in rows:
             assert r["chunk_start"] == acc
             acc += r["n_words"]
+
+
+def test_winnowing_incremental_matches_through_index(spark):
+    """Increment-vs-index winnowing: a new doc sharing a long run
+    with a corpus doc matches through the persisted fingerprint
+    index (min_shared=1 exercises the w+k-1 guarantee end-to-end);
+    an unrelated new doc matches nothing."""
+    from datawarehouse_code_spark.operators.text import (
+        build_winnowing_index,
+        winnowing_matches_incremental,
+    )
+
+    n = _vocab(40, False)
+    run = n[0:10]
+    corpus = spark.createDataFrame(
+        [
+            (1, " ".join(["c1a", "c1b"] + run + ["c1c"])),
+            (2, " ".join(n[20:32])),
+        ],
+        ["doc_id", "text"],
+    )
+    inc = spark.createDataFrame(
+        [
+            (500, " ".join(["n5a", "n5b", "n5c"] + run)),
+            (501, " ".join(f"q{i}z" for i in range(15))),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = build_winnowing_index(corpus)
+    got = {
+        (r["d_new"], r["d_corpus"]): r["n_shared"]
+        for r in winnowing_matches_incremental(
+            inc, idx, min_shared=1
+        ).collect()
+    }
+    assert (500, 1) in got and got[(500, 1)] >= 1, sorted(got)
+    assert all(d_new != 501 for d_new, _ in got)

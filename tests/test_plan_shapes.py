@@ -138,6 +138,8 @@ PLAN_BOUNDS = {
     "docs_cdc_incremental": (6, 5),
     # two broadcast-query brute rank passes + overlap join (16/8)
     "similarity_matryoshka_recall": (24, 12),
+    # increment fingerprinting + index equi-join (measured 4/3)
+    "docs_winnowing_incremental": (6, 5),
 }
 
 
