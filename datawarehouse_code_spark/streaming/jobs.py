@@ -459,6 +459,97 @@ def run_cdc_index_ingest(
     writer.start().awaitTermination()
 
 
+def run_cdc_gated_ingest(
+    docs: DataFrame,
+    target_path: str,
+    index_path: str,
+    checkpoint_dir: str | None = None,
+    min_shared: int = 2,
+    min_words: int = 3,
+    hot_chunk_cap: int = 5000,
+) -> None:
+    """Streaming corpus ingest with a CDC NEAR-DUP GATE — the
+    text-side sibling of run_ivf_ingest's semantic-dedup gate: per
+    micro-batch, chunk the arriving docs (content-defined, so a
+    shifted copy of already-ingested boilerplate still matches) and
+    REJECT any doc sharing ≥ `min_shared` (≥ `min_words`-word)
+    chunks with an already-INGESTED doc or with a smaller-id
+    batch-mate (the SemDeDup smaller-id drop convention).  Survivors
+    upsert into `target_path` and their chunks extend the index at
+    `index_path` — rejects enter NEITHER, so replays reject the same
+    ids deterministically (dedup-BEFORE-extend: later arrivals
+    resolve to indexed survivors, never to rejects).
+
+    Crash ordering: the table upsert commits BEFORE the index
+    extend; a crash between them replays the batch, whose docs pass
+    the gate unchanged (self-matches are excluded by doc id, and the
+    missing index rows are re-derived from the same text), re-upsert
+    identically, and complete the index — idempotent either way.
+
+    Scale shape per batch: the batch's narrow chunking + one
+    equi-join against the hot-capped index (per-chunk fan-out
+    bounded) + one batch-internal hash self-join + two keyed
+    upserts; the corpus is never re-chunked."""
+    from datawarehouse_code_spark.operators.text import (
+        cap_hot_chunks,
+        content_defined_chunks,
+    )
+    from datawarehouse_code_spark.sources.acid import (
+        _staged_overwrite,
+        table_exists,
+        upsert,
+    )
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        sp = batch.sparkSession
+        chunks = content_defined_chunks(batch).filter(
+            F.col("n_words") >= min_words
+        ).select("doc_id", "chunk_idx", "chunk_hash", "n_words")
+        # batch-internal: a doc sharing >= min_shared chunks with a
+        # SMALLER-id batch-mate is rejected (deterministic single
+        # pass — the smaller-id drop rule every dedup here uses)
+        a = chunks.select(F.col("doc_id").alias("_d1"), "chunk_hash")
+        b = chunks.select(F.col("doc_id").alias("_d2"), "chunk_hash")
+        internal = (
+            a.join(b, "chunk_hash")
+            .filter(F.col("_d1") < F.col("_d2"))
+            .groupBy("_d2")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= min_shared)
+            .select(F.col("_d2").alias("doc_id"))
+        )
+        rejected = internal
+        if table_exists(sp, index_path):
+            idx = cap_hot_chunks(
+                sp.read.parquet(index_path).select("doc_id", "chunk_hash"),
+                hot_chunk_cap,
+            ).select(F.col("doc_id").alias("_dc"), "chunk_hash")
+            cross = (
+                chunks.join(idx, "chunk_hash")
+                .filter(F.col("doc_id") != F.col("_dc"))
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") >= min_shared)
+                .select("doc_id")
+            )
+            rejected = rejected.unionByName(cross).distinct()
+        survivors = batch.join(rejected, "doc_id", "left_anti")
+        if table_exists(sp, target_path):
+            upsert(sp, target_path, survivors, ["doc_id"])
+        else:
+            _staged_overwrite(sp, survivors, target_path)
+        kept_chunks = chunks.join(rejected, "doc_id", "left_anti")
+        if table_exists(sp, index_path):
+            upsert(sp, index_path, kept_chunks, ["doc_id", "chunk_idx"])
+        else:
+            _staged_overwrite(sp, kept_chunks, index_path)
+
+    writer = docs.writeStream.foreachBatch(_apply).trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    writer.start().awaitTermination()
+
+
 def run_to_memory(
     result: DataFrame, table_name: str, output_mode: str = "complete"
 ) -> None:

@@ -917,3 +917,77 @@ def test_cdc_index_ingest_stream_equals_batch(spark, tmp_path):
     )
     matches = cdc_matches_incremental(inc, idx).collect()
     assert any(r["d_new"] == 990001 for r in matches)
+
+
+def test_cdc_gated_ingest_rejects_shifted_boilerplate(spark, tmp_path):
+    """The CDC ingest gate: a later batch's doc that repeats an
+    already-ingested doc's paragraphs AT A DIFFERENT OFFSET is
+    rejected (never lands in the table or the index); within one
+    batch the smaller-id copy survives; unique docs pass; a replay
+    with no new files changes nothing."""
+    import os
+    import time
+
+    from tests.test_cdc_winnowing import _vocab
+
+    from datawarehouse_code_spark.streaming.jobs import run_cdc_gated_ingest
+
+    b = _vocab(6, True)
+    n = _vocab(60, False)
+    # two complete >=3-word interior chunks: [b0 n0 n1 n2] and
+    # [b1 n3 n4 n5], both CLOSED by the trailing boundary b4 so their
+    # hashes are context-independent (a chunk ending at the block's
+    # edge would bleed into each doc's own following text)
+    boiler = [b[0], n[0], n[1], n[2], b[1], n[3], n[4], n[5], b[4]]
+    pairblk = [b[2], n[6], n[7], n[8], b[3], n[9], n[16], n[17], b[5]]
+    batch1 = [
+        (1, " ".join(n[10:14] + boiler + n[14:16])),
+        (2, " ".join(n[20:32])),
+    ]
+    batch2 = [
+        # shifted copy of doc 1's boilerplate -> cross-batch reject
+        (10, " ".join(n[33:42] + boiler)),
+        # intra-batch pair sharing boilerplate: 11 survives, 12 drops
+        (11, " ".join(n[42:44] + pairblk)),
+        (12, " ".join(pairblk + n[44:46])),
+        # unique doc -> ingested
+        (13, " ".join(f"u13w{i}" for i in range(14))),
+    ]
+    land = tmp_path / "landing"
+    land.mkdir()
+    now = time.time() - 600
+    for i, rows in enumerate((batch1, batch2)):
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        f = land / f"b{i}.parquet"
+        df.toPandas().to_parquet(f, index=False)
+        os.utime(f, (now + 60 * i, now + 60 * i))
+
+    target = str(tmp_path / "corpus")
+    index = str(tmp_path / "cdc_idx")
+
+    def stream():
+        return (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(land))
+        )
+
+    run_cdc_gated_ingest(stream(), target, index,
+                         checkpoint_dir=str(tmp_path / "ck"))
+    ingested = sorted(
+        r.doc_id for r in spark.read.parquet(target).collect()
+    )
+    assert ingested == [1, 2, 11, 13], ingested
+    idx_docs = set(r.doc_id for r in spark.read.parquet(index).collect())
+    # rejects never enter the index; survivors with >=3-word chunks do
+    assert {1, 11} <= idx_docs and not ({10, 12} & idx_docs), idx_docs
+
+    # replay with no new files: a no-op for both tables
+    before = (ingested, sorted(idx_docs))
+    run_cdc_gated_ingest(stream(), target, index,
+                         checkpoint_dir=str(tmp_path / "ck"))
+    after = (
+        sorted(r.doc_id for r in spark.read.parquet(target).collect()),
+        sorted(set(r.doc_id for r in spark.read.parquet(index).collect())),
+    )
+    assert after == before
