@@ -689,3 +689,35 @@ def test_cms_codec_and_merge_properties(depth, width, n_parts, data):
     )
     with pytest.raises(ValueError, match="different"):
         _cms_merge_bytes([parts[0], bumped])
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    sr=st.integers(1, 192000),
+    n_ch=st.integers(1, 4),
+    n_frames=st.integers(1, 64),
+    bits=st.sampled_from([8, 16]),
+    data=st.data(),
+)
+def test_wav_roundtrip_property(sr, n_ch, n_frames, bits, data):
+    """encode_pcm_wav -> decode_audio is bit-exact for ANY sample
+    content, width, channel count and rate — including extreme
+    values, and the centered-8-bit convention (v - 128)."""
+    from datawarehouse_code_spark.operators.multimodal import (
+        decode_audio,
+        encode_pcm_wav,
+    )
+
+    lo, hi = (0, 255) if bits == 8 else (-32768, 32767)
+    channels = [
+        data.draw(
+            st.lists(st.integers(lo, hi), min_size=n_frames,
+                     max_size=n_frames)
+        )
+        for _ in range(n_ch)
+    ]
+    r, nc, nf, arr = decode_audio(encode_pcm_wav(sr, channels, bits=bits))
+    assert (r, nc, nf) == (sr, n_ch, n_frames)
+    for c in range(n_ch):
+        want = channels[c] if bits == 16 else [v - 128 for v in channels[c]]
+        assert arr[:, c].tolist() == want
