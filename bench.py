@@ -186,6 +186,7 @@ HEADLINE = [
     "docs_cdc_incremental",
     "similarity_matryoshka_recall",
     "docs_winnowing_incremental",
+    "docs_shard_mix_quality",
 ]
 
 

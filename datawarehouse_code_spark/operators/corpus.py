@@ -608,6 +608,37 @@ def assign_shards(
     )
 
 
+def shard_mix_quality(
+    df: DataFrame,
+    n_shards: int,
+    strata_col: str,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Data-ORDERING diagnostic for trainer shards: per shard, how
+    clumped is `strata_col` along the loader's read order (ascending
+    `key_col`, the order export_shards hands a worker)?  Reports
+    integer adjacency counts — n_docs, n_adjacent (= n_docs − 1) and
+    n_same_strata (adjacent pairs sharing the stratum).  A
+    well-mixed shard reads n_same/n_adjacent ≈ Σ pₛ² (the mixture's
+    collision probability); a clumped one starves a data-parallel
+    worker of mixture diversity inside every gradient window, which
+    is invisible to the count-based balance checks.
+
+    Scale shape: the shard hash is a narrow projection; ONE window
+    partitioned by shard (never global) ordered by the key; one
+    grouped count.  Integer counts only — exact on every engine."""
+    shards = assign_shards(df, n_shards, key_col)
+    w = Window.partitionBy("shard_id").orderBy(key_col)
+    lagged = shards.withColumn("_prev", F.lag(strata_col).over(w))
+    return lagged.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("_prev").alias("n_adjacent"),
+        F.sum(
+            F.when(F.col("_prev") == F.col(strata_col), 1).otherwise(0)
+        ).cast("bigint").alias("n_same_strata"),
+    )
+
+
 def export_shards(
     df: DataFrame,
     path: str,

@@ -3142,6 +3142,37 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
 
+def _docs_shard_mix_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard data-ordering diagnostic (operators/corpus.py
+    shard_mix_quality): per trainer shard (knuth-hash over 8), the
+    adjacent-same-language counts along the loader's doc_id read
+    order.  DuckDB replays the shard hash, the per-shard lag window
+    and the integer adjacency counts."""
+    from datawarehouse_code_spark.operators.corpus import shard_mix_quality
+
+    return shard_mix_quality(
+        read_table(spark, "documents", sf_dir), 8, "lang"
+    )
+
+
+_SHARD_MIX_SQL = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         CAST(({knuth_hash_sql('doc_id')}) % 8 AS INTEGER) AS shard_id
+  FROM documents
+), lagged AS (
+  SELECT shard_id, lang,
+         lag(lang) OVER (PARTITION BY shard_id ORDER BY doc_id) AS prev
+  FROM s
+)
+SELECT shard_id, count(*) AS n_docs,
+       count(prev) AS n_adjacent,
+       CAST(sum(CASE WHEN prev = lang THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_same_strata
+FROM lagged GROUP BY shard_id
+"""
+
+
 def _docs_winnowing_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Increment-vs-corpus winnowing through the persisted fingerprint
     index (operators/text.py build_winnowing_index /
@@ -3208,6 +3239,11 @@ LLM_SUPPLEMENTARY: list[Query] = [
           _WINNOWING_INCR_SQL,
           "north-star: increment-vs-corpus winnowing matches through "
           "the persisted fingerprint index — cost ∝ increment "
+          "(supplementary, differential-tested)"),
+    Query("docs_shard_mix_quality", _docs_shard_mix_quality,
+          _SHARD_MIX_SQL,
+          "north-star: shard data-ordering diagnostic — per-shard "
+          "adjacent-same-language counts along the loader read order "
           "(supplementary, differential-tested)"),
     Query("similarity_topk_filtered", _similarity_topk_filtered,
           _SIM_FILTERED_SQL,

@@ -140,6 +140,8 @@ PLAN_BOUNDS = {
     "similarity_matryoshka_recall": (24, 12),
     # increment fingerprinting + index equi-join (measured 4/3)
     "docs_winnowing_incremental": (6, 5),
+    # narrow shard hash + one per-shard lag window + grouped count
+    "docs_shard_mix_quality": (2, 3),
 }
 
 
