@@ -187,6 +187,7 @@ HEADLINE = [
     "similarity_matryoshka_recall",
     "docs_winnowing_incremental",
     "docs_shard_mix_quality",
+    "docs_unigram_tokens",
 ]
 
 

@@ -237,3 +237,213 @@ def bpe_encode(
     return documents.withColumn(
         "tokens", enc(F.col(text_col))
     ).withColumn("n_tokens", F.size("tokens").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (the SentencePiece algorithm family, Kudo 2018):
+# seed-substring vocabulary + hard-EM Viterbi re-estimation + pruning.
+# The deterministic hard-EM variant is documented where it diverges from
+# the paper's soft EM (expected counts): Viterbi counts make every round
+# integer-exact and engine/partitioning-reproducible, the property every
+# trainer in this module guarantees.
+# ---------------------------------------------------------------------------
+
+
+def viterbi_segment(
+    word: str, logp: dict, max_piece_len: int, unk_logp: float
+) -> list[str]:
+    """Best segmentation of `word` under piece log-probs: maximize
+    total log-prob; ties break to FEWER pieces, then to the LONGER
+    last piece (a locally-decomposable total rule, so the DP is
+    deterministic).  Characters absent from the vocabulary segment as
+    single-char pieces at `unk_logp` — every word is segmentable.
+    Pure Python by design: the trainer broadcasts it in a pandas_udf
+    closure, the tests call it directly as the exact reference."""
+    n = len(word)
+    # best[i] = (score, -n_pieces, len_last, start_of_last)
+    best: list[tuple | None] = [None] * (n + 1)
+    best[0] = (0.0, 0, 0, 0)
+    for i in range(1, n + 1):
+        cand = None
+        for ln in range(1, min(max_piece_len, i) + 1):
+            j = i - ln
+            if best[j] is None:
+                continue
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                if ln > 1:
+                    continue
+                lp = unk_logp
+            s = (best[j][0] + lp, best[j][1] - 1, ln, j)
+            if cand is None or s > cand:
+                cand = s
+        best[i] = cand
+    out, i = [], n
+    while i > 0:
+        _, _, ln, j = best[i]
+        out.append(word[j:i])
+        i = j
+    return out[::-1]
+
+
+def _seed_pieces(
+    vocab: DataFrame, max_piece_len: int, seed_size: int
+) -> DataFrame:
+    """(piece, cnt): the `seed_size` highest-mass substrings of the
+    word-frequency table (length ≤ max_piece_len, weighted by word
+    count; ties lexicographic) UNIONED with every single character —
+    chars are never pruned, so segmentability is guaranteed.  The
+    substring generator is a pure array expression; selection is
+    orderBy().limit() → TakeOrderedAndProject (no global window)."""
+    subs = vocab.select(
+        "n",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda i: F.transform(
+                        F.sequence(
+                            i,
+                            F.least(
+                                i + F.lit(max_piece_len - 1),
+                                F.length("word"),
+                            ),
+                        ),
+                        lambda j: F.col("word").substr(i, j - i + 1),
+                    ),
+                )
+            )
+        ).alias("piece"),
+    )
+    counts = subs.groupBy("piece").agg(F.sum("n").alias("cnt"))
+    top = counts.filter(F.length("piece") > 1).orderBy(
+        F.col("cnt").desc(), F.col("piece").asc()
+    ).limit(seed_size)
+    chars = counts.filter(F.length("piece") == 1)
+    return top.unionByName(chars)
+
+
+def unigram_train(
+    documents: DataFrame,
+    vocab_size: int = 200,
+    n_iters: int = 3,
+    max_piece_len: int = 4,
+    seed_size: int = 2000,
+    text_col: str = "text",
+    vocab_cap: int | None = None,
+) -> list[tuple[str, int]]:
+    """Learn a unigram-LM piece vocabulary: seed with the
+    highest-mass substrings, then `n_iters` rounds of hard EM —
+    Viterbi-segment every DISTINCT word under the current piece
+    probabilities (a pandas_udf over the word-frequency table, piece
+    table riding the closure), re-count pieces weighted by word
+    frequency, prune to the `vocab_size` highest-count pieces
+    (single characters always kept).  Returns [(piece, count)] sorted
+    (count desc, piece asc).
+
+    Determinism: hard-EM integer counts + the viterbi_segment
+    tiebreak rule make every round a pure function of the corpus —
+    reproducible across partitionings (pinned by test).
+
+    Scale shape: training touches the WORD-FREQUENCY table (the BPE
+    optimization above), one Arrow-batched Viterbi pass + one
+    vocab-sized count aggregation per round; per-round piece counts
+    COLLECT to the driver (bounded by seed_size — the codebook-sized
+    driver hop every trainer here uses).  Encoding (unigram_encode)
+    is the corpus-sized step and stays fully distributed."""
+    import math
+
+    if vocab_size < 1 or n_iters < 1 or max_piece_len < 1:
+        raise ValueError("vocab_size, n_iters, max_piece_len must be >= 1")
+    vocab = word_frequency_table(documents, text_col, vocab_cap)
+    pieces = {
+        r["piece"]: int(r["cnt"])
+        for r in _seed_pieces(vocab, max_piece_len, seed_size).collect()
+    }
+
+    def _logp(counts: dict) -> tuple[dict, float]:
+        total = sum(counts.values()) + len(counts) + 1
+        lp = {
+            p: math.log((c + 1) / total) for p, c in counts.items()
+        }
+        return lp, math.log(1 / total)
+
+    for _ in range(n_iters):
+        lp, unk = _logp(pieces)
+        mpl = max_piece_len
+
+        @pandas_udf("array<string>")
+        def _seg(ws: pd.Series) -> pd.Series:
+            return pd.Series(
+                [viterbi_segment(w, lp, mpl, unk) for w in ws]
+            )
+
+        counted = (
+            vocab.select("n", F.explode(_seg(F.col("word"))).alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("n").alias("cnt"))
+            .collect()
+        )
+        new = {r["piece"]: int(r["cnt"]) for r in counted}
+        # prune: top vocab_size by (count desc, piece asc); single
+        # chars survive regardless (zero-count kept chars re-enter at
+        # count 0 so segmentability never regresses)
+        ranked = sorted(new.items(), key=lambda kv: (-kv[1], kv[0]))
+        kept = dict(ranked[:vocab_size])
+        for p in pieces:
+            if len(p) == 1:
+                kept.setdefault(p, new.get(p, 0))
+        pieces = kept
+    return sorted(pieces.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def unigram_encode_udf(pieces: list[tuple[str, int]], max_piece_len: int = 4):
+    """Arrow-batched corpus encoder: text → array<string> of unigram
+    pieces (Viterbi per word, concatenated; per-batch memo — the
+    bpe_encode_udf shape)."""
+    import math
+
+    counts = dict(pieces)
+    total = sum(counts.values()) + len(counts) + 1
+    lp = {p: math.log((c + 1) / total) for p, c in counts.items()}
+    unk = math.log(1 / total)
+    mpl = max_piece_len
+
+    @pandas_udf("array<string>")
+    def _encode(texts: pd.Series) -> pd.Series:
+        import re
+
+        memo: dict[str, list[str]] = {}
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            norm = re.sub(r"\s+", " ", t.lower()).strip()
+            tokens: list[str] = []
+            for w in norm.split(" "):
+                if not w:
+                    continue
+                if w not in memo:
+                    memo[w] = viterbi_segment(w, lp, mpl, unk)
+                tokens.extend(memo[w])
+            out.append(tokens)
+        return pd.Series(out)
+
+    return _encode
+
+
+def unigram_encode(
+    documents: DataFrame,
+    pieces: list[tuple[str, int]],
+    text_col: str = "text",
+    max_piece_len: int = 4,
+) -> DataFrame:
+    """documents + `tokens` (array<string>) + `n_tokens` under the
+    unigram vocabulary — drop-in beside bpe_encode for
+    pack_sequences."""
+    enc = unigram_encode_udf(pieces, max_piece_len)
+    return documents.withColumn(
+        "tokens", enc(F.col(text_col))
+    ).withColumn("n_tokens", F.size("tokens").cast("bigint"))

@@ -3142,6 +3142,30 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
 
+def _docs_unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer end-to-end (operators/tokenizer.py
+    unigram_train / unigram_encode — the SentencePiece algorithm
+    family beside the BPE trainer): train a 120-piece vocabulary
+    (hard-EM Viterbi, 2 rounds) on the corpus's word-frequency table,
+    encode every document, report per-doc token counts.  Rows-only:
+    the Viterbi DP is not SQL-expressible — the exact twin is the
+    brute-force segmentation enumeration + roundtrip + cross-
+    partitioning determinism pins in tests/test_unigram_tokenizer.py."""
+    from datawarehouse_code_spark.operators.tokenizer import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    docs = read_table(spark, "documents", sf_dir)
+    pieces = unigram_train(
+        docs, vocab_size=120, n_iters=2, max_piece_len=3, seed_size=400
+    )
+    return unigram_encode(docs, pieces).select(
+        "doc_id", "n_tokens",
+        F.size(F.array_distinct("tokens")).cast("int").alias("n_distinct"),
+    )
+
+
 def _docs_shard_mix_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard data-ordering diagnostic (operators/corpus.py
     shard_mix_quality): per trainer shard (knuth-hash over 8), the
@@ -3245,6 +3269,10 @@ LLM_SUPPLEMENTARY: list[Query] = [
           "north-star: shard data-ordering diagnostic — per-shard "
           "adjacent-same-language counts along the loader read order "
           "(supplementary, differential-tested)"),
+    Query("docs_unigram_tokens", _docs_unigram_tokens, None,
+          "north-star: unigram-LM tokenizer train + encode "
+          "(rows-only; exact twin = brute-force Viterbi enumeration "
+          "in tests/test_unigram_tokenizer.py)"),
     Query("similarity_topk_filtered", _similarity_topk_filtered,
           _SIM_FILTERED_SQL,
           "north-star: metadata-filtered ANN — candidates restricted "
