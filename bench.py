@@ -188,6 +188,7 @@ HEADLINE = [
     "docs_winnowing_incremental",
     "docs_shard_mix_quality",
     "docs_unigram_tokens",
+    "docs_cdc_containment",
 ]
 
 

@@ -1345,6 +1345,70 @@ def winnowing_fingerprints(
     )
 
 
+def cdc_containment(
+    documents: DataFrame,
+    min_words: int = 3,
+    min_containment_f4: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boundary_hexes: tuple[str, ...] = ("0", "1"),
+) -> DataFrame:
+    """ASYMMETRIC overlap — the quote/subset detector symmetric pair
+    scores miss: containment(d1 in d2) = shared distinct-chunk words
+    / d1's distinct-chunk words, at the ≥ `min_words` CDC chunk grain
+    (shift-robust, so a quoted passage matches wherever it lands).  A
+    short doc fully quoted inside a long one scores ~1.0 here but low
+    Jaccard; dedup pipelines drop or attribute such subsumed docs.
+
+    Exactness: numerator and denominator are exact integer word
+    counts over DISTINCT chunk hashes per doc; the reported
+    containment_f4 is floor-scaled (the engine-shared grain), and the
+    integers ride along so the oracle checks them too.  Output rows:
+    (d1, d2, shared_words, d1_words, containment_f4) with d1 != d2 —
+    directional, both directions reported when both clear the
+    threshold.
+
+    Scale shape: content_defined_chunks + one per-doc distinct, one
+    chunk_hash equi-join (duplication-sized after the threshold), one
+    grouped sum — no all-pairs anywhere."""
+    chunks = (
+        content_defined_chunks(
+            documents, text_col=text_col, id_col=id_col,
+            boundary_hexes=boundary_hexes,
+        )
+        .filter(F.col("n_words") >= min_words)
+        .select(id_col, "chunk_hash", "n_words")
+        .distinct()
+    )
+    totals = chunks.groupBy(id_col).agg(
+        F.sum("n_words").alias("d1_words")
+    )
+    a = chunks.select(
+        F.col(id_col).alias("d1"), "chunk_hash", "n_words"
+    )
+    b = chunks.select(F.col(id_col).alias("d2"), "chunk_hash")
+    shared = (
+        a.join(b, "chunk_hash")
+        .filter(F.col("d1") != F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.sum("n_words").alias("shared_words"))
+    )
+    return (
+        shared.join(totals.withColumnRenamed(id_col, "d1"), "d1")
+        .withColumn(
+            # shared*1e4 first (exact in a double for any corpus-real
+            # count), then ONE division — the same literal association
+            # the oracle uses, so the floor can't flip on the last ulp
+            "containment_f4",
+            F.floor(
+                F.col("shared_words") * F.lit(1e4) / F.col("d1_words")
+            ) / 1e4,
+        )
+        .filter(F.col("containment_f4") >= min_containment_f4)
+        .select("d1", "d2", "shared_words", "d1_words", "containment_f4")
+    )
+
+
 def build_winnowing_index(
     documents: DataFrame,
     k: int = 3,

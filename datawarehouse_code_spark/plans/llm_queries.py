@@ -3142,6 +3142,38 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
 
+def _docs_cdc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric chunk containment (operators/text.py
+    cdc_containment): directional shared-distinct-chunk-word ratios
+    at the ≥3-word CDC grain, threshold 0.5 — the quote/subset
+    report.  DuckDB replays the chunking, the per-doc distinct, the
+    integer sums and the floor-4 ratio."""
+    from datawarehouse_code_spark.operators.text import cdc_containment
+
+    return cdc_containment(read_table(spark, "documents", sf_dir))
+
+
+_CDC_CONTAIN_SQL = f"""{_CDC_CHUNKS_CTE}
+, dchunks AS (
+  SELECT DISTINCT doc_id, chunk_hash, n_words
+  FROM chunks WHERE n_words >= 3
+), totals AS (
+  SELECT doc_id AS d1, CAST(sum(n_words) AS BIGINT) AS d1_words
+  FROM dchunks GROUP BY 1
+), shared AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         CAST(sum(a.n_words) AS BIGINT) AS shared_words
+  FROM dchunks a JOIN dchunks b USING (chunk_hash)
+  WHERE a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, shared_words, d1_words,
+       floor(shared_words * 1e4 / d1_words) / 1e4 AS containment_f4
+FROM shared JOIN totals USING (d1)
+WHERE floor(shared_words * 1e4 / d1_words) / 1e4 >= 0.5
+"""
+
+
 def _docs_unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM tokenizer end-to-end (operators/tokenizer.py
     unigram_train / unigram_encode — the SentencePiece algorithm
@@ -3273,6 +3305,11 @@ LLM_SUPPLEMENTARY: list[Query] = [
           "north-star: unigram-LM tokenizer train + encode "
           "(rows-only; exact twin = brute-force Viterbi enumeration "
           "in tests/test_unigram_tokenizer.py)"),
+    Query("docs_cdc_containment", _docs_cdc_containment,
+          _CDC_CONTAIN_SQL,
+          "north-star: asymmetric chunk containment — the "
+          "quote/subset report symmetric scores miss "
+          "(supplementary, differential-tested)"),
     Query("similarity_topk_filtered", _similarity_topk_filtered,
           _SIM_FILTERED_SQL,
           "north-star: metadata-filtered ANN — candidates restricted "

@@ -257,3 +257,29 @@ def test_winnowing_incremental_matches_through_index(spark):
     }
     assert (500, 1) in got and got[(500, 1)] >= 1, sorted(got)
     assert all(d_new != 501 for d_new, _ in got)
+
+
+def test_cdc_containment_asymmetry(spark):
+    """A short doc fully quoted inside a long one: containment(short
+    in long) ~ 1.0, containment(long in short) well below — the
+    directional signal symmetric pair scores miss."""
+    from datawarehouse_code_spark.operators.text import cdc_containment
+
+    b = _vocab(4, True)
+    n = _vocab(40, False)
+    quoted = [b[0], n[0], n[1], n[2], b[1], n[3], n[4], n[5], b[2]]
+    long_doc = n[10:20] + quoted + n[20:34]
+    docs = spark.createDataFrame(
+        [(1, " ".join(quoted)), (2, " ".join(long_doc))],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["d1"], r["d2"]): r
+        for r in cdc_containment(docs, min_containment_f4=0.0).collect()
+    }
+    assert (1, 2) in got
+    fwd = got[(1, 2)]
+    assert fwd["containment_f4"] >= 0.8, fwd
+    assert fwd["shared_words"] <= fwd["d1_words"]
+    if (2, 1) in got:
+        assert got[(2, 1)]["containment_f4"] < fwd["containment_f4"]

@@ -142,6 +142,8 @@ PLAN_BOUNDS = {
     "docs_winnowing_incremental": (6, 5),
     # narrow shard hash + one per-shard lag window + grouped count
     "docs_shard_mix_quality": (2, 3),
+    # chunk + distinct + hash self-join + totals join (measured 6/3)
+    "docs_cdc_containment": (9, 5),
 }
 
 
