@@ -1490,9 +1490,14 @@ def winnowing_near_dup_pairs(
     Scale shape: fingerprint table (a 2/(w+1) fraction of the k-gram
     table) → hot-fp cap BEFORE the self-join → join fan-out bounded
     by max_docs_per_fp² per fingerprint → one (d1, d2) count."""
+    # localCheckpoint, not the session-auto strategy: this is a QUERY
+    # (one ephemeral materialization), and the fingerprint table feeds
+    # THREE consumers below (the cap count and both self-join sides) —
+    # without the cut each one re-runs the gram/window pipeline
+    # (measured 3.8 s → 2.5 s at sf0.1)
     fps = winnowing_fingerprints(
         documents, k=k, w=w, text_col=text_col, id_col=id_col
-    )
+    ).localCheckpoint(eager=True)
     cold = (
         fps.groupBy("fp")
         .agg(F.countDistinct(id_col).alias("_nd"))
