@@ -1122,6 +1122,40 @@ def forget_documents(
     return report
 
 
+def forget_index_rows(
+    spark: SparkSession,
+    index_path: str,
+    doc_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> int:
+    """Right-to-be-forgotten for ANY doc-keyed persisted side table —
+    the CDC chunk index, the winnowing fingerprint index, or any
+    future detector's index (the LSH leg rides forget_documents; the
+    IVF leg is similarity.forget_vectors, which needs partition
+    surgery).  Every such index is keyed by the doc id, and deleting
+    one doc's rows never changes another doc's rows (chunk hashes and
+    selected fingerprints are per-doc pure functions), so deletion is
+    one null-safe anti-join + crash-recoverable staged overwrite.
+    Returns the number of rows removed — the audit figure a deletion
+    request must report.  After the call, increments can never match
+    the forgotten doc again (pinned by test)."""
+    from datawarehouse_code_spark.sources.acid import (
+        _staged_overwrite,
+        table_exists,
+    )
+
+    if not table_exists(spark, index_path):
+        raise ValueError(f"no index table at {index_path}")
+    ids = doc_ids.select(F.col(id_col)).distinct()
+    index = spark.read.parquet(index_path)
+    before = index.count()
+    kept = index.join(ids, id_col, "left_anti").persist()
+    removed = before - kept.count()
+    _staged_overwrite(spark, kept, index_path)
+    kept.unpersist()
+    return removed
+
+
 def select_canonical(
     documents: DataFrame,
     pairs: DataFrame,

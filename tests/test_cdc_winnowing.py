@@ -283,3 +283,59 @@ def test_cdc_containment_asymmetry(spark):
     assert fwd["shared_words"] <= fwd["d1_words"]
     if (2, 1) in got:
         assert got[(2, 1)]["containment_f4"] < fwd["containment_f4"]
+
+
+def test_forget_index_rows_cdc_and_winnowing(spark, tmp_path):
+    """RTBF for the persisted CDC and winnowing indexes: after
+    forget_index_rows, the forgotten doc's rows are gone, removal
+    counts are exact, and an increment that previously matched the
+    forgotten doc no longer matches anything."""
+    from datawarehouse_code_spark.operators.corpus import forget_index_rows
+    from datawarehouse_code_spark.operators.text import (
+        build_cdc_index,
+        build_winnowing_index,
+        cdc_matches_incremental,
+        winnowing_matches_incremental,
+    )
+
+    b = _vocab(3, True)
+    n = _vocab(40, False)
+    shared = [b[0], n[0], n[1], n[2], b[1], n[3], n[4], n[5], b[2]]
+    corpus = spark.createDataFrame(
+        [(1, " ".join(n[10:14] + shared)), (2, " ".join(n[20:32]))],
+        ["doc_id", "text"],
+    )
+    inc = spark.createDataFrame(
+        [(100, " ".join(n[33:39] + shared))], ["doc_id", "text"]
+    )
+    cdc_path = str(tmp_path / "cdc")
+    win_path = str(tmp_path / "win")
+    build_cdc_index(corpus).write.parquet(cdc_path)
+    build_winnowing_index(corpus).write.parquet(win_path)
+
+    assert cdc_matches_incremental(
+        inc, spark.read.parquet(cdc_path)
+    ).count() > 0
+    assert winnowing_matches_incremental(
+        inc, spark.read.parquet(win_path), min_shared=1
+    ).count() > 0
+
+    ids = spark.createDataFrame([(1,)], ["doc_id"])
+    n_cdc = forget_index_rows(spark, cdc_path, ids)
+    n_win = forget_index_rows(spark, win_path, ids)
+    assert n_cdc > 0 and n_win > 0
+
+    for path in (cdc_path, win_path):
+        left = set(r.doc_id for r in spark.read.parquet(path).collect())
+        assert 1 not in left and 2 in left
+    assert cdc_matches_incremental(
+        inc, spark.read.parquet(cdc_path)
+    ).count() == 0
+    assert winnowing_matches_incremental(
+        inc, spark.read.parquet(win_path), min_shared=1
+    ).count() == 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="no index table"):
+        forget_index_rows(spark, str(tmp_path / "missing"), ids)
