@@ -53,8 +53,12 @@ def _load_frozen_baseline() -> dict[str, float]:
                 in_section = line.startswith("## Canonical frozen baseline")
                 continue
             if in_section:
+                # integer-seconds rows are valid freezes too (r12
+                # ADVICE: requiring a decimal point silently dropped
+                # any future '| row | 2 |' from baseline_ratio)
                 m = re.match(
-                    r"\|\s*([a-z0-9_]+)\s*\|\s*([0-9]+\.[0-9]+)\s*\|", line
+                    r"\|\s*([a-z0-9_]+)\s*\|\s*([0-9]+(?:\.[0-9]+)?)\s*\|",
+                    line,
                 )
                 if m:
                     rows[m.group(1)] = float(m.group(2))
