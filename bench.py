@@ -193,6 +193,12 @@ HEADLINE = [
     "docs_shard_mix_quality",
     "docs_unigram_tokens",
     "docs_cdc_containment",
+    # round-12 additions (no frozen row yet; ratios appear once a
+    # later round freezes them).  The two suites are round-12
+    # consolidations — their constituents keep their own frozen rows
+    # above, like-for-like.
+    "shift_robust_dedup_suite",
+    "media_suite",
 ]
 
 

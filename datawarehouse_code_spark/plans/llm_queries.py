@@ -2578,7 +2578,10 @@ FROM spans
 """
 
 
-LLM_QUERIES: list[Query] = [
+# LLM_QUERIES (the driver-row list) is defined at the BOTTOM of this
+# module, after the round-12 consolidation suites it references — the
+# plan functions above and below are unaffected.
+_LLM_DRIVER_ROWS_HEAD: list[Query] = [
     Query("dedup_suite", _dedup_suite, _DEDUP_SUITE_SQL,
           "north-star: exact content-hash dedup + n-gram Jaccard pairs + min-md5 fingerprints"),
     Query("planted_recall_suite", _planted_recall_suite, _PLANTED_RECALL_SQL,
@@ -2604,8 +2607,6 @@ LLM_QUERIES: list[Query] = [
     # entries of a 60-entry registry).
     Query("dedup_simhash_pairs", _dedup_simhash_pairs, None,
           "north-star: SimHash hamming<=3 near-dup pairs via 15-bit bands (rows-only)"),
-    Query("text_token_stats", _text_token_stats, _TOKEN_STATS_SQL,
-          "north-star: token counting + quality features"),
     Query("lang_suite", _lang_suite, _LANG_SUITE_SQL,
           "north-star: language rollup + per-doc marker language-ID + "
           "percentile/stats parity (absorbed lang_stats_suite, round 8)"),
@@ -2630,9 +2631,6 @@ LLM_QUERIES: list[Query] = [
           "rerank retrieval top-k, labeled (consolidated round 10)"),
     Query("similarity_topk_lsh", _similarity_topk_lsh, None,
           "north-star: LSH-bucketed cosine top-k (rows-only; exact twin = bruteforce)"),
-    Query("multimodal_suite", _multimodal_suite, _MULTIMODAL_SUITE_SQL,
-          "north-star: media feature extraction + frame sampling + "
-          "pure-Python PPM decode, labeled (consolidated round 10)"),
     Query("docs_semantic_dedup", _docs_semantic_dedup, _SEMANTIC_DEDUP_SQL,
           "north-star: SemDeDup-style embedding-space dedup — planted "
           "exact twins + natural borderline pairs, smaller-id drop "
@@ -3267,7 +3265,159 @@ GROUP BY 1, 2
 """
 
 
+def _shift_robust_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shift-robust dedup family as ONE labeled driver row
+    (consolidated round 12 per the r11 verdict): content-defined
+    chunk sharing, asymmetric chunk containment, winnowing (MOSS)
+    fingerprint pairs, and one increment-vs-persisted-CDC-index leg —
+    the detectors that survive a one-word insertion where fixed
+    k-gram spans break.  Normalized columns per the suite convention:
+    k1 is the constituent's natural key rendered as a string
+    (chunk_hash for 'shared', the left doc id otherwise), d2 the
+    right doc id (min_doc_id for 'shared'), n1..n3 the integer
+    payload, v the containment ratio.
+
+      part='shared':   k1=chunk_hash, d2=min_doc_id, n1=n_docs,
+                       n2=n_occurrences, n3=n_words
+      part='contain':  k1=d1, d2=d2, n1=shared_words, n2=d1_words,
+                       v=containment_f4
+      part='winnow':   k1=d1, d2=d2, n1=n_shared
+      part='cdc_incr': k1=d_new, d2=d_corpus, n1=n_shared_chunks,
+                       n2=n_shared_words
+    """
+    shared = _docs_cdc_shared_chunks(spark, sf_dir).select(
+        F.lit("shared").alias("part"),
+        F.col("chunk_hash").alias("k1"),
+        F.col("min_doc_id").cast("bigint").alias("d2"),
+        F.col("n_docs").cast("bigint").alias("n1"),
+        F.col("n_occurrences").cast("bigint").alias("n2"),
+        F.col("n_words").cast("bigint").alias("n3"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    contain = _docs_cdc_containment(spark, sf_dir).select(
+        F.lit("contain").alias("part"),
+        F.col("d1").cast("string").alias("k1"),
+        F.col("d2").cast("bigint").alias("d2"),
+        F.col("shared_words").cast("bigint").alias("n1"),
+        F.col("d1_words").cast("bigint").alias("n2"),
+        F.lit(None).cast("bigint").alias("n3"),
+        F.col("containment_f4").alias("v"),
+    )
+    winnow = _docs_winnowing_pairs(spark, sf_dir).select(
+        F.lit("winnow").alias("part"),
+        F.col("d1").cast("string").alias("k1"),
+        F.col("d2").cast("bigint").alias("d2"),
+        F.col("n_shared").cast("bigint").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.lit(None).cast("bigint").alias("n3"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    cdc_incr = _docs_cdc_incremental(spark, sf_dir).select(
+        F.lit("cdc_incr").alias("part"),
+        F.col("d_new").cast("string").alias("k1"),
+        F.col("d_corpus").cast("bigint").alias("d2"),
+        F.col("n_shared_chunks").cast("bigint").alias("n1"),
+        F.col("n_shared_words").cast("bigint").alias("n2"),
+        F.lit(None).cast("bigint").alias("n3"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    return (
+        shared.unionByName(contain).unionByName(winnow).unionByName(cdc_incr)
+    )
+
+
+_SHIFT_ROBUST_SQL = f"""
+SELECT 'shared' AS part, chunk_hash AS k1,
+       CAST(min_doc_id AS BIGINT) AS d2, CAST(n_docs AS BIGINT) AS n1,
+       CAST(n_occurrences AS BIGINT) AS n2, CAST(n_words AS BIGINT) AS n3,
+       CAST(NULL AS DOUBLE) AS v
+FROM ({_CDC_SHARED_SQL})
+UNION ALL
+SELECT 'contain', CAST(d1 AS VARCHAR), CAST(d2 AS BIGINT),
+       CAST(shared_words AS BIGINT), CAST(d1_words AS BIGINT),
+       CAST(NULL AS BIGINT), containment_f4
+FROM ({_CDC_CONTAIN_SQL})
+UNION ALL
+SELECT 'winnow', CAST(d1 AS VARCHAR), CAST(d2 AS BIGINT),
+       CAST(n_shared AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+FROM ({_WINNOWING_SQL})
+UNION ALL
+SELECT 'cdc_incr', CAST(d_new AS VARCHAR), CAST(d_corpus AS BIGINT),
+       CAST(n_shared_chunks AS BIGINT), CAST(n_shared_words AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+FROM ({_CDC_INCR_SQL})
+"""
+
+
+def _media_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every media lane as ONE labeled driver row (consolidated round
+    12 per the r11 verdict: multimodal_suite's image legs + the audio
+    decode lane).  Parts 'features'/'frames'/'ppm'/'png' are the
+    multimodal_suite legs unchanged; part='audio' is the WAV/PCM
+    decode lane (decoded_audio_stats).  The suite widens the
+    normalized payload to n1..n6 because the audio leg carries six
+    numbers (sample_rate, n_channels, n_frames, sum_abs, peak_abs,
+    n_zero_cross); image legs put NULL in n6."""
+    images = _multimodal_suite(spark, sf_dir).withColumn(
+        "n6", F.lit(None).cast("bigint")
+    )
+    audio = _decoded_audio_stats(spark, sf_dir).select(
+        F.lit("audio").alias("part"),
+        "media_id",
+        F.lit(None).cast("string").alias("s1"),
+        F.col("sample_rate").cast("bigint").alias("n1"),
+        F.col("n_channels").cast("bigint").alias("n2"),
+        F.col("n_frames").cast("bigint").alias("n3"),
+        F.col("sum_abs").cast("bigint").alias("n4"),
+        F.col("peak_abs").cast("bigint").alias("n5"),
+        F.col("n_zero_cross").cast("bigint").alias("n6"),
+    )
+    return images.unionByName(audio)
+
+
+_MEDIA_SUITE_SQL = f"""
+SELECT part, media_id, s1, n1, n2, n3, n4, n5, CAST(NULL AS BIGINT) AS n6
+FROM ({_MULTIMODAL_SUITE_SQL})
+UNION ALL
+SELECT 'audio', media_id, CAST(NULL AS VARCHAR),
+       CAST(sample_rate AS BIGINT), CAST(n_channels AS BIGINT),
+       CAST(n_frames AS BIGINT), CAST(sum_abs AS BIGINT),
+       CAST(peak_abs AS BIGINT), CAST(n_zero_cross AS BIGINT)
+FROM ({_AUDIO_STATS_SQL})
+"""
+
+
+# Driver rows: the head list (defined above, before the round-12
+# consolidation suites existed) plus the suites promoting the CDC/
+# winnowing family and the audio lane into the driver window.  The
+# demoted rows (multimodal_suite, text_token_stats) move to
+# LLM_SUPPLEMENTARY below, keeping their frozen bench rows
+# like-for-like.
+LLM_QUERIES: list[Query] = [
+    *_LLM_DRIVER_ROWS_HEAD,
+    Query("shift_robust_dedup_suite", _shift_robust_dedup_suite,
+          _SHIFT_ROBUST_SQL,
+          "north-star: the shift-robust dedup family — CDC shared "
+          "chunks + asymmetric containment + winnowing pairs + one "
+          "increment-vs-persisted-index leg, labeled (consolidated "
+          "round 12)"),
+    Query("media_suite", _media_suite, _MEDIA_SUITE_SQL,
+          "north-star: every media lane — image feature extraction + "
+          "frame sampling + PPM/PNG pure-Python decode + WAV/PCM "
+          "audio decode, labeled (consolidated round 12)"),
+]
+
 LLM_SUPPLEMENTARY: list[Query] = [
+    Query("multimodal_suite", _multimodal_suite, _MULTIMODAL_SUITE_SQL,
+          "north-star: media feature extraction + frame sampling + "
+          "pure-Python PPM/PNG decode (driver row rounds 10-11, the "
+          "image legs of media_suite since round 12; keeps its "
+          "frozen bench row like-for-like)"),
+    Query("text_token_stats", _text_token_stats, _TOKEN_STATS_SQL,
+          "north-star: token counting + quality features (driver row "
+          "rounds 2-11, demoted round 12 to free a window slot; "
+          "keeps its frozen bench row like-for-like)"),
     Query("docs_cdc_shared_chunks", _docs_cdc_shared_chunks,
           _CDC_SHARED_SQL,
           "north-star: content-defined chunk dedup — shift-robust "

@@ -144,6 +144,11 @@ PLAN_BOUNDS = {
     "docs_shard_mix_quality": (2, 3),
     # chunk + distinct + hash self-join + totals join (measured 6/3)
     "docs_cdc_containment": (9, 5),
+    # round-12 consolidation suites: bounds are the constituent sums
+    # (each leg rebuilds its own pipeline by design at fixture scale;
+    # the constituents' tighter bounds above pin the per-leg shapes)
+    "shift_robust_dedup_suite": (30, 24),
+    "media_suite": (9, 8),
 }
 
 
