@@ -892,14 +892,23 @@ def _decode_pillow(data: bytes) -> tuple[int, int, int, bytes]:
     if img.mode == "P":
         img = img.convert("RGB")
     elif img.mode in ("I", "I;16", "I;16B", "I;16L", "F"):
-        # >8-bit single-channel: scale to 8-bit gray (PIL's plain
-        # convert("L") truncates instead of scaling 16-bit values)
+        # >8-bit single-channel: scale to 8-bit gray with a FIXED
+        # divisor per mode (PIL's plain convert("L") truncates instead
+        # of scaling 16-bit values).  Fixed, never content-dependent:
+        # scaling by the image's own max would make two crops of the
+        # same image decode to different gray levels.  'I' is a 32-bit
+        # container but every real producer (16-bit PNG/TIFF via
+        # Pillow) fills it with 16-bit sample values, so it shares the
+        # 65535 depth divisor; 'F' is defined on [0, 1] and clamps.
         import numpy as np
 
         arr = np.asarray(img, dtype=np.float64)
-        peak = 65535.0 if "16" in img.mode else max(float(arr.max()), 1.0)
+        if img.mode == "F":
+            arr = arr.clip(0.0, 1.0) * 255.0
+        else:
+            arr = arr / 65535.0 * 255.0
         img = Image.fromarray(
-            (arr / peak * 255.0).round().clip(0, 255).astype(np.uint8), "L"
+            arr.round().clip(0, 255).astype(np.uint8), "L"
         )
     mode_ch = {"L": 1, "LA": 2, "RGB": 3, "RGBA": 4}
     if img.mode not in mode_ch:

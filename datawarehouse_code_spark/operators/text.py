@@ -1237,19 +1237,28 @@ def build_cdc_index(
     return chunks
 
 
-def cap_hot_chunks(index: DataFrame, cap: int) -> DataFrame:
-    """Drop chunk hashes carried by more than `cap` index rows — the
-    boilerplate guard, shared by the batch build (applied at build
-    time) and STREAM-MAINTAINED indexes (applied at read time: an
-    append-only stream can only push a chunk's count up, so capping
-    when the index is read keeps replays idempotent while still
-    bounding every increment join's per-chunk fan-out)."""
-    w = Window.partitionBy("chunk_hash")
-    return (
-        index.withColumn("_k", F.count(F.lit(1)).over(w))
+def cap_hot_chunks(
+    index: DataFrame, cap: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop chunk hashes carried by more than `cap` DISTINCT documents
+    — the boilerplate guard, shared by the batch build (applied at
+    build time) and STREAM-MAINTAINED indexes (applied at read time:
+    an append-only stream can only push a chunk's carrier count up, so
+    capping when the index is read keeps replays idempotent while
+    still bounding every increment join's per-chunk fan-out).
+
+    Distinct-document grain (r12, matching build_winnowing_index's cap
+    and the build_cdc_index docstring's rationale): one document
+    repeating a chunk many times must not evict a chunk carried by few
+    documents — the cap measures join fan-out across the corpus, which
+    is carrier count, not occurrence count."""
+    cold = (
+        index.groupBy("chunk_hash")
+        .agg(F.countDistinct(id_col).alias("_k"))
         .filter(F.col("_k") <= cap)
-        .drop("_k")
+        .select("chunk_hash")
     )
+    return index.join(cold, "chunk_hash", "left_semi")
 
 
 def cdc_matches_incremental(

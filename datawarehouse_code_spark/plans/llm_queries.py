@@ -3015,7 +3015,8 @@ _CDC_INCR_SQL = f"""{_CDC_CHUNKS_CTE}
 ), idx AS (
   SELECT doc_id, chunk_hash, n_words FROM filt WHERE doc_id % 10 <> 0
 ), cap AS (
-  SELECT chunk_hash FROM idx GROUP BY chunk_hash HAVING count(*) <= 5000
+  SELECT chunk_hash FROM idx
+  GROUP BY chunk_hash HAVING count(DISTINCT doc_id) <= 5000
 ), inc AS (
   SELECT doc_id, chunk_hash, n_words FROM filt WHERE doc_id % 10 = 0
 )

@@ -174,6 +174,44 @@ def upsert(
     return "parquet"
 
 
+def replace_keyed(
+    spark: SparkSession, target_path: str, updates: DataFrame, key: list[str]
+) -> str:
+    """Keyed REPLACE for one-to-many payloads: every target row whose
+    `key` value appears in `updates` is dropped, then the update rows
+    are inserted.  This is the upsert variant for grains like a
+    document's chunk rows — a re-delivered document that now produces
+    FEWER rows leaves no stale residue, which a row-keyed upsert
+    (matched-update / not-matched-insert) cannot guarantee.  Returns
+    which path ran ('delta' | 'parquet').
+
+    Parquet: one anti-join on `key` + union + staged overwrite —
+    atomic via the swap, crash-safe like upsert.  Delta: a
+    MERGE-delete of the matched keys followed by an append — TWO
+    commits, so a crash between them can briefly lose the replaced
+    rows; callers must be replay-idempotent (every streaming caller
+    here re-derives the identical rows from the same batch on
+    replay, so the re-run completes the pair)."""
+    if delta_available(spark):
+        from delta.tables import DeltaTable
+
+        cond = " AND ".join(f"t.{k} <=> s.{k}" for k in key)
+        (
+            DeltaTable.forPath(spark, target_path)
+            .alias("t")
+            .merge(updates.select(*key).distinct().alias("s"), cond)
+            .whenMatchedDelete()
+            .execute()
+        )
+        updates.write.format("delta").mode("append").save(target_path)
+        return "delta"
+    recover_interrupted_swap(spark, target_path)
+    current = spark.read.parquet(target_path)
+    merged = current.join(updates, key, "left_anti").unionByName(updates)
+    _staged_overwrite(spark, merged, target_path)
+    return "parquet"
+
+
 def scd2_apply(
     spark: SparkSession,
     target_path: str,

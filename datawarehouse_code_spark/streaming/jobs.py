@@ -419,12 +419,20 @@ def run_cdc_index_ingest(
     — the streaming sibling of run_ivf_ingest for the chunk-dedup
     family: per micro-batch of arriving documents, chunk the BATCH
     only (content-defined boundaries — no corpus state needed, the
-    cut rule is per-word) and upsert rows keyed on (doc_id,
-    chunk_idx) into `index_path`.
+    cut rule is per-word) and REPLACE each arriving document's rows
+    in `index_path` (sources/acid.py replace_keyed on doc_id).
 
-    Exactly-once: (doc_id, chunk_idx) is unique per document and the
-    chunking is a pure function of the text, so a checkpoint replay
-    rewrites identical rows — the keyed upsert makes it a no-op.  The
+    Replace, not row-upsert: a document re-delivered with revised
+    text can produce FEWER chunks than its earlier version; an upsert
+    keyed on (doc_id, chunk_idx) would leave the old version's
+    higher-chunk_idx rows behind as phantom index entries.  Dropping
+    the doc's rows before inserting the fresh chunking closes that —
+    at the same cost (both are one anti-join + union on the parquet
+    path).
+
+    Exactly-once: the chunking is a pure function of the text, so a
+    checkpoint replay re-derives identical rows — the keyed replace
+    makes it a no-op.  The
     hot-chunk cap is deliberately NOT applied at ingest (an
     append-only stream can only push a chunk past the cap
     monotonically, so an ingest-time cap would make replays
@@ -439,8 +447,8 @@ def run_cdc_index_ingest(
     )
     from datawarehouse_code_spark.sources.acid import (
         _staged_overwrite,
+        replace_keyed,
         table_exists,
-        upsert,
     )
 
     def _apply(batch: DataFrame, _batch_id: int) -> None:
@@ -449,7 +457,7 @@ def run_cdc_index_ingest(
             F.col("n_words") >= min_words
         ).select("doc_id", "chunk_idx", "chunk_hash", "n_words")
         if table_exists(sp, index_path):
-            upsert(sp, index_path, chunks, ["doc_id", "chunk_idx"])
+            replace_keyed(sp, index_path, chunks, ["doc_id"])
         else:
             _staged_overwrite(sp, chunks, index_path)
 
@@ -496,6 +504,7 @@ def run_cdc_gated_ingest(
     )
     from datawarehouse_code_spark.sources.acid import (
         _staged_overwrite,
+        replace_keyed,
         table_exists,
         upsert,
     )
@@ -540,7 +549,10 @@ def run_cdc_gated_ingest(
             _staged_overwrite(sp, survivors, target_path)
         kept_chunks = chunks.join(rejected, "doc_id", "left_anti")
         if table_exists(sp, index_path):
-            upsert(sp, index_path, kept_chunks, ["doc_id", "chunk_idx"])
+            # replace (not row-upsert) for the same reason as
+            # run_cdc_index_ingest: a surviving doc re-delivered with
+            # fewer chunks must not leave stale higher-chunk_idx rows
+            replace_keyed(sp, index_path, kept_chunks, ["doc_id"])
         else:
             _staged_overwrite(sp, kept_chunks, index_path)
 

@@ -405,3 +405,30 @@ def test_scd2_apply_fallback_equals_simulated_merge(spark, tmp_path):
     assert final.filter(~F.col("is_current")).count() == 5
     assert final.filter(F.col("id") == 2).count() == 3
     assert final.count() == 22 + 5
+
+
+def test_replace_keyed_drops_stale_one_to_many_rows(spark, tmp_path):
+    """replace_keyed: a key re-delivered with FEWER payload rows
+    leaves no residue from its earlier delivery (the stale-chunk-index
+    hazard a (doc_id, chunk_idx)-keyed upsert cannot close), while
+    untouched keys keep every row."""
+    from datawarehouse_code_spark.sources.acid import replace_keyed
+
+    path = str(tmp_path / "idx")
+    spark.createDataFrame(
+        [(1, 0, "a"), (1, 1, "b"), (1, 2, "c"), (2, 0, "x"), (2, 1, "y")],
+        ["doc_id", "chunk_idx", "chunk_hash"],
+    ).write.parquet(path)
+    # doc 1 re-delivered with revised text producing ONE chunk
+    updates = spark.createDataFrame(
+        [(1, 0, "a2")], ["doc_id", "chunk_idx", "chunk_hash"]
+    )
+    assert replace_keyed(spark, path, updates, ["doc_id"]) == "parquet"
+    got = {
+        (r["doc_id"], r["chunk_idx"], r["chunk_hash"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(1, 0, "a2"), (2, 0, "x"), (2, 1, "y")}
+    # replay-idempotent: the identical replace is a no-op
+    replace_keyed(spark, path, updates, ["doc_id"])
+    assert spark.read.parquet(path).count() == 3

@@ -339,3 +339,24 @@ def test_forget_index_rows_cdc_and_winnowing(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no index table"):
         forget_index_rows(spark, str(tmp_path / "missing"), ids)
+
+
+def test_cap_hot_chunks_counts_distinct_docs(spark):
+    """The hot-chunk cap measures CARRIER count (distinct documents),
+    not occurrence count (r12 ADVICE): one document repeating a chunk
+    many times must not evict it, while a chunk carried by more than
+    `cap` distinct documents must go — the cap bounds the increment
+    join's cross-document fan-out, which repetition within one
+    document does not increase."""
+    from datawarehouse_code_spark.operators.text import cap_hot_chunks
+
+    rows = [(1, "h_repeated", 3)] * 10  # one doc, ten occurrences
+    rows += [(d, "h_hot", 3) for d in range(100, 104)]  # 4 carriers
+    rows += [(d, "h_cold", 3) for d in range(200, 202)]  # 2 carriers
+    idx = spark.createDataFrame(rows, ["doc_id", "chunk_hash", "n_words"])
+    kept = {r["chunk_hash"] for r in cap_hot_chunks(idx, 3).collect()}
+    assert kept == {"h_repeated", "h_cold"}
+    # the repeated doc keeps ALL its occurrence rows (cap filters
+    # hashes, it never dedups the index)
+    n_rep = cap_hot_chunks(idx, 3).filter("chunk_hash = 'h_repeated'").count()
+    assert n_rep == 10
