@@ -199,6 +199,8 @@ HEADLINE = [
     # above, like-for-like.
     "shift_robust_dedup_suite",
     "media_suite",
+    "media_phash_pairs",
+    "media_phash_incremental",
 ]
 
 

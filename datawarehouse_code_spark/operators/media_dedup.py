@@ -1,0 +1,269 @@
+"""Perceptual near-duplicate detection for decoded media — the image
+lane's dedup story, mirroring the text detectors' shape (detect →
+persisted index → increment-cost matching → right-to-be-forgotten).
+
+The fingerprint is dHash (difference hash): grayscale the decoded
+raster, area-downsample to a (grid+1)×grid luminance grid, emit one
+bit per horizontal neighbor comparison (left < right).  dHash is the
+standard cheap perceptual hash: invariant to re-encoding (PNG ↔ BMP ↔
+PNM of the same raster decode to identical pixels → identical bits),
+to uniform brightness shifts (comparisons see differences only), and
+to integer upscaling (block means recover the original samples), while
+a visually different image flips ~half the bits.  Near-duplicates are
+found with the same band-bucket machinery the SimHash/winnowing
+detectors use: split the 64-bit hash into four 16-bit bands, bucket on
+(band_idx, band_val) — two hashes within hamming distance 3·k of each
+other share at least one of 4 bands whenever at most 3 bands carry
+all the differing bits (pigeonhole: ≤ `max_hamming` ≤ 6 differing
+bits can occupy at most 6 < 4·2 bands... precisely: any pair with
+hamming ≤ 6 that distributes its flips into ≤ 3 bands is caught; a
+pair flipping bits in all 4 bands needs ≥ 4 flips and is caught iff
+some band is clean — the standard banded-LSH recall/precision trade,
+verified EXACTLY afterwards: candidates are re-checked with the full
+64-bit hamming distance, so false bucket collisions never survive).
+
+Scale shape (the 100 TB story):
+- Hashing is a narrow Arrow-batched map over the media table; pixels
+  never leave the worker — only (media_id, 4 band ints, hash) does.
+- The pair join buckets on (band_idx, band_val) with a hot-band cap
+  (distinct media per bucket ≤ `band_cap`): a constant-color artifact
+  class (tracking pixels, solid thumbnails) all hash to dhash 0 and
+  would otherwise hand the self-join a quadratic bucket.  Capped
+  BEFORE the join, like every hot-key guard in this engine.
+- The persisted index is 4 rows per image; increments equi-join it at
+  |increment| cost and never re-hash the corpus.
+- Right-to-be-forgotten: operators/corpus.py forget_index_rows with
+  id_col='media_id' (the index is media-keyed like every other
+  detector index; deleting one image's rows cannot change another's).
+
+Reference scope: the reference repo (warehouse.py — a row-at-a-time
+MySQL ETL) has no media pipeline at all; this module is north-star
+surface for LLM training-data curation, built Spark-first.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DHASH_SCHEMA = (
+    "media_id BIGINT, b0 INT, b1 INT, b2 INT, b3 INT, dhash BIGINT"
+)
+
+
+def dhash_bits(
+    width: int, height: int, n_channels: int, pixels: bytes, grid: int = 8
+) -> tuple[int, int, int, int]:
+    """dHash of one decoded raster as four `grid*2`-bit band values
+    (band k packs grid-bit rows 2k and 2k+1; row byte bit c is set iff
+    the area-downsampled luminance strictly increases from grid column
+    c to c+1).  Deterministic and engine-independent: grayscale is the
+    float64 mean of the first three channels (the single channel for
+    gray/gray+alpha), downsampling is block means over the integer
+    partition x ∈ [floor(c·W/(grid+1)), floor((c+1)·W/(grid+1))) —
+    exact integer recovery when W and H are multiples, which is what
+    makes the closed-form oracle fixtures possible.
+
+    Images smaller than the grid have no defined downsample blocks
+    and raise ValueError (the quarantine contract: loud, never a
+    silent wrong hash)."""
+    import numpy as np
+
+    gw, gh = grid + 1, grid
+    if width < gw or height < gh:
+        raise ValueError(
+            f"image {width}x{height} smaller than the {gw}x{gh} dHash grid"
+        )
+    a = np.frombuffer(pixels, dtype=np.uint8).reshape(
+        height, width, n_channels
+    )
+    gray = (
+        a[:, :, :3].mean(axis=2, dtype=np.float64)
+        if n_channels >= 3
+        else a[:, :, 0].astype(np.float64)
+    )
+    xs = [(c * width) // gw for c in range(gw + 1)]
+    ys = [(r * height) // gh for r in range(gh + 1)]
+    g = np.empty((gh, gw), dtype=np.float64)
+    for r in range(gh):
+        band = gray[ys[r]: ys[r + 1]]
+        for c in range(gw):
+            g[r, c] = band[:, xs[c]: xs[c + 1]].mean()
+    bits = g[:, 1:] > g[:, :-1]  # (gh, grid) booleans
+    weights = 1 << np.arange(grid, dtype=np.int64)
+    row_bytes = (bits * weights).sum(axis=1).astype(np.int64)
+    return tuple(
+        int(row_bytes[2 * k] | (row_bytes[2 * k + 1] << grid))
+        for k in range(gh // 2)
+    )
+
+
+def image_dhash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Per-media dHash over REAL decoded pixels: decode_image each
+    payload (operators/multimodal.py — PNM/BMP/JPEG/PNG or Pillow),
+    compute the four 16-bit band values and the combined 64-bit hash.
+    A narrow Arrow-batched map, no shuffle; NULL payloads yield no row
+    (route through the quarantine stats lane first in a production
+    pipeline).  `dhash` packs the bands little-endian (band 0 in the
+    low 16 bits) through an unsigned view, so bit 63 set reads as a
+    negative BIGINT — compare hashes via the band columns when a
+    cross-engine oracle is in play."""
+    import numpy as np
+
+    from datawarehouse_code_spark.operators.multimodal import decode_image
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, bands = [], []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                w, h, ch, px = decode_image(bytes(content))
+                ids.append(media_id)
+                bands.append(dhash_bits(w, h, ch, px, grid=grid))
+            b = np.array(bands, dtype=np.uint64).reshape(len(ids), 4)
+            dh = (
+                b[:, 0]
+                | (b[:, 1] << np.uint64(16))
+                | (b[:, 2] << np.uint64(32))
+                | (b[:, 3] << np.uint64(48))
+            ).view(np.int64)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "b0": pd.Series(b[:, 0].astype(np.int32), dtype="int32"),
+                    "b1": pd.Series(b[:, 1].astype(np.int32), dtype="int32"),
+                    "b2": pd.Series(b[:, 2].astype(np.int32), dtype="int32"),
+                    "b3": pd.Series(b[:, 3].astype(np.int32), dtype="int32"),
+                    "dhash": pd.Series(dh, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, DHASH_SCHEMA)
+
+
+def _explode_bands(hashes: DataFrame) -> DataFrame:
+    """(media_id, b0..b3) → one row per band: (media_id, band_idx,
+    band_val, b0..b3) — the bucketing key plus the full hash carried
+    along so candidate verification needs no second join."""
+    return hashes.select(
+        "media_id", "b0", "b1", "b2", "b3",
+        F.expr(
+            "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_idx, band_val)"
+        ),
+    )
+
+
+def _cap_hot_bands(
+    bands: DataFrame, cap: int, id_col: str = "media_id"
+) -> DataFrame:
+    """Drop band buckets carried by more than `cap` DISTINCT media —
+    the quadratic-bucket guard (same distinct-carrier grain as
+    cap_hot_chunks)."""
+    cold = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.countDistinct(id_col).alias("_k"))
+        .filter(F.col("_k") <= cap)
+        .select("band_idx", "band_val")
+    )
+    return bands.join(cold, ["band_idx", "band_val"], "left_semi")
+
+
+def _hamming64() -> F.Column:
+    """Exact 64-bit hamming distance from the paired band columns."""
+    return sum(
+        F.bit_count(
+            F.col(f"b{k}").bitwiseXOR(F.col(f"c{k}")).cast("bigint")
+        )
+        for k in range(4)
+    ).cast("int")
+
+
+def dhash_near_dup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 6,
+    band_cap: int = 50,
+) -> DataFrame:
+    """Perceptual near-dup pairs from an image_dhash table: bucket on
+    the four 16-bit bands (hot buckets capped at `band_cap` distinct
+    media BEFORE the self-join), then verify every candidate pair with
+    the exact 64-bit hamming distance — (d1, d2, n_shared_bands,
+    hamming) for pairs at distance ≤ `max_hamming`.  Bucket-then-
+    verify: band collisions only propose candidates; the hamming check
+    is exact, so precision is 1.0 by construction and recall is the
+    banded-LSH guarantee (any pair whose flipped bits leave one band
+    clean is proposed — always true for hamming ≤ 3 here, pigeonhole
+    over 4 bands... exactly: ≤ 3 flips occupy ≤ 3 bands)."""
+    bands = _cap_hot_bands(_explode_bands(hashes), band_cap)
+    left = bands.select(
+        F.col("media_id").alias("d1"), "band_idx", "band_val",
+        "b0", "b1", "b2", "b3",
+    )
+    right = bands.select(
+        F.col("media_id").alias("d2"), "band_idx", "band_val",
+        *[F.col(f"b{k}").alias(f"c{k}") for k in range(4)],
+    )
+    return (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .withColumn("hamming", _hamming64())
+        .groupBy("d1", "d2")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_shared_bands"),
+            F.min("hamming").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def build_dhash_index(media: DataFrame, grid: int = 8) -> DataFrame:
+    """The persisted perceptual index of a media corpus: one row per
+    (media_id, band) with the full hash's band columns carried — 4
+    rows per image, computed ONCE per corpus build and stored beside
+    it (the image sibling of build_cdc_index / build_winnowing_index).
+    Increments (`dhash_matches_incremental`) equi-join this table and
+    never re-decode the corpus.  The hot-band cap is applied at READ
+    time by the incremental matcher (append-only maintenance can only
+    push a bucket's carrier count up — capping at read keeps stream
+    replays idempotent, the cap_hot_chunks rationale).  RTBF:
+    forget_index_rows(…, id_col='media_id')."""
+    return _explode_bands(image_dhash(media, grid=grid))
+
+
+def dhash_matches_incremental(
+    new_media: DataFrame,
+    index: DataFrame,
+    max_hamming: int = 6,
+    band_cap: int = 50,
+    grid: int = 8,
+) -> DataFrame:
+    """Perceptual matches between an increment and a PERSISTED dHash
+    index: (d_new, d_corpus, n_shared_bands, hamming) for every new
+    image within `max_hamming` of a corpus image — the nightly-
+    increment shape: the increment is decoded and hashed fresh, the
+    corpus is never re-read beyond the band equi-join, so cost scales
+    with |increment|.  Hot index buckets are capped at `band_cap`
+    distinct corpus media before the join.  `grid` must match the
+    index build."""
+    inc = _explode_bands(image_dhash(new_media, grid=grid)).select(
+        F.col("media_id").alias("d_new"), "band_idx", "band_val",
+        "b0", "b1", "b2", "b3",
+    )
+    idx = _cap_hot_bands(index, band_cap).select(
+        F.col("media_id").alias("d_corpus"), "band_idx", "band_val",
+        *[F.col(f"b{k}").alias(f"c{k}") for k in range(4)],
+    )
+    return (
+        inc.join(idx, ["band_idx", "band_val"])
+        .filter(F.col("d_new") != F.col("d_corpus"))
+        .withColumn("hamming", _hamming64())
+        .groupBy("d_new", "d_corpus")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_shared_bands"),
+            F.min("hamming").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

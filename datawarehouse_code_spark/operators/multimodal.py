@@ -812,6 +812,19 @@ def encode_const_ppm(width: int, height: int, rgb: tuple[int, int, int]) -> byte
     )
 
 
+def encode_gray_pgm(width: int, height: int, pixels: bytes) -> bytes:
+    """Arbitrary-raster binary PGM (P5) payload — the grayscale fixture
+    encoder for the perceptual-hash family (operators/media_dedup.py):
+    `pixels` is the row-major 8-bit luminance raster, emitted verbatim,
+    so a test or oracle that constructs the raster knows the decoded
+    bytes exactly."""
+    if len(pixels) != width * height:
+        raise ValueError(
+            f"raster is {len(pixels)} bytes, expected {width * height}"
+        )
+    return f"P5\n{width} {height}\n255\n".encode("ascii") + bytes(pixels)
+
+
 def encode_const_bmp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
     """Constant-color bottom-up 24-bit BI_RGB BMP payload (4-byte row
     padding, BGR order) — same closed-form fixture role as

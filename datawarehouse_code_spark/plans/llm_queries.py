@@ -3266,6 +3266,173 @@ GROUP BY 1, 2
 """
 
 
+def _phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The perceptual-hash oracle fixture: per doc_id a REAL 9x8
+    grayscale PGM whose dHash bits are a closed-form function of the
+    id — group = doc_id//4 draws eight Knuth-hashed row bytes, member
+    = doc_id%4 XORs the low `member` bits into row 7, and the raster
+    walks ±1 per bit from 128 so the strict left<right comparison
+    recovers exactly those bits after decode.  Four members of a group
+    are planted near-duplicates at pairwise hamming |m1−m2| ≤ 3 that
+    always share bands 0-2."""
+    import pandas as pd  # noqa: F811
+
+    from datawarehouse_code_spark.operators.multimodal import encode_gray_pgm
+
+    docs = read_table(spark, "documents", sf_dir).select("doc_id")
+
+    def build(it):
+        for pdf in it:
+            ids, types, blobs = [], [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                grp, mem = d // 4, d % 4
+                rb = [
+                    ((((grp * 8 + r) % 2**31) * 2654435761) % 2**32) % 256
+                    for r in range(8)
+                ]
+                rb[7] ^= (1 << mem) - 1
+                raster = bytearray()
+                for b in rb:
+                    v = 128
+                    raster.append(v)
+                    for c in range(8):
+                        v += 1 if (b >> c) & 1 else -1
+                        raster.append(v)
+                ids.append(d)
+                types.append("image/pgm")
+                blobs.append(encode_gray_pgm(9, 8, bytes(raster)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "media_type": pd.Series(types, dtype=object),
+                    "content": pd.Series(blobs, dtype=object),
+                }
+            )
+
+    return docs.mapInPandas(
+        build, "media_id BIGINT, media_type STRING, content BINARY"
+    )
+
+
+def _media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs (operators/media_dedup.py
+    image_dhash + dhash_near_dup_pairs) over REAL encoded-then-decoded
+    PGM payloads: banded 64-bit dHash, hot-band cap at 50 distinct
+    media, exact hamming verification ≤ 6.  DuckDB replays the WHOLE
+    detection from the closed-form bit construction — Knuth row
+    bytes, the member flips, 16-bit band packing, the distinct-carrier
+    cap, the band self-join and the per-pair exact hamming — so a
+    decode slip, band mis-pack, cap-grain change or verify bug all
+    flip the hash."""
+    from datawarehouse_code_spark.operators.media_dedup import (
+        dhash_near_dup_pairs,
+        image_dhash,
+    )
+
+    return dhash_near_dup_pairs(
+        image_dhash(_phash_media(spark, sf_dir)),
+        max_hamming=6, band_cap=50,
+    )
+
+
+_PHASH_BANDS_CTE = f"""
+WITH m AS (
+  SELECT doc_id, doc_id // 4 AS grp, doc_id % 4 AS mem FROM documents
+), rb AS (
+  SELECT doc_id, g.r AS r,
+         CASE WHEN g.r = 7
+              THEN xor(CAST(({knuth_hash_sql('grp * 8 + g.r')}) % 256 AS INTEGER),
+                       CAST((1 << mem) - 1 AS INTEGER))
+              ELSE CAST(({knuth_hash_sql('grp * 8 + g.r')}) % 256 AS INTEGER)
+         END AS byte
+  FROM m, unnest(range(0, 8)) AS g(r)
+), bands AS (
+  SELECT doc_id, CAST(r // 2 AS INTEGER) AS band_idx,
+         CAST(sum(byte * CASE WHEN r % 2 = 0 THEN 1 ELSE 256 END) AS INTEGER)
+             AS band_val
+  FROM rb GROUP BY 1, 2
+), hw AS (
+  SELECT doc_id,
+         max(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+         max(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+         max(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+         max(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+  FROM bands GROUP BY doc_id
+)"""
+
+_PHASH_PAIRS_SQL = f"""{_PHASH_BANDS_CTE}
+, cold AS (
+  SELECT band_idx, band_val FROM bands
+  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) <= 50
+), cb AS (
+  SELECT b.doc_id, b.band_idx, b.band_val
+  FROM bands b JOIN cold USING (band_idx, band_val)
+), cand AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         CAST(count(*) AS INTEGER) AS n_shared_bands
+  FROM cb a JOIN cb b USING (band_idx, band_val)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT d1, d2, n_shared_bands,
+         CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+            + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+              AS INTEGER) AS hamming
+  FROM cand JOIN hw x ON x.doc_id = d1 JOIN hw y ON y.doc_id = d2
+) WHERE hamming <= 6
+"""
+
+
+def _media_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Increment-vs-corpus perceptual matching through the persisted
+    dHash index (operators/media_dedup.py build_dhash_index /
+    dhash_matches_incremental): corpus = doc_id % 10 != 0, increment =
+    every 10th doc; the increment is decoded and hashed fresh and
+    equi-joins the index bands — the corpus is never re-decoded.
+    DuckDB replays both hashings, the read-time distinct-carrier cap
+    and the per-pair exact hamming."""
+    from datawarehouse_code_spark.operators.media_dedup import (
+        build_dhash_index,
+        dhash_matches_incremental,
+    )
+
+    media = _phash_media(spark, sf_dir)
+    corpus = media.filter(F.col("media_id") % 10 != 0)
+    inc = media.filter(F.col("media_id") % 10 == 0)
+    return dhash_matches_incremental(
+        inc, build_dhash_index(corpus), max_hamming=6, band_cap=50
+    )
+
+
+_PHASH_INCR_SQL = f"""{_PHASH_BANDS_CTE}
+, idx0 AS (
+  SELECT doc_id, band_idx, band_val FROM bands WHERE doc_id % 10 <> 0
+), cold AS (
+  SELECT band_idx, band_val FROM idx0
+  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) <= 50
+), idx AS (
+  SELECT doc_id, band_idx, band_val FROM idx0
+  JOIN cold USING (band_idx, band_val)
+), inc AS (
+  SELECT doc_id, band_idx, band_val FROM bands WHERE doc_id % 10 = 0
+), cand AS (
+  SELECT inc.doc_id AS d_new, idx.doc_id AS d_corpus,
+         CAST(count(*) AS INTEGER) AS n_shared_bands
+  FROM inc JOIN idx USING (band_idx, band_val)
+  WHERE inc.doc_id <> idx.doc_id
+  GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT d_new, d_corpus, n_shared_bands,
+         CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+            + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+              AS INTEGER) AS hamming
+  FROM cand JOIN hw x ON x.doc_id = d_new JOIN hw y ON y.doc_id = d_corpus
+) WHERE hamming <= 6
+"""
+
+
 def _shift_robust_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shift-robust dedup family as ONE labeled driver row
     (consolidated round 12 per the r11 verdict): content-defined
@@ -3419,6 +3586,15 @@ LLM_SUPPLEMENTARY: list[Query] = [
           "north-star: token counting + quality features (driver row "
           "rounds 2-11, demoted round 12 to free a window slot; "
           "keeps its frozen bench row like-for-like)"),
+    Query("media_phash_pairs", _media_phash_pairs, _PHASH_PAIRS_SQL,
+          "north-star: perceptual image near-dup pairs — banded 64-bit "
+          "dHash over real decoded rasters, hot-band cap, exact "
+          "hamming verify (supplementary, differential-tested)"),
+    Query("media_phash_incremental", _media_phash_incremental,
+          _PHASH_INCR_SQL,
+          "north-star: increment-vs-corpus perceptual matching through "
+          "the persisted dHash band index — cost ∝ increment "
+          "(supplementary, differential-tested)"),
     Query("docs_cdc_shared_chunks", _docs_cdc_shared_chunks,
           _CDC_SHARED_SQL,
           "north-star: content-defined chunk dedup — shift-robust "

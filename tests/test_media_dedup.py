@@ -1,0 +1,223 @@
+"""Perceptual image hashing (dHash) + banded near-dup detection:
+the invariances that make dHash a PERCEPTUAL hash (re-encoding,
+uniform brightness shift, integer upscaling), exact-bit control via
+constructed rasters (test-side independent bit computation), the
+bucket-then-verify pair semantics, the hot-band cap, the persisted
+index's increment-cost matching, and right-to-be-forgotten."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouse_code_spark.operators.media_dedup import (
+    build_dhash_index,
+    dhash_bits,
+    dhash_matches_incremental,
+    dhash_near_dup_pairs,
+    image_dhash,
+)
+from datawarehouse_code_spark.operators.multimodal import (
+    encode_const_bmp,
+    encode_const_png,
+    encode_const_ppm,
+    encode_gray_pgm,
+)
+
+
+def _raster_from_row_bytes(row_bytes: list[int]) -> bytes:
+    """9x8 grayscale raster whose dHash row bits EQUAL the given row
+    bytes (bit c of row r set <-> luminance strictly increases from
+    grid column c to c+1): start each row at 128 and walk +-1 per
+    bit.  Values stay within [120, 136] - no saturation, no ties."""
+    out = bytearray()
+    for b in row_bytes:
+        v = 128
+        out.append(v)
+        for c in range(8):
+            v += 1 if (b >> c) & 1 else -1
+            out.append(v)
+    return bytes(out)
+
+
+def _bands_from_row_bytes(row_bytes: list[int]) -> tuple[int, ...]:
+    """The expected band values, computed independently of the
+    operator: band k packs rows 2k (low byte) and 2k+1 (high)."""
+    return tuple(
+        row_bytes[2 * k] | (row_bytes[2 * k + 1] << 8) for k in range(4)
+    )
+
+
+ROWS_A = [0x13, 0x8F, 0x00, 0xFF, 0xA5, 0x3C, 0x71, 0xE2]
+
+
+def test_dhash_bits_match_independent_construction():
+    raster = _raster_from_row_bytes(ROWS_A)
+    assert dhash_bits(9, 8, 1, raster) == _bands_from_row_bytes(ROWS_A)
+
+
+def test_dhash_brightness_shift_invariance():
+    raster = _raster_from_row_bytes(ROWS_A)
+    shifted = bytes(v + 37 for v in raster)  # max 136+37 < 256
+    assert dhash_bits(9, 8, 1, shifted) == _bands_from_row_bytes(ROWS_A)
+
+
+def test_dhash_integer_upscale_invariance():
+    """3x pixel replication (27x24): block means recover the original
+    samples exactly, so the hash is unchanged."""
+    raster = np.frombuffer(
+        _raster_from_row_bytes(ROWS_A), dtype=np.uint8
+    ).reshape(8, 9)
+    up = np.repeat(np.repeat(raster, 3, axis=0), 3, axis=1)
+    assert dhash_bits(27, 24, 1, up.tobytes()) == _bands_from_row_bytes(
+        ROWS_A
+    )
+
+
+def test_dhash_too_small_image_raises():
+    with pytest.raises(ValueError, match="smaller than"):
+        dhash_bits(4, 4, 1, bytes(16))
+
+
+def test_dhash_reencoding_invariance_across_codecs(spark):
+    """The same constant image encoded as PPM, BMP and PNG decodes to
+    identical rasters and therefore identical (zero) hashes — the
+    re-compression twin case, through the real Arrow map and three
+    real decoders."""
+    blobs = [
+        (0, "image/ppm", encode_const_ppm(16, 12, (40, 90, 200))),
+        (1, "image/bmp", encode_const_bmp(16, 12, (40, 90, 200))),
+        (2, "image/png", encode_const_png(16, 12, (40, 90, 200))),
+        (3, "image/pgm", encode_gray_pgm(9, 8, _raster_from_row_bytes(ROWS_A))),
+    ]
+    media = spark.createDataFrame(
+        blobs, ["media_id", "media_type", "content"]
+    )
+    rows = {r["media_id"]: r for r in image_dhash(media).collect()}
+    const_bands = (rows[0]["b0"], rows[0]["b1"], rows[0]["b2"], rows[0]["b3"])
+    assert const_bands == (0, 0, 0, 0)
+    for mid in (1, 2):
+        assert (
+            rows[mid]["b0"], rows[mid]["b1"], rows[mid]["b2"], rows[mid]["b3"]
+        ) == const_bands
+        assert rows[mid]["dhash"] == rows[0]["dhash"]
+    assert (
+        rows[3]["b0"], rows[3]["b1"], rows[3]["b2"], rows[3]["b3"]
+    ) == _bands_from_row_bytes(ROWS_A)
+
+
+def _flip_member(row_bytes: list[int], m: int) -> list[int]:
+    """Member m flips the low m bits of row 7 — pairwise hamming
+    between members a and b is |a - b|."""
+    out = list(row_bytes)
+    out[7] ^= (1 << m) - 1
+    return out
+
+
+def test_dhash_pairs_planted_flips(spark):
+    """Four variants of one image with controlled bit flips: every
+    pair shares bands 0-2 (rows 0-5 untouched), candidate pairs are
+    verified with the exact hamming distance |m1 - m2|, and the
+    max_hamming filter cuts exactly where the construction says."""
+    media = spark.createDataFrame(
+        [
+            (m, "image/pgm",
+             encode_gray_pgm(9, 8, _raster_from_row_bytes(_flip_member(ROWS_A, m))))
+            for m in range(4)
+        ],
+        ["media_id", "media_type", "content"],
+    )
+    hashes = image_dhash(media)
+    pairs = {
+        (r["d1"], r["d2"]): r
+        for r in dhash_near_dup_pairs(hashes, max_hamming=6).collect()
+    }
+    assert set(pairs) == {(a, b) for a in range(4) for b in range(a + 1, 4)}
+    for (a, b), r in pairs.items():
+        assert r["hamming"] == abs(a - b)
+        assert r["n_shared_bands"] >= 3  # bands 0-2 always shared
+    # a tight threshold drops exactly the distance-3 pair
+    tight = {
+        (r["d1"], r["d2"])
+        for r in dhash_near_dup_pairs(hashes, max_hamming=2).collect()
+    }
+    assert tight == {(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)}
+
+
+def test_hot_band_cap_drops_quadratic_buckets(spark):
+    """60 constant-color images (all-zero hash, every band shared) at
+    band_cap=50: the bucket is dropped BEFORE the self-join — no
+    pairs, instead of 60·59/2 of them."""
+    media = spark.createDataFrame(
+        [(i, "image/ppm", encode_const_ppm(16, 12, (9, 9, 9)))
+         for i in range(60)],
+        ["media_id", "media_type", "content"],
+    )
+    hashes = image_dhash(media)
+    assert dhash_near_dup_pairs(hashes, band_cap=50).count() == 0
+    assert dhash_near_dup_pairs(hashes, band_cap=60).count() == 60 * 59 // 2
+
+
+def test_incremental_matches_equal_batch_restriction(spark, tmp_path):
+    """Increment-vs-index matching through the PERSISTED index equals
+    the batch pair report restricted to (increment, corpus) pairs."""
+    rows = []
+    for g in range(6):
+        base = [((g * 8 + r) * 37) % 256 for r in range(8)]
+        for m in range(4):
+            rows.append(
+                (g * 4 + m, "image/pgm",
+                 encode_gray_pgm(9, 8, _raster_from_row_bytes(_flip_member(base, m)))))
+    media = spark.createDataFrame(rows, ["media_id", "media_type", "content"])
+    corpus = media.filter(F.col("media_id") % 4 != 0)
+    inc = media.filter(F.col("media_id") % 4 == 0)
+
+    path = str(tmp_path / "dhash_idx")
+    build_dhash_index(corpus).write.parquet(path)
+    index = spark.read.parquet(path)
+    got = {
+        (r["d_new"], r["d_corpus"], r["n_shared_bands"], r["hamming"])
+        for r in dhash_matches_incremental(inc, index).collect()
+    }
+    batch = dhash_near_dup_pairs(image_dhash(media)).collect()
+    want = set()
+    inc_ids = {g * 4 for g in range(6)}
+    for r in batch:
+        for d_new, d_corpus in ((r["d1"], r["d2"]), (r["d2"], r["d1"])):
+            if d_new in inc_ids and d_corpus not in inc_ids:
+                want.add((d_new, d_corpus, r["n_shared_bands"], r["hamming"]))
+    assert got == want and got
+
+
+def test_rtbf_forgotten_media_never_matches_again(spark, tmp_path):
+    """forget_index_rows closes over the dHash index too: after
+    deletion, an EXACT copy of the forgotten image matches nothing."""
+    from datawarehouse_code_spark.operators.corpus import forget_index_rows
+
+    blobs = [
+        (m, "image/pgm",
+         encode_gray_pgm(9, 8, _raster_from_row_bytes(_flip_member(ROWS_A, m))))
+        for m in range(3)
+    ]
+    media = spark.createDataFrame(blobs, ["media_id", "media_type", "content"])
+    path = str(tmp_path / "dhash_idx")
+    build_dhash_index(media).write.parquet(path)
+
+    copy_of_1 = spark.createDataFrame(
+        [(99, "image/pgm",
+          encode_gray_pgm(9, 8, _raster_from_row_bytes(_flip_member(ROWS_A, 1))))],
+        ["media_id", "media_type", "content"],
+    )
+    before = dhash_matches_incremental(
+        copy_of_1, spark.read.parquet(path)
+    ).collect()
+    assert any(r["d_corpus"] == 1 and r["hamming"] == 0 for r in before)
+
+    removed = forget_index_rows(
+        spark, path, media.filter("media_id = 1"), id_col="media_id"
+    )
+    assert removed == 4  # one row per band
+    after = dhash_matches_incremental(
+        copy_of_1, spark.read.parquet(path)
+    ).collect()
+    assert not any(r["d_corpus"] == 1 for r in after)
+    assert {r["d_corpus"] for r in after} == {0, 2}

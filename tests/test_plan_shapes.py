@@ -149,6 +149,11 @@ PLAN_BOUNDS = {
     # the constituents' tighter bounds above pin the per-leg shapes)
     "shift_robust_dedup_suite": (30, 24),
     "media_suite": (9, 8),
+    # perceptual dHash rows (measured r12: 8/5, 6/3 — bounds ~50%
+    # above; the hash map re-derives per consumer by design at
+    # fixture scale, a 100 TB caller persists the hash table once)
+    "media_phash_pairs": (12, 8),
+    "media_phash_incremental": (9, 5),
 }
 
 
