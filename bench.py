@@ -201,6 +201,8 @@ HEADLINE = [
     "media_suite",
     "media_phash_pairs",
     "media_phash_incremental",
+    "audio_fp_pairs",
+    "audio_fp_incremental",
 ]
 
 

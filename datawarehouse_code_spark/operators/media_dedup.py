@@ -267,3 +267,176 @@ def dhash_matches_incremental(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --------------------------------------------------------------------
+# Audio fingerprints: the Haitsma-Kalker-family frame fingerprint over
+# decoded PCM — windowed energies, coarse quantization, k-window grams
+# matched by VALUE (never position), so a copy shifted by a whole
+# number of hops still shares every overlapping gram.  The audio twin
+# of the winnowing/CDC detectors: detect → persisted index →
+# increment-cost matching → RTBF, with the same hot-key cap shape.
+
+AUDIO_FP_SCHEMA = "media_id BIGINT, fp STRING"
+
+
+def audio_fp_strings(
+    samples, win: int = 16, hop: int = 8, gram: int = 4, qshift: int = 4
+) -> list[str]:
+    """The fingerprint set of one channel's int32 samples: energies of
+    `win`-sample windows every `hop` samples (full windows only),
+    right-shifted by `qshift` (coarse amplitude buckets — exact under
+    identical or hop-aligned-shifted copies), then the md5 of each run
+    of `gram` consecutive quantized energies, space-joined.  md5 of a
+    decimal-rendered integer string is the engine-shared hash, so a
+    DuckDB oracle replays fingerprints exactly.  Integer arithmetic
+    throughout; deterministic; position never enters the value."""
+    import hashlib
+
+    import numpy as np
+
+    n = len(samples)
+    if n < win:
+        return []
+    cs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.abs(samples.astype(np.int64)), out=cs[1:])
+    n_win = (n - win) // hop + 1
+    starts = np.arange(n_win, dtype=np.int64) * hop
+    q = (cs[starts + win] - cs[starts]) >> qshift
+    if n_win < gram:
+        return []
+    return [
+        hashlib.md5(
+            " ".join(str(int(v)) for v in q[g: g + gram]).encode()
+        ).hexdigest()
+        for g in range(n_win - gram + 1)
+    ]
+
+
+def audio_fingerprints(
+    media: DataFrame,
+    win: int = 16,
+    hop: int = 8,
+    gram: int = 4,
+    qshift: int = 4,
+) -> DataFrame:
+    """Per-media DISTINCT audio fingerprints from REAL decoded PCM:
+    decode_audio each payload (RIFF walk + 8/16-bit PCM or G.711
+    LUTs), fingerprint channel 0, emit (media_id, fp) distinct.  A
+    narrow Arrow-batched map + one distinct; samples never leave the
+    worker.  (win, hop, gram, qshift) are the index contract —
+    increments must pass the same values."""
+    import pandas as pd  # noqa: F811 — worker-side import
+
+    from datawarehouse_code_spark.operators.multimodal import decode_audio
+
+    def batches(it):
+        for pdf in it:
+            ids, fps = [], []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                _rate, _ch, _n, arr = decode_audio(bytes(content))
+                for fp in set(
+                    audio_fp_strings(arr[:, 0], win, hop, gram, qshift)
+                ):
+                    ids.append(media_id)
+                    fps.append(fp)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "fp": pd.Series(fps, dtype=object),
+                }
+            )
+
+    return media.mapInPandas(batches, AUDIO_FP_SCHEMA).distinct()
+
+
+def _cap_hot_fps(
+    fps: DataFrame, cap: int, id_col: str = "media_id"
+) -> DataFrame:
+    """Drop fingerprints carried by more than `cap` DISTINCT media —
+    digital silence and loop boilerplate are the audio analogues of
+    the constant-color image and the boilerplate chunk."""
+    cold = (
+        fps.groupBy("fp")
+        .agg(F.countDistinct(id_col).alias("_k"))
+        .filter(F.col("_k") <= cap)
+        .select("fp")
+    )
+    return fps.join(cold, "fp", "left_semi")
+
+
+def audio_near_dup_pairs(
+    media: DataFrame,
+    min_shared: int = 2,
+    hot_cap: int = 50,
+    win: int = 16,
+    hop: int = 8,
+    gram: int = 4,
+    qshift: int = 4,
+) -> DataFrame:
+    """Audio near-dup pairs: (d1, d2, n_shared) for media sharing ≥
+    `min_shared` distinct fingerprints, hot fingerprints capped at
+    `hot_cap` distinct carriers BEFORE the self-join (the quadratic-
+    bucket guard).  A copy shifted by m·hop samples shares all
+    overlapping grams with its source — the shift-robustness fixed
+    framings lack, at hop-sample granularity."""
+    fps = _cap_hot_fps(
+        audio_fingerprints(media, win, hop, gram, qshift), hot_cap
+    )
+    a = fps.select(F.col("media_id").alias("d1"), "fp")
+    b = fps.select(F.col("media_id").alias("d2"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def build_audio_fp_index(
+    media: DataFrame,
+    win: int = 16,
+    hop: int = 8,
+    gram: int = 4,
+    qshift: int = 4,
+) -> DataFrame:
+    """The persisted audio fingerprint index: (media_id, fp) distinct,
+    computed ONCE per corpus build (the audio sibling of
+    build_winnowing_index).  The hot-fp cap is applied at READ time by
+    the incremental matcher (append-only maintenance only pushes
+    carrier counts up — read-time capping keeps replays idempotent).
+    RTBF: forget_index_rows(…, id_col='media_id')."""
+    return audio_fingerprints(media, win, hop, gram, qshift)
+
+
+def audio_matches_incremental(
+    new_media: DataFrame,
+    index: DataFrame,
+    min_shared: int = 1,
+    hot_cap: int = 50,
+    win: int = 16,
+    hop: int = 8,
+    gram: int = 4,
+    qshift: int = 4,
+) -> DataFrame:
+    """Increment-vs-corpus audio matching through the persisted
+    fingerprint index: (d_new, d_corpus, n_shared) — the increment is
+    decoded and fingerprinted fresh, the corpus is never re-decoded
+    beyond the index equi-join, so cost scales with |increment|.
+    Parameters must match the index build."""
+    inc = audio_fingerprints(new_media, win, hop, gram, qshift).select(
+        F.col("media_id").alias("d_new"), "fp"
+    )
+    idx = _cap_hot_fps(index, hot_cap).select(
+        F.col("media_id").alias("d_corpus"), "fp"
+    )
+    return (
+        inc.join(idx, "fp")
+        .filter(F.col("d_new") != F.col("d_corpus"))
+        .groupBy("d_new", "d_corpus")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -3433,6 +3433,138 @@ SELECT * FROM (
 """
 
 
+def _audio_fp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio-fingerprint oracle fixture: per doc_id a REAL 16-bit
+    PCM WAV of 96 samples where group = doc_id//4 picks the base
+    signal f(g, j) = ((g·37 + j·211) mod 4096) − 2048 and member =
+    doc_id%4 starts reading it `member` hops (of 8 samples) later — a
+    hop-aligned shifted copy, so members share all overlapping
+    fingerprint grams and the oracle can restate every energy window
+    in closed form."""
+    import pandas as pd  # noqa: F811
+
+    from datawarehouse_code_spark.operators.multimodal import encode_pcm_wav
+
+    docs = read_table(spark, "documents", sf_dir).select("doc_id")
+
+    def build(it):
+        for pdf in it:
+            ids, types, blobs = [], [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                grp, off = d // 4, (d % 4) * 8
+                samples = [
+                    ((grp * 37 + (i + off) * 211) % 4096) - 2048
+                    for i in range(96)
+                ]
+                ids.append(d)
+                types.append("audio/wav")
+                blobs.append(encode_pcm_wav(8000, [samples]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "media_type": pd.Series(types, dtype=object),
+                    "content": pd.Series(blobs, dtype=object),
+                }
+            )
+
+    return docs.mapInPandas(
+        build, "media_id BIGINT, media_type STRING, content BINARY"
+    )
+
+
+def _audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs (operators/media_dedup.py
+    audio_fingerprints + audio_near_dup_pairs) over real
+    encoded-then-decoded WAVs: windowed energies (win 16, hop 8),
+    coarse quantization (>>4), md5 grams of 4 consecutive values,
+    hot-fp cap at 50 carriers, pairs sharing ≥ 2 grams.  DuckDB
+    replays EVERYTHING — the closed-form samples, the window energy
+    sums, the quantization, the gram md5s via lead(), the
+    distinct-carrier cap and the pair counts — so a decode slip,
+    window off-by-one, quantizer change or cap-grain drift all flip
+    the hash."""
+    from datawarehouse_code_spark.operators.media_dedup import (
+        audio_near_dup_pairs,
+    )
+
+    return audio_near_dup_pairs(
+        _audio_fp_media(spark, sf_dir), min_shared=2, hot_cap=50
+    )
+
+
+_AUDIO_FPS_CTE = """
+WITH p AS (
+  SELECT doc_id, doc_id // 4 AS grp, (doc_id % 4) * 8 AS off FROM documents
+), en AS (
+  SELECT doc_id, w.w AS w,
+         CAST(sum(abs(((grp * 37 + (w.w * 8 + i.i + off) * 211) % 4096)
+                      - 2048)) AS BIGINT) // 16 AS q
+  FROM p, unnest(range(0, 11)) AS w(w), unnest(range(0, 16)) AS i(i)
+  GROUP BY 1, 2
+), gr AS (
+  SELECT doc_id, w,
+         md5(CAST(q AS VARCHAR) || ' ' ||
+             CAST(lead(q, 1) OVER dw AS VARCHAR) || ' ' ||
+             CAST(lead(q, 2) OVER dw AS VARCHAR) || ' ' ||
+             CAST(lead(q, 3) OVER dw AS VARCHAR)) AS fp
+  FROM en
+  WINDOW dw AS (PARTITION BY doc_id ORDER BY w)
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM gr WHERE w <= 7
+)"""
+
+_AUDIO_FP_PAIRS_SQL = f"""{_AUDIO_FPS_CTE}
+, cold AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(DISTINCT doc_id) <= 50
+), capped AS (
+  SELECT doc_id, fp FROM fps JOIN cold USING (fp)
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+FROM capped a JOIN capped b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def _audio_fp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Increment-vs-corpus audio matching through the persisted
+    fingerprint index (operators/media_dedup.py build_audio_fp_index /
+    audio_matches_incremental): corpus = doc_id % 10 != 0, increment =
+    every 10th doc, min_shared = 1 — the increment is decoded and
+    fingerprinted fresh, the corpus rides the index equi-join.  DuckDB
+    replays both fingerprint selections, the read-time carrier cap and
+    the pair counts."""
+    from datawarehouse_code_spark.operators.media_dedup import (
+        audio_matches_incremental,
+        build_audio_fp_index,
+    )
+
+    media = _audio_fp_media(spark, sf_dir)
+    corpus = media.filter(F.col("media_id") % 10 != 0)
+    inc = media.filter(F.col("media_id") % 10 == 0)
+    return audio_matches_incremental(
+        inc, build_audio_fp_index(corpus), min_shared=1, hot_cap=50
+    )
+
+
+_AUDIO_FP_INCR_SQL = f"""{_AUDIO_FPS_CTE}
+, idx0 AS (
+  SELECT doc_id, fp FROM fps WHERE doc_id % 10 <> 0
+), cold AS (
+  SELECT fp FROM idx0 GROUP BY fp HAVING count(DISTINCT doc_id) <= 50
+), idx AS (
+  SELECT doc_id, fp FROM idx0 JOIN cold USING (fp)
+), inc AS (
+  SELECT doc_id, fp FROM fps WHERE doc_id % 10 = 0
+)
+SELECT inc.doc_id AS d_new, idx.doc_id AS d_corpus, count(*) AS n_shared
+FROM inc JOIN idx USING (fp)
+WHERE inc.doc_id <> idx.doc_id
+GROUP BY 1, 2
+"""
+
+
 def _shift_robust_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shift-robust dedup family as ONE labeled driver row
     (consolidated round 12 per the r11 verdict): content-defined
@@ -3586,6 +3718,15 @@ LLM_SUPPLEMENTARY: list[Query] = [
           "north-star: token counting + quality features (driver row "
           "rounds 2-11, demoted round 12 to free a window slot; "
           "keeps its frozen bench row like-for-like)"),
+    Query("audio_fp_pairs", _audio_fp_pairs, _AUDIO_FP_PAIRS_SQL,
+          "north-star: audio near-dup pairs — windowed-energy gram "
+          "fingerprints over real decoded PCM, hop-shift robust, "
+          "hot-fp cap (supplementary, differential-tested)"),
+    Query("audio_fp_incremental", _audio_fp_incremental,
+          _AUDIO_FP_INCR_SQL,
+          "north-star: increment-vs-corpus audio matching through the "
+          "persisted fingerprint index — cost ∝ increment "
+          "(supplementary, differential-tested)"),
     Query("media_phash_pairs", _media_phash_pairs, _PHASH_PAIRS_SQL,
           "north-star: perceptual image near-dup pairs — banded 64-bit "
           "dHash over real decoded rasters, hot-band cap, exact "

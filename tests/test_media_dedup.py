@@ -221,3 +221,128 @@ def test_rtbf_forgotten_media_never_matches_again(spark, tmp_path):
     ).collect()
     assert not any(r["d_corpus"] == 1 for r in after)
     assert {r["d_corpus"] for r in after} == {0, 2}
+
+
+# ------------------------------------------------------------------
+# Audio fingerprints
+
+
+def _wav(samples: list[int]) -> bytes:
+    from datawarehouse_code_spark.operators.multimodal import encode_pcm_wav
+
+    return encode_pcm_wav(8000, [samples])
+
+
+def _base_samples(seed: int, n: int = 120) -> list[int]:
+    return [((seed * 37 + i * 211) % 4096) - 2048 for i in range(n)]
+
+
+def test_audio_fp_strings_match_independent_computation():
+    """Fingerprints equal an independent hashlib/energy computation."""
+    import hashlib
+
+    import numpy as np
+
+    s = np.array(_base_samples(3, 48), dtype=np.int32)
+    from datawarehouse_code_spark.operators.media_dedup import (
+        audio_fp_strings,
+    )
+
+    got = audio_fp_strings(s, win=16, hop=8, gram=4, qshift=4)
+    e = [sum(abs(int(v)) for v in s[w * 8: w * 8 + 16]) for w in range(5)]
+    q = [x >> 4 for x in e]
+    want = [
+        hashlib.md5(" ".join(str(v) for v in q[g: g + 4]).encode()).hexdigest()
+        for g in range(2)
+    ]
+    assert got == want
+
+
+def test_audio_shifted_copy_shares_fingerprints(spark):
+    """A copy shifted by whole hops shares every overlapping gram —
+    the shift-robustness fixed framings lack; an unrelated signal
+    shares nothing; sub-hop shifts are (documented) not matched."""
+    from datawarehouse_code_spark.operators.media_dedup import (
+        audio_near_dup_pairs,
+    )
+
+    base = _base_samples(1, 144)
+    rows = [
+        (0, "audio/wav", _wav(base[:120])),
+        (1, "audio/wav", _wav(base[8:128])),   # shifted one hop
+        (2, "audio/wav", _wav(base[24:144])),  # shifted three hops
+        (3, "audio/wav", _wav(_base_samples(99, 120))),  # unrelated
+    ]
+    media = spark.createDataFrame(rows, ["media_id", "media_type", "content"])
+    pairs = {
+        (r["d1"], r["d2"]): r["n_shared"]
+        for r in audio_near_dup_pairs(media, min_shared=2).collect()
+    }
+    assert set(pairs) == {(0, 1), (0, 2), (1, 2)}
+    # 120 samples -> 14 windows -> 11 grams; shift by k hops leaves
+    # 11 - k shared gram values
+    assert pairs[(0, 1)] == 10 and pairs[(1, 2)] == 9 and pairs[(0, 2)] == 8
+
+
+def test_audio_hot_fp_cap(spark):
+    """Digital silence shared by more media than the cap is dropped
+    before the self-join."""
+    from datawarehouse_code_spark.operators.media_dedup import (
+        audio_near_dup_pairs,
+    )
+
+    media = spark.createDataFrame(
+        [(i, "audio/wav", _wav([0] * 120)) for i in range(10)],
+        ["media_id", "media_type", "content"],
+    )
+    assert audio_near_dup_pairs(media, min_shared=1, hot_cap=5).count() == 0
+    assert (
+        audio_near_dup_pairs(media, min_shared=1, hot_cap=10).count()
+        == 10 * 9 // 2
+    )
+
+
+def test_audio_incremental_matches_and_rtbf(spark, tmp_path):
+    """Index build + increment matching finds the planted shifted
+    copy at |increment| cost; forget_index_rows closes RTBF — after
+    deletion an exact copy matches nothing."""
+    from datawarehouse_code_spark.operators.corpus import forget_index_rows
+    from datawarehouse_code_spark.operators.media_dedup import (
+        audio_matches_incremental,
+        build_audio_fp_index,
+    )
+
+    base = _base_samples(7, 144)
+    corpus = spark.createDataFrame(
+        [
+            (1, "audio/wav", _wav(base[:120])),
+            (2, "audio/wav", _wav(_base_samples(55, 120))),
+        ],
+        ["media_id", "media_type", "content"],
+    )
+    path = str(tmp_path / "audio_idx")
+    build_audio_fp_index(corpus).write.parquet(path)
+
+    inc = spark.createDataFrame(
+        [(10, "audio/wav", _wav(base[16:136]))],  # two hops shifted
+        ["media_id", "media_type", "content"],
+    )
+    got = {
+        (r["d_new"], r["d_corpus"]): r["n_shared"]
+        for r in audio_matches_incremental(
+            inc, spark.read.parquet(path)
+        ).collect()
+    }
+    assert set(got) == {(10, 1)} and got[(10, 1)] == 9
+
+    forget_index_rows(
+        spark, path, corpus.filter("media_id = 1"), id_col="media_id"
+    )
+    exact_copy = spark.createDataFrame(
+        [(11, "audio/wav", _wav(base[:120]))],
+        ["media_id", "media_type", "content"],
+    )
+    assert (
+        audio_matches_incremental(exact_copy, spark.read.parquet(path)).count()
+        == 0
+    )

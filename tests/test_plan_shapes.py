@@ -154,6 +154,11 @@ PLAN_BOUNDS = {
     # fixture scale, a 100 TB caller persists the hash table once)
     "media_phash_pairs": (12, 8),
     "media_phash_incremental": (9, 5),
+    # audio fingerprint rows (measured r12: 8/7, 6/5 — bounds ~50%
+    # above; the fingerprint map re-derives per consumer by design at
+    # fixture scale, a 100 TB caller persists the fp table once)
+    "audio_fp_pairs": (12, 11),
+    "audio_fp_incremental": (9, 8),
 }
 
 
