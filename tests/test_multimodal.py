@@ -1180,3 +1180,43 @@ def test_wav_g711_expansion():
     assert min(alaw) == -32256 and max(alaw) == 32256
     for b in range(256):
         assert alaw[b] == -alaw[b ^ 0x80]
+
+
+def test_png_wavefront_unfilter_long_runs_exact():
+    """Long same-filter runs route through the anti-diagonal wavefront
+    (_png_unfilter_wavefront, r12): all-Average and all-Paeth images
+    plus a mixed stream with runs straddling the scalar/wavefront cut
+    (runs of 3, 4 and 17 rows) must reconstruct pseudo-random
+    reference scanlines bit-exactly — the forward filtering is done
+    test-side, independently of the decoder."""
+    import struct
+    import zlib
+
+    from datawarehouse_code_spark.operators.multimodal import decode_image
+
+    w, h, ch = 13, 24, 3
+
+    def ref_rows(seed):
+        return [
+            bytes(((x * 151 + y * 83 + c * 29 + seed * 7919) % 256)
+                  for x in range(w) for c in range(ch))
+            for y in range(h)
+        ]
+
+    cases = [
+        [3] * h,                              # all-Average wavefront
+        [4] * h,                              # all-Paeth wavefront
+        [0] + [4] * 17 + [3] * 3 + [2, 1, 4],  # mixed: 17-run, 3-run,
+                                               # singletons at the tail
+    ]
+    for seed, filters in enumerate(cases):
+        ref = ref_rows(seed)
+        raw = _png_filter_forward(ref, ch, filters)
+        data = _png_chunks(
+            (b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)),
+            (b"IDAT", zlib.compress(raw)),
+            (b"IEND", b""),
+        )
+        assert decode_image(data) == (w, h, 3, b"".join(ref)), (
+            f"case {seed} ({filters[:5]}...) mismatched"
+        )
