@@ -203,6 +203,8 @@ HEADLINE = [
     "media_phash_incremental",
     "audio_fp_pairs",
     "audio_fp_incremental",
+    "video_fp_pairs",
+    "video_fp_incremental",
 ]
 
 

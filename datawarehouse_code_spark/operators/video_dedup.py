@@ -1,0 +1,213 @@
+"""Video near-duplicate detection — the fourth modality's dedup lane,
+completing the family (text: exact/MinHash/SimHash/CDC/winnowing;
+embeddings: SemDeDup/ANN; images: dHash; audio: energy grams).
+
+A "video" here is a frame container: the image/audio codec libraries
+this container ships without are exactly the stubbed decode boundary
+the brief prescribes, so the CONTAINER walk, the per-frame image
+decode (the real pure-Python decoders), the perceptual hashing and the
+temporal fingerprint matching are all real — only the exotic-codec
+frame payloads would route to quarantine, same as single images.
+
+Container format (VID0): b'VID0' + uint32 n_frames + n_frames ×
+(uint32 len + frame bytes), little-endian.  Each frame is any payload
+decode_image accepts (PNM/BMP/JPEG/PNG).  Deliberately minimal — at
+100 TB the point is the Spark-side shape (narrow Arrow map, frames
+never leave the worker, fingerprints are the only output), not
+container realism; a real demuxer slots in behind decode_video_frames
+exactly like Pillow slots in behind decode_image.
+
+Fingerprints are TEMPORAL GRAMS of per-frame dHashes (the video twin
+of the audio energy grams): md5 over `gram` consecutive frame-hash
+band tuples, matched by VALUE — a copy missing m leading/trailing
+frames still shares every gram of the overlap, and an edit re-grams
+only the frames around it (the winnowing locality argument, one level
+up).  Detect → persisted index → increment-cost matching → RTBF via
+forget_index_rows(id_col='media_id'), with the distinct-carrier hot
+cap before every self-join (a black-frame loop is the hot key here).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+VIDEO_MAGIC = b"VID0"
+VIDEO_MAX_FRAMES = 4096
+VIDEO_MAX_FRAME_BYTES = 1 << 24
+
+VIDEO_FP_SCHEMA = "media_id BIGINT, fp STRING"
+
+
+def encode_video(frames: list[bytes]) -> bytes:
+    """Pack encoded frame payloads into a VID0 container (the fixture
+    encoder — tests and oracles know the exact frame bytes)."""
+    if len(frames) > VIDEO_MAX_FRAMES:
+        raise ValueError(f"{len(frames)} frames > cap {VIDEO_MAX_FRAMES}")
+    out = bytearray(VIDEO_MAGIC)
+    out += struct.pack("<I", len(frames))
+    for f in frames:
+        if len(f) > VIDEO_MAX_FRAME_BYTES:
+            raise ValueError(
+                f"frame of {len(f)} bytes > cap {VIDEO_MAX_FRAME_BYTES}"
+            )
+        out += struct.pack("<I", len(f))
+        out += f
+    return bytes(out)
+
+
+def decode_video_frames(data: bytes) -> list[bytes]:
+    """Walk a VID0 container into its ordered frame payloads.  Loud-
+    failure contract like every decoder here: ValueError for bad
+    magic, over-cap frame counts/sizes, truncation mid-walk, and
+    trailing garbage after the declared frames — a container that
+    lies about its sizes never silently yields a partial video."""
+    if bytes(data[:4]) != VIDEO_MAGIC:
+        raise ValueError(
+            f"not a VID0 container (magic {bytes(data[:4])!r})"
+        )
+    if len(data) < 8:
+        raise ValueError("truncated VID0 header")
+    (n_frames,) = struct.unpack_from("<I", data, 4)
+    if n_frames > VIDEO_MAX_FRAMES:
+        raise ValueError(f"{n_frames} frames > cap {VIDEO_MAX_FRAMES}")
+    frames, pos = [], 8
+    for i in range(n_frames):
+        if pos + 4 > len(data):
+            raise ValueError(f"truncated VID0 length prefix (frame {i})")
+        (flen,) = struct.unpack_from("<I", data, pos)
+        if flen > VIDEO_MAX_FRAME_BYTES:
+            raise ValueError(
+                f"frame {i} declares {flen} bytes > cap "
+                f"{VIDEO_MAX_FRAME_BYTES}"
+            )
+        pos += 4
+        if pos + flen > len(data):
+            raise ValueError(f"truncated VID0 frame {i}")
+        frames.append(bytes(data[pos: pos + flen]))
+        pos += flen
+    if pos != len(data):
+        raise ValueError(
+            f"{len(data) - pos} trailing bytes after VID0 frames"
+        )
+    return frames
+
+
+def video_fp_strings(frames: list[bytes], gram: int = 2) -> list[str]:
+    """The temporal fingerprint set of one video's decoded frames:
+    dHash each frame (the image detector's exact hash), render each
+    as 'b0:b1:b2:b3', md5 every run of `gram` consecutive frame keys
+    joined with ' | '.  Decimal-rendered integers + md5 = the engine-
+    shared hash, so a DuckDB oracle replays fingerprints exactly."""
+    import hashlib
+
+    from datawarehouse_code_spark.operators.media_dedup import dhash_bits
+    from datawarehouse_code_spark.operators.multimodal import decode_image
+
+    keys = []
+    for payload in frames:
+        w, h, ch, px = decode_image(payload)
+        keys.append(":".join(str(b) for b in dhash_bits(w, h, ch, px)))
+    return [
+        hashlib.md5(" | ".join(keys[g: g + gram]).encode()).hexdigest()
+        for g in range(len(keys) - gram + 1)
+    ]
+
+
+def video_fingerprints(media: DataFrame, gram: int = 2) -> DataFrame:
+    """Per-media DISTINCT video fingerprints: container walk +
+    per-frame image decode + dHash + temporal grams, all inside one
+    narrow Arrow-batched map — frames and pixels never leave the
+    worker, only (media_id, fp) does.  `gram` is the index contract —
+    increments must pass the same value."""
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            ids, fps = [], []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                frames = decode_video_frames(bytes(content))
+                for fp in set(video_fp_strings(frames, gram)):
+                    ids.append(media_id)
+                    fps.append(fp)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "fp": pd.Series(fps, dtype=object),
+                }
+            )
+
+    return media.mapInPandas(batches, VIDEO_FP_SCHEMA).distinct()
+
+
+def _cap_hot(fps: DataFrame, cap: int) -> DataFrame:
+    """Distinct-carrier hot-fingerprint cap (the black-frame-loop
+    guard; same grain as every hot-key cap in this engine)."""
+    cold = (
+        fps.groupBy("fp")
+        .agg(F.countDistinct("media_id").alias("_k"))
+        .filter(F.col("_k") <= cap)
+        .select("fp")
+    )
+    return fps.join(cold, "fp", "left_semi")
+
+
+def video_near_dup_pairs(
+    media: DataFrame,
+    min_shared: int = 2,
+    hot_cap: int = 50,
+    gram: int = 2,
+) -> DataFrame:
+    """Video near-dup pairs: (d1, d2, n_shared) for videos sharing ≥
+    `min_shared` temporal grams, hot grams capped BEFORE the
+    self-join.  A copy trimmed or extended by whole frames shares
+    every gram of the overlap; a mid-edit re-grams only the edited
+    neighborhood."""
+    fps = _cap_hot(video_fingerprints(media, gram), hot_cap)
+    a = fps.select(F.col("media_id").alias("d1"), "fp")
+    b = fps.select(F.col("media_id").alias("d2"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def build_video_fp_index(media: DataFrame, gram: int = 2) -> DataFrame:
+    """The persisted video fingerprint index: (media_id, fp) distinct
+    — same contract as the audio/CDC/winnowing indexes (read-time hot
+    cap in the incremental matcher; RTBF via forget_index_rows with
+    id_col='media_id')."""
+    return video_fingerprints(media, gram)
+
+
+def video_matches_incremental(
+    new_media: DataFrame,
+    index: DataFrame,
+    min_shared: int = 1,
+    hot_cap: int = 50,
+    gram: int = 2,
+) -> DataFrame:
+    """Increment-vs-corpus video matching through the persisted
+    index: (d_new, d_corpus, n_shared) — the increment decodes and
+    fingerprints itself, the corpus rides the equi-join, cost ∝
+    |increment|.  `gram` must match the index build."""
+    inc = video_fingerprints(new_media, gram).select(
+        F.col("media_id").alias("d_new"), "fp"
+    )
+    idx = _cap_hot(index, hot_cap).select(
+        F.col("media_id").alias("d_corpus"), "fp"
+    )
+    return (
+        inc.join(idx, "fp")
+        .filter(F.col("d_new") != F.col("d_corpus"))
+        .groupBy("d_new", "d_corpus")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

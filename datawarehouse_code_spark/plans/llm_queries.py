@@ -3565,6 +3565,148 @@ GROUP BY 1, 2
 """
 
 
+def _video_fp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video-fingerprint oracle fixture: per doc_id a REAL VID0
+    container of six 9x8 PGM frames where group = doc_id//4 owns an
+    (unbounded) frame sequence — frame fidx's dHash row bytes are
+    knuth(grp·256 + fidx·8 + r) mod 256 via the ±1-walk raster — and
+    member = doc_id%4 starts `member` frames later (a frame-trimmed
+    copy), so members share all overlapping temporal grams and every
+    per-frame hash is closed-form."""
+    import pandas as pd  # noqa: F811
+
+    from datawarehouse_code_spark.operators.multimodal import encode_gray_pgm
+    from datawarehouse_code_spark.operators.video_dedup import encode_video
+
+    docs = read_table(spark, "documents", sf_dir).select("doc_id")
+
+    def build(it):
+        for pdf in it:
+            ids, types, blobs = [], [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                grp, mem = d // 4, d % 4
+                frames = []
+                for j in range(6):
+                    fidx = mem + j
+                    raster = bytearray()
+                    for r in range(8):
+                        key = grp * 256 + fidx * 8 + r
+                        b = ((((key) % 2**31) * 2654435761) % 2**32) % 256
+                        v = 128
+                        raster.append(v)
+                        for c in range(8):
+                            v += 1 if (b >> c) & 1 else -1
+                            raster.append(v)
+                    frames.append(encode_gray_pgm(9, 8, bytes(raster)))
+                ids.append(d)
+                types.append("video/vid0")
+                blobs.append(encode_video(frames))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "media_type": pd.Series(types, dtype=object),
+                    "content": pd.Series(blobs, dtype=object),
+                }
+            )
+
+    return docs.mapInPandas(
+        build, "media_id BIGINT, media_type STRING, content BINARY"
+    )
+
+
+def _video_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs (operators/video_dedup.py
+    video_fingerprints + video_near_dup_pairs) over real VID0
+    containers: container walk, per-frame PGM decode + dHash,
+    temporal grams of 2 consecutive frame-hash keys, hot-gram cap at
+    50 carriers, pairs sharing ≥ 2 grams.  DuckDB replays the WHOLE
+    detection — closed-form frame bands, the ':'-joined frame keys,
+    the lead()-built gram md5s, the distinct-carrier cap and the pair
+    counts — so a container mis-walk, frame decode slip, key render
+    change or gram off-by-one all flip the hash."""
+    from datawarehouse_code_spark.operators.video_dedup import (
+        video_near_dup_pairs,
+    )
+
+    return video_near_dup_pairs(
+        _video_fp_media(spark, sf_dir), min_shared=2, hot_cap=50
+    )
+
+
+_VIDEO_FPS_CTE = f"""
+WITH m AS (
+  SELECT doc_id, doc_id // 4 AS grp, doc_id % 4 AS mem FROM documents
+), rb AS (
+  SELECT doc_id, f.j AS j, k.k AS k,
+         CAST(({knuth_hash_sql('grp * 256 + (mem + f.j) * 8 + 2 * k.k')})
+              % 256 AS INTEGER)
+         + 256 * CAST(({knuth_hash_sql(
+             'grp * 256 + (mem + f.j) * 8 + 2 * k.k + 1')})
+              % 256 AS INTEGER) AS band
+  FROM m, unnest(range(0, 6)) AS f(j), unnest(range(0, 4)) AS k(k)
+), keys AS (
+  SELECT doc_id, j,
+         string_agg(CAST(band AS VARCHAR), ':' ORDER BY k) AS key
+  FROM rb GROUP BY 1, 2
+), gr AS (
+  SELECT doc_id, j,
+         md5(key || ' | ' ||
+             lead(key) OVER (PARTITION BY doc_id ORDER BY j)) AS fp
+  FROM keys
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM gr WHERE j <= 4
+)"""
+
+_VIDEO_FP_PAIRS_SQL = f"""{_VIDEO_FPS_CTE}
+, cold AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(DISTINCT doc_id) <= 50
+), capped AS (
+  SELECT doc_id, fp FROM fps JOIN cold USING (fp)
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+FROM capped a JOIN capped b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def _video_fp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Increment-vs-corpus video matching through the persisted
+    fingerprint index (operators/video_dedup.py build_video_fp_index /
+    video_matches_incremental): corpus = doc_id % 10 != 0, increment =
+    every 10th doc, min_shared = 1.  DuckDB replays both fingerprint
+    selections, the read-time carrier cap and the pair counts."""
+    from datawarehouse_code_spark.operators.video_dedup import (
+        build_video_fp_index,
+        video_matches_incremental,
+    )
+
+    media = _video_fp_media(spark, sf_dir)
+    corpus = media.filter(F.col("media_id") % 10 != 0)
+    inc = media.filter(F.col("media_id") % 10 == 0)
+    return video_matches_incremental(
+        inc, build_video_fp_index(corpus), min_shared=1, hot_cap=50
+    )
+
+
+_VIDEO_FP_INCR_SQL = f"""{_VIDEO_FPS_CTE}
+, idx0 AS (
+  SELECT doc_id, fp FROM fps WHERE doc_id % 10 <> 0
+), cold AS (
+  SELECT fp FROM idx0 GROUP BY fp HAVING count(DISTINCT doc_id) <= 50
+), idx AS (
+  SELECT doc_id, fp FROM idx0 JOIN cold USING (fp)
+), inc AS (
+  SELECT doc_id, fp FROM fps WHERE doc_id % 10 = 0
+)
+SELECT inc.doc_id AS d_new, idx.doc_id AS d_corpus, count(*) AS n_shared
+FROM inc JOIN idx USING (fp)
+WHERE inc.doc_id <> idx.doc_id
+GROUP BY 1, 2
+"""
+
+
 def _shift_robust_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shift-robust dedup family as ONE labeled driver row
     (consolidated round 12 per the r11 verdict): content-defined
@@ -3718,6 +3860,15 @@ LLM_SUPPLEMENTARY: list[Query] = [
           "north-star: token counting + quality features (driver row "
           "rounds 2-11, demoted round 12 to free a window slot; "
           "keeps its frozen bench row like-for-like)"),
+    Query("video_fp_pairs", _video_fp_pairs, _VIDEO_FP_PAIRS_SQL,
+          "north-star: video near-dup pairs — temporal grams of "
+          "per-frame dHashes over real VID0 containers, frame-trim "
+          "robust, hot-gram cap (supplementary, differential-tested)"),
+    Query("video_fp_incremental", _video_fp_incremental,
+          _VIDEO_FP_INCR_SQL,
+          "north-star: increment-vs-corpus video matching through the "
+          "persisted fingerprint index — cost ∝ increment "
+          "(supplementary, differential-tested)"),
     Query("audio_fp_pairs", _audio_fp_pairs, _AUDIO_FP_PAIRS_SQL,
           "north-star: audio near-dup pairs — windowed-energy gram "
           "fingerprints over real decoded PCM, hop-shift robust, "

@@ -159,6 +159,10 @@ PLAN_BOUNDS = {
     # fixture scale, a 100 TB caller persists the fp table once)
     "audio_fp_pairs": (12, 11),
     "audio_fp_incremental": (9, 8),
+    # video fingerprint rows (measured r12: 8/7, 6/5 — bounds ~50%
+    # above; same re-derive-per-consumer fixture-scale shape)
+    "video_fp_pairs": (12, 11),
+    "video_fp_incremental": (9, 8),
 }
 
 

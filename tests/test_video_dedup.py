@@ -1,0 +1,155 @@
+"""Video fingerprinting (VID0 container walk + per-frame dHash +
+temporal grams): container loud-failure contract, fingerprint parity
+with an independent computation, frame-trim shift-robustness, the
+hot-gram cap, increment-vs-index matching and RTBF."""
+
+import hashlib
+
+import pytest
+
+from datawarehouse_code_spark.operators.media_dedup import dhash_bits
+from datawarehouse_code_spark.operators.multimodal import encode_gray_pgm
+from datawarehouse_code_spark.operators.video_dedup import (
+    build_video_fp_index,
+    decode_video_frames,
+    encode_video,
+    video_fingerprints,
+    video_fp_strings,
+    video_matches_incremental,
+    video_near_dup_pairs,
+)
+
+
+def _frame(seed: int) -> bytes:
+    """9x8 PGM whose dHash bits are the deterministic row bytes
+    ((seed*8 + r)*37 mod 256) — the media_dedup test construction."""
+    out = bytearray()
+    for r in range(8):
+        b = ((seed * 8 + r) * 37) % 256
+        v = 128
+        out.append(v)
+        for c in range(8):
+            v += 1 if (b >> c) & 1 else -1
+            out.append(v)
+    return encode_gray_pgm(9, 8, bytes(out))
+
+
+def test_container_roundtrip_and_loud_failures():
+    frames = [_frame(s) for s in range(3)]
+    data = encode_video(frames)
+    assert decode_video_frames(data) == frames
+    with pytest.raises(ValueError, match="magic"):
+        decode_video_frames(b"JUNK" + data[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_video_frames(data[:-3])
+    with pytest.raises(ValueError, match="trailing"):
+        decode_video_frames(data + b"x")
+    with pytest.raises(ValueError, match="cap"):
+        decode_video_frames(
+            b"VID0" + (2**20).to_bytes(4, "little")
+        )
+
+
+def test_fp_strings_match_independent_computation():
+    frames = [_frame(s) for s in range(4)]
+    got = video_fp_strings(frames, gram=2)
+    keys = []
+    for s in range(4):
+        bands = [((s * 8 + 2 * k) * 37) % 256
+                 | ((((s * 8 + 2 * k + 1) * 37) % 256) << 8)
+                 for k in range(4)]
+        keys.append(":".join(str(b) for b in bands))
+    want = [
+        hashlib.md5(f"{keys[g]} | {keys[g + 1]}".encode()).hexdigest()
+        for g in range(3)
+    ]
+    assert got == want
+    # sanity: the construction really controls the per-frame hash
+    from datawarehouse_code_spark.operators.multimodal import decode_image
+
+    w, h, ch, px = decode_image(frames[0])
+    assert ":".join(str(b) for b in dhash_bits(w, h, ch, px)) == keys[0]
+
+
+def test_frame_trim_shift_robustness(spark):
+    """Copies missing leading frames share every gram of the overlap
+    (8-frame base, trims of 1 and 2 -> 6 and 5 shared grams); an
+    unrelated video shares nothing."""
+    base = [_frame(s) for s in range(8)]
+    rows = [
+        (0, "video/vid0", encode_video(base)),
+        (1, "video/vid0", encode_video(base[1:])),
+        (2, "video/vid0", encode_video(base[2:])),
+        (3, "video/vid0", encode_video([_frame(s) for s in range(50, 56)])),
+    ]
+    media = spark.createDataFrame(rows, ["media_id", "media_type", "content"])
+    pairs = {
+        (r["d1"], r["d2"]): r["n_shared"]
+        for r in video_near_dup_pairs(media, min_shared=2).collect()
+    }
+    assert set(pairs) == {(0, 1), (0, 2), (1, 2)}
+    assert pairs[(0, 1)] == 6 and pairs[(1, 2)] == 5 and pairs[(0, 2)] == 5
+
+
+def test_hot_gram_cap(spark):
+    """A black-frame loop shared by more media than the cap is
+    dropped before the self-join."""
+    loop = encode_video([_frame(0)] * 4)
+    media = spark.createDataFrame(
+        [(i, "video/vid0", loop) for i in range(8)],
+        ["media_id", "media_type", "content"],
+    )
+    assert video_near_dup_pairs(media, min_shared=1, hot_cap=4).count() == 0
+    assert (
+        video_near_dup_pairs(media, min_shared=1, hot_cap=8).count()
+        == 8 * 7 // 2
+    )
+
+
+def test_video_incremental_and_rtbf(spark, tmp_path):
+    from datawarehouse_code_spark.operators.corpus import forget_index_rows
+
+    base = [_frame(s) for s in range(8)]
+    corpus = spark.createDataFrame(
+        [
+            (1, "video/vid0", encode_video(base)),
+            # seeds stay distinct mod 32: the _frame row-byte rule is
+            # ((seed*8 + r)*37) % 256, periodic in seed with period 32
+            (2, "video/vid0", encode_video([_frame(s) for s in range(10, 18)])),
+        ],
+        ["media_id", "media_type", "content"],
+    )
+    path = str(tmp_path / "video_idx")
+    build_video_fp_index(corpus).write.parquet(path)
+
+    inc = spark.createDataFrame(
+        [(10, "video/vid0", encode_video(base[3:]))],
+        ["media_id", "media_type", "content"],
+    )
+    got = {
+        (r["d_new"], r["d_corpus"]): r["n_shared"]
+        for r in video_matches_incremental(
+            inc, spark.read.parquet(path)
+        ).collect()
+    }
+    assert got == {(10, 1): 4}  # 5-frame trim overlap -> 4 shared grams
+
+    forget_index_rows(
+        spark, path, corpus.filter("media_id = 1"), id_col="media_id"
+    )
+    exact = spark.createDataFrame(
+        [(11, "video/vid0", encode_video(base))],
+        ["media_id", "media_type", "content"],
+    )
+    assert (
+        video_matches_incremental(exact, spark.read.parquet(path)).count()
+        == 0
+    )
+
+
+def test_null_payload_yields_no_rows(spark):
+    media = spark.createDataFrame(
+        [(1, "video/vid0", None)],
+        "media_id BIGINT, media_type STRING, content BINARY",
+    )
+    assert video_fingerprints(media).count() == 0
