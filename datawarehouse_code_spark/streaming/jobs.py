@@ -934,3 +934,106 @@ def run_sketch_maintenance(
     finally:
         if not spark.streams.active:
             restore_nanos_conf(spark)
+
+
+def _run_media_index_ingest(
+    media: DataFrame,
+    index_path: str,
+    rows_fn,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Shared exactly-once maintenance loop for the media-keyed
+    perceptual indexes (dHash bands, audio fingerprints, video
+    fingerprints): per micro-batch of arriving media, derive the
+    BATCH's index rows (every one of these is a pure function of the
+    payload — no corpus state) and REPLACE each arriving media_id's
+    rows in `index_path` (sources/acid.py replace_keyed, the
+    stale-row-closing upsert the CDC index ingest uses: a re-delivered
+    item producing fewer rows leaves no residue).
+
+    Exactly-once: a checkpoint replay re-derives identical rows from
+    identical payloads, so the keyed replace is a no-op.  Hot-key caps
+    are deliberately NOT applied at ingest (append-only maintenance
+    only pushes carrier counts up; an ingest-time cap would make
+    replays order-dependent) — the incremental matchers cap at read
+    time, same doctrine as cap_hot_chunks."""
+    from datawarehouse_code_spark.sources.acid import (
+        _staged_overwrite,
+        replace_keyed,
+        table_exists,
+    )
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        sp = batch.sparkSession
+        rows = rows_fn(batch)
+        if table_exists(sp, index_path):
+            replace_keyed(sp, index_path, rows, ["media_id"])
+        else:
+            _staged_overwrite(sp, rows, index_path)
+
+    writer = media.writeStream.foreachBatch(_apply).trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    writer.start().awaitTermination()
+
+
+def run_dhash_index_ingest(
+    media: DataFrame,
+    index_path: str,
+    checkpoint_dir: str | None = None,
+    grid: int = 8,
+) -> None:
+    """Exactly-once streaming maintenance of the persisted perceptual
+    dHash band index (operators/media_dedup.py build_dhash_index /
+    dhash_matches_incremental) — the image sibling of
+    run_cdc_index_ingest.  `grid` is the index contract."""
+    from datawarehouse_code_spark.operators.media_dedup import (
+        build_dhash_index,
+    )
+
+    _run_media_index_ingest(
+        media, index_path,
+        lambda b: build_dhash_index(b, grid=grid), checkpoint_dir,
+    )
+
+
+def run_audio_fp_ingest(
+    media: DataFrame,
+    index_path: str,
+    checkpoint_dir: str | None = None,
+    win: int = 16,
+    hop: int = 8,
+    gram: int = 4,
+    qshift: int = 4,
+) -> None:
+    """Exactly-once streaming maintenance of the persisted audio
+    fingerprint index (operators/media_dedup.py build_audio_fp_index /
+    audio_matches_incremental).  Parameters are the index contract."""
+    from datawarehouse_code_spark.operators.media_dedup import (
+        build_audio_fp_index,
+    )
+
+    _run_media_index_ingest(
+        media, index_path,
+        lambda b: build_audio_fp_index(b, win, hop, gram, qshift),
+        checkpoint_dir,
+    )
+
+
+def run_video_fp_ingest(
+    media: DataFrame,
+    index_path: str,
+    checkpoint_dir: str | None = None,
+    gram: int = 2,
+) -> None:
+    """Exactly-once streaming maintenance of the persisted video
+    fingerprint index (operators/video_dedup.py build_video_fp_index /
+    video_matches_incremental).  `gram` is the index contract."""
+    from datawarehouse_code_spark.operators.video_dedup import (
+        build_video_fp_index,
+    )
+
+    _run_media_index_ingest(
+        media, index_path,
+        lambda b: build_video_fp_index(b, gram=gram), checkpoint_dir,
+    )

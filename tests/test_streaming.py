@@ -991,3 +991,144 @@ def test_cdc_gated_ingest_rejects_shifted_boilerplate(spark, tmp_path):
         sorted(set(r.doc_id for r in spark.read.parquet(index).collect())),
     )
     assert after == before
+
+
+def _media_landing(tmp_path, rows):
+    """Write media rows into a landing dir as 3 time-ordered parquet
+    files (the file-stream micro-batch fixture shape)."""
+    import os
+    import time
+
+    import pandas as pd
+
+    land = tmp_path / "media_landing"
+    land.mkdir()
+    now = time.time() - 600
+    per = max(1, len(rows) // 3)
+    for i in range(3):
+        chunk = rows[i * per: (i + 1) * per] if i < 2 else rows[2 * per:]
+        if not chunk:
+            continue
+        f = land / f"batch-{i}.parquet"
+        pd.DataFrame(
+            chunk, columns=["media_id", "media_type", "content"]
+        ).to_parquet(f, index=False)
+        os.utime(f, (now + 60 * i, now + 60 * i))
+    return land
+
+
+def test_dhash_index_ingest_stream_equals_batch(spark, tmp_path):
+    """run_dhash_index_ingest drained over three micro-batches leaves
+    exactly the batch build's rows (hashing is a pure per-payload
+    function); a checkpoint replay is a no-op; and the maintained
+    index serves dhash_matches_incremental."""
+    from datawarehouse_code_spark.operators.media_dedup import (
+        build_dhash_index,
+        dhash_matches_incremental,
+    )
+    from datawarehouse_code_spark.operators.multimodal import encode_gray_pgm
+    from datawarehouse_code_spark.streaming.jobs import run_dhash_index_ingest
+
+    def raster(seed):
+        out = bytearray()
+        for r in range(8):
+            b = ((seed * 8 + r) * 37) % 256
+            v = 128
+            out.append(v)
+            for c in range(8):
+                v += 1 if (b >> c) & 1 else -1
+                out.append(v)
+        return encode_gray_pgm(9, 8, bytes(out))
+
+    rows = [(i, "image/pgm", raster(i)) for i in range(9)]
+    land = _media_landing(tmp_path, rows)
+    schema = "media_id BIGINT, media_type STRING, content BINARY"
+    index_path = str(tmp_path / "dhash_index")
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(land))
+        )
+
+    run_dhash_index_ingest(stream(), index_path,
+                           checkpoint_dir=str(tmp_path / "ckpt"))
+
+    media = spark.createDataFrame(rows, schema)
+    expected = sorted(map(tuple, build_dhash_index(media).collect()))
+    got = sorted(map(tuple, spark.read.parquet(index_path).collect()))
+    assert got == expected and len(got) == 9 * 4
+
+    run_dhash_index_ingest(stream(), index_path,
+                           checkpoint_dir=str(tmp_path / "ckpt"))
+    assert sorted(map(tuple, spark.read.parquet(index_path).collect())) == got
+
+    copy = spark.createDataFrame([(99, "image/pgm", raster(3))], schema)
+    matches = dhash_matches_incremental(
+        copy, spark.read.parquet(index_path)
+    ).collect()
+    assert any(r["d_corpus"] == 3 and r["hamming"] == 0 for r in matches)
+
+
+def test_video_fp_ingest_stream_equals_batch(spark, tmp_path):
+    """The generic media-index maintenance loop through the video
+    builder: stream-drained index equals the batch build and serves
+    increment matching through the read-time cap."""
+    from datawarehouse_code_spark.operators.media_dedup import (  # noqa: F401
+        dhash_bits,
+    )
+    from datawarehouse_code_spark.operators.multimodal import encode_gray_pgm
+    from datawarehouse_code_spark.operators.video_dedup import (
+        build_video_fp_index,
+        encode_video,
+        video_matches_incremental,
+    )
+    from datawarehouse_code_spark.streaming.jobs import run_video_fp_ingest
+
+    def frame(seed):
+        out = bytearray()
+        for r in range(8):
+            b = ((seed * 8 + r) * 37) % 256
+            v = 128
+            out.append(v)
+            for c in range(8):
+                v += 1 if (b >> c) & 1 else -1
+                out.append(v)
+        return encode_gray_pgm(9, 8, bytes(out))
+
+    base = [frame(s) for s in range(8)]
+    rows = [
+        (1, "video/vid0", encode_video(base)),
+        (2, "video/vid0", encode_video([frame(s) for s in range(10, 16)])),
+        (3, "video/vid0", encode_video([frame(s) for s in range(20, 26)])),
+    ]
+    land = _media_landing(tmp_path, rows)
+    schema = "media_id BIGINT, media_type STRING, content BINARY"
+    index_path = str(tmp_path / "video_index")
+
+    run_video_fp_ingest(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land)),
+        index_path,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    media = spark.createDataFrame(rows, schema)
+    expected = sorted(map(tuple, build_video_fp_index(media).collect()))
+    assert (
+        sorted(map(tuple, spark.read.parquet(index_path).collect()))
+        == expected
+    )
+
+    inc = spark.createDataFrame(
+        [(30, "video/vid0", encode_video(base[2:]))], schema
+    )
+    got = {
+        (r["d_new"], r["d_corpus"]): r["n_shared"]
+        for r in video_matches_incremental(
+            inc, spark.read.parquet(index_path)
+        ).collect()
+    }
+    assert got == {(30, 1): 5}
