@@ -205,6 +205,7 @@ HEADLINE = [
     "audio_fp_incremental",
     "video_fp_pairs",
     "video_fp_incremental",
+    "media_dedup_suite",
 ]
 
 

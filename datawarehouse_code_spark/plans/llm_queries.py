@@ -3707,6 +3707,68 @@ GROUP BY 1, 2
 """
 
 
+def _media_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The perceptual media dedup family as ONE labeled suite (built
+    round 12 as a supplementary row so a future driver-window
+    promotion is a single swap, the shift_robust_dedup_suite
+    precedent): image dHash pairs, audio fingerprint pairs, video
+    temporal-gram pairs, and one increment-vs-persisted-index leg.
+    Normalized columns: d1/d2 the pair ids (d_new/d_corpus for the
+    incremental leg), n1 the share count (shared bands for images,
+    shared grams otherwise), n2 the exact hamming distance (image
+    legs only)."""
+    image = _media_phash_pairs(spark, sf_dir).select(
+        F.lit("image").alias("part"),
+        F.col("d1").cast("bigint").alias("d1"),
+        F.col("d2").cast("bigint").alias("d2"),
+        F.col("n_shared_bands").cast("bigint").alias("n1"),
+        F.col("hamming").cast("bigint").alias("n2"),
+    )
+    audio = _audio_fp_pairs(spark, sf_dir).select(
+        F.lit("audio").alias("part"),
+        F.col("d1").cast("bigint").alias("d1"),
+        F.col("d2").cast("bigint").alias("d2"),
+        F.col("n_shared").cast("bigint").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+    )
+    video = _video_fp_pairs(spark, sf_dir).select(
+        F.lit("video").alias("part"),
+        F.col("d1").cast("bigint").alias("d1"),
+        F.col("d2").cast("bigint").alias("d2"),
+        F.col("n_shared").cast("bigint").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+    )
+    image_incr = _media_phash_incremental(spark, sf_dir).select(
+        F.lit("image_incr").alias("part"),
+        F.col("d_new").cast("bigint").alias("d1"),
+        F.col("d_corpus").cast("bigint").alias("d2"),
+        F.col("n_shared_bands").cast("bigint").alias("n1"),
+        F.col("hamming").cast("bigint").alias("n2"),
+    )
+    return (
+        image.unionByName(audio).unionByName(video).unionByName(image_incr)
+    )
+
+
+_MEDIA_DEDUP_SUITE_SQL = f"""
+SELECT 'image' AS part, CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+       CAST(n_shared_bands AS BIGINT) AS n1, CAST(hamming AS BIGINT) AS n2
+FROM ({_PHASH_PAIRS_SQL})
+UNION ALL
+SELECT 'audio', CAST(d1 AS BIGINT), CAST(d2 AS BIGINT),
+       CAST(n_shared AS BIGINT), CAST(NULL AS BIGINT)
+FROM ({_AUDIO_FP_PAIRS_SQL})
+UNION ALL
+SELECT 'video', CAST(d1 AS BIGINT), CAST(d2 AS BIGINT),
+       CAST(n_shared AS BIGINT), CAST(NULL AS BIGINT)
+FROM ({_VIDEO_FP_PAIRS_SQL})
+UNION ALL
+SELECT 'image_incr', CAST(d_new AS BIGINT), CAST(d_corpus AS BIGINT),
+       CAST(n_shared_bands AS BIGINT), CAST(hamming AS BIGINT)
+FROM ({_PHASH_INCR_SQL})
+"""
+
+
 def _shift_robust_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shift-robust dedup family as ONE labeled driver row
     (consolidated round 12 per the r11 verdict): content-defined
@@ -3860,6 +3922,11 @@ LLM_SUPPLEMENTARY: list[Query] = [
           "north-star: token counting + quality features (driver row "
           "rounds 2-11, demoted round 12 to free a window slot; "
           "keeps its frozen bench row like-for-like)"),
+    Query("media_dedup_suite", _media_dedup_suite, _MEDIA_DEDUP_SUITE_SQL,
+          "north-star: the perceptual media dedup family labeled — "
+          "image dHash + audio + video temporal grams + one "
+          "incremental leg (supplementary; built for a one-swap "
+          "driver-window promotion)"),
     Query("video_fp_pairs", _video_fp_pairs, _VIDEO_FP_PAIRS_SQL,
           "north-star: video near-dup pairs — temporal grams of "
           "per-frame dHashes over real VID0 containers, frame-trim "

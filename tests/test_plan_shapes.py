@@ -163,6 +163,8 @@ PLAN_BOUNDS = {
     # above; same re-derive-per-consumer fixture-scale shape)
     "video_fp_pairs": (12, 11),
     "video_fp_incremental": (9, 8),
+    # the four-leg media suite: constituent sums (8+8+8+6 / 7+7+7+5)
+    "media_dedup_suite": (36, 30),
 }
 
 
