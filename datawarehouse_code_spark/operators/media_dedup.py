@@ -85,13 +85,19 @@ def dhash_bits(
         if n_channels >= 3
         else a[:, :, 0].astype(np.float64)
     )
-    xs = [(c * width) // gw for c in range(gw + 1)]
-    ys = [(r * height) // gh for r in range(gh + 1)]
-    g = np.empty((gh, gw), dtype=np.float64)
-    for r in range(gh):
-        band = gray[ys[r]: ys[r + 1]]
-        for c in range(gw):
-            g[r, c] = band[:, xs[c]: xs[c + 1]].mean()
+    if width == gw and height == gh:
+        g = gray  # identity downsample — the oracle-fixture fast path
+    else:
+        # block sums via two reduceat passes (one numpy call per axis
+        # instead of a per-block Python loop), then divide by areas
+        xs = np.array([(c * width) // gw for c in range(gw + 1)])
+        ys = np.array([(r * height) // gh for r in range(gh + 1)])
+        col = np.add.reduceat(gray, xs[:-1], axis=1)
+        blk = np.add.reduceat(col, ys[:-1], axis=0)
+        areas = (
+            (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+        ).astype(np.float64)
+        g = blk / areas
     bits = g[:, 1:] > g[:, :-1]  # (gh, grid) booleans
     weights = 1 << np.arange(grid, dtype=np.int64)
     row_bytes = (bits * weights).sum(axis=1).astype(np.int64)
@@ -196,8 +202,15 @@ def dhash_near_dup_pairs(
     is exact, so precision is 1.0 by construction and recall is the
     banded-LSH guarantee (any pair whose flipped bits leave one band
     clean is proposed — always true for hamming ≤ 3 here, pigeonhole
-    over 4 bands... exactly: ≤ 3 flips occupy ≤ 3 bands)."""
-    bands = _cap_hot_bands(_explode_bands(hashes), band_cap)
+    over 4 bands... exactly: ≤ 3 flips occupy ≤ 3 bands).
+
+    The band table feeds four consumers (the cap's carrier count +
+    semi-join, both self-join sides), so it is materialized once with
+    an ephemeral localCheckpoint — the winnowing-fingerprint
+    precedent; without it the decode+hash map re-runs per consumer."""
+    bands = _cap_hot_bands(
+        _explode_bands(hashes).localCheckpoint(), band_cap
+    )
     left = bands.select(
         F.col("media_id").alias("d1"), "band_idx", "band_val",
         "b0", "b1", "b2", "b3",
@@ -381,9 +394,12 @@ def audio_near_dup_pairs(
     `hot_cap` distinct carriers BEFORE the self-join (the quadratic-
     bucket guard).  A copy shifted by m·hop samples shares all
     overlapping grams with its source — the shift-robustness fixed
-    framings lack, at hop-sample granularity."""
+    framings lack, at hop-sample granularity.  The fingerprint table
+    feeds four consumers (cap + both join sides) and is materialized
+    once via localCheckpoint, the winnowing precedent."""
     fps = _cap_hot_fps(
-        audio_fingerprints(media, win, hop, gram, qshift), hot_cap
+        audio_fingerprints(media, win, hop, gram, qshift).localCheckpoint(),
+        hot_cap,
     )
     a = fps.select(F.col("media_id").alias("d1"), "fp")
     b = fps.select(F.col("media_id").alias("d2"), "fp")

@@ -166,8 +166,11 @@ def video_near_dup_pairs(
     `min_shared` temporal grams, hot grams capped BEFORE the
     self-join.  A copy trimmed or extended by whole frames shares
     every gram of the overlap; a mid-edit re-grams only the edited
-    neighborhood."""
-    fps = _cap_hot(video_fingerprints(media, gram), hot_cap)
+    neighborhood.  The fingerprint table feeds four consumers (cap +
+    both join sides) and is materialized once via localCheckpoint,
+    the winnowing precedent — without it the container walk and every
+    frame decode re-run per consumer."""
+    fps = _cap_hot(video_fingerprints(media, gram).localCheckpoint(), hot_cap)
     a = fps.select(F.col("media_id").alias("d1"), "fp")
     b = fps.select(F.col("media_id").alias("d2"), "fp")
     return (

@@ -3400,8 +3400,12 @@ def _media_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _phash_media(spark, sf_dir)
     corpus = media.filter(F.col("media_id") % 10 != 0)
     inc = media.filter(F.col("media_id") % 10 == 0)
+    # the freshly-built index feeds the read-time cap + the join; a
+    # real caller reads it from parquet — materialize it once here so
+    # the fixture encode+decode+hash doesn't re-run per consumer
     return dhash_matches_incremental(
-        inc, build_dhash_index(corpus), max_hamming=6, band_cap=50
+        inc, build_dhash_index(corpus).localCheckpoint(),
+        max_hamming=6, band_cap=50,
     )
 
 
@@ -3543,8 +3547,10 @@ def _audio_fp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _audio_fp_media(spark, sf_dir)
     corpus = media.filter(F.col("media_id") % 10 != 0)
     inc = media.filter(F.col("media_id") % 10 == 0)
+    # materialize the freshly-built index once (parquet in real use)
     return audio_matches_incremental(
-        inc, build_audio_fp_index(corpus), min_shared=1, hot_cap=50
+        inc, build_audio_fp_index(corpus).localCheckpoint(),
+        min_shared=1, hot_cap=50,
     )
 
 
@@ -3685,8 +3691,10 @@ def _video_fp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _video_fp_media(spark, sf_dir)
     corpus = media.filter(F.col("media_id") % 10 != 0)
     inc = media.filter(F.col("media_id") % 10 == 0)
+    # materialize the freshly-built index once (parquet in real use)
     return video_matches_incremental(
-        inc, build_video_fp_index(corpus), min_shared=1, hot_cap=50
+        inc, build_video_fp_index(corpus).localCheckpoint(),
+        min_shared=1, hot_cap=50,
     )
 
 

@@ -149,22 +149,21 @@ PLAN_BOUNDS = {
     # the constituents' tighter bounds above pin the per-leg shapes)
     "shift_robust_dedup_suite": (30, 24),
     "media_suite": (9, 8),
-    # perceptual dHash rows (measured r12: 8/5, 6/3 — bounds ~50%
-    # above; the hash map re-derives per consumer by design at
-    # fixture scale, a 100 TB caller persists the hash table once)
-    "media_phash_pairs": (12, 8),
-    "media_phash_incremental": (9, 5),
-    # audio fingerprint rows (measured r12: 8/7, 6/5 — bounds ~50%
-    # above; the fingerprint map re-derives per consumer by design at
-    # fixture scale, a 100 TB caller persists the fp table once)
-    "audio_fp_pairs": (12, 11),
-    "audio_fp_incremental": (9, 8),
-    # video fingerprint rows (measured r12: 8/7, 6/5 — bounds ~50%
-    # above; same re-derive-per-consumer fixture-scale shape)
-    "video_fp_pairs": (12, 11),
-    "video_fp_incremental": (9, 8),
-    # the four-leg media suite: constituent sums (8+8+8+6 / 7+7+7+5)
-    "media_dedup_suite": (36, 30),
+    # perceptual dHash / audio / video fingerprint rows: the
+    # multiply-consumed fingerprint tables localCheckpoint (the
+    # winnowing precedent — decode+hash runs once, not per consumer),
+    # so the OBSERVABLE plans start at the checkpoint cut; the bounds
+    # pin that the cut STAYS (removing it would surface the 8-scan
+    # re-derivation shapes measured before the cut and trip these).
+    # Measured r12 post-cut: 0-2 scans / 3-5 exchanges per row.
+    "media_phash_pairs": (3, 8),
+    "media_phash_incremental": (3, 5),
+    "audio_fp_pairs": (3, 8),
+    "audio_fp_incremental": (3, 6),
+    "video_fp_pairs": (3, 8),
+    "video_fp_incremental": (3, 6),
+    # the four-leg media suite (measured 2/18 post-cut)
+    "media_dedup_suite": (6, 24),
 }
 
 
