@@ -1037,3 +1037,85 @@ def run_video_fp_ingest(
         media, index_path,
         lambda b: build_video_fp_index(b, gram=gram), checkpoint_dir,
     )
+
+
+def run_dhash_gated_ingest(
+    media: DataFrame,
+    target_path: str,
+    index_path: str,
+    checkpoint_dir: str | None = None,
+    max_hamming: int = 6,
+    band_cap: int = 50,
+    grid: int = 8,
+) -> None:
+    """Streaming media ingest with a PERCEPTUAL NEAR-DUP GATE — the
+    image sibling of run_cdc_gated_ingest: per micro-batch, dHash the
+    arriving media (so a re-encoded, brightness-shifted or integer-
+    upscaled copy of an already-ingested image still matches) and
+    REJECT any item within `max_hamming` of an already-INGESTED image
+    or of a smaller-id batch-mate (the smaller-id drop convention
+    every dedup here uses).  Survivors upsert into `target_path` and
+    their band rows extend the index at `index_path` — rejects enter
+    NEITHER, so replays reject the same ids deterministically
+    (dedup-BEFORE-extend, the CDC-gate doctrine).
+
+    Crash ordering: the table upsert commits BEFORE the index extend;
+    a crash between them replays the batch, whose items pass the gate
+    unchanged (self-matches excluded by id; the missing index rows
+    re-derive from the same payloads), re-upsert identically, and
+    complete the index.
+
+    Scale shape per batch: one narrow decode+hash map over the batch
+    + one band equi-join against the read-time-capped index + one
+    batch-internal band self-join + two keyed writes; the corpus is
+    never re-decoded."""
+    from datawarehouse_code_spark.operators.media_dedup import (
+        build_dhash_index,
+        dhash_matches_incremental,
+        dhash_near_dup_pairs,
+        image_dhash,
+    )
+    from datawarehouse_code_spark.sources.acid import (
+        _staged_overwrite,
+        replace_keyed,
+        table_exists,
+        upsert,
+    )
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        sp = batch.sparkSession
+        # batch-internal: the larger id of every near-dup pair goes
+        internal = (
+            dhash_near_dup_pairs(
+                image_dhash(batch, grid=grid),
+                max_hamming=max_hamming, band_cap=band_cap,
+            )
+            .select(F.col("d2").alias("media_id"))
+            .distinct()
+        )
+        rejected = internal
+        if table_exists(sp, index_path):
+            cross = (
+                dhash_matches_incremental(
+                    batch, sp.read.parquet(index_path),
+                    max_hamming=max_hamming, band_cap=band_cap, grid=grid,
+                )
+                .select(F.col("d_new").alias("media_id"))
+                .distinct()
+            )
+            rejected = rejected.unionByName(cross).distinct()
+        survivors = batch.join(rejected, "media_id", "left_anti")
+        if table_exists(sp, target_path):
+            upsert(sp, target_path, survivors, ["media_id"])
+        else:
+            _staged_overwrite(sp, survivors, target_path)
+        kept_rows = build_dhash_index(survivors, grid=grid)
+        if table_exists(sp, index_path):
+            replace_keyed(sp, index_path, kept_rows, ["media_id"])
+        else:
+            _staged_overwrite(sp, kept_rows, index_path)
+
+    writer = media.writeStream.foreachBatch(_apply).trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    writer.start().awaitTermination()

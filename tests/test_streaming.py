@@ -1132,3 +1132,73 @@ def test_video_fp_ingest_stream_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == {(30, 1): 5}
+
+
+def test_dhash_gated_ingest_rejects_perceptual_copies(spark, tmp_path):
+    """The perceptual ingest gate: a later batch's brightness-shifted
+    copy of an already-ingested image is rejected (cross-batch,
+    through the maintained index); within one batch the larger id of
+    a near-dup pair is rejected; unrelated images survive; and a
+    checkpoint replay changes nothing."""
+    from datawarehouse_code_spark.operators.multimodal import encode_gray_pgm
+    from datawarehouse_code_spark.streaming.jobs import run_dhash_gated_ingest
+
+    def raster(seed, shift=0):
+        out = bytearray()
+        for r in range(8):
+            b = ((seed * 8 + r) * 37) % 256
+            v = 128 + shift
+            out.append(v)
+            for c in range(8):
+                v += 1 if (b >> c) & 1 else -1
+                out.append(v)
+        return encode_gray_pgm(9, 8, bytes(out))
+
+    # batch 0: ids 1, 2 (2 is a batch-internal copy of 1 -> rejected);
+    # batch 1: 10 = brightness-shifted copy of 1 (cross-batch reject),
+    #          11 = unrelated survivor
+    rows0 = [
+        (1, "image/pgm", raster(3)),
+        (2, "image/pgm", raster(3, shift=5)),
+    ]
+    rows1 = [
+        (10, "image/pgm", raster(3, shift=9)),
+        (11, "image/pgm", raster(17)),
+    ]
+    import os
+    import time
+
+    import pandas as pd
+
+    land = tmp_path / "gate_landing"
+    land.mkdir()
+    now = time.time() - 600
+    for i, chunk in enumerate([rows0, rows1]):
+        f = land / f"batch-{i}.parquet"
+        pd.DataFrame(
+            chunk, columns=["media_id", "media_type", "content"]
+        ).to_parquet(f, index=False)
+        os.utime(f, (now + 60 * i, now + 60 * i))
+
+    schema = "media_id BIGINT, media_type STRING, content BINARY"
+    target, index = str(tmp_path / "media"), str(tmp_path / "gate_idx")
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(land))
+        )
+
+    run_dhash_gated_ingest(stream(), target, index,
+                           checkpoint_dir=str(tmp_path / "gate_ckpt"))
+    ingested = {r["media_id"] for r in spark.read.parquet(target).collect()}
+    assert ingested == {1, 11}
+    idx_ids = {r["media_id"] for r in spark.read.parquet(index).collect()}
+    assert idx_ids == {1, 11}
+
+    # replay: no new files, nothing changes
+    run_dhash_gated_ingest(stream(), target, index,
+                           checkpoint_dir=str(tmp_path / "gate_ckpt"))
+    assert {r["media_id"] for r in spark.read.parquet(target).collect()} \
+        == {1, 11}
