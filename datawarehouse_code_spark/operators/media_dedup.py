@@ -456,3 +456,105 @@ def audio_matches_incremental(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+DHASH_QUARANTINE_SCHEMA = DHASH_SCHEMA + ", decode_error STRING"
+FP_QUARANTINE_SCHEMA = AUDIO_FP_SCHEMA + ", decode_error STRING"
+
+
+def image_dhash_quarantine(media: DataFrame, grid: int = 8) -> DataFrame:
+    """image_dhash with a QUARANTINE lane — the production shape for
+    dirty crawls (the decoded_image_stats_quarantine doctrine): a
+    payload the decoder rejects (ValueError) or cannot cover
+    (NotImplementedError) yields one row with NULL hash columns and
+    the error string instead of killing the batch job; healthy rows
+    carry decode_error NULL.  Filter on decode_error IS NULL before
+    the pair join; route the rest to the quarantine table."""
+    import numpy as np
+
+    from datawarehouse_code_spark.operators.multimodal import decode_image
+
+    def batches(it):
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("media_id", "b0", "b1", "b2", "b3", "dhash", "err")}
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                rows["media_id"].append(media_id)
+                err, bands, dh = None, (None,) * 4, None
+                if content is None:
+                    err = "null payload"
+                else:
+                    try:
+                        w, h, ch, px = decode_image(bytes(content))
+                        bands = dhash_bits(w, h, ch, px, grid=grid)
+                        u = np.uint64(0)
+                        for k, b in enumerate(bands):
+                            u |= np.uint64(b) << np.uint64(16 * k)
+                        dh = int(u.view(np.int64))
+                    except (ValueError, NotImplementedError) as e:
+                        err = f"{type(e).__name__}: {e}"
+                        bands, dh = (None,) * 4, None
+                for k in range(4):
+                    rows[f"b{k}"].append(bands[k])
+                rows["dhash"].append(dh)
+                rows["err"].append(err)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "b0": pd.array(rows["b0"], dtype="Int32"),
+                    "b1": pd.array(rows["b1"], dtype="Int32"),
+                    "b2": pd.array(rows["b2"], dtype="Int32"),
+                    "b3": pd.array(rows["b3"], dtype="Int32"),
+                    "dhash": pd.array(rows["dhash"], dtype="Int64"),
+                    "decode_error": pd.Series(rows["err"], dtype=object),
+                }
+            )
+
+    return media.mapInPandas(batches, DHASH_QUARANTINE_SCHEMA)
+
+
+def audio_fingerprints_quarantine(
+    media: DataFrame,
+    win: int = 16,
+    hop: int = 8,
+    gram: int = 4,
+    qshift: int = 4,
+) -> DataFrame:
+    """audio_fingerprints with a QUARANTINE lane: corrupt or
+    unsupported payloads yield ONE row with fp NULL and the error
+    string; healthy media yield their distinct fingerprints with
+    decode_error NULL (a fingerprint-less healthy item — too short
+    for one window — yields no row, same as the fail-loud variant)."""
+    from datawarehouse_code_spark.operators.multimodal import decode_audio
+
+    def batches(it):
+        for pdf in it:
+            ids, fps, errs = [], [], []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    ids.append(media_id)
+                    fps.append(None)
+                    errs.append("null payload")
+                    continue
+                try:
+                    _r, _c, _n, arr = decode_audio(bytes(content))
+                except (ValueError, NotImplementedError) as e:
+                    ids.append(media_id)
+                    fps.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+                    continue
+                for fp in set(
+                    audio_fp_strings(arr[:, 0], win, hop, gram, qshift)
+                ):
+                    ids.append(media_id)
+                    fps.append(fp)
+                    errs.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "fp": pd.Series(fps, dtype=object),
+                    "decode_error": pd.Series(errs, dtype=object),
+                }
+            )
+
+    return media.mapInPandas(batches, FP_QUARANTINE_SCHEMA).distinct()

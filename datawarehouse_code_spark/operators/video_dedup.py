@@ -214,3 +214,48 @@ def video_matches_incremental(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+VIDEO_FP_QUARANTINE_SCHEMA = VIDEO_FP_SCHEMA + ", decode_error STRING"
+
+
+def video_fingerprints_quarantine(
+    media: DataFrame, gram: int = 2
+) -> DataFrame:
+    """video_fingerprints with a QUARANTINE lane: a container the walk
+    rejects, or ANY frame the image decoders reject, yields one row
+    with fp NULL and the error string — a video is fingerprinted
+    all-or-nothing (partial fingerprints would under-match silently);
+    healthy media yield their distinct grams with decode_error NULL."""
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            ids, fps, errs = [], [], []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    ids.append(media_id)
+                    fps.append(None)
+                    errs.append("null payload")
+                    continue
+                try:
+                    frames = decode_video_frames(bytes(content))
+                    grams = set(video_fp_strings(frames, gram))
+                except (ValueError, NotImplementedError) as e:
+                    ids.append(media_id)
+                    fps.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+                    continue
+                for fp in grams:
+                    ids.append(media_id)
+                    fps.append(fp)
+                    errs.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "fp": pd.Series(fps, dtype=object),
+                    "decode_error": pd.Series(errs, dtype=object),
+                }
+            )
+
+    return media.mapInPandas(batches, VIDEO_FP_QUARANTINE_SCHEMA).distinct()

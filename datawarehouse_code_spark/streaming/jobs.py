@@ -1119,3 +1119,127 @@ def run_dhash_gated_ingest(
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     writer.start().awaitTermination()
+
+
+def _run_fp_gated_ingest(
+    media: DataFrame,
+    target_path: str,
+    index_path: str,
+    fps_fn,
+    min_shared: int,
+    hot_cap: int,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Shared fingerprint-gated media ingest (audio/video — any
+    detector whose index is distinct (media_id, fp) rows): per
+    micro-batch, fingerprint the arriving media and REJECT any item
+    sharing ≥ `min_shared` fingerprints with an already-ingested item
+    (through the read-time-capped index) or with a smaller-id
+    batch-mate.  Survivors upsert into `target_path` and their
+    fingerprints extend `index_path`; rejects enter neither, so
+    replays reject the same ids deterministically (dedup-BEFORE-
+    extend, the CDC-gate doctrine; table commit BEFORE index extend
+    for the same crash-replay argument)."""
+    from datawarehouse_code_spark.sources.acid import (
+        _staged_overwrite,
+        replace_keyed,
+        table_exists,
+        upsert,
+    )
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        sp = batch.sparkSession
+        fps = fps_fn(batch).localCheckpoint()
+        a = fps.select(F.col("media_id").alias("_d1"), "fp")
+        b = fps.select(F.col("media_id").alias("_d2"), "fp")
+        internal = (
+            a.join(b, "fp")
+            .filter(F.col("_d1") < F.col("_d2"))
+            .groupBy("_d2")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= min_shared)
+            .select(F.col("_d2").alias("media_id"))
+        )
+        rejected = internal
+        if table_exists(sp, index_path):
+            idx = sp.read.parquet(index_path)
+            cold = (
+                idx.groupBy("fp")
+                .agg(F.countDistinct("media_id").alias("_k"))
+                .filter(F.col("_k") <= hot_cap)
+                .select("fp")
+            )
+            cross = (
+                fps.join(idx.join(cold, "fp", "left_semi")
+                         .select(F.col("media_id").alias("_dc"), "fp"), "fp")
+                .filter(F.col("media_id") != F.col("_dc"))
+                .groupBy("media_id")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") >= min_shared)
+                .select("media_id")
+            )
+            rejected = rejected.unionByName(cross).distinct()
+        survivors = batch.join(rejected, "media_id", "left_anti")
+        if table_exists(sp, target_path):
+            upsert(sp, target_path, survivors, ["media_id"])
+        else:
+            _staged_overwrite(sp, survivors, target_path)
+        kept = fps.join(survivors.select("media_id"), "media_id", "left_semi")
+        if table_exists(sp, index_path):
+            replace_keyed(sp, index_path, kept, ["media_id"])
+        else:
+            _staged_overwrite(sp, kept, index_path)
+
+    writer = media.writeStream.foreachBatch(_apply).trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    writer.start().awaitTermination()
+
+
+def run_audio_gated_ingest(
+    media: DataFrame,
+    target_path: str,
+    index_path: str,
+    checkpoint_dir: str | None = None,
+    min_shared: int = 2,
+    hot_cap: int = 50,
+    win: int = 16,
+    hop: int = 8,
+    gram: int = 4,
+    qshift: int = 4,
+) -> None:
+    """Streaming audio ingest gated on shared energy-gram
+    fingerprints — a hop-aligned shifted copy of already-ingested
+    audio is rejected at the feed."""
+    from datawarehouse_code_spark.operators.media_dedup import (
+        audio_fingerprints,
+    )
+
+    _run_fp_gated_ingest(
+        media, target_path, index_path,
+        lambda b: audio_fingerprints(b, win, hop, gram, qshift),
+        min_shared, hot_cap, checkpoint_dir,
+    )
+
+
+def run_video_gated_ingest(
+    media: DataFrame,
+    target_path: str,
+    index_path: str,
+    checkpoint_dir: str | None = None,
+    min_shared: int = 2,
+    hot_cap: int = 50,
+    gram: int = 2,
+) -> None:
+    """Streaming video ingest gated on shared temporal-gram
+    fingerprints — a frame-trimmed copy of already-ingested video is
+    rejected at the feed."""
+    from datawarehouse_code_spark.operators.video_dedup import (
+        video_fingerprints,
+    )
+
+    _run_fp_gated_ingest(
+        media, target_path, index_path,
+        lambda b: video_fingerprints(b, gram),
+        min_shared, hot_cap, checkpoint_dir,
+    )

@@ -346,3 +346,83 @@ def test_audio_incremental_matches_and_rtbf(spark, tmp_path):
         audio_matches_incremental(exact_copy, spark.read.parquet(path)).count()
         == 0
     )
+
+
+# ------------------------------------------------------------------
+# Quarantine fingerprint lanes
+
+
+def test_quarantine_fingerprint_lanes(spark):
+    """Corrupt payloads land in the quarantine columns instead of
+    killing the job, healthy payloads fingerprint identically to the
+    fail-loud variants, and the clean subsets agree exactly."""
+    from datawarehouse_code_spark.operators.media_dedup import (
+        audio_fingerprints,
+        audio_fingerprints_quarantine,
+        image_dhash_quarantine,
+    )
+    from datawarehouse_code_spark.operators.video_dedup import (
+        encode_video,
+        video_fingerprints,
+        video_fingerprints_quarantine,
+    )
+
+    img_rows = [
+        (1, "image/pgm", encode_gray_pgm(9, 8, _raster_from_row_bytes(ROWS_A))),
+        (2, "image/bad", b"NOTANIMAGE" * 4),
+        (3, "image/pgm", None),
+    ]
+    imgs = spark.createDataFrame(
+        img_rows, "media_id BIGINT, media_type STRING, content BINARY"
+    )
+    rows = {r["media_id"]: r for r in image_dhash_quarantine(imgs).collect()}
+    assert rows[1]["decode_error"] is None
+    assert (rows[1]["b0"], rows[1]["b1"], rows[1]["b2"], rows[1]["b3"]) \
+        == _bands_from_row_bytes(ROWS_A)
+    assert rows[2]["decode_error"] and rows[2]["b0"] is None
+    assert rows[3]["decode_error"] == "null payload"
+
+    wav_rows = [
+        (1, "audio/wav", _wav(_base_samples(5, 64))),
+        (2, "audio/bad", b"XXXX-not-a-riff-stream"),
+    ]
+    wavs = spark.createDataFrame(
+        wav_rows, "media_id BIGINT, media_type STRING, content BINARY"
+    )
+    q = audio_fingerprints_quarantine(wavs).collect()
+    clean = {(r["media_id"], r["fp"]) for r in q if r["decode_error"] is None}
+    want = {
+        (r["media_id"], r["fp"])
+        for r in audio_fingerprints(
+            spark.createDataFrame(
+                wav_rows[:1],
+                "media_id BIGINT, media_type STRING, content BINARY",
+            )
+        ).collect()
+    }
+    assert clean == want and want
+    assert any(r["media_id"] == 2 and r["fp"] is None and r["decode_error"]
+               for r in q)
+
+    vid_rows = [
+        (1, "video/vid0",
+         encode_video([encode_gray_pgm(9, 8, _raster_from_row_bytes(ROWS_A))] * 3)),
+        (2, "video/vid0", b"VID0" + b"\xff" * 8),  # lies about sizes
+    ]
+    vids = spark.createDataFrame(
+        vid_rows, "media_id BIGINT, media_type STRING, content BINARY"
+    )
+    vq = video_fingerprints_quarantine(vids).collect()
+    vclean = {(r["media_id"], r["fp"]) for r in vq if r["decode_error"] is None}
+    vwant = {
+        (r["media_id"], r["fp"])
+        for r in video_fingerprints(
+            spark.createDataFrame(
+                vid_rows[:1],
+                "media_id BIGINT, media_type STRING, content BINARY",
+            )
+        ).collect()
+    }
+    assert vclean == vwant and vwant
+    assert any(r["media_id"] == 2 and r["fp"] is None and r["decode_error"]
+               for r in vq)

@@ -1202,3 +1202,86 @@ def test_dhash_gated_ingest_rejects_perceptual_copies(spark, tmp_path):
                            checkpoint_dir=str(tmp_path / "gate_ckpt"))
     assert {r["media_id"] for r in spark.read.parquet(target).collect()} \
         == {1, 11}
+
+
+def test_audio_and_video_gated_ingest_reject_shifted_copies(spark, tmp_path):
+    """The fingerprint-shaped gates: a later batch's hop-shifted audio
+    copy and frame-trimmed video copy are rejected through their
+    maintained indexes; unrelated items survive; replays are no-ops."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from datawarehouse_code_spark.operators.multimodal import (
+        encode_gray_pgm,
+        encode_pcm_wav,
+    )
+    from datawarehouse_code_spark.operators.video_dedup import encode_video
+    from datawarehouse_code_spark.streaming.jobs import (
+        run_audio_gated_ingest,
+        run_video_gated_ingest,
+    )
+
+    def wav(samples):
+        return encode_pcm_wav(8000, [samples])
+
+    def base_samples(seed, n=120):
+        return [((seed * 37 + i * 211) % 4096) - 2048 for i in range(n)]
+
+    def frame(seed):
+        out = bytearray()
+        for r in range(8):
+            b = ((seed * 8 + r) * 37) % 256
+            v = 128
+            out.append(v)
+            for c in range(8):
+                v += 1 if (b >> c) & 1 else -1
+                out.append(v)
+        return encode_gray_pgm(9, 8, bytes(out))
+
+    schema = "media_id BIGINT, media_type STRING, content BINARY"
+
+    def land(name, batches):
+        d = tmp_path / name
+        d.mkdir()
+        now = time.time() - 600
+        for i, rows in enumerate(batches):
+            f = d / f"batch-{i}.parquet"
+            pd.DataFrame(
+                rows, columns=["media_id", "media_type", "content"]
+            ).to_parquet(f, index=False)
+            os.utime(f, (now + 60 * i, now + 60 * i))
+        return d
+
+    # audio: 10 = two-hop-shifted copy of 1 (reject), 11 unrelated
+    a = base_samples(1, 144)
+    a_land = land("a_land", [
+        [(1, "audio/wav", wav(a[:120]))],
+        [(10, "audio/wav", wav(a[16:136])),
+         (11, "audio/wav", wav(base_samples(99, 120)))],
+    ])
+    at, ai = str(tmp_path / "a_tbl"), str(tmp_path / "a_idx")
+    run_audio_gated_ingest(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(str(a_land)),
+        at, ai, checkpoint_dir=str(tmp_path / "a_ckpt"),
+    )
+    assert {r["media_id"] for r in spark.read.parquet(at).collect()} == {1, 11}
+
+    # video: 20 = two-frame-trimmed copy of 2 (reject), 21 unrelated
+    vb = [frame(s) for s in range(8)]
+    v_land = land("v_land", [
+        [(2, "video/vid0", encode_video(vb))],
+        [(20, "video/vid0", encode_video(vb[2:])),
+         (21, "video/vid0", encode_video([frame(s) for s in range(10, 16)]))],
+    ])
+    vt, vi = str(tmp_path / "v_tbl"), str(tmp_path / "v_idx")
+    run_video_gated_ingest(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(str(v_land)),
+        vt, vi, checkpoint_dir=str(tmp_path / "v_ckpt"),
+    )
+    assert {r["media_id"] for r in spark.read.parquet(vt).collect()} == {2, 21}
+    # index only carries survivors
+    assert {r["media_id"] for r in spark.read.parquet(vi).collect()} == {2, 21}
