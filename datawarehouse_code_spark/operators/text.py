@@ -1171,12 +1171,13 @@ def content_defined_chunks(
 
 
 def cdc_shared_chunks(
-    documents: DataFrame,
+    documents: DataFrame | None,
     min_words: int = 3,
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
     boundary_hexes: tuple[str, ...] = ("0", "1"),
+    chunks: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-document duplicate-chunk report over content-defined
     chunks: every chunk text (≥ `min_words` words — sub-minimum
@@ -1188,11 +1189,17 @@ def cdc_shared_chunks(
 
     Scale shape: content_defined_chunks' narrow pipeline + ONE
     shuffle on chunk_hash; the HAVING on n_docs makes the output
-    duplication-sized, not corpus-sized."""
-    chunks = content_defined_chunks(
-        documents, text_col=text_col, id_col=id_col,
-        boundary_hexes=boundary_hexes,
-    )
+    duplication-sized, not corpus-sized.
+
+    `chunks` (a content_defined_chunks output, unfiltered) lets a
+    caller running several CDC reports share ONE materialized
+    chunking instead of re-chunking the corpus per report —
+    chunking is a per-doc pure function, so results are identical."""
+    if chunks is None:
+        chunks = content_defined_chunks(
+            documents, text_col=text_col, id_col=id_col,
+            boundary_hexes=boundary_hexes,
+        )
     return (
         chunks.filter(F.col("n_words") >= min_words)
         .groupBy("chunk_hash")
@@ -1207,12 +1214,13 @@ def cdc_shared_chunks(
 
 
 def build_cdc_index(
-    documents: DataFrame,
+    documents: DataFrame | None,
     min_words: int = 3,
     hot_chunk_cap: int | None = 5000,
     text_col: str = "text",
     id_col: str = "doc_id",
     boundary_hexes: tuple[str, ...] = ("0", "1"),
+    chunks: DataFrame | None = None,
 ) -> DataFrame:
     """The persisted content-defined-chunk index of a corpus:
     (doc_id, chunk_hash, n_words), one row per ≥ `min_words` chunk —
@@ -1225,11 +1233,15 @@ def build_cdc_index(
     10⁷ docs hands every future increment |chunk| matches); SINGLETON
     chunks are kept — a future new doc must be able to meet a
     so-far-unique corpus chunk.  (min_words, boundary_hexes) are part
-    of the index contract: increments must pass the same values."""
-    chunks = content_defined_chunks(
-        documents, text_col=text_col, id_col=id_col,
-        boundary_hexes=boundary_hexes,
-    ).filter(F.col("n_words") >= min_words).select(
+    of the index contract: increments must pass the same values.
+    `chunks` (an unfiltered content_defined_chunks output) shares one
+    materialized chunking, as in cdc_shared_chunks."""
+    if chunks is None:
+        chunks = content_defined_chunks(
+            documents, text_col=text_col, id_col=id_col,
+            boundary_hexes=boundary_hexes,
+        )
+    chunks = chunks.filter(F.col("n_words") >= min_words).select(
         id_col, "chunk_hash", "n_words"
     )
     if hot_chunk_cap is not None:
@@ -1262,13 +1274,14 @@ def cap_hot_chunks(
 
 
 def cdc_matches_incremental(
-    new_docs: DataFrame,
+    new_docs: DataFrame | None,
     index: DataFrame,
     min_words: int = 3,
     min_shared: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
     boundary_hexes: tuple[str, ...] = ("0", "1"),
+    new_chunks: DataFrame | None = None,
 ) -> DataFrame:
     """Shared-boilerplate matches between an increment and a PERSISTED
     corpus CDC index: (d_new, d_corpus, n_shared_chunks,
@@ -1281,11 +1294,15 @@ def cdc_matches_incremental(
     break fixed-offset span tables.  New-vs-new duplication within
     the increment is out of scope by contract (run cdc_shared_chunks
     over the increment for that).  Parameters must match the index
-    build."""
-    nc = content_defined_chunks(
-        new_docs, text_col=text_col, id_col=id_col,
-        boundary_hexes=boundary_hexes,
-    ).filter(F.col("n_words") >= min_words).select(
+    build.  `new_chunks` (an unfiltered content_defined_chunks output
+    of the increment) shares a materialized chunking, as in
+    cdc_shared_chunks."""
+    if new_chunks is None:
+        new_chunks = content_defined_chunks(
+            new_docs, text_col=text_col, id_col=id_col,
+            boundary_hexes=boundary_hexes,
+        )
+    nc = new_chunks.filter(F.col("n_words") >= min_words).select(
         F.col(id_col).alias("d_new"), "chunk_hash", "n_words"
     )
     idx = index.select(
@@ -1355,12 +1372,13 @@ def winnowing_fingerprints(
 
 
 def cdc_containment(
-    documents: DataFrame,
+    documents: DataFrame | None,
     min_words: int = 3,
     min_containment_f4: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
     boundary_hexes: tuple[str, ...] = ("0", "1"),
+    chunks: DataFrame | None = None,
 ) -> DataFrame:
     """ASYMMETRIC overlap — the quote/subset detector symmetric pair
     scores miss: containment(d1 in d2) = shared distinct-chunk words
@@ -1379,13 +1397,18 @@ def cdc_containment(
 
     Scale shape: content_defined_chunks + one per-doc distinct, one
     chunk_hash equi-join (duplication-sized after the threshold), one
-    grouped sum — no all-pairs anywhere."""
-    chunks = (
-        content_defined_chunks(
+    grouped sum — no all-pairs anywhere.
+
+    `chunks` (an unfiltered content_defined_chunks output) shares one
+    materialized chunking across CDC reports, as in
+    cdc_shared_chunks."""
+    if chunks is None:
+        chunks = content_defined_chunks(
             documents, text_col=text_col, id_col=id_col,
             boundary_hexes=boundary_hexes,
         )
-        .filter(F.col("n_words") >= min_words)
+    chunks = (
+        chunks.filter(F.col("n_words") >= min_words)
         .select(id_col, "chunk_hash", "n_words")
         .distinct()
     )

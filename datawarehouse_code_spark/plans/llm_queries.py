@@ -3796,8 +3796,25 @@ def _shift_robust_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       part='winnow':   k1=d1, d2=d2, n1=n_shared
       part='cdc_incr': k1=d_new, d2=d_corpus, n1=n_shared_chunks,
                        n2=n_shared_words
+
+    The three CDC legs all chunk the SAME documents table, so the
+    suite materializes ONE content_defined_chunks pass (ephemeral
+    localCheckpoint) and feeds it to every leg through the operators'
+    `chunks=` pass-through — chunking is a per-doc pure function, so
+    each leg's values are identical to its standalone row (the
+    constituents stay registered and differential-tested unshared).
     """
-    shared = _docs_cdc_shared_chunks(spark, sf_dir).select(
+    from datawarehouse_code_spark.operators.text import (
+        build_cdc_index,
+        cdc_containment,
+        cdc_matches_incremental,
+        cdc_shared_chunks,
+        content_defined_chunks,
+    )
+
+    docs = read_table(spark, "documents", sf_dir)
+    chunks = content_defined_chunks(docs).localCheckpoint()
+    shared = cdc_shared_chunks(None, chunks=chunks).select(
         F.lit("shared").alias("part"),
         F.col("chunk_hash").alias("k1"),
         F.col("min_doc_id").cast("bigint").alias("d2"),
@@ -3806,7 +3823,7 @@ def _shift_robust_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_words").cast("bigint").alias("n3"),
         F.lit(None).cast("double").alias("v"),
     )
-    contain = _docs_cdc_containment(spark, sf_dir).select(
+    contain = cdc_containment(None, chunks=chunks).select(
         F.lit("contain").alias("part"),
         F.col("d1").cast("string").alias("k1"),
         F.col("d2").cast("bigint").alias("d2"),
@@ -3824,7 +3841,13 @@ def _shift_robust_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n3"),
         F.lit(None).cast("double").alias("v"),
     )
-    cdc_incr = _docs_cdc_incremental(spark, sf_dir).select(
+    corpus_index = build_cdc_index(
+        None, chunks=chunks.filter(F.col("doc_id") % 10 != 0)
+    )
+    cdc_incr = cdc_matches_incremental(
+        None, corpus_index,
+        new_chunks=chunks.filter(F.col("doc_id") % 10 == 0),
+    ).select(
         F.lit("cdc_incr").alias("part"),
         F.col("d_new").cast("string").alias("k1"),
         F.col("d_corpus").cast("bigint").alias("d2"),

@@ -144,10 +144,12 @@ PLAN_BOUNDS = {
     "docs_shard_mix_quality": (2, 3),
     # chunk + distinct + hash self-join + totals join (measured 6/3)
     "docs_cdc_containment": (9, 5),
-    # round-12 consolidation suites: bounds are the constituent sums
-    # (each leg rebuilds its own pipeline by design at fixture scale;
-    # the constituents' tighter bounds above pin the per-leg shapes)
-    "shift_robust_dedup_suite": (30, 24),
+    # round-12 consolidation suites.  shift_robust_dedup_suite shares
+    # ONE materialized chunking across its three CDC legs (ephemeral
+    # localCheckpoint — the observable plan starts at the cut;
+    # measured 0/15 post-cut, bound pins the cut STAYS); the
+    # constituents' standalone bounds above pin the uncut shapes.
+    "shift_robust_dedup_suite": (4, 20),
     "media_suite": (9, 8),
     # perceptual dHash / audio / video fingerprint rows: the
     # multiply-consumed fingerprint tables localCheckpoint (the
