@@ -46,7 +46,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DHASH_SCHEMA = (
@@ -232,7 +232,11 @@ def dhash_near_dup_pairs(
     )
 
 
-def build_dhash_index(media: DataFrame, grid: int = 8) -> DataFrame:
+def build_dhash_index(
+    media: DataFrame | None,
+    grid: int = 8,
+    hashes: DataFrame | None = None,
+) -> DataFrame:
     """The persisted perceptual index of a media corpus: one row per
     (media_id, band) with the full hash's band columns carried — 4
     rows per image, computed ONCE per corpus build and stored beside
@@ -242,16 +246,21 @@ def build_dhash_index(media: DataFrame, grid: int = 8) -> DataFrame:
     time by the incremental matcher (append-only maintenance can only
     push a bucket's carrier count up — capping at read keeps stream
     replays idempotent, the cap_hot_chunks rationale).  RTBF:
-    forget_index_rows(…, id_col='media_id')."""
-    return _explode_bands(image_dhash(media, grid=grid))
+    forget_index_rows(…, id_col='media_id').  `hashes` (an
+    image_dhash output) shares a materialized hash table across
+    consumers, as the CDC operators' chunks= pass-through."""
+    if hashes is None:
+        hashes = image_dhash(media, grid=grid)
+    return _explode_bands(hashes)
 
 
 def dhash_matches_incremental(
-    new_media: DataFrame,
+    new_media: DataFrame | None,
     index: DataFrame,
     max_hamming: int = 6,
     band_cap: int = 50,
     grid: int = 8,
+    new_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Perceptual matches between an increment and a PERSISTED dHash
     index: (d_new, d_corpus, n_shared_bands, hamming) for every new
@@ -260,8 +269,11 @@ def dhash_matches_incremental(
     corpus is never re-read beyond the band equi-join, so cost scales
     with |increment|.  Hot index buckets are capped at `band_cap`
     distinct corpus media before the join.  `grid` must match the
-    index build."""
-    inc = _explode_bands(image_dhash(new_media, grid=grid)).select(
+    index build.  `new_hashes` (an image_dhash output of the
+    increment) shares a materialized hash table."""
+    if new_hashes is None:
+        new_hashes = image_dhash(new_media, grid=grid)
+    inc = _explode_bands(new_hashes).select(
         F.col("media_id").alias("d_new"), "band_idx", "band_val",
         "b0", "b1", "b2", "b3",
     )

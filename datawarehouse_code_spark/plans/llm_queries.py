@@ -3724,8 +3724,22 @@ def _media_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     Normalized columns: d1/d2 the pair ids (d_new/d_corpus for the
     incremental leg), n1 the share count (shared bands for images,
     shared grams otherwise), n2 the exact hamming distance (image
-    legs only)."""
-    image = _media_phash_pairs(spark, sf_dir).select(
+    legs only).
+
+    The two image legs hash the SAME fixture media, so the suite
+    materializes ONE image_dhash pass and feeds both through the
+    hashes=/new_hashes= pass-throughs (the shift_robust suite's
+    shared-chunking pattern; hashing is a per-payload pure function,
+    so leg values equal the standalone rows')."""
+    from datawarehouse_code_spark.operators.media_dedup import (
+        build_dhash_index,
+        dhash_matches_incremental,
+        dhash_near_dup_pairs,
+        image_dhash,
+    )
+
+    hashes = image_dhash(_phash_media(spark, sf_dir)).localCheckpoint()
+    image = dhash_near_dup_pairs(hashes, max_hamming=6, band_cap=50).select(
         F.lit("image").alias("part"),
         F.col("d1").cast("bigint").alias("d1"),
         F.col("d2").cast("bigint").alias("d2"),
@@ -3746,7 +3760,14 @@ def _media_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_shared").cast("bigint").alias("n1"),
         F.lit(None).cast("bigint").alias("n2"),
     )
-    image_incr = _media_phash_incremental(spark, sf_dir).select(
+    image_incr = dhash_matches_incremental(
+        None,
+        build_dhash_index(
+            None, hashes=hashes.filter(F.col("media_id") % 10 != 0)
+        ),
+        max_hamming=6, band_cap=50,
+        new_hashes=hashes.filter(F.col("media_id") % 10 == 0),
+    ).select(
         F.lit("image_incr").alias("part"),
         F.col("d_new").cast("bigint").alias("d1"),
         F.col("d_corpus").cast("bigint").alias("d2"),
