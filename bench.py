@@ -206,6 +206,7 @@ HEADLINE = [
     "video_fp_pairs",
     "video_fp_incremental",
     "media_dedup_suite",
+    "media_canonical_selection",
 ]
 
 

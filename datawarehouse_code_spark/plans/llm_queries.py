@@ -3715,6 +3715,52 @@ GROUP BY 1, 2
 """
 
 
+def _media_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dedup carried to the DROP decision — the media twin
+    of corpus_survivors: dHash near-dup pairs cluster into connected
+    components (operators/corpus.py near_dup_components — the same
+    smallest-label machinery every text dedup uses) and only each
+    component's minimum media_id survives; unpaired media survive
+    untouched.  DuckDB replays the ENTIRE pipeline: the closed-form
+    planted hashes, banding, cap, exact hamming, then the transitive
+    closure as a recursive CTE and the min-per-component drop rule."""
+    from datawarehouse_code_spark.operators.corpus import (
+        near_dup_components,
+    )
+    from datawarehouse_code_spark.operators.media_dedup import (
+        dhash_near_dup_pairs,
+        image_dhash,
+    )
+
+    media = _phash_media(spark, sf_dir)
+    pairs = dhash_near_dup_pairs(
+        image_dhash(media), max_hamming=6, band_cap=50
+    )
+    dropped = (
+        near_dup_components(pairs)
+        .filter(F.col("rep") != F.col("doc_id"))
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    return media.select("media_id").join(dropped, "media_id", "left_anti")
+
+
+_MEDIA_CANONICAL_SQL = f"""
+WITH RECURSIVE edges AS (
+  SELECT d1, d2 FROM ({_PHASH_PAIRS_SQL})
+), sym AS (
+  SELECT d1, d2 FROM edges UNION ALL SELECT d2 AS d1, d1 AS d2 FROM edges
+), reach(media_id, r) AS (
+  SELECT d1, d1 FROM sym
+  UNION
+  SELECT s.d1, reach.r FROM sym s JOIN reach ON reach.media_id = s.d2
+), dropped AS (
+  SELECT media_id FROM reach GROUP BY media_id HAVING min(r) <> media_id
+)
+SELECT doc_id AS media_id FROM documents
+WHERE doc_id NOT IN (SELECT media_id FROM dropped)
+"""
+
+
 def _media_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The perceptual media dedup family as ONE labeled suite (built
     round 12 as a supplementary row so a future driver-window
@@ -3974,6 +4020,12 @@ LLM_SUPPLEMENTARY: list[Query] = [
           "north-star: token counting + quality features (driver row "
           "rounds 2-11, demoted round 12 to free a window slot; "
           "keeps its frozen bench row like-for-like)"),
+    Query("media_canonical_selection", _media_canonical_selection,
+          _MEDIA_CANONICAL_SQL,
+          "north-star: perceptual dedup carried to the drop decision "
+          "— dHash pairs → connected components → min-id survivors "
+          "(recursive-CTE transitive-closure oracle; supplementary, "
+          "differential-tested)"),
     Query("media_dedup_suite", _media_dedup_suite, _MEDIA_DEDUP_SUITE_SQL,
           "north-star: the perceptual media dedup family labeled — "
           "image dHash + audio + video temporal grams + one "

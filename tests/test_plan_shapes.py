@@ -166,6 +166,9 @@ PLAN_BOUNDS = {
     "video_fp_incremental": (3, 6),
     # the four-leg media suite (measured 2/18 post-cut)
     "media_dedup_suite": (6, 24),
+    # pairs checkpoint + per-round component lineage cuts terminate
+    # the visible plan (measured 2/2)
+    "media_canonical_selection": (3, 4),
 }
 
 
