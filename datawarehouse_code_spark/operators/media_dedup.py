@@ -69,9 +69,12 @@ def dhash_bits(
 
     Images smaller than the grid have no defined downsample blocks
     and raise ValueError (the quarantine contract: loud, never a
-    silent wrong hash)."""
+    silent wrong hash); an odd `grid` would silently drop the last
+    row's bits from the band packing and is rejected the same way."""
     import numpy as np
 
+    if grid % 2:
+        raise ValueError(f"dHash grid must be even (got {grid})")
     gw, gh = grid + 1, grid
     if width < gw or height < gh:
         raise ValueError(
@@ -116,10 +119,22 @@ def image_dhash(media: DataFrame, grid: int = 8) -> DataFrame:
     pipeline).  `dhash` packs the bands little-endian (band 0 in the
     low 16 bits) through an unsigned view, so bit 63 set reads as a
     negative BIGINT — compare hashes via the band columns when a
-    cross-engine oracle is in play."""
+    cross-engine oracle is in play.
+
+    The DataFrame surface (schema, four 16-bit bands, the 64-bit
+    pack) is fixed at grid=8 — the parameter exists so dhash_bits is
+    reusable at other grids, but this table's band layout is a
+    contract shared with the index, the matchers and the oracles, so
+    any other value fails loudly here rather than mis-packing."""
     import numpy as np
 
     from datawarehouse_code_spark.operators.multimodal import decode_image
+
+    if grid != 8:
+        raise ValueError(
+            f"image_dhash's band schema is fixed at grid=8 (got {grid}); "
+            "use dhash_bits directly for other grids"
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -172,7 +172,9 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 _IDCT_CHUNK = 4096
 
 
-def _png_unfilter_wavefront(fb, prev, f: int, ch: int):
+def _png_unfilter_wavefront(
+    fb, prev, f: int, ch: int, block_rows: int | None = None
+):
     """Vectorized Average/Paeth un-filtering for a RUN of consecutive
     rows carrying the same filter type, by anti-diagonal wavefront:
     cell (k, x) depends on (k, x−1), (k−1, x) and (k−1, x−1) — all on
@@ -200,15 +202,34 @@ def _png_unfilter_wavefront(fb, prev, f: int, ch: int):
     of the virtual row k=−1, so k=0 reads its up/up-left neighbors
     without branching, and x=0's left/up-left land on never-written
     zero cells — including d=0's column −1, which Python-wraps to the
-    LAST column, deliberately sized one past every write."""
+    LAST column, deliberately sized one past every write.
+
+    Memory: the skewed buffer is O(B·(W+B)·ch) for a B-row block, so
+    long runs are processed in blocks (each block's last row is the
+    next block's `prev` — reconstruction is row-Markov), bounding
+    transient memory at ~16 MB however long libpng's all-Paeth runs
+    get; `block_rows` overrides the computed block height (tests
+    force tiny blocks to pin boundary carry-over)."""
     import numpy as np
 
     K, W, _ = fb.shape
+    cap = max(16, (1 << 23) // max(1, W * ch * 2))
+    B = block_rows if block_rows is not None else cap
+    if K > B:
+        out = np.empty((K, W, ch), dtype=np.int16)
+        p = prev
+        for y0 in range(0, K, B):
+            blk = _png_unfilter_wavefront(fb[y0: y0 + B], p, f, ch)
+            out[y0: y0 + B] = blk
+            p = blk[-1]
+        return out
+
+    # the write cells are pre-filled with the FILTER bytes, so the
+    # update is one in-place add+mask — no second skewed buffer
     S = np.zeros((K + 1, W + K + 1, ch), dtype=np.int16)
     S[0, :W] = prev  # virtual row k=-1: skew puts (−1, x) at column x
-    fbS = np.zeros_like(S)
     for k in range(K):
-        fbS[k + 1, k + 1: k + 1 + W] = fb[k]
+        S[k + 1, k + 1: k + 1 + W] = fb[k]
     for d in range(K + W - 1):
         k0, k1 = max(0, d - W + 1), min(K, d + 1)
         left = S[k0 + 1: k1 + 1, d]
@@ -225,9 +246,9 @@ def _png_unfilter_wavefront(fb, prev, f: int, ch: int):
                 left,
                 np.where(pb <= pc, up, c),
             )
-        S[k0 + 1: k1 + 1, d + 1] = (
-            fbS[k0 + 1: k1 + 1, d + 1] + pred
-        ) & 0xFF
+        w = S[k0 + 1: k1 + 1, d + 1]
+        w += pred
+        w &= 0xFF
     r = np.empty((K, W, ch), dtype=np.int16)
     for k in range(K):
         r[k] = S[k + 1, k + 1: k + 1 + W]

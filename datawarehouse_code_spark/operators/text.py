@@ -1245,7 +1245,7 @@ def build_cdc_index(
         id_col, "chunk_hash", "n_words"
     )
     if hot_chunk_cap is not None:
-        chunks = cap_hot_chunks(chunks, hot_chunk_cap)
+        chunks = cap_hot_chunks(chunks, hot_chunk_cap, id_col=id_col)
     return chunks
 
 

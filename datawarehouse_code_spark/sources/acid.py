@@ -191,9 +191,24 @@ def replace_keyed(
     commits, so a crash between them can briefly lose the replaced
     rows; callers must be replay-idempotent (every streaming caller
     here re-derives the identical rows from the same batch on
-    replay, so the re-run completes the pair)."""
+    replay, so the re-run completes the pair).
+
+    The Delta branch engages only when the TARGET actually is a
+    Delta table — the streaming index maintainers bootstrap their
+    tables as plain parquet (_staged_overwrite), and running MERGE
+    against a parquet directory just because the jar is on the
+    classpath would fail at the log lookup."""
     if delta_available(spark):
         from delta.tables import DeltaTable
+
+        if not DeltaTable.isDeltaTable(spark, target_path):
+            recover_interrupted_swap(spark, target_path)
+            current = spark.read.parquet(target_path)
+            merged = current.join(
+                updates, key, "left_anti"
+            ).unionByName(updates)
+            _staged_overwrite(spark, merged, target_path)
+            return "parquet"
 
         cond = " AND ".join(f"t.{k} <=> s.{k}" for k in key)
         (

@@ -516,16 +516,21 @@ def run_cdc_gated_ingest(
         ).select("doc_id", "chunk_idx", "chunk_hash", "n_words")
         # batch-internal: a doc sharing >= min_shared chunks with a
         # SMALLER-id batch-mate is rejected (deterministic single
-        # pass — the smaller-id drop rule every dedup here uses)
+        # pass — the smaller-id drop rule every dedup here uses).
+        # PER-PAIR counts (groupBy both ids — min_shared is a pair
+        # threshold, matching cdc_matches_incremental; counting
+        # across partners would reject a doc sharing one chunk each
+        # with several unrelated docs; fixed r12)
         a = chunks.select(F.col("doc_id").alias("_d1"), "chunk_hash")
         b = chunks.select(F.col("doc_id").alias("_d2"), "chunk_hash")
         internal = (
             a.join(b, "chunk_hash")
             .filter(F.col("_d1") < F.col("_d2"))
-            .groupBy("_d2")
+            .groupBy("_d1", "_d2")
             .agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") >= min_shared)
             .select(F.col("_d2").alias("doc_id"))
+            .distinct()
         )
         rejected = internal
         if table_exists(sp, index_path):
@@ -536,10 +541,11 @@ def run_cdc_gated_ingest(
             cross = (
                 chunks.join(idx, "chunk_hash")
                 .filter(F.col("doc_id") != F.col("_dc"))
-                .groupBy("doc_id")
+                .groupBy("doc_id", "_dc")
                 .agg(F.count(F.lit(1)).alias("_n"))
                 .filter(F.col("_n") >= min_shared)
                 .select("doc_id")
+                .distinct()
             )
             rejected = rejected.unionByName(cross).distinct()
         survivors = batch.join(rejected, "doc_id", "left_anti")
@@ -1084,11 +1090,14 @@ def run_dhash_gated_ingest(
 
     def _apply(batch: DataFrame, _batch_id: int) -> None:
         sp = batch.sparkSession
+        # decode + hash the batch ONCE; every leg below (internal
+        # pairs, cross-match, index extend) rides the materialized
+        # hash table through the hashes=/new_hashes= pass-throughs
+        hashes = image_dhash(batch, grid=grid).localCheckpoint()
         # batch-internal: the larger id of every near-dup pair goes
         internal = (
             dhash_near_dup_pairs(
-                image_dhash(batch, grid=grid),
-                max_hamming=max_hamming, band_cap=band_cap,
+                hashes, max_hamming=max_hamming, band_cap=band_cap,
             )
             .select(F.col("d2").alias("media_id"))
             .distinct()
@@ -1097,8 +1106,9 @@ def run_dhash_gated_ingest(
         if table_exists(sp, index_path):
             cross = (
                 dhash_matches_incremental(
-                    batch, sp.read.parquet(index_path),
+                    None, sp.read.parquet(index_path),
                     max_hamming=max_hamming, band_cap=band_cap, grid=grid,
+                    new_hashes=hashes,
                 )
                 .select(F.col("d_new").alias("media_id"))
                 .distinct()
@@ -1109,7 +1119,12 @@ def run_dhash_gated_ingest(
             upsert(sp, target_path, survivors, ["media_id"])
         else:
             _staged_overwrite(sp, survivors, target_path)
-        kept_rows = build_dhash_index(survivors, grid=grid)
+        kept_rows = build_dhash_index(
+            None, grid=grid,
+            hashes=hashes.join(
+                survivors.select("media_id"), "media_id", "left_semi"
+            ),
+        )
         if table_exists(sp, index_path):
             replace_keyed(sp, index_path, kept_rows, ["media_id"])
         else:
@@ -1150,15 +1165,28 @@ def _run_fp_gated_ingest(
     def _apply(batch: DataFrame, _batch_id: int) -> None:
         sp = batch.sparkSession
         fps = fps_fn(batch).localCheckpoint()
-        a = fps.select(F.col("media_id").alias("_d1"), "fp")
-        b = fps.select(F.col("media_id").alias("_d2"), "fp")
+        # batch-internal: PER-PAIR share counts (groupBy both ids —
+        # min_shared is a pair threshold, matching the batch
+        # detectors; counting across partners would reject an item
+        # sharing one gram each with several unrelated items), with
+        # the hot cap guarding the self-join like every detector
+        cold_b = (
+            fps.groupBy("fp")
+            .agg(F.countDistinct("media_id").alias("_k"))
+            .filter(F.col("_k") <= hot_cap)
+            .select("fp")
+        )
+        capped = fps.join(cold_b, "fp", "left_semi")
+        a = capped.select(F.col("media_id").alias("_d1"), "fp")
+        b = capped.select(F.col("media_id").alias("_d2"), "fp")
         internal = (
             a.join(b, "fp")
             .filter(F.col("_d1") < F.col("_d2"))
-            .groupBy("_d2")
+            .groupBy("_d1", "_d2")
             .agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") >= min_shared)
             .select(F.col("_d2").alias("media_id"))
+            .distinct()
         )
         rejected = internal
         if table_exists(sp, index_path):
@@ -1173,10 +1201,11 @@ def _run_fp_gated_ingest(
                 fps.join(idx.join(cold, "fp", "left_semi")
                          .select(F.col("media_id").alias("_dc"), "fp"), "fp")
                 .filter(F.col("media_id") != F.col("_dc"))
-                .groupBy("media_id")
+                .groupBy("media_id", "_dc")
                 .agg(F.count(F.lit(1)).alias("_n"))
                 .filter(F.col("_n") >= min_shared)
                 .select("media_id")
+                .distinct()
             )
             rejected = rejected.unionByName(cross).distinct()
         survivors = batch.join(rejected, "media_id", "left_anti")

@@ -360,3 +360,18 @@ def test_cap_hot_chunks_counts_distinct_docs(spark):
     # hashes, it never dedups the index)
     n_rep = cap_hot_chunks(idx, 3).filter("chunk_hash = 'h_repeated'").count()
     assert n_rep == 10
+
+
+def test_build_cdc_index_custom_id_col(spark):
+    """The distinct-carrier cap forwards id_col (r12 review fix): a
+    non-default id column must not crash the cap's countDistinct."""
+    from datawarehouse_code_spark.operators.text import build_cdc_index
+
+    n = _vocab(10, False)
+    b = _vocab(2, True)
+    docs = spark.createDataFrame(
+        [(1, " ".join([b[0]] + n[:4])), (2, " ".join([b[1]] + n[4:8]))],
+        ["page_id", "text"],
+    )
+    rows = build_cdc_index(docs, id_col="page_id").collect()
+    assert rows and all(r["page_id"] in (1, 2) for r in rows)

@@ -426,3 +426,20 @@ def test_quarantine_fingerprint_lanes(spark):
     assert vclean == vwant and vwant
     assert any(r["media_id"] == 2 and r["fp"] is None and r["decode_error"]
                for r in vq)
+
+
+def test_dhash_grid_contract_is_loud():
+    """Non-default grids fail loudly instead of mis-packing (r12
+    review fix): odd grids would drop the last row's bits; the
+    DataFrame surface's band layout is fixed at grid=8."""
+    with pytest.raises(ValueError, match="even"):
+        dhash_bits(10, 7, 1, bytes(70), grid=7)
+
+
+def test_image_dhash_rejects_non_default_grid(spark):
+    media = spark.createDataFrame(
+        [(1, "image/ppm", encode_const_ppm(20, 18, (1, 2, 3)))],
+        "media_id BIGINT, media_type STRING, content BINARY",
+    )
+    with pytest.raises(ValueError, match="grid=8"):
+        image_dhash(media, grid=16)

@@ -1220,3 +1220,24 @@ def test_png_wavefront_unfilter_long_runs_exact():
         assert decode_image(data) == (w, h, 3, b"".join(ref)), (
             f"case {seed} ({filters[:5]}...) mismatched"
         )
+
+
+def test_png_wavefront_block_carryover_exact():
+    """Blocked wavefront processing (r12 review fix — bounded memory
+    on long runs) carries the previous block's last row exactly: tiny
+    forced blocks reproduce the single-block reconstruction bit for
+    bit on both Average and Paeth."""
+    import numpy as np
+
+    from datawarehouse_code_spark.operators.multimodal import (
+        _png_unfilter_wavefront,
+    )
+
+    rng = np.random.default_rng(7)
+    K, W, ch = 24, 13, 3
+    fb = rng.integers(0, 256, size=(K, W, ch)).astype(np.int16)
+    prev = rng.integers(0, 256, size=(W, ch)).astype(np.int16)
+    for f in (3, 4):
+        whole = _png_unfilter_wavefront(fb, prev, f, ch)
+        blocked = _png_unfilter_wavefront(fb, prev, f, ch, block_rows=5)
+        assert (whole == blocked).all(), f"filter {f} block mismatch"

@@ -1285,3 +1285,70 @@ def test_audio_and_video_gated_ingest_reject_shifted_copies(spark, tmp_path):
     assert {r["media_id"] for r in spark.read.parquet(vt).collect()} == {2, 21}
     # index only carries survivors
     assert {r["media_id"] for r in spark.read.parquet(vi).collect()} == {2, 21}
+
+
+def test_fp_gate_min_shared_is_per_pair(spark, tmp_path):
+    """min_shared is a PAIR threshold (r12 review fix): a new clip
+    sharing exactly ONE gram with each of TWO unrelated corpus items
+    must survive at min_shared=2 — counting shares across partners
+    would wrongly reject it."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from datawarehouse_code_spark.operators.media_dedup import (
+        audio_fingerprints,
+    )
+    from datawarehouse_code_spark.operators.multimodal import encode_pcm_wav
+    from datawarehouse_code_spark.streaming.jobs import run_audio_gated_ingest
+
+    def wav(samples):
+        return encode_pcm_wav(8000, [samples])
+
+    def base(seed, n=120):
+        return [((seed * 37 + i * 211) % 4096) - 2048 for i in range(n)]
+
+    a, b = base(1), base(2)
+    junk = base(77, 40)
+    # C's windows 0-3 replay A's first gram; windows 5-8 replay B's
+    # first gram; the straddling windows differ -> exactly one shared
+    # gram per partner
+    c = a[:40] + b[:40] + junk
+
+    schema = "media_id BIGINT, media_type STRING, content BINARY"
+    # sanity: the construction really gives one shared gram per pair
+    fps = {
+        r["media_id"]: set()
+        for r in [{"media_id": i} for i in (1, 2, 3)]
+    }
+    for r in audio_fingerprints(
+        spark.createDataFrame(
+            [(1, "audio/wav", wav(a)), (2, "audio/wav", wav(b)),
+             (3, "audio/wav", wav(c))], schema
+        )
+    ).collect():
+        fps[r["media_id"]].add(r["fp"])
+    assert len(fps[3] & fps[1]) == 1 and len(fps[3] & fps[2]) == 1
+
+    land = tmp_path / "pp_land"
+    land.mkdir()
+    now = time.time() - 600
+    for i, rows in enumerate([
+        [(1, "audio/wav", wav(a)), (2, "audio/wav", wav(b))],
+        [(3, "audio/wav", wav(c))],
+    ]):
+        f = land / f"batch-{i}.parquet"
+        pd.DataFrame(
+            rows, columns=["media_id", "media_type", "content"]
+        ).to_parquet(f, index=False)
+        os.utime(f, (now + 60 * i, now + 60 * i))
+
+    t, idx = str(tmp_path / "pp_tbl"), str(tmp_path / "pp_idx")
+    run_audio_gated_ingest(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(str(land)),
+        t, idx, checkpoint_dir=str(tmp_path / "pp_ckpt"), min_shared=2,
+    )
+    assert {r["media_id"] for r in spark.read.parquet(t).collect()} \
+        == {1, 2, 3}
