@@ -3274,7 +3274,13 @@ def _phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     walks ±1 per bit from 128 so the strict left<right comparison
     recovers exactly those bits after decode.  Four members of a group
     are planted near-duplicates at pairwise hamming |m1−m2| ≤ 3 that
-    always share bands 0-2."""
+    always share bands 0-2.
+
+    Codec mix: even ids encode as P5 PGM (1-channel decode branch),
+    odd ids as P6 PPM with r=g=b (3-channel branch, grayscale as the
+    channel mean) — the SAME raster values through two real decoders,
+    so the closed-form hash oracle is unchanged while the row
+    exercises both lanes."""
     import pandas as pd  # noqa: F811
 
     from datawarehouse_code_spark.operators.multimodal import encode_gray_pgm
@@ -3300,8 +3306,15 @@ def _phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                         v += 1 if (b >> c) & 1 else -1
                         raster.append(v)
                 ids.append(d)
-                types.append("image/pgm")
-                blobs.append(encode_gray_pgm(9, 8, bytes(raster)))
+                if d % 2 == 0:
+                    types.append("image/pgm")
+                    blobs.append(encode_gray_pgm(9, 8, bytes(raster)))
+                else:
+                    types.append("image/ppm")
+                    blobs.append(
+                        b"P6\n9 8\n255\n"
+                        + bytes(v for px in raster for v in (px, px, px))
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),
