@@ -207,6 +207,7 @@ HEADLINE = [
     "video_fp_incremental",
     "media_dedup_suite",
     "media_canonical_selection",
+    "docs_winnowing_spans",
 ]
 
 

@@ -1371,6 +1371,106 @@ def winnowing_fingerprints(
     )
 
 
+def winnowing_fingerprint_positions(
+    documents: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """winnowing_fingerprints WITH localization: per (doc, selected
+    fingerprint) the FIRST and LAST 1-based gram window positions it
+    was selected at — the positional payload the distinct fingerprint
+    set drops, and the thing that makes winnowing an ATTRIBUTION tool
+    rather than just a detector (MOSS's whole point: show WHERE the
+    overlap is).  A fingerprint selected in several places brackets
+    them; window-start positions locate the match within w−1 grams.
+
+    Output: (id_col, fp, first_pos, last_pos).  Same scale shape as
+    winnowing_fingerprints — the grouped min/max replaces the
+    distinct, both one aggregation on the doc-partitioned key."""
+    toks = documents.repartition(id_col).select(
+        id_col, words(F.col(text_col)).alias("ws")
+    )
+    grams = toks.filter(F.size("ws") >= k).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - (k - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("ws"), i, k))),
+            )
+        ).alias("pos", "gh"),
+    )
+    nwin = Window.partitionBy(id_col)
+    mwin = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        grams.withColumn("_n", F.count(F.lit(1)).over(nwin))
+        .withColumn("fp", F.min("gh").over(mwin))
+        .filter(F.col("pos") <= F.col("_n") - w)
+        .groupBy(id_col, "fp")
+        .agg(
+            F.min("pos").cast("bigint").alias("first_pos"),
+            F.max("pos").cast("bigint").alias("last_pos"),
+        )
+    )
+
+
+def winnowing_match_spans(
+    documents: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    hot_fp_cap: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The attribution report winnowing exists for: per near-dup pair,
+    WHERE the shared material sits in each document — (d1, d2,
+    n_shared, d1_first, d1_last, d2_first, d2_last), the bracketing
+    gram-position spans of the shared fingerprints on both sides
+    (positions locate matches within w−1 grams; a pair sharing
+    several separated passages brackets them all).  Same candidate
+    semantics as winnowing_near_dup_pairs: hot fingerprints capped at
+    `hot_fp_cap` distinct carriers BEFORE the self-join, pairs with
+    ≥ `min_shared` shared fingerprints.
+
+    Scale shape: the positions table feeds the cap + both join sides,
+    so it is materialized once (localCheckpoint, the pair-join
+    precedent); the join is fp-bucketed and cap-bounded, the output
+    pair-sized."""
+    fps = winnowing_fingerprint_positions(
+        documents, k=k, w=w, text_col=text_col, id_col=id_col
+    ).localCheckpoint()
+    cold = (
+        fps.groupBy("fp")
+        .agg(F.countDistinct(id_col).alias("_k"))
+        .filter(F.col("_k") <= hot_fp_cap)
+        .select("fp")
+    )
+    capped = fps.join(cold, "fp", "left_semi")
+    a = capped.select(
+        F.col(id_col).alias("d1"), "fp",
+        F.col("first_pos").alias("_f1"), F.col("last_pos").alias("_l1"),
+    )
+    b = capped.select(
+        F.col(id_col).alias("d2"), "fp",
+        F.col("first_pos").alias("_f2"), F.col("last_pos").alias("_l2"),
+    )
+    return (
+        a.join(b, "fp")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.min("_f1").alias("d1_first"),
+            F.max("_l1").alias("d1_last"),
+            F.min("_f2").alias("d2_first"),
+            F.max("_l2").alias("d2_last"),
+        )
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def cdc_containment(
     documents: DataFrame | None,
     min_words: int = 3,

@@ -3228,6 +3228,54 @@ FROM lagged GROUP BY shard_id
 """
 
 
+def _docs_winnowing_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing match LOCALIZATION (operators/text.py
+    winnowing_match_spans — the attribution report MOSS exists for):
+    per near-dup pair, the bracketing gram-position spans of the
+    shared fingerprints on BOTH sides.  DuckDB replays gram hashing,
+    the windowed minima, the per-(doc, fp) position brackets, the
+    carrier cap and the per-pair span aggregation."""
+    from datawarehouse_code_spark.operators.text import (
+        winnowing_match_spans,
+    )
+
+    return winnowing_match_spans(read_table(spark, "documents", sf_dir))
+
+
+_WINNOWING_SPANS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+), g AS (
+  SELECT doc_id, t.i - 1 AS pos,
+         md5(ws[t.i] || ' ' || ws[t.i + 1] || ' ' || ws[t.i + 2]) AS gh
+  FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+), m AS (
+  SELECT doc_id, pos,
+         min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM g
+), fps AS (
+  SELECT doc_id, fp, CAST(min(pos) AS BIGINT) AS first_pos,
+         CAST(max(pos) AS BIGINT) AS last_pos
+  FROM m WHERE pos <= n - 4
+  GROUP BY 1, 2
+), cold AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(DISTINCT doc_id) <= 50
+), capped AS (
+  SELECT f.* FROM fps f JOIN cold USING (fp)
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared,
+       CAST(min(a.first_pos) AS BIGINT) AS d1_first,
+       CAST(max(a.last_pos) AS BIGINT) AS d1_last,
+       CAST(min(b.first_pos) AS BIGINT) AS d2_first,
+       CAST(max(b.last_pos) AS BIGINT) AS d2_last
+FROM capped a JOIN capped b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
 def _docs_winnowing_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Increment-vs-corpus winnowing through the persisted fingerprint
     index (operators/text.py build_winnowing_index /
@@ -4094,6 +4142,11 @@ LLM_SUPPLEMENTARY: list[Query] = [
           "north-star: Matryoshka prefix-truncation retrieval recall "
           "— 16-of-64-dim top-k overlap vs exact full-dim top-k "
           "(supplementary, differential-tested)"),
+    Query("docs_winnowing_spans", _docs_winnowing_spans,
+          _WINNOWING_SPANS_SQL,
+          "north-star: winnowing match localization — per-pair "
+          "bracketing gram-position spans on both sides, the MOSS "
+          "attribution report (supplementary, differential-tested)"),
     Query("docs_winnowing_incremental", _docs_winnowing_incremental,
           _WINNOWING_INCR_SQL,
           "north-star: increment-vs-corpus winnowing matches through "

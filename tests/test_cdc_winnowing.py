@@ -375,3 +375,35 @@ def test_build_cdc_index_custom_id_col(spark):
     )
     rows = build_cdc_index(docs, id_col="page_id").collect()
     assert rows and all(r["page_id"] in (1, 2) for r in rows)
+
+
+def test_winnowing_match_spans_localize_planted_run(spark):
+    """The localization report brackets WHERE the shared run sits on
+    each side: a 6-word run planted at different offsets in two
+    documents yields a pair whose span brackets contain the planted
+    gram positions — and the sides differ, which the positionless
+    pair report cannot show."""
+    from datawarehouse_code_spark.operators.text import (
+        winnowing_match_spans,
+    )
+
+    n = _vocab(40, False)
+    run = n[0:6]  # 6 = w + k - 1 words -> guaranteed shared fp
+    left_pad = [f"la{i}" for i in range(8)]
+    right_pad = [f"rb{i}" for i in range(5)]
+    doc_a = " ".join(left_pad + run + [f"ta{i}" for i in range(4)])
+    doc_b = " ".join(right_pad[:2] + run + [f"tb{i}" for i in range(7)])
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b)], ["doc_id", "text"]
+    )
+    rows = winnowing_match_spans(docs, min_shared=1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["d1"], r["d2"]) == (1, 2) and r["n_shared"] >= 1
+    # the run's grams start at word offset 8 in doc_a (0-based gram
+    # positions equal word offsets here) and at offset 2 in doc_b;
+    # the run spans grams [offset, offset + 6 - k]
+    assert 8 <= r["d1_first"] <= r["d1_last"] <= 8 + 3
+    assert 2 <= r["d2_first"] <= r["d2_last"] <= 2 + 3
+    # the two sides bracket DIFFERENT offsets — the attribution value
+    assert r["d1_first"] != r["d2_first"]

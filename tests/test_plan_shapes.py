@@ -169,6 +169,9 @@ PLAN_BOUNDS = {
     # pairs checkpoint + per-round component lineage cuts terminate
     # the visible plan (measured 2/2)
     "media_canonical_selection": (3, 4),
+    # positions table checkpointed once across cap + join sides
+    # (measured 0/5 post-cut)
+    "docs_winnowing_spans": (2, 8),
 }
 
 
