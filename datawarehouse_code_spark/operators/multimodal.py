@@ -172,6 +172,26 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 _IDCT_CHUNK = 4096
 
 
+def _wavefront_block_rows(W: int, ch: int) -> int:
+    """Block height for _png_unfilter_wavefront's skewed buffer.
+
+    The buffer is (B+1)·(W+B+1)·ch·2 bytes — a B·W term AND a B² skew
+    term, so B must satisfy B·(W+B)·ch·2 ≤ budget.  Bounding each term
+    by 8 MB separately (B ≤ 8MB/(W·ch·2) and B ≤ sqrt(8MB/(ch·2)))
+    keeps the buffer under ~16 MB for EVERY aspect ratio: a narrow
+    tall all-Paeth PNG (W=16, gray) previously computed B=262144 whose
+    B² skew alone was 128 GiB — inside PNG_MAX_PIXELS, so a small
+    crafted file OOM-killed the worker past the quarantine lane
+    (MemoryError is not ValueError and nothing can catch it)."""
+    return max(
+        16,
+        min(
+            (1 << 23) // max(1, W * ch * 2),
+            int(((1 << 23) / (ch * 2)) ** 0.5),
+        ),
+    )
+
+
 def _png_unfilter_wavefront(
     fb, prev, f: int, ch: int, block_rows: int | None = None
 ):
@@ -213,8 +233,7 @@ def _png_unfilter_wavefront(
     import numpy as np
 
     K, W, _ = fb.shape
-    cap = max(16, (1 << 23) // max(1, W * ch * 2))
-    B = block_rows if block_rows is not None else cap
+    B = block_rows if block_rows is not None else _wavefront_block_rows(W, ch)
     if K > B:
         out = np.empty((K, W, ch), dtype=np.int16)
         p = prev

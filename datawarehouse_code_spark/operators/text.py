@@ -1379,8 +1379,9 @@ def winnowing_fingerprint_positions(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """winnowing_fingerprints WITH localization: per (doc, selected
-    fingerprint) the FIRST and LAST 1-based gram window positions it
-    was selected at — the positional payload the distinct fingerprint
+    fingerprint) the FIRST and LAST 0-based gram window positions it
+    was selected at (posexplode indexes from 0; the DuckDB oracle's
+    `t.i - 1` matches) — the positional payload the distinct fingerprint
     set drops, and the thing that makes winnowing an ATTRIBUTION tool
     rather than just a detector (MOSS's whole point: show WHERE the
     overlap is).  A fingerprint selected in several places brackets

@@ -146,14 +146,12 @@ def video_fingerprints(media: DataFrame, gram: int = 2) -> DataFrame:
 
 def _cap_hot(fps: DataFrame, cap: int) -> DataFrame:
     """Distinct-carrier hot-fingerprint cap (the black-frame-loop
-    guard; same grain as every hot-key cap in this engine)."""
-    cold = (
-        fps.groupBy("fp")
-        .agg(F.countDistinct("media_id").alias("_k"))
-        .filter(F.col("_k") <= cap)
-        .select("fp")
-    )
-    return fps.join(cold, "fp", "left_semi")
+    guard) — delegates to media_dedup._cap_hot_fps, the ONE cap
+    implementation, so the grain can never drift between modalities
+    (r13 consolidation)."""
+    from datawarehouse_code_spark.operators.media_dedup import _cap_hot_fps
+
+    return _cap_hot_fps(fps, cap)
 
 
 def video_near_dup_pairs(

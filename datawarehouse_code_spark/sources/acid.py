@@ -175,15 +175,28 @@ def upsert(
 
 
 def replace_keyed(
-    spark: SparkSession, target_path: str, updates: DataFrame, key: list[str]
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key: list[str],
+    keys: DataFrame | None = None,
 ) -> str:
     """Keyed REPLACE for one-to-many payloads: every target row whose
-    `key` value appears in `updates` is dropped, then the update rows
-    are inserted.  This is the upsert variant for grains like a
-    document's chunk rows — a re-delivered document that now produces
-    FEWER rows leaves no stale residue, which a row-keyed upsert
-    (matched-update / not-matched-insert) cannot guarantee.  Returns
-    which path ran ('delta' | 'parquet').
+    `key` value appears in `keys` (default: the update rows' own key
+    set) is dropped, then the update rows are inserted.  This is the
+    upsert variant for grains like a document's chunk rows — a
+    re-delivered document that now produces FEWER rows leaves no stale
+    residue, which a row-keyed upsert (matched-update /
+    not-matched-insert) cannot guarantee.  Returns which path ran
+    ('delta' | 'parquet').
+
+    `keys` exists because "fewer rows" includes ZERO: a caller that
+    filters the update rows (min-word chunks, media too short to
+    fingerprint) produces no update row at all for such an item, so
+    keying the delete on the update rows would leave the item's OLD
+    rows behind — exactly the stale residue this function closes.
+    Such callers must pass the batch's full key set (e.g.
+    `batch.select("doc_id")`); it is distinct-ed here.
 
     Parquet: one anti-join on `key` + union + staged overwrite —
     atomic via the swap, crash-safe like upsert.  Delta: a
@@ -198,6 +211,7 @@ def replace_keyed(
     tables as plain parquet (_staged_overwrite), and running MERGE
     against a parquet directory just because the jar is on the
     classpath would fail at the log lookup."""
+    del_keys = (keys if keys is not None else updates).select(*key).distinct()
     if delta_available(spark):
         from delta.tables import DeltaTable
 
@@ -205,7 +219,7 @@ def replace_keyed(
             recover_interrupted_swap(spark, target_path)
             current = spark.read.parquet(target_path)
             merged = current.join(
-                updates, key, "left_anti"
+                del_keys, key, "left_anti"
             ).unionByName(updates)
             _staged_overwrite(spark, merged, target_path)
             return "parquet"
@@ -214,7 +228,7 @@ def replace_keyed(
         (
             DeltaTable.forPath(spark, target_path)
             .alias("t")
-            .merge(updates.select(*key).distinct().alias("s"), cond)
+            .merge(del_keys.alias("s"), cond)
             .whenMatchedDelete()
             .execute()
         )
@@ -222,7 +236,7 @@ def replace_keyed(
         return "delta"
     recover_interrupted_swap(spark, target_path)
     current = spark.read.parquet(target_path)
-    merged = current.join(updates, key, "left_anti").unionByName(updates)
+    merged = current.join(del_keys, key, "left_anti").unionByName(updates)
     _staged_overwrite(spark, merged, target_path)
     return "parquet"
 

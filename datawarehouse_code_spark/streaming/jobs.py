@@ -457,7 +457,14 @@ def run_cdc_index_ingest(
             F.col("n_words") >= min_words
         ).select("doc_id", "chunk_idx", "chunk_hash", "n_words")
         if table_exists(sp, index_path):
-            replace_keyed(sp, index_path, chunks, ["doc_id"])
+            # keys = the BATCH's ids, not the (min_words-filtered)
+            # chunk rows' — a doc re-delivered with revised text whose
+            # chunks ALL fall below min_words contributes zero update
+            # rows yet must still shed its old index rows (r13 fix)
+            replace_keyed(
+                sp, index_path, chunks, ["doc_id"],
+                keys=batch.select("doc_id"),
+            )
         else:
             _staged_overwrite(sp, chunks, index_path)
 
@@ -557,8 +564,16 @@ def run_cdc_gated_ingest(
         if table_exists(sp, index_path):
             # replace (not row-upsert) for the same reason as
             # run_cdc_index_ingest: a surviving doc re-delivered with
-            # fewer chunks must not leave stale higher-chunk_idx rows
-            replace_keyed(sp, index_path, kept_chunks, ["doc_id"])
+            # fewer chunks must not leave stale higher-chunk_idx rows.
+            # keys = SURVIVOR ids (not the filtered chunk rows' — a
+            # survivor whose revised chunks all fall below min_words
+            # still sheds its old rows; not the whole batch's —
+            # rejects keep their previously-ingested version in both
+            # table and index, per rejects-enter-neither)
+            replace_keyed(
+                sp, index_path, kept_chunks, ["doc_id"],
+                keys=survivors.select("doc_id"),
+            )
         else:
             _staged_overwrite(sp, kept_chunks, index_path)
 
@@ -973,7 +988,13 @@ def _run_media_index_ingest(
         sp = batch.sparkSession
         rows = rows_fn(batch)
         if table_exists(sp, index_path):
-            replace_keyed(sp, index_path, rows, ["media_id"])
+            # keys = the BATCH's ids — an item re-delivered too short
+            # to fingerprint contributes zero rows yet must still
+            # shed its old index rows (r13 fix)
+            replace_keyed(
+                sp, index_path, rows, ["media_id"],
+                keys=batch.select("media_id"),
+            )
         else:
             _staged_overwrite(sp, rows, index_path)
 
@@ -1126,7 +1147,13 @@ def run_dhash_gated_ingest(
             ),
         )
         if table_exists(sp, index_path):
-            replace_keyed(sp, index_path, kept_rows, ["media_id"])
+            # keys = SURVIVOR ids (a survivor re-delivered with an
+            # undecodable/short payload keeps zero hash rows; rejects
+            # keep their previously-ingested rows — r13 fix)
+            replace_keyed(
+                sp, index_path, kept_rows, ["media_id"],
+                keys=survivors.select("media_id"),
+            )
         else:
             _staged_overwrite(sp, kept_rows, index_path)
 
@@ -1155,6 +1182,7 @@ def _run_fp_gated_ingest(
     replays reject the same ids deterministically (dedup-BEFORE-
     extend, the CDC-gate doctrine; table commit BEFORE index extend
     for the same crash-replay argument)."""
+    from datawarehouse_code_spark.operators.media_dedup import _cap_hot_fps
     from datawarehouse_code_spark.sources.acid import (
         _staged_overwrite,
         replace_keyed,
@@ -1170,13 +1198,9 @@ def _run_fp_gated_ingest(
         # detectors; counting across partners would reject an item
         # sharing one gram each with several unrelated items), with
         # the hot cap guarding the self-join like every detector
-        cold_b = (
-            fps.groupBy("fp")
-            .agg(F.countDistinct("media_id").alias("_k"))
-            .filter(F.col("_k") <= hot_cap)
-            .select("fp")
-        )
-        capped = fps.join(cold_b, "fp", "left_semi")
+        # (_cap_hot_fps — the ONE distinct-carrier cap implementation,
+        # so the gate can never drift from the batch detectors' grain)
+        capped = _cap_hot_fps(fps, hot_cap)
         a = capped.select(F.col("media_id").alias("_d1"), "fp")
         b = capped.select(F.col("media_id").alias("_d2"), "fp")
         internal = (
@@ -1190,16 +1214,10 @@ def _run_fp_gated_ingest(
         )
         rejected = internal
         if table_exists(sp, index_path):
-            idx = sp.read.parquet(index_path)
-            cold = (
-                idx.groupBy("fp")
-                .agg(F.countDistinct("media_id").alias("_k"))
-                .filter(F.col("_k") <= hot_cap)
-                .select("fp")
-            )
+            idx = _cap_hot_fps(sp.read.parquet(index_path), hot_cap)
             cross = (
-                fps.join(idx.join(cold, "fp", "left_semi")
-                         .select(F.col("media_id").alias("_dc"), "fp"), "fp")
+                fps.join(idx.select(F.col("media_id").alias("_dc"), "fp"),
+                         "fp")
                 .filter(F.col("media_id") != F.col("_dc"))
                 .groupBy("media_id", "_dc")
                 .agg(F.count(F.lit(1)).alias("_n"))
@@ -1215,7 +1233,12 @@ def _run_fp_gated_ingest(
             _staged_overwrite(sp, survivors, target_path)
         kept = fps.join(survivors.select("media_id"), "media_id", "left_semi")
         if table_exists(sp, index_path):
-            replace_keyed(sp, index_path, kept, ["media_id"])
+            # keys = SURVIVOR ids — an item too short to fingerprint
+            # has zero fps rows yet must shed old index rows (r13 fix)
+            replace_keyed(
+                sp, index_path, kept, ["media_id"],
+                keys=survivors.select("media_id"),
+            )
         else:
             _staged_overwrite(sp, kept, index_path)
 

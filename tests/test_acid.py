@@ -432,3 +432,41 @@ def test_replace_keyed_drops_stale_one_to_many_rows(spark, tmp_path):
     # replay-idempotent: the identical replace is a no-op
     replace_keyed(spark, path, updates, ["doc_id"])
     assert spark.read.parquet(path).count() == 3
+
+
+def test_replace_keyed_explicit_keys_covers_zero_update_rows(
+    spark, tmp_path
+):
+    """replace_keyed(keys=...): 'fewer rows' includes ZERO — a key in
+    the explicit key set with no update row at all sheds its old rows
+    (r13 ADVICE fix: callers that filter the update rows, like
+    min-word chunking or too-short-to-fingerprint media, pass the
+    batch's unfiltered id set so a re-delivery that filters down to
+    nothing still cleans up)."""
+    from datawarehouse_code_spark.sources.acid import replace_keyed
+
+    path = str(tmp_path / "idx")
+    spark.createDataFrame(
+        [(1, 0, "a"), (1, 1, "b"), (2, 0, "x"), (3, 0, "p"), (3, 1, "q")],
+        ["doc_id", "chunk_idx", "chunk_hash"],
+    ).write.parquet(path)
+    # batch re-delivers docs 1 and 2; doc 1's revision produces one
+    # chunk, doc 2's produces NONE (all below min_words) — without the
+    # explicit key set doc 2's old row would survive as stale residue
+    updates = spark.createDataFrame(
+        [(1, 0, "a2")], ["doc_id", "chunk_idx", "chunk_hash"]
+    )
+    batch_keys = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    assert (
+        replace_keyed(spark, path, updates, ["doc_id"], keys=batch_keys)
+        == "parquet"
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"], r["chunk_hash"])
+        for r in spark.read.parquet(path).collect()
+    }
+    # doc 2 fully gone, doc 1 replaced, untouched doc 3 intact
+    assert got == {(1, 0, "a2"), (3, 0, "p"), (3, 1, "q")}
+    # replay-idempotent with the same key set
+    replace_keyed(spark, path, updates, ["doc_id"], keys=batch_keys)
+    assert spark.read.parquet(path).count() == 3

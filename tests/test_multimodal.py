@@ -1241,3 +1241,50 @@ def test_png_wavefront_block_carryover_exact():
         whole = _png_unfilter_wavefront(fb, prev, f, ch)
         blocked = _png_unfilter_wavefront(fb, prev, f, ch, block_rows=5)
         assert (whole == blocked).all(), f"filter {f} block mismatch"
+
+
+def test_png_wavefront_skew_buffer_bounded_all_aspect_ratios():
+    """r13 ADVICE fix: the skewed buffer is (B+1)·(W+B+1)·ch·2 bytes —
+    the B² skew term must be bounded too, or narrow tall images blow
+    past the documented ~16 MB (W=16 gray previously computed
+    B=262144 → 128 GiB skew buffer from a small crafted all-Paeth PNG
+    inside PNG_MAX_PIXELS, and the resulting MemoryError bypasses the
+    ValueError quarantine lane).  Pin the buffer bound across aspect
+    ratios and the decode of a narrow tall all-Paeth image."""
+    import struct
+    import zlib
+
+    from datawarehouse_code_spark.operators.multimodal import (
+        _wavefront_block_rows,
+        decode_image,
+    )
+
+    for W in (1, 16, 64, 128, 4096, 1 << 20, 1 << 26):
+        for ch in (1, 2, 3, 4):
+            B = _wavefront_block_rows(W, ch)
+            buf_bytes = (B + 1) * (W + B + 1) * ch * 2
+            # 16 rows is the vectorization floor; its W-term can carry
+            # the buffer past 16 MB only via the (pre-existing,
+            # PNG_MAX_PIXELS-bounded) wide-image edge — the skew term
+            # itself must stay ≤ ~8 MB always.
+            assert (B + 1) * (B + 1) * ch * 2 <= (1 << 23) + (1 << 19), (
+                f"W={W} ch={ch}: B={B} skew term {(B+1)**2*ch*2}"
+            )
+            if B > 16:
+                assert buf_bytes <= (1 << 24) + (1 << 20), (
+                    f"W={W} ch={ch}: B={B} buffer {buf_bytes}"
+                )
+
+    # The attack shape end-to-end: W=16 gray, tall, all-Paeth rows.
+    w, h, ch = 16, 4096, 1
+    ref = [
+        bytes(((x * 151 + y * 83) % 256) for x in range(w))
+        for y in range(h)
+    ]
+    raw = _png_filter_forward(ref, ch, [4] * h)
+    data = _png_chunks(
+        (b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)),
+        (b"IDAT", zlib.compress(raw)),
+        (b"IEND", b""),
+    )
+    assert decode_image(data) == (w, h, 1, b"".join(ref))

@@ -1134,6 +1134,98 @@ def test_video_fp_ingest_stream_equals_batch(spark, tmp_path):
     assert got == {(30, 1): 5}
 
 
+def test_index_ingest_redelivery_with_zero_rows_sheds_stale(
+    spark, tmp_path
+):
+    """r13 ADVICE fix: a re-delivered item whose revision produces
+    ZERO index rows (all chunks below min_words; a video too short to
+    gram) must still shed its OLD index rows — the delete is keyed on
+    the batch's id set, not the filtered update rows' ('fewer rows'
+    includes zero)."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from datawarehouse_code_spark.operators.multimodal import encode_gray_pgm
+    from datawarehouse_code_spark.operators.video_dedup import encode_video
+    from datawarehouse_code_spark.streaming.jobs import (
+        run_cdc_index_ingest,
+        run_video_fp_ingest,
+    )
+
+    # --- CDC chunk index: doc 7 re-delivered as a 2-word text ---
+    land = tmp_path / "docs_landing"
+    land.mkdir()
+    long_text = " ".join(f"w{i}" for i in range(60))
+    now = time.time() - 600
+    for i, rows in enumerate(
+        [[(7, long_text), (8, long_text + " tail words here")],
+         [(7, "too short")]]
+    ):
+        f = land / f"batch-{i}.parquet"
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            f, index=False
+        )
+        os.utime(f, (now + 60 * i, now + 60 * i))
+    index_path = str(tmp_path / "cdc_index")
+    run_cdc_index_ingest(
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land)),
+        index_path,
+        checkpoint_dir=str(tmp_path / "ckpt_docs"),
+    )
+    idx = spark.read.parquet(index_path)
+    assert idx.filter("doc_id = 7").count() == 0, (
+        "doc 7's first-delivery chunks must be gone after the "
+        "below-min_words re-delivery"
+    )
+    assert idx.filter("doc_id = 8").count() > 0
+
+    # --- video fp index: id 5 re-delivered as a 1-frame video ---
+    def frame(seed):
+        out = bytearray()
+        for r in range(8):
+            b = ((seed * 8 + r) * 37) % 256
+            v = 128
+            out.append(v)
+            for c in range(8):
+                v += 1 if (b >> c) & 1 else -1
+                out.append(v)
+        return encode_gray_pgm(9, 8, bytes(out))
+
+    vland = tmp_path / "video_landing"
+    vland.mkdir()
+    vrows = [
+        [(5, "video/vid0", encode_video([frame(s) for s in range(6)])),
+         (6, "video/vid0", encode_video([frame(s) for s in range(10, 16)]))],
+        [(5, "video/vid0", encode_video([frame(0)]))],  # 1 frame: no gram
+    ]
+    for i, rows in enumerate(vrows):
+        f = vland / f"batch-{i}.parquet"
+        pd.DataFrame(
+            rows, columns=["media_id", "media_type", "content"]
+        ).to_parquet(f, index=False)
+        os.utime(f, (now + 60 * i, now + 60 * i))
+    vindex = str(tmp_path / "video_index")
+    run_video_fp_ingest(
+        spark.readStream.schema(
+            "media_id BIGINT, media_type STRING, content BINARY"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(vland)),
+        vindex,
+        checkpoint_dir=str(tmp_path / "ckpt_video"),
+    )
+    vidx = spark.read.parquet(vindex)
+    assert vidx.filter("media_id = 5").count() == 0, (
+        "media 5's first-delivery grams must be gone after the "
+        "1-frame re-delivery"
+    )
+    assert vidx.filter("media_id = 6").count() > 0
+
+
 def test_dhash_gated_ingest_rejects_perceptual_copies(spark, tmp_path):
     """The perceptual ingest gate: a later batch's brightness-shifted
     copy of an already-ingested image is rejected (cross-batch,
