@@ -2618,8 +2618,6 @@ _LLM_DRIVER_ROWS_HEAD: list[Query] = [
           "north-star: Gopher-style heuristic quality filter"),
     Query("docs_mixture_resample", _docs_mixture_resample, _MIXTURE_SQL,
           "north-star: resample corpus to a target domain mixture"),
-    Query("docs_stratified_sample", _docs_stratified_sample, _STRATIFIED_SQL,
-          "north-star: deterministic stratified hash-sampling (corpus rebalance)"),
     Query("contamination_check", _contamination_check, _CONTAMINATION_SQL,
           "north-star: benchmark decontamination (broadcast holdout shingle set)"),
     Query("text_corpus_suite", _text_corpus_suite, _TEXT_CORPUS_SUITE_SQL,
@@ -4069,6 +4067,13 @@ LLM_QUERIES: list[Query] = [
           "north-star: every media lane — image feature extraction + "
           "frame sampling + PPM/PNG pure-Python decode + WAV/PCM "
           "audio decode, labeled (consolidated round 12)"),
+    Query("media_dedup_suite", _media_dedup_suite, _MEDIA_DEDUP_SUITE_SQL,
+          "north-star: the perceptual media dedup family labeled — "
+          "image dHash band pairs + exact hamming verify, audio "
+          "energy-gram pairs, video temporal-gram pairs, one "
+          "incremental leg (driver row since round 13 — the one-swap "
+          "promotion it was staged for; docs_stratified_sample "
+          "demoted like-for-like)"),
 ]
 
 LLM_SUPPLEMENTARY: list[Query] = [
@@ -4087,11 +4092,12 @@ LLM_SUPPLEMENTARY: list[Query] = [
           "— dHash pairs → connected components → min-id survivors "
           "(recursive-CTE transitive-closure oracle; supplementary, "
           "differential-tested)"),
-    Query("media_dedup_suite", _media_dedup_suite, _MEDIA_DEDUP_SUITE_SQL,
-          "north-star: the perceptual media dedup family labeled — "
-          "image dHash + audio + video temporal grams + one "
-          "incremental leg (supplementary; built for a one-swap "
-          "driver-window promotion)"),
+    Query("docs_stratified_sample", _docs_stratified_sample, _STRATIFIED_SQL,
+          "north-star: deterministic stratified hash-sampling (corpus "
+          "rebalance; driver row rounds 3-12, demoted round 13 to "
+          "free the window slot for media_dedup_suite — the sampling "
+          "family keeps docs_mixture_resample as its driver row; "
+          "keeps its frozen bench row like-for-like)"),
     Query("video_fp_pairs", _video_fp_pairs, _VIDEO_FP_PAIRS_SQL,
           "north-star: video near-dup pairs — temporal grams of "
           "per-frame dHashes over real VID0 containers, frame-trim "
