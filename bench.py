@@ -208,6 +208,9 @@ HEADLINE = [
     "media_dedup_suite",
     "media_canonical_selection",
     "docs_winnowing_spans",
+    # round-13 additions (no frozen row yet; ratios appear once a
+    # later round freezes them)
+    "video_image_matches",
 ]
 
 

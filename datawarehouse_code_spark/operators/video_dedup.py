@@ -214,6 +214,103 @@ def video_matches_incremental(
     )
 
 
+VIDEO_FRAME_DHASH_SCHEMA = (
+    "media_id BIGINT, frame_idx INT, b0 INT, b1 INT, b2 INT, b3 INT"
+)
+
+
+def video_frame_dhashes(media: DataFrame) -> DataFrame:
+    """Per-FRAME dHash rows from VID0 containers: (media_id,
+    frame_idx, b0..b3) — one row per decoded frame, the frame-grain
+    sibling of video_fingerprints (which grams ≥2 frames and so can
+    never see a single frame).  This is the cross-modal bridge: the
+    rows carry the image detector's EXACT hash in the image index's
+    band layout, so a still image re-used as a frame inside a video
+    equi-joins the persisted dHash band index directly
+    (video_image_matches below).  A narrow Arrow-batched map — frames
+    and pixels never leave the worker, only 6 small ints per frame do;
+    the loud-failure decode contract is the container walk's."""
+    import pandas as pd
+
+    from datawarehouse_code_spark.operators.media_dedup import dhash_bits
+    from datawarehouse_code_spark.operators.multimodal import decode_image
+
+    def batches(it):
+        for pdf in it:
+            ids, idxs, bands = [], [], []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                for j, payload in enumerate(
+                    decode_video_frames(bytes(content))
+                ):
+                    w, h, ch, px = decode_image(payload)
+                    ids.append(media_id)
+                    idxs.append(j)
+                    bands.append(dhash_bits(w, h, ch, px))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "b0": pd.Series([b[0] for b in bands], dtype="int32"),
+                    "b1": pd.Series([b[1] for b in bands], dtype="int32"),
+                    "b2": pd.Series([b[2] for b in bands], dtype="int32"),
+                    "b3": pd.Series([b[3] for b in bands], dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(batches, VIDEO_FRAME_DHASH_SCHEMA)
+
+
+def video_image_matches(
+    frame_hashes: DataFrame,
+    image_index: DataFrame,
+    max_hamming: int = 6,
+    band_cap: int = 50,
+) -> DataFrame:
+    """Frame-level CROSS-MODAL matching: video frames vs the persisted
+    image dHash band index (media_dedup.build_dhash_index) —
+    (video_id, frame_idx, image_id, n_shared_bands, hamming) for every
+    frame within `max_hamming` of a corpus image.  Closes the
+    modality blind spot where a still image re-used inside a video was
+    undetectable (video fingerprints gram ≥2 frames; images never saw
+    frames at all).
+
+    Scale shape is the incremental-matcher's: the videos are decoded
+    and hashed fresh (cost ∝ |videos| frames), the image corpus rides
+    the band equi-join and is never re-decoded; hot index buckets are
+    capped at `band_cap` distinct images BEFORE the join (read-time,
+    replay-idempotent), so a constant-color frame meets at most
+    `band_cap` images per band.  Bucket-then-verify: band collisions
+    only propose candidates, the exact 64-bit hamming filter decides."""
+    from datawarehouse_code_spark.operators.media_dedup import (
+        _cap_hot_bands,
+        _hamming64,
+    )
+
+    frames = frame_hashes.select(
+        F.col("media_id").alias("video_id"), "frame_idx",
+        "b0", "b1", "b2", "b3",
+        F.expr(
+            "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_idx, band_val)"
+        ),
+    )
+    idx = _cap_hot_bands(image_index, band_cap).select(
+        F.col("media_id").alias("image_id"), "band_idx", "band_val",
+        *[F.col(f"b{k}").alias(f"c{k}") for k in range(4)],
+    )
+    return (
+        frames.join(idx, ["band_idx", "band_val"])
+        .withColumn("hamming", _hamming64())
+        .groupBy("video_id", "frame_idx", "image_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_shared_bands"),
+            F.min("hamming").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 VIDEO_FP_QUARANTINE_SCHEMA = VIDEO_FP_SCHEMA + ", decode_error STRING"
 
 

@@ -3774,6 +3774,214 @@ GROUP BY 1, 2
 """
 
 
+def _xmodal_row_byte(grp: int, r: int) -> int:
+    """Row byte of the cross-modal fixtures: bits 8-15 of the knuth
+    hash of grp·8 + r.  NOT `% 256` like the _phash_media bytes —
+    (key·2654435761) mod 2³² mod 256 collapses to key·177 mod 256, so
+    that construction repeats with group period 32 (the documented
+    periodic-fixture trap); the >>8 slice stays aperiodic over the
+    whole doc range, so unrelated groups here really are unrelated
+    and the planted match set is closed-form at EVERY scale factor."""
+    return ((((grp * 8 + r) % 2**31) * 2654435761) % 2**32 >> 8) % 256
+
+
+def _xmodal_raster(grp: int, mem: int) -> bytes:
+    """The 9x8 ±1-walk raster whose dHash row bytes are
+    _xmodal_row_byte(grp, r), with the low `mem` bits of row 7
+    flipped (the member construction _phash_media pins)."""
+    raster = bytearray()
+    for r in range(8):
+        b = _xmodal_row_byte(grp, r)
+        if r == 7:
+            b ^= (1 << mem) - 1
+        v = 128
+        raster.append(v)
+        for c in range(8):
+            v += 1 if (b >> c) & 1 else -1
+            raster.append(v)
+    return bytes(raster)
+
+
+def _xmodal_image_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image side of the cross-modal fixture: per doc_id a REAL 9x8
+    PGM — group doc_id//4, member doc_id%4, aperiodic row bytes (see
+    _xmodal_row_byte).  Same member geometry as _phash_media: the four
+    members of a group sit at pairwise hamming ≤ 3 and share bands
+    0-2."""
+    import pandas as pd  # noqa: F811
+
+    from datawarehouse_code_spark.operators.multimodal import encode_gray_pgm
+
+    docs = read_table(spark, "documents", sf_dir).select("doc_id")
+
+    def build(it):
+        for pdf in it:
+            ids, types, blobs = [], [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                ids.append(d)
+                types.append("image/pgm")
+                blobs.append(
+                    encode_gray_pgm(9, 8, _xmodal_raster(d // 4, d % 4))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "media_type": pd.Series(types, dtype=object),
+                    "content": pd.Series(blobs, dtype=object),
+                }
+            )
+
+    return docs.mapInPandas(
+        build, "media_id BIGINT, media_type STRING, content BINARY"
+    )
+
+
+def _cross_modal_video_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video side of the cross-modal fixture: one VID0 container per
+    GROUP (doc_id % 4 = 0) of four 9x8 PGM frames, frame j
+    PIXEL-IDENTICAL to the member-0 image of group doc_id//4 + j —
+    a still image re-used inside a video.  The planted matches are
+    closed-form: frame j of video d meets the four member images of
+    group d//4 + j at hamming = popcount((1<<mem)−1) ∈ {0,1,2,3},
+    sharing bands 0-2 always and band 3 iff mem = 0."""
+    import pandas as pd  # noqa: F811
+
+    from datawarehouse_code_spark.operators.multimodal import encode_gray_pgm
+    from datawarehouse_code_spark.operators.video_dedup import encode_video
+
+    docs = (
+        read_table(spark, "documents", sf_dir)
+        .select("doc_id")
+        .filter(F.col("doc_id") % 4 == 0)
+    )
+
+    def build(it):
+        for pdf in it:
+            ids, types, blobs = [], [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = [
+                    encode_gray_pgm(9, 8, _xmodal_raster(d // 4 + j, 0))
+                    for j in range(4)
+                ]
+                ids.append(d)
+                types.append("video/vid0")
+                blobs.append(encode_video(frames))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "media_type": pd.Series(types, dtype=object),
+                    "content": pd.Series(blobs, dtype=object),
+                }
+            )
+
+    return docs.mapInPandas(
+        build, "media_id BIGINT, media_type STRING, content BINARY"
+    )
+
+
+def _video_image_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level CROSS-MODAL matching (operators/video_dedup.py
+    video_frame_dhashes + video_image_matches): every VID0 frame is
+    dHashed through the image detector's exact hash and equi-joins the
+    persisted image dHash band index — a still image re-used inside a
+    video is detected, the blind spot temporal grams (≥2 frames) can
+    never see.  DuckDB replays the WHOLE detection from the
+    closed-form constructions: the image bands with their member
+    XORs, the frame bands without, the read-time distinct-carrier
+    index cap, the band equi-join and the per-(video, frame, image)
+    exact hamming — so a frame-walk slip, band mis-pack, cap-grain
+    change or verify bug all flip the hash."""
+    from datawarehouse_code_spark.operators.media_dedup import (
+        build_dhash_index,
+        image_dhash,
+    )
+    from datawarehouse_code_spark.operators.video_dedup import (
+        video_frame_dhashes,
+        video_image_matches,
+    )
+
+    idx = build_dhash_index(
+        None, hashes=image_dhash(_xmodal_image_media(spark, sf_dir))
+    ).localCheckpoint()  # persisted-index stand-in, materialized once
+    return video_image_matches(
+        video_frame_dhashes(_cross_modal_video_media(spark, sf_dir)),
+        idx, max_hamming=6, band_cap=50,
+    )
+
+
+def _xmodal_byte_sql(key: str) -> str:
+    """_xmodal_row_byte as a DuckDB fragment (bits 8-15 of the knuth
+    hash — see the aperiodicity note on the Python twin)."""
+    return f"CAST((({knuth_hash_sql(key)}) // 256) % 256 AS INTEGER)"
+
+
+_XMODAL_BANDS_CTE = f"""
+WITH m AS (
+  SELECT doc_id, doc_id // 4 AS grp, doc_id % 4 AS mem FROM documents
+), rb AS (
+  SELECT doc_id, g.r AS r,
+         CASE WHEN g.r = 7
+              THEN xor({_xmodal_byte_sql('grp * 8 + g.r')},
+                       CAST((1 << mem) - 1 AS INTEGER))
+              ELSE {_xmodal_byte_sql('grp * 8 + g.r')}
+         END AS byte
+  FROM m, unnest(range(0, 8)) AS g(r)
+), bands AS (
+  SELECT doc_id, CAST(r // 2 AS INTEGER) AS band_idx,
+         CAST(sum(byte * CASE WHEN r % 2 = 0 THEN 1 ELSE 256 END) AS INTEGER)
+             AS band_val
+  FROM rb GROUP BY 1, 2
+), hw AS (
+  SELECT doc_id,
+         max(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+         max(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+         max(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+         max(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+  FROM bands GROUP BY doc_id
+)"""
+
+_VIDEO_IMAGE_MATCHES_SQL = f"""{_XMODAL_BANDS_CTE}
+, vf AS (
+  SELECT v.doc_id AS video_id, CAST(f.j AS INTEGER) AS frame_idx,
+         CAST(k.k AS INTEGER) AS band_idx,
+         {_xmodal_byte_sql('(v.doc_id // 4 + f.j) * 8 + 2 * k.k')}
+         + 256 * {_xmodal_byte_sql(
+             '(v.doc_id // 4 + f.j) * 8 + 2 * k.k + 1')} AS band_val
+  FROM documents v, unnest(range(0, 4)) AS f(j), unnest(range(0, 4)) AS k(k)
+  WHERE v.doc_id % 4 = 0
+), vhw AS (
+  SELECT video_id, frame_idx,
+         max(CASE WHEN band_idx = 0 THEN band_val END) AS fb0,
+         max(CASE WHEN band_idx = 1 THEN band_val END) AS fb1,
+         max(CASE WHEN band_idx = 2 THEN band_val END) AS fb2,
+         max(CASE WHEN band_idx = 3 THEN band_val END) AS fb3
+  FROM vf GROUP BY 1, 2
+), cold AS (
+  SELECT band_idx, band_val FROM bands
+  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) <= 50
+), idx AS (
+  SELECT b.doc_id, b.band_idx, b.band_val
+  FROM bands b JOIN cold USING (band_idx, band_val)
+), cand AS (
+  SELECT vf.video_id, vf.frame_idx, idx.doc_id AS image_id,
+         CAST(count(*) AS INTEGER) AS n_shared_bands
+  FROM vf JOIN idx USING (band_idx, band_val)
+  GROUP BY 1, 2, 3
+)
+SELECT * FROM (
+  SELECT c.video_id, c.frame_idx, c.image_id, c.n_shared_bands,
+         CAST(bit_count(xor(v.fb0, x.b0)) + bit_count(xor(v.fb1, x.b1))
+            + bit_count(xor(v.fb2, x.b2)) + bit_count(xor(v.fb3, x.b3))
+              AS INTEGER) AS hamming
+  FROM cand c
+  JOIN vhw v ON v.video_id = c.video_id AND v.frame_idx = c.frame_idx
+  JOIN hw x ON x.doc_id = c.image_id
+) WHERE hamming <= 6
+"""
+
+
 def _media_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual dedup carried to the DROP decision — the media twin
     of corpus_survivors: dHash near-dup pairs cluster into connected
@@ -4098,6 +4306,14 @@ LLM_SUPPLEMENTARY: list[Query] = [
           "free the window slot for media_dedup_suite — the sampling "
           "family keeps docs_mixture_resample as its driver row; "
           "keeps its frozen bench row like-for-like)"),
+    Query("video_image_matches", _video_image_matches,
+          _VIDEO_IMAGE_MATCHES_SQL,
+          "north-star: frame-level cross-modal matching — every VID0 "
+          "frame dHashed through the image detector and equi-joined "
+          "against the persisted image band index, so a still image "
+          "re-used inside a video is detected (the temporal-gram "
+          "blind spot, closed round 13; planted image-in-video "
+          "fixture, full SQL replay incl. the exact hamming verify)"),
     Query("video_fp_pairs", _video_fp_pairs, _VIDEO_FP_PAIRS_SQL,
           "north-star: video near-dup pairs — temporal grams of "
           "per-frame dHashes over real VID0 containers, frame-trim "

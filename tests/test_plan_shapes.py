@@ -172,6 +172,11 @@ PLAN_BOUNDS = {
     # positions table checkpointed once across cap + join sides
     # (measured 0/5 post-cut)
     "docs_winnowing_spans": (2, 8),
+    # round-13 cross-modal row: frame hashing is one narrow Arrow map
+    # over the video fixture's documents scan; the image index is
+    # checkpoint-terminated (the persisted-index stand-in — the bound
+    # pins the cut STAYS).  Measured r13: 1/3.
+    "video_image_matches": (2, 5),
 }
 
 

@@ -153,3 +153,118 @@ def test_null_payload_yields_no_rows(spark):
         "media_id BIGINT, media_type STRING, content BINARY",
     )
     assert video_fingerprints(media).count() == 0
+
+
+def _seed_bands(seed: int) -> tuple[int, ...]:
+    """Closed-form dHash bands of _frame(seed)."""
+    return tuple(
+        ((seed * 8 + 2 * k) * 37) % 256
+        | ((((seed * 8 + 2 * k + 1) * 37) % 256) << 8)
+        for k in range(4)
+    )
+
+
+def test_video_frame_dhashes_construction(spark):
+    """Per-frame rows carry the image detector's exact hash with the
+    container's frame order."""
+    from datawarehouse_code_spark.operators.video_dedup import (
+        video_frame_dhashes,
+    )
+
+    media = spark.createDataFrame(
+        [(7, "video/vid0", encode_video([_frame(3), _frame(5)]))],
+        ["media_id", "media_type", "content"],
+    )
+    got = {
+        r["frame_idx"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in video_frame_dhashes(media).collect()
+    }
+    assert got == {0: _seed_bands(3), 1: _seed_bands(5)}
+
+
+def test_video_image_matches_closes_the_blind_spot(spark):
+    """A still image re-used as a frame — including inside a ONE-frame
+    video, which temporal grams (gram=2) can never fingerprint — is
+    found by the cross-modal matcher; near-dup frames verify at their
+    exact hamming; unrelated images never match."""
+    from datawarehouse_code_spark.operators.media_dedup import (
+        build_dhash_index,
+        image_dhash,
+    )
+    from datawarehouse_code_spark.operators.video_dedup import (
+        video_frame_dhashes,
+        video_image_matches,
+    )
+
+    def _frame_hamming(seed, flip_bits):
+        # _frame with the low `flip_bits` bits of row 0 flipped:
+        # hamming = flip_bits against the unmodified frame
+        out = bytearray()
+        for r in range(8):
+            b = ((seed * 8 + r) * 37) % 256
+            if r == 0:
+                b ^= (1 << flip_bits) - 1
+            v = 128
+            out.append(v)
+            for c in range(8):
+                v += 1 if (b >> c) & 1 else -1
+                out.append(v)
+        return encode_gray_pgm(9, 8, bytes(out))
+
+    images = spark.createDataFrame(
+        [
+            (100, "image/pgm", _frame(3)),          # exact re-use
+            (101, "image/pgm", _frame_hamming(5, 2)),  # near-dup of frame 5
+            (102, "image/pgm", _frame(60)),          # unrelated
+        ],
+        ["media_id", "media_type", "content"],
+    )
+    videos = spark.createDataFrame(
+        [
+            (1, "video/vid0", encode_video([_frame(3)])),  # 1-frame video
+            (2, "video/vid0", encode_video([_frame(4), _frame(5)])),
+        ],
+        ["media_id", "media_type", "content"],
+    )
+    # the temporal-gram detector is BLIND to the 1-frame video
+    assert (
+        video_fingerprints(videos.filter("media_id = 1")).count() == 0
+    )
+    idx = build_dhash_index(None, hashes=image_dhash(images))
+    got = {
+        (r["video_id"], r["frame_idx"], r["image_id"]):
+            (r["n_shared_bands"], r["hamming"])
+        for r in video_image_matches(
+            video_frame_dhashes(videos), idx, max_hamming=6
+        ).collect()
+    }
+    assert got == {
+        (1, 0, 100): (4, 0),   # the 1-frame re-use, exact
+        (2, 1, 101): (3, 2),   # band 0 flipped, 2 bits -> hamming 2
+    }
+
+
+def test_video_image_matches_caps_hot_index_bands(spark):
+    """More identical corpus images than band_cap -> the bucket is
+    dropped at read time and the frame matches nothing."""
+    from datawarehouse_code_spark.operators.media_dedup import (
+        build_dhash_index,
+        image_dhash,
+    )
+    from datawarehouse_code_spark.operators.video_dedup import (
+        video_frame_dhashes,
+        video_image_matches,
+    )
+
+    images = spark.createDataFrame(
+        [(i, "image/pgm", _frame(0)) for i in range(6)],
+        ["media_id", "media_type", "content"],
+    )
+    videos = spark.createDataFrame(
+        [(1, "video/vid0", encode_video([_frame(0)]))],
+        ["media_id", "media_type", "content"],
+    )
+    idx = build_dhash_index(None, hashes=image_dhash(images))
+    frames = video_frame_dhashes(videos)
+    assert video_image_matches(frames, idx, band_cap=5).count() == 0
+    assert video_image_matches(frames, idx, band_cap=6).count() == 6
