@@ -211,6 +211,7 @@ HEADLINE = [
     # round-13 additions (no frozen row yet; ratios appear once a
     # later round freezes them)
     "video_image_matches",
+    "media_phash_dct_pairs",
 ]
 
 

@@ -83,24 +83,7 @@ def dhash_bits(
     a = np.frombuffer(pixels, dtype=np.uint8).reshape(
         height, width, n_channels
     )
-    gray = (
-        a[:, :, :3].mean(axis=2, dtype=np.float64)
-        if n_channels >= 3
-        else a[:, :, 0].astype(np.float64)
-    )
-    if width == gw and height == gh:
-        g = gray  # identity downsample — the oracle-fixture fast path
-    else:
-        # block sums via two reduceat passes (one numpy call per axis
-        # instead of a per-block Python loop), then divide by areas
-        xs = np.array([(c * width) // gw for c in range(gw + 1)])
-        ys = np.array([(r * height) // gh for r in range(gh + 1)])
-        col = np.add.reduceat(gray, xs[:-1], axis=1)
-        blk = np.add.reduceat(col, ys[:-1], axis=0)
-        areas = (
-            (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
-        ).astype(np.float64)
-        g = blk / areas
+    g = _gray_block_means(_to_gray(a, n_channels), gw, gh)
     bits = g[:, 1:] > g[:, :-1]  # (gh, grid) booleans
     weights = 1 << np.arange(grid, dtype=np.int64)
     row_bytes = (bits * weights).sum(axis=1).astype(np.int64)
@@ -108,6 +91,171 @@ def dhash_bits(
         int(row_bytes[2 * k] | (row_bytes[2 * k + 1] << grid))
         for k in range(gh // 2)
     )
+
+
+PHASH_SCHEMA = (
+    "media_id BIGINT, b0 INT, b1 INT, b2 INT, b3 INT, phash BIGINT"
+)
+
+_DCT_BASES: dict[int, object] = {}
+
+
+def _dct_basis(n: int):
+    """Orthonormal DCT-II basis matrix (cached per worker process):
+    D[u,x] = c(u)·cos(π(2x+1)u / 2n), c(0)=√(1/n), else √(2/n)."""
+    import numpy as np
+
+    if n not in _DCT_BASES:
+        x = np.arange(n, dtype=np.float64)
+        d = np.cos(np.pi * (2 * x[None, :] + 1) * x[:, None] / (2 * n))
+        d *= np.sqrt(2.0 / n)
+        d[0] *= np.sqrt(0.5)
+        _DCT_BASES[n] = d
+    return _DCT_BASES[n]
+
+
+def _gray_block_means(gray, gw: int, gh: int):
+    """Area-downsample a float64 grayscale array to gw×gh block means
+    over the integer partition x ∈ [floor(c·W/gw), floor((c+1)·W/gw))
+    — two reduceat passes, exact integer recovery when W and H are
+    multiples (the shared downsample of dhash_bits and phash_bits)."""
+    import numpy as np
+
+    height, width = gray.shape
+    if width == gw and height == gh:
+        return gray  # identity — the oracle-fixture fast path
+    xs = np.array([(c * width) // gw for c in range(gw + 1)])
+    ys = np.array([(r * height) // gh for r in range(gh + 1)])
+    col = np.add.reduceat(gray, xs[:-1], axis=1)
+    blk = np.add.reduceat(col, ys[:-1], axis=0)
+    areas = (
+        (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+    ).astype(np.float64)
+    return blk / areas
+
+
+def _to_gray(a, n_channels: int):
+    """float64 grayscale: mean of the first three channels, or the
+    single channel for gray / gray+alpha."""
+    import numpy as np  # noqa: F401 — dtype literal below
+
+    return (
+        a[:, :, :3].mean(axis=2, dtype="float64")
+        if n_channels >= 3
+        else a[:, :, 0].astype("float64")
+    )
+
+
+def phash_bits(
+    width: int,
+    height: int,
+    n_channels: int,
+    pixels: bytes,
+    size: int = 32,
+    block: int = 8,
+) -> tuple[int, int, int, int]:
+    """DCT perceptual hash (pHash) of one decoded raster as four
+    16-bit band values in the SAME band layout as dhash_bits (band k
+    packs block-rows 2k and 2k+1; bit c of a row is set iff the DCT
+    coefficient strictly exceeds the median): grayscale →
+    area-downsample to `size`×`size` → orthonormal 2D DCT-II → the
+    top-left `block`×`block` low-frequency coefficients → threshold
+    at the median of the 63 NON-DC coefficients (the DC bit compares
+    the same median, so a uniform brightness shift — which moves ONLY
+    the DC coefficient under a linear transform — flips at most that
+    one bit).
+
+    Invariance envelope (each construction-pinned in tests):
+    re-encoding (identical rasters), box/bilinear downscale from an
+    integer multiple (the `size`-grid block means recover the same
+    values EXACTLY — the interpolated-rescale robustness dHash's
+    neighbor comparisons lack), brightness shift (hamming ≤ 1, the DC
+    bit).  Same loud-failure contract as dhash_bits: images smaller
+    than the `size` grid have undefined blocks and raise ValueError;
+    an odd `block` would mis-pack the bands and is rejected.
+
+    The band layout being dhash_bits' means the ENTIRE band machinery
+    — _explode_bands, the distinct-carrier cap, dhash_near_dup_pairs,
+    build_dhash_index, dhash_matches_incremental, video_image_matches
+    — runs unchanged on pHash tables; keep the two algos in separate
+    index tables (their band spaces are unrelated — joining them
+    would propose garbage candidates)."""
+    import numpy as np
+
+    if block % 2:
+        raise ValueError(f"pHash block must be even (got {block})")
+    if width < size or height < size:
+        raise ValueError(
+            f"image {width}x{width} smaller than the {size}x{size} "
+            "pHash grid"
+        )
+    a = np.frombuffer(pixels, dtype=np.uint8).reshape(
+        height, width, n_channels
+    )
+    g = _gray_block_means(_to_gray(a, n_channels), size, size)
+    d = _dct_basis(size)
+    coefs = (d @ g @ d.T)[:block, :block]
+    flat = coefs.ravel()
+    med = float(np.median(flat[1:]))  # DC excluded from the median
+    bits = coefs > med
+    weights = 1 << np.arange(block, dtype=np.int64)
+    row_bytes = (bits * weights).sum(axis=1).astype(np.int64)
+    return tuple(
+        int(row_bytes[2 * k] | (row_bytes[2 * k + 1] << block))
+        for k in range(block // 2)
+    )
+
+
+def image_phash(media: DataFrame, size: int = 32) -> DataFrame:
+    """Per-media DCT pHash over REAL decoded pixels — the second
+    perceptual fingerprint beside image_dhash, covering the rescale
+    envelope dHash excludes (media_dedup.py's documented limitation:
+    dHash is construction-invariant only to re-encode/brightness/
+    integer-upscale; an interpolated rescale flips its neighbor bits
+    unpredictably, while the DCT's low-frequency block survives it).
+    Same narrow Arrow-batched map, same (media_id, b0..b3, hash)
+    schema and 16-bit band layout as image_dhash, so the pair join,
+    persisted index, incremental matcher and RTBF run unchanged on
+    this table — build a SEPARATE index per algo (the band spaces are
+    unrelated)."""
+    import numpy as np
+
+    from datawarehouse_code_spark.operators.multimodal import decode_image
+
+    if size != 32:
+        raise ValueError(
+            f"image_phash's band schema is fixed at size=32 (got {size}); "
+            "use phash_bits directly for other grids"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, bands = [], []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                w, h, ch, px = decode_image(bytes(content))
+                ids.append(media_id)
+                bands.append(phash_bits(w, h, ch, px, size=size))
+            b = np.array(bands, dtype=np.uint64).reshape(len(ids), 4)
+            ph = (
+                b[:, 0]
+                | (b[:, 1] << np.uint64(16))
+                | (b[:, 2] << np.uint64(32))
+                | (b[:, 3] << np.uint64(48))
+            ).view(np.int64)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "b0": pd.Series(b[:, 0].astype(np.int32), dtype="int32"),
+                    "b1": pd.Series(b[:, 1].astype(np.int32), dtype="int32"),
+                    "b2": pd.Series(b[:, 2].astype(np.int32), dtype="int32"),
+                    "b3": pd.Series(b[:, 3].astype(np.int32), dtype="int32"),
+                    "phash": pd.Series(ph, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, PHASH_SCHEMA)
 
 
 def image_dhash(media: DataFrame, grid: int = 8) -> DataFrame:

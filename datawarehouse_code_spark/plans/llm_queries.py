@@ -3496,6 +3496,98 @@ SELECT * FROM (
 """
 
 
+def _phash_dct_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DCT-pHash oracle fixture: per doc_id a REAL grayscale PGM —
+    group doc_id//2 draws a 32×32 base raster (the sha256 expansion
+    of the group id — the oracle here is OUTCOME-grain and never
+    replays pixels, so the fixture can use a cryptographically strong
+    byte source; every knuth-derived slice is periodic in some group
+    distance, the trap that planted spurious twin groups in this
+    fixture's first draft), member 0 encodes it at 32×32 and member 1
+    at 64×64 with every pixel doubled into a 2×2 block.  Member 1 is
+    the ORIGINAL and member 0 its aligned 2× box/bilinear downscale,
+    and the downscale recovers the base EXACTLY, so the twins pHash
+    identically by construction — the interpolated-rescale robustness
+    dHash excludes — while distinct groups are unrelated rasters
+    whose DCT signs differ in ~half of 63 bits."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd  # noqa: F811
+
+    from datawarehouse_code_spark.operators.multimodal import encode_gray_pgm
+
+    docs = read_table(spark, "documents", sf_dir).select("doc_id")
+
+    def build(it):
+        for pdf in it:
+            ids, types, blobs = [], [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                grp, mem = d // 2, d % 2
+                vals = np.frombuffer(
+                    b"".join(
+                        hashlib.sha256(f"phash:{grp}:{i}".encode()).digest()
+                        for i in range(32)
+                    ),
+                    dtype=np.uint8,
+                ).reshape(32, 32)
+                if mem:
+                    vals = np.repeat(np.repeat(vals, 2, axis=0), 2, axis=1)
+                ids.append(d)
+                types.append("image/pgm")
+                blobs.append(
+                    encode_gray_pgm(
+                        vals.shape[1], vals.shape[0], vals.tobytes()
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "media_type": pd.Series(types, dtype=object),
+                    "content": pd.Series(blobs, dtype=object),
+                }
+            )
+
+    return docs.mapInPandas(
+        build, "media_id BIGINT, media_type STRING, content BINARY"
+    )
+
+
+def _media_phash_dct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT-pHash near-dup pairs (operators/media_dedup.py image_phash
+    through the UNCHANGED dHash band machinery — same band layout, so
+    dhash_near_dup_pairs runs verbatim on the pHash table): 32×32
+    area downsample, orthonormal 2D DCT-II, top-left 8×8 thresholded
+    at the non-DC median, banded pair join with exact hamming verify.
+    Oracle grain is the planted OUTCOME: the fixture's twins (an
+    original and its aligned 2× box downscale) pHash identically by
+    construction and distinct groups never fall within hamming 6, so
+    DuckDB states the closed-form expected pair set — (2g, 2g+1),
+    4 shared bands, hamming 0 — while the DCT arithmetic itself is
+    construction-pinned in tests/test_media_dedup.py (downscale
+    exactness, brightness = DC-bit-only, codec parity)."""
+    from datawarehouse_code_spark.operators.media_dedup import (
+        dhash_near_dup_pairs,
+        image_phash,
+    )
+
+    return dhash_near_dup_pairs(
+        image_phash(_phash_dct_media(spark, sf_dir)),
+        max_hamming=6, band_cap=50,
+    )
+
+
+_PHASH_DCT_PAIRS_SQL = """
+WITH g AS (
+  SELECT doc_id // 2 AS grp FROM documents GROUP BY 1 HAVING count(*) = 2
+)
+SELECT CAST(grp * 2 AS BIGINT) AS d1, CAST(grp * 2 + 1 AS BIGINT) AS d2,
+       CAST(4 AS INTEGER) AS n_shared_bands, CAST(0 AS INTEGER) AS hamming
+FROM g
+"""
+
+
 def _audio_fp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The audio-fingerprint oracle fixture: per doc_id a REAL 16-bit
     PCM WAV of 96 samples where group = doc_id//4 picks the base
@@ -4306,6 +4398,15 @@ LLM_SUPPLEMENTARY: list[Query] = [
           "free the window slot for media_dedup_suite — the sampling "
           "family keeps docs_mixture_resample as its driver row; "
           "keeps its frozen bench row like-for-like)"),
+    Query("media_phash_dct_pairs", _media_phash_dct_pairs,
+          _PHASH_DCT_PAIRS_SQL,
+          "north-star: DCT pHash near-dup pairs — the second "
+          "perceptual fingerprint beside dHash, covering interpolated "
+          "rescales (a 2x box-downscaled twin hashes identically by "
+          "construction); same band layout, so the pair/index/"
+          "incremental machinery runs unchanged (planted-twins "
+          "outcome oracle; DCT arithmetic construction-pinned in "
+          "tests)"),
     Query("video_image_matches", _video_image_matches,
           _VIDEO_IMAGE_MATCHES_SQL,
           "north-star: frame-level cross-modal matching — every VID0 "

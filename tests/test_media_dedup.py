@@ -443,3 +443,100 @@ def test_image_dhash_rejects_non_default_grid(spark):
     )
     with pytest.raises(ValueError, match="grid=8"):
         image_dhash(media, grid=16)
+
+
+# ---------------------------------------------------------------- pHash
+
+def _xblock_raster(seed: int, size: int = 32, scale: int = 1) -> bytes:
+    """A size·scale × size·scale grayscale raster constant within each
+    scale×scale block — block (y, x) holds bits 8-15 of the knuth hash
+    of seed·1024 + y·32 + x — so the `scale`-fold box downscale of the
+    raster recovers the base block values EXACTLY."""
+    vals = [
+        [
+            ((((seed * 1024 + y * 32 + x) % 2**31) * 2654435761)
+             % 2**32 >> 8) % 256
+            for x in range(size)
+        ]
+        for y in range(size)
+    ]
+    out = bytearray()
+    for y in range(size * scale):
+        for x in range(size * scale):
+            out.append(vals[y // scale][x // scale])
+    return bytes(out)
+
+
+def test_phash_downscale_invariance_is_exact():
+    """The rescale envelope dHash excludes: a 2x box-downscaled twin
+    (64x64 -> 32x32, the aligned bilinear case) pHashes IDENTICALLY —
+    exact by construction, not approximately — while the same pair's
+    dHashes differ (the 9-col grid slices the two sizes differently)."""
+    from datawarehouse_code_spark.operators.media_dedup import phash_bits
+
+    base = _xblock_raster(5, scale=1)
+    big = _xblock_raster(5, scale=2)
+    assert phash_bits(32, 32, 1, base) == phash_bits(64, 64, 1, big)
+    # a different image really differs (the hash discriminates)
+    assert phash_bits(32, 32, 1, base) != phash_bits(
+        32, 32, 1, _xblock_raster(6)
+    )
+
+
+def test_phash_brightness_shift_flips_at_most_the_dc_bit():
+    """A uniform brightness shift moves only the DC coefficient, and
+    the DC is excluded from the threshold median — hamming ≤ 1."""
+    from datawarehouse_code_spark.operators.media_dedup import phash_bits
+
+    base = bytes(40 + (v * 11) // 16 for v in _xblock_raster(9))
+    shifted = bytes(v + 20 for v in base)  # range [60, 235] — no clip
+    a = phash_bits(32, 32, 1, base)
+    b = phash_bits(32, 32, 1, shifted)
+    hamming = sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+    assert hamming <= 1
+
+
+def test_phash_reencode_invariance_and_band_machinery(spark):
+    """image_phash through real codecs: a 1-channel PGM and a
+    3-channel r=g=b PPM of the SAME raster hash identically, and the
+    unchanged dHash band machinery (pairs with exact hamming) runs on
+    the pHash table as documented."""
+    from datawarehouse_code_spark.operators.media_dedup import image_phash
+
+    base = _xblock_raster(3)
+    ppm = b"P6\n32 32\n255\n" + bytes(
+        v for px in base for v in (px, px, px)
+    )
+    media = spark.createDataFrame(
+        [
+            (1, "image/pgm", encode_gray_pgm(32, 32, base)),
+            (2, "image/ppm", ppm),
+            (3, "image/pgm", encode_gray_pgm(64, 64, _xblock_raster(3, scale=2))),
+            (4, "image/pgm", encode_gray_pgm(32, 32, _xblock_raster(77))),
+        ],
+        "media_id BIGINT, media_type STRING, content BINARY",
+    )
+    hashes = image_phash(media)
+    pairs = {
+        (r["d1"], r["d2"]): r["hamming"]
+        for r in dhash_near_dup_pairs(hashes, max_hamming=6).collect()
+    }
+    assert pairs == {(1, 2): 0, (1, 3): 0, (2, 3): 0}
+
+
+def test_phash_contract_is_loud(spark):
+    from datawarehouse_code_spark.operators.media_dedup import (
+        image_phash,
+        phash_bits,
+    )
+
+    with pytest.raises(ValueError, match="smaller"):
+        phash_bits(16, 16, 1, bytes(256))
+    with pytest.raises(ValueError, match="even"):
+        phash_bits(32, 32, 1, _xblock_raster(0), block=7)
+    media = spark.createDataFrame(
+        [(1, "image/pgm", encode_gray_pgm(32, 32, _xblock_raster(0)))],
+        "media_id BIGINT, media_type STRING, content BINARY",
+    )
+    with pytest.raises(ValueError, match="size=32"):
+        image_phash(media, size=16)

@@ -177,6 +177,9 @@ PLAN_BOUNDS = {
     # checkpoint-terminated (the persisted-index stand-in — the bound
     # pins the cut STAYS).  Measured r13: 1/3.
     "video_image_matches": (2, 5),
+    # round-13 DCT pHash pairs: same checkpoint-terminated band-table
+    # shape as media_phash_pairs (measured r13: 0/5 post-cut)
+    "media_phash_dct_pairs": (3, 8),
 }
 
 
