@@ -474,6 +474,139 @@ def run_cdc_index_ingest(
     writer.start().awaitTermination()
 
 
+def _pair_share_rejects(
+    fps: DataFrame, key: str, id_col: str, min_shared: int
+) -> DataFrame:
+    """Batch-internal rejects of a share-count gate: the LARGER id of
+    every pair sharing ≥ `min_shared` distinct `key` values (the
+    smaller-id drop rule every dedup here uses).  PER-PAIR counts —
+    groupBy BOTH ids: min_shared is a pair threshold, matching the
+    batch detectors; counting across partners would reject an item
+    sharing one key each with several unrelated items (the r12 gate
+    bug, fixed everywhere by this single implementation)."""
+    a = fps.select(F.col(id_col).alias("_d1"), key)
+    b = fps.select(F.col(id_col).alias("_d2"), key)
+    return (
+        a.join(b, key)
+        .filter(F.col("_d1") < F.col("_d2"))
+        .groupBy("_d1", "_d2")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_shared)
+        .select(F.col("_d2").alias(id_col))
+        .distinct()
+    )
+
+
+def _cross_share_rejects(
+    fps: DataFrame, idx: DataFrame, key: str, id_col: str, min_shared: int
+) -> DataFrame:
+    """Cross-index rejects of a share-count gate: batch items sharing
+    ≥ `min_shared` distinct `key` values with an already-ingested item
+    (self-matches excluded by id, so crash replays whose survivors
+    already reached the index still pass)."""
+    return (
+        fps.join(idx.select(F.col(id_col).alias("_dc"), key), key)
+        .filter(F.col(id_col) != F.col("_dc"))
+        .groupBy(id_col, "_dc")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_shared)
+        .select(id_col)
+        .distinct()
+    )
+
+
+def _chunk_gate_rejects(
+    sp: SparkSession,
+    chunks: DataFrame,
+    index_path: str,
+    min_shared: int,
+    hot_chunk_cap: int,
+) -> DataFrame:
+    """The CDC gate's per-batch reject set (doc_id rows): batch-
+    internal smaller-id pairs ∪ cross-matches against the hot-capped
+    persisted chunk index."""
+    from datawarehouse_code_spark.operators.text import cap_hot_chunks
+    from datawarehouse_code_spark.sources.acid import table_exists
+
+    rejected = _pair_share_rejects(chunks, "chunk_hash", "doc_id", min_shared)
+    if table_exists(sp, index_path):
+        idx = cap_hot_chunks(
+            sp.read.parquet(index_path).select("doc_id", "chunk_hash"),
+            hot_chunk_cap,
+        )
+        rejected = rejected.unionByName(
+            _cross_share_rejects(
+                chunks, idx, "chunk_hash", "doc_id", min_shared
+            )
+        ).distinct()
+    return rejected
+
+
+def _fp_gate_rejects(
+    sp: SparkSession,
+    fps: DataFrame,
+    index_path: str,
+    min_shared: int,
+    hot_cap: int,
+) -> DataFrame:
+    """The fingerprint gates' per-batch reject set (media_id rows) —
+    audio grams, video temporal grams, or any detector whose index is
+    distinct (media_id, fp).  The batch side of the self-join is
+    hot-capped with _cap_hot_fps (the ONE distinct-carrier cap
+    implementation) and the index side is capped at read time."""
+    from datawarehouse_code_spark.operators.media_dedup import _cap_hot_fps
+    from datawarehouse_code_spark.sources.acid import table_exists
+
+    rejected = _pair_share_rejects(
+        _cap_hot_fps(fps, hot_cap), "fp", "media_id", min_shared
+    )
+    if table_exists(sp, index_path):
+        idx = _cap_hot_fps(sp.read.parquet(index_path), hot_cap)
+        rejected = rejected.unionByName(
+            _cross_share_rejects(fps, idx, "fp", "media_id", min_shared)
+        ).distinct()
+    return rejected
+
+
+def _dhash_gate_rejects(
+    sp: SparkSession,
+    hashes: DataFrame,
+    index_path: str,
+    max_hamming: int,
+    band_cap: int,
+    grid: int,
+) -> DataFrame:
+    """The perceptual image gate's per-batch reject set (media_id
+    rows): the larger id of every batch-internal dHash near-dup pair
+    ∪ batch items within `max_hamming` of an already-ingested image
+    through the read-time-capped band index."""
+    from datawarehouse_code_spark.operators.media_dedup import (
+        dhash_matches_incremental,
+        dhash_near_dup_pairs,
+    )
+    from datawarehouse_code_spark.sources.acid import table_exists
+
+    rejected = (
+        dhash_near_dup_pairs(
+            hashes, max_hamming=max_hamming, band_cap=band_cap,
+        )
+        .select(F.col("d2").alias("media_id"))
+        .distinct()
+    )
+    if table_exists(sp, index_path):
+        cross = (
+            dhash_matches_incremental(
+                None, sp.read.parquet(index_path),
+                max_hamming=max_hamming, band_cap=band_cap, grid=grid,
+                new_hashes=hashes,
+            )
+            .select(F.col("d_new").alias("media_id"))
+            .distinct()
+        )
+        rejected = rejected.unionByName(cross).distinct()
+    return rejected
+
+
 def run_cdc_gated_ingest(
     docs: DataFrame,
     target_path: str,
@@ -521,40 +654,9 @@ def run_cdc_gated_ingest(
         chunks = content_defined_chunks(batch).filter(
             F.col("n_words") >= min_words
         ).select("doc_id", "chunk_idx", "chunk_hash", "n_words")
-        # batch-internal: a doc sharing >= min_shared chunks with a
-        # SMALLER-id batch-mate is rejected (deterministic single
-        # pass — the smaller-id drop rule every dedup here uses).
-        # PER-PAIR counts (groupBy both ids — min_shared is a pair
-        # threshold, matching cdc_matches_incremental; counting
-        # across partners would reject a doc sharing one chunk each
-        # with several unrelated docs; fixed r12)
-        a = chunks.select(F.col("doc_id").alias("_d1"), "chunk_hash")
-        b = chunks.select(F.col("doc_id").alias("_d2"), "chunk_hash")
-        internal = (
-            a.join(b, "chunk_hash")
-            .filter(F.col("_d1") < F.col("_d2"))
-            .groupBy("_d1", "_d2")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") >= min_shared)
-            .select(F.col("_d2").alias("doc_id"))
-            .distinct()
+        rejected = _chunk_gate_rejects(
+            sp, chunks, index_path, min_shared, hot_chunk_cap
         )
-        rejected = internal
-        if table_exists(sp, index_path):
-            idx = cap_hot_chunks(
-                sp.read.parquet(index_path).select("doc_id", "chunk_hash"),
-                hot_chunk_cap,
-            ).select(F.col("doc_id").alias("_dc"), "chunk_hash")
-            cross = (
-                chunks.join(idx, "chunk_hash")
-                .filter(F.col("doc_id") != F.col("_dc"))
-                .groupBy("doc_id", "_dc")
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .filter(F.col("_n") >= min_shared)
-                .select("doc_id")
-                .distinct()
-            )
-            rejected = rejected.unionByName(cross).distinct()
         survivors = batch.join(rejected, "doc_id", "left_anti")
         if table_exists(sp, target_path):
             upsert(sp, target_path, survivors, ["doc_id"])
@@ -1098,8 +1200,6 @@ def run_dhash_gated_ingest(
     never re-decoded."""
     from datawarehouse_code_spark.operators.media_dedup import (
         build_dhash_index,
-        dhash_matches_incremental,
-        dhash_near_dup_pairs,
         image_dhash,
     )
     from datawarehouse_code_spark.sources.acid import (
@@ -1115,26 +1215,9 @@ def run_dhash_gated_ingest(
         # pairs, cross-match, index extend) rides the materialized
         # hash table through the hashes=/new_hashes= pass-throughs
         hashes = image_dhash(batch, grid=grid).localCheckpoint()
-        # batch-internal: the larger id of every near-dup pair goes
-        internal = (
-            dhash_near_dup_pairs(
-                hashes, max_hamming=max_hamming, band_cap=band_cap,
-            )
-            .select(F.col("d2").alias("media_id"))
-            .distinct()
+        rejected = _dhash_gate_rejects(
+            sp, hashes, index_path, max_hamming, band_cap, grid
         )
-        rejected = internal
-        if table_exists(sp, index_path):
-            cross = (
-                dhash_matches_incremental(
-                    None, sp.read.parquet(index_path),
-                    max_hamming=max_hamming, band_cap=band_cap, grid=grid,
-                    new_hashes=hashes,
-                )
-                .select(F.col("d_new").alias("media_id"))
-                .distinct()
-            )
-            rejected = rejected.unionByName(cross).distinct()
         survivors = batch.join(rejected, "media_id", "left_anti")
         if table_exists(sp, target_path):
             upsert(sp, target_path, survivors, ["media_id"])
@@ -1182,7 +1265,6 @@ def _run_fp_gated_ingest(
     replays reject the same ids deterministically (dedup-BEFORE-
     extend, the CDC-gate doctrine; table commit BEFORE index extend
     for the same crash-replay argument)."""
-    from datawarehouse_code_spark.operators.media_dedup import _cap_hot_fps
     from datawarehouse_code_spark.sources.acid import (
         _staged_overwrite,
         replace_keyed,
@@ -1193,39 +1275,7 @@ def _run_fp_gated_ingest(
     def _apply(batch: DataFrame, _batch_id: int) -> None:
         sp = batch.sparkSession
         fps = fps_fn(batch).localCheckpoint()
-        # batch-internal: PER-PAIR share counts (groupBy both ids —
-        # min_shared is a pair threshold, matching the batch
-        # detectors; counting across partners would reject an item
-        # sharing one gram each with several unrelated items), with
-        # the hot cap guarding the self-join like every detector
-        # (_cap_hot_fps — the ONE distinct-carrier cap implementation,
-        # so the gate can never drift from the batch detectors' grain)
-        capped = _cap_hot_fps(fps, hot_cap)
-        a = capped.select(F.col("media_id").alias("_d1"), "fp")
-        b = capped.select(F.col("media_id").alias("_d2"), "fp")
-        internal = (
-            a.join(b, "fp")
-            .filter(F.col("_d1") < F.col("_d2"))
-            .groupBy("_d1", "_d2")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") >= min_shared)
-            .select(F.col("_d2").alias("media_id"))
-            .distinct()
-        )
-        rejected = internal
-        if table_exists(sp, index_path):
-            idx = _cap_hot_fps(sp.read.parquet(index_path), hot_cap)
-            cross = (
-                fps.join(idx.select(F.col("media_id").alias("_dc"), "fp"),
-                         "fp")
-                .filter(F.col("media_id") != F.col("_dc"))
-                .groupBy("media_id", "_dc")
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .filter(F.col("_n") >= min_shared)
-                .select("media_id")
-                .distinct()
-            )
-            rejected = rejected.unionByName(cross).distinct()
+        rejected = _fp_gate_rejects(sp, fps, index_path, min_shared, hot_cap)
         survivors = batch.join(rejected, "media_id", "left_anti")
         if table_exists(sp, target_path):
             upsert(sp, target_path, survivors, ["media_id"])
@@ -1295,3 +1345,263 @@ def run_video_gated_ingest(
         lambda b: video_fingerprints(b, gram),
         min_shared, hot_cap, checkpoint_dir,
     )
+
+
+def run_multimodal_gated_ingest(
+    feed: DataFrame,
+    target_path: str,
+    ledger_path: str,
+    text_index_path: str,
+    image_index_path: str,
+    audio_index_path: str,
+    video_index_path: str,
+    checkpoint_dir: str | None = None,
+    min_shared: int = 2,
+    min_words: int = 3,
+    hot_chunk_cap: int = 5000,
+    max_hamming: int = 6,
+    band_cap: int = 50,
+    hot_cap: int = 50,
+    grid: int = 8,
+) -> None:
+    """The UNIFIED multimodal ingest gate — one streaming loop over a
+    MIXED feed (media_id BIGINT, media_type STRING, content BINARY,
+    text STRING) that routes every payload through its modality's
+    near-dup gate and maintains a single accepted/rejected/quarantined
+    LEDGER beside the shared target table and the four per-modality
+    indexes.  This is the composition a production crawl actually
+    runs: the per-modality loops (run_cdc_gated_ingest,
+    run_dhash_gated_ingest, run_audio/video_gated_ingest) exist for
+    single-modality feeds; a crawl's firehose is mixed.
+
+    Routing is by media_type prefix: 'text/' chunks `text`
+    content-defined and gates on shared chunks; 'image/' dHashes and
+    gates on banded hamming; 'audio/' gates on energy-gram shares;
+    'video/' on temporal-gram shares.  Every payload is DECODED
+    EXACTLY ONCE per batch: each lane fingerprints through its
+    quarantine variant (one pass emits both the fingerprints and the
+    decode errors) and localCheckpoints the result before the gate's
+    multiple consumers.  An undecodable payload, a NULL text document
+    and an unrouteable media_type are QUARANTINED — they enter
+    neither the target nor any index, so a later re-delivery with a
+    fixed payload is re-gated from scratch.
+
+    The ledger at `ledger_path` holds one row per EVER-SEEN media_id
+    — (media_id, modality, status ∈ accepted|rejected|quarantined,
+    reason) — maintained with replace_keyed on the batch's ids:
+    replays rewrite identical rows (idempotent), and a re-delivered
+    item's row reflects the LATEST decision.
+
+    Exactly-once: identical to the per-modality gates (decisions are
+    pure functions of payloads + indexes; survivors-only index
+    extension keeps replays deterministic; target commit precedes
+    index extends precedes the ledger, and a crash anywhere replays
+    into identical decisions — survivors self-excluded by id).
+
+    Scale shape per batch: four narrow decode+fingerprint maps (one
+    per present modality) + one equi-join per lane against its
+    read-time-capped index + one batch-internal self-join per lane +
+    keyed writes.  Nothing re-decodes, nothing is all-pairs, and an
+    absent modality costs one empty filter."""
+    from datawarehouse_code_spark.operators.media_dedup import (
+        audio_fingerprints_quarantine,
+        build_dhash_index,
+        image_dhash_quarantine,
+    )
+    from datawarehouse_code_spark.operators.text import (
+        content_defined_chunks,
+    )
+    from datawarehouse_code_spark.operators.video_dedup import (
+        video_fingerprints_quarantine,
+    )
+    from datawarehouse_code_spark.sources.acid import (
+        _staged_overwrite,
+        replace_keyed,
+        table_exists,
+        upsert,
+    )
+
+    def _modality(col: F.Column) -> F.Column:
+        return F.split(col, "/").getItem(0)
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        sp = batch.sparkSession
+        rejected_parts: list[DataFrame] = []   # (media_id, modality)
+        quarantined_parts: list[DataFrame] = []  # (media_id, modality, reason)
+        # (index_path, rows, lane ids, key col) — the text index keeps
+        # the CDC tooling's native doc_id key so cap_hot_chunks /
+        # cdc_matches_incremental read it unchanged
+        index_extends: list[tuple[str, DataFrame, DataFrame, str]] = []
+
+        # ---- text lane: CDC chunk gate over the `text` column
+        docs = batch.filter(F.col("media_type").startswith("text/"))
+        null_docs = docs.filter(F.col("text").isNull()).select(
+            "media_id",
+            F.lit("text").alias("modality"),
+            F.lit("null text").alias("reason"),
+        )
+        quarantined_parts.append(null_docs)
+        chunks = content_defined_chunks(
+            docs.filter(F.col("text").isNotNull())
+            .select(F.col("media_id").alias("doc_id"), "text")
+        ).filter(F.col("n_words") >= min_words).select(
+            "doc_id", "chunk_idx", "chunk_hash", "n_words"
+        ).localCheckpoint()
+        rejected_parts.append(
+            _chunk_gate_rejects(
+                sp, chunks, text_index_path, min_shared, hot_chunk_cap
+            ).select(F.col("doc_id").alias("media_id"),
+                     F.lit("text").alias("modality"))
+        )
+        index_extends.append(
+            (text_index_path, chunks,
+             docs.select(F.col("media_id").alias("doc_id")), "doc_id")
+        )
+
+        # ---- image lane: perceptual dHash gate (decode once, with
+        # the quarantine lane in the same pass)
+        images = batch.filter(F.col("media_type").startswith("image/"))
+        iq = image_dhash_quarantine(images, grid=grid).localCheckpoint()
+        quarantined_parts.append(
+            iq.filter(F.col("decode_error").isNotNull()).select(
+                "media_id", F.lit("image").alias("modality"),
+                F.col("decode_error").alias("reason"),
+            )
+        )
+        ihashes = iq.filter(F.col("decode_error").isNull()).select(
+            "media_id", "b0", "b1", "b2", "b3", "dhash"
+        )
+        rejected_parts.append(
+            _dhash_gate_rejects(
+                sp, ihashes, image_index_path, max_hamming, band_cap, grid
+            ).select("media_id", F.lit("image").alias("modality"))
+        )
+        index_extends.append(
+            (image_index_path,
+             build_dhash_index(None, grid=grid, hashes=ihashes),
+             images.select("media_id"), "media_id")
+        )
+
+        # ---- audio lane: energy-gram gate
+        audio = batch.filter(F.col("media_type").startswith("audio/"))
+        aq = audio_fingerprints_quarantine(audio).localCheckpoint()
+        quarantined_parts.append(
+            aq.filter(F.col("decode_error").isNotNull()).select(
+                "media_id", F.lit("audio").alias("modality"),
+                F.col("decode_error").alias("reason"),
+            )
+        )
+        afps = aq.filter(
+            F.col("decode_error").isNull() & F.col("fp").isNotNull()
+        ).select("media_id", "fp")
+        rejected_parts.append(
+            _fp_gate_rejects(
+                sp, afps, audio_index_path, min_shared, hot_cap
+            ).select("media_id", F.lit("audio").alias("modality"))
+        )
+        index_extends.append(
+            (audio_index_path, afps, audio.select("media_id"), "media_id")
+        )
+
+        # ---- video lane: temporal-gram gate
+        video = batch.filter(F.col("media_type").startswith("video/"))
+        vq = video_fingerprints_quarantine(video).localCheckpoint()
+        quarantined_parts.append(
+            vq.filter(F.col("decode_error").isNotNull()).select(
+                "media_id", F.lit("video").alias("modality"),
+                F.col("decode_error").alias("reason"),
+            )
+        )
+        vfps = vq.filter(
+            F.col("decode_error").isNull() & F.col("fp").isNotNull()
+        ).select("media_id", "fp")
+        rejected_parts.append(
+            _fp_gate_rejects(
+                sp, vfps, video_index_path, min_shared, hot_cap
+            ).select("media_id", F.lit("video").alias("modality"))
+        )
+        index_extends.append(
+            (video_index_path, vfps, video.select("media_id"), "media_id")
+        )
+
+        # ---- unrouteable media_type -> quarantine
+        known = ("text/", "image/", "audio/", "video/")
+        unknown = batch
+        for p in known:
+            unknown = unknown.filter(~F.col("media_type").startswith(p))
+        quarantined_parts.append(
+            unknown.select(
+                "media_id",
+                _modality(F.col("media_type")).alias("modality"),
+                F.concat(
+                    F.lit("unsupported media_type: "), F.col("media_type")
+                ).alias("reason"),
+            )
+        )
+
+        rejected = rejected_parts[0]
+        for p in rejected_parts[1:]:
+            rejected = rejected.unionByName(p)
+        quarantined = quarantined_parts[0]
+        for p in quarantined_parts[1:]:
+            quarantined = quarantined.unionByName(p)
+        # decisions feed the target write, four index extends and the
+        # ledger — materialize them once
+        rejected = rejected.localCheckpoint()
+        quarantined = quarantined.localCheckpoint()
+
+        dropped = rejected.select("media_id").unionByName(
+            quarantined.select("media_id")
+        ).distinct()
+        survivors = batch.join(dropped, "media_id", "left_anti")
+        if table_exists(sp, target_path):
+            upsert(sp, target_path, survivors, ["media_id"])
+        else:
+            _staged_overwrite(sp, survivors, target_path)
+
+        surviving_ids = survivors.select("media_id")
+        for index_path, rows, lane_ids, key in index_extends:
+            sids = surviving_ids.select(F.col("media_id").alias(key))
+            kept = rows.join(sids, key, "left_semi")
+            keys = lane_ids.join(sids, key, "left_semi")
+            if table_exists(sp, index_path):
+                # keys = the lane's SURVIVOR ids (rejects keep their
+                # previously-ingested rows; a survivor re-delivered
+                # with zero fingerprint rows still sheds old ones)
+                replace_keyed(sp, index_path, kept, [key], keys=keys)
+            else:
+                _staged_overwrite(sp, kept, index_path)
+
+        ledger = (
+            survivors.select(
+                "media_id",
+                _modality(F.col("media_type")).alias("modality"),
+                F.lit("accepted").alias("status"),
+                F.lit(None).cast("string").alias("reason"),
+            )
+            .unionByName(
+                rejected.select(
+                    "media_id", "modality",
+                    F.lit("rejected").alias("status"),
+                    F.lit("near-duplicate").alias("reason"),
+                )
+            )
+            .unionByName(
+                quarantined.select(
+                    "media_id", "modality",
+                    F.lit("quarantined").alias("status"), "reason",
+                )
+            )
+        )
+        if table_exists(sp, ledger_path):
+            replace_keyed(
+                sp, ledger_path, ledger, ["media_id"],
+                keys=batch.select("media_id"),
+            )
+        else:
+            _staged_overwrite(sp, ledger, ledger_path)
+
+    writer = feed.writeStream.foreachBatch(_apply).trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    writer.start().awaitTermination()

@@ -1444,3 +1444,147 @@ def test_fp_gate_min_shared_is_per_pair(spark, tmp_path):
     )
     assert {r["media_id"] for r in spark.read.parquet(t).collect()} \
         == {1, 2, 3}
+
+
+def test_multimodal_gated_ingest_mixed_feed(spark, tmp_path):
+    """The unified gate: one mixed (text/image/audio/video) feed,
+    one loop — each modality's near-dup copy from a later batch is
+    rejected through its own index, an undecodable payload and an
+    unrouteable media_type are quarantined, unrelated items are
+    accepted, the ledger attributes every decision to its modality,
+    and a checkpoint replay changes nothing."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from tests.test_cdc_winnowing import _vocab
+
+    from datawarehouse_code_spark.operators.multimodal import (
+        encode_gray_pgm,
+        encode_pcm_wav,
+    )
+    from datawarehouse_code_spark.operators.video_dedup import encode_video
+    from datawarehouse_code_spark.streaming.jobs import (
+        run_multimodal_gated_ingest,
+    )
+
+    def raster(seed, shift=0):
+        out = bytearray()
+        for r in range(8):
+            b = ((seed * 8 + r) * 37) % 256
+            v = 128 + shift
+            out.append(v)
+            for c in range(8):
+                v += 1 if (b >> c) & 1 else -1
+                out.append(v)
+        return encode_gray_pgm(9, 8, bytes(out))
+
+    def base_samples(seed, n=144):
+        return [((seed * 37 + i * 211) % 4096) - 2048 for i in range(n)]
+
+    b, n = _vocab(6, True), _vocab(60, False)
+    boiler = [b[0], n[0], n[1], n[2], b[1], n[3], n[4], n[5], b[4]]
+    audio = base_samples(1)
+    vframes = [raster(s) for s in range(40, 48)]
+
+    batch0 = [
+        (1, "text/plain", None, " ".join(n[10:14] + boiler + n[14:16])),
+        (2, "image/pgm", raster(3), None),
+        (3, "audio/wav", encode_pcm_wav(8000, [audio[:120]]), None),
+        (4, "video/vid0", encode_video(vframes), None),
+    ]
+    batch1 = [
+        # per-modality near-dup copies -> rejected THROUGH the indexes
+        (10, "text/plain", None, " ".join(n[33:42] + boiler)),
+        (11, "image/pgm", raster(3, shift=9), None),
+        (12, "audio/wav", encode_pcm_wav(8000, [audio[16:136]]), None),
+        (13, "video/vid0", encode_video(vframes[2:]), None),
+        # quarantine lanes: undecodable image (truncated raster),
+        # unrouteable type
+        (14, "image/pgm", raster(3)[:-20], None),
+        (15, "application/pdf", b"%PDF-", None),
+        # unrelated survivors, one per modality
+        (16, "text/plain", None,
+         " ".join(f"u16w{i}" for i in range(14))),
+        (17, "image/pgm", raster(19), None),
+    ]
+
+    land = tmp_path / "mm_landing"
+    land.mkdir()
+    now = time.time() - 600
+    for i, rows in enumerate((batch0, batch1)):
+        f = land / f"b{i}.parquet"
+        pd.DataFrame(
+            rows, columns=["media_id", "media_type", "content", "text"]
+        ).to_parquet(f, index=False)
+        os.utime(f, (now + 60 * i, now + 60 * i))
+
+    schema = (
+        "media_id BIGINT, media_type STRING, content BINARY, text STRING"
+    )
+    paths = {
+        k: str(tmp_path / k)
+        for k in ("target", "ledger", "t_idx", "i_idx", "a_idx", "v_idx")
+    }
+
+    def run():
+        run_multimodal_gated_ingest(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(str(land)),
+            paths["target"], paths["ledger"],
+            paths["t_idx"], paths["i_idx"], paths["a_idx"], paths["v_idx"],
+            checkpoint_dir=str(tmp_path / "mm_ckpt"),
+        )
+
+    run()
+    got = {r["media_id"] for r in spark.read.parquet(paths["target"]).collect()}
+    assert got == {1, 2, 3, 4, 16, 17}, got
+
+    ledger = {
+        r["media_id"]: (r["modality"], r["status"])
+        for r in spark.read.parquet(paths["ledger"]).collect()
+    }
+    assert ledger == {
+        1: ("text", "accepted"), 2: ("image", "accepted"),
+        3: ("audio", "accepted"), 4: ("video", "accepted"),
+        10: ("text", "rejected"), 11: ("image", "rejected"),
+        12: ("audio", "rejected"), 13: ("video", "rejected"),
+        14: ("image", "quarantined"), 15: ("application", "quarantined"),
+        16: ("text", "accepted"), 17: ("image", "accepted"),
+    }, ledger
+    reasons = {
+        r["media_id"]: r["reason"]
+        for r in spark.read.parquet(paths["ledger"]).collect()
+    }
+    assert reasons[10] == "near-duplicate"
+    assert "ValueError" in reasons[14]
+    assert "unsupported media_type" in reasons[15]
+
+    # rejects and quarantines never reach any index (the text index
+    # keeps the CDC tooling's native doc_id key)
+    assert {
+        r["doc_id"] for r in spark.read.parquet(paths["t_idx"]).collect()
+    } <= {1, 16}
+    assert {
+        r["media_id"] for r in spark.read.parquet(paths["i_idx"]).collect()
+    } == {2, 17}
+    assert {
+        r["media_id"] for r in spark.read.parquet(paths["a_idx"]).collect()
+    } == {3}
+    assert {
+        r["media_id"] for r in spark.read.parquet(paths["v_idx"]).collect()
+    } == {4}
+
+    # replay with no new files: every table byte-stable
+    before = (sorted(got), sorted(ledger.items()))
+    run()
+    after = (
+        sorted(r["media_id"]
+               for r in spark.read.parquet(paths["target"]).collect()),
+        sorted(
+            (r["media_id"], (r["modality"], r["status"]))
+            for r in spark.read.parquet(paths["ledger"]).collect()
+        ),
+    )
+    assert after == before
