@@ -688,6 +688,103 @@ def image_dhash_quarantine(media: DataFrame, grid: int = 8) -> DataFrame:
     return media.mapInPandas(batches, DHASH_QUARANTINE_SCHEMA)
 
 
+IMAGE_FPS_QUARANTINE_SCHEMA = (
+    "media_id BIGINT, b0 INT, b1 INT, b2 INT, b3 INT, dhash BIGINT, "
+    "p0 INT, p1 INT, p2 INT, p3 INT, phash BIGINT, decode_error STRING"
+)
+
+
+def image_fingerprints_quarantine(
+    media: DataFrame, grid: int = 8, size: int = 32
+) -> DataFrame:
+    """BOTH perceptual image fingerprints — dHash (b0..b3, dhash) and
+    DCT pHash (p0..p3, phash) — from ONE decode per payload, with the
+    quarantine lane: the streaming image gate's map (a gate that
+    matched on both algos through image_dhash_quarantine +
+    image_phash would decode every payload twice, violating the
+    one-decode doctrine the unified multimodal gate pins).
+
+    Per-algo nullability: a payload the decoder rejects quarantines
+    the whole row (decode_error set, all hash columns NULL); a
+    HEALTHY image smaller than the `size`×`size` pHash grid keeps its
+    dHash columns with pHash columns NULL and decode_error NULL —
+    small images simply have no rescale envelope to protect, and
+    quarantining them would evict payloads the dHash gate handles
+    fine.  (dHash needs only (grid+1)×grid; anything below that fails
+    decode-side sizing and quarantines loudly.)"""
+    import numpy as np
+
+    from datawarehouse_code_spark.operators.multimodal import decode_image
+
+    def _pack64(bands) -> int:
+        u = np.uint64(0)
+        for k, b in enumerate(bands):
+            u |= np.uint64(b) << np.uint64(16 * k)
+        return int(u.view(np.int64))
+
+    def batches(it):
+        for pdf in it:
+            rows = {
+                k: []
+                for k in (
+                    "media_id", "b0", "b1", "b2", "b3", "dhash",
+                    "p0", "p1", "p2", "p3", "phash", "err",
+                )
+            }
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                rows["media_id"].append(media_id)
+                err = None
+                db, dh = (None,) * 4, None
+                pb, ph = (None,) * 4, None
+                if content is None:
+                    err = "null payload"
+                else:
+                    try:
+                        w, h, ch, px = decode_image(bytes(content))
+                        db = dhash_bits(w, h, ch, px, grid=grid)
+                        dh = _pack64(db)
+                        if w >= size and h >= size:
+                            pb = phash_bits(w, h, ch, px, size=size)
+                            ph = _pack64(pb)
+                    except (ValueError, NotImplementedError) as e:
+                        err = f"{type(e).__name__}: {e}"
+                        db, dh, pb, ph = (None,) * 4, None, (None,) * 4, None
+                for k in range(4):
+                    rows[f"b{k}"].append(db[k])
+                    rows[f"p{k}"].append(pb[k])
+                rows["dhash"].append(dh)
+                rows["phash"].append(ph)
+                rows["err"].append(err)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    **{
+                        c: pd.array(rows[c], dtype="Int32")
+                        for c in ("b0", "b1", "b2", "b3",
+                                  "p0", "p1", "p2", "p3")
+                    },
+                    "dhash": pd.array(rows["dhash"], dtype="Int64"),
+                    "phash": pd.array(rows["phash"], dtype="Int64"),
+                    "decode_error": pd.Series(rows["err"], dtype=object),
+                }
+            )
+
+    return media.mapInPandas(batches, IMAGE_FPS_QUARANTINE_SCHEMA)
+
+
+def phash_view(fps: DataFrame) -> DataFrame:
+    """Project a combined image_fingerprints_quarantine table onto
+    the pHash band layout (media_id, b0..b3) so the UNCHANGED band
+    machinery — _explode_bands, dhash_near_dup_pairs,
+    build_dhash_index, dhash_matches_incremental — runs on the pHash
+    columns; drops the pHash-less small-image rows."""
+    return fps.filter(F.col("phash").isNotNull()).select(
+        "media_id",
+        *[F.col(f"p{k}").alias(f"b{k}") for k in range(4)],
+        F.col("phash").alias("dhash"),
+    )
+
+
 def audio_fingerprints_quarantine(
     media: DataFrame,
     win: int = 16,

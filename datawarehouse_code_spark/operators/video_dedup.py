@@ -95,25 +95,47 @@ def decode_video_frames(data: bytes) -> list[bytes]:
     return frames
 
 
-def video_fp_strings(frames: list[bytes], gram: int = 2) -> list[str]:
-    """The temporal fingerprint set of one video's decoded frames:
-    dHash each frame (the image detector's exact hash), render each
-    as 'b0:b1:b2:b3', md5 every run of `gram` consecutive frame keys
+def video_frame_band_tuples(
+    frames: list[bytes],
+) -> list[tuple[int, int, int, int]]:
+    """Per-frame dHash band tuples of one video's decoded frames —
+    the ONE frame-hashing implementation both consumers derive from:
+    temporal grams (video_fp_strings) and the frame-grain cross-modal
+    rows (video_frame_dhashes / the combined gate map).  Deriving
+    both from the same tuples guarantees a video's grams and its
+    frame index rows can never disagree about what a frame hashes
+    to."""
+    from datawarehouse_code_spark.operators.media_dedup import dhash_bits
+    from datawarehouse_code_spark.operators.multimodal import decode_image
+
+    out = []
+    for payload in frames:
+        w, h, ch, px = decode_image(payload)
+        out.append(dhash_bits(w, h, ch, px))
+    return out
+
+
+def _gram_strings(
+    bands: list[tuple[int, int, int, int]], gram: int
+) -> list[str]:
+    """Temporal gram strings from frame band tuples: each frame keyed
+    'b0:b1:b2:b3', md5 over every run of `gram` consecutive keys
     joined with ' | '.  Decimal-rendered integers + md5 = the engine-
     shared hash, so a DuckDB oracle replays fingerprints exactly."""
     import hashlib
 
-    from datawarehouse_code_spark.operators.media_dedup import dhash_bits
-    from datawarehouse_code_spark.operators.multimodal import decode_image
-
-    keys = []
-    for payload in frames:
-        w, h, ch, px = decode_image(payload)
-        keys.append(":".join(str(b) for b in dhash_bits(w, h, ch, px)))
+    keys = [":".join(str(b) for b in t) for t in bands]
     return [
         hashlib.md5(" | ".join(keys[g: g + gram]).encode()).hexdigest()
         for g in range(len(keys) - gram + 1)
     ]
+
+
+def video_fp_strings(frames: list[bytes], gram: int = 2) -> list[str]:
+    """The temporal fingerprint set of one video's decoded frames:
+    dHash each frame (the image detector's exact hash), then gram the
+    frame keys (see _gram_strings for the exact rendering)."""
+    return _gram_strings(video_frame_band_tuples(frames), gram)
 
 
 def video_fingerprints(media: DataFrame, gram: int = 2) -> DataFrame:
@@ -232,22 +254,20 @@ def video_frame_dhashes(media: DataFrame) -> DataFrame:
     the loud-failure decode contract is the container walk's."""
     import pandas as pd
 
-    from datawarehouse_code_spark.operators.media_dedup import dhash_bits
-    from datawarehouse_code_spark.operators.multimodal import decode_image
-
     def batches(it):
         for pdf in it:
             ids, idxs, bands = [], [], []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 if content is None:
                     continue
-                for j, payload in enumerate(
-                    decode_video_frames(bytes(content))
+                for j, t in enumerate(
+                    video_frame_band_tuples(
+                        decode_video_frames(bytes(content))
+                    )
                 ):
-                    w, h, ch, px = decode_image(payload)
                     ids.append(media_id)
                     idxs.append(j)
-                    bands.append(dhash_bits(w, h, ch, px))
+                    bands.append(t)
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),
@@ -354,3 +374,141 @@ def video_fingerprints_quarantine(
             )
 
     return media.mapInPandas(batches, VIDEO_FP_QUARANTINE_SCHEMA).distinct()
+
+
+def build_frame_dhash_index(frame_hashes: DataFrame) -> DataFrame:
+    """The persisted FRAME-grain perceptual index of a video corpus:
+    one row per (video, frame, band) — video_frame_dhashes output
+    band-exploded with frame_idx kept, the frame-level sibling of
+    media_dedup.build_dhash_index.  This is the reverse cross-modal
+    bridge: a still image arriving AFTER the video that contains it
+    equi-joins this table (image_video_matches below); the forward
+    direction (a video arriving after the image) joins the image
+    index instead.  Read-time hot cap in the matcher, RTBF via
+    forget_index_rows(id_col='media_id') — deleting a video drops
+    all its frame rows."""
+    return frame_hashes.select(
+        "media_id", "frame_idx", "b0", "b1", "b2", "b3",
+        F.expr(
+            "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_idx, band_val)"
+        ),
+    )
+
+
+def image_video_matches(
+    new_hashes: DataFrame,
+    frame_index: DataFrame,
+    max_hamming: int = 6,
+    band_cap: int = 50,
+) -> DataFrame:
+    """REVERSE cross-modal matching: new still images vs the
+    persisted frame dHash index — (image_id, video_id, frame_idx,
+    n_shared_bands, hamming) for every new image within `max_hamming`
+    of a frame of a corpus video.  video_image_matches covers a video
+    arriving after its constituent image; this covers the image
+    arriving after the video — without it the detection is
+    order-dependent, which a crawl's arrival order must never decide.
+
+    Same scale shape: the increment (`new_hashes`, an image_dhash
+    output) is hashed fresh, the video corpus rides the band
+    equi-join and is never re-decoded; hot frame-index buckets are
+    capped at `band_cap` distinct VIDEOS before the join (a
+    black-frame loop across the corpus is the hot key); band
+    collisions only propose, the exact 64-bit hamming decides."""
+    from datawarehouse_code_spark.operators.media_dedup import (
+        _cap_hot_bands,
+        _explode_bands,
+        _hamming64,
+    )
+
+    inc = _explode_bands(new_hashes).select(
+        F.col("media_id").alias("image_id"), "band_idx", "band_val",
+        "b0", "b1", "b2", "b3",
+    )
+    idx = _cap_hot_bands(frame_index, band_cap).select(
+        F.col("media_id").alias("video_id"), "frame_idx",
+        "band_idx", "band_val",
+        *[F.col(f"b{k}").alias(f"c{k}") for k in range(4)],
+    )
+    return (
+        inc.join(idx, ["band_idx", "band_val"])
+        .withColumn("hamming", _hamming64())
+        .groupBy("image_id", "video_id", "frame_idx")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_shared_bands"),
+            F.min("hamming").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+VIDEO_FPS_FRAMES_QUARANTINE_SCHEMA = (
+    "media_id BIGINT, fp STRING, frame_idx INT, "
+    "b0 INT, b1 INT, b2 INT, b3 INT, decode_error STRING"
+)
+
+
+def video_fingerprints_frames_quarantine(
+    media: DataFrame, gram: int = 2
+) -> DataFrame:
+    """Temporal grams AND frame-grain dHash rows from ONE container
+    walk + decode per payload, with the quarantine lane — the
+    streaming video gate's map (a gate that maintained both the gram
+    index and the cross-modal frame index through separate maps would
+    decode every frame twice).  Both derive from the same
+    video_frame_band_tuples call, so a video's grams and its frame
+    rows can never disagree.
+
+    Row kinds (consumers filter): gram rows carry fp with frame
+    columns NULL; frame rows carry (frame_idx, b0..b3) with fp NULL;
+    a rejected container yields ONE all-NULL row with decode_error
+    set (all-or-nothing, like video_fingerprints_quarantine — partial
+    fingerprints would under-match silently).  Healthy rows are
+    already distinct per media: grams are set()-deduped in the
+    worker, frame rows are unique by (media_id, frame_idx)."""
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("media_id", "fp", "frame_idx", "b0", "b1", "b2", "b3",
+                     "err")}
+
+            def emit(media_id, fp=None, frame_idx=None, bands=(None,) * 4,
+                     err=None):
+                rows["media_id"].append(media_id)
+                rows["fp"].append(fp)
+                rows["frame_idx"].append(frame_idx)
+                for k in range(4):
+                    rows[f"b{k}"].append(bands[k])
+                rows["err"].append(err)
+
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    emit(media_id, err="null payload")
+                    continue
+                try:
+                    tuples = video_frame_band_tuples(
+                        decode_video_frames(bytes(content))
+                    )
+                except (ValueError, NotImplementedError) as e:
+                    emit(media_id, err=f"{type(e).__name__}: {e}")
+                    continue
+                for fp in set(_gram_strings(tuples, gram)):
+                    emit(media_id, fp=fp)
+                for j, t in enumerate(tuples):
+                    emit(media_id, frame_idx=j, bands=t)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "fp": pd.Series(rows["fp"], dtype=object),
+                    "frame_idx": pd.array(rows["frame_idx"], dtype="Int32"),
+                    **{
+                        c: pd.array(rows[c], dtype="Int32")
+                        for c in ("b0", "b1", "b2", "b3")
+                    },
+                    "decode_error": pd.Series(rows["err"], dtype=object),
+                }
+            )
+
+    return media.mapInPandas(batches, VIDEO_FPS_FRAMES_QUARANTINE_SCHEMA)

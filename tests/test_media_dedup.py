@@ -540,3 +540,49 @@ def test_phash_contract_is_loud(spark):
     )
     with pytest.raises(ValueError, match="size=32"):
         image_phash(media, size=16)
+
+
+def test_image_fingerprints_quarantine_combined(spark):
+    """The one-decode combined map: on a healthy >=32px image its
+    dHash columns equal image_dhash's and its pHash columns (via
+    phash_view) equal image_phash's; a healthy image SMALLER than the
+    32x32 pHash grid keeps dHash with pHash NULL and no error; a
+    corrupt payload quarantines the whole row."""
+    from datawarehouse_code_spark.operators.media_dedup import (
+        image_fingerprints_quarantine,
+        image_phash,
+        phash_view,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, "image/pgm", encode_gray_pgm(32, 32, _xblock_raster(3))),
+            (2, "image/pgm",
+             encode_gray_pgm(9, 8, _raster_from_row_bytes(ROWS_A))),
+            (3, "image/pgm", b"NOT AN IMAGE"),
+        ],
+        ["media_id", "media_type", "content"],
+    )
+    combined = image_fingerprints_quarantine(media).localCheckpoint()
+    rows = {r["media_id"]: r for r in combined.collect()}
+
+    healthy = media.filter("media_id <= 2")
+    want_d = {r["media_id"]: (r["b0"], r["b1"], r["b2"], r["b3"], r["dhash"])
+              for r in image_dhash(healthy).collect()}
+    got_d = {m: (r["b0"], r["b1"], r["b2"], r["b3"], r["dhash"])
+             for m, r in rows.items() if m <= 2}
+    assert got_d == want_d
+
+    want_p = {r["media_id"]: (r["b0"], r["b1"], r["b2"], r["b3"], r["phash"])
+              for r in image_phash(media.filter("media_id = 1")).collect()}
+    got_p = {r["media_id"]: (r["b0"], r["b1"], r["b2"], r["b3"], r["dhash"])
+             for r in phash_view(combined).collect()}
+    assert set(got_p) == {1}
+    assert got_p[1][:4] == want_p[1][:4]
+    assert got_p[1][4] == want_p[1][4]
+
+    assert rows[2]["phash"] is None and rows[2]["p0"] is None
+    assert rows[2]["decode_error"] is None
+
+    assert rows[3]["decode_error"] is not None
+    assert rows[3]["dhash"] is None and rows[3]["phash"] is None

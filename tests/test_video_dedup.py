@@ -268,3 +268,131 @@ def test_video_image_matches_caps_hot_index_bands(spark):
     frames = video_frame_dhashes(videos)
     assert video_image_matches(frames, idx, band_cap=5).count() == 0
     assert video_image_matches(frames, idx, band_cap=6).count() == 6
+
+
+def test_image_video_matches_reverse_direction(spark):
+    """The image arriving AFTER the video: new images vs the persisted
+    FRAME index find the same containments the forward matcher finds —
+    detection must not depend on arrival order."""
+    from datawarehouse_code_spark.operators.media_dedup import image_dhash
+    from datawarehouse_code_spark.operators.video_dedup import (
+        build_frame_dhash_index,
+        image_video_matches,
+        video_frame_dhashes,
+    )
+
+    def _frame_hamming(seed, flip_bits):
+        out = bytearray()
+        for r in range(8):
+            b = ((seed * 8 + r) * 37) % 256
+            if r == 0:
+                b ^= (1 << flip_bits) - 1
+            v = 128
+            out.append(v)
+            for c in range(8):
+                v += 1 if (b >> c) & 1 else -1
+                out.append(v)
+        return encode_gray_pgm(9, 8, bytes(out))
+
+    videos = spark.createDataFrame(
+        [
+            (1, "video/vid0", encode_video([_frame(3)])),
+            (2, "video/vid0", encode_video([_frame(4), _frame(5)])),
+        ],
+        ["media_id", "media_type", "content"],
+    )
+    images = spark.createDataFrame(
+        [
+            (100, "image/pgm", _frame(3)),             # contained in video 1
+            (101, "image/pgm", _frame_hamming(5, 2)),  # near frame (2, 1)
+            (102, "image/pgm", _frame(60)),            # unrelated
+        ],
+        ["media_id", "media_type", "content"],
+    )
+    frame_index = build_frame_dhash_index(video_frame_dhashes(videos))
+    got = {
+        (r["image_id"], r["video_id"], r["frame_idx"]):
+            (r["n_shared_bands"], r["hamming"])
+        for r in image_video_matches(
+            image_dhash(images), frame_index, max_hamming=6
+        ).collect()
+    }
+    assert got == {
+        (100, 1, 0): (4, 0),
+        (101, 2, 1): (3, 2),
+    }
+
+
+def test_image_video_matches_caps_hot_frame_bands(spark):
+    """More videos carrying an identical frame than band_cap -> the
+    frame-index bucket is dropped at read time (distinct-VIDEO
+    grain) and the new image matches nothing."""
+    from datawarehouse_code_spark.operators.media_dedup import image_dhash
+    from datawarehouse_code_spark.operators.video_dedup import (
+        build_frame_dhash_index,
+        image_video_matches,
+        video_frame_dhashes,
+    )
+
+    videos = spark.createDataFrame(
+        [(i, "video/vid0", encode_video([_frame(0)])) for i in range(6)],
+        ["media_id", "media_type", "content"],
+    )
+    images = spark.createDataFrame(
+        [(100, "image/pgm", _frame(0))],
+        ["media_id", "media_type", "content"],
+    )
+    frame_index = build_frame_dhash_index(video_frame_dhashes(videos))
+    hits = image_video_matches(
+        image_dhash(images), frame_index, band_cap=5
+    )
+    assert hits.count() == 0
+    assert image_video_matches(
+        image_dhash(images), frame_index, band_cap=6
+    ).count() == 6
+
+
+def test_combined_frames_map_matches_single_purpose_maps(spark):
+    """video_fingerprints_frames_quarantine from ONE decode: its gram
+    rows equal video_fingerprints, its frame rows equal
+    video_frame_dhashes, a corrupt container yields exactly one
+    quarantine row, and healthy rows carry decode_error NULL."""
+    from datawarehouse_code_spark.operators.video_dedup import (
+        video_fingerprints_frames_quarantine,
+        video_frame_dhashes,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, "video/vid0", encode_video([_frame(s) for s in range(3)])),
+            (2, "video/vid0", b"JUNKJUNK"),
+        ],
+        ["media_id", "media_type", "content"],
+    )
+    combined = video_fingerprints_frames_quarantine(media).collect()
+
+    grams = {(r["media_id"], r["fp"]) for r in combined
+             if r["fp"] is not None}
+    assert all(r["decode_error"] is None for r in combined
+               if r["fp"] is not None)
+    healthy = media.filter("media_id = 1")
+    assert grams == {
+        (r["media_id"], r["fp"])
+        for r in video_fingerprints(healthy).collect()
+    }
+
+    frames = {
+        (r["media_id"], r["frame_idx"]): (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in combined if r["frame_idx"] is not None
+    }
+    assert frames == {
+        (r["media_id"], r["frame_idx"]): (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in video_frame_dhashes(healthy).collect()
+    }
+
+    quarantined = [r for r in combined if r["decode_error"] is not None]
+    assert len(quarantined) == 1
+    assert quarantined[0]["media_id"] == 2
+    assert "ValueError" in quarantined[0]["decode_error"]
+    assert quarantined[0]["fp"] is None
+    assert quarantined[0]["frame_idx"] is None
