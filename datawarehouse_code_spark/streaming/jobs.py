@@ -1363,6 +1363,9 @@ def run_multimodal_gated_ingest(
     band_cap: int = 50,
     hot_cap: int = 50,
     grid: int = 8,
+    image_phash_index_path: str | None = None,
+    frame_index_path: str | None = None,
+    min_shared_frames: int = 2,
 ) -> None:
     """The UNIFIED multimodal ingest gate — one streaming loop over a
     MIXED feed (media_id BIGINT, media_type STRING, content BINARY,
@@ -1398,6 +1401,31 @@ def run_multimodal_gated_ingest(
     index extends precedes the ledger, and a crash anywhere replays
     into identical decisions — survivors self-excluded by id).
 
+    Optional legs widen the image/video envelope, each gated on its
+    index path being given:
+    - `image_phash_index_path`: the image lane ALSO matches on DCT
+      pHash (phash_view over the same combined decode — interpolated
+      rescales that flip dHash bits are caught), maintaining a second
+      band index per the separate-index doctrine.
+    - `frame_index_path`: BIDIRECTIONAL cross-modal matching — a new
+      image within `max_hamming` of any frame of an already-ingested
+      video is rejected (image_video_matches), and a new video with
+      ≥ `min_shared_frames` DISTINCT frames matching corpus images is
+      rejected (video_image_matches).  The video threshold is
+      deliberately COVERAGE grain, not the fp-share pair grain: each
+      frame match is an exact hamming-verified containment of a
+      specific corpus image (strong evidence individually, unlike
+      low-entropy fingerprint shares), so the right question is "how
+      many of this video's frames are already-known content".
+      Cross-modal legs read their index with the CURRENT BATCH's ids
+      anti-joined out, the cross-modal generalization of survivor
+      self-exclusion: a crash between index extends and the replay
+      reaches identical decisions whether or not the other modality's
+      extend landed, at the documented cost of a one-batch blind
+      window (an image and the video containing it arriving in the
+      SAME micro-batch are both accepted; a later re-delivery of
+      either is gated).
+
     Scale shape per batch: four narrow decode+fingerprint maps (one
     per present modality) + one equi-join per lane against its
     read-time-capped index + one batch-internal self-join per lane +
@@ -1406,13 +1434,17 @@ def run_multimodal_gated_ingest(
     from datawarehouse_code_spark.operators.media_dedup import (
         audio_fingerprints_quarantine,
         build_dhash_index,
-        image_dhash_quarantine,
+        image_fingerprints_quarantine,
+        phash_view,
     )
     from datawarehouse_code_spark.operators.text import (
         content_defined_chunks,
     )
     from datawarehouse_code_spark.operators.video_dedup import (
-        video_fingerprints_quarantine,
+        build_frame_dhash_index,
+        image_video_matches,
+        video_fingerprints_frames_quarantine,
+        video_image_matches,
     )
     from datawarehouse_code_spark.sources.acid import (
         _staged_overwrite,
@@ -1458,17 +1490,22 @@ def run_multimodal_gated_ingest(
              docs.select(F.col("media_id").alias("doc_id")), "doc_id")
         )
 
-        # ---- image lane: perceptual dHash gate (decode once, with
-        # the quarantine lane in the same pass)
+        # ---- image lane: perceptual gate — dHash always, pHash and
+        # reverse cross-modal when their indexes are configured (one
+        # decode feeds all legs, with the quarantine lane in the same
+        # pass)
         images = batch.filter(F.col("media_type").startswith("image/"))
-        iq = image_dhash_quarantine(images, grid=grid).localCheckpoint()
+        iq = image_fingerprints_quarantine(
+            images, grid=grid
+        ).localCheckpoint()
         quarantined_parts.append(
             iq.filter(F.col("decode_error").isNotNull()).select(
                 "media_id", F.lit("image").alias("modality"),
                 F.col("decode_error").alias("reason"),
             )
         )
-        ihashes = iq.filter(F.col("decode_error").isNull()).select(
+        ihealthy = iq.filter(F.col("decode_error").isNull())
+        ihashes = ihealthy.select(
             "media_id", "b0", "b1", "b2", "b3", "dhash"
         )
         rejected_parts.append(
@@ -1481,6 +1518,37 @@ def run_multimodal_gated_ingest(
              build_dhash_index(None, grid=grid, hashes=ihashes),
              images.select("media_id"), "media_id")
         )
+        if image_phash_index_path is not None:
+            iphashes = phash_view(ihealthy)
+            rejected_parts.append(
+                _dhash_gate_rejects(
+                    sp, iphashes, image_phash_index_path,
+                    max_hamming, band_cap, grid,
+                ).select("media_id", F.lit("image").alias("modality"))
+            )
+            index_extends.append(
+                (image_phash_index_path,
+                 build_dhash_index(None, grid=grid, hashes=iphashes),
+                 images.select("media_id"), "media_id")
+            )
+        if (
+            frame_index_path is not None
+            and table_exists(sp, frame_index_path)
+        ):
+            # a new image contained in an already-ingested video
+            # (batch's own videos anti-joined out — see docstring)
+            fidx = sp.read.parquet(frame_index_path).join(
+                batch.select("media_id"), "media_id", "left_anti"
+            )
+            rejected_parts.append(
+                image_video_matches(
+                    ihashes, fidx,
+                    max_hamming=max_hamming, band_cap=band_cap,
+                )
+                .select(F.col("image_id").alias("media_id"))
+                .distinct()
+                .withColumn("modality", F.lit("image"))
+            )
 
         # ---- audio lane: energy-gram gate
         audio = batch.filter(F.col("media_type").startswith("audio/"))
@@ -1503,9 +1571,11 @@ def run_multimodal_gated_ingest(
             (audio_index_path, afps, audio.select("media_id"), "media_id")
         )
 
-        # ---- video lane: temporal-gram gate
+        # ---- video lane: temporal-gram gate + forward cross-modal
+        # when the frame index is configured (one container walk +
+        # decode feeds grams, frame rows and the quarantine lane)
         video = batch.filter(F.col("media_type").startswith("video/"))
-        vq = video_fingerprints_quarantine(video).localCheckpoint()
+        vq = video_fingerprints_frames_quarantine(video).localCheckpoint()
         quarantined_parts.append(
             vq.filter(F.col("decode_error").isNotNull()).select(
                 "media_id", F.lit("video").alias("modality"),
@@ -1523,6 +1593,34 @@ def run_multimodal_gated_ingest(
         index_extends.append(
             (video_index_path, vfps, video.select("media_id"), "media_id")
         )
+        if frame_index_path is not None:
+            vframes = vq.filter(F.col("frame_idx").isNotNull()).select(
+                "media_id", "frame_idx", "b0", "b1", "b2", "b3"
+            )
+            if table_exists(sp, image_index_path):
+                # a new video whose frames are mostly already-known
+                # images (coverage grain — see docstring; batch's own
+                # images anti-joined out)
+                iidx = sp.read.parquet(image_index_path).join(
+                    batch.select("media_id"), "media_id", "left_anti"
+                )
+                rejected_parts.append(
+                    video_image_matches(
+                        vframes, iidx,
+                        max_hamming=max_hamming, band_cap=band_cap,
+                    )
+                    .groupBy("video_id")
+                    .agg(
+                        F.countDistinct("frame_idx").alias("_nf")
+                    )
+                    .filter(F.col("_nf") >= min_shared_frames)
+                    .select(F.col("video_id").alias("media_id"))
+                    .withColumn("modality", F.lit("video"))
+                )
+            index_extends.append(
+                (frame_index_path, build_frame_dhash_index(vframes),
+                 video.select("media_id"), "media_id")
+            )
 
         # ---- unrouteable media_type -> quarantine
         known = ("text/", "image/", "audio/", "video/")

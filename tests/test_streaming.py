@@ -1588,3 +1588,134 @@ def test_multimodal_gated_ingest_mixed_feed(spark, tmp_path):
         ),
     )
     assert after == before
+
+
+def test_multimodal_gate_phash_and_cross_modal_legs(spark, tmp_path):
+    """The widened unified gate: a 2x box-downscaled image whose
+    dHash drifts 8 bits (invisible to the dHash leg) is rejected by
+    the pHash leg; a still image equal to a frame of an ingested
+    video is rejected by the reverse cross-modal leg; a video whose
+    frames are all corpus images is rejected at coverage grain while
+    a video with only ONE known frame is accepted; indexes hold
+    survivors only; a checkpoint replay changes nothing."""
+    import hashlib
+    import os
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    from datawarehouse_code_spark.operators.media_dedup import dhash_bits
+    from datawarehouse_code_spark.operators.multimodal import encode_gray_pgm
+    from datawarehouse_code_spark.operators.video_dedup import encode_video
+    from datawarehouse_code_spark.streaming.jobs import (
+        run_multimodal_gated_ingest,
+    )
+
+    def base32(salt):
+        return np.frombuffer(
+            b"".join(
+                hashlib.sha256(f"{salt}:{i}".encode()).digest()
+                for i in range(32)
+            ),
+            dtype=np.uint8,
+        ).reshape(32, 32)
+
+    def up2(a):
+        return np.repeat(np.repeat(a, 2, axis=0), 2, axis=1)
+
+    def frame9x8(seed):
+        out = bytearray()
+        for r in range(8):
+            b = ((seed * 8 + r) * 37) % 256
+            v = 128
+            out.append(v)
+            for c in range(8):
+                v += 1 if (b >> c) & 1 else -1
+                out.append(v)
+        return encode_gray_pgm(9, 8, bytes(out))
+
+    b = base32("mmgate-b")
+    img_a = encode_gray_pgm(64, 64, up2(b).tobytes())      # the original
+    img_b = encode_gray_pgm(32, 32, b.tobytes())           # its 2x downscale
+    # the construction this test rests on: the twins drift PAST the
+    # dHash gate's radius and land exactly on the pHash
+    dh = sum(
+        bin(x ^ y).count("1")
+        for x, y in zip(
+            dhash_bits(64, 64, 1, up2(b).tobytes()),
+            dhash_bits(32, 32, 1, b.tobytes()),
+        )
+    )
+    assert dh > 6, dh
+
+    batch0 = [
+        (1, "image/pgm", img_a, None),
+        (2, "video/vid0", encode_video([frame9x8(40), frame9x8(41)]), None),
+    ]
+    batch1 = [
+        (10, "image/pgm", img_b, None),                  # pHash reject
+        (11, "image/pgm", frame9x8(40), None),           # in video 2's frames
+        (12, "video/vid0", encode_video([img_a, img_a]), None),  # 2 known
+        (13, "video/vid0", encode_video([img_a, frame9x8(77)]), None),  # 1
+        (14, "image/pgm",
+         encode_gray_pgm(32, 32, base32("mmgate-u").tobytes()), None),
+    ]
+
+    land = tmp_path / "xmm_landing"
+    land.mkdir()
+    now = time.time() - 600
+    for i, rows in enumerate((batch0, batch1)):
+        f = land / f"b{i}.parquet"
+        pdf = pd.DataFrame(
+            rows, columns=["media_id", "media_type", "content", "text"]
+        )
+        pdf["text"] = pdf["text"].astype("string")  # all-None else INT32
+        pdf.to_parquet(f, index=False)
+        os.utime(f, (now + 60 * i, now + 60 * i))
+
+    schema = (
+        "media_id BIGINT, media_type STRING, content BINARY, text STRING"
+    )
+    paths = {
+        k: str(tmp_path / k)
+        for k in ("target", "ledger", "t_idx", "i_idx", "a_idx", "v_idx",
+                  "p_idx", "f_idx")
+    }
+
+    def run():
+        run_multimodal_gated_ingest(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(str(land)),
+            paths["target"], paths["ledger"],
+            paths["t_idx"], paths["i_idx"], paths["a_idx"], paths["v_idx"],
+            checkpoint_dir=str(tmp_path / "xmm_ckpt"),
+            image_phash_index_path=paths["p_idx"],
+            frame_index_path=paths["f_idx"],
+        )
+
+    run()
+    ledger = {
+        r["media_id"]: r["status"]
+        for r in spark.read.parquet(paths["ledger"]).collect()
+    }
+    assert ledger == {
+        1: "accepted", 2: "accepted",
+        10: "rejected", 11: "rejected", 12: "rejected",
+        13: "accepted", 14: "accepted",
+    }, ledger
+
+    # survivors only, in every index
+    assert {
+        r["media_id"] for r in spark.read.parquet(paths["p_idx"]).collect()
+    } == {1, 14}
+    assert {
+        r["media_id"] for r in spark.read.parquet(paths["f_idx"]).collect()
+    } == {2, 13}
+
+    before = sorted(ledger.items())
+    run()
+    assert sorted(
+        (r["media_id"], r["status"])
+        for r in spark.read.parquet(paths["ledger"]).collect()
+    ) == before
