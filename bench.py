@@ -212,6 +212,8 @@ HEADLINE = [
     # later round freezes them)
     "video_image_matches",
     "media_phash_dct_pairs",
+    "image_video_matches",
+    "media_phash_dct_incremental",
 ]
 
 

@@ -3588,6 +3588,48 @@ FROM g
 """
 
 
+def _media_phash_dct_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Increment-vs-corpus DCT-pHash matching through the persisted
+    band index — the nightly-increment shape for the rescale
+    detector: the corpus side indexes the ORIGINALS (odd members,
+    64×64), the increment is their 2× box downscales (even members,
+    32×32), and every downscale lands on its original at hamming 0
+    through the UNCHANGED dhash_matches_incremental machinery.  One
+    image_phash pass feeds both sides (localCheckpoint + member
+    filters).  Oracle grain is the planted outcome, like the pairs
+    row: twins hash identically by construction, distinct groups
+    never fall within the radius."""
+    from datawarehouse_code_spark.operators.media_dedup import (
+        build_dhash_index,
+        dhash_matches_incremental,
+        image_phash,
+    )
+
+    hashes = image_phash(
+        _phash_dct_media(spark, sf_dir)
+    ).localCheckpoint()
+    idx = build_dhash_index(
+        None, hashes=hashes.filter(F.col("media_id") % 2 == 1)
+    )
+    return dhash_matches_incremental(
+        None, idx, max_hamming=6, band_cap=50,
+        new_hashes=hashes.filter(F.col("media_id") % 2 == 0),
+    )
+
+
+_PHASH_DCT_INCR_SQL = """
+WITH g AS (
+  SELECT doc_id // 2 AS grp FROM documents GROUP BY 1 HAVING count(*) = 2
+)
+SELECT CAST(grp * 2 AS BIGINT) AS d_new,
+       CAST(grp * 2 + 1 AS BIGINT) AS d_corpus,
+       CAST(4 AS INTEGER) AS n_shared_bands, CAST(0 AS INTEGER) AS hamming
+FROM g
+"""
+
+
 def _audio_fp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The audio-fingerprint oracle fixture: per doc_id a REAL 16-bit
     PCM WAV of 96 samples where group = doc_id//4 picks the base
@@ -4074,6 +4116,73 @@ SELECT * FROM (
 """
 
 
+def _image_video_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVERSE cross-modal matching (operators/video_dedup.py
+    build_frame_dhash_index + image_video_matches): still images as
+    the increment vs the persisted FRAME-grain dHash index of the
+    video corpus — the image arriving AFTER the video that contains
+    it, so detection never depends on a crawl's arrival order.  Same
+    planted fixture as video_image_matches with the roles swapped;
+    the DuckDB replay swaps the cap to the frame side at
+    distinct-VIDEO grain (the matcher's exact read-time cap) and
+    re-derives the band join + exact hamming from the closed
+    forms."""
+    from datawarehouse_code_spark.operators.media_dedup import image_dhash
+    from datawarehouse_code_spark.operators.video_dedup import (
+        build_frame_dhash_index,
+        image_video_matches,
+        video_frame_dhashes,
+    )
+
+    fidx = build_frame_dhash_index(
+        video_frame_dhashes(_cross_modal_video_media(spark, sf_dir))
+    ).localCheckpoint()  # persisted-index stand-in, materialized once
+    return image_video_matches(
+        image_dhash(_xmodal_image_media(spark, sf_dir)),
+        fidx, max_hamming=6, band_cap=50,
+    )
+
+
+_IMAGE_VIDEO_MATCHES_SQL = f"""{_XMODAL_BANDS_CTE}
+, vf AS (
+  SELECT v.doc_id AS video_id, CAST(f.j AS INTEGER) AS frame_idx,
+         CAST(k.k AS INTEGER) AS band_idx,
+         {_xmodal_byte_sql('(v.doc_id // 4 + f.j) * 8 + 2 * k.k')}
+         + 256 * {_xmodal_byte_sql(
+             '(v.doc_id // 4 + f.j) * 8 + 2 * k.k + 1')} AS band_val
+  FROM documents v, unnest(range(0, 4)) AS f(j), unnest(range(0, 4)) AS k(k)
+  WHERE v.doc_id % 4 = 0
+), vhw AS (
+  SELECT video_id, frame_idx,
+         max(CASE WHEN band_idx = 0 THEN band_val END) AS fb0,
+         max(CASE WHEN band_idx = 1 THEN band_val END) AS fb1,
+         max(CASE WHEN band_idx = 2 THEN band_val END) AS fb2,
+         max(CASE WHEN band_idx = 3 THEN band_val END) AS fb3
+  FROM vf GROUP BY 1, 2
+), fcold AS (
+  SELECT band_idx, band_val FROM vf
+  GROUP BY 1, 2 HAVING count(DISTINCT video_id) <= 50
+), fidx AS (
+  SELECT vf.video_id, vf.frame_idx, vf.band_idx, vf.band_val
+  FROM vf JOIN fcold USING (band_idx, band_val)
+), cand AS (
+  SELECT b.doc_id AS image_id, fidx.video_id, fidx.frame_idx,
+         CAST(count(*) AS INTEGER) AS n_shared_bands
+  FROM bands b JOIN fidx USING (band_idx, band_val)
+  GROUP BY 1, 2, 3
+)
+SELECT * FROM (
+  SELECT c.image_id, c.video_id, c.frame_idx, c.n_shared_bands,
+         CAST(bit_count(xor(v.fb0, x.b0)) + bit_count(xor(v.fb1, x.b1))
+            + bit_count(xor(v.fb2, x.b2)) + bit_count(xor(v.fb3, x.b3))
+              AS INTEGER) AS hamming
+  FROM cand c
+  JOIN vhw v ON v.video_id = c.video_id AND v.frame_idx = c.frame_idx
+  JOIN hw x ON x.doc_id = c.image_id
+) WHERE hamming <= 6
+"""
+
+
 def _media_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual dedup carried to the DROP decision — the media twin
     of corpus_survivors: dHash near-dup pairs cluster into connected
@@ -4415,6 +4524,19 @@ LLM_SUPPLEMENTARY: list[Query] = [
           "re-used inside a video is detected (the temporal-gram "
           "blind spot, closed round 13; planted image-in-video "
           "fixture, full SQL replay incl. the exact hamming verify)"),
+    Query("image_video_matches", _image_video_matches,
+          _IMAGE_VIDEO_MATCHES_SQL,
+          "north-star: REVERSE cross-modal matching — still images as "
+          "the increment vs the persisted frame-grain dHash index, so "
+          "the image arriving after the video that contains it is "
+          "detected too (arrival-order independence; same fixture "
+          "with roles swapped, cap replayed at distinct-video grain)"),
+    Query("media_phash_dct_incremental", _media_phash_dct_incremental,
+          _PHASH_DCT_INCR_SQL,
+          "north-star: increment-vs-corpus DCT-pHash matching through "
+          "the persisted band index — each 2x box downscale lands on "
+          "its original at hamming 0 through the unchanged "
+          "incremental machinery (planted-twins outcome oracle)"),
     Query("video_fp_pairs", _video_fp_pairs, _VIDEO_FP_PAIRS_SQL,
           "north-star: video near-dup pairs — temporal grams of "
           "per-frame dHashes over real VID0 containers, frame-trim "

@@ -180,6 +180,12 @@ PLAN_BOUNDS = {
     # round-13 DCT pHash pairs: same checkpoint-terminated band-table
     # shape as media_phash_pairs (measured r13: 0/5 post-cut)
     "media_phash_dct_pairs": (3, 8),
+    # round-13 reverse cross-modal: image hashing is the narrow Arrow
+    # map, the frame index is checkpoint-terminated (measured 2/3)
+    "image_video_matches": (3, 5),
+    # round-13 pHash increment: one checkpointed image_phash pass
+    # feeds both member filters (measured 0/3 post-cut)
+    "media_phash_dct_incremental": (2, 5),
 }
 
 
