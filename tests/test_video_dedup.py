@@ -396,3 +396,44 @@ def test_combined_frames_map_matches_single_purpose_maps(spark):
     assert "ValueError" in quarantined[0]["decode_error"]
     assert quarantined[0]["fp"] is None
     assert quarantined[0]["frame_idx"] is None
+
+
+def test_rtbf_closes_over_the_frame_index(spark, tmp_path):
+    """forget_index_rows(id_col='media_id') on the frame-grain index:
+    after a video is forgotten, an image equal to one of its frames
+    matches nothing — the reverse cross-modal lane honors RTBF."""
+    from datawarehouse_code_spark.operators.corpus import forget_index_rows
+    from datawarehouse_code_spark.operators.media_dedup import image_dhash
+    from datawarehouse_code_spark.operators.video_dedup import (
+        build_frame_dhash_index,
+        image_video_matches,
+        video_frame_dhashes,
+    )
+
+    videos = spark.createDataFrame(
+        [
+            (1, "video/vid0", encode_video([_frame(3), _frame(4)])),
+            (2, "video/vid0", encode_video([_frame(8), _frame(9)])),
+        ],
+        ["media_id", "media_type", "content"],
+    )
+    path = str(tmp_path / "frame_idx")
+    build_frame_dhash_index(video_frame_dhashes(videos)).write.parquet(path)
+
+    probe = spark.createDataFrame(
+        [(100, "image/pgm", _frame(3))],
+        ["media_id", "media_type", "content"],
+    )
+    before = image_video_matches(
+        image_dhash(probe), spark.read.parquet(path)
+    ).collect()
+    assert any(r["video_id"] == 1 and r["hamming"] == 0 for r in before)
+
+    removed = forget_index_rows(
+        spark, path, videos.filter("media_id = 1"), id_col="media_id"
+    )
+    assert removed == 8  # 2 frames x 4 band rows
+    after = image_video_matches(
+        image_dhash(probe), spark.read.parquet(path)
+    ).collect()
+    assert not any(r["video_id"] == 1 for r in after)
