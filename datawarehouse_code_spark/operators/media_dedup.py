@@ -206,7 +206,9 @@ def phash_bits(
     )
 
 
-def image_phash(media: DataFrame, size: int = 32) -> DataFrame:
+def image_phash(
+    media: DataFrame, size: int = 32, skip_small: bool = False
+) -> DataFrame:
     """Per-media DCT pHash over REAL decoded pixels — the second
     perceptual fingerprint beside image_dhash, covering the rescale
     envelope dHash excludes (media_dedup.py's documented limitation:
@@ -217,7 +219,14 @@ def image_phash(media: DataFrame, size: int = 32) -> DataFrame:
     schema and 16-bit band layout as image_dhash, so the pair join,
     persisted index, incremental matcher and RTBF run unchanged on
     this table — build a SEPARATE index per algo (the band spaces are
-    unrelated)."""
+    unrelated).
+
+    `skip_small=True` silently yields no row for a healthy image
+    below the `size` grid instead of raising — the index MAINTAINER's
+    contract (a small image has no rescale envelope to index; its
+    re-delivery still sheds stale rows via replace_keyed on the
+    batch's ids).  Decode failures stay loud either way — bad
+    payloads belong to the quarantine lanes upstream."""
     import numpy as np
 
     from datawarehouse_code_spark.operators.multimodal import decode_image
@@ -235,6 +244,8 @@ def image_phash(media: DataFrame, size: int = 32) -> DataFrame:
                 if content is None:
                     continue
                 w, h, ch, px = decode_image(bytes(content))
+                if skip_small and (w < size or h < size):
+                    continue
                 ids.append(media_id)
                 bands.append(phash_bits(w, h, ch, px, size=size))
             b = np.array(bands, dtype=np.uint64).reshape(len(ids), 4)

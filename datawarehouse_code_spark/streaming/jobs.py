@@ -1168,6 +1168,54 @@ def run_video_fp_ingest(
     )
 
 
+def run_phash_index_ingest(
+    media: DataFrame,
+    index_path: str,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Exactly-once streaming maintenance of the persisted DCT-pHash
+    band index (operators/media_dedup.py image_phash through the
+    unchanged build_dhash_index / dhash_matches_incremental machinery
+    — the separate-index doctrine: pHash and dHash band spaces are
+    unrelated).  Images below the 32×32 pHash grid contribute no
+    rows; replace_keyed on the batch's ids still sheds their stale
+    rows on re-delivery."""
+    from datawarehouse_code_spark.operators.media_dedup import (
+        build_dhash_index,
+        image_phash,
+    )
+
+    _run_media_index_ingest(
+        media, index_path,
+        lambda b: build_dhash_index(
+            None, hashes=image_phash(b, skip_small=True)
+        ),
+        checkpoint_dir,
+    )
+
+
+def run_frame_index_ingest(
+    media: DataFrame,
+    index_path: str,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Exactly-once streaming maintenance of the persisted FRAME-grain
+    dHash index (operators/video_dedup.py build_frame_dhash_index /
+    image_video_matches) — keeps the reverse cross-modal lane current
+    as videos arrive on a single-modality feed (the unified gate
+    maintains the same table for mixed feeds)."""
+    from datawarehouse_code_spark.operators.video_dedup import (
+        build_frame_dhash_index,
+        video_frame_dhashes,
+    )
+
+    _run_media_index_ingest(
+        media, index_path,
+        lambda b: build_frame_dhash_index(video_frame_dhashes(b)),
+        checkpoint_dir,
+    )
+
+
 def run_dhash_gated_ingest(
     media: DataFrame,
     target_path: str,

@@ -1719,3 +1719,117 @@ def test_multimodal_gate_phash_and_cross_modal_legs(spark, tmp_path):
         (r["media_id"], r["status"])
         for r in spark.read.parquet(paths["ledger"]).collect()
     ) == before
+
+
+def test_phash_and_frame_index_ingest_stream_equals_batch(spark, tmp_path):
+    """The two round-13 index maintainers through the shared loop:
+    streamed pHash band rows equal the batch build (small images
+    contribute nothing), streamed frame rows equal the batch build,
+    replays are no-ops, and the maintained frame index serves
+    image_video_matches."""
+    import hashlib
+
+    import numpy as np
+
+    from datawarehouse_code_spark.operators.media_dedup import (
+        build_dhash_index,
+        image_dhash,
+        image_phash,
+    )
+    from datawarehouse_code_spark.operators.multimodal import encode_gray_pgm
+    from datawarehouse_code_spark.operators.video_dedup import (
+        build_frame_dhash_index,
+        encode_video,
+        image_video_matches,
+        video_frame_dhashes,
+    )
+    from datawarehouse_code_spark.streaming.jobs import (
+        run_frame_index_ingest,
+        run_phash_index_ingest,
+    )
+
+    def big(salt):
+        raster = np.frombuffer(
+            b"".join(
+                hashlib.sha256(f"{salt}:{i}".encode()).digest()
+                for i in range(32)
+            ),
+            dtype=np.uint8,
+        )
+        return encode_gray_pgm(32, 32, raster.tobytes())
+
+    def frame(seed):
+        out = bytearray()
+        for r in range(8):
+            b = ((seed * 8 + r) * 37) % 256
+            v = 128
+            out.append(v)
+            for c in range(8):
+                v += 1 if (b >> c) & 1 else -1
+                out.append(v)
+        return encode_gray_pgm(9, 8, bytes(out))
+
+    schema = "media_id BIGINT, media_type STRING, content BINARY"
+
+    # ---- pHash maintainer: two hashable images + one below the grid
+    img_rows = [
+        (0, "image/pgm", big("pidx-0")),
+        (1, "image/pgm", big("pidx-1")),
+        (2, "image/pgm", frame(5)),  # 9x8 -> no pHash rows
+    ]
+    (tmp_path / "pi").mkdir()
+    land_i = _media_landing(tmp_path / "pi", img_rows)
+    p_idx = str(tmp_path / "p_idx")
+
+    def istream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(str(land_i))
+        )
+
+    run_phash_index_ingest(istream(), p_idx,
+                           checkpoint_dir=str(tmp_path / "pckpt"))
+    media_i = spark.createDataFrame(img_rows, schema)
+    expected = sorted(map(tuple, build_dhash_index(
+        None, hashes=image_phash(media_i.filter("media_id <= 1"))
+    ).collect()))
+    got = sorted(map(tuple, spark.read.parquet(p_idx).collect()))
+    assert got == expected and len(got) == 2 * 4
+    run_phash_index_ingest(istream(), p_idx,
+                           checkpoint_dir=str(tmp_path / "pckpt"))
+    assert sorted(map(tuple, spark.read.parquet(p_idx).collect())) == got
+
+    # ---- frame maintainer
+    vid_rows = [
+        (0, "video/vid0", encode_video([frame(3), frame(4)])),
+        (1, "video/vid0", encode_video([frame(8)])),
+    ]
+    (tmp_path / "fv").mkdir()
+    land_v = _media_landing(tmp_path / "fv", vid_rows)
+    f_idx = str(tmp_path / "f_idx")
+
+    def vstream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(str(land_v))
+        )
+
+    run_frame_index_ingest(vstream(), f_idx,
+                           checkpoint_dir=str(tmp_path / "fckpt"))
+    media_v = spark.createDataFrame(vid_rows, schema)
+    expected_f = sorted(map(tuple, build_frame_dhash_index(
+        video_frame_dhashes(media_v)
+    ).collect()))
+    got_f = sorted(map(tuple, spark.read.parquet(f_idx).collect()))
+    assert got_f == expected_f and len(got_f) == 3 * 4
+    run_frame_index_ingest(vstream(), f_idx,
+                           checkpoint_dir=str(tmp_path / "fckpt"))
+    assert sorted(map(tuple, spark.read.parquet(f_idx).collect())) == got_f
+
+    probe = spark.createDataFrame(
+        [(100, "image/pgm", frame(8))], schema
+    )
+    hits = image_video_matches(
+        image_dhash(probe), spark.read.parquet(f_idx)
+    ).collect()
+    assert any(r["video_id"] == 1 and r["hamming"] == 0 for r in hits)
