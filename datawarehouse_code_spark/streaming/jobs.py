@@ -1469,10 +1469,12 @@ def run_multimodal_gated_ingest(
       anti-joined out, the cross-modal generalization of survivor
       self-exclusion: a crash between index extends and the replay
       reaches identical decisions whether or not the other modality's
-      extend landed, at the documented cost of a one-batch blind
-      window (an image and the video containing it arriving in the
-      SAME micro-batch are both accepted; a later re-delivery of
-      either is gated).
+      extend landed.  Same-batch arrivals are handled by a
+      batch-internal leg (pure function of the batch — no replay
+      hazard): an image contained in a batch-mate video drops, while
+      a video composed of batch-mate images deliberately survives
+      carrying them (the superset-content rule; the coverage
+      rejection runs only against the corpus index).
 
     Scale shape per batch: four narrow decode+fingerprint maps (one
     per present modality) + one equi-join per lane against its
@@ -1644,6 +1646,28 @@ def run_multimodal_gated_ingest(
         if frame_index_path is not None:
             vframes = vq.filter(F.col("frame_idx").isNotNull()).select(
                 "media_id", "frame_idx", "b0", "b1", "b2", "b3"
+            )
+            # batch-internal cross-modal: an image contained in a
+            # batch-mate video drops — a pure function of the batch,
+            # so no replay hazard, and it closes the same-batch blind
+            # window in the image→video direction.  Deliberately
+            # one-directional: the video is the SUPERSET content, so
+            # a video composed of batch-mate images survives carrying
+            # them (dropping both sides would lose the content
+            # entirely); the video coverage rule runs only against
+            # the CORPUS index below.  Like the same-modality gates,
+            # decisions are computed on the raw batch — an image
+            # contained in a video that itself gets rejected still
+            # drops (the smaller-id convention's cross-modal twin).
+            rejected_parts.append(
+                video_image_matches(
+                    vframes,
+                    build_dhash_index(None, grid=grid, hashes=ihashes),
+                    max_hamming=max_hamming, band_cap=band_cap,
+                )
+                .select(F.col("image_id").alias("media_id"))
+                .distinct()
+                .withColumn("modality", F.lit("image"))
             )
             if table_exists(sp, image_index_path):
                 # a new video whose frames are mostly already-known

@@ -1833,3 +1833,87 @@ def test_phash_and_frame_index_ingest_stream_equals_batch(spark, tmp_path):
         image_dhash(probe), spark.read.parquet(f_idx)
     ).collect()
     assert any(r["video_id"] == 1 and r["hamming"] == 0 for r in hits)
+
+
+def test_multimodal_gate_same_batch_cross_modal(spark, tmp_path):
+    """The batch-internal cross-modal leg: an image and the video
+    containing it arriving in the SAME micro-batch — the image drops
+    (containment), the video survives carrying the content (the
+    superset-content rule), and a replay is a no-op."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from datawarehouse_code_spark.operators.multimodal import encode_gray_pgm
+    from datawarehouse_code_spark.operators.video_dedup import encode_video
+    from datawarehouse_code_spark.streaming.jobs import (
+        run_multimodal_gated_ingest,
+    )
+
+    def frame9x8(seed):
+        out = bytearray()
+        for r in range(8):
+            b = ((seed * 8 + r) * 37) % 256
+            v = 128
+            out.append(v)
+            for c in range(8):
+                v += 1 if (b >> c) & 1 else -1
+                out.append(v)
+        return encode_gray_pgm(9, 8, bytes(out))
+
+    batch0 = [
+        (1, "image/pgm", frame9x8(3), None),  # contained in video 2
+        (2, "video/vid0", encode_video([frame9x8(3), frame9x8(4)]), None),
+        (3, "image/pgm", frame9x8(20), None),  # unrelated survivor
+    ]
+    land = tmp_path / "sb_landing"
+    land.mkdir()
+    f = land / "b0.parquet"
+    pdf = pd.DataFrame(
+        batch0, columns=["media_id", "media_type", "content", "text"]
+    )
+    pdf["text"] = pdf["text"].astype("string")
+    pdf.to_parquet(f, index=False)
+    os.utime(f, (time.time() - 600, time.time() - 600))
+
+    schema = (
+        "media_id BIGINT, media_type STRING, content BINARY, text STRING"
+    )
+    paths = {
+        k: str(tmp_path / k)
+        for k in ("target", "ledger", "t_idx", "i_idx", "a_idx", "v_idx",
+                  "p_idx", "f_idx")
+    }
+
+    def run():
+        run_multimodal_gated_ingest(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(str(land)),
+            paths["target"], paths["ledger"],
+            paths["t_idx"], paths["i_idx"], paths["a_idx"], paths["v_idx"],
+            checkpoint_dir=str(tmp_path / "sb_ckpt"),
+            image_phash_index_path=paths["p_idx"],
+            frame_index_path=paths["f_idx"],
+        )
+
+    run()
+    ledger = {
+        r["media_id"]: r["status"]
+        for r in spark.read.parquet(paths["ledger"]).collect()
+    }
+    assert ledger == {1: "rejected", 2: "accepted", 3: "accepted"}, ledger
+    # the dropped image never reaches the image index; the video's
+    # frames are indexed, so a LATER re-delivery of the image is
+    # rejected through the frame index too
+    assert {
+        r["media_id"] for r in spark.read.parquet(paths["i_idx"]).collect()
+    } == {3}
+    assert {
+        r["media_id"] for r in spark.read.parquet(paths["f_idx"]).collect()
+    } == {2}
+    run()
+    assert {
+        r["media_id"]: r["status"]
+        for r in spark.read.parquet(paths["ledger"]).collect()
+    } == ledger
