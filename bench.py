@@ -214,6 +214,7 @@ HEADLINE = [
     "media_phash_dct_pairs",
     "image_video_matches",
     "media_phash_dct_incremental",
+    "cross_modal_suite",
 ]
 
 

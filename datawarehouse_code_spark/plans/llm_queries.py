@@ -4183,6 +4183,118 @@ SELECT * FROM (
 """
 
 
+def _cross_modal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-13 perceptual-envelope family as ONE labeled suite
+    (supplementary, staged for a one-swap driver-window promotion —
+    the media_dedup_suite precedent): BOTH cross-modal directions
+    (video frames vs the image index; new images vs the frame index)
+    and BOTH DCT-pHash legs (pairs + increment-vs-index).  Normalized
+    columns: d1/d2 = (detecting, corpus) ids, f = frame_idx for the
+    cross-modal legs (NULL for pHash), n1 = shared bands, n2 = exact
+    hamming.
+
+    Shared materialization (the suite doctrine): the cross-modal legs
+    decode the xmodal images and walk the videos ONCE each
+    (localCheckpointed image_dhash and video_frame_dhashes feed both
+    directions), and the pHash legs share one image_phash pass
+    through the hashes= pass-throughs — leg values equal the
+    standalone rows' (per-payload pure functions)."""
+    from datawarehouse_code_spark.operators.media_dedup import (
+        build_dhash_index,
+        dhash_matches_incremental,
+        dhash_near_dup_pairs,
+        image_dhash,
+        image_phash,
+    )
+    from datawarehouse_code_spark.operators.video_dedup import (
+        build_frame_dhash_index,
+        image_video_matches,
+        video_frame_dhashes,
+        video_image_matches,
+    )
+
+    ihashes = image_dhash(
+        _xmodal_image_media(spark, sf_dir)
+    ).localCheckpoint()
+    frames = video_frame_dhashes(
+        _cross_modal_video_media(spark, sf_dir)
+    ).localCheckpoint()
+    vi = video_image_matches(
+        frames, build_dhash_index(None, hashes=ihashes),
+        max_hamming=6, band_cap=50,
+    ).select(
+        F.lit("video_image").alias("part"),
+        F.col("video_id").cast("bigint").alias("d1"),
+        F.col("image_id").cast("bigint").alias("d2"),
+        F.col("frame_idx").cast("bigint").alias("f"),
+        F.col("n_shared_bands").cast("bigint").alias("n1"),
+        F.col("hamming").cast("bigint").alias("n2"),
+    )
+    iv = image_video_matches(
+        ihashes, build_frame_dhash_index(frames),
+        max_hamming=6, band_cap=50,
+    ).select(
+        F.lit("image_video").alias("part"),
+        F.col("image_id").cast("bigint").alias("d1"),
+        F.col("video_id").cast("bigint").alias("d2"),
+        F.col("frame_idx").cast("bigint").alias("f"),
+        F.col("n_shared_bands").cast("bigint").alias("n1"),
+        F.col("hamming").cast("bigint").alias("n2"),
+    )
+    phashes = image_phash(
+        _phash_dct_media(spark, sf_dir)
+    ).localCheckpoint()
+    pp = dhash_near_dup_pairs(
+        phashes, max_hamming=6, band_cap=50
+    ).select(
+        F.lit("phash").alias("part"),
+        F.col("d1").cast("bigint").alias("d1"),
+        F.col("d2").cast("bigint").alias("d2"),
+        F.lit(None).cast("bigint").alias("f"),
+        F.col("n_shared_bands").cast("bigint").alias("n1"),
+        F.col("hamming").cast("bigint").alias("n2"),
+    )
+    pi = dhash_matches_incremental(
+        None,
+        build_dhash_index(
+            None, hashes=phashes.filter(F.col("media_id") % 2 == 1)
+        ),
+        max_hamming=6, band_cap=50,
+        new_hashes=phashes.filter(F.col("media_id") % 2 == 0),
+    ).select(
+        F.lit("phash_incr").alias("part"),
+        F.col("d_new").cast("bigint").alias("d1"),
+        F.col("d_corpus").cast("bigint").alias("d2"),
+        F.lit(None).cast("bigint").alias("f"),
+        F.col("n_shared_bands").cast("bigint").alias("n1"),
+        F.col("hamming").cast("bigint").alias("n2"),
+    )
+    return vi.unionByName(iv).unionByName(pp).unionByName(pi)
+
+
+_CROSS_MODAL_SUITE_SQL = f"""
+SELECT 'video_image' AS part, CAST(video_id AS BIGINT) AS d1,
+       CAST(image_id AS BIGINT) AS d2, CAST(frame_idx AS BIGINT) AS f,
+       CAST(n_shared_bands AS BIGINT) AS n1, CAST(hamming AS BIGINT) AS n2
+FROM ({_VIDEO_IMAGE_MATCHES_SQL})
+UNION ALL
+SELECT 'image_video', CAST(image_id AS BIGINT), CAST(video_id AS BIGINT),
+       CAST(frame_idx AS BIGINT), CAST(n_shared_bands AS BIGINT),
+       CAST(hamming AS BIGINT)
+FROM ({_IMAGE_VIDEO_MATCHES_SQL})
+UNION ALL
+SELECT 'phash', CAST(d1 AS BIGINT), CAST(d2 AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(n_shared_bands AS BIGINT),
+       CAST(hamming AS BIGINT)
+FROM ({_PHASH_DCT_PAIRS_SQL})
+UNION ALL
+SELECT 'phash_incr', CAST(d_new AS BIGINT), CAST(d_corpus AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(n_shared_bands AS BIGINT),
+       CAST(hamming AS BIGINT)
+FROM ({_PHASH_DCT_INCR_SQL})
+"""
+
+
 def _media_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual dedup carried to the DROP decision — the media twin
     of corpus_survivors: dHash near-dup pairs cluster into connected
@@ -4537,6 +4649,13 @@ LLM_SUPPLEMENTARY: list[Query] = [
           "the persisted band index — each 2x box downscale lands on "
           "its original at hamming 0 through the unchanged "
           "incremental machinery (planted-twins outcome oracle)"),
+    Query("cross_modal_suite", _cross_modal_suite,
+          _CROSS_MODAL_SUITE_SQL,
+          "north-star: the round-13 perceptual-envelope family as one "
+          "labeled suite — both cross-modal directions + both DCT "
+          "pHash legs, sharing one decode per fixture table (staged "
+          "supplementary for a one-swap driver-window promotion, the "
+          "media_dedup_suite precedent)"),
     Query("video_fp_pairs", _video_fp_pairs, _VIDEO_FP_PAIRS_SQL,
           "north-star: video near-dup pairs — temporal grams of "
           "per-frame dHashes over real VID0 containers, frame-trim "

@@ -186,6 +186,10 @@ PLAN_BOUNDS = {
     # round-13 pHash increment: one checkpointed image_phash pass
     # feeds both member filters (measured 0/3 post-cut)
     "media_phash_dct_incremental": (2, 5),
+    # the four-leg cross-modal/pHash suite: three checkpointed decode
+    # passes (image dHash, frame walk, image pHash) feed all four
+    # legs (measured 0/14 post-cut; bound pins the cuts STAY)
+    "cross_modal_suite": (3, 18),
 }
 
 
