@@ -186,7 +186,7 @@ def phash_bits(
         raise ValueError(f"pHash block must be even (got {block})")
     if width < size or height < size:
         raise ValueError(
-            f"image {width}x{width} smaller than the {size}x{size} "
+            f"image {width}x{height} smaller than the {size}x{size} "
             "pHash grid"
         )
     a = np.frombuffer(pixels, dtype=np.uint8).reshape(
@@ -726,6 +726,13 @@ def image_fingerprints_quarantine(
     import numpy as np
 
     from datawarehouse_code_spark.operators.multimodal import decode_image
+
+    if grid != 8 or size != 32:
+        raise ValueError(
+            "image_fingerprints_quarantine's band schema is fixed at "
+            f"grid=8/size=32 (got grid={grid}, size={size}) — the "
+            "image_dhash/image_phash contract"
+        )
 
     def _pack64(bands) -> int:
         u = np.uint64(0)

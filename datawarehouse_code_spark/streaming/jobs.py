@@ -478,12 +478,16 @@ def _pair_share_rejects(
     fps: DataFrame, key: str, id_col: str, min_shared: int
 ) -> DataFrame:
     """Batch-internal rejects of a share-count gate: the LARGER id of
-    every pair sharing ≥ `min_shared` distinct `key` values (the
-    smaller-id drop rule every dedup here uses).  PER-PAIR counts —
-    groupBy BOTH ids: min_shared is a pair threshold, matching the
-    batch detectors; counting across partners would reject an item
-    sharing one key each with several unrelated items (the r12 gate
-    bug, fixed everywhere by this single implementation)."""
+    every pair sharing ≥ `min_shared` matching `key` rows (OCCURRENCE
+    grain — a doc carrying the same chunk twice shares two rows,
+    exactly the count(*) grain of cdc_matches_incremental /
+    cdc_shared_chunks; the fp inputs are distinct-per-media upstream,
+    so occurrence ≡ distinct there).  Smaller-id drop rule, PER-PAIR
+    counts — groupBy BOTH ids: min_shared is a pair threshold,
+    matching the batch detectors; counting across partners would
+    reject an item sharing one key each with several unrelated items
+    (the r12 gate bug, fixed everywhere by this single
+    implementation)."""
     a = fps.select(F.col(id_col).alias("_d1"), key)
     b = fps.select(F.col(id_col).alias("_d2"), key)
     return (
@@ -501,9 +505,11 @@ def _cross_share_rejects(
     fps: DataFrame, idx: DataFrame, key: str, id_col: str, min_shared: int
 ) -> DataFrame:
     """Cross-index rejects of a share-count gate: batch items sharing
-    ≥ `min_shared` distinct `key` values with an already-ingested item
-    (self-matches excluded by id, so crash replays whose survivors
-    already reached the index still pass)."""
+    ≥ `min_shared` matching `key` rows with an already-ingested item
+    (occurrence grain, as in _pair_share_rejects — the batch
+    detectors' count(*) contract; self-matches excluded by id, so
+    crash replays whose survivors already reached the index still
+    pass)."""
     return (
         fps.join(idx.select(F.col(id_col).alias("_dc"), key), key)
         .filter(F.col(id_col) != F.col("_dc"))
@@ -1494,6 +1500,7 @@ def run_multimodal_gated_ingest(
         build_frame_dhash_index,
         image_video_matches,
         video_fingerprints_frames_quarantine,
+        video_fingerprints_quarantine,
         video_image_matches,
     )
     from datawarehouse_code_spark.sources.acid import (
@@ -1623,9 +1630,16 @@ def run_multimodal_gated_ingest(
 
         # ---- video lane: temporal-gram gate + forward cross-modal
         # when the frame index is configured (one container walk +
-        # decode feeds grams, frame rows and the quarantine lane)
+        # decode feeds grams, frame rows and the quarantine lane;
+        # with the frame legs OFF the grams-only map avoids
+        # materializing per-frame rows no consumer reads)
         video = batch.filter(F.col("media_type").startswith("video/"))
-        vq = video_fingerprints_frames_quarantine(video).localCheckpoint()
+        if frame_index_path is not None:
+            vq = video_fingerprints_frames_quarantine(
+                video
+            ).localCheckpoint()
+        else:
+            vq = video_fingerprints_quarantine(video).localCheckpoint()
         quarantined_parts.append(
             vq.filter(F.col("decode_error").isNotNull()).select(
                 "media_id", F.lit("video").alias("modality"),
@@ -1694,17 +1708,25 @@ def run_multimodal_gated_ingest(
                  video.select("media_id"), "media_id")
             )
 
-        # ---- unrouteable media_type -> quarantine
+        # ---- unrouteable media_type -> quarantine.  NULL-safe: a
+        # NULL media_type matches NO lane filter (startswith yields
+        # NULL) and would slip past per-prefix negations too — the
+        # coalesce routes it here instead of silently accepting an
+        # un-gated payload into the target
         known = ("text/", "image/", "audio/", "video/")
-        unknown = batch
+        routed = F.lit(False)
         for p in known:
-            unknown = unknown.filter(~F.col("media_type").startswith(p))
+            routed = routed | F.col("media_type").startswith(p)
+        unknown = batch.filter(~F.coalesce(routed, F.lit(False)))
         quarantined_parts.append(
             unknown.select(
                 "media_id",
-                _modality(F.col("media_type")).alias("modality"),
+                F.coalesce(
+                    _modality(F.col("media_type")), F.lit("unknown")
+                ).alias("modality"),
                 F.concat(
-                    F.lit("unsupported media_type: "), F.col("media_type")
+                    F.lit("unsupported media_type: "),
+                    F.coalesce(F.col("media_type"), F.lit("NULL")),
                 ).alias("reason"),
             )
         )
@@ -1715,9 +1737,12 @@ def run_multimodal_gated_ingest(
         quarantined = quarantined_parts[0]
         for p in quarantined_parts[1:]:
             quarantined = quarantined.unionByName(p)
-        # decisions feed the target write, four index extends and the
-        # ledger — materialize them once
-        rejected = rejected.localCheckpoint()
+        # decisions feed the target write, the index extends and the
+        # ledger — materialize them once.  distinct: an item rejected
+        # by several legs (dHash AND pHash, gate AND cross-modal)
+        # must still write ONE ledger row (replace_keyed inserts all
+        # update rows, so duplicates would survive the keyed delete)
+        rejected = rejected.distinct().localCheckpoint()
         quarantined = quarantined.localCheckpoint()
 
         dropped = rejected.select("media_id").unionByName(

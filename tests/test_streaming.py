@@ -1501,9 +1501,10 @@ def test_multimodal_gated_ingest_mixed_feed(spark, tmp_path):
         (12, "audio/wav", encode_pcm_wav(8000, [audio[16:136]]), None),
         (13, "video/vid0", encode_video(vframes[2:]), None),
         # quarantine lanes: undecodable image (truncated raster),
-        # unrouteable type
+        # unrouteable type, NULL media_type (must not bypass the gate)
         (14, "image/pgm", raster(3)[:-20], None),
         (15, "application/pdf", b"%PDF-", None),
+        (18, None, b"mystery", None),
         # unrelated survivors, one per modality
         (16, "text/plain", None,
          " ".join(f"u16w{i}" for i in range(14))),
@@ -1552,6 +1553,7 @@ def test_multimodal_gated_ingest_mixed_feed(spark, tmp_path):
         12: ("audio", "rejected"), 13: ("video", "rejected"),
         14: ("image", "quarantined"), 15: ("application", "quarantined"),
         16: ("text", "accepted"), 17: ("image", "accepted"),
+        18: ("unknown", "quarantined"),
     }, ledger
     reasons = {
         r["media_id"]: r["reason"]
@@ -1560,6 +1562,7 @@ def test_multimodal_gated_ingest_mixed_feed(spark, tmp_path):
     assert reasons[10] == "near-duplicate"
     assert "ValueError" in reasons[14]
     assert "unsupported media_type" in reasons[15]
+    assert reasons[18] == "unsupported media_type: NULL"
 
     # rejects and quarantines never reach any index (the text index
     # keeps the CDC tooling's native doc_id key)
@@ -1660,6 +1663,9 @@ def test_multimodal_gate_phash_and_cross_modal_legs(spark, tmp_path):
         (13, "video/vid0", encode_video([img_a, frame9x8(77)]), None),  # 1
         (14, "image/pgm",
          encode_gray_pgm(32, 32, base32("mmgate-u").tobytes()), None),
+        # EXACT copy of the ingested original: rejected by the dHash
+        # leg AND the pHash leg — must still write ONE ledger row
+        (15, "image/pgm", img_a, None),
     ]
 
     land = tmp_path / "xmm_landing"
@@ -1695,15 +1701,15 @@ def test_multimodal_gate_phash_and_cross_modal_legs(spark, tmp_path):
         )
 
     run()
-    ledger = {
-        r["media_id"]: r["status"]
-        for r in spark.read.parquet(paths["ledger"]).collect()
-    }
+    ledger_rows = spark.read.parquet(paths["ledger"]).collect()
+    ledger = {r["media_id"]: r["status"] for r in ledger_rows}
     assert ledger == {
         1: "accepted", 2: "accepted",
         10: "rejected", 11: "rejected", 12: "rejected",
-        13: "accepted", 14: "accepted",
+        13: "accepted", 14: "accepted", 15: "rejected",
     }, ledger
+    # the dual-leg reject (dHash AND pHash) writes exactly ONE row
+    assert sum(1 for r in ledger_rows if r["media_id"] == 15) == 1
 
     # survivors only, in every index
     assert {
