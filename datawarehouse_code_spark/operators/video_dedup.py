@@ -512,3 +512,51 @@ def video_fingerprints_frames_quarantine(
             )
 
     return media.mapInPandas(batches, VIDEO_FPS_FRAMES_QUARANTINE_SCHEMA)
+
+
+def video_frame_phashes(media: DataFrame) -> DataFrame:
+    """Per-frame DCT pHash rows from VID0 containers: (media_id,
+    frame_idx, b0..b3) in the shared band layout — the pHash twin of
+    video_frame_dhashes, completing the cross-modal envelope matrix
+    (both algos × both directions): a video containing a RESCALED
+    copy of a corpus image flips the frame's dHash bits unpredictably
+    but lands on the image's pHash exactly (the interpolated-rescale
+    envelope).  Frames below the 32×32 pHash grid yield no row (the
+    image_phash skip_small contract — dHash carries them); container
+    and decode failures stay loud, same as video_frame_dhashes.
+    Build the frame index with build_frame_dhash_index and match with
+    image_video_matches / video_image_matches — the band machinery is
+    layout-generic; keep pHash frame indexes SEPARATE from dHash
+    frame indexes (unrelated band spaces)."""
+    import pandas as pd
+
+    from datawarehouse_code_spark.operators.media_dedup import phash_bits
+    from datawarehouse_code_spark.operators.multimodal import decode_image
+
+    def batches(it):
+        for pdf in it:
+            ids, idxs, bands = [], [], []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                for j, payload in enumerate(
+                    decode_video_frames(bytes(content))
+                ):
+                    w, h, ch, px = decode_image(payload)
+                    if w < 32 or h < 32:
+                        continue
+                    ids.append(media_id)
+                    idxs.append(j)
+                    bands.append(phash_bits(w, h, ch, px))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "b0": pd.Series([b[0] for b in bands], dtype="int32"),
+                    "b1": pd.Series([b[1] for b in bands], dtype="int32"),
+                    "b2": pd.Series([b[2] for b in bands], dtype="int32"),
+                    "b3": pd.Series([b[3] for b in bands], dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(batches, VIDEO_FRAME_DHASH_SCHEMA)

@@ -437,3 +437,84 @@ def test_rtbf_closes_over_the_frame_index(spark, tmp_path):
         image_dhash(probe), spark.read.parquet(path)
     ).collect()
     assert not any(r["video_id"] == 1 for r in after)
+
+
+def test_frame_phash_catches_rescaled_image_in_video_both_directions(spark):
+    """The envelope-matrix corner: a video frame that is the 2x
+    upscale of a corpus image drifts PAST the dHash radius (salt
+    chosen so the twins' dHash hamming is 8) but lands on the image's
+    pHash exactly — video_frame_phashes + the unchanged band
+    machinery detect it in BOTH directions, and the dHash frame lane
+    confirms its documented miss."""
+    import hashlib
+
+    import numpy as np
+
+    from datawarehouse_code_spark.operators.media_dedup import (
+        build_dhash_index,
+        image_dhash,
+        image_phash,
+        phash_view,
+    )
+    from datawarehouse_code_spark.operators.media_dedup import (
+        image_fingerprints_quarantine,
+    )
+    from datawarehouse_code_spark.operators.video_dedup import (
+        build_frame_dhash_index,
+        image_video_matches,
+        video_frame_dhashes,
+        video_frame_phashes,
+        video_image_matches,
+    )
+
+    def base32(salt):
+        return np.frombuffer(
+            b"".join(
+                hashlib.sha256(f"{salt}:{i}".encode()).digest()
+                for i in range(32)
+            ),
+            dtype=np.uint8,
+        ).reshape(32, 32)
+
+    b = base32("mmgate-b")  # dHash hamming 8 / pHash hamming 0 twins
+    img32 = encode_gray_pgm(32, 32, b.tobytes())
+    img64 = encode_gray_pgm(
+        64, 64, np.repeat(np.repeat(b, 2, 0), 2, 1).tobytes()
+    )
+    images = spark.createDataFrame(
+        [(100, "image/pgm", img32)], ["media_id", "media_type", "content"]
+    )
+    videos = spark.createDataFrame(
+        [(1, "video/vid0", encode_video([img64, _frame(7)]))],
+        ["media_id", "media_type", "content"],
+    )
+
+    # forward: video frames vs the image pHash index
+    p_idx = build_dhash_index(None, hashes=image_phash(images))
+    got = {
+        (r["video_id"], r["frame_idx"], r["image_id"], r["hamming"])
+        for r in video_image_matches(
+            video_frame_phashes(videos), p_idx
+        ).collect()
+    }
+    assert got == {(1, 0, 100, 0)}
+
+    # reverse: the image vs a pHash frame index
+    f_idx = build_frame_dhash_index(video_frame_phashes(videos))
+    rev = {
+        (r["image_id"], r["video_id"], r["frame_idx"], r["hamming"])
+        for r in image_video_matches(
+            phash_view(image_fingerprints_quarantine(images)), f_idx
+        ).collect()
+    }
+    assert rev == {(100, 1, 0, 0)}
+
+    # the dHash frame lane misses the rescale (the documented gap
+    # this operator closes)
+    d_idx = build_dhash_index(None, hashes=image_dhash(images))
+    assert video_image_matches(
+        video_frame_dhashes(videos), d_idx
+    ).count() == 0
+
+    # sub-32px frames yield no pHash row (frame 1 is 9x8)
+    assert video_frame_phashes(videos).count() == 1
