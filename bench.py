@@ -215,6 +215,7 @@ HEADLINE = [
     "image_video_matches",
     "media_phash_dct_incremental",
     "cross_modal_suite",
+    "video_frame_phash_matches",
 ]
 
 

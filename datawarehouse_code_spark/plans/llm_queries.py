@@ -3630,6 +3630,98 @@ FROM g
 """
 
 
+def _phash_video_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video side of the frame-pHash fixture: one VID0 per GROUP
+    (media_id = g, built from the even member's doc row) whose frame
+    0 is the 64×64 ORIGINAL raster of _phash_dct_media's group g and
+    frame 1 a 9×8 pad below the pHash grid (exercising the skip in
+    the oracle path).  The 32×32 member-0 image is frame 0's exact
+    2× box downscale, so the cross-modal pHash match is closed-form:
+    (image 2g, video g, frame 0, 4 bands, hamming 0)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd  # noqa: F811
+
+    from datawarehouse_code_spark.operators.multimodal import encode_gray_pgm
+    from datawarehouse_code_spark.operators.video_dedup import encode_video
+
+    docs = (
+        read_table(spark, "documents", sf_dir)
+        .select("doc_id")
+        .filter(F.col("doc_id") % 2 == 0)
+    )
+    pad = encode_gray_pgm(9, 8, bytes(range(128, 128 + 72)))
+
+    def build(it):
+        for pdf in it:
+            ids, types, blobs = [], [], []
+            for d in pdf["doc_id"]:
+                grp = int(d) // 2
+                vals = np.frombuffer(
+                    b"".join(
+                        hashlib.sha256(f"phash:{grp}:{i}".encode()).digest()
+                        for i in range(32)
+                    ),
+                    dtype=np.uint8,
+                ).reshape(32, 32)
+                vals = np.repeat(np.repeat(vals, 2, axis=0), 2, axis=1)
+                ids.append(grp)
+                types.append("video/vid0")
+                blobs.append(
+                    encode_video([encode_gray_pgm(64, 64, vals.tobytes()),
+                                  pad])
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "media_type": pd.Series(types, dtype=object),
+                    "content": pd.Series(blobs, dtype=object),
+                }
+            )
+
+    return docs.mapInPandas(
+        build, "media_id BIGINT, media_type STRING, content BINARY"
+    )
+
+
+def _video_frame_phash_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rescaled-image-in-video corner through the layout-generic
+    band machinery (operators/video_dedup.py video_frame_phashes +
+    image_video_matches): new 32×32 images vs a pHash FRAME index of
+    videos whose frame 0 is each image's 64×64 original — the frame's
+    dHash drifts past the radius under the rescale, its pHash lands
+    exactly.  Oracle grain is the planted outcome (the DCT arithmetic
+    is construction-pinned in tests): every even doc's image meets
+    its group's video at frame 0, 4 bands, hamming 0; the sub-grid
+    pad frame contributes nothing."""
+    from datawarehouse_code_spark.operators.media_dedup import image_phash
+    from datawarehouse_code_spark.operators.video_dedup import (
+        build_frame_dhash_index,
+        image_video_matches,
+        video_frame_phashes,
+    )
+
+    fidx = build_frame_dhash_index(
+        video_frame_phashes(_phash_video_media(spark, sf_dir))
+    ).localCheckpoint()
+    new_images = _phash_dct_media(spark, sf_dir).filter(
+        F.col("media_id") % 2 == 0
+    )
+    return image_video_matches(
+        image_phash(new_images), fidx, max_hamming=6, band_cap=50,
+    )
+
+
+_VIDEO_FRAME_PHASH_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS image_id,
+       CAST(doc_id // 2 AS BIGINT) AS video_id,
+       CAST(0 AS INTEGER) AS frame_idx,
+       CAST(4 AS INTEGER) AS n_shared_bands, CAST(0 AS INTEGER) AS hamming
+FROM documents WHERE doc_id % 2 = 0
+"""
+
+
 def _audio_fp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The audio-fingerprint oracle fixture: per doc_id a REAL 16-bit
     PCM WAV of 96 samples where group = doc_id//4 picks the base
@@ -4649,6 +4741,13 @@ LLM_SUPPLEMENTARY: list[Query] = [
           "the persisted band index — each 2x box downscale lands on "
           "its original at hamming 0 through the unchanged "
           "incremental machinery (planted-twins outcome oracle)"),
+    Query("video_frame_phash_matches", _video_frame_phash_matches,
+          _VIDEO_FRAME_PHASH_SQL,
+          "north-star: the rescaled-image-in-video corner — pHash "
+          "frame rows through the layout-generic band machinery, so "
+          "a video frame that is a rescaled copy of a corpus image "
+          "is detected where frame dHash drifts past the radius "
+          "(planted outcome oracle; sub-grid pad frame pins the skip)"),
     Query("cross_modal_suite", _cross_modal_suite,
           _CROSS_MODAL_SUITE_SQL,
           "north-star: the round-13 perceptual-envelope family as one "

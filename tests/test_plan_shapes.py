@@ -190,6 +190,9 @@ PLAN_BOUNDS = {
     # passes (image dHash, frame walk, image pHash) feed all four
     # legs (measured 0/14 post-cut; bound pins the cuts STAY)
     "cross_modal_suite": (3, 18),
+    # the rescaled-frame corner: one image pHash map + the
+    # checkpoint-terminated pHash frame index (measured 2/3)
+    "video_frame_phash_matches": (3, 5),
 }
 
 
