@@ -97,6 +97,11 @@ PHASH_SCHEMA = (
     "media_id BIGINT, b0 INT, b1 INT, b2 INT, b3 INT, phash BIGINT"
 )
 
+# the pHash downsample grid — the ONE constant every size gate
+# derives from (phash_bits sizing, image_phash/skip_small, the
+# combined map's per-algo nullability, the frame-pHash skip)
+PHASH_SIZE = 32
+
 _DCT_BASES: dict[int, object] = {}
 
 
@@ -151,7 +156,7 @@ def phash_bits(
     height: int,
     n_channels: int,
     pixels: bytes,
-    size: int = 32,
+    size: int = PHASH_SIZE,
     block: int = 8,
 ) -> tuple[int, int, int, int]:
     """DCT perceptual hash (pHash) of one decoded raster as four
@@ -207,7 +212,7 @@ def phash_bits(
 
 
 def image_phash(
-    media: DataFrame, size: int = 32, skip_small: bool = False
+    media: DataFrame, size: int = PHASH_SIZE, skip_small: bool = False
 ) -> DataFrame:
     """Per-media DCT pHash over REAL decoded pixels — the second
     perceptual fingerprint beside image_dhash, covering the rescale
@@ -706,7 +711,7 @@ IMAGE_FPS_QUARANTINE_SCHEMA = (
 
 
 def image_fingerprints_quarantine(
-    media: DataFrame, grid: int = 8, size: int = 32
+    media: DataFrame, grid: int = 8, size: int = PHASH_SIZE
 ) -> DataFrame:
     """BOTH perceptual image fingerprints — dHash (b0..b3, dhash) and
     DCT pHash (p0..p3, phash) — from ONE decode per payload, with the

@@ -241,17 +241,13 @@ VIDEO_FRAME_DHASH_SCHEMA = (
 )
 
 
-def video_frame_dhashes(media: DataFrame) -> DataFrame:
-    """Per-FRAME dHash rows from VID0 containers: (media_id,
-    frame_idx, b0..b3) — one row per decoded frame, the frame-grain
-    sibling of video_fingerprints (which grams ≥2 frames and so can
-    never see a single frame).  This is the cross-modal bridge: the
-    rows carry the image detector's EXACT hash in the image index's
-    band layout, so a still image re-used as a frame inside a video
-    equi-joins the persisted dHash band index directly
-    (video_image_matches below).  A narrow Arrow-batched map — frames
-    and pixels never leave the worker, only 6 small ints per frame do;
-    the loud-failure decode contract is the container walk's."""
+def _frame_rows_map(media: DataFrame, tuples_fn) -> DataFrame:
+    """The shared frame-row map both per-frame hash lanes ride:
+    `tuples_fn(frames) -> [(frame_idx, band_tuple)]` is the only
+    difference between the dHash and pHash variants, so the container
+    walk, the narrow Arrow shape and the output schema live in
+    exactly one place (a fix to either lane cannot desynchronize the
+    frame alignment the cross-modal matrix assumes)."""
     import pandas as pd
 
     def batches(it):
@@ -260,10 +256,8 @@ def video_frame_dhashes(media: DataFrame) -> DataFrame:
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 if content is None:
                     continue
-                for j, t in enumerate(
-                    video_frame_band_tuples(
-                        decode_video_frames(bytes(content))
-                    )
+                for j, t in tuples_fn(
+                    decode_video_frames(bytes(content))
                 ):
                     ids.append(media_id)
                     idxs.append(j)
@@ -280,6 +274,23 @@ def video_frame_dhashes(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, VIDEO_FRAME_DHASH_SCHEMA)
+
+
+def video_frame_dhashes(media: DataFrame) -> DataFrame:
+    """Per-FRAME dHash rows from VID0 containers: (media_id,
+    frame_idx, b0..b3) — one row per decoded frame, the frame-grain
+    sibling of video_fingerprints (which grams ≥2 frames and so can
+    never see a single frame).  This is the cross-modal bridge: the
+    rows carry the image detector's EXACT hash in the image index's
+    band layout, so a still image re-used as a frame inside a video
+    equi-joins the persisted dHash band index directly
+    (video_image_matches below).  A narrow Arrow-batched map — frames
+    and pixels never leave the worker, only 6 small ints per frame do;
+    the loud-failure decode contract is the container walk's."""
+    return _frame_rows_map(
+        media,
+        lambda frames: list(enumerate(video_frame_band_tuples(frames))),
+    )
 
 
 def video_image_matches(
@@ -528,35 +539,19 @@ def video_frame_phashes(media: DataFrame) -> DataFrame:
     image_video_matches / video_image_matches — the band machinery is
     layout-generic; keep pHash frame indexes SEPARATE from dHash
     frame indexes (unrelated band spaces)."""
-    import pandas as pd
-
-    from datawarehouse_code_spark.operators.media_dedup import phash_bits
+    from datawarehouse_code_spark.operators.media_dedup import (
+        PHASH_SIZE,
+        phash_bits,
+    )
     from datawarehouse_code_spark.operators.multimodal import decode_image
 
-    def batches(it):
-        for pdf in it:
-            ids, idxs, bands = [], [], []
-            for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                if content is None:
-                    continue
-                for j, payload in enumerate(
-                    decode_video_frames(bytes(content))
-                ):
-                    w, h, ch, px = decode_image(payload)
-                    if w < 32 or h < 32:
-                        continue
-                    ids.append(media_id)
-                    idxs.append(j)
-                    bands.append(phash_bits(w, h, ch, px))
-            yield pd.DataFrame(
-                {
-                    "media_id": pd.Series(ids, dtype="int64"),
-                    "frame_idx": pd.Series(idxs, dtype="int32"),
-                    "b0": pd.Series([b[0] for b in bands], dtype="int32"),
-                    "b1": pd.Series([b[1] for b in bands], dtype="int32"),
-                    "b2": pd.Series([b[2] for b in bands], dtype="int32"),
-                    "b3": pd.Series([b[3] for b in bands], dtype="int32"),
-                }
-            )
+    def tuples(frames):
+        out = []
+        for j, payload in enumerate(frames):
+            w, h, ch, px = decode_image(payload)
+            if w < PHASH_SIZE or h < PHASH_SIZE:
+                continue
+            out.append((j, phash_bits(w, h, ch, px)))
+        return out
 
-    return media.mapInPandas(batches, VIDEO_FRAME_DHASH_SCHEMA)
+    return _frame_rows_map(media, tuples)

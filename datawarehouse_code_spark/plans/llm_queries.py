@@ -3496,44 +3496,62 @@ SELECT * FROM (
 """
 
 
-def _phash_dct_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The DCT-pHash oracle fixture: per doc_id a REAL grayscale PGM —
-    group doc_id//2 draws a 32×32 base raster (the sha256 expansion
-    of the group id — the oracle here is OUTCOME-grain and never
-    replays pixels, so the fixture can use a cryptographically strong
-    byte source; every knuth-derived slice is periodic in some group
-    distance, the trap that planted spurious twin groups in this
-    fixture's first draft), member 0 encodes it at 32×32 and member 1
-    at 64×64 with every pixel doubled into a 2×2 block.  Member 1 is
-    the ORIGINAL and member 0 its aligned 2× box/bilinear downscale,
-    and the downscale recovers the base EXACTLY, so the twins pHash
-    identically by construction — the interpolated-rescale robustness
-    dHash excludes — while distinct groups are unrelated rasters
-    whose DCT signs differ in ~half of 63 bits."""
+def _phash_base_raster(grp: int, upscale: bool = False):
+    """The pHash fixtures' 32×32 base raster for group `grp` (sha256
+    expansion — cryptographically strong, so no periodic twin-group
+    trap), optionally 2×-upscaled with every pixel doubled into a
+    2×2 block.  The ONE construction _phash_dct_media and
+    _phash_video_media both draw from: the salt string and the
+    repeat geometry are the coupling that keeps the planted
+    hamming-0 oracles true, so they live in exactly one place."""
     import hashlib
 
     import numpy as np
+
+    vals = np.frombuffer(
+        b"".join(
+            hashlib.sha256(f"phash:{grp}:{i}".encode()).digest()
+            for i in range(32)
+        ),
+        dtype=np.uint8,
+    ).reshape(32, 32)
+    if upscale:
+        vals = np.repeat(np.repeat(vals, 2, axis=0), 2, axis=1)
+    return vals
+
+
+def _phash_dct_media(
+    spark: SparkSession, sf_dir: str, parity: int | None = None
+) -> DataFrame:
+    """The DCT-pHash oracle fixture: per doc_id a REAL grayscale PGM —
+    group doc_id//2 draws a 32×32 base raster (_phash_base_raster;
+    the oracle here is OUTCOME-grain and never replays pixels),
+    member 0 encodes it at 32×32 and member 1 at 64×64 with every
+    pixel doubled into a 2×2 block.  Member 1 is the ORIGINAL and
+    member 0 its aligned 2× box/bilinear downscale, and the downscale
+    recovers the base EXACTLY, so the twins pHash identically by
+    construction — the interpolated-rescale robustness dHash
+    excludes — while distinct groups are unrelated rasters whose DCT
+    signs differ in ~half of 63 bits.
+
+    `parity` (0 or 1) keeps only that member, FILTERED BEFORE the
+    build map — a post-hoc filter on the output cannot push through
+    mapInPandas, so it would still build (and discard) every other
+    member's blob."""
     import pandas as pd  # noqa: F811
 
     from datawarehouse_code_spark.operators.multimodal import encode_gray_pgm
 
     docs = read_table(spark, "documents", sf_dir).select("doc_id")
+    if parity is not None:
+        docs = docs.filter(F.col("doc_id") % 2 == parity)
 
     def build(it):
         for pdf in it:
             ids, types, blobs = [], [], []
             for d in pdf["doc_id"]:
                 d = int(d)
-                grp, mem = d // 2, d % 2
-                vals = np.frombuffer(
-                    b"".join(
-                        hashlib.sha256(f"phash:{grp}:{i}".encode()).digest()
-                        for i in range(32)
-                    ),
-                    dtype=np.uint8,
-                ).reshape(32, 32)
-                if mem:
-                    vals = np.repeat(np.repeat(vals, 2, axis=0), 2, axis=1)
+                vals = _phash_base_raster(d // 2, upscale=bool(d % 2))
                 ids.append(d)
                 types.append("image/pgm")
                 blobs.append(
@@ -3638,9 +3656,6 @@ def _phash_video_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle path).  The 32×32 member-0 image is frame 0's exact
     2× box downscale, so the cross-modal pHash match is closed-form:
     (image 2g, video g, frame 0, 4 bands, hamming 0)."""
-    import hashlib
-
-    import numpy as np
     import pandas as pd  # noqa: F811
 
     from datawarehouse_code_spark.operators.multimodal import encode_gray_pgm
@@ -3658,14 +3673,7 @@ def _phash_video_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids, types, blobs = [], [], []
             for d in pdf["doc_id"]:
                 grp = int(d) // 2
-                vals = np.frombuffer(
-                    b"".join(
-                        hashlib.sha256(f"phash:{grp}:{i}".encode()).digest()
-                        for i in range(32)
-                    ),
-                    dtype=np.uint8,
-                ).reshape(32, 32)
-                vals = np.repeat(np.repeat(vals, 2, axis=0), 2, axis=1)
+                vals = _phash_base_raster(grp, upscale=True)
                 ids.append(grp)
                 types.append("video/vid0")
                 blobs.append(
@@ -3705,9 +3713,10 @@ def _video_frame_phash_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     fidx = build_frame_dhash_index(
         video_frame_phashes(_phash_video_media(spark, sf_dir))
     ).localCheckpoint()
-    new_images = _phash_dct_media(spark, sf_dir).filter(
-        F.col("media_id") % 2 == 0
-    )
+    # parity pre-filter INSIDE the fixture builder: filtering the
+    # mapInPandas output would still build every odd member's 64×64
+    # blob and throw it away (predicates don't push through a map)
+    new_images = _phash_dct_media(spark, sf_dir, parity=0)
     return image_video_matches(
         image_phash(new_images), fidx, max_hamming=6, band_cap=50,
     )

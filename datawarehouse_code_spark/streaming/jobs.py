@@ -1510,6 +1510,16 @@ def run_multimodal_gated_ingest(
         upsert,
     )
 
+    if grid != 8:
+        # fail at SUBMISSION time: the combined fingerprint map's band
+        # schema is fixed at grid=8, and letting the ValueError fire
+        # inside foreachBatch would kill the stream on its first batch
+        # after the checkpoint/landing setup already exists
+        raise ValueError(
+            f"run_multimodal_gated_ingest's band schema is fixed at "
+            f"grid=8 (got {grid}) — the image_dhash/image_phash contract"
+        )
+
     def _modality(col: F.Column) -> F.Column:
         return F.split(col, "/").getItem(0)
 
