@@ -216,6 +216,7 @@ HEADLINE = [
     "media_phash_dct_incremental",
     "cross_modal_suite",
     "video_frame_phash_matches",
+    "media_canonical_cross_modal",
 ]
 
 

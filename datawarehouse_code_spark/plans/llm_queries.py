@@ -4072,14 +4072,19 @@ def _xmodal_image_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cross_modal_video_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cross_modal_video_media(
+    spark: SparkSession, sf_dir: str, every: int = 4, id_offset: int = 0
+) -> DataFrame:
     """Video side of the cross-modal fixture: one VID0 container per
-    GROUP (doc_id % 4 = 0) of four 9x8 PGM frames, frame j
-    PIXEL-IDENTICAL to the member-0 image of group doc_id//4 + j —
-    a still image re-used inside a video.  The planted matches are
-    closed-form: frame j of video d meets the four member images of
-    group d//4 + j at hamming = popcount((1<<mem)−1) ∈ {0,1,2,3},
-    sharing bands 0-2 always and band 3 iff mem = 0."""
+    selected doc (doc_id % `every` = 0) of four 9x8 PGM frames,
+    frame j PIXEL-IDENTICAL to the member-0 image of group
+    doc_id//4 + j — a still image re-used inside a video.  The
+    planted matches are closed-form: frame j of video d meets the
+    four member images of group d//4 + j at hamming =
+    popcount((1<<mem)−1) ∈ {0,1,2,3}, sharing bands 0-2 always and
+    band 3 iff mem = 0.  `id_offset` shifts the video media_ids out
+    of the image id space for consumers that mix both node kinds in
+    one graph (the canonical-selection row)."""
     import pandas as pd  # noqa: F811
 
     from datawarehouse_code_spark.operators.multimodal import encode_gray_pgm
@@ -4088,7 +4093,7 @@ def _cross_modal_video_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         read_table(spark, "documents", sf_dir)
         .select("doc_id")
-        .filter(F.col("doc_id") % 4 == 0)
+        .filter(F.col("doc_id") % every == 0)
     )
 
     def build(it):
@@ -4100,7 +4105,7 @@ def _cross_modal_video_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                     encode_gray_pgm(9, 8, _xmodal_raster(d // 4 + j, 0))
                     for j in range(4)
                 ]
-                ids.append(d)
+                ids.append(d + id_offset)
                 types.append("video/vid0")
                 blobs.append(encode_video(frames))
             yield pd.DataFrame(
@@ -4393,6 +4398,99 @@ SELECT 'phash_incr', CAST(d_new AS BIGINT), CAST(d_corpus AS BIGINT),
        CAST(NULL AS BIGINT), CAST(n_shared_bands AS BIGINT),
        CAST(hamming AS BIGINT)
 FROM ({_PHASH_DCT_INCR_SQL})
+"""
+
+
+_XMODAL_ID_OFFSET = 1_000_000_000
+
+
+def _media_canonical_cross_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup carried to the DROP decision: connected
+    components over the UNION graph — image↔image dHash pairs plus
+    image↔video containment edges (video_image_matches) — with a
+    TYPE-PRIORITY survivor rule: in a mixed component the minimum
+    VIDEO id survives (the superset-content rule the unified gate
+    pins: the video carries the images' content), an image-only
+    component keeps its minimum image id.  Video media_ids are
+    shifted out of the image id space (_XMODAL_ID_OFFSET) — mixing
+    node kinds in one graph needs disjoint ids.
+
+    Fixture: videos at doc_id % 32 = 0 cover groups 8k..8k+3, so
+    components are closed-form — {video 32k} ∪ images 32k..32k+15
+    (survivor: the video), and every group g with g % 8 ≥ 4 is an
+    image-only component of its ≤4 members (survivor: image 4g).
+    The oracle states the outcome; the pair/containment/closure
+    machinery is hash-pinned by its own rows."""
+    from datawarehouse_code_spark.operators.corpus import (
+        near_dup_components,
+    )
+    from datawarehouse_code_spark.operators.media_dedup import (
+        build_dhash_index,
+        dhash_near_dup_pairs,
+        image_dhash,
+    )
+    from datawarehouse_code_spark.operators.video_dedup import (
+        video_frame_dhashes,
+        video_image_matches,
+    )
+
+    images = _xmodal_image_media(spark, sf_dir)
+    videos = _cross_modal_video_media(
+        spark, sf_dir, every=32, id_offset=_XMODAL_ID_OFFSET
+    )
+    ihashes = image_dhash(images).localCheckpoint()
+    frames = video_frame_dhashes(videos).localCheckpoint()
+    ipairs = dhash_near_dup_pairs(
+        ihashes, max_hamming=6, band_cap=50
+    ).select("d1", "d2")
+    xedges = (
+        video_image_matches(
+            frames, build_dhash_index(None, hashes=ihashes),
+            max_hamming=6, band_cap=50,
+        )
+        .select(F.col("video_id").alias("d1"),
+                F.col("image_id").alias("d2"))
+        .distinct()
+    )
+    comp = near_dup_components(ipairs.unionByName(xedges))
+    nodes = images.select("media_id").unionByName(
+        videos.select("media_id")
+    )
+    labeled = (
+        nodes.join(
+            comp.withColumnRenamed("doc_id", "media_id"),
+            "media_id", "left",
+        )
+        .select(
+            "media_id",
+            F.coalesce("rep", "media_id").alias("rep"),
+        )
+    )
+    off = F.lit(_XMODAL_ID_OFFSET)
+    survivors = labeled.groupBy("rep").agg(
+        F.min(
+            F.when(F.col("media_id") >= off, F.col("media_id"))
+        ).alias("vmin"),
+        F.min("media_id").alias("amin"),
+    )
+    sid = F.coalesce("vmin", "amin")
+    return survivors.select(
+        sid.alias("media_id"),
+        F.when(sid >= off, F.lit("video"))
+        .otherwise(F.lit("image")).alias("kind"),
+    )
+
+
+_MEDIA_CANONICAL_XM_SQL = f"""
+SELECT CAST(doc_id + {_XMODAL_ID_OFFSET} AS BIGINT) AS media_id,
+       'video' AS kind
+FROM documents WHERE doc_id % 32 = 0
+UNION ALL
+SELECT CAST(g * 4 AS BIGINT) AS media_id, 'image' AS kind
+FROM (
+  SELECT DISTINCT doc_id // 4 AS g FROM documents
+  WHERE (doc_id // 4) % 8 >= 4
+) t
 """
 
 
@@ -4750,6 +4848,13 @@ LLM_SUPPLEMENTARY: list[Query] = [
           "the persisted band index — each 2x box downscale lands on "
           "its original at hamming 0 through the unchanged "
           "incremental machinery (planted-twins outcome oracle)"),
+    Query("media_canonical_cross_modal", _media_canonical_cross_modal,
+          _MEDIA_CANONICAL_XM_SQL,
+          "north-star: cross-modal dedup carried to the DROP decision "
+          "— components over the union graph (image pairs + "
+          "image-in-video containments) with a type-priority survivor "
+          "rule (the video outranks the images it carries; image-only "
+          "components keep min id) — planted-outcome oracle"),
     Query("video_frame_phash_matches", _video_frame_phash_matches,
           _VIDEO_FRAME_PHASH_SQL,
           "north-star: the rescaled-image-in-video corner — pHash "

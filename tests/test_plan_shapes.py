@@ -193,6 +193,10 @@ PLAN_BOUNDS = {
     # the rescaled-frame corner: one image pHash map + the
     # checkpoint-terminated pHash frame index (measured 2/3)
     "video_frame_phash_matches": (3, 5),
+    # cross-modal canonical selection: per-round component lineage
+    # cuts terminate the visible plan at the selection joins
+    # (measured 4/3 post-cut)
+    "media_canonical_cross_modal": (5, 6),
 }
 
 
