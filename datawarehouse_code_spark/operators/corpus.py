@@ -131,17 +131,33 @@ def near_dup_components(
     minimum doc_id of its connected component.
 
     `algorithm='propagation'` (default): iterative smallest-label
-    propagation — each node starts labeled with itself; every round a
-    node's label becomes the min of its own and its neighbors' labels;
-    stop when no label changes.  Rounds needed = graph diameter —
-    near-dup clusters are shallow (a hub duplicate links its
-    variants), so this converges in a handful of rounds.  If it has
-    NOT converged after `max_iters` rounds (a pathological long-chain
-    component), it hands the edge set to the large-star/small-star
-    fixpoint (`_two_phase_components`, O(log² n) rounds regardless of
-    diameter) instead of failing — mid-propagation labels are never
-    returned (they would silently keep duplicates and diverge from
-    the transitive-closure oracle).
+    propagation — each node starts labeled with min(self, neighbors)
+    (the first round fused into the seed: it is the same
+    shuffle+groupBy the node-set distinct() would cost, so round 1
+    is free); every round a node's label becomes the min of its own
+    and its neighbors' labels; stop when no label changes.  Shallow
+    graphs (a hub duplicate links its variants — the common near-dup
+    shape) converge in diameter rounds; a graph still live at round 2
+    switches on POINTER JUMPING (rep(v) ← rep(rep(v)) fused into each
+    round), which doubles the effective reach per round so even
+    long-chain components finish in O(log diameter) rounds.  If it
+    has STILL not converged after `max_iters` rounds (diameter beyond
+    ~2^(max_iters−2) — no physical graph), it hands the edge set to
+    the large-star/small-star fixpoint (`_two_phase_components`,
+    O(log² n) rounds regardless of diameter) instead of failing —
+    mid-propagation labels are never returned (they would silently
+    keep duplicates and diverge from the transitive-closure oracle).
+
+    Convergence is detected by a MONOTONE SIGNATURE, not a join:
+    new_rep(v) = min(rep(v), reps of N(v)) never increases and the
+    node set is fixed, so (count, Σrep) is strictly decreasing in Σ
+    until the fixpoint and equal exactly AT it.  One scalar agg per
+    round replaces the old labels⨝old_labels changed-count — and in
+    local-checkpoint mode the round's cut is non-eager so that same
+    agg job materializes the checkpoint, leaving ONE Spark action
+    per round where the r13 shape paid three (checkpoint + join +
+    count).  Σ is taken over decimal(38,0): exact, and no bigint
+    overflow even at 10¹² nodes with 10¹⁸-scale ids.
 
     `algorithm='two_phase'`: skip propagation and run
     large-star/small-star directly — for callers that know their pair
@@ -168,37 +184,78 @@ def near_dup_components(
         return _two_phase_components(sym, mode=mode)
     if algorithm != "propagation":
         raise ValueError(f"unknown algorithm {algorithm!r}")
+
+    def _sig(frame: DataFrame) -> tuple:
+        # monotone convergence signature (see docstring): node count
+        # is invariant, Σrep strictly decreases until the fixpoint
+        row = frame.agg(
+            F.count("rep").alias("n"),
+            F.sum(F.col("rep").cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        return (row["n"], row["s"])
+
+    # seed = one propagation round fused into the node-set build:
+    # same shuffle cost as the plain distinct() it replaces, one
+    # fewer loop round for every graph.  Non-eager in local mode —
+    # the signature agg right below materializes the cut in the
+    # same job (reliable mode stays eager: a non-eager reliable
+    # checkpoint re-runs the frame's job to write the files).
+    eager = mode == "reliable"
     labels = cut_lineage(
-        sym.select(F.col("d1").alias("doc_id"))
-        .distinct()
-        .withColumn("rep", F.col("doc_id")),
+        sym.groupBy(F.col("d1").alias("doc_id"))
+        .agg(F.min("d2").alias("nbr_min"))
+        .select(
+            "doc_id", F.least("doc_id", F.col("nbr_min")).alias("rep")
+        ),
         mode,
+        eager=eager,
     )
-    changed = 0
-    for _ in range(max_iters):
+    sig = _sig(labels)
+    converged = False
+    for rnd in range(max_iters):
         nbr_reps = sym.join(
             labels.select(F.col("doc_id").alias("d2"), "rep"), "d2"
         ).select(F.col("d1").alias("doc_id"), "rep")
-        new_labels = cut_lineage(
+        new_labels = (
             labels.unionByName(nbr_reps)
             .groupBy("doc_id")
-            .agg(F.min("rep").alias("rep")),
-            mode,
+            .agg(F.min("rep").alias("rep"))
         )
-        changed = (
-            new_labels.join(
-                labels.select("doc_id", F.col("rep").alias("old_rep")), "doc_id"
-            )
-            .filter(F.col("rep") != F.col("old_rep"))
-            .count()
-        )
-        # the changed-count above was the old label frame's last
+        if rnd >= 2:
+            # POINTER JUMPING from round 2 on: rep(v) ← rep(rep(v)).
+            # A graph still unconverged after two propagation rounds
+            # has diameter > 3 — shortcutting makes the effective
+            # reach double per round, so total rounds are
+            # O(log diameter) instead of O(diameter) and the
+            # two-phase fallback below becomes a never-fires guard
+            # (the r13 shape burned all 20 rounds on a long-chain
+            # band-collision graph, then STARTED OVER in two-phase).
+            # Not from round 0: every rep value is a node id, but
+            # shallow graphs — the common near-dup case — converge
+            # before round 2, and the jump's extra n-row self-join
+            # shuffle per round is exactly the cost a 100TB label
+            # table shouldn't pay when propagation alone finishes.
+            # new_labels is deliberately UNCUT here: the self-join
+            # recomputes it twice inside one job from checkpointed
+            # inputs, cheaper than materializing an extra cut.
+            new_labels = new_labels.alias("a").join(
+                new_labels.select(
+                    F.col("doc_id").alias("rep"),
+                    F.col("rep").alias("rep2"),
+                ).alias("b"),
+                "rep",
+            ).select("doc_id", F.col("rep2").alias("rep"))
+        new_labels = cut_lineage(new_labels, mode, eager=eager)
+        new_sig = _sig(new_labels)
+        # the signature agg above was the old label frame's last
         # reader; reclaim its reliable checkpoint before replacing it
         release_checkpoint(labels, unless=(new_labels,))
         labels = new_labels
-        if changed == 0:
+        if new_sig == sig:
+            converged = True
             break
-    if changed != 0:
+        sig = new_sig
+    if not converged:
         # long-diameter component: finish with the diameter-independent
         # fixpoint rather than raising (propagation's partial labels are
         # discarded — two-phase restarts from the edge set)

@@ -4010,14 +4010,29 @@ GROUP BY 1, 2
 
 
 def _xmodal_row_byte(grp: int, r: int) -> int:
-    """Row byte of the cross-modal fixtures: bits 8-15 of the knuth
-    hash of grp·8 + r.  NOT `% 256` like the _phash_media bytes —
-    (key·2654435761) mod 2³² mod 256 collapses to key·177 mod 256, so
-    that construction repeats with group period 32 (the documented
-    periodic-fixture trap); the >>8 slice stays aperiodic over the
-    whole doc range, so unrelated groups here really are unrelated
-    and the planted match set is closed-form at EVERY scale factor."""
-    return ((((grp * 8 + r) % 2**31) * 2654435761) % 2**32 >> 8) % 256
+    """Row byte of the cross-modal fixtures: an AVALANCHE-MIXED hash
+    of grp·8 + r (multiply, xor-shift 16, multiply, xor-shift 13,
+    bits 8-15).  Two documented fixture traps led here:
+    `% 256` of the knuth hash collapses to key·177 mod 256 (group
+    period 32), and the r13 fix — bits 8-15 of the bare knuth hash —
+    looked aperiodic but a MULTIPLICATIVE hash is additive:
+    h(k+Δ) − h(k) = Δ·A mod 2³², so whenever Δ·8·A lands near a
+    multiple of 2⁸ the byte offset between groups g and g+Δ is ~0
+    for EVERY row.  Measured at sf0.1 (1250 groups): Δ=350 gave
+    average inter-group hamming 1.1, planting ~25k unintended
+    hamming-≤6 edges that chained g→g+350→g+700→… into a
+    diameter->20 component (the 11.3 s CC bill in the r13 bench) —
+    invisible at sf0.01, whose 125 groups sit below the smallest bad
+    Δ.  The xor-shift rounds destroy translation structure
+    (measured: ZERO cross-group pairs ≤6, minimum hamming 13, no
+    band bucket >3 groups at 1250 groups), so unrelated groups
+    really are unrelated and the planted match set is closed-form at
+    every scale factor."""
+    x = ((grp * 8 + r) % 2**31) * 2654435761 % 2**32
+    x ^= x >> 16
+    x = (x * 2246822519) % 2**32
+    x ^= x >> 13
+    return (x >> 8) % 256
 
 
 def _xmodal_raster(grp: int, mem: int) -> bytes:
@@ -4152,9 +4167,19 @@ def _video_image_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _xmodal_byte_sql(key: str) -> str:
-    """_xmodal_row_byte as a DuckDB fragment (bits 8-15 of the knuth
-    hash — see the aperiodicity note on the Python twin)."""
-    return f"CAST((({knuth_hash_sql(key)}) // 256) % 256 AS INTEGER)"
+    """_xmodal_row_byte as a DuckDB fragment — the exact twin of the
+    avalanche mix (multiply, xor-shift 16, multiply, xor-shift 13,
+    bits 8-15; see the additive-structure note on the Python twin).
+    The second multiply rides HUGEINT: (2³²−1)·2246822519 overflows
+    signed BIGINT, which DuckDB raises on rather than wrapping."""
+    k1 = (
+        f"(((({key}) % 2147483648 + 2147483648) % 2147483648)"
+        " * 2654435761) % 4294967296"
+    )
+    x1 = f"xor({k1}, ({k1}) // 65536)"
+    x2 = f"CAST((CAST(({x1}) AS HUGEINT) * 2246822519) % 4294967296 AS BIGINT)"
+    x3 = f"xor({x2}, ({x2}) // 8192)"
+    return f"CAST((({x3}) // 256) % 256 AS INTEGER)"
 
 
 _XMODAL_BANDS_CTE = f"""
