@@ -211,9 +211,7 @@ def phash_bits(
     )
 
 
-def image_phash(
-    media: DataFrame, size: int = PHASH_SIZE, skip_small: bool = False
-) -> DataFrame:
+def image_phash(media: DataFrame, skip_small: bool = False) -> DataFrame:
     """Per-media DCT pHash over REAL decoded pixels — the second
     perceptual fingerprint beside image_dhash, covering the rescale
     envelope dHash excludes (media_dedup.py's documented limitation:
@@ -227,20 +225,22 @@ def image_phash(
     unrelated).
 
     `skip_small=True` silently yields no row for a healthy image
-    below the `size` grid instead of raising — the index MAINTAINER's
-    contract (a small image has no rescale envelope to index; its
-    re-delivery still sheds stale rows via replace_keyed on the
-    batch's ids).  Decode failures stay loud either way — bad
-    payloads belong to the quarantine lanes upstream."""
+    below the PHASH_SIZE grid instead of raising — the index
+    MAINTAINER's contract (a small image has no rescale envelope to
+    index; its re-delivery still sheds stale rows via replace_keyed
+    on the batch's ids).  Decode failures stay loud either way — bad
+    payloads belong to the quarantine lanes upstream.
+
+    The downsample grid is PHASH_SIZE, not a parameter: the band
+    schema packs 4x16-bit bands, which pins the 8x8 DCT block and
+    the 32x32 grid (r13 ADVICE — a `size=` knob that raised on every
+    value but 32 was dead API surface; phash_bits keeps the real
+    parameter for other grids)."""
     import numpy as np
 
     from datawarehouse_code_spark.operators.multimodal import decode_image
 
-    if size != 32:
-        raise ValueError(
-            f"image_phash's band schema is fixed at size=32 (got {size}); "
-            "use phash_bits directly for other grids"
-        )
+    size = PHASH_SIZE
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -710,9 +710,7 @@ IMAGE_FPS_QUARANTINE_SCHEMA = (
 )
 
 
-def image_fingerprints_quarantine(
-    media: DataFrame, grid: int = 8, size: int = PHASH_SIZE
-) -> DataFrame:
+def image_fingerprints_quarantine(media: DataFrame) -> DataFrame:
     """BOTH perceptual image fingerprints — dHash (b0..b3, dhash) and
     DCT pHash (p0..p3, phash) — from ONE decode per payload, with the
     quarantine lane: the streaming image gate's map (a gate that
@@ -727,17 +725,18 @@ def image_fingerprints_quarantine(
     small images simply have no rescale envelope to protect, and
     quarantining them would evict payloads the dHash gate handles
     fine.  (dHash needs only (grid+1)×grid; anything below that fails
-    decode-side sizing and quarantines loudly.)"""
+    decode-side sizing and quarantines loudly.)
+
+    Grid and size are the image_dhash/image_phash constants, not
+    parameters (r13 ADVICE): the combined schema packs both algos'
+    4x16-bit bands, which pins the 8-px dHash grid and the
+    PHASH_SIZE downsample — a knob that raised on every other value
+    was dead API surface."""
     import numpy as np
 
     from datawarehouse_code_spark.operators.multimodal import decode_image
 
-    if grid != 8 or size != 32:
-        raise ValueError(
-            "image_fingerprints_quarantine's band schema is fixed at "
-            f"grid=8/size=32 (got grid={grid}, size={size}) — the "
-            "image_dhash/image_phash contract"
-        )
+    grid, size = 8, PHASH_SIZE
 
     def _pack64(bands) -> int:
         u = np.uint64(0)

@@ -4808,10 +4808,14 @@ LLM_QUERIES: list[Query] = [
           "chunks + asymmetric containment + winnowing pairs + one "
           "increment-vs-persisted-index leg, labeled (consolidated "
           "round 12)"),
-    Query("media_suite", _media_suite, _MEDIA_SUITE_SQL,
-          "north-star: every media lane — image feature extraction + "
-          "frame sampling + PPM/PNG pure-Python decode + WAV/PCM "
-          "audio decode, labeled (consolidated round 12)"),
+    Query("cross_modal_suite", _cross_modal_suite,
+          _CROSS_MODAL_SUITE_SQL,
+          "north-star: the perceptual-envelope family as one labeled "
+          "suite — both cross-modal directions (video frames vs the "
+          "image index; new images vs the frame-grain index) + both "
+          "DCT pHash legs, sharing one decode per fixture table "
+          "(driver row since round 14 — the one-swap promotion it "
+          "was staged for; media_suite demoted like-for-like)"),
     Query("media_dedup_suite", _media_dedup_suite, _MEDIA_DEDUP_SUITE_SQL,
           "north-star: the perceptual media dedup family labeled — "
           "image dHash band pairs + exact hamming verify, audio "
@@ -4822,6 +4826,14 @@ LLM_QUERIES: list[Query] = [
 ]
 
 LLM_SUPPLEMENTARY: list[Query] = [
+    Query("media_suite", _media_suite, _MEDIA_SUITE_SQL,
+          "north-star: every media lane — image feature extraction + "
+          "frame sampling + PPM/PNG pure-Python decode + WAV/PCM "
+          "audio decode, labeled (driver row rounds 12-13, demoted "
+          "round 14 to free the window slot for cross_modal_suite — "
+          "the decode machinery stays driver-pinned through "
+          "media_dedup_suite's hashes-over-decoded-rasters legs; "
+          "keeps its frozen bench row like-for-like)"),
     Query("multimodal_suite", _multimodal_suite, _MULTIMODAL_SUITE_SQL,
           "north-star: media feature extraction + frame sampling + "
           "pure-Python PPM/PNG decode (driver row rounds 10-11, the "
@@ -4887,13 +4899,6 @@ LLM_SUPPLEMENTARY: list[Query] = [
           "a video frame that is a rescaled copy of a corpus image "
           "is detected where frame dHash drifts past the radius "
           "(planted outcome oracle; sub-grid pad frame pins the skip)"),
-    Query("cross_modal_suite", _cross_modal_suite,
-          _CROSS_MODAL_SUITE_SQL,
-          "north-star: the round-13 perceptual-envelope family as one "
-          "labeled suite — both cross-modal directions + both DCT "
-          "pHash legs, sharing one decode per fixture table (staged "
-          "supplementary for a one-swap driver-window promotion, the "
-          "media_dedup_suite precedent)"),
     Query("video_fp_pairs", _video_fp_pairs, _VIDEO_FP_PAIRS_SQL,
           "north-star: video near-dup pairs — temporal grams of "
           "per-frame dHashes over real VID0 containers, frame-trim "

@@ -1416,7 +1416,6 @@ def run_multimodal_gated_ingest(
     max_hamming: int = 6,
     band_cap: int = 50,
     hot_cap: int = 50,
-    grid: int = 8,
     image_phash_index_path: str | None = None,
     frame_index_path: str | None = None,
     min_shared_frames: int = 2,
@@ -1510,15 +1509,11 @@ def run_multimodal_gated_ingest(
         upsert,
     )
 
-    if grid != 8:
-        # fail at SUBMISSION time: the combined fingerprint map's band
-        # schema is fixed at grid=8, and letting the ValueError fire
-        # inside foreachBatch would kill the stream on its first batch
-        # after the checkpoint/landing setup already exists
-        raise ValueError(
-            f"run_multimodal_gated_ingest's band schema is fixed at "
-            f"grid=8 (got {grid}) — the image_dhash/image_phash contract"
-        )
+    # the combined fingerprint map's band schema pins grid=8 (the
+    # image_dhash/image_phash contract) — not a parameter (r13
+    # ADVICE: a knob that raised on every value but 8 was dead API
+    # surface)
+    grid = 8
 
     def _modality(col: F.Column) -> F.Column:
         return F.split(col, "/").getItem(0)
@@ -1532,191 +1527,220 @@ def run_multimodal_gated_ingest(
         # cdc_matches_incremental read it unchanged
         index_extends: list[tuple[str, DataFrame, DataFrame, str]] = []
 
-        # ---- text lane: CDC chunk gate over the `text` column
-        docs = batch.filter(F.col("media_type").startswith("text/"))
-        null_docs = docs.filter(F.col("text").isNull()).select(
-            "media_id",
-            F.lit("text").alias("modality"),
-            F.lit("null text").alias("reason"),
-        )
-        quarantined_parts.append(null_docs)
-        chunks = content_defined_chunks(
-            docs.filter(F.col("text").isNotNull())
-            .select(F.col("media_id").alias("doc_id"), "text")
-        ).filter(F.col("n_words") >= min_words).select(
-            "doc_id", "chunk_idx", "chunk_hash", "n_words"
-        ).localCheckpoint()
-        rejected_parts.append(
-            _chunk_gate_rejects(
-                sp, chunks, text_index_path, min_shared, hot_chunk_cap
-            ).select(F.col("doc_id").alias("media_id"),
-                     F.lit("text").alias("modality"))
-        )
-        index_extends.append(
-            (text_index_path, chunks,
-             docs.select(F.col("media_id").alias("doc_id")), "doc_id")
-        )
-
-        # ---- image lane: perceptual gate — dHash always, pHash and
-        # reverse cross-modal when their indexes are configured (one
-        # decode feeds all legs, with the quarantine lane in the same
-        # pass)
-        images = batch.filter(F.col("media_type").startswith("image/"))
-        iq = image_fingerprints_quarantine(
-            images, grid=grid
-        ).localCheckpoint()
-        quarantined_parts.append(
-            iq.filter(F.col("decode_error").isNotNull()).select(
-                "media_id", F.lit("image").alias("modality"),
-                F.col("decode_error").alias("reason"),
+        # lane presence, ONE routing agg per batch (r13 ADVICE): a
+        # single-modality feed must not pay three empty decode maps
+        # plus their localCheckpoint materializations per micro-batch
+        # — the per-lane blocks below are skipped entirely when the
+        # batch has no rows matching that lane's exact prefix
+        # predicate (skipping an empty lane changes no decision: an
+        # empty fingerprint set rejects nothing, and an empty index
+        # extend was a no-op; the only observable difference is that
+        # an index table is not CREATED until its modality first
+        # appears, which every reader already gates on table_exists)
+        _pr = batch.agg(*[
+            F.max(
+                F.col("media_type").startswith(pfx).cast("int")
+            ).alias(name)
+            for name, pfx in (
+                ("text", "text/"), ("image", "image/"),
+                ("audio", "audio/"), ("video", "video/"),
             )
-        )
-        ihealthy = iq.filter(F.col("decode_error").isNull())
-        ihashes = ihealthy.select(
-            "media_id", "b0", "b1", "b2", "b3", "dhash"
-        )
-        rejected_parts.append(
-            _dhash_gate_rejects(
-                sp, ihashes, image_index_path, max_hamming, band_cap, grid
-            ).select("media_id", F.lit("image").alias("modality"))
-        )
-        index_extends.append(
-            (image_index_path,
-             build_dhash_index(None, grid=grid, hashes=ihashes),
-             images.select("media_id"), "media_id")
-        )
-        if image_phash_index_path is not None:
-            iphashes = phash_view(ihealthy)
+        ]).collect()[0]
+        present = {k for k in ("text", "image", "audio", "video") if _pr[k]}
+
+        if "text" in present:
+            # ---- text lane: CDC chunk gate over the `text` column
+            docs = batch.filter(F.col("media_type").startswith("text/"))
+            null_docs = docs.filter(F.col("text").isNull()).select(
+                "media_id",
+                F.lit("text").alias("modality"),
+                F.lit("null text").alias("reason"),
+            )
+            quarantined_parts.append(null_docs)
+            chunks = content_defined_chunks(
+                docs.filter(F.col("text").isNotNull())
+                .select(F.col("media_id").alias("doc_id"), "text")
+            ).filter(F.col("n_words") >= min_words).select(
+                "doc_id", "chunk_idx", "chunk_hash", "n_words"
+            ).localCheckpoint()
+            rejected_parts.append(
+                _chunk_gate_rejects(
+                    sp, chunks, text_index_path, min_shared, hot_chunk_cap
+                ).select(F.col("doc_id").alias("media_id"),
+                         F.lit("text").alias("modality"))
+            )
+            index_extends.append(
+                (text_index_path, chunks,
+                 docs.select(F.col("media_id").alias("doc_id")), "doc_id")
+            )
+
+        if "image" in present:
+            # ---- image lane: perceptual gate — dHash always, pHash and
+            # reverse cross-modal when their indexes are configured (one
+            # decode feeds all legs, with the quarantine lane in the same
+            # pass)
+            images = batch.filter(F.col("media_type").startswith("image/"))
+            iq = image_fingerprints_quarantine(images).localCheckpoint()
+            quarantined_parts.append(
+                iq.filter(F.col("decode_error").isNotNull()).select(
+                    "media_id", F.lit("image").alias("modality"),
+                    F.col("decode_error").alias("reason"),
+                )
+            )
+            ihealthy = iq.filter(F.col("decode_error").isNull())
+            ihashes = ihealthy.select(
+                "media_id", "b0", "b1", "b2", "b3", "dhash"
+            )
             rejected_parts.append(
                 _dhash_gate_rejects(
-                    sp, iphashes, image_phash_index_path,
-                    max_hamming, band_cap, grid,
+                    sp, ihashes, image_index_path, max_hamming, band_cap, grid
                 ).select("media_id", F.lit("image").alias("modality"))
             )
             index_extends.append(
-                (image_phash_index_path,
-                 build_dhash_index(None, grid=grid, hashes=iphashes),
+                (image_index_path,
+                 build_dhash_index(None, grid=grid, hashes=ihashes),
                  images.select("media_id"), "media_id")
             )
-        if (
-            frame_index_path is not None
-            and table_exists(sp, frame_index_path)
-        ):
-            # a new image contained in an already-ingested video
-            # (batch's own videos anti-joined out — see docstring)
-            fidx = sp.read.parquet(frame_index_path).join(
-                batch.select("media_id"), "media_id", "left_anti"
-            )
-            rejected_parts.append(
-                image_video_matches(
-                    ihashes, fidx,
-                    max_hamming=max_hamming, band_cap=band_cap,
+            if image_phash_index_path is not None:
+                iphashes = phash_view(ihealthy)
+                rejected_parts.append(
+                    _dhash_gate_rejects(
+                        sp, iphashes, image_phash_index_path,
+                        max_hamming, band_cap, grid,
+                    ).select("media_id", F.lit("image").alias("modality"))
                 )
-                .select(F.col("image_id").alias("media_id"))
-                .distinct()
-                .withColumn("modality", F.lit("image"))
-            )
-
-        # ---- audio lane: energy-gram gate
-        audio = batch.filter(F.col("media_type").startswith("audio/"))
-        aq = audio_fingerprints_quarantine(audio).localCheckpoint()
-        quarantined_parts.append(
-            aq.filter(F.col("decode_error").isNotNull()).select(
-                "media_id", F.lit("audio").alias("modality"),
-                F.col("decode_error").alias("reason"),
-            )
-        )
-        afps = aq.filter(
-            F.col("decode_error").isNull() & F.col("fp").isNotNull()
-        ).select("media_id", "fp")
-        rejected_parts.append(
-            _fp_gate_rejects(
-                sp, afps, audio_index_path, min_shared, hot_cap
-            ).select("media_id", F.lit("audio").alias("modality"))
-        )
-        index_extends.append(
-            (audio_index_path, afps, audio.select("media_id"), "media_id")
-        )
-
-        # ---- video lane: temporal-gram gate + forward cross-modal
-        # when the frame index is configured (one container walk +
-        # decode feeds grams, frame rows and the quarantine lane;
-        # with the frame legs OFF the grams-only map avoids
-        # materializing per-frame rows no consumer reads)
-        video = batch.filter(F.col("media_type").startswith("video/"))
-        if frame_index_path is not None:
-            vq = video_fingerprints_frames_quarantine(
-                video
-            ).localCheckpoint()
-        else:
-            vq = video_fingerprints_quarantine(video).localCheckpoint()
-        quarantined_parts.append(
-            vq.filter(F.col("decode_error").isNotNull()).select(
-                "media_id", F.lit("video").alias("modality"),
-                F.col("decode_error").alias("reason"),
-            )
-        )
-        vfps = vq.filter(
-            F.col("decode_error").isNull() & F.col("fp").isNotNull()
-        ).select("media_id", "fp")
-        rejected_parts.append(
-            _fp_gate_rejects(
-                sp, vfps, video_index_path, min_shared, hot_cap
-            ).select("media_id", F.lit("video").alias("modality"))
-        )
-        index_extends.append(
-            (video_index_path, vfps, video.select("media_id"), "media_id")
-        )
-        if frame_index_path is not None:
-            vframes = vq.filter(F.col("frame_idx").isNotNull()).select(
-                "media_id", "frame_idx", "b0", "b1", "b2", "b3"
-            )
-            # batch-internal cross-modal: an image contained in a
-            # batch-mate video drops — a pure function of the batch,
-            # so no replay hazard, and it closes the same-batch blind
-            # window in the image→video direction.  Deliberately
-            # one-directional: the video is the SUPERSET content, so
-            # a video composed of batch-mate images survives carrying
-            # them (dropping both sides would lose the content
-            # entirely); the video coverage rule runs only against
-            # the CORPUS index below.  Like the same-modality gates,
-            # decisions are computed on the raw batch — an image
-            # contained in a video that itself gets rejected still
-            # drops (the smaller-id convention's cross-modal twin).
-            rejected_parts.append(
-                video_image_matches(
-                    vframes,
-                    build_dhash_index(None, grid=grid, hashes=ihashes),
-                    max_hamming=max_hamming, band_cap=band_cap,
+                index_extends.append(
+                    (image_phash_index_path,
+                     build_dhash_index(None, grid=grid, hashes=iphashes),
+                     images.select("media_id"), "media_id")
                 )
-                .select(F.col("image_id").alias("media_id"))
-                .distinct()
-                .withColumn("modality", F.lit("image"))
-            )
-            if table_exists(sp, image_index_path):
-                # a new video whose frames are mostly already-known
-                # images (coverage grain — see docstring; batch's own
-                # images anti-joined out)
-                iidx = sp.read.parquet(image_index_path).join(
+            if (
+                frame_index_path is not None
+                and table_exists(sp, frame_index_path)
+            ):
+                # a new image contained in an already-ingested video
+                # (batch's own videos anti-joined out — see docstring)
+                fidx = sp.read.parquet(frame_index_path).join(
                     batch.select("media_id"), "media_id", "left_anti"
                 )
                 rejected_parts.append(
-                    video_image_matches(
-                        vframes, iidx,
+                    image_video_matches(
+                        ihashes, fidx,
                         max_hamming=max_hamming, band_cap=band_cap,
                     )
-                    .groupBy("video_id")
-                    .agg(
-                        F.countDistinct("frame_idx").alias("_nf")
-                    )
-                    .filter(F.col("_nf") >= min_shared_frames)
-                    .select(F.col("video_id").alias("media_id"))
-                    .withColumn("modality", F.lit("video"))
+                    .select(F.col("image_id").alias("media_id"))
+                    .distinct()
+                    .withColumn("modality", F.lit("image"))
                 )
-            index_extends.append(
-                (frame_index_path, build_frame_dhash_index(vframes),
-                 video.select("media_id"), "media_id")
+
+        if "audio" in present:
+            # ---- audio lane: energy-gram gate
+            audio = batch.filter(F.col("media_type").startswith("audio/"))
+            aq = audio_fingerprints_quarantine(audio).localCheckpoint()
+            quarantined_parts.append(
+                aq.filter(F.col("decode_error").isNotNull()).select(
+                    "media_id", F.lit("audio").alias("modality"),
+                    F.col("decode_error").alias("reason"),
+                )
             )
+            afps = aq.filter(
+                F.col("decode_error").isNull() & F.col("fp").isNotNull()
+            ).select("media_id", "fp")
+            rejected_parts.append(
+                _fp_gate_rejects(
+                    sp, afps, audio_index_path, min_shared, hot_cap
+                ).select("media_id", F.lit("audio").alias("modality"))
+            )
+            index_extends.append(
+                (audio_index_path, afps, audio.select("media_id"), "media_id")
+            )
+
+        if "video" in present:
+            # ---- video lane: temporal-gram gate + forward cross-modal
+            # when the frame index is configured (one container walk +
+            # decode feeds grams, frame rows and the quarantine lane;
+            # with the frame legs OFF the grams-only map avoids
+            # materializing per-frame rows no consumer reads)
+            video = batch.filter(F.col("media_type").startswith("video/"))
+            if frame_index_path is not None:
+                vq = video_fingerprints_frames_quarantine(
+                    video
+                ).localCheckpoint()
+            else:
+                vq = video_fingerprints_quarantine(video).localCheckpoint()
+            quarantined_parts.append(
+                vq.filter(F.col("decode_error").isNotNull()).select(
+                    "media_id", F.lit("video").alias("modality"),
+                    F.col("decode_error").alias("reason"),
+                )
+            )
+            vfps = vq.filter(
+                F.col("decode_error").isNull() & F.col("fp").isNotNull()
+            ).select("media_id", "fp")
+            rejected_parts.append(
+                _fp_gate_rejects(
+                    sp, vfps, video_index_path, min_shared, hot_cap
+                ).select("media_id", F.lit("video").alias("modality"))
+            )
+            index_extends.append(
+                (video_index_path, vfps, video.select("media_id"), "media_id")
+            )
+            if frame_index_path is not None:
+                vframes = vq.filter(F.col("frame_idx").isNotNull()).select(
+                    "media_id", "frame_idx", "b0", "b1", "b2", "b3"
+                )
+                # batch-internal cross-modal: an image contained in a
+                # batch-mate video drops — a pure function of the batch,
+                # so no replay hazard, and it closes the same-batch blind
+                # window in the image→video direction.  Deliberately
+                # one-directional: the video is the SUPERSET content, so
+                # a video composed of batch-mate images survives carrying
+                # them (dropping both sides would lose the content
+                # entirely); the video coverage rule runs only against
+                # the CORPUS index below.  Like the same-modality gates,
+                # decisions are computed on the raw batch — an image
+                # contained in a video that itself gets rejected still
+                # drops (the smaller-id convention's cross-modal twin).
+                # Skipped when the batch has no images (`ihashes` only
+                # exists inside the image lane, and an empty image
+                # side can contain nothing).
+                if "image" in present:
+                    rejected_parts.append(
+                        video_image_matches(
+                            vframes,
+                            build_dhash_index(
+                                None, grid=grid, hashes=ihashes
+                            ),
+                            max_hamming=max_hamming, band_cap=band_cap,
+                        )
+                        .select(F.col("image_id").alias("media_id"))
+                        .distinct()
+                        .withColumn("modality", F.lit("image"))
+                    )
+                if table_exists(sp, image_index_path):
+                    # a new video whose frames are mostly already-known
+                    # images (coverage grain — see docstring; batch's own
+                    # images anti-joined out)
+                    iidx = sp.read.parquet(image_index_path).join(
+                        batch.select("media_id"), "media_id", "left_anti"
+                    )
+                    rejected_parts.append(
+                        video_image_matches(
+                            vframes, iidx,
+                            max_hamming=max_hamming, band_cap=band_cap,
+                        )
+                        .groupBy("video_id")
+                        .agg(
+                            F.countDistinct("frame_idx").alias("_nf")
+                        )
+                        .filter(F.col("_nf") >= min_shared_frames)
+                        .select(F.col("video_id").alias("media_id"))
+                        .withColumn("modality", F.lit("video"))
+                    )
+                index_extends.append(
+                    (frame_index_path, build_frame_dhash_index(vframes),
+                     video.select("media_id"), "media_id")
+                )
 
         # ---- unrouteable media_type -> quarantine.  NULL-safe: a
         # NULL media_type matches NO lane filter (startswith yields
@@ -1741,7 +1765,13 @@ def run_multimodal_gated_ingest(
             )
         )
 
-        rejected = rejected_parts[0]
+        # rejected_parts is empty when NO modality lane ran (an
+        # all-unknown batch — every row quarantines above)
+        rejected = (
+            rejected_parts[0]
+            if rejected_parts
+            else sp.createDataFrame([], "media_id BIGINT, modality STRING")
+        )
         for p in rejected_parts[1:]:
             rejected = rejected.unionByName(p)
         quarantined = quarantined_parts[0]

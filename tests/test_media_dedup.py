@@ -538,7 +538,10 @@ def test_phash_contract_is_loud(spark):
         [(1, "image/pgm", encode_gray_pgm(32, 32, _xblock_raster(0)))],
         "media_id BIGINT, media_type STRING, content BINARY",
     )
-    with pytest.raises(ValueError, match="size=32"):
+    # the grid is NOT a parameter (r13 ADVICE: a size= knob that
+    # raised on every value but 32 was dead API surface) — the band
+    # schema pins PHASH_SIZE; phash_bits keeps the real parameter
+    with pytest.raises(TypeError):
         image_phash(media, size=16)
 
 
