@@ -226,6 +226,19 @@ def bfs_distances(
     truncates distances at max_hops (documented, not an error —
     distances are exact for every node whose dist < max_hops).
 
+    Convergence is a MONOTONE SIGNATURE on the distance table (the
+    near_dup_components pattern): the min-merge only ever adds nodes
+    or lowers integer distances, so (count, Σdist) moves every round
+    until the fixpoint and is equal exactly AT it — one scalar agg
+    replaces the frontier-emptiness count, and in local-checkpoint
+    mode the round's cut is non-eager so that agg job also
+    materializes the checkpoint (ONE Spark action per round where
+    the previous shape paid three).  Integer distances make the Σ
+    exact — weighted_shortest_paths deliberately keeps its
+    frontier-emptiness check instead, because a float Σ is
+    order-dependent and a masked change would terminate early /
+    a phantom change would burn rounds.
+
     Scale shape: per round cost = |frontier adjacency| shuffled on
     node id; at 100 TB the same shape as one pagerank iteration.  No
     driver-side graph state — only the convergence counter.
@@ -239,8 +252,18 @@ def bfs_distances(
         mode,
     )
     src = sources.toDF("node").distinct()
+    eager = mode == "reliable"
     dist = cut_lineage(src.withColumn("dist", F.lit(0)), mode)
     frontier = dist
+
+    def _sig(frame: DataFrame) -> tuple:
+        row = frame.agg(
+            F.count("dist").alias("n"),
+            F.sum(F.col("dist").cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        return (row["n"], row["s"])
+
+    sig = _sig(dist)
     for _ in range(max_hops):
         proposals = (
             frontier.join(sym, frontier["node"] == sym["a"])
@@ -251,8 +274,23 @@ def bfs_distances(
             .groupBy("node")
             .agg(F.min("dist").alias("dist")),
             mode,
+            eager=eager,
         )
-        # the next frontier = nodes whose distance just improved
+        new_sig = _sig(merged)
+        if new_sig == sig:
+            # fixpoint: no node improved, so the would-be frontier is
+            # empty — merged ≡ dist content-wise and neither it nor a
+            # new frontier needs building (old dist is returned; the
+            # identical merged cut is reclaimed)
+            release_checkpoint(frontier, unless=(dist,))
+            release_checkpoint(merged, unless=(dist,))
+            break
+        sig = new_sig
+        # the next frontier = nodes whose distance just improved.
+        # Non-eager in local mode: it materializes inside the next
+        # round's signature job (reliable mode stays eager — a
+        # non-eager reliable checkpoint re-runs the frame's job to
+        # write the files).
         new_frontier = cut_lineage(
             merged.join(
                 dist.select("node", F.col("dist").alias("_old")), "node", "left"
@@ -260,18 +298,17 @@ def bfs_distances(
                 F.col("_old").isNull() | (F.col("dist") < F.col("_old"))
             ).select("node", "dist"),
             mode,
+            eager=eager,
         )
-        # both new cuts are materialized, so the round's inputs are
-        # dead: reclaim their reliable-checkpoint files now instead of
-        # leaking one per round (round 1 aliases frontier to dist —
-        # the `unless` guard makes the two releases delete once)
-        release_checkpoint(frontier, unless=(dist, merged))
-        release_checkpoint(dist, unless=(merged,))
+        # the new cuts are (or will be) materialized and the round's
+        # inputs are dead: reclaim their reliable-checkpoint files now
+        # instead of leaking one per round (round 1 aliases frontier
+        # to dist — the `unless` guard makes the two releases delete
+        # once)
+        release_checkpoint(frontier, unless=(dist, merged, new_frontier))
+        release_checkpoint(dist, unless=(merged, new_frontier))
         dist = merged
         frontier = new_frontier
-        if frontier.limit(1).count() == 0:
-            break
-    release_checkpoint(frontier, unless=(dist,))
     return dist
 
 

@@ -41,6 +41,27 @@ try:  # codec libraries are optional; absent in this container
 except ImportError:
     HAVE_PIL = False
 
+# Probe-and-PREFER (r13 verdict ask): with
+# SPARK_GRAFT_PREFER_PILLOW=1 and Pillow importable, decode_image
+# routes EVERY image payload through the codec library and the
+# pure-Python decoders become the documented fallback — the shape a
+# production deploy runs (real crawls carry WebP/HEIC/progressive
+# payloads the pure decoders quarantine).  Resolved from the
+# environment at module import so Spark workers — which import this
+# module fresh when unpickling the Arrow maps — resolve it
+# identically to the driver (local mode shares the process env;
+# cluster deploys set it via spark.executorEnv).  A DEPLOY-WIDE
+# choice, not per-query: lossless formats (PNM/BMP/PNG) decode
+# byte-identically under either regime (pinned by
+# test_pillow_preferred_hash_parity), but JPEG inverse-DCT rounding
+# is implementation-specific, so perceptual indexes built under one
+# regime should not be served under the other without a rebuild.
+import os as _os
+
+PREFER_PILLOW = HAVE_PIL and _os.environ.get(
+    "SPARK_GRAFT_PREFER_PILLOW", ""
+) not in ("", "0")
+
 FEATURE_SCHEMA = (
     "media_id BIGINT, media_type STRING, n_bytes INT, width INT, height INT, "
     "checksum BIGINT"
@@ -1072,7 +1093,22 @@ def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
     importable those payloads route through _decode_pillow, otherwise
     those branches alone raise NotImplementedError (the quarantine
     lane).  Corruption is ValueError on every path — a codec library
-    never rescues a stream the pure decoders rejected as damaged."""
+    never rescues a stream the pure decoders rejected as damaged.
+
+    With PREFER_PILLOW (env-gated, see the module flag) the routing
+    inverts: every payload goes to the codec library first and the
+    pure decoders only serve what Pillow cannot identify — the
+    production-deploy shape."""
+    if PREFER_PILLOW:
+        try:
+            return _decode_pillow(data)
+        except ValueError:
+            # Pillow's loud failure — fall through ONLY for formats
+            # the pure decoders own (a PNM variant Pillow's plugin
+            # set lacks); true corruption re-raises identically
+            # from the pure path below
+            if bytes(data[:2]) not in (b"P6", b"P5"):
+                raise
     if bytes(data[:2]) in (b"P6", b"P5"):
         return _decode_pnm(data)
     if bytes(data[:2]) == b"BM":

@@ -888,6 +888,67 @@ def test_pillow_fallback_parity_and_routing():
         decode_image(b"GIF89a....")
 
 
+def test_pillow_preferred_hash_parity(monkeypatch):
+    """The probe-and-PREFER branch (r13 verdict ask #7, the
+    avro/Delta probe precedent — SKIPS in the shipped container,
+    activates when the environment gains Pillow): with
+    PREFER_PILLOW routing every payload through the codec library,
+    dHash AND DCT-pHash over the Pillow-decoded rasters are
+    BYTE-IDENTICAL to the pure-Python decoders' on the lossless
+    formats (PGM, varied multi-filter PNG), so flipping a deploy to
+    SPARK_GRAFT_PREFER_PILLOW=1 preserves every perceptual index
+    built from lossless payloads.  Also pins the routing itself:
+    under the preferred regime decode_image returns the exact
+    Pillow tuple."""
+    import struct
+    import zlib
+
+    from datawarehouse_code_spark.operators import multimodal
+    from datawarehouse_code_spark.operators.media_dedup import (
+        dhash_bits,
+        phash_bits,
+    )
+    from datawarehouse_code_spark.operators.multimodal import (
+        HAVE_PIL,
+        _decode_pillow,
+        _decode_png,
+        _decode_pnm,
+        decode_image,
+        encode_gray_pgm,
+    )
+
+    if not HAVE_PIL:
+        pytest.skip("Pillow not installed — preferred path unreachable")
+
+    # 36x34 varied gray PGM (>=32x32 so pHash has a grid)
+    w, h = 36, 34
+    raster = bytes(((x * 37 + y * 91) % 256) for y in range(h) for x in range(w))
+    pgm = encode_gray_pgm(w, h, raster)
+    # 36x34 varied RGB PNG through all five filter types
+    ref = [
+        bytes(((x * 29 + y * 53 + c * 17) % 256)
+              for x in range(w) for c in range(3))
+        for y in range(h)
+    ]
+    raw = _png_filter_forward(ref, 3, [0, 1, 2, 3, 4] * 7)
+    png = _png_chunks(
+        (b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)),
+        (b"IDAT", zlib.compress(raw)),
+        (b"IEND", b""),
+    )
+
+    for data, pure in ((pgm, _decode_pnm), (png, _decode_png)):
+        a = pure(data)
+        b = _decode_pillow(data)
+        assert a == b  # raster byte parity on the lossless overlap
+        assert dhash_bits(*a) == dhash_bits(*b)
+        assert phash_bits(*a) == phash_bits(*b)
+
+    # routing pin: the preferred regime serves the Pillow tuple
+    monkeypatch.setattr(multimodal, "PREFER_PILLOW", True)
+    assert decode_image(png) == _decode_pillow(png)
+
+
 def test_png_corruption_fuzz():
     """Same worker-safety sweep as the JPEG fuzz: every truncation
     point and 300 seeded byte flips of a valid multi-filter PNG either
