@@ -14,6 +14,12 @@ touches only the files holding matched keys (plus the log), while the
 parquet fallback rewrites the whole target.  The adapter keeps the
 CALLER's code identical across both: same function, same result
 table, different write amplification and isolation.
+
+For keyed tables maintained per micro-batch, sources/bucketed.py is
+the parquet-native middle ground: hash-bucket partitioning +
+partition-grain staged swaps make replace-keyed cost
+O(|touched buckets|) instead of O(corpus) without any table-format
+jar (the streaming index maintainers opt in via n_buckets=).
 """
 
 from __future__ import annotations

@@ -1070,6 +1070,7 @@ def _run_media_index_ingest(
     index_path: str,
     rows_fn,
     checkpoint_dir: str | None = None,
+    n_buckets: int | None = None,
 ) -> None:
     """Shared exactly-once maintenance loop for the media-keyed
     perceptual indexes (dHash bands, audio fingerprints, video
@@ -1085,11 +1086,24 @@ def _run_media_index_ingest(
     are deliberately NOT applied at ingest (append-only maintenance
     only pushes carrier counts up; an ingest-time cap would make
     replays order-dependent) — the incremental matchers cap at read
-    time, same doctrine as cap_hot_chunks."""
+    time, same doctrine as cap_hot_chunks.
+
+    `n_buckets` opts the index into the bucket-partitioned layout
+    (sources/bucketed.py): maintenance rewrites only the hash buckets
+    containing the batch's media_ids instead of the whole table —
+    O(|touched buckets|) write amplification per micro-batch, the
+    shape a 100 TB index needs on plain parquet.  Readers of a
+    bucketed index go through read_bucketed (the layout column must
+    not leak into band schemas).  Replays stay no-ops: identical
+    payloads re-derive identical rows into the same buckets."""
     from datawarehouse_code_spark.sources.acid import (
         _staged_overwrite,
         replace_keyed,
         table_exists,
+    )
+    from datawarehouse_code_spark.sources.bucketed import (
+        replace_keyed_bucketed,
+        write_bucketed,
     )
 
     def _apply(batch: DataFrame, _batch_id: int) -> None:
@@ -1099,9 +1113,19 @@ def _run_media_index_ingest(
             # keys = the BATCH's ids — an item re-delivered too short
             # to fingerprint contributes zero rows yet must still
             # shed its old index rows (r13 fix)
-            replace_keyed(
-                sp, index_path, rows, ["media_id"],
-                keys=batch.select("media_id"),
+            if n_buckets is not None:
+                replace_keyed_bucketed(
+                    sp, index_path, rows, ["media_id"],
+                    keys=batch.select("media_id"),
+                )
+            else:
+                replace_keyed(
+                    sp, index_path, rows, ["media_id"],
+                    keys=batch.select("media_id"),
+                )
+        elif n_buckets is not None:
+            write_bucketed(
+                sp, rows, index_path, ["media_id"], n_buckets=n_buckets
             )
         else:
             _staged_overwrite(sp, rows, index_path)
@@ -1117,6 +1141,7 @@ def run_dhash_index_ingest(
     index_path: str,
     checkpoint_dir: str | None = None,
     grid: int = 8,
+    n_buckets: int | None = None,
 ) -> None:
     """Exactly-once streaming maintenance of the persisted perceptual
     dHash band index (operators/media_dedup.py build_dhash_index /
@@ -1129,6 +1154,7 @@ def run_dhash_index_ingest(
     _run_media_index_ingest(
         media, index_path,
         lambda b: build_dhash_index(b, grid=grid), checkpoint_dir,
+        n_buckets=n_buckets,
     )
 
 
@@ -1140,6 +1166,7 @@ def run_audio_fp_ingest(
     hop: int = 8,
     gram: int = 4,
     qshift: int = 4,
+    n_buckets: int | None = None,
 ) -> None:
     """Exactly-once streaming maintenance of the persisted audio
     fingerprint index (operators/media_dedup.py build_audio_fp_index /
@@ -1151,7 +1178,7 @@ def run_audio_fp_ingest(
     _run_media_index_ingest(
         media, index_path,
         lambda b: build_audio_fp_index(b, win, hop, gram, qshift),
-        checkpoint_dir,
+        checkpoint_dir, n_buckets=n_buckets,
     )
 
 
@@ -1160,6 +1187,7 @@ def run_video_fp_ingest(
     index_path: str,
     checkpoint_dir: str | None = None,
     gram: int = 2,
+    n_buckets: int | None = None,
 ) -> None:
     """Exactly-once streaming maintenance of the persisted video
     fingerprint index (operators/video_dedup.py build_video_fp_index /
@@ -1171,6 +1199,7 @@ def run_video_fp_ingest(
     _run_media_index_ingest(
         media, index_path,
         lambda b: build_video_fp_index(b, gram=gram), checkpoint_dir,
+        n_buckets=n_buckets,
     )
 
 
@@ -1178,6 +1207,7 @@ def run_phash_index_ingest(
     media: DataFrame,
     index_path: str,
     checkpoint_dir: str | None = None,
+    n_buckets: int | None = None,
 ) -> None:
     """Exactly-once streaming maintenance of the persisted DCT-pHash
     band index (operators/media_dedup.py image_phash through the
@@ -1196,7 +1226,7 @@ def run_phash_index_ingest(
         lambda b: build_dhash_index(
             None, hashes=image_phash(b, skip_small=True)
         ),
-        checkpoint_dir,
+        checkpoint_dir, n_buckets=n_buckets,
     )
 
 
@@ -1204,6 +1234,7 @@ def run_frame_index_ingest(
     media: DataFrame,
     index_path: str,
     checkpoint_dir: str | None = None,
+    n_buckets: int | None = None,
 ) -> None:
     """Exactly-once streaming maintenance of the persisted FRAME-grain
     dHash index (operators/video_dedup.py build_frame_dhash_index /
@@ -1218,7 +1249,7 @@ def run_frame_index_ingest(
     _run_media_index_ingest(
         media, index_path,
         lambda b: build_frame_dhash_index(video_frame_dhashes(b)),
-        checkpoint_dir,
+        checkpoint_dir, n_buckets=n_buckets,
     )
 
 

@@ -1,0 +1,320 @@
+"""Bucket-partitioned keyed-replace (sources/bucketed.py): layout,
+O(|touched buckets|) write amplification, the zero-row closure, the
+partition-pruned maintenance scan, the crash-state matrix of the
+partition-grain staged swap, and the streaming maintainer opt-in."""
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouse_code_spark.sources.bucketed import (
+    BUCKET_COL,
+    bucket_expr,
+    bucketed_meta,
+    read_bucketed,
+    recover_interrupted_bucket_swap,
+    replace_keyed_bucketed,
+    write_bucketed,
+)
+
+N = 8
+
+
+def _frame(spark, ids, payload="p"):
+    return spark.createDataFrame(
+        [(i, j, f"{payload}{i}") for i in ids for j in range(2)],
+        "doc_id BIGINT, part INT, payload STRING",
+    )
+
+
+def _rows(spark, path):
+    return sorted(map(tuple, read_bucketed(spark, path).collect()))
+
+
+def _bucket_of(spark, doc_id):
+    return (
+        spark.range(1)
+        .select(F.lit(doc_id).cast("bigint").alias("doc_id"))
+        .select(bucket_expr(["doc_id"], N).alias("b"))
+        .collect()[0]["b"]
+    )
+
+
+def _files_per_bucket(path):
+    out = {}
+    for name in os.listdir(path):
+        if name.startswith(f"{BUCKET_COL}="):
+            out[name] = sorted(os.listdir(os.path.join(path, name)))
+    return out
+
+
+def test_write_read_roundtrip_layout_and_meta(spark, tmp_path):
+    """write_bucketed lays the table out as _kb=* partitions with the
+    sidecar; read_bucketed returns the exact written schema (no
+    layout column leaks)."""
+    path = str(tmp_path / "t")
+    df = _frame(spark, range(20))
+    write_bucketed(spark, df, path, ["doc_id"], n_buckets=N)
+    assert _rows(spark, path) == sorted(map(tuple, df.collect()))
+    assert read_bucketed(spark, path).columns == df.columns
+    assert bucketed_meta(spark, path) == {"n_buckets": N, "key": ["doc_id"]}
+    parts = _files_per_bucket(tmp_path / "t")
+    assert parts and all(k.startswith("_kb=") for k in parts)
+
+
+def test_replace_rewrites_only_touched_buckets(spark, tmp_path):
+    """The write-amplification claim, verified at the FILE level:
+    replacing one key's rows leaves every other bucket's parquet
+    files byte-untouched (same names, same mtimes)."""
+    path = str(tmp_path / "t")
+    write_bucketed(spark, _frame(spark, range(40)), path, ["doc_id"], N)
+    before = {
+        k: [(f, os.path.getmtime(os.path.join(tmp_path / "t", k, f)))
+            for f in v]
+        for k, v in _files_per_bucket(tmp_path / "t").items()
+    }
+    target = 7
+    tb = _bucket_of(spark, target)
+    updates = spark.createDataFrame(
+        [(target, 9, "NEW")], "doc_id BIGINT, part INT, payload STRING"
+    )
+    touched = replace_keyed_bucketed(spark, path, updates, ["doc_id"])
+    assert touched == [tb]
+    rows = _rows(spark, path)
+    assert (target, 9, "NEW") in rows
+    assert not [r for r in rows if r[0] == target and r[2] != "NEW"]
+    assert len(rows) == 39 * 2 + 1  # 39 untouched docs x2 + 1 new row
+    after = {
+        k: [(f, os.path.getmtime(os.path.join(tmp_path / "t", k, f)))
+            for f in v]
+        for k, v in _files_per_bucket(tmp_path / "t").items()
+    }
+    for k in before:
+        if k != f"{BUCKET_COL}={tb}":
+            assert after[k] == before[k], f"untouched bucket {k} rewritten"
+    assert after[f"{BUCKET_COL}={tb}"] != before[f"{BUCKET_COL}={tb}"]
+
+
+def test_zero_row_closure_and_bucket_deletion(spark, tmp_path):
+    """keys= with no update rows sheds the item's old rows (the
+    replace_keyed contract); a bucket left with zero rows is deleted
+    outright — the 'empty' lane of the commit plan."""
+    path = str(tmp_path / "t")
+    # two docs that land in DIFFERENT buckets, one doc per bucket
+    ids, seen = [], set()
+    i = 0
+    while len(ids) < 2:
+        b = _bucket_of(spark, i)
+        if b not in seen:
+            seen.add(b)
+            ids.append(i)
+        i += 1
+    write_bucketed(spark, _frame(spark, ids), path, ["doc_id"], N)
+    gone, kept = ids
+    empty_updates = spark.createDataFrame(
+        [], "doc_id BIGINT, part INT, payload STRING"
+    )
+    keys = spark.createDataFrame([(gone,)], "doc_id BIGINT")
+    replace_keyed_bucketed(spark, path, empty_updates, ["doc_id"], keys=keys)
+    rows = _rows(spark, path)
+    assert {r[0] for r in rows} == {kept}
+    assert f"{BUCKET_COL}={_bucket_of(spark, gone)}" not in _files_per_bucket(
+        tmp_path / "t"
+    )
+
+
+def test_maintenance_scan_is_partition_pruned(spark, tmp_path):
+    """The touched-bucket read prunes at the PARTITION level — the
+    scan the maintenance pays is |touched buckets|, not the table."""
+    path = str(tmp_path / "t")
+    write_bucketed(spark, _frame(spark, range(40)), path, ["doc_id"], N)
+    pruned = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin([1, 2]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and f"{BUCKET_COL}#" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
+
+
+def test_key_mismatch_and_unbucketed_raise(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_bucketed(spark, _frame(spark, range(4)), path, ["doc_id"], N)
+    up = spark.createDataFrame(
+        [(1, 0, "x")], "doc_id BIGINT, part INT, payload STRING"
+    )
+    with pytest.raises(ValueError, match="keyed on"):
+        replace_keyed_bucketed(spark, path, up, ["part"])
+    plain = str(tmp_path / "plain")
+    _frame(spark, range(4)).write.parquet(plain)
+    with pytest.raises(ValueError, match="not a bucketed"):
+        replace_keyed_bucketed(spark, plain, up, ["doc_id"])
+
+
+# --- crash-state matrix (plain file ops simulate each window; the
+# recovery invariant: after recover_interrupted_bucket_swap the table
+# equals either the full OLD state (no marker) or the full NEW state
+# (marker present) — never a torn mix) -------------------------------
+
+
+def _staged_state(spark, tmp_path):
+    """A table + a fully-written staging commit, swaps NOT yet run:
+    built by running the real replace with _apply_bucket_swap stubbed
+    out, so the staging layout is exactly production's."""
+    import datawarehouse_code_spark.sources.bucketed as B
+
+    path = str(tmp_path / "t")
+    write_bucketed(spark, _frame(spark, range(40)), path, ["doc_id"], N)
+    old_rows = _rows(spark, path)
+    target = 7
+    updates = spark.createDataFrame(
+        [(target, 9, "NEW")], "doc_id BIGINT, part INT, payload STRING"
+    )
+    real = B._apply_bucket_swap
+    B._apply_bucket_swap = lambda *a, **k: None
+    try:
+        replace_keyed_bucketed(spark, path, updates, ["doc_id"])
+    finally:
+        B._apply_bucket_swap = real
+    staging = tmp_path / "t._bstaging"
+    assert staging.exists()
+    new_rows = [t for t in old_rows if t[0] != target] + [(target, 9, "NEW")]
+    return path, staging, sorted(new_rows), old_rows, target
+
+
+def test_recover_rolls_back_unmarked_staging(spark, tmp_path):
+    """Crash DURING the staged write (no marker): staging is deleted,
+    the table is untouched old state."""
+    path, staging, _, old_rows, _ = _staged_state(spark, tmp_path)
+    os.remove(staging / "_BUCKET_COMMIT")  # pre-marker crash state
+    assert recover_interrupted_bucket_swap(spark, path) == "rolled_back"
+    assert not staging.exists()
+    assert _rows(spark, path) == old_rows
+
+
+def test_recover_rolls_forward_no_swaps_started(spark, tmp_path):
+    """Crash right after the marker: recovery completes every swap."""
+    path, staging, new_rows, _, _ = _staged_state(spark, tmp_path)
+    assert recover_interrupted_bucket_swap(spark, path) == "rolled_forward"
+    assert not staging.exists()
+    assert _rows(spark, path) == new_rows
+
+
+def test_recover_rolls_forward_mid_rename_pair(spark, tmp_path):
+    """Crash between 'live renamed aside' and 'staged renamed in' for
+    the touched bucket: live absent, aside + staged present."""
+    path, staging, new_rows, _, target = _staged_state(spark, tmp_path)
+    tb = _bucket_of(spark, target)
+    live = tmp_path / "t" / f"{BUCKET_COL}={tb}"
+    shutil.move(str(live), str(tmp_path / "t" / f"._old_kb={tb}"))
+    assert recover_interrupted_bucket_swap(spark, path) == "rolled_forward"
+    assert _rows(spark, path) == new_rows
+    assert not (tmp_path / "t" / f"._old_kb={tb}").exists()
+
+
+def test_recover_cleans_after_swap_before_aside_delete(spark, tmp_path):
+    """Crash after the staged bucket renamed in but before the aside
+    deleted: recovery must NOT resurrect the aside — the marker's
+    'staged' lane with staging's bucket gone means done."""
+    path, staging, new_rows, _, target = _staged_state(spark, tmp_path)
+    tb = _bucket_of(spark, target)
+    live = tmp_path / "t" / f"{BUCKET_COL}={tb}"
+    shutil.move(str(live), str(tmp_path / "t" / f"._old_kb={tb}"))
+    shutil.move(str(staging / f"{BUCKET_COL}={tb}"), str(live))
+    assert recover_interrupted_bucket_swap(spark, path) == "rolled_forward"
+    assert _rows(spark, path) == new_rows
+    assert not (tmp_path / "t" / f"._old_kb={tb}").exists()
+
+
+def test_recover_deletes_empty_plan_bucket(spark, tmp_path):
+    """An 'empty' plan lane (zero-row replace) whose delete never ran:
+    recovery deletes the live bucket."""
+    path = str(tmp_path / "t")
+    ids, seen = [], set()
+    i = 0
+    while len(ids) < 2:
+        b = _bucket_of(spark, i)
+        if b not in seen:
+            seen.add(b)
+            ids.append(i)
+        i += 1
+    write_bucketed(spark, _frame(spark, ids), path, ["doc_id"], N)
+    gone, kept = ids
+    tb = _bucket_of(spark, gone)
+    staging = tmp_path / "t._bstaging"
+    staging.mkdir()
+    (staging / "_BUCKET_COMMIT").write_text(
+        json.dumps({"buckets": {str(tb): "empty"}})
+    )
+    assert recover_interrupted_bucket_swap(spark, path) == "rolled_forward"
+    assert {r[0] for r in _rows(spark, path)} == {kept}
+
+
+def test_read_recovers_first(spark, tmp_path):
+    """read_bucketed on a crashed-marker state serves the NEW rows —
+    the read path runs recovery like table_exists does for the
+    whole-table swap."""
+    path, _, new_rows, _, _ = _staged_state(spark, tmp_path)
+    assert _rows(spark, path) == new_rows  # _rows goes via read_bucketed
+
+
+def test_dhash_index_ingest_bucketed_stream_equals_batch(spark, tmp_path):
+    """The streaming maintainer opt-in: n_buckets= drains to the SAME
+    rows as the batch build (read through read_bucketed), replays are
+    no-ops, and the maintained index serves the incremental matcher.
+    Mirrors test_dhash_index_ingest_stream_equals_batch with the
+    bucketed layout."""
+    from datawarehouse_code_spark.operators.media_dedup import (
+        build_dhash_index,
+        dhash_matches_incremental,
+    )
+    from datawarehouse_code_spark.operators.multimodal import encode_gray_pgm
+    from datawarehouse_code_spark.streaming.jobs import run_dhash_index_ingest
+    from tests.test_streaming import _media_landing
+
+    def raster(seed):
+        out = bytearray()
+        for r in range(8):
+            b = ((seed * 8 + r) * 37) % 256
+            v = 128
+            out.append(v)
+            for c in range(8):
+                v += 1 if (b >> c) & 1 else -1
+                out.append(v)
+        return encode_gray_pgm(9, 8, bytes(out))
+
+    rows = [(i, "image/pgm", raster(i)) for i in range(9)]
+    land = _media_landing(tmp_path, rows)
+    schema = "media_id BIGINT, media_type STRING, content BINARY"
+    index_path = str(tmp_path / "dhash_index_b")
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(land))
+        )
+
+    run_dhash_index_ingest(stream(), index_path,
+                           checkpoint_dir=str(tmp_path / "ckpt"),
+                           n_buckets=4)
+
+    media = spark.createDataFrame(rows, schema)
+    expected = sorted(map(tuple, build_dhash_index(media).collect()))
+    got = sorted(map(tuple, read_bucketed(spark, index_path).collect()))
+    assert got == expected and len(got) == 9 * 4
+    assert bucketed_meta(spark, index_path)["key"] == ["media_id"]
+
+    run_dhash_index_ingest(stream(), index_path,
+                           checkpoint_dir=str(tmp_path / "ckpt"),
+                           n_buckets=4)
+    assert sorted(
+        map(tuple, read_bucketed(spark, index_path).collect())
+    ) == got
+
+    copy = spark.createDataFrame([(99, "image/pgm", raster(3))], schema)
+    matches = dhash_matches_incremental(
+        copy, read_bucketed(spark, index_path)
+    ).collect()
+    assert any(r["d_corpus"] == 3 and r["hamming"] == 0 for r in matches)
