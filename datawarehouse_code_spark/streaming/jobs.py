@@ -413,6 +413,7 @@ def run_cdc_index_ingest(
     index_path: str,
     checkpoint_dir: str | None = None,
     min_words: int = 3,
+    n_buckets: int | None = None,
 ) -> None:
     """Exactly-once streaming maintenance of the persisted CDC chunk
     index (operators/text.py build_cdc_index / cdc_matches_incremental)
@@ -441,7 +442,11 @@ def run_cdc_index_ingest(
 
     Scale shape per batch: content_defined_chunks' narrow pipeline
     over the batch (cost ∝ |batch|) + one keyed upsert; the corpus is
-    never re-chunked."""
+    never re-chunked.  `n_buckets` opts the index into the
+    bucket-partitioned layout (sources/bucketed.py) — the replace
+    then rewrites only the hash buckets holding the batch's doc_ids
+    instead of the whole index, and readers go through
+    read_bucketed."""
     from datawarehouse_code_spark.operators.text import (
         content_defined_chunks,
     )
@@ -449,6 +454,10 @@ def run_cdc_index_ingest(
         _staged_overwrite,
         replace_keyed,
         table_exists,
+    )
+    from datawarehouse_code_spark.sources.bucketed import (
+        replace_keyed_bucketed,
+        write_bucketed,
     )
 
     def _apply(batch: DataFrame, _batch_id: int) -> None:
@@ -461,9 +470,19 @@ def run_cdc_index_ingest(
             # chunk rows' — a doc re-delivered with revised text whose
             # chunks ALL fall below min_words contributes zero update
             # rows yet must still shed its old index rows (r13 fix)
-            replace_keyed(
-                sp, index_path, chunks, ["doc_id"],
-                keys=batch.select("doc_id"),
+            if n_buckets is not None:
+                replace_keyed_bucketed(
+                    sp, index_path, chunks, ["doc_id"],
+                    keys=batch.select("doc_id"),
+                )
+            else:
+                replace_keyed(
+                    sp, index_path, chunks, ["doc_id"],
+                    keys=batch.select("doc_id"),
+                )
+        elif n_buckets is not None:
+            write_bucketed(
+                sp, chunks, index_path, ["doc_id"], n_buckets=n_buckets
             )
         else:
             _staged_overwrite(sp, chunks, index_path)

@@ -318,3 +318,69 @@ def test_dhash_index_ingest_bucketed_stream_equals_batch(spark, tmp_path):
         copy, read_bucketed(spark, index_path)
     ).collect()
     assert any(r["d_corpus"] == 3 and r["hamming"] == 0 for r in matches)
+
+
+def test_cdc_index_ingest_bucketed_stream_equals_batch(spark, tmp_path):
+    """The text-side opt-in: run_cdc_index_ingest(n_buckets=) drains
+    to the batch build's exact rows under the bucketed layout, and
+    the maintained index serves cdc_matches_incremental through the
+    query-time hot-chunk cap (read via read_bucketed)."""
+    import time
+
+    from datawarehouse_code_spark.operators.text import (
+        cap_hot_chunks,
+        cdc_matches_incremental,
+        content_defined_chunks,
+    )
+    from datawarehouse_code_spark.sources.catalog import read_table
+    from datawarehouse_code_spark.streaming.jobs import run_cdc_index_ingest
+    from tests.conftest import SF_DIR
+
+    docs = read_table(spark, "documents", SF_DIR).cache()
+    land = tmp_path / "landing"
+    land.mkdir()
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+    now = time.time() - 600
+    for i, p in enumerate(
+        [docs.filter(F.col("doc_id") <= cut),
+         docs.filter(F.col("doc_id") > cut)]
+    ):
+        f = land / f"batch-{i}.parquet"
+        p.toPandas().to_parquet(f, index=False)
+        os.utime(f, (now + 60 * i, now + 60 * i))
+
+    schema = (
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT"
+    )
+    index_path = str(tmp_path / "cdc_index_b")
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(land))
+        )
+
+    run_cdc_index_ingest(stream(), index_path,
+                         checkpoint_dir=str(tmp_path / "ckpt"),
+                         n_buckets=8)
+
+    expected = sorted(
+        tuple(r)
+        for r in content_defined_chunks(docs)
+        .filter(F.col("n_words") >= 3)
+        .select("doc_id", "chunk_idx", "chunk_hash", "n_words")
+        .collect()
+    )
+    got = sorted(tuple(r) for r in read_bucketed(spark, index_path).collect())
+    assert got == expected and len(got) > 0
+    assert bucketed_meta(spark, index_path)["key"] == ["doc_id"]
+
+    # the maintained bucketed index serves increment matching
+    inc = docs.limit(5)
+    served = cdc_matches_incremental(
+        inc, cap_hot_chunks(read_bucketed(spark, index_path), 5000)
+    )
+    assert served.count() > 0  # every doc matches its own index rows
