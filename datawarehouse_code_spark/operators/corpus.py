@@ -1195,15 +1195,48 @@ def forget_index_rows(
     one null-safe anti-join + crash-recoverable staged overwrite.
     Returns the number of rows removed — the audit figure a deletion
     request must report.  After the call, increments can never match
-    the forgotten doc again (pinned by test)."""
+    the forgotten doc again (pinned by test).
+
+    Bucket-partitioned indexes (sources/bucketed.py — the n_buckets=
+    maintainer opt-in) take the pruned path automatically: the
+    removed-count scan reads only the forgotten ids' hash buckets and
+    the deletion is a zero-update replace_keyed_bucketed touching
+    only those buckets — RTBF at O(|touched buckets|), not O(corpus),
+    the same amplification contract as the maintenance writes."""
     from datawarehouse_code_spark.sources.acid import (
         _staged_overwrite,
         table_exists,
+    )
+    from datawarehouse_code_spark.sources.bucketed import (
+        BUCKET_COL,
+        bucket_expr,
+        bucketed_meta,
+        replace_keyed_bucketed,
     )
 
     if not table_exists(spark, index_path):
         raise ValueError(f"no index table at {index_path}")
     ids = doc_ids.select(F.col(id_col)).distinct()
+    meta = bucketed_meta(spark, index_path)
+    if meta is not None:
+        if list(meta["key"]) != [id_col]:
+            raise ValueError(
+                f"bucketed index {index_path} is keyed on {meta['key']}, "
+                f"forget asked {[id_col]} — refusing a mismatched layout"
+            )
+        kb = bucket_expr([id_col], int(meta["n_buckets"]))
+        touched = [
+            r["b"] for r in ids.select(kb.alias("b")).distinct().collect()
+        ]
+        pruned = spark.read.parquet(index_path).filter(
+            F.col(BUCKET_COL).isin(touched)
+        )
+        removed = pruned.join(ids, id_col, "left_semi").count()
+        empty = spark.createDataFrame(
+            [], pruned.drop(BUCKET_COL).schema
+        )
+        replace_keyed_bucketed(spark, index_path, empty, [id_col], keys=ids)
+        return removed
     index = spark.read.parquet(index_path)
     before = index.count()
     kept = index.join(ids, id_col, "left_anti").persist()

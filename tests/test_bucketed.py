@@ -384,3 +384,42 @@ def test_cdc_index_ingest_bucketed_stream_equals_batch(spark, tmp_path):
         inc, cap_hot_chunks(read_bucketed(spark, index_path), 5000)
     )
     assert served.count() > 0  # every doc matches its own index rows
+
+
+def test_forget_index_rows_bucketed_prunes(spark, tmp_path):
+    """RTBF on a bucketed index: forget_index_rows detects the layout,
+    returns the exact removed-row count, leaves every untouched
+    bucket's files byte-identical, and the forgotten id can never
+    match again."""
+    from datawarehouse_code_spark.operators.corpus import forget_index_rows
+
+    path = str(tmp_path / "t")
+    write_bucketed(spark, _frame(spark, range(40)), path, ["doc_id"], N)
+    before = {
+        k: [(f, os.path.getmtime(os.path.join(tmp_path / "t", k, f)))
+            for f in v]
+        for k, v in _files_per_bucket(tmp_path / "t").items()
+    }
+    gone = 7
+    tb = _bucket_of(spark, gone)
+    removed = forget_index_rows(
+        spark, path, spark.createDataFrame([(gone,)], "doc_id BIGINT")
+    )
+    assert removed == 2  # _frame writes 2 rows per doc
+    rows = _rows(spark, path)
+    assert gone not in {r[0] for r in rows} and len(rows) == 39 * 2
+    after = {
+        k: [(f, os.path.getmtime(os.path.join(tmp_path / "t", k, f)))
+            for f in v]
+        for k, v in _files_per_bucket(tmp_path / "t").items()
+    }
+    for k in before:
+        if k != f"{BUCKET_COL}={tb}":
+            assert after[k] == before[k], f"untouched bucket {k} rewritten"
+
+    # mismatched key layout refuses loudly
+    with pytest.raises(ValueError, match="keyed on"):
+        forget_index_rows(
+            spark, path,
+            spark.createDataFrame([(1,)], "part BIGINT"), id_col="part",
+        )
