@@ -306,4 +306,19 @@ def replace_keyed_bucketed(
         json.dumps({"buckets": plan}),
     )
     _apply_bucket_swap(spark, fs, p, staging, plan)
+    # a replace that emptied the ENTIRE table would leave a root with
+    # no bucket dirs — unreadable (parquet schema inference needs at
+    # least one footer).  Anchor the schema with one empty bucket-0
+    # part so read_bucketed keeps returning a 0-row frame with the
+    # table's schema (round-14 self-review find).
+    has_bucket = any(
+        st.getPath().getName().startswith(f"{BUCKET_COL}=")
+        for st in fs.listStatus(p)
+    )
+    if not has_bucket:
+        spark.createDataFrame(
+            [], cur_touched.schema
+        ).coalesce(1).write.mode("overwrite").parquet(
+            _jpath(spark, p, f"{BUCKET_COL}=0").toString()
+        )
     return [int(b) for b in touched]

@@ -423,3 +423,25 @@ def test_forget_index_rows_bucketed_prunes(spark, tmp_path):
             spark, path,
             spark.createDataFrame([(1,)], "part BIGINT"), id_col="part",
         )
+
+
+def test_replace_that_empties_table_stays_readable(spark, tmp_path):
+    """A replace that removes EVERY row must leave a readable table:
+    without the schema-anchor bucket the root would hold no parquet
+    footer and the next read would fail schema inference (round-14
+    self-review find)."""
+    path = str(tmp_path / "t")
+    ids = list(range(6))
+    write_bucketed(spark, _frame(spark, ids), path, ["doc_id"], N)
+    empty_updates = spark.createDataFrame(
+        [], "doc_id BIGINT, part INT, payload STRING"
+    )
+    keys = spark.createDataFrame([(i,) for i in ids], "doc_id BIGINT")
+    replace_keyed_bucketed(spark, path, empty_updates, ["doc_id"], keys=keys)
+    out = read_bucketed(spark, path)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "part", "payload"]
+    # and the emptied table still accepts a subsequent replace
+    re_add = _frame(spark, [3])
+    replace_keyed_bucketed(spark, path, re_add, ["doc_id"])
+    assert _rows(spark, path) == sorted(map(tuple, re_add.collect()))
