@@ -149,10 +149,35 @@ def test_near_dup_components_falls_back_past_max_iters(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1}
 
 
+def test_propagation_jumps_long_chains_without_fallback(spark, monkeypatch):
+    """The round-14 pointer-jumping mechanism pin: a diameter-63 path
+    must converge inside max_iters=12 through propagation ALONE —
+    O(log diameter) rounds — so the two-phase fallback never fires.
+    The r13 shape would burn all rounds and restart in two-phase (the
+    monkeypatched stub would raise), which is exactly the double-work
+    bill this pins against regressing."""
+    import datawarehouse_code_spark.operators.corpus as C
+
+    def _boom(*a, **k):
+        raise AssertionError("two-phase fallback fired — jumping broken")
+
+    monkeypatch.setattr(C, "_two_phase_components", _boom)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "d1 BIGINT, d2 BIGINT"
+    )
+    comp = {
+        r["doc_id"]: r["rep"]
+        for r in C.near_dup_components(pairs, max_iters=12).collect()
+    }
+    assert comp == {i: 0 for i in range(64)}
+
+
 def test_two_phase_components_long_chain_past_diameter(spark):
     """A planted diameter-31 chain (> the default max_iters=20) plus a
     disjoint triangle: the default call path must cluster BOTH
-    correctly via the fallback; the direct two_phase path agrees."""
+    correctly (since round 14 pointer jumping converges this without
+    the fallback — see the mechanism test below); the direct
+    two_phase path agrees."""
     from datawarehouse_code_spark.operators.corpus import near_dup_components
 
     chain = [(i, i + 1) for i in range(31)]  # 0-1-...-31, diameter 31
