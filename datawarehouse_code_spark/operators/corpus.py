@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datawarehouse_code_spark.operators.iterative import (
+    convergence_signature,
     cut_lineage,
     release_checkpoint,
     resolve_checkpoint_mode,
@@ -188,11 +189,7 @@ def near_dup_components(
     def _sig(frame: DataFrame) -> tuple:
         # monotone convergence signature (see docstring): node count
         # is invariant, Σrep strictly decreases until the fixpoint
-        row = frame.agg(
-            F.count("rep").alias("n"),
-            F.sum(F.col("rep").cast("decimal(38,0)")).alias("s"),
-        ).collect()[0]
-        return (row["n"], row["s"])
+        return convergence_signature(frame, "rep")
 
     # seed = one propagation round fused into the node-set build:
     # same shuffle cost as the plain distinct() it replaces, one
@@ -1211,11 +1208,16 @@ def forget_index_rows(
         BUCKET_COL,
         bucket_expr,
         bucketed_meta,
+        recover_interrupted_bucket_swap,
         replace_keyed_bucketed,
     )
 
     if not table_exists(spark, index_path):
         raise ValueError(f"no index table at {index_path}")
+    # repair any mid-crash bucket swap BEFORE the audit-count scan —
+    # counting against a half-swapped table would report a wrong
+    # `removed` figure to the deletion request (round-14 review find)
+    recover_interrupted_bucket_swap(spark, index_path)
     ids = doc_ids.select(F.col(id_col)).distinct()
     meta = bucketed_meta(spark, index_path)
     if meta is not None:

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from datawarehouse_code_spark.operators.iterative import (
+    convergence_signature,
     cut_lineage,
     release_checkpoint,
     resolve_checkpoint_mode,
@@ -257,11 +258,8 @@ def bfs_distances(
     frontier = dist
 
     def _sig(frame: DataFrame) -> tuple:
-        row = frame.agg(
-            F.count("dist").alias("n"),
-            F.sum(F.col("dist").cast("decimal(38,0)")).alias("s"),
-        ).collect()[0]
-        return (row["n"], row["s"])
+        # monotone: the min-merge only adds nodes or lowers dists
+        return convergence_signature(frame, "dist")
 
     sig = _sig(dist)
     for _ in range(max_hops):
@@ -309,6 +307,12 @@ def bfs_distances(
         release_checkpoint(dist, unless=(merged, new_frontier))
         dist = merged
         frontier = new_frontier
+    else:
+        # max_hops exhausted without converging (the documented
+        # truncation case): the last round's frontier checkpoint has
+        # no further reader — reclaim it (the convergence break path
+        # releases inside the loop)
+        release_checkpoint(frontier, unless=(dist,))
     return dist
 
 

@@ -34,8 +34,29 @@ from __future__ import annotations
 import warnings
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 CHECKPOINT_MODES = ("auto", "local", "reliable")
+
+
+def convergence_signature(df: DataFrame, col: str) -> tuple:
+    """(count, Σ`col` over decimal(38,0)) in ONE scalar agg — the
+    monotone fixpoint signature shared by the iterative operators
+    whose per-round update never increases an integer column over a
+    fixed (or growing) row set (near_dup_components' labels,
+    bfs_distances' distances): the signature moves every round until
+    the fixpoint and is equal exactly AT it, so one cheap agg
+    replaces a join-based changed-count — and in local-checkpoint
+    mode the round's non-eager cut materializes inside this same
+    job, leaving one Spark action per round.  decimal(38,0) keeps
+    the Σ exact at any node count; operators over FLOAT columns must
+    NOT use this (Spark's double summation is order-dependent — see
+    weighted_shortest_paths, which keeps its frontier check)."""
+    row = df.agg(
+        F.count(col).alias("n"),
+        F.sum(F.col(col).cast("decimal(38,0)")).alias("s"),
+    ).collect()[0]
+    return (row["n"], row["s"])
 
 
 def resolve_checkpoint_mode(df: DataFrame, checkpoint: str) -> str:

@@ -135,6 +135,15 @@ def _staged_overwrite(spark: SparkSession, df: DataFrame, path: str) -> None:
     staged = _sibling(spark, p, "._staging")
     old = _sibling(spark, p, "._old")
     df.write.mode("overwrite").parquet(staged.toString())
+    _finish_staged_swap(fs, p, staged, old)
+
+
+def _finish_staged_swap(fs, p, staged, old) -> None:
+    """The whole-table swap tail every staged writer shares (here and
+    sources/bucketed.write_bucketed): old aside → staged in → aside
+    deleted, in the exact ordering recover_interrupted_swap repairs.
+    ONE implementation on purpose — a protocol change that landed in
+    only one copy would silently break the other's crash recovery."""
     if fs.exists(old):
         fs.delete(old, True)
     had_old = fs.exists(p)

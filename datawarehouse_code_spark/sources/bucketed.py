@@ -59,6 +59,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datawarehouse_code_spark.sources.acid import (
+    _finish_staged_swap,
     _fs_for,
     _sibling,
     recover_interrupted_swap,
@@ -144,14 +145,7 @@ def write_bucketed(
         spark, fs, _jpath(spark, staged, _META),
         json.dumps({"n_buckets": n_buckets, "key": list(key)}),
     )
-    if fs.exists(old):
-        fs.delete(old, True)
-    had_old = fs.exists(p)
-    if had_old:
-        fs.rename(p, old)
-    fs.rename(staged, p)
-    if had_old:
-        fs.delete(old, True)
+    _finish_staged_swap(fs, p, staged, old)
 
 
 def read_bucketed(spark: SparkSession, path: str) -> DataFrame:
@@ -297,6 +291,28 @@ def replace_keyed_bucketed(
         for st in fs.listStatus(staging)
         if st.getPath().getName().startswith(f"{BUCKET_COL}=")
     }
+    # a replace that emptied the ENTIRE table would leave a root with
+    # no bucket dirs — unreadable (parquet schema inference needs at
+    # least one footer).  Anchor the schema by STAGING one empty
+    # bucket part and marking it 'staged' BEFORE the commit marker,
+    # so the anchor rides the same crash protocol: a roll-forward
+    # from any crash window installs it too (round-14 self-review
+    # find; review hardened it from a post-swap write, which a crash
+    # inside the swap would have skipped).
+    if not present:
+        live_outside = {
+            st.getPath().getName().split("=", 1)[1]
+            for st in fs.listStatus(p)
+            if st.getPath().getName().startswith(f"{BUCKET_COL}=")
+        } - {str(b) for b in touched}
+        if not live_outside:
+            anchor = str(touched[0])
+            spark.createDataFrame(
+                [], cur_touched.schema
+            ).coalesce(1).write.mode("overwrite").parquet(
+                _jpath(spark, staging, f"{BUCKET_COL}={anchor}").toString()
+            )
+            present = {anchor}
     plan = {
         str(b): ("staged" if str(b) in present else "empty")
         for b in touched
@@ -306,19 +322,4 @@ def replace_keyed_bucketed(
         json.dumps({"buckets": plan}),
     )
     _apply_bucket_swap(spark, fs, p, staging, plan)
-    # a replace that emptied the ENTIRE table would leave a root with
-    # no bucket dirs — unreadable (parquet schema inference needs at
-    # least one footer).  Anchor the schema with one empty bucket-0
-    # part so read_bucketed keeps returning a 0-row frame with the
-    # table's schema (round-14 self-review find).
-    has_bucket = any(
-        st.getPath().getName().startswith(f"{BUCKET_COL}=")
-        for st in fs.listStatus(p)
-    )
-    if not has_bucket:
-        spark.createDataFrame(
-            [], cur_touched.schema
-        ).coalesce(1).write.mode("overwrite").parquet(
-            _jpath(spark, p, f"{BUCKET_COL}=0").toString()
-        )
     return [int(b) for b in touched]

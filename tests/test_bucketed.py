@@ -425,6 +425,64 @@ def test_forget_index_rows_bucketed_prunes(spark, tmp_path):
         )
 
 
+def test_recover_installs_anchor_on_emptying_crash(spark, tmp_path):
+    """Crash right after the marker during a table-EMPTYING replace:
+    the schema-anchor bucket is staged before the marker (not written
+    post-swap), so the roll-forward installs it too and the recovered
+    table stays readable (round-14 review hardening — a post-swap
+    anchor write would be skipped by any crash inside the swap)."""
+    import datawarehouse_code_spark.sources.bucketed as B
+
+    path = str(tmp_path / "t")
+    ids = list(range(6))
+    write_bucketed(spark, _frame(spark, ids), path, ["doc_id"], N)
+    empty_updates = spark.createDataFrame(
+        [], "doc_id BIGINT, part INT, payload STRING"
+    )
+    keys = spark.createDataFrame([(i,) for i in ids], "doc_id BIGINT")
+    real = B._apply_bucket_swap
+    B._apply_bucket_swap = lambda *a, **k: None
+    try:
+        replace_keyed_bucketed(
+            spark, path, empty_updates, ["doc_id"], keys=keys
+        )
+    finally:
+        B._apply_bucket_swap = real
+    staging = tmp_path / "t._bstaging"
+    # the crash state itself already carries the anchor: one staged
+    # bucket dir, and the marker plans it as 'staged'
+    plan = json.loads((staging / "_BUCKET_COMMIT").read_text())["buckets"]
+    anchored = [k for k, v in plan.items() if v == "staged"]
+    assert len(anchored) == 1
+    assert (staging / f"{BUCKET_COL}={anchored[0]}").exists()
+    assert recover_interrupted_bucket_swap(spark, path) == "rolled_forward"
+    out = read_bucketed(spark, path)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "part", "payload"]
+
+
+def test_forget_recovers_crashed_swap_before_count(spark, tmp_path):
+    """forget_index_rows on a crashed mid-swap index repairs FIRST and
+    reports the removed count against the repaired state (round-14
+    review find: counting against the half-swapped table would hand
+    the deletion request a wrong audit figure)."""
+    from datawarehouse_code_spark.operators.corpus import forget_index_rows
+
+    # crashed state: doc 7's replace (2 old rows -> 1 NEW row) staged
+    # + marker written, swaps never ran
+    path, staging, _, _, target = _staged_state(spark, tmp_path)
+    removed = forget_index_rows(
+        spark, path, spark.createDataFrame([(target,)], "doc_id BIGINT")
+    )
+    # against the ROLLED-FORWARD state doc 7 has exactly 1 row (the
+    # NEW one); the pre-crash table had 2 — a count taken before
+    # recovery would report 2 while the delete removes 1
+    assert removed == 1
+    assert not staging.exists()
+    rows = _rows(spark, path)
+    assert target not in {r[0] for r in rows} and len(rows) == 39 * 2
+
+
 def test_replace_that_empties_table_stays_readable(spark, tmp_path):
     """A replace that removes EVERY row must leave a readable table:
     without the schema-anchor bucket the root would hold no parquet
