@@ -262,6 +262,7 @@ def run_upsert_to_table(
     key: list[str],
     seq_col: str = "ts",
     checkpoint_dir: str | None = None,
+    n_buckets: int | None = None,
 ) -> None:
     """Drain the stream into a keyed table via foreachBatch +
     sources/acid.upsert — the production sink shape for CDC-style
@@ -269,6 +270,16 @@ def run_upsert_to_table(
     (row_number over `seq_col` desc), then lands as one keyed upsert
     (Delta MERGE when the jar exists, staged parquet overwrite here).
     The first batch creates the table.
+
+    `n_buckets` opts the table into the bucket-partitioned layout
+    (sources/bucketed.py): each micro-batch rewrites only the hash
+    buckets containing its keys instead of the whole table —
+    O(|touched buckets|) write amplification, the parquet-native
+    answer to Delta MERGE for a CDC sink whose table dwarfs its
+    batches.  The collapsed batch has exactly one row per key, so
+    replace_keyed_bucketed (delete the batch's keys, insert its rows)
+    IS the upsert.  Readers go through read_bucketed (the layout
+    column must not leak).
 
     Cross-batch ordering comes from the stream itself (a later batch's
     upsert overwrites an earlier batch's row for the same key);
@@ -289,6 +300,10 @@ def run_upsert_to_table(
         table_exists,
         upsert,
     )
+    from datawarehouse_code_spark.sources.bucketed import (
+        replace_keyed_bucketed,
+        write_bucketed,
+    )
 
     spark = events.sparkSession
 
@@ -300,7 +315,17 @@ def run_upsert_to_table(
             .drop("_rn")
         )
         if table_exists(batch.sparkSession, target_path):
-            upsert(batch.sparkSession, target_path, latest, key)
+            if n_buckets is not None:
+                replace_keyed_bucketed(
+                    batch.sparkSession, target_path, latest, key
+                )
+            else:
+                upsert(batch.sparkSession, target_path, latest, key)
+        elif n_buckets is not None:
+            write_bucketed(
+                batch.sparkSession, latest, target_path, key,
+                n_buckets=n_buckets,
+            )
         else:
             # staged create: a direct write.parquet(target) that dies
             # mid-job leaves a partial directory which the checkpoint
@@ -325,6 +350,7 @@ def run_corpus_ingest(
     docs: DataFrame,
     target_path: str,
     checkpoint_dir: str | None = None,
+    n_buckets: int | None = None,
 ) -> None:
     """Streaming increment of `prepare_training_corpus`'s stateless +
     key-local stages: per micro-batch of arriving documents,
@@ -356,6 +382,15 @@ def run_corpus_ingest(
     one equi-join against the table's (content_hash, doc_id)
     projection — column-pruned scan, no corpus-wide shuffle — and one
     keyed upsert (Delta MERGE when available; staged parquet here).
+
+    `n_buckets` opts the corpus table into the bucket-partitioned
+    layout (sources/bucketed.py): the upsert rewrites only the
+    doc_id hash buckets the batch touches — O(|touched buckets|)
+    write amplification instead of re-staging the whole corpus per
+    micro-batch.  The cross-batch hash guard still scans the full
+    (content_hash, doc_id) projection (duplicates hash anywhere, so
+    that read is inherently corpus-wide but stays column-pruned);
+    only the WRITE side is pruned.  Readers go through read_bucketed.
     """
     from datawarehouse_code_spark.operators.text import (
         normalized_text,
@@ -366,6 +401,11 @@ def run_corpus_ingest(
         _staged_overwrite,
         table_exists,
         upsert,
+    )
+    from datawarehouse_code_spark.sources.bucketed import (
+        read_bucketed,
+        replace_keyed_bucketed,
+        write_bucketed,
     )
 
     def _apply(batch: DataFrame, _batch_id: int) -> None:
@@ -386,7 +426,12 @@ def run_corpus_ingest(
             .drop("_rn")
         )
         if table_exists(sp, target_path):
-            existing = sp.read.parquet(target_path).select(
+            table = (
+                read_bucketed(sp, target_path)
+                if n_buckets is not None
+                else sp.read.parquet(target_path)
+            )
+            existing = table.select(
                 "content_hash", F.col("doc_id").alias("_existing_id")
             )
             survivors = (
@@ -397,7 +442,16 @@ def run_corpus_ingest(
                 )
                 .drop("_existing_id")
             )
-            upsert(sp, target_path, survivors, ["doc_id"])
+            if n_buckets is not None:
+                replace_keyed_bucketed(
+                    sp, target_path, survivors, ["doc_id"]
+                )
+            else:
+                upsert(sp, target_path, survivors, ["doc_id"])
+        elif n_buckets is not None:
+            write_bucketed(
+                sp, first, target_path, ["doc_id"], n_buckets=n_buckets
+            )
         else:
             # staged create, same reasoning as run_upsert_to_table
             _staged_overwrite(sp, first, target_path)

@@ -386,6 +386,163 @@ def test_cdc_index_ingest_bucketed_stream_equals_batch(spark, tmp_path):
     assert served.count() > 0  # every doc matches its own index rows
 
 
+def test_upsert_to_table_bucketed_stream_equals_plain(spark, tmp_path):
+    """The CDC sink opt-in: run_upsert_to_table(n_buckets=) lands the
+    same latest-row-per-key table as the plain variant (pinned
+    expected set from test_stream_upsert_to_table), and a follow-up
+    batch touching ONE key rewrites only that key's bucket."""
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datawarehouse_code_spark.streaming.jobs import (
+        read_events_stream,
+        run_upsert_to_table,
+    )
+
+    d = tmp_path / "src"
+    d.mkdir()
+    now = time.time() - 600
+
+    def write(name, rows, mtime):
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [int(pd.Timestamp(r[1]).value) for r in rows], pa.int64()
+            ),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array(["click"] * len(rows)),
+            "value": pa.array([float(r[2]) for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        })
+        p = str(d / name)
+        pq.write_table(tbl, p)
+        os.utime(p, (mtime, mtime))
+
+    write("f1.parquet", [(1, "2024-01-01T10:00", 10.0),
+                         (1, "2024-01-01T10:01", 10.5),
+                         (2, "2024-01-01T10:02", 20.0)], now)
+    write("f2.parquet", [(2, "2024-01-01T11:00", 21.0),
+                         (3, "2024-01-01T11:01", 30.0)], now + 60)
+    target = str(tmp_path / "t")
+    run_upsert_to_table(
+        read_events_stream(spark, str(d), max_files_per_trigger=1),
+        target, ["event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt"), n_buckets=4,
+    )
+    got = {
+        (r.event_id, r.value)
+        for r in read_bucketed(spark, target).collect()
+    }
+    assert got == {(1, 10.5), (2, 21.0), (3, 30.0)}
+    assert bucketed_meta(spark, target) == {
+        "n_buckets": 4, "key": ["event_id"]
+    }
+
+    # follow-up batch updates key 1 only: its bucket is rewritten,
+    # every other bucket's files stay byte-identical
+    before = {
+        k: [(f, os.path.getmtime(os.path.join(tmp_path / "t", k, f)))
+            for f in v]
+        for k, v in _files_per_bucket(tmp_path / "t").items()
+    }
+    write("f3.parquet", [(1, "2024-01-01T12:00", 11.0)], now + 120)
+    run_upsert_to_table(
+        read_events_stream(spark, str(d), max_files_per_trigger=1),
+        target, ["event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt"), n_buckets=4,
+    )
+    got2 = {
+        (r.event_id, r.value)
+        for r in read_bucketed(spark, target).collect()
+    }
+    assert got2 == {(1, 11.0), (2, 21.0), (3, 30.0)}
+    tb = (
+        spark.range(1)
+        .select(F.lit(1).cast("bigint").alias("event_id"))
+        .select(bucket_expr(["event_id"], 4).alias("b"))
+        .collect()[0]["b"]
+    )
+    after = {
+        k: [(f, os.path.getmtime(os.path.join(tmp_path / "t", k, f)))
+            for f in v]
+        for k, v in _files_per_bucket(tmp_path / "t").items()
+    }
+    for k in before:
+        if k != f"{BUCKET_COL}={tb}":
+            assert after[k] == before[k], f"untouched bucket {k} rewritten"
+
+
+def test_corpus_ingest_bucketed_stream_equals_plain(spark, tmp_path):
+    """The corpus-table opt-in: run_corpus_ingest(n_buckets=) over the
+    same landing produces exactly the plain variant's rows (the
+    cross-batch hash guard works through the bucketed read), and a
+    checkpoint replay is a no-op."""
+    import time
+
+    from datawarehouse_code_spark.sources.catalog import read_table
+    from datawarehouse_code_spark.streaming.jobs import run_corpus_ingest
+    from tests.conftest import SF_DIR
+
+    docs = read_table(spark, "documents", SF_DIR).orderBy("doc_id").limit(30)
+    rows = docs.collect()
+    first = rows[0]
+    planted = spark.createDataFrame(
+        # cross-batch exact duplicate of the first doc under a later
+        # id — must be dropped by the guard in BOTH variants
+        [(900001, first.text, first.lang, first.source, len(first.text))],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT",
+    )
+    land = tmp_path / "landing"
+    land.mkdir()
+    now = time.time() - 600
+    cut = rows[len(rows) // 2].doc_id
+    parts = [
+        docs.filter(F.col("doc_id") <= cut),
+        docs.filter(F.col("doc_id") > cut).unionByName(planted),
+    ]
+    for i, p in enumerate(parts):
+        f = land / f"batch-{i}.parquet"
+        p.toPandas().to_parquet(f, index=False)
+        os.utime(f, (now + 60 * i, now + 60 * i))
+
+    schema = (
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT"
+    )
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(land))
+        )
+
+    plain = str(tmp_path / "plain")
+    run_corpus_ingest(stream(), plain,
+                      checkpoint_dir=str(tmp_path / "ckpt_p"))
+    bucketed = str(tmp_path / "bucketed")
+    run_corpus_ingest(stream(), bucketed,
+                      checkpoint_dir=str(tmp_path / "ckpt_b"),
+                      n_buckets=8)
+
+    want = sorted(map(tuple, spark.read.parquet(plain).collect()))
+    got = sorted(map(tuple, read_bucketed(spark, bucketed).collect()))
+    assert got == want and len(got) > 0
+    assert 900001 not in {r[0] for r in got}
+    assert bucketed_meta(spark, bucketed)["key"] == ["doc_id"]
+
+    run_corpus_ingest(stream(), bucketed,
+                      checkpoint_dir=str(tmp_path / "ckpt_b"),
+                      n_buckets=8)
+    assert sorted(
+        map(tuple, read_bucketed(spark, bucketed).collect())
+    ) == want
+
+
 def test_forget_index_rows_bucketed_prunes(spark, tmp_path):
     """RTBF on a bucketed index: forget_index_rows detects the layout,
     returns the exact removed-row count, leaves every untouched
