@@ -158,6 +158,87 @@ def read_bucketed(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop(BUCKET_COL)
 
 
+def read_keyed_table(spark: SparkSession, path: str) -> DataFrame:
+    """Layout-transparent read of a keyed table: read_bucketed when
+    the sidecar marks it bucket-partitioned, plain parquet otherwise
+    — either way the caller sees the written schema (no layout
+    column) and any half-done swap is repaired first.  The reader
+    every maintainer/gate should use on a table whose layout the
+    CALLER did not choose (the layout is a property of the table)."""
+    recover_interrupted_swap(spark, path)
+    recover_interrupted_bucket_swap(spark, path)
+    if bucketed_meta(spark, path) is not None:
+        return spark.read.parquet(path).drop(BUCKET_COL)
+    return spark.read.parquet(path)
+
+
+def replace_keyed_auto(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key: list[str],
+    keys: DataFrame | None = None,
+    n_buckets: int | None = None,
+) -> None:
+    """Layout-transparent keyed REPLACE: the TABLE's layout wins —
+    a bucketed sidecar routes to replace_keyed_bucketed (O(|touched
+    buckets|)), a plain table to sources/acid.replace_keyed (whole-
+    table staged swap / Delta when applicable).  A missing table is
+    created bucketed when `n_buckets` is given, plain otherwise —
+    i.e. `n_buckets` is a CREATION-TIME choice and is ignored (not
+    validated) against an existing table, so a maintainer run without
+    it keeps maintaining a bucketed table correctly instead of
+    failing on the layout column (the stickiness a long-lived index
+    needs: the layout decision is made once, at birth)."""
+    from datawarehouse_code_spark.sources.acid import (
+        _staged_overwrite,
+        replace_keyed,
+        table_exists,
+    )
+
+    recover_interrupted_bucket_swap(spark, target_path)
+    if table_exists(spark, target_path):
+        if bucketed_meta(spark, target_path) is not None:
+            replace_keyed_bucketed(spark, target_path, updates, key, keys=keys)
+        else:
+            replace_keyed(spark, target_path, updates, key, keys=keys)
+    elif n_buckets is not None:
+        write_bucketed(spark, updates, target_path, key, n_buckets=n_buckets)
+    else:
+        _staged_overwrite(spark, updates, target_path)
+
+
+def upsert_auto(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key: list[str],
+    n_buckets: int | None = None,
+) -> None:
+    """Layout-transparent keyed UPSERT (updates win per key), same
+    stickiness rule as replace_keyed_auto.  On the bucketed lane the
+    upsert IS replace_keyed_bucketed keyed on the update rows: every
+    caller here upserts one collapsed row per key, for which
+    delete-keys-then-insert and matched-update/not-matched-insert
+    coincide."""
+    from datawarehouse_code_spark.sources.acid import (
+        _staged_overwrite,
+        table_exists,
+        upsert,
+    )
+
+    recover_interrupted_bucket_swap(spark, target_path)
+    if table_exists(spark, target_path):
+        if bucketed_meta(spark, target_path) is not None:
+            replace_keyed_bucketed(spark, target_path, updates, key)
+        else:
+            upsert(spark, target_path, updates, key)
+    elif n_buckets is not None:
+        write_bucketed(spark, updates, target_path, key, n_buckets=n_buckets)
+    else:
+        _staged_overwrite(spark, updates, target_path)
+
+
 def _apply_bucket_swap(spark: SparkSession, fs, p, staging, plan: dict) -> None:
     """Execute (or re-execute — every step is state-guarded, so this
     is the recovery path too) the per-bucket swaps of a committed

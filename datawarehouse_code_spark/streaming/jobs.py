@@ -271,15 +271,16 @@ def run_upsert_to_table(
     (Delta MERGE when the jar exists, staged parquet overwrite here).
     The first batch creates the table.
 
-    `n_buckets` opts the table into the bucket-partitioned layout
-    (sources/bucketed.py): each micro-batch rewrites only the hash
-    buckets containing its keys instead of the whole table —
-    O(|touched buckets|) write amplification, the parquet-native
-    answer to Delta MERGE for a CDC sink whose table dwarfs its
-    batches.  The collapsed batch has exactly one row per key, so
-    replace_keyed_bucketed (delete the batch's keys, insert its rows)
-    IS the upsert.  Readers go through read_bucketed (the layout
-    column must not leak).
+    `n_buckets` opts a NEWLY-created table into the bucket-
+    partitioned layout (sources/bucketed.py): each micro-batch then
+    rewrites only the hash buckets containing its keys instead of the
+    whole table — O(|touched buckets|) write amplification, the
+    parquet-native answer to Delta MERGE for a CDC sink whose table
+    dwarfs its batches.  The collapsed batch has exactly one row per
+    key, so the bucketed keyed-replace IS the upsert (upsert_auto).
+    An existing table keeps its own layout either way; readers go
+    through read_bucketed / read_keyed_table (the layout column must
+    not leak).
 
     Cross-batch ordering comes from the stream itself (a later batch's
     upsert overwrites an earlier batch's row for the same key);
@@ -295,15 +296,7 @@ def run_upsert_to_table(
     batch's rows.  Blocks until the availableNow drain finishes;
     restores the nanos conf like run_to_memory.
     """
-    from datawarehouse_code_spark.sources.acid import (
-        _staged_overwrite,
-        table_exists,
-        upsert,
-    )
-    from datawarehouse_code_spark.sources.bucketed import (
-        replace_keyed_bucketed,
-        write_bucketed,
-    )
+    from datawarehouse_code_spark.sources.bucketed import upsert_auto
 
     spark = events.sparkSession
 
@@ -314,26 +307,16 @@ def run_upsert_to_table(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        if table_exists(batch.sparkSession, target_path):
-            if n_buckets is not None:
-                replace_keyed_bucketed(
-                    batch.sparkSession, target_path, latest, key
-                )
-            else:
-                upsert(batch.sparkSession, target_path, latest, key)
-        elif n_buckets is not None:
-            write_bucketed(
-                batch.sparkSession, latest, target_path, key,
-                n_buckets=n_buckets,
-            )
-        else:
-            # staged create: a direct write.parquet(target) that dies
-            # mid-job leaves a partial directory which the checkpoint
-            # REPLAY of this batch would then treat as an existing
-            # table and merge into — silently losing this batch's
-            # unlanded rows.  The staged rename makes table existence
-            # equivalent to table completeness.
-            _staged_overwrite(batch.sparkSession, latest, target_path)
+        # creation is a staged write either way: a direct
+        # write.parquet(target) that dies mid-job leaves a partial
+        # directory which the checkpoint REPLAY of this batch would
+        # then treat as an existing table and merge into — silently
+        # losing this batch's unlanded rows.  The staged rename makes
+        # table existence equivalent to table completeness.
+        upsert_auto(
+            batch.sparkSession, target_path, latest, key,
+            n_buckets=n_buckets,
+        )
 
     writer = events.writeStream.foreachBatch(_apply).trigger(availableNow=True)
     if checkpoint_dir is not None:
@@ -383,29 +366,26 @@ def run_corpus_ingest(
     projection — column-pruned scan, no corpus-wide shuffle — and one
     keyed upsert (Delta MERGE when available; staged parquet here).
 
-    `n_buckets` opts the corpus table into the bucket-partitioned
-    layout (sources/bucketed.py): the upsert rewrites only the
-    doc_id hash buckets the batch touches — O(|touched buckets|)
-    write amplification instead of re-staging the whole corpus per
-    micro-batch.  The cross-batch hash guard still scans the full
+    `n_buckets` opts a NEWLY-created corpus table into the bucket-
+    partitioned layout (sources/bucketed.py): the upsert rewrites
+    only the doc_id hash buckets the batch touches — O(|touched
+    buckets|) write amplification instead of re-staging the whole
+    corpus per micro-batch.  An existing table keeps its own layout
+    either way.  The cross-batch hash guard still scans the full
     (content_hash, doc_id) projection (duplicates hash anywhere, so
     that read is inherently corpus-wide but stays column-pruned);
-    only the WRITE side is pruned.  Readers go through read_bucketed.
+    only the WRITE side is pruned.  Readers go through read_bucketed
+    / read_keyed_table.
     """
     from datawarehouse_code_spark.operators.text import (
         normalized_text,
         quality_filter,
         redact_pii,
     )
-    from datawarehouse_code_spark.sources.acid import (
-        _staged_overwrite,
-        table_exists,
-        upsert,
-    )
+    from datawarehouse_code_spark.sources.acid import table_exists
     from datawarehouse_code_spark.sources.bucketed import (
-        read_bucketed,
-        replace_keyed_bucketed,
-        write_bucketed,
+        read_keyed_table,
+        upsert_auto,
     )
 
     def _apply(batch: DataFrame, _batch_id: int) -> None:
@@ -426,12 +406,7 @@ def run_corpus_ingest(
             .drop("_rn")
         )
         if table_exists(sp, target_path):
-            table = (
-                read_bucketed(sp, target_path)
-                if n_buckets is not None
-                else sp.read.parquet(target_path)
-            )
-            existing = table.select(
+            existing = read_keyed_table(sp, target_path).select(
                 "content_hash", F.col("doc_id").alias("_existing_id")
             )
             survivors = (
@@ -442,19 +417,16 @@ def run_corpus_ingest(
                 )
                 .drop("_existing_id")
             )
-            if n_buckets is not None:
-                replace_keyed_bucketed(
-                    sp, target_path, survivors, ["doc_id"]
-                )
-            else:
-                upsert(sp, target_path, survivors, ["doc_id"])
-        elif n_buckets is not None:
-            write_bucketed(
-                sp, first, target_path, ["doc_id"], n_buckets=n_buckets
+            upsert_auto(
+                sp, target_path, survivors, ["doc_id"],
+                n_buckets=n_buckets,
             )
         else:
-            # staged create, same reasoning as run_upsert_to_table
-            _staged_overwrite(sp, first, target_path)
+            # staged create (plain or bucketed per n_buckets), same
+            # reasoning as run_upsert_to_table
+            upsert_auto(
+                sp, target_path, first, ["doc_id"], n_buckets=n_buckets
+            )
 
     writer = docs.writeStream.foreachBatch(_apply).trigger(availableNow=True)
     if checkpoint_dir is not None:
@@ -496,22 +468,17 @@ def run_cdc_index_ingest(
 
     Scale shape per batch: content_defined_chunks' narrow pipeline
     over the batch (cost ∝ |batch|) + one keyed upsert; the corpus is
-    never re-chunked.  `n_buckets` opts the index into the
-    bucket-partitioned layout (sources/bucketed.py) — the replace
+    never re-chunked.  `n_buckets` opts a NEWLY-created index into
+    the bucket-partitioned layout (sources/bucketed.py) — the replace
     then rewrites only the hash buckets holding the batch's doc_ids
-    instead of the whole index, and readers go through
-    read_bucketed."""
+    instead of the whole index, and readers go through read_bucketed.
+    An existing table keeps its own layout either way
+    (replace_keyed_auto's stickiness rule)."""
     from datawarehouse_code_spark.operators.text import (
         content_defined_chunks,
     )
-    from datawarehouse_code_spark.sources.acid import (
-        _staged_overwrite,
-        replace_keyed,
-        table_exists,
-    )
     from datawarehouse_code_spark.sources.bucketed import (
-        replace_keyed_bucketed,
-        write_bucketed,
+        replace_keyed_auto,
     )
 
     def _apply(batch: DataFrame, _batch_id: int) -> None:
@@ -519,27 +486,14 @@ def run_cdc_index_ingest(
         chunks = content_defined_chunks(batch).filter(
             F.col("n_words") >= min_words
         ).select("doc_id", "chunk_idx", "chunk_hash", "n_words")
-        if table_exists(sp, index_path):
-            # keys = the BATCH's ids, not the (min_words-filtered)
-            # chunk rows' — a doc re-delivered with revised text whose
-            # chunks ALL fall below min_words contributes zero update
-            # rows yet must still shed its old index rows (r13 fix)
-            if n_buckets is not None:
-                replace_keyed_bucketed(
-                    sp, index_path, chunks, ["doc_id"],
-                    keys=batch.select("doc_id"),
-                )
-            else:
-                replace_keyed(
-                    sp, index_path, chunks, ["doc_id"],
-                    keys=batch.select("doc_id"),
-                )
-        elif n_buckets is not None:
-            write_bucketed(
-                sp, chunks, index_path, ["doc_id"], n_buckets=n_buckets
-            )
-        else:
-            _staged_overwrite(sp, chunks, index_path)
+        # keys = the BATCH's ids, not the (min_words-filtered)
+        # chunk rows' — a doc re-delivered with revised text whose
+        # chunks ALL fall below min_words contributes zero update
+        # rows yet must still shed its old index rows (r13 fix)
+        replace_keyed_auto(
+            sp, index_path, chunks, ["doc_id"],
+            keys=batch.select("doc_id"), n_buckets=n_buckets,
+        )
 
     writer = docs.writeStream.foreachBatch(_apply).trigger(availableNow=True)
     if checkpoint_dir is not None:
@@ -606,11 +560,12 @@ def _chunk_gate_rejects(
     persisted chunk index."""
     from datawarehouse_code_spark.operators.text import cap_hot_chunks
     from datawarehouse_code_spark.sources.acid import table_exists
+    from datawarehouse_code_spark.sources.bucketed import read_keyed_table
 
     rejected = _pair_share_rejects(chunks, "chunk_hash", "doc_id", min_shared)
     if table_exists(sp, index_path):
         idx = cap_hot_chunks(
-            sp.read.parquet(index_path).select("doc_id", "chunk_hash"),
+            read_keyed_table(sp, index_path).select("doc_id", "chunk_hash"),
             hot_chunk_cap,
         )
         rejected = rejected.unionByName(
@@ -635,12 +590,13 @@ def _fp_gate_rejects(
     implementation) and the index side is capped at read time."""
     from datawarehouse_code_spark.operators.media_dedup import _cap_hot_fps
     from datawarehouse_code_spark.sources.acid import table_exists
+    from datawarehouse_code_spark.sources.bucketed import read_keyed_table
 
     rejected = _pair_share_rejects(
         _cap_hot_fps(fps, hot_cap), "fp", "media_id", min_shared
     )
     if table_exists(sp, index_path):
-        idx = _cap_hot_fps(sp.read.parquet(index_path), hot_cap)
+        idx = _cap_hot_fps(read_keyed_table(sp, index_path), hot_cap)
         rejected = rejected.unionByName(
             _cross_share_rejects(fps, idx, "fp", "media_id", min_shared)
         ).distinct()
@@ -664,6 +620,7 @@ def _dhash_gate_rejects(
         dhash_near_dup_pairs,
     )
     from datawarehouse_code_spark.sources.acid import table_exists
+    from datawarehouse_code_spark.sources.bucketed import read_keyed_table
 
     rejected = (
         dhash_near_dup_pairs(
@@ -675,7 +632,7 @@ def _dhash_gate_rejects(
     if table_exists(sp, index_path):
         cross = (
             dhash_matches_incremental(
-                None, sp.read.parquet(index_path),
+                None, read_keyed_table(sp, index_path),
                 max_hamming=max_hamming, band_cap=band_cap, grid=grid,
                 new_hashes=hashes,
             )
@@ -694,6 +651,7 @@ def run_cdc_gated_ingest(
     min_shared: int = 2,
     min_words: int = 3,
     hot_chunk_cap: int = 5000,
+    n_buckets: int | None = None,
 ) -> None:
     """Streaming corpus ingest with a CDC NEAR-DUP GATE — the
     text-side sibling of run_ivf_ingest's semantic-dedup gate: per
@@ -716,16 +674,16 @@ def run_cdc_gated_ingest(
     Scale shape per batch: the batch's narrow chunking + one
     equi-join against the hot-capped index (per-chunk fan-out
     bounded) + one batch-internal hash self-join + two keyed
-    upserts; the corpus is never re-chunked."""
+    upserts; the corpus is never re-chunked.  `n_buckets` opts
+    NEWLY-created table+index into the bucket-partitioned layout
+    (both writes then prune to the batch's doc_id buckets); existing
+    tables keep their own layout either way (stickiness)."""
     from datawarehouse_code_spark.operators.text import (
-        cap_hot_chunks,
         content_defined_chunks,
     )
-    from datawarehouse_code_spark.sources.acid import (
-        _staged_overwrite,
-        replace_keyed,
-        table_exists,
-        upsert,
+    from datawarehouse_code_spark.sources.bucketed import (
+        replace_keyed_auto,
+        upsert_auto,
     )
 
     def _apply(batch: DataFrame, _batch_id: int) -> None:
@@ -737,26 +695,22 @@ def run_cdc_gated_ingest(
             sp, chunks, index_path, min_shared, hot_chunk_cap
         )
         survivors = batch.join(rejected, "doc_id", "left_anti")
-        if table_exists(sp, target_path):
-            upsert(sp, target_path, survivors, ["doc_id"])
-        else:
-            _staged_overwrite(sp, survivors, target_path)
+        upsert_auto(
+            sp, target_path, survivors, ["doc_id"], n_buckets=n_buckets
+        )
         kept_chunks = chunks.join(rejected, "doc_id", "left_anti")
-        if table_exists(sp, index_path):
-            # replace (not row-upsert) for the same reason as
-            # run_cdc_index_ingest: a surviving doc re-delivered with
-            # fewer chunks must not leave stale higher-chunk_idx rows.
-            # keys = SURVIVOR ids (not the filtered chunk rows' — a
-            # survivor whose revised chunks all fall below min_words
-            # still sheds its old rows; not the whole batch's —
-            # rejects keep their previously-ingested version in both
-            # table and index, per rejects-enter-neither)
-            replace_keyed(
-                sp, index_path, kept_chunks, ["doc_id"],
-                keys=survivors.select("doc_id"),
-            )
-        else:
-            _staged_overwrite(sp, kept_chunks, index_path)
+        # replace (not row-upsert) for the same reason as
+        # run_cdc_index_ingest: a surviving doc re-delivered with
+        # fewer chunks must not leave stale higher-chunk_idx rows.
+        # keys = SURVIVOR ids (not the filtered chunk rows' — a
+        # survivor whose revised chunks all fall below min_words
+        # still sheds its old rows; not the whole batch's —
+        # rejects keep their previously-ingested version in both
+        # table and index, per rejects-enter-neither)
+        replace_keyed_auto(
+            sp, index_path, kept_chunks, ["doc_id"],
+            keys=survivors.select("doc_id"), n_buckets=n_buckets,
+        )
 
     writer = docs.writeStream.foreachBatch(_apply).trigger(availableNow=True)
     if checkpoint_dir is not None:
@@ -1161,47 +1115,30 @@ def _run_media_index_ingest(
     replays order-dependent) — the incremental matchers cap at read
     time, same doctrine as cap_hot_chunks.
 
-    `n_buckets` opts the index into the bucket-partitioned layout
-    (sources/bucketed.py): maintenance rewrites only the hash buckets
-    containing the batch's media_ids instead of the whole table —
-    O(|touched buckets|) write amplification per micro-batch, the
-    shape a 100 TB index needs on plain parquet.  Readers of a
-    bucketed index go through read_bucketed (the layout column must
-    not leak into band schemas).  Replays stay no-ops: identical
-    payloads re-derive identical rows into the same buckets."""
-    from datawarehouse_code_spark.sources.acid import (
-        _staged_overwrite,
-        replace_keyed,
-        table_exists,
-    )
+    `n_buckets` opts a NEWLY-created index into the bucket-
+    partitioned layout (sources/bucketed.py): maintenance rewrites
+    only the hash buckets containing the batch's media_ids instead of
+    the whole table — O(|touched buckets|) write amplification per
+    micro-batch, the shape a 100 TB index needs on plain parquet.
+    Readers of a bucketed index go through read_bucketed (the layout
+    column must not leak into band schemas).  An existing table keeps
+    its own layout either way (replace_keyed_auto's stickiness rule).
+    Replays stay no-ops: identical payloads re-derive identical rows
+    into the same buckets."""
     from datawarehouse_code_spark.sources.bucketed import (
-        replace_keyed_bucketed,
-        write_bucketed,
+        replace_keyed_auto,
     )
 
     def _apply(batch: DataFrame, _batch_id: int) -> None:
         sp = batch.sparkSession
         rows = rows_fn(batch)
-        if table_exists(sp, index_path):
-            # keys = the BATCH's ids — an item re-delivered too short
-            # to fingerprint contributes zero rows yet must still
-            # shed its old index rows (r13 fix)
-            if n_buckets is not None:
-                replace_keyed_bucketed(
-                    sp, index_path, rows, ["media_id"],
-                    keys=batch.select("media_id"),
-                )
-            else:
-                replace_keyed(
-                    sp, index_path, rows, ["media_id"],
-                    keys=batch.select("media_id"),
-                )
-        elif n_buckets is not None:
-            write_bucketed(
-                sp, rows, index_path, ["media_id"], n_buckets=n_buckets
-            )
-        else:
-            _staged_overwrite(sp, rows, index_path)
+        # keys = the BATCH's ids — an item re-delivered too short
+        # to fingerprint contributes zero rows yet must still
+        # shed its old index rows (r13 fix)
+        replace_keyed_auto(
+            sp, index_path, rows, ["media_id"],
+            keys=batch.select("media_id"), n_buckets=n_buckets,
+        )
 
     writer = media.writeStream.foreachBatch(_apply).trigger(availableNow=True)
     if checkpoint_dir is not None:
@@ -1334,6 +1271,7 @@ def run_dhash_gated_ingest(
     max_hamming: int = 6,
     band_cap: int = 50,
     grid: int = 8,
+    n_buckets: int | None = None,
 ) -> None:
     """Streaming media ingest with a PERCEPTUAL NEAR-DUP GATE — the
     image sibling of run_cdc_gated_ingest: per micro-batch, dHash the
@@ -1355,16 +1293,17 @@ def run_dhash_gated_ingest(
     Scale shape per batch: one narrow decode+hash map over the batch
     + one band equi-join against the read-time-capped index + one
     batch-internal band self-join + two keyed writes; the corpus is
-    never re-decoded."""
+    never re-decoded.  `n_buckets` opts NEWLY-created table+index
+    into the bucket-partitioned layout (both writes then prune to
+    the batch's media_id buckets); existing tables keep their own
+    layout either way (stickiness)."""
     from datawarehouse_code_spark.operators.media_dedup import (
         build_dhash_index,
         image_dhash,
     )
-    from datawarehouse_code_spark.sources.acid import (
-        _staged_overwrite,
-        replace_keyed,
-        table_exists,
-        upsert,
+    from datawarehouse_code_spark.sources.bucketed import (
+        replace_keyed_auto,
+        upsert_auto,
     )
 
     def _apply(batch: DataFrame, _batch_id: int) -> None:
@@ -1377,26 +1316,22 @@ def run_dhash_gated_ingest(
             sp, hashes, index_path, max_hamming, band_cap, grid
         )
         survivors = batch.join(rejected, "media_id", "left_anti")
-        if table_exists(sp, target_path):
-            upsert(sp, target_path, survivors, ["media_id"])
-        else:
-            _staged_overwrite(sp, survivors, target_path)
+        upsert_auto(
+            sp, target_path, survivors, ["media_id"], n_buckets=n_buckets
+        )
         kept_rows = build_dhash_index(
             None, grid=grid,
             hashes=hashes.join(
                 survivors.select("media_id"), "media_id", "left_semi"
             ),
         )
-        if table_exists(sp, index_path):
-            # keys = SURVIVOR ids (a survivor re-delivered with an
-            # undecodable/short payload keeps zero hash rows; rejects
-            # keep their previously-ingested rows — r13 fix)
-            replace_keyed(
-                sp, index_path, kept_rows, ["media_id"],
-                keys=survivors.select("media_id"),
-            )
-        else:
-            _staged_overwrite(sp, kept_rows, index_path)
+        # keys = SURVIVOR ids (a survivor re-delivered with an
+        # undecodable/short payload keeps zero hash rows; rejects
+        # keep their previously-ingested rows — r13 fix)
+        replace_keyed_auto(
+            sp, index_path, kept_rows, ["media_id"],
+            keys=survivors.select("media_id"), n_buckets=n_buckets,
+        )
 
     writer = media.writeStream.foreachBatch(_apply).trigger(availableNow=True)
     if checkpoint_dir is not None:
@@ -1412,6 +1347,7 @@ def _run_fp_gated_ingest(
     min_shared: int,
     hot_cap: int,
     checkpoint_dir: str | None = None,
+    n_buckets: int | None = None,
 ) -> None:
     """Shared fingerprint-gated media ingest (audio/video — any
     detector whose index is distinct (media_id, fp) rows): per
@@ -1422,12 +1358,12 @@ def _run_fp_gated_ingest(
     fingerprints extend `index_path`; rejects enter neither, so
     replays reject the same ids deterministically (dedup-BEFORE-
     extend, the CDC-gate doctrine; table commit BEFORE index extend
-    for the same crash-replay argument)."""
-    from datawarehouse_code_spark.sources.acid import (
-        _staged_overwrite,
-        replace_keyed,
-        table_exists,
-        upsert,
+    for the same crash-replay argument).  `n_buckets` opts
+    NEWLY-created table+index into the bucket-partitioned layout;
+    existing tables keep their own layout either way (stickiness)."""
+    from datawarehouse_code_spark.sources.bucketed import (
+        replace_keyed_auto,
+        upsert_auto,
     )
 
     def _apply(batch: DataFrame, _batch_id: int) -> None:
@@ -1435,20 +1371,16 @@ def _run_fp_gated_ingest(
         fps = fps_fn(batch).localCheckpoint()
         rejected = _fp_gate_rejects(sp, fps, index_path, min_shared, hot_cap)
         survivors = batch.join(rejected, "media_id", "left_anti")
-        if table_exists(sp, target_path):
-            upsert(sp, target_path, survivors, ["media_id"])
-        else:
-            _staged_overwrite(sp, survivors, target_path)
+        upsert_auto(
+            sp, target_path, survivors, ["media_id"], n_buckets=n_buckets
+        )
         kept = fps.join(survivors.select("media_id"), "media_id", "left_semi")
-        if table_exists(sp, index_path):
-            # keys = SURVIVOR ids — an item too short to fingerprint
-            # has zero fps rows yet must shed old index rows (r13 fix)
-            replace_keyed(
-                sp, index_path, kept, ["media_id"],
-                keys=survivors.select("media_id"),
-            )
-        else:
-            _staged_overwrite(sp, kept, index_path)
+        # keys = SURVIVOR ids — an item too short to fingerprint
+        # has zero fps rows yet must shed old index rows (r13 fix)
+        replace_keyed_auto(
+            sp, index_path, kept, ["media_id"],
+            keys=survivors.select("media_id"), n_buckets=n_buckets,
+        )
 
     writer = media.writeStream.foreachBatch(_apply).trigger(availableNow=True)
     if checkpoint_dir is not None:
@@ -1467,6 +1399,7 @@ def run_audio_gated_ingest(
     hop: int = 8,
     gram: int = 4,
     qshift: int = 4,
+    n_buckets: int | None = None,
 ) -> None:
     """Streaming audio ingest gated on shared energy-gram
     fingerprints — a hop-aligned shifted copy of already-ingested
@@ -1478,7 +1411,7 @@ def run_audio_gated_ingest(
     _run_fp_gated_ingest(
         media, target_path, index_path,
         lambda b: audio_fingerprints(b, win, hop, gram, qshift),
-        min_shared, hot_cap, checkpoint_dir,
+        min_shared, hot_cap, checkpoint_dir, n_buckets=n_buckets,
     )
 
 
@@ -1490,6 +1423,7 @@ def run_video_gated_ingest(
     min_shared: int = 2,
     hot_cap: int = 50,
     gram: int = 2,
+    n_buckets: int | None = None,
 ) -> None:
     """Streaming video ingest gated on shared temporal-gram
     fingerprints — a frame-trimmed copy of already-ingested video is
@@ -1501,7 +1435,7 @@ def run_video_gated_ingest(
     _run_fp_gated_ingest(
         media, target_path, index_path,
         lambda b: video_fingerprints(b, gram),
-        min_shared, hot_cap, checkpoint_dir,
+        min_shared, hot_cap, checkpoint_dir, n_buckets=n_buckets,
     )
 
 
@@ -1523,6 +1457,7 @@ def run_multimodal_gated_ingest(
     image_phash_index_path: str | None = None,
     frame_index_path: str | None = None,
     min_shared_frames: int = 2,
+    n_buckets: int | None = None,
 ) -> None:
     """The UNIFIED multimodal ingest gate — one streaming loop over a
     MIXED feed (media_id BIGINT, media_type STRING, content BINARY,
@@ -1589,7 +1524,14 @@ def run_multimodal_gated_ingest(
     per present modality) + one equi-join per lane against its
     read-time-capped index + one batch-internal self-join per lane +
     keyed writes.  Nothing re-decodes, nothing is all-pairs, and an
-    absent modality costs one empty filter."""
+    absent modality costs one empty filter.
+
+    `n_buckets` opts every NEWLY-created table this loop maintains —
+    target, ledger and all indexes — into the bucket-partitioned
+    layout (sources/bucketed.py), making each keyed write
+    O(|touched buckets|) instead of O(table); existing tables keep
+    their own layout either way, and mixed layouts across the tables
+    are fine (the layout is per-table, resolved from its sidecar)."""
     from datawarehouse_code_spark.operators.media_dedup import (
         audio_fingerprints_quarantine,
         build_dhash_index,
@@ -1606,11 +1548,11 @@ def run_multimodal_gated_ingest(
         video_fingerprints_quarantine,
         video_image_matches,
     )
-    from datawarehouse_code_spark.sources.acid import (
-        _staged_overwrite,
-        replace_keyed,
-        table_exists,
-        upsert,
+    from datawarehouse_code_spark.sources.acid import table_exists
+    from datawarehouse_code_spark.sources.bucketed import (
+        read_keyed_table,
+        replace_keyed_auto,
+        upsert_auto,
     )
 
     # the combined fingerprint map's band schema pins grid=8 (the
@@ -1724,7 +1666,7 @@ def run_multimodal_gated_ingest(
             ):
                 # a new image contained in an already-ingested video
                 # (batch's own videos anti-joined out — see docstring)
-                fidx = sp.read.parquet(frame_index_path).join(
+                fidx = read_keyed_table(sp, frame_index_path).join(
                     batch.select("media_id"), "media_id", "left_anti"
                 )
                 rejected_parts.append(
@@ -1825,7 +1767,7 @@ def run_multimodal_gated_ingest(
                     # a new video whose frames are mostly already-known
                     # images (coverage grain — see docstring; batch's own
                     # images anti-joined out)
-                    iidx = sp.read.parquet(image_index_path).join(
+                    iidx = read_keyed_table(sp, image_index_path).join(
                         batch.select("media_id"), "media_id", "left_anti"
                     )
                     rejected_parts.append(
@@ -1893,23 +1835,22 @@ def run_multimodal_gated_ingest(
             quarantined.select("media_id")
         ).distinct()
         survivors = batch.join(dropped, "media_id", "left_anti")
-        if table_exists(sp, target_path):
-            upsert(sp, target_path, survivors, ["media_id"])
-        else:
-            _staged_overwrite(sp, survivors, target_path)
+        upsert_auto(
+            sp, target_path, survivors, ["media_id"], n_buckets=n_buckets
+        )
 
         surviving_ids = survivors.select("media_id")
         for index_path, rows, lane_ids, key in index_extends:
             sids = surviving_ids.select(F.col("media_id").alias(key))
             kept = rows.join(sids, key, "left_semi")
             keys = lane_ids.join(sids, key, "left_semi")
-            if table_exists(sp, index_path):
-                # keys = the lane's SURVIVOR ids (rejects keep their
-                # previously-ingested rows; a survivor re-delivered
-                # with zero fingerprint rows still sheds old ones)
-                replace_keyed(sp, index_path, kept, [key], keys=keys)
-            else:
-                _staged_overwrite(sp, kept, index_path)
+            # keys = the lane's SURVIVOR ids (rejects keep their
+            # previously-ingested rows; a survivor re-delivered
+            # with zero fingerprint rows still sheds old ones)
+            replace_keyed_auto(
+                sp, index_path, kept, [key], keys=keys,
+                n_buckets=n_buckets,
+            )
 
         ledger = (
             survivors.select(
@@ -1932,13 +1873,10 @@ def run_multimodal_gated_ingest(
                 )
             )
         )
-        if table_exists(sp, ledger_path):
-            replace_keyed(
-                sp, ledger_path, ledger, ["media_id"],
-                keys=batch.select("media_id"),
-            )
-        else:
-            _staged_overwrite(sp, ledger, ledger_path)
+        replace_keyed_auto(
+            sp, ledger_path, ledger, ["media_id"],
+            keys=batch.select("media_id"), n_buckets=n_buckets,
+        )
 
     writer = feed.writeStream.foreachBatch(_apply).trigger(availableNow=True)
     if checkpoint_dir is not None:

@@ -386,6 +386,47 @@ def test_cdc_index_ingest_bucketed_stream_equals_batch(spark, tmp_path):
     assert served.count() > 0  # every doc matches its own index rows
 
 
+def test_replace_keyed_auto_layout_stickiness(spark, tmp_path):
+    """The table's layout wins: replace_keyed_auto WITHOUT n_buckets
+    on a bucketed table routes to the pruned replace (untouched
+    buckets byte-identical) instead of failing on the layout column;
+    WITH n_buckets on an existing PLAIN table it stays plain
+    (n_buckets is creation-time only)."""
+    from datawarehouse_code_spark.sources.bucketed import (
+        read_keyed_table,
+        replace_keyed_auto,
+    )
+
+    path = str(tmp_path / "t")
+    write_bucketed(spark, _frame(spark, range(40)), path, ["doc_id"], N)
+    before = _files_per_bucket(tmp_path / "t")
+    target = 7
+    up = spark.createDataFrame(
+        [(target, 9, "NEW")], "doc_id BIGINT, part INT, payload STRING"
+    )
+    replace_keyed_auto(spark, path, up, ["doc_id"])  # no n_buckets
+    assert bucketed_meta(spark, path) == {"n_buckets": N, "key": ["doc_id"]}
+    after = _files_per_bucket(tmp_path / "t")
+    tb = _bucket_of(spark, target)
+    for k in before:
+        if k != f"{BUCKET_COL}={tb}":
+            assert after[k] == before[k]
+    rows = sorted(map(tuple, read_keyed_table(spark, path).collect()))
+    assert (target, 9, "NEW") in rows and len(rows) == 39 * 2 + 1
+
+    plain = str(tmp_path / "plain")
+    _frame(spark, range(4)).write.parquet(plain)
+    replace_keyed_auto(spark, plain, up, ["doc_id"], n_buckets=N)
+    assert bucketed_meta(spark, plain) is None  # stays plain
+    got = sorted(map(tuple, read_keyed_table(spark, plain).collect()))
+    assert (target, 9, "NEW") in got and len(got) == 4 * 2 + 1
+
+    # creation routes by n_buckets
+    created = str(tmp_path / "created")
+    replace_keyed_auto(spark, created, up, ["doc_id"], n_buckets=4)
+    assert bucketed_meta(spark, created) == {"n_buckets": 4, "key": ["doc_id"]}
+
+
 def test_upsert_to_table_bucketed_stream_equals_plain(spark, tmp_path):
     """The CDC sink opt-in: run_upsert_to_table(n_buckets=) lands the
     same latest-row-per-key table as the plain variant (pinned
@@ -541,6 +582,149 @@ def test_corpus_ingest_bucketed_stream_equals_plain(spark, tmp_path):
     assert sorted(
         map(tuple, read_bucketed(spark, bucketed).collect())
     ) == want
+
+
+def test_dhash_gated_ingest_bucketed_same_decisions(spark, tmp_path):
+    """The perceptual gate under the bucketed layout: n_buckets=
+    creates target AND index bucketed, the gate reaches the same
+    accept/reject decisions as the plain variant (pinned set from
+    test_dhash_gated_ingest_rejects_perceptual_copies), and a replay
+    is a no-op."""
+    import time
+
+    import pandas as pd
+
+    from datawarehouse_code_spark.operators.multimodal import encode_gray_pgm
+    from datawarehouse_code_spark.streaming.jobs import run_dhash_gated_ingest
+
+    def raster(seed, shift=0):
+        out = bytearray()
+        for r in range(8):
+            b = ((seed * 8 + r) * 37) % 256
+            v = 128 + shift
+            out.append(v)
+            for c in range(8):
+                v += 1 if (b >> c) & 1 else -1
+                out.append(v)
+        return encode_gray_pgm(9, 8, bytes(out))
+
+    rows0 = [(1, "image/pgm", raster(3)),
+             (2, "image/pgm", raster(3, shift=5))]
+    rows1 = [(10, "image/pgm", raster(3, shift=9)),
+             (11, "image/pgm", raster(17))]
+    land = tmp_path / "land"
+    land.mkdir()
+    now = time.time() - 600
+    for i, chunk in enumerate([rows0, rows1]):
+        f = land / f"batch-{i}.parquet"
+        pd.DataFrame(
+            chunk, columns=["media_id", "media_type", "content"]
+        ).to_parquet(f, index=False)
+        os.utime(f, (now + 60 * i, now + 60 * i))
+
+    schema = "media_id BIGINT, media_type STRING, content BINARY"
+    target, index = str(tmp_path / "media"), str(tmp_path / "idx")
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(land))
+        )
+
+    run_dhash_gated_ingest(stream(), target, index,
+                           checkpoint_dir=str(tmp_path / "ckpt"),
+                           n_buckets=4)
+    assert bucketed_meta(spark, target)["key"] == ["media_id"]
+    assert bucketed_meta(spark, index)["key"] == ["media_id"]
+    ingested = {r["media_id"] for r in read_bucketed(spark, target).collect()}
+    assert ingested == {1, 11}
+    idx_ids = {r["media_id"] for r in read_bucketed(spark, index).collect()}
+    assert idx_ids == {1, 11}
+
+    run_dhash_gated_ingest(stream(), target, index,
+                           checkpoint_dir=str(tmp_path / "ckpt"),
+                           n_buckets=4)
+    assert {
+        r["media_id"] for r in read_bucketed(spark, target).collect()
+    } == {1, 11}
+
+
+def test_multimodal_gate_bucketed_all_tables(spark, tmp_path):
+    """The unified gate with n_buckets= creates EVERY table it
+    maintains — target, ledger, text index, image index — bucketed,
+    reaches the same decisions (batch-internal image dup rejected,
+    text doc and first image accepted), and the ledger reads back
+    through the layout-transparent reader."""
+    import time
+
+    import pandas as pd
+
+    from datawarehouse_code_spark.operators.multimodal import encode_gray_pgm
+    from datawarehouse_code_spark.streaming.jobs import (
+        run_multimodal_gated_ingest,
+    )
+
+    def raster(seed, shift=0):
+        out = bytearray()
+        for r in range(8):
+            b = ((seed * 8 + r) * 37) % 256
+            v = 128 + shift
+            out.append(v)
+            for c in range(8):
+                v += 1 if (b >> c) & 1 else -1
+                out.append(v)
+        return encode_gray_pgm(9, 8, bytes(out))
+
+    text = (
+        "the quick brown fox jumps over the lazy dog near the old "
+        "stone mill while the miller grinds wheat and the children "
+        "play in the warm afternoon sun by the river bank"
+    )
+    rows = [
+        (1, "text/plain", None, text),
+        (2, "image/pgm", raster(3), None),
+        (3, "image/pgm", raster(3, shift=5), None),  # dup of 2 -> reject
+    ]
+    land = tmp_path / "land"
+    land.mkdir()
+    f = land / "batch-0.parquet"
+    pd.DataFrame(
+        rows, columns=["media_id", "media_type", "content", "text"]
+    ).to_parquet(f, index=False)
+    now = time.time() - 600
+    os.utime(f, (now, now))
+
+    schema = (
+        "media_id BIGINT, media_type STRING, content BINARY, text STRING"
+    )
+    paths = {
+        name: str(tmp_path / name)
+        for name in ("target", "ledger", "tidx", "iidx", "aidx", "vidx")
+    }
+    run_multimodal_gated_ingest(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(str(land)),
+        paths["target"], paths["ledger"], paths["tidx"], paths["iidx"],
+        paths["aidx"], paths["vidx"],
+        checkpoint_dir=str(tmp_path / "ckpt"), n_buckets=4,
+    )
+    # every CREATED table carries the bucketed sidecar (audio/video
+    # indexes are never created — their lanes were absent)
+    for name in ("target", "ledger", "iidx"):
+        assert bucketed_meta(spark, paths[name]) is not None, name
+    assert bucketed_meta(spark, paths["tidx"]) == {
+        "n_buckets": 4, "key": ["doc_id"]
+    }
+    assert not os.path.exists(paths["aidx"])
+    ledger = {
+        r["media_id"]: r["status"]
+        for r in read_bucketed(spark, paths["ledger"]).collect()
+    }
+    assert ledger == {1: "accepted", 2: "accepted", 3: "rejected"}
+    assert {
+        r["media_id"] for r in read_bucketed(spark, paths["target"]).collect()
+    } == {1, 2}
 
 
 def test_forget_index_rows_bucketed_prunes(spark, tmp_path):
