@@ -1148,32 +1148,82 @@ def forget_documents(
     Returns {'corpus_removed': n, 'index_rows_removed': m} from
     persisted before/after counts — the audit numbers a deletion
     request must report.
+
+    Layout-transparent: a corpus or index created bucket-partitioned
+    (e.g. run_corpus_ingest(n_buckets=)) takes the pruned deletion
+    path and KEEPS its layout — a whole-table staged overwrite here
+    would silently flatten the buckets and strand the sidecar,
+    wedging the next maintenance run (round-14 review find).
     """
-    from datawarehouse_code_spark.sources.acid import (
-        _staged_overwrite,
-        table_exists,
-    )
+    from datawarehouse_code_spark.sources.acid import table_exists
 
     if not table_exists(spark, corpus_path):
         raise ValueError(f"no corpus table at {corpus_path}")
     ids = doc_ids.select(F.col(id_col)).distinct()
     report: dict[str, int] = {}
-    corpus = spark.read.parquet(corpus_path)
-    before = corpus.count()
-    kept = corpus.join(ids, id_col, "left_anti").persist()
-    report["corpus_removed"] = before - kept.count()
-    _staged_overwrite(spark, kept, corpus_path)
-    kept.unpersist()
+    report["corpus_removed"] = _forget_rows_from_table(
+        spark, corpus_path, ids, id_col
+    )
     if index_path is not None:
         if not table_exists(spark, index_path):
             raise ValueError(f"no LSH index at {index_path}")
-        index = spark.read.parquet(index_path)
-        ibefore = index.count()
-        ikept = index.join(ids, id_col, "left_anti").persist()
-        report["index_rows_removed"] = ibefore - ikept.count()
-        _staged_overwrite(spark, ikept, index_path)
-        ikept.unpersist()
+        report["index_rows_removed"] = _forget_rows_from_table(
+            spark, index_path, ids, id_col
+        )
     return report
+
+
+def _forget_rows_from_table(
+    spark: SparkSession, path: str, ids: DataFrame, id_col: str
+) -> int:
+    """Delete `ids`' rows from ONE doc-keyed table, auto-detecting
+    its layout, and return the exact removed count (audited BEFORE
+    the write, against the recovered table).  Bucket-partitioned
+    (sources/bucketed.py sidecar): the count scans only the ids' hash
+    buckets and the deletion is a zero-update replace touching only
+    those buckets — RTBF at O(|touched buckets|) that PRESERVES the
+    layout.  Plain parquet: null-safe anti-join + crash-recoverable
+    staged overwrite.  `ids` must be pre-distinct-ed on `id_col`."""
+    from datawarehouse_code_spark.sources.acid import _staged_overwrite
+    from datawarehouse_code_spark.sources.bucketed import (
+        BUCKET_COL,
+        bucket_expr,
+        bucketed_meta,
+        recover_interrupted_bucket_swap,
+        replace_keyed_bucketed,
+    )
+
+    # repair any mid-crash bucket swap BEFORE the audit-count scan —
+    # counting against a half-swapped table would report a wrong
+    # `removed` figure to the deletion request (round-14 review find)
+    recover_interrupted_bucket_swap(spark, path)
+    meta = bucketed_meta(spark, path)
+    if meta is not None:
+        if list(meta["key"]) != [id_col]:
+            raise ValueError(
+                f"bucketed table {path} is keyed on {meta['key']}, "
+                f"forget asked {[id_col]} — refusing a mismatched layout"
+            )
+        kb = bucket_expr([id_col], int(meta["n_buckets"]))
+        touched = [
+            r["b"] for r in ids.select(kb.alias("b")).distinct().collect()
+        ]
+        pruned = spark.read.parquet(path).filter(
+            F.col(BUCKET_COL).isin(touched)
+        )
+        removed = pruned.join(ids, id_col, "left_semi").count()
+        empty = spark.createDataFrame([], pruned.drop(BUCKET_COL).schema)
+        replace_keyed_bucketed(
+            spark, path, empty, [id_col], keys=ids, meta=meta
+        )
+        return removed
+    table = spark.read.parquet(path)
+    before = table.count()
+    kept = table.join(ids, id_col, "left_anti").persist()
+    removed = before - kept.count()
+    _staged_overwrite(spark, kept, path)
+    kept.unpersist()
+    return removed
 
 
 def forget_index_rows(
@@ -1200,52 +1250,12 @@ def forget_index_rows(
     the deletion is a zero-update replace_keyed_bucketed touching
     only those buckets — RTBF at O(|touched buckets|), not O(corpus),
     the same amplification contract as the maintenance writes."""
-    from datawarehouse_code_spark.sources.acid import (
-        _staged_overwrite,
-        table_exists,
-    )
-    from datawarehouse_code_spark.sources.bucketed import (
-        BUCKET_COL,
-        bucket_expr,
-        bucketed_meta,
-        recover_interrupted_bucket_swap,
-        replace_keyed_bucketed,
-    )
+    from datawarehouse_code_spark.sources.acid import table_exists
 
     if not table_exists(spark, index_path):
         raise ValueError(f"no index table at {index_path}")
-    # repair any mid-crash bucket swap BEFORE the audit-count scan —
-    # counting against a half-swapped table would report a wrong
-    # `removed` figure to the deletion request (round-14 review find)
-    recover_interrupted_bucket_swap(spark, index_path)
     ids = doc_ids.select(F.col(id_col)).distinct()
-    meta = bucketed_meta(spark, index_path)
-    if meta is not None:
-        if list(meta["key"]) != [id_col]:
-            raise ValueError(
-                f"bucketed index {index_path} is keyed on {meta['key']}, "
-                f"forget asked {[id_col]} — refusing a mismatched layout"
-            )
-        kb = bucket_expr([id_col], int(meta["n_buckets"]))
-        touched = [
-            r["b"] for r in ids.select(kb.alias("b")).distinct().collect()
-        ]
-        pruned = spark.read.parquet(index_path).filter(
-            F.col(BUCKET_COL).isin(touched)
-        )
-        removed = pruned.join(ids, id_col, "left_semi").count()
-        empty = spark.createDataFrame(
-            [], pruned.drop(BUCKET_COL).schema
-        )
-        replace_keyed_bucketed(spark, index_path, empty, [id_col], keys=ids)
-        return removed
-    index = spark.read.parquet(index_path)
-    before = index.count()
-    kept = index.join(ids, id_col, "left_anti").persist()
-    removed = before - kept.count()
-    _staged_overwrite(spark, kept, index_path)
-    kept.unpersist()
-    return removed
+    return _forget_rows_from_table(spark, index_path, ids, id_col)
 
 
 def select_canonical(

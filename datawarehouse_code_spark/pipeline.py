@@ -218,18 +218,46 @@ def compact_parquet(
     file counts.  (Partitioned layouts: run per partition directory —
     compacting across partition boundaries would drop the partition
     column values encoded in the paths.)
+
+    A bucket-partitioned table (sources/bucketed.py sidecar) is
+    compacted PER BUCKET automatically — a whole-table rewrite would
+    flatten the layout and strand the sidecar, breaking every
+    subsequent pruned maintenance call (round-14 review find).  The
+    per-bucket staging dir is dot-prefixed so a crash mid-compaction
+    never leaves a directory a bucket-lister would mistake for a
+    live bucket.
     """
     import math
     import shutil
     from pathlib import Path
 
+    from datawarehouse_code_spark.sources.bucketed import (
+        BUCKET_COL,
+        bucketed_meta,
+        recover_interrupted_bucket_swap,
+    )
+
+    def _compact_dir(d: Path) -> dict[str, int]:
+        files_before = [f for f in d.rglob("*.parquet") if f.is_file()]
+        total = sum(f.stat().st_size for f in files_before)
+        n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+        staged = d.with_name("." + d.name + "._compacting")
+        spark.read.parquet(str(d)).coalesce(n_files).write.mode(
+            "overwrite"
+        ).parquet(str(staged))
+        shutil.rmtree(d)
+        staged.rename(d)
+        after = len([f for f in d.rglob("*.parquet") if f.is_file()])
+        return {"files_before": len(files_before), "files_after": after}
+
+    recover_interrupted_bucket_swap(spark, path)
     p = Path(path)
-    files_before = [f for f in p.rglob("*.parquet") if f.is_file()]
-    total_bytes = sum(f.stat().st_size for f in files_before)
-    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
-    staged = str(p.with_name(p.name + "._compacting"))
-    spark.read.parquet(path).coalesce(n_files).write.mode("overwrite").parquet(staged)
-    shutil.rmtree(path)
-    Path(staged).rename(path)
-    files_after = len([f for f in Path(path).rglob("*.parquet") if f.is_file()])
-    return {"files_before": len(files_before), "files_after": files_after}
+    if bucketed_meta(spark, path) is not None:
+        report = {"files_before": 0, "files_after": 0}
+        for d in sorted(p.glob(f"{BUCKET_COL}=*")):
+            if d.is_dir():
+                r = _compact_dir(d)
+                report["files_before"] += r["files_before"]
+                report["files_after"] += r["files_after"]
+        return report
+    return _compact_dir(p)

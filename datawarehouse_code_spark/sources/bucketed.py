@@ -141,11 +141,34 @@ def write_bucketed(
         .partitionBy(BUCKET_COL)
         .parquet(staged.toString())
     )
+    # a zero-row df partitions into NO bucket dirs (and, unlike a
+    # plain parquet write, no footer file at all) — the table root
+    # would be unreadable.  Anchor the schema with one empty bucket-0
+    # part, in staging so the swap stays atomic; the same fix as
+    # replace_keyed_bucketed's emptying-replace anchor, for the
+    # empty-CREATION window a gate hits when its first batch yields
+    # zero rows for a table (round-14 review find, reproduced live).
+    has_bucket = any(
+        st.getPath().getName().startswith(f"{BUCKET_COL}=")
+        for st in fs.listStatus(staged)
+    )
+    if not has_bucket:
+        spark.createDataFrame([], df.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(_jpath(spark, staged, f"{BUCKET_COL}=0").toString())
     _write_text(
         spark, fs, _jpath(spark, staged, _META),
         json.dumps({"n_buckets": n_buckets, "key": list(key)}),
     )
     _finish_staged_swap(fs, p, staged, old)
+
+
+def _read_no_layout(spark: SparkSession, path: str) -> DataFrame:
+    """The ONE post-recovery read both readers share: the layout
+    column is dropped unconditionally (a no-op on plain tables —
+    BUCKET_COL is reserved, documented in the module contract), so a
+    layout change lands in exactly one place."""
+    return spark.read.parquet(path).drop(BUCKET_COL)
 
 
 def read_bucketed(spark: SparkSession, path: str) -> DataFrame:
@@ -155,21 +178,20 @@ def read_bucketed(spark: SparkSession, path: str) -> DataFrame:
     consumers).  Runs both recoveries first, like table_exists."""
     recover_interrupted_swap(spark, path)
     recover_interrupted_bucket_swap(spark, path)
-    return spark.read.parquet(path).drop(BUCKET_COL)
+    return _read_no_layout(spark, path)
 
 
 def read_keyed_table(spark: SparkSession, path: str) -> DataFrame:
-    """Layout-transparent read of a keyed table: read_bucketed when
-    the sidecar marks it bucket-partitioned, plain parquet otherwise
-    — either way the caller sees the written schema (no layout
-    column) and any half-done swap is repaired first.  The reader
-    every maintainer/gate should use on a table whose layout the
-    CALLER did not choose (the layout is a property of the table)."""
+    """Layout-transparent read of a keyed table — either layout, the
+    caller sees the written schema (no layout column) and any
+    half-done swap is repaired first.  The reader every
+    maintainer/gate should use on a table whose layout the CALLER
+    did not choose (the layout is a property of the table).  No
+    sidecar probe: the unconditional layout-column drop is a no-op
+    on plain tables, saving one filesystem read per call."""
     recover_interrupted_swap(spark, path)
     recover_interrupted_bucket_swap(spark, path)
-    if bucketed_meta(spark, path) is not None:
-        return spark.read.parquet(path).drop(BUCKET_COL)
-    return spark.read.parquet(path)
+    return _read_no_layout(spark, path)
 
 
 def replace_keyed_auto(
@@ -198,8 +220,11 @@ def replace_keyed_auto(
 
     recover_interrupted_bucket_swap(spark, target_path)
     if table_exists(spark, target_path):
-        if bucketed_meta(spark, target_path) is not None:
-            replace_keyed_bucketed(spark, target_path, updates, key, keys=keys)
+        meta = bucketed_meta(spark, target_path)
+        if meta is not None:
+            replace_keyed_bucketed(
+                spark, target_path, updates, key, keys=keys, meta=meta
+            )
         else:
             replace_keyed(spark, target_path, updates, key, keys=keys)
     elif n_buckets is not None:
@@ -229,8 +254,11 @@ def upsert_auto(
 
     recover_interrupted_bucket_swap(spark, target_path)
     if table_exists(spark, target_path):
-        if bucketed_meta(spark, target_path) is not None:
-            replace_keyed_bucketed(spark, target_path, updates, key)
+        meta = bucketed_meta(spark, target_path)
+        if meta is not None:
+            replace_keyed_bucketed(
+                spark, target_path, updates, key, meta=meta
+            )
         else:
             upsert(spark, target_path, updates, key)
     elif n_buckets is not None:
@@ -304,6 +332,7 @@ def replace_keyed_bucketed(
     updates: DataFrame,
     key: list[str],
     keys: DataFrame | None = None,
+    meta: dict | None = None,
 ) -> list[int]:
     """``replace_keyed`` for a bucket-partitioned table: every target
     row whose key appears in ``keys`` (default: the update rows' key
@@ -320,10 +349,17 @@ def replace_keyed_bucketed(
 
     Replay-idempotent for the streaming maintainers: identical
     payloads re-derive identical update rows, so re-running the
-    replace converges to the same buckets byte-for-byte."""
-    recover_interrupted_swap(spark, target_path)
-    recover_interrupted_bucket_swap(spark, target_path)
-    meta = bucketed_meta(spark, target_path)
+    replace converges to the same buckets byte-for-byte.
+
+    `meta` is the pre-recovered fast path for the auto helpers: a
+    caller that ALREADY ran both recoveries and read the sidecar in
+    this same operation passes it to skip the repeat filesystem
+    probes (several redundant namenode/object-store RPCs per
+    micro-batch otherwise).  Direct callers leave it None."""
+    if meta is None:
+        recover_interrupted_swap(spark, target_path)
+        recover_interrupted_bucket_swap(spark, target_path)
+        meta = bucketed_meta(spark, target_path)
     if meta is None:
         raise ValueError(
             f"{target_path} is not a bucketed table (missing {_META} — "

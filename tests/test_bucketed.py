@@ -727,6 +727,81 @@ def test_multimodal_gate_bucketed_all_tables(spark, tmp_path):
     } == {1, 2}
 
 
+def test_write_bucketed_empty_frame_stays_readable(spark, tmp_path):
+    """Creating a bucketed table from a ZERO-row frame must leave a
+    readable table: a partitioned write of zero rows emits no bucket
+    dir and no footer at all, so without the creation-time schema
+    anchor the root is unreadable — the window a gate hits when its
+    first batch yields zero rows for a table (round-14 review find,
+    reproduced live)."""
+    empty = spark.createDataFrame(
+        [], "doc_id BIGINT, part INT, payload STRING"
+    )
+    path = str(tmp_path / "t")
+    write_bucketed(spark, empty, path, ["doc_id"], n_buckets=N)
+    out = read_bucketed(spark, path)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "part", "payload"]
+    assert bucketed_meta(spark, path) == {"n_buckets": N, "key": ["doc_id"]}
+    # and the empty-born table accepts maintenance
+    replace_keyed_bucketed(spark, path, _frame(spark, [3]), ["doc_id"])
+    assert len(_rows(spark, path)) == 2
+
+
+def test_forget_documents_bucketed_preserves_layout(spark, tmp_path):
+    """forget_documents on a bucketed corpus+index takes the pruned
+    path and PRESERVES the layout — a whole-table overwrite would
+    flatten the buckets and strand the sidecar, wedging the next
+    maintenance run (round-14 review find)."""
+    from datawarehouse_code_spark.operators.corpus import forget_documents
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    write_bucketed(spark, _frame(spark, range(20)), corpus, ["doc_id"], N)
+    write_bucketed(spark, _frame(spark, range(20)), index, ["doc_id"], N)
+    gone = 7
+    report = forget_documents(
+        spark, corpus, index,
+        spark.createDataFrame([(gone,)], "doc_id BIGINT"),
+    )
+    assert report == {"corpus_removed": 2, "index_rows_removed": 2}
+    for path in (corpus, index):
+        assert bucketed_meta(spark, path) == {
+            "n_buckets": N, "key": ["doc_id"]
+        }
+        rows = _rows(spark, path)
+        assert gone not in {r[0] for r in rows} and len(rows) == 19 * 2
+        # the layout survives: subsequent pruned maintenance works
+        replace_keyed_bucketed(
+            spark, path, _frame(spark, [gone], "back"), ["doc_id"]
+        )
+        assert (gone, 0, f"back{gone}") in _rows(spark, path)
+
+
+def test_compact_parquet_bucketed_per_bucket(spark, tmp_path):
+    """compact_parquet on a bucketed table compacts PER BUCKET: rows
+    and layout (sidecar + bucket dirs) are preserved, file counts
+    drop, and pruned maintenance still works afterwards."""
+    from datawarehouse_code_spark.pipeline import compact_parquet
+
+    path = str(tmp_path / "t")
+    # many small files per bucket: repartition before the write
+    df = _frame(spark, range(40)).repartition(16)
+    write_bucketed(spark, df, path, ["doc_id"], n_buckets=4)
+    before_rows = _rows(spark, path)
+    report = compact_parquet(spark, path, target_file_mb=256)
+    assert report["files_after"] < report["files_before"]
+    assert bucketed_meta(spark, path) == {"n_buckets": 4, "key": ["doc_id"]}
+    parts = _files_per_bucket(tmp_path / "t")
+    assert set(parts) == {f"{BUCKET_COL}={b}" for b in range(4)} & set(parts)
+    assert parts  # bucket dirs survived
+    assert _rows(spark, path) == before_rows
+    replace_keyed_bucketed(
+        spark, path, _frame(spark, [7], "new"), ["doc_id"]
+    )
+    assert (7, 0, "new7") in _rows(spark, path)
+
+
 def test_forget_index_rows_bucketed_prunes(spark, tmp_path):
     """RTBF on a bucketed index: forget_index_rows detects the layout,
     returns the exact removed-row count, leaves every untouched
