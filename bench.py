@@ -84,6 +84,14 @@ FROZEN_BASELINE_SF01 = _load_frozen_baseline()
 # Headline set: the expensive/representative plans. Anything listed
 # here but not (yet) registered is skipped, so bench.py never breaks
 # when a phase module is mid-build.
+#
+# Round 15 retirement (bench-loop growth protocol rule 2, schedule in
+# BASELINE.md): 21 constituent rows whose covering suites verified
+# their freezes in the r14 driver run were removed from this list —
+# their canonical-table freezes and history are KEPT, they remain
+# oracle-backed + differential-tested under their suites and benchable
+# on demand via SUPPLEMENTARY_QUERIES.  Full list + final readings in
+# BASELINE.md "Round 15".
 HEADLINE = [
     "fact_build",
     "cube_table",
@@ -94,7 +102,6 @@ HEADLINE = [
     "agg_rollup_year_type",
     "window_topk_products",
     "window_monthly_growth",
-    "events_tumbling_10min",
     "events_session_window",
     "dedup_exact",
     "dedup_near_jaccard",
@@ -105,7 +112,6 @@ HEADLINE = [
     "embedding_near_dup",
     "text_tfidf_top_terms",
     "text_token_stats",
-    "multimodal_features",
     # round-3 additions (not in the frozen r2 row; ratios appear once a
     # later round freezes them)
     "asof_join_events",
@@ -113,11 +119,9 @@ HEADLINE = [
     "docs_stratified_sample",
     "corpus_survivors",
     "vocab_top_terms",
-    "multimodal_frame_stats",
     "contamination_check",
     # round-5 additions (frozen round 6 from BENCH_r05.json)
     "text_cleaning_suite",
-    "tokens_packed",
     # round-6 additions (no frozen row yet; ratios appear once a later
     # round freezes them)
     "tokens_packed_suite",
@@ -128,8 +132,6 @@ HEADLINE = [
     "subquery_above_avg",
     "maintenance_suite",
     "corpus_split_leakage",
-    "events_funnel",
-    "events_cohort_retention",
     "session_funnel",
     "orders_daily_anomalies",
     "bpe_pair_counts",
@@ -164,19 +166,13 @@ HEADLINE = [
     "sql_recursive_reachability",
     "docs_semantic_dedup",
     "events_heavy_hitters",
-    "docs_bm25_topk",
-    "docs_curriculum_phases",
     # round-10 additions (no frozen row yet; ratios appear once a
     # later round freezes them).  The four suites are round-10
     # consolidations — their constituents keep their own frozen rows
     # above, like-for-like.
     "similarity_retrieval_suite",
-    "multimodal_suite",
     "text_corpus_suite",
     "events_time_suite",
-    "docs_bm25_multiterm",
-    "docs_curriculum_boundary",
-    "decoded_png_stats",
     # round-11 additions (no frozen row yet; ratios appear once a
     # later round freezes them).  The two suites are round-11
     # consolidations — their constituents keep their own frozen rows
@@ -186,7 +182,6 @@ HEADLINE = [
     "docs_cdc_shared_chunks",
     "docs_winnowing_pairs",
     "sql_lateral_topk",
-    "decoded_audio_stats",
     "docs_cdc_incremental",
     "similarity_matryoshka_recall",
     "docs_winnowing_incremental",
@@ -199,21 +194,13 @@ HEADLINE = [
     # above, like-for-like.
     "shift_robust_dedup_suite",
     "media_suite",
-    "media_phash_pairs",
-    "media_phash_incremental",
-    "audio_fp_pairs",
     "audio_fp_incremental",
-    "video_fp_pairs",
     "video_fp_incremental",
     "media_dedup_suite",
     "media_canonical_selection",
     "docs_winnowing_spans",
     # round-13 additions (no frozen row yet; ratios appear once a
     # later round freezes them)
-    "video_image_matches",
-    "media_phash_dct_pairs",
-    "image_video_matches",
-    "media_phash_dct_incremental",
     "cross_modal_suite",
     "video_frame_phash_matches",
     "media_canonical_cross_modal",
@@ -270,12 +257,21 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # Environment-stall flag (r14 verdict): min-of-3 hides a single
+    # wild sample (e.g. similarity_matryoshka_recall's 35 s third run
+    # against a 3.19 min in r14).  Surface any query whose max sample
+    # read >3× its min so freeze adjudications can attribute ratio
+    # drift to host stalls without digging through BENCH_full spreads.
+    spread_outliers = {
+        n: s for n, s in spreads.items() if s and s[-1] > 3 * s[0]
+    }
     payload: dict = {
         "metric": "registry_wall_sec",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
         "spread": spreads,
+        "spread_outliers": spread_outliers,
         "loadavg": {
             "before": [round(x, 2) for x in load_before],
             "after": [round(x, 2) for x in os.getloadavg()],
@@ -317,6 +313,8 @@ def main() -> None:
     }
     if errors:
         summary["errors"] = errors
+    if spread_outliers:
+        summary["spread_outliers"] = spread_outliers
     if "baseline_ratio" in payload:
         br = payload["baseline_ratio"]
         worst3 = dict(sorted(br["queries"].items(), key=lambda kv: -kv[1])[:3])
