@@ -11,7 +11,7 @@ year-ranged queries.
 Scale notes:
 - lineitem ⋈ orders is big-big → shuffle hash/sort-merge on
   l_orderkey; at 100 TB, bucket both sides by orderkey to make it
-  co-located (see pipeline.write_bucketed).
+  co-located (see pipeline.write_bucketby_table).
 - customer SCALES with data size (it is a "dimension" only
   relative to the fact), so it carries NO broadcast hint: a hint
   overrides AQE's size check and would OOM executors at 100 TB.

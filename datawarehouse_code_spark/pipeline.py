@@ -196,11 +196,21 @@ def run_pipeline_incremental(
     return reports
 
 
-def write_bucketed(df: DataFrame, table: str, n_buckets: int, *keys: str) -> None:
-    """Bucketed write for shuffle-free co-located joins at scale
-    (big-big joins like lineitem ⋈ orders at 100 TB).  Requires a
-    warehouse-backed catalog (`saveAsTable`)."""
+def write_bucketby_table(df: DataFrame, table: str, n_buckets: int, *keys: str) -> None:
+    """Spark `bucketBy` metastore-table write for shuffle-free
+    co-located joins at scale (big-big joins like lineitem ⋈ orders
+    at 100 TB).  Requires a warehouse-backed catalog (`saveAsTable`).
+
+    Renamed from ``write_bucketed`` (r14 verdict): that name collided
+    with :func:`sources.bucketed.write_bucketed`, the UNRELATED
+    hash-partition keyed-replace layout for path-addressed tables —
+    this one makes Catalyst joins co-located, that one makes keyed
+    maintenance O(|touched buckets|)."""
     df.write.mode("overwrite").bucketBy(n_buckets, *keys).sortBy(*keys).saveAsTable(table)
+
+
+# Deprecated alias (pre-r15 name; see write_bucketby_table docstring).
+write_bucketed = write_bucketby_table
 
 
 def compact_parquet(

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from datawarehouse_code_spark.operators.dimensions import insert_if_not_exists_report
-from datawarehouse_code_spark.pipeline import write_bucketed
+from datawarehouse_code_spark.pipeline import write_bucketby_table
 from datawarehouse_code_spark.sources.catalog import read_table, register_views
 from tests.conftest import SF_DIR
 
@@ -18,8 +18,8 @@ def test_bucketed_join_eliminates_shuffle(spark):
     that replaces a multi-TB shuffle at scale."""
     li = read_table(spark, "lineitem", SF_DIR).select("l_orderkey", "l_quantity")
     orders = read_table(spark, "orders", SF_DIR).select("o_orderkey", "o_custkey")
-    write_bucketed(li, "t_li_bucketed", 8, "l_orderkey")
-    write_bucketed(
+    write_bucketby_table(li, "t_li_bucketed", 8, "l_orderkey")
+    write_bucketby_table(
         orders.withColumnRenamed("o_orderkey", "l_orderkey"), "t_ord_bucketed", 8,
         "l_orderkey",
     )
