@@ -14,14 +14,16 @@ rows whose semantics depend on data-scale structure — the connected-
 component / pair-graph suites, where more rows means longer chains,
 new hash-bucket collisions, and deeper component diameters:
 
-- corpus_survivors        (near-dup CC → canonical selection)
-- dedup_suite             (MinHash-LSH / SimHash / exact pair graphs)
-- media_dedup_suite       (image/audio/video fingerprint pair graphs)
-- cross_modal_suite       (cross-carrier matches + canonical CC)
-- planted_recall_suite    (planted-pair recall at banding boundaries)
-- corpus_split_leakage    (split assignment × near-dup components)
+- corpus_survivors          (near-dup CC → canonical selection)
+- dedup_suite               (MinHash-LSH / SimHash / exact pair graphs)
+- media_dedup_suite         (image/audio/video fingerprint pair graphs)
+- cross_modal_suite         (cross-carrier matches + canonical CC)
+- planted_recall_suite      (planted-pair recall at banding boundaries)
+- corpus_split_leakage      (split assignment × near-dup components)
+- shift_robust_dedup_suite  (winnowing/CDC chunk pair graphs)
+- incremental_near_dup      (increment vs persisted-index banding)
 
-Budget: ~2-3 min for the six rows at sf0.1 (marked `slow` so a quick
+Budget: ~2-3 min for the eight rows at sf0.1 (marked `slow` so a quick
 iteration loop can deselect with `-m "not slow"`; the full suite and
 the per-round judge run include it).
 """
@@ -46,6 +48,11 @@ SCALE_SENSITIVE = [
     "cross_modal_suite",
     "planted_recall_suite",
     "corpus_split_leakage",
+    # same blind-spot class, added r15 beyond the verdict's six: the
+    # winnowing/CDC pair graphs and the incremental-vs-persisted-index
+    # banding both change structure with corpus size
+    "shift_robust_dedup_suite",
+    "incremental_near_dup",
 ]
 
 
