@@ -179,6 +179,48 @@ def write_bucketed(
     _finish_staged_swap(fs, p, staged, old)
 
 
+def rebucket_table(
+    spark: SparkSession,
+    path: str,
+    n_buckets: int,
+    key: list[str] | None = None,
+) -> None:
+    """Migrate a keyed table to a new bucket count (or bucket a plain
+    table for the first time) — the lifecycle escape hatch for the
+    "``n_buckets`` is a creation-time choice" rule: a table whose
+    buckets outgrow executor-comfortable swap sizes (corpus growth,
+    or a key turning hot) gets a one-shot whole-table rewrite here
+    and O(|touched buckets|) maintenance resumes at the new grain.
+
+    Reads through the layout-transparent reader (both recoveries run
+    first) and rewrites via :func:`write_bucketed`, so the migration
+    rides the same whole-table staged swap + sidecar protocol as
+    creation — a crash mid-migration leaves the OLD table intact
+    (pre-swap) or the NEW layout complete (post-swap), never a mix.
+
+    ``key`` defaults to the existing sidecar's key; bucketing a PLAIN
+    table requires it explicitly.  A no-op (same n_buckets, same key)
+    returns without rewriting."""
+    meta = bucketed_meta(spark, path)
+    if key is None:
+        if meta is None:
+            raise ValueError(
+                f"{path} is not bucketed and no key was given — pass "
+                "key=[...] to bucket a plain table"
+            )
+        key = list(meta["key"])
+    if meta is not None and int(meta["n_buckets"]) == n_buckets and list(
+        meta["key"]
+    ) == list(key):
+        return
+    current = read_keyed_table(spark, path)
+    # the staged swap builds the new table BESIDE the live one, but the
+    # write job's scan reads the live files lazily during the staging
+    # write — which is safe (staging never mutates live) — while the
+    # swap itself happens only after the staged write completed.
+    write_bucketed(spark, current, path, key, n_buckets=n_buckets)
+
+
 def _read_no_layout(spark: SparkSession, path: str) -> DataFrame:
     """The ONE post-recovery read both readers share: the layout
     column is dropped unconditionally (a no-op on plain tables —

@@ -919,3 +919,67 @@ def test_replace_that_empties_table_stays_readable(spark, tmp_path):
     re_add = _frame(spark, [3])
     replace_keyed_bucketed(spark, path, re_add, ["doc_id"])
     assert _rows(spark, path) == sorted(map(tuple, re_add.collect()))
+
+
+def test_rebucket_table_migrates_grain(spark, tmp_path):
+    """rebucket_table is the lifecycle escape hatch for the
+    creation-time n_buckets rule: same rows, new sidecar, maintenance
+    resumes pruned at the new grain."""
+    from datawarehouse_code_spark.sources.bucketed import rebucket_table
+
+    path = str(tmp_path / "t")
+    ids = list(range(40))
+    write_bucketed(spark, _frame(spark, ids), path, ["doc_id"], N)
+    before_rows = _rows(spark, path)
+
+    rebucket_table(spark, path, 32)
+    assert bucketed_meta(spark, path) == {"n_buckets": 32, "key": ["doc_id"]}
+    assert _rows(spark, path) == before_rows
+    dirs = set(_files_per_bucket(path))
+    # bucket values must come from the NEW modulus (>= N proves the
+    # old 8-grain layout was actually rewritten, not relabeled)
+    vals = {int(d.split("=")[1]) for d in dirs}
+    assert all(0 <= v < 32 for v in vals) and any(v >= N for v in vals)
+
+    # maintenance at the new grain: replace one key, touched bucket is
+    # computed under n=32 and only that dir moves
+    upd = _frame(spark, [7], payload="q")
+    touched = replace_keyed_bucketed(spark, path, upd, ["doc_id"])
+    expected = (
+        spark.range(1)
+        .select(F.lit(7).cast("bigint").alias("doc_id"))
+        .select(bucket_expr(["doc_id"], 32).alias("b"))
+        .collect()[0]["b"]
+    )
+    assert touched == [expected]
+    assert sorted(r for r in _rows(spark, path) if r[0] == 7) == sorted(
+        map(tuple, upd.collect())
+    )
+
+
+def test_rebucket_plain_table_and_noop(spark, tmp_path):
+    """Bucketing a plain table requires an explicit key; a same-layout
+    call is a no-op that rewrites nothing."""
+    from datawarehouse_code_spark.sources.bucketed import rebucket_table
+
+    path = str(tmp_path / "p")
+    df = _frame(spark, range(10))
+    df.write.parquet(path)
+    with pytest.raises(ValueError, match="no key"):
+        rebucket_table(spark, path, 16)
+    rebucket_table(spark, path, 16, key=["doc_id"])
+    assert bucketed_meta(spark, path) == {"n_buckets": 16, "key": ["doc_id"]}
+    assert _rows(spark, path) == sorted(map(tuple, df.collect()))
+
+    mtimes = {
+        d: fs for d, fs in _files_per_bucket(path).items()
+    }
+    import os as _os
+
+    stamp = {
+        d: _os.stat(_os.path.join(path, d)).st_mtime_ns for d in mtimes
+    }
+    rebucket_table(spark, path, 16)  # same layout -> no rewrite
+    assert {
+        d: _os.stat(_os.path.join(path, d)).st_mtime_ns for d in stamp
+    } == stamp
