@@ -983,3 +983,125 @@ def test_rebucket_plain_table_and_noop(spark, tmp_path):
     assert {
         d: _os.stat(_os.path.join(path, d)).st_mtime_ns for d in stamp
     } == stamp
+
+
+class _InjectedCrash(RuntimeError):
+    pass
+
+
+class _CrashFS:
+    """Proxy over the Hadoop FileSystem that raises at the k-th
+    MUTATING call (rename/delete/create) — reads pass through, so a
+    'crash during a read' collapses onto the next mutation, which is
+    the only state change the recovery contract is about."""
+
+    def __init__(self, real, state):
+        self._real = real
+        self._state = state
+
+    def _tick(self):
+        if self._state["n"] == self._state["crash_at"]:
+            raise _InjectedCrash(f"injected at op {self._state['n']}")
+        self._state["n"] += 1
+
+    def rename(self, a, b):
+        self._tick()
+        return self._real.rename(a, b)
+
+    def delete(self, p, recursive):
+        self._tick()
+        return self._real.delete(p, recursive)
+
+    def create(self, p, overwrite):
+        self._tick()
+        return self._real.create(p, overwrite)
+
+    def __getattr__(self, name):
+        return getattr(self._real, name)
+
+
+@pytest.mark.slow
+def test_exhaustive_crash_point_enumeration(spark, tmp_path):
+    """Inject a crash at EVERY mutating filesystem call of a
+    replace_keyed_bucketed (marker write, each per-bucket rename
+    aside / rename in / delete aside, empty-bucket deletes, staging
+    cleanup) and assert the documented recovery contract at each
+    point: crash BEFORE the commit marker exists -> recovery rolls
+    back to the exact OLD rows; crash AFTER -> recovery rolls forward
+    to the exact NEW rows.  Subsumes the hand-enumerated crash-state
+    matrix above by construction — if a new mutation is ever added to
+    the protocol, this test automatically gains its crash point."""
+    import datawarehouse_code_spark.sources.bucketed as B
+
+    ids = list(range(24))
+    upd_ids = [3, 11]
+    # empty out one whole bucket: delete every key the bucket holds,
+    # with no replacement rows, so the swap plan carries an 'empty'
+    # kind beside the 'staged' kinds
+    victim_bucket = _bucket_of(spark, 5)
+    emptied = [
+        r["doc_id"]
+        for r in spark.createDataFrame([(i,) for i in ids], "doc_id BIGINT")
+        .withColumn("b", bucket_expr(["doc_id"], N))
+        .filter(F.col("b") == victim_bucket)
+        .collect()
+    ]
+    del_ids = sorted(set(upd_ids) | set(emptied))
+
+    old_rows = sorted(map(tuple, _frame(spark, ids).collect()))
+    updates_rows = sorted(map(tuple, _frame(spark, upd_ids, "NEW").collect()))
+    new_rows = sorted(
+        [r for r in old_rows if r[0] not in set(del_ids)] + updates_rows
+    )
+    assert new_rows != old_rows and len(emptied) > 0
+
+    # the pre-crash table is identical for every crash point: build it
+    # once, copy per iteration (a Spark write per point would triple
+    # the test's wall time for no coverage)
+    template = str(tmp_path / "template")
+    write_bucketed(spark, _frame(spark, ids), template, ["doc_id"], N)
+
+    real_fs_for = B._fs_for
+    crash_at = 0
+    completed = False
+    seen_forward = seen_back = 0
+    while not completed:
+        assert crash_at < 60, "crash-point enumeration did not terminate"
+        path = str(tmp_path / f"t{crash_at}")
+        shutil.copytree(template, path)
+        updates = _frame(spark, upd_ids, "NEW")
+        keys = spark.createDataFrame([(i,) for i in del_ids], "doc_id BIGINT")
+
+        state = {"n": 0, "crash_at": crash_at}
+        B._fs_for = lambda s, p: (
+            lambda fs_p: (_CrashFS(fs_p[0], state), fs_p[1])
+        )(real_fs_for(s, p))
+        try:
+            replace_keyed_bucketed(spark, path, updates, ["doc_id"], keys=keys)
+            completed = True
+        except _InjectedCrash:
+            pass
+        finally:
+            B._fs_for = real_fs_for
+
+        marker = os.path.exists(f"{path}._bstaging/_BUCKET_COMMIT")
+        expect = new_rows if (completed or marker) else old_rows
+        if not completed:
+            seen_forward += 1 if marker else 0
+            seen_back += 0 if marker else 1
+            assert recover_interrupted_bucket_swap(spark, path) in (
+                "rolled_forward", "rolled_back",
+            )
+        assert _rows(spark, path) == expect, (
+            f"crash point {crash_at}: recovered table diverges "
+            f"(marker existed: {marker})"
+        )
+        # recovery is terminal: staging gone, no aside dirs
+        assert not os.path.exists(f"{path}._bstaging")
+        assert not any(
+            d.startswith("._old_kb=") for d in os.listdir(path)
+        )
+        crash_at += 1
+
+    # the enumeration must have exercised BOTH recovery directions
+    assert seen_back >= 1 and seen_forward >= 1
