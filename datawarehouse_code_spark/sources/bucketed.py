@@ -201,6 +201,11 @@ def rebucket_table(
     ``key`` defaults to the existing sidecar's key; bucketing a PLAIN
     table requires it explicitly.  A no-op (same n_buckets, same key)
     returns without rewriting."""
+    # repair-first like every other entry point: a crashed whole-table
+    # swap can leave the live dir aside, and probing the sidecar
+    # through that window would misread a bucketed table as plain
+    recover_interrupted_swap(spark, path)
+    recover_interrupted_bucket_swap(spark, path)
     meta = bucketed_meta(spark, path)
     if key is None:
         if meta is None:

@@ -1105,3 +1105,33 @@ def test_exhaustive_crash_point_enumeration(spark, tmp_path):
 
     # the enumeration must have exercised BOTH recovery directions
     assert seen_back >= 1 and seen_forward >= 1
+
+
+def test_rebucket_repairs_crashed_swap_first(spark, tmp_path):
+    """rebucket_table on a table whose whole-table swap crashed in the
+    aside window (live renamed away, staged not yet in) must repair
+    first — probing the sidecar through that window would misread a
+    bucketed table as plain and either raise or, with key=, silently
+    rebucket half a swap."""
+    from datawarehouse_code_spark.sources.acid import _fs_for, _sibling
+    from datawarehouse_code_spark.sources.bucketed import rebucket_table
+
+    path = str(tmp_path / "t")
+    ids = list(range(12))
+    write_bucketed(spark, _frame(spark, ids), path, ["doc_id"], N)
+    before = _rows(spark, path)
+
+    # fabricate the crash window: a completed staging copy beside the
+    # table, live renamed aside (what _finish_staged_swap looks like
+    # between its two renames)
+    fs, p = _fs_for(spark, path)
+    staged = _sibling(spark, p, "._staging")
+    old = _sibling(spark, p, "._old")
+    import shutil as _sh
+
+    _sh.copytree(path, str(tmp_path / "t._staging"))
+    fs.rename(p, old)
+
+    rebucket_table(spark, path, 32)
+    assert bucketed_meta(spark, path) == {"n_buckets": 32, "key": ["doc_id"]}
+    assert _rows(spark, path) == before
