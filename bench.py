@@ -207,6 +207,37 @@ HEADLINE = [
 ]
 
 
+def _calibrate(spark) -> float:
+    """Host-speed denominator: a FIXED synthetic workload (CPU-bound
+    modular arithmetic over spark.range + one 9973-key shuffle) that
+    depends on nothing in this repo and no scale factor, timed
+    min-of-3 in the same session as the loop.  Round-15 recorded
+    three same-code registry runs spanning total ratios 1.05-1.40
+    because the shared host's per-core throughput itself moves; this
+    number lets a freeze adjudication NORMALIZE a suspicious run by
+    the host state it actually ran under (healthy ~0.25-0.45 s warm) instead of arguing from loadavg, which misses VM
+    throttling entirely."""
+    from pyspark.sql import functions as F
+
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 60_000_000)
+            .select(
+                (F.col("id") % 9973).alias("k"),
+                (F.col("id") * 2654435761 % 104729).alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs), 3)
+
+
 def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -233,6 +264,7 @@ def main() -> None:
     # is attributable to host load without re-adjudicating each round
     # (BASELINE.md documents +-25%/query noise on a shared box).
     load_before = os.getloadavg()
+    cal_before = _calibrate(spark)
     times: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
@@ -272,6 +304,7 @@ def main() -> None:
         "queries": times,
         "spread": spreads,
         "spread_outliers": spread_outliers,
+        "calibration": {"before": cal_before, "after": _calibrate(spark)},
         "loadavg": {
             "before": [round(x, 2) for x in load_before],
             "after": [round(x, 2) for x in os.getloadavg()],
@@ -315,6 +348,7 @@ def main() -> None:
         summary["errors"] = errors
     if spread_outliers:
         summary["spread_outliers"] = spread_outliers
+    summary["calibration"] = payload["calibration"]
     if "baseline_ratio" in payload:
         br = payload["baseline_ratio"]
         worst3 = dict(sorted(br["queries"].items(), key=lambda kv: -kv[1])[:3])
