@@ -284,6 +284,13 @@ def main() -> None:
         times[name] = round(min(runs), 3)
         spreads[name] = [round(t, 3) for t in sorted(runs)]
 
+    # capture the closing loadavg BEFORE the second calibration runs
+    # (r15 advice): the calibration's three 60M-row all-core jobs would
+    # otherwise inflate the very reading freeze adjudications use to
+    # attribute drift to host load
+    load_after = os.getloadavg()
+    cal_after = _calibrate(spark)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -304,10 +311,10 @@ def main() -> None:
         "queries": times,
         "spread": spreads,
         "spread_outliers": spread_outliers,
-        "calibration": {"before": cal_before, "after": _calibrate(spark)},
+        "calibration": {"before": cal_before, "after": cal_after},
         "loadavg": {
             "before": [round(x, 2) for x in load_before],
-            "after": [round(x, 2) for x in os.getloadavg()],
+            "after": [round(x, 2) for x in load_after],
         },
         "sf": sf_val,
     }
@@ -322,10 +329,33 @@ def main() -> None:
             if n in FROZEN_BASELINE_SF01
         }
         frozen_total = sum(FROZEN_BASELINE_SF01[n] for n in ratios)
+        # Host-speed normalization (r15 verdict ask #3): the
+        # calibration workload's healthy warm band is 0.25-0.45 s
+        # (BASELINE.md "Host-speed calibration").  A run whose
+        # calibration exceeds the band's TOP edge ran on a degraded
+        # host; dividing the ratios by (calibration / band-top)
+        # removes the run-wide host factor.  The mean of before/after
+        # brackets the loop; the band TOP (not middle) keeps the
+        # normalization conservative — a healthy run's factor floors
+        # at 1.0 and is never flattered.  Per-query attribution still
+        # needs the spreads: the host state can recover MID-run (the
+        # r15 driver went 0.781 -> 0.425), so a single factor
+        # under-corrects early rows and over-corrects late ones.
+        cal_healthy_top = 0.45
+        host_factor = max(
+            1.0, ((cal_before + cal_after) / 2) / cal_healthy_top
+        )
         payload["baseline_ratio"] = {
             "frozen": "BASELINE.md canonical freeze table (sf0.1, local[32]; min-of-2 through r7 rows, min-of-3 after)",
             "total": round(sum(times[n] for n in ratios) / frozen_total, 3),
+            "host_factor": round(host_factor, 3),
+            "normalized_total": round(
+                sum(times[n] for n in ratios) / frozen_total / host_factor, 3
+            ),
             "queries": ratios,
+            "normalized_queries": {
+                n: round(r / host_factor, 2) for n, r in ratios.items()
+            },
         }
 
     # The driver captures only the tail of stdout (~2000 chars), so the
@@ -355,8 +385,13 @@ def main() -> None:
         summary["baseline_ratio"] = {
             "frozen": br["frozen"],
             "total": br["total"],
+            "host_factor": br["host_factor"],
+            "normalized_total": br["normalized_total"],
             "n_frozen": len(br["queries"]),
             "worst3": worst3,
+            "worst3_normalized": {
+                n: br["normalized_queries"][n] for n in worst3
+            },
         }
     # keep per-query timings on stdout only while they still fit
     line = json.dumps({**summary, "queries": times})

@@ -1191,39 +1191,46 @@ def _forget_rows_from_table(
         bucketed_meta,
         recover_interrupted_bucket_swap,
         replace_keyed_bucketed,
+        writer_lease,
     )
 
-    # repair any mid-crash bucket swap BEFORE the audit-count scan —
-    # counting against a half-swapped table would report a wrong
-    # `removed` figure to the deletion request (round-14 review find)
-    recover_interrupted_bucket_swap(spark, path)
-    meta = bucketed_meta(spark, path)
-    if meta is not None:
-        if list(meta["key"]) != [id_col]:
-            raise ValueError(
-                f"bucketed table {path} is keyed on {meta['key']}, "
-                f"forget asked {[id_col]} — refusing a mismatched layout"
+    # forget IS a writer of this table: hold the lease across the
+    # audit count AND the replace so (a) a concurrent maintainer is
+    # refused loudly instead of invalidating the count between scan
+    # and write, and (b) writer-grade recovery can repair a crashed
+    # swap BEFORE the audit-count scan — counting against a
+    # half-swapped table would report a wrong `removed` figure to the
+    # deletion request (round-14 review find)
+    with writer_lease(spark, path):
+        recover_interrupted_bucket_swap(spark, path, writer=True)
+        meta = bucketed_meta(spark, path)
+        if meta is not None:
+            if list(meta["key"]) != [id_col]:
+                raise ValueError(
+                    f"bucketed table {path} is keyed on {meta['key']}, "
+                    f"forget asked {[id_col]} — refusing a mismatched layout"
+                )
+            kb = bucket_expr([id_col], int(meta["n_buckets"]))
+            touched = [
+                r["b"] for r in ids.select(kb.alias("b")).distinct().collect()
+            ]
+            pruned = spark.read.parquet(path).filter(
+                F.col(BUCKET_COL).isin(touched)
             )
-        kb = bucket_expr([id_col], int(meta["n_buckets"]))
-        touched = [
-            r["b"] for r in ids.select(kb.alias("b")).distinct().collect()
-        ]
-        pruned = spark.read.parquet(path).filter(
-            F.col(BUCKET_COL).isin(touched)
-        )
-        removed = pruned.join(ids, id_col, "left_semi").count()
-        empty = spark.createDataFrame([], pruned.drop(BUCKET_COL).schema)
-        replace_keyed_bucketed(
-            spark, path, empty, [id_col], keys=ids, meta=meta
-        )
+            removed = pruned.join(ids, id_col, "left_semi").count()
+            empty = spark.createDataFrame([], pruned.drop(BUCKET_COL).schema)
+            replace_keyed_bucketed(
+                spark, path, empty, [id_col], keys=ids, meta=meta,
+                _leased=True,
+            )
+            return removed
+        table = spark.read.parquet(path)
+        before = table.count()
+        kept = table.join(ids, id_col, "left_anti").persist()
+        removed = before - kept.count()
+        _staged_overwrite(spark, kept, path)
+        kept.unpersist()
         return removed
-    table = spark.read.parquet(path)
-    before = table.count()
-    kept = table.join(ids, id_col, "left_anti").persist()
-    removed = before - kept.count()
-    _staged_overwrite(spark, kept, path)
-    kept.unpersist()
-    return removed
 
 
 def forget_index_rows(

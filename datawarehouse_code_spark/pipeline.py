@@ -245,6 +245,7 @@ def compact_parquet(
         BUCKET_COL,
         bucketed_meta,
         recover_interrupted_bucket_swap,
+        writer_lease,
     )
 
     def _compact_dir(d: Path) -> dict[str, int]:
@@ -260,14 +261,19 @@ def compact_parquet(
         after = len([f for f in d.rglob("*.parquet") if f.is_file()])
         return {"files_before": len(files_before), "files_after": after}
 
-    recover_interrupted_bucket_swap(spark, path)
-    p = Path(path)
-    if bucketed_meta(spark, path) is not None:
-        report = {"files_before": 0, "files_after": 0}
-        for d in sorted(p.glob(f"{BUCKET_COL}=*")):
-            if d.is_dir():
-                r = _compact_dir(d)
-                report["files_before"] += r["files_before"]
-                report["files_after"] += r["files_after"]
-        return report
-    return _compact_dir(p)
+    # compaction mutates bucket dirs in place — it is a WRITER of the
+    # table and takes the lease like every bucketed-lane mutator, so a
+    # concurrent maintainer is refused loudly (and writer-grade
+    # recovery can repair a crashed swap before the rewrite)
+    with writer_lease(spark, path):
+        recover_interrupted_bucket_swap(spark, path, writer=True)
+        p = Path(path)
+        if bucketed_meta(spark, path) is not None:
+            report = {"files_before": 0, "files_after": 0}
+            for d in sorted(p.glob(f"{BUCKET_COL}=*")):
+                if d.is_dir():
+                    r = _compact_dir(d)
+                    report["files_before"] += r["files_before"]
+                    report["files_after"] += r["files_after"]
+            return report
+        return _compact_dir(p)

@@ -316,6 +316,7 @@ def run_upsert_to_table(
         upsert_auto(
             batch.sparkSession, target_path, latest, key,
             n_buckets=n_buckets,
+            owner=checkpoint_dir,
         )
 
     writer = events.writeStream.foreachBatch(_apply).trigger(availableNow=True)
@@ -420,12 +421,14 @@ def run_corpus_ingest(
             upsert_auto(
                 sp, target_path, survivors, ["doc_id"],
                 n_buckets=n_buckets,
+                owner=checkpoint_dir,
             )
         else:
             # staged create (plain or bucketed per n_buckets), same
             # reasoning as run_upsert_to_table
             upsert_auto(
-                sp, target_path, first, ["doc_id"], n_buckets=n_buckets
+                sp, target_path, first, ["doc_id"], n_buckets=n_buckets,
+                owner=checkpoint_dir,
             )
 
     writer = docs.writeStream.foreachBatch(_apply).trigger(availableNow=True)
@@ -493,6 +496,7 @@ def run_cdc_index_ingest(
         replace_keyed_auto(
             sp, index_path, chunks, ["doc_id"],
             keys=batch.select("doc_id"), n_buckets=n_buckets,
+            owner=checkpoint_dir,
         )
 
     writer = docs.writeStream.foreachBatch(_apply).trigger(availableNow=True)
@@ -696,7 +700,8 @@ def run_cdc_gated_ingest(
         )
         survivors = batch.join(rejected, "doc_id", "left_anti")
         upsert_auto(
-            sp, target_path, survivors, ["doc_id"], n_buckets=n_buckets
+            sp, target_path, survivors, ["doc_id"], n_buckets=n_buckets,
+            owner=checkpoint_dir,
         )
         kept_chunks = chunks.join(rejected, "doc_id", "left_anti")
         # replace (not row-upsert) for the same reason as
@@ -710,6 +715,7 @@ def run_cdc_gated_ingest(
         replace_keyed_auto(
             sp, index_path, kept_chunks, ["doc_id"],
             keys=survivors.select("doc_id"), n_buckets=n_buckets,
+            owner=checkpoint_dir,
         )
 
     writer = docs.writeStream.foreachBatch(_apply).trigger(availableNow=True)
@@ -1138,6 +1144,7 @@ def _run_media_index_ingest(
         replace_keyed_auto(
             sp, index_path, rows, ["media_id"],
             keys=batch.select("media_id"), n_buckets=n_buckets,
+            owner=checkpoint_dir,
         )
 
     writer = media.writeStream.foreachBatch(_apply).trigger(availableNow=True)
@@ -1317,7 +1324,8 @@ def run_dhash_gated_ingest(
         )
         survivors = batch.join(rejected, "media_id", "left_anti")
         upsert_auto(
-            sp, target_path, survivors, ["media_id"], n_buckets=n_buckets
+            sp, target_path, survivors, ["media_id"], n_buckets=n_buckets,
+            owner=checkpoint_dir,
         )
         kept_rows = build_dhash_index(
             None, grid=grid,
@@ -1331,6 +1339,7 @@ def run_dhash_gated_ingest(
         replace_keyed_auto(
             sp, index_path, kept_rows, ["media_id"],
             keys=survivors.select("media_id"), n_buckets=n_buckets,
+            owner=checkpoint_dir,
         )
 
     writer = media.writeStream.foreachBatch(_apply).trigger(availableNow=True)
@@ -1372,7 +1381,8 @@ def _run_fp_gated_ingest(
         rejected = _fp_gate_rejects(sp, fps, index_path, min_shared, hot_cap)
         survivors = batch.join(rejected, "media_id", "left_anti")
         upsert_auto(
-            sp, target_path, survivors, ["media_id"], n_buckets=n_buckets
+            sp, target_path, survivors, ["media_id"], n_buckets=n_buckets,
+            owner=checkpoint_dir,
         )
         kept = fps.join(survivors.select("media_id"), "media_id", "left_semi")
         # keys = SURVIVOR ids — an item too short to fingerprint
@@ -1380,6 +1390,7 @@ def _run_fp_gated_ingest(
         replace_keyed_auto(
             sp, index_path, kept, ["media_id"],
             keys=survivors.select("media_id"), n_buckets=n_buckets,
+            owner=checkpoint_dir,
         )
 
     writer = media.writeStream.foreachBatch(_apply).trigger(availableNow=True)
@@ -1836,7 +1847,8 @@ def run_multimodal_gated_ingest(
         ).distinct()
         survivors = batch.join(dropped, "media_id", "left_anti")
         upsert_auto(
-            sp, target_path, survivors, ["media_id"], n_buckets=n_buckets
+            sp, target_path, survivors, ["media_id"], n_buckets=n_buckets,
+            owner=checkpoint_dir,
         )
 
         surviving_ids = survivors.select("media_id")
@@ -1850,6 +1862,7 @@ def run_multimodal_gated_ingest(
             replace_keyed_auto(
                 sp, index_path, kept, [key], keys=keys,
                 n_buckets=n_buckets,
+                owner=checkpoint_dir,
             )
 
         ledger = (
@@ -1876,6 +1889,7 @@ def run_multimodal_gated_ingest(
         replace_keyed_auto(
             sp, ledger_path, ledger, ["media_id"],
             keys=batch.select("media_id"), n_buckets=n_buckets,
+            owner=checkpoint_dir,
         )
 
     writer = feed.writeStream.foreachBatch(_apply).trigger(availableNow=True)

@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from datawarehouse_code_spark.sources.acid import replace_keyed
 from datawarehouse_code_spark.sources.bucketed import (
     BUCKET_COL,
@@ -86,6 +88,8 @@ N_BUCKETS = 64
 BATCHES = [list(range(b * 5, b * 5 + 5)) for b in range(1, 6)]
 
 
+@pytest.mark.slow  # minutes-long (r15 advice: the "slow" marker
+# exists for quick-iteration deselection, and these two qualify)
 def test_write_amplification_bucketed_vs_flat(spark, tmp_path):
     """Five 5-key micro-batches against a 20000-key corpus: the
     bucketed lane must rewrite O(touched buckets) files/bytes per
@@ -160,6 +164,8 @@ def test_write_amplification_bucketed_vs_flat(spark, tmp_path):
     )
 
 
+@pytest.mark.slow  # minutes-long (r15 advice: the "slow" marker
+# exists for quick-iteration deselection, and these two qualify)
 def test_planted_hot_key_skew_contract(spark, tmp_path):
     """One key carrying 100x the per-key mass (the planted-skew bot
     user shape): its bucket grows by exactly its mass, cold-key
