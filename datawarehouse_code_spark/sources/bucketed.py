@@ -64,6 +64,17 @@ whole-table recovery in sources/acid.py always had this shape
 ("a partial ``._staging`` beside a live target → nothing to do",
 acid.py:79-81); this split brings the bucket-grain protocol in line.
 
+Liveness + fencing: a live apply heartbeats the lease on every
+bucket, so reader recovery steals a marker'd swap at the short
+:data:`APPLY_STALE_SEC` (~30 s — a killed writer's half-applied swap
+is repaired on the next read within seconds, not the acquisition
+TTL), and every fenced apply re-checks its per-acquisition nonce per
+bucket, so a holder that was merely STALLED (GC pause, SIGSTOP)
+aborts with :class:`LeaseLostError` on resume instead of racing the
+thief's replay — the committed plan is idempotent and exactly one
+agent finishes it.  Lease release is token-checked for the same
+reason: a loser's cleanup must not delete the thief's live lease.
+
 Skew contract (r14 verdict ask, pinned by
 tests/test_bucketed_scale.py's planted-hot-key test at 100x one-key
 mass): ``pmod(hash(key), n)`` spreads DISTINCT keys ~uniformly, so a
@@ -114,17 +125,28 @@ _MARKER = "_BUCKET_COMMIT"
 _META = "_buckets.json"
 _LEASE_SUFFIX = "._wlock"
 
-# Writer-lease staleness threshold.  A lease older than this is a
-# crashed writer (process death skips the release) and may be stolen.
-# It must comfortably exceed the longest UN-HEARTBEATED writer phase —
-# the staged parquet write, minutes at the module's own
-# executor-comfortable bucket sizing — because a too-small value lets
-# a second writer steal a live slow writer's lease, which is the exact
-# silent corruption the lease exists to prevent.  The flip side is
-# crash-restart latency: after a process kill, the next writer on the
-# same table is refused (loudly) until the dead lease ages out, unless
-# it passes the same ``owner=`` identity to reclaim immediately.
+# Writer-lease staleness threshold (ACQUISITION).  A lease older than
+# this is a crashed writer (process death skips the release) and may
+# be stolen.  It must comfortably exceed the longest UN-HEARTBEATED
+# writer phase — the staged parquet write, minutes at the module's
+# own executor-comfortable bucket sizing — because a too-small value
+# lets a second writer steal a live slow writer's lease, which is the
+# exact silent corruption the lease exists to prevent.  The flip side
+# is crash-restart latency: after a process kill, the next writer on
+# the same table is refused (loudly) until the dead lease ages out,
+# unless it passes the same ``owner=`` identity to reclaim
+# immediately.
 LEASE_STALE_SEC = 900.0
+
+# APPLY-PHASE staleness: once the commit marker exists, the holder is
+# in `_apply_bucket_swap`, which heartbeats the lease on EVERY bucket
+# — so >30 s of lease silence under a live marker means the holder is
+# dead (or stalled; fencing below makes a resumed staller abort
+# instead of racing).  Reader-grade recovery steals at THIS threshold
+# over a marker'd staging, bounding the window in which a killed
+# writer's half-applied swap (a bucket renamed aside = rows invisible
+# to readers) stays unrepaired to ~seconds, not LEASE_STALE_SEC.
+APPLY_STALE_SEC = 30.0
 
 
 class ConcurrentWriterError(RuntimeError):
@@ -133,6 +155,29 @@ class ConcurrentWriterError(RuntimeError):
     deployment contract (module docstring) was violated.  Loud by
     design: two maintainers on one table corrupt silently without
     this."""
+
+
+class LeaseLostError(RuntimeError):
+    """The writer lease changed hands mid-swap: the holder stalled
+    past APPLY_STALE_SEC (GC pause, SIGSTOP, VM freeze) and a
+    recoverer stole the lease and is replaying the committed swap.
+    The loser must STOP — the swap is already committed and the
+    per-bucket replay is idempotent, so the thief completes it;
+    racing its renames is the one way to lose data here."""
+
+
+class _Lease:
+    """Handle for a held writer lease: ``payload`` is the exact bytes
+    written to the lock file (owner + a per-acquisition nonce — the
+    fencing token), ``heartbeat()`` bumps the staleness clock."""
+
+    def __init__(self, fs, jpath, payload: str):
+        self._fs = fs
+        self._jpath = jpath
+        self.payload = payload
+
+    def heartbeat(self) -> None:
+        self._fs.setTimes(self._jpath, int(time.time() * 1000), -1)
 
 
 @contextmanager
@@ -159,9 +204,16 @@ def writer_lease(
     restart; the default identity is pid-unique so the default
     behavior is pure TTL).
 
-    Yields a zero-arg ``heartbeat`` callable that bumps the lease
-    mtime; long-running writers call it at phase boundaries so the
-    staleness clock measures silence, not total runtime.
+    Yields a :class:`_Lease` handle: ``heartbeat()`` bumps the lease
+    mtime (long-running writers call it at phase boundaries so the
+    staleness clock measures silence, not total runtime) and
+    ``payload`` is the fencing token — the lock file's exact content,
+    unique per acquisition via a nonce.  `_apply_bucket_swap` verifies
+    the token per bucket, so a holder that stalls past
+    APPLY_STALE_SEC and gets stolen from ABORTS on resume
+    (LeaseLostError) instead of racing the thief's replay; release is
+    likewise token-checked, so the loser's cleanup never deletes the
+    thief's live lease.
 
     Caveats, documented like acid._fs_for's rename caveat: the
     steal path (delete stale + recreate) is not atomic — two writers
@@ -204,23 +256,31 @@ def writer_lease(
             f"{path}: lost the lease-creation race to another writer "
             f"({type(e).__name__})"
         ) from e
+    payload = json.dumps({"owner": me, "nonce": os.urandom(8).hex()})
     try:
-        out.write(bytearray(json.dumps({"owner": me}).encode("utf-8")))
+        out.write(bytearray(payload.encode("utf-8")))
     finally:
         out.close()
 
-    def heartbeat() -> None:
-        fs.setTimes(lease, int(time.time() * 1000), -1)
-
     try:
-        yield heartbeat
+        yield _Lease(fs, lease, payload)
     finally:
         # released on commit AND on a raised failure: either way no
         # writer remains, and a failure's leftover state (pre-marker
         # staging, or a marker'd swap) is exactly what the next
         # entry's recovery repairs — holding the lease past the
-        # failure would only add TTL latency to that repair
-        if fs.exists(lease):
+        # failure would only add TTL latency to that repair.  The
+        # delete is TOKEN-CHECKED: if the lease was stolen while we
+        # stalled, it is the thief's now and deleting it would let a
+        # THIRD agent replay the swap concurrently with the thief.
+        try:
+            still_ours = fs.exists(lease) and _read_text(
+                spark, fs, lease
+            ) == payload
+        except Exception:  # noqa: BLE001 — unreadable == not ours;
+            # the TTL cleans up whatever is there
+            still_ours = False
+        if still_ours:
             fs.delete(lease, False)
 
 
@@ -498,11 +558,10 @@ def upsert_auto(
 ) -> None:
     """Layout-transparent keyed UPSERT (updates win per key), same
     stickiness (and lease-``owner``) rules as replace_keyed_auto.  On
-    the bucketed lane the
-    upsert IS replace_keyed_bucketed keyed on the update rows: every
-    caller here upserts one collapsed row per key, for which
-    delete-keys-then-insert and matched-update/not-matched-insert
-    coincide."""
+    the bucketed lane the upsert IS replace_keyed_bucketed keyed on
+    the update rows: every caller here upserts one collapsed row per
+    key, for which delete-keys-then-insert and
+    matched-update/not-matched-insert coincide."""
     from datawarehouse_code_spark.sources.acid import (
         _staged_overwrite,
         table_exists,
@@ -528,11 +587,42 @@ def upsert_auto(
         _staged_overwrite(spark, updates, target_path)
 
 
-def _apply_bucket_swap(spark: SparkSession, fs, p, staging, plan: dict) -> None:
+def _apply_bucket_swap(
+    spark: SparkSession, fs, p, staging, plan: dict, fence: str | None = None
+) -> None:
     """Execute (or re-execute — every step is state-guarded, so this
     is the recovery path too) the per-bucket swaps of a committed
-    staging dir, then delete it."""
+    staging dir, then delete it.
+
+    ``fence`` is the applying agent's lease payload (the fencing
+    token): before EVERY bucket the lock file is re-read — if it no
+    longer carries our token, the lease was stolen while we stalled
+    past APPLY_STALE_SEC, the thief is replaying this same committed
+    (idempotent) plan, and we must abort (LeaseLostError) rather than
+    race its renames; if it is still ours, its mtime is bumped, which
+    is what KEEPS a live apply unstealable at the short apply-phase
+    threshold.  ``fence=None`` runs unfenced — the writer-grade
+    recovery path, whose caller acquired a fresh lease moments ago
+    (no stall window to speak of) or is a single-writer test.  Cost:
+    two small lock-file RPCs per bucket, noise against the bucket's
+    three renames/deletes."""
+    lease = _sibling(spark, p, _LEASE_SUFFIX)
     for k, kind in plan.items():
+        if fence is not None:
+            current = None
+            if fs.exists(lease):
+                try:
+                    current = _read_text(spark, fs, lease)
+                except Exception:  # noqa: BLE001 — torn read ≠ ours
+                    current = None
+            if current != fence:
+                raise LeaseLostError(
+                    f"{p}: writer lease changed hands mid-swap (stalled "
+                    f"past APPLY_STALE_SEC={APPLY_STALE_SEC:g}s and was "
+                    "stolen) — aborting; the new holder completes the "
+                    "committed roll-forward"
+                )
+            fs.setTimes(lease, int(time.time() * 1000), -1)
         live = _jpath(spark, p, f"{BUCKET_COL}={k}")
         aside = _jpath(spark, p, f"{_ASIDE_PREFIX}{k}")
         stagedk = _jpath(spark, staging, f"{BUCKET_COL}={k}")
@@ -616,13 +706,22 @@ def recover_interrupted_bucket_swap(
         _apply_bucket_swap(spark, fs, p, staging, plan)
         return "rolled_forward"
     try:
-        with writer_lease(spark, path):
+        # the APPLY-phase threshold, not the acquisition one: a live
+        # post-marker holder heartbeats every bucket, so >30 s of
+        # lease silence under a marker means it is dead — stealing at
+        # the short threshold bounds how long a killed writer's
+        # half-applied swap (bucket renamed aside = rows invisible)
+        # stays unrepaired, and fencing makes the steal safe against
+        # a holder that was merely stalled
+        with writer_lease(spark, path, stale_sec=APPLY_STALE_SEC) as lease:
             # re-check under the lease: whoever held it between our
             # probe and the acquire may have finished the repair
             if not (fs.exists(staging) and fs.exists(marker)):
                 return None
             plan = json.loads(_read_text(spark, fs, marker))["buckets"]
-            _apply_bucket_swap(spark, fs, p, staging, plan)
+            _apply_bucket_swap(
+                spark, fs, p, staging, plan, fence=lease.payload
+            )
             return "rolled_forward"
     except ConcurrentWriterError:
         return None  # a live writer (or another recoverer) owns it
@@ -665,12 +764,12 @@ def replace_keyed_bucketed(
     escape for a caller like operators/corpus.forget_documents that
     already holds it for its own audit-then-replace sequence)."""
     if not _leased:
-        with writer_lease(spark, target_path, owner=owner) as heartbeat:
+        with writer_lease(spark, target_path, owner=owner) as lease:
             return _replace_keyed_bucketed_locked(
-                spark, target_path, updates, key, keys, meta, heartbeat
+                spark, target_path, updates, key, keys, meta, lease
             )
     return _replace_keyed_bucketed_locked(
-        spark, target_path, updates, key, keys, meta, lambda: None
+        spark, target_path, updates, key, keys, meta, None
     )
 
 
@@ -705,7 +804,7 @@ def _replace_keyed_bucketed_locked(
     key: list[str],
     keys: DataFrame | None,
     meta: dict | None,
-    heartbeat,
+    lease: _Lease | None,
 ) -> list[int]:
     if meta is None:
         recover_interrupted_swap(spark, target_path)
@@ -752,6 +851,7 @@ def _replace_keyed_bucketed_locked(
             _apply_bucket_swap(
                 spark, fs, p, staging,
                 json.loads(_read_text(spark, fs, mk))["buckets"],
+                fence=lease.payload if lease else None,
             )
         else:
             fs.delete(staging, True)
@@ -770,7 +870,8 @@ def _replace_keyed_bucketed_locked(
     # the staged write is the one long, un-heartbeated writer phase —
     # bump the lease clock the moment it lands so the staleness TTL
     # measures silence from here, not the write's duration
-    heartbeat()
+    if lease is not None:
+        lease.heartbeat()
     present = {
         st.getPath().getName().split("=", 1)[1]
         for st in fs.listStatus(staging)
@@ -807,5 +908,8 @@ def _replace_keyed_bucketed_locked(
         spark, fs, _jpath(spark, staging, _MARKER),
         json.dumps({"buckets": plan}),
     )
-    _apply_bucket_swap(spark, fs, p, staging, plan)
+    _apply_bucket_swap(
+        spark, fs, p, staging, plan,
+        fence=lease.payload if lease else None,
+    )
     return [int(b) for b in touched]

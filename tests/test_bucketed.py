@@ -1476,3 +1476,72 @@ def test_exhaustive_crash_point_enumeration_rebucket(spark, tmp_path):
 
     # the enumeration must land on BOTH sides of the commit point
     assert seen_old >= 1 and seen_new >= 1
+
+
+def test_reader_recovers_killed_writer_at_apply_threshold(spark, tmp_path):
+    """The apply-phase liveness split: a marker'd swap whose lease is
+    silent for >APPLY_STALE_SEC (but well under the acquisition TTL)
+    belongs to a DEAD writer — a live apply heartbeats every bucket —
+    so reader recovery repairs it within seconds of the kill instead
+    of deferring for the full LEASE_STALE_SEC."""
+    import time as _time
+
+    import datawarehouse_code_spark.sources.bucketed as B
+
+    path, staging, new_rows, _, _ = _staged_state(spark, tmp_path)
+    lease = tmp_path / "t._wlock"
+    lease.write_text(json.dumps({"owner": "killed-writer", "nonce": "x"}))
+    mid = _time.time() - 2 * B.APPLY_STALE_SEC  # 60 s: dead at the
+    os.utime(lease, (mid, mid))  # apply threshold, fresh at the TTL
+    assert 2 * B.APPLY_STALE_SEC < B.LEASE_STALE_SEC
+    assert recover_interrupted_bucket_swap(spark, path) == "rolled_forward"
+    assert not staging.exists()
+    assert _rows(spark, path) == new_rows
+
+
+def test_fenced_apply_aborts_when_lease_stolen(spark, tmp_path):
+    """The fencing token: an apply whose lock file no longer carries
+    its own nonce (the holder stalled, a recoverer stole the lease)
+    raises LeaseLostError BEFORE touching any bucket — the thief
+    replays the identical committed plan, and exactly one agent
+    finishes it.  Post-abort, writer-grade recovery completes the
+    swap normally."""
+    import datawarehouse_code_spark.sources.bucketed as B
+    from datawarehouse_code_spark.sources.acid import _fs_for
+
+    path, staging, new_rows, old_rows, _ = _staged_state(spark, tmp_path)
+    plan = json.loads((staging / "_BUCKET_COMMIT").read_text())["buckets"]
+    fs, p = _fs_for(spark, path)
+    jstaging = B._sibling(spark, p, "._bstaging")
+
+    my_payload = json.dumps({"owner": "stalled-writer", "nonce": "mine"})
+    lease = tmp_path / "t._wlock"
+    lease.write_text(json.dumps({"owner": "thief", "nonce": "theirs"}))
+    with pytest.raises(B.LeaseLostError, match="changed hands"):
+        B._apply_bucket_swap(
+            spark, fs, p, jstaging, plan, fence=my_payload
+        )
+    assert staging.exists(), "the loser touched the swap after losing"
+    assert _rows(spark, path) == old_rows
+    lease.unlink()
+    assert (
+        recover_interrupted_bucket_swap(spark, path, writer=True)
+        == "rolled_forward"
+    )
+    assert _rows(spark, path) == new_rows
+
+
+def test_lease_release_is_token_checked(spark, tmp_path):
+    """A holder whose lease was stolen mid-block must NOT delete the
+    thief's lease on exit — that would open the table to a THIRD
+    concurrent replayer."""
+    from datawarehouse_code_spark.sources.bucketed import writer_lease
+
+    path = str(tmp_path / "t")
+    write_bucketed(spark, _frame(spark, range(4)), path, ["doc_id"], N)
+    lease = tmp_path / "t._wlock"
+    thief = json.dumps({"owner": "thief", "nonce": "theirs"})
+    with writer_lease(spark, path):
+        lease.write_text(thief)  # simulate the steal
+    assert lease.exists() and lease.read_text() == thief
+    lease.unlink()
