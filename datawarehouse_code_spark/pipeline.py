@@ -232,48 +232,90 @@ def compact_parquet(
     A bucket-partitioned table (sources/bucketed.py sidecar) is
     compacted PER BUCKET automatically — a whole-table rewrite would
     flatten the layout and strand the sidecar, breaking every
-    subsequent pruned maintenance call (round-14 review find).  The
-    per-bucket staging dir is dot-prefixed so a crash mid-compaction
-    never leaves a directory a bucket-lister would mistake for a
-    live bucket.
+    subsequent pruned maintenance call (round-14 review find).
+
+    Crash safety (round-16 self-review find — the original swap was
+    rmtree-then-rename, whose crash window left the data ONLY in a
+    dot-invisible staging dir no recovery knew about: permanent
+    silent loss for a bucket, and an absent-looking table a
+    maintainer would re-create from one batch for the root): the
+    whole-table case now rides acid's staged swap verbatim
+    (``_staged_overwrite`` — recovery already runs on every
+    table_exists/read), and the per-bucket case renames the live dir
+    ASIDE (``.X._precompact``) before the staged result
+    (``.X._compacting``) renames in — data is never destroyed before
+    its replacement is in place, and
+    ``recover_interrupted_bucket_swap(writer=True)`` (run here on
+    entry and by every bucketed-lane mutator) repairs any crash
+    window from the two dot-prefixed leftovers.  Runs under the
+    writer lease with the same per-dir fencing as the bucket swap: a
+    compactor stalled past APPLY_STALE_SEC whose lease was stolen
+    aborts instead of racing the repairer.
     """
     import math
     import shutil
     from pathlib import Path
 
+    from datawarehouse_code_spark.sources.acid import _staged_overwrite
     from datawarehouse_code_spark.sources.bucketed import (
+        _COMPACT_ASIDE,
+        _COMPACT_STAGING,
         BUCKET_COL,
+        LeaseLostError,
         bucketed_meta,
         recover_interrupted_bucket_swap,
         writer_lease,
     )
 
-    def _compact_dir(d: Path) -> dict[str, int]:
-        files_before = [f for f in d.rglob("*.parquet") if f.is_file()]
-        total = sum(f.stat().st_size for f in files_before)
-        n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
-        staged = d.with_name("." + d.name + "._compacting")
-        spark.read.parquet(str(d)).coalesce(n_files).write.mode(
-            "overwrite"
-        ).parquet(str(staged))
-        shutil.rmtree(d)
-        staged.rename(d)
-        after = len([f for f in d.rglob("*.parquet") if f.is_file()])
-        return {"files_before": len(files_before), "files_after": after}
+    def _files_and_target(d: Path) -> tuple[int, int]:
+        files = [f for f in d.rglob("*.parquet") if f.is_file()]
+        total = sum(f.stat().st_size for f in files)
+        n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+        return len(files), n
+
+    def _files(d: Path) -> int:
+        return len([f for f in d.rglob("*.parquet") if f.is_file()])
 
     # compaction mutates bucket dirs in place — it is a WRITER of the
     # table and takes the lease like every bucketed-lane mutator, so a
     # concurrent maintainer is refused loudly (and writer-grade
-    # recovery can repair a crashed swap before the rewrite)
-    with writer_lease(spark, path):
+    # recovery repairs any crashed swap OR compaction before the
+    # rewrite)
+    with writer_lease(spark, path) as lease:
         recover_interrupted_bucket_swap(spark, path, writer=True)
         p = Path(path)
+        wlock = p.with_name(p.name + "._wlock")
+
+        def _fence() -> None:
+            current = wlock.read_text() if wlock.exists() else None
+            if current != lease.payload:
+                raise LeaseLostError(
+                    f"{path}: writer lease changed hands mid-compaction "
+                    "— aborting; the new holder repairs the in-flight "
+                    "dir swap"
+                )
+
         if bucketed_meta(spark, path) is not None:
             report = {"files_before": 0, "files_after": 0}
             for d in sorted(p.glob(f"{BUCKET_COL}=*")):
-                if d.is_dir():
-                    r = _compact_dir(d)
-                    report["files_before"] += r["files_before"]
-                    report["files_after"] += r["files_after"]
+                if not d.is_dir():
+                    continue
+                n_before, n_target = _files_and_target(d)
+                staged = d.with_name("." + d.name + _COMPACT_STAGING)
+                aside = d.with_name("." + d.name + _COMPACT_ASIDE)
+                spark.read.parquet(str(d)).coalesce(n_target).write.mode(
+                    "overwrite"
+                ).parquet(str(staged))
+                _fence()
+                lease.heartbeat()
+                d.rename(aside)  # old aside (atomic) ...
+                staged.rename(d)  # ... staged in (atomic) ...
+                shutil.rmtree(aside)  # ... aside dropped LAST
+                report["files_before"] += n_before
+                report["files_after"] += _files(d)
             return report
-        return _compact_dir(p)
+        n_before, n_target = _files_and_target(p)
+        _staged_overwrite(
+            spark, spark.read.parquet(path).coalesce(n_target), path
+        )
+        return {"files_before": n_before, "files_after": _files(p)}

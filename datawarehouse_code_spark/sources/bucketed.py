@@ -124,6 +124,12 @@ _ASIDE_PREFIX = "._old_kb="
 _MARKER = "_BUCKET_COMMIT"
 _META = "_buckets.json"
 _LEASE_SUFFIX = "._wlock"
+# per-directory compaction swap (pipeline.compact_parquet): staged
+# rewrite and renamed-aside original, both dot-prefixed so parquet
+# listings never read them; the live dir name X is embedded so
+# recovery can reconstruct which dir a leftover belongs to
+_COMPACT_STAGING = "._compacting"
+_COMPACT_ASIDE = "._precompact"
 
 # Writer-lease staleness threshold (ACQUISITION).  A lease older than
 # this is a crashed writer (process death skips the release) and may
@@ -642,6 +648,58 @@ def _apply_bucket_swap(
     fs.delete(staging, True)
 
 
+def _repair_compaction_dirs(spark: SparkSession, fs, p, names) -> bool:
+    """Repair per-directory compaction swaps (pipeline.compact_parquet)
+    that crashed mid-protocol.  The compactor's ordering per dir X is
+    staged write (``.X._compacting``, complete iff its _SUCCESS
+    exists) → X renamed to ``.X._precompact`` → staged renamed to X →
+    aside deleted — data is never destroyed before its replacement is
+    in place, so every crash window has exactly one repair:
+
+    - X present → any staged/aside leftovers are stale (pre-swap
+      crash, or post-swap crash before the aside delete) → drop them.
+    - X absent, staged complete → roll FORWARD (staged in, aside
+      dropped).
+    - X absent, staged incomplete/missing, aside present → roll BACK
+      (aside in, staged dropped) — unreachable under the ordering
+      (the rename-aside happens only after staged completed) but
+      repaired defensively.
+
+    `names` is the root listing the caller already holds (the aside
+    sweep lists it anyway — no extra RPC).  Returns whether anything
+    was repaired."""
+    pend: dict[str, dict[str, str]] = {}
+    for n in names:
+        if n.startswith(".") and n.endswith(_COMPACT_STAGING):
+            pend.setdefault(n[1 : -len(_COMPACT_STAGING)], {})["staged"] = n
+        elif n.startswith(".") and n.endswith(_COMPACT_ASIDE):
+            pend.setdefault(n[1 : -len(_COMPACT_ASIDE)], {})["aside"] = n
+    for x, parts in pend.items():
+        live = _jpath(spark, p, x)
+        staged = (
+            _jpath(spark, p, parts["staged"]) if "staged" in parts else None
+        )
+        aside = (
+            _jpath(spark, p, parts["aside"]) if "aside" in parts else None
+        )
+        if fs.exists(live):
+            if staged is not None:
+                fs.delete(staged, True)
+            if aside is not None:
+                fs.delete(aside, True)
+        elif staged is not None and fs.exists(_jpath(spark, staged, "_SUCCESS")):
+            fs.rename(staged, live)
+            if aside is not None:
+                fs.delete(aside, True)
+        elif aside is not None:
+            fs.rename(aside, live)
+            if staged is not None:
+                fs.delete(staged, True)
+        elif staged is not None:
+            fs.delete(staged, True)
+    return bool(pend)
+
+
 def recover_interrupted_bucket_swap(
     spark: SparkSession, path: str, *, writer: bool = False
 ) -> str | None:
@@ -658,8 +716,9 @@ def recover_interrupted_bucket_swap(
       plan, which the per-bucket state guards make idempotent
       (``rolled_forward``).
     - no staging → nothing mid-flight; stray dot-prefixed aside dirs
-      (unreachable by readers) are swept if present
-      (``swept_asides``).
+      (unreachable by readers) are swept, and any crashed per-dir
+      COMPACTION swap is repaired (see _repair_compaction_dirs) —
+      both from the same root listing (``swept_asides``).
 
     ``writer=False`` (read paths) must assume a LIVE writer may be
     mid-protocol (the module's isolation contract explicitly permits
@@ -689,11 +748,15 @@ def recover_interrupted_bucket_swap(
             return None
         swept = False
         if fs.exists(p) and fs.getFileStatus(p).isDirectory():
-            for st in fs.listStatus(p):
-                name = st.getPath().getName()
+            names = [
+                st.getPath().getName() for st in fs.listStatus(p)
+            ]
+            for name in names:
                 if name.startswith(_ASIDE_PREFIX):
-                    fs.delete(st.getPath(), True)
+                    fs.delete(_jpath(spark, p, name), True)
                     swept = True
+            if _repair_compaction_dirs(spark, fs, p, names):
+                swept = True
         return "swept_asides" if swept else None
     marker = _jpath(spark, staging, _MARKER)
     if not fs.exists(marker):

@@ -1545,3 +1545,83 @@ def test_lease_release_is_token_checked(spark, tmp_path):
         lease.write_text(thief)  # simulate the steal
     assert lease.exists() and lease.read_text() == thief
     lease.unlink()
+
+
+def test_compaction_crash_states_repaired(spark, tmp_path):
+    """r16 self-review find: compact_parquet's old swap was
+    rmtree-then-rename — a crash between them left a bucket's rows
+    ONLY in a dot-invisible staging dir no recovery knew about
+    (permanent silent loss).  The new ordering renames the live dir
+    aside before the staged result renames in, and writer-grade
+    recovery repairs every window from the two dot-prefixed
+    leftovers."""
+    path = str(tmp_path / "t")
+    write_bucketed(spark, _frame(spark, range(30)), path, ["doc_id"], N)
+    rows = _rows(spark, path)
+    root = tmp_path / "t"
+    d = sorted(root.glob(f"{BUCKET_COL}=*"))[0]
+    staged = d.with_name("." + d.name + "._compacting")
+    aside = d.with_name("." + d.name + "._precompact")
+
+    # window A: staged complete, live renamed aside, staged not yet in
+    # -> roll FORWARD (the compacted copy becomes live)
+    shutil.copytree(d, staged)
+    (staged / "_SUCCESS").touch()
+    d.rename(aside)
+    assert (
+        recover_interrupted_bucket_swap(spark, path, writer=True)
+        == "swept_asides"
+    )
+    assert d.exists() and not staged.exists() and not aside.exists()
+    assert _rows(spark, path) == rows
+
+    # window B (defensive — unreachable under the ordering): staged
+    # incomplete, live renamed aside -> roll BACK from the aside
+    shutil.copytree(d, staged)  # no _SUCCESS: incomplete
+    d.rename(aside)
+    assert (
+        recover_interrupted_bucket_swap(spark, path, writer=True)
+        == "swept_asides"
+    )
+    assert d.exists() and not staged.exists() and not aside.exists()
+    assert _rows(spark, path) == rows
+
+    # window C: crash before the swap started (or after it finished,
+    # pre-cleanup): live dir present -> stale leftovers dropped
+    shutil.copytree(d, staged)
+    shutil.copytree(d, aside)
+    assert (
+        recover_interrupted_bucket_swap(spark, path, writer=True)
+        == "swept_asides"
+    )
+    assert d.exists() and not staged.exists() and not aside.exists()
+    assert _rows(spark, path) == rows
+
+
+def test_compact_rerun_after_crash_completes(spark, tmp_path):
+    """A compactor killed mid-dir-swap self-repairs on rerun: the
+    entry recovery restores the bucket, then the compaction itself
+    completes normally (rows, layout and sidecar intact)."""
+    from datawarehouse_code_spark.pipeline import compact_parquet
+
+    path = str(tmp_path / "t")
+    df = _frame(spark, range(30))
+    # many tiny files per bucket so the compaction has work to do
+    write_bucketed(
+        spark, df.repartition(10), path, ["doc_id"], n_buckets=2
+    )
+    rows = _rows(spark, path)
+    root = tmp_path / "t"
+    d = sorted(root.glob(f"{BUCKET_COL}=*"))[0]
+    shutil.copytree(d, d.with_name("." + d.name + "._compacting"))
+    (d.with_name("." + d.name + "._compacting") / "_SUCCESS").touch()
+    d.rename(d.with_name("." + d.name + "._precompact"))
+
+    report = compact_parquet(spark, path, target_file_mb=256)
+    assert report["files_before"] > report["files_after"]
+    assert _rows(spark, path) == rows
+    assert bucketed_meta(spark, path) == {"n_buckets": 2, "key": ["doc_id"]}
+    # no compaction leftovers anywhere (Hadoop's .crc checksum files
+    # are expected hidden entries and not ours to assert on)
+    assert not any("_compact" in n for n in os.listdir(tmp_path))
+    assert not any("_compact" in n for n in os.listdir(root))
