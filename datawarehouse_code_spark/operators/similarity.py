@@ -1116,11 +1116,13 @@ def forget_vectors(
     embeddings leg of the corpus deletion story,
     operators/corpus.py forget_documents): remove `vec_ids` (a
     one-column DataFrame) and rewrite ONLY the cent_id partitions
-    that contained them — dynamic partition overwrite for partitions
-    with survivors, explicit directory deletion for partitions whose
-    every vector was forgotten (dynamic overwrite can't express an
-    empty partition: writing zero rows for it would simply leave the
-    stale files in place).
+    that contained them — a crash-safe aside-first staged swap for
+    partitions with survivors (see _forget_from_table; r16 replaced
+    dynamic partition overwrite, whose driver commit deletes a
+    partition before renaming its replacement in), explicit directory
+    deletion for partitions whose every vector was forgotten (a
+    rewrite can't express an empty partition: writing zero rows for
+    it would simply leave the stale files in place).
 
     Cost: one column-pruned scan of (vec_id, cent_id) to locate the
     doomed partitions (∝ index size, never a re-fit), then a rewrite
@@ -1150,51 +1152,92 @@ def forget_vectors(
     return result
 
 
+_RTBF_STAGING = ".rtbf-staging"
+
+
 def _forget_from_table(
     spark: SparkSession, apath: str, vec_ids: DataFrame, _fs_for
 ) -> dict[str, int]:
+    """Partition-scoped RTBF rewrite with the aside-first staged-swap
+    ordering (r16 self-review find, same family as compact_parquet's:
+    the previous implementation rode Spark's dynamic partition
+    overwrite, whose driver-side commit DELETES a partition dir before
+    renaming the staged one in — a crash in that window permanently
+    lost the partition's SURVIVOR vectors, invisible to any recovery).
+    Now: all survivors stage in ONE job under a dot-invisible
+    ``.rtbf-staging`` inside the table, then each affected partition
+    swaps live→``.cent_id=X._precompact`` aside → staged in → aside
+    dropped, so data is never destroyed before its replacement is in
+    place.  A crashed run self-repairs on the next call: the entry
+    repair rolls aside-renamed partitions back (the pre-forget state;
+    the rerun then redoes them) and drops stale staging — and because
+    the aside naming matches the compaction protocol, the shared
+    `_repair_compaction_dirs` does it.  Runs under the table's writer
+    lease, so a second concurrent forget/maintainer is refused loudly.
+    `n_removed` is per-call: a rerun after a crash reports the
+    remainder; the total across runs equals the true removal."""
+    from datawarehouse_code_spark.sources.bucketed import (
+        _repair_compaction_dirs,
+        writer_lease,
+    )
+
     ids = vec_ids.select(F.col(vec_ids.columns[0]).alias("vec_id"))
-    idx = spark.read.parquet(apath)
-    affected = sorted(
-        r["cent_id"]
-        for r in idx.join(ids, "vec_id", "left_semi")
-        .select("cent_id")
-        .distinct()
-        .collect()
-    )
-    if not affected:
-        return {"n_removed": 0, "partitions_rewritten": 0,
-                "partitions_deleted": 0}
-    hit = idx.filter(F.col("cent_id").isin(affected))
-    survivors = hit.join(ids, "vec_id", "left_anti")
-    n_before = hit.count()
-    # partitions with at least one survivor rewrite via dynamic
-    # overwrite; fully-forgotten partitions are deleted outright
-    live_parts = sorted(
-        r["cent_id"]
-        for r in survivors.select("cent_id").distinct().collect()
-    )
-    dead_parts = [c for c in affected if c not in set(live_parts)]
-    n_after = survivors.count()
-    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    fs, hpath = _fs_for(spark, apath)
+    jvm = spark._jvm
+    jp = jvm.org.apache.hadoop.fs.Path
+    with writer_lease(spark, apath):
+        names = [st.getPath().getName() for st in fs.listStatus(hpath)]
+        _repair_compaction_dirs(spark, fs, hpath, names)
+        stale = jp(hpath, _RTBF_STAGING)
+        if fs.exists(stale):
+            fs.delete(stale, True)
+
+        idx = spark.read.parquet(apath)
+        affected = sorted(
+            r["cent_id"]
+            for r in idx.join(ids, "vec_id", "left_semi")
+            .select("cent_id")
+            .distinct()
+            .collect()
+        )
+        if not affected:
+            return {"n_removed": 0, "partitions_rewritten": 0,
+                    "partitions_deleted": 0}
+        hit = idx.filter(F.col("cent_id").isin(affected))
+        survivors = hit.join(ids, "vec_id", "left_anti")
+        n_before = hit.count()
+        # partitions with at least one survivor swap in a staged
+        # rewrite; fully-forgotten partitions are deleted outright
+        # (idempotent on rerun — their remaining rows are all
+        # forgotten ids, so they re-enter `affected`)
+        live_parts = sorted(
+            r["cent_id"]
+            for r in survivors.select("cent_id").distinct().collect()
+        )
+        dead_parts = [c for c in affected if c not in set(live_parts)]
+        n_after = survivors.count()
         if live_parts:
             (
                 # the vec_id re-sort keeps the vectors/ table's
                 # row-group-skippable layout across rewrites (no-op
-                # cost for assignments/)
+                # cost for assignments/); ONE job stages every
+                # affected partition
                 survivors.sortWithinPartitions("cent_id", "vec_id")
                 .write.mode("overwrite")
                 .partitionBy("cent_id")
-                .parquet(apath)
+                .parquet(f"{apath}/{_RTBF_STAGING}")
             )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
-    fs, hpath = _fs_for(spark, apath)
-    jvm = spark._jvm
-    for c in dead_parts:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(hpath, f"cent_id={c}"), True)
+            for c in live_parts:
+                live = jp(hpath, f"cent_id={c}")
+                aside = jp(hpath, f".cent_id={c}._precompact")
+                stagedc = jp(hpath, f"{_RTBF_STAGING}/cent_id={c}")
+                if fs.exists(live):
+                    fs.rename(live, aside)
+                fs.rename(stagedc, live)
+                fs.delete(aside, True)
+            fs.delete(jp(hpath, _RTBF_STAGING), True)
+        for c in dead_parts:
+            fs.delete(jp(hpath, f"cent_id={c}"), True)
     return {
         "n_removed": n_before - n_after,
         "partitions_rewritten": len(live_parts),

@@ -806,3 +806,59 @@ def test_bm25_multiterm_semantics(spark):
     # (d) ranks restart per query and only matching docs appear
     assert {r["rk"] for (q, _), r in got.items() if q == 0} == {1, 2, 3}
     assert (0, 4) not in got and (1, 1) not in got
+
+
+def test_ivf_forget_crash_window_repaired(spark, tmp_path):
+    """r16 self-review find: forget_vectors previously rode dynamic
+    partition overwrite, whose driver commit DELETES a partition dir
+    before renaming the staged one in — a crash in that window
+    permanently lost the partition's SURVIVOR vectors.  The rewrite
+    now uses the aside-first staged swap, and a crashed run
+    self-repairs on the next call: an aside-renamed partition (live
+    absent — the worst window) rolls back to its pre-forget state,
+    stale staging is dropped, and the rerun completes the forget."""
+    import os
+    import shutil as sh
+
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.similarity import (
+        build_ivf_index,
+        forget_vectors,
+    )
+    from datawarehouse_code_spark.sources.catalog import read_table
+
+    emb = read_table(spark, "embeddings", SF_DIR)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8)
+    apath = f"{path}/assignments"
+    rows_before = sorted(
+        map(tuple, spark.read.parquet(apath).select("vec_id").collect())
+    )
+
+    # fabricate the mid-swap crash: one partition renamed aside with a
+    # stale staging root beside it (exactly what a kill between the
+    # two renames leaves)
+    victim = sorted(
+        d for d in os.listdir(apath) if d.startswith("cent_id=")
+    )[0]
+    os.rename(f"{apath}/{victim}", f"{apath}/.{victim}._precompact")
+    os.makedirs(f"{apath}/.rtbf-staging/{victim}", exist_ok=True)
+    # reads now silently miss the partition — the broken state
+    n_broken = spark.read.parquet(apath).count()
+    assert n_broken < len(rows_before)
+
+    # pick one real vec_id to forget; the entry repair must first
+    # restore the aside partition, so the forget runs on FULL data
+    doomed = int(rows_before[0][0])
+    report = forget_vectors(
+        spark, path, spark.createDataFrame([(doomed,)], "vec_id bigint")
+    )
+    assert report["n_removed"] == 1
+    assert not os.path.exists(f"{apath}/.{victim}._precompact")
+    assert not os.path.exists(f"{apath}/.rtbf-staging")
+    got = sorted(
+        map(tuple, spark.read.parquet(apath).select("vec_id").collect())
+    )
+    assert got == [r for r in rows_before if r[0] != doomed]
+    sh.rmtree(path)  # tmp hygiene
