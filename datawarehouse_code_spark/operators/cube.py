@@ -10,8 +10,14 @@ check, so putting one on a table that scales with sf (dim_product,
 dim_client) would OOM at 100 TB.  Those two joins are left to AQE,
 which still picks BroadcastHashJoin at small sf and degrades to
 shuffle join when the side outgrows the threshold.
-`write.mode("overwrite")` replaces TRUNCATE+INSERT atomically via
-the job-commit protocol (O24).
+The TRUNCATE+INSERT pair is replaced by acid's staged swap
+(_staged_overwrite, O24): the new cube builds beside the live one
+and swaps in via the old-aside → staged-in → aside-dropped rename
+ordering, so readers never see the cube absent mid-rebuild and a
+crash is repaired by recover_interrupted_swap on the next probe
+(a bare `write.mode("overwrite")` would DELETE the live cube before
+writing — every rebuild would open a no-cube window, and a crash
+would hold it open until the next successful rebuild).
 
 Quirk resolutions baked in (SURVEY.md §2.3): the year join goes
 through dimdate.year_id (B5, not the buggy ddy.id = ddm.id of
@@ -76,8 +82,14 @@ def build_cube(
 
 
 def write_cube(cube: DataFrame, path: str) -> None:
-    """Truncate-and-rebuild sink (O22) — atomic overwrite."""
-    cube.write.mode("overwrite").parquet(path)
+    """Truncate-and-rebuild sink (O22) via the staged swap: the
+    rebuild never deletes the live cube before its replacement is in
+    place (module docstring; r16 self-review — the previous bare
+    overwrite opened a no-cube window on every rebuild and a crash
+    held it open until the next successful one)."""
+    from datawarehouse_code_spark.sources.acid import _staged_overwrite
+
+    _staged_overwrite(cube.sparkSession, cube, path)
 
 
 def incremental_cube(

@@ -169,9 +169,19 @@ def save_bpe_merges(spark, merges: list[tuple[str, str]], path: str) -> None:
     produces different segmentations), so the rank column is data,
     not decoration."""
     rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
-    spark.createDataFrame(
-        rows, "rank int, a string, b string"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    # staged swap, not bare overwrite: encode-many consumers must
+    # never catch the artifact mid-rebuild (bare overwrite deletes
+    # the live table first), and a crashed save must not strand them
+    # on a missing tokenizer until a retrain
+    from datawarehouse_code_spark.sources.acid import _staged_overwrite
+
+    _staged_overwrite(
+        spark,
+        spark.createDataFrame(
+            rows, "rank int, a string, b string"
+        ).coalesce(1),
+        path,
+    )
 
 
 def load_bpe_merges(spark, path: str) -> list[tuple[str, str]]:

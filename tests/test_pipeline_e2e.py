@@ -154,3 +154,24 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     assert report["files_after"] == 1  # tiny table -> one file
     after = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert after == before
+
+
+def test_write_cube_failed_rebuild_leaves_live_cube(spark, tmp_path):
+    """r16 self-review: write_cube rides the staged swap, so a rebuild
+    whose job FAILS (or crashes) leaves the live cube intact and
+    readable — the previous bare overwrite deleted the live table
+    before running the job, so every rebuild opened a no-cube window
+    and a failure held it open until the next successful rebuild."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.cube import write_cube
+
+    path = str(tmp_path / "cube")
+    write_cube(spark.range(5).toDF("x"), path)
+    bad = spark.range(5).select(
+        F.assert_true(F.col("id") < 3).alias("a"), F.col("id").alias("x")
+    )
+    with _pytest.raises(Exception):
+        write_cube(bad, path)
+    assert spark.read.parquet(path).count() == 5
