@@ -76,7 +76,19 @@ def write_fact(fact: DataFrame, path: str, mode: str = "overwrite") -> None:
     sorted column turn date-ranged scans into row-group skips — the
     cheap stand-in for the reference's secondary date index (O18) that
     costs one in-memory sort per task, no extra shuffle (verified:
-    same exchange count with and without)."""
-    fact.sortWithinPartitions("year", "date_id").write.mode(mode).partitionBy(
-        "year"
-    ).parquet(path)
+    same exchange count with and without).
+
+    The overwrite branch rides acid's staged swap (r16 self-review,
+    same fix as write_cube): a bare overwrite deletes the live fact
+    before the job runs, so every rebuild opened a no-fact window
+    that a failed run held open.  Appends (the O6 sink) go direct —
+    append never destroys data."""
+    sorted_fact = fact.sortWithinPartitions("year", "date_id")
+    if mode == "overwrite":
+        from datawarehouse_code_spark.sources.acid import _staged_overwrite
+
+        _staged_overwrite(
+            fact.sparkSession, sorted_fact, path, partition_by=["year"]
+        )
+        return
+    sorted_fact.write.mode(mode).partitionBy("year").parquet(path)

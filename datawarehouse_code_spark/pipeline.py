@@ -103,7 +103,12 @@ def build_warehouse(spark: SparkSession, sf_dir: str) -> Warehouse:
 
 def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> Warehouse:
     """Materialize the warehouse to parquet: dims → fact (partitioned
-    by year, O17) → cube (overwrite, O22)."""
+    by year, O17) → cube (O22), every sink through acid's staged swap
+    (O24) — a rebuild never deletes a live table before its
+    replacement is in place, so readers of the previous load keep a
+    complete warehouse through (and past a crash of) the next one."""
+    from datawarehouse_code_spark.sources.acid import _staged_overwrite
+
     wh = build_warehouse(spark, sf_dir)
     for name in (
         "dim_client",
@@ -115,7 +120,7 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> Warehouse:
         "dim_date_month",
         "dim_date_year",
     ):
-        getattr(wh, name).write.mode("overwrite").parquet(f"{out_dir}/{name}")
+        _staged_overwrite(spark, getattr(wh, name), f"{out_dir}/{name}")
     write_fact(wh.fact, f"{out_dir}/fact")
     write_cube(wh.cube, f"{out_dir}/cube")
     return wh

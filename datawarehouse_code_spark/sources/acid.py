@@ -116,7 +116,12 @@ def table_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(p))
 
 
-def _staged_overwrite(spark: SparkSession, df: DataFrame, path: str) -> None:
+def _staged_overwrite(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+) -> None:
     """Write `df` beside `path`, then swap directories — never
     overwrites a dataset from its own live scan (the compact_parquet
     rule, pipeline.py).
@@ -129,12 +134,19 @@ def _staged_overwrite(spark: SparkSession, df: DataFrame, path: str) -> None:
     `recover_interrupted_swap` (run here on entry, and by
     `table_exists`) completes or rolls back the swap.  A crash during
     the staged write leaves the old table untouched and live.
+
+    ``partition_by`` stages a Hive-partitioned layout (the swap moves
+    the whole directory, so partition dirs ride along unchanged —
+    write_fact's year partitioning uses this).
     """
     recover_interrupted_swap(spark, path)
     fs, p = _fs_for(spark, path)
     staged = _sibling(spark, p, "._staging")
     old = _sibling(spark, p, "._old")
-    df.write.mode("overwrite").parquet(staged.toString())
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staged.toString())
     _finish_staged_swap(fs, p, staged, old)
 
 

@@ -175,3 +175,34 @@ def test_write_cube_failed_rebuild_leaves_live_cube(spark, tmp_path):
     with _pytest.raises(Exception):
         write_cube(bad, path)
     assert spark.read.parquet(path).count() == 5
+
+
+def test_write_fact_failed_rebuild_leaves_live_fact(spark, tmp_path):
+    """write_fact's overwrite branch rides the staged swap like
+    write_cube: a failed rebuild leaves the previous year-partitioned
+    fact intact (the previous bare overwrite deleted it before the
+    job ran)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.fact import write_fact
+
+    path = str(tmp_path / "fact")
+    good = spark.range(6).select(
+        F.col("id").alias("date_id"),
+        (F.lit(2020) + (F.col("id") % 2)).cast("int").alias("year"),
+    )
+    write_fact(good, path)
+    assert spark.read.parquet(path).count() == 6
+
+    # the assert column must stay in the output — dropping it lets
+    # Catalyst prune the failing expression away entirely
+    bad = good.select(
+        F.assert_true(F.col("date_id") < 3).alias("x"), "date_id", "year"
+    )
+    with _pytest.raises(Exception):
+        write_fact(bad, path)
+    got = spark.read.parquet(path)
+    assert got.count() == 6  # live fact survived the failed rebuild
+    # the year partitioning survived too (partition pruning still works)
+    assert got.filter(F.col("year") == 2020).count() == 3
