@@ -1201,7 +1201,7 @@ def _forget_rows_from_table(
     # swap BEFORE the audit-count scan — counting against a
     # half-swapped table would report a wrong `removed` figure to the
     # deletion request (round-14 review find)
-    with writer_lease(spark, path):
+    with writer_lease(spark, path) as lease:
         recover_interrupted_bucket_swap(spark, path, writer=True)
         meta = bucketed_meta(spark, path)
         if meta is not None:
@@ -1221,7 +1221,7 @@ def _forget_rows_from_table(
             empty = spark.createDataFrame([], pruned.drop(BUCKET_COL).schema)
             replace_keyed_bucketed(
                 spark, path, empty, [id_col], keys=ids, meta=meta,
-                _leased=True,
+                _lease=lease,
             )
             return removed
         table = spark.read.parquet(path)

@@ -1185,7 +1185,7 @@ def _forget_from_table(
     fs, hpath = _fs_for(spark, apath)
     jvm = spark._jvm
     jp = jvm.org.apache.hadoop.fs.Path
-    with writer_lease(spark, apath):
+    with writer_lease(spark, apath) as lease:
         names = [st.getPath().getName() for st in fs.listStatus(hpath)]
         _repair_compaction_dirs(spark, fs, hpath, names)
         stale = jp(hpath, _RTBF_STAGING)
@@ -1227,7 +1227,16 @@ def _forget_from_table(
                 .partitionBy("cent_id")
                 .parquet(f"{apath}/{_RTBF_STAGING}")
             )
+            # fence between the long un-heartbeated staged write and
+            # the renames (the same boundary compact_parquet and the
+            # bucket swap fence): a holder stolen from mid-write must
+            # not race the thief's repair/renames — and per partition,
+            # like _apply_bucket_swap, so a stall inside the loop
+            # aborts at the next boundary
+            lease.verify()
+            lease.heartbeat()
             for c in live_parts:
+                lease.verify()
                 live = jp(hpath, f"cent_id={c}")
                 aside = jp(hpath, f".cent_id={c}._precompact")
                 stagedc = jp(hpath, f"{_RTBF_STAGING}/cent_id={c}")
@@ -1237,6 +1246,7 @@ def _forget_from_table(
                 fs.delete(aside, True)
             fs.delete(jp(hpath, _RTBF_STAGING), True)
         for c in dead_parts:
+            lease.verify()
             fs.delete(jp(hpath, f"cent_id={c}"), True)
     return {
         "n_removed": n_before - n_after,

@@ -74,6 +74,14 @@ aborts with :class:`LeaseLostError` on resume instead of racing the
 thief's replay — the committed plan is idempotent and exactly one
 agent finishes it.  Lease release is token-checked for the same
 reason: a loser's cleanup must not delete the thief's live lease.
+The fence also guards the COMMIT DECISION itself, not just the apply:
+every mutator re-verifies its token at the boundary between the long
+un-heartbeated staged write and the first mutating step (the commit
+marker here, ``_finish_staged_swap`` on the whole-table lane, the
+rename loop in the RTBF/compaction lanes) — a holder stalled past the
+acquisition TTL mid-write, whose staging the thief deleted and
+re-staged under the same name, must not write ITS marker over the
+THIEF's staged data.
 
 Skew contract (r14 verdict ask, pinned by
 tests/test_bucketed_scale.py's planted-hot-key test at 100x one-key
@@ -175,15 +183,42 @@ class LeaseLostError(RuntimeError):
 class _Lease:
     """Handle for a held writer lease: ``payload`` is the exact bytes
     written to the lock file (owner + a per-acquisition nonce — the
-    fencing token), ``heartbeat()`` bumps the staleness clock."""
+    fencing token), ``heartbeat()`` bumps the staleness clock,
+    ``verify()`` is the fence — it re-reads the lock file and raises
+    :class:`LeaseLostError` if the token is no longer ours."""
 
-    def __init__(self, fs, jpath, payload: str):
+    def __init__(self, spark, fs, jpath, payload: str):
+        self._spark = spark
         self._fs = fs
         self._jpath = jpath
         self.payload = payload
 
     def heartbeat(self) -> None:
         self._fs.setTimes(self._jpath, int(time.time() * 1000), -1)
+
+    def verify(self) -> None:
+        """Fence check: abort if the lease changed hands while we were
+        stalled.  Every holder calls this at the boundary between a
+        long un-heartbeated phase (the staged write) and a mutating
+        one (marker write, renames) — a holder that stalled past the
+        staleness threshold and was stolen from must NOT mutate: the
+        thief owns the staging/lease now, and in the keyed-replace
+        lane an un-fenced resume would write ITS commit marker into
+        the THIEF's staging dir (wrong plan over wrong data if the
+        thief then crashes in that window)."""
+        current = None
+        if self._fs.exists(self._jpath):
+            try:
+                current = _read_text(self._spark, self._fs, self._jpath)
+            except Exception:  # noqa: BLE001 — torn read ≠ ours
+                current = None
+        if current != self.payload:
+            raise LeaseLostError(
+                f"{self._jpath}: writer lease changed hands (holder "
+                "stalled past the staleness threshold and was stolen "
+                "from) — aborting before mutating; the new holder owns "
+                "the table now"
+            )
 
 
 @contextmanager
@@ -269,7 +304,7 @@ def writer_lease(
         out.close()
 
     try:
-        yield _Lease(fs, lease, payload)
+        yield _Lease(spark, fs, lease, payload)
     finally:
         # released on commit AND on a raised failure: either way no
         # writer remains, and a failure's leftover state (pre-marker
@@ -334,7 +369,7 @@ def write_bucketed(
     path: str,
     key: list[str],
     n_buckets: int = 64,
-    _leased: bool = False,
+    _lease: _Lease | None = None,
     owner: str | None = None,
 ) -> None:
     """Create (or fully rebuild) a bucket-partitioned table: ``df``
@@ -349,15 +384,16 @@ def write_bucketed(
     LOUDLY (bucketed_meta → ValueError) instead of guessing a bucket
     function — recreate via this function.
 
-    Mutates under the writer lease (``_leased=True`` is the internal
-    escape for a caller like rebucket_table that already holds it)."""
+    Mutates under the writer lease (``_lease=`` is the internal
+    escape for a caller like rebucket_table that already holds it —
+    passing the handle, not a flag, so the fence travels too)."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1 (got {n_buckets})")
-    if not _leased:
-        with writer_lease(spark, path, owner=owner):
-            _write_bucketed_locked(spark, df, path, key, n_buckets)
+    if _lease is None:
+        with writer_lease(spark, path, owner=owner) as lease:
+            _write_bucketed_locked(spark, df, path, key, n_buckets, lease)
         return
-    _write_bucketed_locked(spark, df, path, key, n_buckets)
+    _write_bucketed_locked(spark, df, path, key, n_buckets, _lease)
 
 
 def _write_bucketed_locked(
@@ -366,6 +402,7 @@ def _write_bucketed_locked(
     path: str,
     key: list[str],
     n_buckets: int,
+    lease: _Lease,
 ) -> None:
     recover_interrupted_swap(spark, path)
     recover_interrupted_bucket_swap(spark, path, writer=True)
@@ -397,6 +434,11 @@ def _write_bucketed_locked(
         spark, fs, _jpath(spark, staged, _META),
         json.dumps({"n_buckets": n_buckets, "key": list(key)}),
     )
+    # fence between the long un-heartbeated phase (the staged write)
+    # and the mutating swap: a holder stolen from mid-write must not
+    # race the thief's whole-table swap over the same ._staging name
+    lease.verify()
+    lease.heartbeat()
     _finish_staged_swap(fs, p, staged, old)
 
 
@@ -428,7 +470,7 @@ def rebucket_table(
     likely be a caller typo changing the table's layout key
     (round-15 advice).  A no-op (same n_buckets, same key) returns
     without rewriting."""
-    with writer_lease(spark, path):
+    with writer_lease(spark, path) as lease:
         # repair-first like every other entry point: a crashed
         # whole-table swap can leave the live dir aside, and probing
         # the sidecar through that window would misread a bucketed
@@ -462,7 +504,7 @@ def rebucket_table(
         # while the swap itself happens only after the staged write
         # completed.
         write_bucketed(
-            spark, current, path, key, n_buckets=n_buckets, _leased=True
+            spark, current, path, key, n_buckets=n_buckets, _lease=lease
         )
 
 
@@ -797,7 +839,7 @@ def replace_keyed_bucketed(
     key: list[str],
     keys: DataFrame | None = None,
     meta: dict | None = None,
-    _leased: bool = False,
+    _lease: _Lease | None = None,
     owner: str | None = None,
 ) -> list[int]:
     """``replace_keyed`` for a bucket-partitioned table: every target
@@ -823,16 +865,17 @@ def replace_keyed_bucketed(
     probes (several redundant namenode/object-store RPCs per
     micro-batch otherwise).  Direct callers leave it None.
 
-    Mutates under the writer lease (``_leased=True`` is the internal
+    Mutates under the writer lease (``_lease=`` is the internal
     escape for a caller like operators/corpus.forget_documents that
-    already holds it for its own audit-then-replace sequence)."""
-    if not _leased:
+    already holds it for its own audit-then-replace sequence — the
+    HANDLE is passed, not a flag, so fencing covers that path too)."""
+    if _lease is None:
         with writer_lease(spark, target_path, owner=owner) as lease:
             return _replace_keyed_bucketed_locked(
                 spark, target_path, updates, key, keys, meta, lease
             )
     return _replace_keyed_bucketed_locked(
-        spark, target_path, updates, key, keys, meta, None
+        spark, target_path, updates, key, keys, meta, _lease
     )
 
 
@@ -867,7 +910,7 @@ def _replace_keyed_bucketed_locked(
     key: list[str],
     keys: DataFrame | None,
     meta: dict | None,
-    lease: _Lease | None,
+    lease: _Lease,
 ) -> list[int]:
     if meta is None:
         recover_interrupted_swap(spark, target_path)
@@ -914,7 +957,7 @@ def _replace_keyed_bucketed_locked(
             _apply_bucket_swap(
                 spark, fs, p, staging,
                 json.loads(_read_text(spark, fs, mk))["buckets"],
-                fence=lease.payload if lease else None,
+                fence=lease.payload,
             )
         else:
             fs.delete(staging, True)
@@ -930,11 +973,17 @@ def _replace_keyed_bucketed_locked(
     merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
         staging.toString()
     )
-    # the staged write is the one long, un-heartbeated writer phase —
-    # bump the lease clock the moment it lands so the staleness TTL
-    # measures silence from here, not the write's duration
-    if lease is not None:
-        lease.heartbeat()
+    # the staged write is the one long, un-heartbeated writer phase:
+    # FENCE first — a holder stalled past the acquisition TTL during
+    # the write whose lease was stolen must not proceed (the thief
+    # deleted our marker-less staging and owns the ._bstaging name
+    # now; an un-fenced resume would heartbeat the THIEF's lease and
+    # write OUR commit marker into ITS staging dir — wrong plan over
+    # wrong data if the thief then crashes before overwriting it) —
+    # then bump the lease clock so the staleness TTL measures silence
+    # from here, not the write's duration
+    lease.verify()
+    lease.heartbeat()
     present = {
         st.getPath().getName().split("=", 1)[1]
         for st in fs.listStatus(staging)
@@ -967,12 +1016,14 @@ def _replace_keyed_bucketed_locked(
         for b in touched
     }
     _verify_staged_plan(spark, fs, staging, plan)
+    # the marker IS the commit point — fence immediately before it,
+    # so the decision to commit is made by a holder that provably
+    # still owns the table (the per-bucket fences in the apply cover
+    # everything after)
+    lease.verify()
     _write_text(
         spark, fs, _jpath(spark, staging, _MARKER),
         json.dumps({"buckets": plan}),
     )
-    _apply_bucket_swap(
-        spark, fs, p, staging, plan,
-        fence=lease.payload if lease else None,
-    )
+    _apply_bucket_swap(spark, fs, p, staging, plan, fence=lease.payload)
     return [int(b) for b in touched]

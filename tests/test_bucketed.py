@@ -1625,3 +1625,85 @@ def test_compact_rerun_after_crash_completes(spark, tmp_path):
     # are expected hidden entries and not ours to assert on)
     assert not any("_compact" in n for n in os.listdir(tmp_path))
     assert not any("_compact" in n for n in os.listdir(root))
+
+
+def test_replace_fence_refuses_marker_when_lease_stolen(spark, tmp_path, monkeypatch):
+    """The commit-marker window is fenced (r16 self-review): a writer
+    stalled past the acquisition TTL during its staged write — long
+    enough for a thief to steal the lease, delete the marker-less
+    staging and stage its own — must abort on resume BEFORE writing a
+    commit marker, or it would commit ITS plan over the THIEF's
+    staged data (wrong rows rolled forward if the thief then crashes
+    in that window).  Simulated with a write-hook that lands the
+    steal the moment the staged parquet job completes."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    import datawarehouse_code_spark.sources.bucketed as B
+
+    path = str(tmp_path / "t")
+    write_bucketed(spark, _frame(spark, range(8)), path, ["doc_id"], N)
+    old_rows = _rows(spark, path)
+    lease = tmp_path / "t._wlock"
+    thief = json.dumps({"owner": "thief", "nonce": "theirs"})
+
+    real_parquet = DataFrameWriter.parquet
+    stolen = []
+
+    def steal_after_staged_write(self, target, *a, **kw):
+        out = real_parquet(self, target, *a, **kw)
+        if not stolen and target.endswith("._bstaging"):
+            lease.write_text(thief)
+            stolen.append(target)
+        return out
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", steal_after_staged_write)
+    with pytest.raises(B.LeaseLostError, match="changed hands"):
+        replace_keyed_bucketed(
+            spark, path, _frame(spark, range(4, 12), payload="q"), ["doc_id"]
+        )
+    staging = tmp_path / "t._bstaging"
+    assert stolen and staging.exists()
+    assert not (staging / "_BUCKET_COMMIT").exists(), (
+        "a fenced-out holder wrote a commit marker"
+    )
+    assert _rows(spark, path) == old_rows  # live table untouched
+    # and the loser's release spared the thief's live lease
+    assert lease.read_text() == thief
+    lease.unlink()
+
+
+def test_rebuild_fence_refuses_swap_when_lease_stolen(spark, tmp_path, monkeypatch):
+    """Same fence for the whole-table lane: write_bucketed's rebuild
+    aborts before _finish_staged_swap when its lease was stolen
+    during the staged write — the live table and the thief's lease
+    both survive, and the loser's ._staging is left for the next
+    writer's entry recovery to clean."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    import datawarehouse_code_spark.sources.bucketed as B
+
+    path = str(tmp_path / "t")
+    write_bucketed(spark, _frame(spark, range(8)), path, ["doc_id"], N)
+    old_rows = _rows(spark, path)
+    lease = tmp_path / "t._wlock"
+    thief = json.dumps({"owner": "thief", "nonce": "theirs"})
+
+    real_parquet = DataFrameWriter.parquet
+    stolen = []
+
+    def steal_after_staged_write(self, target, *a, **kw):
+        out = real_parquet(self, target, *a, **kw)
+        if not stolen and target.endswith("._staging"):
+            lease.write_text(thief)
+            stolen.append(target)
+        return out
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", steal_after_staged_write)
+    with pytest.raises(B.LeaseLostError, match="changed hands"):
+        write_bucketed(
+            spark, _frame(spark, range(20), payload="q"), path, ["doc_id"], N
+        )
+    assert stolen
+    assert _rows(spark, path) == old_rows  # live table untouched
+    assert lease.read_text() == thief
+    lease.unlink()
