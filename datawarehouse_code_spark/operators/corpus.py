@@ -1228,7 +1228,7 @@ def _forget_rows_from_table(
         before = table.count()
         kept = table.join(ids, id_col, "left_anti").persist()
         removed = before - kept.count()
-        _staged_overwrite(spark, kept, path)
+        _staged_overwrite(spark, kept, path, lease=lease)
         kept.unpersist()
         return removed
 

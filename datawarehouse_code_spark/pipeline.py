@@ -321,6 +321,7 @@ def compact_parquet(
             return report
         n_before, n_target = _files_and_target(p)
         _staged_overwrite(
-            spark, spark.read.parquet(path).coalesce(n_target), path
+            spark, spark.read.parquet(path).coalesce(n_target), path,
+            lease=lease,
         )
         return {"files_before": n_before, "files_after": _files(p)}

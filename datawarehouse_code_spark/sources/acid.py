@@ -9,6 +9,19 @@ staged-rename protocol (atomic per WRITER, not isolated from
 concurrent readers); the Delta branch is exercised wherever the jar
 exists (tests/test_acid.py skip-marks it on absence).
 
+Single-writer-per-table is ENFORCED, not assumed (r16 continuation —
+brought in line with the bucketed lane after it got the same
+treatment): every parquet-lane mutator here runs its whole
+read-merge-write under the table's writer lease
+(``<table>._wlock``, defined below and shared with
+sources/bucketed.py), because two concurrent whole-table writers
+race on the same ``._staging``/``._old`` names — interleaved swap
+renames can mix or vanish the table — and two concurrent keyed
+upserts based on the same pre-image silently drop each other's rows
+(lost update).  The second writer gets ConcurrentWriterError instead.
+Delta's MERGE branch needs no lease: its transaction log brings
+optimistic concurrency.
+
 At 100 TB the difference is not academic: a keyed upsert as MERGE
 touches only the files holding matched keys (plus the log), while the
 parquet fallback rewrites the whole target.  The adapter keeps the
@@ -23,6 +36,11 @@ jar (the streaming index maintainers opt in via n_buckets=).
 """
 
 from __future__ import annotations
+
+import json
+import os
+import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -60,6 +78,204 @@ def _sibling(spark: SparkSession, hpath, suffix: str):
     return spark._jvm.org.apache.hadoop.fs.Path(
         hpath.getParent(), hpath.getName() + suffix
     )
+
+
+def _jpath(spark: SparkSession, parent, name: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(parent, name)
+
+
+def _write_text(spark: SparkSession, fs, jpath, text: str) -> None:
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_text(spark: SparkSession, fs, jpath) -> str:
+    stream = fs.open(jpath)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+_LEASE_SUFFIX = "._wlock"
+
+# Writer-lease staleness threshold (ACQUISITION).  A lease older than
+# this is a crashed writer (process death skips the release) and may
+# be stolen.  It must comfortably exceed the longest UN-HEARTBEATED
+# writer phase — the staged parquet write, minutes at
+# executor-comfortable sizing — because a too-small value lets a
+# second writer steal a live slow writer's lease, which is the exact
+# silent corruption the lease exists to prevent.  The flip side is
+# crash-restart latency: after a process kill, the next writer on the
+# same table is refused (loudly) until the dead lease ages out,
+# unless it passes the same ``owner=`` identity to reclaim
+# immediately.
+LEASE_STALE_SEC = 900.0
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second writer attempted to mutate a table while another
+    writer's lease is live — the single-writer-per-table deployment
+    contract was violated.  Loud by design: two maintainers on one
+    table corrupt silently without this."""
+
+
+class LeaseLostError(RuntimeError):
+    """The writer lease changed hands mid-operation: the holder
+    stalled past the staleness threshold (GC pause, SIGSTOP, VM
+    freeze) and a recoverer/second writer stole the lease.  The loser
+    must STOP — mutating after the steal races the thief's writes,
+    which is the one way to lose data here."""
+
+
+class _Lease:
+    """Handle for a held writer lease: ``payload`` is the exact bytes
+    written to the lock file (owner + a per-acquisition nonce — the
+    fencing token), ``heartbeat()`` bumps the staleness clock,
+    ``verify()`` is the fence — it re-reads the lock file and raises
+    :class:`LeaseLostError` if the token is no longer ours."""
+
+    def __init__(self, spark, fs, jpath, payload: str):
+        self._spark = spark
+        self._fs = fs
+        self._jpath = jpath
+        self.payload = payload
+
+    def heartbeat(self) -> None:
+        self._fs.setTimes(self._jpath, int(time.time() * 1000), -1)
+
+    def verify(self) -> None:
+        """Fence check: abort if the lease changed hands while we were
+        stalled.  Every holder calls this at the boundary between a
+        long un-heartbeated phase (the staged write) and a mutating
+        one (marker write, renames) — a holder that stalled past the
+        staleness threshold and was stolen from must NOT mutate: the
+        thief owns the staging/lease now, and in the keyed-replace
+        lane an un-fenced resume would write ITS commit marker into
+        the THIEF's staging dir (wrong plan over wrong data if the
+        thief then crashes in that window)."""
+        current = None
+        if self._fs.exists(self._jpath):
+            try:
+                current = _read_text(self._spark, self._fs, self._jpath)
+            except Exception:  # noqa: BLE001 — torn read ≠ ours
+                current = None
+        if current != self.payload:
+            raise LeaseLostError(
+                f"{self._jpath}: writer lease changed hands (holder "
+                "stalled past the staleness threshold and was stolen "
+                "from) — aborting before mutating; the new holder owns "
+                "the table now"
+            )
+
+
+@contextmanager
+def writer_lease(
+    spark: SparkSession,
+    path: str,
+    owner: str | None = None,
+    stale_sec: float | None = None,
+):
+    """Hold the table's writer lease for the duration of the block.
+
+    Acquisition: create ``<table>._wlock`` with overwrite=False — the
+    create itself fails when another writer holds it, so the conflict
+    is detected at the filesystem, not by a check-then-act gap.  An
+    existing lease is honored while its mtime is younger than
+    ``stale_sec`` (default :data:`LEASE_STALE_SEC`); older means the
+    holder crashed (release is in a ``finally``, so only process death
+    leaves one) and it is stolen.  A lease whose recorded ``owner``
+    equals the caller's ``owner`` is reclaimed immediately regardless
+    of age — the single-writer contract says one incarnation of a
+    maintainer runs at a time, so a same-identity lease can only be
+    our own crashed predecessor (callers with a stable identity, e.g.
+    a streaming maintainer's checkpoint name, get instant crash
+    restart; the default identity is pid-unique so the default
+    behavior is pure TTL).
+
+    Yields a :class:`_Lease` handle: ``heartbeat()`` bumps the lease
+    mtime (long-running writers call it at phase boundaries so the
+    staleness clock measures silence, not total runtime),
+    ``payload`` is the fencing token — the lock file's exact content,
+    unique per acquisition via a nonce — and ``verify()`` fences:
+    every mutator re-checks the token at the staged-write → mutate
+    boundary, so a holder that stalled past the threshold and was
+    stolen from ABORTS (LeaseLostError) instead of racing the thief;
+    release is likewise token-checked, so the loser's cleanup never
+    deletes the thief's live lease.
+
+    Caveats, documented like _fs_for's rename caveat: the steal path
+    (delete stale + recreate) is not atomic — two writers stealing
+    the same stale lease in the same instant can both succeed on
+    filesystems without atomic create-exclusive (object stores); on
+    posix/HDFS the create(overwrite=False) race collapses to one
+    winner."""
+    fs, p = _fs_for(spark, path)
+    lease = _sibling(spark, p, _LEASE_SUFFIX)
+    stale = LEASE_STALE_SEC if stale_sec is None else stale_sec
+    me = f"pid-{os.getpid()}" if owner is None else owner
+    if fs.exists(lease):
+        age = (
+            time.time()
+            - fs.getFileStatus(lease).getModificationTime() / 1000.0
+        )
+        try:
+            held = json.loads(_read_text(spark, fs, lease)).get("owner")
+        except Exception:  # noqa: BLE001 — a torn lease write (crash
+            # mid-create) is unreadable; treat it as an anonymous
+            # holder so the TTL still governs
+            held = None
+        if owner is not None and held == me:
+            pass  # our own crashed incarnation: reclaim immediately
+        elif age <= stale:
+            raise ConcurrentWriterError(
+                f"{path} has a live writer lease (owner={held!r}, "
+                f"age={age:.1f}s <= stale_sec={stale:g}) — refusing a "
+                "second concurrent writer (single-writer contract); "
+                "if the holder is known dead, wait out the TTL or "
+                "remove the ._wlock file"
+            )
+        fs.delete(lease, False)
+    try:
+        out = fs.create(lease, False)  # fail-if-exists: loud on races
+    except Exception as e:  # noqa: BLE001 — Py4J wraps the
+        # FileAlreadyExistsException; any create failure here means we
+        # lost the acquisition race
+        raise ConcurrentWriterError(
+            f"{path}: lost the lease-creation race to another writer "
+            f"({type(e).__name__})"
+        ) from e
+    payload = json.dumps({"owner": me, "nonce": os.urandom(8).hex()})
+    try:
+        out.write(bytearray(payload.encode("utf-8")))
+    finally:
+        out.close()
+
+    try:
+        yield _Lease(spark, fs, lease, payload)
+    finally:
+        # released on commit AND on a raised failure: either way no
+        # writer remains, and a failure's leftover state (pre-marker
+        # staging, or a marker'd swap) is exactly what the next
+        # entry's recovery repairs — holding the lease past the
+        # failure would only add TTL latency to that repair.  The
+        # delete is TOKEN-CHECKED: if the lease was stolen while we
+        # stalled, it is the thief's now and deleting it would let a
+        # THIRD agent replay the swap concurrently with the thief.
+        try:
+            still_ours = fs.exists(lease) and _read_text(
+                spark, fs, lease
+            ) == payload
+        except Exception:  # noqa: BLE001 — unreadable == not ours;
+            # the TTL cleans up whatever is there
+            still_ours = False
+        if still_ours:
+            fs.delete(lease, False)
 
 
 def recover_interrupted_swap(spark: SparkSession, path: str) -> str | None:
@@ -121,6 +337,8 @@ def _staged_overwrite(
     df: DataFrame,
     path: str,
     partition_by: list[str] | None = None,
+    lease: _Lease | None = None,
+    owner: str | None = None,
 ) -> None:
     """Write `df` beside `path`, then swap directories — never
     overwrites a dataset from its own live scan (the compact_parquet
@@ -138,7 +356,30 @@ def _staged_overwrite(
     ``partition_by`` stages a Hive-partitioned layout (the swap moves
     the whole directory, so partition dirs ride along unchanged —
     write_fact's year partitioning uses this).
-    """
+
+    Runs under the table's writer lease (same ``<table>._wlock``
+    protocol the bucketed lane enforces): two concurrent whole-table
+    writers would race on the same ``._staging``/``._old`` names and
+    can interleave the swap renames into a mixed or vanished table,
+    so the second one is refused loudly (ConcurrentWriterError).
+    ``lease=`` is the escape for a caller that already holds it
+    (compact_parquet, forget_documents — passing the HANDLE, so the
+    fence travels too); ``owner=`` is the lease identity for
+    crash-restart reclaim (see writer_lease)."""
+    if lease is None:
+        with writer_lease(spark, path, owner=owner) as held:
+            _staged_overwrite_locked(spark, df, path, partition_by, held)
+        return
+    _staged_overwrite_locked(spark, df, path, partition_by, lease)
+
+
+def _staged_overwrite_locked(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None,
+    lease: _Lease,
+) -> None:
     recover_interrupted_swap(spark, path)
     fs, p = _fs_for(spark, path)
     staged = _sibling(spark, p, "._staging")
@@ -147,6 +388,11 @@ def _staged_overwrite(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staged.toString())
+    # fence between the long un-heartbeated staged write and the
+    # mutating swap: a holder stolen from mid-write must not race the
+    # thief's swap over the same ._staging name
+    lease.verify()
+    lease.heartbeat()
     _finish_staged_swap(fs, p, staged, old)
 
 
@@ -167,7 +413,11 @@ def _finish_staged_swap(fs, p, staged, old) -> None:
 
 
 def upsert(
-    spark: SparkSession, target_path: str, updates: DataFrame, key: list[str]
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key: list[str],
+    owner: str | None = None,
 ) -> str:
     """Keyed upsert (updates win): Delta = one MERGE (matched →
     update all, not matched → insert all); parquet = anti-join the
@@ -180,7 +430,12 @@ def upsert(
     worst the path is briefly absent with both copies recoverable on
     disk.  Concurrent readers can still see the swap mid-listing;
     Delta's log gives snapshot isolation.
-    """
+
+    The whole read-merge-write runs under the writer lease: a second
+    concurrent upserter would base its merge on the same pre-image
+    and silently drop the first one's rows (lost update), so it is
+    refused loudly instead.  Delta's MERGE brings its own optimistic
+    transaction log and needs no lease."""
     if delta_available(spark):
         from delta.tables import DeltaTable
 
@@ -194,10 +449,11 @@ def upsert(
             .execute()
         )
         return "delta"
-    recover_interrupted_swap(spark, target_path)
-    current = spark.read.parquet(target_path)
-    merged = current.join(updates, key, "left_anti").unionByName(updates)
-    _staged_overwrite(spark, merged, target_path)
+    with writer_lease(spark, target_path, owner=owner) as lease:
+        recover_interrupted_swap(spark, target_path)
+        current = spark.read.parquet(target_path)
+        merged = current.join(updates, key, "left_anti").unionByName(updates)
+        _staged_overwrite(spark, merged, target_path, lease=lease)
     return "parquet"
 
 
@@ -207,6 +463,7 @@ def replace_keyed(
     updates: DataFrame,
     key: list[str],
     keys: DataFrame | None = None,
+    owner: str | None = None,
 ) -> str:
     """Keyed REPLACE for one-to-many payloads: every target row whose
     `key` value appears in `keys` (default: the update rows' own key
@@ -243,12 +500,13 @@ def replace_keyed(
         from delta.tables import DeltaTable
 
         if not DeltaTable.isDeltaTable(spark, target_path):
-            recover_interrupted_swap(spark, target_path)
-            current = spark.read.parquet(target_path)
-            merged = current.join(
-                del_keys, key, "left_anti"
-            ).unionByName(updates)
-            _staged_overwrite(spark, merged, target_path)
+            with writer_lease(spark, target_path, owner=owner) as lease:
+                recover_interrupted_swap(spark, target_path)
+                current = spark.read.parquet(target_path)
+                merged = current.join(
+                    del_keys, key, "left_anti"
+                ).unionByName(updates)
+                _staged_overwrite(spark, merged, target_path, lease=lease)
             return "parquet"
 
         cond = " AND ".join(f"t.{k} <=> s.{k}" for k in key)
@@ -261,10 +519,14 @@ def replace_keyed(
         )
         updates.write.format("delta").mode("append").save(target_path)
         return "delta"
-    recover_interrupted_swap(spark, target_path)
-    current = spark.read.parquet(target_path)
-    merged = current.join(del_keys, key, "left_anti").unionByName(updates)
-    _staged_overwrite(spark, merged, target_path)
+    # read-merge-write under the writer lease, like upsert: a second
+    # concurrent replacer basing its merge on the same pre-image would
+    # silently drop this one's rows (lost update)
+    with writer_lease(spark, target_path, owner=owner) as lease:
+        recover_interrupted_swap(spark, target_path)
+        current = spark.read.parquet(target_path)
+        merged = current.join(del_keys, key, "left_anti").unionByName(updates)
+        _staged_overwrite(spark, merged, target_path, lease=lease)
     return "parquet"
 
 
@@ -318,8 +580,9 @@ def scd2_apply(
             .execute()
         )
         return "delta"
-    recover_interrupted_swap(spark, target_path)
-    dim = spark.read.parquet(target_path)
-    merged = scd2_merge(dim, snapshot, key, tracked, load_date)
-    _staged_overwrite(spark, merged, target_path)
+    with writer_lease(spark, target_path) as lease:
+        recover_interrupted_swap(spark, target_path)
+        dim = spark.read.parquet(target_path)
+        merged = scd2_merge(dim, snapshot, key, tracked, load_date)
+        _staged_overwrite(spark, merged, target_path, lease=lease)
     return "parquet"

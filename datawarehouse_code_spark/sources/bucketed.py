@@ -112,18 +112,30 @@ scatter keys across wrong buckets.
 from __future__ import annotations
 
 import json
-import os
 import time
-from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datawarehouse_code_spark.sources.acid import (
+# the lease/fencing machinery lives with the swap primitives in
+# sources/acid.py (one ``<table>._wlock`` protocol for BOTH the
+# whole-table and the bucket-grain lane); re-exported here because
+# the bucketed lane is where callers and tests historically import
+# it from
+from datawarehouse_code_spark.sources.acid import (  # noqa: F401
+    LEASE_STALE_SEC,
+    ConcurrentWriterError,
+    LeaseLostError,
     _finish_staged_swap,
     _fs_for,
+    _jpath,
+    _Lease,
+    _LEASE_SUFFIX,
+    _read_text,
     _sibling,
+    _write_text,
     recover_interrupted_swap,
+    writer_lease,
 )
 
 BUCKET_COL = "_kb"
@@ -131,7 +143,6 @@ _STAGING_SUFFIX = "._bstaging"
 _ASIDE_PREFIX = "._old_kb="
 _MARKER = "_BUCKET_COMMIT"
 _META = "_buckets.json"
-_LEASE_SUFFIX = "._wlock"
 # per-directory compaction swap (pipeline.compact_parquet): staged
 # rewrite and renamed-aside original, both dot-prefixed so parquet
 # listings never read them; the live dir name X is embedded so
@@ -139,18 +150,6 @@ _LEASE_SUFFIX = "._wlock"
 _COMPACT_STAGING = "._compacting"
 _COMPACT_ASIDE = "._precompact"
 
-# Writer-lease staleness threshold (ACQUISITION).  A lease older than
-# this is a crashed writer (process death skips the release) and may
-# be stolen.  It must comfortably exceed the longest UN-HEARTBEATED
-# writer phase — the staged parquet write, minutes at the module's
-# own executor-comfortable bucket sizing — because a too-small value
-# lets a second writer steal a live slow writer's lease, which is the
-# exact silent corruption the lease exists to prevent.  The flip side
-# is crash-restart latency: after a process kill, the next writer on
-# the same table is refused (loudly) until the dead lease ages out,
-# unless it passes the same ``owner=`` identity to reclaim
-# immediately.
-LEASE_STALE_SEC = 900.0
 
 # APPLY-PHASE staleness: once the commit marker exists, the holder is
 # in `_apply_bucket_swap`, which heartbeats the lease on EVERY bucket
@@ -163,194 +162,10 @@ LEASE_STALE_SEC = 900.0
 APPLY_STALE_SEC = 30.0
 
 
-class ConcurrentWriterError(RuntimeError):
-    """A second writer attempted to mutate a bucketed table while
-    another writer's lease is live — the single-writer-per-table
-    deployment contract (module docstring) was violated.  Loud by
-    design: two maintainers on one table corrupt silently without
-    this."""
-
-
-class LeaseLostError(RuntimeError):
-    """The writer lease changed hands mid-swap: the holder stalled
-    past APPLY_STALE_SEC (GC pause, SIGSTOP, VM freeze) and a
-    recoverer stole the lease and is replaying the committed swap.
-    The loser must STOP — the swap is already committed and the
-    per-bucket replay is idempotent, so the thief completes it;
-    racing its renames is the one way to lose data here."""
-
-
-class _Lease:
-    """Handle for a held writer lease: ``payload`` is the exact bytes
-    written to the lock file (owner + a per-acquisition nonce — the
-    fencing token), ``heartbeat()`` bumps the staleness clock,
-    ``verify()`` is the fence — it re-reads the lock file and raises
-    :class:`LeaseLostError` if the token is no longer ours."""
-
-    def __init__(self, spark, fs, jpath, payload: str):
-        self._spark = spark
-        self._fs = fs
-        self._jpath = jpath
-        self.payload = payload
-
-    def heartbeat(self) -> None:
-        self._fs.setTimes(self._jpath, int(time.time() * 1000), -1)
-
-    def verify(self) -> None:
-        """Fence check: abort if the lease changed hands while we were
-        stalled.  Every holder calls this at the boundary between a
-        long un-heartbeated phase (the staged write) and a mutating
-        one (marker write, renames) — a holder that stalled past the
-        staleness threshold and was stolen from must NOT mutate: the
-        thief owns the staging/lease now, and in the keyed-replace
-        lane an un-fenced resume would write ITS commit marker into
-        the THIEF's staging dir (wrong plan over wrong data if the
-        thief then crashes in that window)."""
-        current = None
-        if self._fs.exists(self._jpath):
-            try:
-                current = _read_text(self._spark, self._fs, self._jpath)
-            except Exception:  # noqa: BLE001 — torn read ≠ ours
-                current = None
-        if current != self.payload:
-            raise LeaseLostError(
-                f"{self._jpath}: writer lease changed hands (holder "
-                "stalled past the staleness threshold and was stolen "
-                "from) — aborting before mutating; the new holder owns "
-                "the table now"
-            )
-
-
-@contextmanager
-def writer_lease(
-    spark: SparkSession,
-    path: str,
-    owner: str | None = None,
-    stale_sec: float | None = None,
-):
-    """Hold the table's writer lease for the duration of the block.
-
-    Acquisition: create ``<table>._wlock`` with overwrite=False — the
-    create itself fails when another writer holds it, so the conflict
-    is detected at the filesystem, not by a check-then-act gap.  An
-    existing lease is honored while its mtime is younger than
-    ``stale_sec`` (default :data:`LEASE_STALE_SEC`); older means the
-    holder crashed (release is in a ``finally``, so only process death
-    leaves one) and it is stolen.  A lease whose recorded ``owner``
-    equals the caller's ``owner`` is reclaimed immediately regardless
-    of age — the single-writer contract says one incarnation of a
-    maintainer runs at a time, so a same-identity lease can only be
-    our own crashed predecessor (callers with a stable identity, e.g.
-    a streaming maintainer's checkpoint name, get instant crash
-    restart; the default identity is pid-unique so the default
-    behavior is pure TTL).
-
-    Yields a :class:`_Lease` handle: ``heartbeat()`` bumps the lease
-    mtime (long-running writers call it at phase boundaries so the
-    staleness clock measures silence, not total runtime) and
-    ``payload`` is the fencing token — the lock file's exact content,
-    unique per acquisition via a nonce.  `_apply_bucket_swap` verifies
-    the token per bucket, so a holder that stalls past
-    APPLY_STALE_SEC and gets stolen from ABORTS on resume
-    (LeaseLostError) instead of racing the thief's replay; release is
-    likewise token-checked, so the loser's cleanup never deletes the
-    thief's live lease.
-
-    Caveats, documented like acid._fs_for's rename caveat: the
-    steal path (delete stale + recreate) is not atomic — two writers
-    stealing the same stale lease in the same instant can both
-    succeed on filesystems without atomic create-exclusive (object
-    stores); on posix/HDFS the create(overwrite=False) race collapses
-    to one winner."""
-    fs, p = _fs_for(spark, path)
-    lease = _sibling(spark, p, _LEASE_SUFFIX)
-    stale = LEASE_STALE_SEC if stale_sec is None else stale_sec
-    me = f"pid-{os.getpid()}" if owner is None else owner
-    if fs.exists(lease):
-        age = (
-            time.time()
-            - fs.getFileStatus(lease).getModificationTime() / 1000.0
-        )
-        try:
-            held = json.loads(_read_text(spark, fs, lease)).get("owner")
-        except Exception:  # noqa: BLE001 — a torn lease write (crash
-            # mid-create) is unreadable; treat it as an anonymous
-            # holder so the TTL still governs
-            held = None
-        if owner is not None and held == me:
-            pass  # our own crashed incarnation: reclaim immediately
-        elif age <= stale:
-            raise ConcurrentWriterError(
-                f"{path} has a live writer lease (owner={held!r}, "
-                f"age={age:.1f}s <= stale_sec={stale:g}) — refusing a "
-                "second concurrent writer (single-writer contract); "
-                "if the holder is known dead, wait out the TTL or "
-                "remove the ._wlock file"
-            )
-        fs.delete(lease, False)
-    try:
-        out = fs.create(lease, False)  # fail-if-exists: loud on races
-    except Exception as e:  # noqa: BLE001 — Py4J wraps the
-        # FileAlreadyExistsException; any create failure here means we
-        # lost the acquisition race
-        raise ConcurrentWriterError(
-            f"{path}: lost the lease-creation race to another writer "
-            f"({type(e).__name__})"
-        ) from e
-    payload = json.dumps({"owner": me, "nonce": os.urandom(8).hex()})
-    try:
-        out.write(bytearray(payload.encode("utf-8")))
-    finally:
-        out.close()
-
-    try:
-        yield _Lease(spark, fs, lease, payload)
-    finally:
-        # released on commit AND on a raised failure: either way no
-        # writer remains, and a failure's leftover state (pre-marker
-        # staging, or a marker'd swap) is exactly what the next
-        # entry's recovery repairs — holding the lease past the
-        # failure would only add TTL latency to that repair.  The
-        # delete is TOKEN-CHECKED: if the lease was stolen while we
-        # stalled, it is the thief's now and deleting it would let a
-        # THIRD agent replay the swap concurrently with the thief.
-        try:
-            still_ours = fs.exists(lease) and _read_text(
-                spark, fs, lease
-            ) == payload
-        except Exception:  # noqa: BLE001 — unreadable == not ours;
-            # the TTL cleans up whatever is there
-            still_ours = False
-        if still_ours:
-            fs.delete(lease, False)
-
-
 def bucket_expr(key: list[str], n_buckets: int) -> Column:
     """``pmod(hash(key...), n_buckets)`` — the ONE bucket definition
     (write path, maintenance path and tests all call this)."""
     return F.pmod(F.hash(*[F.col(k) for k in key]), F.lit(n_buckets))
-
-
-def _jpath(spark: SparkSession, parent, name: str):
-    return spark._jvm.org.apache.hadoop.fs.Path(parent, name)
-
-
-def _write_text(spark: SparkSession, fs, jpath, text: str) -> None:
-    out = fs.create(jpath, True)
-    try:
-        out.write(bytearray(text.encode("utf-8")))
-    finally:
-        out.close()
-
-
-def _read_text(spark: SparkSession, fs, jpath) -> str:
-    stream = fs.open(jpath)
-    try:
-        return spark._jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8"
-        )
-    finally:
-        stream.close()
 
 
 def bucketed_meta(spark: SparkSession, path: str) -> dict | None:
@@ -586,14 +401,16 @@ def replace_keyed_auto(
                 owner=owner,
             )
         else:
-            replace_keyed(spark, target_path, updates, key, keys=keys)
+            replace_keyed(
+                spark, target_path, updates, key, keys=keys, owner=owner
+            )
     elif n_buckets is not None:
         write_bucketed(
             spark, updates, target_path, key, n_buckets=n_buckets,
             owner=owner,
         )
     else:
-        _staged_overwrite(spark, updates, target_path)
+        _staged_overwrite(spark, updates, target_path, owner=owner)
 
 
 def upsert_auto(
@@ -625,14 +442,14 @@ def upsert_auto(
                 spark, target_path, updates, key, meta=meta, owner=owner
             )
         else:
-            upsert(spark, target_path, updates, key)
+            upsert(spark, target_path, updates, key, owner=owner)
     elif n_buckets is not None:
         write_bucketed(
             spark, updates, target_path, key, n_buckets=n_buckets,
             owner=owner,
         )
     else:
-        _staged_overwrite(spark, updates, target_path)
+        _staged_overwrite(spark, updates, target_path, owner=owner)
 
 
 def _apply_bucket_swap(

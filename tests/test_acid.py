@@ -470,3 +470,45 @@ def test_replace_keyed_explicit_keys_covers_zero_update_rows(
     # replay-idempotent with the same key set
     replace_keyed(spark, path, updates, ["doc_id"], keys=batch_keys)
     assert spark.read.parquet(path).count() == 3
+
+
+def test_whole_table_lane_enforces_single_writer(spark, tmp_path):
+    """r16 continuation: the whole-table swap lane enforces the
+    single-writer contract like the bucketed lane — two concurrent
+    _staged_overwrite/upsert/replace_keyed writers would race on the
+    same ._staging/._old names and can interleave the swap renames
+    into a mixed or vanished table, so the second raises
+    ConcurrentWriterError while a foreign lease is fresh (and a
+    crashed writer's stale lease still ages out)."""
+    import json
+    import os
+    import time
+
+    from datawarehouse_code_spark.sources.acid import (
+        ConcurrentWriterError,
+        replace_keyed,
+        upsert,
+    )
+
+    if delta_available(spark):
+        pytest.skip("parquet-lane lease semantics")
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    df.write.parquet(path)
+    upd = spark.createDataFrame([(2, "b2"), (3, "c")], ["id", "v"])
+
+    lease = tmp_path / "t._wlock"
+    lease.write_text(json.dumps({"owner": "other-writer", "nonce": "x"}))
+    with pytest.raises(ConcurrentWriterError, match="live writer lease"):
+        upsert(spark, path, upd, ["id"])
+    with pytest.raises(ConcurrentWriterError, match="live writer lease"):
+        replace_keyed(spark, path, upd, ["id"])
+    assert spark.read.parquet(path).count() == 2  # untouched
+
+    # a crashed writer's stale lease is stolen and the write proceeds
+    old = time.time() - 2000
+    os.utime(lease, (old, old))
+    assert upsert(spark, path, upd, ["id"]) == "parquet"
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "b2"), (3, "c")}
+    assert not lease.exists()  # released on commit
