@@ -418,6 +418,7 @@ def upsert(
     updates: DataFrame,
     key: list[str],
     owner: str | None = None,
+    _lease: _Lease | None = None,
 ) -> str:
     """Keyed upsert (updates win): Delta = one MERGE (matched →
     update all, not matched → insert all); parquet = anti-join the
@@ -435,7 +436,9 @@ def upsert(
     concurrent upserter would base its merge on the same pre-image
     and silently drop the first one's rows (lost update), so it is
     refused loudly instead.  Delta's MERGE brings its own optimistic
-    transaction log and needs no lease."""
+    transaction log and needs no lease.  ``_lease=`` is the held-
+    handle escape for the auto helpers, which probe-and-route under
+    the lease (a handle passed to the Delta branch is simply unused)."""
     if delta_available(spark):
         from delta.tables import DeltaTable
 
@@ -449,12 +452,25 @@ def upsert(
             .execute()
         )
         return "delta"
+    if _lease is not None:
+        _upsert_parquet_locked(spark, target_path, updates, key, _lease)
+        return "parquet"
     with writer_lease(spark, target_path, owner=owner) as lease:
-        recover_interrupted_swap(spark, target_path)
-        current = spark.read.parquet(target_path)
-        merged = current.join(updates, key, "left_anti").unionByName(updates)
-        _staged_overwrite(spark, merged, target_path, lease=lease)
+        _upsert_parquet_locked(spark, target_path, updates, key, lease)
     return "parquet"
+
+
+def _upsert_parquet_locked(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key: list[str],
+    lease: _Lease,
+) -> None:
+    recover_interrupted_swap(spark, target_path)
+    current = spark.read.parquet(target_path)
+    merged = current.join(updates, key, "left_anti").unionByName(updates)
+    _staged_overwrite(spark, merged, target_path, lease=lease)
 
 
 def replace_keyed(
@@ -464,6 +480,7 @@ def replace_keyed(
     key: list[str],
     keys: DataFrame | None = None,
     owner: str | None = None,
+    _lease: _Lease | None = None,
 ) -> str:
     """Keyed REPLACE for one-to-many payloads: every target row whose
     `key` value appears in `keys` (default: the update rows' own key
@@ -500,13 +517,15 @@ def replace_keyed(
         from delta.tables import DeltaTable
 
         if not DeltaTable.isDeltaTable(spark, target_path):
+            if _lease is not None:
+                _replace_parquet_locked(
+                    spark, target_path, updates, del_keys, key, _lease
+                )
+                return "parquet"
             with writer_lease(spark, target_path, owner=owner) as lease:
-                recover_interrupted_swap(spark, target_path)
-                current = spark.read.parquet(target_path)
-                merged = current.join(
-                    del_keys, key, "left_anti"
-                ).unionByName(updates)
-                _staged_overwrite(spark, merged, target_path, lease=lease)
+                _replace_parquet_locked(
+                    spark, target_path, updates, del_keys, key, lease
+                )
             return "parquet"
 
         cond = " AND ".join(f"t.{k} <=> s.{k}" for k in key)
@@ -522,12 +541,30 @@ def replace_keyed(
     # read-merge-write under the writer lease, like upsert: a second
     # concurrent replacer basing its merge on the same pre-image would
     # silently drop this one's rows (lost update)
+    if _lease is not None:
+        _replace_parquet_locked(
+            spark, target_path, updates, del_keys, key, _lease
+        )
+        return "parquet"
     with writer_lease(spark, target_path, owner=owner) as lease:
-        recover_interrupted_swap(spark, target_path)
-        current = spark.read.parquet(target_path)
-        merged = current.join(del_keys, key, "left_anti").unionByName(updates)
-        _staged_overwrite(spark, merged, target_path, lease=lease)
+        _replace_parquet_locked(
+            spark, target_path, updates, del_keys, key, lease
+        )
     return "parquet"
+
+
+def _replace_parquet_locked(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    del_keys: DataFrame,
+    key: list[str],
+    lease: _Lease,
+) -> None:
+    recover_interrupted_swap(spark, target_path)
+    current = spark.read.parquet(target_path)
+    merged = current.join(del_keys, key, "left_anti").unionByName(updates)
+    _staged_overwrite(spark, merged, target_path, lease=lease)
 
 
 def scd2_apply(

@@ -381,36 +381,44 @@ def replace_keyed_auto(
     ``owner`` is the writer-lease identity (see writer_lease): a
     maintainer that passes a stable one — the streaming jobs pass
     their checkpoint dir — reclaims its own crashed lease instantly
-    on restart instead of waiting out the staleness TTL."""
+    on restart instead of waiting out the staleness TTL.
+
+    The probe-and-route runs UNDER the lease (r16 continuation): a
+    probe outside it is a check-then-act gap — two maintainers racing
+    the create lane could both read 'missing' and the later one would
+    full-rebuild over the earlier one's freshly created table,
+    silently dropping its batch.  Holding the lease from the probe
+    also upgrades the entry repair to writer grade (marker-less
+    staging and compaction leftovers are swept here, not just
+    committed swaps), and the handle is passed through so no mutator
+    re-acquires."""
     from datawarehouse_code_spark.sources.acid import (
         _staged_overwrite,
         replace_keyed,
         table_exists,
     )
 
-    # reader-grade pre-probe: repairs a crashed committed swap so the
-    # table_exists/bucketed_meta probes below see recovered state; the
-    # mutator this routes to takes the writer lease and re-runs
-    # writer-grade recovery for everything reader grade leaves alone
-    recover_interrupted_bucket_swap(spark, target_path)
-    if table_exists(spark, target_path):
-        meta = bucketed_meta(spark, target_path)
-        if meta is not None:
-            replace_keyed_bucketed(
-                spark, target_path, updates, key, keys=keys, meta=meta,
-                owner=owner,
+    with writer_lease(spark, target_path, owner=owner) as lease:
+        recover_interrupted_bucket_swap(spark, target_path, writer=True)
+        if table_exists(spark, target_path):
+            meta = bucketed_meta(spark, target_path)
+            if meta is not None:
+                replace_keyed_bucketed(
+                    spark, target_path, updates, key, keys=keys, meta=meta,
+                    _lease=lease,
+                )
+            else:
+                replace_keyed(
+                    spark, target_path, updates, key, keys=keys,
+                    _lease=lease,
+                )
+        elif n_buckets is not None:
+            write_bucketed(
+                spark, updates, target_path, key, n_buckets=n_buckets,
+                _lease=lease,
             )
         else:
-            replace_keyed(
-                spark, target_path, updates, key, keys=keys, owner=owner
-            )
-    elif n_buckets is not None:
-        write_bucketed(
-            spark, updates, target_path, key, n_buckets=n_buckets,
-            owner=owner,
-        )
-    else:
-        _staged_overwrite(spark, updates, target_path, owner=owner)
+            _staged_overwrite(spark, updates, target_path, lease=lease)
 
 
 def upsert_auto(
@@ -422,34 +430,36 @@ def upsert_auto(
     owner: str | None = None,
 ) -> None:
     """Layout-transparent keyed UPSERT (updates win per key), same
-    stickiness (and lease-``owner``) rules as replace_keyed_auto.  On
-    the bucketed lane the upsert IS replace_keyed_bucketed keyed on
-    the update rows: every caller here upserts one collapsed row per
-    key, for which delete-keys-then-insert and
-    matched-update/not-matched-insert coincide."""
+    stickiness (and lease-``owner``, probe-under-lease) rules as
+    replace_keyed_auto.  On the bucketed lane the upsert IS
+    replace_keyed_bucketed keyed on the update rows: every caller
+    here upserts one collapsed row per key, for which
+    delete-keys-then-insert and matched-update/not-matched-insert
+    coincide."""
     from datawarehouse_code_spark.sources.acid import (
         _staged_overwrite,
         table_exists,
         upsert,
     )
 
-    # reader-grade pre-probe, same rationale as replace_keyed_auto
-    recover_interrupted_bucket_swap(spark, target_path)
-    if table_exists(spark, target_path):
-        meta = bucketed_meta(spark, target_path)
-        if meta is not None:
-            replace_keyed_bucketed(
-                spark, target_path, updates, key, meta=meta, owner=owner
+    with writer_lease(spark, target_path, owner=owner) as lease:
+        recover_interrupted_bucket_swap(spark, target_path, writer=True)
+        if table_exists(spark, target_path):
+            meta = bucketed_meta(spark, target_path)
+            if meta is not None:
+                replace_keyed_bucketed(
+                    spark, target_path, updates, key, meta=meta,
+                    _lease=lease,
+                )
+            else:
+                upsert(spark, target_path, updates, key, _lease=lease)
+        elif n_buckets is not None:
+            write_bucketed(
+                spark, updates, target_path, key, n_buckets=n_buckets,
+                _lease=lease,
             )
         else:
-            upsert(spark, target_path, updates, key, owner=owner)
-    elif n_buckets is not None:
-        write_bucketed(
-            spark, updates, target_path, key, n_buckets=n_buckets,
-            owner=owner,
-        )
-    else:
-        _staged_overwrite(spark, updates, target_path, owner=owner)
+            _staged_overwrite(spark, updates, target_path, lease=lease)
 
 
 def _apply_bucket_swap(

@@ -1707,3 +1707,32 @@ def test_rebuild_fence_refuses_swap_when_lease_stolen(spark, tmp_path, monkeypat
     assert _rows(spark, path) == old_rows  # live table untouched
     assert lease.read_text() == thief
     lease.unlink()
+
+
+def test_auto_helpers_probe_under_the_lease(spark, tmp_path):
+    """r16 continuation: replace_keyed_auto/upsert_auto acquire the
+    writer lease BEFORE probing existence/layout — probing outside it
+    was a check-then-act gap where two maintainers racing the create
+    lane could both read 'missing' and the later one would
+    full-rebuild over the earlier one's table.  A foreign live lease
+    refuses the call up front, with nothing probed or created."""
+    from datawarehouse_code_spark.sources.acid import ConcurrentWriterError
+    from datawarehouse_code_spark.sources.bucketed import (
+        replace_keyed_auto,
+        upsert_auto,
+    )
+
+    path = str(tmp_path / "t")
+    lease = tmp_path / "t._wlock"
+    lease.write_text(json.dumps({"owner": "other", "nonce": "x"}))
+    upd = _frame(spark, range(3))
+    with pytest.raises(ConcurrentWriterError, match="live writer lease"):
+        replace_keyed_auto(spark, path, upd, ["doc_id"], n_buckets=N)
+    with pytest.raises(ConcurrentWriterError, match="live writer lease"):
+        upsert_auto(spark, path, upd, ["doc_id"], n_buckets=N)
+    assert not (tmp_path / "t").exists()  # nothing created by a loser
+    lease.unlink()
+    # with the lease free the same call creates normally
+    replace_keyed_auto(spark, path, upd, ["doc_id"], n_buckets=N)
+    assert len(_rows(spark, path)) == 6
+    assert not lease.exists()  # released on commit
