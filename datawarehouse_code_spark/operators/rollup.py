@@ -400,14 +400,111 @@ def quantile_estimate(
     ).select(*keys, "r.p_bp", "r.value_est", "n")
 
 
-def _dynamic_partition_overwrite(df: DataFrame, path: str, partition_col: str) -> None:
+# dot-invisible staging root for the partition-scoped staged swap
+# (parquet directory listings never read dot-prefixed names as data)
+_REFRESH_STAGING = ".refresh-staging"
+
+
+def _staged_partition_overwrite(
+    df: DataFrame, path: str, partition_col: str
+) -> None:
+    """Replace the partitions present in ``df`` with ``df``'s rows via
+    the aside-first staged swap, under the table's writer lease — the
+    r17 replacement for Spark's dynamic partition overwrite, whose
+    driver-side commit DELETES a partition dir before renaming the
+    staged one in (r16 verdict What's-wrong #1: a crash in that window
+    left the live fact/rollup partition ABSENT until a caller retried
+    with the same inputs — the exact defect class the r16 campaign
+    eliminated from forget_vectors/cube/fact, which this lane missed).
+
+    Protocol, byte-compatible with similarity._forget_from_table's
+    RTBF swap and pipeline.compact_parquet's per-dir swap so the
+    shared ``_repair_compaction_dirs`` recovers all three: every
+    touched partition stages in ONE job under ``.refresh-staging``
+    inside the table, then per partition live →
+    ``.{col}={v}._precompact`` aside → staged in → aside dropped —
+    data is never destroyed before its replacement is in place.  A
+    crashed run self-repairs on the next entry (aside rolls BACK to
+    the pre-refresh state, stale staging is dropped, and the rerun —
+    a pure function of its inputs — converges).  Touched-partition
+    discovery is the STAGING dir's own listing, so Hive's
+    partition-value escaping is honored by construction (both sides
+    of every rename come from writer-produced names).
+
+    Concurrency: runs under ``writer_lease(path)`` with the standard
+    fence at the staged-write → rename boundary and per partition —
+    a second concurrent refresher raises ConcurrentWriterError; a
+    holder stolen from mid-stall aborts with LeaseLostError instead
+    of racing the thief (sources/acid.py protocol)."""
+    from datawarehouse_code_spark.sources.acid import _fs_for
+    from datawarehouse_code_spark.sources.bucketed import (
+        _repair_compaction_dirs,
+        writer_lease,
+    )
+
     spark = df.sparkSession
-    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    fs, hpath = _fs_for(spark, path)
+    jp = spark._jvm.org.apache.hadoop.fs.Path
+    with writer_lease(spark, path) as lease:
+        if not fs.exists(hpath):
+            fs.mkdirs(hpath)
+        names = [st.getPath().getName() for st in fs.listStatus(hpath)]
+        _repair_compaction_dirs(spark, fs, hpath, names)
+        staging = jp(hpath, _REFRESH_STAGING)
+        if fs.exists(staging):
+            fs.delete(staging, True)
+        (
+            df.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(f"{path}/{_REFRESH_STAGING}")
+        )
+        # fence between the long un-heartbeated staged write and the
+        # mutating renames (the same boundary every swap lane fences)
+        lease.verify()
+        lease.heartbeat()
+        staged_parts = sorted(
+            st.getPath().getName()
+            for st in fs.listStatus(staging)
+            if st.getPath().getName().startswith(f"{partition_col}=")
+        )
+        for name in staged_parts:
+            lease.verify()
+            live = jp(hpath, name)
+            aside = jp(hpath, f".{name}._precompact")
+            stagedp = jp(staging, name)
+            if fs.exists(live):
+                fs.rename(live, aside)
+            fs.rename(stagedp, live)
+            fs.delete(aside, True)
+        fs.delete(staging, True)
+
+
+def _leased_partition_delete(
+    spark: SparkSession, path: str, partition_col: str, value: object
+) -> None:
+    """Delete one partition directory outright (the zero-row
+    restatement lane — a rewrite can't express an empty partition)
+    under the table's writer lease, repairing any crashed swap
+    leftovers FIRST so the delete acts on the rolled-back live dir,
+    not a no-op path beside an aside-renamed one."""
+    from datawarehouse_code_spark.sources.acid import _fs_for
+    from datawarehouse_code_spark.sources.bucketed import (
+        _repair_compaction_dirs,
+        writer_lease,
+    )
+
+    fs, hpath = _fs_for(spark, path)
+    jp = spark._jvm.org.apache.hadoop.fs.Path
+    with writer_lease(spark, path) as lease:
+        if not fs.exists(hpath):
+            return
+        names = [st.getPath().getName() for st in fs.listStatus(hpath)]
+        _repair_compaction_dirs(spark, fs, hpath, names)
+        staging = jp(hpath, _REFRESH_STAGING)
+        if fs.exists(staging):
+            fs.delete(staging, True)
+        lease.verify()
+        fs.delete(jp(hpath, f"{partition_col}={value}"), True)
 
 
 def refresh_rollup_partition(
@@ -419,7 +516,10 @@ def refresh_rollup_partition(
     sum_cols: list[str],
 ) -> None:
     """Refresh a PARTITIONED rollup's slice from its fact partition's
-    rows: aggregate, dynamic-partition-overwrite that slice.
+    rows: aggregate, then replace that slice via the leased
+    aside-first staged swap (_staged_partition_overwrite; dynamic
+    partition overwrite until r17 — see that helper for the crash
+    window it closes).
 
     The partitioned-rollup layout stores each fact partition's PARTIAL
     aggregate under the same partition key (`partition_col` must be in
@@ -438,7 +538,7 @@ def refresh_rollup_partition(
         *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
         F.count(F.lit(1)).alias("n_rows"),
     )
-    _dynamic_partition_overwrite(agg, rollup_path, partition_col)
+    _staged_partition_overwrite(agg, rollup_path, partition_col)
 
 
 def read_partitioned_rollup(
@@ -497,20 +597,27 @@ def backfill_partition(
     reference's only restatement tool is the full TRUNCATE+rebuild,
     warehouse.py:254-284).
 
-    Two dynamic-partition overwrites, each IDEMPOTENT and derived
+    Two leased aside-first staged swaps (_staged_partition_overwrite;
+    until r17 these rode dynamic partition overwrite, whose
+    delete-before-rename driver commit could leave the LIVE FACT
+    partition absent after a crash), each IDEMPOTENT and derived
     from `new_rows` alone: (1) the fact partition, (2) the rollup
-    slice.  A crash anywhere leaves a state a plain re-run converges
-    from; between (1) and (2) the rollup slice is stale, which
-    verify_rollup_partition detects cheaply (partition-pruned
-    re-aggregate vs stored partials).  `new_rows` must all carry
+    slice.  A crash anywhere leaves a state the entry repair plus a
+    plain re-run converges from; between (1) and (2) the rollup slice
+    is stale, which verify_rollup_partition detects cheaply
+    (partition-pruned re-aggregate vs stored partials).  The two
+    tables are leased independently: each swap holds its own table's
+    writer lease for its duration.  `new_rows` must all carry
     `partition_col` = `partition_value` (guarded — silently writing a
     row into another partition would corrupt a slice this backfill
     then never refreshes).
 
     Restating to ZERO rows deletes the fact partition directory and
-    its rollup slice outright (dynamic overwrite cannot express an
+    its rollup slice outright (a partition rewrite cannot express an
     empty partition: writing no rows would leave both untouched — the
-    same hazard forget_vectors handles for emptied IVF buckets).
+    same hazard forget_vectors handles for emptied IVF buckets); the
+    deletes run under each table's writer lease with crashed-swap
+    repair first (_leased_partition_delete).
     NULL partition values are rejected: parquet spells them
     __HIVE_DEFAULT_PARTITION__ and == filters silently miss them —
     route NULL-keyed rows to a real sentinel partition upstream.
@@ -530,15 +637,12 @@ def backfill_partition(
             f"{partition_col}={partition_value!r}"
         )
     if new_rows.limit(1).count() == 0:
-        from datawarehouse_code_spark.sources.acid import _fs_for
-
         for base in (fact_path, rollup_path):
-            fs, hpath = _fs_for(
-                spark, f"{base}/{partition_col}={partition_value}"
+            _leased_partition_delete(
+                spark, base, partition_col, partition_value
             )
-            fs.delete(hpath, True)
         return
-    _dynamic_partition_overwrite(new_rows, fact_path, partition_col)
+    _staged_partition_overwrite(new_rows, fact_path, partition_col)
     refresh_rollup_partition(
         spark, rollup_path, new_rows, partition_col, keys, sum_cols
     )
