@@ -1202,7 +1202,9 @@ def _forget_rows_from_table(
     # half-swapped table would report a wrong `removed` figure to the
     # deletion request (round-14 review find)
     with writer_lease(spark, path) as lease:
-        recover_interrupted_bucket_swap(spark, path, writer=True)
+        recover_interrupted_bucket_swap(
+            spark, path, writer=True, fence=lease.payload
+        )
         meta = bucketed_meta(spark, path)
         if meta is not None:
             if list(meta["key"]) != [id_col]:

@@ -258,70 +258,76 @@ def compact_parquet(
     aborts instead of racing the repairer.
     """
     import math
-    import shutil
-    from pathlib import Path
 
+    from datawarehouse_code_spark.sources import bucketed as B
     from datawarehouse_code_spark.sources.acid import _staged_overwrite
-    from datawarehouse_code_spark.sources.bucketed import (
-        _COMPACT_ASIDE,
-        _COMPACT_STAGING,
-        BUCKET_COL,
-        LeaseLostError,
-        bucketed_meta,
-        recover_interrupted_bucket_swap,
-        writer_lease,
-    )
 
-    def _files_and_target(d: Path) -> tuple[int, int]:
-        files = [f for f in d.rglob("*.parquet") if f.is_file()]
-        total = sum(f.stat().st_size for f in files)
-        n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
-        return len(files), n
+    # All filesystem traffic rides the Hadoop FileSystem API (r17
+    # ADVICE fix: the fence previously re-read the lock file via
+    # pathlib, which silently saw "no file" — and so raised
+    # LeaseLostError on every fence — for any non-posix path like
+    # file:/HDFS/object-store URIs; the dir listing/size/rename ops
+    # had the same silent scheme assumption).  The module alias `B`
+    # keeps `_fs_for` patchable by the crash-enumeration harness.
 
-    def _files(d: Path) -> int:
-        return len([f for f in d.rglob("*.parquet") if f.is_file()])
+    def _files_and_target(fs, d) -> tuple[int, int]:
+        it = fs.listFiles(d, True)
+        n = total = 0
+        while it.hasNext():
+            st = it.next()
+            if st.getPath().getName().endswith(".parquet"):
+                n += 1
+                total += st.getLen()
+        return n, max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+
+    def _files(fs, d) -> int:
+        it = fs.listFiles(d, True)
+        n = 0
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
 
     # compaction mutates bucket dirs in place — it is a WRITER of the
     # table and takes the lease like every bucketed-lane mutator, so a
     # concurrent maintainer is refused loudly (and writer-grade
     # recovery repairs any crashed swap OR compaction before the
     # rewrite)
-    with writer_lease(spark, path) as lease:
-        recover_interrupted_bucket_swap(spark, path, writer=True)
-        p = Path(path)
-        wlock = p.with_name(p.name + "._wlock")
-
-        def _fence() -> None:
-            current = wlock.read_text() if wlock.exists() else None
-            if current != lease.payload:
-                raise LeaseLostError(
-                    f"{path}: writer lease changed hands mid-compaction "
-                    "— aborting; the new holder repairs the in-flight "
-                    "dir swap"
-                )
-
-        if bucketed_meta(spark, path) is not None:
+    with B.writer_lease(spark, path) as lease:
+        B.recover_interrupted_bucket_swap(
+            spark, path, writer=True, fence=lease.payload
+        )
+        fs, p = B._fs_for(spark, path)
+        jp = spark._jvm.org.apache.hadoop.fs.Path
+        if B.bucketed_meta(spark, path) is not None:
             report = {"files_before": 0, "files_after": 0}
-            for d in sorted(p.glob(f"{BUCKET_COL}=*")):
-                if not d.is_dir():
-                    continue
-                n_before, n_target = _files_and_target(d)
-                staged = d.with_name("." + d.name + _COMPACT_STAGING)
-                aside = d.with_name("." + d.name + _COMPACT_ASIDE)
-                spark.read.parquet(str(d)).coalesce(n_target).write.mode(
-                    "overwrite"
-                ).parquet(str(staged))
-                _fence()
+            names = sorted(
+                st.getPath().getName()
+                for st in fs.listStatus(p)
+                if st.isDirectory()
+                and st.getPath().getName().startswith(f"{B.BUCKET_COL}=")
+            )
+            for name in names:
+                d = jp(p, name)
+                n_before, n_target = _files_and_target(fs, d)
+                staged = jp(p, "." + name + B._COMPACT_STAGING)
+                aside = jp(p, "." + name + B._COMPACT_ASIDE)
+                spark.read.parquet(d.toString()).coalesce(
+                    n_target
+                ).write.mode("overwrite").parquet(staged.toString())
+                # fence between the long un-heartbeated staged write
+                # and the renames (lease.verify is Hadoop-FS-backed)
+                lease.verify()
                 lease.heartbeat()
-                d.rename(aside)  # old aside (atomic) ...
-                staged.rename(d)  # ... staged in (atomic) ...
-                shutil.rmtree(aside)  # ... aside dropped LAST
+                fs.rename(d, aside)  # old aside (atomic) ...
+                fs.rename(staged, d)  # ... staged in (atomic) ...
+                fs.delete(aside, True)  # ... aside dropped LAST
                 report["files_before"] += n_before
-                report["files_after"] += _files(d)
+                report["files_after"] += _files(fs, d)
             return report
-        n_before, n_target = _files_and_target(p)
+        n_before, n_target = _files_and_target(fs, p)
         _staged_overwrite(
             spark, spark.read.parquet(path).coalesce(n_target), path,
             lease=lease,
         )
-        return {"files_before": n_before, "files_after": _files(p)}
+        return {"files_before": n_before, "files_after": _files(fs, p)}

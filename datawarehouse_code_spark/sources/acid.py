@@ -209,12 +209,15 @@ def writer_lease(
     release is likewise token-checked, so the loser's cleanup never
     deletes the thief's live lease.
 
-    Caveats, documented like _fs_for's rename caveat: the steal path
-    (delete stale + recreate) is not atomic — two writers stealing
-    the same stale lease in the same instant can both succeed on
-    filesystems without atomic create-exclusive (object stores); on
-    posix/HDFS the create(overwrite=False) race collapses to one
-    winner."""
+    Steal atomicity (r17, ADVICE fix — the previous delete-then-create
+    steal let two writers racing one stale lease BOTH acquire on any
+    filesystem: the second delete removed the first's freshly created
+    lock, then its create succeeded): the stale lease is renamed to a
+    per-stealer tombstone first.  rename is atomic and fails once the
+    source is gone, so exactly one stealer proceeds to the
+    create(overwrite=False); the loser raises ConcurrentWriterError.
+    On filesystems without atomic create-exclusive (object stores)
+    the create itself remains the documented residual caveat."""
     fs, p = _fs_for(spark, path)
     lease = _sibling(spark, p, _LEASE_SUFFIX)
     stale = LEASE_STALE_SEC if stale_sec is None else stale_sec
@@ -240,7 +243,27 @@ def writer_lease(
                 "if the holder is known dead, wait out the TTL or "
                 "remove the ._wlock file"
             )
-        fs.delete(lease, False)
+        # steal via rename to a unique tombstone: only ONE of N racing
+        # stealers' renames can succeed (the source vanishes), so only
+        # one reaches the create below — delete-then-create let both
+        tomb = _sibling(
+            spark, p,
+            f"{_LEASE_SUFFIX}.steal-{os.getpid()}-{os.urandom(4).hex()}",
+        )
+        stolen = False
+        try:
+            stolen = bool(fs.rename(lease, tomb))
+        except Exception:  # noqa: BLE001 — some FS throw instead of
+            # returning false when the source vanished under us
+            stolen = False
+        if not stolen:
+            raise ConcurrentWriterError(
+                f"{path}: lost the stale-lease steal race to another "
+                "writer (its rename won) — single-writer contract holds"
+            )
+        # a crash here leaks one uniquely-named tombstone beside the
+        # table — never read by anything, never blocks acquisition
+        fs.delete(tomb, False)
     try:
         out = fs.create(lease, False)  # fail-if-exists: loud on races
     except Exception as e:  # noqa: BLE001 — Py4J wraps the

@@ -220,7 +220,9 @@ def _write_bucketed_locked(
     lease: _Lease,
 ) -> None:
     recover_interrupted_swap(spark, path)
-    recover_interrupted_bucket_swap(spark, path, writer=True)
+    recover_interrupted_bucket_swap(
+        spark, path, writer=True, fence=lease.payload
+    )
     fs, p = _fs_for(spark, path)
     staged = _sibling(spark, p, "._staging")
     old = _sibling(spark, p, "._old")
@@ -291,7 +293,9 @@ def rebucket_table(
         # the sidecar through that window would misread a bucketed
         # table as plain
         recover_interrupted_swap(spark, path)
-        recover_interrupted_bucket_swap(spark, path, writer=True)
+        recover_interrupted_bucket_swap(
+            spark, path, writer=True, fence=lease.payload
+        )
         meta = bucketed_meta(spark, path)
         if key is None:
             if meta is None:
@@ -570,7 +574,11 @@ def _repair_compaction_dirs(spark: SparkSession, fs, p, names) -> bool:
 
 
 def recover_interrupted_bucket_swap(
-    spark: SparkSession, path: str, *, writer: bool = False
+    spark: SparkSession,
+    path: str,
+    *,
+    writer: bool = False,
+    fence: str | None = None,
 ) -> str | None:
     """Repair a ``replace_keyed_bucketed`` that crashed mid-commit.
 
@@ -609,12 +617,28 @@ def recover_interrupted_bucket_swap(
       ignore rename return codes by design), so return None and read
       through the documented transient window; an absent/stale lease
       means the writer crashed, and acquiring the lease serializes
-      this recovery against other concurrent reader-recoverers."""
+      this recovery against other concurrent reader-recoverers.
+    - no staging, but a COMPACTION swap's leftovers with the live dir
+      ABSENT (``.X._precompact`` / complete ``.X._compacting`` and no
+      ``X``) → the compactor died between its renames and the
+      bucket's rows are silently missing from every read; repair
+      under the same stale-lease acquisition as the marker'd case
+      (r17 ADVICE fix — previously only writer entries repaired this,
+      so a read-mostly table stayed broken indefinitely).  Leftovers
+      WHOSE LIVE DIR EXISTS are left alone: the table reads complete,
+      and a live compactor's in-progress staging must not be raced
+      (its live dir stays in place for the whole staged write).
+
+    ``fence`` is the caller's lease payload when it already holds the
+    writer lease (every ``writer=True`` mutator entry): threaded into
+    the roll-forward's ``_apply_bucket_swap`` so even the writer-grade
+    replay aborts on a mid-apply steal instead of racing the thief
+    (r17 ADVICE fix — this path previously ran unfenced)."""
     fs, p = _fs_for(spark, path)
     staging = _sibling(spark, p, _STAGING_SUFFIX)
     if not fs.exists(staging):
         if not writer:
-            return None
+            return _reader_repair_compaction(spark, fs, p, path)
         swept = False
         if fs.exists(p) and fs.getFileStatus(p).isDirectory():
             names = [
@@ -635,7 +659,7 @@ def recover_interrupted_bucket_swap(
         return "rolled_back"
     if writer:
         plan = json.loads(_read_text(spark, fs, marker))["buckets"]
-        _apply_bucket_swap(spark, fs, p, staging, plan)
+        _apply_bucket_swap(spark, fs, p, staging, plan, fence=fence)
         return "rolled_forward"
     try:
         # the APPLY-phase threshold, not the acquisition one: a live
@@ -657,6 +681,54 @@ def recover_interrupted_bucket_swap(
             return "rolled_forward"
     except ConcurrentWriterError:
         return None  # a live writer (or another recoverer) owns it
+    except LeaseLostError:
+        # two reader-recoverers raced the same stale lease and we
+        # lost mid-apply: the other one completes the (idempotent)
+        # repair — a plain READ must not fail loudly over it (r17
+        # ADVICE fix)
+        return None
+
+
+def _reader_repair_compaction(spark: SparkSession, fs, p, path: str):
+    """Reader-grade repair of a crashed COMPACTION swap (the
+    no-staging branch of recover_interrupted_bucket_swap with
+    ``writer=False``): repair only directories whose LIVE name is
+    absent — the one state readers can both PROVE is a crash (a live
+    compactor keeps the live dir in place until its short, per-dir
+    heartbeated rename window) and are actually hurt by (the dir's
+    rows are invisible to every scan).  Serialized through the writer
+    lease at the short APPLY_STALE_SEC threshold exactly like the
+    marker'd roll-forward; a fresh lease (live compactor mid-window)
+    or a lost steal race returns None and the read proceeds through
+    the transient window."""
+    if not (fs.exists(p) and fs.getFileStatus(p).isDirectory()):
+        return None
+    names = [st.getPath().getName() for st in fs.listStatus(p)]
+    broken = set()
+    for n in names:
+        if n.startswith(".") and (
+            n.endswith(_COMPACT_STAGING) or n.endswith(_COMPACT_ASIDE)
+        ):
+            suffix = (
+                _COMPACT_STAGING if n.endswith(_COMPACT_STAGING)
+                else _COMPACT_ASIDE
+            )
+            broken.add(n[1 : -len(suffix)])
+    broken = {
+        x for x in broken if not fs.exists(_jpath(spark, p, x))
+    }
+    if not broken:
+        return None
+    try:
+        with writer_lease(spark, path, stale_sec=APPLY_STALE_SEC):
+            # re-list under the lease: the crashed compactor's owner
+            # (or another recoverer) may have finished the repair
+            # between our probe and the acquisition
+            names = [st.getPath().getName() for st in fs.listStatus(p)]
+            repaired = _repair_compaction_dirs(spark, fs, p, names)
+            return "repaired_compaction" if repaired else None
+    except (ConcurrentWriterError, LeaseLostError):
+        return None  # a live writer/recoverer owns it; read through
 
 
 def replace_keyed_bucketed(
@@ -741,7 +813,9 @@ def _replace_keyed_bucketed_locked(
 ) -> list[int]:
     if meta is None:
         recover_interrupted_swap(spark, target_path)
-        recover_interrupted_bucket_swap(spark, target_path, writer=True)
+        recover_interrupted_bucket_swap(
+            spark, target_path, writer=True, fence=lease.payload
+        )
         meta = bucketed_meta(spark, target_path)
     if meta is None:
         raise ValueError(

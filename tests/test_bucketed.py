@@ -1736,3 +1736,146 @@ def test_auto_helpers_probe_under_the_lease(spark, tmp_path):
     replace_keyed_auto(spark, path, upd, ["doc_id"], n_buckets=N)
     assert len(_rows(spark, path)) == 6
     assert not lease.exists()  # released on commit
+
+
+def test_reader_repairs_dead_compactors_missing_dir(spark, tmp_path):
+    """r17 ADVICE fix: a compactor killed between its two renames
+    leaves the live dir renamed aside with a complete staged copy
+    beside it — and until now only WRITER entries repaired it, so on
+    a read-mostly table the bucket's rows stayed silently missing
+    indefinitely.  Reader-grade recovery must now repair exactly this
+    state (live dir ABSENT) under the stale-lease acquisition, while
+    still deferring to a FRESH lease (live compactor) and leaving
+    leftovers whose live dir exists alone (cosmetic; the next writer
+    sweeps them)."""
+    path = str(tmp_path / "t")
+    write_bucketed(spark, _frame(spark, range(30)), path, ["doc_id"], N)
+    rows = _rows(spark, path)
+    root = tmp_path / "t"
+    d = sorted(root.glob(f"{BUCKET_COL}=*"))[0]
+    staged = d.with_name("." + d.name + "._compacting")
+    aside = d.with_name("." + d.name + "._precompact")
+
+    # dead compactor, worst window: staged complete, live renamed
+    # aside — rows invisible to scans
+    shutil.copytree(d, staged)
+    (staged / "_SUCCESS").touch()
+    d.rename(aside)
+    assert not d.exists()
+    # reader-grade recovery (what every read_bucketed entry runs)
+    assert (
+        recover_interrupted_bucket_swap(spark, path)
+        == "repaired_compaction"
+    )
+    assert d.exists() and not staged.exists() and not aside.exists()
+    assert _rows(spark, path) == rows
+
+    # leftovers with the live dir PRESENT: reader leaves them alone
+    shutil.copytree(d, staged)
+    assert recover_interrupted_bucket_swap(spark, path) is None
+    assert staged.exists()
+    shutil.rmtree(staged)
+
+    # a FRESH lease (live compactor mid-window) defers: no repair
+    shutil.copytree(d, staged)
+    (staged / "_SUCCESS").touch()
+    d.rename(aside)
+    with open(f"{path}._wlock", "w") as f:
+        f.write('{"owner": "live-compactor", "nonce": "aa"}')
+    assert recover_interrupted_bucket_swap(spark, path) is None
+    assert aside.exists() and not d.exists()  # untouched
+    os.remove(f"{path}._wlock")
+    # once the lease is gone the same read path repairs
+    assert (
+        recover_interrupted_bucket_swap(spark, path)
+        == "repaired_compaction"
+    )
+    assert _rows(spark, path) == rows
+
+
+def test_lease_steal_loser_raises_not_acquires(spark, tmp_path):
+    """r17 ADVICE fix: the stale-lease steal is now
+    rename-to-tombstone, so of two writers racing one stale lease
+    only the rename winner proceeds — the loser (its rename returns
+    false because the source vanished) raises ConcurrentWriterError
+    instead of silently double-acquiring via delete-then-create."""
+    import time as _time
+
+    import datawarehouse_code_spark.sources.acid as A
+    from datawarehouse_code_spark.sources.acid import (
+        ConcurrentWriterError,
+        writer_lease,
+    )
+
+    path = str(tmp_path / "t")
+    write_bucketed(spark, _frame(spark, range(4)), path, ["doc_id"], N)
+    # plant a stale lease
+    with open(f"{path}._wlock", "w") as f:
+        f.write('{"owner": "dead-writer", "nonce": "bb"}')
+    old = _time.time() - 3600
+    os.utime(f"{path}._wlock", (old, old))
+
+    class _RenameLosesFS:
+        def __init__(self, real):
+            self._real = real
+
+        def rename(self, a, b):
+            if str(a).endswith("._wlock"):
+                # the other stealer's rename won: source is gone
+                self._real.delete(a, False)
+                return False
+            return self._real.rename(a, b)
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+    real = A._fs_for
+    A._fs_for = lambda s, p: (lambda fp: (_RenameLosesFS(fp[0]), fp[1]))(
+        real(s, p)
+    )
+    try:
+        with pytest.raises(ConcurrentWriterError, match="steal race"):
+            with writer_lease(spark, path):
+                pass
+    finally:
+        A._fs_for = real
+
+    # and the winner path still works on a (re-planted) stale lease
+    with open(f"{path}._wlock", "w") as f:
+        f.write('{"owner": "dead-writer", "nonce": "bb"}')
+    os.utime(f"{path}._wlock", (old, old))
+    with writer_lease(spark, path):
+        pass
+    assert not os.path.exists(f"{path}._wlock")
+
+
+def test_reader_rollforward_swallows_lost_steal_race(spark, tmp_path):
+    """r17 ADVICE fix: two readers concurrently recovering the same
+    crashed marker'd swap can both reach the steal; the loser's
+    _apply_bucket_swap raises LeaseLostError mid-apply — a plain READ
+    must return None (the other recoverer completes the idempotent
+    repair), not propagate the error out of read_bucketed."""
+    import datawarehouse_code_spark.sources.bucketed as B
+
+    path = str(tmp_path / "t")
+    write_bucketed(spark, _frame(spark, range(12)), path, ["doc_id"], N)
+    # fabricate a crashed marker'd swap: staging with a commit marker
+    # for zero buckets is enough to reach the apply
+    staging = f"{path}._bstaging"
+    os.makedirs(staging)
+    with open(f"{staging}/_BUCKET_COMMIT", "w") as f:
+        json.dump({"buckets": {}}, f)
+
+    real = B._apply_bucket_swap
+
+    def _raising(*a, **kw):
+        raise B.LeaseLostError("stolen mid-apply (simulated)")
+
+    B._apply_bucket_swap = _raising
+    try:
+        assert recover_interrupted_bucket_swap(spark, path) is None
+    finally:
+        B._apply_bucket_swap = real
+    # the real apply (run by 'the other recoverer') then completes
+    assert recover_interrupted_bucket_swap(spark, path) == "rolled_forward"
+    assert not os.path.exists(staging)
