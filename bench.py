@@ -268,7 +268,22 @@ def main() -> None:
     times: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
-    for name in names:
+    # Per-SEGMENT calibration (r16 verdict ask #3): the two endpoint
+    # calibrations cannot see a MID-run host collapse — the r16 driver
+    # run degraded in the middle (spreads tripled on eight rows) while
+    # both endpoints read healthy, so host_factor 1.0 hid it.  A
+    # micro-calibration every CAL_EVERY rows brackets each segment, so
+    # adjudication can place every row inside or outside a degraded
+    # window mechanically.  `cal_marks` holds (row_index, cal_sec):
+    # the calibration measured BEFORE that row index ran.
+    CAL_EVERY = 15
+    cal_marks: list[tuple[int, float]] = [(0, cal_before)]
+    row_epoch: dict[str, float] = {}
+    t_run0 = time.perf_counter()
+    for i, name in enumerate(names):
+        if i > 0 and i % CAL_EVERY == 0:
+            cal_marks.append((i, _calibrate(spark)))
+        row_epoch[name] = round(time.perf_counter() - t_run0, 1)
         runs = []
         try:
             for _ in range(3):
@@ -290,6 +305,24 @@ def main() -> None:
     # attribute drift to host load
     load_after = os.getloadavg()
     cal_after = _calibrate(spark)
+    cal_marks.append((len(names), cal_after))
+
+    # Per-query segment host factor: a query at row i sits between
+    # two calibration marks; its segment's factor is the mean of the
+    # bracketing calibrations over the healthy band top (floored at
+    # 1.0, same conservatism as the run-wide factor).
+    cal_healthy_top = 0.45
+
+    def _segment_factor(i: int) -> float:
+        for j in range(len(cal_marks) - 1):
+            if cal_marks[j][0] <= i < cal_marks[j + 1][0]:
+                mean = (cal_marks[j][1] + cal_marks[j + 1][1]) / 2
+                return max(1.0, mean / cal_healthy_top)
+        return max(1.0, cal_marks[-1][1] / cal_healthy_top)
+
+    seg_factor = {
+        name: round(_segment_factor(i), 3) for i, name in enumerate(names)
+    }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -311,7 +344,14 @@ def main() -> None:
         "queries": times,
         "spread": spreads,
         "spread_outliers": spread_outliers,
-        "calibration": {"before": cal_before, "after": cal_after},
+        "calibration": {
+            "before": cal_before,
+            "after": cal_after,
+            # (row_index, cal_sec) measured before that row ran; the
+            # endpoints are rows 0 and len(names)
+            "marks": [[i, c] for i, c in cal_marks],
+        },
+        "epoch_sec": row_epoch,
         "loadavg": {
             "before": [round(x, 2) for x in load_before],
             "after": [round(x, 2) for x in load_after],
@@ -329,33 +369,36 @@ def main() -> None:
             if n in FROZEN_BASELINE_SF01
         }
         frozen_total = sum(FROZEN_BASELINE_SF01[n] for n in ratios)
-        # Host-speed normalization (r15 verdict ask #3): the
+        # Host-speed normalization (r15 verdict ask #3, upgraded to
+        # PER-SEGMENT in r17 per the r16 verdict ask #3): the
         # calibration workload's healthy warm band is 0.25-0.45 s
-        # (BASELINE.md "Host-speed calibration").  A run whose
-        # calibration exceeds the band's TOP edge ran on a degraded
-        # host; dividing the ratios by (calibration / band-top)
-        # removes the run-wide host factor.  The mean of before/after
-        # brackets the loop; the band TOP (not middle) keeps the
-        # normalization conservative — a healthy run's factor floors
-        # at 1.0 and is never flattered.  Per-query attribution still
-        # needs the spreads: the host state can recover MID-run (the
-        # r15 driver went 0.781 -> 0.425), so a single factor
-        # under-corrects early rows and over-corrects late ones.
-        cal_healthy_top = 0.45
+        # (BASELINE.md "Host-speed calibration").  A segment whose
+        # bracketing calibrations exceed the band's TOP edge ran on a
+        # degraded host; dividing that segment's ratios by
+        # (mean calibration / band-top) removes the host factor AT
+        # THE ROWS IT ACTUALLY HIT — the r16 driver run degraded only
+        # mid-run, which a single endpoint-mean factor (kept below as
+        # `host_factor` for cross-round continuity) cannot see.  The
+        # band TOP (not middle) keeps the normalization conservative:
+        # a healthy segment's factor floors at 1.0, never flattered.
         host_factor = max(
             1.0, ((cal_before + cal_after) / 2) / cal_healthy_top
         )
+        normalized_queries = {
+            n: round(r / seg_factor[n], 2) for n, r in ratios.items()
+        }
         payload["baseline_ratio"] = {
             "frozen": "BASELINE.md canonical freeze table (sf0.1, local[32]; min-of-2 through r7 rows, min-of-3 after)",
             "total": round(sum(times[n] for n in ratios) / frozen_total, 3),
             "host_factor": round(host_factor, 3),
+            "segment_factors": {n: seg_factor[n] for n in ratios},
             "normalized_total": round(
-                sum(times[n] for n in ratios) / frozen_total / host_factor, 3
+                sum(times[n] / seg_factor[n] for n in ratios)
+                / frozen_total,
+                3,
             ),
             "queries": ratios,
-            "normalized_queries": {
-                n: round(r / host_factor, 2) for n, r in ratios.items()
-            },
+            "normalized_queries": normalized_queries,
         }
 
     # The driver captures only the tail of stdout (~2000 chars), so the
