@@ -545,7 +545,23 @@ def read_partitioned_rollup(
     spark: SparkSession, rollup_path: str, keys: list[str]
 ) -> DataFrame:
     """Merge a partitioned rollup's per-partition partials into the
-    flat rollup view (sums add, n_rows adds) — rollup-sized work."""
+    flat rollup view (sums add, n_rows adds) — rollup-sized work.
+
+    Runs the reader-grade crashed-swap repair first (r17, same fix as
+    the bucketed read paths): a refresh/backfill killed between its
+    two renames leaves the slice's live dir renamed aside — without
+    repair a read-mostly rollup would silently return merged totals
+    MISSING that slice until the next writer entry.  The repair only
+    acts when it can prove a crash (live dir absent, stale lease);
+    a live writer's fresh lease defers, reading through the
+    documented transient window."""
+    from datawarehouse_code_spark.sources.acid import _fs_for
+    from datawarehouse_code_spark.sources.bucketed import (
+        _reader_repair_compaction,
+    )
+
+    fs, hpath = _fs_for(spark, rollup_path)
+    _reader_repair_compaction(spark, fs, hpath, rollup_path)
     parts = spark.read.parquet(rollup_path)
     measures = [
         c for c in parts.columns

@@ -1255,6 +1255,27 @@ def _forget_from_table(
     }
 
 
+def _reader_repair_index(spark: SparkSession, path: str) -> None:
+    """Reader-grade repair of a crashed forget/maintenance swap on a
+    persisted index's tables (r17, same fix as the bucketed and
+    partitioned-rollup read paths): a forget_vectors killed between
+    its per-partition renames leaves a ``cent_id=X`` dir renamed
+    aside — without this, queries silently drop that partition's
+    candidates until the next WRITER entry.  Only provable crashes
+    are repaired (live dir absent + stale lease); a live maintainer's
+    fresh lease defers and the query reads through the documented
+    transient window."""
+    from datawarehouse_code_spark.sources.acid import _fs_for
+    from datawarehouse_code_spark.sources.bucketed import (
+        _reader_repair_compaction,
+    )
+
+    for sub in ("assignments", "vectors"):
+        fs, p = _fs_for(spark, f"{path}/{sub}")
+        if fs.exists(p):
+            _reader_repair_compaction(spark, fs, p, f"{path}/{sub}")
+
+
 def query_ivf_index(
     spark: SparkSession,
     path: str,
@@ -1299,6 +1320,7 @@ def query_ivf_index(
     candidate-id list into the scan so the vec_id-sorted row groups
     are SKIPPED via parquet min/max stats instead of read-and-joined.
     """
+    _reader_repair_index(spark, path)
     cents = spark.read.parquet(f"{path}/centroids")
     qv = _with_inv_norm(
         queries.select(
@@ -1416,7 +1438,10 @@ def ivf_index_stats(spark: SparkSession, path: str) -> DataFrame:
     n_vectors, share_bp, imbalance_x100) — one row per centroid,
     share in integer basis points, and max-bucket/mean-bucket ratio
     (×100) repeated on every row so a single filter
-    (`imbalance_x100 > 300`) flags a skewed index.
+    (`imbalance_x100 > 300`) flags a skewed index.  Repairs a crashed
+    maintenance swap reader-grade first (_reader_repair_index) — a
+    report missing an aside-renamed partition would understate the
+    very imbalance it exists to flag.
 
     This is the ANN leg of the skew-observability story
     (operators/quality.py skew_report for join keys): probe cost is
@@ -1426,6 +1451,7 @@ def ivf_index_stats(spark: SparkSession, path: str) -> DataFrame:
     vectors through a sub-quantizer).  Cost: one column-pruned
     count-by-partition scan of assignment keys; integer arithmetic
     only (deterministic across engines/partitionings)."""
+    _reader_repair_index(spark, path)
     counts = (
         spark.read.parquet(f"{path}/assignments")
         .groupBy("cent_id")
@@ -1726,6 +1752,7 @@ def incremental_semantic_dedup(
     kept=1, double-appending on the follow-up extend.  The guard is
     one column-pruned semi-join probe (anti-join shape the streaming
     ingest already pays)."""
+    _reader_repair_index(spark, path)
     collided = (
         increment.select("vec_id")
         .join(

@@ -253,5 +253,18 @@ def test_iterative_loops_hold_bounded_checkpoints(spark, ckpt_dir):
     mid = _n_rdd_dirs(ckpt_dir)
     dist = bfs_distances(chain, seeds)
     assert sorted(map(tuple, dist.collect())) == [(1, 0), (2, 1), (3, 2), (4, 3)]
+    # the delta can go NEGATIVE under load: the async ContextCleaner
+    # may reclaim pagerank's now-unreferenced permanent frames during
+    # the BFS window (observed in a full-suite run under CPU
+    # contention, r17) — so only the growth BOUND is a delta
+    # assertion; "the final dist survives" is asserted on the frame's
+    # own checkpoint file, which no cleaner may touch while `dist`
+    # is referenced
     d_bfs = _n_rdd_dirs(ckpt_dir) - mid
-    assert 1 <= d_bfs <= 2, d_bfs
+    assert d_bfs <= 2, d_bfs
+    from datawarehouse_code_spark.operators.iterative import (
+        _reliable_checkpoint_file,
+    )
+
+    f = _reliable_checkpoint_file(dist)
+    assert f is not None and os.path.exists(f.replace("file:", ""))

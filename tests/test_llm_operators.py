@@ -862,3 +862,58 @@ def test_ivf_forget_crash_window_repaired(spark, tmp_path):
     )
     assert got == [r for r in rows_before if r[0] != doomed]
     sh.rmtree(path)  # tmp hygiene
+
+
+def test_ivf_query_read_path_repairs_crashed_forget(spark, tmp_path):
+    """r17: the IVF QUERY path (reader) repairs a forget/maintenance
+    swap that died between its renames — a read-mostly index must not
+    silently drop an aside-renamed partition's candidates until the
+    next writer entry.  A fresh lease (live maintainer) defers and
+    the query reads through the transient window."""
+    import os
+
+    from datawarehouse_code_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from datawarehouse_code_spark.sources.catalog import read_table
+
+    emb = read_table(spark, "embeddings", SF_DIR)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=4)
+    apath = f"{path}/assignments"
+    queries = emb.limit(8)
+    want = sorted(
+        map(
+            tuple,
+            query_ivf_index(spark, path, queries, k=3, n_probes=4)
+            .select("query_id", "candidate_id")
+            .collect(),
+        )
+    )
+
+    victim = sorted(
+        d for d in os.listdir(apath) if d.startswith("cent_id=")
+    )[0]
+    os.rename(f"{apath}/{victim}", f"{apath}/.{victim}._precompact")
+
+    # live maintainer (fresh lease): query defers, partition stays
+    # aside, results transiently smaller — and no exception
+    with open(f"{apath}._wlock", "w") as f:
+        f.write('{"owner": "live-maintainer", "nonce": "dd"}')
+    partial = query_ivf_index(spark, path, queries, k=3, n_probes=4)
+    assert partial.count() <= len(want)
+    assert os.path.exists(f"{apath}/.{victim}._precompact")
+    os.remove(f"{apath}._wlock")
+
+    # dead maintainer: the query itself repairs and results are whole
+    got = sorted(
+        map(
+            tuple,
+            query_ivf_index(spark, path, queries, k=3, n_probes=4)
+            .select("query_id", "candidate_id")
+            .collect(),
+        )
+    )
+    assert got == want
+    assert not os.path.exists(f"{apath}/.{victim}._precompact")

@@ -828,3 +828,60 @@ def test_refresh_partition_second_writer_raises(spark, tmp_path):
     backfill_partition(
         spark, fact_path, rollup_path, "yr", 1997, orders, keys, sums
     )
+
+
+def test_read_partitioned_rollup_repairs_dead_refreshers_window(
+    spark, tmp_path
+):
+    """r17: the partitioned-rollup READ path repairs a crashed
+    refresh's worst window (slice renamed aside, live absent) under
+    the stale-lease acquisition — a read-mostly rollup must not
+    silently return totals missing that slice until the next writer.
+    A fresh lease (live refresher) defers and the read sees the
+    transient state."""
+    import os
+
+    from datawarehouse_code_spark.operators.rollup import (
+        read_partitioned_rollup,
+        refresh_rollup_partition,
+    )
+
+    orders = _small_fact(spark)
+    rollup_path = str(tmp_path / "rollup")
+    keys, sums = ["o_orderstatus"], ["cents"]
+    for r in orders.select("yr").distinct().collect():
+        refresh_rollup_partition(
+            spark, rollup_path,
+            orders.filter(F.col("yr") == r["yr"]), "yr", keys, sums,
+        )
+    want = sorted(
+        tuple(r)
+        for r in read_partitioned_rollup(spark, rollup_path, keys).collect()
+    )
+
+    victim = sorted(
+        d for d in os.listdir(rollup_path) if d.startswith("yr=")
+    )[0]
+    os.rename(
+        f"{rollup_path}/{victim}", f"{rollup_path}/.{victim}._precompact"
+    )
+    # under a FRESH lease (live refresher) the read defers: the aside
+    # stays, totals transiently miss the slice (documented window)
+    with open(f"{rollup_path}._wlock", "w") as f:
+        f.write('{"owner": "live-refresher", "nonce": "cc"}')
+    partial = sorted(
+        tuple(r)
+        for r in read_partitioned_rollup(spark, rollup_path, keys).collect()
+    )
+    assert partial != want
+    assert os.path.exists(f"{rollup_path}/.{victim}._precompact")
+    os.remove(f"{rollup_path}._wlock")
+
+    # no lease (dead refresher): the read itself repairs and the
+    # merged view is whole again
+    got = sorted(
+        tuple(r)
+        for r in read_partitioned_rollup(spark, rollup_path, keys).collect()
+    )
+    assert got == want
+    assert not os.path.exists(f"{rollup_path}/.{victim}._precompact")
