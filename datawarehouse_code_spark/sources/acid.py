@@ -147,7 +147,17 @@ class _Lease:
         self.payload = payload
 
     def heartbeat(self) -> None:
-        self._fs.setTimes(self._jpath, int(time.time() * 1000), -1)
+        try:
+            self._fs.setTimes(self._jpath, int(time.time() * 1000), -1)
+        except Exception as e:  # noqa: BLE001 — setTimes on a vanished
+            # lock file (stolen/cleared between our verify and this
+            # bump) throws a raw Java FileNotFound; that state IS
+            # lease-lost, so surface it as the typed abort every
+            # holder already handles instead of a Py4J error
+            raise LeaseLostError(
+                f"{self._jpath}: writer lease vanished at heartbeat — "
+                "stolen or externally cleared; aborting before mutating"
+            ) from e
 
     def verify(self) -> None:
         """Fence check: abort if the lease changed hands while we were
@@ -175,58 +185,116 @@ class _Lease:
 
 
 @contextmanager
-def writer_lease(
-    spark: SparkSession,
-    path: str,
-    owner: str | None = None,
-    stale_sec: float | None = None,
-):
-    """Hold the table's writer lease for the duration of the block.
+def _acquisition_critical_section(spark, lease):
+    """Serialize the lease ACQUISITION sequence (probe → staleness
+    decision → steal-rename → create) against concurrent acquirers.
 
-    Acquisition: create ``<table>._wlock`` with overwrite=False — the
-    create itself fails when another writer holds it, so the conflict
-    is detected at the filesystem, not by a check-then-act gap.  An
-    existing lease is honored while its mtime is younger than
-    ``stale_sec`` (default :data:`LEASE_STALE_SEC`); older means the
-    holder crashed (release is in a ``finally``, so only process death
-    leaves one) and it is stolen.  A lease whose recorded ``owner``
-    equals the caller's ``owner`` is reclaimed immediately regardless
-    of age — the single-writer contract says one incarnation of a
-    maintainer runs at a time, so a same-identity lease can only be
-    our own crashed predecessor (callers with a stable identity, e.g.
-    a streaming maintainer's checkpoint name, get instant crash
-    restart; the default identity is pid-unique so the default
-    behavior is pure TTL).
+    The sequence has an irreducible check-then-act gap on any
+    filesystem: the staleness stat and the steal-rename are separate
+    calls, so a stealer can stat a stale lease, lose the CPU, and
+    rename away the FRESH lease a faster racer just created (observed
+    live by the r17 threaded race test — two concurrent "holders").
+    On ``file:`` URIs all acquirers are on one host, so an OS
+    advisory lock on a sibling ``._wlock.arb`` file closes the gap
+    outright: flock is kernel-mediated, blocks the short acquisition
+    section only (never the lease's lifetime), and is released by the
+    kernel on process death — no TTL story of its own.  The arb file
+    is deliberately never deleted (unlinking a file others may be
+    flocking is the classic lost-lock race); a 0-byte persistent
+    sibling, invisible to parquet.
 
-    Yields a :class:`_Lease` handle: ``heartbeat()`` bumps the lease
-    mtime (long-running writers call it at phase boundaries so the
-    staleness clock measures silence, not total runtime),
-    ``payload`` is the fencing token — the lock file's exact content,
-    unique per acquisition via a nonce — and ``verify()`` fences:
-    every mutator re-checks the token at the staged-write → mutate
-    boundary, so a holder that stalled past the threshold and was
-    stolen from ABORTS (LeaseLostError) instead of racing the thief;
-    release is likewise token-checked, so the loser's cleanup never
-    deletes the thief's live lease.
+    On remote schemes (hdfs:) the namenode's atomic create remains
+    the arbiter and the stat→rename window stands as the documented
+    residual — fencing (`_Lease.verify` at every mutation boundary)
+    is what bounds its blast radius there."""
+    uri = lease.toUri()
+    if uri.getScheme() in (None, "file"):
+        import fcntl
 
-    Steal atomicity (r17, ADVICE fix — the previous delete-then-create
-    steal let two writers racing one stale lease BOTH acquire on any
-    filesystem: the second delete removed the first's freshly created
-    lock, then its create succeeded): the stale lease is renamed to a
-    per-stealer tombstone first.  rename is atomic and fails once the
-    source is gone, so exactly one stealer proceeds to the
-    create(overwrite=False); the loser raises ConcurrentWriterError.
-    On filesystems without atomic create-exclusive (object stores)
-    the create itself remains the documented residual caveat."""
-    fs, p = _fs_for(spark, path)
-    lease = _sibling(spark, p, _LEASE_SUFFIX)
-    stale = LEASE_STALE_SEC if stale_sec is None else stale_sec
-    me = f"pid-{os.getpid()}" if owner is None else owner
+        arb = uri.getPath() + ".arb"
+        os.makedirs(os.path.dirname(arb), exist_ok=True)
+        with open(arb, "a") as f:
+            fcntl.flock(f, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(f, fcntl.LOCK_UN)
+        return
+    yield
+
+
+def _create_lease_exclusive(spark, fs, lease, payload: str, path: str) -> None:
+    """Atomic create-if-absent of the lock file — the acquisition's
+    final arbiter.  On HDFS ``fs.create(overwrite=False)`` is atomic
+    at the namenode, but on ``file:`` URIs Hadoop's
+    RawLocalFileSystem implements it as exists-check-then-open — two
+    racers can BOTH pass the check and both "acquire" (observed live
+    by the r17 threaded race test: two concurrent holders), so the
+    local scheme claims via ``java.io.File.createNewFile``, which is
+    O_CREAT|O_EXCL at the syscall and admits exactly one winner; the
+    winner then writes its payload (the brief empty-file window reads
+    as an anonymous FRESH lease — age ~0 — so observers refuse, never
+    steal).  Object stores without atomic create-exclusive remain the
+    documented residual caveat."""
+    uri = lease.toUri()
+    if uri.getScheme() in (None, "file"):
+        jf = spark._jvm.java.io.File(uri.getPath())
+        parent = jf.getParentFile()
+        if parent is not None and not parent.exists():
+            parent.mkdirs()  # fs.create would auto-create parents too
+        try:
+            created = bool(jf.createNewFile())
+        except Exception as e:  # noqa: BLE001 — IO failure ≠ race,
+            # but either way we did not acquire
+            raise ConcurrentWriterError(
+                f"{path}: lease creation failed ({type(e).__name__})"
+            ) from e
+        if not created:
+            raise ConcurrentWriterError(
+                f"{path}: lost the lease-creation race to another "
+                "writer (createNewFile: file exists)"
+            )
+        with open(uri.getPath(), "w", encoding="utf-8") as f:
+            f.write(payload)
+        return
+    try:
+        out = fs.create(lease, False)  # fail-if-exists: loud on races
+    except Exception as e:  # noqa: BLE001 — Py4J wraps the
+        # FileAlreadyExistsException; any create failure here means we
+        # lost the acquisition race
+        raise ConcurrentWriterError(
+            f"{path}: lost the lease-creation race to another writer "
+            f"({type(e).__name__})"
+        ) from e
+    try:
+        out.write(bytearray(payload.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _acquire_lease(
+    spark, fs, p, lease, path: str, me: str, stale: float,
+    owner: str | None, payload: str,
+) -> None:
+    """The probe → staleness decision → steal → create sequence of
+    writer_lease, factored out so _acquisition_critical_section can
+    serialize it whole.  Raises ConcurrentWriterError on any lost
+    race or live lease; on return the lock file exists with
+    ``payload`` as its exact bytes (the fencing token)."""
+    age = None
     if fs.exists(lease):
-        age = (
-            time.time()
-            - fs.getFileStatus(lease).getModificationTime() / 1000.0
-        )
+        try:
+            age = (
+                time.time()
+                - fs.getFileStatus(lease).getModificationTime() / 1000.0
+            )
+        except Exception:  # noqa: BLE001 — the lease vanished between
+            # the exists probe and the stat (a concurrent release or
+            # steal — surfaced by the r17 threaded race test as a raw
+            # Py4J FileNotFound): treat as 'no lease' and let the
+            # create below arbitrate
+            age = None
+    if age is not None:
         try:
             held = json.loads(_read_text(spark, fs, lease)).get("owner")
         except Exception:  # noqa: BLE001 — a torn lease write (crash
@@ -264,20 +332,66 @@ def writer_lease(
         # a crash here leaks one uniquely-named tombstone beside the
         # table — never read by anything, never blocks acquisition
         fs.delete(tomb, False)
-    try:
-        out = fs.create(lease, False)  # fail-if-exists: loud on races
-    except Exception as e:  # noqa: BLE001 — Py4J wraps the
-        # FileAlreadyExistsException; any create failure here means we
-        # lost the acquisition race
-        raise ConcurrentWriterError(
-            f"{path}: lost the lease-creation race to another writer "
-            f"({type(e).__name__})"
-        ) from e
+    _create_lease_exclusive(spark, fs, lease, payload, path)
+
+
+@contextmanager
+def writer_lease(
+    spark: SparkSession,
+    path: str,
+    owner: str | None = None,
+    stale_sec: float | None = None,
+):
+    """Hold the table's writer lease for the duration of the block.
+
+    Acquisition: create ``<table>._wlock`` with overwrite=False — the
+    create itself fails when another writer holds it, so the conflict
+    is detected at the filesystem, not by a check-then-act gap.  An
+    existing lease is honored while its mtime is younger than
+    ``stale_sec`` (default :data:`LEASE_STALE_SEC`); older means the
+    holder crashed (release is in a ``finally``, so only process death
+    leaves one) and it is stolen.  A lease whose recorded ``owner``
+    equals the caller's ``owner`` is reclaimed immediately regardless
+    of age — the single-writer contract says one incarnation of a
+    maintainer runs at a time, so a same-identity lease can only be
+    our own crashed predecessor (callers with a stable identity, e.g.
+    a streaming maintainer's checkpoint name, get instant crash
+    restart; the default identity is pid-unique so the default
+    behavior is pure TTL).
+
+    Yields a :class:`_Lease` handle: ``heartbeat()`` bumps the lease
+    mtime (long-running writers call it at phase boundaries so the
+    staleness clock measures silence, not total runtime),
+    ``payload`` is the fencing token — the lock file's exact content,
+    unique per acquisition via a nonce — and ``verify()`` fences:
+    every mutator re-checks the token at the staged-write → mutate
+    boundary, so a holder that stalled past the threshold and was
+    stolen from ABORTS (LeaseLostError) instead of racing the thief;
+    release is likewise token-checked, so the loser's cleanup never
+    deletes the thief's live lease.
+
+    Acquisition atomicity (r17; evolved under the threaded race test,
+    which caught each weaker design live): (1) the stale-steal is
+    rename-to-a-unique-tombstone, so of N racing stealers exactly one
+    rename succeeds (delete-then-create let two acquire: the second
+    delete removed the first's fresh lock); (2) the final create is
+    O_EXCL-atomic — ``java.io.File.createNewFile`` on ``file:`` URIs,
+    where Hadoop's create(overwrite=False) is only check-then-act,
+    the namenode's atomic create on HDFS; (3) on ``file:`` the whole
+    probe→steal→create sequence additionally runs under a kernel
+    flock on a sibling ``._wlock.arb`` (see
+    _acquisition_critical_section), closing the last stat→rename gap
+    in which a stealer could evict a FRESH lease it had statted as
+    stale.  On remote schemes that gap stands as the documented
+    residual; fencing bounds it — an evicted holder aborts at its
+    next verify() instead of mutating."""
+    fs, p = _fs_for(spark, path)
+    lease = _sibling(spark, p, _LEASE_SUFFIX)
+    stale = LEASE_STALE_SEC if stale_sec is None else stale_sec
+    me = f"pid-{os.getpid()}" if owner is None else owner
     payload = json.dumps({"owner": me, "nonce": os.urandom(8).hex()})
-    try:
-        out.write(bytearray(payload.encode("utf-8")))
-    finally:
-        out.close()
+    with _acquisition_critical_section(spark, lease):
+        _acquire_lease(spark, fs, p, lease, path, me, stale, owner, payload)
 
     try:
         yield _Lease(spark, fs, lease, payload)

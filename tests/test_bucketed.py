@@ -1879,3 +1879,113 @@ def test_reader_rollforward_swallows_lost_steal_race(spark, tmp_path):
     # the real apply (run by 'the other recoverer') then completes
     assert recover_interrupted_bucket_swap(spark, path) == "rolled_forward"
     assert not os.path.exists(staging)
+
+
+def test_lease_steal_real_race_mutual_exclusion(spark, tmp_path):
+    """r17: N concurrent stealers racing ONE stale lease through the
+    real filesystem — the rename-to-tombstone steal plus the
+    create-fail-if-exists arbiter must never admit two HOLDERS AT
+    ONCE (the delete-then-create steal this replaced could: each
+    delete clobbered the previous winner's fresh lock).  A thread
+    arriving after a winner RELEASES may legitimately acquire, so the
+    pin is max concurrent holders == 1, not winners == 1; every
+    non-winner must fail with ConcurrentWriterError, nothing else.
+    Threads share the driver JVM but the race is genuine — every
+    acquisition step is a filesystem op on the same ._wlock."""
+    import threading
+    import time as _time
+
+    from datawarehouse_code_spark.sources.acid import (
+        ConcurrentWriterError,
+        writer_lease,
+    )
+
+    path = str(tmp_path / "t")
+    write_bucketed(spark, _frame(spark, range(4)), path, ["doc_id"], N)
+
+    for round_i in range(3):  # repeat: one lucky schedule proves little
+        with open(f"{path}._wlock", "w") as f:
+            f.write('{"owner": "dead-writer", "nonce": "ee"}')
+        old = _time.time() - 3600
+        os.utime(f"{path}._wlock", (old, old))
+
+        barrier = threading.Barrier(8)
+        results: list[str] = []
+        holders = {"now": 0, "max": 0}
+        lock = threading.Lock()
+
+        def stealer(i):
+            barrier.wait()
+            try:
+                with writer_lease(spark, path, owner=f"thief-{round_i}-{i}"):
+                    with lock:
+                        holders["now"] += 1
+                        holders["max"] = max(holders["max"], holders["now"])
+                    _time.sleep(0.05)  # widen any overlap window
+                    with lock:
+                        holders["now"] -= 1
+                with lock:
+                    results.append("won")
+            except ConcurrentWriterError:
+                with lock:
+                    results.append("refused")
+            except Exception as e:  # noqa: BLE001 — anything else fails
+                with lock:
+                    results.append(f"BUG:{type(e).__name__}")
+
+        threads = [
+            threading.Thread(target=stealer, args=(i,)) for i in range(8)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert holders["max"] == 1, (holders, results)
+        assert results.count("won") >= 1
+        assert all(r in ("won", "refused") for r in results), results
+        assert not os.path.exists(f"{path}._wlock")
+
+
+def test_reader_recovery_real_race_single_repair(spark, tmp_path):
+    """r17: several readers concurrently discovering the same crashed
+    marker'd swap — exactly the scenario whose loser previously
+    leaked LeaseLostError out of a plain read.  All readers must
+    return quietly (one may report the roll-forward, the rest None)
+    and the table must end repaired exactly once."""
+    import threading
+
+    path = str(tmp_path / "t")
+    ids = list(range(12))
+    write_bucketed(spark, _frame(spark, ids), path, ["doc_id"], N)
+    rows = _rows(spark, path)
+    # crashed marker'd swap over zero buckets: recovery must delete
+    # the staging and leave rows intact
+    staging = f"{path}._bstaging"
+    os.makedirs(staging)
+    with open(f"{staging}/_BUCKET_COMMIT", "w") as f:
+        json.dump({"buckets": {}}, f)
+
+    barrier = threading.Barrier(6)
+    outcomes: list[object] = []
+    lock = threading.Lock()
+
+    def reader(i):
+        barrier.wait()
+        try:
+            r = recover_interrupted_bucket_swap(spark, path)
+            with lock:
+                outcomes.append(r)
+        except Exception as e:  # noqa: BLE001 — any raise is the bug
+            with lock:
+                outcomes.append(f"BUG:{type(e).__name__}:{e}")
+
+    threads = [threading.Thread(target=reader, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(o in (None, "rolled_forward") for o in outcomes), outcomes
+    assert outcomes.count("rolled_forward") >= 1
+    assert not os.path.exists(staging)
+    assert _rows(spark, path) == rows
+    assert not os.path.exists(f"{path}._wlock")
