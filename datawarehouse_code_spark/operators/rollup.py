@@ -438,6 +438,7 @@ def _staged_partition_overwrite(
     of racing the thief (sources/acid.py protocol)."""
     from datawarehouse_code_spark.sources.acid import _fs_for
     from datawarehouse_code_spark.sources.bucketed import (
+        _apply_aside_swap,
         _repair_compaction_dirs,
         writer_lease,
     )
@@ -462,20 +463,21 @@ def _staged_partition_overwrite(
         # mutating renames (the same boundary every swap lane fences)
         lease.verify()
         lease.heartbeat()
+        # NULL partition values stage under Hive's
+        # __HIVE_DEFAULT_PARTITION__ dir, which carries the same
+        # `{col}=` prefix — they swap like any other slice (pinned by
+        # test; backfill_partition still REJECTS NULL because its
+        # == filters and delete lane can't address that dir)
         staged_parts = sorted(
             st.getPath().getName()
             for st in fs.listStatus(staging)
             if st.getPath().getName().startswith(f"{partition_col}=")
         )
         for name in staged_parts:
-            lease.verify()
-            live = jp(hpath, name)
-            aside = jp(hpath, f".{name}._precompact")
-            stagedp = jp(staging, name)
-            if fs.exists(live):
-                fs.rename(live, aside)
-            fs.rename(stagedp, live)
-            fs.delete(aside, True)
+            # fenced + heartbeated per dir (shared protocol step):
+            # a long loop must neither race a thief nor age into
+            # stealability mid-swap
+            _apply_aside_swap(spark, fs, hpath, name, jp(staging, name), lease)
         fs.delete(staging, True)
 
 

@@ -1230,20 +1230,21 @@ def _forget_from_table(
             # fence between the long un-heartbeated staged write and
             # the renames (the same boundary compact_parquet and the
             # bucket swap fence): a holder stolen from mid-write must
-            # not race the thief's repair/renames — and per partition,
-            # like _apply_bucket_swap, so a stall inside the loop
-            # aborts at the next boundary
+            # not race the thief's repair/renames — then fenced AND
+            # heartbeated per partition via the shared protocol step,
+            # so a stall inside the loop aborts at the next boundary
+            # and a long loop never ages into stealability (r17)
             lease.verify()
             lease.heartbeat()
+            from datawarehouse_code_spark.sources.bucketed import (
+                _apply_aside_swap,
+            )
+
             for c in live_parts:
-                lease.verify()
-                live = jp(hpath, f"cent_id={c}")
-                aside = jp(hpath, f".cent_id={c}._precompact")
-                stagedc = jp(hpath, f"{_RTBF_STAGING}/cent_id={c}")
-                if fs.exists(live):
-                    fs.rename(live, aside)
-                fs.rename(stagedc, live)
-                fs.delete(aside, True)
+                _apply_aside_swap(
+                    spark, fs, hpath, f"cent_id={c}",
+                    jp(hpath, f"{_RTBF_STAGING}/cent_id={c}"), lease,
+                )
             fs.delete(jp(hpath, _RTBF_STAGING), True)
         for c in dead_parts:
             lease.verify()

@@ -311,17 +311,15 @@ def compact_parquet(
                 d = jp(p, name)
                 n_before, n_target = _files_and_target(fs, d)
                 staged = jp(p, "." + name + B._COMPACT_STAGING)
-                aside = jp(p, "." + name + B._COMPACT_ASIDE)
                 spark.read.parquet(d.toString()).coalesce(
                     n_target
                 ).write.mode("overwrite").parquet(staged.toString())
-                # fence between the long un-heartbeated staged write
-                # and the renames (lease.verify is Hadoop-FS-backed)
-                lease.verify()
-                lease.heartbeat()
-                fs.rename(d, aside)  # old aside (atomic) ...
-                fs.rename(staged, d)  # ... staged in (atomic) ...
-                fs.delete(aside, True)  # ... aside dropped LAST
+                # shared fenced swap step (verify → live aside →
+                # staged in → aside dropped → heartbeat): the fence
+                # sits between the long un-heartbeated staged write
+                # and the renames, and the heartbeat keeps a long
+                # multi-dir loop from aging into stealability
+                B._apply_aside_swap(spark, fs, p, name, staged, lease)
                 report["files_before"] += n_before
                 report["files_after"] += _files(fs, d)
             return report

@@ -184,8 +184,24 @@ class _Lease:
             )
 
 
+def _is_local_fs(fs) -> bool:
+    """Is this Hadoop FileSystem the local one?  Decided from the
+    RESOLVED filesystem's URI, not the raw Path's — a scheme-less
+    path resolves against ``fs.defaultFS`` (HDFS on a cluster), so
+    testing ``path.toUri().getScheme() is None`` would route an HDFS
+    table's lock through java.io on the driver's local disk while
+    every other lease op ran against HDFS (r17 review find: two
+    drivers could then both 'acquire' locally and race the real
+    table)."""
+    try:
+        return fs.getUri().getScheme() in (None, "file")
+    except Exception:  # noqa: BLE001 — an FS without a URI is not
+        # one we can claim locally; use the generic lane
+        return False
+
+
 @contextmanager
-def _acquisition_critical_section(spark, lease):
+def _acquisition_critical_section(spark, fs, lease):
     """Serialize the lease ACQUISITION sequence (probe → staleness
     decision → steal-rename → create) against concurrent acquirers.
 
@@ -207,11 +223,10 @@ def _acquisition_critical_section(spark, lease):
     the arbiter and the stat→rename window stands as the documented
     residual — fencing (`_Lease.verify` at every mutation boundary)
     is what bounds its blast radius there."""
-    uri = lease.toUri()
-    if uri.getScheme() in (None, "file"):
+    if _is_local_fs(fs):
         import fcntl
 
-        arb = uri.getPath() + ".arb"
+        arb = lease.toUri().getPath() + ".arb"
         os.makedirs(os.path.dirname(arb), exist_ok=True)
         with open(arb, "a") as f:
             fcntl.flock(f, fcntl.LOCK_EX)
@@ -234,10 +249,12 @@ def _create_lease_exclusive(spark, fs, lease, payload: str, path: str) -> None:
     O_CREAT|O_EXCL at the syscall and admits exactly one winner; the
     winner then writes its payload (the brief empty-file window reads
     as an anonymous FRESH lease — age ~0 — so observers refuse, never
-    steal).  Object stores without atomic create-exclusive remain the
-    documented residual caveat."""
-    uri = lease.toUri()
-    if uri.getScheme() in (None, "file"):
+    steal).  The local/remote split is decided from the RESOLVED
+    filesystem (_is_local_fs), never the raw Path URI.  Object stores
+    without atomic create-exclusive remain the documented residual
+    caveat."""
+    if _is_local_fs(fs):
+        uri = lease.toUri()
         jf = spark._jvm.java.io.File(uri.getPath())
         parent = jf.getParentFile()
         if parent is not None and not parent.exists():
@@ -390,7 +407,7 @@ def writer_lease(
     stale = LEASE_STALE_SEC if stale_sec is None else stale_sec
     me = f"pid-{os.getpid()}" if owner is None else owner
     payload = json.dumps({"owner": me, "nonce": os.urandom(8).hex()})
-    with _acquisition_critical_section(spark, lease):
+    with _acquisition_critical_section(spark, fs, lease):
         _acquire_lease(spark, fs, p, lease, path, me, stale, owner, payload)
 
     try:

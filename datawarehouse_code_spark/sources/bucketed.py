@@ -403,7 +403,9 @@ def replace_keyed_auto(
     )
 
     with writer_lease(spark, target_path, owner=owner) as lease:
-        recover_interrupted_bucket_swap(spark, target_path, writer=True)
+        recover_interrupted_bucket_swap(
+            spark, target_path, writer=True, fence=lease.payload
+        )
         if table_exists(spark, target_path):
             meta = bucketed_meta(spark, target_path)
             if meta is not None:
@@ -447,7 +449,9 @@ def upsert_auto(
     )
 
     with writer_lease(spark, target_path, owner=owner) as lease:
-        recover_interrupted_bucket_swap(spark, target_path, writer=True)
+        recover_interrupted_bucket_swap(
+            spark, target_path, writer=True, fence=lease.payload
+        )
         if table_exists(spark, target_path):
             meta = bucketed_meta(spark, target_path)
             if meta is not None:
@@ -571,6 +575,30 @@ def _repair_compaction_dirs(spark: SparkSession, fs, p, names) -> bool:
         elif staged is not None:
             fs.delete(staged, True)
     return bool(pend)
+
+
+def _apply_aside_swap(spark, fs, root, live_name: str, staged, lease) -> None:
+    """ONE fenced aside-first directory swap — the protocol step
+    shared by per-dir compaction (pipeline.compact_parquet), the RTBF
+    partition swap (similarity._forget_from_table) and the
+    partitioned-rollup refresh (rollup._staged_partition_overwrite):
+    verify the fencing token, live → ``.{name}._precompact`` aside →
+    staged in → aside dropped, then heartbeat — so a long multi-dir
+    loop never ages into stealability mid-swap (r17 review find: the
+    rollup copy had no in-loop heartbeat, so a loop outrunning
+    APPLY_STALE_SEC could be stolen from mid-flight and torn).  One
+    implementation on purpose: all three lanes' crash states are
+    repaired by _repair_compaction_dirs, and a protocol change landing
+    in only one hand-rolled copy would silently break the others'
+    recovery."""
+    lease.verify()
+    live = _jpath(spark, root, live_name)
+    aside = _jpath(spark, root, f".{live_name}{_COMPACT_ASIDE}")
+    if fs.exists(live):
+        fs.rename(live, aside)
+    fs.rename(staged, live)
+    fs.delete(aside, True)
+    lease.heartbeat()
 
 
 def recover_interrupted_bucket_swap(

@@ -885,3 +885,39 @@ def test_read_partitioned_rollup_repairs_dead_refreshers_window(
     )
     assert got == want
     assert not os.path.exists(f"{rollup_path}/.{victim}._precompact")
+
+
+def test_refresh_partition_null_key_slice_survives_swap(spark, tmp_path):
+    """r17 review pin: rows with a NULL partition value stage under
+    Hive's __HIVE_DEFAULT_PARTITION__ directory, whose name carries
+    the same `{col}=` prefix — the staged swap must carry them like
+    any other slice (the r17 review hypothesized they'd be filtered
+    out and destroyed with the staging dir; this pins the refutation).
+    backfill_partition still rejects NULL loudly (its == filters and
+    delete lane cannot address that directory)."""
+    from datawarehouse_code_spark.operators.rollup import (
+        read_partitioned_rollup,
+        refresh_rollup_partition,
+    )
+
+    rows = spark.createDataFrame(
+        [(1995, "A", 10), (None, "A", 5), (None, "B", 7)],
+        "yr INT, k STRING, cents BIGINT",
+    )
+    rollup_path = str(tmp_path / "rollup")
+    refresh_rollup_partition(spark, rollup_path, rows, "yr", ["k"], ["cents"])
+    got = {
+        r["k"]: (r["sum_cents"], r["n_rows"])
+        for r in read_partitioned_rollup(spark, rollup_path, ["k"]).collect()
+    }
+    assert got == {"A": (15, 2), "B": (7, 1)}
+    # refreshing the NULL slice again replaces it (not double-counts)
+    refresh_rollup_partition(
+        spark, rollup_path,
+        rows.filter(F.col("yr").isNull()), "yr", ["k"], ["cents"],
+    )
+    again = {
+        r["k"]: (r["sum_cents"], r["n_rows"])
+        for r in read_partitioned_rollup(spark, rollup_path, ["k"]).collect()
+    }
+    assert again == got
