@@ -1753,6 +1753,11 @@ def incremental_semantic_dedup(
     kept=1, double-appending on the follow-up extend.  The guard is
     one column-pruned semi-join probe (anti-join shape the streaming
     ingest already pays)."""
+    # repaired here AND inside query_ivf_index below — deliberate
+    # double probe (~6 metadata RPCs, noise against this call's Spark
+    # jobs): the collision guard's read runs BEFORE query_ivf_index's
+    # repair, and missing a collision on a broken index would wrongly
+    # pass the guard and double-append on the follow-up extend
     _reader_repair_index(spark, path)
     collided = (
         increment.select("vec_id")
