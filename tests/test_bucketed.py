@@ -1989,3 +1989,100 @@ def test_reader_recovery_real_race_single_repair(spark, tmp_path):
     assert not os.path.exists(staging)
     assert _rows(spark, path) == rows
     assert not os.path.exists(f"{path}._wlock")
+
+
+@pytest.mark.slow
+def test_lease_steal_cross_process_mutual_exclusion(spark, tmp_path):
+    """r17: the flock-serialized acquisition is a KERNEL claim — the
+    threaded test exercises it between FDs of one process, this one
+    between two real OS processes (each with its own JVM), racing a
+    planted stale lease over several rounds.  Each process records
+    nanosecond [enter, end-verify] intervals for every successful
+    hold; the test asserts the intervals never overlap (mutual
+    exclusion across processes), that losers fail only with
+    ConcurrentWriterError, and that no holder is ever evicted
+    mid-hold (verify never raises on the local scheme)."""
+    import subprocess
+    import sys
+    import time as _time
+
+    table = str(tmp_path / "t")
+    write_bucketed(spark, _frame(spark, range(4)), table, ["doc_id"], N)
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(
+        '''
+import json, os, sys, time
+sys.path.insert(0, "/root/repo")
+from datawarehouse_code_spark.session import get_spark
+from datawarehouse_code_spark.sources.acid import (
+    ConcurrentWriterError, writer_lease,
+)
+
+table, rounds, out_path, who = (
+    sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4]
+)
+spark = get_spark(f"race-{who}", cpus="2")
+spark.sparkContext.setLogLevel("ERROR")
+events = []
+for r in range(rounds):
+    go = f"{table}.round{r}.go"
+    while not os.path.exists(go):
+        time.sleep(0.005)
+    try:
+        with writer_lease(spark, table, owner=f"{who}-{r}") as lease:
+            t_in = time.time_ns()
+            time.sleep(0.03)
+            lease.verify()  # end-verify: still ours while held
+            t_out = time.time_ns()
+        events.append({"r": r, "kind": "held", "t_in": t_in, "t_out": t_out})
+    except ConcurrentWriterError:
+        events.append({"r": r, "kind": "refused"})
+    except Exception as e:
+        events.append({"r": r, "kind": f"BUG:{type(e).__name__}:{e}"})
+    open(f"{table}.round{r}.done.{who}", "w").close()
+with open(out_path, "w") as f:
+    json.dump(events, f)
+'''
+    )
+    rounds = 8
+    outs = [str(tmp_path / f"res_{w}.json") for w in ("a", "b")]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), table, str(rounds), out, w],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        for out, w in zip(outs, ("a", "b"))
+    ]
+    try:
+        old = _time.time() - 3600
+        for r in range(rounds):
+            with open(f"{table}._wlock", "w") as f:
+                f.write('{"owner": "dead-writer", "nonce": "ff"}')
+            os.utime(f"{table}._wlock", (old, old))
+            open(f"{table}.round{r}.go", "w").close()
+            deadline = _time.time() + 120
+            while not all(
+                os.path.exists(f"{table}.round{r}.done.{w}")
+                for w in ("a", "b")
+            ):
+                assert _time.time() < deadline, f"round {r} timed out"
+                _time.sleep(0.01)
+    finally:
+        for p in procs:
+            p.wait(timeout=180)
+
+    import json as _json
+
+    all_events = []
+    for out in outs:
+        with open(out) as f:
+            all_events += _json.load(f)
+    bugs = [e for e in all_events if str(e["kind"]).startswith("BUG")]
+    assert not bugs, bugs
+    holds = [e for e in all_events if e["kind"] == "held"]
+    assert len(holds) >= rounds  # every round someone won
+    # mutual exclusion: no two holds' [t_in, t_out] intervals overlap
+    holds.sort(key=lambda e: e["t_in"])
+    for prev, nxt in zip(holds, holds[1:]):
+        assert prev["t_out"] <= nxt["t_in"], (prev, nxt)
