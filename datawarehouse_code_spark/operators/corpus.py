@@ -1418,17 +1418,26 @@ def ingest_corpus_increment(
     n_final = survivors.count()
 
     if n_final:
+        from datawarehouse_code_spark.sources.acid import leased_append
+
         new_buckets = build_lsh_index(
             survivors, k=k, num_hashes=num_hashes, bands=bands,
             hot_bucket_cap=None,
         )
         existing_ids = index.select("doc_id").distinct()
-        (
-            new_buckets.join(existing_ids, "doc_id", "left_anti")
-            .write.mode("append")
-            .parquet(index_path)
-        )
-        survivors.write.mode("append").parquet(corpus_path)
+        # appends run under each table's writer lease with
+        # repair-first (r17 'append eclipse' find in leased_append's
+        # docstring): an unleased append could recreate a target a
+        # crashed compaction/swap left aside-renamed, and the repair
+        # would then delete the aside holding the real table
+        with leased_append(spark, index_path):
+            (
+                new_buckets.join(existing_ids, "doc_id", "left_anti")
+                .write.mode("append")
+                .parquet(index_path)
+            )
+        with leased_append(spark, corpus_path):
+            survivors.write.mode("append").parquet(corpus_path)
     for df in (survivors, near_ok, exact_ok):
         df.unpersist()
     return {

@@ -81,8 +81,13 @@ def write_fact(fact: DataFrame, path: str, mode: str = "overwrite") -> None:
     The overwrite branch rides acid's staged swap (r16 self-review,
     same fix as write_cube): a bare overwrite deletes the live fact
     before the job runs, so every rebuild opened a no-fact window
-    that a failed run held open.  Appends (the O6 sink) go direct —
-    append never destroys data."""
+    that a failed run held open.  Appends (the O6 sink) run under the
+    table's writer lease with crashed-swap repair first (r17 'append
+    eclipse' find, sources/acid.leased_append): an append itself
+    never destroys data, but appending into a target a crashed swap
+    left renamed aside re-CREATES the target with only the delta —
+    and the next repair then deletes the aside holding the real
+    table."""
     sorted_fact = fact.sortWithinPartitions("year", "date_id")
     if mode == "overwrite":
         from datawarehouse_code_spark.sources.acid import _staged_overwrite
@@ -91,4 +96,7 @@ def write_fact(fact: DataFrame, path: str, mode: str = "overwrite") -> None:
             fact.sparkSession, sorted_fact, path, partition_by=["year"]
         )
         return
-    sorted_fact.write.mode(mode).partitionBy("year").parquet(path)
+    from datawarehouse_code_spark.sources.acid import leased_append
+
+    with leased_append(fact.sparkSession, path):
+        sorted_fact.write.mode(mode).partitionBy("year").parquet(path)

@@ -1061,13 +1061,21 @@ def extend_ivf_index(
         assigned = assigned.join(
             a.select("vec_id", *attr_cols), "vec_id", "left"
         )
+    from datawarehouse_code_spark.sources.acid import leased_append
+
     if not compressed:
-        (
-            assigned.select("cent_id", "vec_id", "v", "inv", *attr_cols)
-            .write.mode("append")
-            .partitionBy("cent_id")
-            .parquet(f"{path}/assignments")
-        )
+        # append under the table's writer lease with repair-first
+        # (r17 'append eclipse' find): appending into a partition a
+        # crashed forget left renamed aside would recreate the live
+        # dir with only the increment, and the next repair would then
+        # delete the aside holding the original rows
+        with leased_append(spark, f"{path}/assignments"):
+            (
+                assigned.select("cent_id", "vec_id", "v", "inv", *attr_cols)
+                .write.mode("append")
+                .partitionBy("cent_id")
+                .parquet(f"{path}/assignments")
+            )
         return
     # vectors/ first, assignments/ second: the streaming idempotence
     # guard anti-joins on ASSIGNMENTS vec_ids, so a crash between the
@@ -1083,13 +1091,17 @@ def extend_ivf_index(
     # partition dir (cached frames bypass AQE output coalescing; see
     # build_ivf_index).
     assigned = assigned.repartition("cent_id").persist()
-    (
-        assigned.select("cent_id", "vec_id", "v")
-        .sortWithinPartitions("cent_id", "vec_id")
-        .write.mode("append")
-        .partitionBy("cent_id")
-        .parquet(f"{path}/vectors")
-    )
+    # each table's append runs under ITS writer lease with
+    # repair-first (sequential, never nested — the forget lane takes
+    # the same two leases in the same one-at-a-time order)
+    with leased_append(spark, f"{path}/vectors"):
+        (
+            assigned.select("cent_id", "vec_id", "v")
+            .sortWithinPartitions("cent_id", "vec_id")
+            .write.mode("append")
+            .partitionBy("cent_id")
+            .parquet(f"{path}/vectors")
+        )
     if pq:
         # encode the increment with the STORED codebooks — like the
         # frozen centroids, frozen codebooks are the point: codes of
@@ -1101,11 +1113,12 @@ def extend_ivf_index(
         )
     else:
         coded = _quantize_int8(assigned, attr_cols)
-    (
-        coded.write.mode("append")
-        .partitionBy("cent_id")
-        .parquet(f"{path}/assignments")
-    )
+    with leased_append(spark, f"{path}/assignments"):
+        (
+            coded.write.mode("append")
+            .partitionBy("cent_id")
+            .parquet(f"{path}/assignments")
+        )
     assigned.unpersist()
 
 

@@ -160,11 +160,21 @@ def run_pipeline_incremental(
         insert_if_not_exists_report,
     )
 
+    from datawarehouse_code_spark.sources.acid import leased_append
+
     reports: dict[str, dict[str, int]] = {}
+    # each table's read-delta-append runs under ITS writer lease with
+    # repair-first (r17 'append eclipse' find, leased_append): the
+    # lazy read executes DURING the append job, so the lease covers
+    # the whole read-modify-append and a concurrent maintainer's
+    # mid-swap window can neither eclipse nor be eclipsed
     for name, key in _DIM_KEYS.items():
-        existing = spark.read.parquet(f"{out_dir}/{name}")
-        delta, rep = insert_if_not_exists_report(getattr(wh, name), existing, key)
-        delta.write.mode("append").parquet(f"{out_dir}/{name}")
+        with leased_append(spark, f"{out_dir}/{name}"):
+            existing = spark.read.parquet(f"{out_dir}/{name}")
+            delta, rep = insert_if_not_exists_report(
+                getattr(wh, name), existing, key
+            )
+            delta.write.mode("append").parquet(f"{out_dir}/{name}")
         reports[name] = rep
 
     existing_fact = spark.read.parquet(f"{out_dir}/fact")
@@ -194,7 +204,8 @@ def run_pipeline_incremental(
     ).persist()
     try:
         n_cube_new = cube_delta.count()
-        cube_delta.write.mode("append").parquet(f"{out_dir}/cube")
+        with leased_append(spark, f"{out_dir}/cube"):
+            cube_delta.write.mode("append").parquet(f"{out_dir}/cube")
     finally:
         cube_delta.unpersist()
     reports["cube"] = {"inserted": n_cube_new}

@@ -432,6 +432,39 @@ def writer_lease(
             fs.delete(lease, False)
 
 
+@contextmanager
+def leased_append(spark: SparkSession, path: str, owner: str | None = None):
+    """Writer lease + crashed-swap repair for APPEND writers (r17
+    self-review find, the 'append eclipse' family): an append into a
+    table whose live dir (or whole-table target) a crashed swap left
+    renamed aside CREATES the target fresh with only the increment —
+    and the next repair then sees 'live present', deletes the aside /
+    ``._old`` holding the real rows, and the loss is permanent and
+    silent.  The interaction only became possible when the
+    maintenance lanes moved to aside-first swaps (r16/r17): the swap
+    protocols are crash-safe among THEMSELVES; an unleased append is
+    the one writer class that could still sneak between a crash and
+    its repair.  So every append into a swap-protocol table runs
+    here: hold the table's writer lease (no maintainer can be
+    mid-swap), repair any crashed whole-table swap
+    (recover_interrupted_swap) and any aside-renamed partition dirs
+    (_repair_compaction_dirs) FIRST, then fence and yield for the
+    append itself.  Fresh-target appends (a brand-new path) pass
+    through unchanged — both repairs no-op."""
+    from datawarehouse_code_spark.sources.bucketed import (
+        _repair_compaction_dirs,
+    )
+
+    with writer_lease(spark, path, owner=owner) as lease:
+        recover_interrupted_swap(spark, path)
+        fs, p = _fs_for(spark, path)
+        if fs.exists(p) and fs.getFileStatus(p).isDirectory():
+            names = [st.getPath().getName() for st in fs.listStatus(p)]
+            _repair_compaction_dirs(spark, fs, p, names)
+        lease.verify()
+        yield lease
+
+
 def recover_interrupted_swap(spark: SparkSession, path: str) -> str | None:
     """Repair a `_staged_overwrite` that crashed mid-swap, restoring
     the invariant 'the target path holds one complete table'.

@@ -917,3 +917,56 @@ def test_ivf_query_read_path_repairs_crashed_forget(spark, tmp_path):
     )
     assert got == want
     assert not os.path.exists(f"{apath}/.{victim}._precompact")
+
+
+def test_ivf_extend_append_does_not_eclipse_crashed_forget(spark, tmp_path):
+    """r17 'append eclipse' find: extend_ivf_index appending into a
+    partition a crashed forget left renamed ASIDE (live absent) used
+    to re-CREATE the live dir with only the increment — after which
+    the next repair saw 'live present' and deleted the aside holding
+    the ORIGINAL rows: permanent silent loss.  The append now runs
+    under the table's writer lease with repair-first, so the aside
+    rolls back before the increment lands beside the restored rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datawarehouse_code_spark.operators.similarity import (
+        build_ivf_index,
+        extend_ivf_index,
+    )
+    from datawarehouse_code_spark.sources.catalog import read_table
+
+    emb = read_table(spark, "embeddings", SF_DIR)
+    base = emb.limit(200)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(base, path, n_centroids=4)
+    apath = f"{path}/assignments"
+    before = sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(apath).select("vec_id").collect()
+    )
+
+    # fabricate the crashed-forget worst window on one partition
+    victim = sorted(
+        d for d in os.listdir(apath) if d.startswith("cent_id=")
+    )[0]
+    os.rename(f"{apath}/{victim}", f"{apath}/.{victim}._precompact")
+
+    # extend with vectors NOT in the base set
+    max_id = max(before)
+    increment = (
+        emb.filter(~F.col("vec_id").isin([int(i) for i in before]))
+        .limit(20)
+    )
+    inc_ids = sorted(r["vec_id"] for r in increment.select("vec_id").collect())
+    assert inc_ids
+    extend_ivf_index(increment, path)
+
+    got = sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(apath).select("vec_id").collect()
+    )
+    assert got == sorted(before + inc_ids)  # nothing eclipsed, all added
+    assert not os.path.exists(f"{apath}/.{victim}._precompact")
+    del max_id

@@ -77,7 +77,12 @@ ALLOWLIST = {
 
 # A function counts as lease-guarded when its own source acquires the
 # lease or receives a lease/fence handle from a caller that does.
-_GUARD_MARKERS = ("writer_lease(", "lease.verify", "lease.payload")
+_GUARD_MARKERS = (
+    "writer_lease(",
+    "lease.verify",
+    "lease.payload",
+    "leased_append(",
+)
 _GUARD_PARAMS = {"lease", "_lease", "held", "fence"}
 
 
@@ -113,9 +118,16 @@ def _mutating_functions():
                             f.attr == "mode"
                             and node.args
                             and isinstance(node.args[0], ast.Constant)
-                            and node.args[0].value == "overwrite"
+                            and node.args[0].value in ("overwrite", "append")
                         ):
-                            kind = "mode-overwrite"
+                            # appends are scanned too (r17 'append
+                            # eclipse': an unleased append into a
+                            # swap-protocol table can recreate an
+                            # aside-renamed target, and the repair
+                            # then deletes the aside with the real
+                            # rows) — every append must be leased or
+                            # carry a rationale like any overwrite
+                            kind = f"mode-{node.args[0].value}"
                         elif f.attr in ("delete", "rename") and isinstance(
                             f.value, ast.Name
                         ) and f.value.id == "fs":
