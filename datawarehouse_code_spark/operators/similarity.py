@@ -1012,7 +1012,10 @@ def _load_codebooks(spark: SparkSession, path: str) -> np.ndarray:
 
 
 def extend_ivf_index(
-    embeddings: DataFrame, path: str, attrs: DataFrame | None = None
+    embeddings: DataFrame,
+    path: str,
+    attrs: DataFrame | None = None,
+    owner: str | None = None,
 ) -> None:
     """Assign NEW vectors to the EXISTING centroids and append their
     partitions — the incremental path: cost ∝ |increment|, never a
@@ -1026,7 +1029,14 @@ def extend_ivf_index(
     REQUIRES `attrs` covering those columns here — silently appending
     NULL attributes would make every new vector invisible to
     predicate-filtered queries, which is exactly the wrong failure
-    mode for an incremental path."""
+    mode for an incremental path.
+
+    ``owner=`` is the lease identity for the per-table
+    ``leased_append`` acquisitions (r17): streaming maintainers pass
+    their stable checkpoint identity so a crash-restarted process
+    reclaims its own stale lease instantly instead of waiting out
+    the acquisition TTL (the same owner= convention every
+    upsert_auto caller uses)."""
     spark = embeddings.sparkSession
     cents = spark.read.parquet(f"{path}/centroids")
     vecs = _with_inv_norm(
@@ -1069,7 +1079,7 @@ def extend_ivf_index(
         # crashed forget left renamed aside would recreate the live
         # dir with only the increment, and the next repair would then
         # delete the aside holding the original rows
-        with leased_append(spark, f"{path}/assignments"):
+        with leased_append(spark, f"{path}/assignments", owner=owner):
             (
                 assigned.select("cent_id", "vec_id", "v", "inv", *attr_cols)
                 .write.mode("append")
@@ -1094,7 +1104,7 @@ def extend_ivf_index(
     # each table's append runs under ITS writer lease with
     # repair-first (sequential, never nested — the forget lane takes
     # the same two leases in the same one-at-a-time order)
-    with leased_append(spark, f"{path}/vectors"):
+    with leased_append(spark, f"{path}/vectors", owner=owner):
         (
             assigned.select("cent_id", "vec_id", "v")
             .sortWithinPartitions("cent_id", "vec_id")
@@ -1113,7 +1123,7 @@ def extend_ivf_index(
         )
     else:
         coded = _quantize_int8(assigned, attr_cols)
-    with leased_append(spark, f"{path}/assignments"):
+    with leased_append(spark, f"{path}/assignments", owner=owner):
         (
             coded.write.mode("append")
             .partitionBy("cent_id")

@@ -919,6 +919,12 @@ def run_ivf_ingest(
     )
     from datawarehouse_code_spark.sources.acid import table_exists
 
+    # stable lease identity for the per-batch index appends: a
+    # crash-restarted maintainer (same checkpoint) reclaims its own
+    # stale lease instantly instead of waiting out the TTL — the
+    # owner= convention every streaming maintainer here uses
+    _owner = f"ivf-ingest:{checkpoint_dir or index_path}"
+
     def _apply(batch: DataFrame, _batch_id: int) -> None:
         from datawarehouse_code_spark.sources.acid import _fs_for
 
@@ -969,7 +975,7 @@ def run_ivf_ingest(
         if dedup_threshold_f6 is None:
             if new.limit(1).count() == 0:
                 return  # pure replay/re-delivery: nothing to append
-            extend_ivf_index(new, index_path)
+            extend_ivf_index(new, index_path, owner=_owner)
             return
         # the dedup branch reads `new` many times (two limit probes,
         # the index-probe gate, the in-batch gate, the final joins,
@@ -993,7 +999,7 @@ def run_ivf_ingest(
             survivors = new.join(vs_index, "vec_id").join(in_batch, "vec_id")
             if survivors.limit(1).count() == 0:
                 return  # every new vector was a semantic duplicate
-            extend_ivf_index(survivors, index_path)
+            extend_ivf_index(survivors, index_path, owner=_owner)
         finally:
             new.unpersist()
 
