@@ -492,6 +492,12 @@ def mixture_resample(
         # every rate and silently empties the corpus.  The check is a
         # collect over <= len(target) rows — bounded by the target
         # dict, not the data.
+        #
+        # Materialize the tiny aggregate first (r17, guide §1.2): the
+        # validation collect and the broadcast-rates plan would
+        # otherwise EACH re-run the full per-stratum aggregation over
+        # `df` — two data-sized passes for one ≤len(target)-row frame.
+        observed = observed.localCheckpoint(eager=True)
         bad_w = [
             (r[strata_col], r["_n"])
             for r in observed.filter(

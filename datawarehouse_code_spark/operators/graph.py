@@ -28,7 +28,7 @@ large k localCheckpoint each round like near_dup_components does.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from datawarehouse_code_spark.operators.iterative import (
@@ -93,8 +93,18 @@ def pagerank_fixed(
                 "symmetrize or self-loop the edge list first"
             )
 
-    outdeg = cut_lineage(
-        edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")), mode
+    # out-degree is joined into the edge list ONCE, outside the loop
+    # (r17, guide §2.4): the previous shape re-joined edges⋈outdeg
+    # every iteration — k edge-sized shuffle joins for a value that
+    # never changes across rounds.  One cut of (src, dst, outdeg)
+    # replaces the separate outdeg cut; per-round work drops to a
+    # single join against the rank frame.
+    ewo = cut_lineage(
+        edges.join(
+            edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")),
+            "src",
+        ),
+        mode,
     )
     n_nodes = nodes.count()
     base = TOTAL_MASS // n_nodes
@@ -110,8 +120,7 @@ def pagerank_fixed(
         # followed by a cast can round UP across an integer boundary
         # (1-ulp error) and break exact cross-engine parity
         contrib = (
-            edges.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(outdeg, "src")
+            ewo.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr("mass div outdeg").alias("c"),
@@ -235,10 +244,11 @@ def bfs_distances(
     mode the round's cut is non-eager so that agg job also
     materializes the checkpoint (ONE Spark action per round where
     the previous shape paid three).  Integer distances make the Σ
-    exact — weighted_shortest_paths deliberately keeps its
-    frontier-emptiness check instead, because a float Σ is
-    order-dependent and a masked change would terminate early /
-    a phantom change would burn rounds.
+    exact — weighted_shortest_paths shares the same signature shape
+    (its weights are integers by contract); a FLOAT distance column
+    could not, because a float Σ is order-dependent and a masked
+    change would terminate early / a phantom change would burn
+    rounds.
 
     Scale shape: per round cost = |frontier adjacency| shuffled on
     node id; at 100 TB the same shape as one pagerank iteration.  No
@@ -362,9 +372,6 @@ def label_propagation(
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    w = Window.partitionBy("node").orderBy(
-        F.col("cnt").desc(), F.col("label").asc()
-    )
     # superseded periodic cuts are reclaimed as soon as the next cut
     # materializes (reliable mode; see operators/iterative.py)
     prev_cut = None
@@ -375,10 +382,17 @@ def label_propagation(
         counts = nbr_labels.groupBy("node", "label").agg(
             F.count(F.lit(1)).alias("cnt")
         )
-        labels = (
-            counts.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("node", "label")
+        # argmax by (cnt DESC, label ASC) as a max_by hash aggregate
+        # (r17, guide §2.3/§2.4): the former row_number window paid a
+        # full sort per round and shipped every (node, label, cnt) row
+        # to one partition per node; max_by partial-aggregates
+        # map-side and never sorts.  (cnt, -label) is lexicographically
+        # maximal exactly at the highest count, smallest label — the
+        # identical deterministic tie-break, integer comparisons only.
+        labels = counts.groupBy("node").agg(
+            F.max_by(
+                "label", F.struct(F.col("cnt"), (-F.col("label")).alias("_nl"))
+            ).alias("label")
         )
         if checkpoint_every and (r + 1) % checkpoint_every == 0:
             labels = cut_lineage(labels, mode, supersedes=prev_cut)
@@ -421,6 +435,18 @@ def weighted_shortest_paths(
     bfs/pagerank/LPA round, checkpointed lineage (`checkpoint` picks
     the strategy — operators/iterative.py).
 
+    Convergence is the MONOTONE SIGNATURE of bfs_distances (r17): the
+    weights are integers by contract, so the min-merge only ever adds
+    nodes or lowers integer distances and (count, Σdist over
+    decimal(38,0)) is exact and moves every round until the fixpoint
+    — one scalar agg replaces the old frontier-emptiness count, and
+    in local-checkpoint mode the round's non-eager cut materializes
+    inside that same job (ONE Spark action per round where the
+    previous shape paid three: eager merged cut + eager frontier cut
+    + frontier count).  A FLOAT distance column could not use this
+    (order-dependent Σ) — the integer-weight precondition below is
+    what licenses it.
+
     The negative-weight precondition is checked on the SYMMETRIZED
     frame, not with a separate scan of `edges`: sym is eagerly
     materialized for the loop anyway, so min-over-sym reads the
@@ -452,10 +478,18 @@ def weighted_shortest_paths(
         )
     sym = sym_all.filter(F.col("a") != F.col("b"))
     src = sources.toDF("node").distinct()
+    eager = mode == "reliable"
     dist = cut_lineage(
         src.withColumn("dist", F.lit(0).cast("bigint")), mode
     )
     frontier = dist
+
+    def _sig(frame: DataFrame) -> tuple:
+        # monotone: the min-merge only adds nodes or lowers INTEGER
+        # distances (non-negative-integer weights enforced above)
+        return convergence_signature(frame, "dist")
+
+    sig = _sig(dist)
     for _ in range(max_rounds):
         proposals = frontier.join(sym, frontier["node"] == sym["a"]).select(
             F.col("b").alias("node"),
@@ -466,7 +500,22 @@ def weighted_shortest_paths(
             .groupBy("node")
             .agg(F.min("dist").alias("dist")),
             mode,
+            eager=eager,
         )
+        new_sig = _sig(merged)
+        if new_sig == sig:
+            # fixpoint: no node improved — merged ≡ dist content-wise,
+            # the would-be frontier is empty, and neither it nor a new
+            # frontier needs building (bfs_distances shape)
+            release_checkpoint(frontier, unless=(dist,))
+            release_checkpoint(merged, unless=(dist,))
+            break
+        sig = new_sig
+        # next frontier = nodes whose distance just improved.
+        # Non-eager in local mode: it materializes inside the next
+        # round's signature job (reliable mode stays eager — a
+        # non-eager reliable checkpoint re-runs the frame's job to
+        # write the files).
         new_frontier = cut_lineage(
             merged.join(
                 dist.select("node", F.col("dist").alias("_old")),
@@ -476,15 +525,18 @@ def weighted_shortest_paths(
             .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
             .select("node", "dist"),
             mode,
+            eager=eager,
         )
         # the round's inputs are dead once both cuts materialize —
         # reclaim reliable-checkpoint files (round 1 aliases frontier
         # to dist; the unless guard deletes once)
-        release_checkpoint(frontier, unless=(dist, merged))
-        release_checkpoint(dist, unless=(merged,))
+        release_checkpoint(frontier, unless=(dist, merged, new_frontier))
+        release_checkpoint(dist, unless=(merged, new_frontier))
         dist = merged
         frontier = new_frontier
-        if frontier.limit(1).count() == 0:
-            break
-    release_checkpoint(frontier, unless=(dist,))
+    else:
+        # max_rounds exhausted without converging (the documented
+        # ≤max_rounds-edge truncation): the last frontier checkpoint
+        # has no further reader
+        release_checkpoint(frontier, unless=(dist,))
     return dist

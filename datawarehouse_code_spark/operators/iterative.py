@@ -50,8 +50,9 @@ def convergence_signature(df: DataFrame, col: str) -> tuple:
     mode the round's non-eager cut materializes inside this same
     job, leaving one Spark action per round.  decimal(38,0) keeps
     the Σ exact at any node count; operators over FLOAT columns must
-    NOT use this (Spark's double summation is order-dependent — see
-    weighted_shortest_paths, which keeps its frontier check)."""
+    NOT use this (Spark's double summation is order-dependent —
+    weighted_shortest_paths only qualifies because its weight/distance
+    contract is integer)."""
     row = df.agg(
         F.count(col).alias("n"),
         F.sum(F.col(col).cast("decimal(38,0)")).alias("s"),

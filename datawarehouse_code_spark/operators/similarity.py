@@ -583,11 +583,31 @@ def _nearest_centroids(
 ) -> DataFrame:
     """Each vector tagged with its `probes` nearest centroids (cosine,
     deterministic cent_id tiebreak): one broadcast of the tiny
-    centroid table against the vectors, one per-vector window."""
+    centroid table against the vectors, then a per-vector argmax.
+
+    probes=1 — the CORPUS-side assignment path, N·k scored rows at
+    index-build scale — takes a max_by hash aggregate (r17, guide
+    §2.3/§2.4): map-side partial aggregation collapses each vector's
+    k scored rows to one BEFORE the exchange, where the former
+    row_number window shuffled and sorted all N·k rows (each carrying
+    the vector payload) just to keep one.  (csim, -cent_id) is
+    lexicographically maximal exactly at the highest similarity,
+    smallest cent_id — the identical tie-break (Spark orders NaN
+    greatest in both sort-desc and struct-max, so even degenerate
+    inputs rank the same).  probes>1 — the bounded QUERY side — keeps
+    the window: top-p per vector has no partial-aggregable built-in."""
     sim = (dot(F.col("v"), F.col("cv")) * F.col("inv")) * F.col("inv_c")
     scored = df.crossJoin(F.broadcast(cents)).select(
         id_col, "v", "inv", "cent_id", sim.alias("csim")
     )
+    if probes == 1:
+        best = F.max_by(
+            F.struct("v", "inv", "cent_id"),
+            F.struct(F.col("csim"), (-F.col("cent_id")).alias("_nc")),
+        )
+        return scored.groupBy(id_col).agg(best.alias("_b")).select(
+            id_col, "_b.v", "_b.inv", "_b.cent_id"
+        )
     w = Window.partitionBy(id_col).orderBy(
         F.col("csim").desc(), F.col("cent_id").asc()
     )

@@ -1386,20 +1386,22 @@ def _approx_bounds_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     events = read_table(spark, "events", sf_dir)
-    hll = (
-        events.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", 0.01).alias("est"),
-            F.countDistinct("user_id").alias("exact"),
-        )
-        .select(
-            F.lit("hll").alias("part"),
-            F.col("event_type").alias("key"),
-            (F.abs(F.col("est") - F.col("exact")) * 100 <= F.col("exact") * 5)
-            .cast("bigint")
-            .alias("ok"),
-            F.col("exact").cast("bigint").alias("exact_n"),
-        )
+    # ONE aggregation pass computes the HLL estimate AND the exact
+    # countDistinct that both the hll leg and the theta leg compare
+    # against (r17, guide §1.2/§2.3: the previous shape aggregated
+    # events twice — once for the hll leg's exact, once for the theta
+    # leg's exact_users — for byte-identical results)
+    per_type = events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("est"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    hll = per_type.select(
+        F.lit("hll").alias("part"),
+        F.col("event_type").alias("key"),
+        (F.abs(F.col("est") - F.col("exact")) * 100 <= F.col("exact") * 5)
+        .cast("bigint")
+        .alias("ok"),
+        F.col("exact").cast("bigint").alias("exact_n"),
     )
 
     orders = read_table(spark, "orders", sf_dir).select(
@@ -1409,12 +1411,21 @@ def _approx_bounds_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keys = ["o_orderstatus"]
     oneshot = quantile_sketch_delta(orders, keys, "price_cents")
+    # the three o_orderkey%3 partials in ONE pass (r17, guide §1.2):
+    # sketching per (status, shard) group sees exactly the rows each
+    # per-filter partial saw, so merging the per-shard sketches obeys
+    # the same merged-rank-error law the three-filter shape proved —
+    # one orders aggregation instead of three
     merged = merge_quantile_rollup(
         [
             quantile_sketch_delta(
-                orders.filter(F.col("o_orderkey") % 3 == i), keys, "price_cents"
-            )
-            for i in range(3)
+                # `% 3` + isin replicates the three == filters exactly
+                # (sign-preserving %: a negative or NULL key matched
+                # none of them and must stay excluded)
+                orders.withColumn("_m3", F.col("o_orderkey") % 3)
+                .filter(F.col("_m3").isin(0, 1, 2)),
+                [*keys, "_m3"], "price_cents",
+            ).drop("_m3")
         ],
         keys,
     )
@@ -1449,15 +1460,26 @@ def _approx_bounds_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("exact_med").alias("exact_n"),
         )
 
+    # three day-bucket theta partials in ONE events pass (r17, guide
+    # §1.2): the CASE bucket partitions dayofmonth exactly like the
+    # three between-filters did, each (event_type, bucket) group's KMV
+    # state depends only on its value set, and the union of the same
+    # three states is the same sketch — one scan instead of three
     theta_parts = [
         theta_sketch_delta(
-            events.filter(F.dayofmonth("ts").between(lo, hi)),
-            ["event_type"], "user_id",
-        )
-        for lo, hi in [(1, 10), (11, 20), (21, 31)]
+            events.withColumn(
+                "_day_bkt",
+                F.when(F.dayofmonth("ts") <= 10, 0)
+                .when(F.dayofmonth("ts") <= 20, 1)
+                .when(F.dayofmonth("ts") <= 31, 2),
+            # a NULL ts fell through every between-filter in the
+            # three-scan shape; the null bucket keeps it excluded
+            ).filter(F.col("_day_bkt").isNotNull()),
+            ["event_type", "_day_bkt"], "user_id",
+        ).drop("_day_bkt")
     ]
-    exact_users = events.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact")
+    exact_users = per_type.select(
+        "event_type", F.col("exact")
     )
     theta = (
         theta_estimate(
@@ -2278,8 +2300,14 @@ def _planted_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # suite's dominant term and centroid QUALITY is irrelevant to
     # planted recall: an exact copy shares its original's nearest
     # centroid under ANY centroid set; this row's hash enforces that)
+    # fit_max_iter=2 since r17 (the approx_bounds ivf_full_probe
+    # reasoning): the quantizer fit is this leg's dominant cost and
+    # centroid QUALITY is irrelevant to planted recall — an exact copy
+    # shares its original's nearest centroid and ranks #1 by cosine
+    # under ANY centroid set, so the emitted rows (the planted
+    # universe) are invariant; this row's hash enforces exactly that
     iv = found(
-        ivf_topk(emb_corpus, fit_sample_fraction=0.25),
+        ivf_topk(emb_corpus, fit_sample_fraction=0.25, fit_max_iter=2),
         "query_id", "candidate_id", planted_q, "ivf_topk",
     )
     # multi-probe since round 7: ONE hash table with 3 probes replaces
