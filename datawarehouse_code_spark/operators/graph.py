@@ -93,18 +93,14 @@ def pagerank_fixed(
                 "symmetrize or self-loop the edge list first"
             )
 
-    # out-degree is joined into the edge list ONCE, outside the loop
-    # (r17, guide §2.4): the previous shape re-joined edges⋈outdeg
-    # every iteration — k edge-sized shuffle joins for a value that
-    # never changes across rounds.  One cut of (src, dst, outdeg)
-    # replaces the separate outdeg cut; per-round work drops to a
-    # single join against the rank frame.
-    ewo = cut_lineage(
-        edges.join(
-            edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")),
-            "src",
-        ),
-        mode,
+    # NOTE (r17, measured): hoisting edges⋈outdeg out of the loop as
+    # one (src, dst, outdeg) cut was tried and REVERTED — at practical
+    # node counts the per-round ranks/outdeg sides are broadcast by
+    # AQE (the edge list never shuffles), so the hoist's extra
+    # edge-sized materialization is pure added cost (isolated A/B at
+    # sf0.1: 2.98/3.11 s → 3.28/3.44 s, identical output).
+    outdeg = cut_lineage(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")), mode
     )
     n_nodes = nodes.count()
     base = TOTAL_MASS // n_nodes
@@ -120,7 +116,8 @@ def pagerank_fixed(
         # followed by a cast can round UP across an integer boundary
         # (1-ulp error) and break exact cross-engine parity
         contrib = (
-            ewo.join(ranks.withColumnRenamed("node", "src"), "src")
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr("mass div outdeg").alias("c"),

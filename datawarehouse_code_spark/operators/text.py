@@ -948,7 +948,7 @@ def duplicate_spans(
         raise ValueError(f"k must be >= 2: {k}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2: {min_docs}")
-    ws = documents.select(
+    ws = documents.repartition("doc_id").select(
         "doc_id", words(F.col(text_col)).alias("ws")
     ).filter(F.size("ws") >= k)
     grams = ws.select(
@@ -963,6 +963,12 @@ def duplicate_spans(
             )
         ).alias("g"),
     ).select("doc_id", F.col("g.i").alias("i"), F.col("g.gram").alias("gram"))
+    # the gram table feeds TWO consumers (the duplicate-gram count and
+    # the flagged semi-join probe side) — materialize it once (r17,
+    # the winnowing_near_dup_pairs precedent; an ephemeral QUERY cut,
+    # so localCheckpoint, not the session-auto strategy), and generate
+    # it spread across the doc key rather than the scan's splits
+    grams = grams.localCheckpoint(eager=True)
     dup = (
         grams.select("doc_id", "gram")
         .distinct()
@@ -1347,12 +1353,16 @@ def winnowing_fingerprints(
     with full windows only (pos ≤ n_grams − w).
 
     Scale shape: narrow gram generator over the repartitioned doc
-    key, per-DOC windows (never global), one distinct.  No UDF."""
+    key, ONE per-DOC ordered window (never global), one distinct.
+    No UDF.  The gram count rides from size(ws) computed BEFORE the
+    explode (r17): the former per-partition count window was a second
+    window pass for a value the generator already knows."""
     toks = documents.repartition(id_col).select(
         id_col, words(F.col(text_col)).alias("ws")
     )
     grams = toks.filter(F.size("ws") >= k).select(
         id_col,
+        (F.size("ws") - (k - 1)).alias("_n"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(1), F.size("ws") - (k - 1)),
@@ -1360,11 +1370,9 @@ def winnowing_fingerprints(
             )
         ).alias("pos", "gh"),
     )
-    nwin = Window.partitionBy(id_col)
     mwin = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
     return (
-        grams.withColumn("_n", F.count(F.lit(1)).over(nwin))
-        .withColumn("fp", F.min("gh").over(mwin))
+        grams.withColumn("fp", F.min("gh").over(mwin))
         .filter(F.col("pos") <= F.col("_n") - w)
         .select(id_col, "fp")
         .distinct()
@@ -1389,12 +1397,15 @@ def winnowing_fingerprint_positions(
 
     Output: (id_col, fp, first_pos, last_pos).  Same scale shape as
     winnowing_fingerprints — the grouped min/max replaces the
-    distinct, both one aggregation on the doc-partitioned key."""
+    distinct, both one aggregation on the doc-partitioned key; the
+    gram count likewise rides from size(ws) instead of a second
+    window pass (r17)."""
     toks = documents.repartition(id_col).select(
         id_col, words(F.col(text_col)).alias("ws")
     )
     grams = toks.filter(F.size("ws") >= k).select(
         id_col,
+        (F.size("ws") - (k - 1)).alias("_n"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(1), F.size("ws") - (k - 1)),
@@ -1402,11 +1413,9 @@ def winnowing_fingerprint_positions(
             )
         ).alias("pos", "gh"),
     )
-    nwin = Window.partitionBy(id_col)
     mwin = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
     return (
-        grams.withColumn("_n", F.count(F.lit(1)).over(nwin))
-        .withColumn("fp", F.min("gh").over(mwin))
+        grams.withColumn("fp", F.min("gh").over(mwin))
         .filter(F.col("pos") <= F.col("_n") - w)
         .groupBy(id_col, "fp")
         .agg(
