@@ -665,6 +665,7 @@ def kmeans_centroids(
     seed: int = 42,
     fit_sample_fraction: float | None = None,
     max_iter: int = 20,
+    init_mode: str = "k-means||",
 ) -> DataFrame:
     """K-means coarse quantizer for IVF: fit `pyspark.ml` KMeans
     (deterministic seed) on the corpus — or on a sample of it — and
@@ -698,9 +699,16 @@ def kmeans_centroids(
     # longer persists the input itself — without this each round
     # re-reads the source and redoes the array conversion.  fit() is
     # eager, so unpersisting right after it is safe.
+    # `init_mode` (r17): k-means|| initialization is itself several
+    # jobs over the fit set (init steps + weighting) — callers whose
+    # OUTPUT is provably centroid-invariant (full-probe exact search,
+    # planted-copy recall) pass "random" (seeded, still deterministic)
+    # and skip that cost; quality-sensitive callers keep the default.
     fit_df = fit_df.persist()
     try:
-        model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(fit_df)
+        model = KMeans(
+            k=n_centroids, seed=seed, maxIter=max_iter, initMode=init_mode
+        ).fit(fit_df)
     finally:
         fit_df.unpersist()
     rows = [
@@ -764,6 +772,7 @@ def ivf_topk(
     fit_sample_fraction: float | None = None,
     fit_max_iter: int = 8,
     allowed: DataFrame | None = None,
+    fit_init_mode: str = "k-means||",
 ) -> DataFrame:
     """IVF-style ANN: the centroid-bucketed scale path beside LSH.
 
@@ -794,6 +803,7 @@ def ivf_topk(
     cents = kmeans_centroids(
         vecs, n_centroids,
         fit_sample_fraction=fit_sample_fraction, max_iter=fit_max_iter,
+        init_mode=fit_init_mode,
     )
 
     def nearest(df: DataFrame, id_col: str, probes: int) -> DataFrame:

@@ -1504,7 +1504,7 @@ def _approx_bounds_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # This pins the assign/bucket-join/rank machinery, not fit quality.
     ivf_exact = ivf_topk(
         emb, n_centroids=16, n_probes=16,
-        fit_sample_fraction=0.25, fit_max_iter=2,
+        fit_sample_fraction=0.25, fit_max_iter=2, fit_init_mode="random",
     ).select(
         F.lit("ivf_full_probe").alias("part"),
         F.concat(
@@ -2300,14 +2300,19 @@ def _planted_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # suite's dominant term and centroid QUALITY is irrelevant to
     # planted recall: an exact copy shares its original's nearest
     # centroid under ANY centroid set; this row's hash enforces that)
-    # fit_max_iter=2 since r17 (the approx_bounds ivf_full_probe
-    # reasoning): the quantizer fit is this leg's dominant cost and
+    # fit_max_iter=2 + random (seeded) init since r17 (the
+    # approx_bounds ivf_full_probe reasoning): the quantizer fit —
+    # including k-means||'s own init jobs — is this leg's dominant
+    # cost and
     # centroid QUALITY is irrelevant to planted recall — an exact copy
     # shares its original's nearest centroid and ranks #1 by cosine
     # under ANY centroid set, so the emitted rows (the planted
     # universe) are invariant; this row's hash enforces exactly that
     iv = found(
-        ivf_topk(emb_corpus, fit_sample_fraction=0.25, fit_max_iter=2),
+        ivf_topk(
+            emb_corpus, fit_sample_fraction=0.25, fit_max_iter=2,
+            fit_init_mode="random",
+        ),
         "query_id", "candidate_id", planted_q, "ivf_topk",
     )
     # multi-probe since round 7: ONE hash table with 3 probes replaces
