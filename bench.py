@@ -4,7 +4,12 @@ Runs the registry's headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 
     {"metric": "registry_wall_sec", "value": <total>, "unit": "sec",
-     "queries": {"<name>": <sec>, ...}, "sf": <sf>}
+     "queries": {"<name>": <sec>, ...}, "sf": <sf>, ...}
+
+The stdout `queries` dict is packed largest-seconds-first up to the
+driver's 2000-char capture window (`queries_omitted` counts the
+sub-second tail rows that did not fit); EVERY row's timings, spreads
+and ratios go to the per-run file BENCH_full_c<cpus>.json.
 
 Each query is forced to full execution with the `noop` sink (every
 row is computed and serialized, nothing is collected to the driver —
@@ -401,44 +406,69 @@ def main() -> None:
             "normalized_queries": normalized_queries,
         }
 
-    # The driver captures only the tail of stdout (~2000 chars), so the
-    # full per-query payload goes to a file and stdout gets ONE compact
-    # JSON line guaranteed to fit the capture window: the totals, the
-    # frozen-ratio summary, and the worst-3 queries by ratio.
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")
-    with open(full_path, "w") as f:
-        json.dump(payload, f, indent=1)
+    # The driver captures only the LAST 2000 chars of output (verified
+    # round 18: BENCH_r06's >2000-char line parsed to {}, and every
+    # recorded tail is exactly 2000 chars), so:
+    #   1. The full payload goes to a PER-RUN file keyed on the core
+    #      count — the driver's low-core scaling run used to clobber
+    #      the main run's payload at the fixed BENCH_full.json path
+    #      (r17 verdict defect #1).  BENCH_full.json is still written
+    #      as a "latest run" convenience pointer-free copy.
+    #   2. The stdout line always carries a `queries` dict, packed
+    #      greedily LARGEST-SECONDS-FIRST until the line would exceed
+    #      the capture window (the full 87-row dict is ~2500 chars and
+    #      can never fit whole; the largest rows carry the regression/
+    #      scaling signal, the omitted sub-second tail lives in the
+    #      per-run full payload, count in `queries_omitted`).
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    here = os.path.dirname(os.path.abspath(__file__))
+    full_name = f"BENCH_full_c{cpus}.json"
+    payload["cpus"] = cpus
+    for fname in (full_name, "BENCH_full.json"):
+        with open(os.path.join(here, fname), "w") as f:
+            json.dump(payload, f, indent=1)
 
     summary: dict = {
         "metric": "registry_wall_sec",
         "value": payload["value"],
         "unit": "sec",
         "sf": sf_val,
+        "cpus": int(cpus) if cpus.isdigit() else cpus,
         "n_queries": len(times),
-        "full": "BENCH_full.json",
+        "full": full_name,
     }
     if errors:
-        summary["errors"] = errors
-    if spread_outliers:
-        summary["spread_outliers"] = spread_outliers
-    summary["calibration"] = payload["calibration"]
+        # errors are load-bearing for the driver; cap each message so
+        # a long traceback line cannot evict the queries dict
+        summary["errors"] = {n: m[:80] for n, m in errors.items()}
+    # calibration endpoints only; the per-segment marks live in the
+    # full payload (they were ~120 chars of the old line)
+    summary["calibration"] = {"before": cal_before, "after": cal_after}
     if "baseline_ratio" in payload:
         br = payload["baseline_ratio"]
         worst3 = dict(sorted(br["queries"].items(), key=lambda kv: -kv[1])[:3])
         summary["baseline_ratio"] = {
-            "frozen": br["frozen"],
             "total": br["total"],
             "host_factor": br["host_factor"],
             "normalized_total": br["normalized_total"],
             "n_frozen": len(br["queries"]),
             "worst3": worst3,
-            "worst3_normalized": {
-                n: br["normalized_queries"][n] for n in worst3
-            },
         }
-    # keep per-query timings on stdout only while they still fit
-    line = json.dumps({**summary, "queries": times})
-    print(line if len(line) <= 1800 else json.dumps(summary), flush=True)
+
+    # Greedy pack: biggest rows first; keep trying smaller rows (a
+    # short name may still fit after a long one did not).  Budget 1900
+    # leaves headroom under the 2000-char window for the trailing
+    # newline and any stray progress-bar erase sequence.
+    LINE_BUDGET = 1900
+    packed: dict[str, float] = {}
+    summary["queries_omitted"] = 0
+    summary["queries"] = packed
+    for name, sec in sorted(times.items(), key=lambda kv: (-kv[1], kv[0])):
+        packed[name] = round(sec, 2)
+        if len(json.dumps(summary, separators=(",", ":"))) > LINE_BUDGET:
+            del packed[name]
+    summary["queries_omitted"] = len(times) - len(packed)
+    print(json.dumps(summary, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

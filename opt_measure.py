@@ -1,10 +1,10 @@
-"""Round-17 optimization harness: isolated per-query timing + plan capture.
+"""Optimization-round harness: isolated per-query timing + plan capture.
 
 Usage:
-    python opt_measure.py <query> [<query> ...] [--tag before|after] [--runs 3]
+    python opt_measure.py <query> [<query> ...] [--tag before|after] [--runs 3] [--dir plans/r18]
 
 For each named registry/supplementary query: build the DataFrame, write
-`.explain("formatted")` to plans/r17/<query>_<tag>.txt, then time
+`.explain("formatted")` to <dir>/<query>_<tag>.txt, then time
 `noop`-sink executions (min-of-N) exactly like bench.py does.  Prints one
 JSON line per query.  Same session config as bench.py (local[$SPARK_GRAFT_CPUS]).
 """
@@ -31,6 +31,7 @@ def main() -> None:
     args = [a for a in sys.argv[1:]]
     tag = "before"
     runs = 3
+    plan_dir = "plans/r18"
     names: list[str] = []
     skip_plan = False
     i = 0
@@ -39,6 +40,8 @@ def main() -> None:
             tag = args[i + 1]; i += 2
         elif args[i] == "--runs":
             runs = int(args[i + 1]); i += 2
+        elif args[i] == "--dir":
+            plan_dir = args[i + 1]; i += 2
         elif args[i] == "--no-plan":
             skip_plan = True; i += 1
         else:
@@ -46,7 +49,7 @@ def main() -> None:
 
     spark = get_spark("opt_measure")
     spark.sparkContext.setLogLevel("ERROR")
-    os.makedirs("plans/r17", exist_ok=True)
+    os.makedirs(plan_dir, exist_ok=True)
 
     # one warm-up to pay classloading/Arrow startup once (not charged
     # to the first named query)
@@ -63,7 +66,7 @@ def main() -> None:
             buf = io.StringIO()
             with redirect_stdout(buf):
                 df.explain("formatted")
-            with open(f"plans/r17/{name}_{tag}.txt", "w") as f:
+            with open(f"{plan_dir}/{name}_{tag}.txt", "w") as f:
                 f.write(buf.getvalue())
         samples = []
         for _ in range(runs):
