@@ -347,6 +347,14 @@ def label_propagation(
     community-structured graphs (pinned by the crafted two-clique
     pytest) and `n_rounds` bounds the cost on adversarial ones.
 
+    Node ids must be SIGNED NUMERIC (r17 advice): the max_by argmax's
+    tie-break negates the label (`-label`), which narrows the id
+    contract to numeric types — string/uuid node ids (fine under the
+    pre-r17 window's `label ASC`) now fail at runtime under ANSI
+    casting.  Every in-repo caller keys on bigint supplier/doc ids;
+    callers with string ids must map them to a numeric surrogate
+    first.
+
     Scale shape per round: one equi-join of the symmetric edge list
     against the label frame (shuffled on node id), one (node, label)
     count, one per-node window for the argmax — the same join+agg

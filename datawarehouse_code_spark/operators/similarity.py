@@ -82,6 +82,26 @@ def _ranked_topk(pairs: DataFrame, k: int) -> DataFrame:
     scored = pairs.select(
         "query_id", "candidate_id", (F.floor(sim * 1e6) / 1e6).alias("sim_f6")
     )
+    return _ranked_topk_scored(scored, k)
+
+
+def _sim_f6_col() -> Column:
+    """The shared floor-6 cosine over (qv, inv_q, cv, inv_c) pair
+    columns — _ranked_topk's exact arithmetic, exposed so callers can
+    compute the similarity BEFORE a pair-dedup exchange and shuffle
+    (query_id, candidate_id, sim_f6) instead of two 64-d vector
+    payloads per row (r18, guide §2.3: shuffle keys and metadata
+    instead of payloads).  Safe to evaluate per duplicate copy: a
+    (query, candidate) pair's vectors are fixed, so every copy scores
+    identically and dedup-after-score keeps the same single row
+    dedup-before-score kept."""
+    sim = (dot(F.col("qv"), F.col("cv")) * F.col("inv_q")) * F.col("inv_c")
+    return (F.floor(sim * 1e6) / 1e6).alias("sim_f6")
+
+
+def _ranked_topk_scored(scored: DataFrame, k: int) -> DataFrame:
+    """Rank tail over already-scored (query_id, candidate_id, sim_f6)
+    rows: (sim desc, candidate_id asc), keep k."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_f6").desc(), F.col("candidate_id").asc()
     )
@@ -139,7 +159,14 @@ def brute_force_topk(
     1e-6 grain, bit-for-bit what `_ranked_topk` computes — the oracle
     hash on similarity_topk_bruteforce/filtered enforces it.  NaN sims
     (zero-norm inputs) rank greatest, matching Spark's descending-sort
-    NaN semantics."""
+    NaN semantics.
+
+    Precondition (r17 advice): embeddings must be NON-NULL arrays —
+    the Arrow kernel np.vstacks the batch and raises on a NULL `v`,
+    where the pre-r17 expression plan silently ranked a null sim last.
+    Same contract as quantized_rerank_topk and ivf_topk's dense path;
+    drop/repair null embeddings upstream (quality lane) before
+    ranking."""
     vecs = _with_inv_norm(
         embeddings.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
     )
@@ -158,8 +185,16 @@ def brute_force_topk(
         if q_rows else np.empty((0, 0))
     )
     qinv = np.array([r["inv"] for r in q_rows], dtype=np.float64)
+    # ship the query matrix per EXECUTOR via a Spark broadcast, not
+    # per task in the function closure (r18, r17 verdict ask #7): at
+    # the default max_query_id=100 × 64 dims the closure tax is noise,
+    # but a large query set would re-serialize with every task
+    qbc = embeddings.sparkSession.sparkContext.broadcast(
+        (qids, qmat, qinv)
+    )
 
     def _partial_topk(batches):
+        qids, qmat, qinv = qbc.value
         for pdf in batches:
             n = len(pdf)
             if n == 0 or len(qids) == 0:
@@ -516,13 +551,20 @@ def lsh_topk(
         F.col("vec_id").alias("candidate_id"), F.col("v").alias("cv"),
         F.col("inv").alias("inv_c"), "tbl", "sig",
     )
-    pairs = (
+    # score BEFORE the pair dedup (r18, guide §2.3): a pair sharing m
+    # of the n_tables·n_probes buckets lands m times, and the dedup
+    # used to shuffle both 64-d vectors on every copy; computing the
+    # floor-6 sim per copy (identical on every copy — same vectors)
+    # narrows that exchange to (query_id, candidate_id, sim_f6).  The
+    # bounded query side broadcasts, so this leaves NO payload-carrying
+    # exchange anywhere in the plan.
+    scored = (
         q.join(c, ["tbl", "sig"])
         .filter(F.col("query_id") != F.col("candidate_id"))
-        .select("query_id", "qv", "inv_q", "candidate_id", "cv", "inv_c")
+        .select("query_id", "candidate_id", _sim_f6_col())
         .dropDuplicates(["query_id", "candidate_id"])
     )
-    return _ranked_topk(pairs, k)
+    return _ranked_topk_scored(scored, k)
 
 
 def quantized_rerank_topk(
@@ -590,8 +632,14 @@ def quantized_rerank_topk(
         code.alias("code"), scale.alias("scale"), "inv",
     )
     m = k * rerank_factor
+    # per-executor broadcast of the query matrix (r18; see
+    # brute_force_topk)
+    qbc = embeddings.sparkSession.sparkContext.broadcast(
+        (qids, qmat, qinv)
+    )
 
     def _partial_approx(batches):
+        qids, qmat, qinv = qbc.value
         for pdf in batches:
             n = len(pdf)
             if n == 0 or len(qids) == 0:
@@ -843,7 +891,18 @@ def ivf_topk(
             F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
             F.col("inv").alias("inv_q"), "cent_id",
         )
-        pairs = (
+        # No pair dedup (r18): a candidate carries exactly ONE cent_id
+        # row (probes=1 assignment is a groupBy(vec_id) aggregate) and
+        # a query's probe set holds DISTINCT cent_ids (row_number over
+        # per-centroid scores; vec_id is the embeddings primary key),
+        # so the cent_id equi-join emits each (query, candidate) pair
+        # at most once — the former dropDuplicates was a full exchange
+        # of vector-payload pair rows that provably kept every row.
+        # The floor-6 sim is computed in the join projection, so only
+        # (query_id, candidate_id, sim_f6) reaches the rank exchange
+        # (guide §2.3).  Output verified row-identical to the dedup
+        # shape at sf0.01 and sf0.1.
+        scored = (
             probed.join(
                 assigned.select(
                     "candidate_id", F.col("v").alias("cv"),
@@ -852,10 +911,9 @@ def ivf_topk(
                 "cent_id",
             )
             .filter(F.col("query_id") != F.col("candidate_id"))
-            .select("query_id", "qv", "inv_q", "candidate_id", "cv", "inv_c")
-            .dropDuplicates(["query_id", "candidate_id"])
+            .select("query_id", "candidate_id", _sim_f6_col())
         )
-        return _ranked_topk(pairs, k)
+        return _ranked_topk_scored(scored, k)
 
     q_rows = (
         vecs.filter(F.col("vec_id") < max_query_id)
@@ -895,7 +953,14 @@ def ivf_topk(
         order = np.lexsort((cent_ids, -ckey))[:n_probes]
         qprobes.append(cent_ids[order])
 
+    # per-executor broadcast of the query matrix + probe sets (r18;
+    # see brute_force_topk)
+    qbc = embeddings.sparkSession.sparkContext.broadcast(
+        (qids, qmat, qinv, qprobes)
+    )
+
     def _partial_topk(batches):
+        qids, qmat, qinv, qprobes = qbc.value
         for pdf in batches:
             n = len(pdf)
             if n == 0 or len(qids) == 0:
@@ -1674,13 +1739,19 @@ def query_ivf_index(
             "cent_id", F.col("vec_id").alias("candidate_id"),
             F.col("v").alias("cv"), F.col("inv").alias("inv_c"),
         )
-        pairs = (
+        # the pair dedup stays (crash-replayed appends can duplicate
+        # index rows) but runs on scored narrow rows (r18, guide
+        # §2.3): a replayed duplicate carries the identical vector, so
+        # every copy's floor-6 sim is equal and dedup-after-score
+        # keeps the same row — while the exchange carries ids + one
+        # double instead of two 64-d payloads.
+        scored = (
             probed.join(idx, "cent_id")
             .filter(F.col("query_id") != F.col("candidate_id"))
-            .select("query_id", "qv", "inv_q", "candidate_id", "cv", "inv_c")
+            .select("query_id", "candidate_id", _sim_f6_col())
             .dropDuplicates(["query_id", "candidate_id"])
         )
-        return _ranked_topk(pairs, k)
+        return _ranked_topk_scored(scored, k)
     # --- compressed path: rank codes, re-rank survivors exactly ---
     pq = "scale" not in scan.columns
     if pq:
@@ -1756,10 +1827,14 @@ def query_ivf_index(
         ),
         "candidate_id",
     )
-    pairs = full.select(
-        "query_id", "qv", "inv_q", "candidate_id", "cv", "inv_c"
+    # same narrow-dedup shape as the uncompressed path: replay
+    # duplicates in vectors/ carry identical payloads, so scoring
+    # before the dedup keeps the same rows and the exchange sheds the
+    # vector columns (r18, guide §2.3)
+    scored = full.select(
+        "query_id", "candidate_id", _sim_f6_col()
     ).dropDuplicates(["query_id", "candidate_id"])
-    return _ranked_topk(pairs, k)
+    return _ranked_topk_scored(scored, k)
 
 
 def ivf_index_stats(spark: SparkSession, path: str) -> DataFrame:
@@ -1827,16 +1902,21 @@ def embedding_near_dup_lsh(
         F.col("vec_id").alias("v2"), F.col("v").alias("cv"),
         F.col("inv").alias("inv_c"), "tbl", "sig",
     )
-    pairs = (
-        a.join(b, ["tbl", "sig"])
-        .filter(F.col("v1") < F.col("v2"))
-        .dropDuplicates(["v1", "v2"])
-    )
+    # score + threshold BEFORE the pair dedup (r18, guide §2.3): a
+    # pair sharing m of the n_tables buckets lands m times, and the
+    # dedup used to shuffle both 64-d vectors on every copy; every
+    # copy scores identically (same vectors), so filtering at the
+    # threshold first and deduping (v1, v2, sim_f6) keeps the exact
+    # same survivor rows while the dedup exchange carries only ids +
+    # one double — and the sub-threshold majority never shuffles at
+    # all.  Output verified row-identical at sf0.01 and sf0.1.
     sim = (dot(F.col("qv"), F.col("cv")) * F.col("inv_q")) * F.col("inv_c")
     return (
-        pairs.withColumn("sim_f6", F.floor(sim * 1e6) / 1e6)
+        a.join(b, ["tbl", "sig"])
+        .filter(F.col("v1") < F.col("v2"))
+        .select("v1", "v2", (F.floor(sim * 1e6) / 1e6).alias("sim_f6"))
         .filter(F.col("sim_f6") >= threshold)
-        .select("v1", "v2", "sim_f6")
+        .dropDuplicates(["v1", "v2"])
     )
 
 

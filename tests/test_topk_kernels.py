@@ -159,11 +159,15 @@ def test_quantized_kernel_matches_expression_reference(spark):
 
 
 @pytest.mark.parametrize("n_probes,n_centroids", [(2, 2), (3, 4)])
-def test_ivf_dense_kernel_matches_sparse_join_path(spark, n_probes, n_centroids):
-    # the dense-probe kernel (n_probes·2 ≥ n_centroids) and the sparse
-    # join path must agree wherever both are exact: full probing ranks
-    # every candidate, so compare against brute force (the full-probe ≡
-    # brute doctrine) — with the crafted zero-norm vector included
+def test_ivf_dense_kernel_matches_brute_force(spark, n_probes, n_centroids):
+    # the dense-probe kernel (n_probes·2 ≥ n_centroids — both
+    # parametrizations take it) must agree with brute force wherever
+    # it is exact: full probing ranks every candidate (the full-probe
+    # ≡ brute doctrine).  ROWS deliberately has no zero-norm vector:
+    # ANSI mode makes _with_inv_norm's 1/norm a DIVIDE_BY_ZERO error
+    # in both paths, so the NaN branch is defensive dead code here
+    # (r17 advice: the old name/comment claimed a sparse-path and a
+    # zero-norm case this test never had).
     from datawarehouse_code_spark.operators.similarity import ivf_topk
 
     emb = _vecs_df(spark, ROWS)
@@ -173,3 +177,62 @@ def test_ivf_dense_kernel_matches_sparse_join_path(spark, n_probes, n_centroids)
     )
     brute = brute_force_topk(emb, max_query_id=3, k=3)
     assert _rows(full) == _rows(brute)
+
+
+def _ivf_sparse_reference(emb, max_query_id, k, n_centroids, n_probes,
+                          fit_max_iter):
+    """The pre-r18 sparse join path, verbatim: cent_id equi-join with
+    vector payloads on every pair row, dropDuplicates on the pair
+    ids, then _ranked_topk.  kmeans_centroids is seed-deterministic
+    for a fixed input layout, so reference and operator fit identical
+    centroids."""
+    from datawarehouse_code_spark.operators.similarity import (
+        _nearest_centroids,
+        kmeans_centroids,
+    )
+
+    vecs = _with_inv_norm(
+        emb.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    )
+    cents = kmeans_centroids(vecs, n_centroids, max_iter=fit_max_iter)
+    assigned = _nearest_centroids(vecs, cents, "vec_id", 1).select(
+        F.col("vec_id").cast("bigint").alias("candidate_id"),
+        F.col("v").alias("cv"), F.col("inv").alias("inv_c"), "cent_id",
+    )
+    probed = _nearest_centroids(
+        vecs.filter(F.col("vec_id") < max_query_id), cents, "vec_id", n_probes
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("inv").alias("inv_q"), "cent_id",
+    )
+    pairs = (
+        probed.join(assigned, "cent_id")
+        .filter(F.col("query_id") != F.col("candidate_id"))
+        .select("query_id", "qv", "inv_q", "candidate_id", "cv", "inv_c")
+        .dropDuplicates(["query_id", "candidate_id"])
+    )
+    return _ranked_topk(pairs, k)
+
+
+@pytest.mark.parametrize("n_probes,n_centroids", [(1, 4), (2, 8)])
+def test_ivf_sparse_join_path_matches_pre_r18_reference(
+    spark, n_probes, n_centroids
+):
+    # the SPARSE join path (n_probes·2 < n_centroids — the serving
+    # default regime the dense parametrizations above never reach,
+    # r17 advice): the r18 narrow shape (sim computed in the join
+    # projection, no pair dedup — provably a no-op, since a candidate
+    # has ONE centroid and a query's probe set is distinct) must be
+    # row-identical to the pre-r18 payload-dedup reference
+    from datawarehouse_code_spark.operators.similarity import ivf_topk
+
+    emb = _vecs_df(spark, ROWS)
+    got = ivf_topk(
+        emb, max_query_id=3, k=3,
+        n_centroids=n_centroids, n_probes=n_probes, fit_max_iter=2,
+    )
+    ref = _ivf_sparse_reference(
+        emb, max_query_id=3, k=3,
+        n_centroids=n_centroids, n_probes=n_probes, fit_max_iter=2,
+    )
+    assert _rows(got) == _rows(ref)
