@@ -701,6 +701,16 @@ def build_lsh_index(
             "band_idx", "band_hash"
         ),
     )
+    # NOTE (r18, r17 verdict ask #8 — tried, measured, NOT applied):
+    # replacing this count window with localCheckpoint(buckets) + a
+    # count aggregate of the >cap keys + a broadcast anti-join keeps
+    # the row set identical and avoids the full bucket-table
+    # sort-shuffle, but measured SLOWER end-to-end at sf0.1/local[32]
+    # on incremental_near_dup (interleaved min-of-8: window 2.855 s vs
+    # anti-join 3.491 s, rows equal) — the extra eager materialization
+    # job + anti-join overhead exceeds the window's sort of the
+    # fixture-sized bucket table.  Revisit only with a real-cluster
+    # measurement where the bucket table's sort dominates.
     if hot_bucket_cap is not None:
         w = Window.partitionBy("band_idx", "band_hash")
         buckets = (
@@ -747,6 +757,15 @@ def near_dup_pairs_incremental(
             "band_idx", "band_hash"
         ),
     )
+    # NOTE (r18 — tried, measured, NOT applied): localCheckpoint-ing
+    # this candidate set looks right (it feeds two consumers, and the
+    # STATIC plan prints the whole index+signature subtree twice) but
+    # measured SLOWER at sf0.1/local[32] (interleaved min-of-8: no
+    # checkpoint 2.383 s vs checkpoint 2.974 s, rows equal) — at
+    # runtime AQE's exchange/broadcast reuse already dedups the
+    # repeated subtrees, so the eager materialization job is pure
+    # added latency.  Same lesson as near_dup_pairs_lsh's r17
+    # lineage-cut attempt.
     candidates = (
         new_buckets.join(index, ["band_idx", "band_hash"])
         .select("d_new", F.col("doc_id").alias("d_corpus"))
@@ -1517,11 +1536,20 @@ def cdc_containment(
             documents, text_col=text_col, id_col=id_col,
             boundary_hexes=boundary_hexes,
         )
+    # materialize the distinct chunk table ONCE (r18, guide §1.2/§5):
+    # it feeds THREE consumers (totals and both self-join sides), and
+    # column pruning specializes each consumer's subtree — different
+    # pruned projections below the exchange — so ReusedExchange never
+    # fires and the full scan+chunking window pipeline ran three times
+    # (verified in plans/r18/docs_cdc_containment_before.txt: the
+    # chunk Window appears at ops 8, 23 and 44).  localCheckpoint per
+    # the ephemeral in-query doctrine (winnowing/duplicate-spans
+    # precedent).
     chunks = (
         chunks.filter(F.col("n_words") >= min_words)
         .select(id_col, "chunk_hash", "n_words")
         .distinct()
-    )
+    ).localCheckpoint(eager=True)
     totals = chunks.groupBy(id_col).agg(
         F.sum("n_words").alias("d1_words")
     )
@@ -1757,11 +1785,18 @@ def bm25_scores(
         F.col("term") != ""
     )
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = terms.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # dl and df ride the tf TABLE, not the exploded terms (r18, guide
+    # §1.2): the three aggregations each re-ran the scan+words+explode
+    # pipeline (different grouping keys defeat exchange reuse), but
+    # dl = Σ tf per doc and df = row count per term (tf rows are
+    # distinct (doc, term) pairs by construction) are the identical
+    # integers off the much smaller tf frame — one tokenization pass
+    # instead of three.
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_total"), F.avg("dl").alias("avgdl")
     )
-    df_t = terms.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if isinstance(query_terms, int):
         # TakeOrderedAndProject, not a rank window: the df table is
         # vocabulary-sized (10⁸+ terms at 100 TB) and a global window

@@ -35,6 +35,8 @@ warehouse.py:1-314); this is north-star LLM-pipeline surface.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -206,31 +208,35 @@ def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
 
 def bpe_encode_udf(merges: list[tuple[str, str]]):
     """Arrow-batched corpus encoder: text → array<string> of BPE
-    tokens (apply per word, concatenate).  Per-batch word → tokens
-    memo exploits the Zipf distribution; the merges list rides to the
-    executors in the UDF closure (KBs)."""
+    tokens (apply per word, concatenate).  Iterator form (r18, guide
+    §4.5): the word → tokens memo is built once per TASK and amortizes
+    over every batch in the partition — the Zipf head repeats across
+    batches, and the per-batch memo the Series form rebuilt threw
+    those hits away ~12 times per million-row partition.  The merges
+    list rides to the executors in the UDF closure (KBs)."""
     frozen = list(merges)
 
     @pandas_udf("array<string>")
-    def _encode(texts: pd.Series) -> pd.Series:
+    def _encode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         import re
 
         memo: dict[str, list[str]] = {}
-        out = []
-        for t in texts:
-            if t is None:
-                out.append(None)
-                continue
-            norm = re.sub(r"\s+", " ", t.lower()).strip()
-            tokens: list[str] = []
-            for w in norm.split(" "):
-                if not w:
+        for texts in batches:
+            out = []
+            for t in texts:
+                if t is None:
+                    out.append(None)
                     continue
-                if w not in memo:
-                    memo[w] = encode_word(w, frozen)
-                tokens.extend(memo[w])
-            out.append(tokens)
-        return pd.Series(out)
+                norm = re.sub(r"\s+", " ", t.lower()).strip()
+                tokens: list[str] = []
+                for w in norm.split(" "):
+                    if not w:
+                        continue
+                    if w not in memo:
+                        memo[w] = encode_word(w, frozen)
+                    tokens.extend(memo[w])
+                out.append(tokens)
+            yield pd.Series(out)
 
     return _encode
 
@@ -366,7 +372,17 @@ def unigram_train(
 
     if vocab_size < 1 or n_iters < 1 or max_piece_len < 1:
         raise ValueError("vocab_size, n_iters, max_piece_len must be >= 1")
-    vocab = word_frequency_table(documents, text_col, vocab_cap)
+    # materialize the word-frequency table ONCE (r18, guide §1.2/§5):
+    # it feeds the seed collect AND every EM round's Viterbi pass —
+    # without the cut each consumer re-runs the corpus-sized
+    # explode+aggregate (n_iters+1 full corpus passes for a
+    # vocabulary-sized frame).  localCheckpoint, not the session-auto
+    # strategy: an ephemeral in-query materialization (the
+    # winnowing/duplicate-spans precedent), and the trainer is a
+    # driver-interactive loop a retry simply re-runs.
+    vocab = word_frequency_table(
+        documents, text_col, vocab_cap
+    ).localCheckpoint(eager=True)
     pieces = {
         r["piece"]: int(r["cnt"])
         for r in _seed_pieces(vocab, max_piece_len, seed_size).collect()
@@ -410,8 +426,10 @@ def unigram_train(
 
 def unigram_encode_udf(pieces: list[tuple[str, int]], max_piece_len: int = 4):
     """Arrow-batched corpus encoder: text → array<string> of unigram
-    pieces (Viterbi per word, concatenated; per-batch memo — the
-    bpe_encode_udf shape)."""
+    pieces (Viterbi per word, concatenated; per-TASK memo — the
+    bpe_encode_udf iterator shape, r18 guide §4.5: the Viterbi DP is
+    the expensive per-word step, so memo hits across batches matter
+    even more here than for BPE)."""
     import math
 
     counts = dict(pieces)
@@ -421,25 +439,26 @@ def unigram_encode_udf(pieces: list[tuple[str, int]], max_piece_len: int = 4):
     mpl = max_piece_len
 
     @pandas_udf("array<string>")
-    def _encode(texts: pd.Series) -> pd.Series:
+    def _encode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         import re
 
         memo: dict[str, list[str]] = {}
-        out = []
-        for t in texts:
-            if t is None:
-                out.append(None)
-                continue
-            norm = re.sub(r"\s+", " ", t.lower()).strip()
-            tokens: list[str] = []
-            for w in norm.split(" "):
-                if not w:
+        for texts in batches:
+            out = []
+            for t in texts:
+                if t is None:
+                    out.append(None)
                     continue
-                if w not in memo:
-                    memo[w] = viterbi_segment(w, lp, mpl, unk)
-                tokens.extend(memo[w])
-            out.append(tokens)
-        return pd.Series(out)
+                norm = re.sub(r"\s+", " ", t.lower()).strip()
+                tokens: list[str] = []
+                for w in norm.split(" "):
+                    if not w:
+                        continue
+                    if w not in memo:
+                        memo[w] = viterbi_segment(w, lp, mpl, unk)
+                    tokens.extend(memo[w])
+                out.append(tokens)
+            yield pd.Series(out)
 
     return _encode
 
