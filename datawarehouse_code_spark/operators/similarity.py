@@ -2057,15 +2057,34 @@ def semantic_dedup(
             fit_sample_fraction=fit_sample_fraction, max_iter=fit_max_iter,
         )
         assigned = _nearest_centroids(vecs, cents, "vec_id", n_assign)
-    return _semantic_dedup_assigned(vecs, assigned, threshold_f6)
+    return _semantic_dedup_assigned(
+        vecs, assigned, threshold_f6, unique_pairs=(n_assign == 1)
+    )
 
 
 def _semantic_dedup_assigned(
-    vecs: DataFrame, assigned: DataFrame, threshold_f6: int
+    vecs: DataFrame,
+    assigned: DataFrame,
+    threshold_f6: int,
+    unique_pairs: bool = False,
 ) -> DataFrame:
     """Shared bucketed tail of the clustered semantic-dedup variants:
     within-bucket smaller-id drop rule over an already-assigned
-    (cent_id, vec_id, v, inv) frame."""
+    (cent_id, vec_id, v, inv) frame.
+
+    `unique_pairs=True` (callers pass it when n_assign == 1): every
+    vector carries exactly ONE bucket row, so the cent_id equi-join
+    cannot emit a pair twice and the pair dedup is skipped outright —
+    the ivf_topk sparse-branch argument (r18).  Under multi-assignment
+    the dedup stays but runs on scored narrow rows (guide §2.3): a
+    pair sharing m buckets scores identically on every copy (same
+    vectors), so dedup-after-score keeps the same row while the
+    exchange carries (a_id, vec_id, sim) instead of two 64-d payloads
+    — at scale the m-fold extra dot products are cheaper than
+    shuffling the vectors once (the pre-r18 shape deduped payload rows
+    first to save the arithmetic; threshold-filtering before the
+    dedup also drops the sub-threshold majority from the exchange
+    entirely, the embedding_near_dup_lsh shape)."""
     a = assigned.select(
         "cent_id", F.col("vec_id").alias("a_id"), F.col("v").alias("av"),
         F.col("inv").alias("inv_a"),
@@ -2078,18 +2097,14 @@ def _semantic_dedup_assigned(
         ((dot(F.col("av"), F.col("bv")) * F.col("inv_a")) * F.col("inv_b"))
         * F.lit(1e6)
     )
-    # dedup BEFORE scoring: under multi-assignment a pair sharing m
-    # buckets would otherwise pay the d-dimensional dot product m
-    # times before min() collapses it (the embedding_near_dup_lsh
-    # pattern — candidate identity first, arithmetic once)
     pairs = (
         a.join(b, "cent_id")
         .filter(F.col("a_id") < F.col("vec_id"))
-        .select("a_id", "vec_id", "av", "inv_a", "bv", "inv_b")
-        .dropDuplicates(["a_id", "vec_id"])
         .select("a_id", "vec_id", sim_f6i.alias("sim_f6i"))
         .filter(F.col("sim_f6i") >= F.lit(int(threshold_f6)))
     )
+    if not unique_pairs:
+        pairs = pairs.dropDuplicates(["a_id", "vec_id"])
     return _dedup_from_pairs(vecs, pairs)
 
 
@@ -2121,7 +2136,9 @@ def semantic_dedup_with_centroids(
         )
     )
     assigned = _nearest_centroids(vecs, cents, "vec_id", n_assign)
-    return _semantic_dedup_assigned(vecs, assigned, threshold_f6)
+    return _semantic_dedup_assigned(
+        vecs, assigned, threshold_f6, unique_pairs=(n_assign == 1)
+    )
 
 
 def incremental_semantic_dedup(
